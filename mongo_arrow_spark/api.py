@@ -1,0 +1,223 @@
+"""Reference API surface re-expressed over Spark DataFrames.
+
+The reference exposes eight entry points — find/aggregate × {arrow, pandas,
+numpy, polars} (reference api.py:129-539) — plus ``write`` (api.py:602-713),
+all bound to a ``pymongo.Collection``. Here the "collection" is a Spark
+DataFrame (or a registered view name): the MQL ``query``/``pipeline`` is
+translated by :mod:`mongo_arrow_spark.mql` into a DataFrame plan, Catalyst
+executes it, and the terminal conversion uses Spark's Arrow path
+(``toArrow``/``toPandas`` with self-destruct, mirroring the reference's
+low-peak-memory conversions api.py:259-270).
+
+Laziness note: ``find``/``aggregate`` return DataFrames (no execution);
+only the ``*_all`` terminal forms collect — same contract as the reference,
+where ``*_all`` materializes the whole result.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.errors import MQLTranslationError
+from mongo_arrow_spark.mql import apply_pipeline, translate_match
+from mongo_arrow_spark.mql.expressions import translate_expr
+from mongo_arrow_spark.mql.pipeline import _sort_cols
+from mongo_arrow_spark.result import ArrowWriteResult
+from mongo_arrow_spark.schema import Schema
+
+
+def _apply_schema(df: DataFrame, schema: Schema | None) -> DataFrame:
+    """Project + cast to the declared schema (reference injects a $project
+    derived from the schema, api.py:172-173, and builders enforce types)."""
+    if schema is None:
+        return df
+    cols = []
+    for field in schema.to_struct_type().fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def find(
+    df: DataFrame,
+    query: dict | None = None,
+    *,
+    schema: Schema | None = None,
+    projection: dict | None = None,
+    sort: list[tuple] | None = None,
+    limit: int | None = None,
+    skip: int | None = None,
+) -> DataFrame:
+    """MQL find → lazy DataFrame (reference find_arrow_all minus collection,
+    api.py:129-207; sort/limit/skip mirror its passthrough kwargs)."""
+    out = df.filter(translate_match(query)) if query else df
+    if projection:
+        include = [k for k, v in projection.items() if v in (1, True)]
+        exclude = [k for k, v in projection.items() if v in (0, False)]
+        computed = {
+            k: v for k, v in projection.items() if v not in (0, 1, True, False)
+        }
+        if include or computed:
+            cols = [F.col(c) for c in include]
+            if "_id" in out.columns and "_id" not in exclude and "_id" not in include:
+                cols.insert(0, F.col("_id"))
+            cols += [translate_expr(v).alias(k) for k, v in computed.items()]
+            out = out.select(*cols)
+        elif exclude:
+            out = out.drop(*exclude)
+    if sort:
+        cols = []
+        for field, direction in sort:
+            c = F.col(field)
+            cols.append(c.asc() if direction in (1, "asc") else c.desc())
+        out = out.orderBy(*cols)
+    if skip:
+        out = out.offset(int(skip))
+    if limit:
+        out = out.limit(int(limit))
+    return _apply_schema(out, schema)
+
+
+def aggregate(
+    df: DataFrame,
+    pipeline: list[dict],
+    *,
+    schema: Schema | None = None,
+    collections: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
+    """MQL aggregate → lazy DataFrame (reference api.py:210-256)."""
+    return _apply_schema(apply_pipeline(df, pipeline, collections), schema)
+
+
+# ------------------------------------------------------------ terminal forms
+
+
+def find_arrow_all(df, query=None, **kw):
+    """Materialize to a pyarrow.Table (reference api.py:129-207).
+    Uses Spark's Arrow collect path — columnar end-to-end."""
+    return find(df, query, **kw).toArrow()
+
+
+def aggregate_arrow_all(df, pipeline, **kw):
+    return aggregate(df, pipeline, **kw).toArrow()
+
+
+def find_pandas_all(df, query=None, **kw):
+    """Reference api.py:273-315; Arrow-backed toPandas with selfDestruct
+    (enabled in session.get_spark) mirrors split_blocks/self_destruct."""
+    return find(df, query, **kw).toPandas()
+
+
+def aggregate_pandas_all(df, pipeline, **kw):
+    return aggregate(df, pipeline, **kw).toPandas()
+
+
+def find_numpy_all(df, query=None, **kw):
+    """dict of column-name → ndarray (reference api.py:345-418)."""
+    table = find_arrow_all(df, query, **kw)
+    return {name: table[name].to_numpy(zero_copy_only=False) for name in table.column_names}
+
+
+def aggregate_numpy_all(df, pipeline, **kw):
+    table = aggregate_arrow_all(df, pipeline, **kw)
+    return {name: table[name].to_numpy(zero_copy_only=False) for name in table.column_names}
+
+
+def find_polars_all(df, query=None, **kw):
+    """Reference api.py:468-512 (gated: polars is optional here)."""
+    import polars as pl
+
+    return pl.from_arrow(find_arrow_all(df, query, **kw))
+
+
+def aggregate_polars_all(df, pipeline, **kw):
+    import polars as pl
+
+    return pl.from_arrow(aggregate_arrow_all(df, pipeline, **kw))
+
+
+def write(df_or_tabular, path: str, *, format: str = "parquet", mode: str = "append", spark=None, **options) -> ArrowWriteResult:
+    """Bulk write (reference api.py:602-713). The reference batches BSON
+    inserts under byte/count caps; Spark writers batch per partition task and
+    the commit protocol replaces the offset-rebasing error dance. Accepts a
+    DataFrame or any tabular (arrow Table / pandas / dict-of-ndarray), which
+    is converted via the Arrow path first."""
+    df = _as_dataframe(df_or_tabular, spark)
+    n = df.count()
+    df.write.format(format).mode(mode).options(**options).save(path)
+    return ArrowWriteResult({"insertedCount": n})
+
+
+def _as_dataframe(tabular, spark) -> DataFrame:
+    if isinstance(tabular, DataFrame):
+        return tabular
+    if spark is None:
+        raise MQLTranslationError("pass spark= to write non-DataFrame tabulars")
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(tabular, pa.Table):
+        return spark.createDataFrame(tabular.to_pandas())
+    if isinstance(tabular, pd.DataFrame):
+        return spark.createDataFrame(tabular)
+    if isinstance(tabular, dict):  # dict of ndarrays (reference api.py:602)
+        return spark.createDataFrame(pd.DataFrame(tabular))
+    try:
+        import polars as pl
+
+        if isinstance(tabular, pl.DataFrame):
+            return spark.createDataFrame(tabular.to_pandas())
+    except ImportError:
+        pass
+    raise MQLTranslationError(f"unsupported tabular type: {type(tabular)}")
+
+
+class Collection:
+    """DataFrame + name registry — the reference's ``pymongo.Collection``
+    stand-in, giving the monkey-patched method surface (reference
+    monkey.py:19-40) as plain methods."""
+
+    def __init__(self, df: DataFrame, name: str = "collection", collections=None):
+        self.df = df
+        self.name = name
+        self.collections = collections or {}
+
+    def find(self, query=None, **kw):
+        return find(self.df, query, **kw)
+
+    def aggregate(self, pipeline, **kw):
+        kw.setdefault("collections", self.collections)
+        return aggregate(self.df, pipeline, **kw)
+
+    def find_arrow_all(self, query=None, **kw):
+        return find_arrow_all(self.df, query, **kw)
+
+    def find_pandas_all(self, query=None, **kw):
+        return find_pandas_all(self.df, query, **kw)
+
+    def find_numpy_all(self, query=None, **kw):
+        return find_numpy_all(self.df, query, **kw)
+
+    def find_polars_all(self, query=None, **kw):
+        return find_polars_all(self.df, query, **kw)
+
+    def aggregate_arrow_all(self, pipeline, **kw):
+        kw.setdefault("collections", self.collections)
+        return aggregate_arrow_all(self.df, pipeline, **kw)
+
+    def aggregate_pandas_all(self, pipeline, **kw):
+        kw.setdefault("collections", self.collections)
+        return aggregate_pandas_all(self.df, pipeline, **kw)
+
+    def aggregate_numpy_all(self, pipeline, **kw):
+        kw.setdefault("collections", self.collections)
+        return aggregate_numpy_all(self.df, pipeline, **kw)
+
+    def aggregate_polars_all(self, pipeline, **kw):
+        kw.setdefault("collections", self.collections)
+        return aggregate_polars_all(self.df, pipeline, **kw)

@@ -1,0 +1,852 @@
+"""MQL aggregation expressions → Catalyst Columns.
+
+Every ``$``-operator maps to a JVM-side ``pyspark.sql.functions`` expression,
+so translated pipelines stay inside whole-stage codegen — no Python UDFs on
+this path. This is the language the reference exposes through its pipeline
+passthrough (reference api.py:216-217, the sole constructed expression being
+``$multiply`` in its tests, test_arrow.py:145).
+
+Scale note: translation is purely structural (driver-side, O(expression
+size)); the produced plan is whatever Catalyst makes of the equivalent
+DataFrame expression, identical to hand-written ``F.*`` code.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re as _re
+from functools import reduce as _reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.errors import MQLTranslationError
+
+_OPS: dict = {}
+
+
+def _op(*names):
+    def deco(fn):
+        for n in names:
+            _OPS[n] = fn
+        return fn
+
+    return deco
+
+
+def translate_expr(expr, env: dict | None = None) -> Column:
+    """Translate one MQL aggregation expression to a Column.
+
+    ``env`` maps ``$$variable`` names (from $filter/$map/$reduce/$let) to
+    Columns.
+    """
+    env = env or {}
+    if isinstance(expr, Column):
+        return expr
+    if isinstance(expr, str):
+        if expr.startswith("$$"):
+            path = expr[2:]
+            root, _, rest = path.partition(".")
+            if root in env:
+                col = env[root]
+                for part in rest.split(".") if rest else []:
+                    col = col.getField(part)
+                return col
+            if root == "ROOT" and "ROOT" not in env:
+                raise MQLTranslationError(
+                    "$$ROOT is only available inside stages that bind it"
+                )
+            raise MQLTranslationError(f"unbound MQL variable: {expr}")
+        if expr.startswith("$"):
+            return F.col(expr[1:])
+        return F.lit(expr)
+    if expr is None or isinstance(expr, (bool, int, float, _dt.date, _dt.datetime)):
+        return F.lit(expr)
+    if isinstance(expr, (list, tuple)):
+        return F.array(*[translate_expr(e, env) for e in expr])
+    if isinstance(expr, dict):
+        if len(expr) == 1:
+            ((op, args),) = expr.items()
+            if isinstance(op, str) and op.startswith("$"):
+                fn = _OPS.get(op)
+                if fn is None:
+                    raise MQLTranslationError(f"unsupported MQL operator: {op}")
+                return fn(args, env)
+        # document literal with (possibly computed) fields → struct
+        return F.struct(
+            *[translate_expr(v, env).alias(k) for k, v in expr.items()]
+        )
+    raise MQLTranslationError(f"cannot translate expression: {expr!r}")
+
+
+def _many(args, env, min_n=1):
+    if not isinstance(args, (list, tuple)):
+        args = [args]
+    if len(args) < min_n:
+        raise MQLTranslationError(f"expected >= {min_n} args, got {args!r}")
+    return [translate_expr(a, env) for a in args]
+
+
+def _pair(args, env):
+    cols = _many(args, env, 2)
+    if len(cols) != 2:
+        raise MQLTranslationError(f"expected exactly 2 args, got {args!r}")
+    return cols
+
+
+# ---------------------------------------------------------------- arithmetic
+
+
+@_op("$add")
+def _add(args, env):
+    return _reduce(lambda a, b: a + b, _many(args, env))
+
+
+@_op("$subtract")
+def _subtract(args, env):
+    a, b = _pair(args, env)
+    return a - b
+
+
+@_op("$multiply")
+def _multiply(args, env):
+    return _reduce(lambda a, b: a * b, _many(args, env))
+
+
+@_op("$divide")
+def _divide(args, env):
+    a, b = _pair(args, env)
+    return a / b
+
+
+@_op("$mod")
+def _mod(args, env):
+    a, b = _pair(args, env)
+    return a % b
+
+
+@_op("$abs")
+def _abs(args, env):
+    return F.abs(translate_expr(args, env))
+
+
+@_op("$ceil")
+def _ceil(args, env):
+    return F.ceil(translate_expr(args, env))
+
+
+@_op("$floor")
+def _floor(args, env):
+    return F.floor(translate_expr(args, env))
+
+
+@_op("$round")
+def _round(args, env):
+    # MQL rounds half-to-even; F.round is half-up, F.bround is half-even
+    if isinstance(args, (list, tuple)) and len(args) == 2:
+        return F.bround(translate_expr(args[0], env), int(args[1]))
+    return F.bround(translate_expr(args, env), 0)
+
+
+@_op("$trunc")
+def _trunc(args, env):
+    if isinstance(args, (list, tuple)) and len(args) == 2:
+        col, place = translate_expr(args[0], env), int(args[1])
+    else:
+        col, place = translate_expr(args, env), 0
+    factor = 10**place
+    scaled = col * F.lit(factor)
+    return (
+        F.when(col >= 0, F.floor(scaled)).otherwise(F.ceil(scaled)) / F.lit(factor)
+    )
+
+
+@_op("$sqrt")
+def _sqrt(args, env):
+    return F.sqrt(translate_expr(args, env))
+
+
+@_op("$pow")
+def _pow(args, env):
+    a, b = _pair(args, env)
+    return F.pow(a, b)
+
+
+@_op("$exp")
+def _exp(args, env):
+    return F.exp(translate_expr(args, env))
+
+
+@_op("$ln")
+def _ln(args, env):
+    return F.log(translate_expr(args, env))
+
+
+@_op("$log10")
+def _log10(args, env):
+    return F.log10(translate_expr(args, env))
+
+
+@_op("$log")
+def _log(args, env):
+    num, base = _pair(args, env)
+    return F.log(num) / F.log(base)
+
+
+# ---------------------------------------------------------------- comparison
+
+
+@_op("$eq")
+def _eq(args, env):
+    a, b = _pair(args, env)
+    return a == b
+
+
+@_op("$ne")
+def _ne(args, env):
+    a, b = _pair(args, env)
+    return a != b
+
+
+@_op("$gt")
+def _gt(args, env):
+    a, b = _pair(args, env)
+    return a > b
+
+
+@_op("$gte")
+def _gte(args, env):
+    a, b = _pair(args, env)
+    return a >= b
+
+
+@_op("$lt")
+def _lt(args, env):
+    a, b = _pair(args, env)
+    return a < b
+
+
+@_op("$lte")
+def _lte(args, env):
+    a, b = _pair(args, env)
+    return a <= b
+
+
+@_op("$cmp")
+def _cmp(args, env):
+    a, b = _pair(args, env)
+    return (
+        F.when(a < b, F.lit(-1)).when(a > b, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+# ------------------------------------------------------------------- logical
+
+
+@_op("$and")
+def _and(args, env):
+    return _reduce(lambda a, b: a & b, _many(args, env))
+
+
+@_op("$or")
+def _or(args, env):
+    return _reduce(lambda a, b: a | b, _many(args, env))
+
+
+@_op("$not")
+def _not(args, env):
+    (a,) = _many(args, env)
+    return ~a
+
+
+# --------------------------------------------------------------- conditional
+
+
+@_op("$cond")
+def _cond(args, env):
+    if isinstance(args, dict):
+        c, t, e = args["if"], args["then"], args["else"]
+    else:
+        c, t, e = args
+    return F.when(translate_expr(c, env), translate_expr(t, env)).otherwise(
+        translate_expr(e, env)
+    )
+
+
+@_op("$ifNull")
+def _if_null(args, env):
+    return F.coalesce(*_many(args, env, 2))
+
+
+@_op("$switch")
+def _switch(args, env):
+    col = None
+    for branch in args["branches"]:
+        case = translate_expr(branch["case"], env)
+        then = translate_expr(branch["then"], env)
+        col = F.when(case, then) if col is None else col.when(case, then)
+    if "default" in args:
+        col = col.otherwise(translate_expr(args["default"], env))
+    return col
+
+
+@_op("$coalesce")  # engine extension (SQL COALESCE; MQL spells it $ifNull)
+def _coalesce(args, env):
+    return F.coalesce(*_many(args, env))
+
+
+@_op("$literal")
+def _literal(args, env):
+    return F.lit(args)
+
+
+@_op("$let")
+def _let(args, env):
+    inner = dict(env)
+    for name, val in args.get("vars", {}).items():
+        inner[name] = translate_expr(val, env)
+    return translate_expr(args["in"], inner)
+
+
+# -------------------------------------------------------------------- string
+
+
+@_op("$concat")
+def _concat(args, env):
+    return F.concat(*_many(args, env))
+
+
+@_op("$toLower")
+def _to_lower(args, env):
+    return F.lower(translate_expr(args, env))
+
+
+@_op("$toUpper")
+def _to_upper(args, env):
+    return F.upper(translate_expr(args, env))
+
+
+@_op("$strLenCP")
+def _strlen(args, env):
+    return F.length(translate_expr(args, env))
+
+
+@_op("$strLenBytes")
+def _strlen_bytes(args, env):
+    return F.octet_length(translate_expr(args, env))
+
+
+@_op("$substrCP", "$substr", "$substrBytes")
+def _substr(args, env):
+    s, start, length = (translate_expr(a, env) for a in args)
+    # MQL is 0-based; Spark substring is 1-based
+    return F.substring(s, start + F.lit(1), length)
+
+
+@_op("$split")
+def _split(args, env):
+    s, delim = args
+    if not isinstance(delim, str):
+        raise MQLTranslationError("$split delimiter must be a string literal")
+    # MQL splits on a literal delimiter; quote it for Java regex
+    return F.split(translate_expr(s, env), _re.escape(delim), -1)
+
+
+@_op("$trim")
+def _trim(args, env):
+    inp = translate_expr(args["input"], env)
+    if "chars" in args:
+        return F.btrim(inp, F.lit(args["chars"]))
+    return F.trim(inp)
+
+
+@_op("$ltrim")
+def _ltrim(args, env):
+    if "chars" in args:
+        raise MQLTranslationError("$ltrim with chars not supported yet")
+    return F.ltrim(translate_expr(args["input"], env))
+
+
+@_op("$rtrim")
+def _rtrim(args, env):
+    if "chars" in args:
+        raise MQLTranslationError("$rtrim with chars not supported yet")
+    return F.rtrim(translate_expr(args["input"], env))
+
+
+@_op("$regexMatch")
+def _regex_match(args, env):
+    inp = translate_expr(args["input"], env)
+    regex = args["regex"]
+    opts = args.get("options", "")
+    if "i" in opts:
+        regex = "(?i)" + regex
+    return inp.rlike(regex)
+
+
+@_op("$replaceAll")
+def _replace_all(args, env):
+    inp = translate_expr(args["input"], env)
+    return F.replace(
+        inp,
+        translate_expr(args["find"], env),
+        translate_expr(args["replacement"], env),
+    )
+
+
+@_op("$replaceOne")
+def _replace_one(args, env):
+    inp = translate_expr(args["input"], env)
+    find, repl = args["find"], args["replacement"]
+    if not isinstance(find, str):
+        raise MQLTranslationError("$replaceOne find must be a string literal")
+    pos = F.instr(inp, find)
+    before = F.substring(inp, F.lit(1), pos - F.lit(1))
+    after = F.substring(
+        inp, pos + F.lit(len(find)), F.length(inp)
+    )
+    return F.when(pos > 0, F.concat(before, translate_expr(repl, env), after)).otherwise(
+        inp
+    )
+
+
+@_op("$indexOfCP")
+def _index_of_cp(args, env):
+    s, sub = args[0], args[1]
+    return F.instr(translate_expr(s, env), sub) - F.lit(1)
+
+
+# ---------------------------------------------------------------------- date
+
+
+@_op("$year")
+def _year(args, env):
+    return F.year(_date_arg(args, env))
+
+
+@_op("$month")
+def _month(args, env):
+    return F.month(_date_arg(args, env))
+
+
+@_op("$dayOfMonth")
+def _day_of_month(args, env):
+    return F.dayofmonth(_date_arg(args, env))
+
+
+@_op("$hour")
+def _hour(args, env):
+    return F.hour(_date_arg(args, env))
+
+
+@_op("$minute")
+def _minute(args, env):
+    return F.minute(_date_arg(args, env))
+
+
+@_op("$second")
+def _second(args, env):
+    return F.second(_date_arg(args, env))
+
+
+@_op("$millisecond")
+def _millisecond(args, env):
+    c = _date_arg(args, env)
+    return (F.unix_micros(c) / 1000 % 1000).cast("int")
+
+
+@_op("$dayOfWeek")
+def _day_of_week(args, env):
+    # both MQL and Spark use 1 = Sunday
+    return F.dayofweek(_date_arg(args, env))
+
+
+@_op("$dayOfYear")
+def _day_of_year(args, env):
+    return F.dayofyear(_date_arg(args, env))
+
+
+@_op("$week", "$isoWeek")
+def _week(args, env):
+    # Spark weekofyear is ISO-8601; MQL's plain $week (Sunday-start) differs
+    # for boundary days — documented delta.
+    return F.weekofyear(_date_arg(args, env))
+
+
+def _date_arg(args, env):
+    if isinstance(args, dict) and "date" in args:
+        return translate_expr(args["date"], env)
+    return translate_expr(args, env)
+
+
+_MQL_DATE_FMT = {
+    "%Y": "yyyy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%M": "mm",
+    "%S": "ss",
+    "%L": "SSS",
+    "%j": "DDD",
+    "%%": "%",
+}
+
+
+@_op("$dateToString")
+def _date_to_string(args, env):
+    fmt = args.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
+    for mql, spark in _MQL_DATE_FMT.items():
+        fmt = fmt.replace(mql, spark)
+    return F.date_format(translate_expr(args["date"], env), fmt)
+
+
+@_op("$dateTrunc")
+def _date_trunc(args, env):
+    if int(args.get("binSize", 1)) != 1:
+        raise MQLTranslationError("$dateTrunc binSize != 1 not supported yet")
+    return F.date_trunc(args["unit"], translate_expr(args["date"], env))
+
+
+_INTERVAL_SLOT = {
+    "year": 0,
+    "month": 1,
+    "week": 2,
+    "day": 3,
+    "hour": 4,
+    "minute": 5,
+    "second": 6,
+}
+
+
+@_op("$dateAdd")
+def _date_add(args, env):
+    unit = args["unit"]
+    if unit not in _INTERVAL_SLOT:
+        raise MQLTranslationError(f"$dateAdd unit {unit} unsupported")
+    amount = translate_expr(args["amount"], env)
+    slots = [F.lit(0)] * 7
+    slots[_INTERVAL_SLOT[unit]] = amount
+    return translate_expr(args["startDate"], env) + F.make_interval(*slots)
+
+
+@_op("$dateSubtract")
+def _date_subtract(args, env):
+    unit = args["unit"]
+    if unit not in _INTERVAL_SLOT:
+        raise MQLTranslationError(f"$dateSubtract unit {unit} unsupported")
+    amount = translate_expr(args["amount"], env)
+    slots = [F.lit(0)] * 7
+    slots[_INTERVAL_SLOT[unit]] = amount
+    return translate_expr(args["startDate"], env) - F.make_interval(*slots)
+
+
+@_op("$dateDiff")
+def _date_diff(args, env):
+    start = translate_expr(args["startDate"], env)
+    end = translate_expr(args["endDate"], env)
+    unit = args["unit"]
+    if unit == "day":
+        # MQL counts date-boundary crossings
+        return F.datediff(F.to_date(end), F.to_date(start)).cast("long")
+    return F.timestamp_diff(unit, start, end)
+
+
+@_op("$toDate")
+def _to_date(args, env):
+    return translate_expr(args, env).cast("timestamp")
+
+
+# --------------------------------------------------------------------- array
+
+
+@_op("$size")
+def _size(args, env):
+    return F.size(translate_expr(args, env))
+
+
+@_op("$arrayElemAt")
+def _array_elem_at(args, env):
+    arr_e, idx_e = args
+    arr = translate_expr(arr_e, env)
+    if isinstance(idx_e, int) and idx_e < 0:
+        return F.try_element_at(arr, F.lit(idx_e))  # both -1-based from the end; null OOB
+    return F.get(arr, translate_expr(idx_e, env))  # 0-based like MQL
+
+
+@_op("$first")
+def _first_elem(args, env):
+    return F.get(translate_expr(args, env), 0)
+
+
+@_op("$last")
+def _last_elem(args, env):
+    return F.try_element_at(translate_expr(args, env), F.lit(-1))
+
+
+@_op("$slice")
+def _slice(args, env):
+    if len(args) == 2:
+        arr, n = translate_expr(args[0], env), args[1]
+        if isinstance(n, int) and n < 0:
+            return F.slice(arr, F.size(arr) + F.lit(n) + 1, F.lit(-n))
+        return F.slice(arr, 1, n)
+    arr = translate_expr(args[0], env)
+    pos, n = args[1], args[2]
+    # MQL position is 0-based (negative = from end); Spark slice is 1-based
+    pos_col = translate_expr(pos, env)
+    start = F.when(pos_col >= 0, pos_col + 1).otherwise(F.size(arr) + pos_col + 1)
+    return F.slice(arr, start, translate_expr(n, env))
+
+
+@_op("$concatArrays")
+def _concat_arrays(args, env):
+    return F.concat(*_many(args, env))
+
+
+@_op("$in")
+def _in(args, env):
+    elem, arr = args
+    return F.array_contains(translate_expr(arr, env), translate_expr(elem, env))
+
+
+@_op("$indexOfArray")
+def _index_of_array(args, env):
+    arr, val = args[0], args[1]
+    return (
+        F.array_position(translate_expr(arr, env), translate_expr(val, env)) - 1
+    ).cast("int")
+
+
+@_op("$filter")
+def _filter(args, env):
+    var = args.get("as", "this")
+    cond = args["cond"]
+
+    def body(x):
+        inner = dict(env)
+        inner[var] = x
+        inner.setdefault("this", x)
+        return translate_expr(cond, inner)
+
+    col = F.filter(translate_expr(args["input"], env), body)
+    if "limit" in args:
+        col = F.slice(col, 1, translate_expr(args["limit"], env))
+    return col
+
+
+@_op("$map")
+def _map(args, env):
+    var = args.get("as", "this")
+    in_expr = args["in"]
+
+    def body(x):
+        inner = dict(env)
+        inner[var] = x
+        inner.setdefault("this", x)
+        return translate_expr(in_expr, inner)
+
+    return F.transform(translate_expr(args["input"], env), body)
+
+
+@_op("$reduce")
+def _reduce_op(args, env):
+    in_expr = args["in"]
+
+    def merge(acc, x):
+        inner = dict(env)
+        inner["value"] = acc
+        inner["this"] = x
+        return translate_expr(in_expr, inner)
+
+    return F.aggregate(
+        translate_expr(args["input"], env),
+        translate_expr(args["initialValue"], env),
+        merge,
+    )
+
+
+@_op("$zip")
+def _zip(args, env):
+    return F.arrays_zip(*_many(args["inputs"], env))
+
+
+@_op("$range")
+def _range(args, env):
+    if len(args) == 2:
+        start, end, step = args[0], args[1], 1
+    else:
+        start, end, step = args
+    if not all(isinstance(a, int) for a in (start, end, step)):
+        raise MQLTranslationError("$range supports integer literals only")
+    # MQL excludes the end point; Spark sequence is inclusive
+    if (step > 0 and start >= end) or (step < 0 and start <= end):
+        return F.array().cast("array<int>")
+    last = end - 1 if step > 0 else end + 1
+    return F.sequence(F.lit(start), F.lit(last), F.lit(step))
+
+
+@_op("$reverseArray")
+def _reverse_array(args, env):
+    return F.reverse(translate_expr(args, env))
+
+
+@_op("$sortArray")
+def _sort_array(args, env):
+    inp = translate_expr(args["input"], env)
+    by = args.get("sortBy", 1)
+    if by in (1, -1):
+        return F.sort_array(inp, asc=by == 1)
+    raise MQLTranslationError("$sortArray with field sortBy not supported yet")
+
+
+@_op("$isArray")
+def _is_array(args, env):
+    (a,) = _many(args if isinstance(args, list) else [args], env)
+    return F.typeof(a).startswith("array")
+
+
+@_op("$arrayAvg")  # engine extensions for array math ($avg over array in MQL)
+def _array_avg(args, env):
+    arr = translate_expr(args, env)
+    return F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    ) / F.size(arr)
+
+
+# ------------------------------------------------------- array math (MQL $sum
+# and friends double as accumulators; in expression position they fold arrays)
+
+
+@_op("$sum")
+def _sum_expr(args, env):
+    if isinstance(args, (list, tuple)):
+        return _reduce(lambda a, b: a + b, _many(args, env))
+    arr = translate_expr(args, env)
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+@_op("$avg")
+def _avg_expr(args, env):
+    arr = translate_expr(args, env)
+    return F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    ) / F.size(arr)
+
+
+@_op("$max")
+def _max_expr(args, env):
+    if isinstance(args, (list, tuple)) and len(args) > 1:
+        return F.greatest(*_many(args, env))
+    return F.array_max(translate_expr(args, env))
+
+
+@_op("$min")
+def _min_expr(args, env):
+    if isinstance(args, (list, tuple)) and len(args) > 1:
+        return F.least(*_many(args, env))
+    return F.array_min(translate_expr(args, env))
+
+
+# ------------------------------------------------------------------ map/objs
+
+
+@_op("$objectToArray")
+def _object_to_array(args, env):
+    m = translate_expr(args, env)
+    return F.transform(
+        F.map_entries(m),
+        lambda e: F.struct(e.getField("key").alias("k"), e.getField("value").alias("v")),
+    )
+
+
+@_op("$arrayToObject")
+def _array_to_object(args, env):
+    arr = translate_expr(args, env)
+    return F.map_from_entries(
+        F.transform(arr, lambda e: F.struct(e.getField("k"), e.getField("v")))
+    )
+
+
+@_op("$mergeObjects")
+def _merge_objects(args, env):
+    cols = _many(args, env)
+    return F.map_concat(*cols)
+
+
+@_op("$getField")
+def _get_field(args, env):
+    if isinstance(args, dict):
+        inp = translate_expr(args["input"], env)
+        return inp.getField(args["field"])
+    raise MQLTranslationError("$getField requires {field, input}")
+
+
+# -------------------------------------------------------------------- typing
+
+
+@_op("$toInt")
+def _to_int(args, env):
+    return translate_expr(args, env).cast("int")
+
+
+@_op("$toLong")
+def _to_long(args, env):
+    return translate_expr(args, env).cast("long")
+
+
+@_op("$toDouble")
+def _to_double(args, env):
+    return translate_expr(args, env).cast("double")
+
+
+@_op("$toDecimal")
+def _to_decimal(args, env):
+    return translate_expr(args, env).cast("decimal(38,6)")
+
+
+@_op("$toBool")
+def _to_bool(args, env):
+    return translate_expr(args, env).cast("boolean")
+
+
+@_op("$toString")
+def _to_string(args, env):
+    return translate_expr(args, env).cast("string")
+
+
+_CONVERT_TO = {
+    "int": "int",
+    "long": "long",
+    "double": "double",
+    "decimal": "decimal(38,6)",
+    "bool": "boolean",
+    "string": "string",
+    "date": "timestamp",
+}
+
+
+@_op("$convert")
+def _convert(args, env):
+    inp = translate_expr(args["input"], env)
+    to = args["to"]
+    spark_t = _CONVERT_TO.get(to)
+    if spark_t is None:
+        raise MQLTranslationError(f"$convert to {to} unsupported")
+    out = inp.try_cast(spark_t)
+    if "onError" in args:
+        out = F.when(inp.isNotNull() & out.isNull(), translate_expr(args["onError"], env)).otherwise(out)
+    if "onNull" in args:
+        out = F.coalesce(out, translate_expr(args["onNull"], env))
+    return out
+
+
+@_op("$type")
+def _type(args, env):
+    return F.typeof(translate_expr(args, env))
+
+
+@_op("$isNumber")
+def _is_number(args, env):
+    return F.typeof(translate_expr(args, env)).isin(
+        "tinyint", "smallint", "int", "bigint", "float", "double", "decimal(38,18)"
+    ) | F.typeof(translate_expr(args, env)).startswith("decimal")

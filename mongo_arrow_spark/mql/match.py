@@ -1,0 +1,110 @@
+"""MQL find-filter (query document) → Catalyst predicate Column.
+
+The reference forwards the ``query`` dict verbatim to the server
+(reference api.py:175); its own tests exercise ``{"_id": {"$gt": 2}}``
+(test_arrow.py:125) and ``$eq`` (test_arrow.py:1225). Here the query
+document becomes a boolean Column so Catalyst pushes it into the scan
+(PushedFilters on parquet).
+
+Semantics notes vs MongoDB:
+- Spark has no missing-vs-null distinction; ``$exists: true`` maps to
+  IS NOT NULL and a missing field at read time is a null column.
+- ``$eq: None`` matches null (MQL: null or missing) — same effect here.
+- ``$ne`` uses null-safe inequality (MQL's $ne matches missing fields).
+"""
+
+from __future__ import annotations
+
+from functools import reduce as _reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.errors import MQLTranslationError
+from mongo_arrow_spark.mql.expressions import translate_expr
+
+
+def translate_match(query: dict | None) -> Column:
+    if query is None or query == {}:
+        return F.lit(True)
+    if isinstance(query, Column):
+        return query
+    if not isinstance(query, dict):
+        raise MQLTranslationError(f"match query must be a dict, got {query!r}")
+    preds = []
+    for key, value in query.items():
+        if key == "$and":
+            preds.append(_reduce(lambda a, b: a & b, map(translate_match, value)))
+        elif key == "$or":
+            preds.append(_reduce(lambda a, b: a | b, map(translate_match, value)))
+        elif key == "$nor":
+            preds.append(~_reduce(lambda a, b: a | b, map(translate_match, value)))
+        elif key == "$expr":
+            preds.append(translate_expr(value))
+        elif key == "$comment":
+            continue
+        elif key.startswith("$"):
+            raise MQLTranslationError(f"unsupported top-level operator: {key}")
+        else:
+            preds.append(_field_predicate(F.col(key), value))
+    return _reduce(lambda a, b: a & b, preds)
+
+
+def _field_predicate(col: Column, value) -> Column:
+    if isinstance(value, dict) and any(k.startswith("$") for k in value):
+        preds = [_field_op(col, op, arg) for op, arg in value.items()]
+        return _reduce(lambda a, b: a & b, preds)
+    if value is None:
+        return col.isNull()
+    return col == F.lit(value)
+
+
+def _field_op(col: Column, op: str, arg) -> Column:
+    if op == "$eq":
+        return col.isNull() if arg is None else col == F.lit(arg)
+    if op == "$ne":
+        # MQL $ne matches docs where the field is missing/null too
+        return ~col.eqNullSafe(F.lit(arg))
+    if op == "$gt":
+        return col > F.lit(arg)
+    if op == "$gte":
+        return col >= F.lit(arg)
+    if op == "$lt":
+        return col < F.lit(arg)
+    if op == "$lte":
+        return col <= F.lit(arg)
+    if op == "$in":
+        if any(v is None for v in arg):
+            non_null = [v for v in arg if v is not None]
+            return col.isNull() | col.isin(*non_null)
+        return col.isin(*arg)
+    if op == "$nin":
+        return ~(col.isNull() | col.isin(*[v for v in arg if v is not None])) if any(
+            v is None for v in arg
+        ) else (~col.isin(*arg) | col.isNull())
+    if op == "$exists":
+        return col.isNotNull() if arg else col.isNull()
+    if op == "$regex":
+        return col.rlike(arg)
+    if op == "$options":
+        return F.lit(True)  # folded into $regex by callers when needed
+    if op == "$mod":
+        d, r = arg
+        return col % F.lit(d) == F.lit(r)
+    if op == "$size":
+        return F.size(col) == F.lit(arg)
+    if op == "$all":
+        return _reduce(
+            lambda a, b: a & b, [F.array_contains(col, F.lit(v)) for v in arg]
+        )
+    if op == "$elemMatch":
+        inner = _field_predicate  # predicate over array elements
+
+        def body(x):
+            preds = [_field_op(x, o, a) if o.startswith("$") else _field_predicate(x.getField(o), a) for o, a in arg.items()]
+            return _reduce(lambda a, b: a & b, preds)
+
+        return F.exists(col, body)
+    if op == "$not":
+        return ~_field_predicate(col, arg)
+    raise MQLTranslationError(f"unsupported field operator: {op}")

@@ -1,0 +1,557 @@
+"""MQL aggregation pipeline → DataFrame transformation chain.
+
+The reference passes the pipeline list straight to the MongoDB server
+(reference api.py:252 ``aggregate_raw_batches``) and only guards
+``$out``/``$merge`` (api.py:235-240). Here every stage becomes a DataFrame
+transformation, so Catalyst owns planning: adjacent $match stages fuse,
+filters and projections push into the scan, $lookup joins get
+broadcast/sort-merge/AQE-skew treatment automatically.
+
+Scale notes per stage are inline; the principles:
+- $group/$lookup shuffle on their keys — partial aggregation (map-side
+  combine) is what Catalyst's HashAggregate gives for free.
+- $lookup is translated as aggregate-then-join (one shuffle of the foreign
+  side, grouped to arrays) preserving MQL's array-of-matches semantics.
+- $sort + $limit collapse into TakeOrderedAndProject (no global sort).
+- $setWindowFields without partitionBy = a single-partition window; we warn,
+  matching the advice you'd give on any 100 TB plan.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Callable, Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.errors import MQLTranslationError
+from mongo_arrow_spark.mql.expressions import translate_expr
+from mongo_arrow_spark.mql.match import translate_match
+
+Collections = Mapping[str, DataFrame] | Callable[[str], DataFrame] | None
+
+_STAGES: dict = {}
+
+
+def _stage(*names):
+    def deco(fn):
+        for n in names:
+            _STAGES[n] = fn
+        return fn
+
+    return deco
+
+
+def apply_pipeline(
+    df: DataFrame, pipeline: list[dict], collections: Collections = None
+) -> DataFrame:
+    """Run an MQL aggregation pipeline over ``df``.
+
+    ``collections`` resolves names referenced by $lookup/$unionWith — a
+    mapping or a callable name->DataFrame.
+    """
+    for i, stage in enumerate(pipeline):
+        if not isinstance(stage, dict) or len(stage) != 1:
+            raise MQLTranslationError(f"stage {i} must be a single-key dict: {stage!r}")
+        ((name, args),) = stage.items()
+        fn = _STAGES.get(name)
+        if fn is None:
+            raise MQLTranslationError(f"unsupported pipeline stage: {name}")
+        df = fn(df, args, _resolver(collections))
+    return df
+
+
+def _resolver(collections: Collections) -> Callable[[str], DataFrame]:
+    def resolve(name: str) -> DataFrame:
+        if collections is None:
+            raise MQLTranslationError(
+                f"stage references collection {name!r} but no collections were provided"
+            )
+        if callable(collections):
+            return collections(name)
+        return collections[name]
+
+    return resolve
+
+
+# -------------------------------------------------------------------- stages
+
+
+@_stage("$match")
+def _match(df, args, resolve):
+    return df.filter(translate_match(args))
+
+
+@_stage("$project")
+def _project(df, args, resolve):
+    include, exclude, computed = [], [], {}
+    for key, val in args.items():
+        if val in (1, True):
+            include.append(key)
+        elif val in (0, False):
+            exclude.append(key)
+        else:
+            computed[key] = translate_expr(val)
+    if include or computed:
+        cols = []
+        # nested-path inclusion: group "a.b" paths under root "a" as a struct
+        roots: dict[str, list[str]] = {}
+        for key in include:
+            root, _, rest = key.partition(".")
+            roots.setdefault(root, []).append(rest)
+        keep_id = "_id" not in exclude
+        if keep_id and "_id" in df.columns and "_id" not in roots and "_id" not in computed:
+            cols.append(F.col("_id"))
+        for root, rests in roots.items():
+            if any(r == "" for r in rests):
+                cols.append(F.col(root))
+            else:
+                cols.append(
+                    F.struct(
+                        *[F.col(f"{root}.{r}").alias(r.split(".")[-1]) for r in rests]
+                    ).alias(root)
+                )
+        for key, col in computed.items():
+            cols.append(col.alias(key))
+        return df.select(*cols)
+    # pure exclusion mode
+    return df.drop(*exclude)
+
+
+@_stage("$addFields", "$set")
+def _add_fields(df, args, resolve):
+    for key, val in args.items():
+        col = translate_expr(val)
+        if "." in key:
+            root, _, rest = key.partition(".")
+            if "." in rest:
+                raise MQLTranslationError("$addFields supports one nesting level")
+            df = df.withColumn(root, F.col(root).withField(rest, col))
+        else:
+            df = df.withColumn(key, col)
+    return df
+
+
+@_stage("$unset")
+def _unset(df, args, resolve):
+    fields = args if isinstance(args, list) else [args]
+    plain = [f for f in fields if "." not in f]
+    df = df.drop(*plain)
+    for f in fields:
+        if "." in f:
+            root, _, rest = f.partition(".")
+            df = df.withColumn(root, F.col(root).dropFields(rest))
+    return df
+
+
+@_stage("$sort")
+def _sort(df, args, resolve):
+    return df.orderBy(*_sort_cols(args))
+
+
+def _sort_cols(args) -> list[Column]:
+    cols = []
+    for field, direction in args.items():
+        c = F.col(field)
+        cols.append(c.asc() if direction == 1 else c.desc())
+    return cols
+
+
+@_stage("$limit")
+def _limit(df, args, resolve):
+    return df.limit(int(args))
+
+
+@_stage("$skip")
+def _skip(df, args, resolve):
+    return df.offset(int(args))
+
+
+@_stage("$count")
+def _count(df, args, resolve):
+    return df.agg(F.count(F.lit(1)).alias(args))
+
+
+@_stage("$sortByCount")
+def _sort_by_count(df, args, resolve):
+    return (
+        df.groupBy(translate_expr(args).alias("_id"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc())
+    )
+
+
+@_stage("$group")
+def _group(df, args, resolve):
+    id_expr = args.get("_id")
+    accs = {k: v for k, v in args.items() if k != "_id"}
+    agg_cols = [_accumulator(spec).alias(name) for name, spec in accs.items()]
+    if id_expr is None:
+        out = df.groupBy().agg(*agg_cols) if agg_cols else df.limit(1).select()
+        return out.select(F.lit(None).alias("_id"), *[F.col(n) for n in accs])
+    if isinstance(id_expr, dict) and not any(
+        k.startswith("$") for k in id_expr
+    ):
+        # compound key: group by each sub-expression, reassemble struct _id
+        keys = {k: translate_expr(v) for k, v in id_expr.items()}
+        grouped = df.groupBy(
+            *[c.alias(f"__gk_{k}") for k, c in keys.items()]
+        ).agg(*agg_cols)
+        return grouped.select(
+            F.struct(*[F.col(f"__gk_{k}").alias(k) for k in keys]).alias("_id"),
+            *[F.col(n) for n in accs],
+        )
+    return df.groupBy(translate_expr(id_expr).alias("_id")).agg(*agg_cols)
+
+
+def _accumulator(spec) -> Column:
+    if not (isinstance(spec, dict) and len(spec) == 1):
+        raise MQLTranslationError(f"bad accumulator: {spec!r}")
+    ((op, arg),) = spec.items()
+    if op == "$sum":
+        if isinstance(arg, (int, float)) and not isinstance(arg, bool):
+            if arg == 1:
+                return F.count(F.lit(1))
+            return (F.count(F.lit(1)) * F.lit(arg))
+        return F.sum(translate_expr(arg))
+    if op == "$avg":
+        return F.avg(translate_expr(arg))
+    if op == "$min":
+        return F.min(translate_expr(arg))
+    if op == "$max":
+        return F.max(translate_expr(arg))
+    if op == "$count":
+        return F.count(F.lit(1))
+    if op == "$push":
+        return F.collect_list(translate_expr(arg))
+    if op == "$addToSet":
+        return F.collect_set(translate_expr(arg))
+    if op == "$first":
+        return F.first(translate_expr(arg), ignorenulls=False)
+    if op == "$last":
+        return F.last(translate_expr(arg), ignorenulls=False)
+    if op == "$stdDevPop":
+        return F.stddev_pop(translate_expr(arg))
+    if op == "$stdDevSamp":
+        return F.stddev_samp(translate_expr(arg))
+    if op == "$mergeObjects":
+        raise MQLTranslationError("$mergeObjects accumulator not supported yet")
+    if op in ("$minN", "$maxN"):
+        inp = translate_expr(arg["input"])
+        n = int(arg["n"])
+        asc = op == "$minN"
+        return F.slice(F.sort_array(F.collect_list(inp), asc=asc), 1, n)
+    if op in ("$topN", "$bottomN", "$top", "$bottom"):
+        raise MQLTranslationError(f"{op} accumulator not supported yet")
+    raise MQLTranslationError(f"unsupported accumulator: {op}")
+
+
+@_stage("$unwind")
+def _unwind(df, args, resolve):
+    if isinstance(args, str):
+        args = {"path": args}
+    path = args["path"]
+    if not path.startswith("$"):
+        raise MQLTranslationError("$unwind path must start with $")
+    path = path[1:]
+    preserve = bool(args.get("preserveNullAndEmptyArrays", False))
+    index_field = args.get("includeArrayIndex")
+    explode = F.explode_outer if preserve else F.explode
+    if "." in path:
+        raise MQLTranslationError("$unwind of nested paths not supported yet")
+    if index_field:
+        pos = F.posexplode_outer(path) if preserve else F.posexplode(path)
+        other = [c for c in df.columns if c != path]
+        return df.select(*other, pos).withColumnsRenamed(
+            {"pos": index_field, "col": path}
+        )
+    return df.withColumn(path, explode(F.col(path)))
+
+
+@_stage("$lookup")
+def _lookup(df, args, resolve):
+    """MQL left-outer lookup: adds an array-of-matching-docs column.
+
+    Plan shape: groupBy the foreign side on the join key (one shuffle,
+    partial agg applies), then a left equi-join. Small foreign sides get
+    broadcast by Catalyst/AQE; result row count always equals the left
+    side's (no fan-out then re-group).
+    """
+    as_field = args["as"]
+    foreign = resolve(args["from"])
+    pipeline = args.get("pipeline")
+    if pipeline is not None and "localField" not in args:
+        let = args.get("let", {})
+        eq = _correlated_eq(pipeline, let)
+        if eq is None:
+            if let:
+                raise MQLTranslationError(
+                    "$lookup with let requires a leading $match/$expr/$eq"
+                )
+            # uncorrelated pipeline: every row receives the whole sub-result
+            sub = apply_pipeline(foreign, pipeline, resolve)
+            arr = sub.agg(
+                F.collect_list(F.struct(*sub.columns)).alias(as_field)
+            )
+            return df.crossJoin(F.broadcast(arr))
+        local_expr, foreign_field, rest = eq
+        sub = apply_pipeline(foreign, rest, resolve) if rest else foreign
+        grouped = sub.groupBy(
+            F.col(foreign_field).alias("__lk")
+        ).agg(F.collect_list(F.struct(*sub.columns)).alias(as_field))
+        joined = df.join(
+            grouped, translate_expr(local_expr) == grouped["__lk"], "left"
+        ).drop("__lk")
+        return joined.withColumn(
+            as_field, F.coalesce(F.col(as_field), F.array())
+        )
+    local, foreign_field = args["localField"], args["foreignField"]
+    sub = apply_pipeline(foreign, pipeline, resolve) if pipeline else foreign
+    grouped = sub.groupBy(F.col(foreign_field).alias("__lk")).agg(
+        F.collect_list(F.struct(*sub.columns)).alias(as_field)
+    )
+    joined = df.join(grouped, F.col(local) == grouped["__lk"], "left").drop("__lk")
+    return joined.withColumn(as_field, F.coalesce(F.col(as_field), F.array()))
+
+
+def _correlated_eq(pipeline, let):
+    """Detect the canonical correlated-$lookup shape:
+    [{$match: {$expr: {$eq: ["$foreign", "$$local_var"]}}}, ...rest]
+    Returns (local_expr, foreign_field, rest_pipeline) or None."""
+    if not pipeline:
+        return None
+    first = pipeline[0]
+    try:
+        ((name, margs),) = first.items()
+        if name != "$match":
+            return None
+        expr = margs["$expr"]
+        ((op, pair),) = expr.items()
+        if op != "$eq":
+            return None
+        a, b = pair
+        var = next(p for p in (a, b) if isinstance(p, str) and p.startswith("$$"))
+        fld = next(p for p in (a, b) if isinstance(p, str) and p.startswith("$") and not p.startswith("$$"))
+    except (KeyError, ValueError, StopIteration, AttributeError):
+        return None
+    local_expr = let[var[2:]]
+    return local_expr, fld[1:], pipeline[1:]
+
+
+@_stage("$unionWith")
+def _union_with(df, args, resolve):
+    if isinstance(args, str):
+        other = resolve(args)
+    else:
+        other = resolve(args["coll"])
+        if args.get("pipeline"):
+            other = apply_pipeline(other, args["pipeline"], resolve)
+    return df.unionByName(other, allowMissingColumns=True)
+
+
+@_stage("$sample")
+def _sample(df, args, resolve):
+    """Random N docs. TakeOrdered over rand() — top-k per partition then
+    merge on the driver, no global sort. ``seed`` is an engine extension
+    for reproducibility."""
+    size = int(args["size"])
+    seed = args.get("seed", 42)
+    return df.orderBy(F.rand(seed)).limit(size)
+
+
+@_stage("$replaceRoot", "$replaceWith")
+def _replace_root(df, args, resolve):
+    new_root = args["newRoot"] if isinstance(args, dict) and "newRoot" in args else args
+    if isinstance(new_root, str) and new_root.startswith("$"):
+        return df.select(f"{new_root[1:]}.*")
+    if isinstance(new_root, dict):
+        return df.select(
+            *[translate_expr(v).alias(k) for k, v in new_root.items()]
+        )
+    raise MQLTranslationError(f"bad $replaceRoot: {args!r}")
+
+
+@_stage("$bucket")
+def _bucket(df, args, resolve):
+    """Histogram with explicit boundaries → when-chain bucket label +
+    hash aggregation. Single shuffle on the (few) bucket labels; partial
+    aggregation makes the skew harmless."""
+    group_expr = translate_expr(args["groupBy"])
+    bounds = args["boundaries"]
+    col = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (group_expr >= F.lit(lo)) & (group_expr < F.lit(hi))
+        col = F.when(cond, F.lit(lo)) if col is None else col.when(cond, F.lit(lo))
+    if "default" in args:
+        col = col.otherwise(F.lit(args["default"]))
+    output = args.get("output", {"count": {"$sum": 1}})
+    aggs = [_accumulator(spec).alias(name) for name, spec in output.items()]
+    out = df.withColumn("__bucket", col).filter(F.col("__bucket").isNotNull())
+    return out.groupBy(F.col("__bucket").alias("_id")).agg(*aggs)
+
+
+@_stage("$bucketAuto")
+def _bucket_auto(df, args, resolve):
+    """ntile over a global ordering — inherently a single-partition window;
+    fine for post-aggregation data, flagged for raw-scan scale."""
+    warnings.warn("$bucketAuto uses a global window; avoid on raw 100TB scans")
+    group_expr = translate_expr(args["groupBy"])
+    n = int(args["buckets"])
+    output = args.get("output", {"count": {"$sum": 1}})
+    aggs = [_accumulator(spec).alias(name) for name, spec in output.items()]
+    w = Window.orderBy(group_expr)
+    bucketed = df.withColumn("__bucket", F.ntile(n).over(w)).withColumn(
+        "__gb", group_expr
+    )
+    return (
+        bucketed.groupBy("__bucket")
+        .agg(F.min("__gb").alias("min"), F.max("__gb").alias("max"), *aggs)
+        .select(
+            F.struct(F.col("min"), F.col("max")).alias("_id"),
+            *[F.col(name) for name in output],
+        )
+    )
+
+
+@_stage("$facet")
+def _facet(df, args, resolve):
+    """N sub-pipelines over one input → one row with an array per facet.
+    Each facet is collected to a single-row array then cross-joined
+    (broadcast, 1×1 rows) — mirrors MQL's single-doc output."""
+    out = None
+    for name, pipe in args.items():
+        sub = apply_pipeline(df, pipe, resolve)
+        arr = sub.agg(F.collect_list(F.struct(*sub.columns)).alias(name))
+        out = arr if out is None else out.crossJoin(F.broadcast(arr))
+    return out
+
+
+_WINDOW_FNS = {
+    "$rank": lambda a, env: F.rank(),
+    "$denseRank": lambda a, env: F.dense_rank(),
+    "$documentNumber": lambda a, env: F.row_number(),
+}
+
+
+@_stage("$setWindowFields")
+def _set_window_fields(df, args, resolve):
+    part = args.get("partitionBy")
+    sort_by = args.get("sortBy")
+    if part is None:
+        warnings.warn(
+            "$setWindowFields without partitionBy is a single-partition window"
+        )
+        base = Window.partitionBy()
+    else:
+        base = Window.partitionBy(translate_expr(part))
+    if sort_by:
+        base = base.orderBy(*_sort_cols(sort_by))
+    for field, spec in args["output"].items():
+        spec = dict(spec)
+        window = spec.pop("window", None)
+        ((op, arg),) = spec.items()
+        if op in _WINDOW_FNS:
+            df = df.withColumn(field, _WINDOW_FNS[op](arg, None).over(base))
+            continue
+        if op == "$shift":
+            by = int(arg.get("by", 1))
+            out_expr = translate_expr(arg["output"])
+            default = translate_expr(arg.get("default"))
+            fn = F.lag(out_expr, -by, None) if by < 0 else F.lead(out_expr, by, None)
+            df = df.withColumn(field, F.coalesce(fn.over(base), default))
+            continue
+        w = _frame(base, window, sort_by)
+        agg = _window_agg(op, arg)
+        df = df.withColumn(field, agg.over(w))
+    return df
+
+
+def _window_agg(op, arg) -> Column:
+    if op == "$sum":
+        return F.sum(translate_expr(arg))
+    if op == "$avg":
+        return F.avg(translate_expr(arg))
+    if op == "$min":
+        return F.min(translate_expr(arg))
+    if op == "$max":
+        return F.max(translate_expr(arg))
+    if op == "$count":
+        return F.count(F.lit(1))
+    if op == "$push":
+        return F.collect_list(translate_expr(arg))
+    if op == "$first":
+        return F.first(translate_expr(arg))
+    if op == "$last":
+        return F.last(translate_expr(arg))
+    if op == "$stdDevPop":
+        return F.stddev_pop(translate_expr(arg))
+    if op == "$stdDevSamp":
+        return F.stddev_samp(translate_expr(arg))
+    raise MQLTranslationError(f"unsupported window function: {op}")
+
+
+_BOUND = {"unbounded": None, "current": 0}
+
+
+def _frame(base, window, sort_by):
+    if window is None:
+        # MQL default for order-sensitive aggs: unbounded preceding → current
+        if sort_by:
+            return base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return base.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    if "documents" in window:
+        lo, hi = window["documents"]
+        lo = Window.unboundedPreceding if lo == "unbounded" else int(lo) if lo != "current" else 0
+        hi = Window.unboundedFollowing if hi == "unbounded" else int(hi) if hi != "current" else 0
+        return base.rowsBetween(lo, hi)
+    if "range" in window:
+        lo, hi = window["range"]
+        unit = window.get("unit")
+        mult = 1
+        if unit:
+            secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+            if unit not in secs:
+                raise MQLTranslationError(f"range unit {unit} unsupported")
+            mult = secs[unit]
+        lo = Window.unboundedPreceding if lo == "unbounded" else (0 if lo == "current" else int(lo) * mult)
+        hi = Window.unboundedFollowing if hi == "unbounded" else (0 if hi == "current" else int(hi) * mult)
+        return base.rangeBetween(lo, hi)
+    raise MQLTranslationError(f"bad window spec: {window!r}")
+
+
+@_stage("$fill")
+def _fill(df, args, resolve):
+    part = args.get("partitionBy")
+    sort_by = args.get("sortBy")
+    base = Window.partitionBy(translate_expr(part)) if part else Window.partitionBy()
+    if sort_by:
+        base = base.orderBy(*_sort_cols(sort_by))
+    w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for field, spec in args["output"].items():
+        if "value" in spec:
+            df = df.withColumn(
+                field, F.coalesce(F.col(field), translate_expr(spec["value"]))
+            )
+        elif spec.get("method") == "locf":
+            df = df.withColumn(
+                field, F.last(F.col(field), ignorenulls=True).over(w)
+            )
+        else:
+            raise MQLTranslationError(f"unsupported $fill spec: {spec!r}")
+    return df
+
+
+@_stage("$densify")
+def _densify(df, args, resolve):
+    raise MQLTranslationError("$densify not supported yet")
+
+
+@_stage("$out", "$merge")
+def _out(df, args, resolve):
+    raise MQLTranslationError(
+        "$out/$merge are write stages — use Collection.write / df.write "
+        "(the reference rejects them outright, api.py:235-240; we route to sinks)"
+    )
