@@ -1,0 +1,11 @@
+"""Aggregated query battery: importing this module registers every query.
+
+``QUERIES``/``ORACLES`` are shared registries defined in queries.py;
+queries_mql.py and queries_ops.py add to them at import time.
+"""
+
+from mongo_arrow_spark.queries import ORACLES, QUERIES
+import mongo_arrow_spark.queries_mql  # noqa: F401 — registers MQL queries
+import mongo_arrow_spark.queries_ops  # noqa: F401 — registers operator queries
+
+__all__ = ["QUERIES", "ORACLES"]

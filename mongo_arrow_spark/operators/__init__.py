@@ -1,0 +1,11 @@
+"""Extension operators for large-scale training-data pipelines.
+
+These go beyond the reference's own surface (BASELINE.json north star):
+deduplication, similarity search, text analysis, multimodal columns — each
+designed for 100 TB first (shuffle budgets, skew caps, no driver-side
+loops), then validated against DuckDB oracles at small SF.
+"""
+
+from mongo_arrow_spark.operators import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "similarity", "text", "multimodal"]

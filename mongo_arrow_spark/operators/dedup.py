@@ -1,0 +1,336 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (the part that matters at 100 TB):
+- Exact dedup is one hash-shuffle on a 16-byte digest, never on the payload.
+- Jaccard/minhash candidate generation goes through an inverted index on
+  shingles; ``max_df`` caps posting-list length so a stop-shingle can't
+  produce a quadratic join blow-up (classic skew kill-switch).
+- Pair keys are always (small_id, big_id) so each unordered pair appears
+  once — no post-hoc distinct over a doubled join.
+- Everything is DataFrame ops; the only Python is plan construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators.text import tokens
+
+
+def exact_dedup_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical payloads by md5 digest: (digest, n_copies, keep_id).
+    Shuffles 16-byte digests + ids only."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep exactly one row (min id) per distinct payload."""
+    keep = exact_dedup_stats(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM higher-order fns)."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def _posting_list(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    """Inverted index rows (shingle, id). ``max_df`` drops shingles present
+    in more than that many docs — the skew cap for the self-join."""
+    posts = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    if max_df is not None:
+        hot = (
+            posts.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        posts = posts.join(F.broadcast(hot), "sh", "left_anti")
+    return posts
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from an inverted shingle
+    index: (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    Plan: sizes (1 narrow agg) + posting self-join grouped by pair →
+    |A∩B|; |A∪B| = |A|+|B|-|A∩B|. Shuffles scale with posting-list mass,
+    not docs² — cap with ``max_df`` on web-scale corpora.
+    """
+    sizes = df.select(
+        F.col(id_col).alias("id"), F.size(shingles(text_col, n)).alias("sz")
+    )
+    posts = _posting_list(df, id_col, text_col, n, max_df)
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"})
+    sb = sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"})
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------- MinHash
+
+
+def _hash64(col: Column, seed: int) -> Column:
+    return F.xxhash64(col, F.lit(seed))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """num_hashes MinHash values per doc via seeded xxhash64 over shingles.
+    One pass, no shuffle; signature is array<long> of fixed width."""
+    sh = shingles(text_col, n)
+
+    def min_hash(seed):
+        def h(s):  # single-param closure: a 2-param lambda would be
+            return _hash64(s, seed)  # misread as transform's (value, index)
+
+        return F.array_min(F.transform(sh, h))
+
+    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs: (id_a, id_b, est_jaccard).
+
+    bands × rows-per-band banding: docs agreeing on any full band become
+    candidates (one shuffle on band-hash keys). est_jaccard = fraction of
+    matching minhashes, filtered at ``threshold``. The scale path for
+    corpora where exact Jaccard's posting join is too heavy.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    band_keys = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+    a, b = band_keys.alias("a"), band_keys.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
+    sb = sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
+                / F.lit(num_hashes)
+            ).cast("double"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """SimHash of the token bag: per-bit majority vote over token hashes,
+    packed into a long. Pure higher-order functions, no shuffle."""
+    toks = tokens(col)
+
+    def bit_votes(w):
+        # shift amounts must be python ints → unroll the bit positions
+        h = F.xxhash64(w)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, w: F.zip_with(acc, bit_votes(w), lambda a, v: a + v),
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: docs sharing any of ``bands``
+    bit-slices are candidates; keep pairs with hamming distance <=
+    ``max_hamming``. One shuffle on (band, slice) keys."""
+    bits_per_band = bits // bands
+    mask = (1 << bits_per_band) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
+    ).cache()
+    keys = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", "bk.band", "bk.slice")
+    a, b = keys.alias("a"), keys.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_bits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a, id_b, cosine >= threshold).
+
+    With bucket_bits=0 this is the exact O(n²) self-join — fine after
+    coarse dedup. For raw-scale input set bucket_bits>0: candidates must
+    share a random-hyperplane sign-bucket (seeded, deterministic), making
+    the join per-bucket.
+    """
+    from mongo_arrow_spark.operators.similarity import cosine, normalize, sign_buckets
+
+    base = df.select(
+        F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("v")
+    )
+    if bucket_bits:
+        base = base.withColumn("bkt", sign_buckets(F.col("v"), bucket_bits))
+        cond_extra = F.col("a.bkt") == F.col("b.bkt")
+    else:
+        cond_extra = F.lit(True)
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.id") < F.col("b.id")) & cond_extra)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

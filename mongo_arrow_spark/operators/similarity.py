@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — one narrow scan, dot products in JVM
+higher-order functions, TakeOrdered for the top-k (no global sort).
+Scale path: sign-bucket (random hyperplane) LSH pruning — deterministic
+seeded projections, candidates restricted to the query's bucket ring.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(v: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def normalize(v: Column) -> Column:
+    n = norm(v)
+    return F.transform(v, lambda x: x.cast("double") / n)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (norm(a) * norm(b))).cast("double")
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    Plan: scan → per-row dot product (codegen) → TakeOrderedAndProject(k).
+    At 1000 executors this is a map + k-row reduce; no shuffle of the data.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            cosine(F.col(vec_col), q).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def sign_buckets(v: Column, bits: int, dim: int = 64, seed: int = 42) -> Column:
+    """Random-hyperplane sign bucket id (SimHash for vectors): ``bits``
+    seeded Gaussian projections → packed int. Deterministic across runs."""
+    planes = _hyperplanes(dim, bits, seed)
+    acc = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        acc = acc + F.when(dot(v, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    max_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only rows whose sign-bucket is within
+    ``max_hamming`` bits of the query's bucket are scored. Bucketing is a
+    pushable filter over a precomputable column — at scale, persist the
+    bucket id as a partition column and this becomes partition pruning."""
+    dim = len(query_vec)
+    q = [float(x) for x in query_vec]
+    planes = _hyperplanes(dim, bits, seed)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(q, plane)) >= 0:
+            qbits |= 1 << i
+    bucket = sign_buckets(F.col(vec_col), bits, dim, seed)
+    candidates = df.filter(
+        F.bit_count(bucket.bitwiseXOR(F.lit(qbits))) <= max_hamming
+    )
+    return cosine_topk(candidates, q, k, id_col, vec_col)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each left row, its k nearest right rows by cosine (brute-force
+    block-nested join + per-left-row window top-k). Broadcast the smaller
+    side in production; here Catalyst/AQE decides."""
+    from pyspark.sql import Window
+
+    a = left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
+    b = right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"))
+    scored = a.crossJoin(b).select(
+        "lid", "rid", cosine(F.col("lv"), F.col("rv")).alias("score")
+    )
+    w = Window.partitionBy("lid").orderBy(F.col("score").desc(), F.col("rid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lid", "rid", "score", "rank")
+    )

@@ -1,0 +1,114 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting.
+
+All pure `pyspark.sql.functions` (JVM-side, whole-stage codegen) — no Python
+UDFs anywhere in this module. Per-row cost is O(tokens); there is no shuffle
+in any of these, so they scale linearly with input splits — the 100 TB plan
+is identical to the 60 kB plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SEP = " "
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (split on single spaces, the corpus contract)."""
+    return F.split(col, r" ", -1)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored token estimate: each word costs 1 + floor(len/4)
+    word-pieces. Deterministic, cheap, JVM-side — the shape a tokenizer-cost
+    estimator needs at corpus scale."""
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.lit(1) + (F.length(w) / 4).cast("long"),
+    )
+
+
+def stopword_hits(col: Column | str, stopwords: list[str]) -> Column:
+    return F.size(
+        F.filter(tokens(col), lambda w: w.isin(*stopwords))
+    )
+
+
+DEFAULT_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: length, token stats, stopword ratio,
+    punctuation ratio, mean word length. One narrow projection, no shuffle."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_chars_measured": n_chars,
+            "mean_word_len": ((n_chars - n_tok + 1) / n_tok).cast("double"),
+            "stopword_ratio": (
+                stopword_hits(text_col, DEFAULT_STOPWORDS) / n_tok
+            ).cast("double"),
+            "punct_ratio": (
+                F.length(F.regexp_replace(text_col, r"[^\p{Punct}]", "")) / n_chars
+            ).cast("double"),
+        }
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token bag. Robust to token reordering (near-dup canary), exact-joinable.
+    """
+    return F.md5(
+        F.concat_ws(TOKEN_SEP, F.array_sort(F.array_distinct(tokens(col))))
+    )
+
+
+# Minimal marker lexicons for the n-gram/stopword language-ID heuristic.
+# Real deployments swap in fastText-style models via mapInPandas; this stays
+# JVM-side and deterministic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "was", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "los", "que", "es", "una"],
+    "fr": ["le", "la", "les", "est", "une", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "不"],
+}
+
+
+def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Predicted language = argmax over marker-word hit counts; 'und' when no
+    marker hits. Deterministic tie-break by language code order."""
+    markers = markers or LANG_MARKERS
+    t = tokens(col)
+
+    def hits_for(words):
+        def pred(w):  # single-param closure: keep HOF lambda arity = 1
+            return w.isin(*words)
+
+        return F.size(F.filter(t, pred))
+
+    scored = F.array(
+        *[
+            F.struct(
+                hits_for(m).alias("hits"),
+                F.lit(code).alias("lang"),
+            )
+            for code, m in sorted(markers.items(), reverse=True)
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )

@@ -1,0 +1,467 @@
+"""Queries expressed as MQL pipelines and run through the translator.
+
+Each of these is what a reference (PyMongoArrow) user would pass as the
+``pipeline`` argument (reference api.py:216-217); here it executes on
+Catalyst via mongo_arrow_spark.mql and hash-matches an ANSI-SQL oracle —
+the proof that the delegated query surface survived the move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.api import aggregate
+from mongo_arrow_spark.queries import _t, query
+
+
+@query(
+    "mql_match_project",
+    """
+    SELECT o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE) * 1.1, 4) AS taxed,
+           CASE WHEN o_totalprice >= 200000 THEN 'big' ELSE 'small' END AS size_class
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    """,
+)
+def mql_match_project(spark, sf_dir):
+    """find-style $match + computed $project — the reference's own flagship
+    test shape ({"$multiply": [...]}, test_arrow.py:140-156)."""
+    return aggregate(
+        _t(spark, sf_dir, "orders"),
+        [
+            {"$match": {"o_orderstatus": "F", "o_totalprice": {"$gt": 150000}}},
+            {
+                "$project": {
+                    "o_orderkey": 1,
+                    # round at 4 decimals: the true product has 3-decimal
+                    # scale, so no rounding midpoint exists and MQL's
+                    # half-even agrees with the oracle's half-up
+                    "taxed": {
+                        "$round": [{"$multiply": [{"$toDouble": "$o_totalprice"}, 1.1]}, 4]
+                    },
+                    "size_class": {
+                        "$cond": [
+                            {"$gte": ["$o_totalprice", 200000]},
+                            "big",
+                            "small",
+                        ]
+                    },
+                }
+            },
+        ],
+    )
+
+
+@query(
+    "mql_group_accumulators",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(l_quantity) AS DOUBLE) AS total_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def mql_group_accumulators(spark, sf_dir):
+    return aggregate(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {
+                "$group": {
+                    "_id": "$l_returnflag",
+                    "total_qty": {"$sum": "$l_quantity"},
+                    "avg_disc": {"$avg": "$l_discount"},
+                    "first_ship": {"$min": "$l_shipdate"},
+                    "last_ship": {"$max": "$l_shipdate"},
+                    "n": {"$sum": 1},
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "l_returnflag": "$_id",
+                    "total_qty": {"$toDouble": "$total_qty"},
+                    "avg_disc": {"$round": ["$avg_disc", 4]},
+                    "first_ship": 1,
+                    "last_ship": 1,
+                    "n": {"$toLong": "$n"},
+                }
+            },
+        ],
+    )
+
+
+@query(
+    "mql_unwind_wordcount",
+    """
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def mql_unwind_wordcount(spark, sf_dir):
+    """$unwind (explode) word count over documents — flatten stage of
+    SURVEY 2.E."""
+    return aggregate(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"$project": {"_id": 0, "words": {"$split": ["$text", " "]}}},
+            {"$unwind": "$words"},
+            {"$group": {"_id": "$words", "n": {"$sum": 1}}},
+            {
+                "$project": {
+                    "_id": 0,
+                    "word": "$_id",
+                    "n": {"$toLong": "$n"},
+                }
+            },
+        ],
+    )
+
+
+@query(
+    "mql_lookup_join",
+    """
+    SELECT o_orderkey, c_name,
+           ROUND(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000
+    """,
+)
+def mql_lookup_join(spark, sf_dir):
+    """$lookup → grouped-foreign-side left join; $unwind flattens the 1:1
+    match back out (the fan-out-free plan described in pipeline.py)."""
+    return aggregate(
+        _t(spark, sf_dir, "orders"),
+        [
+            {"$match": {"o_totalprice": {"$gt": 400000}}},
+            {
+                "$lookup": {
+                    "from": "customer",
+                    "localField": "o_custkey",
+                    "foreignField": "c_custkey",
+                    "as": "cust",
+                }
+            },
+            {"$unwind": "$cust"},
+            {
+                "$project": {
+                    "_id": 0,
+                    "o_orderkey": 1,
+                    "c_name": "$cust.c_name",
+                    "o_totalprice": {
+                        "$round": [{"$toDouble": "$o_totalprice"}, 2]
+                    },
+                }
+            },
+        ],
+        collections={"customer": _t(spark, sf_dir, "customer")},
+    )
+
+
+@query(
+    "mql_union_with",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT o_orderstatus FROM orders WHERE o_totalprice > 350000
+      UNION ALL
+      SELECT o_orderstatus FROM orders WHERE o_totalprice < 50000
+    ) GROUP BY o_orderstatus
+    """,
+)
+def mql_union_with(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return aggregate(
+        orders,
+        [
+            {"$match": {"o_totalprice": {"$gt": 350000}}},
+            {"$project": {"_id": 0, "o_orderstatus": 1}},
+            {
+                "$unionWith": {
+                    "coll": "orders",
+                    "pipeline": [
+                        {"$match": {"o_totalprice": {"$lt": 50000}}},
+                        {"$project": {"_id": 0, "o_orderstatus": 1}},
+                    ],
+                }
+            },
+            {"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1}}},
+            {"$project": {"_id": 0, "o_orderstatus": "$_id", "n": {"$toLong": "$n"}}},
+        ],
+        collections={"orders": orders},
+    )
+
+
+@query(
+    "mql_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 RANK() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def mql_window_rank(spark, sf_dir):
+    """$setWindowFields $rank — per-customer top-3 orders."""
+    return aggregate(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$o_custkey",
+                    "sortBy": {"o_totalprice": -1, "o_orderkey": 1},
+                    "output": {"rnk": {"$rank": {}}},
+                }
+            },
+            {"$match": {"rnk": {"$lte": 3}}},
+            {
+                "$project": {
+                    "_id": 0,
+                    "o_custkey": 1,
+                    "o_orderkey": 1,
+                    "price": {"$round": [{"$toDouble": "$o_totalprice"}, 2]},
+                    "rnk": {"$toLong": "$rnk"},
+                }
+            },
+        ],
+    )
+
+
+@query(
+    "mql_window_moving_avg",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+    FROM events
+    """,
+)
+def mql_window_moving_avg(spark, sf_dir):
+    """$setWindowFields documents-frame moving average (3-row window)."""
+    return aggregate(
+        _t(spark, sf_dir, "events"),
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$user_id",
+                    "sortBy": {"ts": 1, "event_id": 1},
+                    "output": {
+                        "mov_avg": {
+                            "$avg": "$value",
+                            "window": {"documents": [-2, "current"]},
+                        }
+                    },
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "event_id": 1,
+                    "user_id": 1,
+                    "mov_avg": {"$round": ["$mov_avg", 4]},
+                }
+            },
+        ],
+    )
+
+
+@query(
+    "mql_bucket",
+    """
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM (SELECT CASE
+            WHEN o_totalprice >= 0 AND o_totalprice < 100000 THEN 0
+            WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 100000
+            WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN 200000
+            WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN 300000
+            ELSE 400000 END AS bucket, o_totalprice
+          FROM orders)
+    GROUP BY bucket
+    """,
+)
+def mql_bucket(spark, sf_dir):
+    return aggregate(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$bucket": {
+                    "groupBy": "$o_totalprice",
+                    "boundaries": [0, 100000, 200000, 300000, 400000],
+                    "default": 400000,
+                    "output": {
+                        "n": {"$sum": 1},
+                        "avg_price": {"$avg": "$o_totalprice"},
+                    },
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "bucket": "$_id",
+                    "n": {"$toLong": "$n"},
+                    "avg_price": {"$round": ["$avg_price", 4]},
+                }
+            },
+        ],
+    )
+
+
+@query(
+    "mql_group_by_month",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mth,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM orders GROUP BY yr, mth
+    """,
+)
+def mql_group_by_month(spark, sf_dir):
+    return aggregate(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$group": {
+                    "_id": {
+                        "yr": {"$year": "$o_orderdate"},
+                        "mth": {"$month": "$o_orderdate"},
+                    },
+                    "n": {"$sum": 1},
+                    "total": {"$sum": {"$toDecimal": "$o_totalprice"}},
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "yr": {"$toLong": "$_id.yr"},
+                    "mth": {"$toLong": "$_id.mth"},
+                    "n": {"$toLong": "$n"},
+                    "total": {"$round": [{"$toDouble": "$total"}, 2]},
+                }
+            },
+        ],
+    )
+
+
+@query(
+    "mql_string_ops",
+    """
+    SELECT c_custkey, upper(c_name) AS name_upper,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           substr(c_name, 10, 5) AS id_part,
+           c_custkey % 7 AS key_mod
+    FROM customer
+    """,
+)
+def mql_string_ops(spark, sf_dir):
+    return aggregate(
+        _t(spark, sf_dir, "customer"),
+        [
+            {
+                "$project": {
+                    "_id": 0,
+                    "c_custkey": 1,
+                    "name_upper": {"$toUpper": "$c_name"},
+                    "name_len": {"$toLong": {"$strLenCP": "$c_name"}},
+                    "id_part": {"$substrCP": ["$c_name", 9, 5]},
+                    "key_mod": {"$mod": ["$c_custkey", 7]},
+                }
+            }
+        ],
+    )
+
+
+@query(
+    "mql_switch_tiers",
+    """
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+                      WHEN c_acctbal < 3000 THEN 'low'
+                      WHEN c_acctbal < 7000 THEN 'mid'
+                      ELSE 'high' END AS tier
+          FROM customer)
+    GROUP BY tier
+    """,
+)
+def mql_switch_tiers(spark, sf_dir):
+    return aggregate(
+        _t(spark, sf_dir, "customer"),
+        [
+            {
+                "$addFields": {
+                    "tier": {
+                        "$switch": {
+                            "branches": [
+                                {"case": {"$lt": ["$c_acctbal", 0]}, "then": "debt"},
+                                {"case": {"$lt": ["$c_acctbal", 3000]}, "then": "low"},
+                                {"case": {"$lt": ["$c_acctbal", 7000]}, "then": "mid"},
+                            ],
+                            "default": "high",
+                        }
+                    }
+                }
+            },
+            {"$sortByCount": "$tier"},
+            {"$project": {"_id": 0, "tier": "$_id", "n": {"$toLong": "$count"}}},
+        ],
+    )
+
+
+@query("mql_facet")  # rows-only: single-row array outputs aren't ANSI SQL
+def mql_facet(spark, sf_dir):
+    """$facet: two summaries of one pass in a single result document."""
+    return aggregate(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$facet": {
+                    "by_status": [
+                        {"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1}}},
+                        {"$sort": {"_id": 1}},
+                    ],
+                    "by_priority": [
+                        {"$group": {"_id": "$o_orderpriority", "n": {"$sum": 1}}},
+                        {"$sort": {"_id": 1}},
+                    ],
+                }
+            }
+        ],
+    )
+
+
+@query("mql_sample")  # rows-only: random content, deterministic row count
+def mql_sample(spark, sf_dir):
+    return aggregate(
+        _t(spark, sf_dir, "orders"),
+        [{"$sample": {"size": 100, "seed": 42}}, {"$project": {"_id": 0, "o_orderkey": 1}}],
+    )
+
+
+@query(
+    "mql_sort_skip_limit",
+    """
+    SELECT o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 10
+    """,
+)
+def mql_sort_skip_limit(spark, sf_dir):
+    return aggregate(
+        _t(spark, sf_dir, "orders"),
+        [
+            {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+            {"$skip": 10},
+            {"$limit": 50},
+            {
+                "$project": {
+                    "_id": 0,
+                    "o_orderkey": 1,
+                    "price": {"$round": [{"$toDouble": "$o_totalprice"}, 2]},
+                }
+            },
+        ],
+    )

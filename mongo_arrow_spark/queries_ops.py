@@ -1,0 +1,264 @@
+"""Extension-operator queries: dedup, similarity, text analysis, multimodal.
+
+Each wraps an operator from mongo_arrow_spark.operators with a DuckDB
+oracle where the algorithm is SQL-expressible; hash-dependent ops
+(xxhash64 minhash/simhash) are rows-only checks, as the driver contract
+allows for non-SQL-expressible operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators import dedup, multimodal, similarity, text
+from mongo_arrow_spark.queries import _t, query
+
+_TOKS = "string_split(text, ' ')"
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: 16-byte digest shuffle, min-id survivor policy."""
+    return dedup.exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len({_TOKS}) - 1, 2)),
+          i -> array_to_string({_TOKS}[i:i+2], ' ')))) AS s
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
+    """,
+)
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs at θ=0.3 via the inverted
+    shingle index (posting-list self-join; max_df skew cap available)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64 minhashes aren't in DuckDB
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(64) + 16-band LSH candidate pairs at est-Jaccard ≥ 0.3 —
+    the scale path replacing the exact posting join."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.3
+    )
+
+
+@query("dedup_simhash")  # rows-only: bit-level xxhash64 packing
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, bands=4, max_hamming=6
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           ROUND((length(text) - len({_TOKS}) + 1) * 1.0 / len({_TOKS}), 4) AS mean_word_len,
+           ROUND(len(list_filter({_TOKS},
+                 w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                 / len({_TOKS}), 4) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    m = text.quality_metrics(_t(spark, sf_dir, "documents"))
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(list_sum(list_transform({_TOKS},
+                w -> 1 + CAST(floor(length(w) / 4.0) AS BIGINT)))) AS BIGINT) AS bpe_ish_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(text.token_count("text")).cast("long").alias("total_tokens"),
+        F.sum(text.bpe_ish_token_count("text")).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@query("text_lang_id")  # rows-only: marker-lexicon argmax heuristic
+def q_text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(text.lang_id("text").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
+    "sim_bruteforce_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                     p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+           AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def q_sim_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k (query = vector 0): scan → codegen dot
+    product → TakeOrdered(k). The one collect is the single query vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.cosine_topk(emb, list(qvec), k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@query("sim_topk_lsh")  # rows-only: approx — candidate set is seed-dependent
+def q_sim_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.cosine_topk_lsh(
+        emb, list(qvec), k=10, bits=8, max_hamming=2
+    ).select("vec_id", F.round("score", 4).alias("score"))
+
+
+@query(
+    "sim_knn_join",
+    """
+    SELECT lid, rid,
+           ROUND(score, 4) AS score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT a.vec_id AS lid, b.vec_id AS rid,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+                 b.vec_id) AS rank
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 20
+    ) WHERE rank <= 3
+    """,
+)
+def q_sim_knn_join(spark, sf_dir):
+    """Brute-force kNN join (20 query rows × all): cross join + per-query
+    window top-k. Production path broadcasts the query side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    out = similarity.knn_join(left, emb, k=3)
+    return out.select(
+        "lid", "rid", F.round("score", 4).alias("score"), F.col("rank").cast("long")
+    )
+
+
+@query(
+    "embedding_stats",
+    """
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(similarity.norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
+
+
+@query("embedding_neardup")  # rows-only: threshold near boundary on floats
+def q_embedding_neardup(spark, sf_dir):
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+@query(
+    "multimodal_payload_stats",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+)
+def q_multimodal_stats(spark, sf_dir):
+    """Binary-column plumbing (reference Binary subtype model): payload
+    size + digest before any decode."""
+    media = multimodal.attach_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.payload_stats(media)
+
+
+@query(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+           ROUND(octet_length(encode(text)) / 1000.0, 3) AS duration_s
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode plumbing with the deterministic
+    fake codec — proves schema/batch shape against a SQL oracle."""
+    media = multimodal.attach_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media, use_fake=True)
