@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers every operator class: scan+agg, multi-join, window, MQL-translated,
+dedup (exact + LSH), similarity, text, multimodal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q_rollup_orders",
+    "q_events_hourly",
+    "q_window_running_sum",
+    "mql_group_accumulators",
+    "mql_window_rank",
+    "mql_unwind_wordcount",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+    "sim_knn_join",
+    "text_token_stats",
+    "text_quality",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from mongo_arrow_spark.battery import QUERIES
+    from mongo_arrow_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+        del rows
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -117,9 +117,7 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------------- MinHash
 
-
-def _hash64(col: Column, seed: int) -> Column:
-    return F.xxhash64(col, F.lit(seed))
+_MH_PRIME = 2147483647  # 2^31 - 1; keeps a*h+b within long range (no ANSI overflow)
 
 
 def minhash_signatures(
@@ -128,18 +126,36 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """num_hashes MinHash values per doc via seeded xxhash64 over shingles.
-    One pass, no shuffle; signature is array<long> of fixed width."""
-    sh = shingles(text_col, n)
+    """num_hashes MinHash values per doc: ONE xxhash64 per shingle, then
+    seeded affine permutations (a*h+b mod p) folded with a single
+    aggregate pass — O(shingles × num_hashes) cheap long arithmetic
+    instead of num_hashes string-hash passes. No shuffle; signature is a
+    fixed-width array<long>."""
+    import random
 
-    def min_hash(seed):
-        def h(s):  # single-param closure: a 2-param lambda would be
-            return _hash64(s, seed)  # misread as transform's (value, index)
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MH_PRIME), rng.randrange(0, _MH_PRIME))
+        for _ in range(num_hashes)
+    ]
+    base_hashes = F.transform(
+        shingles(text_col, n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)),
+    )
+    init = F.array_repeat(F.lit(_MH_PRIME).cast("long"), num_hashes)
 
-        return F.array_min(F.transform(sh, h))
+    def fold(acc, h):
+        perms = F.array(
+            *[
+                F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))
+                for a, b in coeffs
+            ]
+        )
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
 
-    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
+    sig = F.aggregate(base_hashes, init, fold)
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 

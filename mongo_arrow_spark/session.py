@@ -48,6 +48,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.selfDestruct.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # driver corpus stores events.ts as TIMESTAMP(NANOS); Spark has no
         # nanos type — read as long and convert in load_tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,555 @@
+"""JSON-lines document data source with pushdown, inference and typed decode.
+
+Reference parity map (mongodb-labs/mongo-arrow, bindings/python/...):
+- partitioned scan + Arrow batches   ≈ lib.pyx:296-311 process_bson_stream
+- first-non-null schema inference,
+  int32→int64 widening               ≈ lib.pyx:157-210, :248-255
+- strict vs permissive (allow_invalid) value coercion
+                                     ≈ builders' append_raw, lib.pyx:452-455
+- NaN → null                         ≈ lib.pyx:113-121
+- filter pushdown (query forwarded)  ≈ api.py:175
+- schema-driven projection           ≈ schema.py:68-85 (declare a narrower
+                                       schema → only those fields decoded)
+
+Scale design: partitions are byte-ranges of the input files (newline
+aligned), so parallelism = total bytes / partition_bytes regardless of file
+count; filters are applied before Arrow conversion so non-matching
+documents never allocate; batches are Arrow RecordBatches (vectorized
+ingest path, no per-row Python→JVM crossing).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import math
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql import types as T
+
+from mongo_arrow_spark.errors import SchemaError
+
+DEFAULT_PARTITION_BYTES = 64 * 1024 * 1024
+DEFAULT_BATCH_SIZE = 4096
+DEFAULT_SAMPLE_SIZE = 1000
+# reference write caps: 48 MB - 16 KB and 100k ops (api.py:91-95)
+WRITE_MAX_BYTES = 48 * 1024 * 1024 - 16 * 1024
+WRITE_MAX_DOCS = 100_000
+
+
+# ------------------------------------------------------------- inference
+
+
+def _infer_value(v):
+    if v is None:
+        return T.NullType()
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        # reference infers int32 first and widens (lib.pyx:248-255); we
+        # record the narrow type and widen on later evidence
+        return T.IntegerType() if -(2**31) <= v < 2**31 else T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, str):
+        return T.StringType()
+    if isinstance(v, list):
+        elem: T.DataType = T.NullType()
+        for e in v:
+            elem = _merge_types(elem, _infer_value(e))
+        return T.ArrayType(elem)
+    if isinstance(v, dict):
+        return T.StructType(
+            [T.StructField(k, _infer_value(x), True) for k, x in v.items()]
+        )
+    return T.StringType()
+
+
+def _merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    if a == b:
+        return a
+    ints = (T.IntegerType(), T.LongType())
+    if a in ints and b in ints:
+        return T.LongType()  # int32→int64 widening (lib.pyx:248-255)
+    if {type(a), type(b)} <= {T.IntegerType, T.LongType, T.DoubleType}:
+        return T.DoubleType()
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_merge_types(a.elementType, b.elementType))
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        fields: dict[str, T.DataType] = {f.name: f.dataType for f in a.fields}
+        for f in b.fields:
+            fields[f.name] = (
+                _merge_types(fields[f.name], f.dataType)
+                if f.name in fields
+                else f.dataType
+            )
+        return T.StructType([T.StructField(k, v, True) for k, v in fields.items()])
+    # heterogeneous, non-coercible: keep the first-seen type; other values
+    # null out in permissive decode (reference test_arrow.py:765-773)
+    return a
+
+
+def infer_schema(paths: list[str] | str, sample_size: int = DEFAULT_SAMPLE_SIZE) -> T.StructType:
+    """First-non-null sampling inference over the head of the files."""
+    fields: dict[str, T.DataType] = {}
+    seen = 0
+    for path in _expand(paths):
+        with open(path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                doc = json.loads(line)
+                if not isinstance(doc, dict):
+                    raise SchemaError(f"non-document line in {path}")
+                for k, v in doc.items():
+                    t = _infer_value(v)
+                    fields[k] = _merge_types(fields.get(k, T.NullType()), t)
+                seen += 1
+                if seen >= sample_size:
+                    break
+        if seen >= sample_size:
+            break
+    if not fields:
+        raise SchemaError("cannot infer schema from empty input")
+    return T.StructType(
+        [
+            T.StructField(k, v if not isinstance(v, T.NullType) else T.StringType(), True)
+            for k, v in fields.items()
+        ]
+    )
+
+
+def _expand(paths) -> list[str]:
+    if isinstance(paths, str):
+        paths = [paths]
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(sorted(_glob.glob(os.path.join(p, "*.jsonl"))))
+        else:
+            out.extend(sorted(_glob.glob(p)) or [p])
+    return out
+
+
+# ----------------------------------------------------------------- decode
+
+
+def _coerce(v, dt: T.DataType, strict: bool, path: str):
+    """Typed decode of one JSON value (reference append_raw semantics:
+    strict raises TypeError, permissive nulls; NaN→null; bool/int/double
+    coercions follow lib.pyx:524-598)."""
+    if v is None:
+        return None
+    try:
+        if isinstance(dt, T.BooleanType):
+            if isinstance(v, bool):
+                return v
+        elif isinstance(dt, (T.LongType, T.IntegerType)):
+            if isinstance(v, bool):
+                return int(v)
+            if isinstance(v, int):
+                return v
+            if isinstance(v, float):
+                if math.isnan(v):
+                    return None
+                if v.is_integer():
+                    return int(v)
+                return int(v)  # double→int truncation (lib.pyx:558-574)
+        elif isinstance(dt, T.DoubleType):
+            if isinstance(v, bool):
+                return float(v)
+            if isinstance(v, (int, float)):
+                f = float(v)
+                return None if math.isnan(f) else f
+        elif isinstance(dt, T.StringType):
+            if isinstance(v, str):
+                return v
+        elif isinstance(dt, T.TimestampType):
+            if isinstance(v, str):
+                import datetime as dtm
+
+                return dtm.datetime.fromisoformat(v)
+            if isinstance(v, (int, float)):
+                import datetime as dtm
+
+                # integer epoch-millis, the BSON datetime carrier
+                return dtm.datetime.utcfromtimestamp(v / 1000.0)
+        elif isinstance(dt, T.ArrayType):
+            if isinstance(v, list):
+                return [_coerce(e, dt.elementType, strict, path + "[]") for e in v]
+        elif isinstance(dt, T.StructType):
+            if isinstance(v, dict):
+                return tuple(
+                    _coerce(v.get(f.name), f.dataType, strict, f"{path}.{f.name}")
+                    for f in dt.fields
+                )
+        elif isinstance(dt, T.BinaryType):
+            if isinstance(v, str):
+                import base64
+
+                return base64.b64decode(v)
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v)
+    except (ValueError, OverflowError):
+        pass
+    if strict:
+        raise TypeError(f"Got unexpected type {type(v).__name__!r} at {path!r}")
+    return None
+
+
+def _filter_fn(filters: list[Filter]):
+    """Compile pushed filters into a python predicate over raw docs —
+    evaluated BEFORE Arrow conversion, so filtered docs cost only a
+    json parse (the decode-skip the reference gets from server-side
+    $match, api.py:175)."""
+
+    def _get(doc, attr):
+        cur = doc
+        for part in attr:
+            if not isinstance(cur, dict):
+                return None
+            cur = cur.get(part)
+        return cur
+
+    def pred(doc) -> bool:
+        for f in filters:
+            a = f.attribute
+            if isinstance(f, EqualTo):
+                if _get(doc, a) != f.value:
+                    return False
+            elif isinstance(f, GreaterThan):
+                v = _get(doc, a)
+                if v is None or not v > f.value:
+                    return False
+            elif isinstance(f, GreaterThanOrEqual):
+                v = _get(doc, a)
+                if v is None or not v >= f.value:
+                    return False
+            elif isinstance(f, LessThan):
+                v = _get(doc, a)
+                if v is None or not v < f.value:
+                    return False
+            elif isinstance(f, LessThanOrEqual):
+                v = _get(doc, a)
+                if v is None or not v <= f.value:
+                    return False
+            elif isinstance(f, In):
+                if _get(doc, a) not in f.values:
+                    return False
+            elif isinstance(f, IsNull):
+                if _get(doc, a) is not None:
+                    return False
+            elif isinstance(f, IsNotNull):
+                if _get(doc, a) is None:
+                    return False
+        return True
+
+    return pred
+
+
+_SUPPORTED_FILTERS = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+    IsNull,
+    IsNotNull,
+)
+
+
+@dataclass
+class _Split(InputPartition):
+    path: str
+    start: int
+    end: int
+
+
+class DocumentsReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options):
+        self.schema = schema
+        self.options = options
+        self.paths = _expand(options.get("path"))
+        self.strict = str(options.get("mode", "PERMISSIVE")).upper() == "FAILFAST"
+        self.partition_bytes = int(
+            options.get("partitionbytes", DEFAULT_PARTITION_BYTES)
+        )
+        self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
+        self.filters: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        for f in filters:
+            if isinstance(f, _SUPPORTED_FILTERS):
+                self.filters.append(f)
+            else:
+                yield f  # unsupported → Spark evaluates it post-scan
+
+    def partitions(self):
+        splits = []
+        for path in self.paths:
+            size = os.path.getsize(path)
+            n = max(1, math.ceil(size / self.partition_bytes))
+            step = math.ceil(size / n) if size else 1
+            for i in range(n):
+                splits.append(_Split(path, i * step, min(size, (i + 1) * step)))
+        return splits or [_Split("", 0, 0)]
+
+    def read(self, part: _Split) -> Iterator:
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if not part.path:
+            return
+        arrow_schema = to_arrow_schema(self.schema)
+        pred = _filter_fn(self.filters)
+        fields = self.schema.fields
+        cols: list[list] = [[] for _ in fields]
+        n = 0
+        with open(part.path, "r", encoding="utf-8") as fh:
+            fh.seek(part.start)
+            if part.start > 0:
+                fh.readline()  # skip the partial line owned by the previous split
+            while fh.tell() <= part.end:
+                line = fh.readline()
+                if not line:
+                    break
+                line = line.strip()
+                if not line:
+                    continue
+                doc = json.loads(line)
+                if self.filters and not pred(doc):
+                    continue
+                for i, f in enumerate(fields):
+                    cols[i].append(
+                        _coerce(doc.get(f.name), f.dataType, self.strict, f.name)
+                    )
+                n += 1
+                if n >= self.batch_size:
+                    yield _to_batch(pa, arrow_schema, cols)
+                    cols = [[] for _ in fields]
+                    n = 0
+        if n:
+            yield _to_batch(pa, arrow_schema, cols)
+
+
+def _to_batch(pa, arrow_schema, cols):
+    arrays = [
+        pa.array(c, type=arrow_schema.field(i).type) for i, c in enumerate(cols)
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
+# ------------------------------------------------------------------ writer
+
+
+@dataclass
+class _WriteResult(WriterCommitMessage):
+    files: list
+    docs: int
+
+
+class DocumentsWriter(DataSourceWriter):
+    """Batched JSON-lines sink with the reference's byte/count caps
+    (api.py:91-95): each task rolls to a new part file at 48 MB − 16 KB or
+    100k docs; ``excludeNone`` mirrors write(exclude_none=True)
+    (api.py:553-575)."""
+
+    def __init__(self, schema: T.StructType, options, overwrite: bool):
+        self.schema = schema
+        self.path = options.get("path")
+        self.exclude_none = str(options.get("excludenone", "false")).lower() == "true"
+        self.overwrite = overwrite
+        self.max_bytes = int(options.get("maxbytes", WRITE_MAX_BYTES))
+        self.max_docs = int(options.get("maxdocs", WRITE_MAX_DOCS))
+
+    def write(self, rows) -> _WriteResult:
+        os.makedirs(self.path, exist_ok=True)
+        names = [f.name for f in self.schema.fields]
+        files, docs = [], 0
+        fh, nbytes, ndocs = None, 0, 0
+
+        def roll():
+            nonlocal fh, nbytes, ndocs
+            if fh:
+                fh.close()
+            name = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            files.append(name)
+            fh = open(name, "w", encoding="utf-8")
+            nbytes = ndocs = 0
+
+        for row in rows:
+            doc = dict(zip(names, row))
+            if self.exclude_none:
+                doc = {k: v for k, v in doc.items() if v is not None}
+            data = json.dumps(doc, default=_json_default) + "\n"
+            b = len(data.encode("utf-8"))
+            if fh is None or nbytes + b > self.max_bytes or ndocs + 1 > self.max_docs:
+                roll()  # lazy first open: empty partitions write no files
+            fh.write(data)
+            nbytes += b
+            ndocs += 1
+            docs += 1
+        if fh:
+            fh.close()
+        return _WriteResult(files=files, docs=docs)
+
+    def commit(self, messages):
+        total = sum(m.docs for m in messages if m)
+        marker = os.path.join(self.path, "_SUCCESS")
+        with open(marker, "w") as fh:
+            fh.write(str(total))
+
+    def abort(self, messages):
+        for m in messages:
+            if m:
+                for f in m.files:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+
+
+def _json_default(v):
+    import base64
+    import datetime as dtm
+    import decimal
+
+    if isinstance(v, (dtm.datetime, dtm.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    raise TypeError(f"unserializable {type(v)}")
+
+
+_DDL_TYPES = {
+    "boolean": T.BooleanType(),
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _parse_type(s: str) -> T.DataType:
+    s = s.strip()
+    low = s.lower()
+    if low in _DDL_TYPES:
+        return _DDL_TYPES[low]
+    if low.startswith("decimal"):
+        if "(" in s:
+            p, sc = s[s.index("(") + 1 : s.rindex(")")].split(",")
+            return T.DecimalType(int(p), int(sc))
+        return T.DecimalType(10, 0)
+    if low.startswith("array<") and s.endswith(">"):
+        return T.ArrayType(_parse_type(s[6:-1]))
+    if low.startswith("map<") and s.endswith(">"):
+        k, v = _split_top(s[4:-1])
+        return T.MapType(_parse_type(k), _parse_type(v))
+    if low.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_top(s[7:-1]):
+            name, _, t = part.strip().partition(":")
+            fields.append(T.StructField(name.strip(), _parse_type(t), True))
+        return T.StructType(fields)
+    raise SchemaError(f"cannot parse DDL type: {s!r}")
+
+
+def _parse_ddl(ddl: str) -> T.StructType:
+    """Minimal session-free DDL schema parser ("a bigint, b array<int>")."""
+    fields = []
+    for part in _split_top(ddl):
+        part = part.strip()
+        if ":" in part and " " not in part.split(":")[0]:
+            name, _, t = part.partition(":")
+        else:
+            name, _, t = part.partition(" ")
+        fields.append(T.StructField(name.strip(), _parse_type(t), True))
+    return T.StructType(fields)
+
+
+# ------------------------------------------------------------- data source
+
+
+class DocumentsDataSource(DataSource):
+    """``spark.read.format("documents")`` — register with
+    :func:`register`. Options: path, mode=PERMISSIVE|FAILFAST,
+    sampleSize, partitionBytes, batchSize; writer adds excludeNone,
+    maxBytes, maxDocs."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "documents"
+
+    def schema(self):
+        declared = self.options.get("declaredschema")
+        if declared:
+            # runs in the Python worker: no SparkSession, so parse DDL
+            # locally (session-free)
+            return _parse_ddl(declared)
+        return infer_schema(
+            self.options.get("path"),
+            int(self.options.get("samplesize", DEFAULT_SAMPLE_SIZE)),
+        )
+
+    def reader(self, schema: T.StructType) -> DocumentsReader:
+        return DocumentsReader(schema, self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> DocumentsWriter:
+        return DocumentsWriter(schema, self.options, overwrite)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(DocumentsDataSource)
