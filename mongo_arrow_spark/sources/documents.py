@@ -31,6 +31,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -449,6 +450,47 @@ def _json_default(v):
     raise TypeError(f"unserializable {type(v)}")
 
 
+class DocumentsStreamReader(DataSourceStreamReader):
+    """Change-stream-shaped streaming source over a growing directory of
+    JSON-lines files (the streaming capability the reference lacks — it is
+    batch-only, SURVEY 2.E 'streaming' row).
+
+    Offsets are positions in the sorted file listing, so each microbatch
+    processes exactly the files that appeared since the last one —
+    replayable and exactly-once on retry (same offset range → same files).
+    One partition per new file keeps microbatch parallelism = arrival rate.
+    """
+
+    def __init__(self, schema: T.StructType, options):
+        self.schema = schema
+        self.options = options
+        self.dir = options.get("path")
+        self.strict = str(options.get("mode", "PERMISSIVE")).upper() == "FAILFAST"
+        self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
+
+    def _listing(self) -> list[str]:
+        return sorted(_glob.glob(os.path.join(self.dir, "*.jsonl")))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        return {"index": len(self._listing())}
+
+    def partitions(self, start, end):
+        files = self._listing()[start["index"] : end["index"]]
+        return [
+            _Split(path, 0, os.path.getsize(path)) for path in files
+        ] or [_Split("", 0, 0)]
+
+    def read(self, part: _Split) -> Iterator:
+        reader = DocumentsReader(self.schema, self.options)
+        yield from reader.read(part)
+
+    def commit(self, end):
+        pass
+
+
 _DDL_TYPES = {
     "boolean": T.BooleanType(),
     "tinyint": T.ByteType(),
@@ -549,6 +591,9 @@ class DocumentsDataSource(DataSource):
 
     def writer(self, schema: T.StructType, overwrite: bool) -> DocumentsWriter:
         return DocumentsWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema: T.StructType) -> DocumentsStreamReader:
+        return DocumentsStreamReader(schema, self.options)
 
 
 def register(spark) -> None:

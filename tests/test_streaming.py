@@ -1,0 +1,130 @@
+"""Streaming tests: documents stream source → watermark/window/session/
+stateful ops, validated against batch equivalents (availableNow trigger +
+memory sink keeps it deterministic)."""
+
+import json
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.streaming import (
+    read_document_stream,
+    running_totals_stateful,
+    sessionized,
+    stream_dedup_within_watermark,
+    windowed_aggregate,
+)
+
+SCHEMA_DDL = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory, spark, tables):
+    """Split the events table into 4 jsonl 'arrival' files."""
+    d = tmp_path_factory.mktemp("stream")
+    ev = tables["events"].orderBy("event_id").collect()
+    chunk = max(1, len(ev) // 4)
+    for i in range(4):
+        rows = ev[i * chunk : (i + 1) * chunk if i < 3 else len(ev)]
+        if not rows:
+            continue
+        with open(d / f"batch-{i:04d}.jsonl", "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].isoformat(),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                            "value": r["value"],
+                        }
+                    )
+                    + "\n"
+                )
+    return str(d)
+
+
+def _run_stream(spark, df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_source_counts(spark, stream_dir, tables):
+    stream = read_document_stream(spark, stream_dir, SCHEMA_DDL)
+    assert stream.isStreaming
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    out = _run_stream(spark, stream, name)
+    assert out.count() == tables["events"].count()
+
+
+def test_windowed_aggregate_matches_batch(spark, stream_dir, tables):
+    stream = read_document_stream(spark, stream_dir, SCHEMA_DDL)
+    agg = windowed_aggregate(stream, window="1 hour", keys=["event_type"])
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    # complete mode: append would hold back windows the watermark hasn't
+    # passed at end-of-stream (correct streaming behavior, wrong for a
+    # final-state comparison)
+    out = _run_stream(spark, agg, name, mode="complete").collect()
+    batch = (
+        tables["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {(r["window_start"], r["event_type"]): r["n"] for r in out}
+    want = {(r["h"], r["event_type"]): r["n"] for r in batch}
+    assert got == want
+
+
+def test_session_window_runs(spark, stream_dir):
+    stream = read_document_stream(spark, stream_dir, SCHEMA_DDL)
+    sess = sessionized(stream, gap="30 minutes")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    out = _run_stream(spark, sess, name, mode="complete")
+    assert out.count() > 0
+    row = out.first()
+    assert row["session_end"] > row["session_start"]
+
+
+def test_stream_dedup(spark, stream_dir, tmp_path):
+    # duplicate one arrival file wholesale → dedup must restore the count
+    dup_dir = tmp_path / "dup"
+    shutil.copytree(stream_dir, dup_dir)
+    files = sorted(dup_dir.glob("*.jsonl"))
+    shutil.copy(files[0], dup_dir / "zz-dup.jsonl")
+    stream = read_document_stream(spark, str(dup_dir), SCHEMA_DDL)
+    dedup = stream_dedup_within_watermark(stream, ["event_id"], watermark="10 days")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    out = _run_stream(spark, dedup, name)
+    n_with_dups = sum(1 for f in dup_dir.glob("*.jsonl") for _ in open(f))
+    assert out.count() < n_with_dups
+    assert out.select("event_id").distinct().count() == out.count()
+
+
+def test_running_totals_stateful(spark, stream_dir, tables):
+    stream = read_document_stream(spark, stream_dir, SCHEMA_DDL)
+    totals = running_totals_stateful(stream)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    out = _run_stream(spark, totals, name, mode="update")
+    # last update per user must equal the batch totals
+    batch = (
+        tables["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    want = {r["user_id"]: r["n_events"] for r in batch}
+    got = {}
+    for r in out.collect():  # memory sink appends every update; keep max
+        got[r["user_id"]] = max(got.get(r["user_id"], 0), r["n_events"])
+    assert got == want
