@@ -1,0 +1,77 @@
+"""Physical-plan quality gates: the properties that make these queries
+survive a 100× scale-up. A plan regression (lost pushdown, surprise global
+sort, fact-fact broadcast) fails here even while results stay correct."""
+
+import pytest
+
+from mongo_arrow_spark.battery import QUERIES
+
+from conftest import SF_DIR
+
+
+def plan_of(spark, name):
+    # default maxMetadataStringLength=100 truncates PushedFilters lists
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q06_scan_pruned_and_pushed(spark, tables):
+    """Q6 must push every predicate into the parquet scan and read only
+    the 4 referenced columns."""
+    p = plan_of(spark, "q06_forecast_revenue")
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" not in scan  # pruned
+    assert "l_shipdate" in scan and "l_discount" in scan
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_quantity" in pushed
+
+
+def test_q05_joins_broadcast_dims(spark, tables):
+    """All dimension joins must be broadcast (no shuffle of lineitem for
+    nation/region/customer/supplier); no sort-merge join at this scale."""
+    p = plan_of(spark, "q05_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+
+
+def test_q03_topk_no_global_sort(spark, tables):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    top-k, driver merge) — a global Sort here would shuffle everything."""
+    p = plan_of(spark, "q03_shipping_priority")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q01_partial_aggregation(spark, tables):
+    """Hash aggregation must be partial+final (map-side combine) — two
+    HashAggregate nodes around one exchange."""
+    p = plan_of(spark, "q01_pricing_summary")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_sim_topk_take_ordered(spark, tables):
+    p = plan_of(spark, "sim_bruteforce_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_mql_translator_plans_like_dataframe(spark, tables):
+    """MQL-translated $match must reach the parquet scan as pushed filters
+    — translation adds no optimization barrier."""
+    p = plan_of(spark, "mql_match_project")
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "EqualTo(o_orderstatus,F)" in pushed
+    assert "GreaterThan(o_totalprice" in pushed
+
+
+def test_mql_sort_limit_take_ordered(spark, tables):
+    p = plan_of(spark, "mql_sort_skip_limit")
+    assert "TakeOrderedAndProject" in p or "GlobalLimit" in p
+
+
+def test_no_cartesian_in_lookup(spark, tables):
+    p = plan_of(spark, "mql_lookup_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
