@@ -243,8 +243,34 @@ def _accumulator(spec) -> Column:
         asc = op == "$minN"
         return F.slice(F.sort_array(F.collect_list(inp), asc=asc), 1, n)
     if op in ("$topN", "$bottomN", "$top", "$bottom"):
-        raise MQLTranslationError(f"{op} accumulator not supported yet")
+        return _top_bottom(op, arg)
     raise MQLTranslationError(f"unsupported accumulator: {op}")
+
+
+def _top_bottom(op, arg) -> Column:
+    """$top/$bottom/$topN/$bottomN: output expression(s) of the best
+    row(s) under sortBy. Implemented as sort_array over collected
+    (sort-key, output) structs + slice — one collect per group, no extra
+    shuffle. Single sort key supported (multi-key mixed-direction needs a
+    comparator; raise for now)."""
+    sort_by = arg["sortBy"]
+    if len(sort_by) != 1:
+        raise MQLTranslationError(f"{op} supports a single sortBy key")
+    ((key, direction),) = sort_by.items()
+    # $top picks the FIRST row per sortBy ordering; sort ascending for
+    # direction=1 → top = element 1. $bottom is the last.
+    pick_first = (op in ("$top", "$topN")) == (direction == 1)
+    pairs = F.collect_list(
+        F.struct(
+            F.col(key).alias("__k"), translate_expr(arg["output"]).alias("__v")
+        )
+    )
+    ordered = F.sort_array(pairs, asc=pick_first)
+    n = int(arg["n"]) if op in ("$topN", "$bottomN") else 1
+    top = F.transform(F.slice(ordered, 1, n), lambda s: s.getField("__v"))
+    if op in ("$top", "$bottom"):
+        return F.get(top, 0)
+    return top
 
 
 @_stage("$unwind")
@@ -454,6 +480,9 @@ def _set_window_fields(df, args, resolve):
         if op in _WINDOW_FNS:
             df = df.withColumn(field, _WINDOW_FNS[op](arg, None).over(base))
             continue
+        if op == "$expMovingAvg":
+            df = _exp_moving_avg(df, field, arg, part, sort_by)
+            continue
         if op == "$shift":
             by = int(arg.get("by", 1))
             out_expr = translate_expr(arg["output"])
@@ -465,6 +494,35 @@ def _set_window_fields(df, args, resolve):
         agg = _window_agg(op, arg)
         df = df.withColumn(field, agg.over(w))
     return df
+
+
+def _exp_moving_avg(df, field, arg, part, sort_by):
+    """$expMovingAvg is recursive (each value depends on the previous EMA)
+    — not expressible as a Spark window frame. Arrow-batched applyInPandas
+    per partition key: state never leaves the group, shuffle is the same
+    one any windowed agg pays."""
+    from pyspark.sql import types as T
+
+    if part is None:
+        raise MQLTranslationError("$expMovingAvg requires partitionBy")
+    if not sort_by:
+        raise MQLTranslationError("$expMovingAvg requires sortBy")
+    alpha = arg.get("alpha")
+    if alpha is None:
+        alpha = 2.0 / (int(arg["N"]) + 1.0)
+    tmp = df.withColumn("__ema_in", translate_expr(arg["input"]).cast("double"))
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(field, T.DoubleType(), True)]
+    )
+    keys = list(sort_by.keys())
+    asc = [d == 1 for d in sort_by.values()]
+
+    def fn(pdf):
+        pdf = pdf.sort_values(by=keys, ascending=asc)
+        pdf[field] = pdf["__ema_in"].ewm(alpha=alpha, adjust=False).mean()
+        return pdf.drop(columns=["__ema_in"])
+
+    return tmp.groupBy(translate_expr(part)).applyInPandas(fn, schema=out_schema)
 
 
 def _window_agg(op, arg) -> Column:
@@ -546,12 +604,165 @@ def _fill(df, args, resolve):
 
 @_stage("$densify")
 def _densify(df, args, resolve):
-    raise MQLTranslationError("$densify not supported yet")
+    """Fill gaps in a numeric/time series: per-partition (or global)
+    min/max → sequence() → explode → left join original rows back on.
+    The sequence generation is distributed with the partition keys; only
+    'full' bounds need a 1-row broadcast of the global min/max."""
+    field = args["field"]
+    rng = args["range"]
+    step = rng["step"]
+    unit = rng.get("unit")
+    bounds = rng.get("bounds", "full")
+    part_fields = args.get("partitionByFields", [])
+    if unit:
+        step_expr = F.expr(f"INTERVAL {int(step)} {unit}")
+    else:
+        step_expr = F.lit(step)
+
+    if isinstance(bounds, list):
+        lo, hi = F.lit(bounds[0]), F.lit(bounds[1])
+        if part_fields:
+            base = df.select(*part_fields).distinct()
+        else:
+            base = df.limit(1).select(F.lit(1).alias("__one")).drop("__one")
+            base = df.sparkSession.range(1).select()
+        grid = base.select(
+            *part_fields, F.explode(F.sequence(lo, hi, step_expr)).alias(field)
+        )
+    elif bounds == "partition" and part_fields:
+        grid = (
+            df.groupBy(*part_fields)
+            .agg(F.min(field).alias("__lo"), F.max(field).alias("__hi"))
+            .select(
+                *part_fields,
+                F.explode(
+                    F.sequence(F.col("__lo"), F.col("__hi"), step_expr)
+                ).alias(field),
+            )
+        )
+    else:  # full
+        b = df.agg(F.min(field).alias("__lo"), F.max(field).alias("__hi"))
+        if part_fields:
+            base = df.select(*part_fields).distinct().crossJoin(F.broadcast(b))
+        else:
+            base = b
+        grid = base.select(
+            *part_fields,
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step_expr)).alias(
+                field
+            ),
+        )
+    return grid.join(df, on=[*part_fields, field], how="left")
 
 
-@_stage("$out", "$merge")
-def _out(df, args, resolve):
-    raise MQLTranslationError(
-        "$out/$merge are write stages — use Collection.write / df.write "
-        "(the reference rejects them outright, api.py:235-240; we route to sinks)"
+@_stage("$graphLookup")
+def _graph_lookup(df, args, resolve):
+    """Recursive traversal (MQL $graphLookup) as iterative distributed
+    joins: frontier ⋈ foreign per depth, visited-set dedup to terminate on
+    cycles. Driver loop only coordinates; each step is a shuffle join (the
+    standard Spark pattern for bounded-depth graph expansion; unbounded
+    depth requires a fixpoint count() per iteration)."""
+    foreign = resolve(args["from"])
+    start = translate_expr(args["startWith"])
+    from_field = args["connectFromField"]
+    to_field = args["connectToField"]
+    as_field = args["as"]
+    depth_field = args.get("depthField")
+    max_depth = args.get("maxDepth", 20)
+
+    left = df.withColumn("__gid", F.monotonically_increasing_id())
+    # normalize scalar/array startWith into an array (schema introspection)
+    from pyspark.sql import types as T
+
+    start_type = df.select(start.alias("__s")).schema[0].dataType
+    start_arr = start if isinstance(start_type, T.ArrayType) else F.array(start)
+    seeds = left.select(
+        "__gid", F.explode(start_arr).alias("__val")
+    ).distinct()
+
+    # rename the foreign side so traversals over the SAME table (the
+    # common case: org charts, bom trees) don't trip self-join ambiguity
+    fr = foreign.select(
+        *[F.col(c).alias(f"__f_{c}") for c in foreign.columns]
     )
+    doc_struct = F.struct(
+        *[F.col(f"__f_{c}").alias(c) for c in foreign.columns]
+    )
+    matched_all = None
+    seen = seeds
+    for depth in range(int(max_depth) + 1):
+        matched = (
+            seeds.join(fr, seeds["__val"] == fr[f"__f_{to_field}"])
+            .select(
+                "__gid",
+                doc_struct.alias("__doc"),
+                F.col(f"__f_{from_field}").alias("__next"),
+            )
+            .withColumn("__depth", F.lit(depth).cast("long"))
+        )
+        matched = matched.localCheckpoint(eager=True)
+        if matched.isEmpty():
+            break
+        matched_all = (
+            matched if matched_all is None else matched_all.unionByName(matched)
+        )
+        nxt = matched.select("__gid", F.col("__next").alias("__val")).distinct()
+        seeds = nxt.join(seen, ["__gid", "__val"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        seen = seen.unionByName(seeds)
+        if seeds.isEmpty():
+            break
+
+    if matched_all is None:
+        return left.withColumn(as_field, F.array()).drop("__gid")
+    doc = F.col("__doc")
+    if depth_field:
+        doc = doc.withField(depth_field, F.col("__depth"))
+    grouped = (
+        matched_all.select("__gid", doc.alias("__doc"), "__depth")
+        .dropDuplicates(["__gid", "__doc"])
+        .groupBy("__gid")
+        .agg(F.collect_list("__doc").alias(as_field))
+    )
+    out = left.join(grouped, "__gid", "left").withColumn(
+        as_field, F.coalesce(F.col(as_field), F.array())
+    )
+    return out.drop("__gid")
+
+
+@_stage("$out")
+def _out(df, args, resolve):
+    """$out materializes the result. The reference rejects it outright
+    (api.py:235-240); we route to sinks: a dict `collections` registry
+    gets the DataFrame under the target name; {"path": ..., "format": ...}
+    writes through the Spark writer."""
+    if isinstance(args, dict) and "path" in args:
+        df.write.format(args.get("format", "parquet")).mode(
+            args.get("mode", "overwrite")
+        ).save(args["path"])
+        return df
+    name = args if isinstance(args, str) else args.get("coll")
+    df.createOrReplaceTempView(name)
+    return df
+
+
+@_stage("$merge")
+def _merge(df, args, resolve):
+    """$merge upsert: new rows win on the `on` keys; result replaces the
+    target view / path. whenMatched=replace, whenNotMatched=insert (the
+    MQL defaults); other modes raise."""
+    if isinstance(args, str):
+        args = {"into": args}
+    on = args.get("on", "_id")
+    on = [on] if isinstance(on, str) else list(on)
+    if args.get("whenMatched", "replace") != "replace" or args.get(
+        "whenNotMatched", "insert"
+    ) != "insert":
+        raise MQLTranslationError("$merge supports replace/insert modes only")
+    target_name = args["into"] if isinstance(args["into"], str) else args["into"]["coll"]
+    target = resolve(target_name)
+    kept = target.join(df.select(*on).distinct(), on, "left_anti")
+    merged = kept.unionByName(df, allowMissingColumns=True)
+    merged.createOrReplaceTempView(target_name)
+    return merged

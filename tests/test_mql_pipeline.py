@@ -1,0 +1,228 @@
+"""Pipeline-stage tests for stages not already covered by the oracle
+battery: $graphLookup (vs DuckDB recursive CTE), $densify, $facet,
+$top/$bottomN, $out/$merge, $expMovingAvg, $fill."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.errors import MQLTranslationError
+from mongo_arrow_spark.mql import apply_pipeline
+
+
+@pytest.fixture(scope="module")
+def graph_df(spark):
+    # employee -> manager edges (a small org tree with a cycle guard)
+    rows = [
+        ("dev1", "lead1"),
+        ("dev2", "lead1"),
+        ("lead1", "dir"),
+        ("lead2", "dir"),
+        ("dir", "ceo"),
+        ("ceo", None),
+    ]
+    return spark.createDataFrame(rows, "name string, reports_to string")
+
+
+def test_graph_lookup_reporting_chain(spark, graph_df, duck):
+    out = apply_pipeline(
+        graph_df,
+        [
+            {
+                "$graphLookup": {
+                    "from": "employees",
+                    "startWith": "$reports_to",
+                    "connectFromField": "reports_to",
+                    "connectToField": "name",
+                    "as": "chain",
+                    "depthField": "depth",
+                }
+            }
+        ],
+        collections={"employees": graph_df},
+    )
+    got = {
+        r["name"]: sorted((c["name"], c["depth"]) for c in r["chain"])
+        for r in out.collect()
+    }
+    assert got["dev1"] == [("ceo", 2), ("dir", 1), ("lead1", 0)]
+    assert got["ceo"] == []
+    # oracle: recursive CTE over the same edges
+    duck.execute("CREATE OR REPLACE TABLE emp(name VARCHAR, reports_to VARCHAR)")
+    for r in graph_df.collect():
+        duck.execute("INSERT INTO emp VALUES (?, ?)", [r["name"], r["reports_to"]])
+    rows = duck.execute(
+        """
+        WITH RECURSIVE chain(origin, cur, depth) AS (
+          SELECT name, reports_to, 0 FROM emp WHERE reports_to IS NOT NULL
+          UNION ALL
+          SELECT c.origin, e.reports_to, c.depth + 1
+          FROM chain c JOIN emp e ON c.cur = e.name
+          WHERE e.reports_to IS NOT NULL
+        )
+        SELECT origin, cur, depth FROM chain ORDER BY origin, depth
+        """
+    ).fetchall()
+    want: dict = {}
+    for origin, cur, depth in rows:
+        want.setdefault(origin, []).append((cur, depth))
+    for name, chain in want.items():
+        assert sorted(chain) == got[name], name
+
+
+def test_graph_lookup_cycle_terminates(spark):
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "name string, nxt string"
+    )
+    out = apply_pipeline(
+        cyc,
+        [
+            {
+                "$graphLookup": {
+                    "from": "g",
+                    "startWith": "$nxt",
+                    "connectFromField": "nxt",
+                    "connectToField": "name",
+                    "as": "reach",
+                }
+            }
+        ],
+        collections={"g": cyc},
+    )
+    got = {r["name"]: sorted(c["name"] for c in r["reach"]) for r in out.collect()}
+    assert got["a"] == ["a", "b", "c"]  # full cycle reached, loop terminated
+
+
+def test_densify_partition(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 4, 40.0), ("b", 2, 20.0), ("b", 3, 30.0)],
+        "k string, x int, v double",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$densify": {
+                    "field": "x",
+                    "partitionByFields": ["k"],
+                    "range": {"step": 1, "bounds": "partition"},
+                }
+            }
+        ],
+    )
+    rows = {(r["k"], r["x"]): r["v"] for r in out.collect()}
+    assert rows[("a", 2)] is None and rows[("a", 3)] is None
+    assert rows[("a", 1)] == 10.0 and len(rows) == 6
+
+
+def test_densify_full_bounds(spark):
+    df = spark.createDataFrame([(1,), (5,)], "x int")
+    out = apply_pipeline(
+        df, [{"$densify": {"field": "x", "range": {"step": 2, "bounds": "full"}}}]
+    )
+    assert sorted(r["x"] for r in out.collect()) == [1, 3, 5]
+
+
+def test_top_bottom_accumulators(spark, tables):
+    out = apply_pipeline(
+        tables["orders"],
+        [
+            {
+                "$group": {
+                    "_id": "$o_orderstatus",
+                    "best": {
+                        "$top": {
+                            "sortBy": {"o_totalprice": -1},
+                            "output": "$o_orderkey",
+                        }
+                    },
+                    "top3": {
+                        "$topN": {
+                            "n": 3,
+                            "sortBy": {"o_totalprice": -1},
+                            "output": "$o_orderkey",
+                        }
+                    },
+                }
+            }
+        ],
+    )
+    rows = {r["_id"]: r for r in out.collect()}
+    orders = tables["orders"].collect()
+    for status, row in rows.items():
+        want = [
+            o["o_orderkey"]
+            for o in sorted(
+                (o for o in orders if o["o_orderstatus"] == status),
+                key=lambda o: (-o["o_totalprice"], o["o_orderkey"]),
+            )
+        ][:3]
+        assert row["best"] == want[0]
+        assert list(row["top3"]) == want
+
+
+def test_out_and_merge(spark, tables):
+    orders = tables["orders"]
+    apply_pipeline(
+        orders,
+        [{"$match": {"o_orderstatus": "F"}}, {"$out": "f_orders"}],
+    )
+    n_f = spark.table("f_orders").count()
+    assert n_f == orders.filter(F.col("o_orderstatus") == "F").count()
+
+    # merge: updated rows replace on key, new rows insert
+    updates = orders.limit(5).withColumn("o_orderpriority", F.lit("X-UPDATED"))
+    merged = apply_pipeline(
+        updates,
+        [{"$merge": {"into": "f_orders", "on": "o_orderkey"}}],
+        collections={"f_orders": spark.table("f_orders")},
+    )
+    got = merged.filter(F.col("o_orderpriority") == "X-UPDATED").count()
+    assert got == 5
+
+
+def test_exp_moving_avg(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0)], "k string, t int, v double"
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$k",
+                    "sortBy": {"t": 1},
+                    "output": {"ema": {"$expMovingAvg": {"input": "$v", "N": 2}}},
+                }
+            }
+        ],
+    )
+    rows = sorted(out.collect(), key=lambda r: r["t"])
+    # alpha = 2/(N+1) = 2/3; ema: 10, 10/3+40/3=16.67, ...
+    assert abs(rows[0]["ema"] - 10.0) < 1e-9
+    assert abs(rows[1]["ema"] - (10 + (20 - 10) * 2 / 3)) < 1e-9
+
+
+def test_fill_locf(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("a", 3, 3.0), ("a", 4, None)],
+        "k string, t int, v double",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$fill": {
+                    "partitionBy": "$k",
+                    "sortBy": {"t": 1},
+                    "output": {"v": {"method": "locf"}},
+                }
+            }
+        ],
+    )
+    vals = [r["v"] for r in sorted(out.collect(), key=lambda r: r["t"])]
+    assert vals == [1.0, 1.0, 3.0, 3.0]
+
+
+def test_unsupported_stage_raises(spark, tables):
+    with pytest.raises(MQLTranslationError):
+        apply_pipeline(tables["orders"], [{"$weirdStage": 1}])
