@@ -54,6 +54,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        fn(spark, sf_dir).collect()  # warm-up: codegen + broadcast build
         start = time.perf_counter()
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - start, 3)

@@ -29,15 +29,22 @@ from mongo_arrow_spark.result import ArrowWriteResult
 from mongo_arrow_spark.schema import Schema
 
 
-def _apply_schema(df: DataFrame, schema: Schema | None) -> DataFrame:
+def _apply_schema(
+    df: DataFrame, schema: Schema | None, allow_invalid: bool = False
+) -> DataFrame:
     """Project + cast to the declared schema (reference injects a $project
-    derived from the schema, api.py:172-173, and builders enforce types)."""
+    derived from the schema, api.py:172-173, and builders enforce types).
+
+    ``allow_invalid`` mirrors the reference flag (api.py:140,
+    lib.pyx:452-455): False → strict cast (ANSI error on bad values),
+    True → try_cast (invalid values become null)."""
     if schema is None:
         return df
+    cast = (lambda c, t: c.try_cast(t)) if allow_invalid else (lambda c, t: c.cast(t))
     cols = []
     for field in schema.to_struct_type().fields:
         if field.name in df.columns:
-            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            cols.append(cast(F.col(field.name), field.dataType).alias(field.name))
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
@@ -48,6 +55,7 @@ def find(
     query: dict | None = None,
     *,
     schema: Schema | None = None,
+    allow_invalid: bool = False,
     projection: dict | None = None,
     sort: list[tuple] | None = None,
     limit: int | None = None,
@@ -80,7 +88,7 @@ def find(
         out = out.offset(int(skip))
     if limit:
         out = out.limit(int(limit))
-    return _apply_schema(out, schema)
+    return _apply_schema(out, schema, allow_invalid)
 
 
 def aggregate(
@@ -88,10 +96,13 @@ def aggregate(
     pipeline: list[dict],
     *,
     schema: Schema | None = None,
+    allow_invalid: bool = False,
     collections: Mapping[str, DataFrame] | None = None,
 ) -> DataFrame:
     """MQL aggregate → lazy DataFrame (reference api.py:210-256)."""
-    return _apply_schema(apply_pipeline(df, pipeline, collections), schema)
+    return _apply_schema(
+        apply_pipeline(df, pipeline, collections), schema, allow_invalid
+    )
 
 
 # ------------------------------------------------------------ terminal forms

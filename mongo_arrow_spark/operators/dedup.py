@@ -89,10 +89,24 @@ def ngram_jaccard_pairs(
     |A∩B|; |A∪B| = |A|+|B|-|A∩B|. Shuffles scale with posting-list mass,
     not docs² — cap with ``max_df`` on web-scale corpora.
     """
-    sizes = df.select(
-        F.col(id_col).alias("id"), F.size(shingles(text_col, n)).alias("sz")
-    )
-    posts = _posting_list(df, id_col, text_col, n, max_df)
+    from pyspark import StorageLevel
+
+    # one shingle pass: posting list is built once, persisted (at corpus
+    # scale use DISK-backed persist or a checkpoint table), and set sizes
+    # are derived from it instead of re-tokenizing the corpus
+    posts_all = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = posts_all.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    posts = posts_all
+    if max_df is not None:
+        hot = (
+            posts_all.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        posts = posts_all.join(F.broadcast(hot), "sh", "left_anti")
     a, b = posts.alias("a"), posts.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))

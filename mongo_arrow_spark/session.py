@@ -53,6 +53,13 @@ def get_spark(
         # nanos type — read as long and convert in load_tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # local corpus files are ~1-10 MB; split small so local[N] scans in
+        # parallel (production keeps the 128 MB default — row groups of
+        # real 100 TB tables are sized for it)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
