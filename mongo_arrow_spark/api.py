@@ -60,9 +60,21 @@ def find(
     sort: list[tuple] | None = None,
     limit: int | None = None,
     skip: int | None = None,
+    **kwargs,
 ) -> DataFrame:
     """MQL find → lazy DataFrame (reference find_arrow_all minus collection,
-    api.py:129-207; sort/limit/skip mirror its passthrough kwargs)."""
+    api.py:129-207; sort/limit/skip mirror its passthrough kwargs).
+
+    Cursor-level options are meaningless under Spark's batching and are
+    warned-and-dropped, exactly like the reference (api.py:164-170)."""
+    import warnings
+
+    for opt in ("cursor_type", "batch_size", "batchSize", "useCursor", "session"):
+        if opt in kwargs:
+            kwargs.pop(opt)
+            warnings.warn(f"Ignoring option {opt!r} (Spark manages batching)")
+    if kwargs:
+        raise TypeError(f"unexpected find() options: {sorted(kwargs)}")
     out = df.filter(translate_match(query)) if query else df
     if projection:
         include = [k for k, v in projection.items() if v in (1, True)]
@@ -152,13 +164,49 @@ def aggregate_polars_all(df, pipeline, **kw):
     return pl.from_arrow(aggregate_arrow_all(df, pipeline, **kw))
 
 
-def write(df_or_tabular, path: str, *, format: str = "parquet", mode: str = "append", spark=None, **options) -> ArrowWriteResult:
+def _auto_convert_casts(df: DataFrame) -> DataFrame:
+    """Write-side auto-casts (reference api.py:626-648): date32/64 →
+    timestamp; narrow ints → int; uint32/64 → long; float16/32 → double.
+    Spark has no unsigned/float16, so the reachable set is date→timestamp,
+    byte/short→int, float→double."""
+    from pyspark.sql import types as T
+
+    casts = {}
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.DateType):
+            casts[f.name] = F.col(f.name).cast("timestamp")
+        elif isinstance(f.dataType, (T.ByteType, T.ShortType)):
+            casts[f.name] = F.col(f.name).cast("int")
+        elif isinstance(f.dataType, T.FloatType):
+            casts[f.name] = F.col(f.name).cast("double")
+    return df.withColumns(casts) if casts else df
+
+
+def write(
+    df_or_tabular,
+    path: str,
+    *,
+    format: str = "parquet",
+    mode: str = "append",
+    spark=None,
+    exclude_none: bool = False,
+    auto_convert: bool = True,
+    **options,
+) -> ArrowWriteResult:
     """Bulk write (reference api.py:602-713). The reference batches BSON
     inserts under byte/count caps; Spark writers batch per partition task and
     the commit protocol replaces the offset-rebasing error dance. Accepts a
     DataFrame or any tabular (arrow Table / pandas / dict-of-ndarray), which
-    is converted via the Arrow path first."""
+    is converted via the Arrow path first.
+
+    ``auto_convert`` mirrors api.py:626-648 (pre-write type normalization);
+    ``exclude_none`` mirrors api.py:553-575 (skip null fields — honored by
+    the documents sink; columnar formats carry nulls natively)."""
     df = _as_dataframe(df_or_tabular, spark)
+    if auto_convert:
+        df = _auto_convert_casts(df)
+    if exclude_none:
+        options.setdefault("excludeNone", "true")
     n = df.count()
     df.write.format(format).mode(mode).options(**options).save(path)
     return ArrowWriteResult({"insertedCount": n})

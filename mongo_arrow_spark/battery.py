@@ -5,6 +5,7 @@ queries_mql.py and queries_ops.py add to them at import time.
 """
 
 from mongo_arrow_spark.queries import ORACLES, QUERIES
+import mongo_arrow_spark.queries_extra  # noqa: F401 — set ops/pivot/cube/HOFs
 import mongo_arrow_spark.queries_mql  # noqa: F401 — registers MQL queries
 import mongo_arrow_spark.queries_ops  # noqa: F401 — registers operator queries
 

@@ -747,6 +747,50 @@ def _min_expr(args, env):
     return F.array_min(translate_expr(args, env))
 
 
+# ------------------------------------------------------------------ set ops
+
+
+@_op("$setUnion")
+def _set_union(args, env):
+    cols = _many(args, env)
+    return F.array_distinct(F.concat(*cols) if len(cols) > 1 else cols[0])
+
+
+@_op("$setIntersection")
+def _set_intersection(args, env):
+    return _reduce(F.array_intersect, _many(args, env, 2))
+
+
+@_op("$setDifference")
+def _set_difference(args, env):
+    a, b = _pair(args, env)
+    return F.array_except(a, b)
+
+
+@_op("$setEquals")
+def _set_equals(args, env):
+    a, b = _pair(args, env)
+    return F.sort_array(F.array_distinct(a)) == F.sort_array(F.array_distinct(b))
+
+
+@_op("$setIsSubset")
+def _set_is_subset(args, env):
+    a, b = _pair(args, env)
+    return F.size(F.array_except(a, b)) == 0
+
+
+@_op("$allElementsTrue")
+def _all_elements_true(args, env):
+    (a,) = _many(args, env)
+    return F.forall(a, lambda x: x.cast("boolean"))
+
+
+@_op("$anyElementTrue")
+def _any_element_true(args, env):
+    (a,) = _many(args, env)
+    return F.exists(a, lambda x: x.cast("boolean"))
+
+
 # ------------------------------------------------------------------ map/objs
 
 

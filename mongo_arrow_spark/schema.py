@@ -83,7 +83,8 @@ def normalize_type(type_id) -> tuple[T.DataType, dict]:
         return type_id.spark_type, type_id.metadata()
     if isinstance(type_id, bt.Binary):
         return type_id.spark_type, type_id.metadata()
-    if type_id in _PY_TYPES:
+    # dict/list type-ids are unhashable — branch before the map lookup
+    if not isinstance(type_id, (dict, list)) and type_id in _PY_TYPES:
         return _PY_TYPES[type_id], meta
     if pa is not None and isinstance(type_id, pa.DataType):
         return _from_arrow(type_id), meta
