@@ -102,7 +102,7 @@ def q_except(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
-    return y96.exceptAll(y97).distinct()
+    return y96.subtract(y97)  # EXCEPT DISTINCT semantics, matches SQL EXCEPT
 
 
 @query(
