@@ -8,5 +8,6 @@ from mongo_arrow_spark.queries import ORACLES, QUERIES
 import mongo_arrow_spark.queries_extra  # noqa: F401 — set ops/pivot/cube/HOFs
 import mongo_arrow_spark.queries_mql  # noqa: F401 — registers MQL queries
 import mongo_arrow_spark.queries_ops  # noqa: F401 — registers operator queries
+import mongo_arrow_spark.queries_streaming  # noqa: F401 — streaming + tfidf + ivf
 
 __all__ = ["QUERIES", "ORACLES"]

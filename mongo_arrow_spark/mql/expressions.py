@@ -696,7 +696,20 @@ def _sort_array(args, env):
     by = args.get("sortBy", 1)
     if by in (1, -1):
         return F.sort_array(inp, asc=by == 1)
-    raise MQLTranslationError("$sortArray with field sortBy not supported yet")
+    if isinstance(by, dict):
+        # sort array-of-structs by fields: comparator over getField chains
+        def cmp(left, right):
+            out = F.lit(0)
+            for fld, direction in reversed(list(by.items())):
+                l, r = left.getField(fld), right.getField(fld)
+                lo, hi = (-1, 1) if direction == 1 else (1, -1)
+                out = (
+                    F.when(l < r, F.lit(lo)).when(l > r, F.lit(hi)).otherwise(out)
+                )
+            return out
+
+        return F.array_sort(inp, cmp)
+    raise MQLTranslationError(f"bad $sortArray sortBy: {by!r}")
 
 
 @_op("$isArray")

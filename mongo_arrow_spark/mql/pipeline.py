@@ -58,7 +58,12 @@ def apply_pipeline(
         fn = _STAGES.get(name)
         if fn is None:
             raise MQLTranslationError(f"unsupported pipeline stage: {name}")
-        df = fn(df, args, _resolver(collections))
+        try:
+            df = fn(df, args, _resolver(collections))
+        except KeyError as exc:
+            raise MQLTranslationError(
+                f"stage {name} (index {i}) is missing required argument {exc}"
+            ) from exc
     return df
 
 

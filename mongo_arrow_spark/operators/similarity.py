@@ -109,6 +109,41 @@ def cosine_topk_lsh(
     return cosine_topk(candidates, q, k, id_col, vec_col)
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: KMeans-partition the corpus (seeded),
+    score only the ``n_probe`` cells nearest the query.
+
+    At corpus scale the cluster id is persisted as a partition column, so
+    probing = partition pruning (scan shrinks n_clusters/n_probe-fold);
+    here the assignment runs inline. Centroids are tiny (n_clusters × dim)
+    — the only driver-side state."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v").fit(feats)
+    q = [float(x) for x in query_vec]
+
+    def dist2(c) -> float:
+        return sum((a - b) ** 2 for a, b in zip(c, q))
+
+    probe = sorted(
+        range(n_clusters), key=lambda i: dist2(model.clusterCenters()[i])
+    )[:n_probe]
+    assigned = model.transform(feats).withColumnRenamed("prediction", "__cell")
+    candidates = assigned.filter(F.col("__cell").isin(probe)).drop("__v", "__cell")
+    return cosine_topk(candidates, q, k, id_col, vec_col)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

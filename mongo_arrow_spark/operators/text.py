@@ -87,6 +87,52 @@ LANG_MARKERS = {
 }
 
 
+def tfidf_search(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Keyword search: rank documents by Σ tf(t,d)·ln(N/df(t)) over the
+    query terms — the engine's answer to MQL's server-only ``$text``
+    (SURVEY 2.E text-search row).
+
+    Plan: one pass computes all term document-frequencies (conditional
+    counts in a single aggregate → broadcast 1 row), second pass scores
+    each doc map-side and TakeOrdereds the top k. No shuffle of the corpus.
+    """
+    toks = tokens(text_col)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.when(F.array_contains(toks, t), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    def term_count(term):
+        def pred(w):  # arity-1 closure (2-param lambdas bind (value, index))
+            return w == F.lit(term)
+
+        return F.size(F.filter(toks, pred))
+
+    score = None
+    for i, t in enumerate(terms):
+        tf = term_count(t)
+        idf = F.log(F.col("__n") / F.col(f"__df_{i}"))
+        part = F.when(F.col(f"__df_{i}") > 0, tf * idf).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(score, 4).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
     """Predicted language = argmax over marker-word hit counts; 'und' when no
     marker hits. Deterministic tie-break by language code order."""
