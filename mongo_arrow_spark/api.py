@@ -77,19 +77,10 @@ def find(
         raise TypeError(f"unexpected find() options: {sorted(kwargs)}")
     out = df.filter(translate_match(query)) if query else df
     if projection:
-        include = [k for k, v in projection.items() if v in (1, True)]
-        exclude = [k for k, v in projection.items() if v in (0, False)]
-        computed = {
-            k: v for k, v in projection.items() if v not in (0, 1, True, False)
-        }
-        if include or computed:
-            cols = [F.col(c) for c in include]
-            if "_id" in out.columns and "_id" not in exclude and "_id" not in include:
-                cols.insert(0, F.col("_id"))
-            cols += [translate_expr(v).alias(k) for k, v in computed.items()]
-            out = out.select(*cols)
-        elif exclude:
-            out = out.drop(*exclude)
+        # same semantics as the $project stage (incl. nested-path grouping)
+        from mongo_arrow_spark.mql.pipeline import _project
+
+        out = _project(out, projection, None)
     if sort:
         cols = []
         for field, direction in sort:
@@ -280,3 +271,7 @@ class Collection:
     def aggregate_polars_all(self, pipeline, **kw):
         kw.setdefault("collections", self.collections)
         return aggregate_polars_all(self.df, pipeline, **kw)
+
+    def write(self, path, **kw):
+        kw.setdefault("spark", self.df.sparkSession)
+        return write(self.df, path, **kw)

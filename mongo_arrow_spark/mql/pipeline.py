@@ -242,6 +242,12 @@ def _accumulator(spec) -> Column:
         return F.stddev_samp(translate_expr(arg))
     if op == "$mergeObjects":
         raise MQLTranslationError("$mergeObjects accumulator not supported yet")
+    if op == "$median":
+        return F.median(translate_expr(arg["input"] if isinstance(arg, dict) else arg))
+    if op == "$percentile":
+        inp = translate_expr(arg["input"])
+        pcts = arg["p"]
+        return F.percentile(inp, F.array(*[F.lit(float(p)) for p in pcts]))
     if op in ("$minN", "$maxN"):
         inp = translate_expr(arg["input"])
         n = int(arg["n"])
@@ -551,6 +557,12 @@ def _window_agg(op, arg) -> Column:
         return F.stddev_pop(translate_expr(arg))
     if op == "$stdDevSamp":
         return F.stddev_samp(translate_expr(arg))
+    if op == "$covariancePop":
+        a, b = arg
+        return F.covar_pop(translate_expr(a), translate_expr(b))
+    if op == "$covarianceSamp":
+        a, b = arg
+        return F.covar_samp(translate_expr(a), translate_expr(b))
     raise MQLTranslationError(f"unsupported window function: {op}")
 
 

@@ -201,6 +201,43 @@ def mql_array_hof(spark, sf_dir):
 
 
 @query(
+    "mql_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4) AS med_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def mql_percentiles(spark, sf_dir):
+    """$median/$percentile accumulators (MQL 7.0) → Spark exact
+    percentile with linear interpolation (matches quantile_cont)."""
+    return aggregate(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {
+                "$group": {
+                    "_id": "$l_returnflag",
+                    "med_qty": {"$median": {"input": "$l_quantity"}},
+                    "p25": {"$percentile": {"input": "$l_extendedprice", "p": [0.25]}},
+                    "p75": {"$percentile": {"input": "$l_extendedprice", "p": [0.75]}},
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "l_returnflag": "$_id",
+                    "med_qty": {"$round": ["$med_qty", 4]},
+                    "p25_price": {"$round": [{"$arrayElemAt": ["$p25", 0]}, 4]},
+                    "p75_price": {"$round": [{"$arrayElemAt": ["$p75", 0]}, 4]},
+                }
+            },
+        ],
+    )
+
+
+@query(
     "q_quarterly_trend",
     """
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,

@@ -405,7 +405,13 @@ class DocumentsWriter(DataSourceWriter):
             nbytes = ndocs = 0
 
         for row in rows:
-            doc = dict(zip(names, row))
+            # asDict(recursive) keeps struct field names (a bare tuple
+            # would serialize structs as JSON arrays)
+            doc = (
+                row.asDict(recursive=True)
+                if hasattr(row, "asDict")
+                else dict(zip(names, row))
+            )
             if self.exclude_none:
                 doc = {k: v for k, v in doc.items() if v is not None}
             data = json.dumps(doc, default=_json_default) + "\n"
