@@ -59,7 +59,7 @@ def apply_pipeline(
         if fn is None:
             raise MQLTranslationError(f"unsupported pipeline stage: {name}")
         try:
-            df = fn(df, args, _resolver(collections))
+            df = fn(df, args, _resolver(collections, df.sparkSession))
         except KeyError as exc:
             raise MQLTranslationError(
                 f"stage {name} (index {i}) is missing required argument {exc}"
@@ -67,15 +67,27 @@ def apply_pipeline(
     return df
 
 
-def _resolver(collections: Collections) -> Callable[[str], DataFrame]:
+def _resolver(
+    collections: Collections, spark=None
+) -> Callable[[str], DataFrame]:
     def resolve(name: str) -> DataFrame:
-        if collections is None:
-            raise MQLTranslationError(
-                f"stage references collection {name!r} but no collections were provided"
-            )
-        if callable(collections):
-            return collections(name)
-        return collections[name]
+        if collections is not None:
+            if callable(collections):
+                return collections(name)
+            if name in collections:
+                return collections[name]
+        if spark is not None:
+            # default catalog: registered views (load_tables registers the
+            # corpus; $out registers its targets)
+            try:
+                return spark.table(name)
+            except Exception as exc:
+                raise MQLTranslationError(
+                    f"unknown collection {name!r} (not in collections or catalog)"
+                ) from exc
+        raise MQLTranslationError(
+            f"stage references collection {name!r} but no collections were provided"
+        )
 
     return resolve
 
