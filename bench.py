@@ -37,6 +37,10 @@ HEADLINE = [
     "text_token_stats",
     "text_quality",
     "multimodal_decode",
+    "text_search_tfidf",
+    "ts_asof_join",
+    "skew_salted_group",
+    "mql_percentiles",
 ]
 
 

@@ -142,9 +142,15 @@ def _add_fields(df, args, resolve):
         col = translate_expr(val)
         if "." in key:
             root, _, rest = key.partition(".")
-            if "." in rest:
-                raise MQLTranslationError("$addFields supports one nesting level")
-            df = df.withColumn(root, F.col(root).withField(rest, col))
+
+            def build(base, parts):
+                if len(parts) == 1:
+                    return base.withField(parts[0], col)
+                return base.withField(
+                    parts[0], build(base.getField(parts[0]), parts[1:])
+                )
+
+            df = df.withColumn(root, build(F.col(root), rest.split(".")))
         else:
             df = df.withColumn(key, col)
     return df

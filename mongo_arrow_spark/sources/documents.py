@@ -314,6 +314,9 @@ class DocumentsReader(DataSourceReader):
         splits = []
         for path in self.paths:
             size = os.path.getsize(path)
+            if path.endswith(".bson"):
+                splits.append(_Split(path, 0, size))  # length-prefixed: no byte splits
+                continue
             n = max(1, math.ceil(size / self.partition_bytes))
             step = math.ceil(size / n) if size else 1
             for i in range(n):
@@ -332,6 +335,33 @@ class DocumentsReader(DataSourceReader):
         fields = self.schema.fields
         cols: list[list] = [[] for _ in fields]
         n = 0
+        if part.path.endswith(".bson"):
+            # BSON dump support (the reference's native format) — gated on
+            # the bson package; length-prefixed docs can't split on
+            # newlines, so each .bson file is one partition.
+            try:
+                import bson
+            except ImportError as exc:  # pragma: no cover
+                raise ImportError(
+                    "reading .bson dumps requires the 'bson' package "
+                    "(pip install pymongo); JSON-lines needs no extras"
+                ) from exc
+            with open(part.path, "rb") as fh:
+                for doc in bson.decode_file_iter(fh):
+                    if self.filters and not pred(doc):
+                        continue
+                    for i, f in enumerate(fields):
+                        cols[i].append(
+                            _coerce(doc.get(f.name), f.dataType, self.strict, f.name)
+                        )
+                    n += 1
+                    if n >= self.batch_size:
+                        yield _to_batch(pa, arrow_schema, cols)
+                        cols = [[] for _ in fields]
+                        n = 0
+            if n:
+                yield _to_batch(pa, arrow_schema, cols)
+            return
         with open(part.path, "r", encoding="utf-8") as fh:
             fh.seek(part.start)
             if part.start > 0:
