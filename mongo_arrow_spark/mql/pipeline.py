@@ -112,24 +112,33 @@ def _project(df, args, resolve):
             computed[key] = translate_expr(val)
     if include or computed:
         cols = []
-        # nested-path inclusion: group "a.b" paths under root "a" as a struct
-        roots: dict[str, list[str]] = {}
+        # nested paths: group "a.b" (included or computed) under root "a"
+        roots: dict[str, list[tuple[str, object]]] = {}
+        plain_computed = {}
         for key in include:
             root, _, rest = key.partition(".")
-            roots.setdefault(root, []).append(rest)
+            roots.setdefault(root, []).append((rest, None))
+        for key, col in computed.items():
+            if "." in key:
+                root, _, rest = key.partition(".")
+                roots.setdefault(root, []).append((rest, col))
+            else:
+                plain_computed[key] = col
         keep_id = "_id" not in exclude
-        if keep_id and "_id" in df.columns and "_id" not in roots and "_id" not in computed:
+        if keep_id and "_id" in df.columns and "_id" not in roots and "_id" not in plain_computed:
             cols.append(F.col("_id"))
-        for root, rests in roots.items():
-            if any(r == "" for r in rests):
+        for root, entries in roots.items():
+            if any(rest == "" and col is None for rest, col in entries):
                 cols.append(F.col(root))
             else:
-                cols.append(
-                    F.struct(
-                        *[F.col(f"{root}.{r}").alias(r.split(".")[-1]) for r in rests]
-                    ).alias(root)
-                )
-        for key, col in computed.items():
+                fields = [
+                    (col if col is not None else F.col(f"{root}.{rest}")).alias(
+                        rest.split(".")[-1]
+                    )
+                    for rest, col in entries
+                ]
+                cols.append(F.struct(*fields).alias(root))
+        for key, col in plain_computed.items():
             cols.append(col.alias(key))
         return df.select(*cols)
     # pure exclusion mode
@@ -314,7 +323,14 @@ def _unwind(df, args, resolve):
     index_field = args.get("includeArrayIndex")
     explode = F.explode_outer if preserve else F.explode
     if "." in path:
-        raise MQLTranslationError("$unwind of nested paths not supported yet")
+        root, _, rest = path.partition(".")
+        if "." in rest:
+            raise MQLTranslationError("$unwind supports one nesting level")
+        # explode the nested array, then put the ELEMENT back at the path
+        df = df.withColumn("__uw", explode(F.col(path)))
+        return df.withColumn(
+            root, F.col(root).withField(rest, F.col("__uw"))
+        ).drop("__uw")
     if index_field:
         pos = F.posexplode_outer(path) if preserve else F.posexplode(path)
         other = [c for c in df.columns if c != path]
