@@ -260,6 +260,11 @@ def _accumulator(spec) -> Column:
     if op == "$addToSet":
         return F.collect_set(translate_expr(arg))
     if op == "$first":
+        # Semantics delta (documented): MQL's $first respects the
+        # pipeline's preceding $sort; a distributed groupBy has no such
+        # order, so F.first is arbitrary-within-group. For deterministic
+        # "first by sort key" use $top {sortBy, output} — implemented
+        # below via sort_array (exact MQL 5.2+ equivalent).
         return F.first(translate_expr(arg), ignorenulls=False)
     if op == "$last":
         return F.last(translate_expr(arg), ignorenulls=False)
@@ -351,6 +356,10 @@ def _lookup(df, args, resolve):
     """
     as_field = args["as"]
     foreign = resolve(args["from"])
+    # engine extension: {"hint": "broadcast"} forces a broadcast of the
+    # (grouped) foreign side — for dims known small regardless of stats
+    if args.get("hint") == "broadcast":
+        foreign = F.broadcast(foreign)
     pipeline = args.get("pipeline")
     if pipeline is not None and "localField" not in args:
         let = args.get("let", {})

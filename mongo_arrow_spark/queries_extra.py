@@ -238,6 +238,34 @@ def mql_percentiles(spark, sf_dir):
 
 
 @query(
+    "q_events_props_map",
+    """
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS total
+    FROM (SELECT unnest(map_keys(CAST(props AS MAP(VARCHAR, BIGINT)))) AS k,
+                 unnest(map_values(CAST(props AS MAP(VARCHAR, BIGINT)))) AS v
+          FROM (SELECT CAST(props AS JSON) AS props FROM events))
+    GROUP BY k
+    """,
+)
+def q_events_props_map(spark, sf_dir):
+    """Semi-structured props as a real MapType (the engine improvement over
+    the reference's dynamic-key structs, SURVEY §1.2): from_json to map,
+    explode entries, aggregate per key."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("k", "v"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("total"),
+        )
+    )
+
+
+@query(
     "q_quarterly_trend",
     """
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
