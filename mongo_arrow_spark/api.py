@@ -275,3 +275,14 @@ class Collection:
     def write(self, path, **kw):
         kw.setdefault("spark", self.df.sparkSession)
         return write(self.df, path, **kw)
+
+    # pymongo-surface conveniences (same names/semantics)
+    def distinct(self, field: str, query: dict | None = None) -> list:
+        out = find(self.df, query).select(field).distinct().collect()
+        return sorted((r[0] for r in out), key=lambda v: (v is None, v))
+
+    def count_documents(self, query: dict | None = None) -> int:
+        return find(self.df, query).count()
+
+    def estimated_document_count(self) -> int:
+        return self.df.count()

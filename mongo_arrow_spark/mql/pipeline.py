@@ -141,8 +141,14 @@ def _project(df, args, resolve):
         for key, col in plain_computed.items():
             cols.append(col.alias(key))
         return df.select(*cols)
-    # pure exclusion mode
-    return df.drop(*exclude)
+    # pure exclusion mode (dotted paths drop nested struct fields)
+    plain = [f for f in exclude if "." not in f]
+    out = df.drop(*plain)
+    for f in exclude:
+        if "." in f:
+            root, _, rest = f.partition(".")
+            out = out.withColumn(root, F.col(root).dropFields(rest))
+    return out
 
 
 @_stage("$addFields", "$set")

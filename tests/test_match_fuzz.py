@@ -1,0 +1,104 @@
+"""Randomized find-filter translator check: generated MQL query documents
+evaluated by the translator on Spark vs a pure-python reference evaluator
+on the same rows. Seeded corpus (fast, deterministic) — extends the
+property-testing layer into the query language itself."""
+
+import random
+
+import pytest
+
+from mongo_arrow_spark.mql import translate_match
+
+FIELDS = {
+    "a": lambda rng: rng.randint(-5, 5),
+    "b": lambda rng: rng.choice([None, 0.5, 1.5, 2.5]),
+    "s": lambda rng: rng.choice([None, "x", "y", "zz"]),
+}
+
+OPS = ["$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$exists"]
+
+
+def gen_pred(rng):
+    field = rng.choice(list(FIELDS))
+    op = rng.choice(OPS)
+    val = FIELDS[field](rng)
+    if op == "$in":
+        return {field: {"$in": [FIELDS[field](rng) for _ in range(3)]}}
+    if op == "$exists":
+        return {field: {"$exists": rng.choice([True, False])}}
+    if val is None:
+        return {field: None}
+    return {field: {op: val}}
+
+
+def gen_query(rng, depth=0):
+    kind = rng.random()
+    if depth < 2 and kind < 0.25:
+        return {"$and": [gen_query(rng, depth + 1), gen_query(rng, depth + 1)]}
+    if depth < 2 and kind < 0.5:
+        return {"$or": [gen_query(rng, depth + 1), gen_query(rng, depth + 1)]}
+    return gen_pred(rng)
+
+
+def py_eval(query, row) -> bool:
+    """Reference evaluator with the engine's documented semantics
+    (missing==null, $ne null-safe, null comparisons false)."""
+    for key, value in query.items():
+        if key == "$and":
+            if not all(py_eval(q, row) for q in value):
+                return False
+        elif key == "$or":
+            if not any(py_eval(q, row) for q in value):
+                return False
+        else:
+            v = row.get(key)
+            if isinstance(value, dict):
+                for op, arg in value.items():
+                    if op == "$eq" and not v == arg:
+                        return False
+                    if op == "$ne" and not (v != arg or (v is None) != (arg is None)):
+                        if v == arg:
+                            return False
+                    if op == "$gt" and not (v is not None and v > arg):
+                        return False
+                    if op == "$gte" and not (v is not None and v >= arg):
+                        return False
+                    if op == "$lt" and not (v is not None and v < arg):
+                        return False
+                    if op == "$lte" and not (v is not None and v <= arg):
+                        return False
+                    if op == "$in" and v not in arg:
+                        return False
+                    if op == "$exists" and (v is not None) != arg:
+                        return False
+            elif value is None:
+                if v is not None:
+                    return False
+            elif v != value:
+                return False
+    return True
+
+
+@pytest.fixture(scope="module")
+def fuzz_df(spark):
+    rng = random.Random(7)
+    rows = [
+        {name: gen(rng) for name, gen in FIELDS.items()} | {"i": i}
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(r["i"], r["a"], r["b"], r["s"]) for r in rows],
+        "i long, a long, b double, s string",
+    ).cache()
+    df.count()
+    return df, rows
+
+
+def test_match_translator_agrees_with_reference_eval(fuzz_df):
+    df, rows = fuzz_df
+    rng = random.Random(99)
+    for trial in range(25):
+        q = gen_query(rng)
+        got = {r["i"] for r in df.filter(translate_match(q)).select("i").collect()}
+        want = {r["i"] for r in rows if py_eval(q, r)}
+        assert got == want, f"trial {trial}: {q} → spark {sorted(got)[:8]} vs ref {sorted(want)[:8]}"
