@@ -132,7 +132,15 @@ def q_text_token_stats(spark, sf_dir):
     )
 
 
-@query("text_lang_id")  # rows-only: marker-lexicon argmax heuristic
+@query(
+    "text_lang_id",
+    """
+    SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS pred_lang
+      FROM (SELECT list_sort([struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('the', 'and', 'of', 'is', 'was', 'that'))), lang := 'en'), struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('der', 'die', 'das', 'und', 'ist', 'nicht'))), lang := 'de'), struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la', 'los', 'que', 'es', 'una'))), lang := 'es'), struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('le', 'la', 'les', 'est', 'une', 'dans'))), lang := 'fr'), struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('\u7684', '\u662f', '\u4e86', '\u5728', '\u6211', '\u4e0d'))), lang := 'zh')])[-1] AS best FROM documents))
+    GROUP BY pred_lang
+    """,
+)  # same argmax (max hits, tie-break max lang code) in both engines
 def q_text_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (

@@ -42,6 +42,37 @@ def q_asof(spark, sf_dir):
 
 
 @query(
+    "ts_session_windows",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM lagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def q_session_windows(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): Spark's native
+    session_window vs the classic gaps-and-islands SQL — identical
+    sessions. MQL has no equivalent (SURVEY 2.E streaming row)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+@query(
     "skew_salted_group",
     """
     SELECT event_type,

@@ -88,7 +88,10 @@ def read_documents_parquet(spark: SparkSession, path: str):
 
     df = spark.read.parquet(path)
     for col in _ns_timestamp_cols(path):
-        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+        # integer `div`, NOT `/`: float division of ~1e18 ns loses the
+        # last microsecond (53-bit mantissa) — truncate exactly like
+        # DuckDB's ns→µs conversion
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 
