@@ -227,6 +227,20 @@ def _as_dataframe(tabular, spark) -> DataFrame:
     raise MQLTranslationError(f"unsupported tabular type: {type(tabular)}")
 
 
+def create_view(
+    name: str,
+    source: DataFrame,
+    pipeline: list[dict] | None = None,
+    collections: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
+    """MongoDB-style view (db.createView(name, source, pipeline)): the
+    translated pipeline registered as a temp view — lazy like Mongo views,
+    re-planned by Catalyst on every read."""
+    df = aggregate(source, pipeline or [], collections=collections)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 class Collection:
     """DataFrame + name registry — the reference's ``pymongo.Collection``
     stand-in, giving the monkey-patched method surface (reference

@@ -760,6 +760,54 @@ def _min_expr(args, env):
     return F.array_min(translate_expr(args, env))
 
 
+@_op("$binarySize")
+def _binary_size(args, env):
+    return F.octet_length(translate_expr(args, env)).cast("long")
+
+
+@_op("$strcasecmp")
+def _strcasecmp(args, env):
+    a, b = _pair(args, env)
+    la, lb = F.lower(a), F.lower(b)
+    return F.when(la < lb, F.lit(-1)).when(la > lb, F.lit(1)).otherwise(F.lit(0))
+
+
+@_op("$rand")
+def _rand(args, env):
+    return F.rand()
+
+
+@_op("$degreesToRadians")
+def _deg2rad(args, env):
+    return F.radians(translate_expr(args, env))
+
+
+@_op("$radiansToDegrees")
+def _rad2deg(args, env):
+    return F.degrees(translate_expr(args, env))
+
+
+@_op("$sin")
+def _sin(args, env):
+    return F.sin(translate_expr(args, env))
+
+
+@_op("$cos")
+def _cos(args, env):
+    return F.cos(translate_expr(args, env))
+
+
+@_op("$tan")
+def _tan(args, env):
+    return F.tan(translate_expr(args, env))
+
+
+@_op("$atan2")
+def _atan2(args, env):
+    a, b = _pair(args, env)
+    return F.atan2(a, b)
+
+
 # ------------------------------------------------------------------ set ops
 
 

@@ -223,6 +223,51 @@ def test_fill_locf(spark):
     assert vals == [1.0, 1.0, 3.0, 3.0]
 
 
+def test_create_view(spark, tables):
+    from mongo_arrow_spark.api import create_view
+
+    create_view(
+        "open_orders", tables["orders"], [{"$match": {"o_orderstatus": "O"}}]
+    )
+    n = spark.sql("SELECT count(*) c FROM open_orders").first()["c"]
+    assert n == tables["orders"].filter("o_orderstatus = 'O'").count()
+    # views compose: a pipeline can $lookup the view via the catalog
+    from mongo_arrow_spark.api import aggregate
+
+    out = aggregate(
+        tables["customer"],
+        [
+            {"$match": {"c_custkey": {"$lt": 5}}},
+            {
+                "$lookup": {
+                    "from": "open_orders",
+                    "localField": "c_custkey",
+                    "foreignField": "o_custkey",
+                    "as": "orders",
+                }
+            },
+        ],
+    )
+    assert out.count() == 5
+
+
+def test_trig_and_misc_ops(spark):
+    import math
+
+    from mongo_arrow_spark.mql import translate_expr
+
+    df = spark.createDataFrame([(0.5, b"abc")], "x double, b binary")
+    r = df.select(
+        translate_expr({"$sin": "$x"}).alias("s"),
+        translate_expr({"$degreesToRadians": 180}).alias("r"),
+        translate_expr({"$binarySize": "$b"}).alias("n"),
+        translate_expr({"$strcasecmp": ["ABC", "abd"]}).alias("c"),
+    ).first()
+    assert abs(r["s"] - math.sin(0.5)) < 1e-12
+    assert abs(r["r"] - math.pi) < 1e-12
+    assert r["n"] == 3 and r["c"] == -1
+
+
 def test_unsupported_stage_raises(spark, tables):
     with pytest.raises(MQLTranslationError):
         apply_pipeline(tables["orders"], [{"$weirdStage": 1}])
