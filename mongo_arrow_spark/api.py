@@ -21,7 +21,7 @@ from typing import Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mongo_arrow_spark.errors import MQLTranslationError
+from mongo_arrow_spark.errors import ArrowWriteError, MQLTranslationError
 from mongo_arrow_spark.mql import apply_pipeline, translate_match
 from mongo_arrow_spark.mql.expressions import translate_expr
 from mongo_arrow_spark.mql.pipeline import _sort_cols
@@ -199,7 +199,18 @@ def write(
     if exclude_none:
         options.setdefault("excludeNone", "true")
     n = df.count()
-    df.write.format(format).mode(mode).options(**options).save(path)
+    try:
+        df.write.format(format).mode(mode).options(**options).save(path)
+    except Exception as exc:
+        # reference maps BulkWriteError → ArrowWriteError with structured
+        # details (api.py:698-709); Spark's task-retry + all-or-nothing
+        # commit protocol replaces partial-batch offsets, so nInserted=0
+        raise ArrowWriteError(
+            {
+                "writeErrors": [{"errmsg": str(exc), "index": 0}],
+                "nInserted": 0,
+            }
+        ) from exc
     return ArrowWriteResult({"insertedCount": n})
 
 

@@ -79,6 +79,54 @@ def py_eval(query, row) -> bool:
     return True
 
 
+def gen_arith(rng, depth=0):
+    """Random integer arithmetic expression over fields a (long) and
+    constants — safe ops only (no division)."""
+    if depth >= 3 or rng.random() < 0.35:
+        return rng.choice(["$a", "$i", rng.randint(-9, 9)])
+    op = rng.choice(["$add", "$subtract", "$multiply", "$abs", "$cond"])
+    if op == "$abs":
+        return {"$abs": gen_arith(rng, depth + 1)}
+    if op == "$cond":
+        return {
+            "$cond": [
+                {"$gt": [gen_arith(rng, depth + 1), 0]},
+                gen_arith(rng, depth + 1),
+                gen_arith(rng, depth + 1),
+            ]
+        }
+    n = 2 if op == "$subtract" else rng.randint(2, 3)
+    return {op: [gen_arith(rng, depth + 1) for _ in range(n)]}
+
+
+def py_arith(expr, row):
+    if isinstance(expr, str) and expr.startswith("$"):
+        return row[expr[1:]]
+    if isinstance(expr, int):
+        return expr
+    ((op, args),) = expr.items()
+    if op == "$abs":
+        v = py_arith(args, row)
+        return None if v is None else abs(v)
+    if op == "$cond":
+        c = py_arith(args[0]["$gt"][0], row)
+        cond = c is not None and c > args[0]["$gt"][1]
+        return py_arith(args[1] if cond else args[2], row)
+    vals = [py_arith(a, row) for a in args]
+    if any(v is None for v in vals):
+        return None
+    if op == "$add":
+        return sum(vals)
+    if op == "$subtract":
+        return vals[0] - vals[1]
+    if op == "$multiply":
+        out = 1
+        for v in vals:
+            out *= v
+        return out
+    raise AssertionError(op)
+
+
 @pytest.fixture(scope="module")
 def fuzz_df(spark):
     rng = random.Random(7)
@@ -102,3 +150,25 @@ def test_match_translator_agrees_with_reference_eval(fuzz_df):
         got = {r["i"] for r in df.filter(translate_match(q)).select("i").collect()}
         want = {r["i"] for r in rows if py_eval(q, r)}
         assert got == want, f"trial {trial}: {q} → spark {sorted(got)[:8]} vs ref {sorted(want)[:8]}"
+
+
+def test_arith_translator_agrees_with_python(fuzz_df):
+    """Random integer arithmetic expression trees: translated Column vs a
+    pure-python evaluator, exact equality (integers only — no float
+    ambiguity)."""
+    from pyspark.sql import functions as F
+
+    from mongo_arrow_spark.mql import translate_expr
+
+    df, rows = fuzz_df
+    rng = random.Random(1234)
+    exprs = [gen_arith(rng) for _ in range(15)]
+    out = df.select(
+        "i", *[translate_expr(e).alias(f"e{j}") for j, e in enumerate(exprs)]
+    ).collect()
+    by_i = {r["i"]: r for r in out}
+    for row in rows:
+        got_row = by_i[row["i"]]
+        for j, e in enumerate(exprs):
+            want = py_arith(e, row)
+            assert got_row[f"e{j}"] == want, (e, row, got_row[f"e{j}"], want)
