@@ -237,6 +237,21 @@ def mql_percentiles(spark, sf_dir):
     )
 
 
+@query("q_approx_distinct")  # rows-only: HLL sketch values are engine-specific
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL): the 100TB default for distinct counts
+    — merge-commutative sketches, one narrow shuffle. Exact twin is
+    q_distinct_counts (oracle-checked); this documents the approx path."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        )
+    )
+
+
 @query(
     "q_events_props_map",
     """
