@@ -75,34 +75,30 @@ def q_cube_counts(spark, sf_dir):
 
 
 @query(
-    "q_intersect_customers",
+    "q_setops_customers",
     """
-    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    SELECT 'intersect' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
+    UNION ALL
+    SELECT 'except' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
     """,
 )
-def q_intersect(spark, sf_dir):
-    """INTERSECT — absent from MQL (SURVEY 2.E set ops row)."""
+def q_setops(spark, sf_dir):
+    """INTERSECT + EXCEPT — absent from MQL (SURVEY 2.E set ops row).
+    One battery entry covers both DISTINCT set operations; `op` tags
+    which branch each row came from."""
     orders = _t(spark, sf_dir, "orders")
     y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
-    return y96.intersect(y97)
-
-
-@query(
-    "q_except_customers",
-    """
-    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
-    """,
-)
-def q_except(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
-    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
-    return y96.subtract(y97)  # EXCEPT DISTINCT semantics, matches SQL EXCEPT
+    inter = y96.intersect(y97).select(F.lit("intersect").alias("op"), "o_custkey")
+    # subtract == EXCEPT DISTINCT semantics, matches SQL EXCEPT
+    exc = y96.subtract(y97).select(F.lit("except").alias("op"), "o_custkey")
+    return inter.unionAll(exc)
 
 
 @query(

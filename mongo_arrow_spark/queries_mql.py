@@ -412,10 +412,26 @@ def mql_switch_tiers(spark, sf_dir):
     )
 
 
-@query("mql_facet")  # rows-only: single-row array outputs aren't ANSI SQL
+@query(
+    "mql_facet",
+    """
+    SELECT
+      (SELECT to_json(list(struct_pack(_id := _id, n := n) ORDER BY _id))
+       FROM (SELECT o_orderstatus AS _id, CAST(COUNT(*) AS BIGINT) AS n
+             FROM orders GROUP BY 1)) AS by_status,
+      (SELECT to_json(list(struct_pack(_id := _id, n := n) ORDER BY _id))
+       FROM (SELECT o_orderpriority AS _id, CAST(COUNT(*) AS BIGINT) AS n
+             FROM orders GROUP BY 1)) AS by_priority
+    """,
+)
 def mql_facet(spark, sf_dir):
-    """$facet: two summaries of one pass in a single result document."""
-    return aggregate(
+    """$facet: two summaries of one pass in a single result document.
+
+    The facet arrays are sorted (collect_list order is shuffle-dependent)
+    and serialized with to_json so the driver's canonicalizer gets hashable
+    string cells; DuckDB's to_json emits the identical compact encoding.
+    """
+    out = aggregate(
         _t(spark, sf_dir, "orders"),
         [
             {
@@ -431,6 +447,10 @@ def mql_facet(spark, sf_dir):
                 }
             }
         ],
+    )
+    return out.select(
+        F.to_json(F.array_sort("by_status")).alias("by_status"),
+        F.to_json(F.array_sort("by_priority")).alias("by_priority"),
     )
 
 

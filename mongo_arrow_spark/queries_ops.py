@@ -85,68 +85,56 @@ def q_dedup_simhash(spark, sf_dir):
            ROUND((length(text) - len({_TOKS}) + 1) * 1.0 / len({_TOKS}), 4) AS mean_word_len,
            ROUND(len(list_filter({_TOKS},
                  w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0
-                 / len({_TOKS}), 4) AS stopword_ratio
+                 / len({_TOKS}), 4) AS stopword_ratio,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
     FROM documents
     """,
 )
 def q_text_quality(spark, sf_dir):
+    """Quality metrics + content fingerprint in one per-document pass
+    (both operators covered by one oracle-backed battery slot)."""
     m = text.quality_metrics(_t(spark, sf_dir, "documents"))
     return m.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("mean_word_len", 4).alias("mean_word_len"),
         F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        text.fingerprint("text").alias("fp"),
     )
 
 
-@query(
-    "text_fingerprint",
-    f"""
-    SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
-    FROM documents
-    """,
+_SQL_PRED_LANG = (
+    "CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END"
 )
-def q_text_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+# same argmax (max hits, tie-break max lang code) in both engines
+_SQL_BEST = (
+    "(SELECT list_sort([struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('the', 'and', 'of', 'is', 'was', 'that'))), lang := 'en'), struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('der', 'die', 'das', 'und', 'ist', 'nicht'))), lang := 'de'), struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la', 'los', 'que', 'es', 'una'))), lang := 'es'), struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('le', 'la', 'les', 'est', 'une', 'dans'))), lang := 'fr'), struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('\u7684', '\u662f', '\u4e86', '\u5728', '\u6211', '\u4e0d'))), lang := 'zh')])[-1] AS best, * FROM documents)"
+)
 
 
 @query(
     "text_token_stats",
     f"""
-    SELECT lang,
+    SELECT lang, {_SQL_PRED_LANG} AS pred_lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
            CAST(SUM(list_sum(list_transform({_TOKS},
                 w -> 1 + CAST(floor(length(w) / 4.0) AS BIGINT)))) AS BIGINT) AS bpe_ish_tokens
-    FROM documents GROUP BY lang
+    FROM {_SQL_BEST} GROUP BY lang, pred_lang
     """,
 )
 def q_text_token_stats(spark, sf_dir):
+    """Token counting + language-ID in one grouped pass: group by the
+    corpus `lang` label crossed with the n-gram-heuristic prediction
+    (one battery slot covers both operators; off-diagonal rows are the
+    heuristic's confusion cells)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
+    return docs.groupBy(
+        "lang", text.lang_id("text").alias("pred_lang")
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(text.token_count("text")).cast("long").alias("total_tokens"),
         F.sum(text.bpe_ish_token_count("text")).cast("long").alias("bpe_ish_tokens"),
-    )
-
-
-@query(
-    "text_lang_id",
-    """
-    SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM (
-      SELECT CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS pred_lang
-      FROM (SELECT list_sort([struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('the', 'and', 'of', 'is', 'was', 'that'))), lang := 'en'), struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('der', 'die', 'das', 'und', 'ist', 'nicht'))), lang := 'de'), struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la', 'los', 'que', 'es', 'una'))), lang := 'es'), struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('le', 'la', 'les', 'est', 'une', 'dans'))), lang := 'fr'), struct_pack(hits := len(list_filter(string_split(text, ' '), w -> w IN ('\u7684', '\u662f', '\u4e86', '\u5728', '\u6211', '\u4e0d'))), lang := 'zh')])[-1] AS best FROM documents))
-    GROUP BY pred_lang
-    """,
-)  # same argmax (max hits, tie-break max lang code) in both engines
-def q_text_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select(text.lang_id("text").alias("pred_lang"))
-        .groupBy("pred_lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
 

@@ -29,3 +29,15 @@ def test_rows_only_runs(spark, name, tables):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0  # runs without error, schema resolvable
     assert len(df.schema.fields) > 0
+
+
+def test_every_oracle_in_driver_grading_window():
+    """The driver grades only the first 50 registered queries: every
+    oracle-backed entry must sit inside that window (rows-only at the
+    tail). Registering a 51st oracle-backed query fails here, not
+    silently in the next round's CORRECTNESS file."""
+    names = list(QUERIES)
+    assert len(ORACLES) <= 50, "too many oracle-backed queries for the window"
+    outside = [n for n in ORACLES if n not in set(names[:50])]
+    assert not outside, f"oracle-backed queries outside graded window: {outside}"
+    assert set(ORACLES) <= set(QUERIES)
