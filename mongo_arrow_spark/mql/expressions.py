@@ -58,6 +58,15 @@ def translate_expr(expr, env: dict | None = None) -> Column:
                 )
             raise MQLTranslationError(f"unbound MQL variable: {expr}")
         if expr.startswith("$"):
+            # a field path is shorthand for $$CURRENT.<path>; $redact
+            # rebinds CURRENT per document level so paths resolve into
+            # the subdocument being evaluated
+            base = env.get("CURRENT")
+            if base is not None:
+                col = base
+                for part in expr[1:].split("."):
+                    col = col.getField(part)
+                return col
             return F.col(expr[1:])
         return F.lit(expr)
     if expr is None or isinstance(expr, (bool, int, float, _dt.date, _dt.datetime)):
@@ -360,18 +369,30 @@ def _trim(args, env):
     return F.trim(inp)
 
 
+def _char_class(chars: str) -> str:
+    """Java-regex character class matching any char of ``chars``
+    (re.escape is valid inside a class)."""
+    return "[" + "".join(_re.escape(c) for c in chars) + "]"
+
+
 @_op("$ltrim")
 def _ltrim(args, env):
+    inp = translate_expr(args["input"], env)
     if "chars" in args:
-        raise MQLTranslationError("$ltrim with chars not supported yet")
-    return F.ltrim(translate_expr(args["input"], env))
+        if not isinstance(args["chars"], str):
+            raise MQLTranslationError("$ltrim chars must be a string literal")
+        return F.regexp_replace(inp, "^" + _char_class(args["chars"]) + "+", "")
+    return F.ltrim(inp)
 
 
 @_op("$rtrim")
 def _rtrim(args, env):
+    inp = translate_expr(args["input"], env)
     if "chars" in args:
-        raise MQLTranslationError("$rtrim with chars not supported yet")
-    return F.rtrim(translate_expr(args["input"], env))
+        if not isinstance(args["chars"], str):
+            raise MQLTranslationError("$rtrim chars must be a string literal")
+        return F.regexp_replace(inp, _char_class(args["chars"]) + "+$", "")
+    return F.rtrim(inp)
 
 
 @_op("$regexMatch")
@@ -872,10 +893,66 @@ def _array_to_object(args, env):
     )
 
 
+def _merge_maps_last_wins(cols):
+    """Merge MapType columns with MQL last-wins semantics, independent of
+    spark.sql.mapKeyDedupPolicy: an entry of map i survives only if no
+    later map contains its key, so map_from_entries never sees duplicate
+    keys. Null inputs behave as empty documents (MQL)."""
+
+    def survives(i):
+        def cond(e):
+            k = e.getField("key")
+            later = [
+                F.coalesce(F.map_contains_key(cols[j], k), F.lit(False))
+                for j in range(i + 1, len(cols))
+            ]
+            if not later:
+                return F.lit(True)
+            out = ~later[0]
+            for c in later[1:]:
+                out = out & ~c
+            return out
+
+        return cond
+
+    parts = [
+        F.filter(F.coalesce(F.map_entries(c), F.array()), survives(i))
+        for i, c in enumerate(cols)
+    ]
+    return F.map_from_entries(F.concat(*parts) if len(parts) > 1 else parts[0])
+
+
 @_op("$mergeObjects")
 def _merge_objects(args, env):
-    cols = _many(args, env)
-    return F.map_concat(*cols)
+    """MQL $mergeObjects: later documents overwrite earlier keys.
+
+    Two shapes: (a) all-document-literals merge statically (struct
+    output, heterogeneous value types fine); (b) otherwise every arg is
+    treated as a MapType document (field refs to map columns, literals
+    via create_map) and merged entries-wise with last-wins — never
+    map_concat, whose duplicate-key behavior depends on
+    spark.sql.mapKeyDedupPolicy (EXCEPTION by default)."""
+    items = args if isinstance(args, list) else [args]
+    if all(
+        isinstance(a, dict) and not any(k.startswith("$") for k in a)
+        for a in items
+    ):
+        merged: dict = {}
+        for a in items:
+            merged.update(a)  # python dict update == MQL last-wins
+        return translate_expr(merged, env)
+    cols = []
+    for a in items:
+        if isinstance(a, dict) and not any(k.startswith("$") for k in a):
+            kv = []
+            for k, v in a.items():
+                kv.extend([F.lit(k), translate_expr(v, env)])
+            cols.append(F.create_map(*kv))
+        else:
+            cols.append(translate_expr(a, env))
+    if len(cols) == 1:
+        return cols[0]
+    return _merge_maps_last_wins(cols)
 
 
 @_op("$getField")

@@ -50,8 +50,34 @@ def translate_match(query: dict | None) -> Column:
     return _reduce(lambda a, b: a & b, preds)
 
 
+#: MQL regex options → Python/Java inline flags. ``l`` (locale-dependent
+#: \w) has no JVM equivalent and is rejected rather than ignored.
+_REGEX_OPTION_FLAGS = {"i": "i", "m": "m", "s": "s", "x": "x"}
+
+
+def _fold_regex_options(value: dict) -> dict:
+    """Fold ``$options`` into ``$regex`` as inline flags: {"$regex": "^a",
+    "$options": "i"} → {"$regex": "(?i)^a"}. MQL evaluates the pair as one
+    case-insensitive match; translating them as separate predicates would
+    silently run case-sensitive."""
+    opts = value.get("$options", "")
+    flags = []
+    for ch in opts:
+        if ch not in _REGEX_OPTION_FLAGS:
+            raise MQLTranslationError(f"unsupported $options flag: {ch!r}")
+        flags.append(_REGEX_OPTION_FLAGS[ch])
+    folded = {k: v for k, v in value.items() if k != "$options"}
+    if flags:
+        folded["$regex"] = f"(?{''.join(flags)})" + value["$regex"]
+    return folded
+
+
 def _field_predicate(col: Column, value) -> Column:
     if isinstance(value, dict) and any(k.startswith("$") for k in value):
+        if "$options" in value:
+            if "$regex" not in value:
+                raise MQLTranslationError("$options requires $regex")
+            value = _fold_regex_options(value)
         preds = [_field_op(col, op, arg) for op, arg in value.items()]
         return _reduce(lambda a, b: a & b, preds)
     if value is None:
@@ -86,8 +112,6 @@ def _field_op(col: Column, op: str, arg) -> Column:
         return col.isNotNull() if arg else col.isNull()
     if op == "$regex":
         return col.rlike(arg)
-    if op == "$options":
-        return F.lit(True)  # folded into $regex by callers when needed
     if op == "$mod":
         d, r = arg
         return col % F.lit(d) == F.lit(r)
@@ -98,10 +122,15 @@ def _field_op(col: Column, op: str, arg) -> Column:
             lambda a, b: a & b, [F.array_contains(col, F.lit(v)) for v in arg]
         )
     if op == "$elemMatch":
-        inner = _field_predicate  # predicate over array elements
 
         def body(x):
-            preds = [_field_op(x, o, a) if o.startswith("$") else _field_predicate(x.getField(o), a) for o, a in arg.items()]
+            if all(o.startswith("$") for o in arg):
+                # operator form: predicates over the element itself
+                # (routes through _field_predicate so $options folds)
+                return _field_predicate(x, arg)
+            preds = [
+                _field_predicate(x.getField(o), a) for o, a in arg.items()
+            ]
             return _reduce(lambda a, b: a & b, preds)
 
         return F.exists(col, body)

@@ -279,13 +279,22 @@ def _accumulator(spec) -> Column:
     if op == "$stdDevSamp":
         return F.stddev_samp(translate_expr(arg))
     if op == "$mergeObjects":
-        raise MQLTranslationError("$mergeObjects accumulator not supported yet")
+        return _merge_objects_acc(arg)
     if op == "$median":
+        if isinstance(arg, dict) and arg.get("method") == "approximate":
+            # MQL's only server method IS approximate; t-digest-style
+            # sketch, merge-commutative — the 100 TB path (exact
+            # percentile buffers every group value)
+            return F.approx_percentile(translate_expr(arg["input"]), F.lit(0.5))
         return F.median(translate_expr(arg["input"] if isinstance(arg, dict) else arg))
     if op == "$percentile":
         inp = translate_expr(arg["input"])
-        pcts = arg["p"]
-        return F.percentile(inp, F.array(*[F.lit(float(p)) for p in pcts]))
+        pcts = F.array(*[F.lit(float(p)) for p in arg["p"]])
+        if isinstance(arg, dict) and arg.get("method") == "approximate":
+            return F.approx_percentile(inp, pcts)
+        # exact with linear interpolation (quantile_cont): the
+        # oracle-comparable path; use method='approximate' at scale
+        return F.percentile(inp, pcts)
     if op in ("$minN", "$maxN"):
         inp = translate_expr(arg["input"])
         n = int(arg["n"])
@@ -296,26 +305,65 @@ def _accumulator(spec) -> Column:
     raise MQLTranslationError(f"unsupported accumulator: {op}")
 
 
+def _merge_objects_acc(arg) -> Column:
+    """$mergeObjects as a $group accumulator: fold the group's documents
+    (MapType column) with last-wins key overwrite. collect_list drops
+    null documents (MQL ignores null/missing); the fold is entries-wise
+    so no duplicate key ever reaches map_from_entries — independent of
+    spark.sql.mapKeyDedupPolicy. Group traversal order is pipeline
+    order on one node in MQL and partition order here; like $first/$last
+    the result is only deterministic when values per key agree or the
+    caller pre-sorts (documented parity with the reference engine)."""
+    inp = translate_expr(arg)
+    lst = F.collect_list(inp)
+
+    def merge2(acc, x):
+        return F.map_from_entries(
+            F.concat(
+                F.filter(
+                    F.map_entries(acc),
+                    lambda e: ~F.coalesce(
+                        F.map_contains_key(x, e.getField("key")), F.lit(False)
+                    ),
+                ),
+                F.map_entries(x),
+            )
+        )
+
+    rest = F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0)))
+    return F.aggregate(rest, F.get(lst, F.lit(0)), merge2)
+
+
 def _top_bottom(op, arg) -> Column:
     """$top/$bottom/$topN/$bottomN: output expression(s) of the best
     row(s) under sortBy. Implemented as sort_array over collected
-    (sort-key, output) structs + slice — one collect per group, no extra
-    shuffle. Single sort key supported (multi-key mixed-direction needs a
-    comparator; raise for now)."""
+    (sort-keys..., output) structs + slice — one collect per group, no
+    extra shuffle. Multi-key sortBy sorts lexicographically by key order
+    (struct comparison); mixed ascending/descending keys negate the
+    descending ones, which requires those keys to be numeric."""
     sort_by = arg["sortBy"]
-    if len(sort_by) != 1:
-        raise MQLTranslationError(f"{op} supports a single sortBy key")
-    ((key, direction),) = sort_by.items()
-    # $top picks the FIRST row per sortBy ordering; sort ascending for
-    # direction=1 → top = element 1. $bottom is the last.
-    pick_first = (op in ("$top", "$topN")) == (direction == 1)
+    n = int(arg["n"]) if op in ("$topN", "$bottomN") else 1
+    is_top = op in ("$top", "$topN")
+    directions = set(sort_by.values())
+    uniform = len(directions) == 1
+    if uniform:
+        keys = [F.col(k).alias(f"__k{i}") for i, k in enumerate(sort_by)]
+        direction = next(iter(directions))
+        # $top picks the FIRST row per sortBy ordering; sort ascending
+        # for direction=1 → top = element 1. $bottom is the last.
+        pick_first = is_top == (direction == 1)
+    else:
+        # mixed directions: transform keys so ascending struct order ==
+        # sortBy order (negation — numeric sort keys only)
+        keys = [
+            (F.col(k) if d == 1 else -F.col(k)).alias(f"__k{i}")
+            for i, (k, d) in enumerate(sort_by.items())
+        ]
+        pick_first = is_top
     pairs = F.collect_list(
-        F.struct(
-            F.col(key).alias("__k"), translate_expr(arg["output"]).alias("__v")
-        )
+        F.struct(*keys, translate_expr(arg["output"]).alias("__v"))
     )
     ordered = F.sort_array(pairs, asc=pick_first)
-    n = int(arg["n"]) if op in ("$topN", "$bottomN") else 1
     top = F.transform(F.slice(ordered, 1, n), lambda s: s.getField("__v"))
     if op in ("$top", "$bottom"):
         return F.get(top, 0)
@@ -404,7 +452,12 @@ def _lookup(df, args, resolve):
 def _correlated_eq(pipeline, let):
     """Detect the canonical correlated-$lookup shape:
     [{$match: {$expr: {$eq: ["$foreign", "$$local_var"]}}}, ...rest]
-    Returns (local_expr, foreign_field, rest_pipeline) or None."""
+    Returns (local_expr, foreign_field, rest_pipeline) or None.
+
+    Sibling predicates in the leading $match (e.g. {"$match": {"$expr":
+    {...}, "status": "active"}}) are NOT discarded: they are re-emitted
+    as a $match at the head of the rest pipeline so the foreign side is
+    filtered exactly as MQL would."""
     if not pipeline:
         return None
     first = pipeline[0]
@@ -422,7 +475,94 @@ def _correlated_eq(pipeline, let):
     except (KeyError, ValueError, StopIteration, AttributeError):
         return None
     local_expr = let[var[2:]]
-    return local_expr, fld[1:], pipeline[1:]
+    rest = list(pipeline[1:])
+    siblings = {k: v for k, v in margs.items() if k != "$expr"}
+    if siblings:
+        if any(_uses_let_var(v) for v in siblings.values()):
+            return None  # sibling references $$var — fall back
+        rest = [{"$match": siblings}] + rest
+    return local_expr, fld[1:], rest
+
+
+def _uses_let_var(node) -> bool:
+    """True if any string leaf references a $$let variable (those can't be
+    evaluated on the foreign side alone)."""
+    if isinstance(node, str):
+        return node.startswith("$$")
+    if isinstance(node, dict):
+        return any(_uses_let_var(v) for v in node.values())
+    if isinstance(node, (list, tuple)):
+        return any(_uses_let_var(v) for v in node)
+    return False
+
+
+def _redact_vars() -> dict:
+    # built lazily: F.lit needs an active SparkContext, which doesn't
+    # exist at import time
+    return {
+        "PRUNE": F.lit("PRUNE"),
+        "KEEP": F.lit("KEEP"),
+        "DESCEND": F.lit("DESCEND"),
+    }
+
+
+def _redact_child(col: Column, dtype, expr) -> Column:
+    """Redact one value per the $redact decision expression. Struct
+    fields can't be physically dropped per-row in a fixed schema, so a
+    pruned subdocument becomes NULL (the engine's missing≡null
+    contract); pruned ARRAY elements are removed, as in MQL."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.StructType):
+        env = {"CURRENT": col, **_redact_vars()}
+        dec = translate_expr(expr, env)
+        recursed = F.struct(
+            *[
+                _redact_child(col.getField(f.name), f.dataType, expr).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+        return (
+            F.when(dec == "PRUNE", F.lit(None))
+            .when(dec == "KEEP", col)
+            .otherwise(recursed)
+        )
+    if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+        kept = F.filter(
+            col,
+            lambda x: translate_expr(expr, {"CURRENT": x, **_redact_vars()})
+            != "PRUNE",
+        )
+        et = dtype.elementType
+
+        def per_elem(x):
+            dec = translate_expr(expr, {"CURRENT": x, **_redact_vars()})
+            recursed = F.struct(
+                *[
+                    _redact_child(x.getField(f.name), f.dataType, expr).alias(f.name)
+                    for f in et.fields
+                ]
+            )
+            return F.when(dec == "KEEP", x).otherwise(recursed)
+
+        return F.transform(kept, per_elem)
+    return col
+
+
+@_stage("$redact")
+def _redact(df, args, resolve):
+    """$redact: per-document-level access control. The decision
+    expression evaluates at the root (dropping whole rows on $$PRUNE)
+    and again for every subdocument / array-of-document element, with
+    field paths rebound to that level ($$CURRENT semantics). Pure
+    Catalyst expressions — no shuffle, scales as a scan."""
+    top = translate_expr(args, _redact_vars())
+    kept = df.filter(top != F.lit("PRUNE"))
+    out = []
+    for f in df.schema.fields:
+        redacted = _redact_child(F.col(f.name), f.dataType, args)
+        out.append(F.when(top == "KEEP", F.col(f.name)).otherwise(redacted).alias(f.name))
+    return kept.select(*out)
 
 
 @_stage("$unionWith")

@@ -309,16 +309,25 @@ def q14(spark, sf_dir):
 )
 def q18(spark, sf_dir):
     """TPC-H Q18 shape: orders whose lineitems sum past a quantity
-    threshold. Quantity sums are whole numbers → exact in double."""
+    threshold. Quantity sums are whole numbers → exact in double.
+
+    Classic Q18 plan: pre-aggregate lineitem by l_orderkey and apply the
+    HAVING threshold BEFORE any join — the > 300 filter keeps a tiny
+    fraction of orders, so the subsequent joins move a sliver of each
+    fact table. No broadcast hints: customer is fact-sized at real scale
+    factors (sf100 → 15 M rows); AQE picks broadcast when the filtered
+    side actually fits."""
     cst = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cst), orders.o_custkey == cst.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
         .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cst, orders.o_custkey == cst.c_custkey)
         .select(
             "c_custkey",
             "c_name",

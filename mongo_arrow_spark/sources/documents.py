@@ -222,11 +222,45 @@ def _coerce(v, dt: T.DataType, strict: bool, path: str):
     return None
 
 
-def _filter_fn(filters: list[Filter]):
+#: Leaf types whose pushed-filter comparison is exact after _coerce().
+#: Timestamp/binary/array/struct filters are yielded back to Spark
+#: (post-scan re-check) — comparing those against raw JSON carriers
+#: (str/int epoch-millis, base64 str) would be wrong or raise.
+_FILTERABLE_TYPES = (
+    T.StringType,
+    T.BooleanType,
+    T.LongType,
+    T.IntegerType,
+    T.DoubleType,
+    T.FloatType,
+)
+
+
+def _attr_type(schema: T.StructType, attr) -> T.DataType | None:
+    """Resolve a pushed filter's (possibly dotted) attribute to its
+    declared leaf type; None if the path doesn't resolve to a field."""
+    cur: T.DataType = schema
+    for part in attr:
+        if not isinstance(cur, T.StructType):
+            return None
+        try:
+            cur = cur[part].dataType
+        except KeyError:
+            return None
+    return cur
+
+
+def _filter_fn(filters: list[Filter], schema: T.StructType):
     """Compile pushed filters into a python predicate over raw docs —
     evaluated BEFORE Arrow conversion, so filtered docs cost only a
     json parse (the decode-skip the reference gets from server-side
-    $match, api.py:175)."""
+    $match, api.py:175).
+
+    Values are _coerce()d to the declared field type before comparing,
+    so the filter sees exactly what the decoded column will contain
+    (raw 3.7 under an int field filters as 3, matching the decode)."""
+
+    types = {f.attribute: _attr_type(schema, f.attribute) for f in filters}
 
     def _get(doc, attr):
         cur = doc
@@ -234,7 +268,8 @@ def _filter_fn(filters: list[Filter]):
             if not isinstance(cur, dict):
                 return None
             cur = cur.get(part)
-        return cur
+        dt = types.get(attr)
+        return _coerce(cur, dt, False, ".".join(attr)) if dt is not None else cur
 
     def pred(doc) -> bool:
         for f in filters:
@@ -305,10 +340,16 @@ class DocumentsReader(DataSourceReader):
 
     def pushFilters(self, filters: list[Filter]):
         for f in filters:
-            if isinstance(f, _SUPPORTED_FILTERS):
+            leaf = _attr_type(self.schema, f.attribute) if hasattr(f, "attribute") else None
+            if isinstance(f, _SUPPORTED_FILTERS) and isinstance(
+                leaf, _FILTERABLE_TYPES
+            ):
                 self.filters.append(f)
             else:
-                yield f  # unsupported → Spark evaluates it post-scan
+                # unsupported class OR a leaf type (timestamp/binary/
+                # nested) whose raw-JSON comparison isn't exact →
+                # Spark re-evaluates post-scan
+                yield f
 
     def partitions(self):
         splits = []
@@ -331,7 +372,7 @@ class DocumentsReader(DataSourceReader):
         if not part.path:
             return
         arrow_schema = to_arrow_schema(self.schema)
-        pred = _filter_fn(self.filters)
+        pred = _filter_fn(self.filters, self.schema)
         fields = self.schema.fields
         cols: list[list] = [[] for _ in fields]
         n = 0
@@ -362,15 +403,19 @@ class DocumentsReader(DataSourceReader):
             if n:
                 yield _to_batch(pa, arrow_schema, cols)
             return
-        with open(part.path, "r", encoding="utf-8") as fh:
+        # binary mode: a byte-offset seek on a text-mode handle can land
+        # mid multi-byte UTF-8 char and readline() then raises
+        # UnicodeDecodeError; on bytes the seek is safe and each complete
+        # line decodes independently (offsets align with getsize/tell)
+        with open(part.path, "rb") as fh:
             fh.seek(part.start)
             if part.start > 0:
                 fh.readline()  # skip the partial line owned by the previous split
             while fh.tell() <= part.end:
-                line = fh.readline()
-                if not line:
+                raw = fh.readline()
+                if not raw:
                     break
-                line = line.strip()
+                line = raw.decode("utf-8").strip()
                 if not line:
                     continue
                 doc = json.loads(line)

@@ -271,3 +271,158 @@ def test_trig_and_misc_ops(spark):
 def test_unsupported_stage_raises(spark, tables):
     with pytest.raises(MQLTranslationError):
         apply_pipeline(tables["orders"], [{"$weirdStage": 1}])
+
+
+def test_merge_objects_accumulator(spark):
+    from mongo_arrow_spark.api import aggregate
+
+    df = spark.createDataFrame(
+        [
+            ("g1", {"a": 1, "b": 2}),
+            ("g1", {"b": 9, "c": 3}),
+            ("g2", {"x": 7}),
+            ("g2", None),  # null doc ignored (MQL)
+        ],
+        "g string, doc map<string,int>",
+    )
+    out = aggregate(
+        df,
+        [{"$group": {"_id": "$g", "merged": {"$mergeObjects": "$doc"}}}],
+    )
+    rows = {r["_id"]: r["merged"] for r in out.collect()}
+    assert rows["g1"] == {"a": 1, "b": 9, "c": 3}  # later doc wins on b
+    assert rows["g2"] == {"x": 7}
+
+
+def test_topn_multikey_sortby(spark):
+    df = spark.createDataFrame(
+        [
+            ("g", "x", 1.0, 1),
+            ("g", "x", 3.0, 2),
+            ("g", "y", 2.0, 3),
+            ("g", "y", 9.0, 4),
+        ],
+        "g string, cat string, amt double, id long",
+    )
+    # uniform multi-key: both ascending — lexicographic (cat, amt)
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$group": {
+                    "_id": "$g",
+                    "top2": {
+                        "$topN": {
+                            "n": 2,
+                            "sortBy": {"cat": 1, "amt": 1},
+                            "output": "$id",
+                        }
+                    },
+                }
+            }
+        ],
+    )
+    assert out.first()["top2"] == [1, 2]
+    # mixed directions: cat asc, amt desc (numeric → negated)
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$group": {
+                    "_id": "$g",
+                    "best": {
+                        "$top": {
+                            "sortBy": {"cat": 1, "amt": -1},
+                            "output": "$id",
+                        }
+                    },
+                }
+            }
+        ],
+    )
+    assert out.first()["best"] == 2  # cat=x first, then amt desc → 3.0
+
+
+def test_percentile_approximate_method(spark, tables):
+    from mongo_arrow_spark.api import aggregate
+
+    li = tables["lineitem"]
+    out = aggregate(
+        li,
+        [
+            {
+                "$group": {
+                    "_id": "$l_returnflag",
+                    "p50_exact": {
+                        "$percentile": {"input": "$l_quantity", "p": [0.5]}
+                    },
+                    "p50_approx": {
+                        "$percentile": {
+                            "input": "$l_quantity",
+                            "p": [0.5],
+                            "method": "approximate",
+                        }
+                    },
+                    "med_approx": {
+                        "$median": {"input": "$l_quantity", "method": "approximate"}
+                    },
+                }
+            }
+        ],
+    )
+    for r in out.collect():
+        exact = r["p50_exact"][0]
+        assert abs(r["p50_approx"][0] - exact) <= max(1.0, 0.05 * exact)
+        assert abs(r["med_approx"] - exact) <= max(1.0, 0.05 * exact)
+
+
+def test_ltrim_rtrim_chars(spark):
+    from mongo_arrow_spark.mql import translate_expr
+
+    df = spark.createDataFrame([("xxhixx",), ("x-hi-x",)], "s string")
+    lt = [
+        r[0]
+        for r in df.select(
+            translate_expr({"$ltrim": {"input": "$s", "chars": "x-"}})
+        ).collect()
+    ]
+    assert lt == ["hixx", "hi-x"]
+    rt = [
+        r[0]
+        for r in df.select(
+            translate_expr({"$rtrim": {"input": "$s", "chars": "x-"}})
+        ).collect()
+    ]
+    assert rt == ["xxhi", "x-hi"]
+
+
+def test_redact_levels(spark):
+    """$redact: prune whole docs at the root, null pruned subdocuments,
+    remove pruned array elements — decision re-evaluated per level with
+    field paths rebound."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, {"level": 5, "v": "secret"}, [{"level": 1, "t": "a"}, {"level": 9, "t": "b"}]),
+            (2, 9, {"level": 1, "v": "open"}, [{"level": 1, "t": "c"}]),
+        ],
+        "id long, level long, sub struct<level:long,v:string>, "
+        "items array<struct<level:long,t:string>>",
+    )
+    expr = {
+        "$cond": [{"$gte": ["$level", 3]}, "$$PRUNE", "$$DESCEND"]
+    }
+    out = apply_pipeline(df, [{"$redact": expr}])
+    rows = out.collect()
+    assert [r["id"] for r in rows] == [1]  # root level 9 pruned
+    r = rows[0]
+    assert r["sub"] is None  # sub.level 5 → pruned → null
+    assert [e["t"] for e in r["items"]] == ["a"]  # level-9 element removed
+
+
+def test_redact_keep_short_circuits(spark):
+    df = spark.createDataFrame(
+        [(1, {"level": 9, "v": "kept-whole"})],
+        "id long, sub struct<level:long,v:string>",
+    )
+    out = apply_pipeline(df, [{"$redact": "$$KEEP"}])
+    assert out.first()["sub"]["v"] == "kept-whole"
