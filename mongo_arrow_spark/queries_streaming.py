@@ -6,7 +6,6 @@ on the same data (the correctness bar for any streaming engine)."""
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import uuid
 
@@ -18,33 +17,28 @@ from mongo_arrow_spark.operators import text as text_ops
 
 
 def _events_jsonl_dir(spark, sf_dir: str) -> str:
-    """Materialize events as 4 jsonl arrival files (idempotent per sf_dir)."""
+    """Materialize events as 4 jsonl arrival files (idempotent per sf_dir).
+
+    Executor-side: repartitionByRange(4, event_id) → the engine's own
+    ``documents`` sink writes one jsonl part per range. Nothing flows
+    through the driver — at 100 TB the arrival replay is a distributed
+    write, not a driver materialization."""
+    from mongo_arrow_spark.sources import register
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     d = f"/tmp/mas_stream_{tag}"
     marker = os.path.join(d, "_READY")
     if os.path.exists(marker):
         return d
-    os.makedirs(d, exist_ok=True)
-    rows = _t(spark, sf_dir, "events").orderBy("event_id").collect()
-    chunk = max(1, len(rows) // 4)
-    for i in range(4):
-        part = rows[i * chunk : (i + 1) * chunk if i < 3 else len(rows)]
-        if not part:
-            continue
-        with open(os.path.join(d, f"arrival-{i:04d}.jsonl"), "w") as fh:
-            for r in part:
-                fh.write(
-                    json.dumps(
-                        {
-                            "event_id": r["event_id"],
-                            "ts": r["ts"].isoformat(),
-                            "user_id": r["user_id"],
-                            "event_type": r["event_type"],
-                            "value": r["value"],
-                        }
-                    )
-                    + "\n"
-                )
+    register(spark)
+    (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartitionByRange(4, "event_id")
+        .write.format("documents")
+        .mode("overwrite")
+        .save(d)
+    )
     open(marker, "w").close()
     return d
 
