@@ -43,10 +43,13 @@ def _apply_schema(
     cast = (lambda c, t: c.try_cast(t)) if allow_invalid else (lambda c, t: c.cast(t))
     cols = []
     for field in schema.to_struct_type().fields:
+        # alias() with metadata so BSON logical-type tags survive the cast
+        meta = dict(field.metadata) if field.metadata else None
         if field.name in df.columns:
-            cols.append(cast(F.col(field.name), field.dataType).alias(field.name))
+            c = cast(F.col(field.name), field.dataType)
         else:
-            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            c = F.lit(None).cast(field.dataType)
+        cols.append(c.alias(field.name, metadata=meta) if meta else c.alias(field.name))
     return df.select(*cols)
 
 
@@ -113,22 +116,131 @@ def aggregate(
 
 def find_arrow_all(df, query=None, **kw):
     """Materialize to a pyarrow.Table (reference api.py:129-207).
-    Uses Spark's Arrow collect path — columnar end-to-end."""
-    return find(df, query, **kw).toArrow()
+    Uses Spark's Arrow collect path — columnar end-to-end. Fields with a
+    per-field tz/unit override (Schema timestamp(unit, tz), reference
+    test_datetime.py:103-168) come back as timestamp(unit, tz) columns
+    with instants preserved."""
+    out = find(df, query, **kw)
+    return _apply_tz_overrides(out.toArrow(), out.schema)
 
 
 def aggregate_arrow_all(df, pipeline, **kw):
-    return aggregate(df, pipeline, **kw).toArrow()
+    out = aggregate(df, pipeline, **kw)
+    return _apply_tz_overrides(out.toArrow(), out.schema)
+
+
+def _apply_tz_overrides(table, struct):
+    """Re-present tz/unit-tagged timestamp columns: values are UTC
+    instants in storage (session contract); the tag only changes the
+    arrow presentation type, never the instant."""
+    from mongo_arrow_spark.bson_types import TS_UNIT_KEY, TZ_KEY
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for i, f in enumerate(struct.fields):
+        meta = f.metadata or {}
+        if TZ_KEY not in meta and TS_UNIT_KEY not in meta:
+            continue
+        col = table.column(i)
+        if not pa.types.is_timestamp(col.type):
+            continue
+        tz = meta.get(TZ_KEY)
+        unit = meta.get(TS_UNIT_KEY, col.type.unit)
+        if col.type.tz is None:
+            # session is UTC: naive values ARE UTC instants
+            col = pc.assume_timezone(col, "UTC")
+        if tz:
+            col = col.cast(pa.timestamp(unit, tz))
+        else:
+            # naive request: present the UTC wall clock without a tz
+            col = col.cast(pa.timestamp(unit, "UTC")).cast(pa.timestamp(unit))
+        table = table.set_column(i, pa.field(f.name, col.type), col)
+    return table
 
 
 def find_pandas_all(df, query=None, **kw):
     """Reference api.py:273-315; Arrow-backed toPandas with selfDestruct
-    (enabled in session.get_spark) mirrors split_blocks/self_destruct."""
-    return find(df, query, **kw).toPandas()
+    (enabled in session.get_spark) mirrors split_blocks/self_destruct.
+    Columns tagged with a BSON logical type come back as registered
+    extension dtypes (bson_ObjectId/bson_Decimal128/bson_Binary[st]/
+    bson_Code), matching the reference's pandas_types.py:228-361."""
+    out = find(df, query, **kw)
+    return _bson_dtype_frame(_tz_frame(out.toPandas(), out.schema), out.schema)
 
 
 def aggregate_pandas_all(df, pipeline, **kw):
-    return aggregate(df, pipeline, **kw).toPandas()
+    out = aggregate(df, pipeline, **kw)
+    return _bson_dtype_frame(_tz_frame(out.toPandas(), out.schema), out.schema)
+
+
+def _tz_frame(pdf, struct):
+    """Pandas side of the per-field tz override: localize the UTC-instant
+    column and convert to the field's tz (unit fidelity lives on the
+    arrow path; pandas keeps its native us resolution)."""
+    from mongo_arrow_spark.bson_types import TZ_KEY
+
+    for f in struct.fields:
+        tz = (f.metadata or {}).get(TZ_KEY)
+        if not tz or f.name not in pdf.columns:
+            continue
+        ser = pdf[f.name]
+        if getattr(ser.dtype, "kind", "") == "M":  # datetime64 variants
+            if ser.dt.tz is None:
+                ser = ser.dt.tz_localize("UTC")
+            pdf[f.name] = ser.dt.tz_convert(tz)
+    return pdf
+
+
+def _bson_dtype_frame(pdf, struct):
+    """Re-dtype metadata-tagged columns to the BSON extension dtypes."""
+    import re as _re
+
+    from mongo_arrow_spark.bson_types import METADATA_KEY
+
+    tagged = {
+        f.name: f.metadata[METADATA_KEY]
+        for f in struct.fields
+        if f.metadata and METADATA_KEY in f.metadata
+    }
+    if not tagged:
+        return pdf
+    import numpy as np
+
+    from mongo_arrow_spark import bson_values as bv
+    from mongo_arrow_spark import pandas_types as pt
+
+    def wrap(name, tag):
+        vals = pdf[name]
+
+        def arr(dtype, conv):
+            data = np.empty(len(vals), dtype=object)
+            for i, v in enumerate(vals):
+                data[i] = np.nan if v is None or v is pt.pd.NA else conv(v)
+            return type(dtype).construct_array_type()(data, dtype=dtype)
+
+        if tag == "objectid":
+            return arr(pt.PandasObjectId(), lambda v: bv.ObjectId(bytes(v)))
+        if tag == "code":
+            return arr(pt.PandasCode(), bv.Code)
+        if tag == "decimal128":
+            return arr(pt.PandasDecimal128(), bv.Decimal128)
+        if tag == "decimal128[bid]":
+            return arr(
+                pt.PandasDecimal128(), lambda v: bv.Decimal128.from_bid(bytes(v))
+            )
+        m = _re.fullmatch(r"binary(?:\[(\d+)\])?", tag)
+        if m:
+            st = int(m.group(1) or 0)
+            return arr(pt.PandasBinary(st), lambda v: bv.Binary(bytes(v), st))
+        return None
+
+    for name, tag in tagged.items():
+        if name in pdf.columns:
+            wrapped = wrap(name, tag)
+            if wrapped is not None:
+                pdf[name] = wrapped
+    return pdf
 
 
 def find_numpy_all(df, query=None, **kw):

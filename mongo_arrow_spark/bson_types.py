@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 METADATA_KEY = "mongo_arrow_spark.bson_type"
+TZ_KEY = "mongo_arrow_spark.tz"
+TS_UNIT_KEY = "mongo_arrow_spark.ts_unit"
 
 
 class _BsonMarker:
@@ -42,8 +44,30 @@ class ObjectId(_BsonMarker):
 
 
 class Decimal128(_BsonMarker):
+    """Decimal128 logical type. As a bare class: DecimalType(38, 6).
+
+    Parametrized (reference round-2 fidelity fixes, SURVEY §7 "What's
+    hard" #6):
+    - ``Decimal128(precision, scale)`` — configurable Spark decimal, for
+      corpora whose values exceed 6 decimal places.
+    - ``Decimal128(raw=True)`` — lossless 16-byte BID carrier
+      (BinaryType physical): any 34-digit coefficient, full exponent
+      range, NaN/±Inf — byte-for-byte what the reference keeps
+      (lib.pyx:740-762). Decode/encode via
+      :mod:`mongo_arrow_spark.bson_values`.
+    """
+
     spark_type = T.DecimalType(38, 6)
     bson_name = "decimal128"
+
+    def __init__(self, precision: int = 38, scale: int = 6, raw: bool = False):
+        self.raw = raw
+        self.spark_type = (
+            T.BinaryType() if raw else T.DecimalType(precision, scale)
+        )
+
+    def metadata(self) -> dict:  # type: ignore[override]
+        return {METADATA_KEY: "decimal128[bid]" if self.raw else "decimal128"}
 
 
 class Code(_BsonMarker):
@@ -54,6 +78,27 @@ class Code(_BsonMarker):
 class Int64(_BsonMarker):
     spark_type = T.LongType()
     bson_name = "int64"
+
+
+class Datetime(_BsonMarker):
+    """Timestamp with a per-field timezone/unit override (reference
+    ``timestamp(ms, tz)`` schema spelling, lib.pyx:147-150 /
+    test_datetime.py:103-168): storage stays a UTC-instant
+    TimestampType; exports re-present the column in ``tz`` at ``unit``.
+    ``Datetime()`` (no tz) is the plain naive-ms spelling."""
+
+    spark_type = T.TimestampType()
+    bson_name = "datetime"
+
+    def __init__(self, tz: str | None = None, unit: str = "ms"):
+        self.tz = tz
+        self.unit = unit
+
+    def metadata(self) -> dict:  # type: ignore[override]
+        out = {METADATA_KEY: self.bson_name, TS_UNIT_KEY: self.unit}
+        if self.tz:
+            out[TZ_KEY] = str(self.tz)
+        return out
 
 
 class Binary(_BsonMarker):

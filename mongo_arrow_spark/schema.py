@@ -30,8 +30,22 @@ _PY_TYPES = {
     str: T.StringType(),
     bool: T.BooleanType(),
     bytes: T.BinaryType(),
+    # plain datetime == BSON datetime: naive ms presentation
+    # (reference test_datetime.py case 4) — normalize_type special-cases
+    # it to the Datetime() marker so exports drop Spark's UTC tag
     _dt.datetime: T.TimestampType(),
     _dt.date: T.DateType(),
+}
+
+# bson scalar classes (pymongo's or our fallbacks) as type ids
+from mongo_arrow_spark import bson_values as bv  # noqa: E402
+
+_SCALAR_MARKERS = {
+    bv.ObjectId: bt.ObjectId,
+    bv.Decimal128: bt.Decimal128,
+    bv.Binary: bt.Binary(0),
+    bv.Code: bt.Code,
+    bv.Int64: bt.Int64,
 }
 
 
@@ -80,13 +94,31 @@ def normalize_type(type_id) -> tuple[T.DataType, dict]:
         except Exception as exc:
             raise SchemaError(f"bad DDL type {type_id!r}: {exc}") from exc
     if isinstance(type_id, type) and issubclass(type_id, bt._BsonMarker):
+        type_id = type_id()  # bare class == default-parametrized marker
+    if isinstance(type_id, bt._BsonMarker):
+        # marker instances: Binary(subtype), Decimal128(precision,
+        # scale) / Decimal128(raw=True), or defaults from a bare class
         return type_id.spark_type, type_id.metadata()
-    if isinstance(type_id, bt.Binary):
-        return type_id.spark_type, type_id.metadata()
+    if isinstance(type_id, type) and type_id in _SCALAR_MARKERS:
+        # reference parity: bson scalar classes double as type ids
+        # (reference Schema({"_id": ObjectId}), types.py:246-260)
+        return normalize_type(_SCALAR_MARKERS[type_id])
     # dict/list type-ids are unhashable — branch before the map lookup
     if not isinstance(type_id, (dict, list)) and type_id in _PY_TYPES:
+        if type_id is _dt.datetime:
+            m = bt.Datetime()
+            return m.spark_type, m.metadata()
         return _PY_TYPES[type_id], meta
     if pa is not None and isinstance(type_id, pa.DataType):
+        import pyarrow.types as pat
+
+        if pat.is_timestamp(type_id):
+            # reference spelling timestamp(unit, tz): per-field tz
+            # override carried as column metadata (lib.pyx:147-150)
+            return (
+                T.TimestampType(),
+                bt.Datetime(tz=type_id.tz, unit=type_id.unit).metadata(),
+            )
         return _from_arrow(type_id), meta
     if isinstance(type_id, dict):
         return (

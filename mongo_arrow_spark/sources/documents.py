@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql import types as T
 
+from mongo_arrow_spark.bson_types import METADATA_KEY as _BSON_TYPE_KEY
 from mongo_arrow_spark.errors import SchemaError
 
 DEFAULT_PARTITION_BYTES = 64 * 1024 * 1024
@@ -159,12 +160,22 @@ def _expand(paths) -> list[str]:
 # ----------------------------------------------------------------- decode
 
 
-def _coerce(v, dt: T.DataType, strict: bool, path: str):
+def _coerce(v, dt: T.DataType, strict: bool, path: str, meta: dict | None = None):
     """Typed decode of one JSON value (reference append_raw semantics:
     strict raises TypeError, permissive nulls; NaN→null; bool/int/double
-    coercions follow lib.pyx:524-598)."""
+    coercions follow lib.pyx:524-598).
+
+    ``meta`` is the column's schema metadata: a ``decimal128[bid]``
+    binary column decodes numeric/decimal-string/extended-JSON values to
+    the lossless 16-byte BID carrier (reference lib.pyx:740-762)."""
     if v is None:
         return None
+    if (
+        meta
+        and meta.get(_BSON_TYPE_KEY) == "decimal128[bid]"
+        and isinstance(dt, T.BinaryType)
+    ):
+        return _coerce_bid(v, strict, path)
     try:
         if isinstance(dt, T.BooleanType):
             if isinstance(v, bool):
@@ -201,12 +212,29 @@ def _coerce(v, dt: T.DataType, strict: bool, path: str):
                 return dtm.datetime.utcfromtimestamp(v / 1000.0)
         elif isinstance(dt, T.ArrayType):
             if isinstance(v, list):
-                return [_coerce(e, dt.elementType, strict, path + "[]") for e in v]
+                return [_coerce(e, dt.elementType, strict, path + "[]", meta) for e in v]
         elif isinstance(dt, T.StructType):
             if isinstance(v, dict):
                 return tuple(
-                    _coerce(v.get(f.name), f.dataType, strict, f"{path}.{f.name}")
+                    _coerce(v.get(f.name), f.dataType, strict, f"{path}.{f.name}", f.metadata)
                     for f in dt.fields
+                )
+        elif isinstance(dt, T.DecimalType):
+            import decimal
+
+            if isinstance(v, dict) and "$numberDecimal" in v:
+                v = v["$numberDecimal"]  # extended-JSON carrier
+            if isinstance(v, (int, float, str)) and not isinstance(v, bool):
+                d = decimal.Decimal(str(v))
+                if not d.is_finite():
+                    return None  # DecimalType cannot carry NaN/Inf
+                # quantize to the declared scale (the documented,
+                # configurable truncation; raw=True keeps full fidelity);
+                # explicit context: default prec=28 < DecimalType's 38
+                return d.quantize(
+                    decimal.Decimal(1).scaleb(-dt.scale),
+                    rounding=decimal.ROUND_HALF_EVEN,
+                    context=decimal.Context(prec=dt.precision),
                 )
         elif isinstance(dt, T.BinaryType):
             if isinstance(v, str):
@@ -215,8 +243,38 @@ def _coerce(v, dt: T.DataType, strict: bool, path: str):
                 return base64.b64decode(v)
             if isinstance(v, (bytes, bytearray)):
                 return bytes(v)
-    except (ValueError, OverflowError):
+    except (ValueError, OverflowError, ArithmeticError):
         pass
+    if strict:
+        raise TypeError(f"Got unexpected type {type(v).__name__!r} at {path!r}")
+    return None
+
+
+def _coerce_bid(v, strict: bool, path: str):
+    """Decode one value to 16 BID bytes: extended JSON
+    ({"$numberDecimal": ...}), decimal strings (incl. NaN/±Infinity),
+    numbers, base64 of a 16-byte BID (our writer's round-trip form)."""
+    import base64
+    import decimal
+
+    from mongo_arrow_spark.bson_values import _DEC128_CTX, decimal128_to_bid
+
+    if isinstance(v, dict) and "$numberDecimal" in v:
+        v = v["$numberDecimal"]
+    if isinstance(v, (bytes, bytearray)) and len(v) == 16:
+        return bytes(v)
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return decimal128_to_bid(decimal.Decimal(str(v)))
+    if isinstance(v, str):
+        try:
+            return decimal128_to_bid(_DEC128_CTX.create_decimal(v))
+        except (decimal.DecimalException, ValueError):
+            try:
+                raw = base64.b64decode(v, validate=True)
+                if len(raw) == 16:
+                    return raw
+            except Exception:
+                pass
     if strict:
         raise TypeError(f"Got unexpected type {type(v).__name__!r} at {path!r}")
     return None
@@ -393,7 +451,7 @@ class DocumentsReader(DataSourceReader):
                         continue
                     for i, f in enumerate(fields):
                         cols[i].append(
-                            _coerce(doc.get(f.name), f.dataType, self.strict, f.name)
+                            _coerce(doc.get(f.name), f.dataType, self.strict, f.name, f.metadata)
                         )
                     n += 1
                     if n >= self.batch_size:
@@ -423,7 +481,7 @@ class DocumentsReader(DataSourceReader):
                     continue
                 for i, f in enumerate(fields):
                     cols[i].append(
-                        _coerce(doc.get(f.name), f.dataType, self.strict, f.name)
+                        _coerce(doc.get(f.name), f.dataType, self.strict, f.name, f.metadata)
                     )
                 n += 1
                 if n >= self.batch_size:

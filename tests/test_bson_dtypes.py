@@ -1,0 +1,150 @@
+"""BSON logical types end-to-end: scalar values, BID codec edge cases,
+source decode, and pandas extension-dtype round-trip (reference
+pandas_types.py / lib.pyx:740-762 parity)."""
+
+import base64
+import decimal
+import json
+
+import pytest
+
+from mongo_arrow_spark import bson_types as bt
+from mongo_arrow_spark import bson_values as bv
+from mongo_arrow_spark.api import find_pandas_all
+from mongo_arrow_spark.schema import Schema
+from mongo_arrow_spark.sources import register
+
+# the reference's Decimal128 edge values (any scale, NaN/±Inf, extremes)
+DECIMAL_EDGES = [
+    "0",
+    "-0",
+    "0E+6111",
+    "1E-6176",
+    "9.999999999999999999999999999999999E+6144",
+    "-9.999999999999999999999999999999999E+6144",
+    "1.234567890123456789012345678901234",
+    "-0.00000000000000000000000000000000001",
+    "123.456",
+    "NaN",
+    "Infinity",
+    "-Infinity",
+]
+
+
+@pytest.mark.parametrize("text", DECIMAL_EDGES)
+def test_bid_round_trip(text):
+    d = decimal.Decimal(text)
+    back = bv.decimal128_from_bid(bv.decimal128_to_bid(d))
+    if d.is_nan():
+        assert back.is_nan()
+    else:
+        assert back == d and back.as_tuple().exponent == d.as_tuple().exponent
+
+
+def test_bid_spec_vectors():
+    # wire encodings from the public BSON corpus (low 8 LE, high 8 LE)
+    assert bv.decimal128_to_bid(decimal.Decimal("1")).hex() == (
+        "01000000000000000000000000004030"
+    )
+    assert bv.decimal128_to_bid(decimal.Decimal("-1")).hex() == (
+        "010000000000000000000000000040b0"
+    )
+    assert bv.decimal128_to_bid(decimal.Decimal("0.1")).hex() == (
+        "01000000000000000000000000003e30"
+    )
+
+
+def test_bid_out_of_range_raises():
+    with pytest.raises(ValueError):
+        bv.decimal128_to_bid(decimal.Decimal("1E+6145"))
+    with pytest.raises(ValueError):
+        bv.decimal128_to_bid(decimal.Decimal("1.5E-6176"))  # inexact clamp
+
+
+def test_scalar_types():
+    o = bv.ObjectId()
+    assert len(o.binary) == 12 and bv.ObjectId(str(o)) == o
+    assert bv.ObjectId(o.binary) == o
+    b = bv.Binary(b"123", 10)
+    assert b.subtype == 10 and b == bv.Binary(b"123", 10)
+    assert b != bv.Binary(b"123", 9)
+    c = bv.Code("function(){}", {"x": 1})
+    assert c.scope == {"x": 1} and str(c) == "function(){}"
+    d = bv.Decimal128("1.5")
+    assert d.to_decimal() == decimal.Decimal("1.5")
+    assert bv.Decimal128.from_bid(d.bid) == d
+
+
+@pytest.fixture(scope="module")
+def bson_docs_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("bsondocs") / "data.jsonl"
+    oid = bv.ObjectId("0123456789ab0123456789ab")
+    rows = [
+        {
+            "_id": base64.b64encode(oid.binary).decode(),
+            "price": "79228162514264337593543.950335",  # >6 dp: needs scale 8
+            "exact": "9.999999999999999999999999999999999E+6144",
+            "payload": base64.b64encode(b"\x01\x02").decode(),
+            "js": "function f() {}",
+        },
+        {
+            "_id": None,
+            "price": 1.5,
+            "exact": "NaN",
+            "payload": None,
+            "js": None,
+        },
+    ]
+    with open(p, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+def test_find_pandas_dtype_identity(spark, bson_docs_path):
+    """find_pandas_all returns registered extension dtypes holding rich
+    scalars — not raw bytes/str (the round-1 'What's missing' #1)."""
+    register(spark)
+    schema = Schema(
+        {
+            "_id": bt.ObjectId,
+            "price": bt.Decimal128(38, 8),
+            "exact": bt.Decimal128(raw=True),
+            "payload": bt.Binary(5),
+            "js": bt.Code,
+        }
+    )
+    df = (
+        spark.read.format("documents")
+        .schema(schema.to_struct_type())
+        .load(bson_docs_path)
+    )
+    pdf = find_pandas_all(df, schema=schema)
+    assert str(pdf.dtypes["_id"]) == "bson_ObjectId"
+    assert str(pdf.dtypes["price"]) == "bson_Decimal128"
+    assert str(pdf.dtypes["exact"]) == "bson_Decimal128"
+    assert str(pdf.dtypes["payload"]) == "bson_Binary[5]"
+    assert str(pdf.dtypes["js"]) == "bson_Code"
+    row = pdf.iloc[0]
+    assert row["_id"] == bv.ObjectId("0123456789ab0123456789ab")
+    assert row["price"].to_decimal() == decimal.Decimal(
+        "79228162514264337593543.95033500"
+    )
+    # raw BID carrier is lossless even at the decimal128 extremes
+    assert row["exact"].to_decimal() == decimal.Decimal(
+        "9.999999999999999999999999999999999E+6144"
+    )
+    assert row["payload"] == bv.Binary(b"\x01\x02", 5) and row["payload"].subtype == 5
+    assert isinstance(row["js"], bv.Code)
+    # NaN survives the BID carrier; nulls stay NA
+    assert pdf.iloc[1]["exact"].to_decimal().is_nan()
+    assert pdf["_id"].isna().tolist() == [False, True]
+
+
+def test_scalar_classes_as_schema_type_ids():
+    """Reference parity: Schema({'_id': ObjectId}) with the scalar class."""
+    s = Schema({"_id": bv.ObjectId, "d": bv.Decimal128, "c": bv.Code})
+    fields = {f.name: f for f in s.to_struct_type().fields}
+    assert fields["_id"].metadata == {bt.METADATA_KEY: "objectid"}
+    assert fields["d"].dataType.simpleString() == "decimal(38,6)"
+    assert fields["c"].metadata == {bt.METADATA_KEY: "code"}

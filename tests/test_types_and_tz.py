@@ -85,3 +85,60 @@ def test_schema_nested_rules():
     assert st["arr"].dataType == T.ArrayType(T.DoubleType())
     with pytest.raises(mas.SchemaError):
         mas.Schema({"bad": [int, str]})  # 2-element list (types.py:316-318)
+
+
+def test_per_field_tz_override_matrix(spark):
+    """Ported shape of the reference tz matrix (test_datetime.py:103-168):
+    (1) schema timestamp(ms, tz) → arrow column typed timestamp[ms, tz];
+    (2) two different requested tzs present the SAME instants;
+    (3) plain datetime type id → naive timestamp, UTC wall clock."""
+    import pyarrow as pa
+
+    from mongo_arrow_spark.api import find_arrow_all, find_pandas_all
+    from mongo_arrow_spark.schema import Schema
+
+    times = [
+        dt.datetime(2024, 3, 15, 10, 30, 45),
+        dt.datetime(2023, 12, 31, 23, 59, 59),
+    ]
+    df = spark.createDataFrame(
+        [(1, times[0]), (2, times[1])], "id int, data timestamp"
+    )
+
+    schema_west = Schema({"id": pa.int32(), "data": pa.timestamp("ms", tz="US/Pacific")})
+    t_west = find_arrow_all(df, schema=schema_west, sort=[("id", 1)])
+    assert t_west.schema.types == [pa.int32(), pa.timestamp("ms", tz="US/Pacific")]
+
+    schema_east = Schema({"id": pa.int32(), "data": pa.timestamp("ms", tz="US/Eastern")})
+    t_east = find_arrow_all(df, schema=schema_east, sort=[("id", 1)])
+    assert t_east.schema.types == [pa.int32(), pa.timestamp("ms", tz="US/Eastern")]
+
+    # the instants are identical regardless of requested presentation tz
+    west_vals = t_west["data"].to_pylist()
+    east_vals = t_east["data"].to_pylist()
+    assert all(w == e for w, e in zip(west_vals, east_vals))
+    # and the wall clock genuinely differs by the tz offset
+    assert all(w.utcoffset() != e.utcoffset() for w, e in zip(west_vals, east_vals))
+
+    # plain datetime type id: naive timestamp, values are the UTC wall clock
+    schema_dt = Schema({"id": pa.int32(), "data": dt.datetime})
+    t_naive = find_arrow_all(df, schema=schema_dt, sort=[("id", 1)])
+    assert t_naive["data"].type.tz is None
+    assert t_naive["data"].to_pylist() == times
+
+    # pandas path carries the tz too
+    pdf = find_pandas_all(df, schema=schema_west, sort=[("id", 1)])
+    assert str(pdf["data"].dt.tz) in ("US/Pacific", "America/Los_Angeles")
+
+
+def test_tz_override_marker_spelling(spark):
+    """bt.Datetime(tz=...) is the non-pyarrow spelling of the override."""
+    from mongo_arrow_spark import bson_types as bt
+    from mongo_arrow_spark.api import find_arrow_all
+    from mongo_arrow_spark.schema import Schema
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1, 12, 0, 0))], "id int, data timestamp"
+    )
+    t = find_arrow_all(df, schema=Schema({"id": int, "data": bt.Datetime(tz="UTC")}))
+    assert str(t["data"].type) == "timestamp[ms, tz=UTC]"
