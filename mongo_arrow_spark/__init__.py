@@ -30,6 +30,8 @@ from mongo_arrow_spark.schema import Schema
 from mongo_arrow_spark.session import get_spark
 from mongo_arrow_spark.api import (
     Collection,
+    CappedCollection,
+    natural_order,
     find,
     aggregate,
     find_arrow_all,
@@ -48,6 +50,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Collection",
+    "CappedCollection",
+    "natural_order",
     "Schema",
     "ArrowWriteResult",
     "MongoArrowSparkError",

@@ -53,6 +53,23 @@ def _apply_schema(
     return df.select(*cols)
 
 
+#: Internal column carrying insertion/scan order for $natural sorts and
+#: capped collections. Stripped from every find() result.
+NATURAL_COL = "__natural__"
+
+
+def natural_order(df: DataFrame) -> DataFrame:
+    """Attach a monotonically increasing natural-order column.
+
+    Stable for a fixed file layout (partition-id ⊕ in-partition position),
+    which is exactly the "insertion order" contract a capped collection
+    scan gives (reference test_pymongoarrow.py:66-78). Narrow — no
+    shuffle, no data movement."""
+    if NATURAL_COL in df.columns:
+        return df
+    return df.withColumn(NATURAL_COL, F.monotonically_increasing_id())
+
+
 def find(
     df: DataFrame,
     query: dict | None = None,
@@ -79,6 +96,17 @@ def find(
     if kwargs:
         raise TypeError(f"unexpected find() options: {sorted(kwargs)}")
     out = df.filter(translate_match(query)) if query else df
+    if sort and any(f == "$natural" for f, _ in sort):
+        # natural order = ingest/scan order (capped-collection semantics,
+        # reference test_pymongoarrow.py:66-78). Mongo rejects mixing
+        # $natural with field sorts; so do we.
+        if len(sort) > 1:
+            raise ValueError("$natural cannot be combined with other sort keys")
+        if NATURAL_COL not in out.columns:
+            out = natural_order(out)
+        c = F.col(NATURAL_COL)
+        out = out.orderBy(c.asc() if sort[0][1] in (1, "asc") else c.desc())
+        sort = None
     if projection:
         # same semantics as the $project stage (incl. nested-path grouping)
         from mongo_arrow_spark.mql.pipeline import _project
@@ -94,6 +122,9 @@ def find(
         out = out.offset(int(skip))
     if limit:
         out = out.limit(int(limit))
+    if NATURAL_COL in out.columns:
+        # internal bookkeeping column — never part of the find() surface
+        out = out.drop(NATURAL_COL)
     return _apply_schema(out, schema, allow_invalid)
 
 
@@ -423,3 +454,41 @@ class Collection:
 
     def estimated_document_count(self) -> int:
         return self.df.count()
+
+
+class CappedCollection(Collection):
+    """Size-capped, insertion-ordered collection — the Spark analog of a
+    MongoDB capped collection (reference test_pymongoarrow.py:66-78):
+    only the newest ``max_docs`` rows (natural order) are retained, and
+    reads come back in natural order by default (``$natural`` sort).
+
+    Scale note: the retention is a TakeOrdered(max_docs) — per-partition
+    top-N then a single bounded merge, never a full-table sort. Capped
+    collections are small by contract (a size cap IS the point), so the
+    bounded merge is the right plan at any corpus size."""
+
+    def __init__(self, df: DataFrame, max_docs: int, name: str = "capped",
+                 collections=None):
+        base = natural_order(df)
+        keep = base.orderBy(F.col(NATURAL_COL).desc()).limit(int(max_docs))
+        super().__init__(keep, name, collections)
+        self.max_docs = int(max_docs)
+
+    def _natural(self, kw):
+        kw.setdefault("sort", [("$natural", 1)])
+        return kw
+
+    def find(self, query=None, **kw):
+        return find(self.df, query, **self._natural(kw))
+
+    def find_arrow_all(self, query=None, **kw):
+        return find_arrow_all(self.df, query, **self._natural(kw))
+
+    def find_pandas_all(self, query=None, **kw):
+        return find_pandas_all(self.df, query, **self._natural(kw))
+
+    def find_numpy_all(self, query=None, **kw):
+        return find_numpy_all(self.df, query, **self._natural(kw))
+
+    def find_polars_all(self, query=None, **kw):
+        return find_polars_all(self.df, query, **self._natural(kw))
