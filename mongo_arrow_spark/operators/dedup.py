@@ -93,11 +93,21 @@ def ngram_jaccard_pairs(
 
     # one shingle pass: posting list is built once, persisted (at corpus
     # scale use DISK-backed persist or a checkpoint table), and set sizes
-    # are derived from it instead of re-tokenizing the corpus
-    posts_all = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    # are derived from it instead of re-tokenizing the corpus.
+    # Shingles are xxhash64-folded to longs BEFORE the shuffle: join/agg
+    # keys shrink from ~n·word bytes to 8 bytes, and the self-join
+    # compares longs, not strings (a 64-bit collision would need two
+    # distinct shingles in the same corpus at p ≈ m²/2⁶⁴ — negligible,
+    # and deterministic when it can't occur in the data).
+    # tokenize ONCE into hashed shingle arrays and persist that compact
+    # form; set sizes are a narrow F.size over it (no aggregation over
+    # the exploded posting mass) and posting lists explode from cache
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias("sharr"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = posts_all.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    sizes = base.select("id", F.size("sharr").cast("long").alias("sz"))
+    posts_all = base.select("id", F.explode("sharr").alias("sh"))
     posts = posts_all
     if max_df is not None:
         hot = (

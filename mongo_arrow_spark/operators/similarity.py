@@ -151,16 +151,41 @@ def knn_join(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_side: str | None = "left",
 ) -> DataFrame:
     """For each left row, its k nearest right rows by cosine (brute-force
-    block-nested join + per-left-row window top-k). Broadcast the smaller
-    side in production; here Catalyst/AQE decides."""
+    block-nested join + per-left-row window top-k).
+
+    ``broadcast_side`` ("left" | "right" | None) is the scale knob: the
+    kNN-join convention puts the query set on the left, which is normally
+    orders of magnitude smaller than the corpus — broadcasting it turns
+    the cartesian into a BroadcastNestedLoopJoin that streams the corpus
+    once with no shuffle. None falls back to Catalyst/AQE."""
     from pyspark.sql import Window
 
-    a = left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
-    b = right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"))
+    def unit(df, id_name, out_id, out_vec):
+        # normalize BEFORE the join: norm is computed once per row (as a
+        # plain column, so the transform stays O(d)), and the per-pair
+        # work inside the O(|L|·|R|) loop is a single dot product
+        return df.select(
+            F.col(id_name).alias(out_id),
+            F.col(vec_col).alias("__v"),
+            norm(F.col(vec_col)).alias("__n"),
+        ).select(
+            out_id,
+            F.transform("__v", lambda x: x.cast("double") / F.col("__n")).alias(
+                out_vec
+            ),
+        )
+
+    a = unit(left, left_id, "lid", "lv")
+    b = unit(right, right_id, "rid", "rv")
+    if broadcast_side == "left":
+        a = F.broadcast(a)
+    elif broadcast_side == "right":
+        b = F.broadcast(b)
     scored = a.crossJoin(b).select(
-        "lid", "rid", cosine(F.col("lv"), F.col("rv")).alias("score")
+        "lid", "rid", dot(F.col("lv"), F.col("rv")).cast("double").alias("score")
     )
     w = Window.partitionBy("lid").orderBy(F.col("score").desc(), F.col("rid"))
     return (

@@ -216,8 +216,13 @@ def mql_percentiles(spark, sf_dir):
                 "$group": {
                     "_id": "$l_returnflag",
                     "med_qty": {"$median": {"input": "$l_quantity"}},
-                    "p25": {"$percentile": {"input": "$l_extendedprice", "p": [0.25]}},
-                    "p75": {"$percentile": {"input": "$l_extendedprice", "p": [0.75]}},
+                    # one accumulator for both quantiles = ONE per-group
+                    # value buffer for l_extendedprice instead of two
+                    "pp": {
+                        "$percentile": {
+                            "input": "$l_extendedprice", "p": [0.25, 0.75]
+                        }
+                    },
                 }
             },
             {
@@ -225,8 +230,8 @@ def mql_percentiles(spark, sf_dir):
                     "_id": 0,
                     "l_returnflag": "$_id",
                     "med_qty": {"$round": ["$med_qty", 4]},
-                    "p25_price": {"$round": [{"$arrayElemAt": ["$p25", 0]}, 4]},
-                    "p75_price": {"$round": [{"$arrayElemAt": ["$p75", 0]}, 4]},
+                    "p25_price": {"$round": [{"$arrayElemAt": ["$pp", 0]}, 4]},
+                    "p75_price": {"$round": [{"$arrayElemAt": ["$pp", 1]}, 4]},
                 }
             },
         ],
