@@ -11,13 +11,30 @@ import mongo_arrow_spark.queries_ops  # noqa: F401 — registers operator querie
 import mongo_arrow_spark.queries_streaming  # noqa: F401 — streaming + tfidf + ivf
 import mongo_arrow_spark.queries_ts  # noqa: F401 — as-of join + salted agg
 
-# The driver grades only the FIRST 50 registered queries. Expose the
-# battery with every oracle-backed entry first (stable registration order)
-# and rows-only entries at the tail, so no oracle is silently dropped.
-# tests/test_battery.py pins the invariant (≤50 oracle-backed, all within
-# the graded window).
+# The driver grades only the FIRST 50 registered queries. The battery now
+# carries more than 50 oracle-backed entries, so the graded window is
+# explicit: 50 oracle-backed entries first (registration order, minus the
+# deliberate demotions below), then the remaining oracle-backed entries
+# (their oracles still run in pytest — tests/test_battery.py), then the
+# rows-only entries. tests/test_battery.py pins the invariant (window of
+# exactly 50, every one oracle-backed).
+#
+# Demotions: q_window_lag_gap / q_cube_counts were driver-green in r01 and
+# their capability rows stay pinned by q_window_running_sum + the mql
+# window queries and by q_rollup_orders; their slots now grade the round-2
+# corpus ops (dedup_components, text_repetition). pii_scan / chunk_tokens /
+# train_split are round-2 additions that didn't fit the window.
+_DEMOTED = [
+    "q_window_lag_gap",
+    "q_cube_counts",
+    "pii_scan",
+    "chunk_tokens",
+    "train_split",
+]
+_window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {
-    **{n: f for n, f in QUERIES.items() if n in ORACLES},
+    **{n: QUERIES[n] for n in _window},
+    **{n: QUERIES[n] for n in _DEMOTED if n in QUERIES},
     **{n: f for n, f in QUERIES.items() if n not in ORACLES},
 }
 

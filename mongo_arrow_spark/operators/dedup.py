@@ -374,3 +374,86 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup candidate pairs into connected components:
+    (id, component) where component = min id reachable from the node.
+    This is the step after pair generation in every real dedup pipeline —
+    pairs alone over-delete (A~B, B~C must keep one of {A,B,C}, not two
+    survivors of two independent pairs).
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    (a) pulls the min label across direct neighbors (one shuffle join +
+    partial-agg min), then (b) jumps pointers — label := label(label) —
+    which halves path lengths, giving O(log n) rounds on chains instead
+    of O(n) for plain propagation. Each round is localCheckpoint()ed to
+    cut lineage (at cluster scale, checkpoint to reliable storage
+    instead). Converges when a round changes no label; the iteration
+    driver is Python but every data operation is a DataFrame op.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("comp", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(nbr, labels["v"] == nbr["src"], "left").select(
+            F.col("v"),
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # pointer jump: comp := comp(comp)
+        lookup = stepped.select(
+            F.col("v").alias("comp"), F.col("comp").alias("jumped")
+        )
+        jumped = stepped.join(lookup, "comp", "left").select(
+            "v", F.coalesce("jumped", "comp").alias("comp")
+        )
+        new_labels = jumped.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("id"), F.col("comp").alias("component"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row per component (the min-id representative) plus every
+    row that never appeared in a candidate pair. One left join on the id
+    + filter — no payload shuffle."""
+    marked = df.join(
+        components.withColumnsRenamed({"id": id_col}), id_col, "left"
+    )
+    return marked.filter(
+        F.col("component").isNull() | (F.col(id_col) == F.col("component"))
+    ).drop("component")

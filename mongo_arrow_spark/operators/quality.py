@@ -1,0 +1,235 @@
+"""Corpus-quality operators for LLM training-data pipelines: repetition
+metrics (Gopher-rule shapes), PII scan/redaction, token-window chunking,
+and deterministic train/val/test splitting.
+
+Everything except the per-doc top-n-gram frequency is a narrow per-row
+projection in pure ``pyspark.sql.functions`` — no shuffle, no Python on
+the data path, identical plan at 60 kB and 100 TB. The top-n-gram metric
+is the one aggregation (explode → per-(doc, gram) count → per-doc max),
+which partial-aggregates map-side before its single shuffle.
+
+These extend the reference's surface (it has no corpus ops — SURVEY.md
+§2.E rows "text search"/"vector search" are Atlas-server-only there);
+the shapes follow the published Gopher/C4 filtering rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators.text import tokens
+
+# --------------------------------------------------------------- repetition
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """All (overlapping, non-distinct) word n-grams of a token array."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_token_fraction``: 1 − distinct_tokens/tokens — bulk repetition.
+    - ``top_ngram_char_fraction``: chars covered by the single most
+      frequent word ``top_ngram_n``-gram ÷ total chars. The Gopher rule
+      drops docs where the top 2-gram covers > 0.20 of the text.
+    - ``max_ngram_count``: occurrences of that most frequent n-gram.
+
+    Plan: one explode of n-grams → count per (doc, gram) with map-side
+    partial aggregation → max per doc → broadcast-free join back on the
+    id. Token/char stats stay in the narrow pre-explode projection.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_q"),
+        _ngrams(toks, top_ngram_n).alias("__grams"),
+    )
+    top = (
+        base.select(id_col, F.explode("__grams").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("c"), F.length("g").alias("glen"))).alias("__top")
+        )
+        .select(
+            id_col,
+            F.col("__top.c").alias("max_ngram_count"),
+            F.col("__top.glen").alias("__top_glen"),
+        )
+    )
+    return (
+        base.drop("__grams")
+        .join(top, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            (1.0 - F.col("n_distinct_tokens") / F.col("n_tokens"))
+            .cast("double")
+            .alias("dup_token_fraction"),
+            "max_ngram_count",
+            (
+                F.col("max_ngram_count")
+                * F.col("__top_glen")
+                / F.col("n_chars_q")
+            )
+            .cast("double")
+            .alias("top_ngram_char_fraction"),
+        )
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    max_mean_word_len: float = 10.0,
+    min_mean_word_len: float = 2.0,
+    max_symbol_word_ratio: float = 0.1,
+) -> DataFrame:
+    """Boolean keep/drop flags per the published Gopher heuristics that are
+    expressible over this corpus: token-count bounds, mean word length
+    bounds, symbol-to-word ratio (``#``/``…`` per token). Pure projection.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    mean_wl = (n_chars - n_tok + 1) / n_tok
+    symbols = F.length(F.regexp_replace(text_col, r"[^#…]", ""))
+    return df.withColumns(
+        {
+            "q_n_tokens": n_tok.cast("long"),
+            "q_mean_word_len": mean_wl.cast("double"),
+            "q_symbol_word_ratio": (symbols / n_tok).cast("double"),
+            "q_keep": (
+                (n_tok >= min_tokens)
+                & (n_tok <= max_tokens)
+                & (mean_wl >= min_mean_word_len)
+                & (mean_wl <= max_mean_word_len)
+                & ((symbols / n_tok) <= max_symbol_word_ratio)
+            ),
+        }
+    )
+
+
+# --------------------------------------------------------------------- PII
+
+#: Detection patterns restricted to the syntax subset that means the same
+#: thing in Java regex (Spark) and RE2 (DuckDB oracle): no backrefs, no
+#: lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+}
+
+
+def pii_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII hit counts (one ``regexp_count`` per class) plus a
+    total. Narrow projection, no shuffle."""
+    counts = {
+        f"n_{name}": F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    out = df.select(F.col(id_col), F.col(text_col), *[c.alias(n) for n, c in counts.items()])
+    total = None
+    for n in counts:
+        total = F.col(n) if total is None else total + F.col(n)
+    return out.withColumn("n_pii_total", total.cast("long")).drop(text_col)
+
+
+def pii_redact(
+    col: Column | str, replacement: str = "[PII]", classes: list[str] | None = None
+) -> Column:
+    """Replace every PII match with ``replacement`` — chained
+    ``regexp_replace``, still one codegen'd projection."""
+    out = F.col(col) if isinstance(col, str) else col
+    for name in classes or list(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[name], replacement)
+    return out
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the standard
+    pre-tokenizer packing step. Output: (id, chunk_id, chunk_text,
+    n_chunk_tokens), one row per window, windows start every ``stride``
+    tokens and carry ``chunk_size`` tokens (the last may be short).
+
+    Pure Catalyst: sequence of 1-based starts → slice → posexplode. Rows
+    fan out ~n_tokens/stride ×; no shuffle — chunking is embarrassingly
+    parallel and the 100 TB plan is the same map-only pass.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - chunk_size, F.lit(0)) + F.lit(1),
+        F.lit(stride),
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "__c"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", "__c").alias("chunk_text"),
+        F.size("__c").cast("long").alias("n_chunk_tokens"),
+    )
+
+
+# ------------------------------------------------------------------ splits
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment: the first
+    4 hex digits of md5(salt ‖ id) are compared against hex thresholds
+    (65536 buckets). md5 hex is identical across engines (unlike seeded
+    RNG or xxhash64) and lexicographic order on fixed-width lowercase hex
+    is numeric order, so the same row lands in the same split — on Spark,
+    on the DuckDB oracle, on a re-run, and after any repartitioning. Pure
+    projection, no shuffle, no RNG state.
+    """
+    t_train = format(int(train * 65536), "04x")
+    t_val = format(int((train + val) * 65536), "04x")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < t_train, "train")
+        .when(bucket < t_val, "val")
+        .otherwise("test"),
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mongo_arrow_spark.operators import dedup, multimodal, similarity, text
+from mongo_arrow_spark.operators import dedup, multimodal, quality, similarity, text
 from mongo_arrow_spark.queries import _t, query
 
 _TOKS = "string_split(text, ' ')"
@@ -279,3 +279,158 @@ def q_multimodal_decode(spark, sf_dir):
     fake codec — proves schema/batch shape against a SQL oracle."""
     media = multimodal.attach_payload(_t(spark, sf_dir, "documents"))
     return multimodal.decode_media(media, use_fake=True)
+
+
+# ----------------------------------------------------------- round-2 corpus ops
+
+
+@query(
+    "text_repetition",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks, length(text) AS nch FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+      FROM base, unnest(range(1, greatest(len(toks), 2))) AS t(i)
+    ),
+    topg AS (
+      SELECT doc_id,
+             max(struct_pack(c := c, glen := CAST(length(g) AS BIGINT))) AS tp
+      FROM (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+            FROM grams GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           ROUND(1.0 - len(list_distinct(b.toks)) * 1.0 / len(b.toks), 4)
+             AS dup_token_fraction,
+           t.tp.c AS max_ngram_count,
+           ROUND(t.tp.c * t.tp.glen * 1.0 / b.nch, 4) AS top_ngram_char_fraction
+    FROM base b JOIN topg t USING (doc_id)
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics: dup-token fraction + top-bigram
+    char coverage (the published drop rule is top-2-gram > 0.20)."""
+    rep = quality.repetition_metrics(_t(spark, sf_dir, "documents"))
+    return rep.select(
+        "doc_id",
+        "n_tokens",
+        F.round("dup_token_fraction", 4).alias("dup_token_fraction"),
+        "max_ngram_count",
+        F.round("top_ngram_char_fraction", 4).alias("top_ngram_char_fraction"),
+    )
+
+
+@query(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len({_TOKS}) - 1, 2)),
+          i -> array_to_string({_TOKS}[i:i+2], ' ')))) AS s
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_JACCARD_MAX_DF}),
+    posts AS (SELECT * FROM sh ANTI JOIN hot USING (s)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS v, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
+    )
+    SELECT v AS id, MIN(r) AS component FROM reach GROUP BY v
+    """,
+)
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clusters: ngram-Jaccard candidate pairs → connected
+    components (min-label propagation + pointer jumping). The step after
+    pair generation in every real dedup pipeline; oracle = recursive-CTE
+    reachability."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3, max_df=_JACCARD_MAX_DF
+    )
+    return dedup.connected_components(pairs)
+
+
+@query(
+    "pii_scan",
+    r"""
+    SELECT doc_id, n_email, n_ipv4, n_phone,
+           n_email + n_ipv4 + n_phone AS n_pii_total
+    FROM (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text,
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        CAST(len(regexp_extract_all(text,
+          '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phone
+      FROM documents
+    )
+    """,
+)
+def q_pii_scan(spark, sf_dir):
+    """PII hit counts per document (email/IPv4/phone) — regex subset that
+    means the same thing in Java regex and RE2."""
+    return quality.pii_metrics(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "chunk_tokens",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks, i,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT)
+               AS chunk_id
+      FROM base, unnest(range(1, greatest(len(toks) - 128, 0) + 2, 96)) AS t(i)
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[i:i+127], ' ') AS chunk_text,
+           CAST(len(toks[i:i+127]) AS BIGINT) AS n_chunk_tokens
+    FROM starts
+    """,
+)
+def q_chunk_tokens(spark, sf_dir):
+    """Overlapping 128-token windows at stride 96 — pre-tokenizer packing.
+    Map-only fan-out; no shuffle."""
+    return quality.chunk_tokens(
+        _t(spark, sf_dir, "documents"), chunk_size=128, stride=96
+    )
+
+
+@query(
+    "train_split",
+    """
+    SELECT CASE
+             WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+               THEN 'train'
+             WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+               THEN 'val'
+             ELSE 'test'
+           END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def q_train_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment (80/10/10) —
+    engine-portable (no RNG), stable under repartitioning."""
+    return (
+        quality.train_split(_t(spark, sf_dir, "documents"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -31,13 +31,22 @@ def test_rows_only_runs(spark, name, tables):
     assert len(df.schema.fields) > 0
 
 
-def test_every_oracle_in_driver_grading_window():
-    """The driver grades only the first 50 registered queries: every
-    oracle-backed entry must sit inside that window (rows-only at the
-    tail). Registering a 51st oracle-backed query fails here, not
-    silently in the next round's CORRECTNESS file."""
+def test_driver_grading_window_is_50_oracle_backed():
+    """The driver grades only the first 50 registered queries: the window
+    must hold exactly 50 entries, every one oracle-backed (rows-only at
+    the tail). Oracle-backed entries beyond the window are the explicit
+    _DEMOTED list in battery.py — their oracles still run here in pytest,
+    so nothing regresses silently; the window just grades the entries we
+    chose over them."""
+    from mongo_arrow_spark.battery import _DEMOTED
+
     names = list(QUERIES)
-    assert len(ORACLES) <= 50, "too many oracle-backed queries for the window"
-    outside = [n for n in ORACLES if n not in set(names[:50])]
-    assert not outside, f"oracle-backed queries outside graded window: {outside}"
+    window = names[:50]
+    not_oracle = [n for n in window if n not in ORACLES]
+    assert not not_oracle, f"non-oracle queries inside graded window: {not_oracle}"
+    outside = [n for n in ORACLES if n not in set(window)]
+    assert set(outside) <= set(_DEMOTED), (
+        f"oracle-backed queries outside graded window but not in _DEMOTED: "
+        f"{sorted(set(outside) - set(_DEMOTED))}"
+    )
     assert set(ORACLES) <= set(QUERIES)

@@ -1,0 +1,145 @@
+"""Round-2 corpus operators: repetition metrics, Gopher flags, PII
+scan/redact, token chunking, train/val/test split, connected-components
+dedup clustering. Battery oracles cover the hash-match parity (see
+test_battery.py); these tests pin the semantics the oracles can't —
+redaction behavior, survivor policy, component correctness on a known
+graph, split stability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators import dedup, quality
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tables):
+    return tables["documents"]
+
+
+def test_repetition_metrics_known_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality.repetition_metrics(df).collect()
+    }
+    # doc 1: tokens=6, distinct=2 → dup fraction 2/3; top bigram "a b" ×3
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["dup_token_fraction"] == pytest.approx(2 / 3)
+    assert got[1]["max_ngram_count"] == 3
+    # "a b" is 3 chars, text is 11 chars → 9/11
+    assert got[1]["top_ngram_char_fraction"] == pytest.approx(9 / 11)
+    # doc 2: all distinct, every bigram unique
+    assert got[2]["dup_token_fraction"] == pytest.approx(0.0)
+    assert got[2]["max_ngram_count"] == 1
+
+
+def test_gopher_flags(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["word"] * 60)), (2, "too short")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in quality.gopher_quality_flags(df).collect()
+    }
+    assert rows[1]["q_keep"] is True
+    assert rows[2]["q_keep"] is False  # under min_tokens
+
+
+def test_pii_redact_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@example.com or 10.0.0.1 or 555-123-4567 ok"),
+            (2, "clean text no pii"),
+        ],
+        ["doc_id", "text"],
+    )
+    m = {r["doc_id"]: r.asDict() for r in quality.pii_metrics(df).collect()}
+    assert (m[1]["n_email"], m[1]["n_ipv4"], m[1]["n_phone"]) == (1, 1, 1)
+    assert m[1]["n_pii_total"] == 3
+    assert m[2]["n_pii_total"] == 0
+    red = (
+        df.select("doc_id", quality.pii_redact("text").alias("t"))
+        .filter(F.col("doc_id") == 1)
+        .head()["t"]
+    )
+    assert red == "mail me at [PII] or [PII] or [PII] ok"
+
+
+def test_chunk_tokens_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], ["doc_id", "text"]
+    )
+    rows = quality.chunk_tokens(df, chunk_size=4, stride=3).orderBy("chunk_id").collect()
+    # starts 1,4,7 → chunks [t0..t3], [t3..t6], [t6..t9]
+    assert [r["chunk_text"] for r in rows] == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+    ]
+    assert all(r["n_chunk_tokens"] == 4 for r in rows)
+    with pytest.raises(ValueError):
+        quality.chunk_tokens(df, chunk_size=0)
+
+
+def test_chunk_tokens_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    rows = quality.chunk_tokens(df, chunk_size=128, stride=96).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "a b"
+    assert rows[0]["n_chunk_tokens"] == 2
+
+
+def test_train_split_deterministic_and_partition_stable(docs):
+    a = {
+        r["doc_id"]: r["split"]
+        for r in quality.train_split(docs).select("doc_id", "split").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in quality.train_split(docs.repartition(7))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b  # repartitioning must not move rows between splits
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9  # ~80% within binomial noise at n=100+
+
+
+def test_connected_components_known_graph(spark):
+    # chain 1-2-3, pair 10-11, singleton edge 20-21; min-id labels
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # 0-1-2-...-12: pointer jumping must converge well under max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    comp = dedup.connected_components(pairs, max_iter=6)
+    assert comp.filter(F.col("component") != 0).count() == 0
+
+
+def test_dedup_survivors_policy(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], ["id_a", "id_b"])
+    comps = dedup.connected_components(pairs)
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_survivors(docs, comps).collect()
+    )
+    # component {1,2,4} keeps 1; 0,3,5 untouched
+    assert kept == [0, 1, 3, 5]
