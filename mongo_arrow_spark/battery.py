@@ -28,6 +28,7 @@ _DEMOTED = [
     "q_window_lag_gap",
     "q_cube_counts",
     "pii_scan",
+    "decontaminate_pairs",
     "chunk_tokens",
     "train_split",
 ]

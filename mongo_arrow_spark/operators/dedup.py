@@ -457,3 +457,83 @@ def dedup_survivors(
     return marked.filter(
         F.col("component").isNull() | (F.col(id_col) == F.col("component"))
     ).drop("component")
+
+
+def cross_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard pairs BETWEEN two corpora: (id_l, id_r, jaccard).
+    The candidate join goes left-postings × right-postings on the hashed
+    shingle, so shuffle mass is Σ posting lengths, never |L|·|R|;
+    ``max_df`` (document frequency counted across both corpora) is the
+    stop-shingle kill-switch, same as ngram_jaccard_pairs. Set sizes stay
+    exact (uncapped).
+    """
+    from pyspark import StorageLevel
+
+    def prep(df, side):
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
+                "sharr"
+            ),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    lbase, rbase = prep(left, "l"), prep(right, "r")
+    lposts = lbase.select(F.col("id_l").alias("id"), F.explode("sharr").alias("sh"))
+    rposts = rbase.select(F.col("id_r").alias("id"), F.explode("sharr").alias("sh"))
+    if max_df is not None:
+        hot = (
+            lposts.unionAll(rposts)
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        lposts = lposts.join(F.broadcast(hot), "sh", "left_anti")
+        rposts = rposts.join(F.broadcast(hot), "sh", "left_anti")
+    inter = (
+        lposts.alias("a")
+        .join(rposts.alias("b"), F.col("a.sh") == F.col("b.sh"))
+        .groupBy(F.col("a.id").alias("id_l"), F.col("b.id").alias("id_r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sl = lbase.select("id_l", F.size("sharr").cast("long").alias("sz_l"))
+    sr = rbase.select("id_r", F.size("sharr").cast("long").alias("sz_r"))
+    return (
+        inter.join(sl, "id_l")
+        .join(sr, "id_r")
+        .withColumn(
+            "jaccard",
+            (
+                F.col("inter") / (F.col("sz_l") + F.col("sz_r") - F.col("inter"))
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Drop training documents that near-match any holdout/eval document
+    (test-set decontamination). One cross-corpus candidate join + a
+    left-anti join on contaminated train ids — holdout text never joins
+    against train payloads."""
+    hits = cross_jaccard_pairs(
+        train, holdout, id_col, text_col, n, threshold, max_df
+    ).select(F.col("id_l").alias(id_col)).distinct()
+    return train.join(hits, id_col, "left_anti")

@@ -434,3 +434,41 @@ def q_train_split(spark, sf_dir):
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "decontaminate_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, source, unnest(list_distinct(list_transform(
+          range(1, greatest(len({_TOKS}) - 1, 2)),
+          i -> array_to_string({_TOKS}[i:i+2], ' ')))) AS s
+      FROM documents
+    ),
+    lp AS (SELECT doc_id AS id, s FROM sh WHERE source NOT IN ('src0','src1')),
+    rp AS (SELECT doc_id AS id, s FROM sh WHERE source IN ('src0','src1')),
+    hot AS (SELECT s FROM (SELECT s FROM lp UNION ALL SELECT s FROM rp)
+            GROUP BY s HAVING COUNT(*) > {_JACCARD_MAX_DF}),
+    lpc AS (SELECT * FROM lp ANTI JOIN hot USING (s)),
+    rpc AS (SELECT * FROM rp ANTI JOIN hot USING (s)),
+    szl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM lp GROUP BY id),
+    szr AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM rp GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_l, b.id AS id_r, CAST(COUNT(*) AS BIGINT) AS i
+      FROM lpc a JOIN rpc b ON a.s = b.s GROUP BY 1, 2
+    )
+    SELECT id_l, id_r, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter JOIN szl sa ON id_l = sa.id JOIN szr sb ON id_r = sb.id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
+    """,
+)
+def q_decontaminate_pairs(spark, sf_dir):
+    """Test-set decontamination candidates: train docs (src2+) that
+    near-match a holdout doc (src0/src1) by 3-gram Jaccard ≥ 0.3. The
+    cross-corpus inverted-index join — posting mass, never |train|×|eval|."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source").isin("src0", "src1"))
+    tr = docs.filter(~F.col("source").isin("src0", "src1"))
+    return dedup.cross_jaccard_pairs(
+        tr, ev, threshold=0.3, max_df=_JACCARD_MAX_DF
+    ).select("id_l", "id_r", F.round("jaccard", 4).alias("jaccard"))

@@ -99,3 +99,31 @@ def test_ngram_jaccard_graded_plan_has_skew_cap(spark, tables):
     df = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftAnti" in optimized
+
+
+def test_quality_projections_no_shuffle(spark, tables):
+    """PII scan, chunking, and split assignment are pure projections —
+    an Exchange in any of these plans means a scale bug."""
+    for name in ("pii_scan", "chunk_tokens", "train_split"):
+        p = plan_of(spark, name)
+        if name == "train_split":  # the groupBy in the battery entry aggs
+            assert p.count("Exchange") <= 1
+        else:
+            assert "Exchange" not in p, f"{name} plan shuffles:\n{p}"
+
+
+def test_repetition_partial_agg_and_no_cartesian(spark, tables):
+    """Top-n-gram count must partial-aggregate map-side before its single
+    shuffle; the join back on doc_id must not be a nested-loop."""
+    p = plan_of(spark, "text_repetition")
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_knn_join_broadcasts_query_side(spark, tables):
+    """The kNN join must broadcast the (small) query side — a shuffle-free
+    BroadcastNestedLoopJoin streaming the corpus once."""
+    p = plan_of(spark, "sim_knn_join")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p

@@ -143,3 +143,17 @@ def test_dedup_survivors_policy(spark):
     )
     # component {1,2,4} keeps 1; 0,3,5 untouched
     assert kept == [0, 1, 3, 5]
+
+
+def test_decontaminate_planted(spark):
+    shared = " ".join(f"w{i}" for i in range(30))
+    train = spark.createDataFrame(
+        [(1, shared + " tail"), (2, "completely different text here entirely")],
+        ["doc_id", "text"],
+    )
+    holdout = spark.createDataFrame([(100, shared)], ["doc_id", "text"])
+    pairs = dedup.cross_jaccard_pairs(train, holdout, threshold=0.5)
+    got = pairs.collect()
+    assert len(got) == 1 and got[0]["id_l"] == 1 and got[0]["id_r"] == 100
+    clean = dedup.decontaminate(train, holdout, threshold=0.5)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
