@@ -41,6 +41,11 @@ HEADLINE = [
     "ts_asof_join",
     "skew_salted_group",
     "mql_percentiles",
+    # round-2 corpus ops (keys added r2 — diff per-query vs r1, not totals)
+    "text_repetition",
+    "dedup_components",
+    "decontaminate_pairs",
+    "chunk_tokens",
 ]
 
 

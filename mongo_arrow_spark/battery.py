@@ -29,6 +29,8 @@ _DEMOTED = [
     "q_cube_counts",
     "pii_scan",
     "decontaminate_pairs",
+    "mql_vector_search",
+    "mql_search_text",
     "chunk_tokens",
     "train_split",
 ]

@@ -1032,3 +1032,18 @@ def _is_number(args, env):
     return F.typeof(translate_expr(args, env)).isin(
         "tinyint", "smallint", "int", "bigint", "float", "double", "decimal(38,18)"
     ) | F.typeof(translate_expr(args, env)).startswith("decimal")
+
+
+@_op("$meta")
+def _meta(args, env=None):
+    """Search-score metadata: {"$meta": "vectorSearchScore"} /
+    {"$meta": "searchScore"} / {"$meta": "textScore"} read the score
+    column attached by the $vectorSearch / $search stages."""
+    cols = {
+        "vectorSearchScore": "__vector_score",
+        "searchScore": "__search_score",
+        "textScore": "__search_score",
+    }
+    if args not in cols:
+        raise MQLTranslationError(f"unsupported $meta kind: {args!r}")
+    return F.col(cols[args])

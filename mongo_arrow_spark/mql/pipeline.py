@@ -937,6 +937,110 @@ def _graph_lookup(df, args, resolve):
     return out.drop("__gid")
 
 
+@_stage("$vectorSearch")
+def _vector_search(df, args, resolve):
+    """Atlas ``$vectorSearch`` executed natively (the reference can only
+    reach this through an Atlas server — SURVEY 2.E "vector search" row).
+
+    Supported: path, queryVector, limit, filter (MQL match, applied
+    BEFORE scoring like Atlas pre-filters), similarity ("cosine" default,
+    "dotProduct", "euclidean") with Atlas score normalization
+    (cosine/dot: (1+s)/2; euclidean: 1/(1+d)). ``numCandidates`` is
+    accepted and ignored: this engine scores exactly (Atlas
+    ``exact: true`` / ENN semantics), so recall is 1 by construction.
+    The score is exposed to later stages as {"$meta": "vectorSearchScore"}.
+
+    Plan: one scan, codegen dot product against the broadcast-literal
+    query vector, TakeOrdered(limit) — no shuffle.
+    """
+    from mongo_arrow_spark.operators.similarity import dot, norm
+
+    path = args["path"]
+    qv = [float(x) for x in args["queryVector"]]
+    k = int(args["limit"])
+    if args.get("filter"):
+        df = df.filter(translate_match(args["filter"]))
+    v = F.col(path)
+    q = F.array(*[F.lit(x) for x in qv])
+    sim = args.get("similarity", "cosine")
+    if sim == "cosine":
+        score = (1 + dot(v, q) / (norm(v) * norm(q))) / 2
+    elif sim == "dotProduct":
+        score = (1 + dot(v, q)) / 2
+    elif sim == "euclidean":
+        dist = F.sqrt(
+            F.aggregate(
+                F.zip_with(v, q, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        score = 1 / (1 + dist)
+    else:
+        raise MQLTranslationError(f"unsupported $vectorSearch similarity: {sim}")
+    return (
+        df.withColumn("__vector_score", score.cast("double"))
+        .orderBy(F.col("__vector_score").desc())
+        .limit(k)
+    )
+
+
+@_stage("$search")
+def _search(df, args, resolve):
+    """Atlas ``$search`` with the ``text`` operator, scored by
+    tf·ln(N/df) per query term (the engine's TF-IDF model — SURVEY 2.E
+    "text search" row; Atlas's BM25 constants are not public, so the
+    scoring function differs while ranking semantics — term-frequency ×
+    rarity — match). Matching documents only, ordered by descending
+    score; {"$meta": "searchScore"} exposes the score downstream.
+
+    Plan: one aggregate computes every term's document frequency
+    (broadcast 1 row), then a map-side score + filter; ordering is a
+    global sort only if the caller keeps it (follow with $limit for
+    TakeOrdered).
+    """
+    from mongo_arrow_spark.operators.text import tokens
+
+    spec = args.get("text")
+    if spec is None:
+        raise MQLTranslationError("$search supports only the 'text' operator")
+    terms = spec["query"].split()
+    path = spec["path"]
+    if not isinstance(path, str):
+        raise MQLTranslationError("$search text.path must be a single field")
+    toks = tokens(path)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.when(F.array_contains(toks, t), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    def term_count(term):
+        def pred(w):  # arity-1 closure (2-param lambdas bind (value, index))
+            return w == F.lit(term)
+
+        return F.size(F.filter(toks, pred))
+
+    score = None
+    for i, t in enumerate(terms):
+        part = F.when(
+            F.col(f"__df_{i}") > 0,
+            term_count(t) * F.log(F.col("__n") / F.col(f"__df_{i}")),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__search_score", score.cast("double"))
+        .drop("__n", *[f"__df_{i}" for i in range(len(terms))])
+        .filter(F.col("__search_score") > 0)
+        .orderBy(F.col("__search_score").desc())
+    )
+
+
 @_stage("$out")
 def _out(df, args, resolve):
     """$out materializes the result. The reference rejects it outright

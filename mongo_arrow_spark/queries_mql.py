@@ -485,3 +485,82 @@ def mql_sort_skip_limit(spark, sf_dir):
             },
         ],
     )
+
+
+@query(
+    "mql_vector_search",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND((1 + list_sum(list_transform(list_zip(embedding, qv),
+                     p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) / 2, 4)
+           AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def mql_vector_search(spark, sf_dir):
+    """Atlas $vectorSearch stage (ENN, Atlas cosine score normalization
+    (1+cos)/2) + $meta score projection — the reference reaches this only
+    through an Atlas server."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return aggregate(
+        emb,
+        [
+            {
+                "$vectorSearch": {
+                    "path": "embedding",
+                    "queryVector": [float(x) for x in qv],
+                    "limit": 10,
+                    "numCandidates": 200,
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "vec_id": 1,
+                    "score": {"$round": [{"$meta": "vectorSearchScore"}, 4]},
+                }
+            },
+        ],
+    )
+
+
+@query(
+    "mql_search_text",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END) AS df2
+      FROM toks
+    )
+    SELECT doc_id,
+           ROUND(len(list_filter(t, w -> w = 'spark')) * ln(n * 1.0 / df1)
+               + len(list_filter(t, w -> w = 'window')) * ln(n * 1.0 / df2), 4)
+             AS score
+    FROM toks, stats
+    WHERE len(list_filter(t, w -> w = 'spark')) * ln(n * 1.0 / df1)
+        + len(list_filter(t, w -> w = 'window')) * ln(n * 1.0 / df2) > 0
+    """,
+)
+def mql_search_text(spark, sf_dir):
+    """Atlas $search text operator (tf·ln(N/df) ranking) + $meta
+    searchScore projection, all matching docs."""
+    return aggregate(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"$search": {"text": {"query": "spark window", "path": "text"}}},
+            {
+                "$project": {
+                    "_id": 0,
+                    "doc_id": 1,
+                    "score": {"$round": [{"$meta": "searchScore"}, 4]},
+                }
+            },
+        ],
+    )

@@ -426,3 +426,65 @@ def test_redact_keep_short_circuits(spark):
     )
     out = apply_pipeline(df, [{"$redact": "$$KEEP"}])
     assert out.first()["sub"]["v"] == "kept-whole"
+
+
+def test_vector_search_euclidean_and_errors(spark, tables):
+    from mongo_arrow_spark.api import aggregate
+    from mongo_arrow_spark.errors import MQLTranslationError
+    import pytest as _pytest
+
+    emb = tables["embeddings"]
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    out = aggregate(
+        emb,
+        [
+            {
+                "$vectorSearch": {
+                    "path": "embedding",
+                    "queryVector": qv,
+                    "limit": 3,
+                    "similarity": "euclidean",
+                }
+            }
+        ],
+    )
+    rows = out.collect()
+    assert rows[0]["vec_id"] == 0  # self-match: distance 0 → score 1
+    assert rows[0]["__vector_score"] == 1.0
+    with _pytest.raises(MQLTranslationError):
+        aggregate(
+            emb,
+            [
+                {
+                    "$vectorSearch": {
+                        "path": "embedding",
+                        "queryVector": qv,
+                        "limit": 3,
+                        "similarity": "manhattan",
+                    }
+                }
+            ],
+        )
+    with _pytest.raises(MQLTranslationError):
+        aggregate(tables["documents"], [{"$search": {"phrase": {"query": "x"}}}])
+
+
+def test_vector_search_prefilter(spark, tables):
+    from mongo_arrow_spark.api import aggregate
+
+    emb = tables["embeddings"]
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    out = aggregate(
+        emb,
+        [
+            {
+                "$vectorSearch": {
+                    "path": "embedding",
+                    "queryVector": qv,
+                    "limit": 5,
+                    "filter": {"label": {"$gte": 1}},
+                }
+            }
+        ],
+    )
+    assert out.filter("label < 1").count() == 0
