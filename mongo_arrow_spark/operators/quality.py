@@ -57,14 +57,24 @@ def repetition_metrics(
         F.length(text_col).cast("long").alias("n_chars_q"),
         _ngrams(toks, top_ngram_n).alias("__grams"),
     )
+    # grams are xxhash64-folded before the count shuffle (8-byte keys, not
+    # gram strings — the same trick as the dedup posting lists); the gram
+    # length rides along since equal grams have equal length, and the
+    # per-doc winner is max by (count, length) either way
     top = (
         base.select(id_col, F.explode("__grams").alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.max(F.struct(F.col("c"), F.length("g").alias("glen"))).alias("__top")
+        .select(
+            id_col,
+            F.xxhash64("g").alias("gh"),
+            F.length("g").cast("long").alias("glen"),
         )
+        .groupBy(id_col, "gh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.first("glen").alias("glen"),
+        )
+        .groupBy(id_col)
+        .agg(F.max(F.struct(F.col("c"), F.col("glen"))).alias("__top"))
         .select(
             id_col,
             F.col("__top.c").alias("max_ngram_count"),
