@@ -114,18 +114,29 @@ def _merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
     return a
 
 
-def infer_schema(paths: list[str] | str, sample_size: int = DEFAULT_SAMPLE_SIZE) -> T.StructType:
+def infer_schema(
+    paths: list[str] | str,
+    sample_size: int = DEFAULT_SAMPLE_SIZE,
+    drop_corrupt: bool = False,
+) -> T.StructType:
     """First-non-null sampling inference over the head of the files."""
     fields: dict[str, T.DataType] = {}
     seen = 0
     for path in _expand(paths):
-        with open(path, "r", encoding="utf-8") as fh:
+        with open(path, "r", encoding="utf-8", errors="replace") as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
-                doc = json.loads(line)
+                try:
+                    doc = json.loads(line)
+                except json.JSONDecodeError:
+                    if drop_corrupt:
+                        continue
+                    raise SchemaError(f"corrupt JSON line in {path}")
                 if not isinstance(doc, dict):
+                    if drop_corrupt:
+                        continue
                     raise SchemaError(f"non-document line in {path}")
                 for k, v in doc.items():
                     t = _infer_value(v)
@@ -394,6 +405,16 @@ class DocumentsReader(DataSourceReader):
             options.get("partitionbytes", DEFAULT_PARTITION_BYTES)
         )
         self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
+        # corrupt-record policy for undecodable bytes / malformed JSON
+        # lines: "fail" (default — raise with file+offset context, the
+        # reference's truncated-stream behavior, test_bson.py:83-99) or
+        # "drop" (Spark JSON DROPMALFORMED analog — at corpus scale a few
+        # mangled lines must not kill a 10-hour job)
+        self.corrupt_mode = str(options.get("corruptmode", "fail")).lower()
+        if self.corrupt_mode not in ("fail", "drop"):
+            raise SchemaError(
+                f"corruptMode must be 'fail' or 'drop', got {self.corrupt_mode!r}"
+            )
         self.filters: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]):
@@ -473,10 +494,26 @@ class DocumentsReader(DataSourceReader):
                 raw = fh.readline()
                 if not raw:
                     break
-                line = raw.decode("utf-8").strip()
-                if not line:
-                    continue
-                doc = json.loads(line)
+                try:
+                    line = raw.decode("utf-8").strip()
+                    if not line:
+                        continue
+                    doc = json.loads(line)
+                except (UnicodeDecodeError, json.JSONDecodeError) as exc:
+                    if self.corrupt_mode == "drop":
+                        continue
+                    raise ValueError(
+                        f"corrupt document line in {part.path} near byte "
+                        f"{fh.tell()}: {exc}"
+                    ) from exc
+                if not isinstance(doc, dict):
+                    if self.corrupt_mode == "drop":
+                        continue
+                    raise ValueError(
+                        f"corrupt document line in {part.path} near byte "
+                        f"{fh.tell()}: top-level JSON must be an object, "
+                        f"got {type(doc).__name__}"
+                    )
                 if self.filters and not pred(doc):
                     continue
                 for i, f in enumerate(fields):
@@ -723,6 +760,8 @@ class DocumentsDataSource(DataSource):
         return infer_schema(
             self.options.get("path"),
             int(self.options.get("samplesize", DEFAULT_SAMPLE_SIZE)),
+            drop_corrupt=str(self.options.get("corruptmode", "fail")).lower()
+            == "drop",
         )
 
     def reader(self, schema: T.StructType) -> DocumentsReader:
