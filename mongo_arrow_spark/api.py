@@ -492,3 +492,31 @@ class CappedCollection(Collection):
 
     def find_polars_all(self, query=None, **kw):
         return find_polars_all(self.df, query, **self._natural(kw))
+
+
+def write_ipc(df: DataFrame, path: str) -> int:
+    """Write a DataFrame to an Arrow IPC (Feather v2) file — the
+    reference's third interop sink (SURVEY 2.B B6, exercised at
+    test_bson.py:132-140). Returns the row count written.
+
+    The export funnels through ``toArrow`` on the driver: IPC is a
+    single-file interchange format, not a distributed sink — for bulk
+    output use the parquet/documents writers."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    table = df.toArrow()
+    with ipc.new_file(path, table.schema) as w:
+        w.write_table(table)
+    return table.num_rows
+
+
+def read_ipc(spark, path: str) -> DataFrame:
+    """Read an Arrow IPC (Feather v2) file into a DataFrame (driver-side
+    Arrow load + parallelize; the symmetric interop source to
+    ``write_ipc``)."""
+    import pyarrow.ipc as ipc
+
+    with ipc.open_file(path) as r:
+        table = r.read_all()
+    return spark.createDataFrame(table.to_pandas())

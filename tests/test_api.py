@@ -73,3 +73,16 @@ def test_write_tabulars(spark, tmp_path):
     )
     assert res2.inserted_count == 2
     assert spark.read.parquet(str(tmp_path / "t1")).count() == 3
+
+
+def test_ipc_roundtrip(spark, tables, tmp_path):
+    from mongo_arrow_spark.api import read_ipc, write_ipc
+
+    src = tables["nation"].select("n_nationkey", "n_name")
+    p = str(tmp_path / "nation.arrow")
+    n = write_ipc(src, p)
+    assert n == src.count()
+    back = read_ipc(spark, p)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in src.collect()
+    )

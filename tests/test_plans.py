@@ -127,3 +127,17 @@ def test_knn_join_broadcasts_query_side(spark, tables):
     p = plan_of(spark, "sim_knn_join")
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_vector_search_take_ordered(spark, tables):
+    """$vectorSearch limit must compile to TakeOrderedAndProject (no
+    global sort of the scored corpus)."""
+    p = plan_of(spark, "mql_vector_search")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_search_stats_broadcast(spark, tables):
+    """$search corpus stats must join in as a broadcast single row."""
+    p = plan_of(spark, "mql_search_text")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
