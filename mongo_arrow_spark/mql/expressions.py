@@ -472,7 +472,9 @@ def _second(args, env):
 
 @_op("$millisecond")
 def _millisecond(args, env):
-    c = _date_arg(args, env)
+    # cast: unix_micros rejects TIMESTAMP_NTZ; NTZ reads as session-UTC
+    # instants under the engine's tz contract
+    c = _date_arg(args, env).cast("timestamp")
     return (F.unix_micros(c) / 1000 % 1000).cast("int")
 
 
@@ -1047,3 +1049,208 @@ def _meta(args, env=None):
     if args not in cols:
         raise MQLTranslationError(f"unsupported $meta kind: {args!r}")
     return F.col(cols[args])
+
+
+# ------------------------------------------------- round-2 surface additions
+
+
+@_op("$asin")
+def _asin(args, env):
+    return F.asin(translate_expr(args, env))
+
+
+@_op("$acos")
+def _acos(args, env):
+    return F.acos(translate_expr(args, env))
+
+
+@_op("$atan")
+def _atan(args, env):
+    return F.atan(translate_expr(args, env))
+
+
+@_op("$sinh")
+def _sinh(args, env):
+    return F.sinh(translate_expr(args, env))
+
+
+@_op("$cosh")
+def _cosh(args, env):
+    return F.cosh(translate_expr(args, env))
+
+
+@_op("$tanh")
+def _tanh(args, env):
+    return F.tanh(translate_expr(args, env))
+
+
+@_op("$asinh")
+def _asinh(args, env):
+    x = translate_expr(args, env)
+    return F.log(x + F.sqrt(x * x + 1))
+
+
+@_op("$acosh")
+def _acosh(args, env):
+    x = translate_expr(args, env)
+    return F.log(x + F.sqrt(x * x - 1))
+
+
+@_op("$atanh")
+def _atanh(args, env):
+    x = translate_expr(args, env)
+    return F.log((1 + x) / (1 - x)) / 2
+
+
+@_op("$isoDayOfWeek")
+def _iso_day_of_week(args, env):
+    # ISO: 1 = Monday … 7 = Sunday (Spark dayofweek is 1 = Sunday)
+    return F.weekday(_date_arg(args, env)) + 1
+
+
+@_op("$isoWeekYear")
+def _iso_week_year(args, env):
+    # the year that owns the ISO week — differs from $year around Jan 1
+    d = _date_arg(args, env)
+    return F.year(F.date_sub(F.next_day(d, "Thu"), 7)).cast("long")
+
+
+@_op("$dateFromParts")
+def _date_from_parts(args, env):
+    """Calendar form: year/month/day/hour/minute/second/millisecond.
+    ISO-week form (isoWeekYear/isoWeek/isoDayOfWeek) is not supported —
+    raise rather than mis-compute (reference users get the calendar form
+    overwhelmingly)."""
+    if "isoWeekYear" in args:
+        raise MQLTranslationError("$dateFromParts ISO-week form unsupported")
+
+    def part(name, default):
+        if name in args:
+            return translate_expr(args[name], env).cast("int")
+        return F.lit(default)
+
+    ts = F.make_timestamp(
+        part("year", 1970),
+        part("month", 1),
+        part("day", 1),
+        part("hour", 0),
+        part("minute", 0),
+        part("second", 0).cast("double")
+        + part("millisecond", 0).cast("double") / 1000.0,
+    )
+    if "timezone" in args:
+        ts = F.to_utc_timestamp(ts, args["timezone"])
+    return ts
+
+
+@_op("$dateToParts")
+def _date_to_parts(args, env):
+    d = _date_arg(args, env)
+    if isinstance(args, dict) and args.get("timezone"):
+        d = F.from_utc_timestamp(d, args["timezone"])
+    return F.struct(
+        F.year(d).alias("year"),
+        F.month(d).alias("month"),
+        F.dayofmonth(d).alias("day"),
+        F.hour(d).alias("hour"),
+        F.minute(d).alias("minute"),
+        F.second(d).alias("second"),
+        (F.unix_micros(d.cast("timestamp")) / 1000 % 1000)
+        .cast("int")
+        .alias("millisecond"),
+    )
+
+
+@_op("$dateFromString")
+def _date_from_string(args, env):
+    if not isinstance(args, dict):
+        raise MQLTranslationError("$dateFromString requires {dateString, ...}")
+    s = translate_expr(args["dateString"], env)
+    fmt = args.get("format")
+    on_error = args.get("onError")
+    if fmt is not None:
+        # MQL %-codes → Spark datetime pattern (common subset)
+        for mql, spk in (
+            ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
+            ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%L", "SSS"),
+        ):
+            fmt = fmt.replace(mql, spk)
+        out = F.try_to_timestamp(s, F.lit(fmt))
+    else:
+        out = F.try_to_timestamp(s)
+    if args.get("timezone"):
+        out = F.to_utc_timestamp(out, args["timezone"])
+    if on_error is not None:
+        out = F.coalesce(out, translate_expr(on_error, env))
+    return out
+
+
+@_op("$regexFind")
+def _regex_find(args, env):
+    inp = translate_expr(args["input"], env)
+    regex = args["regex"]
+    if "i" in args.get("options", ""):
+        regex = "(?i)" + regex
+    m = F.regexp_extract(inp, f"({regex})", 1)
+    # MQL returns null (not '') when there is no match
+    return F.when(inp.rlike(regex), m)
+
+
+@_op("$regexFindAll")
+def _regex_find_all(args, env):
+    inp = translate_expr(args["input"], env)
+    regex = args["regex"]
+    if "i" in args.get("options", ""):
+        regex = "(?i)" + regex
+    return F.regexp_extract_all(inp, F.lit(f"({regex})"), 1)
+
+
+@_op("$firstN")
+def _first_n(args, env):
+    return F.slice(
+        translate_expr(args["input"], env), 1, int(args["n"])
+    )
+
+
+@_op("$lastN")
+def _last_n(args, env):
+    inp = translate_expr(args["input"], env)
+    n = int(args["n"])
+    return F.slice(inp, F.greatest(F.size(inp) - n + 1, F.lit(1)), n)
+
+
+@_op("$maxN")
+def _max_n(args, env):
+    # MQL ignores nulls in minN/maxN; filter BEFORE the sort+reverse or
+    # array_sort's nulls-last placement becomes nulls-first after reverse
+    inp = translate_expr(args["input"], env)
+    n = int(args["n"])
+    no_null = F.filter(inp, lambda x: x.isNotNull())
+    return F.slice(F.reverse(F.array_sort(no_null)), 1, n)
+
+
+@_op("$minN")
+def _min_n(args, env):
+    # MQL ignores nulls in minN/maxN; array_sort puts nulls last
+    inp = translate_expr(args["input"], env)
+    n = int(args["n"])
+    no_null = F.filter(inp, lambda x: x.isNotNull())
+    return F.slice(F.array_sort(no_null), 1, n)
+
+
+@_op("$setField")
+def _set_field(args, env):
+    inp = translate_expr(args["input"], env)
+    return inp.withField(args["field"], translate_expr(args["value"], env))
+
+
+@_op("$unsetField")
+def _unset_field(args, env):
+    inp = translate_expr(args["input"], env)
+    return inp.dropFields(args["field"])
+
+
+@_op("$toObjectId")
+def _to_object_id(args, env):
+    """Hex string → 12-byte ObjectId carrier (unhex to binary)."""
+    return F.unhex(translate_expr(args, env))

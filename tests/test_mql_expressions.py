@@ -182,3 +182,172 @@ def test_struct_literal(df):
         translate_expr({"a": "$id", "b": {"$multiply": ["$id", 2]}}).alias("o")
     ).collect()
     assert rows[0]["o"]["a"] == 1 and rows[0]["o"]["b"] == 2
+
+
+# --------------------------------------------------- round-2 operator sweep
+
+
+def test_inverse_and_hyperbolic_trig(spark):
+    import math
+
+    df = spark.range(1).select(F.lit(0.5).alias("x"))
+    row = (
+        df.select(
+            *[
+                translate_expr({op: "$x"}).alias(op[1:])
+                for op in (
+                    "$asin", "$acos", "$atan", "$sinh", "$cosh", "$tanh",
+                    "$asinh", "$atanh",
+                )
+            ],
+            translate_expr({"$acosh": {"$add": ["$x", 1]}}).alias("acosh"),
+        )
+        .head()
+        .asDict()
+    )
+    assert row["asin"] == pytest.approx(math.asin(0.5))
+    assert row["acos"] == pytest.approx(math.acos(0.5))
+    assert row["atan"] == pytest.approx(math.atan(0.5))
+    assert row["sinh"] == pytest.approx(math.sinh(0.5))
+    assert row["cosh"] == pytest.approx(math.cosh(0.5))
+    assert row["tanh"] == pytest.approx(math.tanh(0.5))
+    assert row["asinh"] == pytest.approx(math.asinh(0.5))
+    assert row["atanh"] == pytest.approx(math.atanh(0.5))
+    assert row["acosh"] == pytest.approx(math.acosh(1.5))
+
+
+def test_date_from_parts_and_to_parts(spark):
+    import datetime as dt
+
+    df = spark.range(1)
+    row = df.select(
+        translate_expr(
+            {
+                "$dateFromParts": {
+                    "year": 2024, "month": 2, "day": 29,
+                    "hour": 12, "minute": 30, "second": 5,
+                    "millisecond": 250,
+                }
+            }
+        ).alias("ts"),
+    ).head()
+    assert row["ts"] == dt.datetime(2024, 2, 29, 12, 30, 5, 250000)
+    parts = df.select(
+        translate_expr({"$dateToParts": {"date": F.lit(row["ts"])}}).alias("p")
+    ).head()["p"]
+    assert (parts["year"], parts["month"], parts["day"]) == (2024, 2, 29)
+    assert (parts["hour"], parts["minute"], parts["second"]) == (12, 30, 5)
+    assert parts["millisecond"] == 250
+
+
+def test_date_from_string_formats_and_onerror(spark):
+    import datetime as dt
+
+    df = spark.range(1)
+    row = df.select(
+        translate_expr(
+            {"$dateFromString": {"dateString": F.lit("2023-07-04 10:20:30")}}
+        ).alias("a"),
+        translate_expr(
+            {
+                "$dateFromString": {
+                    "dateString": F.lit("04/07/2023"),
+                    "format": "%d/%m/%Y",
+                }
+            }
+        ).alias("b"),
+        translate_expr(
+            {
+                "$dateFromString": {
+                    "dateString": F.lit("not a date"),
+                    "onError": F.lit(dt.datetime(1970, 1, 1)),
+                }
+            }
+        ).alias("c"),
+    ).head()
+    assert row["a"] == dt.datetime(2023, 7, 4, 10, 20, 30)
+    assert row["b"] == dt.datetime(2023, 7, 4)
+    assert row["c"] == dt.datetime(1970, 1, 1)
+
+
+def test_iso_day_of_week_and_week_year(spark):
+    import datetime as dt
+
+    df = spark.range(1)
+    row = df.select(
+        translate_expr(
+            {"$isoDayOfWeek": F.lit(dt.date(2024, 1, 1))}  # a Monday
+        ).alias("mon"),
+        translate_expr(
+            {"$isoDayOfWeek": F.lit(dt.date(2024, 1, 7))}  # a Sunday
+        ).alias("sun"),
+        # 2021-01-01 (Friday) belongs to ISO week 53 of 2020
+        translate_expr({"$isoWeekYear": F.lit(dt.date(2021, 1, 1))}).alias("wy"),
+    ).head()
+    assert row["mon"] == 1 and row["sun"] == 7
+    assert row["wy"] == 2020
+
+
+def test_regex_find_and_find_all(spark):
+    df = spark.range(1).select(F.lit("a1 b22 c333").alias("s"))
+    row = df.select(
+        translate_expr(
+            {"$regexFind": {"input": "$s", "regex": r"[a-z](\d+)"}}
+        ).alias("first"),
+        translate_expr(
+            {"$regexFindAll": {"input": "$s", "regex": r"[a-z]\d+"}}
+        ).alias("all"),
+        translate_expr(
+            {"$regexFind": {"input": "$s", "regex": r"zzz"}}
+        ).alias("none"),
+        translate_expr(
+            {"$regexFind": {"input": "$s", "regex": r"B22", "options": "i"}}
+        ).alias("ci"),
+    ).head()
+    assert row["first"] == "a1"
+    assert row["all"] == ["a1", "b22", "c333"]
+    assert row["none"] is None
+    assert row["ci"] == "b22"
+
+
+def test_first_last_max_min_n(spark):
+    df = spark.range(1).select(
+        F.array(F.lit(5), F.lit(1), F.lit(None), F.lit(3)).alias("a")
+    )
+    row = df.select(
+        translate_expr({"$firstN": {"input": "$a", "n": 2}}).alias("f"),
+        translate_expr({"$lastN": {"input": "$a", "n": 2}}).alias("l"),
+        translate_expr({"$maxN": {"input": "$a", "n": 2}}).alias("mx"),
+        translate_expr({"$minN": {"input": "$a", "n": 2}}).alias("mn"),
+    ).head()
+    assert row["f"] == [5, 1]
+    assert row["l"] == [None, 3]
+    assert row["mx"] == [5, 3]
+    assert row["mn"] == [1, 3]
+
+
+def test_set_and_unset_field(spark):
+    df = spark.range(1).select(
+        F.struct(F.lit(1).alias("a"), F.lit("x").alias("b")).alias("doc")
+    )
+    row = df.select(
+        translate_expr(
+            {"$setField": {"input": "$doc", "field": "a", "value": 99}}
+        ).alias("set"),
+        translate_expr(
+            {"$unsetField": {"input": "$doc", "field": "b"}}
+        ).alias("unset"),
+    ).head()
+    assert row["set"].asDict() == {"a": 99, "b": "x"}
+    assert row["unset"].asDict() == {"a": 1}
+
+
+def test_to_object_id_hex_roundtrip(spark):
+    hex_id = "5f0b1c2d3e4f5a6b7c8d9e0f"
+    df = spark.range(1).select(F.lit(hex_id).alias("h"))
+    row = df.select(
+        translate_expr({"$toObjectId": "$h"}).alias("oid"),
+        F.hex(translate_expr({"$toObjectId": "$h"})).alias("back"),
+    ).head()
+    assert isinstance(row["oid"], (bytes, bytearray)) and len(row["oid"]) == 12
+    assert row["back"].lower() == hex_id
