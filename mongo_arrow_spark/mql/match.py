@@ -43,11 +43,39 @@ def translate_match(query: dict | None) -> Column:
             preds.append(translate_expr(value))
         elif key == "$comment":
             continue
+        elif key == "$sampleRate":
+            preds.append(F.rand() < float(value))
+        elif key == "$text":
+            preds.append(_text_predicate(value))
         elif key.startswith("$"):
             raise MQLTranslationError(f"unsupported top-level operator: {key}")
         else:
             preds.append(_field_predicate(F.col(key), value))
     return _reduce(lambda a, b: a & b, preds)
+
+
+def _text_predicate(value: dict) -> Column:
+    """Top-level ``$text``: OR-of-terms whole-word containment. MQL
+    resolves the searched field from the collection's text index; this
+    engine has no index catalog, so the field defaults to ``text`` and is
+    overridable with the ``$path`` extension key. Case-insensitive unless
+    ``$caseSensitive``; no stemming (documented delta — MQL stems by
+    index language)."""
+    if not isinstance(value, dict) or "$search" not in value:
+        raise MQLTranslationError('$text requires {"$search": "..."}')
+    field = value.get("$path", "text")
+    col = F.col(field)
+    if not value.get("$caseSensitive", False):
+        col = F.lower(col)
+    terms = [
+        t if value.get("$caseSensitive", False) else t.lower()
+        for t in str(value["$search"]).split()
+    ]
+    toks = F.split(col, r" ", -1)
+    return _reduce(
+        lambda a, b: a | b,
+        [F.array_contains(toks, F.lit(t)) for t in terms],
+    )
 
 
 #: MQL regex options → Python/Java inline flags. ``l`` (locale-dependent
@@ -136,4 +164,63 @@ def _field_op(col: Column, op: str, arg) -> Column:
         return F.exists(col, body)
     if op == "$not":
         return ~_field_predicate(col, arg)
+    if op == "$type":
+        return _type_predicate(col, arg)
+    if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"):
+        mask = (
+            _reduce(lambda a, b: a | b, (1 << p for p in arg))
+            if isinstance(arg, (list, tuple))
+            else int(arg)
+        )
+        masked = col.cast("long").bitwiseAND(F.lit(mask))
+        if op == "$bitsAllSet":
+            return masked == F.lit(mask)
+        if op == "$bitsAnySet":
+            return masked != F.lit(0)
+        if op == "$bitsAllClear":
+            return masked == F.lit(0)
+        return masked != F.lit(mask)  # $bitsAnyClear
     raise MQLTranslationError(f"unsupported field operator: {op}")
+
+
+#: MQL $type aliases / BSON type numbers → Spark type-name predicates
+#: (typeof() names). Only types the engine's data model carries.
+_TYPE_ALIASES = {
+    "double": "double", 1: "double",
+    "string": "string", 2: "string",
+    "object": "struct", 3: "struct",
+    "array": "array", 4: "array",
+    "binData": "binary", 5: "binary",
+    "bool": "boolean", 8: "boolean",
+    "date": "timestamp", 9: "timestamp",
+    "int": "int", 16: "int",
+    "long": "bigint", 18: "bigint",
+    "decimal": "decimal", 19: "decimal",
+    "null": "null", 10: "null",
+}
+
+
+def _type_predicate(col: Column, arg) -> Column:
+    """$type: match by runtime type name. Spark columns are statically
+    typed, so typeof() is constant per column — the predicate is exact
+    for the engine's data model (a VariantType column would carry the
+    per-row dynamism; the corpus model doesn't use it). "null" matches
+    null values, mirroring MQL's BSON-null type."""
+    wanted = arg if isinstance(arg, (list, tuple)) else [arg]
+    names = []
+    for w in wanted:
+        if w == "number":
+            names += ["double", "int", "bigint", "decimal", "float", "smallint"]
+            continue
+        if w not in _TYPE_ALIASES:
+            raise MQLTranslationError(f"unsupported $type: {w!r}")
+        names.append(_TYPE_ALIASES[w])
+    preds = []
+    for n in names:
+        if n == "null":
+            preds.append(col.isNull())
+        elif n == "decimal":
+            preds.append(F.typeof(col).startswith("decimal") & col.isNotNull())
+        else:
+            preds.append((F.typeof(col) == F.lit(n)) & col.isNotNull())
+    return _reduce(lambda a, b: a | b, preds)

@@ -488,3 +488,48 @@ def test_vector_search_prefilter(spark, tables):
         ],
     )
     assert out.filter("label < 1").count() == 0
+
+
+def test_match_type_predicate(spark, tables):
+    from mongo_arrow_spark.api import find
+    from mongo_arrow_spark.errors import MQLTranslationError
+    import pytest as _pytest
+
+    orders = tables["orders"]
+    n = orders.count()
+    assert find(orders, {"o_orderkey": {"$type": "long"}}).count() == n
+    assert find(orders, {"o_orderkey": {"$type": "string"}}).count() == 0
+    assert find(orders, {"o_orderkey": {"$type": "number"}}).count() == n
+    assert find(orders, {"o_orderstatus": {"$type": ["string", "null"]}}).count() == n
+    with _pytest.raises(MQLTranslationError):
+        find(orders, {"o_orderkey": {"$type": "javascript"}}).count()
+
+
+def test_match_bits_predicates(spark):
+    from mongo_arrow_spark.mql.match import translate_match
+
+    df = spark.createDataFrame([(0b1010,), (0b0110,), (0b0001,)], ["v"])
+
+    def got(q):
+        return sorted(r["v"] for r in df.filter(translate_match(q)).collect())
+
+    assert got({"v": {"$bitsAllSet": [1, 3]}}) == [0b1010]
+    assert got({"v": {"$bitsAnySet": [0, 1]}}) == [0b0001, 0b0110, 0b1010]
+    assert got({"v": {"$bitsAllClear": [0, 2]}}) == [0b1010]
+    assert got({"v": {"$bitsAnyClear": 0b1010}}) == [0b0001, 0b0110]
+
+
+def test_match_text_and_sample_rate(spark, tables):
+    from mongo_arrow_spark.api import find
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    hits = find(docs, {"$text": {"$search": "spark window"}})
+    # every hit contains at least one term; OR semantics
+    manual = docs.filter(
+        F.array_contains(F.split(F.lower("text"), " ", -1), "spark")
+        | F.array_contains(F.split(F.lower("text"), " ", -1), "window")
+    )
+    assert hits.count() == manual.count() > 0
+    sampled = find(docs, {"$sampleRate": 0.5}).count()
+    assert 0 < sampled < docs.count()
