@@ -295,6 +295,17 @@ def _accumulator(spec) -> Column:
         # exact with linear interpolation (quantile_cont): the
         # oracle-comparable path; use method='approximate' at scale
         return F.percentile(inp, pcts)
+    if op in ("$firstN", "$lastN"):
+        # same order caveat as $first/$last: arbitrary within a
+        # distributed group; $topN/$bottomN are the deterministic forms
+        inp = translate_expr(arg["input"])
+        n = int(arg["n"])
+        col = F.collect_list(inp)
+        if op == "$firstN":
+            return F.slice(col, 1, n)
+        return F.slice(
+            col, F.greatest(F.size(col) - n + 1, F.lit(1)), n
+        )
     if op in ("$minN", "$maxN"):
         inp = translate_expr(arg["input"])
         n = int(arg["n"])
@@ -690,6 +701,18 @@ def _set_window_fields(df, args, resolve):
             fn = F.lag(out_expr, -by, None) if by < 0 else F.lead(out_expr, by, None)
             df = df.withColumn(field, F.coalesce(fn.over(base), default))
             continue
+        if op == "$locf":
+            w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            df = df.withColumn(
+                field, F.last(translate_expr(arg), ignorenulls=True).over(w)
+            )
+            continue
+        if op == "$linearFill":
+            df = _linear_fill(df, field, arg, base, sort_by)
+            continue
+        if op in ("$derivative", "$integral"):
+            df = _calculus_window(df, field, op, arg, base, window, sort_by)
+            continue
         w = _frame(base, window, sort_by)
         agg = _window_agg(op, arg)
         df = df.withColumn(field, agg.over(w))
@@ -723,6 +746,71 @@ def _exp_moving_avg(df, field, arg, part, sort_by):
         return pdf.drop(columns=["__ema_in"])
 
     return tmp.groupBy(translate_expr(part)).applyInPandas(fn, schema=out_schema)
+
+
+def _sort_key_as_number(df, sort_by):
+    """The single sortBy key as a double: timestamps become epoch seconds
+    (the x-axis $derivative/$integral/$linearFill integrate over)."""
+    from pyspark.sql import types as T
+
+    if not sort_by or len(sort_by) != 1:
+        raise MQLTranslationError(
+            "this window function requires exactly one sortBy field"
+        )
+    key = next(iter(sort_by))
+    dt = df.schema[key].dataType
+    col = F.col(key)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return (F.unix_micros(col.cast("timestamp")) / 1_000_000).cast("double")
+    return col.cast("double")
+
+
+def _linear_fill(df, field, arg, base, sort_by):
+    """$linearFill: nulls become the linear interpolation between the
+    surrounding non-null values along the sortBy axis (window edges stay
+    null, matching MQL). Four window passes, no Python on the data."""
+    y = translate_expr(arg)
+    x = _sort_key_as_number(df, sort_by)
+    back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    y0 = F.last(y, ignorenulls=True).over(back)
+    x0 = F.last(F.when(y.isNotNull(), x), ignorenulls=True).over(back)
+    y1 = F.first(y, ignorenulls=True).over(fwd)
+    x1 = F.first(F.when(y.isNotNull(), x), ignorenulls=True).over(fwd)
+    interp = F.when(
+        y.isNotNull(), y.cast("double")
+    ).otherwise(
+        y0.cast("double")
+        + (y1.cast("double") - y0.cast("double")) * (x - x0) / (x1 - x0)
+    )
+    return df.withColumn(field, interp)
+
+
+def _calculus_window(df, field, op, arg, base, window, sort_by):
+    """$derivative: (yₗₐₛₜ − y_first)/Δx over the frame. $integral:
+    trapezoid sum over the frame (running increments, so the frame must
+    start at 'unbounded'). Δx is expressed in the given unit."""
+    secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    unit = arg.get("unit")
+    unit_div = secs[unit] if unit else 1
+    if unit and unit not in secs:
+        raise MQLTranslationError(f"unit {unit} unsupported")
+    y = translate_expr(arg["input"]).cast("double")
+    x = _sort_key_as_number(df, sort_by)
+    w = _frame(base, window, sort_by)
+    if op == "$derivative":
+        dy = F.last(y).over(w) - F.first(y).over(w)
+        dx = (F.last(x).over(w) - F.first(x).over(w)) / unit_div
+        return df.withColumn(field, F.when(dx != 0, dy / dx))
+    # $integral — per-row trapezoid increment summed over the frame
+    if window is not None:
+        for kind in ("documents", "range"):
+            if kind in window and window[kind][0] != "unbounded":
+                raise MQLTranslationError(
+                    "$integral supports frames starting at 'unbounded' only"
+                )
+    inc = (y + F.lag(y).over(base)) * (x - F.lag(x).over(base)) / (2 * unit_div)
+    return df.withColumn(field, F.coalesce(F.sum(inc).over(w), F.lit(0.0)))
 
 
 def _window_agg(op, arg) -> Column:

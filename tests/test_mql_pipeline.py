@@ -533,3 +533,98 @@ def test_match_text_and_sample_rate(spark, tables):
     assert hits.count() == manual.count() > 0
     sampled = find(docs, {"$sampleRate": 0.5}).count()
     assert 0 < sampled < docs.count()
+
+
+def test_window_locf_and_linear_fill(spark):
+    from mongo_arrow_spark.api import aggregate
+
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 1, None), ("a", 2, None), ("a", 3, 40.0),
+         ("a", 4, None)],
+        ["k", "t", "v"],
+    )
+    out = aggregate(
+        df,
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$k",
+                    "sortBy": {"t": 1},
+                    "output": {
+                        "locf": {"$locf": "$v"},
+                        "lin": {"$linearFill": "$v"},
+                    },
+                }
+            },
+            {"$sort": {"t": 1}},
+        ],
+    )
+    rows = out.collect()
+    assert [r["locf"] for r in rows] == [10.0, 10.0, 10.0, 40.0, 40.0]
+    # linear between (0,10) and (3,40): t=1 → 20, t=2 → 30; tail stays null
+    assert [r["lin"] for r in rows] == [10.0, 20.0, 30.0, 40.0, None]
+
+
+def test_window_derivative_and_integral(spark):
+    import datetime as dt
+
+    from mongo_arrow_spark.api import aggregate
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", base, 0.0), ("a", base + dt.timedelta(hours=1), 10.0),
+         ("a", base + dt.timedelta(hours=2), 30.0)],
+        ["k", "ts", "v"],
+    )
+    out = aggregate(
+        df,
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$k",
+                    "sortBy": {"ts": 1},
+                    "output": {
+                        "dvdt": {
+                            "$derivative": {"input": "$v", "unit": "hour"},
+                            "window": {"documents": [-1, "current"]},
+                        },
+                        "area": {
+                            "$integral": {"input": "$v", "unit": "hour"},
+                            "window": {"documents": ["unbounded", "current"]},
+                        },
+                    },
+                }
+            },
+            {"$sort": {"ts": 1}},
+        ],
+    )
+    rows = out.collect()
+    # derivative over [-1, current]: None-ish first row (dx=0), then 10/h, 20/h
+    assert rows[0]["dvdt"] is None
+    assert rows[1]["dvdt"] == pytest.approx(10.0)
+    assert rows[2]["dvdt"] == pytest.approx(20.0)
+    # trapezoids: 0; (0+10)/2; +(10+30)/2 → 0, 5, 25
+    assert [r["area"] for r in rows] == pytest.approx([0.0, 5.0, 25.0])
+
+
+def test_group_first_last_n(spark):
+    from mongo_arrow_spark.api import aggregate
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(5)], ["k", "v"]
+    ).coalesce(1)  # single partition → deterministic collect_list order
+    out = aggregate(
+        df,
+        [
+            {"$sort": {"v": 1}},
+            {
+                "$group": {
+                    "_id": "$k",
+                    "f2": {"$firstN": {"input": "$v", "n": 2}},
+                    "l2": {"$lastN": {"input": "$v", "n": 2}},
+                }
+            },
+        ],
+    ).head()
+    assert out["f2"] == [0, 1]
+    assert out["l2"] == [3, 4]
