@@ -31,6 +31,7 @@ _DEMOTED = [
     "decontaminate_pairs",
     "mql_vector_search",
     "mql_search_text",
+    "mql_window_calculus",
     "chunk_tokens",
     "train_split",
 ]

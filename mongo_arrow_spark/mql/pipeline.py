@@ -1075,56 +1075,111 @@ def _vector_search(df, args, resolve):
 
 @_stage("$search")
 def _search(df, args, resolve):
-    """Atlas ``$search`` with the ``text`` operator, scored by
+    """Atlas ``$search`` with the ``text`` operator and the ``compound``
+    operator (must/should/mustNot/filter over text clauses), scored by
     tf·ln(N/df) per query term (the engine's TF-IDF model — SURVEY 2.E
     "text search" row; Atlas's BM25 constants are not public, so the
     scoring function differs while ranking semantics — term-frequency ×
     rarity — match). Matching documents only, ordered by descending
     score; {"$meta": "searchScore"} exposes the score downstream.
 
-    Plan: one aggregate computes every term's document frequency
-    (broadcast 1 row), then a map-side score + filter; ordering is a
-    global sort only if the caller keeps it (follow with $limit for
-    TakeOrdered).
+    Compound semantics mirror Atlas: must and filter clauses are
+    conjunctive, mustNot clauses are negated, should clauses add score
+    (and, when no must/filter exists, at least one should must match);
+    filter and mustNot contribute no score.
+
+    Plan: ONE aggregate computes document frequencies for every term of
+    every clause (broadcast 1 row), then a map-side score + predicate;
+    ordering is a global sort only if the caller keeps it (follow with
+    $limit for TakeOrdered).
     """
     from mongo_arrow_spark.operators.text import tokens
 
-    spec = args.get("text")
-    if spec is None:
-        raise MQLTranslationError("$search supports only the 'text' operator")
-    terms = spec["query"].split()
-    path = spec["path"]
-    if not isinstance(path, str):
-        raise MQLTranslationError("$search text.path must be a single field")
-    toks = tokens(path)
+    if "text" in args:
+        clauses = {"must": [args], "should": [], "mustNot": [], "filter": []}
+    elif "compound" in args:
+        comp = args["compound"]
+        unknown = set(comp) - {"must", "should", "mustNot", "filter"}
+        if unknown:
+            raise MQLTranslationError(f"unsupported compound keys: {unknown}")
+        clauses = {
+            k: list(comp.get(k, [])) for k in ("must", "should", "mustNot", "filter")
+        }
+    else:
+        raise MQLTranslationError(
+            "$search supports the 'text' and 'compound' operators"
+        )
+
+    def text_spec(clause):
+        spec = clause.get("text")
+        if spec is None:
+            raise MQLTranslationError("compound clauses must be text operators")
+        path = spec["path"]
+        if not isinstance(path, str):
+            raise MQLTranslationError("$search text.path must be a single field")
+        return spec["query"].split(), path
+
+    parsed = {
+        k: [text_spec(c) for c in cs] for k, cs in clauses.items()
+    }
+    # one DF-stats pass over every distinct (path, term)
+    all_terms = sorted(
+        {(p, t) for cs in parsed.values() for terms, p in cs for t in terms}
+    )
+    idx = {pt: i for i, pt in enumerate(all_terms)}
     stats = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(
-                F.when(F.array_contains(toks, t), F.lit(1)).otherwise(F.lit(0))
+                F.when(F.array_contains(tokens(p), t), F.lit(1)).otherwise(F.lit(0))
             ).alias(f"__df_{i}")
-            for i, t in enumerate(terms)
+            for i, (p, t) in enumerate(all_terms)
         ],
     )
 
-    def term_count(term):
+    def term_count(path, term):
         def pred(w):  # arity-1 closure (2-param lambdas bind (value, index))
             return w == F.lit(term)
 
-        return F.size(F.filter(toks, pred))
+        return F.size(F.filter(tokens(path), pred))
 
-    score = None
-    for i, t in enumerate(terms):
-        part = F.when(
-            F.col(f"__df_{i}") > 0,
-            term_count(t) * F.log(F.col("__n") / F.col(f"__df_{i}")),
-        ).otherwise(F.lit(0.0))
-        score = part if score is None else score + part
+    def clause_score(terms, path):
+        score = F.lit(0.0)
+        for t in terms:
+            i = idx[(path, t)]
+            score = score + F.when(
+                F.col(f"__df_{i}") > 0,
+                term_count(path, t) * F.log(F.col("__n") / F.col(f"__df_{i}")),
+            ).otherwise(F.lit(0.0))
+        return score
+
+    def clause_match(terms, path):
+        toks = tokens(path)
+        m = F.lit(False)
+        for t in terms:
+            m = m | F.array_contains(toks, F.lit(t))
+        return m
+
+    score = F.lit(0.0)
+    for terms, p in parsed["must"] + parsed["should"]:
+        score = score + clause_score(terms, p)
+    pred = F.lit(True)
+    for terms, p in parsed["must"] + parsed["filter"]:
+        pred = pred & clause_match(terms, p)
+    for terms, p in parsed["mustNot"]:
+        pred = pred & ~clause_match(terms, p)
+    if not parsed["must"] and not parsed["filter"] and parsed["should"]:
+        any_should = F.lit(False)
+        for terms, p in parsed["should"]:
+            any_should = any_should | clause_match(terms, p)
+        pred = pred & any_should
+
+    drop = ["__n"] + [f"__df_{i}" for i in range(len(all_terms))]
     return (
         df.crossJoin(F.broadcast(stats))
         .withColumn("__search_score", score.cast("double"))
-        .drop("__n", *[f"__df_{i}" for i in range(len(terms))])
-        .filter(F.col("__search_score") > 0)
+        .filter(pred)
+        .drop(*drop)
         .orderBy(F.col("__search_score").desc())
     )
 

@@ -564,3 +564,60 @@ def mql_search_text(spark, sf_dir):
             },
         ],
     )
+
+
+@query(
+    "mql_window_calculus",
+    """
+    WITH sub AS (SELECT user_id, ts, value FROM events WHERE user_id < 20),
+    lagged AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER w AS pv,
+             epoch(ts) - epoch(lag(ts) OVER w) AS dts
+      FROM sub
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id,
+           ROUND(CAST(value AS DOUBLE), 4) AS value,
+           ROUND((value - pv) / NULLIF(dts / 3600.0, 0), 4) AS rate,
+           ROUND(COALESCE(SUM((value + pv) * dts / 7200.0)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 4)
+             AS area
+    FROM lagged
+    """,
+)
+def mql_window_calculus(spark, sf_dir):
+    """$derivative (2-doc frame) + $integral (running trapezoid sum) over
+    the events stream — the time-series calculus window ops."""
+    ev = _t(spark, sf_dir, "events")
+    return aggregate(
+        ev.filter(F.col("user_id") < 20),
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$user_id",
+                    "sortBy": {"ts": 1},
+                    "output": {
+                        "rate": {
+                            "$derivative": {"input": "$value", "unit": "hour"},
+                            "window": {"documents": [-1, "current"]},
+                        },
+                        "area": {
+                            "$integral": {"input": "$value", "unit": "hour"},
+                            "window": {"documents": ["unbounded", "current"]},
+                        },
+                    },
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "user_id": 1,
+                    "value": {"$round": [{"$toDouble": "$value"}, 4]},
+                    "rate": {"$round": ["$rate", 4]},
+                    "area": {"$round": ["$area", 4]},
+                }
+            },
+        ],
+    )

@@ -628,3 +628,51 @@ def test_group_first_last_n(spark):
     ).head()
     assert out["f2"] == [0, 1]
     assert out["l2"] == [3, 4]
+
+
+def test_search_compound(spark, tables):
+    from mongo_arrow_spark.api import aggregate
+
+    docs = tables["documents"]
+    out = aggregate(
+        docs,
+        [
+            {
+                "$search": {
+                    "compound": {
+                        "must": [{"text": {"query": "spark", "path": "text"}}],
+                        "mustNot": [{"text": {"query": "slow", "path": "text"}}],
+                        "should": [{"text": {"query": "window", "path": "text"}}],
+                    }
+                }
+            }
+        ],
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.col("text"), r" ", -1)
+    # every hit has spark, none has slow
+    assert out.filter(~F.array_contains(toks, "spark")).count() == 0
+    assert out.filter(F.array_contains(toks, "slow")).count() == 0
+    # should-only: at least one clause must match
+    only_should = aggregate(
+        docs,
+        [
+            {
+                "$search": {
+                    "compound": {
+                        "should": [
+                            {"text": {"query": "spark", "path": "text"}},
+                            {"text": {"query": "window", "path": "text"}},
+                        ]
+                    }
+                }
+            }
+        ],
+    )
+    manual = docs.filter(
+        F.array_contains(toks, "spark") | F.array_contains(toks, "window")
+    )
+    assert only_should.count() == manual.count()
