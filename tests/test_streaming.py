@@ -128,3 +128,35 @@ def test_running_totals_stateful(spark, stream_dir, tables):
     for r in out.collect():  # memory sink appends every update; keep max
         got[r["user_id"]] = max(got.get(r["user_id"], 0), r["n_events"])
     assert got == want
+
+
+def test_corpus_ops_compose_with_streams(spark, tmp_path):
+    """The corpus quality/PII/chunk/split operators are pure projections,
+    so they must compose with readStream unchanged — streaming filter
+    pipelines are how these run in production ingest."""
+    import uuid as _uuid
+
+    from mongo_arrow_spark.operators import quality
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    with open(d / "b0.jsonl", "w") as fh:
+        fh.write(json.dumps({"doc_id": 1, "text": ("contact a@b.com now " + "word " * 60).strip()}) + "\n")
+        fh.write(json.dumps({"doc_id": 2, "text": "short"}) + "\n")
+    stream = read_document_stream(spark, str(d), "doc_id bigint, text string")
+    assert stream.isStreaming
+    flagged = quality.gopher_quality_flags(stream, min_tokens=10)
+    redacted = flagged.withColumn("text", quality.pii_redact("text"))
+    out = quality.train_split(redacted, id_col="doc_id")
+    name = f"corpus_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.table(name).collect()}
+    assert rows[1]["q_keep"] is True and rows[2]["q_keep"] is False
+    assert "[PII]" in rows[1]["text"] and "@" not in rows[1]["text"]
+    assert rows[1]["split"] in ("train", "val", "test")
