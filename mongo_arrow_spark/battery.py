@@ -32,6 +32,7 @@ _DEMOTED = [
     "mql_vector_search",
     "mql_search_text",
     "mql_window_calculus",
+    "profile_numeric",
     "chunk_tokens",
     "train_split",
 ]

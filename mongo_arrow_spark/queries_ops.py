@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mongo_arrow_spark.operators import dedup, multimodal, quality, similarity, text
+from mongo_arrow_spark.operators import dedup, multimodal, profile, quality, similarity, text
 from mongo_arrow_spark.queries import _t, query
 
 _TOKS = "string_split(text, ' ')"
@@ -472,3 +472,37 @@ def q_decontaminate_pairs(spark, sf_dir):
     return dedup.cross_jaccard_pairs(
         tr, ev, threshold=0.3, max_df=_JACCARD_MAX_DF
     ).select("id_l", "id_r", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "profile_numeric",
+    """
+    SELECT 'l_quantity' AS column,
+           ROUND(AVG(l_quantity), 4) AS mean,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS stddev,
+           ROUND(MIN(l_quantity), 4) AS min_value,
+           ROUND(MAX(l_quantity), 4) AS max_value,
+           ROUND(MEDIAN(CAST(l_quantity AS DOUBLE)), 4) AS median
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           ROUND(AVG(l_discount), 4), ROUND(STDDEV_SAMP(l_discount), 4),
+           ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4),
+           ROUND(MEDIAN(CAST(l_discount AS DOUBLE)), 4)
+    FROM lineitem
+    """,
+)
+def q_profile_numeric(spark, sf_dir):
+    """One-pass numeric profile (mean/std/min/max/median) in long format —
+    the audit that brackets every corpus filter stage."""
+    out = profile.numeric_summary(
+        _t(spark, sf_dir, "lineitem"), ["l_quantity", "l_discount"]
+    )
+    return out.select(
+        "column",
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round("median", 4).alias("median"),
+    )

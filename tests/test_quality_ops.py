@@ -157,3 +157,30 @@ def test_decontaminate_planted(spark):
     assert len(got) == 1 and got[0]["id_l"] == 1 and got[0]["id_r"] == 100
     clean = dedup.decontaminate(train, holdout, threshold=0.5)
     assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+def test_profile_exact_fields(spark):
+    from mongo_arrow_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (None, "a")],
+        "x bigint, s string",
+    )
+    rows = {r["column"]: r.asDict() for r in P.profile(df).collect()}
+    assert rows["x"]["n_rows"] == 4
+    assert rows["x"]["n_nulls"] == 1
+    assert rows["x"]["min_value"] == "1" and rows["x"]["max_value"] == "3"
+    assert rows["s"]["n_nulls"] == 1
+    assert rows["s"]["n_distinct_approx"] == 2  # HLL exact at tiny scale
+    with pytest.raises(ValueError):
+        P.profile(df.select(F.array("x").alias("arr")))
+
+
+def test_profile_single_aggregation_plan(spark, tables):
+    from mongo_arrow_spark.operators import profile as P
+
+    out = P.profile(tables["lineitem"], ["l_quantity", "l_discount"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # ONE scan, one partial+final agg — not a pass per column
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") <= 2 or "SortAggregate" in plan
