@@ -33,6 +33,7 @@ _DEMOTED = [
     "mql_search_text",
     "mql_window_calculus",
     "profile_numeric",
+    "multimodal_resize",
     "chunk_tokens",
     "train_split",
 ]

@@ -117,3 +117,54 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.lit(99), F.lit(every_n))
         ).alias("frame_no"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes_out", T.LongType()),
+    ]
+)
+
+
+def _resize_fake(payload: bytes, mime: str, target_w: int) -> tuple[int, int, int]:
+    """Deterministic fake resize: aspect-preserving downscale to at most
+    ``target_w`` wide; output byte count scales with the pixel ratio.
+    Mirrors what a PIL/ffmpeg-backed hook returns: (w, h, bytes)."""
+    w, h, _ = _decode_fake(payload, mime)
+    new_w = min(target_w, w)
+    new_h = max(1, round(h * new_w / w))
+    n_out = len(payload) * (new_w * new_h) // max(1, w * h)
+    return (new_w, new_h, n_out)
+
+
+def resize_media(
+    df: DataFrame, target_w: int = 256, use_fake: bool = True, batch_hint: int = 1024
+) -> DataFrame:
+    """Resize plumbing via Arrow-batched mapInPandas — identical batch /
+    schema / partitioning contract to decode_media; the real transform is
+    the same stubbed codec hook. Output is narrow typed rows, payload
+    bytes never leave the executor."""
+    if not use_fake:
+        _decode_real(b"", "")  # raises NotImplementedError with context
+
+    def run(batches):
+        for pdf in batches:
+            resized = [
+                _resize_fake(p, m, target_w)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [r[0] for r in resized],
+                    "height": [r[1] for r in resized],
+                    "n_bytes_out": [r[2] for r in resized],
+                }
+            )
+
+    return df.select("media_id", "payload", "mime").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )

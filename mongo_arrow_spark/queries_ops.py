@@ -506,3 +506,27 @@ def q_profile_numeric(spark, sf_dir):
         F.round("max_value", 4).alias("max_value"),
         F.round("median", 4).alias("median"),
     )
+
+
+@query(
+    "multimodal_resize",
+    """
+    WITH dec AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n,
+             octet_length(encode(text)) % 640 + 1 AS w,
+             (octet_length(encode(text)) * 7) % 480 + 1 AS h
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(least(256, w) AS INT) AS width,
+           CAST(greatest(1, CAST(round(h * least(256, w) * 1.0 / w, 0) AS INT)) AS INT) AS height,
+           CAST(n * (least(256, w) * greatest(1, CAST(round(h * least(256, w) * 1.0 / w, 0) AS INT))) // (w * h) AS BIGINT) AS n_bytes_out
+    FROM dec
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize plumbing (deterministic fake codec) —
+    same Arrow-batch mapInPandas contract as decode, SQL-checkable."""
+    media = multimodal.attach_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_media(media, target_w=256)
