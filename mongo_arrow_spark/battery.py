@@ -34,6 +34,7 @@ _DEMOTED = [
     "mql_window_calculus",
     "profile_numeric",
     "multimodal_resize",
+    "stratified_sample",
     "chunk_tokens",
     "train_split",
 ]

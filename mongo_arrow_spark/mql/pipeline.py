@@ -1202,20 +1202,63 @@ def _out(df, args, resolve):
 
 @_stage("$merge")
 def _merge(df, args, resolve):
-    """$merge upsert: new rows win on the `on` keys; result replaces the
-    target view / path. whenMatched=replace, whenNotMatched=insert (the
-    MQL defaults); other modes raise."""
+    """$merge upsert into the target view. Modes (MQL semantics):
+
+    whenMatched: "replace" (default — incoming row wins), "keepExisting"
+    (target row wins), "merge" (field-wise: incoming non-null fields
+    overwrite, target fills the rest), "fail" (raise if any key matches).
+    whenNotMatched: "insert" (default), "discard" (drop unmatched
+    incoming rows), "fail" (raise if any incoming row has no match).
+
+    Plan: one equi-join on the `on` keys per mode; everything else is
+    projections — the same MERGE shape a lakehouse upsert compiles to.
+    """
     if isinstance(args, str):
         args = {"into": args}
     on = args.get("on", "_id")
     on = [on] if isinstance(on, str) else list(on)
-    if args.get("whenMatched", "replace") != "replace" or args.get(
-        "whenNotMatched", "insert"
-    ) != "insert":
-        raise MQLTranslationError("$merge supports replace/insert modes only")
+    matched = args.get("whenMatched", "replace")
+    not_matched = args.get("whenNotMatched", "insert")
+    if matched not in ("replace", "keepExisting", "merge", "fail"):
+        raise MQLTranslationError(f"unsupported whenMatched: {matched}")
+    if not_matched not in ("insert", "discard", "fail"):
+        raise MQLTranslationError(f"unsupported whenNotMatched: {not_matched}")
     target_name = args["into"] if isinstance(args["into"], str) else args["into"]["coll"]
     target = resolve(target_name)
-    kept = target.join(df.select(*on).distinct(), on, "left_anti")
-    merged = kept.unionByName(df, allowMissingColumns=True)
+    keys = df.select(*on).distinct()
+    if matched == "fail":
+        if target.join(keys, on, "left_semi").limit(1).count():
+            raise MQLTranslationError("$merge whenMatched=fail: key collision")
+    if not_matched == "fail":
+        if df.join(target.select(*on).distinct(), on, "left_anti").limit(1).count():
+            raise MQLTranslationError("$merge whenNotMatched=fail: unmatched row")
+    incoming = df
+    if not_matched == "discard":
+        incoming = incoming.join(target.select(*on).distinct(), on, "left_semi")
+    if matched in ("replace",):
+        kept = target.join(keys, on, "left_anti")
+        merged = kept.unionByName(incoming, allowMissingColumns=True)
+    elif matched == "keepExisting":
+        fresh = incoming.join(target.select(*on).distinct(), on, "left_anti")
+        merged = target.unionByName(fresh, allowMissingColumns=True)
+    elif matched == "merge":
+        # field-wise: coalesce(incoming, target) on matches
+        t_pref = target.select(
+            *[F.col(c).alias(c if c in on else f"__t_{c}") for c in target.columns]
+        )
+        joined = incoming.join(t_pref, on, "full")
+        cols = []
+        for c in dict.fromkeys(list(incoming.columns) + list(target.columns)):
+            if c in on:
+                cols.append(F.col(c))
+            elif c in incoming.columns and f"__t_{c}" in joined.columns:
+                cols.append(F.coalesce(F.col(c), F.col(f"__t_{c}")).alias(c))
+            elif c in incoming.columns:
+                cols.append(F.col(c))
+            else:
+                cols.append(F.col(f"__t_{c}").alias(c))
+        merged = joined.select(*cols)
+    else:  # "fail" passed the guard: no matches exist, plain union
+        merged = target.unionByName(incoming, allowMissingColumns=True)
     merged.createOrReplaceTempView(target_name)
     return merged

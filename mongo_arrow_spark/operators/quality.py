@@ -243,3 +243,26 @@ def train_split(
         .when(bucket < t_val, "val")
         .otherwise("test"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    n_per_key: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-key sample: the ``n_per_key`` rows with the
+    smallest md5(salt ‖ id) in each key group. A hash order is a uniform
+    random order that every engine and every re-run agrees on — the
+    reproducible alternative to rand()-based sampleBy for eval-set
+    construction. One window shuffle on the key column."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_key)
+        .drop("__rk")
+    )

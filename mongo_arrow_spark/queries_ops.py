@@ -530,3 +530,23 @@ def q_multimodal_resize(spark, sf_dir):
     same Arrow-batch mapInPandas contract as decode, SQL-checkable."""
     media = multimodal.attach_payload(_t(spark, sf_dir, "documents"))
     return multimodal.resize_media(media, target_w=256)
+
+
+@query(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic 10-per-language sample by md5 order — reproducible
+    across engines/runs (vs rand()-based sampleBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return quality.stratified_sample(docs, "lang", 10).select("doc_id", "lang")

@@ -676,3 +676,43 @@ def test_search_compound(spark, tables):
         F.array_contains(toks, "spark") | F.array_contains(toks, "window")
     )
     assert only_should.count() == manual.count()
+
+
+def test_merge_mode_matrix(spark):
+    from mongo_arrow_spark.api import aggregate
+    from mongo_arrow_spark.errors import MQLTranslationError
+
+    def fresh_target():
+        spark.createDataFrame(
+            [(1, "old1", "x"), (2, "old2", "y")], ["_id", "v", "extra"]
+        ).createOrReplaceTempView("mt")
+
+    inc = spark.createDataFrame([(2, "new2"), (3, "new3")], ["_id", "v"])
+
+    fresh_target()
+    out = aggregate(inc, [{"$merge": {"into": "mt"}}])  # replace/insert
+    rows = {r["_id"]: r for r in out.collect()}
+    assert rows[2]["v"] == "new2" and rows[2]["extra"] is None
+    assert set(rows) == {1, 2, 3}
+
+    fresh_target()
+    out = aggregate(inc, [{"$merge": {"into": "mt", "whenMatched": "keepExisting"}}])
+    rows = {r["_id"]: r for r in out.collect()}
+    assert rows[2]["v"] == "old2" and set(rows) == {1, 2, 3}
+
+    fresh_target()
+    out = aggregate(inc, [{"$merge": {"into": "mt", "whenMatched": "merge"}}])
+    rows = {r["_id"]: r for r in out.collect()}
+    assert rows[2]["v"] == "new2" and rows[2]["extra"] == "y"  # field-wise
+    assert rows[1]["v"] == "old1" and set(rows) == {1, 2, 3}
+
+    fresh_target()
+    out = aggregate(inc, [{"$merge": {"into": "mt", "whenNotMatched": "discard"}}])
+    assert set(r["_id"] for r in out.collect()) == {1, 2}
+
+    fresh_target()
+    with pytest.raises(MQLTranslationError):
+        aggregate(inc, [{"$merge": {"into": "mt", "whenMatched": "fail"}}])
+    fresh_target()
+    with pytest.raises(MQLTranslationError):
+        aggregate(inc, [{"$merge": {"into": "mt", "whenNotMatched": "fail"}}])
