@@ -86,3 +86,19 @@ def test_ipc_roundtrip(spark, tables, tmp_path):
     assert sorted(r["n_name"] for r in back.collect()) == sorted(
         r["n_name"] for r in src.collect()
     )
+
+
+def test_collection_explain_shows_pushdown(spark, tables):
+    import mongo_arrow_spark as mas
+
+    coll = mas.Collection(tables["orders"], "orders", collections=tables)
+    plan = coll.explain(
+        query={"o_totalprice": {"$gt": 300000}},
+        projection={"o_orderkey": 1},
+    )
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan
+    agg_plan = coll.explain(
+        pipeline=[{"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1}}}],
+        mode="simple",
+    )
+    assert "HashAggregate" in agg_plan
