@@ -550,3 +550,11 @@ def q_stratified_sample(spark, sf_dir):
     across engines/runs (vs rand()-based sampleBy)."""
     docs = _t(spark, sf_dir, "documents")
     return quality.stratified_sample(docs, "lang", 10).select("doc_id", "lang")
+
+
+@query("compression_ratio")  # rows-only: no zlib in DuckDB SQL
+def q_compression_ratio(spark, sf_dir):
+    """zlib boilerplate detector via Arrow-batched mapInPandas; exactness
+    is pinned against direct python zlib in pytest (the driver records
+    rows-only)."""
+    return quality.compression_ratio(_t(spark, sf_dir, "documents"))

@@ -184,3 +184,23 @@ def test_profile_single_aggregation_plan(spark, tables):
     # ONE scan, one partial+final agg — not a pass per column
     assert plan.count("FileScan") == 1
     assert plan.count("HashAggregate") <= 2 or "SortAggregate" in plan
+
+
+def test_compression_ratio_exact_vs_zlib(spark, docs):
+    import zlib
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality.compression_ratio(docs).collect()
+    }
+    for row in docs.select("doc_id", "text").limit(20).collect():
+        raw = row["text"].encode("utf-8")
+        exp = len(zlib.compress(raw, 6))
+        assert got[row["doc_id"]]["n_compressed_bytes"] == exp
+        assert got[row["doc_id"]]["compression_ratio"] == pytest.approx(
+            exp / len(raw)
+        )
+    # repetitive text compresses much harder than the corpus median
+    rep = spark.createDataFrame([(1, "ab " * 500)], ["doc_id", "text"])
+    r = quality.compression_ratio(rep).head()
+    assert r["compression_ratio"] < 0.05
