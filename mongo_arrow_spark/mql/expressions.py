@@ -1254,3 +1254,58 @@ def _unset_field(args, env):
 def _to_object_id(args, env):
     """Hex string → 12-byte ObjectId carrier (unhex to binary)."""
     return F.unhex(translate_expr(args, env))
+
+
+@_op("$function")
+def _function(args, env):
+    """MQL ``$function`` reinterpreted Spark-first. The server-side form
+    runs JavaScript (``lang: "js"``) — there is no JS engine here, so
+    that form raises. The engine extension accepts a PYTHON CALLABLE as
+    ``body`` with ``lang: "python"`` and a ``returnType`` (Spark DDL or
+    DataType), compiled to an Arrow-batched pandas UDF over the
+    translated ``args`` columns:
+
+        {"$function": {"body": lambda a, b: a + b,
+                       "args": ["$x", "$y"],
+                       "lang": "python",
+                       "returnType": "double"}}
+
+    The callable runs once per row over pandas Series elements (wrapped
+    map), so it must be a plain scalar function — for vectorized code
+    pass ``vectorized=True`` and receive the Series themselves.
+    """
+    if not isinstance(args, dict):
+        raise MQLTranslationError("$function requires a spec document")
+    lang = args.get("lang", "js")
+    if lang != "python":
+        raise MQLTranslationError(
+            "$function lang='js' needs a MongoDB server; this engine runs "
+            "lang='python' with a callable body"
+        )
+    body = args.get("body")
+    if not callable(body):
+        raise MQLTranslationError("$function python body must be a callable")
+    rtype = args.get("returnType", "string")
+    cols = [translate_expr(a, env) for a in args.get("args", [])]
+    import pandas as _pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    if args.get("vectorized", False):
+        fn = body
+    else:
+
+        def fn(*series):
+            if not series:
+                return _pd.Series([])
+            return _pd.Series(
+                [body(*vals) for vals in zip(*series)], index=series[0].index
+            )
+
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        # unannotated fn + explicit SCALAR type: the arity is only known
+        # at translation time, so type hints can't express it
+        _warnings.simplefilter("ignore")
+        udf = pandas_udf(fn, returnType=rtype, functionType=PandasUDFType.SCALAR)
+    return udf(*cols)

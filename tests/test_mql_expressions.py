@@ -351,3 +351,50 @@ def test_to_object_id_hex_roundtrip(spark):
     ).head()
     assert isinstance(row["oid"], (bytes, bytearray)) and len(row["oid"]) == 12
     assert row["back"].lower() == hex_id
+
+
+def test_function_python_callable(spark):
+    from mongo_arrow_spark.api import aggregate
+    from mongo_arrow_spark.errors import MQLTranslationError
+
+    df = spark.createDataFrame([(1, 2.0), (3, 4.0)], ["x", "y"])
+    out = aggregate(
+        df,
+        [
+            {
+                "$project": {
+                    "combo": {
+                        "$function": {
+                            "body": lambda a, b: a * 10 + b,
+                            "args": ["$x", "$y"],
+                            "lang": "python",
+                            "returnType": "double",
+                        }
+                    }
+                }
+            }
+        ],
+    )
+    assert sorted(r["combo"] for r in out.collect()) == [12.0, 34.0]
+    # vectorized form gets the Series directly
+    out2 = aggregate(
+        df,
+        [
+            {
+                "$project": {
+                    "v": {
+                        "$function": {
+                            "body": lambda s: s * 2,
+                            "args": ["$x"],
+                            "lang": "python",
+                            "returnType": "bigint",
+                            "vectorized": True,
+                        }
+                    }
+                }
+            }
+        ],
+    )
+    assert sorted(r["v"] for r in out2.collect()) == [2, 6]
+    with pytest.raises(MQLTranslationError):
+        aggregate(df, [{"$project": {"z": {"$function": {"body": "js code", "args": []}}}}])
