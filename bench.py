@@ -83,7 +83,24 @@ def main() -> None:
 
     from bench_shapes import build_frames
 
+    import shutil
+    import tempfile
+
+    from mongo_arrow_spark.api import write as _write
+
+    from mongo_arrow_spark.sources import register
+
+    register(spark)
     shapes: dict[str, dict[str, float]] = {}
+    wdir = tempfile.mkdtemp(prefix="bench_write_")
+    # warm the Python worker pool once so the first timed shape doesn't
+    # absorb executor-side interpreter startup
+    _write(
+        spark.range(64).coalesce(2),
+        os.path.join(wdir, "__warm"),
+        format="documents",
+        spark=spark,
+    )
     for name, df in build_frames(spark).items():
         df = df.cache()
         df.count()
@@ -92,12 +109,18 @@ def main() -> None:
         t1 = _time.perf_counter()
         pdf = df.toPandas()
         t2 = _time.perf_counter()
+        # insert-path parity (reference asv insert benchmarks): the
+        # documents JSONL sink via api.write
+        _write(df, os.path.join(wdir, name), format="documents", spark=spark)
+        t3 = _time.perf_counter()
         shapes[name] = {
             "to_arrow": round(t1 - t0, 3),
             "to_pandas": round(t2 - t1, 3),
+            "write_docs": round(t3 - t2, 3),
         }
         del table, pdf
         df.unpersist()
+    shutil.rmtree(wdir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
