@@ -35,6 +35,7 @@ _DEMOTED = [
     "profile_numeric",
     "multimodal_resize",
     "stratified_sample",
+    "mql_geo_near",
     "chunk_tokens",
     "train_split",
 ]

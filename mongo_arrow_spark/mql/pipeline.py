@@ -949,6 +949,57 @@ def _densify(df, args, resolve):
     return grid.join(df, on=[*part_fields, field], how="left")
 
 
+@_stage("$geoNear")
+def _geo_near(df, args, resolve):
+    """$geoNear with spherical (haversine) distance — must be expressible
+    without a geo index, so every document gets an exact distance (the
+    index in MQL is a performance detail, not a semantic one).
+
+    Supported: near [lng, lat] (or {type: Point, coordinates}), key (a
+    [lng, lat] array column or a struct with lng/lat fields),
+    distanceField, maxDistance / minDistance (meters), query (pre-filter),
+    distanceMultiplier. Output is sorted nearest-first like MQL.
+
+    Plan: pre-filter → one codegen'd trig projection → range filter →
+    sort (follow with $limit for TakeOrdered). Zero shuffle before the
+    sort; at scale bound the candidate set with maxDistance or a
+    geohash-bucket pre-filter before sorting.
+    """
+    near = args["near"]
+    if isinstance(near, dict):
+        near = near["coordinates"]
+    lng0, lat0 = float(near[0]), float(near[1])
+    key = args.get("key", "location")
+    dist_field = args["distanceField"]
+    if args.get("query"):
+        df = df.filter(translate_match(args["query"]))
+    loc = F.col(key)
+    kt = df.schema[key].dataType if key in df.columns else None
+    import pyspark.sql.types as T_
+
+    if isinstance(kt, T_.StructType):
+        lng, lat = loc.getField("lng"), loc.getField("lat")
+    else:
+        lng, lat = F.element_at(loc, 1), F.element_at(loc, 2)
+    R = 6378137.0  # MQL uses the WGS84 equatorial radius for legacy/spherical
+    rlat0, rlng0 = F.lit(lat0 * 3.141592653589793 / 180), F.lit(
+        lng0 * 3.141592653589793 / 180
+    )
+    rlat, rlng = F.radians(lat.cast("double")), F.radians(lng.cast("double"))
+    a = (
+        F.pow(F.sin((rlat - rlat0) / 2), 2)
+        + F.cos(rlat0) * F.cos(rlat) * F.pow(F.sin((rlng - rlng0) / 2), 2)
+    )
+    dist = F.lit(2 * R) * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+    mult = float(args.get("distanceMultiplier", 1.0))
+    out = df.withColumn(dist_field, (dist * mult).cast("double"))
+    if "maxDistance" in args:
+        out = out.filter(F.col(dist_field) <= float(args["maxDistance"]) * mult)
+    if "minDistance" in args:
+        out = out.filter(F.col(dist_field) >= float(args["minDistance"]) * mult)
+    return out.orderBy(F.col(dist_field))
+
+
 @_stage("$graphLookup")
 def _graph_lookup(df, args, resolve):
     """Recursive traversal (MQL $graphLookup) as iterative distributed

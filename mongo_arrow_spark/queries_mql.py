@@ -621,3 +621,55 @@ def mql_window_calculus(spark, sf_dir):
             },
         ],
     )
+
+
+@query(
+    "mql_geo_near",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 360 - 180 AS DOUBLE) AS lng,
+             CAST((c_custkey * 7) % 170 - 85 AS DOUBLE) AS lat
+      FROM customer
+    ),
+    scored AS (
+      SELECT c_custkey,
+             2 * 6378137.0 * asin(least(1.0, sqrt(
+               pow(sin((radians(lat) - radians(48.85)) / 2), 2)
+               + cos(radians(48.85)) * cos(radians(lat))
+                 * pow(sin((radians(lng) - radians(2.35)) / 2), 2)
+             ))) AS d
+      FROM pts
+    )
+    SELECT c_custkey, ROUND(d, 1) AS dist_m
+    FROM scored
+    WHERE d <= 2000000
+    ORDER BY d, c_custkey
+    """,
+)
+def mql_geo_near(spark, sf_dir):
+    """$geoNear (spherical haversine, no index needed) over synthetic
+    lat/lng derived from customer keys; 2000 km radius, nearest-first."""
+    cst = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.array(
+            (F.col("c_custkey") % 360 - 180).cast("double"),
+            ((F.col("c_custkey") * 7) % 170 - 85).cast("double"),
+        ).alias("location"),
+    )
+    out = aggregate(
+        cst,
+        [
+            {
+                "$geoNear": {
+                    "near": [2.35, 48.85],
+                    "key": "location",
+                    "distanceField": "dist_m",
+                    "maxDistance": 2_000_000,
+                }
+            }
+        ],
+    )
+    return out.select(
+        "c_custkey", F.round("dist_m", 1).alias("dist_m")
+    )

@@ -716,3 +716,55 @@ def test_merge_mode_matrix(spark):
     fresh_target()
     with pytest.raises(MQLTranslationError):
         aggregate(inc, [{"$merge": {"into": "mt", "whenNotMatched": "fail"}}])
+
+
+def test_geo_near(spark):
+    import math
+
+    from mongo_arrow_spark.api import aggregate
+
+    # Paris (2.35, 48.85), London (-0.13, 51.51), Berlin (13.40, 52.52)
+    df = spark.createDataFrame(
+        [
+            ("paris", [2.35, 48.85]),
+            ("london", [-0.13, 51.51]),
+            ("berlin", [13.40, 52.52]),
+        ],
+        ["city", "location"],
+    )
+    out = aggregate(
+        df,
+        [
+            {
+                "$geoNear": {
+                    "near": [2.35, 48.85],
+                    "key": "location",
+                    "distanceField": "dist_m",
+                }
+            }
+        ],
+    ).collect()
+    assert [r["city"] for r in out] == ["paris", "london", "berlin"]
+    assert out[0]["dist_m"] == pytest.approx(0.0)
+    # Paris–London great-circle ≈ 344 km (±2% for the spherical model)
+    assert out[1]["dist_m"] == pytest.approx(344_000, rel=0.02)
+    # maxDistance filter + struct key form + query prefilter
+    df2 = spark.createDataFrame(
+        [("a", {"lng": 2.35, "lat": 48.85}, 1), ("b", {"lng": 13.4, "lat": 52.52}, 2)],
+        "name string, location struct<lng: double, lat: double>, tag int",
+    )
+    near = aggregate(
+        df2,
+        [
+            {
+                "$geoNear": {
+                    "near": {"type": "Point", "coordinates": [2.35, 48.85]},
+                    "key": "location",
+                    "distanceField": "d",
+                    "maxDistance": 500_000,
+                    "query": {"tag": {"$gte": 1}},
+                }
+            }
+        ],
+    ).collect()
+    assert [r["name"] for r in near] == ["a"]
