@@ -411,7 +411,7 @@ def connected_components(
         .withColumn("comp", F.col("v"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(labels, edges["dst"] == labels["v"])
             .groupBy("src")
@@ -431,6 +431,11 @@ def connected_components(
             "v", F.coalesce("jumped", "comp").alias("comp")
         )
         new_labels = jumped.localCheckpoint()
+        # round 0 always changes labels (every edge endpoint adopts a
+        # neighbor min) — skip its convergence count, it's a wasted job
+        if it == 0:
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "v")
