@@ -313,7 +313,59 @@ def _accumulator(spec) -> Column:
         return F.slice(F.sort_array(F.collect_list(inp), asc=asc), 1, n)
     if op in ("$topN", "$bottomN", "$top", "$bottom"):
         return _top_bottom(op, arg)
+    if op == "$accumulator":
+        return _py_accumulator(arg)
     raise MQLTranslationError(f"unsupported accumulator: {op}")
+
+
+def _py_accumulator(arg) -> Column:
+    """MQL ``$accumulator`` reinterpreted Spark-first (like ``$function``):
+    the server form runs JavaScript init/accumulate/merge/finalize — no JS
+    engine here, so that raises. The python form takes callables and runs
+    them over the group's collected values inside an Arrow-batched pandas
+    UDF — the same "buffer the group" cost profile as the server's custom
+    accumulator:
+
+        {"$accumulator": {
+            "init": lambda: 0,
+            "accumulate": lambda state, v: state + v,
+            "finalize": lambda state: float(state),   # optional
+            "input": "$x", "lang": "python", "returnType": "double"}}
+
+    ``merge`` is unnecessary (a group's values arrive as one array) and
+    ignored if given. Deterministic iff the callables are
+    order-insensitive, exactly like MQL's contract.
+    """
+    if arg.get("lang", "js") != "python":
+        raise MQLTranslationError(
+            "$accumulator lang='js' needs a MongoDB server; this engine "
+            "runs lang='python' with callable init/accumulate/finalize"
+        )
+    init, acc = arg["init"], arg["accumulate"]
+    fin = arg.get("finalize") or (lambda s: s)
+    if not (callable(init) and callable(acc) and callable(fin)):
+        raise MQLTranslationError("$accumulator python members must be callables")
+    rtype = arg.get("returnType", "double")
+    inp = translate_expr(arg["input"])
+
+    import pandas as _pd
+    import warnings as _warnings
+
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    def run(series):
+        out = []
+        for values in series:
+            state = init()
+            for v in values:
+                state = acc(state, v)
+            out.append(fin(state))
+        return _pd.Series(out, index=series.index)
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        udf = pandas_udf(run, returnType=rtype, functionType=PandasUDFType.SCALAR)
+    return udf(F.collect_list(inp))
 
 
 def _merge_objects_acc(arg) -> Column:

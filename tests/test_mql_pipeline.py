@@ -768,3 +768,40 @@ def test_geo_near(spark):
         ],
     ).collect()
     assert [r["name"] for r in near] == ["a"]
+
+
+def test_accumulator_python(spark):
+    from mongo_arrow_spark.api import aggregate
+    from mongo_arrow_spark.errors import MQLTranslationError
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 10.0)], ["k", "v"]
+    )
+    out = aggregate(
+        df,
+        [
+            {
+                "$group": {
+                    "_id": "$k",
+                    "geo_mean": {
+                        "$accumulator": {
+                            "init": lambda: (0.0, 0),
+                            "accumulate": lambda s, v: (s[0] + __import__("math").log(v), s[1] + 1),
+                            "finalize": lambda s: __import__("math").exp(s[0] / s[1]),
+                            "input": "$v",
+                            "lang": "python",
+                            "returnType": "double",
+                        }
+                    },
+                }
+            },
+            {"$sort": {"_id": 1}},
+        ],
+    ).collect()
+    assert out[0]["geo_mean"] == pytest.approx(2.0)  # (1*2*4)^(1/3)
+    assert out[1]["geo_mean"] == pytest.approx(10.0)
+    with pytest.raises(MQLTranslationError):
+        aggregate(
+            df,
+            [{"$group": {"_id": "$k", "x": {"$accumulator": {"init": "js", "accumulate": "js", "input": "$v"}}}}],
+        )
