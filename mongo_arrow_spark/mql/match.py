@@ -166,6 +166,8 @@ def _field_op(col: Column, op: str, arg) -> Column:
         return ~_field_predicate(col, arg)
     if op == "$type":
         return _type_predicate(col, arg)
+    if op == "$geoWithin":
+        return _geo_within(col, arg)
     if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"):
         mask = (
             _reduce(lambda a, b: a | b, (1 << p for p in arg))
@@ -181,6 +183,39 @@ def _field_op(col: Column, op: str, arg) -> Column:
             return masked == F.lit(0)
         return masked != F.lit(mask)  # $bitsAnyClear
     raise MQLTranslationError(f"unsupported field operator: {op}")
+
+
+def _geo_within(col: Column, arg: dict) -> Column:
+    """$geoWithin over [lng, lat] array columns: ``$centerSphere``
+    ([[lng, lat], radius_radians], spherical haversine like $geoNear) and
+    ``$box`` ([[minLng, minLat], [maxLng, maxLat]], flat bounds). Pure
+    codegen'd trig/compare — no index, exact per-row evaluation."""
+    lng, lat = (
+        F.element_at(col, 1).cast("double"),
+        F.element_at(col, 2).cast("double"),
+    )
+    if "$centerSphere" in arg:
+        (c_lng, c_lat), radius_rad = arg["$centerSphere"]
+        rlat0 = F.lit(float(c_lat) * 3.141592653589793 / 180)
+        rlng0 = F.lit(float(c_lng) * 3.141592653589793 / 180)
+        rlat, rlng = F.radians(lat), F.radians(lng)
+        a = (
+            F.pow(F.sin((rlat - rlat0) / 2), 2)
+            + F.cos(rlat0) * F.cos(rlat) * F.pow(F.sin((rlng - rlng0) / 2), 2)
+        )
+        central_angle = 2 * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+        return central_angle <= F.lit(float(radius_rad))
+    if "$box" in arg:
+        (x1, y1), (x2, y2) = arg["$box"]
+        return (
+            (lng >= F.lit(min(x1, x2)))
+            & (lng <= F.lit(max(x1, x2)))
+            & (lat >= F.lit(min(y1, y2)))
+            & (lat <= F.lit(max(y1, y2)))
+        )
+    raise MQLTranslationError(
+        "$geoWithin supports $centerSphere and $box shapes"
+    )
 
 
 #: MQL $type aliases / BSON type numbers → Spark type-name predicates

@@ -805,3 +805,31 @@ def test_accumulator_python(spark):
             df,
             [{"$group": {"_id": "$k", "x": {"$accumulator": {"init": "js", "accumulate": "js", "input": "$v"}}}}],
         )
+
+
+def test_geo_within(spark):
+    import math
+
+    from mongo_arrow_spark.api import find
+    from mongo_arrow_spark.errors import MQLTranslationError
+
+    df = spark.createDataFrame(
+        [
+            ("paris", [2.35, 48.85]),
+            ("london", [-0.13, 51.51]),
+            ("berlin", [13.40, 52.52]),
+        ],
+        ["city", "location"],
+    )
+    # 400 km sphere around Paris catches London (344 km), not Berlin (878 km)
+    rad = 400_000 / 6378137.0
+    near = find(
+        df, {"location": {"$geoWithin": {"$centerSphere": [[2.35, 48.85], rad]}}}
+    )
+    assert sorted(r["city"] for r in near.collect()) == ["london", "paris"]
+    boxed = find(
+        df, {"location": {"$geoWithin": {"$box": [[0.0, 48.0], [15.0, 53.0]]}}}
+    )
+    assert sorted(r["city"] for r in boxed.collect()) == ["berlin", "paris"]
+    with pytest.raises(MQLTranslationError):
+        find(df, {"location": {"$geoWithin": {"$polygon": []}}}).count()
