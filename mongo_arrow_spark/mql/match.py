@@ -168,6 +168,37 @@ def _field_op(col: Column, op: str, arg) -> Column:
         return _type_predicate(col, arg)
     if op == "$geoWithin":
         return _geo_within(col, arg)
+    if op in ("$near", "$nearSphere"):
+        # MQL $near also SORTS results via the geo index; a filter
+        # predicate can't express ordering, so this matches the
+        # $minDistance/$maxDistance ball only (documented delta — use the
+        # $geoNear stage for sorted-by-distance results)
+        if isinstance(arg, dict) and "$geometry" in arg:
+            lng0, lat0 = arg["$geometry"]["coordinates"]
+            max_d = arg.get("$maxDistance")
+            min_d = arg.get("$minDistance")
+        else:
+            raise MQLTranslationError(
+                f"{op} requires {{$geometry: {{coordinates: [lng, lat]}}}}"
+            )
+        preds = []
+        if max_d is not None:
+            preds.append(
+                _geo_within(
+                    col,
+                    {"$centerSphere": [[lng0, lat0], float(max_d) / 6378137.0]},
+                )
+            )
+        if min_d is not None:
+            preds.append(
+                ~_geo_within(
+                    col,
+                    {"$centerSphere": [[lng0, lat0], float(min_d) / 6378137.0]},
+                )
+            )
+        if not preds:
+            return F.lit(True)
+        return _reduce(lambda a, b: a & b, preds)
     if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"):
         mask = (
             _reduce(lambda a, b: a | b, (1 << p for p in arg))

@@ -833,3 +833,24 @@ def test_geo_within(spark):
     assert sorted(r["city"] for r in boxed.collect()) == ["berlin", "paris"]
     with pytest.raises(MQLTranslationError):
         find(df, {"location": {"$geoWithin": {"$polygon": []}}}).count()
+
+
+def test_near_sphere_ball(spark):
+    from mongo_arrow_spark.api import find
+
+    df = spark.createDataFrame(
+        [("paris", [2.35, 48.85]), ("london", [-0.13, 51.51]),
+         ("berlin", [13.40, 52.52])],
+        ["city", "location"],
+    )
+    q = {
+        "location": {
+            "$nearSphere": {
+                "$geometry": {"type": "Point", "coordinates": [2.35, 48.85]},
+                "$maxDistance": 400_000,
+                "$minDistance": 1_000,
+            }
+        }
+    }
+    # ball excludes Paris (under min) and Berlin (over max)
+    assert [r["city"] for r in find(df, q).collect()] == ["london"]
