@@ -26,6 +26,8 @@ def _configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # parity with session.get_spark: MQL $mergeObjects is last-wins
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     except Exception:
         pass
     return spark
