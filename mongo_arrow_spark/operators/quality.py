@@ -197,9 +197,17 @@ def chunk_tokens(
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
     toks = tokens(text_col)
+    # the sequence end extends a full stride past the last full-window
+    # start so the tail window always exists: stopping at n-chunk+1 drops
+    # up to stride-1 trailing tokens whenever (n-chunk) % stride != 0
+    # (caught by the chunk-coverage property test)
     starts = F.sequence(
         F.lit(1),
-        F.greatest(F.size(toks) - chunk_size, F.lit(0)) + F.lit(1),
+        # clamp to n so stride > chunk_size can't emit empty windows
+        F.least(
+            F.greatest(F.size(toks) - chunk_size, F.lit(0)) + F.lit(stride),
+            F.size(toks),
+        ),
         F.lit(stride),
     )
     chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))

@@ -396,7 +396,7 @@ def q_pii_scan(spark, sf_dir):
       SELECT doc_id, toks, i,
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT)
                AS chunk_id
-      FROM base, unnest(range(1, greatest(len(toks) - 128, 0) + 2, 96)) AS t(i)
+      FROM base, unnest(range(1, least(greatest(len(toks) - 128, 0) + 96, len(toks)) + 1, 96)) AS t(i)
     )
     SELECT doc_id, chunk_id,
            array_to_string(toks[i:i+127], ' ') AS chunk_text,

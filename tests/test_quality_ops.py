@@ -204,3 +204,57 @@ def test_compression_ratio_exact_vs_zlib(spark, docs):
     rep = spark.createDataFrame([(1, "ab " * 500)], ["doc_id", "text"])
     r = quality.compression_ratio(rep).head()
     assert r["compression_ratio"] < 0.05
+
+
+# ------------------------------------------------------ property invariants
+
+
+def test_chunk_coverage_property(spark):
+    """For stride <= chunk_size, every token index appears in >= 1 chunk
+    and concatenating stride-aligned prefixes reconstructs the doc."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n_tok=st.integers(min_value=1, max_value=300),
+        chunk=st.integers(min_value=2, max_value=64),
+        stride_frac=st.floats(min_value=0.3, max_value=1.0),
+    )
+    def check(n_tok, chunk, stride_frac):
+        stride = max(1, int(chunk * stride_frac))
+        text = " ".join(f"t{i}" for i in range(n_tok))
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = (
+            quality.chunk_tokens(df, chunk_size=chunk, stride=stride)
+            .orderBy("chunk_id")
+            .collect()
+        )
+        covered = set()
+        for r in rows:
+            start = r["chunk_id"] * stride
+            covered.update(range(start, start + r["n_chunk_tokens"]))
+        assert covered == set(range(n_tok))
+        # chunks overlap consistently: non-final chunks carry chunk_size
+        for r in rows[:-1]:
+            assert r["n_chunk_tokens"] == min(chunk, n_tok)
+
+    check()
+
+
+def test_pii_redact_idempotent_and_clean(spark):
+    """Redacted text contains no further PII matches (idempotence)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a@b.co and c.d@e.org plus 1.2.3.4 or 555-123-4567 end"),
+            (2, "already clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    once = df.select("doc_id", quality.pii_redact("text").alias("text"))
+    again = once.select("doc_id", quality.pii_redact("text").alias("text"))
+    assert [r["text"] for r in once.orderBy("doc_id").collect()] == [
+        r["text"] for r in again.orderBy("doc_id").collect()
+    ]
+    recheck = quality.pii_metrics(once)
+    assert recheck.agg(F.sum("n_pii_total")).head()[0] == 0
