@@ -335,15 +335,41 @@ def write(
 
     ``auto_convert`` mirrors api.py:626-648 (pre-write type normalization);
     ``exclude_none`` mirrors api.py:553-575 (skip null fields — honored by
-    the documents sink; columnar formats carry nulls natively)."""
+    the documents sink; columnar formats carry nulls natively).
+
+    For the ``documents`` format the JSON line is built JVM-side
+    (``F.to_json`` over a struct of every column) so the Python sink only
+    streams bytes — no per-document Python work anywhere in the write path.
+    ``exclude_none`` maps to to_json's ``ignoreNullFields`` (note: strips
+    nulls at every nesting level, vs top-level-only in the row fallback).
+    The row count comes from an ``Observation`` on the same pass — no
+    second scan of the input."""
+    from pyspark.sql import Observation
+
     df = _as_dataframe(df_or_tabular, spark)
     if auto_convert:
         df = _auto_convert_casts(df)
     if exclude_none:
         options.setdefault("excludeNone", "true")
-    n = df.count()
+    if format == "documents":
+        from mongo_arrow_spark.sources.documents import PRESERIALIZED_COL
+
+        line = F.to_json(
+            F.struct(*[F.col(c) for c in df.columns]),
+            {
+                "ignoreNullFields": "true" if exclude_none else "false",
+                # microsecond ISO form, parseable by the reader's
+                # datetime.fromisoformat round-trip
+                "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+            },
+        )
+        df = df.select(line.alias(PRESERIALIZED_COL))
+        options.setdefault("preserialized", "true")
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     try:
         df.write.format(format).mode(mode).options(**options).save(path)
+        n = obs.get["n"]
     except Exception as exc:
         # reference maps BulkWriteError → ArrowWriteError with structured
         # details (api.py:698-709); Spark's task-retry + all-or-nothing

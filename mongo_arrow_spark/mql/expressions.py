@@ -1110,9 +1110,13 @@ def _iso_day_of_week(args, env):
 
 @_op("$isoWeekYear")
 def _iso_week_year(args, env):
-    # the year that owns the ISO week — differs from $year around Jan 1
+    # the year that owns the ISO week — differs from $year around Jan 1.
+    # The owning year is the year of the Thursday in d's own ISO week:
+    # step back 4 days (past Monday..Thursday) then take the next Thursday,
+    # which lands on d's week-Thursday for every weekday including Thursday
+    # itself (next_day is strictly-after).
     d = _date_arg(args, env)
-    return F.year(F.date_sub(F.next_day(d, "Thu"), 7)).cast("long")
+    return F.year(F.next_day(F.date_sub(d, 4), "Thu")).cast("long")
 
 
 @_op("$dateFromParts")
@@ -1168,6 +1172,7 @@ def _date_from_string(args, env):
     s = translate_expr(args["dateString"], env)
     fmt = args.get("format")
     on_error = args.get("onError")
+    on_null = args.get("onNull")
     if fmt is not None:
         # MQL %-codes → Spark datetime pattern (common subset)
         for mql, spk in (
@@ -1180,8 +1185,16 @@ def _date_from_string(args, env):
         out = F.try_to_timestamp(s)
     if args.get("timezone"):
         out = F.to_utc_timestamp(out, args["timezone"])
+    # MQL routes null input through onNull (null when absent); onError is
+    # reserved for parse failures of non-null strings.
     if on_error is not None:
         out = F.coalesce(out, translate_expr(on_error, env))
+    if on_null is not None:
+        null_val = translate_expr(on_null, env)
+    else:
+        null_val = F.lit(None).cast("timestamp")
+    if on_error is not None or on_null is not None:
+        out = F.when(s.isNull(), null_val).otherwise(out)
     return out
 
 

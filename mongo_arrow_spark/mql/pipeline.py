@@ -297,15 +297,19 @@ def _accumulator(spec) -> Column:
         return F.percentile(inp, pcts)
     if op in ("$firstN", "$lastN"):
         # same order caveat as $first/$last: arbitrary within a
-        # distributed group; $topN/$bottomN are the deterministic forms
+        # distributed group; $topN/$bottomN are the deterministic forms.
+        # Values are struct-wrapped before collect_list so nulls survive
+        # (MQL keeps nulls in $firstN/$lastN; bare collect_list drops them).
         inp = translate_expr(arg["input"])
         n = int(arg["n"])
-        col = F.collect_list(inp)
+        col = F.collect_list(F.struct(inp.alias("v")))
         if op == "$firstN":
-            return F.slice(col, 1, n)
-        return F.slice(
-            col, F.greatest(F.size(col) - n + 1, F.lit(1)), n
-        )
+            sliced = F.slice(col, 1, n)
+        else:
+            sliced = F.slice(
+                col, F.greatest(F.size(col) - n + 1, F.lit(1)), n
+            )
+        return F.transform(sliced, lambda s: s.getField("v"))
     if op in ("$minN", "$maxN"):
         inp = translate_expr(arg["input"])
         n = int(arg["n"])
@@ -842,11 +846,18 @@ def _calculus_window(df, field, op, arg, base, window, sort_by):
     """$derivative: (yₗₐₛₜ − y_first)/Δx over the frame. $integral:
     trapezoid sum over the frame (running increments, so the frame must
     start at 'unbounded'). Δx is expressed in the given unit."""
-    secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    secs = {
+        "millisecond": 0.001,
+        "second": 1,
+        "minute": 60,
+        "hour": 3600,
+        "day": 86400,
+        "week": 604800,
+    }
     unit = arg.get("unit")
-    unit_div = secs[unit] if unit else 1
-    if unit and unit not in secs:
+    if unit is not None and unit not in secs:
         raise MQLTranslationError(f"unit {unit} unsupported")
+    unit_div = secs[unit] if unit else 1
     y = translate_expr(arg["input"]).cast("double")
     x = _sort_key_as_number(df, sort_by)
     w = _frame(base, window, sort_by)

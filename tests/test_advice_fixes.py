@@ -207,3 +207,167 @@ def test_merge_objects_null_input_is_empty_doc(spark):
         translate_expr({"$mergeObjects": ["$m1", "$m2"]}).alias("m")
     ).first()["m"]
     assert got == {"a": 1}
+
+
+# ============================ round-2 advisor findings (ADVICE.md round 2)
+
+
+# -------------------------------------------- $isoWeekYear year boundaries
+
+
+def test_iso_week_year_boundaries(spark):
+    """The owning year of the ISO week, checked at exactly the Jan-1
+    boundary cases the round-2 advisor flagged (Mon-Wed dates resolved to
+    the previous year under the old next_day-then-minus-7 form)."""
+    import datetime
+
+    cases = [
+        ("2025-01-01", 2025),  # Wednesday of 2025-W01
+        ("2024-12-30", 2025),  # Monday of 2025-W01
+        ("2021-01-04", 2021),  # Monday of 2021-W01
+        ("2021-01-03", 2020),  # Sunday of 2020-W53
+        ("2016-01-01", 2015),  # Friday of 2015-W53
+        ("2015-12-31", 2015),  # Thursday of 2015-W53
+        ("2020-12-31", 2020),  # Thursday of 2020-W53
+        ("2021-01-01", 2020),  # Friday of 2020-W53
+        ("2026-08-13", 2026),  # mid-year Thursday sanity
+    ]
+    df = spark.createDataFrame(
+        [(s,) for s, _ in cases], "d string"
+    ).withColumn("d", F.to_date("d"))
+    got = [
+        r["y"]
+        for r in df.select(
+            translate_expr({"$isoWeekYear": "$d"}).alias("y")
+        ).collect()
+    ]
+    want = [y for _, y in cases]
+    assert got == want
+    # cross-check every case against Python's own ISO calendar
+    for (s, y) in cases:
+        assert datetime.date.fromisoformat(s).isocalendar()[0] == y
+
+
+# ------------------------------------------- calculus-window unit handling
+
+
+def test_calculus_window_bad_unit_raises_translation_error(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "t long, v double"
+    )
+    with pytest.raises(MQLTranslationError, match="unit"):
+        aggregate(
+            df,
+            [
+                {
+                    "$setWindowFields": {
+                        "sortBy": {"t": 1},
+                        "output": {
+                            "d": {
+                                "$derivative": {"input": "$v", "unit": "year"},
+                                "window": {"documents": ["unbounded", "current"]},
+                            }
+                        },
+                    }
+                }
+            ],
+        )
+
+
+def test_calculus_window_week_and_millisecond_units(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t0, 0.0), (t0 + datetime.timedelta(weeks=2), 4.0)],
+        "t timestamp, v double",
+    )
+    out = aggregate(
+        df,
+        [
+            {
+                "$setWindowFields": {
+                    "sortBy": {"t": 1},
+                    "output": {
+                        "dw": {
+                            "$derivative": {"input": "$v", "unit": "week"},
+                            "window": {"documents": ["unbounded", "unbounded"]},
+                        },
+                        "dms": {
+                            "$derivative": {"input": "$v", "unit": "millisecond"},
+                            "window": {"documents": ["unbounded", "unbounded"]},
+                        },
+                    },
+                }
+            }
+        ],
+    ).first()
+    assert out["dw"] == pytest.approx(2.0)  # 4 units over 2 weeks
+    assert out["dms"] == pytest.approx(4.0 / (14 * 86400 * 1000))
+
+
+# ----------------------------------------------- $firstN/$lastN keep nulls
+
+
+def test_first_n_last_n_keep_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, None), (1, 30), (1, None), (1, 50)],
+        "g long, v long",
+    ).coalesce(1)  # single partition: collect order == input order
+    out = aggregate(
+        df,
+        [
+            {
+                "$group": {
+                    "_id": "$g",
+                    "f": {"$firstN": {"input": "$v", "n": 3}},
+                    "l": {"$lastN": {"input": "$v", "n": 3}},
+                }
+            }
+        ],
+    ).first()
+    assert out["f"] == [10, None, 30]
+    assert out["l"] == [30, None, 50]
+
+
+# ------------------------------------- $dateFromString onNull vs onError
+
+
+def test_date_from_string_null_routes_to_on_null(spark):
+    df = spark.createDataFrame([(None,), ("garbage",)], "s string")
+    import datetime
+
+    err = datetime.datetime(1999, 1, 1)
+    nul = datetime.datetime(1970, 1, 1)
+    got = [
+        r["d"]
+        for r in df.select(
+            translate_expr(
+                {
+                    "$dateFromString": {
+                        "dateString": "$s",
+                        "onError": {"$toDate": err.isoformat()},
+                        "onNull": {"$toDate": nul.isoformat()},
+                    }
+                }
+            ).alias("d")
+        ).collect()
+    ]
+    assert got == [nul, err]
+
+
+def test_date_from_string_null_without_on_null_is_null(spark):
+    """Null input with only onError set stays null (MQL reserves onError
+    for parse failures)."""
+    df = spark.createDataFrame([(None,)], "s string")
+    got = df.select(
+        translate_expr(
+            {
+                "$dateFromString": {
+                    "dateString": "$s",
+                    "onError": {"$toDate": "1999-01-01T00:00:00"},
+                }
+            }
+        ).alias("d")
+    ).first()["d"]
+    assert got is None

@@ -96,6 +96,81 @@ def test_write_roundtrip(spark, docs_path, tmp_path):
     assert sorted(r["_id"] for r in back.select("_id").collect()) == [1, 2, 3, 4, 5]
 
 
+def test_write_preserialized_roundtrip_alltypes(spark, tmp_path):
+    """api.write builds the JSON line JVM-side (to_json fast path); every
+    special-value encoding must still round-trip through the reader."""
+    import datetime
+    import decimal
+
+    from mongo_arrow_spark.api import write
+
+    register(spark)
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    df = spark.createDataFrame(
+        [(1, ts, b"\x01\x02\xff", decimal.Decimal("12.345678"), [1, 2], {"x": 7}, None)],
+        "i long, ts timestamp, bin binary, dec decimal(18,6), arr array<int>, "
+        "st struct<x:int>, n string",
+    )
+    out = str(tmp_path / "pre")
+    res = write(df, out, format="documents", spark=spark)
+    assert res.inserted_count == 1
+    back = (
+        spark.read.format("documents")
+        .option(
+            "declaredSchema",
+            "i bigint, ts timestamp, bin binary, dec double, arr array<int>, "
+            "st struct<x:int>, n string",
+        )
+        .load(out)
+    )
+    r = back.first()
+    assert r["i"] == 1 and r["ts"] == ts and r["bin"] == b"\x01\x02\xff"
+    assert r["dec"] == pytest.approx(12.345678)
+    assert list(r["arr"]) == [1, 2] and r["st"]["x"] == 7 and r["n"] is None
+
+
+def test_write_preserialized_roll_caps(spark, tmp_path):
+    """The vectorized path still honors the byte/doc roll caps: every part
+    file stays under maxBytes and maxDocs, nothing dropped or duplicated."""
+    from mongo_arrow_spark.api import write
+
+    register(spark)
+    df = spark.range(2000).toDF("i").withColumn("pad", F.lit("x" * 40)).coalesce(2)
+    out = str(tmp_path / "caps")
+    write(df, out, format="documents", spark=spark, maxBytes="4096", maxDocs="37")
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    assert len(parts) > 2
+    seen = 0
+    for p in parts:
+        full = os.path.join(out, p)
+        assert os.path.getsize(full) <= 4096
+        with open(full) as fh:
+            lines = fh.readlines()
+        assert len(lines) <= 37
+        seen += len(lines)
+    assert seen == 2000
+    back = spark.read.format("documents").load(out)
+    assert back.agg(F.sum("i")).first()[0] == 2000 * 1999 // 2
+
+
+def test_write_exclude_none_strips_nulls_jvm_side(spark, tmp_path):
+    from mongo_arrow_spark.api import write
+
+    register(spark)
+    df = spark.createDataFrame([(1, None), (2, "v")], "i long, s string")
+    out = str(tmp_path / "exn")
+    write(df, out, format="documents", spark=spark, exclude_none=True)
+    text = "".join(
+        open(os.path.join(out, p)).read()
+        for p in os.listdir(out)
+        if p.startswith("part-")
+    )
+    assert '"s":null' not in text and "null" not in text
+    back = spark.read.format("documents").load(out)
+    rows = {r["i"]: r["s"] for r in back.collect()}
+    assert rows == {1: None, 2: "v"}
+
+
 def test_multibatch_partition_split(spark, tmp_path):
     """Byte-range splits must not duplicate or drop newline-straddling
     docs (the classic split-alignment bug)."""
