@@ -19,25 +19,40 @@ import mongo_arrow_spark.queries_ts  # noqa: F401 — as-of join + salted agg
 # rows-only entries. tests/test_battery.py pins the invariant (window of
 # exactly 50, every one oracle-backed).
 #
-# Demotions: q_window_lag_gap / q_cube_counts were driver-green in r01 and
-# their capability rows stay pinned by q_window_running_sum + the mql
-# window queries and by q_rollup_orders; their slots now grade the round-2
-# corpus ops (dedup_components, text_repetition). pii_scan / chunk_tokens /
-# train_split are round-2 additions that didn't fit the window.
+# Round-3 rotation: the ten round-2 capabilities that sat past the window
+# (mql_vector_search/mql_search_text/mql_geo_near/mql_window_calculus/
+# profile_numeric/pii_scan/chunk_tokens/train_split/stratified_sample/
+# decontaminate_pairs) are promoted into the graded 50; the slots come from
+# multiply-pinned rows whose SURVEY §2 capability stays pinned by a green
+# sibling:
+#   windows        → mql_window_rank + mql_window_calculus cover
+#                    mql_window_moving_avg, q_window_running_sum,
+#                    q_window_lag_gap
+#   set ops        → q_setops_customers covers mql_union_with
+#   bucket/facet   → mql_facet covers mql_bucket
+#   top-k          → mql_sort_skip_limit + sim_bruteforce_topk cover
+#                    q_topk_per_brand
+#   embeddings     → sim_* + mql_vector_search cover embedding_stats
+#   multimodal     → multimodal_decode covers multimodal_payload_stats
+#   semi/anti join → q_exists_semi covers q_customers_without_orders
+#   date aggs      → mql_group_by_month + q_events_hourly's streaming twin
+#                    (streaming_hourly_counts, identical result) cover
+#                    q_events_hourly and q_quarterly_trend
+# Every demoted oracle still runs in pytest (tests/test_battery.py).
 _DEMOTED = [
     "q_window_lag_gap",
     "q_cube_counts",
-    "pii_scan",
-    "decontaminate_pairs",
-    "mql_vector_search",
-    "mql_search_text",
-    "mql_window_calculus",
-    "profile_numeric",
     "multimodal_resize",
-    "stratified_sample",
-    "mql_geo_near",
-    "chunk_tokens",
-    "train_split",
+    "mql_window_moving_avg",
+    "q_window_running_sum",
+    "q_events_hourly",
+    "mql_union_with",
+    "mql_bucket",
+    "q_topk_per_brand",
+    "embedding_stats",
+    "multimodal_payload_stats",
+    "q_customers_without_orders",
+    "q_quarterly_trend",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {
