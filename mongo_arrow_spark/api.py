@@ -486,8 +486,30 @@ class Collection:
         return write(self.df, path, **kw)
 
     # pymongo-surface conveniences (same names/semantics)
-    def distinct(self, field: str, query: dict | None = None) -> list:
-        out = find(self.df, query).select(field).distinct().collect()
+    def distinct(
+        self, field: str, query: dict | None = None, max_values: int = 100_000
+    ) -> list:
+        """Distinct values of ``field`` (MongoDB ``db.coll.distinct``).
+
+        CARDINALITY HAZARD: the result is collected to the driver, like
+        MongoDB's own distinct (which caps the reply at 16 MB). A
+        high-cardinality field at corpus scale would OOM the driver, so
+        ``max_values`` (default 100k) bounds the collect — exceeding it
+        raises rather than truncating silently (mirroring the server's
+        hard error). Pass ``max_values=None`` to opt out; for unbounded
+        distinct-value processing keep it distributed:
+        ``find(df, query).select(field).distinct()``."""
+        dist = find(self.df, query).select(field).distinct()
+        if max_values is None:
+            out = dist.collect()
+        else:
+            out = dist.limit(int(max_values) + 1).collect()
+            if len(out) > int(max_values):
+                raise ValueError(
+                    f"distinct('{field}') exceeds max_values={max_values}; "
+                    "raise max_values / pass max_values=None, or keep the "
+                    "computation distributed via find().select().distinct()"
+                )
         return sorted((r[0] for r in out), key=lambda v: (v is None, v))
 
     def count_documents(self, query: dict | None = None) -> int:

@@ -58,6 +58,20 @@ def apply_pipeline(
         fn = _STAGES.get(name)
         if fn is None:
             raise MQLTranslationError(f"unsupported pipeline stage: {name}")
+        if name in ("$geoNear", "$search") and not any(
+            isinstance(s, dict) and len(s) == 1 and next(iter(s)) == "$limit"
+            for s in pipeline[i + 1 :]
+        ):
+            # MQL requires sorted output from these stages; without a
+            # later $limit that is a global sort of every match. With one,
+            # Catalyst fuses sort+limit into TakeOrdered (no global sort)
+            # — same scale guard as the $bucketAuto warning above.
+            import warnings
+
+            warnings.warn(
+                f"{name} without a subsequent $limit sorts every matching "
+                "row globally; add $limit to get a TakeOrdered plan"
+            )
         try:
             df = fn(df, args, _resolver(collections, df.sparkSession))
         except KeyError as exc:

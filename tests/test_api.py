@@ -102,3 +102,18 @@ def test_collection_explain_shows_pushdown(spark, tables):
         mode="simple",
     )
     assert "HashAggregate" in agg_plan
+
+
+def test_distinct_max_values_cap(spark, tables):
+    import mongo_arrow_spark as mas
+
+    coll = mas.Collection(tables["orders"], "orders")
+    # low cardinality under the default cap: works
+    statuses = coll.distinct("o_orderstatus")
+    assert 1 <= len(statuses) <= 3
+    # high cardinality over an explicit cap: hard error, not truncation
+    with pytest.raises(ValueError, match="max_values"):
+        coll.distinct("o_orderkey", max_values=10)
+    # explicit opt-out collects everything
+    all_keys = coll.distinct("o_orderkey", max_values=None)
+    assert len(all_keys) == tables["orders"].select("o_orderkey").distinct().count()

@@ -827,6 +827,30 @@ def test_geo_near(spark):
     assert [r["name"] for r in near] == ["a"]
 
 
+def test_geonear_and_search_warn_without_limit(spark, tables):
+    """MQL requires sorted output from $geoNear/$search; without a later
+    $limit that is a global sort — the engine warns (like $bucketAuto)."""
+    import warnings as _warnings
+
+    from mongo_arrow_spark.api import aggregate
+
+    df = spark.createDataFrame(
+        [("a", [2.35, 48.85])], "city string, location array<double>"
+    )
+    geo = {"near": [2.35, 48.85], "key": "location", "distanceField": "d"}
+    with pytest.warns(UserWarning, match="global"):
+        aggregate(df, [{"$geoNear": geo}])
+    with pytest.warns(UserWarning, match="global"):
+        aggregate(
+            tables["documents"],
+            [{"$search": {"text": {"query": "spark", "path": "text"}}}],
+        )
+    # a subsequent $limit (even non-adjacent) silences it
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        aggregate(df, [{"$geoNear": geo}, {"$project": {"city": 1, "d": 1}}, {"$limit": 5}])
+
+
 def test_accumulator_python(spark):
     from mongo_arrow_spark.api import aggregate
     from mongo_arrow_spark.errors import MQLTranslationError
