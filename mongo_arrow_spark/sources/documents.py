@@ -63,10 +63,20 @@ WRITE_MAX_DOCS = 100_000
 
 
 def _infer_value(v):
+    import datetime as _dtm
+    import decimal as _decimal
+
     if v is None:
         return T.NullType()
     if isinstance(v, bool):
         return T.BooleanType()
+    # BSON-decoded scalars (the .bson read path yields these natively)
+    if isinstance(v, _dtm.datetime):
+        return T.TimestampType()
+    if isinstance(v, (bytes, bytearray)):
+        return T.BinaryType()
+    if isinstance(v, _decimal.Decimal):
+        return T.DoubleType()
     if isinstance(v, int):
         # reference infers int32 first and widens (lib.pyx:248-255); we
         # record the narrow type and widen on later evidence
@@ -124,6 +134,23 @@ def infer_schema(
     fields: dict[str, T.DataType] = {}
     seen = 0
     for path in _expand(paths):
+        if path.endswith(".bson"):
+            try:
+                from bson import decode_file_iter
+            except ImportError:
+                from mongo_arrow_spark.bson_codec import decode_file_iter
+            with open(path, "rb") as bfh:
+                for doc in decode_file_iter(bfh):
+                    for k, v in doc.items():
+                        fields[k] = _merge_types(
+                            fields.get(k, T.NullType()), _infer_value(v)
+                        )
+                    seen += 1
+                    if seen >= sample_size:
+                        break
+            if seen >= sample_size:
+                break
+            continue
         with open(path, "r", encoding="utf-8", errors="replace") as fh:
             for line in fh:
                 line = line.strip()
@@ -212,14 +239,21 @@ def _coerce(v, dt: T.DataType, strict: bool, path: str, meta: dict | None = None
         elif isinstance(dt, T.StringType):
             if isinstance(v, str):
                 return v
-        elif isinstance(dt, T.TimestampType):
-            if isinstance(v, str):
-                import datetime as dtm
+            from mongo_arrow_spark.bson_values import Decimal128 as _D128
+            from mongo_arrow_spark.bson_values import ObjectId as _OID
 
+            # BSON scalar classes from the .bson decode path: their
+            # canonical string forms (hex oid / decimal string)
+            if isinstance(v, (_OID, _D128)):
+                return str(v)
+        elif isinstance(dt, T.TimestampType):
+            import datetime as dtm
+
+            if isinstance(v, dtm.datetime):
+                return v  # .bson path decodes datetimes natively
+            if isinstance(v, str):
                 return dtm.datetime.fromisoformat(v)
             if isinstance(v, (int, float)):
-                import datetime as dtm
-
                 # integer epoch-millis, the BSON datetime carrier
                 return dtm.datetime.utcfromtimestamp(v / 1000.0)
         elif isinstance(dt, T.ArrayType):
@@ -269,8 +303,14 @@ def _coerce_bid(v, strict: bool, path: str):
     import base64
     import decimal
 
-    from mongo_arrow_spark.bson_values import _DEC128_CTX, decimal128_to_bid
+    from mongo_arrow_spark.bson_values import (
+        _DEC128_CTX,
+        Decimal128,
+        decimal128_to_bid,
+    )
 
+    if isinstance(v, Decimal128):  # .bson decode path: carrier passthrough
+        return v.bid
     if isinstance(v, dict) and "$numberDecimal" in v:
         v = v["$numberDecimal"]
     if isinstance(v, (bytes, bytearray)) and len(v) == 16:
@@ -457,18 +497,18 @@ class DocumentsReader(DataSourceReader):
         cols: list[list] = [[] for _ in fields]
         n = 0
         if part.path.endswith(".bson"):
-            # BSON dump support (the reference's native format) — gated on
-            # the bson package; length-prefixed docs can't split on
-            # newlines, so each .bson file is one partition.
+            # BSON dump support (the reference's native format — its core
+            # kernel IS BSON-stream decode, lib.pyx:296-311). pymongo's C
+            # decoder is preferred when installed; otherwise the pure-
+            # Python spec codec (bson_codec.py) decodes the same stream.
+            # Length-prefixed docs can't split on newlines, so each .bson
+            # file is one partition.
             try:
-                import bson
-            except ImportError as exc:  # pragma: no cover
-                raise ImportError(
-                    "reading .bson dumps requires the 'bson' package "
-                    "(pip install pymongo); JSON-lines needs no extras"
-                ) from exc
+                from bson import decode_file_iter
+            except ImportError:
+                from mongo_arrow_spark.bson_codec import decode_file_iter
             with open(part.path, "rb") as fh:
-                for doc in bson.decode_file_iter(fh):
+                for doc in decode_file_iter(fh):
                     if self.filters and not pred(doc):
                         continue
                     for i, f in enumerate(fields):

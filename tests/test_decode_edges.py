@@ -93,3 +93,140 @@ def test_concurrent_reads_same_source(spark, tmp_path):
     with ThreadPoolExecutor(4) as ex:
         results = list(ex.map(go, range(4)))
     assert results == [100, 100, 100, 100]
+
+
+# ------------------------------------------------------- .bson decode path
+
+
+def _write_bson(path, docs):
+    from mongo_arrow_spark.bson_codec import encode_document
+
+    with open(path, "wb") as fh:
+        for d in docs:
+            fh.write(encode_document(d))
+    return str(path)
+
+
+def test_bson_codec_roundtrip_all_types():
+    """Spec codec round-trip: every element type the encoder emits decodes
+    back equal (no Spark involved — this is the reference's core kernel,
+    lib.pyx:296-311, exercised natively)."""
+    import datetime
+    import decimal
+
+    from mongo_arrow_spark.bson_codec import (
+        MaxKey,
+        MinKey,
+        Regex,
+        Timestamp,
+        decode_document,
+        encode_document,
+    )
+    from mongo_arrow_spark.bson_values import (
+        Binary,
+        Code,
+        Decimal128,
+        ObjectId,
+    )
+
+    doc = {
+        "f": 1.5,
+        "s": "hélloé",
+        "sub": {"x": 1, "y": [1, "two", None]},
+        "arr": [1, 2.5, {"k": True}],
+        "bin": Binary(b"\x00\x01\xff", 0),
+        "bin_st": Binary(b"payload", 128),
+        "oid": ObjectId("616161616161616161616161"),
+        "b": False,
+        "dt": datetime.datetime(2024, 6, 1, 12, 0, 0, 123000),
+        "n": None,
+        "rx": Regex("^a.*b$", "is"),
+        "code": Code("function(){}"),
+        "code_ws": Code("x+1", {"x": 41}),
+        "i32": 42,
+        "i64": 2**40,
+        "ts": Timestamp(1700000000, 7),
+        "dec": Decimal128(decimal.Decimal("123.456")),
+        "mn": MinKey(),
+        "mx": MaxKey(),
+    }
+    raw = encode_document(doc)
+    back, end = decode_document(raw)
+    assert end == len(raw)
+    assert back["f"] == 1.5 and back["s"] == doc["s"]
+    assert back["sub"] == {"x": 1, "y": [1, "two", None]}
+    assert back["arr"] == [1, 2.5, {"k": True}]
+    assert back["bin"] == doc["bin"] and back["bin"].subtype == 0
+    assert back["bin_st"].subtype == 128 and bytes(back["bin_st"]) == b"payload"
+    assert str(back["oid"]) == "616161616161616161616161"
+    assert back["b"] is False and back["n"] is None
+    assert back["dt"] == doc["dt"]
+    assert back["rx"] == doc["rx"]
+    assert str(back["code"]) == "function(){}"
+    assert str(back["code_ws"]) == "x+1" and back["code_ws"].scope == {"x": 41}
+    assert back["i32"] == 42 and back["i64"] == 2**40
+    assert back["ts"] == doc["ts"]
+    assert back["dec"].to_decimal() == decimal.Decimal("123.456")
+    assert back["mn"] == MinKey() and back["mx"] == MaxKey()
+
+
+def test_bson_file_reads_without_pymongo(spark, tmp_path):
+    """A .bson dump (mongodump framing) reads through the documents source
+    with no bson package: schema inferred from the stream, values typed."""
+    import datetime
+
+    docs = [
+        {"_id": i, "name": f"doc{i}", "score": i * 1.5,
+         "when": datetime.datetime(2024, 1, 1 + i), "tags": [f"t{i}", "x"],
+         "meta": {"depth": i}}
+        for i in range(5)
+    ]
+    p = _write_bson(tmp_path / "dump.bson", docs)
+    df = _read(spark, p)
+    assert df.count() == 5
+    dt = dict(df.dtypes)
+    assert dt["when"] == "timestamp" and dt["score"] == "double"
+    r = df.orderBy("_id").first()
+    assert r["name"] == "doc0" and r["when"] == datetime.datetime(2024, 1, 1)
+    assert list(r["tags"]) == ["t0", "x"] and r["meta"]["depth"] == 0
+
+
+def test_bson_file_declared_schema_and_extension_types(spark, tmp_path):
+    """Declared schema over a .bson dump: ObjectId → string, Decimal128 →
+    lossless BID carrier via the decimal128[bid] metadata column."""
+    import decimal
+
+    from pyspark.sql import types as T
+
+    from mongo_arrow_spark.bson_types import METADATA_KEY
+    from mongo_arrow_spark.bson_values import Decimal128, ObjectId, decimal128_from_bid
+
+    docs = [
+        {"oid": ObjectId("61" * 12), "price": Decimal128(decimal.Decimal("99.99"))},
+    ]
+    p = _write_bson(tmp_path / "ext.bson", docs)
+    schema = T.StructType(
+        [
+            T.StructField("oid", T.StringType()),
+            T.StructField(
+                "price", T.BinaryType(), metadata={METADATA_KEY: "decimal128[bid]"}
+            ),
+        ]
+    )
+    register(spark)
+    df = spark.read.format("documents").schema(schema).load(p)
+    r = df.first()
+    assert r["oid"] == "61" * 12
+    assert decimal128_from_bid(r["price"]) == decimal.Decimal("99.99")
+
+
+def test_bson_truncated_stream_raises(spark, tmp_path):
+    from mongo_arrow_spark.bson_codec import encode_document
+
+    raw = encode_document({"a": 1}) + encode_document({"a": 2})[:-3]
+    p = tmp_path / "trunc.bson"
+    with open(p, "wb") as fh:
+        fh.write(raw)
+    with pytest.raises(Exception) as exc:
+        _read(spark, str(p), declaredSchema="a bigint").collect()
+    assert "truncated" in str(exc.value) or "invalid" in str(exc.value)
