@@ -286,16 +286,29 @@ def aggregate_numpy_all(df, pipeline, **kw):
 
 
 def find_polars_all(df, query=None, **kw):
-    """Reference api.py:468-512 (gated: polars is optional here)."""
+    """Reference api.py:468-512 (gated: polars is optional here). Columns
+    tagged with a BSON logical type come back as the registered polars
+    extension dtypes when this polars build supports them
+    (polars_types.py, mirroring reference polars_types.py:32-70)."""
     import polars as pl
 
-    return pl.from_arrow(find_arrow_all(df, query, **kw))
+    from mongo_arrow_spark.polars_types import apply_bson_dtypes
+
+    out = find(df, query, **kw)
+    return apply_bson_dtypes(
+        pl.from_arrow(find_arrow_all(df, query, **kw)), out.schema
+    )
 
 
 def aggregate_polars_all(df, pipeline, **kw):
     import polars as pl
 
-    return pl.from_arrow(aggregate_arrow_all(df, pipeline, **kw))
+    from mongo_arrow_spark.polars_types import apply_bson_dtypes
+
+    out = aggregate(df, pipeline, **kw)
+    return apply_bson_dtypes(
+        pl.from_arrow(aggregate_arrow_all(df, pipeline, **kw)), out.schema
+    )
 
 
 def _auto_convert_casts(df: DataFrame) -> DataFrame:
