@@ -489,11 +489,20 @@ def _day_of_year(args, env):
     return F.dayofyear(_date_arg(args, env))
 
 
-@_op("$week", "$isoWeek")
-def _week(args, env):
-    # Spark weekofyear is ISO-8601; MQL's plain $week (Sunday-start) differs
-    # for boundary days — documented delta.
+@_op("$isoWeek")
+def _iso_week(args, env):
     return F.weekofyear(_date_arg(args, env))
+
+
+@_op("$week")
+def _week(args, env):
+    # MQL $week: Sunday-start weeks, days before the year's first Sunday
+    # are week 0 (strftime %U). floor((yday0 + 7 - sunday0_dow) / 7) with
+    # 0-based day-of-year and 0=Sunday day-of-week.
+    d = _date_arg(args, env)
+    return F.floor(
+        (F.dayofyear(d) - 1 + 7 - (F.dayofweek(d) - 1)) / 7
+    ).cast("int")
 
 
 def _date_arg(args, env):
@@ -1121,27 +1130,39 @@ def _iso_week_year(args, env):
 
 @_op("$dateFromParts")
 def _date_from_parts(args, env):
-    """Calendar form: year/month/day/hour/minute/second/millisecond.
-    ISO-week form (isoWeekYear/isoWeek/isoDayOfWeek) is not supported —
-    raise rather than mis-compute (reference users get the calendar form
-    overwhelmingly)."""
-    if "isoWeekYear" in args:
-        raise MQLTranslationError("$dateFromParts ISO-week form unsupported")
+    """Calendar form (year/month/day/...) and ISO-week form
+    (isoWeekYear/isoWeek/isoDayOfWeek), both with the time parts.
+    ISO form: ISO week 1 always contains Jan 4, so the date is
+    Monday-of-week-1 + (isoWeek−1)·7 + (isoDayOfWeek−1) days —
+    out-of-range parts carry over by day arithmetic, as in MQL."""
 
     def part(name, default):
         if name in args:
             return translate_expr(args[name], env).cast("int")
         return F.lit(default)
 
-    ts = F.make_timestamp(
-        part("year", 1970),
-        part("month", 1),
-        part("day", 1),
+    time_of_day = (
         part("hour", 0),
         part("minute", 0),
         part("second", 0).cast("double")
         + part("millisecond", 0).cast("double") / 1000.0,
     )
+    if "isoWeekYear" in args:
+        jan4 = F.make_date(part("isoWeekYear", 1970), F.lit(1), F.lit(4))
+        week1_monday = F.date_sub(jan4, F.weekday(jan4))
+        day = F.date_add(
+            week1_monday,
+            ((part("isoWeek", 1) - 1) * 7 + part("isoDayOfWeek", 1) - 1).cast(
+                "int"
+            ),
+        )
+        ts = F.make_timestamp(
+            F.year(day), F.month(day), F.dayofmonth(day), *time_of_day
+        )
+    else:
+        ts = F.make_timestamp(
+            part("year", 1970), part("month", 1), part("day", 1), *time_of_day
+        )
     if "timezone" in args:
         ts = F.to_utc_timestamp(ts, args["timezone"])
     return ts

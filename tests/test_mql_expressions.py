@@ -240,6 +240,64 @@ def test_date_from_parts_and_to_parts(spark):
     assert parts["millisecond"] == 250
 
 
+def test_date_from_parts_iso_week_form(spark):
+    import datetime as dt
+
+    df = spark.range(1)
+    cases = [
+        ({"isoWeekYear": 2021, "isoWeek": 1, "isoDayOfWeek": 1}, (2021, 1, 1)),
+        ({"isoWeekYear": 2020, "isoWeek": 53, "isoDayOfWeek": 5}, (2020, 53, 5)),
+        ({"isoWeekYear": 2024, "isoWeek": 20, "isoDayOfWeek": 7}, (2024, 20, 7)),
+        ({"isoWeekYear": 2016}, (2016, 1, 1)),  # defaults: week 1, Monday
+    ]
+    for spec, iso in cases:
+        got = df.select(
+            translate_expr({"$dateFromParts": spec}).alias("ts")
+        ).head()["ts"]
+        assert got.date() == dt.date.fromisocalendar(*iso), spec
+    # time parts compose with the ISO form
+    got = df.select(
+        translate_expr(
+            {
+                "$dateFromParts": {
+                    "isoWeekYear": 2021, "isoWeek": 2, "isoDayOfWeek": 3,
+                    "hour": 6, "minute": 15,
+                }
+            }
+        ).alias("ts")
+    ).head()["ts"]
+    assert got == dt.datetime(2021, 1, 13, 6, 15)
+    # out-of-range isoWeek carries into the next year (day arithmetic)
+    got = df.select(
+        translate_expr(
+            {"$dateFromParts": {"isoWeekYear": 2021, "isoWeek": 60}}
+        ).alias("ts")
+    ).head()["ts"]
+    assert got.date() == dt.date.fromisocalendar(2021, 52, 1) + dt.timedelta(weeks=8)
+
+
+def test_week_sunday_start_vs_iso_week(spark):
+    """MQL $week counts Sunday-start weeks with week 0 before the first
+    Sunday (strftime %U); $isoWeek is ISO-8601. They differ exactly at
+    year boundaries."""
+    import datetime as dt
+
+    cases = ["2024-01-01", "2024-01-07", "2024-01-08", "2021-01-02",
+             "2021-01-03", "2020-12-31", "2023-12-31", "2026-08-13"]
+    df = spark.createDataFrame([(c,) for c in cases], "d string").withColumn(
+        "d", F.to_date("d")
+    )
+    rows = df.select(
+        "d",
+        translate_expr({"$week": "$d"}).alias("w"),
+        translate_expr({"$isoWeek": "$d"}).alias("iw"),
+    ).collect()
+    for r in rows:
+        want_u = int(r["d"].strftime("%U"))
+        assert r["w"] == want_u, (r["d"], r["w"], want_u)
+        assert r["iw"] == r["d"].isocalendar()[1]
+
+
 def test_date_from_string_formats_and_onerror(spark):
     import datetime as dt
 
