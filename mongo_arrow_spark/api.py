@@ -364,7 +364,7 @@ def write(
         df = _auto_convert_casts(df)
     if exclude_none:
         options.setdefault("excludeNone", "true")
-    if format == "documents":
+    if format == "documents" and str(options.get("fileFormat", "jsonl")).lower() != "bson":
         from mongo_arrow_spark.sources.documents import PRESERIALIZED_COL
 
         line = F.to_json(

@@ -17,6 +17,7 @@ the reference's invalid-stream errors (reference test_bson.py:83-99).
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import struct
 from typing import Any, BinaryIO, Iterator
 
@@ -277,6 +278,8 @@ def _encode_value(key: bytes, value: Any) -> bytes:
         return b"\xff" + key
     if isinstance(value, MaxKey):
         return b"\x7f" + key
+    if isinstance(value, _decimal.Decimal):
+        return b"\x13" + key + Decimal128(value).bid
     if isinstance(value, dict):
         return b"\x03" + key + encode_document(value)
     if isinstance(value, (list, tuple)):

@@ -190,7 +190,12 @@ def _expand(paths) -> list[str]:
     out: list[str] = []
     for p in paths:
         if os.path.isdir(p):
-            out.extend(sorted(_glob.glob(os.path.join(p, "*.jsonl"))))
+            out.extend(
+                sorted(
+                    _glob.glob(os.path.join(p, "*.jsonl"))
+                    + _glob.glob(os.path.join(p, "*.bson"))
+                )
+            )
         else:
             out.extend(sorted(_glob.glob(p)) or [p])
     return out
@@ -623,6 +628,13 @@ class DocumentsWriter(DataSourceArrowWriter):
         self.preserialized = (
             str(options.get("preserialized", "false")).lower() == "true"
         )
+        self.file_format = str(options.get("fileformat", "jsonl")).lower()
+        if self.file_format not in ("jsonl", "bson"):
+            raise SchemaError(
+                f"fileFormat must be 'jsonl' or 'bson', got {self.file_format!r}"
+            )
+        if self.file_format == "bson" and self.preserialized:
+            raise SchemaError("fileFormat=bson is incompatible with preserialized")
 
     def write(self, iterator) -> _WriteResult:
         import numpy as np
@@ -637,7 +649,9 @@ class DocumentsWriter(DataSourceArrowWriter):
             nonlocal fh, nbytes, ndocs
             if fh:
                 fh.close()
-            name = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            name = os.path.join(
+                self.path, f"part-{uuid.uuid4().hex}.{self.file_format}"
+            )
             files.append(name)
             fh = open(name, "wb")
             nbytes = ndocs = 0
@@ -675,6 +689,16 @@ class DocumentsWriter(DataSourceArrowWriter):
                     chunk = ("\n".join(sl.to_pylist()) + "\n").encode("utf-8")
                     emit(chunk, blen, stop - start)
                     start = stop
+            elif self.file_format == "bson":
+                # mongodump-format sink: length-prefixed BSON documents
+                # (readable back by this source or any BSON tool)
+                from mongo_arrow_spark.bson_codec import encode_document
+
+                for doc in batch.to_pylist():
+                    if self.exclude_none:
+                        doc = {k: v for k, v in doc.items() if v is not None}
+                    data = encode_document(doc)
+                    emit(data, len(data), 1)
             else:
                 for doc in batch.to_pylist():
                     if self.exclude_none:

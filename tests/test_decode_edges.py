@@ -230,3 +230,40 @@ def test_bson_truncated_stream_raises(spark, tmp_path):
     with pytest.raises(Exception) as exc:
         _read(spark, str(p), declaredSchema="a bigint").collect()
     assert "truncated" in str(exc.value) or "invalid" in str(exc.value)
+
+
+def test_bson_sink_roundtrip(spark, tmp_path):
+    """fileFormat=bson writes a mongodump-format directory this source
+    reads back — the codec in the production write path, not just
+    fixtures. Timestamps/binary/arrays/structs survive natively (BSON is
+    typed; no JSON string carriers)."""
+    import datetime
+
+    from mongo_arrow_spark.api import write
+
+    register(spark)
+    ts = datetime.datetime(2024, 5, 4, 3, 2, 1, 500000)
+    df = spark.createDataFrame(
+        [(1, ts, b"\x00\xff", [1, 2], {"x": 9}, "s")],
+        "i long, ts timestamp, bin binary, arr array<int>, st struct<x:int>, s string",
+    )
+    out = str(tmp_path / "dump_out")
+    res = write(df, out, format="documents", spark=spark, fileFormat="bson")
+    assert res.inserted_count == 1
+    import os as _os
+
+    parts = [p for p in _os.listdir(out) if p.startswith("part-")]
+    assert parts and all(p.endswith(".bson") for p in parts)
+    back = spark.read.format("documents").load(out)
+    r = back.first()
+    assert r["i"] == 1 and r["ts"] == ts and r["bin"] == b"\x00\xff"
+    assert list(r["arr"]) == [1, 2] and r["st"]["x"] == 9 and r["s"] == "s"
+
+
+def test_bson_sink_rejects_bad_options(spark, tmp_path):
+    register(spark)
+    df = spark.createDataFrame([(1,)], "i long")
+    with pytest.raises(Exception, match="fileFormat"):
+        df.write.format("documents").option("fileFormat", "xml").mode(
+            "append"
+        ).save(str(tmp_path / "bad"))

@@ -935,3 +935,22 @@ def test_near_sphere_ball(spark):
     }
     # ball excludes Paris (under min) and Berlin (over max)
     assert [r["city"] for r in find(df, q).collect()] == ["london"]
+
+
+def test_documents_stage(spark):
+    from mongo_arrow_spark.api import aggregate
+    from mongo_arrow_spark.errors import MQLTranslationError
+
+    df = spark.range(1)
+    out = aggregate(
+        df,
+        [
+            {"$documents": [{"k": "a", "v": 1}, {"k": "b", "v": 2}]},
+            {"$match": {"v": {"$gte": 2}}},
+        ],
+    )
+    assert [(r["k"], r["v"]) for r in out.collect()] == [("b", 2)]
+    with pytest.raises(MQLTranslationError):
+        aggregate(df, [{"$documents": []}])
+    with pytest.raises(MQLTranslationError):
+        aggregate(df, [{"$documents": [1, 2]}])
