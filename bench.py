@@ -101,24 +101,33 @@ def main() -> None:
         format="documents",
         spark=spark,
     )
+    def timed(fn, reps):
+        # same discipline as the queries: one warm-up, then min-of-reps
+        # (shapes were single-shot cold runs through r2 — the source of
+        # most of the round-over-round shape drift)
+        fn()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            fn()
+            best = min(best, _time.perf_counter() - t0)
+        return round(best, 3)
+
     for name, df in build_frames(spark).items():
         df = df.cache()
         df.count()
-        t0 = _time.perf_counter()
-        table = df.toArrow()
-        t1 = _time.perf_counter()
-        pdf = df.toPandas()
-        t2 = _time.perf_counter()
-        # insert-path parity (reference asv insert benchmarks): the
-        # documents JSONL sink via api.write
-        _write(df, os.path.join(wdir, name), format="documents", spark=spark)
-        t3 = _time.perf_counter()
         shapes[name] = {
-            "to_arrow": round(t1 - t0, 3),
-            "to_pandas": round(t2 - t1, 3),
-            "write_docs": round(t3 - t2, 3),
+            "to_arrow": timed(df.toArrow, repeat),
+            "to_pandas": timed(df.toPandas, repeat),
+            # insert-path parity (reference asv insert benchmarks): the
+            # documents JSONL sink via api.write
+            "write_docs": timed(
+                lambda: _write(
+                    df, os.path.join(wdir, name), format="documents", spark=spark
+                ),
+                repeat,
+            ),
         }
-        del table, pdf
         df.unpersist()
     shutil.rmtree(wdir, ignore_errors=True)
 
