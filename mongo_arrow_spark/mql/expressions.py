@@ -797,6 +797,48 @@ def _binary_size(args, env):
     return F.octet_length(translate_expr(args, env)).cast("long")
 
 
+@_op("$bsonSize")
+def _bson_size(args, env):
+    """Byte size of a document column when encoded as BSON, computed with
+    the engine's own spec codec (bson_codec.py) inside an Arrow-batched
+    pandas UDF — Python on data, but this op is intrinsically about the
+    BSON wire form, which no Catalyst expression models."""
+    import pandas as _pd
+    import warnings as _warnings
+
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    from mongo_arrow_spark.bson_codec import encode_document
+
+    def size(s):
+        # struct columns arrive as a pandas DataFrame (one col per field)
+        if isinstance(s, _pd.DataFrame):
+            recs = s.to_dict("records")
+            return _pd.Series(
+                [float(len(encode_document(r))) for r in recs], index=s.index
+            )
+        return s.map(
+            lambda d: None if d is None else float(len(encode_document(dict(d))))
+        )
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        udf = pandas_udf(size, returnType="double", functionType=PandasUDFType.SCALAR)
+    return udf(translate_expr(args, env)).cast("long")
+
+
+@_op("$tsSecond")
+def _ts_second(args, env):
+    # BSON internal timestamps carry as struct<time:long, inc:long> (the
+    # .bson read path decodes type 0x11 into that shape)
+    return translate_expr(args, env).getField("time").cast("long")
+
+
+@_op("$tsIncrement")
+def _ts_increment(args, env):
+    return translate_expr(args, env).getField("inc").cast("long")
+
+
 @_op("$strcasecmp")
 def _strcasecmp(args, env):
     a, b = _pair(args, env)

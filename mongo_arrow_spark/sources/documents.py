@@ -94,6 +94,14 @@ def _infer_value(v):
         return T.StructType(
             [T.StructField(k, _infer_value(x), True) for k, x in v.items()]
         )
+    if hasattr(v, "time") and hasattr(v, "inc"):
+        # BSON internal timestamp → struct<time, inc> carrier
+        return T.StructType(
+            [
+                T.StructField("time", T.LongType(), True),
+                T.StructField("inc", T.LongType(), True),
+            ]
+        )
     return T.StringType()
 
 
@@ -268,6 +276,14 @@ def _coerce(v, dt: T.DataType, strict: bool, path: str, meta: dict | None = None
             if isinstance(v, dict):
                 return tuple(
                     _coerce(v.get(f.name), f.dataType, strict, f"{path}.{f.name}", f.metadata)
+                    for f in dt.fields
+                )
+            # BSON internal timestamp (type 0x11) → struct<time, inc>
+            # carrier ($tsSecond/$tsIncrement read these fields)
+            if hasattr(v, "time") and hasattr(v, "inc"):
+                parts = {"time": v.time, "inc": v.inc}
+                return tuple(
+                    _coerce(parts.get(f.name), f.dataType, strict, f"{path}.{f.name}", f.metadata)
                     for f in dt.fields
                 )
         elif isinstance(dt, T.DecimalType):

@@ -456,3 +456,41 @@ def test_function_python_callable(spark):
     assert sorted(r["v"] for r in out2.collect()) == [2, 6]
     with pytest.raises(MQLTranslationError):
         aggregate(df, [{"$project": {"z": {"$function": {"body": "js code", "args": []}}}}])
+
+
+def test_bson_size(spark):
+    from mongo_arrow_spark.bson_codec import encode_document
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": "xy"}), (2, {"a": 99, "b": "longer-string"})],
+        "id long, doc struct<a:long, b:string>",
+    )
+    rows = df.select(
+        "id", translate_expr({"$bsonSize": "$doc"}).alias("sz")
+    ).collect()
+    want = {
+        1: len(encode_document({"a": 1, "b": "xy"})),
+        2: len(encode_document({"a": 99, "b": "longer-string"})),
+    }
+    assert {r["id"]: r["sz"] for r in rows} == want
+
+
+def test_ts_second_and_increment(spark, tmp_path):
+    """BSON internal timestamps round-trip from a .bson dump into the
+    struct<time,inc> carrier that $tsSecond/$tsIncrement read."""
+    from mongo_arrow_spark.bson_codec import Timestamp, encode_document
+    from mongo_arrow_spark.sources import register
+
+    p = tmp_path / "oplog.bson"
+    with open(p, "wb") as fh:
+        fh.write(encode_document({"i": 1, "ts": Timestamp(1700000000, 7)}))
+        fh.write(encode_document({"i": 2, "ts": Timestamp(1700000001, 1)}))
+    register(spark)
+    df = spark.read.format("documents").load(str(p))
+    out = df.select(
+        "i",
+        translate_expr({"$tsSecond": "$ts"}).alias("s"),
+        translate_expr({"$tsIncrement": "$ts"}).alias("inc"),
+    ).orderBy("i")
+    got = [(r["s"], r["inc"]) for r in out.collect()]
+    assert got == [(1700000000, 7), (1700000001, 1)]
