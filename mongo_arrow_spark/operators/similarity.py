@@ -185,6 +185,84 @@ def ivf_topk(
     return cosine_topk(candidates, q, k, id_col, vec_col)
 
 
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> None:
+    """Persist the corpus partitioned by its sign-bucket id — the 100 TB
+    form of ANN search: the bucket computation runs ONCE at index-build
+    time, and every later query prunes partitions instead of scanning the
+    corpus (``ann_index_topk``). A manifest records bits/dim/seed so
+    queries derive the same hyperplanes."""
+    import json
+    import os
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    bucket = sign_buckets(F.col(vec_col), bits, dim, seed)
+    (
+        df.withColumn("__bucket", bucket)
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ann_index.json"), "w") as fh:
+        json.dump({"bits": bits, "dim": dim, "seed": seed, "vec_col": vec_col}, fh)
+
+
+def ann_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    num_candidates: int | None = None,
+    max_hamming: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a ``build_ann_index`` directory.
+
+    The Hamming-ring predicate is a deterministic function of the
+    ``__bucket`` partition column, so Catalyst evaluates it against the
+    partition listing — non-matching buckets are never read
+    (PartitionFilters in the scan node). Ring radius comes from
+    ``max_hamming`` directly, or is derived from ``num_candidates`` using
+    per-bucket row counts read off the partition listing's parquet
+    metadata (a counts-only scan, no data columns)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ann_index.json")) as fh:
+        meta = json.load(fh)
+    bits, dim, seed = meta["bits"], meta["dim"], meta["seed"]
+    vec_col = meta["vec_col"]
+    q = [float(x) for x in query_vec]
+    planes = _hyperplanes(dim, bits, seed)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(q, plane)) >= 0:
+            qbits |= 1 << i
+    df = spark.read.parquet(path)
+    dist = F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qbits)))
+    if max_hamming is None:
+        target = num_candidates if num_candidates is not None else 20 * k
+        hist = {
+            r["__d"]: r["count"]
+            for r in df.groupBy(dist.alias("__d")).count().collect()
+        }
+        cum, max_hamming = 0, bits
+        for r in range(bits + 1):
+            cum += hist.get(r, 0)
+            if cum >= target:
+                max_hamming = r
+                break
+    candidates = df.filter(dist <= max_hamming).drop("__bucket")
+    return cosine_topk(candidates, q, k, id_col, vec_col)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -170,3 +170,48 @@ def test_vector_search_ann_prunes_scan(spark, tables):
     assert "TakeOrderedAndProject" in p
     assert "Exchange" not in p.split("TakeOrderedAndProject")[0] or True
     assert "CartesianProduct" not in p
+
+
+def test_ann_index_partition_pruning(spark, tmp_path, tables):
+    """A persisted ANN index must turn the Hamming-ring predicate into
+    partition pruning: the scan reads only matching __bucket partitions
+    and results match the in-memory pruned search exactly."""
+    from mongo_arrow_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        cosine_topk,
+    )
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "ann_idx")
+    build_ann_index(emb, path, bits=6)
+    qv = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    out = ann_index_topk(spark, path, qv, k=5, max_hamming=2)
+    rows = [(r["vec_id"], round(r["score"], 9)) for r in out.collect()]
+    # exact-equality oracle: the same Hamming ring over the in-memory frame
+    from pyspark.sql import functions as F2
+
+    from mongo_arrow_spark.operators.similarity import _hyperplanes, sign_buckets
+
+    dim = len(qv)
+    planes = _hyperplanes(dim, 6, 42)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(qv, plane)) >= 0:
+            qbits |= 1 << i
+    ring = emb.filter(
+        F2.bit_count(
+            sign_buckets(F2.col("embedding"), 6, dim, 42).bitwiseXOR(F2.lit(qbits))
+        )
+        <= 2
+    )
+    want = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in cosine_topk(ring, qv, 5).collect()
+    ]
+    assert rows == want
+    # plan: partition filters present on the scan, not a full read
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p
+    seg = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert seg.strip(), "partition filter list is empty — no pruning"
