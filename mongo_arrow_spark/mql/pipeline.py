@@ -657,6 +657,18 @@ def _union_with(df, args, resolve):
     return df.unionByName(other, allowMissingColumns=True)
 
 
+@_stage("$documents")
+def _documents(df, args, resolve):
+    """Literal-documents input stage (db.aggregate([{$documents: [...]}])):
+    replaces the incoming frame with an inline DataFrame. Driver-side by
+    definition — MQL caps the literal list at 16 MB, so no scale concern."""
+    if not isinstance(args, list) or not args:
+        raise MQLTranslationError("$documents requires a non-empty list")
+    if not all(isinstance(d, dict) for d in args):
+        raise MQLTranslationError("$documents entries must be documents")
+    return df.sparkSession.createDataFrame(args)
+
+
 @_stage("$sample")
 def _sample(df, args, resolve):
     """Random N docs. TakeOrdered over rand() — top-k per partition then
