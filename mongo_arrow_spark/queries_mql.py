@@ -515,7 +515,10 @@ def mql_vector_search(spark, sf_dir):
                     "path": "embedding",
                     "queryVector": [float(x) for x in qv],
                     "limit": 10,
-                    "numCandidates": 200,
+                    # exact ENN so the hash oracle holds; the ANN path
+                    # (numCandidates sans exact) is pinned by its own
+                    # recall@10 test instead of a value hash
+                    "exact": True,
                 }
             },
             {
