@@ -202,6 +202,35 @@ def _log(args, env):
     return F.log(num) / F.log(base)
 
 
+# ----------------------------------------------------------------- bitwise
+# (MongoDB 6.3+: integer-only operands, null in → null out; Spark's native
+# bitwise operators type-coerce int/long exactly like MQL's int→long widening)
+
+
+@_op("$bitAnd")
+def _bit_and(args, env):
+    return _reduce(lambda a, b: a.bitwiseAND(b), _many(args, env))
+
+
+@_op("$bitOr")
+def _bit_or(args, env):
+    return _reduce(lambda a, b: a.bitwiseOR(b), _many(args, env))
+
+
+@_op("$bitXor")
+def _bit_xor(args, env):
+    return _reduce(lambda a, b: a.bitwiseXOR(b), _many(args, env))
+
+
+@_op("$bitNot")
+def _bit_not(args, env):
+    if isinstance(args, (list, tuple)):
+        if len(args) != 1:
+            raise MQLTranslationError("$bitNot takes exactly one argument")
+        args = args[0]
+    return F.bitwise_not(translate_expr(args, env))
+
+
 # ---------------------------------------------------------------- comparison
 
 
@@ -431,10 +460,54 @@ def _replace_one(args, env):
     )
 
 
+def _index_search(args, env):
+    """Shared [string, substring, start?, end?] unpack for $indexOf*."""
+    s = translate_expr(args[0], env)
+    sub = translate_expr(args[1], env)
+    start = (
+        translate_expr(args[2], env).cast("int") if len(args) > 2 else F.lit(0)
+    )
+    end = translate_expr(args[3], env).cast("int") if len(args) > 3 else None
+    return s, sub, start, end
+
+
 @_op("$indexOfCP")
 def _index_of_cp(args, env):
-    s, sub = args[0], args[1]
-    return F.instr(translate_expr(s, env), sub) - F.lit(1)
+    """0-based code-point index of the first occurrence in [start, end).
+
+    ``position(sub, s, pos)`` is the JVM char-based search; the occurrence
+    must fit wholly inside the range, matching the server's scan of
+    s[start:end]."""
+    s, sub, start, end = _index_search(args, env)
+    loc = F.call_function("position", sub, s, start + F.lit(1))
+    idx = loc - F.lit(1)
+    hit = loc > 0
+    if end is not None:
+        hit = hit & (idx + F.length(sub) <= end)
+    return F.when(s.isNull(), F.lit(None)).otherwise(
+        F.when(hit, idx).otherwise(F.lit(-1))
+    )
+
+
+@_op("$indexOfBytes")
+def _index_of_bytes(args, env):
+    """0-based BYTE index of the first occurrence, ranges in bytes.
+
+    UTF-8 is self-synchronizing — a valid needle can only match at char
+    boundaries — so the char-based ``position`` finds the same occurrences;
+    the byte offset is the octet length of the prefix before the match. The
+    byte-range start is mapped to a char position by decoding the first
+    ``start`` bytes (boundary-aligned starts, as the server requires)."""
+    s, sub, start, end = _index_search(args, env)
+    char_start = F.length(F.substring(s.cast("binary"), 1, start).cast("string"))
+    loc = F.call_function("position", sub, s, char_start + F.lit(1))
+    idx = F.octet_length(F.substring(s, F.lit(1), loc - F.lit(1)))
+    hit = (loc > 0) & (idx >= start)
+    if end is not None:
+        hit = hit & (idx + F.octet_length(sub) <= end)
+    return F.when(s.isNull(), F.lit(None)).otherwise(
+        F.when(hit, idx).otherwise(F.lit(-1))
+    )
 
 
 # ---------------------------------------------------------------------- date
@@ -790,6 +863,70 @@ def _min_expr(args, env):
     if isinstance(args, (list, tuple)) and len(args) > 1:
         return F.least(*_many(args, env))
     return F.array_min(translate_expr(args, env))
+
+
+def _numeric_array(args, env):
+    """Non-null doubles from an array expression (MQL stats expressions
+    ignore non-numeric members; nulls are the Spark analogue)."""
+    arr = translate_expr(args, env)
+    return F.filter(arr, lambda x: x.isNotNull()).cast("array<double>")
+
+
+def _std_dev(args, env, sample):
+    vals = _numeric_array(args, env)
+    n = F.size(vals)
+    s = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x)
+    ss = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x * x)
+    mean = s / n
+    if sample:
+        # null below 2 members, like the server
+        return F.when(
+            n >= 2, F.sqrt(F.greatest((ss - n * mean * mean) / (n - 1), F.lit(0.0)))
+        )
+    return F.when(n >= 1, F.sqrt(F.greatest(ss / n - mean * mean, F.lit(0.0))))
+
+
+@_op("$stdDevPop")
+def _std_dev_pop_expr(args, env):
+    return _std_dev(args, env, sample=False)
+
+
+@_op("$stdDevSamp")
+def _std_dev_samp_expr(args, env):
+    return _std_dev(args, env, sample=True)
+
+
+def _nearest_rank(sorted_vals, n, p):
+    """Smallest member with at least p·n members ≤ it (the server's
+    nearest-rank percentile definition)."""
+    idx = F.greatest(F.ceil(F.lit(float(p)) * n), F.lit(1)).cast("int")
+    return F.try_element_at(sorted_vals, idx)
+
+
+@_op("$percentile")
+def _percentile_expr(args, env):
+    """Expression (array-input) form: {input, p: [..], method}. Exact
+    nearest-rank over the sorted array — the t-digest approximation only
+    matters at accumulator scale, where the $group path handles it."""
+    if not isinstance(args, dict) or "input" not in args or "p" not in args:
+        raise MQLTranslationError("$percentile requires {input, p, method}")
+    ps = args["p"]
+    if not isinstance(ps, (list, tuple)) or not all(
+        isinstance(p, (int, float)) and 0 < p < 1 for p in ps
+    ):
+        raise MQLTranslationError("$percentile p must be constants in (0, 1)")
+    vals = F.array_sort(_numeric_array(args["input"], env))
+    n = F.size(vals)
+    return F.when(n >= 1, F.array(*[_nearest_rank(vals, n, p) for p in ps]))
+
+
+@_op("$median")
+def _median_expr(args, env):
+    if not isinstance(args, dict) or "input" not in args:
+        raise MQLTranslationError("$median requires {input, method}")
+    vals = F.array_sort(_numeric_array(args["input"], env))
+    n = F.size(vals)
+    return F.when(n >= 1, _nearest_rank(vals, n, 0.5))
 
 
 @_op("$binarySize")

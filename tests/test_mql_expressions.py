@@ -494,3 +494,87 @@ def test_ts_second_and_increment(spark, tmp_path):
     ).orderBy("i")
     got = [(r["s"], r["inc"]) for r in out.collect()]
     assert got == [(1700000000, 7), (1700000001, 1)]
+
+
+def test_bitwise_ops(spark):
+    df = spark.createDataFrame(
+        [(0b1100, 0b1010), (255, 15), (None, 3)], "a int, b int"
+    )
+    got = df.select(
+        translate_expr({"$bitAnd": ["$a", "$b"]}).alias("and_"),
+        translate_expr({"$bitOr": ["$a", "$b"]}).alias("or_"),
+        translate_expr({"$bitXor": ["$a", "$b", 1]}).alias("xor_"),
+        translate_expr({"$bitNot": "$a"}).alias("not_"),
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        (0b1000, 0b1110, 0b0111, ~0b1100),
+        (15, 255, 241, ~255),
+        (None, None, None, None),
+    ]
+    with pytest.raises(MQLTranslationError):
+        translate_expr({"$bitNot": ["$a", "$b"]})
+
+
+def test_index_of_cp_ranges(spark):
+    df = spark.createDataFrame([("cafeteria",), ("vanilla",)], "s string")
+    def ev(expr):
+        return [r[0] for r in df.select(translate_expr(expr)).collect()]
+    assert ev({"$indexOfCP": ["$s", "a"]}) == [1, 1]
+    assert ev({"$indexOfCP": ["$s", "a", 5]}) == [8, 6]
+    # occurrence must fit wholly inside [start, end)
+    assert ev({"$indexOfCP": ["$s", "teria", 0, 8]}) == [-1, -1]
+    assert ev({"$indexOfCP": ["$s", "teria", 0, 9]}) == [4, -1]
+    assert ev({"$indexOfCP": ["$s", "zzz"]}) == [-1, -1]
+    assert ev({"$indexOfCP": [None, "a"]}) == [None, None]
+
+
+def test_index_of_bytes_multibyte(spark):
+    # é is 2 bytes in UTF-8: byte indexes differ from code-point indexes
+    df = spark.createDataFrame([("café-tea",)], "s string")
+    def ev(expr):
+        return [r[0] for r in df.select(translate_expr(expr)).collect()]
+    assert ev({"$indexOfBytes": ["$s", "tea"]}) == [6]
+    assert ev({"$indexOfCP": ["$s", "tea"]}) == [5]
+    assert ev({"$indexOfBytes": ["$s", "é"]}) == [3]
+    # byte-range start lands on the boundary after é (byte 5)
+    assert ev({"$indexOfBytes": ["$s", "tea", 5]}) == [6]
+    assert ev({"$indexOfBytes": ["$s", "tea", 7]}) == [-1]
+    assert ev({"$indexOfBytes": ["$s", "tea", 0, 8]}) == [-1]
+    assert ev({"$indexOfBytes": ["$s", "tea", 0, 9]}) == [6]
+
+
+def test_array_std_dev_expressions(spark):
+    df = spark.createDataFrame(
+        [(1, [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]), (2, [3.0]), (3, [])],
+        "id long, arr array<double>",
+    )
+    rows = df.orderBy("id").select(
+        translate_expr({"$stdDevPop": "$arr"}).alias("p"),
+        translate_expr({"$stdDevSamp": "$arr"}).alias("s"),
+    ).collect()
+    assert rows[0]["p"] == pytest.approx(2.0)
+    assert rows[0]["s"] == pytest.approx(2.138089935299395)
+    assert rows[1]["p"] == 0.0 and rows[1]["s"] is None
+    assert rows[2]["p"] is None and rows[2]["s"] is None
+
+
+def test_array_median_percentile_expressions(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [7.0, None, 5.0]), (3, [])],
+        "id long, arr array<double>",
+    )
+    rows = df.orderBy("id").select(
+        translate_expr({"$median": {"input": "$arr", "method": "approximate"}})
+        .alias("m"),
+        translate_expr(
+            {"$percentile": {"input": "$arr", "p": [0.25, 0.5, 0.95],
+                             "method": "approximate"}}
+        ).alias("pct"),
+    ).collect()
+    # nearest rank: smallest value with >= p*n members <= it
+    assert rows[0]["m"] == 2.0 and rows[0]["pct"] == [1.0, 2.0, 4.0]
+    assert rows[1]["m"] == 5.0 and rows[1]["pct"] == [5.0, 5.0, 7.0]
+    assert rows[2]["m"] is None and rows[2]["pct"] is None
+    with pytest.raises(MQLTranslationError):
+        translate_expr({"$percentile": {"input": "$arr", "p": [1.5],
+                                        "method": "approximate"}})
