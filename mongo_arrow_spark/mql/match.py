@@ -47,6 +47,8 @@ def translate_match(query: dict | None) -> Column:
             preds.append(F.rand() < float(value))
         elif key == "$text":
             preds.append(_text_predicate(value))
+        elif key == "$jsonSchema":
+            preds.append(_json_schema_predicate(value, None))
         elif key.startswith("$"):
             raise MQLTranslationError(f"unsupported top-level operator: {key}")
         else:
@@ -166,7 +168,15 @@ def _field_op(col: Column, op: str, arg) -> Column:
         return ~_field_predicate(col, arg)
     if op == "$type":
         return _type_predicate(col, arg)
+    if op == "$jsonSchema":
+        return col.isNull() | _json_schema_predicate(arg, col)
     if op == "$geoWithin":
+        return _geo_within(col, arg)
+    if op == "$geoIntersects":
+        # for point columns intersect ≡ within (boundary-inclusive modulo
+        # ray-casting edge ties); geometry-vs-geometry needs a geo lib
+        if not isinstance(arg, dict) or "$geometry" not in arg:
+            raise MQLTranslationError("$geoIntersects requires $geometry")
         return _geo_within(col, arg)
     if op in ("$near", "$nearSphere"):
         # MQL $near also SORTS results via the geo index; a filter
@@ -244,9 +254,53 @@ def _geo_within(col: Column, arg: dict) -> Column:
             & (lat >= F.lit(min(y1, y2)))
             & (lat <= F.lit(max(y1, y2)))
         )
+    if "$center" in arg:
+        # legacy flat circle: euclidean distance in degree space
+        (c_lng, c_lat), radius = arg["$center"]
+        d2 = F.pow(lng - F.lit(float(c_lng)), 2) + F.pow(
+            lat - F.lit(float(c_lat)), 2
+        )
+        return d2 <= F.lit(float(radius) ** 2)
+    if "$polygon" in arg:
+        return _point_in_ring(lng, lat, arg["$polygon"])
+    if "$geometry" in arg:
+        geom = arg["$geometry"]
+        if geom.get("type") != "Polygon":
+            raise MQLTranslationError(
+                "$geoWithin $geometry supports Polygon (use $centerSphere "
+                "for circles)"
+            )
+        outer, *holes = geom["coordinates"]
+        pred = _point_in_ring(lng, lat, outer)
+        for hole in holes:
+            pred = pred & ~_point_in_ring(lng, lat, hole)
+        return pred
     raise MQLTranslationError(
-        "$geoWithin supports $centerSphere and $box shapes"
+        "$geoWithin supports $centerSphere, $box, $center, $polygon and "
+        "$geometry Polygon shapes"
     )
+
+
+def _point_in_ring(lng: Column, lat: Column, vertices) -> Column:
+    """Ray-casting point-in-polygon over LITERAL vertices: the driver-side
+    loop unrolls each edge into one XOR term, so the whole test is a single
+    codegen'd boolean expression — no UDF, no geo library. Planar in
+    lng/lat space (the documented delta vs the server's spherical winding
+    for $geometry polygons; exact for the legacy flat $polygon)."""
+    verts = [tuple(map(float, v)) for v in vertices]
+    if len(verts) >= 2 and verts[0] == verts[-1]:
+        verts = verts[:-1]  # GeoJSON rings repeat the first vertex
+    if len(verts) < 3:
+        raise MQLTranslationError("polygon needs at least 3 distinct vertices")
+    inside = F.lit(False)
+    for i, (x1, y1) in enumerate(verts):
+        x2, y2 = verts[(i + 1) % len(verts)]
+        if y1 == y2:
+            continue  # horizontal edge never crosses a horizontal ray
+        straddles = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        x_at_lat = F.lit((x2 - x1) / (y2 - y1)) * (lat - F.lit(y1)) + F.lit(x1)
+        inside = inside != (straddles & (lng < x_at_lat))  # boolean XOR
+    return inside
 
 
 #: MQL $type aliases / BSON type numbers → Spark type-name predicates
@@ -264,6 +318,131 @@ _TYPE_ALIASES = {
     "decimal": "decimal", 19: "decimal",
     "null": "null", 10: "null",
 }
+
+
+#: JSON-Schema draft-4 ``type`` names → the engine's $type aliases.
+_JSON_TYPE_TO_BSON = {
+    "object": "object",
+    "array": "array",
+    "string": "string",
+    "boolean": "bool",
+    "null": "null",
+    "number": "number",
+}
+
+_SCHEMA_ANNOTATIONS = frozenset(("title", "description"))
+
+
+def _json_schema_predicate(schema: dict, col: Column | None) -> Column:
+    """MQL ``$jsonSchema`` (draft-4 subset, the keywords the server
+    accepts) → one boolean Column. ``col is None`` means the root
+    document, where properties resolve to top-level columns.
+
+    Null≡missing is this engine's documented contract, so every keyword
+    except ``required`` passes on null fields (JSON Schema: constraints
+    only bind when the property is present), and ``required`` is the
+    presence check. Unknown keywords raise — the server rejects them too.
+    """
+    if not isinstance(schema, dict):
+        raise MQLTranslationError("$jsonSchema must be a document")
+    preds = []
+    sub = (lambda f: F.col(f)) if col is None else (lambda f: col.getField(f))
+    for kw, arg in schema.items():
+        if kw in _SCHEMA_ANNOTATIONS:
+            continue
+        if kw == "required":
+            preds += [sub(f).isNotNull() for f in arg]
+        elif kw == "properties":
+            for f, s in arg.items():
+                c = sub(f)
+                preds.append(c.isNull() | _json_schema_predicate(s, c))
+        elif kw in ("bsonType", "type"):
+            if col is None:
+                continue  # the root is always a document
+            wanted = arg if isinstance(arg, (list, tuple)) else [arg]
+            if kw == "type":
+                mapped = []
+                for w in wanted:
+                    if w == "integer":
+                        mapped += ["int", "long"]
+                    elif w not in _JSON_TYPE_TO_BSON:
+                        raise MQLTranslationError(f"unsupported type: {w!r}")
+                    else:
+                        mapped.append(_JSON_TYPE_TO_BSON[w])
+                wanted = mapped
+            preds.append(_type_predicate(col, wanted))
+        elif kw == "enum":
+            preds.append(_require(col, kw).isin(*arg))
+        elif kw == "minimum":
+            c = _require(col, kw)
+            preds.append(
+                c > F.lit(arg) if schema.get("exclusiveMinimum") else c >= F.lit(arg)
+            )
+        elif kw == "maximum":
+            c = _require(col, kw)
+            preds.append(
+                c < F.lit(arg) if schema.get("exclusiveMaximum") else c <= F.lit(arg)
+            )
+        elif kw in ("exclusiveMinimum", "exclusiveMaximum"):
+            continue  # folded into minimum/maximum (draft-4 boolean form)
+        elif kw == "multipleOf":
+            preds.append(_require(col, kw) % F.lit(arg) == F.lit(0))
+        elif kw == "pattern":
+            preds.append(_require(col, kw).rlike(arg))
+        elif kw == "minLength":
+            preds.append(F.length(_require(col, kw)) >= F.lit(arg))
+        elif kw == "maxLength":
+            preds.append(F.length(_require(col, kw)) <= F.lit(arg))
+        elif kw == "minItems":
+            preds.append(F.size(_require(col, kw)) >= F.lit(arg))
+        elif kw == "maxItems":
+            preds.append(F.size(_require(col, kw)) <= F.lit(arg))
+        elif kw == "uniqueItems":
+            c = _require(col, kw)
+            preds.append(
+                F.size(F.array_distinct(c)) == F.size(c) if arg else F.lit(True)
+            )
+        elif kw == "items":
+            if not isinstance(arg, dict):
+                raise MQLTranslationError("$jsonSchema items must be a schema")
+            preds.append(
+                F.forall(
+                    _require(col, kw),
+                    lambda x: x.isNull() | _json_schema_predicate(arg, x),
+                )
+            )
+        elif kw == "allOf":
+            preds += [_json_schema_predicate(s, col) for s in arg]
+        elif kw == "anyOf":
+            preds.append(
+                _reduce(
+                    lambda a, b: a | b,
+                    [_json_schema_predicate(s, col) for s in arg],
+                )
+            )
+        elif kw == "oneOf":
+            hits = [
+                _json_schema_predicate(s, col).cast("int") for s in arg
+            ]
+            preds.append(_reduce(lambda a, b: a + b, hits) == F.lit(1))
+        elif kw == "not":
+            inner = _json_schema_predicate(arg, col)
+            # null still passes (missing fields match any `not`); coalesce
+            # keeps a null inner verdict from poisoning the negation
+            preds.append(~F.coalesce(inner, F.lit(False)))
+        else:
+            raise MQLTranslationError(f"unsupported $jsonSchema keyword: {kw}")
+    if not preds:
+        return F.lit(True)
+    return _reduce(lambda a, b: a & b, preds)
+
+
+def _require(col: Column | None, kw: str) -> Column:
+    if col is None:
+        raise MQLTranslationError(
+            f"$jsonSchema keyword {kw!r} applies to a property, not the root"
+        )
+    return col
 
 
 def _type_predicate(col: Column, arg) -> Column:

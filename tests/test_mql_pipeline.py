@@ -954,3 +954,82 @@ def test_documents_stage(spark):
         aggregate(df, [{"$documents": []}])
     with pytest.raises(MQLTranslationError):
         aggregate(df, [{"$documents": [1, 2]}])
+
+
+def test_geo_flat_center_polygon_and_intersects(spark):
+    from mongo_arrow_spark.api import find
+
+    df = spark.createDataFrame(
+        [("paris", [2.35, 48.85]), ("london", [-0.13, 51.51]),
+         ("berlin", [13.40, 52.52]), ("rome", [12.50, 41.90])],
+        ["city", "location"],
+    )
+    # flat circle of 3 degrees around Paris
+    got = find(df, {"location": {"$geoWithin": {"$center": [[2.35, 48.85], 3.9]}}})
+    assert sorted(r["city"] for r in got.collect()) == ["london", "paris"]
+    # triangle covering western/central europe, excludes rome
+    tri = [[-5.0, 45.0], [25.0, 56.0], [-5.0, 56.0]]
+    got = find(df, {"location": {"$geoWithin": {"$polygon": tri}}})
+    assert sorted(r["city"] for r in got.collect()) == ["berlin", "london", "paris"]
+    # GeoJSON polygon with a hole punched around Berlin
+    outer = [[-6.0, 40.0], [16.0, 40.0], [16.0, 54.0], [-6.0, 54.0], [-6.0, 40.0]]
+    hole = [[12.0, 51.0], [15.0, 51.0], [15.0, 53.5], [12.0, 53.5], [12.0, 51.0]]
+    geom = {"type": "Polygon", "coordinates": [outer, hole]}
+    got = find(df, {"location": {"$geoWithin": {"$geometry": geom}}})
+    assert sorted(r["city"] for r in got.collect()) == ["london", "paris", "rome"]
+    got = find(df, {"location": {"$geoIntersects": {"$geometry": geom}}})
+    assert sorted(r["city"] for r in got.collect()) == ["london", "paris", "rome"]
+    with pytest.raises(MQLTranslationError):
+        find(df, {"location": {"$geoIntersects": {"x": 1}}}).count()
+
+
+def test_json_schema_match(spark):
+    from mongo_arrow_spark.api import find
+
+    df = spark.createDataFrame(
+        [
+            (1, "alice", 31.0, ["a", "b"], {"street": "rue x", "zip": "75"}),
+            (2, "bo", 17.0, ["a", "a"], {"street": None, "zip": "10"}),
+            (3, None, 55.0, [], None),
+            (4, "carol", None, None, {"street": "calle y", "zip": "28"}),
+        ],
+        "id long, name string, age double, tags array<string>, "
+        "addr struct<street:string, zip:string>",
+    )
+
+    def ids(schema):
+        got = find(df, {"$jsonSchema": schema})
+        return sorted(r["id"] for r in got.collect())
+
+    assert ids({"required": ["name"]}) == [1, 2, 4]
+    assert ids({"properties": {"age": {"minimum": 18}}}) == [1, 3, 4]
+    assert ids({"properties": {"age": {"minimum": 31, "exclusiveMinimum": True},
+                               }}) == [3, 4]
+    assert ids({"properties": {"name": {"minLength": 3, "pattern": "^[a-z]+$"}}}
+               ) == [1, 3, 4]
+    assert ids({"properties": {"tags": {"uniqueItems": True}}}) == [1, 3, 4]
+    assert ids({"properties": {"tags": {"minItems": 1, "items":
+                                        {"enum": ["a", "b"]}}}}) == [1, 2, 4]
+    # nested properties through a struct column; required inside a present doc
+    assert ids({"properties": {"addr": {"required": ["street"],
+                                        "properties": {"zip": {"pattern": "^[27]"}}}}}
+               ) == [1, 3, 4]
+    assert ids({"properties": {"age": {"bsonType": "double"}},
+                "required": ["id"]}) == [1, 2, 3, 4]
+    assert ids({"properties": {"name": {"type": "string"}}}) == [1, 2, 3, 4]
+    assert ids({"properties": {"id": {"type": "integer", "multipleOf": 2}}}
+               ) == [2, 4]
+    assert ids({"anyOf": [{"required": ["name"], "properties":
+                           {"name": {"maxLength": 2}}},
+                          {"properties": {"age": {"minimum": 50}}}]}) == [2, 3, 4]
+    # row 4's missing age passes branch 1 AND has a name: two hits, excluded
+    assert ids({"oneOf": [{"properties": {"age": {"minimum": 30}}},
+                          {"required": ["name"]}]}) == [2, 3]
+    assert ids({"not": {"required": ["name"]}}) == [3]
+    with pytest.raises(MQLTranslationError):
+        find(df, {"$jsonSchema": {"propertyNames": {}}}).count()
+    with pytest.raises(MQLTranslationError):
+        find(df, {"$jsonSchema": {"minimum": 3}}).count()
+    # field-position form: {field: {$jsonSchema: ...}} (null field passes)
+    got = find(df, {"addr": {"$jsonSchema": {"required": ["zip"]}}})
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3, 4]
