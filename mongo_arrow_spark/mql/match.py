@@ -152,18 +152,7 @@ def _field_op(col: Column, op: str, arg) -> Column:
             lambda a, b: a & b, [F.array_contains(col, F.lit(v)) for v in arg]
         )
     if op == "$elemMatch":
-
-        def body(x):
-            if all(o.startswith("$") for o in arg):
-                # operator form: predicates over the element itself
-                # (routes through _field_predicate so $options folds)
-                return _field_predicate(x, arg)
-            preds = [
-                _field_predicate(x.getField(o), a) for o, a in arg.items()
-            ]
-            return _reduce(lambda a, b: a & b, preds)
-
-        return F.exists(col, body)
+        return F.exists(col, lambda x: elem_match_predicate(x, arg))
     if op == "$not":
         return ~_field_predicate(col, arg)
     if op == "$type":
@@ -224,6 +213,17 @@ def _field_op(col: Column, op: str, arg) -> Column:
             return masked == F.lit(0)
         return masked != F.lit(mask)  # $bitsAnyClear
     raise MQLTranslationError(f"unsupported field operator: {op}")
+
+
+def elem_match_predicate(x: Column, arg: dict) -> Column:
+    """$elemMatch body over one array element — shared by the match
+    predicate (F.exists) and the find-projection operator (F.filter)."""
+    if all(o.startswith("$") for o in arg):
+        # operator form: predicates over the element itself
+        # (routes through _field_predicate so $options folds)
+        return _field_predicate(x, arg)
+    preds = [_field_predicate(x.getField(o), a) for o, a in arg.items()]
+    return _reduce(lambda a, b: a & b, preds)
 
 
 def _geo_within(col: Column, arg: dict) -> Column:

@@ -114,16 +114,80 @@ def _match(df, args, resolve):
     return df.filter(translate_match(args))
 
 
+def _projection_operator(val):
+    """find-projection operators ({f: {$slice: n|[skip,n]}} / {f:
+    {$elemMatch: pred}}) → a Column transform, or None when ``val`` is an
+    ordinary expression. The int-arg $slice forms are unambiguous: the
+    expression-position $slice always takes [arrayExpr, ...] args."""
+    if not isinstance(val, dict) or len(val) != 1:
+        return None
+    ((op, arg),) = val.items()
+    if op == "$elemMatch" and isinstance(arg, dict):
+        from mongo_arrow_spark.mql.match import elem_match_predicate
+
+        def elem(col):
+            hits = F.filter(col, lambda x: elem_match_predicate(x, arg))
+            # MQL keeps only the FIRST matching element, omits on no match
+            return F.when(F.size(hits) > 0, F.slice(hits, 1, 1))
+
+        return elem
+    if op == "$slice":
+        if isinstance(arg, int) and not isinstance(arg, bool):
+            n = arg
+            if n >= 0:
+                return lambda col: F.slice(col, 1, n)
+            # last -n: whole array when shorter, like the server
+            return lambda col: F.when(
+                F.size(col) <= F.lit(-n), col
+            ).otherwise(F.slice(col, n, -n))
+        if (
+            isinstance(arg, (list, tuple))
+            and len(arg) == 2
+            and all(
+                isinstance(a, int) and not isinstance(a, bool) for a in arg
+            )
+        ):
+            skip, limit = arg
+            if limit <= 0:
+                raise MQLTranslationError(
+                    "$slice projection limit must be positive"
+                )
+            if skip >= 0:
+                return lambda col: F.slice(col, skip + 1, limit)
+            return lambda col: F.when(
+                F.size(col) <= F.lit(-skip), F.slice(col, 1, limit)
+            ).otherwise(F.slice(col, skip, limit))
+    return None
+
+
 @_stage("$project")
 def _project(df, args, resolve):
-    include, exclude, computed = [], [], {}
+    include, exclude, computed, proj_ops = [], [], {}, {}
     for key, val in args.items():
-        if val in (1, True):
+        op_fn = _projection_operator(val)
+        if op_fn is not None:
+            proj_ops[key] = op_fn
+        elif val in (1, True):
             include.append(key)
         elif val in (0, False):
             exclude.append(key)
         else:
             computed[key] = translate_expr(val)
+    if proj_ops and not include and not computed:
+        # the server's special rule: a lone $slice/$elemMatch projection
+        # keeps every other field — transform in place, then apply excludes
+        out = df
+        for key, fn in proj_ops.items():
+            if "." in key:
+                root, _, rest = key.partition(".")
+                out = out.withColumn(
+                    root, F.col(root).withField(rest, fn(F.col(key)))
+                )
+            else:
+                out = out.withColumn(key, fn(F.col(key)))
+        return _project(out, {**{k: 0 for k in exclude}}, resolve) if exclude else out
+    for key, fn in proj_ops.items():
+        computed[key] = fn(F.col(key))
     if include or computed:
         cols = []
         # nested paths: group "a.b" (included or computed) under root "a"

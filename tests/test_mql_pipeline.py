@@ -1033,3 +1033,39 @@ def test_json_schema_match(spark):
     # field-position form: {field: {$jsonSchema: ...}} (null field passes)
     got = find(df, {"addr": {"$jsonSchema": {"required": ["zip"]}}})
     assert sorted(r["id"] for r in got.collect()) == [1, 2, 3, 4]
+
+
+def test_projection_slice_and_elem_match(spark):
+    from mongo_arrow_spark.api import find
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5], [{"k": "a", "v": 1}, {"k": "b", "v": 9}]),
+         (2, [7], [{"k": "c", "v": 3}])],
+        "id long, nums array<int>, items array<struct<k:string, v:int>>",
+    )
+    # lone $slice keeps every other field (the server's special rule)
+    rows = {r["id"]: r for r in find(df, {}, projection={"nums": {"$slice": 2}})
+            .collect()}
+    assert list(rows[1].asDict()) == ["id", "nums", "items"]
+    assert rows[1]["nums"] == [1, 2] and rows[2]["nums"] == [7]
+    rows = {r["id"]: r["nums"] for r in
+            find(df, {}, projection={"nums": {"$slice": -2}}).collect()}
+    assert rows[1] == [4, 5] and rows[2] == [7]
+    rows = {r["id"]: r["nums"] for r in
+            find(df, {}, projection={"nums": {"$slice": [1, 2]}}).collect()}
+    assert rows[1] == [2, 3] and rows[2] == []
+    rows = {r["id"]: r["nums"] for r in
+            find(df, {}, projection={"nums": {"$slice": [-4, 2]}}).collect()}
+    assert rows[1] == [2, 3] and rows[2] == [7]
+    # include-mode when mixed with plain includes
+    rows = {r["id"]: r for r in
+            find(df, {}, projection={"id": 1, "nums": {"$slice": 1}}).collect()}
+    assert list(rows[1].asDict()) == ["id", "nums"] and rows[1]["nums"] == [1]
+    # $elemMatch keeps the first matching element, null when none match
+    rows = {r["id"]: r["items"] for r in
+            find(df, {}, projection={"items": {"$elemMatch": {"v": {"$gte": 5}}}})
+            .collect()}
+    assert [i.asDict() for i in rows[1]] == [{"k": "b", "v": 9}]
+    assert rows[2] is None
+    with pytest.raises(MQLTranslationError):
+        find(df, {}, projection={"nums": {"$slice": [1, 0]}}).count()
