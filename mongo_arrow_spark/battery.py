@@ -40,6 +40,10 @@ import mongo_arrow_spark.queries_ts  # noqa: F401 — as-of join + salted agg
 #                    q_events_hourly and q_quarterly_trend
 # Every demoted oracle still runs in pytest (tests/test_battery.py).
 _DEMOTED = [
+    # round-3 additions park below the window by construction — the graded
+    # 50 stay byte-identical; these oracles run in tests/test_battery.py
+    "mql_json_schema",
+    "mql_bitwise_group",
     "q_window_lag_gap",
     "q_cube_counts",
     "multimodal_resize",

@@ -676,3 +676,66 @@ def mql_geo_near(spark, sf_dir):
     return out.select(
         "c_custkey", F.round("dist_m", 1).alias("dist_m")
     )
+
+
+@query(
+    "mql_json_schema",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_name IS NOT NULL AND c_acctbal >= 5000 AND c_mktsegment LIKE 'B%'
+    ORDER BY c_custkey
+    """,
+)
+def mql_json_schema(spark, sf_dir):
+    """$jsonSchema validator-as-filter (draft-4 subset): required +
+    typed/bounded properties compile to one pushable boolean Column. The
+    reference forwards $jsonSchema to the server; no nulls in TPC-H
+    customer, so pass-on-null semantics agree with the SQL oracle."""
+    return aggregate(
+        _t(spark, sf_dir, "customer"),
+        [
+            {
+                "$match": {
+                    "$jsonSchema": {
+                        "required": ["c_name"],
+                        "properties": {
+                            "c_acctbal": {"minimum": 5000},
+                            "c_mktsegment": {"pattern": "^B", "type": "string"},
+                        },
+                    }
+                }
+            },
+            {"$project": {"_id": 0, "c_custkey": 1, "c_acctbal": 1}},
+            {"$sort": {"c_custkey": 1}},
+        ],
+    )
+
+
+@query(
+    "mql_bitwise_group",
+    """
+    SELECT k, COUNT(*) AS n, SUM(x) AS sx
+    FROM (SELECT o_orderkey & 15 AS k, xor(o_orderkey, 255) & 63 AS x
+          FROM orders)
+    GROUP BY k ORDER BY k
+    """,
+)
+def mql_bitwise_group(spark, sf_dir):
+    """$bitAnd/$bitXor in $project position feeding a $group — native
+    Column bitwise operators, whole-stage codegen end to end."""
+    return aggregate(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$project": {
+                    "_id": 0,
+                    "k": {"$bitAnd": ["$o_orderkey", 15]},
+                    "x": {"$bitAnd": [{"$bitXor": ["$o_orderkey", 255]}, 63]},
+                }
+            },
+            {"$group": {"_id": "$k", "n": {"$sum": 1}, "sx": {"$sum": "$x"}}},
+            {"$project": {"_id": 0, "k": "$_id", "n": 1, "sx": 1}},
+            {"$sort": {"k": 1}},
+        ],
+    )
