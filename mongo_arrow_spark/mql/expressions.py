@@ -1208,7 +1208,10 @@ def _convert(args, env):
     if "onError" in args:
         out = F.when(inp.isNotNull() & out.isNull(), translate_expr(args["onError"], env)).otherwise(out)
     if "onNull" in args:
-        out = F.coalesce(out, translate_expr(args["onNull"], env))
+        # only a NULL INPUT routes to onNull — a failed cast without
+        # onError must stay null (the engine's no-raise analogue of the
+        # server's error), not borrow the onNull fallback
+        out = F.when(inp.isNull(), translate_expr(args["onNull"], env)).otherwise(out)
     return out
 
 

@@ -578,3 +578,16 @@ def test_array_median_percentile_expressions(spark):
     with pytest.raises(MQLTranslationError):
         translate_expr({"$percentile": {"input": "$arr", "p": [1.5],
                                         "method": "approximate"}})
+
+
+def test_convert_on_null_vs_on_error_routing(spark):
+    df = spark.createDataFrame([("12",), ("oops",), (None,)], "s string")
+    out = df.select(
+        translate_expr({"$convert": {"input": "$s", "to": "int",
+                                     "onNull": -1}}).alias("a"),
+        translate_expr({"$convert": {"input": "$s", "to": "int",
+                                     "onError": -2, "onNull": -1}}).alias("b"),
+    ).collect()
+    # parse failure without onError stays null — it must NOT borrow onNull
+    assert [r["a"] for r in out] == [12, None, -1]
+    assert [r["b"] for r in out] == [12, -2, -1]
