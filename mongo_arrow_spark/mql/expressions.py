@@ -605,11 +605,57 @@ def _date_to_string(args, env):
     return F.date_format(translate_expr(args["date"], env), fmt)
 
 
+_TRUNC_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+#: first <weekday> on or before the server's 2000-01-01 anchor (a Saturday)
+_WEEK_ANCHORS = {
+    "monday": "1999-12-27", "tuesday": "1999-12-28",
+    "wednesday": "1999-12-29", "thursday": "1999-12-30",
+    "friday": "1999-12-31", "saturday": "2000-01-01",
+    "sunday": "1999-12-26",
+}
+
+
 @_op("$dateTrunc")
 def _date_trunc(args, env):
-    if int(args.get("binSize", 1)) != 1:
-        raise MQLTranslationError("$dateTrunc binSize != 1 not supported yet")
-    return F.date_trunc(args["unit"], translate_expr(args["date"], env))
+    """``binSize == 1`` delegates to date_trunc; wider bins reproduce the
+    server's anchoring at 2000-01-01T00:00:00 (startOfWeek-shifted for
+    week units). Fixed-width units bin in integer microseconds — a
+    floored modulus, no doubles (unix-micros magnitudes overflow a double
+    mantissa); month-based units bin in month counts and rebuild via
+    add_months. Session-UTC, like every date op here (C7 contract)."""
+    bin_size = int(args.get("binSize", 1))
+    unit = args["unit"]
+    d = translate_expr(args["date"], env).cast("timestamp")
+    if bin_size == 1 and unit != "week":
+        return F.date_trunc(unit, d)
+    if bin_size < 1:
+        raise MQLTranslationError("$dateTrunc binSize must be a positive int")
+    if unit in _TRUNC_UNIT_US:
+        if unit == "week":
+            start = str(args.get("startOfWeek", "sunday")).lower()
+            if start not in _WEEK_ANCHORS:
+                raise MQLTranslationError(f"bad startOfWeek: {start!r}")
+            anchor = _WEEK_ANCHORS[start]
+        else:
+            anchor = "2000-01-01"
+        anchor_us = F.unix_micros(F.to_timestamp(F.lit(anchor)))
+        width = F.lit(bin_size * _TRUNC_UNIT_US[unit])
+        off = F.unix_micros(d) - anchor_us
+        floored = off - ((off % width) + width) % width  # floor to bin, sign-safe
+        return F.timestamp_micros(floored + anchor_us)
+    if unit in ("month", "quarter", "year"):
+        per = {"month": 1, "quarter": 3, "year": 12}[unit] * bin_size
+        months = (F.year(d) - F.lit(2000)) * 12 + F.month(d) - F.lit(1)
+        binned = months - ((months % per) + per) % per
+        return F.to_timestamp(F.add_months(F.lit("2000-01-01"), binned))
+    raise MQLTranslationError(f"$dateTrunc unit {unit!r} unsupported")
 
 
 _INTERVAL_SLOT = {

@@ -591,3 +591,45 @@ def test_convert_on_null_vs_on_error_routing(spark):
     # parse failure without onError stays null — it must NOT borrow onNull
     assert [r["a"] for r in out] == [12, None, -1]
     assert [r["b"] for r in out] == [12, -2, -1]
+
+
+def test_date_trunc_bin_size(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 15, 10, 47, 23),)], "ts timestamp"
+    )
+    def ev(args):
+        return df.select(translate_expr({"$dateTrunc": args})).first()[0]
+    # fixed-width bins anchored at 2000-01-01
+    assert ev({"date": "$ts", "unit": "minute", "binSize": 15}) == \
+        dt.datetime(2024, 3, 15, 10, 45)
+    assert ev({"date": "$ts", "unit": "hour", "binSize": 6}) == \
+        dt.datetime(2024, 3, 15, 6, 0)
+    assert ev({"date": "$ts", "unit": "day", "binSize": 10}) == \
+        dt.datetime(2024, 3, 15, 0, 0)  # 8840 days since anchor, exact bin edge
+    assert ev({"date": "$ts", "unit": "day", "binSize": 7}) == \
+        dt.datetime(2024, 3, 9, 0, 0)  # 8840 = 7*1262 + 6
+    # week: server default start is Sunday (2024-03-15 is a Friday)
+    assert ev({"date": "$ts", "unit": "week"}) == dt.datetime(2024, 3, 10)
+    assert ev({"date": "$ts", "unit": "week", "startOfWeek": "monday"}) == \
+        dt.datetime(2024, 3, 11)
+    assert ev({"date": "$ts", "unit": "week", "binSize": 2,
+               "startOfWeek": "monday"}) == dt.datetime(2024, 3, 4)
+    # month-counted bins
+    assert ev({"date": "$ts", "unit": "quarter", "binSize": 1}) == \
+        dt.datetime(2024, 1, 1)
+    assert ev({"date": "$ts", "unit": "month", "binSize": 5}) == \
+        dt.datetime(2024, 3, 1)  # 290 months since 2000-01, exact bin edge
+    assert ev({"date": "$ts", "unit": "month", "binSize": 7}) == \
+        dt.datetime(2023, 12, 1)  # 290 = 7*41 + 3 -> bin 287 -> 2023-12
+    assert ev({"date": "$ts", "unit": "year", "binSize": 3}) == \
+        dt.datetime(2024, 1, 1)  # 24 years -> bin 8
+    # pre-anchor dates floor correctly (sign-safe modulus)
+    early = spark.createDataFrame([(dt.datetime(1999, 12, 31, 23, 0),)],
+                                  "ts timestamp")
+    got = early.select(translate_expr(
+        {"$dateTrunc": {"date": "$ts", "unit": "day", "binSize": 10}}
+    )).first()[0]
+    assert got == dt.datetime(1999, 12, 22)
+    with pytest.raises(MQLTranslationError):
+        translate_expr({"$dateTrunc": {"date": "$ts", "unit": "day",
+                                       "binSize": 0}})
