@@ -44,6 +44,7 @@ _DEMOTED = [
     # 50 stay byte-identical; these oracles run in tests/test_battery.py
     "mql_json_schema",
     "mql_bitwise_group",
+    "mix_sources",
     "q_window_lag_gap",
     "q_cube_counts",
     "multimodal_resize",

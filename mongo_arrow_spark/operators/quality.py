@@ -323,3 +323,73 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample a corpus to target domain proportions — the data-mixing
+    step of a training pipeline (e.g. 60 % web / 30 % code / 10 % books).
+
+    Picks the largest output size the corpus supports (N_out =
+    min_k count_k / w_k, so the scarcest domain is kept whole) and
+    downsamples every other domain to w_k·N_out rows via the engine-
+    portable md5-threshold rule (same recipe as train_split): a row
+    survives when the first 8 hex digits of md5(salt ‖ id) fall under the
+    per-domain fraction. Deterministic across engines, re-runs, and
+    repartitioning.
+
+    Plan shape: one tiny groupBy(count) on the key (K domains), a 1-row
+    global min, broadcast back onto the scan — the corpus itself is never
+    shuffled, only filtered. Domains absent from ``weights`` are dropped.
+    """
+    total_w = sum(weights.values())
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for k, w in weights.items()
+            for x in (k, float(w) / total_w)
+        ]
+    )
+    counts = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_w", wmap[F.col(key_col)])
+        .filter(F.col("_w").isNotNull())
+    )
+    n_out = counts.select(
+        F.min(F.col("_n") / F.col("_w")).alias("_n_out")
+    )
+    frac = F.least(
+        F.lit(1.0), F.col("_w") * F.col("_n_out") / F.col("_n")
+    )
+    plan = (
+        counts.crossJoin(F.broadcast(n_out))
+        .select(
+            F.col(key_col),
+            F.lower(
+                F.lpad(
+                    F.hex(F.round(frac * F.lit(float(16**8))).cast("bigint")),
+                    9,
+                    "0",
+                )
+            ).alias("_thr"),
+        )
+    )
+    # thresholds are 9 hex chars ("100000000" when a domain is kept whole);
+    # pad the 8-char bucket to the same width so lexicographic == numeric
+    bucket = F.concat(
+        F.lit("0"),
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+    )
+    return (
+        df.join(F.broadcast(plan), key_col)
+        .filter(bucket < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -312,3 +312,99 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("lid", "rid", "score", "rank")
     )
+
+
+# ----------------------------------------------------------- quantization
+# (int8 scalar quantization: the standard 4x memory/IO lever for ANN at
+# scale — a 100 TB float32 corpus becomes ~25 TB of tinyint payload, and
+# candidate scoring runs on integers, with exact re-ranking on the float
+# survivors. No reference counterpart: Atlas quantizes inside the server.)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", q_col: str = "qvec"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q = round(x * 127/amax)``
+    with the per-row scale kept alongside (``q_scale``), so dequantization
+    is ``q / scale``. Pure HOFs — one projection, no shuffle, no UDF."""
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    return df.withColumn("q_scale", scale).withColumn(
+        q_col,
+        F.transform(v, _round_q(scale)),
+    )
+
+
+def _round_q(scale: Column):
+    # arity-1 closure factory (2-param HOF lambdas bind (value, index))
+    return lambda x: F.round(x.cast("double") * scale).cast("tinyint")
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "qvec", out_col: str = "embedding_deq"
+) -> DataFrame:
+    s = F.col("q_scale")
+    return df.withColumn(
+        out_col, F.transform(F.col(q_col), _deq(s))
+    )
+
+
+def _deq(scale: Column):
+    return lambda q: q.cast("double") / scale
+
+
+def cosine_topk_int8(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_col: str = "qvec",
+    rerank: int = 0,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over the quantized corpus. The query is quantized the same
+    way; scoring divides the integer dot product by the stored scales, so
+    ranking matches float cosine up to quantization error (recall test
+    pins ≥0.9@10 on the corpus fixtures). ``rerank > 0`` takes that many
+    int8 candidates and re-scores them on the float column — the standard
+    exact-rerank ANN shape (needs ``vec_col`` present).
+
+    Plan: same as cosine_topk — narrow scan + TakeOrdered; the win at
+    scale is the 4x smaller column being scanned."""
+    amax = max(abs(float(x)) for x in query_vec) or 1.0
+    qs = 127.0 / amax
+    q = F.array(*[F.lit(int(round(float(x) * qs))) for x in query_vec])
+    qv = F.col(q_col)
+    int_dot = F.aggregate(
+        F.zip_with(qv, q, lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qnorm2 = F.aggregate(
+        qv, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long") * x.cast("long")
+    )
+    qlit_norm = math.sqrt(sum(int(round(float(x) * qs)) ** 2 for x in query_vec)) or 1.0
+    score = (
+        int_dot.cast("double")
+        / (F.sqrt(qnorm2.cast("double")) * F.lit(qlit_norm))
+    )
+    cands = (
+        df.select(F.col(id_col), score.alias("score"), *(
+            [F.col(vec_col)] if rerank else []
+        ))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(max(k, rerank) if rerank else k)
+    )
+    if not rerank:
+        return cands
+    qf = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cands.select(
+            F.col(id_col), cosine(F.col(vec_col), qf).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -558,3 +558,48 @@ def q_compression_ratio(spark, sf_dir):
     is pinned against direct python zlib in pytest (the driver records
     rows-only)."""
     return quality.compression_ratio(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "mix_sources",
+    """
+    WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    counts AS (
+      SELECT d.source, w.wt, COUNT(*) AS n
+      FROM documents d JOIN w ON d.source = w.source
+      GROUP BY d.source, w.wt
+    ),
+    n_out AS (SELECT MIN(n / wt) AS v FROM counts),
+    thr AS (
+      SELECT source,
+             printf('%09x', CAST(round(
+               LEAST(1.0, wt * (SELECT v FROM n_out) / n) * 4294967296.0)
+               AS BIGINT)) AS t
+      FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE '0' || substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
+    ORDER BY d.doc_id
+    """,
+)
+def q_mix_sources(spark, sf_dir):
+    """Domain-mix resampling to target weights — deterministic md5
+    thresholds, so the SQL oracle reproduces the exact surviving set."""
+    out = quality.mix_sources(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+@query("sim_topk_int8")  # rows-only: int8 scores carry quantization error
+def q_sim_topk_int8(spark, sf_dir):
+    """Quantized ANN: int8 corpus scan + exact float re-rank of the top 50
+    — recall vs the float oracle pinned in test_quality_ops."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.cosine_topk_int8(
+        similarity.quantize_int8(emb), qv, k=10, rerank=50
+    )
