@@ -215,3 +215,30 @@ def test_ann_index_partition_pruning(spark, tmp_path, tables):
     assert "PartitionFilters: [" in p
     seg = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert seg.strip(), "partition filter list is empty — no pruning"
+
+
+def test_mix_sources_broadcasts_plan_not_corpus(spark, tables):
+    """mix_sources must broadcast the K-row threshold plan onto the
+    corpus scan — the corpus itself is filtered in place, never
+    shuffle-joined or exchanged for the join."""
+    p = plan_of(spark, "mix_sources")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_int8_topk_take_ordered(spark, tables):
+    """The quantized top-k must stay a narrow scan + TakeOrdered like its
+    float twin — quantization changes the bytes scanned, not the plan."""
+    p = plan_of(spark, "sim_topk_int8")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_json_schema_filter_pushes_bounds(spark, tables):
+    """$jsonSchema numeric/pattern bounds are plain predicates: the
+    acctbal minimum must reach the parquet scan as a pushed filter."""
+    p = plan_of(spark, "mql_json_schema")
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(c_acctbal" in pushed
