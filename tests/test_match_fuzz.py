@@ -84,9 +84,12 @@ def gen_arith(rng, depth=0):
     constants — safe ops only (no division)."""
     if depth >= 3 or rng.random() < 0.35:
         return rng.choice(["$a", "$i", rng.randint(-9, 9)])
-    op = rng.choice(["$add", "$subtract", "$multiply", "$abs", "$cond"])
-    if op == "$abs":
-        return {"$abs": gen_arith(rng, depth + 1)}
+    op = rng.choice(
+        ["$add", "$subtract", "$multiply", "$abs", "$cond",
+         "$bitAnd", "$bitOr", "$bitXor", "$bitNot"]
+    )
+    if op in ("$abs", "$bitNot"):
+        return {op: gen_arith(rng, depth + 1)}
     if op == "$cond":
         return {
             "$cond": [
@@ -108,6 +111,9 @@ def py_arith(expr, row):
     if op == "$abs":
         v = py_arith(args, row)
         return None if v is None else abs(v)
+    if op == "$bitNot":
+        v = py_arith(args, row)
+        return None if v is None else ~v
     if op == "$cond":
         c = py_arith(args[0]["$gt"][0], row)
         cond = c is not None and c > args[0]["$gt"][1]
@@ -123,6 +129,21 @@ def py_arith(expr, row):
         out = 1
         for v in vals:
             out *= v
+        return out
+    if op == "$bitAnd":
+        out = -1
+        for v in vals:
+            out &= v
+        return out
+    if op == "$bitOr":
+        out = 0
+        for v in vals:
+            out |= v
+        return out
+    if op == "$bitXor":
+        out = 0
+        for v in vals:
+            out ^= v
         return out
     raise AssertionError(op)
 
