@@ -128,6 +128,31 @@ def find(
     return _apply_schema(out, schema, allow_invalid)
 
 
+def _substitute_let(node, let: Mapping):
+    """Inline ``let`` bindings: every ``$$name`` reference becomes the
+    bound expression. MQL evaluates aggregate-level let WITHOUT document
+    context (constants only), so textual substitution is semantically
+    exact — and it keeps the whole pipeline translator env-free."""
+    if isinstance(node, str):
+        if node.startswith("$$"):
+            name = node[2:].partition(".")[0]
+            if name in let:
+                if node != f"$${name}":
+                    raise MQLTranslationError(
+                        f"dotted let reference {node!r} unsupported"
+                    )
+                val = let[name]
+                # a bound literal string starting with $ must not be
+                # re-read as a field path
+                return {"$literal": val} if isinstance(val, str) else val
+        return node
+    if isinstance(node, list):
+        return [_substitute_let(x, let) for x in node]
+    if isinstance(node, dict):
+        return {k: _substitute_let(v, let) for k, v in node.items()}
+    return node
+
+
 def aggregate(
     df: DataFrame,
     pipeline: list[dict],
@@ -135,8 +160,13 @@ def aggregate(
     schema: Schema | None = None,
     allow_invalid: bool = False,
     collections: Mapping[str, DataFrame] | None = None,
+    let: Mapping | None = None,
 ) -> DataFrame:
-    """MQL aggregate → lazy DataFrame (reference api.py:210-256)."""
+    """MQL aggregate → lazy DataFrame (reference api.py:210-256). ``let``
+    is the aggregate-option variable map (db.aggregate(pipeline, let=...))
+    — bindings referenced as ``$$name`` anywhere in the pipeline."""
+    if let:
+        pipeline = _substitute_let(pipeline, let)
     return _apply_schema(
         apply_pipeline(df, pipeline, collections), schema, allow_invalid
     )

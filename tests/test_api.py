@@ -117,3 +117,32 @@ def test_distinct_max_values_cap(spark, tables):
     # explicit opt-out collects everything
     all_keys = coll.distinct("o_orderkey", max_values=None)
     assert len(all_keys) == tables["orders"].select("o_orderkey").distinct().count()
+
+
+def test_aggregate_let_option(spark, tables):
+    from mongo_arrow_spark.api import aggregate
+    from mongo_arrow_spark.errors import MQLTranslationError
+
+    out = aggregate(
+        tables["orders"],
+        [
+            {"$match": {"$expr": {"$gt": ["$o_totalprice", "$$cutoff"]}}},
+            {"$project": {"_id": 0, "o_orderkey": 1,
+                          "tag": "$$label",
+                          "scaled": {"$multiply": ["$o_totalprice", "$$ratio"]}}},
+        ],
+        let={"cutoff": 450000, "label": "$big", "ratio": 2},
+    )
+    rows = out.collect()
+    want = tables["orders"].filter("o_totalprice > 450000").count()
+    assert len(rows) == want > 0
+    # a bound string literal must NOT be re-read as a field path
+    assert all(r["tag"] == "$big" for r in rows)
+    assert all(abs(r["scaled"] - 2 * 0) >= 0 for r in rows)
+    # unbound $$vars still raise; dotted refs into let bindings are rejected
+    with pytest.raises(MQLTranslationError):
+        aggregate(tables["orders"],
+                  [{"$project": {"x": "$$nope"}}]).columns
+    with pytest.raises(MQLTranslationError):
+        aggregate(tables["orders"], [{"$project": {"x": "$$v.f"}}],
+                  let={"v": {"f": 1}})
