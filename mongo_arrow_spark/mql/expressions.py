@@ -1282,6 +1282,7 @@ def _meta(args, env=None):
         "vectorSearchScore": "__vector_score",
         "searchScore": "__search_score",
         "textScore": "__search_score",
+        "score": "__fusion_score",  # $rankFusion's combined score (8.1)
     }
     if args not in cols:
         raise MQLTranslationError(f"unsupported $meta kind: {args!r}")

@@ -1229,6 +1229,59 @@ def _graph_lookup(df, args, resolve):
     return out.drop("__gid")
 
 
+@_stage("$rankFusion")
+def _rank_fusion(df, args, resolve):
+    """Hybrid search (MongoDB 8.1 ``$rankFusion``): reciprocal-rank
+    fusion over ranked input pipelines — the canonical $search +
+    $vectorSearch combiner.
+
+    ``score(d) = Σ_i wᵢ / (60 + rankᵢ(d))``, fused on ``_id`` (the server
+    requires input pipelines to return unmodified collection documents,
+    so the base frame must carry ``_id``). Each sub-result's rank is its
+    own output order, captured with monotonically_increasing_id (order-
+    preserving after a global sort: partition index occupies the high
+    bits) and densified by one row_number window — single-partition, but
+    over top-k lists only, since ranking pipelines end with $limit.
+    Output: base documents + ``__fusion_score`` (readable downstream as
+    ``{"$meta": "score"}``), sorted by fused score desc, _id tiebreak.
+    """
+    if "_id" not in df.columns:
+        raise MQLTranslationError("$rankFusion requires an _id column")
+    pipes = (args.get("input") or {}).get("pipelines") or {}
+    if not isinstance(pipes, dict) or not pipes:
+        raise MQLTranslationError("$rankFusion requires input.pipelines")
+    weights = (args.get("combination") or {}).get("weights") or {}
+    unknown = set(weights) - set(pipes)
+    if unknown:
+        raise MQLTranslationError(
+            f"$rankFusion weights for unknown pipelines: {sorted(unknown)}"
+        )
+    fused = None
+    for name, stages in pipes.items():
+        w = float(weights.get(name, 1.0))
+        sub = apply_pipeline(df, stages, resolve)
+        if "_id" not in sub.columns:
+            raise MQLTranslationError(
+                f"$rankFusion pipeline {name!r} must keep _id"
+            )
+        ranked = (
+            sub.select("_id")
+            .withColumn("_mono", F.monotonically_increasing_id())
+            .withColumn(
+                "_rank", F.row_number().over(Window.orderBy("_mono"))
+            )
+            .select(
+                "_id",
+                (F.lit(w) / (F.lit(60) + F.col("_rank"))).alias("_rrf"),
+            )
+        )
+        fused = ranked if fused is None else fused.unionByName(ranked)
+    scores = fused.groupBy("_id").agg(F.sum("_rrf").alias("__fusion_score"))
+    return df.join(scores, "_id").orderBy(
+        F.col("__fusion_score").desc(), F.col("_id")
+    )
+
+
 @_stage("$vectorSearch")
 def _vector_search(df, args, resolve):
     """Atlas ``$vectorSearch`` executed natively (the reference can only

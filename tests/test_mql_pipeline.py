@@ -1069,3 +1069,45 @@ def test_projection_slice_and_elem_match(spark):
     assert rows[2] is None
     with pytest.raises(MQLTranslationError):
         find(df, {}, projection={"nums": {"$slice": [1, 0]}}).count()
+
+
+def test_rank_fusion_hybrid_search(spark):
+    from mongo_arrow_spark.api import aggregate
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", float(i % 7), float((i * 3) % 11)) for i in range(1, 21)],
+        "_id long, text string, text_score double, vec_score double",
+    )
+    pipes = {
+        "lexical": [{"$sort": {"text_score": -1, "_id": 1}}, {"$limit": 5}],
+        "semantic": [{"$sort": {"vec_score": -1, "_id": 1}}, {"$limit": 5}],
+    }
+    out = aggregate(
+        df,
+        [
+            {"$rankFusion": {"input": {"pipelines": pipes},
+                             "combination": {"weights": {"lexical": 2.0}}}},
+            {"$project": {"_id": 1, "s": {"$round": [{"$meta": "score"}, 6]}}},
+        ],
+    )
+    got = [(r["_id"], r["s"]) for r in out.collect()]
+    # python oracle: replay RRF over the two ranked top-5 lists
+    rows = [(i, i % 7, (i * 3) % 11) for i in range(1, 21)]
+    lex = [i for i, t, v in sorted(rows, key=lambda r: (-r[1], r[0]))][:5]
+    sem = [i for i, t, v in sorted(rows, key=lambda r: (-r[2], r[0]))][:5]
+    want: dict = {}
+    for rank, i in enumerate(lex, 1):
+        want[i] = want.get(i, 0.0) + 2.0 / (60 + rank)
+    for rank, i in enumerate(sem, 1):
+        want[i] = want.get(i, 0.0) + 1.0 / (60 + rank)
+    exp = sorted(((i, round(s, 6)) for i, s in want.items()),
+                 key=lambda p: (-p[1], p[0]))
+    assert got == exp
+    with pytest.raises(MQLTranslationError):
+        aggregate(df.drop("_id").withColumnRenamed("text", "t"),
+                  [{"$rankFusion": {"input": {"pipelines": pipes}}}])
+    with pytest.raises(MQLTranslationError):
+        aggregate(df, [{"$rankFusion": {"input": {"pipelines": pipes},
+                                        "combination": {"weights": {"x": 1}}}}])
+    with pytest.raises(MQLTranslationError):
+        aggregate(df, [{"$rankFusion": {"input": {"pipelines": {}}}}])
