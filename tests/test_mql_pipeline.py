@@ -1111,3 +1111,28 @@ def test_rank_fusion_hybrid_search(spark):
                                         "combination": {"weights": {"x": 1}}}}])
     with pytest.raises(MQLTranslationError):
         aggregate(df, [{"$rankFusion": {"input": {"pipelines": {}}}}])
+
+
+def test_densify_time_unit(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 3), 4.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$densify": {
+                    "field": "ts",
+                    "partitionByFields": ["k"],
+                    "range": {"step": 1, "unit": "hour", "bounds": "partition"},
+                }
+            }
+        ],
+    )
+    rows = sorted(out.collect(), key=lambda r: r["ts"])
+    assert [r["ts"].hour for r in rows] == [0, 1, 2, 3]
+    assert [r["v"] for r in rows] == [1.0, None, None, 4.0]
