@@ -111,6 +111,61 @@ def main() -> None:
         )
     )
 
+    print("== $jsonSchema validator-as-filter + projection $slice")
+    cust = mas.Collection(t["customer"], "customer")
+    print(
+        cust.find_pandas_all(
+            {"$jsonSchema": {
+                "required": ["c_name"],
+                "properties": {"c_acctbal": {"minimum": 8000},
+                                "c_mktsegment": {"pattern": "^B"}}}},
+            projection={"c_custkey": 1, "c_acctbal": 1}, limit=3,
+        )
+    )
+
+    print("== $rankFusion: hybrid lexical + vector search (RRF)")
+    emb = t["embeddings"].withColumnRenamed("vec_id", "_id")
+    base = t["documents"].withColumnRenamed("doc_id", "_id").join(emb, "_id")
+    qv = [float(x) for x in
+          t["embeddings"].filter(F.col("vec_id") == 3).first()["embedding"]]
+    hybrid = mas.Collection(base, "docs")
+    print(
+        hybrid.aggregate_pandas_all(
+            [
+                {"$rankFusion": {"input": {"pipelines": {
+                    "lexical": [
+                        {"$search": {"text": {"query": "spark window",
+                                               "path": "text"}}},
+                        {"$limit": 10},
+                    ],
+                    "semantic": [
+                        {"$vectorSearch": {"path": "embedding",
+                                            "queryVector": qv,
+                                            "limit": 10, "exact": True}},
+                    ],
+                }}, "combination": {"weights": {"semantic": 1.5}}}},
+                {"$project": {"_id": 1,
+                              "score": {"$round": [{"$meta": "score"}, 5]}}},
+                {"$limit": 5},
+            ]
+        )
+    )
+
+    print("== $dateTrunc binSize: 6-hour rollup bins")
+    ev2 = mas.Collection(t["events"], "events")
+    print(
+        ev2.aggregate_pandas_all(
+            [
+                {"$group": {"_id": {"$dateTrunc": {"date": "$ts",
+                                                    "unit": "hour",
+                                                    "binSize": 6}},
+                            "n": {"$sum": 1}}},
+                {"$sort": {"_id": 1}}, {"$limit": 4},
+            ]
+        )
+    )
+
 
 if __name__ == "__main__":
     main()
+
