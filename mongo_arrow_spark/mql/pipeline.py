@@ -1282,6 +1282,80 @@ def _rank_fusion(df, args, resolve):
     )
 
 
+#: score columns the search stages attach, in detection order
+_SCORE_COLS = ("__search_score", "__vector_score", "__fusion_score")
+
+
+@_stage("$scoreFusion")
+def _score_fusion(df, args, resolve):
+    """``$scoreFusion`` (MongoDB 8.1): combine the NORMALIZED SCORES of
+    score-producing pipelines ($search / $vectorSearch / nested fusions),
+    vs $rankFusion's rank-only view.
+
+    normalization: "none" | "sigmoid" (1/(1+e^-s), per row) |
+    "minMaxScaler" (per-pipeline global min/max — a 1-row broadcast onto
+    the top-k list). combination.method "avg" (the default) averages the
+    weighted scores over ALL pipelines, docs absent from a pipeline
+    contributing 0, matching the server. Fusion identity is ``_id``;
+    fused score surfaces as ``{"$meta": "score"}``.
+    """
+    if "_id" not in df.columns:
+        raise MQLTranslationError("$scoreFusion requires an _id column")
+    spec = args.get("input") or {}
+    pipes = spec.get("pipelines") or {}
+    if not isinstance(pipes, dict) or not pipes:
+        raise MQLTranslationError("$scoreFusion requires input.pipelines")
+    norm = spec.get("normalization", "none")
+    if norm not in ("none", "sigmoid", "minMaxScaler"):
+        raise MQLTranslationError(f"unsupported normalization: {norm!r}")
+    comb = args.get("combination") or {}
+    if comb.get("method", "avg") != "avg":
+        raise MQLTranslationError("$scoreFusion supports method: avg")
+    weights = comb.get("weights") or {}
+    unknown = set(weights) - set(pipes)
+    if unknown:
+        raise MQLTranslationError(
+            f"$scoreFusion weights for unknown pipelines: {sorted(unknown)}"
+        )
+    fused = None
+    for name, stages in pipes.items():
+        w = float(weights.get(name, 1.0))
+        sub = apply_pipeline(df, stages, resolve)
+        score_col = next((c for c in _SCORE_COLS if c in sub.columns), None)
+        if score_col is None or "_id" not in sub.columns:
+            raise MQLTranslationError(
+                f"$scoreFusion pipeline {name!r} must be score-producing "
+                "($search/$vectorSearch) and keep _id"
+            )
+        s = F.col(score_col).cast("double")
+        if norm == "sigmoid":
+            s = F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+            scored = sub.select("_id", (F.lit(w) * s).alias("_ws"))
+        elif norm == "minMaxScaler":
+            mm = sub.agg(
+                F.min(s).alias("__lo"), F.max(s).alias("__hi")
+            )
+            scored = sub.crossJoin(F.broadcast(mm)).select(
+                "_id",
+                (
+                    F.lit(w)
+                    * F.when(
+                        F.col("__hi") > F.col("__lo"),
+                        (s - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
+                    ).otherwise(F.lit(0.0))
+                ).alias("_ws"),
+            )
+        else:
+            scored = sub.select("_id", (F.lit(w) * s).alias("_ws"))
+        fused = scored if fused is None else fused.unionByName(scored)
+    scores = fused.groupBy("_id").agg(
+        (F.sum("_ws") / F.lit(float(len(pipes)))).alias("__fusion_score")
+    )
+    return df.join(scores, "_id").orderBy(
+        F.col("__fusion_score").desc(), F.col("_id")
+    )
+
+
 @_stage("$vectorSearch")
 def _vector_search(df, args, resolve):
     """Atlas ``$vectorSearch`` executed natively (the reference can only

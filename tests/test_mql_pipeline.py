@@ -1136,3 +1136,69 @@ def test_densify_time_unit(spark):
     rows = sorted(out.collect(), key=lambda r: r["ts"])
     assert [r["ts"].hour for r in rows] == [0, 1, 2, 3]
     assert [r["v"] for r in rows] == [1.0, None, None, 4.0]
+
+
+def test_score_fusion_min_max_and_sigmoid(spark):
+    import math
+
+    from mongo_arrow_spark.api import aggregate
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} spark" if i <= 4 else f"w{i}",
+          [float(i), 1.0]) for i in range(1, 9)],
+        "_id long, text string, embedding array<double>",
+    )
+    pipes = {
+        "lex": [{"$search": {"text": {"query": "spark", "path": "text"}}},
+                 {"$limit": 3}],
+        "sem": [{"$vectorSearch": {"path": "embedding",
+                                    "queryVector": [1.0, 0.0],
+                                    "limit": 3, "exact": True}}],
+    }
+
+    def run(norm, weights=None):
+        stage = {"input": {"pipelines": pipes, "normalization": norm}}
+        if weights:
+            stage["combination"] = {"weights": weights}
+        out = aggregate(df, [
+            {"$scoreFusion": stage},
+            {"$project": {"_id": 1, "s": {"$round": [{"$meta": "score"}, 6]}}},
+        ])
+        return [(r["_id"], r["s"]) for r in out.collect()]
+
+    # python replay: lexical tf*ln(N/df) scores and cosine vector scores
+    lex_rows = [(i, f"w{i} spark") for i in range(1, 5)]
+    n, dfreq = 8, 4
+    lex = sorted(((i, 1 * math.log(n / dfreq)) for i, _ in lex_rows),
+                 key=lambda p: (-p[1], p[0]))[:3]
+    def cos(i):
+        import math as m
+        return (1 + i / m.sqrt(i * i + 1)) / 2  # Atlas (1+cos)/2
+    sem = sorted(((i, cos(i)) for i in range(1, 9)),
+                 key=lambda p: (-p[1], p[0]))[:3]
+
+    def fuse(lex_s, sem_s, wl=1.0, ws=1.0):
+        want: dict = {}
+        for i, s in lex_s:
+            want[i] = want.get(i, 0.0) + wl * s
+        for i, s in sem_s:
+            want[i] = want.get(i, 0.0) + ws * s
+        return sorted(((i, round(v / 2, 6)) for i, v in want.items()),
+                      key=lambda p: (-p[1], p[0]))
+
+    def minmax(pairs):
+        lo = min(s for _, s in pairs); hi = max(s for _, s in pairs)
+        return [(i, (s - lo) / (hi - lo) if hi > lo else 0.0)
+                for i, s in pairs]
+
+    assert run("none") == fuse(lex, sem)
+    assert run("minMaxScaler") == fuse(minmax(lex), minmax(sem))
+    sig = lambda pairs: [(i, 1 / (1 + math.exp(-s))) for i, s in pairs]
+    assert run("sigmoid") == fuse(sig(lex), sig(sem))
+    assert run("none", weights={"sem": 3.0}) == fuse(lex, sem, ws=3.0)
+    with pytest.raises(MQLTranslationError):
+        aggregate(df, [{"$scoreFusion": {"input": {"pipelines": {
+            "bad": [{"$match": {"_id": 1}}]}}}}])
+    with pytest.raises(MQLTranslationError):
+        aggregate(df, [{"$scoreFusion": {"input": {"pipelines": pipes},
+                                         "combination": {"method": "mul"}}}])
