@@ -1549,6 +1549,27 @@ def _out(df, args, resolve):
     return df
 
 
+#: the stages MQL permits inside a whenMatched update pipeline
+_MERGE_PIPE_STAGES = {
+    "$addFields", "$set", "$project", "$unset", "$replaceRoot", "$replaceWith"
+}
+
+
+def _rewrite_new_refs(node):
+    """``$$new``/"$$new.f" → the ``__new`` struct column's field paths."""
+    if isinstance(node, str):
+        if node == "$$new":
+            return "$__new"
+        if node.startswith("$$new."):
+            return "$__new." + node[len("$$new."):]
+        return node
+    if isinstance(node, list):
+        return [_rewrite_new_refs(x) for x in node]
+    if isinstance(node, dict):
+        return {k: _rewrite_new_refs(v) for k, v in node.items()}
+    return node
+
+
 @_stage("$merge")
 def _merge(df, args, resolve):
     """$merge upsert into the target view. Modes (MQL semantics):
@@ -1568,7 +1589,9 @@ def _merge(df, args, resolve):
     on = [on] if isinstance(on, str) else list(on)
     matched = args.get("whenMatched", "replace")
     not_matched = args.get("whenNotMatched", "insert")
-    if matched not in ("replace", "keepExisting", "merge", "fail"):
+    if not isinstance(matched, list) and matched not in (
+        "replace", "keepExisting", "merge", "fail"
+    ):
         raise MQLTranslationError(f"unsupported whenMatched: {matched}")
     if not_matched not in ("insert", "discard", "fail"):
         raise MQLTranslationError(f"unsupported whenNotMatched: {not_matched}")
@@ -1584,6 +1607,38 @@ def _merge(df, args, resolve):
     incoming = df
     if not_matched == "discard":
         incoming = incoming.join(target.select(*on).distinct(), on, "left_semi")
+    if isinstance(matched, list):
+        # custom-update pipeline form: runs over the EXISTING document
+        # (target fields as columns) with the incoming document bound as
+        # $$new. Binding is a pure rewrite — the incoming row rides along
+        # as one struct column, so "$$new.f" becomes the ordinary field
+        # path "$__new.f" and the stock stage translators apply untouched.
+        bad = [
+            next(iter(s)) for s in matched
+            if next(iter(s)) not in _MERGE_PIPE_STAGES
+        ]
+        if bad:
+            raise MQLTranslationError(
+                f"$merge whenMatched pipeline allows only "
+                f"{sorted(_MERGE_PIPE_STAGES)}, got {bad}"
+            )
+        packed = incoming.select(
+            *on,
+            F.struct(
+                *[F.col(c) for c in incoming.columns if c not in on]
+            ).alias("__new"),
+        )
+        pairs = target.join(packed, on, "inner")
+        updated = apply_pipeline(
+            pairs, _rewrite_new_refs(matched), resolve
+        ).drop("__new")
+        kept = target.join(keys, on, "left_anti")
+        fresh = incoming.join(target.select(*on).distinct(), on, "left_anti")
+        merged = kept.unionByName(updated, allowMissingColumns=True)
+        if not_matched == "insert":
+            merged = merged.unionByName(fresh, allowMissingColumns=True)
+        merged.createOrReplaceTempView(target_name)
+        return merged
     if matched in ("replace",):
         kept = target.join(keys, on, "left_anti")
         merged = kept.unionByName(incoming, allowMissingColumns=True)

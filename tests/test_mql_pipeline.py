@@ -1202,3 +1202,52 @@ def test_score_fusion_min_max_and_sigmoid(spark):
     with pytest.raises(MQLTranslationError):
         aggregate(df, [{"$scoreFusion": {"input": {"pipelines": pipes},
                                          "combination": {"method": "mul"}}}])
+
+
+def test_merge_when_matched_pipeline(spark):
+    from mongo_arrow_spark.api import aggregate
+
+    target = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 5)], "k long, total double, hits long"
+    )
+    incoming = spark.createDataFrame(
+        [(1, 7.0), (3, 99.0)], "k long, amount double"
+    )
+    merged = aggregate(
+        incoming,
+        [
+            {
+                "$merge": {
+                    "into": "acc",
+                    "on": "k",
+                    "whenMatched": [
+                        {"$set": {
+                            "total": {"$add": ["$total", "$$new.amount"]},
+                            "hits": {"$add": ["$hits", 1]},
+                        }}
+                    ],
+                }
+            }
+        ],
+        collections={"acc": target},
+    )
+    rows = {r["k"]: r.asDict() for r in merged.collect()}
+    # matched row updated through the pipeline ($$new = incoming doc)
+    assert rows[1]["total"] == 17.0 and rows[1]["hits"] == 2
+    # untouched target row kept; unmatched incoming inserted
+    assert rows[2]["total"] == 20.0 and rows[2]["hits"] == 5
+    assert rows[3]["amount"] == 99.0 and rows[3].get("total") is None
+    # discard drops the unmatched insert
+    merged2 = aggregate(
+        incoming,
+        [{"$merge": {"into": "acc2", "on": "k",
+                     "whenMatched": [{"$set": {"total": "$$new.amount"}}],
+                     "whenNotMatched": "discard"}}],
+        collections={"acc2": target},
+    )
+    assert sorted(r["k"] for r in merged2.collect()) == [1, 2]
+    with pytest.raises(MQLTranslationError):
+        aggregate(incoming,
+                  [{"$merge": {"into": "acc3", "on": "k",
+                               "whenMatched": [{"$group": {"_id": None}}]}}],
+                  collections={"acc3": target})
