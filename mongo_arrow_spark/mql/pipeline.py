@@ -1277,7 +1277,9 @@ def _rank_fusion(df, args, resolve):
         )
         fused = ranked if fused is None else fused.unionByName(ranked)
     scores = fused.groupBy("_id").agg(F.sum("_rrf").alias("__fusion_score"))
-    return df.join(scores, "_id").orderBy(
+    # the score set is at most Σ top-k rows — broadcast it onto the base
+    # scan rather than shuffling the collection for a sort-merge join
+    return df.join(F.broadcast(scores), "_id").orderBy(
         F.col("__fusion_score").desc(), F.col("_id")
     )
 
@@ -1351,7 +1353,7 @@ def _score_fusion(df, args, resolve):
     scores = fused.groupBy("_id").agg(
         (F.sum("_ws") / F.lit(float(len(pipes)))).alias("__fusion_score")
     )
-    return df.join(scores, "_id").orderBy(
+    return df.join(F.broadcast(scores), "_id").orderBy(
         F.col("__fusion_score").desc(), F.col("_id")
     )
 

@@ -1251,3 +1251,24 @@ def test_merge_when_matched_pipeline(spark):
                   [{"$merge": {"into": "acc3", "on": "k",
                                "whenMatched": [{"$group": {"_id": None}}]}}],
                   collections={"acc3": target})
+
+
+def test_fusion_joins_broadcast_scores(spark):
+    from mongo_arrow_spark.api import aggregate
+
+    df = spark.createDataFrame(
+        [(i, f"t{i} spark", [float(i), 1.0]) for i in range(1, 30)],
+        "_id long, text string, embedding array<double>",
+    )
+    pipes = {
+        "lex": [{"$search": {"text": {"query": "spark", "path": "text"}}},
+                 {"$limit": 5}],
+        "sem": [{"$vectorSearch": {"path": "embedding",
+                                    "queryVector": [1.0, 0.0],
+                                    "limit": 5, "exact": True}}],
+    }
+    for stage in ("$rankFusion", "$scoreFusion"):
+        out = aggregate(df, [{stage: {"input": {"pipelines": pipes}}}])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, stage
+        assert "SortMergeJoin" not in plan, stage
