@@ -65,6 +65,14 @@ def _text_predicate(value: dict) -> Column:
     index language)."""
     if not isinstance(value, dict) or "$search" not in value:
         raise MQLTranslationError('$text requires {"$search": "..."}')
+    ignored = {"$language", "$diacriticSensitive"} & set(value)
+    if ignored:
+        import warnings
+
+        warnings.warn(
+            f"$text options {sorted(ignored)} are accepted but ignored: "
+            "no stemming/diacritic folding without an index language"
+        )
     field = value.get("$path", "text")
     col = F.col(field)
     if not value.get("$caseSensitive", False):

@@ -1247,6 +1247,8 @@ def _rank_fusion(df, args, resolve):
     """
     if "_id" not in df.columns:
         raise MQLTranslationError("$rankFusion requires an _id column")
+    if args.get("scoreDetails"):
+        warnings.warn("$rankFusion scoreDetails is accepted but not attached")
     pipes = (args.get("input") or {}).get("pipelines") or {}
     if not isinstance(pipes, dict) or not pipes:
         raise MQLTranslationError("$rankFusion requires input.pipelines")
@@ -1303,6 +1305,8 @@ def _score_fusion(df, args, resolve):
     """
     if "_id" not in df.columns:
         raise MQLTranslationError("$scoreFusion requires an _id column")
+    if args.get("scoreDetails"):
+        warnings.warn("$scoreFusion scoreDetails is accepted but not attached")
     spec = args.get("input") or {}
     pipes = spec.get("pipelines") or {}
     if not isinstance(pipes, dict) or not pipes:

@@ -1272,3 +1272,21 @@ def test_fusion_joins_broadcast_scores(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, stage
         assert "SortMergeJoin" not in plan, stage
+
+
+def test_ignored_option_warnings(spark):
+    import warnings as w
+
+    from mongo_arrow_spark.api import find
+
+    df = spark.createDataFrame([(1, "spark rocks")], "_id long, text string")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        find(df, {"$text": {"$search": "spark", "$language": "fr"}}).count()
+    assert any("$language" in str(x.message) for x in caught)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        apply_pipeline(df, [{"$rankFusion": {
+            "input": {"pipelines": {"p": [{"$sort": {"_id": 1}}, {"$limit": 1}]}},
+            "scoreDetails": True}}]).count()
+    assert any("scoreDetails" in str(x.message) for x in caught)
