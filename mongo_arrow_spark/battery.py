@@ -45,6 +45,7 @@ _DEMOTED = [
     "mql_json_schema",
     "mql_bitwise_group",
     "mix_sources",
+    "mql_rank_fusion",
     "q_window_lag_gap",
     "q_cube_counts",
     "multimodal_resize",

@@ -739,3 +739,91 @@ def mql_bitwise_group(spark, sf_dir):
             {"$sort": {"k": 1}},
         ],
     )
+
+
+@query(
+    "mql_rank_fusion",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END) AS df2
+      FROM toks
+    ),
+    lex_scored AS (
+      SELECT doc_id,
+             len(list_filter(t, w -> w = 'spark')) * ln(n * 1.0 / df1)
+           + len(list_filter(t, w -> w = 'window')) * ln(n * 1.0 / df2) AS s
+      FROM toks, stats
+      WHERE len(list_filter(t, w -> w = 'spark')) > 0
+         OR len(list_filter(t, w -> w = 'window')) > 0
+    ),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM lex_scored ORDER BY r LIMIT 20
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sem_scored AS (
+      SELECT vec_id AS doc_id,
+             (1 + list_sum(list_transform(list_zip(embedding, qv),
+                 p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) / 2 AS s
+      FROM embeddings, q
+    ),
+    sem AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM sem_scored ORDER BY r LIMIT 20
+    )
+    SELECT COALESCE(l.doc_id, m.doc_id) AS _id,
+           ROUND(COALESCE(2.0 / (60 + l.r), 0) + COALESCE(1.0 / (60 + m.r), 0), 6)
+             AS score
+    FROM lex l FULL JOIN sem m ON l.doc_id = m.doc_id
+    """,
+)
+def mql_rank_fusion(spark, sf_dir):
+    """Hybrid $rankFusion over $search + $vectorSearch, RRF replayed by
+    the oracle as two ranked CTEs full-joined. Deterministic ranks via an
+    explicit score/_id sort inside each sub-pipeline (TF-IDF scores tie
+    whenever token counts tie, so _id tiebreak is load-bearing)."""
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "_id")
+    emb = _t(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "_id")
+    base = docs.join(emb, "_id")
+    qv = [
+        float(x)
+        for x in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    return aggregate(
+        base,
+        [
+            {
+                "$rankFusion": {
+                    "input": {
+                        "pipelines": {
+                            "lexical": [
+                                {"$search": {"text": {"query": "spark window",
+                                                      "path": "text"}}},
+                                {"$set": {"s": {"$meta": "searchScore"}}},
+                                {"$sort": {"s": -1, "_id": 1}},
+                                {"$limit": 20},
+                            ],
+                            "semantic": [
+                                {"$vectorSearch": {"path": "embedding",
+                                                   "queryVector": qv,
+                                                   "limit": 20,
+                                                   "exact": True}},
+                                {"$set": {"s": {"$meta": "vectorSearchScore"}}},
+                                {"$sort": {"s": -1, "_id": 1}},
+                            ],
+                        }
+                    },
+                    "combination": {"weights": {"lexical": 2.0}},
+                }
+            },
+            {"$project": {"_id": 1,
+                          "score": {"$round": [{"$meta": "score"}, 6]}}},
+        ],
+    )
