@@ -19,6 +19,7 @@ Scale notes per stage are inline; the principles:
 
 from __future__ import annotations
 
+import re as _re
 import warnings
 from typing import Callable, Mapping
 
@@ -1430,13 +1431,17 @@ def _vector_search(df, args, resolve):
 
 @_stage("$search")
 def _search(df, args, resolve):
-    """Atlas ``$search`` with the ``text`` operator and the ``compound``
-    operator (must/should/mustNot/filter over text clauses), scored by
-    tf·ln(N/df) per query term (the engine's TF-IDF model — SURVEY 2.E
-    "text search" row; Atlas's BM25 constants are not public, so the
-    scoring function differs while ranking semantics — term-frequency ×
-    rarity — match). Matching documents only, ordered by descending
-    score; {"$meta": "searchScore"} exposes the score downstream.
+    """Atlas ``$search`` with the ``text``, ``phrase``, ``range``,
+    ``equals``, ``exists`` and ``wildcard`` operators, standalone or under
+    ``compound`` (must/should/mustNot/filter). text scores by tf·ln(N/df)
+    per query term and phrase by occurrence-count·ln(N/phrase-df) (the
+    engine's TF-IDF model — SURVEY 2.E "text search" row; Atlas's BM25
+    constants are not public, so the scoring function differs while
+    ranking semantics — term-frequency × rarity — match);
+    range/equals/exists/wildcard are constant-score (1.0), as Atlas
+    scores non-text operators. Matching documents only, ordered by
+    descending score; {"$meta": "searchScore"} exposes the score
+    downstream.
 
     Compound semantics mirror Atlas: must and filter clauses are
     conjunctive, mustNot clauses are negated, should clauses add score
@@ -1450,7 +1455,8 @@ def _search(df, args, resolve):
     """
     from mongo_arrow_spark.operators.text import tokens
 
-    if "text" in args:
+    _OPERATORS = ("text", "phrase", "range", "equals", "exists", "wildcard")
+    if any(k in args for k in _OPERATORS):
         clauses = {"must": [args], "should": [], "mustNot": [], "filter": []}
     elif "compound" in args:
         comp = args["compound"]
@@ -1462,26 +1468,73 @@ def _search(df, args, resolve):
         }
     else:
         raise MQLTranslationError(
-            "$search supports the 'text' and 'compound' operators"
+            "$search supports the text/phrase/range/equals/exists/"
+            "wildcard and compound operators"
         )
 
-    def text_spec(clause):
-        spec = clause.get("text")
-        if spec is None:
-            raise MQLTranslationError("compound clauses must be text operators")
-        path = spec["path"]
+    def parse_clause(clause):
+        """One compound clause → a typed spec. text/phrase score by
+        tf·ln(N/df); range/equals/exists/wildcard are constant-score
+        (1.0), matching Atlas's constant scoring for non-text operators."""
+        kinds = [k for k in clause if k in (
+            "text", "phrase", "range", "equals", "exists", "wildcard"
+        )]
+        if len(kinds) != 1:
+            raise MQLTranslationError(
+                "compound clauses support exactly one of text/phrase/"
+                "range/equals/exists/wildcard"
+            )
+        kind = kinds[0]
+        spec = clause[kind]
+        path = spec.get("path")
         if not isinstance(path, str):
-            raise MQLTranslationError("$search text.path must be a single field")
-        return spec["query"].split(), path
+            raise MQLTranslationError(f"$search {kind}.path must be a single field")
+        if kind in ("text", "phrase"):
+            return {"kind": kind, "path": path, "terms": spec["query"].split()}
+        if kind == "range":
+            bounds = {k: spec[k] for k in ("gt", "gte", "lt", "lte") if k in spec}
+            if not bounds:
+                raise MQLTranslationError("$search range needs gt/gte/lt/lte")
+            return {"kind": kind, "path": path, "bounds": bounds}
+        if kind == "equals":
+            return {"kind": kind, "path": path, "value": spec["value"]}
+        if kind == "exists":
+            return {"kind": kind, "path": path}
+        # wildcard: * and ? over the whole field value
+        pat = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in str(spec["query"])
+        )
+        return {"kind": kind, "path": path, "regex": f"^{pat}$"}
 
-    parsed = {
-        k: [text_spec(c) for c in cs] for k, cs in clauses.items()
-    }
-    # one DF-stats pass over every distinct (path, term)
+    parsed = {k: [parse_clause(c) for c in cs] for k, cs in clauses.items()}
+    every = [c for cs in parsed.values() for c in cs]
+    # one DF-stats pass: term dfs for text clauses, phrase dfs for phrases
     all_terms = sorted(
-        {(p, t) for cs in parsed.values() for terms, p in cs for t in terms}
+        {(c["path"], t) for c in every if c["kind"] == "text" for t in c["terms"]}
     )
     idx = {pt: i for i, pt in enumerate(all_terms)}
+
+    def phrase_count(path, terms):
+        toks = tokens(path)
+        L = len(terms)
+
+        def at(i, j, t):
+            return F.element_at(toks, i + F.lit(j)) == F.lit(t)
+
+        def window_hits(i):
+            m = F.lit(True)
+            for j, t in enumerate(terms):
+                m = m & at(i, j, t)
+            return m
+
+        starts = F.sequence(F.lit(1), F.size(toks) - F.lit(L - 1))
+        return F.when(
+            F.size(toks) >= F.lit(L),
+            F.size(F.filter(starts, window_hits)),
+        ).otherwise(F.lit(0))
+
+    phrases = [c for c in every if c["kind"] == "phrase"]
     stats = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
@@ -1490,7 +1543,15 @@ def _search(df, args, resolve):
             ).alias(f"__df_{i}")
             for i, (p, t) in enumerate(all_terms)
         ],
+        *[
+            F.sum(
+                F.when(phrase_count(c["path"], c["terms"]) > 0, F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias(f"__pdf_{i}")
+            for i, c in enumerate(phrases)
+        ],
     )
+    pidx = {id(c): i for i, c in enumerate(phrases)}
 
     def term_count(path, term):
         def pred(w):  # arity-1 closure (2-param lambdas bind (value, index))
@@ -1498,38 +1559,68 @@ def _search(df, args, resolve):
 
         return F.size(F.filter(tokens(path), pred))
 
-    def clause_score(terms, path):
-        score = F.lit(0.0)
-        for t in terms:
-            i = idx[(path, t)]
-            score = score + F.when(
-                F.col(f"__df_{i}") > 0,
-                term_count(path, t) * F.log(F.col("__n") / F.col(f"__df_{i}")),
-            ).otherwise(F.lit(0.0))
-        return score
+    def clause_match(c):
+        if c["kind"] == "text":
+            toks = tokens(c["path"])
+            m = F.lit(False)
+            for t in c["terms"]:
+                m = m | F.array_contains(toks, F.lit(t))
+            return m
+        if c["kind"] == "phrase":
+            return phrase_count(c["path"], c["terms"]) > 0
+        if c["kind"] == "range":
+            ops = {"gt": Column.__gt__, "gte": Column.__ge__,
+                   "lt": Column.__lt__, "lte": Column.__le__}
+            m = F.lit(True)
+            for k, v in c["bounds"].items():
+                m = m & ops[k](F.col(c["path"]), F.lit(v))
+            return m
+        if c["kind"] == "equals":
+            return F.col(c["path"]).eqNullSafe(F.lit(c["value"]))
+        if c["kind"] == "exists":
+            return F.col(c["path"]).isNotNull()
+        return F.col(c["path"]).rlike(c["regex"])  # wildcard
 
-    def clause_match(terms, path):
-        toks = tokens(path)
-        m = F.lit(False)
-        for t in terms:
-            m = m | F.array_contains(toks, F.lit(t))
-        return m
+    def clause_score(c):
+        if c["kind"] == "text":
+            score = F.lit(0.0)
+            for t in c["terms"]:
+                i = idx[(c["path"], t)]
+                score = score + F.when(
+                    F.col(f"__df_{i}") > 0,
+                    term_count(c["path"], t)
+                    * F.log(F.col("__n") / F.col(f"__df_{i}")),
+                ).otherwise(F.lit(0.0))
+            return score
+        if c["kind"] == "phrase":
+            i = pidx[id(c)]
+            return F.when(
+                F.col(f"__pdf_{i}") > 0,
+                phrase_count(c["path"], c["terms"]).cast("double")
+                * F.log(F.col("__n") / F.col(f"__pdf_{i}")),
+            ).otherwise(F.lit(0.0))
+        # constant-score operators contribute 1.0 when they match
+        return F.when(clause_match(c), F.lit(1.0)).otherwise(F.lit(0.0))
 
     score = F.lit(0.0)
-    for terms, p in parsed["must"] + parsed["should"]:
-        score = score + clause_score(terms, p)
+    for c in parsed["must"] + parsed["should"]:
+        score = score + clause_score(c)
     pred = F.lit(True)
-    for terms, p in parsed["must"] + parsed["filter"]:
-        pred = pred & clause_match(terms, p)
-    for terms, p in parsed["mustNot"]:
-        pred = pred & ~clause_match(terms, p)
+    for c in parsed["must"] + parsed["filter"]:
+        pred = pred & clause_match(c)
+    for c in parsed["mustNot"]:
+        pred = pred & ~clause_match(c)
     if not parsed["must"] and not parsed["filter"] and parsed["should"]:
         any_should = F.lit(False)
-        for terms, p in parsed["should"]:
-            any_should = any_should | clause_match(terms, p)
+        for c in parsed["should"]:
+            any_should = any_should | clause_match(c)
         pred = pred & any_should
 
-    drop = ["__n"] + [f"__df_{i}" for i in range(len(all_terms))]
+    drop = (
+        ["__n"]
+        + [f"__df_{i}" for i in range(len(all_terms))]
+        + [f"__pdf_{i}" for i in range(len(phrases))]
+    )
     return (
         df.crossJoin(F.broadcast(stats))
         .withColumn("__search_score", score.cast("double"))

@@ -2,6 +2,8 @@
 battery: $graphLookup (vs DuckDB recursive CTE), $densify, $facet,
 $top/$bottomN, $out/$merge, $expMovingAvg, $fill."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -733,6 +735,143 @@ def test_search_compound(spark, tables):
         F.array_contains(toks, "spark") | F.array_contains(toks, "window")
     )
     assert only_should.count() == manual.count()
+
+
+def test_search_phrase(spark, tables):
+    """phrase matches consecutive tokens only, scored by
+    occurrence-count × ln(N/phrase-df)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mongo_arrow_spark.api import aggregate
+
+    docs = tables["documents"]
+    out = aggregate(
+        docs,
+        [
+            {"$search": {"phrase": {"query": "table scan", "path": "text"}}},
+            {"$project": {"doc_id": 1, "text": 1,
+                          "score": {"$meta": "searchScore"}}},
+        ],
+    )
+    rows = out.collect()
+    # tokens are single-space-split, so consecutive-token match ==
+    # word-boundary regex on the raw text
+    manual = docs.filter(F.col("text").rlike("(^| )table scan( |$)"))
+    assert len(rows) == manual.count() > 0
+    n = docs.count()
+    df_phrase = len(rows)
+    for r in rows:
+        occ = len(re.findall(r"(?=(^| )table scan( |$))", r["text"]))
+        assert r["score"] == pytest.approx(occ * math.log(n / df_phrase))
+    # bag-of-words decoy: has both terms but never adjacent → excluded
+    decoy = spark.createDataFrame(
+        [(1, "table big scan"), (2, "a table scan b")], ["doc_id", "text"]
+    )
+    got = aggregate(
+        decoy, [{"$search": {"phrase": {"query": "table scan", "path": "text"}}}]
+    ).collect()
+    assert [r["doc_id"] for r in got] == [2]
+
+
+def test_search_structured_operators(spark, tables):
+    """range/equals/exists/wildcard match like filters and carry a
+    constant 1.0 score each."""
+    from pyspark.sql import functions as F
+
+    from mongo_arrow_spark.api import aggregate
+
+    docs = tables["documents"]
+
+    out = aggregate(
+        docs,
+        [{"$search": {"range": {"path": "n_chars", "gte": 100, "lt": 200}}}],
+    )
+    manual = docs.filter((F.col("n_chars") >= 100) & (F.col("n_chars") < 200))
+    assert out.count() == manual.count() > 0
+
+    out = aggregate(
+        docs, [{"$search": {"equals": {"path": "lang", "value": "en"}}}]
+    )
+    assert out.count() == docs.filter(F.col("lang") == "en").count()
+
+    out = aggregate(docs, [{"$search": {"exists": {"path": "lang"}}}])
+    assert out.count() == docs.filter(F.col("lang").isNotNull()).count()
+
+    out = aggregate(
+        docs, [{"$search": {"wildcard": {"query": "e?", "path": "lang"}}}]
+    )
+    assert out.count() == docs.filter(F.col("lang").rlike("^e.$")).count() > 0
+
+    # constant scoring: a must range clause scores 1.0
+    scored = aggregate(
+        docs,
+        [
+            {"$search": {"range": {"path": "n_chars", "gte": 0}}},
+            {"$project": {"score": {"$meta": "searchScore"}}},
+            {"$limit": 5},
+        ],
+    ).collect()
+    assert all(r["score"] == 1.0 for r in scored)
+
+
+def test_search_compound_mixed_kinds(spark, tables):
+    """compound may mix text scoring with structured filter clauses;
+    filter clauses restrict but do not contribute score."""
+    from pyspark.sql import functions as F
+
+    from mongo_arrow_spark.api import aggregate
+
+    docs = tables["documents"]
+    mixed = aggregate(
+        docs,
+        [
+            {
+                "$search": {
+                    "compound": {
+                        "must": [{"text": {"query": "spark", "path": "text"}}],
+                        "filter": [
+                            {"range": {"path": "n_chars", "gte": 100}},
+                            {"exists": {"path": "lang"}},
+                        ],
+                        "mustNot": [
+                            {"phrase": {"query": "slow join", "path": "text"}}
+                        ],
+                    }
+                }
+            },
+            {"$project": {"doc_id": 1, "n_chars": 1, "text": 1,
+                          "score": {"$meta": "searchScore"}}},
+        ],
+    )
+    rows = mixed.collect()
+    assert len(rows) > 0
+    toks = F.split(F.col("text"), r" ", -1)
+    baseline = docs.filter(
+        F.array_contains(toks, "spark")
+        & (F.col("n_chars") >= 100)
+        & F.col("lang").isNotNull()
+        & ~F.col("text").rlike("(^| )slow join( |$)")
+    )
+    assert len(rows) == baseline.count()
+    for r in rows:
+        assert r["n_chars"] >= 100
+        assert "slow join" not in f' {r["text"]} '
+    # text-only sibling scores identically: filter adds no score
+    text_only = {
+        r["doc_id"]: r["score"]
+        for r in aggregate(
+            docs,
+            [
+                {"$search": {"text": {"query": "spark", "path": "text"}}},
+                {"$project": {"doc_id": 1,
+                              "score": {"$meta": "searchScore"}}},
+            ],
+        ).collect()
+    }
+    for r in rows:
+        assert r["score"] == pytest.approx(text_only[r["doc_id"]])
 
 
 def test_merge_mode_matrix(spark):
