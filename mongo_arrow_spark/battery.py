@@ -43,6 +43,7 @@ _DEMOTED = [
     # round-3 additions park below the window by construction — the graded
     # 50 stay byte-identical; these oracles run in tests/test_battery.py
     "mql_json_schema",
+    "mql_search_meta",
     "mql_bitwise_group",
     "mix_sources",
     "mql_rank_fusion",

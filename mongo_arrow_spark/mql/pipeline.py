@@ -1429,34 +1429,15 @@ def _vector_search(df, args, resolve):
     )
 
 
-@_stage("$search")
-def _search(df, args, resolve):
-    """Atlas ``$search`` with the ``text``, ``phrase``, ``range``,
-    ``equals``, ``exists`` and ``wildcard`` operators, standalone or under
-    ``compound`` (must/should/mustNot/filter). text scores by tf·ln(N/df)
-    per query term and phrase by occurrence-count·ln(N/phrase-df) (the
-    engine's TF-IDF model — SURVEY 2.E "text search" row; Atlas's BM25
-    constants are not public, so the scoring function differs while
-    ranking semantics — term-frequency × rarity — match);
-    range/equals/exists/wildcard are constant-score (1.0), as Atlas
-    scores non-text operators. Matching documents only, ordered by
-    descending score; {"$meta": "searchScore"} exposes the score
-    downstream.
+#: operator kinds the $search / $searchMeta clause parser accepts
+_SEARCH_OPERATORS = ("text", "phrase", "range", "equals", "exists", "wildcard")
 
-    Compound semantics mirror Atlas: must and filter clauses are
-    conjunctive, mustNot clauses are negated, should clauses add score
-    (and, when no must/filter exists, at least one should must match);
-    filter and mustNot contribute no score.
 
-    Plan: ONE aggregate computes document frequencies for every term of
-    every clause (broadcast 1 row), then a map-side score + predicate;
-    ordering is a global sort only if the caller keeps it (follow with
-    $limit for TakeOrdered).
-    """
-    from mongo_arrow_spark.operators.text import tokens
-
-    _OPERATORS = ("text", "phrase", "range", "equals", "exists", "wildcard")
-    if any(k in args for k in _OPERATORS):
+def _parse_search_clauses(args):
+    """Operator spec (standalone or under ``compound``) →
+    {must/should/mustNot/filter: [typed clause dicts]}. Shared by
+    ``$search`` and ``$searchMeta``."""
+    if any(k in args for k in _SEARCH_OPERATORS):
         clauses = {"must": [args], "should": [], "mustNot": [], "filter": []}
     elif "compound" in args:
         comp = args["compound"]
@@ -1473,12 +1454,7 @@ def _search(df, args, resolve):
         )
 
     def parse_clause(clause):
-        """One compound clause → a typed spec. text/phrase score by
-        tf·ln(N/df); range/equals/exists/wildcard are constant-score
-        (1.0), matching Atlas's constant scoring for non-text operators."""
-        kinds = [k for k in clause if k in (
-            "text", "phrase", "range", "equals", "exists", "wildcard"
-        )]
+        kinds = [k for k in clause if k in _SEARCH_OPERATORS]
         if len(kinds) != 1:
             raise MQLTranslationError(
                 "compound clauses support exactly one of text/phrase/"
@@ -1507,33 +1483,106 @@ def _search(df, args, resolve):
         )
         return {"kind": kind, "path": path, "regex": f"^{pat}$"}
 
-    parsed = {k: [parse_clause(c) for c in cs] for k, cs in clauses.items()}
+    return {k: [parse_clause(c) for c in cs] for k, cs in clauses.items()}
+
+
+def _search_phrase_count(path, terms):
+    """Occurrences of `terms` as consecutive tokens of `path` — a sliding
+    window over F.sequence start positions, all JVM-side HOFs."""
+    from mongo_arrow_spark.operators.text import tokens
+
+    toks = tokens(path)
+    L = len(terms)
+
+    def window_hits(i):
+        m = F.lit(True)
+        for j, t in enumerate(terms):
+            m = m & (F.element_at(toks, i + F.lit(j)) == F.lit(t))
+        return m
+
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(L - 1))
+    return F.when(
+        F.size(toks) >= F.lit(L),
+        F.size(F.filter(starts, window_hits)),
+    ).otherwise(F.lit(0))
+
+
+def _search_clause_match(c):
+    """Boolean match Column for one parsed clause (no scoring)."""
+    from mongo_arrow_spark.operators.text import tokens
+
+    if c["kind"] == "text":
+        toks = tokens(c["path"])
+        m = F.lit(False)
+        for t in c["terms"]:
+            m = m | F.array_contains(toks, F.lit(t))
+        return m
+    if c["kind"] == "phrase":
+        return _search_phrase_count(c["path"], c["terms"]) > 0
+    if c["kind"] == "range":
+        ops = {"gt": Column.__gt__, "gte": Column.__ge__,
+               "lt": Column.__lt__, "lte": Column.__le__}
+        m = F.lit(True)
+        for k, v in c["bounds"].items():
+            m = m & ops[k](F.col(c["path"]), F.lit(v))
+        return m
+    if c["kind"] == "equals":
+        return F.col(c["path"]).eqNullSafe(F.lit(c["value"]))
+    if c["kind"] == "exists":
+        return F.col(c["path"]).isNotNull()
+    return F.col(c["path"]).rlike(c["regex"])  # wildcard
+
+
+def _search_match_pred(parsed):
+    """Combined predicate: must and filter conjoin, mustNot negates, and
+    when only should clauses exist at least one must match."""
+    pred = F.lit(True)
+    for c in parsed["must"] + parsed["filter"]:
+        pred = pred & _search_clause_match(c)
+    for c in parsed["mustNot"]:
+        pred = pred & ~_search_clause_match(c)
+    if not parsed["must"] and not parsed["filter"] and parsed["should"]:
+        any_should = F.lit(False)
+        for c in parsed["should"]:
+            any_should = any_should | _search_clause_match(c)
+        pred = pred & any_should
+    return pred
+
+
+@_stage("$search")
+def _search(df, args, resolve):
+    """Atlas ``$search`` with the ``text``, ``phrase``, ``range``,
+    ``equals``, ``exists`` and ``wildcard`` operators, standalone or under
+    ``compound`` (must/should/mustNot/filter). text scores by tf·ln(N/df)
+    per query term and phrase by occurrence-count·ln(N/phrase-df) (the
+    engine's TF-IDF model — SURVEY 2.E "text search" row; Atlas's BM25
+    constants are not public, so the scoring function differs while
+    ranking semantics — term-frequency × rarity — match);
+    range/equals/exists/wildcard are constant-score (1.0), as Atlas
+    scores non-text operators. Matching documents only, ordered by
+    descending score; {"$meta": "searchScore"} exposes the score
+    downstream.
+
+    Compound semantics mirror Atlas: must and filter clauses are
+    conjunctive, mustNot clauses are negated, should clauses add score
+    (and, when no must/filter exists, at least one should must match);
+    filter and mustNot contribute no score.
+
+    Plan: ONE aggregate computes document frequencies for every term of
+    every clause (broadcast 1 row), then a map-side score + predicate;
+    ordering is a global sort only if the caller keeps it (follow with
+    $limit for TakeOrdered).
+    """
+    from mongo_arrow_spark.operators.text import tokens
+
+    parsed = _parse_search_clauses(args)
     every = [c for cs in parsed.values() for c in cs]
     # one DF-stats pass: term dfs for text clauses, phrase dfs for phrases
     all_terms = sorted(
         {(c["path"], t) for c in every if c["kind"] == "text" for t in c["terms"]}
     )
     idx = {pt: i for i, pt in enumerate(all_terms)}
-
-    def phrase_count(path, terms):
-        toks = tokens(path)
-        L = len(terms)
-
-        def at(i, j, t):
-            return F.element_at(toks, i + F.lit(j)) == F.lit(t)
-
-        def window_hits(i):
-            m = F.lit(True)
-            for j, t in enumerate(terms):
-                m = m & at(i, j, t)
-            return m
-
-        starts = F.sequence(F.lit(1), F.size(toks) - F.lit(L - 1))
-        return F.when(
-            F.size(toks) >= F.lit(L),
-            F.size(F.filter(starts, window_hits)),
-        ).otherwise(F.lit(0))
-
+    phrase_count = _search_phrase_count
     phrases = [c for c in every if c["kind"] == "phrase"]
     stats = df.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -1559,27 +1608,7 @@ def _search(df, args, resolve):
 
         return F.size(F.filter(tokens(path), pred))
 
-    def clause_match(c):
-        if c["kind"] == "text":
-            toks = tokens(c["path"])
-            m = F.lit(False)
-            for t in c["terms"]:
-                m = m | F.array_contains(toks, F.lit(t))
-            return m
-        if c["kind"] == "phrase":
-            return phrase_count(c["path"], c["terms"]) > 0
-        if c["kind"] == "range":
-            ops = {"gt": Column.__gt__, "gte": Column.__ge__,
-                   "lt": Column.__lt__, "lte": Column.__le__}
-            m = F.lit(True)
-            for k, v in c["bounds"].items():
-                m = m & ops[k](F.col(c["path"]), F.lit(v))
-            return m
-        if c["kind"] == "equals":
-            return F.col(c["path"]).eqNullSafe(F.lit(c["value"]))
-        if c["kind"] == "exists":
-            return F.col(c["path"]).isNotNull()
-        return F.col(c["path"]).rlike(c["regex"])  # wildcard
+    clause_match = _search_clause_match
 
     def clause_score(c):
         if c["kind"] == "text":
@@ -1605,16 +1634,7 @@ def _search(df, args, resolve):
     score = F.lit(0.0)
     for c in parsed["must"] + parsed["should"]:
         score = score + clause_score(c)
-    pred = F.lit(True)
-    for c in parsed["must"] + parsed["filter"]:
-        pred = pred & clause_match(c)
-    for c in parsed["mustNot"]:
-        pred = pred & ~clause_match(c)
-    if not parsed["must"] and not parsed["filter"] and parsed["should"]:
-        any_should = F.lit(False)
-        for c in parsed["should"]:
-            any_should = any_should | clause_match(c)
-        pred = pred & any_should
+    pred = _search_match_pred(parsed)
 
     drop = (
         ["__n"]
@@ -1627,6 +1647,154 @@ def _search(df, args, resolve):
         .filter(pred)
         .drop(*drop)
         .orderBy(F.col("__search_score").desc())
+    )
+
+
+@_stage("$searchMeta")
+def _search_meta(df, args, resolve):
+    """Atlas ``$searchMeta``: metadata about a search predicate without
+    returning the documents — one row ``{count: {lowerBound}}`` plus, for
+    the ``facet`` collector, ``{facet: {name: {buckets: [{_id, count}]}}}``.
+
+    Forms::
+
+        {"$searchMeta": {<operator>: ...}}                     # count only
+        {"$searchMeta": {"compound": {...}}}                   # count only
+        {"$searchMeta": {"facet": {"operator": <spec>,         # optional
+                                   "facets": {name: <facet>}}}}
+
+    Facet collectors (the Atlas spec):
+    ``{"type": "string", "path": p, "numBuckets": k}`` (default 10),
+    ``{"type": "number"|"date", "path": p, "boundaries": [...],
+    "default": label}``. Counts are exact — ``count.lowerBound`` equals
+    the true total (Atlas reports a lower bound only because its index
+    may skip counting; exact is a valid lower bound). String buckets
+    order by count desc then _id asc (deterministic tie-break; Atlas
+    leaves ties unspecified); number/date buckets keep boundary order
+    with the default bucket last.
+
+    Plan: one filter, then per facet a hash groupBy reduced to a
+    single-row array; the single rows combine via broadcast crossJoin —
+    nothing data-sized survives the aggregations.
+    """
+    spec = {k: v for k, v in args.items() if k not in ("index", "count")}
+    facets_spec = None
+    if "facet" in spec:
+        op = spec["facet"].get("operator")
+        facets_spec = spec["facet"].get("facets") or {}
+        pred = _search_match_pred(_parse_search_clauses(op)) if op else F.lit(True)
+    else:
+        pred = _search_match_pred(_parse_search_clauses(spec))
+    matched = df.filter(pred)
+
+    out = matched.agg(
+        F.struct(F.count(F.lit(1)).alias("lowerBound")).alias("count")
+    )
+    if facets_spec is None:
+        return out
+
+    def by_ord(left, right):
+        return (
+            F.when(left["__ord"] < right["__ord"], -1)
+            .when(left["__ord"] > right["__ord"], 1)
+            .otherwise(0)
+            .cast("int")
+        )
+
+    def strip_ord(b):
+        return F.struct(b["_id"].alias("_id"), b["count"].alias("count"))
+
+    for i, (name, fs) in enumerate(facets_spec.items()):
+        ftype = fs.get("type")
+        path = fs["path"]
+        if ftype == "string":
+            k = int(fs.get("numBuckets", 10))
+            grouped = (
+                matched.filter(F.col(path).isNotNull())
+                .groupBy(F.col(path).alias("_id"))
+                .agg(F.count(F.lit(1)).alias("count"))
+            )
+
+            def by_count_desc(left, right):
+                return (
+                    F.when(left["count"] > right["count"], -1)
+                    .when(left["count"] < right["count"], 1)
+                    .when(left["_id"] < right["_id"], -1)
+                    .when(left["_id"] > right["_id"], 1)
+                    .otherwise(0)
+                    .cast("int")
+                )
+
+            buckets = F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("_id", "count")), by_count_desc
+                ),
+                1,
+                k,
+            )
+            one = grouped.agg(
+                F.struct(buckets.alias("buckets")).alias(f"__facet_{i}")
+            )
+        elif ftype in ("number", "date"):
+            bounds = fs["boundaries"]
+            if len(bounds) < 2:
+                raise MQLTranslationError(
+                    f"$searchMeta facet '{name}' needs >= 2 boundaries"
+                )
+            c = F.col(path)
+            # a default label is usually a string next to numeric/date
+            # boundary ids; ANSI mode refuses that coercion, so the whole
+            # _id column goes string when a default exists
+            def blit(v):
+                lit = F.lit(v)
+                return lit.cast("string") if "default" in fs else lit
+
+            lab, ordc = None, None
+            for j, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+                cond = (c >= F.lit(lo)) & (c < F.lit(hi))
+                lab = (
+                    F.when(cond, blit(lo))
+                    if lab is None
+                    else lab.when(cond, blit(lo))
+                )
+                ordc = (
+                    F.when(cond, F.lit(j))
+                    if ordc is None
+                    else ordc.when(cond, F.lit(j))
+                )
+            if "default" in fs:
+                lab = lab.otherwise(blit(fs["default"]))
+                ordc = ordc.otherwise(F.lit(len(bounds)))
+            grouped = (
+                matched.withColumn("__fb", lab)
+                .withColumn("__fo", ordc)
+                .filter(F.col("__fb").isNotNull())
+                .groupBy(F.col("__fb").alias("_id"), F.col("__fo").alias("__ord"))
+                .agg(F.count(F.lit(1)).alias("count"))
+            )
+            buckets = F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_id", "count", "__ord")), by_ord
+                ),
+                strip_ord,
+            )
+            one = grouped.agg(
+                F.struct(buckets.alias("buckets")).alias(f"__facet_{i}")
+            )
+        else:
+            raise MQLTranslationError(
+                f"$searchMeta facet type must be string/number/date, got {ftype!r}"
+            )
+        out = out.crossJoin(F.broadcast(one))
+
+    return out.select(
+        "count",
+        F.struct(
+            *[
+                F.col(f"__facet_{i}").alias(name)
+                for i, name in enumerate(facets_spec)
+            ]
+        ).alias("facet"),
     )
 
 

@@ -827,3 +827,64 @@ def mql_rank_fusion(spark, sf_dir):
                           "score": {"$round": [{"$meta": "score"}, 6]}}},
         ],
     )
+
+
+@query(
+    "mql_search_meta",
+    """
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE n_chars >= 50)
+        AS match_count,
+      (SELECT to_json(list(struct_pack(_id := _id, count := cnt)
+                           ORDER BY cnt DESC, _id))
+       FROM (SELECT lang AS _id, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM documents WHERE n_chars >= 50 AND lang IS NOT NULL
+             GROUP BY 1 ORDER BY cnt DESC, _id LIMIT 3)) AS lang_buckets,
+      (SELECT to_json(list(struct_pack(_id := _id, count := cnt) ORDER BY ord))
+       FROM (SELECT CASE WHEN n_chars < 200 THEN '50'
+                         WHEN n_chars < 400 THEN '200'
+                         ELSE 'other' END AS _id,
+                    CASE WHEN n_chars < 200 THEN 0
+                         WHEN n_chars < 400 THEN 1
+                         ELSE 2 END AS ord,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM documents WHERE n_chars >= 50
+             GROUP BY 1, 2)) AS size_buckets
+    """,
+)
+def mql_search_meta(spark, sf_dir):
+    """$searchMeta: facet metadata (count + string/number facet buckets)
+    for a range operator, flattened to JSON cells for the canonicalizer
+    (the mql_facet precedent). Bucket order is deterministic by
+    construction: string facets sort count desc/_id asc, number facets
+    keep boundary order with the default bucket last."""
+    out = aggregate(
+        _t(spark, sf_dir, "documents"),
+        [
+            {
+                "$searchMeta": {
+                    "facet": {
+                        "operator": {"range": {"path": "n_chars", "gte": 50}},
+                        "facets": {
+                            "langs": {
+                                "type": "string",
+                                "path": "lang",
+                                "numBuckets": 3,
+                            },
+                            "sizes": {
+                                "type": "number",
+                                "path": "n_chars",
+                                "boundaries": [50, 200, 400],
+                                "default": "other",
+                            },
+                        },
+                    }
+                }
+            }
+        ],
+    )
+    return out.select(
+        F.col("count.lowerBound").alias("match_count"),
+        F.to_json(F.col("facet.langs.buckets")).alias("lang_buckets"),
+        F.to_json(F.col("facet.sizes.buckets")).alias("size_buckets"),
+    )

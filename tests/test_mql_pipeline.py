@@ -874,6 +874,172 @@ def test_search_compound_mixed_kinds(spark, tables):
         assert r["score"] == pytest.approx(text_only[r["doc_id"]])
 
 
+def test_search_meta_count(spark, tables):
+    from mongo_arrow_spark.api import aggregate
+
+    docs = tables["documents"]
+    out = aggregate(
+        docs, [{"$searchMeta": {"text": {"query": "spark", "path": "text"}}}]
+    ).collect()
+    assert len(out) == 1
+    toks = F.split(F.col("text"), r" ", -1)
+    want = docs.filter(F.array_contains(toks, "spark")).count()
+    assert out[0]["count"]["lowerBound"] == want > 0
+
+    # compound form counts the conjunction
+    out = aggregate(
+        docs,
+        [
+            {
+                "$searchMeta": {
+                    "compound": {
+                        "must": [{"text": {"query": "spark", "path": "text"}}],
+                        "filter": [{"range": {"path": "n_chars", "gte": 100}}],
+                    }
+                }
+            }
+        ],
+    ).collect()
+    want = docs.filter(
+        F.array_contains(toks, "spark") & (F.col("n_chars") >= 100)
+    ).count()
+    assert out[0]["count"]["lowerBound"] == want
+
+
+def test_search_meta_facets(spark, tables):
+    from mongo_arrow_spark.api import aggregate
+
+    docs = tables["documents"]
+    out = aggregate(
+        docs,
+        [
+            {
+                "$searchMeta": {
+                    "facet": {
+                        "operator": {"range": {"path": "n_chars", "gte": 50}},
+                        "facets": {
+                            "langs": {
+                                "type": "string",
+                                "path": "lang",
+                                "numBuckets": 3,
+                            },
+                            "sizes": {
+                                "type": "number",
+                                "path": "n_chars",
+                                "boundaries": [50, 200, 400],
+                                "default": "other",
+                            },
+                        },
+                    }
+                }
+            }
+        ],
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    matched = docs.filter(F.col("n_chars") >= 50)
+    assert row["count"]["lowerBound"] == matched.count()
+
+    # string facet: top-3 langs by count desc, _id asc tie-break
+    want = sorted(
+        [
+            (r["lang"], r["cnt"])
+            for r in matched.filter(F.col("lang").isNotNull())
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ],
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:3]
+    got = [(b["_id"], b["count"]) for b in row["facet"]["langs"]["buckets"]]
+    assert got == want
+
+    # number facet: boundary order, default bucket last; when/otherwise
+    # type-coercion makes _id a string when a default label exists
+    got = [(b["_id"], b["count"]) for b in row["facet"]["sizes"]["buckets"]]
+    b1 = matched.filter((F.col("n_chars") >= 50) & (F.col("n_chars") < 200))
+    b2 = matched.filter((F.col("n_chars") >= 200) & (F.col("n_chars") < 400))
+    rest = matched.filter(F.col("n_chars") >= 400)
+    assert got == [
+        ("50", b1.count()),
+        ("200", b2.count()),
+        ("other", rest.count()),
+    ]
+
+
+def test_search_meta_date_facet_and_errors(spark, tables):
+    import datetime
+
+    from mongo_arrow_spark.api import aggregate
+
+    ev = tables["events"].limit(2000)
+    bounds = [
+        datetime.datetime(2024, 1, 1),
+        datetime.datetime(2024, 7, 1),
+        datetime.datetime(2025, 1, 1),
+        datetime.datetime(2026, 1, 1),
+    ]
+    out = aggregate(
+        ev,
+        [
+            {
+                "$searchMeta": {
+                    "facet": {
+                        "facets": {
+                            "periods": {
+                                "type": "date",
+                                "path": "ts",
+                                "boundaries": bounds,
+                            }
+                        }
+                    }
+                }
+            }
+        ],
+    ).collect()
+    buckets = out[0]["facet"]["periods"]["buckets"]
+    total = sum(b["count"] for b in buckets)
+    want = ev.filter(
+        (F.col("ts") >= F.lit(bounds[0])) & (F.col("ts") < F.lit(bounds[-1]))
+    ).count()
+    assert total == want > 0
+    assert [b["_id"] for b in buckets] == sorted(b["_id"] for b in buckets)
+
+    docs = tables["documents"]
+    with pytest.raises(MQLTranslationError, match="facet type"):
+        aggregate(
+            docs,
+            [
+                {
+                    "$searchMeta": {
+                        "facet": {
+                            "facets": {"x": {"type": "boolean", "path": "lang"}}
+                        }
+                    }
+                }
+            ],
+        )
+    with pytest.raises(MQLTranslationError, match="boundaries"):
+        aggregate(
+            docs,
+            [
+                {
+                    "$searchMeta": {
+                        "facet": {
+                            "facets": {
+                                "x": {
+                                    "type": "number",
+                                    "path": "n_chars",
+                                    "boundaries": [1],
+                                }
+                            }
+                        }
+                    }
+                }
+            ],
+        )
+
+
 def test_merge_mode_matrix(spark):
     from mongo_arrow_spark.api import aggregate
     from mongo_arrow_spark.errors import MQLTranslationError
