@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mongo_arrow_spark.operators.text import tokens
+from mongo_arrow_spark.operators.text import bind, tokens
 
 
 def exact_dedup_stats(
@@ -45,13 +45,20 @@ def exact_dedup(
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM higher-order fns)."""
-    toks = tokens(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    """Distinct word n-gram shingles of a text column (JVM higher-order fns).
+
+    The token array is let-bound (``bind``) so the regex split runs once per
+    row, not once per gram — re-evaluating it inside the per-gram lambda is
+    O(tokens²) per row and dominated the dedup pipelines through round 3.
+    """
+    return bind(
+        tokens(col),
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            )
+        ),
     )
 
 

@@ -18,13 +18,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mongo_arrow_spark.operators.text import tokens
+from mongo_arrow_spark.operators.text import bind, tokens
 
 # --------------------------------------------------------------- repetition
 
 
 def _ngrams(toks: Column, n: int) -> Column:
-    """All (overlapping, non-distinct) word n-grams of a token array."""
+    """All (overlapping, non-distinct) word n-grams of a token array.
+
+    ``toks`` must be a cheap reference (a bound lambda variable or a real
+    column) — it is re-read inside the per-gram lambda; callers wrap
+    expensive expressions with ``text.bind`` first.
+    """
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
@@ -45,60 +50,78 @@ def repetition_metrics(
       drops docs where the top 2-gram covers > 0.20 of the text.
     - ``max_ngram_count``: occurrences of that most frequent n-gram.
 
-    Plan: one explode of n-grams → count per (doc, gram) with map-side
-    partial aggregation → max per doc → broadcast-free join back on the
-    id. Token/char stats stay in the narrow pre-explode projection.
+    Plan: **zero shuffles**. The most-frequent n-gram is a per-document
+    statistic, so it never needs a (doc, gram) aggregation across rows:
+    grams are xxhash64-folded to ``(hash, length)`` structs, sorted
+    row-locally (``array_sort`` groups equal grams adjacently), and a
+    single ``F.aggregate`` run-length scan finds the best (count, length)
+    pair — all inside whole-stage codegen. The winner is max by
+    (count, gram length), matching the relational
+    ``max(struct(c, glen))`` tie-break. At 100 TB this is a map-only
+    pass: same plan, no exchange, no skew surface. (Through round 3 this
+    exploded grams into a per-(doc, gram) count shuffle — correct but
+    moving ~tokens×16 bytes through the wire for a row-local answer.)
     """
-    toks = tokens(text_col)
-    base = df.select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
-        F.length(text_col).cast("long").alias("n_chars_q"),
-        _ngrams(toks, top_ngram_n).alias("__grams"),
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit(None).cast("long").alias("ph"),
+        zero.alias("run"),
+        zero.alias("bc"),
+        zero.alias("bglen"),
     )
-    # grams are xxhash64-folded before the count shuffle (8-byte keys, not
-    # gram strings — the same trick as the dedup posting lists); the gram
-    # length rides along since equal grams have equal length, and the
-    # per-doc winner is max by (count, length) either way
-    top = (
-        base.select(id_col, F.explode("__grams").alias("g"))
-        .select(
-            id_col,
-            F.xxhash64("g").alias("gh"),
-            F.length("g").cast("long").alias("glen"),
+
+    def step(acc, x):
+        run = (
+            F.when(x["h"] == acc["ph"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
         )
-        .groupBy(id_col, "gh")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("c"),
-            F.first("glen").alias("glen"),
+        better = (run > acc["bc"]) | (
+            (run == acc["bc"]) & (x["glen"] > acc["bglen"])
         )
-        .groupBy(id_col)
-        .agg(F.max(F.struct(F.col("c"), F.col("glen"))).alias("__top"))
-        .select(
-            id_col,
-            F.col("__top.c").alias("max_ngram_count"),
-            F.col("__top.glen").alias("__top_glen"),
+        return F.struct(
+            x["h"].alias("ph"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, x["glen"]).otherwise(acc["bglen"]).alias("bglen"),
         )
-    )
-    return (
-        base.drop("__grams")
-        .join(top, id_col)
-        .select(
-            id_col,
-            "n_tokens",
-            (1.0 - F.col("n_distinct_tokens") / F.col("n_tokens"))
-            .cast("double")
-            .alias("dup_token_fraction"),
-            "max_ngram_count",
-            (
-                F.col("max_ngram_count")
-                * F.col("__top_glen")
-                / F.col("n_chars_q")
+
+    def doc_stats(t):
+        # equal grams have equal hashes AND equal lengths, so sorting the
+        # (hash, len) structs clusters duplicates; the scan tracks the
+        # current run and the best-so-far (count, len) lexicographically
+        gr = F.array_sort(
+            F.transform(
+                _ngrams(t, top_ngram_n),
+                lambda g: F.struct(
+                    F.xxhash64(g).alias("h"),
+                    F.length(g).cast("long").alias("glen"),
+                ),
             )
-            .cast("double")
-            .alias("top_ngram_char_fraction"),
         )
+        top = F.aggregate(gr, acc0, step)
+        return F.struct(
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+            top["bc"].alias("bc"),
+            top["bglen"].alias("bglen"),
+        )
+
+    stats = bind(tokens(text_col), doc_stats)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars_q"),
+        stats.alias("__s"),
+    ).select(
+        id_col,
+        F.col("__s.n_tokens").alias("n_tokens"),
+        (1.0 - F.col("__s.n_distinct") / F.col("__s.n_tokens"))
+        .cast("double")
+        .alias("dup_token_fraction"),
+        F.col("__s.bc").alias("max_ngram_count"),
+        (F.col("__s.bc") * F.col("__s.bglen") / F.col("n_chars_q"))
+        .cast("double")
+        .alias("top_ngram_char_fraction"),
     )
 
 
@@ -196,21 +219,25 @@ def chunk_tokens(
     """
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
-    toks = tokens(text_col)
-    # the sequence end extends a full stride past the last full-window
-    # start so the tail window always exists: stopping at n-chunk+1 drops
-    # up to stride-1 trailing tokens whenever (n-chunk) % stride != 0
-    # (caught by the chunk-coverage property test)
-    starts = F.sequence(
-        F.lit(1),
-        # clamp to n so stride > chunk_size can't emit empty windows
-        F.least(
-            F.greatest(F.size(toks) - chunk_size, F.lit(0)) + F.lit(stride),
-            F.size(toks),
-        ),
-        F.lit(stride),
-    )
-    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
+
+    def chunks_of(t):
+        # the sequence end extends a full stride past the last full-window
+        # start so the tail window always exists: stopping at n-chunk+1
+        # drops up to stride-1 trailing tokens whenever (n-chunk) % stride
+        # != 0 (caught by the chunk-coverage property test)
+        starts = F.sequence(
+            F.lit(1),
+            # clamp to n so stride > chunk_size can't emit empty windows
+            F.least(
+                F.greatest(F.size(t) - chunk_size, F.lit(0)) + F.lit(stride),
+                F.size(t),
+            ),
+            F.lit(stride),
+        )
+        return F.transform(starts, lambda s: F.slice(t, s, chunk_size))
+
+    # token array let-bound: the regex split must not re-run per window
+    chunks = bind(tokens(text_col), chunks_of)
     return df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_id", "__c"),

@@ -32,8 +32,11 @@ def norm(v: Column) -> Column:
 
 
 def normalize(v: Column) -> Column:
-    n = norm(v)
-    return F.transform(v, lambda x: x.cast("double") / n)
+    # the norm is let-bound so the O(d) aggregate runs once, not once per
+    # element inside the transform lambda (O(d²) per row otherwise)
+    from mongo_arrow_spark.operators.text import bind
+
+    return bind(norm(v), lambda n: F.transform(v, lambda x: x.cast("double") / n))
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -20,6 +20,22 @@ def tokens(col: Column | str) -> Column:
     return F.split(col, r" ", -1)
 
 
+def bind(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE and pass
+    it to ``body`` as a lambda variable.
+
+    Catalyst does common-subexpression elimination for ordinary projections,
+    but an expression captured inside a higher-order-function lambda is
+    re-evaluated on every element — embedding ``tokens(text)`` in a
+    per-gram lambda turns an O(tokens) regex split into O(tokens²) work
+    per row (measured 4× on shingle construction at sf0.1). Wrapping the
+    value in a 1-element array and transforming it binds the result to a
+    lambda variable, which IS evaluated once, giving `let x = v in f(x)`
+    semantics inside a single Column tree.
+    """
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 

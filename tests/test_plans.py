@@ -112,13 +112,14 @@ def test_quality_projections_no_shuffle(spark, tables):
             assert "Exchange" not in p, f"{name} plan shuffles:\n{p}"
 
 
-def test_repetition_partial_agg_and_no_cartesian(spark, tables):
-    """Top-n-gram count must partial-aggregate map-side before its single
-    shuffle; the join back on doc_id must not be a nested-loop."""
+def test_repetition_is_shuffle_free(spark, tables):
+    """The top-n-gram statistic is per-document, so the whole metric must
+    compile to a map-only pass: no exchange, no join, no aggregate — the
+    run-length scan happens inside the row via higher-order functions."""
     p = plan_of(spark, "text_repetition")
-    assert p.count("HashAggregate") >= 2
+    assert "Exchange" not in p
+    assert "Join" not in p
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_knn_join_broadcasts_query_side(spark, tables):
