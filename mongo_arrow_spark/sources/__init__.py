@@ -8,10 +8,24 @@ enforcement and first-non-null schema inference — yielding Arrow
 RecordBatches so rows never materialize in Python objects on the hot path.
 """
 
+from mongo_arrow_spark.sources.bucketed import (
+    bucket_spec,
+    colocated_join,
+    read_bucketed,
+    save_bucketed,
+)
 from mongo_arrow_spark.sources.documents import (
     DocumentsDataSource,
     infer_schema,
     register,
 )
 
-__all__ = ["DocumentsDataSource", "infer_schema", "register"]
+__all__ = [
+    "DocumentsDataSource",
+    "infer_schema",
+    "register",
+    "save_bucketed",
+    "read_bucketed",
+    "bucket_spec",
+    "colocated_join",
+]
