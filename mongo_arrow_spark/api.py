@@ -561,6 +561,32 @@ class Collection:
     def estimated_document_count(self) -> int:
         return self.df.count()
 
+    def watch(
+        self,
+        log_path: str,
+        pipeline: list | None = None,
+        resume_after: int | None = None,
+        operation_types: list | None = None,
+        full_document_ddl: str | None = None,
+    ) -> DataFrame:
+        """Open a change stream (pymongo ``Collection.watch`` parity) over a
+        change-log directory; post-image schema defaults to this
+        collection's own. Returns a STREAMING DataFrame — compose with
+        watermarks/sinks downstream."""
+        from mongo_arrow_spark.streaming.changes import watch
+
+        ddl = full_document_ddl or ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in self.df.schema.fields
+        )
+        return watch(
+            self.df.sparkSession,
+            log_path,
+            ddl,
+            pipeline=pipeline,
+            resume_after=resume_after,
+            operation_types=operation_types,
+        )
+
 
 class CappedCollection(Collection):
     """Size-capped, insertion-ordered collection — the Spark analog of a

@@ -848,11 +848,9 @@ def _parse_type(s: str) -> T.DataType:
         k, v = _split_top(s[4:-1])
         return T.MapType(_parse_type(k), _parse_type(v))
     if low.startswith("struct<") and s.endswith(">"):
-        fields = []
-        for part in _split_top(s[7:-1]):
-            name, _, t = part.strip().partition(":")
-            fields.append(T.StructField(name.strip(), _parse_type(t), True))
-        return T.StructType(fields)
+        # field lists accept both `name:type` and `name type` forms,
+        # like Spark's own DDL parser
+        return _parse_ddl(s[7:-1])
     raise SchemaError(f"cannot parse DDL type: {s!r}")
 
 

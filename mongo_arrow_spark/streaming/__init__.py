@@ -1,6 +1,12 @@
 """Structured Streaming operators — new capability vs the batch-only
 reference (SURVEY 2.E 'streaming': absent there, driver-mandated here)."""
 
+from mongo_arrow_spark.streaming.changes import (
+    apply_changes,
+    change_event_ddl,
+    diff_snapshots,
+    watch,
+)
 from mongo_arrow_spark.streaming.events import (
     read_document_stream,
     sessionized,
@@ -17,4 +23,8 @@ __all__ = [
     "stream_dedup",
     "stream_dedup_within_watermark",
     "running_totals_stateful",
+    "watch",
+    "change_event_ddl",
+    "diff_snapshots",
+    "apply_changes",
 ]
