@@ -46,6 +46,9 @@ HEADLINE = [
     "dedup_components",
     "decontaminate_pairs",
     "chunk_tokens",
+    # round-4 additions (keys added r4)
+    "cdc_apply",
+    "cdc_watch_stream",
 ]
 
 

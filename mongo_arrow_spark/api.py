@@ -469,15 +469,48 @@ class Collection:
     stand-in, giving the monkey-patched method surface (reference
     monkey.py:19-40) as plain methods."""
 
-    def __init__(self, df: DataFrame, name: str = "collection", collections=None):
+    def __init__(
+        self,
+        df: DataFrame,
+        name: str = "collection",
+        collections=None,
+        change_log: str | None = None,
+    ):
         self.df = df
         self.name = name
         self.collections = collections or {}
+        self.change_log = change_log
 
     def find(self, query=None, **kw):
         return find(self.df, query, **kw)
 
     def aggregate(self, pipeline, **kw):
+        # MongoDB equivalence: watch(p) == aggregate([{$changeStream}, *p]).
+        # A leading $changeStream turns the source into the change-log
+        # readStream; the rest of the pipeline applies to the stream
+        # (stateless stages compose; stateful ones need watermarks and
+        # raise from Spark's own streaming checks).
+        if (
+            pipeline
+            and isinstance(pipeline[0], dict)
+            and list(pipeline[0]) == ["$changeStream"]
+        ):
+            args = pipeline[0]["$changeStream"] or {}
+            if self.change_log is None:
+                raise ValueError(
+                    "$changeStream needs Collection(change_log=...) — the "
+                    "directory this collection's change events land in"
+                )
+            stream = self.watch(
+                self.change_log,
+                resume_after=args.get("resumeAfter"),
+            )
+            rest = pipeline[1:]
+            if not rest:
+                return stream
+            from mongo_arrow_spark.mql.pipeline import apply_pipeline
+
+            return apply_pipeline(stream, rest, self.collections)
         kw.setdefault("collections", self.collections)
         return aggregate(self.df, pipeline, **kw)
 

@@ -734,6 +734,53 @@ def _documents(df, args, resolve):
     return df.sparkSession.createDataFrame(args)
 
 
+@_stage("$collStats")
+def _coll_stats(df, args, resolve):
+    """Collection statistics (server stage, first-in-pipeline): one summary
+    document. ``count`` is exact; ``storageStats`` reports what a
+    DataFrame-backed collection can honestly know — schema width and the
+    scanned parquet bytes when the frame has a file source (from the
+    plan's input files; 0 for purely derived frames). ``latencyStats`` has
+    no meaning off-server and raises.
+
+    Scale: the count is a partial-agg COUNT(*) (parquet metadata-only when
+    the frame is a bare scan); file sizes are driver-side footer stats —
+    nothing scans data twice.
+    """
+    if not isinstance(args, dict):
+        raise MQLTranslationError("$collStats requires a document")
+    unknown = set(args) - {"count", "storageStats"}
+    if unknown:
+        raise MQLTranslationError(
+            f"$collStats supports count/storageStats here, got {sorted(unknown)}"
+        )
+    cols = []
+    if "count" in args:
+        cols.append(F.count(F.lit(1)).cast("long").alias("count"))
+    if "storageStats" in args:
+        import os as _os
+
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
+        size = 0
+        for f in files:
+            p = f[len("file:"):] if f.startswith("file:") else f
+            try:
+                size += _os.path.getsize(p)
+            except OSError:
+                pass
+        cols.append(
+            F.lit(size).cast("long").alias("storageSize")
+        )
+        cols.append(F.lit(len(files)).cast("long").alias("numFiles"))
+        cols.append(F.lit(len(df.columns)).cast("long").alias("numFields"))
+    if not cols:
+        raise MQLTranslationError("$collStats: pass count and/or storageStats")
+    return df.agg(*cols) if "count" in args else df.limit(0).agg(*cols)
+
+
 @_stage("$sample")
 def _sample(df, args, resolve):
     """Random N docs. TakeOrdered over rand() — top-k per partition then

@@ -426,6 +426,7 @@ def connected_components(
         )
         stepped = labels.join(nbr, labels["v"] == nbr["src"], "left").select(
             F.col("v"),
+            F.col("comp").alias("prev"),
             F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
                 "comp"
             ),
@@ -434,23 +435,24 @@ def connected_components(
         lookup = stepped.select(
             F.col("v").alias("comp"), F.col("comp").alias("jumped")
         )
-        jumped = stepped.join(lookup, "comp", "left").select(
-            "v", F.coalesce("jumped", "comp").alias("comp")
+        # the change flag rides INSIDE the checkpointed round output, so
+        # convergence is a column scan of data already materialized — not
+        # a second labels⋈labels job per round
+        new_labels = (
+            stepped.join(lookup, "comp", "left")
+            .select(
+                "v",
+                F.coalesce("jumped", "comp").alias("comp"),
+                (F.coalesce("jumped", "comp") != F.col("prev")).alias("chg"),
+            )
+            .localCheckpoint()
         )
-        new_labels = jumped.localCheckpoint()
+        labels = new_labels.drop("chg")
         # round 0 always changes labels (every edge endpoint adopts a
-        # neighbor min) — skip its convergence count, it's a wasted job
+        # neighbor min) — skip its convergence scan, it's a wasted job
         if it == 0:
-            labels = new_labels
             continue
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if new_labels.filter("chg").limit(1).count() == 0:
             break
     return labels.select(F.col("v").alias("id"), F.col("comp").alias("component"))
 

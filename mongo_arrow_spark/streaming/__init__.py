@@ -5,6 +5,7 @@ from mongo_arrow_spark.streaming.changes import (
     apply_changes,
     change_event_ddl,
     diff_snapshots,
+    maintain_snapshot,
     watch,
 )
 from mongo_arrow_spark.streaming.events import (
@@ -27,4 +28,5 @@ __all__ = [
     "change_event_ddl",
     "diff_snapshots",
     "apply_changes",
+    "maintain_snapshot",
 ]

@@ -196,3 +196,53 @@ def test_collection_watch_defaults_schema(spark, tables, change_log):
     got = _drain(s, spark)
     assert got.count() == change_log["events"].count()
     assert "fullDocument" in got.columns
+
+def test_aggregate_change_stream_stage(spark, tables, change_log):
+    """watch(p) == aggregate([{$changeStream}, *p]) — the MongoDB identity."""
+    coll = Collection(
+        tables["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "orders",
+        change_log=change_log["dir"],
+    )
+    s = coll.aggregate(
+        [
+            {"$changeStream": {}},
+            {"$match": {"operationType": "update"}},
+            {"$project": {"operationType": 1, "documentKey": 1}},
+        ]
+    )
+    assert s.isStreaming
+    got = _drain(s, spark)
+    exp = change_log["events"].filter(F.col("operationType") == "update")
+    assert got.count() == exp.count() > 0
+    with pytest.raises(ValueError, match="change_log"):
+        Collection(tables["orders"], "orders").aggregate([{"$changeStream": {}}])
+
+
+def test_coll_stats_stage(spark, tables):
+    coll = Collection(tables["orders"], "orders")
+    row = coll.aggregate(
+        [{"$collStats": {"count": {}, "storageStats": {}}}]
+    ).first()
+    assert row["count"] == tables["orders"].count()
+    assert row["storageSize"] > 0 and row["numFiles"] >= 1
+    assert row["numFields"] == len(tables["orders"].columns)
+
+
+def test_maintain_snapshot_converges_to_new(spark, tables, change_log, tmp_path):
+    """Seed the snapshot with A, stream diff(A->B) through
+    maintain_snapshot, and the parquet snapshot must equal B."""
+    from mongo_arrow_spark.streaming import maintain_snapshot
+
+    snap_dir = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    change_log["old"].withColumnRenamed("o_orderkey", "_id").write.parquet(
+        snap_dir
+    )
+    stream = watch(spark, change_log["dir"], FULL_DDL.replace("o_orderkey bigint, ", ""))
+    q = maintain_snapshot(stream, snap_dir, checkpoint_dir=ckpt)
+    q.awaitTermination(300)
+    got = spark.read.parquet(snap_dir)
+    exp = change_log["new"].withColumnRenamed("o_orderkey", "_id")
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
