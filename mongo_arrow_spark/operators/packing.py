@@ -1,0 +1,174 @@
+"""Sequence packing and deterministic corpus shuffling — the last mile of
+an LLM training-data pipeline: curated documents become fixed-length
+training sequences in a reproducible order.
+
+These extend the reference's surface (it stops at Arrow tables —
+SURVEY.md §2 has no trainer-facing ops); the shapes follow the standard
+GPT-style concat-then-split packing and hash-ordered corpus shuffling
+used by published data pipelines.
+
+Scale design: there is NO global order anywhere. Both operators first
+assign each document to one of ``n_streams`` independent hash streams
+(packing) / ``n_shards`` shards (shuffling); every window computation is
+partitioned by that stream, so the 100 TB plan is one hash shuffle into
+n buckets plus a per-bucket sort — embarrassingly parallel, and the
+result is byte-identical regardless of input partitioning because the
+order inside a stream is md5-determined, never RNG- or arrival-order-
+determined. md5 (not xxhash64) so the same assignment reproduces on any
+engine — the DuckDB oracles re-derive it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators.text import token_count
+
+__all__ = [
+    "hash_bucket",
+    "pack_sequences",
+    "pack_manifest",
+    "shuffle_corpus",
+]
+
+_HEX = "0123456789abcdef"
+
+
+def hash_bucket(id_col: Column | str, n: int, salt: str) -> Column:
+    """Engine-portable uniform bucket in ``[0, n)``: the first two hex
+    digits of md5(salt ‖ id) decoded positionally (``instr`` over the hex
+    alphabet — both Spark and DuckDB spell it the same way), mod ``n``.
+    256 base buckets, so ``n`` ≤ 256 stays uniform. Pure projection."""
+    if not 1 <= n <= 256:
+        raise ValueError("n must be in [1, 256]")
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string")))
+    d1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return ((d1 * 16 + d2) % F.lit(n)).cast("int")
+
+
+def _order_hash(id_col: str, salt: str) -> Column:
+    return F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_streams: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-then-split sequence packing: documents are concatenated in a
+    deterministic hash order and the token stream is cut every
+    ``seq_len`` tokens — the standard GPT-style packing (no padding, docs
+    may straddle sequence boundaries).
+
+    Output, one row per document: ``(id, stream, seq_id, seq_offset,
+    n_tokens)`` — the document's tokens begin at ``seq_offset`` inside
+    sequence ``seq_id`` of its stream and run for ``n_tokens`` (possibly
+    into the following sequences; ``pack_manifest`` expands the spans).
+
+    Plan: token counts are a map-side projection; the only shuffle is the
+    hash partition into ``n_streams`` independent streams, inside which a
+    running-sum window assigns offsets. Streams pack independently — no
+    global order, no single-partition sort, and adding executors splits
+    the same streams across more machines. Deterministic: stream, order,
+    and offsets all derive from md5(salt ‖ id).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    n_tok = token_count(text_col).cast("long")
+    stream = hash_bucket(id_col, n_streams, salt)
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(_order_hash(id_col, salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            stream.alias("stream"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("__end", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "stream",
+            F.floor((F.col("__end") - F.col("n_tokens")) / seq_len).alias("seq_id"),
+            ((F.col("__end") - F.col("n_tokens")) % seq_len).alias("seq_offset"),
+            "n_tokens",
+        )
+    )
+
+
+def pack_manifest(
+    packed: DataFrame,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Expand ``pack_sequences`` output into the per-sequence manifest a
+    trainer consumes: one row per (stream, seq_id) with ``n_docs`` (docs
+    contributing tokens), ``n_tokens`` (tokens landing in the sequence)
+    and ``fill`` (n_tokens / seq_len; every sequence except each stream's
+    last is exactly full by construction).
+
+    A document starting at ``seq_offset`` with ``n_tokens`` tokens spans
+    sequences ``seq_id .. seq_id + (seq_offset + n_tokens - 1) ÷
+    seq_len`` — expanded row-locally with ``posexplode(sequence(...))``,
+    then one partial-aggregated group-by. Empty docs contribute to their
+    start sequence only."""
+    extra = F.floor(
+        (F.col("seq_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / seq_len
+    )
+    exploded = packed.select(
+        "stream",
+        F.col("n_tokens"),
+        F.col("seq_offset"),
+        F.posexplode(
+            F.sequence(F.col("seq_id"), F.col("seq_id") + extra)
+        ).alias("__i", "seq_id"),
+        extra.alias("__nspan"),
+    )
+    # tokens this doc lands in sequence __i of its span
+    in_seq = (
+        F.when(F.col("__nspan") == 0, F.col("n_tokens"))
+        .when(F.col("__i") == 0, seq_len - F.col("seq_offset"))
+        .when(
+            F.col("__i") == F.col("__nspan"),
+            F.col("n_tokens") - (seq_len - F.col("seq_offset")) - (F.col("__i") - 1) * seq_len,
+        )
+        .otherwise(F.lit(seq_len))
+    )
+    return (
+        exploded.select("stream", "seq_id", in_seq.alias("__t"))
+        .groupBy("stream", "seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+            F.round(F.sum("__t") / seq_len, 4).alias("fill"),
+        )
+    )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets a
+    ``(shard, pos)`` such that reading shards in order, each sorted by
+    ``pos``, visits the corpus in a uniform pseudo-random order that is
+    identical on every run, every engine, and every input partitioning —
+    the reproducible alternative to ``df.orderBy(rand())``.
+
+    shard = md5 bucket; pos = rank of md5(salt ‖ id) inside the shard.
+    One hash shuffle + per-shard sort — at 100 TB this is exactly the
+    write-side of a shuffle-into-shards job, and shards can be written
+    as independent files for streaming training readers."""
+    w = Window.partitionBy("shard").orderBy(_order_hash(id_col, salt), F.col(id_col))
+    return (
+        df.withColumn("shard", hash_bucket(id_col, n_shards, salt))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+    )

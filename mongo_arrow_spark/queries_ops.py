@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mongo_arrow_spark.operators import dedup, multimodal, profile, quality, similarity, text
+from mongo_arrow_spark.operators import dedup, multimodal, packing, profile, quality, similarity, text
 from mongo_arrow_spark.queries import _t, query
 
 _TOKS = "string_split(text, ' ')"
@@ -602,4 +602,146 @@ def q_sim_topk_int8(spark, sf_dir):
           emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return similarity.cosine_topk_int8(
         similarity.quantize_int8(emb), qv, k=10, rerank=50
+    )
+
+
+# ---------------------------------------------- round-4: trainer-facing ops
+
+#: Shared hex-decode fragment for md5-bucket oracles (packing/shuffle):
+#: two hex digits decoded positionally — the same instr-over-alphabet
+#: arithmetic ``packing.hash_bucket`` builds Spark-side.
+def _md5_bucket_sql(salt: str, n: int) -> str:
+    h = f"md5('{salt}' || CAST(doc_id AS VARCHAR))"
+    return (
+        f"CAST(((strpos('0123456789abcdef', substring({h},1,1))-1)*16"
+        f" + (strpos('0123456789abcdef', substring({h},2,1))-1)) % {n} AS INT)"
+    )
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5('pack' || CAST(doc_id AS VARCHAR)) AS h,
+             {_md5_bucket_sql('pack', 8)} AS stream
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, stream, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY stream ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS e
+      FROM s
+    )
+    SELECT doc_id, stream,
+           CAST(FLOOR((e - n_tokens) / 256) AS BIGINT) AS seq_id,
+           CAST((e - n_tokens) % 256 AS BIGINT) AS seq_offset,
+           n_tokens
+    FROM c
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-then-split sequence packing over 8 independent
+    hash streams: per-doc (stream, seq_id, seq_offset) assignment. The
+    only shuffle is the stream partition — no global order at any scale."""
+    return packing.pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=256, n_streams=8
+    )
+
+
+@query(
+    "shuffle_corpus",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             md5('shuffle' || CAST(doc_id AS VARCHAR)) AS h,
+             {_md5_bucket_sql('shuffle', 8)} AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def q_shuffle_corpus(spark, sf_dir):
+    """Deterministic training-order shuffle: (shard, pos) reproducible on
+    any engine, any partitioning — the auditable orderBy(rand())."""
+    out = packing.shuffle_corpus(_t(spark, sf_dir, "documents"), n_shards=8)
+    return out.select("doc_id", "shard", "pos")
+
+
+@query(
+    "semantic_dedup",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS c,
+             sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(struct_extract(p, 1) AS DOUBLE)
+                    * CAST(struct_extract(p, 2) AS DOUBLE)))
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM v a JOIN v b ON a.c = b.c AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(struct_extract(p, 1) AS DOUBLE)
+             * CAST(struct_extract(p, 2) AS DOUBLE))) / (a.nrm * b.nrm) >= 0.2
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pairs: deterministic sign-bit
+    clusters (engine-portable — the oracle re-derives them), within-cluster
+    cosine ≥ τ. The all-pairs risk is bounded by the largest cluster."""
+    pairs = dedup.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.2, bits=6
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+@query(
+    "duplicate_spans",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(t[i:i+7], ' ') AS gr
+      FROM toks, unnest(range(1, greatest(len(t) - 8, 0) + 2)) AS u(i)
+    ),
+    gg AS (SELECT * FROM g WHERE len(gr) > 0),
+    c AS (SELECT gr FROM gg GROUP BY gr HAVING COUNT(*) >= 2),
+    h AS (SELECT doc_id, pos FROM gg SEMI JOIN c USING (gr)),
+    i1 AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    i2 AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM i1
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM i2 GROUP BY doc_id, isl
+    """,
+)
+def q_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-substring spans (Lee et al. 2021, suffix-array →
+    distributed k-window fingerprints): duplicated 8-token windows merged
+    into maximal per-doc spans via gaps-and-islands."""
+    return dedup.duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=8, min_count=2
     )

@@ -1,0 +1,167 @@
+"""Round-4 trainer-facing operators: sequence packing, deterministic
+corpus shuffle, semantic dedup, and exact duplicate-substring spans.
+
+Oracle parity for the four graded entries runs in test_battery.py; these
+pin the algebraic invariants the oracles can't see (conservation,
+permutation, survivor consistency, idempotence direction) plus the
+determinism-under-repartitioning contract every md5-ordered operator
+advertises.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from mongo_arrow_spark.operators import dedup, packing
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- packing
+
+
+def test_pack_conserves_tokens_and_fills(docs):
+    seq_len = 64
+    p = packing.pack_sequences(docs, seq_len=seq_len, n_streams=4)
+    m = packing.pack_manifest(p, seq_len=seq_len)
+    assert (
+        p.agg(F.sum("n_tokens")).first()[0]
+        == m.agg(F.sum("n_tokens")).first()[0]
+    )
+    # every sequence except each stream's last is exactly full
+    last = m.groupBy("stream").agg(F.max("seq_id").alias("mx"))
+    bad = (
+        m.join(last, "stream")
+        .filter((F.col("seq_id") < F.col("mx")) & (F.col("n_tokens") != seq_len))
+        .count()
+    )
+    assert bad == 0
+    # offsets stay inside [0, seq_len)
+    assert p.filter((F.col("seq_offset") < 0) | (F.col("seq_offset") >= seq_len)).count() == 0
+
+
+def test_pack_deterministic_under_repartition(docs):
+    a = packing.pack_sequences(docs, seq_len=128, n_streams=8)
+    b = packing.pack_sequences(docs.repartition(13), seq_len=128, n_streams=8)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_shuffle_positions_are_a_permutation(docs):
+    s = packing.shuffle_corpus(docs, n_shards=4)
+    # each shard's pos set is exactly 0..n-1
+    chk = s.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("d"),
+    )
+    bad = chk.filter(
+        (F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1) | (F.col("d") != F.col("n"))
+    )
+    assert bad.count() == 0
+    assert s.count() == docs.count()
+
+
+def test_hash_bucket_range_guard(docs):
+    with pytest.raises(ValueError):
+        packing.hash_bucket("doc_id", 0, "x")
+    with pytest.raises(ValueError):
+        packing.hash_bucket("doc_id", 257, "x")
+    with pytest.raises(ValueError):
+        packing.pack_sequences(docs, seq_len=0)
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def test_semantic_survivors_have_no_internal_pair(emb):
+    pairs = dedup.semantic_dedup_pairs(emb, threshold=0.2, bits=6)
+    surv = dedup.semantic_dedup(emb, threshold=0.2, bits=6)
+    ids = surv.select(F.col("vec_id").alias("id_b"))
+    # no surviving row may appear as the doomed side of any pair
+    assert pairs.join(ids, "id_b", "left_semi").count() == 0
+    assert surv.count() + pairs.select("id_b").distinct().count() == emb.count()
+
+
+def test_semantic_pairs_ordered_and_thresholded(emb):
+    pairs = dedup.semantic_dedup_pairs(emb, threshold=0.2, bits=6)
+    assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+    assert pairs.filter(F.col("cosine") < 0.2).count() == 0
+
+
+def test_semantic_kmeans_variant(emb):
+    surv = dedup.semantic_dedup_kmeans(
+        emb, threshold=0.2, n_clusters=8, seed=7
+    )
+    assert 0 < surv.count() <= emb.count()
+    # seeded: same call → same survivor set
+    again = dedup.semantic_dedup_kmeans(emb, threshold=0.2, n_clusters=8, seed=7)
+    assert surv.select("vec_id").exceptAll(again.select("vec_id")).count() == 0
+
+
+# ------------------------------------------------------ duplicate spans
+
+
+def test_duplicate_spans_well_formed(docs):
+    k = 5
+    spans = dedup.duplicate_spans(docs, k=k, min_count=2)
+    assert spans.filter(F.col("span_end") - F.col("span_start") < k).count() == 0
+    assert spans.filter(F.col("n_windows") < 1).count() == 0
+    # islands are maximal: spans of the same doc never overlap or touch
+    a, b = spans.alias("a"), spans.alias("b")
+    overlaps = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.span_start") < F.col("b.span_start"))
+        & (F.col("b.span_start") <= F.col("a.span_end")),
+    )
+    assert overlaps.count() == 0
+
+
+def test_duplicate_spans_finds_planted_duplicate(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "totally different words here nothing repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.duplicate_spans(df, k=4, min_count=2).collect()
+    by_doc = {r["doc_id"]: r for r in spans}
+    assert set(by_doc) == {1, 2}
+    assert by_doc[1]["span_start"] == 0 and by_doc[1]["span_end"] == 8
+
+
+def test_strip_duplicate_spans_removes_and_preserves(spark):
+    rows = [
+        (1, "one two three four five six seven eight unique1 tail1"),
+        (2, "one two three four five six seven eight unique2 tail2"),
+        (3, "untouched document stays exactly as written here today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.strip_duplicate_spans(df, k=4, min_count=2).collect()
+    }
+    # the shared 8-token prefix is removed from both carriers
+    assert out[1] == "unique1 tail1"
+    assert out[2] == "unique2 tail2"
+    # docs with no spans pass through byte-identical
+    assert out[3] == rows[2][1]
+
+
+def test_duplicate_spans_max_df_cap(docs):
+    uncapped = dedup.duplicate_spans(docs, k=5, min_count=2)
+    capped = dedup.duplicate_spans(docs, k=5, min_count=2, max_df=3)
+    # the cap can only shrink the marked surface
+    assert capped.agg(F.sum("n_windows")).first()[0] <= uncapped.agg(
+        F.sum("n_windows")
+    ).first()[0]

@@ -243,3 +243,34 @@ def test_json_schema_filter_pushes_bounds(spark, tables):
     assert "PushedFilters: [" in p
     pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "GreaterThanOrEqual(c_acctbal" in pushed
+
+
+def test_pack_sequences_single_stream_shuffle(spark, tables):
+    """Packing's only data movement is the hash partition into streams —
+    one Exchange, no global sort (rangepartitioning) anywhere."""
+    p = plan_of(spark, "pack_sequences")
+    assert p.count("Exchange") == 1
+    assert "rangepartitioning" not in p
+
+
+def test_shuffle_corpus_single_shard_shuffle(spark, tables):
+    p = plan_of(spark, "shuffle_corpus")
+    assert p.count("Exchange") == 1
+    assert "rangepartitioning" not in p
+
+
+def test_semantic_dedup_no_cartesian(spark, tables):
+    """The within-cluster self-join must be an equi-join on the cluster id
+    — never a cartesian/broadcast-nested-loop all-pairs."""
+    p = plan_of(spark, "semantic_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_duplicate_spans_partial_agg_no_cartesian(spark, tables):
+    """Window-fingerprint counting partial-aggregates map-side before its
+    one shuffle; the join back to positions is an equi-join."""
+    p = plan_of(spark, "duplicate_spans")
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
