@@ -49,6 +49,10 @@ HEADLINE = [
     # round-4 additions (keys added r4)
     "cdc_apply",
     "cdc_watch_stream",
+    "pack_sequences",
+    "shuffle_corpus",
+    "semantic_dedup",
+    "duplicate_spans",
 ]
 
 
