@@ -45,6 +45,13 @@ def curate(
     jaccard_n: int = 3,
     jaccard_threshold: float | None = 0.3,
     max_df: int | None = 1000,
+    # exact duplicate-substring stripping (Lee et al.; None disables)
+    strip_spans_k: int | None = None,
+    # semantic dedup over a sibling embedding table (None disables)
+    embeddings: DataFrame | None = None,
+    embeddings_id_col: str = "vec_id",
+    semantic_threshold: float = 0.85,
+    semantic_bits: int = 8,
     # decontamination vs the holdout corpus
     decontaminate_threshold: float = 0.8,
     # PII
@@ -55,6 +62,9 @@ def curate(
     split_salt: str = "split",
     chunk_size: int | None = None,
     stride: int | None = None,
+    # sequence packing of the curated corpus (None disables)
+    pack_seq_len: int | None = None,
+    pack_streams: int = 16,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the curated corpus (or, when
     ``chunk_size`` is set, the curated CHUNKS with ``chunk_id``/``n_tokens``
@@ -98,6 +108,33 @@ def curate(
         comps = dedup_ops.connected_components(pairs)
         kept = dedup_ops.dedup_survivors(kept, comps, id_col)
 
+    # 3b. duplicate-substring stripping — removes boilerplate repeated
+    # across surviving docs (doc-level dedup can't see sub-document
+    # repetition); one digest-count shuffle + per-doc islands window
+    if strip_spans_k is not None:
+        kept = dedup_ops.strip_duplicate_spans(
+            kept, id_col=id_col, text_col=text_col, k=strip_spans_k,
+            max_df=max_df,
+        )
+
+    # 3c. semantic dedup — near-identical meaning under different surface
+    # forms, invisible to every lexical stage above; the embedding table
+    # rides on the doc id, payloads never join
+    if embeddings is not None:
+        doomed = (
+            dedup_ops.semantic_dedup_pairs(
+                embeddings,
+                id_col=embeddings_id_col,
+                threshold=semantic_threshold,
+                bits=semantic_bits,
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        # anti-join on the doomed side: docs without an embedding pass
+        # through (a semi-join on survivors would silently drop them)
+        kept = kept.join(doomed, id_col, "left_anti")
+
     # 4. decontamination — drop train docs near-matching any holdout doc
     if holdout is not None:
         kept = dedup_ops.decontaminate(
@@ -130,6 +167,32 @@ def curate(
             stride=stride or chunk_size,
         )
         kept = chunks.join(kept.select(id_col, *carry), id_col)
+
+    # 8. sequence packing — (stream, seq_id, seq_offset) assignment over
+    # independent hash streams; the trainer-facing manifest columns ride
+    # on the curated rows (chunk rows pack by their chunk text when
+    # chunking ran — each chunk is then a packable unit)
+    if pack_seq_len is not None:
+        from mongo_arrow_spark.operators import packing as packing_ops
+
+        unit_id = "chunk_uid" if chunk_size is not None else id_col
+        unit_text = "chunk_text" if chunk_size is not None else text_col
+        base = kept
+        if chunk_size is not None:
+            base = base.withColumn(
+                "chunk_uid",
+                F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_id")),
+            )
+        packed = packing_ops.pack_sequences(
+            base,
+            seq_len=pack_seq_len,
+            n_streams=pack_streams,
+            id_col=unit_id,
+            text_col=unit_text,
+        )
+        kept = base.join(packed.drop("n_tokens"), unit_id)
+        if chunk_size is not None:
+            kept = kept.drop("chunk_uid")
     return kept
 
 

@@ -420,3 +420,83 @@ def mix_sources(
         .filter(bucket < F.col("_thr"))
         .drop("_thr")
     )
+
+
+# ---------------------------------------------------- model-based scoring
+
+#: Default linear quality model: hand-set, deterministic weights over the
+#: closed-form signals ``text.quality_metrics`` computes. The shape (not
+#: the weights) is the point — FineWeb-Edu / DCLM-style pipelines score
+#: documents with a small trained classifier and filter on the score;
+#: swap these weights for trained ones and the plan is unchanged.
+DEFAULT_QUALITY_WEIGHTS = {
+    "bias": -1.0,
+    "log_tokens": 0.55,        # longer docs are likelier to be real prose
+    "stopword_ratio": 4.0,     # function words ⇒ natural language
+    "mean_word_len": 0.15,     # penalizes symbol soup via the bias offset
+    "punct_ratio": -3.0,       # heavy punctuation ⇒ markup/boilerplate
+    "dup_token_fraction": -2.5 # bulk repetition ⇒ template/spam
+}
+
+
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Model-based quality score per document: a logistic score over the
+    engine's closed-form text signals (token count, stopword ratio, mean
+    word length, punctuation ratio, duplicate-token fraction).
+
+    score = sigmoid(w · x + b), all features computed JVM-side in one
+    projection — the plan is a map-only pass at any corpus size, exactly
+    how a broadcast linear classifier runs at 100 TB (a trained model's
+    weights arrive the same way: a few floats in the closure).
+    Deterministic and engine-portable; the battery grades it against a
+    DuckDB re-derivation.
+    """
+    from mongo_arrow_spark.operators.text import (
+        DEFAULT_STOPWORDS,
+        bind,
+        stopword_hits,
+        tokens,
+    )
+
+    w = {**DEFAULT_QUALITY_WEIGHTS, **(weights or {})}
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(text_col)
+    dup_frac = bind(
+        tokens(text_col),
+        lambda tt: 1.0 - F.size(F.array_distinct(tt)) / F.size(tt),
+    )
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log_tokens"]) * F.log(n_tok.cast("double") + 1.0)
+        + F.lit(w["stopword_ratio"])
+        * (stopword_hits(text_col, DEFAULT_STOPWORDS) / n_tok)
+        + F.lit(w["mean_word_len"]) * ((n_chars - n_tok + 1) / n_tok)
+        + F.lit(w["punct_ratio"])
+        * (F.length(F.regexp_replace(text_col, r"[^\p{Punct}]", "")) / n_chars)
+        + F.lit(w["dup_token_fraction"]) * dup_frac
+    )
+    return df.select(
+        F.col(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).cast("double").alias("q_score"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Keep documents scoring ≥ threshold under the linear quality model.
+    Semi-join on ids — the score never rides past the filter."""
+    keep = quality_score(df, id_col, text_col, weights).filter(
+        F.col("q_score") >= threshold
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")

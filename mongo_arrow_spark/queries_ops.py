@@ -745,3 +745,35 @@ def q_duplicate_spans(spark, sf_dir):
     return dedup.duplicate_spans(
         _t(spark, sf_dir, "documents"), k=8, min_count=2
     )
+
+
+@query(
+    "quality_score",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS t,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS nc
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             -1.0
+             + 0.55 * ln(n_tok + 1.0)
+             + 4.0 * (len(list_filter(t, x -> x IN
+                 ('the','a','of','and','to','in','is','it'))) / n_tok)
+             + 0.15 * ((nc - n_tok + 1) / n_tok)
+             + (-3.0) * (length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / nc)
+             + (-2.5) * (1.0 - len(list_distinct(t)) / n_tok) AS z
+      FROM f
+    )
+    SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 4) AS q_score FROM z
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Model-based quality scoring: logistic score over closed-form text
+    signals, FineWeb/DCLM filter shape with deterministic weights — one
+    map-only projection at any corpus size."""
+    out = quality.quality_score(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.round("q_score", 4).alias("q_score"))

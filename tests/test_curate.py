@@ -100,3 +100,80 @@ def test_curation_report_funnel(docs):
     assert rep["n_input"] == docs.count()
     assert rep["n_output"] == out.count() == rep["n_docs"]
     assert rep["n_train"] + rep["n_val"] + rep["n_test"] == rep["n_output"]
+
+
+def test_strip_spans_stage_shrinks_or_keeps_text(docs):
+    base = curate(docs, jaccard_threshold=None, redact_pii=False)
+    stripped = curate(
+        docs, jaccard_threshold=None, redact_pii=False, strip_spans_k=5
+    )
+    assert stripped.count() == base.count()  # strips text, never drops rows
+    import pyspark.sql.functions as F
+
+    joined = (
+        base.select("doc_id", F.length("text").alias("a"))
+        .join(stripped.select("doc_id", F.length("text").alias("b")), "doc_id")
+    )
+    assert joined.filter(F.col("b") > F.col("a")).count() == 0
+    assert joined.filter(F.col("b") < F.col("a")).count() > 0
+
+
+def test_semantic_stage_drops_only_embedded_dupes(tables, docs):
+    emb = tables["embeddings"]
+    base = curate(docs, jaccard_threshold=None, redact_pii=False)
+    sem = curate(
+        docs,
+        jaccard_threshold=None,
+        redact_pii=False,
+        embeddings=emb,
+        semantic_threshold=0.2,
+        semantic_bits=6,
+    )
+    assert 0 < sem.count() < base.count()
+    # docs with no embedding row must pass through untouched
+    import pyspark.sql.functions as F
+
+    no_emb = base.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    if no_emb.count():
+        assert (
+            no_emb.join(sem.select("doc_id"), "doc_id", "left_semi").count()
+            == no_emb.count()
+        )
+
+
+def test_pack_stage_assigns_every_row(docs):
+    out = curate(
+        docs, jaccard_threshold=None, redact_pii=False, pack_seq_len=128
+    )
+    assert {"stream", "seq_id", "seq_offset"} <= set(out.columns)
+    assert out.filter("seq_offset < 0 or seq_offset >= 128").count() == 0
+
+
+def test_pack_after_chunking_packs_chunks(docs):
+    out = curate(
+        docs,
+        jaccard_threshold=None,
+        redact_pii=False,
+        chunk_size=64,
+        stride=64,
+        pack_seq_len=128,
+    )
+    assert {"chunk_id", "stream", "seq_id", "seq_offset"} <= set(out.columns)
+    # every chunk row got exactly one packing assignment
+    base = curate(
+        docs, jaccard_threshold=None, redact_pii=False, chunk_size=64, stride=64
+    )
+    assert out.count() == base.count()
+
+
+def test_quality_filter_threshold(docs):
+    from mongo_arrow_spark.operators.quality import quality_filter, quality_score
+
+    import pyspark.sql.functions as F
+
+    scored = quality_score(docs)
+    kept = quality_filter(docs, threshold=0.5)
+    expected = scored.filter(F.col("q_score") >= 0.5).count()
+    assert kept.count() == expected
