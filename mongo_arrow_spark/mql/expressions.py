@@ -1519,6 +1519,17 @@ def _to_object_id(args, env):
     return F.unhex(translate_expr(args, env))
 
 
+@_op("$toUUID")
+def _to_uuid(args, env):
+    """Canonical UUID string → 16-byte binary carrier (the server's
+    shorthand for $convert to binData subtype 4, MongoDB 8.0). Dashes are
+    stripped; a malformed UUID yields null (unhex's no-raise analogue of
+    the server error), and a strict length guard rejects hex strings
+    that aren't exactly 128 bits."""
+    s = F.regexp_replace(translate_expr(args, env), "-", "")
+    return F.when(F.length(s) == 32, F.unhex(s)).otherwise(F.lit(None))
+
+
 @_op("$function")
 def _function(args, env):
     """MQL ``$function`` reinterpreted Spark-first. The server-side form

@@ -14,6 +14,7 @@ from mongo_arrow_spark.streaming.events import (
     stream_dedup,
     stream_dedup_within_watermark,
     running_totals_stateful,
+    sessionize_stateful,
     windowed_aggregate,
 )
 
@@ -24,6 +25,7 @@ __all__ = [
     "stream_dedup",
     "stream_dedup_within_watermark",
     "running_totals_stateful",
+    "sessionize_stateful",
     "watch",
     "change_event_ddl",
     "diff_snapshots",

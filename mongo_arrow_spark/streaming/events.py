@@ -148,3 +148,102 @@ def running_totals_stateful(stream: DataFrame, key: str = "user_id") -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stateful(
+    stream: DataFrame,
+    key: str = "user_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Session windows as a custom stateful operator on Spark 4's
+    ``transformWithStateInPandas`` — the successor extension point to
+    applyInPandasWithState, with typed state variables and TIMERS: a
+    session closes (and emits one summary row) when no event for its key
+    arrives within ``gap_seconds`` of processing time, instead of waiting
+    for the next event of that key to notice the gap.
+
+    Output per closed session: (key, n_events, total_value,
+    session_start, session_end). State per key is one 4-tuple regardless
+    of session length — at cluster scale this is the RocksDB-backed path
+    for sketches/CDC-merge/decaying-counter operators that built-in
+    session windows (``sessionized``) can't express.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("t0", T.TimestampType()),
+            T.StructField("t1", T.TimestampType()),
+        ]
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState("session", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = 0, 0.0
+            t0 = t1 = None
+            if self.state.exists():
+                n, total, t0, t1 = self.state.get()
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                # state serialization takes python datetimes, not
+                # pandas.Timestamp
+                lo = pdf["ts"].min().to_pydatetime()
+                hi = pdf["ts"].max().to_pydatetime()
+                t0 = lo if t0 is None else min(t0, lo)
+                t1 = hi if t1 is None else max(t1, hi)
+            self.state.update((n, total, t0, t1))
+            # re-arm the inactivity timer: fires gap_seconds after the
+            # latest batch containing this key (materialize the listing
+            # first — deleting while the iterator streams corrupts the
+            # state-server protocol)
+            for old in list(self.handle.listTimers()):
+                self.handle.deleteTimer(old)
+            self.handle.registerTimer(
+                timer_values.getCurrentProcessingTimeInMs() + gap_seconds * 1000
+            )
+            return iter(())  # emission happens on timer expiry
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            if self.state.exists():
+                n, total, t0, t1 = self.state.get()
+                self.state.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_value": [total],
+                        "session_start": [t0],
+                        "session_end": [t1],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="processingTime",
+    )

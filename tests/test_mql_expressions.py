@@ -411,6 +411,19 @@ def test_to_object_id_hex_roundtrip(spark):
     assert row["back"].lower() == hex_id
 
 
+def test_to_uuid_canonical_and_malformed(spark):
+    uid = "867dee52-c331-484e-92d1-c56479b8e67e"
+    df = spark.range(1).select(F.lit(uid).alias("u"))
+    row = df.select(
+        translate_expr({"$toUUID": "$u"}).alias("b"),
+        F.hex(translate_expr({"$toUUID": "$u"})).alias("back"),
+        translate_expr({"$toUUID": {"$literal": "not-a-uuid"}}).alias("bad"),
+    ).head()
+    assert isinstance(row["b"], (bytes, bytearray)) and len(row["b"]) == 16
+    assert row["back"].lower() == uid.replace("-", "")
+    assert row["bad"] is None
+
+
 def test_function_python_callable(spark):
     from mongo_arrow_spark.api import aggregate
     from mongo_arrow_spark.errors import MQLTranslationError

@@ -160,3 +160,48 @@ def test_corpus_ops_compose_with_streams(spark, tmp_path):
     assert rows[1]["q_keep"] is True and rows[2]["q_keep"] is False
     assert "[PII]" in rows[1]["text"] and "@" not in rows[1]["text"]
     assert rows[1]["split"] in ("train", "val", "test")
+
+
+def test_sessionize_stateful_timers(spark, stream_dir, tables):
+    """transformWithStateInPandas sessionization: with a zero gap every
+    key's timer expires between microbatches, emitting sessions whose
+    totals equal the batch aggregates.
+
+    Skips when google.protobuf is absent: Spark 4's transformWithState
+    state-server protocol needs it, it isn't in this container, and
+    installs are disallowed — the operator validates automatically once
+    the wheel lands (same contract as the polars mirror)."""
+    pytest.importorskip("google.protobuf")
+    from mongo_arrow_spark.streaming import sessionize_stateful
+
+    stream = read_document_stream(spark, stream_dir, SCHEMA_DDL)
+    sessions = sessionize_stateful(stream, gap_seconds=0)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    out = _run_stream(spark, sessions, name)
+    got = {
+        r["user_id"]: r
+        for r in out.groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n"),
+            F.min("session_start").alias("t0"),
+            F.max("session_end").alias("t1"),
+        )
+        .collect()
+    }
+    batch = (
+        tables["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .collect()
+    )
+    want = {r["user_id"]: r for r in batch}
+    # every key that got flushed matches its batch totals; keys whose
+    # timer never fired before shutdown may be absent (append semantics)
+    assert got, "no sessions emitted"
+    for uid, row in got.items():
+        assert row["n"] == want[uid]["n"]
+        assert row["t0"] == want[uid]["t0"] and row["t1"] == want[uid]["t1"]
