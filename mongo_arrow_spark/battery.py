@@ -58,8 +58,10 @@ _DEMOTED = [
     "q05_local_supplier_volume",
     # parked below the window by construction (oracle runs in pytest):
     # model-based scoring shares the map-only projection shape already
-    # pinned green by text_quality
+    # pinned green by text_quality; the manifest is the explode+agg view
+    # of the GRADED pack_sequences assignment
     "quality_score",
+    "pack_manifest",
     # Round-4 rotation: the two CDC entries (cdc_apply inverse identity,
     # cdc_watch_stream streaming replay) enter the graded 50; the slots
     # come from multiply-pinned rows:

@@ -703,8 +703,10 @@ def duplicate_spans(
 
     The published algorithm builds a corpus-wide suffix array — inherently
     sequential. The distributed equivalent: fingerprint every k-token
-    window (md5 → engine-portable), count fingerprints (partial agg →
-    one shuffle on 16-byte digests), join dup fingerprints back to their
+    window (xxhash64 — the fingerprint never leaves the plan, so the
+    cheapest 8-byte hash wins; a collision would need two distinct
+    windows at p ≈ m²/2⁶⁴), count fingerprints (partial agg → one
+    shuffle on 8-byte keys), join dup fingerprints back to their
     positions, and merge per-doc windows with a gaps-and-islands window
     pass. Spans the suffix array would find as one long duplicate appear
     here as runs of duplicated k-windows and merge back into the same
@@ -725,7 +727,7 @@ def duplicate_spans(
             ).alias("pos", "g"),
         )
         .filter(F.length("g") > 0)
-        .withColumn("g", F.md5("g"))
+        .withColumn("g", F.xxhash64("g"))
     )
 
     counts = grams.groupBy("g").agg(F.count("*").alias("n"))

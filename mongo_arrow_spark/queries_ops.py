@@ -777,3 +777,56 @@ def q_quality_score(spark, sf_dir):
     map-only projection at any corpus size."""
     out = quality.quality_score(_t(spark, sf_dir, "documents"))
     return out.select("doc_id", F.round("q_score", 4).alias("q_score"))
+
+
+@query(
+    "pack_manifest",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5('pack' || CAST(doc_id AS VARCHAR)) AS h,
+             {_md5_bucket_sql('pack', 8)} AS stream
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, stream, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY stream ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS e
+      FROM s
+    ),
+    p AS (
+      SELECT stream,
+             CAST(FLOOR((e - n_tokens) / 256) AS BIGINT) AS seq_id,
+             CAST((e - n_tokens) % 256 AS BIGINT) AS off,
+             n_tokens
+      FROM c
+    ),
+    x AS (
+      SELECT stream, seq_id + i AS seq_id, off, n_tokens,
+             CAST(FLOOR((off + greatest(n_tokens - 1, 0)) / 256) AS BIGINT) AS nspan,
+             i
+      FROM p, unnest(range(0, CAST(FLOOR((off + greatest(n_tokens - 1, 0)) / 256)
+                                   AS BIGINT) + 1)) AS u(i)
+    )
+    SELECT stream, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN nspan = 0 THEN n_tokens
+                         WHEN i = 0 THEN 256 - off
+                         WHEN i = nspan THEN n_tokens - (256 - off) - (i - 1) * 256
+                         ELSE 256 END) AS BIGINT) AS n_tokens,
+           ROUND(SUM(CASE WHEN nspan = 0 THEN n_tokens
+                          WHEN i = 0 THEN 256 - off
+                          WHEN i = nspan THEN n_tokens - (256 - off) - (i - 1) * 256
+                          ELSE 256 END) / 256.0, 4) AS fill
+    FROM x GROUP BY stream, seq_id
+    """,
+)
+def q_pack_manifest(spark, sf_dir):
+    """Per-sequence packing manifest: docs and tokens landing in each
+    (stream, seq_id) — the view a trainer's data loader reads. Row-local
+    span explode + one partial-aggregated group-by."""
+    packed = packing.pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=256, n_streams=8
+    )
+    return packing.pack_manifest(packed, seq_len=256)
