@@ -67,6 +67,24 @@ def main() -> None:
         F.sum("n_chunk_tokens").alias("n_tokens"),
     ).orderBy("split").show()
 
+    # 8. trainer handoff: pack chunks into fixed 256-token sequences over
+    # independent hash streams (no global order — scales to any corpus),
+    # then read back the per-sequence manifest a data loader consumes
+    from mongo_arrow_spark.operators import packing
+
+    with_uid = final.withColumn(
+        "uid", F.concat_ws(":", F.col("doc_id"), F.col("chunk_id"))
+    )
+    packed = packing.pack_sequences(
+        with_uid, seq_len=256, n_streams=8, id_col="uid", text_col="chunk_text"
+    )
+    manifest = packing.pack_manifest(packed, seq_len=256)
+    manifest.orderBy("stream", "seq_id").show(5)
+
+    # one-call alternative: curate() composes stages 1-8 (plus optional
+    # duplicate-substring stripping and semantic dedup over an embedding
+    # table) into a single lazy plan — see operators/curate.py
+
 
 if __name__ == "__main__":
     main()
