@@ -62,6 +62,12 @@ _DEMOTED = [
     # of the GRADED pack_sequences assignment
     "quality_score",
     "pack_manifest",
+    # $densify/$fill and $graphLookup gain exact oracles (hourly grid +
+    # locf vs generate_series/IGNORE NULLS; ancestor counts vs recursive
+    # CTE); their §2 rows were previously pytest-only — parked, the
+    # window composition stays byte-stable
+    "mql_densify_fill",
+    "mql_graph_lookup",
     # Round-4 rotation: the two CDC entries (cdc_apply inverse identity,
     # cdc_watch_stream streaming replay) enter the graded 50; the slots
     # come from multiply-pinned rows:

@@ -888,3 +888,127 @@ def mql_search_meta(spark, sf_dir):
         F.to_json(F.col("facet.langs.buckets")).alias("lang_buckets"),
         F.to_json(F.col("facet.sizes.buckets")).alias("size_buckets"),
     )
+
+
+@query(
+    "mql_densify_fill",
+    """
+    WITH base AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+          FROM base GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    ),
+    j AS (
+      SELECT g.event_type, g.hour, base.n
+      FROM grid g LEFT JOIN base USING (event_type, hour)
+    )
+    SELECT event_type, hour,
+           last_value(n IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS UNBOUNDED PRECEDING) AS n
+    FROM j
+    """,
+)
+def mql_densify_fill(spark, sf_dir):
+    """$densify (per-partition hourly grid) + $fill locf — the gap-filled
+    time series every monitoring/feature pipeline derives. Grid rows are
+    generated with the partition keys (distributed); locf is one
+    partitioned window."""
+    return aggregate(
+        _t(spark, sf_dir, "events"),
+        [
+            {
+                "$group": {
+                    "_id": {
+                        "t": "$event_type",
+                        "h": {"$dateTrunc": {"date": "$ts", "unit": "hour"}},
+                    },
+                    "n": {"$sum": 1},
+                }
+            },
+            {
+                "$project": {
+                    "event_type": "$_id.t",
+                    "hour": "$_id.h",
+                    "n": 1,
+                    "_id": 0,
+                }
+            },
+            {
+                "$densify": {
+                    "field": "hour",
+                    "partitionByFields": ["event_type"],
+                    "range": {"step": 1, "unit": "hour", "bounds": "partition"},
+                }
+            },
+            {
+                "$fill": {
+                    "partitionBy": "$event_type",
+                    "sortBy": {"hour": 1},
+                    "output": {"n": {"method": "locf"}},
+                }
+            },
+        ],
+    )
+
+
+@query(
+    "mql_graph_lookup",
+    """
+    WITH RECURSIVE e AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey = 0 THEN NULL
+                  ELSE c_custkey // 2 END AS parent
+      FROM customer
+    ),
+    chain(origin, cur) AS (
+      SELECT e.c_custkey, p.c_custkey
+      FROM e JOIN e p ON e.parent = p.c_custkey
+      UNION ALL
+      SELECT c.origin, p.c_custkey
+      FROM chain c JOIN e x ON c.cur = x.c_custkey
+                   JOIN e p ON x.parent = p.c_custkey
+    )
+    SELECT e.c_custkey, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS n_ancestors
+    FROM e LEFT JOIN (SELECT origin, COUNT(*) AS cnt FROM chain GROUP BY 1) a
+      ON e.c_custkey = a.origin
+    """,
+)
+def mql_graph_lookup(spark, sf_dir):
+    """$graphLookup over a synthetic binary-tree hierarchy (parent =
+    custkey/2): per-customer ancestor count, oracle = recursive CTE.
+    O(log n) iterative joins with visited-set cycle safety."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        # custkey 0 is the root: 0 // 2 = 0 would self-loop the hierarchy
+        # (the engine's visited set terminates on cycles; the recursive-CTE
+        # oracle must never see one)
+        F.when(F.col("c_custkey") == 0, F.lit(None))
+        .otherwise(F.floor(F.col("c_custkey") / 2))
+        .cast("long")
+        .alias("parent"),
+    )
+    out = aggregate(
+        cust,
+        [
+            {
+                "$graphLookup": {
+                    "from": "hier",
+                    "startWith": "$parent",
+                    "connectFromField": "parent",
+                    "connectToField": "c_custkey",
+                    "as": "chain",
+                }
+            }
+        ],
+        collections={"hier": cust},
+    )
+    return out.select(
+        "c_custkey", F.size("chain").cast("long").alias("n_ancestors")
+    )
