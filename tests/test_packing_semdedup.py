@@ -165,3 +165,94 @@ def test_duplicate_spans_max_df_cap(docs):
     assert capped.agg(F.sum("n_windows")).first()[0] <= uncapped.agg(
         F.sum("n_windows")
     ).first()[0]
+
+
+# ------------------------------------------------------ property invariants
+
+
+def test_pack_property_random_corpora(spark):
+    """Packing invariants over randomized corpora: conservation (every
+    token lands in exactly one (seq, offset) slot), per-stream slot
+    contiguity (sorting docs by (seq_id, seq_offset) tiles the stream's
+    token axis with no gap or overlap), and manifest agreement."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31),
+        n_docs=st.integers(min_value=1, max_value=60),
+        seq_len=st.integers(min_value=8, max_value=128),
+        streams=st.integers(min_value=1, max_value=7),
+    )
+    def check(seed, n_docs, seq_len, streams):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join("w%d" % rng.randrange(50) for _ in range(rng.randrange(1, 40))))
+            for i in range(n_docs)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        p = packing.pack_sequences(df, seq_len=seq_len, n_streams=streams)
+        out = p.collect()
+        assert len(out) == n_docs
+        by_stream: dict = {}
+        for r in out:
+            by_stream.setdefault(r["stream"], []).append(r)
+        total = 0
+        for rows_s in by_stream.values():
+            rows_s.sort(key=lambda r: (r["seq_id"], r["seq_offset"]))
+            pos = 0
+            for r in rows_s:
+                assert r["seq_id"] * seq_len + r["seq_offset"] == pos
+                pos += r["n_tokens"]
+            total += pos
+        assert total == sum(len(t.split(" ")) for _, t in rows)
+        m = packing.pack_manifest(p, seq_len=seq_len).collect()
+        assert sum(r["n_tokens"] for r in m) == total
+
+    check()
+
+
+def test_duplicate_spans_property_planted(spark):
+    """Planted-duplicate property: a shared run of >= k tokens between two
+    docs is always found, and reported spans never overlap per doc."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31),
+        k=st.integers(min_value=3, max_value=8),
+        dup_len=st.integers(min_value=8, max_value=20),
+    )
+    def check(seed, k, dup_len):
+        import random
+
+        rng = random.Random(seed)
+        dup = " ".join("d%d" % i for i in range(dup_len))
+        # unique fillers so only the planted run repeats
+        fill = lambda tag, n: " ".join(f"{tag}u{i}" for i in range(n))
+        rows = [
+            (1, fill("a", rng.randrange(1, 10)) + " " + dup),
+            (2, dup + " " + fill("b", rng.randrange(1, 10))),
+            (3, fill("c", rng.randrange(5, 15))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = dedup.duplicate_spans(df, k=k, min_count=2).collect()
+        docs_with = {r["doc_id"] for r in spans}
+        assert {1, 2} <= docs_with and 3 not in docs_with
+        # every span is at least k wide; per-doc spans are disjoint
+        per_doc: dict = {}
+        for r in spans:
+            assert r["span_end"] - r["span_start"] >= k
+            per_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        for sp in per_doc.values():
+            sp.sort()
+            for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+                assert s2 > e1
+
+    check()
