@@ -221,3 +221,66 @@ def curation_report(
         ),
     )
     return total.crossJoin(out)
+
+
+def curate_stream(
+    stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    redact_pii: bool = True,
+    train: float = 0.8,
+    val: float = 0.1,
+    split_salt: str = "split",
+) -> DataFrame:
+    """The streaming form of ``curate``: the stages that are projections
+    (quality gate, PII redaction, split assignment) apply unchanged to a
+    readStream, and exact dedup becomes watermarked streaming dedup on
+    the text digest — duplicates arriving within the horizon are dropped
+    with bounded state (state expires with the watermark; pass
+    ``ts_col=None`` for unbounded-state dedup on a finite replay).
+
+    The corpus-wide stages (fuzzy/semantic dedup, decontamination) are
+    batch-only by nature — they join the whole corpus against itself.
+    The streaming pipeline is the ingest gate; run batch ``curate`` over
+    the accumulated table on a schedule for the global stages (the
+    standard lambda shape for corpus curation).
+
+    Same determinism contract as batch: a row that flows through both
+    paths lands in the same split with the same redacted text.
+    """
+    from pyspark.sql import functions as F
+
+    flagged = quality_ops.gopher_quality_flags(
+        stream,
+        text_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        max_mean_word_len=max_mean_word_len,
+        min_mean_word_len=min_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+    )
+    kept = flagged.filter(F.col("q_keep")).select(stream.columns)
+
+    kept = kept.withColumn("__digest", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        kept = kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__digest"]
+        )
+    else:
+        kept = kept.dropDuplicates(["__digest"])
+    kept = kept.drop("__digest")
+
+    if redact_pii:
+        kept = kept.withColumn(text_col, quality_ops.pii_redact(text_col))
+
+    return quality_ops.train_split(
+        kept, id_col=id_col, train=train, val=val, salt=split_salt
+    )

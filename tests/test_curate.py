@@ -177,3 +177,44 @@ def test_quality_filter_threshold(docs):
     kept = quality_filter(docs, threshold=0.5)
     expected = scored.filter(F.col("q_score") >= 0.5).count()
     assert kept.count() == expected
+
+
+def test_curate_stream_matches_batch_projection_stages(spark, tmp_path, docs):
+    """Streaming curate == batch curate restricted to the streaming-safe
+    stages (quality gate, exact dedup, redact, split) on a finite replay."""
+    import json as _json
+
+    from mongo_arrow_spark.operators.curate import curate_stream
+    from mongo_arrow_spark.streaming import read_document_stream
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    rows = docs.collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(d / f"batch-{i}.jsonl", "w") as fh:
+            for r in chunk:
+                fh.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    stream = read_document_stream(spark, str(d), "doc_id bigint, text string")
+    out = curate_stream(stream, ts_col=None)
+    import uuid as _uuid
+
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM {name}")
+
+    want = curate(docs, jaccard_threshold=None)  # batch, same stages
+    assert got.count() == want.count()
+    j = got.select("doc_id", F.col("text").alias("a"), F.col("split").alias("sa")).join(
+        want.select("doc_id", F.col("text").alias("b"), F.col("split").alias("sb")),
+        "doc_id",
+    )
+    assert j.filter((F.col("a") != F.col("b")) | (F.col("sa") != F.col("sb"))).count() == 0
