@@ -36,16 +36,20 @@ _HEX = "0123456789abcdef"
 
 
 def hash_bucket(id_col: Column | str, n: int, salt: str) -> Column:
-    """Engine-portable uniform bucket in ``[0, n)``: the first two hex
-    digits of md5(salt ‖ id) decoded positionally (``instr`` over the hex
-    alphabet — both Spark and DuckDB spell it the same way), mod ``n``.
-    256 base buckets, so ``n`` ≤ 256 stays uniform. Pure projection."""
-    if not 1 <= n <= 256:
-        raise ValueError("n must be in [1, 256]")
+    """Engine-portable uniform bucket in ``[0, n)``: leading hex digits of
+    md5(salt ‖ id) decoded positionally (``instr`` over the hex alphabet —
+    both Spark and DuckDB spell it the same way), mod ``n``. Two digits
+    (256 base buckets) for ``n`` ≤ 256; four digits (65 536) above that,
+    so a 100 TB packing run can fan out thousands of streams and stay
+    uniform. Pure projection."""
+    if not 1 <= n <= 65536:
+        raise ValueError("n must be in [1, 65536]")
     h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string")))
-    d1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
-    d2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
-    return ((d1 * 16 + d2) % F.lit(n)).cast("int")
+    digits = 2 if n <= 256 else 4
+    out = F.lit(0)
+    for i in range(digits):
+        out = out * 16 + (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1)
+    return (out % F.lit(n)).cast("int")
 
 
 def _order_hash(id_col: str, salt: str) -> Column:

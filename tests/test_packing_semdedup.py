@@ -75,9 +75,21 @@ def test_hash_bucket_range_guard(docs):
     with pytest.raises(ValueError):
         packing.hash_bucket("doc_id", 0, "x")
     with pytest.raises(ValueError):
-        packing.hash_bucket("doc_id", 257, "x")
+        packing.hash_bucket("doc_id", 65537, "x")
     with pytest.raises(ValueError):
         packing.pack_sequences(docs, seq_len=0)
+
+
+def test_hash_bucket_wide_fanout(docs):
+    """> 256 buckets switches to 4 hex digits; assignment stays total,
+    in-range, and consistent with the 2-digit prefix ordering contract
+    (the 2-digit bucket is the 4-digit value's high byte)."""
+    wide = docs.select(
+        packing.hash_bucket("doc_id", 65536, "pack").alias("w"),
+        packing.hash_bucket("doc_id", 256, "pack").alias("n"),
+    )
+    assert wide.filter("w < 0 or w >= 65536").count() == 0
+    assert wide.filter("CAST(FLOOR(w / 256) AS INT) != n").count() == 0
 
 
 # ------------------------------------------------------- semantic dedup
