@@ -68,6 +68,8 @@ _DEMOTED = [
     # window composition stays byte-stable
     "mql_densify_fill",
     "mql_graph_lookup",
+    # unigram-LM scoring shares text_quality's pinned projection+agg shape
+    "text_unigram_logprob",
     # Round-4 rotation: the two CDC entries (cdc_apply inverse identity,
     # cdc_watch_stream streaming replay) enter the graded 50; the slots
     # come from multiply-pinned rows:

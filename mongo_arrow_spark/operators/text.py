@@ -174,3 +174,55 @@ def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> C
     return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(
         F.lit("und")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int | None = 10_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-derived unigram language-model score per document: the mean
+    log-probability of its tokens under the corpus's own unigram
+    distribution — the deterministic stand-in for the CCNet/RefinedWeb
+    perplexity filter (docs scoring far below the corpus mean are
+    boilerplate/noise; far above are repetitive).
+
+    Model: p(w) = (count(w) + alpha) / (total + alpha·(V+1)), add-alpha
+    smoothed over the top-``vocab_size`` vocabulary; out-of-vocabulary
+    tokens share one smoothed count. Output: (id, n_tokens, logprob).
+
+    Scale shape: one explode→count aggregation builds the vocabulary
+    (partial-aggregated, shuffle ∝ distinct tokens); the top-K cut keeps
+    the model broadcast-sized, and scoring joins each token occurrence
+    against the broadcast vocab — a map-side hash join, no second
+    shuffle of the corpus. A trained KenLM swaps in behind the same
+    signature via a pandas UDF.
+    """
+    spark_total = df.select(
+        F.sum(token_count(text_col)).cast("double").alias("t")
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    if vocab_size is not None:
+        counts = counts.orderBy(F.col("c").desc(), F.col("w")).limit(
+            int(vocab_size)
+        )
+    total = spark_total.first()["t"] or 0.0
+    v = counts.count()
+    denom = total + alpha * (v + 1)
+    scored = (
+        toks.join(F.broadcast(counts), "w", "left")
+        .withColumn(
+            "__lp", F.log((F.coalesce(F.col("c"), F.lit(0.0)) + alpha) / denom)
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg("__lp").cast("double").alias("logprob"),
+        )
+    )
+    return scored.withColumnRenamed("id", id_col)

@@ -830,3 +830,35 @@ def q_pack_manifest(spark, sf_dir):
         _t(spark, sf_dir, "documents"), seq_len=256, n_streams=8
     )
     return packing.pack_manifest(packed, seq_len=256)
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),
+    counts AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM toks
+      GROUP BY w ORDER BY c DESC, w LIMIT 10000
+    ),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM counts),
+    scored AS (
+      SELECT toks.doc_id,
+             ln((COALESCE(counts.c, 0) + 0.5) / (total.t + 0.5 * (v.n + 1))) AS lp
+      FROM toks LEFT JOIN counts USING (w), total, v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(lp), 4) AS logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_unigram_logprob(spark, sf_dir):
+    """Corpus-derived unigram LM score (CCNet-style perplexity proxy):
+    one vocab aggregation + broadcast scoring join, no second corpus
+    shuffle."""
+    out = text.unigram_logprob(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", F.round("logprob", 4).alias("logprob")
+    )

@@ -333,3 +333,16 @@ def test_quantize_int8_roundtrip_and_recall(spark):
     assert len(set(exact) & set(rer)) >= 9
     assert rer == sorted(rer, key=lambda v: exact.index(v) if v in exact
                          else 999)[:10] or True  # order sanity, non-strict
+
+
+def test_unigram_logprob_orders_noise_below_prose(spark):
+    """A doc of corpus-typical tokens must outscore a doc of tokens the
+    corpus never saw (OOV smoothing floor), and scores are finite."""
+    from mongo_arrow_spark.operators.text import unigram_logprob
+
+    rows = [(i, "common words common words appear here") for i in range(9)]
+    rows.append((99, "zzqx vvwk qqrr ttyy zzqx"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["logprob"] for r in unigram_logprob(df, vocab_size=5).collect()}
+    assert all(v == v and v < 0 for v in out.values())  # finite, negative
+    assert out[0] > out[99]
