@@ -218,3 +218,31 @@ def test_curate_stream_matches_batch_projection_stages(spark, tmp_path, docs):
         "doc_id",
     )
     assert j.filter((F.col("a") != F.col("b")) | (F.col("sa") != F.col("sb"))).count() == 0
+
+
+def test_curate_every_stage_composes(tables, docs):
+    """All optional stages on at once: fuzzy dedup + span strip + semantic
+    dedup + decontamination + redact + chunk + pack in one lazy program."""
+    holdout = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    out = curate(
+        corpus,
+        holdout=holdout,
+        jaccard_threshold=0.3,
+        max_df=100,
+        strip_spans_k=6,
+        embeddings=tables["embeddings"],
+        semantic_threshold=0.2,
+        semantic_bits=6,
+        chunk_size=64,
+        stride=64,
+        pack_seq_len=128,
+        pack_streams=4,
+    )
+    rows = out.count()
+    assert rows > 0
+    assert {"doc_id", "chunk_id", "chunk_text", "split", "stream", "seq_id",
+            "seq_offset"} <= set(out.columns)
+    # chunks pack tightly: offsets in range, streams within bound
+    assert out.filter("seq_offset < 0 or seq_offset >= 128").count() == 0
+    assert out.filter("stream < 0 or stream >= 4").count() == 0
