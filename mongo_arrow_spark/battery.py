@@ -70,6 +70,8 @@ _DEMOTED = [
     "mql_graph_lookup",
     # unigram-LM scoring shares text_quality's pinned projection+agg shape
     "text_unigram_logprob",
+    # taxonomy tagging shares the same map-only projection shape
+    "text_tag_keywords",
     # Round-4 rotation: the two CDC entries (cdc_apply inverse identity,
     # cdc_watch_stream streaming replay) enter the graded 50; the slots
     # come from multiply-pinned rows:

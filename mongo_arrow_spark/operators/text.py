@@ -226,3 +226,46 @@ def unigram_logprob(
         )
     )
     return scored.withColumnRenamed("id", id_col)
+
+
+def tag_keywords(
+    df: DataFrame,
+    taxonomy: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Taxonomy tagging: label each document with every category whose
+    keyword set intersects its token set — the broadcast-lexicon domain
+    classifier every corpus-curation pipeline runs before mix balancing
+    (a trained classifier swaps in behind the same output contract).
+
+    The taxonomy is compiled into the plan as literal arrays (broadcast
+    by construction); matching is one ``array_intersect`` per category on
+    the distinct-token array, all inside whole-stage codegen — map-only,
+    no shuffle, no Python. Output: (id, labels array<string>, n_labels),
+    labels in taxonomy-insertion order.
+    """
+    toks = F.array_distinct(tokens(text_col))
+
+    def hit(terms):
+        return F.size(
+            F.array_intersect(F.col("__t"), F.array(*[F.lit(t) for t in terms]))
+        ) > 0
+
+    labels = F.filter(
+        F.array(
+            *[
+                F.when(hit(terms), F.lit(label)).otherwise(F.lit(None))
+                for label, terms in taxonomy.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(
+            id_col,
+            labels.alias("labels"),
+            F.size(labels).cast("long").alias("n_labels"),
+        )
+    )

@@ -862,3 +862,48 @@ def q_text_unigram_logprob(spark, sf_dir):
     return out.select(
         "doc_id", "n_tokens", F.round("logprob", 4).alias("logprob")
     )
+
+
+#: Deterministic toy taxonomy over the synthetic corpus vocabulary.
+_TAXONOMY = {
+    "storage": ["table", "row", "parquet"],
+    "compute": ["scan", "hash", "merge", "sort"],
+    "runtime": ["spark", "batch", "window"],
+}
+
+
+@query(
+    "text_tag_keywords",
+    """
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id,
+             list_filter([
+               CASE WHEN len(list_intersect(toks, ['table','row','parquet'])) > 0
+                    THEN 'storage' END,
+               CASE WHEN len(list_intersect(toks, ['scan','hash','merge','sort'])) > 0
+                    THEN 'compute' END,
+               CASE WHEN len(list_intersect(toks, ['spark','batch','window'])) > 0
+                    THEN 'runtime' END
+             ], x -> x IS NOT NULL) AS labels
+      FROM t
+    )
+    SELECT doc_id, array_to_string(labels, ',') AS labels,
+           CAST(len(labels) AS BIGINT) AS n_labels
+    FROM lab
+    """,
+)
+def q_text_tag_keywords(spark, sf_dir):
+    """Broadcast-lexicon taxonomy tagging: one array_intersect per
+    category on the distinct-token set, map-only. Labels serialized to a
+    comma string for canonical hashing (order = taxonomy order, both
+    engines)."""
+    out = text.tag_keywords(_t(spark, sf_dir, "documents"), _TAXONOMY)
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", "labels").alias("labels"),
+        "n_labels",
+    )
