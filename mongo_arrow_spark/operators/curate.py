@@ -41,6 +41,8 @@ def curate(
     min_mean_word_len: float = 2.0,
     max_mean_word_len: float = 10.0,
     max_symbol_word_ratio: float = 0.1,
+    # boilerplate line strip (None disables)
+    boilerplate_min_df: int | None = None,
     # fuzzy dedup (None threshold disables the fuzzy stage)
     jaccard_n: int = 3,
     jaccard_threshold: float | None = 0.3,
@@ -91,6 +93,14 @@ def curate(
         max_symbol_word_ratio=max_symbol_word_ratio,
     )
     kept = flagged.filter(F.col("q_keep")).select(df.columns)
+
+    # 1b. boilerplate line strip — line-level repetition (nav menus,
+    # banners) removed BEFORE dedup so identical bodies wrapped in
+    # different chrome still collide
+    if boilerplate_min_df is not None:
+        kept = quality_ops.strip_boilerplate_lines(
+            kept, id_col=id_col, text_col=text_col, min_df=boilerplate_min_df
+        )
 
     # 2. exact dedup — digest+id shuffle only
     kept = dedup_ops.exact_dedup(kept, id_col, text_col)

@@ -267,6 +267,8 @@ def train_split(
     on the DuckDB oracle, on a re-run, and after any repartitioning. Pure
     projection, no shuffle, no RNG state.
     """
+    if not (0 <= train and 0 <= val and train + val <= 1):
+        raise ValueError("train/val must be >= 0 with train + val <= 1")
     t_train = format(int(train * 65536), "04x")
     t_val = format(int((train + val) * 65536), "04x")
     bucket = F.substring(
@@ -500,3 +502,65 @@ def quality_filter(
         F.col("q_score") >= threshold
     )
     return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# ----------------------------------------------------- boilerplate lines
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Lines (newline-delimited segments) that repeat across ≥ ``min_df``
+    documents — nav menus, cookie banners, footers: the line-level
+    boilerplate C4/RefinedWeb strip before any document-level dedup can
+    see it. Output: (line_hash, df) for joining or auditing.
+
+    Shape: explode distinct lines per doc → count by 8-byte xxhash64
+    (partial agg, one shuffle of hashed keys — line text never shuffles).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), sep))
+        ).alias("line"),
+    ).filter(F.trim("line") != "")
+    return (
+        lines.select("id", F.xxhash64(F.trim("line")).alias("line_hash"))
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove boilerplate lines in place: a doc's lines are filtered
+    against the corpus's repeated-line set and re-joined. The repeated
+    set rides as one hash-array column via a broadcast-sized aggregation
+    (boilerplate vocabularies are small by nature — cap ``min_df`` lower
+    only with a lexicon-size check at true corpus scale); the filter is
+    a row-local HOF, no Python on the data path."""
+    hot = boilerplate_lines(df, id_col, text_col, min_df, sep)
+    hot_arr = hot.agg(F.collect_list("line_hash").alias("__hot"))
+    cleaned = F.concat_ws(
+        sep,
+        F.filter(
+            F.split(F.col(text_col), sep),
+            lambda ln: (F.trim(ln) == "")
+            | ~F.array_contains(F.col("__hot"), F.xxhash64(F.trim(ln))),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(hot_arr))
+        .withColumn(text_col, cleaned)
+        .drop("__hot")
+    )

@@ -246,3 +246,18 @@ def test_curate_every_stage_composes(tables, docs):
     # chunks pack tightly: offsets in range, streams within bound
     assert out.filter("seq_offset < 0 or seq_offset >= 128").count() == 0
     assert out.filter("stream < 0 or stream >= 4").count() == 0
+
+
+def test_boilerplate_stage_in_curate(spark):
+    banner = "subscribe to our newsletter today friends"
+    rows = [
+        (i, f"real document body number {i} with plenty of words here\n{banner}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate(
+        df, jaccard_threshold=None, redact_pii=False, boilerplate_min_df=3,
+        min_tokens=5,
+    )
+    assert out.count() == 5
+    assert out.filter(F.col("text").contains(banner)).count() == 0

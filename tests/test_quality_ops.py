@@ -346,3 +346,35 @@ def test_unigram_logprob_orders_noise_below_prose(spark):
     out = {r["doc_id"]: r["logprob"] for r in unigram_logprob(df, vocab_size=5).collect()}
     assert all(v == v and v < 0 for v in out.values())  # finite, negative
     assert out[0] > out[99]
+
+
+def test_strip_boilerplate_lines(spark):
+    from mongo_arrow_spark.operators.quality import (
+        boilerplate_lines,
+        strip_boilerplate_lines,
+    )
+
+    banner = "accept cookies to continue"
+    rows = [
+        (i, f"unique content {i} here\n{banner}\nmore body {i}") for i in range(4)
+    ] + [(9, "no boilerplate in this one\njust text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hot = boilerplate_lines(df, min_df=3)
+    assert hot.count() == 1
+    out = {r["doc_id"]: r["text"] for r in strip_boilerplate_lines(df, min_df=3).collect()}
+    for i in range(4):
+        assert banner not in out[i]
+        assert f"unique content {i} here" in out[i] and f"more body {i}" in out[i]
+    assert out[9] == "no boilerplate in this one\njust text"
+
+
+def test_train_split_validates_fractions(spark):
+    from mongo_arrow_spark.operators.quality import train_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        train_split(df, train=0.9, val=0.2)
+    with _pytest.raises(ValueError):
+        train_split(df, train=-0.1)
