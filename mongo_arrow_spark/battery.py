@@ -72,6 +72,9 @@ _DEMOTED = [
     "text_unigram_logprob",
     # taxonomy tagging shares the same map-only projection shape
     "text_tag_keywords",
+    # materialized sequences: the payload-bearing view of the GRADED
+    # pack_sequences assignment (full seq_text hash-matched)
+    "pack_materialize",
     # Round-4 rotation: the two CDC entries (cdc_apply inverse identity,
     # cdc_watch_stream streaming replay) enter the graded 50; the slots
     # come from multiply-pinned rows:

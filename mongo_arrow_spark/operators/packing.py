@@ -30,6 +30,7 @@ __all__ = [
     "pack_sequences",
     "pack_manifest",
     "shuffle_corpus",
+    "materialize_sequences",
 ]
 
 _HEX = "0123456789abcdef"
@@ -175,4 +176,87 @@ def shuffle_corpus(
     return (
         df.withColumn("shard", hash_bucket(id_col, n_shards, salt))
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
+def materialize_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_streams: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Assemble the actual training sequences: one row per (stream,
+    seq_id) carrying ``seq_text`` (the concatenated token window) and
+    ``n_tokens`` — the materialization step after ``pack_sequences``
+    decides placement. Every sequence except each stream's last is
+    exactly ``seq_len`` tokens; a doc straddling a boundary contributes
+    its head to one sequence and its tail to the next.
+
+    Shape: the payload joins ONCE onto the (id → slot) assignment, each
+    doc row-locally slices its token array into per-sequence parts
+    (posexplode of the span arithmetic — no Python), and one groupBy
+    (stream, seq_id) concatenates parts in offset order via array_sort
+    over (offset, part) structs. Shuffle mass = the corpus payload once
+    — the unavoidable cost of physically building sequences, paid here
+    and nowhere else in the packing path.
+    """
+    from mongo_arrow_spark.operators.text import bind, tokens
+
+    packed = pack_sequences(df, seq_len, n_streams, id_col, text_col, salt)
+    joined = packed.join(df.select(F.col(id_col), F.col(text_col)), id_col)
+
+    extra = F.floor(
+        (F.col("seq_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / seq_len
+    )
+    parts = joined.select(
+        "stream",
+        "seq_offset",
+        F.col("n_tokens").alias("__n"),
+        bind(tokens(text_col), lambda t: t).alias("__toks"),
+        F.posexplode(F.sequence(F.col("seq_id"), F.col("seq_id") + extra)).alias(
+            "__i", "seq_id"
+        ),
+        extra.alias("__nspan"),
+    )
+    # tokens this part contributes and where its slice starts (1-based)
+    in_seq = (
+        F.when(F.col("__nspan") == 0, F.col("__n"))
+        .when(F.col("__i") == 0, seq_len - F.col("seq_offset"))
+        .when(
+            F.col("__i") == F.col("__nspan"),
+            F.col("__n") - (seq_len - F.col("seq_offset")) - (F.col("__i") - 1) * seq_len,
+        )
+        .otherwise(F.lit(seq_len))
+    )
+    slice_start = (
+        F.when(F.col("__i") == 0, F.lit(1))
+        .otherwise((seq_len - F.col("seq_offset")) + (F.col("__i") - 1) * seq_len + 1)
+    )
+    part_offset = F.when(F.col("__i") == 0, F.col("seq_offset")).otherwise(F.lit(0))
+    sliced = parts.select(
+        "stream",
+        "seq_id",
+        F.struct(
+            part_offset.cast("long").alias("o"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), slice_start, in_seq.cast("int"))
+            ).alias("p"),
+            in_seq.cast("long").alias("n"),
+        ).alias("__part"),
+    )
+    return (
+        sliced.groupBy("stream", "seq_id")
+        .agg(F.array_sort(F.collect_list("__part")).alias("__ps"))
+        .select(
+            "stream",
+            "seq_id",
+            F.concat_ws(
+                " ", F.filter(F.col("__ps.p"), lambda s: F.length(s) > 0)
+            ).alias("seq_text"),
+            F.aggregate(
+                F.col("__ps.n"), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("n_tokens"),
+        )
     )

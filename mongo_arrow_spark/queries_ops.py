@@ -907,3 +907,60 @@ def q_text_tag_keywords(spark, sf_dir):
         F.concat_ws(",", "labels").alias("labels"),
         "n_labels",
     )
+
+
+@query(
+    "pack_materialize",
+    f"""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5('pack' || CAST(doc_id AS VARCHAR)) AS h,
+             {_md5_bucket_sql('pack', 8)} AS stream
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, stream, toks, n_tokens, h,
+             SUM(n_tokens) OVER (PARTITION BY stream ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS e
+      FROM s
+    ),
+    p AS (
+      SELECT doc_id, stream, toks, n_tokens,
+             CAST(FLOOR((e - n_tokens) / 256) AS BIGINT) AS seq_id,
+             CAST((e - n_tokens) % 256 AS BIGINT) AS off
+      FROM c
+    ),
+    x AS (
+      SELECT stream, seq_id + i AS seq_id,
+             CASE WHEN i = 0 THEN off ELSE 0 END AS part_off,
+             CASE WHEN nspan = 0 THEN n_tokens
+                  WHEN i = 0 THEN 256 - off
+                  WHEN i = nspan THEN n_tokens - (256 - off) - (i - 1) * 256
+                  ELSE 256 END AS part_n,
+             CASE WHEN i = 0 THEN CAST(1 AS BIGINT)
+                  ELSE (256 - off) + (i - 1) * 256 + 1 END AS sl_start,
+             toks
+      FROM (SELECT *, CAST(FLOOR((off + greatest(n_tokens - 1, 0)) / 256)
+                           AS BIGINT) AS nspan FROM p),
+           unnest(range(0, nspan + 1)) AS u(i)
+    )
+    SELECT stream, seq_id,
+           string_agg(part, ' ' ORDER BY part_off)
+             FILTER (WHERE len(part) > 0) AS seq_text,
+           CAST(SUM(part_n) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT stream, seq_id, part_off, part_n,
+             array_to_string(toks[sl_start:sl_start + part_n - 1], ' ') AS part
+      FROM x
+    )
+    GROUP BY stream, seq_id
+    """,
+)
+def q_pack_materialize(spark, sf_dir):
+    """Materialized training sequences: the payload joins once onto the
+    packing assignment, docs slice row-locally, one groupBy concatenates
+    parts in offset order."""
+    return packing.materialize_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=256, n_streams=8
+    )

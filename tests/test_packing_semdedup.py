@@ -268,3 +268,39 @@ def test_duplicate_spans_property_planted(spark):
                 assert s2 > e1
 
     check()
+
+
+def test_materialize_reconstructs_streams(docs):
+    """Concatenating a stream's sequences in order reproduces exactly the
+    stream's documents in hash order; every non-last sequence is full."""
+    seq_len = 64
+    m = packing.materialize_sequences(docs, seq_len=seq_len, n_streams=4)
+    got = m.groupBy("stream").agg(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.collect_list(F.struct("seq_id", F.col("seq_text").alias("t")))
+            ).getField("t"),
+        ).alias("got")
+    )
+    p = packing.pack_sequences(docs, seq_len=seq_len, n_streams=4).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    want = p.groupBy("stream").agg(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.collect_list(
+                    F.struct("seq_id", "seq_offset", F.col("text").alias("t"))
+                )
+            ).getField("t"),
+        ).alias("want")
+    )
+    assert got.join(want, "stream").filter("got != want").count() == 0
+    last = m.groupBy("stream").agg(F.max("seq_id").alias("mx"))
+    assert (
+        m.join(last, "stream")
+        .filter((F.col("seq_id") < F.col("mx")) & (F.col("n_tokens") != seq_len))
+        .count()
+        == 0
+    )
