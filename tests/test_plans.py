@@ -274,3 +274,13 @@ def test_duplicate_spans_partial_agg_no_cartesian(spark, tables):
     assert p.count("HashAggregate") >= 2
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_decontaminate_broadcasts_holdout_postings(spark, tables):
+    """Cross-corpus decontamination must broadcast the (small) holdout
+    posting list — the train corpus streams once; no sort-merge join,
+    no cartesian."""
+    p = plan_of(spark, "decontaminate_pairs")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
