@@ -1,0 +1,239 @@
+"""Randomized pipeline-translator differential check.
+
+Extends tests/test_match_fuzz.py (find-filter predicates) up the stack:
+seeded random **expression trees** ($add/$subtract/$multiply/$abs/
+$min/$max/$cond/$ifNull over nullable columns) and random **$match +
+$addFields + $group pipelines** are run through the engine's translator
+on Spark and through a pure-Python reference evaluator implementing the
+engine's documented semantics (SQL three-valued comparisons, null-
+propagating arithmetic, null-skipping least/greatest and accumulators —
+see mql/expressions.py comparison block and mql/pipeline.py
+_accumulator). Reference parity anchor: the reference delegates these
+semantics to mongod; this engine documents its SQL-flavored deltas and
+this fuzzer pins the translator to that contract over thousands of
+random (expression, row) pairs per run.
+
+Seeded (fast, deterministic) — no hypothesis shrinking needed because
+any failure prints the offending expression verbatim.
+"""
+
+import math
+import random
+
+import pytest
+
+from mongo_arrow_spark.mql import apply_pipeline
+
+SEED = 20260814
+N_ROWS = 300
+
+
+@pytest.fixture(scope="module")
+def fuzz_df(spark):
+    rng = random.Random(SEED)
+    rows = []
+    for _ in range(N_ROWS):
+        rows.append(
+            (
+                rng.choice(["a", "b", "c", "d", None]),
+                rng.randint(-10, 10),
+                rng.choice([None, -2.5, 0.0, 1.25, 3.5, 7.0]),
+                rng.choice([None, -3, -2, -1, 0, 1, 2, 3]),
+            )
+        )
+    df = spark.createDataFrame(rows, "k string, x int, y double, z int")
+    return df, [dict(zip(("k", "x", "y", "z"), r)) for r in rows]
+
+
+# ------------------------------------------------------------ generators
+
+
+def gen_expr(rng, depth=0):
+    """Random MQL expression tree over $x/$y/$z and small constants."""
+    if depth >= 3 or rng.random() < 0.3:
+        return rng.choice(
+            ["$x", "$y", "$z", rng.randint(-5, 5), round(rng.uniform(-3, 3), 2)]
+        )
+    op = rng.choice(
+        ["$add", "$subtract", "$multiply", "$abs", "$min", "$max", "$cond", "$ifNull"]
+    )
+    if op == "$abs":
+        return {"$abs": gen_expr(rng, depth + 1)}
+    if op in ("$min", "$max"):
+        return {op: [gen_expr(rng, depth + 1), gen_expr(rng, depth + 1)]}
+    if op == "$cond":
+        cmp_op = rng.choice(["$gt", "$gte", "$lt", "$lte", "$eq", "$ne"])
+        cond = {cmp_op: [gen_expr(rng, depth + 1), gen_expr(rng, depth + 1)]}
+        return {"$cond": [cond, gen_expr(rng, depth + 1), gen_expr(rng, depth + 1)]}
+    if op == "$ifNull":
+        return {"$ifNull": [gen_expr(rng, depth + 1), gen_expr(rng, depth + 1)]}
+    if op == "$subtract":
+        return {op: [gen_expr(rng, depth + 1), gen_expr(rng, depth + 1)]}
+    n = rng.randint(2, 3)
+    return {op: [gen_expr(rng, depth + 1) for _ in range(n)]}
+
+
+# ------------------------------------------------- reference evaluation
+
+
+def ref_eval(expr, row):
+    """Engine-contract evaluator: SQL nulls, least/greatest skip nulls."""
+    if isinstance(expr, str) and expr.startswith("$"):
+        return row.get(expr[1:])
+    if isinstance(expr, (int, float)):
+        return expr
+    ((op, args),) = expr.items()
+    if op == "$abs":
+        v = ref_eval(args, row)
+        return None if v is None else abs(v)
+    if op == "$cond":
+        cond, t, e = args
+        ((cmp_op, cmp_args),) = cond.items()
+        a, b = (ref_eval(x, row) for x in cmp_args)
+        if a is None or b is None:
+            c = None
+        else:
+            c = {
+                "$gt": a > b,
+                "$gte": a >= b,
+                "$lt": a < b,
+                "$lte": a <= b,
+                "$eq": a == b,
+                "$ne": a != b,
+            }[cmp_op]
+        return ref_eval(t, row) if c else ref_eval(e, row)
+    vals = [ref_eval(a, row) for a in args]
+    if op == "$add":
+        return None if any(v is None for v in vals) else sum(vals)
+    if op == "$subtract":
+        return None if any(v is None for v in vals) else vals[0] - vals[1]
+    if op == "$multiply":
+        if any(v is None for v in vals):
+            return None
+        out = 1
+        for v in vals:
+            out *= v
+        return out
+    if op in ("$min", "$max"):
+        nn = [v for v in vals if v is not None]
+        if not nn:
+            return None
+        return min(nn) if op == "$min" else max(nn)
+    if op == "$ifNull":
+        for v in vals:
+            if v is not None:
+                return v
+        return None
+    raise AssertionError(f"unhandled op {op}")
+
+
+def close(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+
+
+# --------------------------------------------------------------- tests
+
+
+def test_expr_fuzz_rowwise(fuzz_df):
+    """100 random expression trees, evaluated per-row on Spark vs the
+    reference evaluator — batched 20 per $addFields round trip."""
+    df, rows = fuzz_df
+    rng = random.Random(SEED + 1)
+    exprs = [gen_expr(rng) for _ in range(100)]
+    for batch_start in range(0, len(exprs), 20):
+        batch = exprs[batch_start : batch_start + 20]
+        fields = {f"e{i}": e for i, e in enumerate(batch)}
+        out = apply_pipeline(df, [{"$addFields": fields}]).collect()
+        assert len(out) == len(rows)
+        for got, row in zip(out, rows):
+            for i, e in enumerate(batch):
+                want = ref_eval(e, row)
+                assert close(got[f"e{i}"], want), (
+                    f"expr {e!r} on row {row!r}: spark={got[f'e{i}']!r} "
+                    f"ref={want!r}"
+                )
+
+
+def gen_match(rng):
+    field = rng.choice(["x", "z"])
+    op = rng.choice(["$gt", "$gte", "$lt", "$lte", "$ne", "$eq"])
+    return {field: {op: rng.randint(-5, 5)}}
+
+
+def match_eval(query, row):
+    ((field, spec),) = query.items()
+    ((op, arg),) = spec.items()
+    v = row.get(field)
+    if v is None:
+        # find-filter semantics: missing/null matches only $eq null /
+        # $ne non-null; against a concrete int every range op is False,
+        # $ne is True (MQL: null is not equal to any concrete value).
+        return op == "$ne"
+    return {
+        "$gt": v > arg,
+        "$gte": v >= arg,
+        "$lt": v < arg,
+        "$lte": v <= arg,
+        "$eq": v == arg,
+        "$ne": v != arg,
+    }[op]
+
+
+ACCS = ["$sum", "$avg", "$min", "$max", "count"]
+
+
+def acc_ref(op, vals):
+    nn = [v for v in vals if v is not None]
+    if op == "count":
+        return len(vals)
+    if op == "$sum":
+        return sum(nn) if nn else None
+    if op == "$avg":
+        return sum(nn) / len(nn) if nn else None
+    if op == "$min":
+        return min(nn) if nn else None
+    if op == "$max":
+        return max(nn) if nn else None
+    raise AssertionError(op)
+
+
+def test_group_pipeline_fuzz(fuzz_df):
+    """18 random $match → $addFields → $group pipelines vs the reference
+    evaluator, grouped by $k, accumulators over the computed field."""
+    df, rows = fuzz_df
+    rng = random.Random(SEED + 2)
+    for trial in range(18):
+        match = gen_match(rng) if rng.random() < 0.6 else None
+        vexpr = gen_expr(rng)
+        accs = rng.sample(ACCS, k=rng.randint(1, 3))
+        group = {"_id": "$k"}
+        for i, a in enumerate(accs):
+            if a == "count":
+                group[f"a{i}"] = {"$sum": 1}
+            else:
+                group[f"a{i}"] = {a: "$v"}
+        pipeline = []
+        if match:
+            pipeline.append({"$match": match})
+        pipeline += [{"$addFields": {"v": vexpr}}, {"$group": group}]
+
+        got = {
+            r["_id"]: {f"a{i}": r[f"a{i}"] for i in range(len(accs))}
+            for r in apply_pipeline(df, pipeline).collect()
+        }
+
+        kept = [r for r in rows if match is None or match_eval(match, r)]
+        want = {}
+        for r in kept:
+            want.setdefault(r["k"], []).append(ref_eval(vexpr, r))
+        for k, vals in want.items():
+            assert k in got, f"trial {trial}: missing group {k!r} ({pipeline!r})"
+            for i, a in enumerate(accs):
+                w = acc_ref("count" if a == "count" else a, vals)
+                assert close(got[k][f"a{i}"], w), (
+                    f"trial {trial} group {k!r} acc {a}: "
+                    f"spark={got[k][f'a{i}']!r} ref={w!r} ({pipeline!r})"
+                )
+        assert set(got) == set(want), f"trial {trial}: groups {set(got)} != {set(want)}"
