@@ -53,6 +53,7 @@ HEADLINE = [
     "shuffle_corpus",
     "semantic_dedup",
     "duplicate_spans",
+    "bloom_ingest_gate",
 ]
 
 

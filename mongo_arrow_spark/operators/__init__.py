@@ -6,6 +6,12 @@ designed for 100 TB first (shuffle budgets, skew caps, no driver-side
 loops), then validated against DuckDB oracles at small SF.
 """
 
-from mongo_arrow_spark.operators import dedup, multimodal, similarity, text
+from mongo_arrow_spark.operators import (
+    dedup,
+    membership,
+    multimodal,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "membership", "similarity", "text", "multimodal"]

@@ -964,3 +964,28 @@ def q_pack_materialize(spark, sf_dir):
     return packing.materialize_sequences(
         _t(spark, sf_dir, "documents"), seq_len=256, n_streams=8
     )
+
+
+@query("bloom_ingest_gate")  # rows-only: xxhash64 positions aren't SQL-expressible
+def q_bloom_ingest_gate(spark, sf_dir):
+    """Incremental-ingest gate: Bloom index over the standing corpus
+    (doc_id % 10 != 0), probe a batch of held-out docs + 100 re-submitted
+    corpus docs. Returns the definite-new rows (maybe_member = false) —
+    Bloom's no-false-negative side guarantees every re-submission is
+    flagged, so nothing here can be a duplicate of the corpus. Pinned
+    exactly (FN=0, FP bound, compact index) by tests/test_membership.py.
+    """
+    from mongo_arrow_spark.operators import membership
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionAll(
+        corpus.orderBy("doc_id").limit(100)
+    )
+    index = membership.build_bloom_index(corpus, "text", num_bits=1 << 22)
+    probed = membership.probe_bloom(batch, index, "text", num_bits=1 << 22)
+    return (
+        probed.filter(~F.col("maybe_member"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,79 @@
+"""Bloom membership index: no-false-negative guarantee, bounded false
+positives, incremental-ingest composition (probe → admit definite-new)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators.membership import (
+    bloom_false_positive_rate,
+    build_bloom_index,
+    probe_bloom,
+)
+
+BITS = 1 << 18  # small m so the FP bound is actually exercised
+K = 5
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"].select("doc_id", "text")
+
+
+def test_no_false_negatives(docs):
+    """Every inserted key probes true — the load-bearing guarantee."""
+    index = build_bloom_index(docs, "text", num_bits=BITS, num_hashes=K)
+    probed = probe_bloom(docs, index, "text", num_bits=BITS, num_hashes=K)
+    assert probed.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_false_positive_rate_bounded(docs, spark):
+    """Never-inserted keys probe true at ≲ the analytic rate (3× slack)."""
+    index = build_bloom_index(docs, "text", num_bits=BITS, num_hashes=K)
+    n = docs.count()
+    fresh = spark.range(2000).select(
+        F.concat(F.lit("definitely-new-key-"), F.col("id")).alias("text")
+    )
+    fp = (
+        probe_bloom(fresh, index, "text", num_bits=BITS, num_hashes=K)
+        .filter(F.col("maybe_member"))
+        .count()
+    )
+    expected = bloom_false_positive_rate(n, BITS, K)
+    assert fp / 2000.0 <= max(3 * expected, 0.01), (fp, expected, n)
+
+
+def test_incremental_ingest_composition(docs, spark):
+    """The ingest gate: batch = half old docs + fresh docs. Old rows are
+    all flagged; definite-new rows are genuinely absent from the corpus."""
+    index = build_bloom_index(docs, "text", num_bits=BITS, num_hashes=K)
+    old = docs.limit(50).select("text")
+    fresh = spark.range(50).select(
+        F.concat(F.lit("incoming-novel-doc "), F.col("id")).alias("text")
+    )
+    batch = old.unionAll(fresh)
+    probed = probe_bloom(batch, index, "text", num_bits=BITS, num_hashes=K)
+    definite_new = probed.filter(~F.col("maybe_member"))
+    # no old doc can appear in definite_new (no false negatives)
+    leaked = definite_new.join(docs.select("text"), "text", "left_semi").count()
+    assert leaked == 0
+    # most of the fresh half survives the gate (only Bloom FPs drop out)
+    assert definite_new.count() >= 40
+
+
+def test_index_is_compact(docs):
+    """The index never exceeds num_bits/64 words — the artifact that makes
+    probe cost corpus-independent."""
+    index = build_bloom_index(docs, "text", num_bits=BITS, num_hashes=K)
+    rows = index.count()
+    assert rows <= BITS // 64
+    # words hold at least one set bit each
+    assert index.filter(F.col("bits") == 0).count() == 0
+
+
+def test_probe_preserves_input_columns(docs):
+    index = build_bloom_index(docs, "text", num_bits=BITS, num_hashes=K)
+    probed = probe_bloom(
+        docs, index, "text", num_bits=BITS, num_hashes=K, out_col="seen"
+    )
+    assert set(probed.columns) == {"doc_id", "text", "seen"}
+    assert probed.count() == docs.count()
