@@ -54,6 +54,7 @@ HEADLINE = [
     "semantic_dedup",
     "duplicate_spans",
     "bloom_ingest_gate",
+    "profile_sketches",
 ]
 
 

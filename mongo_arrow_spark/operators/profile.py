@@ -108,3 +108,159 @@ def numeric_summary(df: DataFrame, columns: list[str] | None = None) -> DataFram
         for c in names
     ]
     return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+
+
+# ----------------------------------------------------------- sketch tier
+#
+# Mergeable Datasketches artifacts (Spark 4 SQL builtins): the
+# incremental path for profiling a corpus that never stops growing. Build
+# one sketch row per (batch, column) as data arrives — per day, per
+# source, per ingest — persist the artifact table, and merge sketches
+# instead of rescanning history. Merging is register-wise (HLL) /
+# compaction (KLL): O(sketch bytes), corpus-size-independent. The same
+# artifacts answer cross-corpus questions (overlap estimation via
+# inclusion-exclusion on HLL unions) without ever joining the corpora.
+
+
+def sketch_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    batch_col: str | None = None,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Sketch artifact rows: (batch, column, n_rows, n_nulls, hll, kll).
+
+    ``hll`` is an HLL++ distinct sketch (lg_k configurable accuracy/size);
+    ``kll`` a KLL quantile sketch for numeric columns (null otherwise).
+    One aggregation pass regardless of column count; group by
+    ``batch_col`` to emit per-batch artifacts for later merging.
+    """
+    names = columns or [
+        f.name
+        for f in df.schema.fields
+        if not isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+        and f.name != batch_col
+    ]
+    if not names:
+        raise ValueError("no profileable columns")
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)
+    }
+    # hll_sketch_agg accepts int/long/string/binary only — everything
+    # else (double, timestamp, bool, decimal) sketches its string form
+    hashable = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(
+            f.dataType, (T.IntegerType, T.LongType, T.StringType, T.BinaryType)
+        )
+    }
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in names:
+        col = F.col(c)
+        hcol = col if c in hashable else col.cast("string")
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.hll_sketch_agg(hcol, lg_k).alias(f"__hll_{c}"),
+        ]
+        if c in numeric:
+            aggs.append(
+                F.kll_sketch_agg_double(col.cast("double")).alias(f"__kll_{c}")
+            )
+    grouped = df.groupBy(
+        *( [F.col(batch_col).alias("batch")] if batch_col else [F.lit("__all__").alias("batch")] )
+    ).agg(*aggs)
+    parts = []
+    for c in names:
+        kll = (
+            F.col(f"__kll_{c}")
+            if c in numeric
+            else F.lit(None).cast("binary")
+        )
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
+                F.col(f"__hll_{c}").alias("hll"),
+                kll.alias("kll"),
+            )
+        )
+    return grouped.select(
+        "batch", F.col("__total").cast("long").alias("n_rows"),
+        F.explode(F.array(*parts)).alias("p"),
+    ).select("batch", "p.column", "n_rows", "p.n_nulls", "p.hll", "p.kll")
+
+
+def merge_sketch_profiles(profiles: DataFrame) -> DataFrame:
+    """Fold per-batch sketch rows into one row per column.
+
+    HLL merges through the native ``hll_union_agg``. KLL has no aggregate
+    merge builtin, so the per-batch sketches (one small binary per batch
+    — bounded by batch count, not data size) fold pairwise through
+    ``kll_sketch_merge_double`` inside a single HOF reduce.
+    """
+    merged = profiles.groupBy("column").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_nulls").cast("long").alias("n_nulls"),
+        F.hll_union_agg("hll").alias("hll"),
+        F.collect_list("kll").alias("__klls"),  # collect_list drops nulls
+    )
+    folded = F.when(
+        F.size("__klls") > 0,
+        F.aggregate(
+            F.slice("__klls", 2, 2_000_000_000),
+            F.col("__klls")[0],
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ),
+    )
+    return merged.withColumn("kll", folded).drop("__klls")
+
+
+def sketch_estimates(
+    merged: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Decode merged sketches: (column, n_rows, n_nulls, n_distinct_approx,
+    q_0.5, ...). Quantile columns are null for non-numeric columns."""
+    cols = [
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.hll_sketch_estimate("hll").cast("long").alias("n_distinct_approx"),
+    ]
+    for q in quantiles:
+        cols.append(
+            F.when(
+                F.col("kll").isNotNull(),
+                F.kll_sketch_get_quantile_double("kll", F.lit(float(q))),
+            ).alias(f"q_{q}")
+        )
+    return merged.select(*cols)
+
+
+def estimate_overlap(
+    merged_a: DataFrame, merged_b: DataFrame, column: str
+) -> DataFrame:
+    """Estimate |A ∩ B| for one column across two corpora from their
+    sketch artifacts alone — inclusion-exclusion over the HLL union:
+    ``|A| + |B| − |A ∪ B|``. No corpus is scanned, nothing joins; this
+    is the O(bytes) screen you run BEFORE deciding to pay for an exact
+    decontamination join at 100 TB."""
+    a = merged_a.filter(F.col("column") == column).select(
+        F.col("hll").alias("hll_a")
+    )
+    b = merged_b.filter(F.col("column") == column).select(
+        F.col("hll").alias("hll_b")
+    )
+    return a.crossJoin(b).select(
+        F.lit(column).alias("column"),
+        F.hll_sketch_estimate("hll_a").cast("long").alias("n_distinct_a"),
+        F.hll_sketch_estimate("hll_b").cast("long").alias("n_distinct_b"),
+        F.greatest(
+            (
+                F.hll_sketch_estimate("hll_a")
+                + F.hll_sketch_estimate("hll_b")
+                - F.hll_sketch_estimate(F.hll_union("hll_a", "hll_b"))
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_overlap_approx"),
+    )

@@ -989,3 +989,18 @@ def q_bloom_ingest_gate(spark, sf_dir):
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@query("profile_sketches")  # rows-only: Datasketches estimates aren't DuckDB-reproducible
+def q_profile_sketches(spark, sf_dir):
+    """Mergeable sketch profile of the documents table: per-source HLL +
+    KLL artifacts merged into one row per column, decoded to estimates.
+    Accuracy vs exact distinct/quantiles and merge==whole equivalence
+    pinned by tests/test_sketch_profile.py.
+    """
+    from mongo_arrow_spark.operators import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    artifacts = profile.sketch_profile(docs, batch_col="source")
+    merged = profile.merge_sketch_profiles(artifacts)
+    return profile.sketch_estimates(merged).orderBy("column")
