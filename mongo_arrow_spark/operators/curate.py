@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mongo_arrow_spark.operators import dedup as dedup_ops
+from mongo_arrow_spark.operators import membership as membership_ops
 from mongo_arrow_spark.operators import quality as quality_ops
 
 
@@ -43,6 +44,10 @@ def curate(
     max_symbol_word_ratio: float = 0.1,
     # boilerplate line strip (None disables)
     boilerplate_min_df: int | None = None,
+    # standing-corpus Bloom gate (None disables; see operators/membership.py)
+    bloom_index: DataFrame | None = None,
+    bloom_num_bits: int = 1 << 27,
+    bloom_num_hashes: int = 5,
     # fuzzy dedup (None threshold disables the fuzzy stage)
     jaccard_n: int = 3,
     jaccard_threshold: float | None = 0.3,
@@ -104,6 +109,23 @@ def curate(
 
     # 2. exact dedup — digest+id shuffle only
     kept = dedup_ops.exact_dedup(kept, id_col, text_col)
+
+    # 2b. standing-corpus Bloom gate — drop rows whose payload already
+    # exists in a PREVIOUS corpus (index built once via
+    # membership.build_bloom_index, reused across batches; the corpus
+    # itself is never rejoined). Bloom's false-positive sliver means
+    # "drop" is conservative: ~(1−e^{−kn/m})^k fresh docs are lost —
+    # size num_bits for the tolerance, or probe-and-verify outside
+    # curate() when zero loss is required.
+    if bloom_index is not None:
+        kept = membership_ops.probe_bloom(
+            kept,
+            bloom_index,
+            text_col,
+            num_bits=bloom_num_bits,
+            num_hashes=bloom_num_hashes,
+        )
+        kept = kept.filter(~F.col("maybe_member")).drop("maybe_member")
 
     # 3. fuzzy dedup — candidate pairs → components → min-id survivors
     if jaccard_threshold is not None:
@@ -249,6 +271,9 @@ def curate_stream(
     train: float = 0.8,
     val: float = 0.1,
     split_salt: str = "split",
+    bloom_index: DataFrame | None = None,
+    bloom_num_bits: int = 1 << 27,
+    bloom_num_hashes: int = 5,
 ) -> DataFrame:
     """The streaming form of ``curate``: the stages that are projections
     (quality gate, PII redaction, split assignment) apply unchanged to a
@@ -287,6 +312,20 @@ def curate_stream(
     else:
         kept = kept.dropDuplicates(["__digest"])
     kept = kept.drop("__digest")
+
+    # standing-corpus Bloom gate: a stream-static join against the bit
+    # table — the streaming twin of batch stage 2b. The static side is
+    # re-resolvable per micro-batch, so a refreshed index parquet is
+    # picked up without restarting the stream.
+    if bloom_index is not None:
+        kept = membership_ops.probe_bloom_rowwise(
+            kept,
+            bloom_index,
+            text_col,
+            num_bits=bloom_num_bits,
+            num_hashes=bloom_num_hashes,
+        )
+        kept = kept.filter(~F.col("maybe_member")).drop("maybe_member")
 
     if redact_pii:
         kept = kept.withColumn(text_col, quality_ops.pii_redact(text_col))

@@ -155,3 +155,65 @@ def bloom_false_positive_rate(
     import math
 
     return (1.0 - math.exp(-num_hashes * n_keys / float(num_bits))) ** num_hashes
+
+
+def probe_bloom_rowwise(
+    df: DataFrame,
+    index: DataFrame,
+    key_col: str = "text",
+    *,
+    num_bits: int = 1 << 27,
+    num_hashes: int = 5,
+    out_col: str = "maybe_member",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Streaming-safe probe: k stream-static left joins, no aggregation.
+
+    ``probe_bloom``'s explode → groupBy → join-back shape is the right
+    batch plan (one join regardless of k) but is illegal on a stream
+    (the join-back is a stream-stream self-join). This variant keeps
+    every check row-local: each of the k positions joins the bit table
+    independently and the verdict is a row-level AND — projections and
+    stream-static left joins only, valid in append mode.
+
+    With ``broadcast=True`` (default) the bit table ships to executors
+    once per micro-batch: at the default sizing (2^27 bits) the index
+    is ≤ 32 MB — well inside broadcast range. Set ``broadcast=False``
+    for very large indexes; the k shuffle joins still beat re-joining
+    the corpus.
+    """
+    m = F.lit(num_bits)
+    h1 = F.pmod(F.xxhash64(F.col(key_col), F.lit(_SEED_A)), m)
+    h2 = F.pmod(F.xxhash64(F.col(key_col), F.lit(_SEED_B)), m)
+    src = F.broadcast(index) if broadcast else index
+    out = df
+    flags = []
+    for i in range(num_hashes):
+        out = (
+            out.withColumn(
+                f"__bp{i}", F.pmod(h1 + F.lit(i).cast("long") * h2, m)
+            )
+            .withColumn(f"__bw{i}", (F.col(f"__bp{i}") / 64).cast("long"))
+            .withColumn(
+                f"__bb{i}",
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(__bp{i} % 64 AS INT))"
+                ),
+            )
+        )
+        idx_i = src.select(
+            F.col("word").alias(f"__iw{i}"), F.col("bits").alias(f"__ib{i}")
+        )
+        out = out.join(idx_i, out[f"__bw{i}"] == idx_i[f"__iw{i}"], "left")
+        flags.append(
+            F.col(f"__ib{i}").isNotNull()
+            & (F.col(f"__ib{i}").bitwiseAND(F.col(f"__bb{i}")) != 0)
+        )
+    verdict = flags[0]
+    for fl in flags[1:]:
+        verdict = verdict & fl
+    out = out.withColumn(out_col, verdict)
+    drop = [
+        f"__{p}{i}" for i in range(num_hashes) for p in ("bp", "bw", "bb", "iw", "ib")
+    ]
+    return out.drop(*drop)

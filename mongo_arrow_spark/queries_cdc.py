@@ -98,12 +98,22 @@ def q_cdc_watch(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n")
     )
     name = f"mas_cdc_{uuid.uuid4().hex[:8]}"
-    (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination(300)
-    )
+    # A 3-group streaming agg does not need a state store per session
+    # shuffle partition (32 at bench size): the state-partition count is
+    # frozen from the session conf at query START, so scope it down for
+    # the micro-batch and restore. At cluster scale a real watch stream
+    # sizes this to live-key cardinality, not the batch-join default.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

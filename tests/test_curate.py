@@ -261,3 +261,66 @@ def test_boilerplate_stage_in_curate(spark):
     )
     assert out.count() == 5
     assert out.filter(F.col("text").contains(banner)).count() == 0
+
+
+def test_curate_bloom_gate_batch(spark, docs):
+    """Stage 2b: docs whose payload exists in the standing corpus are
+    dropped; genuinely novel docs survive."""
+    from mongo_arrow_spark.operators.membership import build_bloom_index
+
+    standing = docs.filter(F.col("doc_id") % 3 == 0)
+    index = build_bloom_index(standing, "text", num_bits=1 << 20)
+    out = curate(
+        docs,
+        jaccard_threshold=None,
+        redact_pii=False,
+        bloom_index=index,
+        bloom_num_bits=1 << 20,
+    )
+    # nothing surviving may carry a standing-corpus payload (no FNs)
+    leaked = out.join(standing.select("text"), "text", "left_semi").count()
+    assert leaked == 0
+    # docs not in the standing corpus mostly survive (quality gate aside)
+    assert out.count() > 0
+
+
+def test_curate_stream_bloom_gate(spark, tmp_path, docs):
+    """Streaming stage 2b (stream-static row-wise probe): the replayed
+    stream drops standing-corpus payloads, keeps novel ones."""
+    import json as _json
+    import uuid as _uuid
+
+    from mongo_arrow_spark.operators.curate import curate_stream
+    from mongo_arrow_spark.operators.membership import build_bloom_index
+    from mongo_arrow_spark.streaming import read_document_stream
+
+    standing = docs.filter(F.col("doc_id") % 3 == 0)
+    index = build_bloom_index(standing, "text", num_bits=1 << 20)
+
+    d = tmp_path / "docs_stream_bloom"
+    d.mkdir()
+    with open(d / "batch-0.jsonl", "w") as fh:
+        for r in docs.limit(200).collect():
+            fh.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    stream = read_document_stream(spark, str(d), "doc_id bigint, text string")
+    out = curate_stream(
+        stream,
+        ts_col=None,
+        redact_pii=False,
+        bloom_index=index,
+        bloom_num_bits=1 << 20,
+    )
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM {name}")
+    leaked = got.join(standing.select("text"), "text", "left_semi").count()
+    assert leaked == 0
+    assert got.count() > 0

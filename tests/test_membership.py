@@ -77,3 +77,30 @@ def test_probe_preserves_input_columns(docs):
     )
     assert set(probed.columns) == {"doc_id", "text", "seen"}
     assert probed.count() == docs.count()
+
+
+def test_rowwise_probe_matches_agg_probe(docs, spark):
+    """probe_bloom_rowwise (streaming-safe plan) == probe_bloom (batch
+    plan) verdict-for-verdict, broadcast and shuffle variants."""
+    from mongo_arrow_spark.operators.membership import probe_bloom_rowwise
+
+    index = build_bloom_index(docs, "text", num_bits=BITS, num_hashes=K)
+    mixed = docs.limit(80).select("doc_id", "text").unionAll(
+        spark.range(40).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("rowwise-novel "), F.col("id")).alias("text"),
+        )
+    )
+    agg = probe_bloom(mixed, index, "text", num_bits=BITS, num_hashes=K)
+    for bc in (True, False):
+        row = probe_bloom_rowwise(
+            mixed, index, "text", num_bits=BITS, num_hashes=K, broadcast=bc
+        )
+        diff = (
+            agg.select("doc_id", F.col("maybe_member").alias("a"))
+            .join(row.select("doc_id", F.col("maybe_member").alias("b")), "doc_id")
+            .filter(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert diff == 0, f"broadcast={bc}"
+        assert row.count() == mixed.count()
