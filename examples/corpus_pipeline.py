@@ -30,6 +30,15 @@ def main() -> None:
     corpus = docs.filter(F.col("source") != "src0")
     print(f"corpus={corpus.count()}  holdout={holdout.count()}")
 
+    # 0. sketch profile: mergeable per-source HLL/KLL artifacts — the
+    # audit that reruns incrementally as the corpus grows
+    from mongo_arrow_spark.operators import profile
+
+    artifacts = profile.sketch_profile(corpus, batch_col="source")
+    profile.sketch_estimates(
+        profile.merge_sketch_profiles(artifacts)
+    ).orderBy("column").show()
+
     # 1. quality gate: Gopher-style bounds + repetition ceiling
     flagged = quality.gopher_quality_flags(corpus, min_tokens=20)
     rep = quality.repetition_metrics(flagged, top_ngram_n=2)
@@ -81,9 +90,24 @@ def main() -> None:
     manifest = packing.pack_manifest(packed, seq_len=256)
     manifest.orderBy("stream", "seq_id").show(5)
 
-    # one-call alternative: curate() composes stages 1-8 (plus optional
-    # duplicate-substring stripping and semantic dedup over an embedding
-    # table) into a single lazy plan — see operators/curate.py
+    # 9. next ingest: fold what we kept into a Bloom index so the NEXT
+    # batch is gated against this corpus without ever rejoining it
+    from mongo_arrow_spark.operators import membership
+
+    index = membership.build_bloom_index(kept, "text", num_bits=1 << 22)
+    resubmitted = kept.limit(100)
+    gated = membership.probe_bloom(
+        resubmitted, index, "text", num_bits=1 << 22
+    )
+    print(
+        "re-submitted docs flagged by the Bloom gate:",
+        gated.filter("maybe_member").count(), "/", resubmitted.count(),
+    )
+
+    # one-call alternative: curate() composes stages 1-9 (plus optional
+    # duplicate-substring stripping, semantic dedup over an embedding
+    # table, and the bloom_index gate) into a single lazy plan — see
+    # operators/curate.py
 
 
 if __name__ == "__main__":
