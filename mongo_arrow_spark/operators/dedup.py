@@ -713,6 +713,16 @@ def duplicate_spans(
     span; only duplicates shorter than ``k`` tokens are missed.
     ``max_df`` caps pathological fingerprints (boilerplate that appears
     everywhere) exactly like the Jaccard posting-list cap."""
+    from pyspark import StorageLevel
+
+    # tokenize + window-hash ONCE and persist the compact (id, pos, g)
+    # table — it feeds both the count agg and the position join-back, and
+    # re-deriving it costs a second corpus tokenize pass (measured 1.6×
+    # the whole query locally). Same discipline as the Jaccard posting
+    # list; at corpus scale swap the persist for a checkpoint table. A
+    # count-over-window single pass would avoid the persist but shuffles
+    # EVERY gram row on g (~24 B × corpus tokens) instead of the
+    # partial-aggregated digest counts — wrong trade at 100 TB.
     grams = (
         df.select(
             F.col(id_col).alias("id"),
@@ -728,6 +738,7 @@ def duplicate_spans(
         )
         .filter(F.length("g") > 0)
         .withColumn("g", F.xxhash64("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     counts = grams.groupBy("g").agg(F.count("*").alias("n"))
