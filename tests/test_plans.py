@@ -284,3 +284,35 @@ def test_decontaminate_broadcasts_holdout_postings(spark, tables):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bloom_build_partial_aggregates(spark, tables):
+    """The Bloom index build must partial-aggregate (word, bit) map-side
+    before its single shuffle — the shuffle carries folded longs, not one
+    row per (doc, position)."""
+    from mongo_arrow_spark.operators.membership import build_bloom_index
+    from mongo_arrow_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    idx = build_bloom_index(docs, "text", num_bits=1 << 20)
+    p = idx._jdf.queryExecution().executedPlan().toString()
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert p.count("Exchange") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_bloom_gate_query_no_extra_corpus_scan(spark, tables):
+    """bloom_ingest_gate probes via equi-joins only — no cartesian, no
+    nested-loop; the probe side never re-joins the corpus payload."""
+    p = plan_of(spark, "bloom_ingest_gate")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sketch_profile_single_aggregation_per_grain(spark, tables):
+    """profile_sketches is one aggregation over one scan per grain (batch
+    sketches, then the merge agg) regardless of column count — never a
+    per-column pass."""
+    p = plan_of(spark, "profile_sketches")
+    assert p.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in p
