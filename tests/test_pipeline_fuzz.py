@@ -237,3 +237,110 @@ def test_group_pipeline_fuzz(fuzz_df):
                     f"spark={got[k][f'a{i}']!r} ref={w!r} ({pipeline!r})"
                 )
         assert set(got) == set(want), f"trial {trial}: groups {set(got)} != {set(want)}"
+
+
+# ------------------------------------------------ lookup/unwind/group fuzz
+
+
+@pytest.fixture(scope="module")
+def join_frames(spark, duck):
+    rng = random.Random(SEED + 3)
+    keys = ["a", "b", "c", "d", "e", None]
+    lrows = [
+        (i, rng.choice(keys), rng.randint(-5, 5)) for i in range(200)
+    ]
+    rrows = [
+        (i, rng.choice(keys), rng.randint(0, 9)) for i in range(150)
+    ]
+    ldf = spark.createDataFrame(lrows, "lid int, k string, x int")
+    rdf = spark.createDataFrame(rrows, "rid int, k string, y int")
+    import pandas as pd
+
+    duck.register("l_fz", pd.DataFrame(lrows, columns=["lid", "k", "x"]))
+    duck.register("r_fz", pd.DataFrame(rrows, columns=["rid", "k", "y"]))
+    return ldf, rdf
+
+
+def test_lookup_unwind_group_fuzz(join_frames, duck):
+    """Random $match → $lookup → $unwind → $group pipelines vs DuckDB
+    LEFT/INNER JOIN aggregation. Pins the engine's documented SQL-null
+    join contract (null localField matches nothing) and unwind's
+    preserveNullAndEmptyArrays ↔ LEFT vs INNER JOIN equivalence."""
+    ldf, rdf = join_frames
+    rng = random.Random(SEED + 4)
+    for trial in range(12):
+        xmin = rng.randint(-5, 3)
+        preserve = rng.random() < 0.5
+        pipeline = [
+            {"$match": {"x": {"$gte": xmin}}},
+            {
+                "$lookup": {
+                    "from": "r_fz",
+                    "localField": "k",
+                    "foreignField": "k",
+                    "as": "m",
+                }
+            },
+            {
+                "$unwind": {
+                    "path": "$m",
+                    "preserveNullAndEmptyArrays": preserve,
+                }
+            },
+            {
+                "$group": {
+                    "_id": "$k",
+                    "n": {"$sum": 1},
+                    "sy": {"$sum": "$m.y"},
+                }
+            },
+        ]
+        got = {
+            r["_id"]: (r["n"], r["sy"])
+            for r in apply_pipeline(
+                ldf, pipeline, collections={"r_fz": rdf}
+            ).collect()
+        }
+        join_kind = "LEFT" if preserve else "INNER"
+        sql = f"""
+            SELECT l.k AS k, COUNT(*) AS n, SUM(r.y) AS sy
+            FROM (SELECT * FROM l_fz WHERE x >= {xmin}) l
+            {join_kind} JOIN r_fz r ON l.k = r.k
+            GROUP BY l.k
+        """
+        want = {
+            row[0]: (row[1], row[2]) for row in duck.execute(sql).fetchall()
+        }
+        assert set(got) == set(want), f"trial {trial} groups"
+        for k in want:
+            assert got[k][0] == want[k][0], (trial, k, got[k], want[k])
+            gs, ws = got[k][1], want[k][1]
+            assert (gs is None) == (ws is None) and (
+                gs is None or int(gs) == int(ws)
+            ), (trial, k, got[k], want[k])
+
+
+def test_lookup_array_sizes_vs_match_counts(join_frames, duck):
+    """No $unwind: the lookup array's size per left row equals DuckDB's
+    per-row match count (COUNT(rid) over a LEFT JOIN)."""
+    ldf, rdf = join_frames
+    out = apply_pipeline(
+        ldf,
+        [
+            {"$lookup": {"from": "r_fz", "localField": "k",
+                         "foreignField": "k", "as": "m"}},
+            {"$project": {"lid": 1, "nm": {"$size": "$m"}}},
+        ],
+        collections={"r_fz": rdf},
+    )
+    got = {r["lid"]: r["nm"] for r in out.collect()}
+    want = {
+        row[0]: row[1]
+        for row in duck.execute(
+            """
+            SELECT l.lid, COUNT(r.rid) FROM l_fz l
+            LEFT JOIN r_fz r ON l.k = r.k GROUP BY l.lid
+            """
+        ).fetchall()
+    }
+    assert got == want
