@@ -344,3 +344,86 @@ def test_lookup_array_sizes_vs_match_counts(join_frames, duck):
         ).fetchall()
     }
     assert got == want
+
+
+# -------------------------------------------------- string expression fuzz
+
+
+@pytest.fixture(scope="module")
+def str_df(spark):
+    rng = random.Random(SEED + 5)
+    pool = ["", "abc", "Hello World", "x y z", "AA bb CC", "one,two", "  pad  "]
+    rows = [
+        (rng.choice(pool + [None]), rng.choice(pool)) for _ in range(200)
+    ]
+    return (
+        spark.createDataFrame(rows, "s string, t string"),
+        [dict(zip(("s", "t"), r)) for r in rows],
+    )
+
+
+def gen_str_expr(rng, depth=0):
+    """String-valued MQL expression trees (engine contract: SQL nulls —
+    $concat/$toUpper/$toLower propagate null, unlike mongod's ''-return)."""
+    if depth >= 3 or rng.random() < 0.35:
+        return rng.choice(["$s", "$t", {"$literal": rng.choice(["", "Q", "-"])}])
+    op = rng.choice(["$concat", "$toUpper", "$toLower", "$substrCP", "$ifNull"])
+    if op == "$concat":
+        return {"$concat": [gen_str_expr(rng, depth + 1) for _ in range(rng.randint(2, 3))]}
+    if op in ("$toUpper", "$toLower"):
+        return {op: gen_str_expr(rng, depth + 1)}
+    if op == "$substrCP":
+        return {
+            "$substrCP": [gen_str_expr(rng, depth + 1), rng.randint(0, 6), rng.randint(0, 5)]
+        }
+    return {"$ifNull": [gen_str_expr(rng, depth + 1), gen_str_expr(rng, depth + 1)]}
+
+
+def ref_str_eval(expr, row):
+    if isinstance(expr, str) and expr.startswith("$"):
+        return row.get(expr[1:])
+    if isinstance(expr, dict) and "$literal" in expr:
+        return expr["$literal"]
+    ((op, args),) = expr.items()
+    if op == "$concat":
+        vals = [ref_str_eval(a, row) for a in args]
+        return None if any(v is None for v in vals) else "".join(vals)
+    if op == "$toUpper":
+        v = ref_str_eval(args, row)
+        return None if v is None else v.upper()
+    if op == "$toLower":
+        v = ref_str_eval(args, row)
+        return None if v is None else v.lower()
+    if op == "$substrCP":
+        v = ref_str_eval(args[0], row)
+        return None if v is None else v[args[1] : args[1] + args[2]]
+    if op == "$ifNull":
+        for a in args:
+            v = ref_str_eval(a, row)
+            if v is not None:
+                return v
+        return None
+    raise AssertionError(op)
+
+
+def test_string_expr_fuzz(str_df):
+    """80 random string trees per-row on Spark vs the reference evaluator;
+    each also observed through $strLenCP."""
+    df, rows = str_df
+    rng = random.Random(SEED + 6)
+    exprs = [gen_str_expr(rng) for _ in range(80)]
+    for batch_start in range(0, len(exprs), 20):
+        batch = exprs[batch_start : batch_start + 20]
+        fields = {}
+        for i, e in enumerate(batch):
+            fields[f"e{i}"] = e
+            fields[f"l{i}"] = {"$strLenCP": e}
+        out = apply_pipeline(df, [{"$addFields": fields}]).collect()
+        for got, row in zip(out, rows):
+            for i, e in enumerate(batch):
+                want = ref_str_eval(e, row)
+                assert got[f"e{i}"] == want, (
+                    f"expr {e!r} on {row!r}: {got[f'e{i}']!r} != {want!r}"
+                )
+                wl = None if want is None else len(want)
+                assert got[f"l{i}"] == wl, (e, row, got[f"l{i}"], wl)
