@@ -427,3 +427,98 @@ def test_string_expr_fuzz(str_df):
                 )
                 wl = None if want is None else len(want)
                 assert got[f"l{i}"] == wl, (e, row, got[f"l{i}"], wl)
+
+
+# -------------------------------------------------- $setWindowFields fuzz
+
+
+@pytest.fixture(scope="module")
+def win_frames(spark, duck):
+    rng = random.Random(SEED + 7)
+    rows = [
+        (rng.choice(["a", "b", "c", "d"]), i, rng.choice([None, *range(-5, 6)]))
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "g string, o int, v int")
+    import pandas as pd
+
+    duck.register("w_fz", pd.DataFrame(rows, columns=["g", "o", "v"]))
+    return df
+
+
+def _frame_sql(lo, hi):
+    def side(b, which):
+        if b == "unbounded":
+            return f"UNBOUNDED {which}"
+        if b == 0:
+            return "CURRENT ROW"
+        return f"{abs(b)} {'PRECEDING' if b < 0 else 'FOLLOWING'}"
+
+    return f"ROWS BETWEEN {side(lo, 'PRECEDING')} AND {side(hi, 'FOLLOWING')}"
+
+
+def test_set_window_fields_fuzz(win_frames, duck):
+    """Random $setWindowFields outputs (bounded-frame aggregates, rank
+    family, $shift) vs DuckDB window SQL on the same frame."""
+    df = win_frames
+    rng = random.Random(SEED + 8)
+    over = "PARTITION BY g ORDER BY o"
+    for trial in range(10):
+        outputs, sqls = {}, []
+        for i in range(rng.randint(2, 3)):
+            kind = rng.choice(["agg", "rank", "shift"])
+            name = f"a{i}"
+            if kind == "agg":
+                op = rng.choice(["$sum", "$avg", "$min", "$max"])
+                lo = rng.choice(["unbounded", -3, -2, -1, 0])
+                hi = rng.choice([0, 1, 2, 3, "unbounded"])
+                if lo != "unbounded" and hi != "unbounded" and lo > hi:
+                    lo, hi = hi if hi < 0 else 0, hi if hi > 0 else 0
+                outputs[name] = {
+                    op: "$v",
+                    "window": {"documents": [lo, hi]},
+                }
+                fn = {"$sum": "SUM", "$avg": "AVG", "$min": "MIN", "$max": "MAX"}[op]
+                sqls.append(
+                    f"{fn}(v) OVER ({over} {_frame_sql(lo, hi)}) AS {name}"
+                )
+            elif kind == "rank":
+                op = rng.choice(["$rank", "$denseRank", "$documentNumber"])
+                outputs[name] = {op: {}}
+                fn = {
+                    "$rank": "RANK()",
+                    "$denseRank": "DENSE_RANK()",
+                    "$documentNumber": "ROW_NUMBER()",
+                }[op]
+                sqls.append(f"{fn} OVER ({over}) AS {name}")
+            else:
+                by = rng.choice([-2, -1, 1, 2])
+                outputs[name] = {"$shift": {"output": "$v", "by": by}}
+                fn = f"LAG(v, {-by})" if by < 0 else f"LEAD(v, {by})"
+                sqls.append(f"{fn} OVER ({over}) AS {name}")
+
+        pipeline = [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$g",
+                    "sortBy": {"o": 1},
+                    "output": outputs,
+                }
+            }
+        ]
+        got = {
+            (r["g"], r["o"]): [r[f"a{i}"] for i in range(len(outputs))]
+            for r in apply_pipeline(df, pipeline).collect()
+        }
+        sql = f"SELECT g, o, {', '.join(sqls)} FROM w_fz"
+        want = {
+            (row[0], row[1]): list(row[2:])
+            for row in duck.execute(sql).fetchall()
+        }
+        assert set(got) == set(want), f"trial {trial}: row keys differ"
+        for key in want:
+            for gi, wi in zip(got[key], want[key]):
+                assert close(gi, wi), (
+                    f"trial {trial} row {key}: {got[key]} != {want[key]} "
+                    f"({outputs!r})"
+                )
