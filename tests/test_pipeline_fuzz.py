@@ -522,3 +522,110 @@ def test_set_window_fields_fuzz(win_frames, duck):
                     f"trial {trial} row {key}: {got[key]} != {want[key]} "
                     f"({outputs!r})"
                 )
+
+
+# ---------------------------------------------------- date expression fuzz
+
+
+@pytest.fixture(scope="module")
+def date_frame(spark, duck):
+    import datetime as dt
+
+    rng = random.Random(SEED + 9)
+    base = dt.datetime(1997, 1, 1)
+    stamps = [
+        base + dt.timedelta(seconds=rng.randint(0, 1_000_000_000))
+        for _ in range(150)
+    ]
+    # boundary cases the random draw may miss
+    stamps += [
+        dt.datetime(2000, 2, 29, 23, 59, 59),
+        dt.datetime(2020, 12, 31, 0, 0, 0),
+        dt.datetime(2021, 1, 1, 0, 0, 1),
+        dt.datetime(1999, 1, 31, 12, 0, 0),
+        dt.datetime(2024, 3, 31, 23, 0, 0),
+    ]
+    rows = [(i, s) for i, s in enumerate(stamps)]
+    df = spark.createDataFrame(rows, "i int, ts timestamp")
+    import pandas as pd
+
+    duck.register(
+        "d_fz",
+        pd.DataFrame(
+            {"i": [r[0] for r in rows],
+             "ts": pd.Series([r[1] for r in rows], dtype="datetime64[us]")}
+        ),
+    )
+    return df
+
+
+def test_date_parts_and_arithmetic_fuzz(date_frame, duck):
+    """Date part extraction, $dateTrunc, $dateAdd and $dateDiff over 155
+    timestamps (random + boundary) vs DuckDB — both engines in UTC."""
+    df = date_frame
+    rng = random.Random(SEED + 10)
+    n_add = rng.randint(-40, 40)
+    fields = {
+        "y": {"$year": "$ts"},
+        "mo": {"$month": "$ts"},
+        "d": {"$dayOfMonth": "$ts"},
+        "h": {"$hour": "$ts"},
+        "mi": {"$minute": "$ts"},
+        "se": {"$second": "$ts"},
+        "doy": {"$dayOfYear": "$ts"},
+        "dow": {"$dayOfWeek": "$ts"},  # MQL: 1=Sunday..7
+        "iw": {"$isoWeek": "$ts"},
+        "t_day": {"$dateTrunc": {"date": "$ts", "unit": "day"}},
+        "t_month": {"$dateTrunc": {"date": "$ts", "unit": "month"}},
+        "t_hour": {"$dateTrunc": {"date": "$ts", "unit": "hour"}},
+        "add_d": {"$dateAdd": {"startDate": "$ts", "unit": "day", "amount": n_add}},
+        "add_mo": {"$dateAdd": {"startDate": "$ts", "unit": "month", "amount": 1}},
+        "dd": {
+            "$dateDiff": {
+                "startDate": {"$literal": "2000-01-01"},
+                "endDate": "$ts",
+                "unit": "day",
+            }
+        },
+    }
+    # $dateDiff literal start: engine accepts expression dates — feed the
+    # iso string through $toDate for portability
+    fields["dd"]["$dateDiff"]["startDate"] = {"$toDate": "2000-01-01"}
+    got = {
+        r["i"]: r.asDict()
+        for r in apply_pipeline(df, [{"$addFields": fields}]).collect()
+    }
+    want = {
+        row[0]: row
+        for row in duck.execute(
+            f"""
+            SELECT i,
+              EXTRACT(year FROM ts), EXTRACT(month FROM ts),
+              EXTRACT(day FROM ts), EXTRACT(hour FROM ts),
+              EXTRACT(minute FROM ts), EXTRACT(second FROM ts),
+              EXTRACT(doy FROM ts), EXTRACT(dow FROM ts) + 1,
+              EXTRACT(week FROM ts),
+              date_trunc('day', ts), date_trunc('month', ts),
+              date_trunc('hour', ts),
+              ts + INTERVAL ({n_add}) DAY, ts + INTERVAL 1 MONTH,
+              date_diff('day', TIMESTAMP '2000-01-01', ts)
+            FROM d_fz
+            """
+        ).fetchall()
+    }
+    names = ["y", "mo", "d", "h", "mi", "se", "doy", "dow", "iw",
+             "t_day", "t_month", "t_hour", "add_d", "add_mo", "dd"]
+    assert set(got) == set(want)
+    for i, g in got.items():
+        w = want[i]
+        for j, name in enumerate(names, start=1):
+            gv, wv = g[name], w[j]
+            if hasattr(wv, "to_pydatetime"):
+                wv = wv.to_pydatetime()
+            import datetime as dt
+
+            if isinstance(wv, dt.date) and not isinstance(wv, dt.datetime):
+                wv = dt.datetime.combine(wv, dt.time())  # duckdb date_trunc → DATE
+            assert gv == wv or (
+                isinstance(gv, (int, float)) and close(gv, wv)
+            ), (i, name, gv, wv, g["ts"])
