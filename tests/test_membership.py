@@ -104,3 +104,19 @@ def test_rowwise_probe_matches_agg_probe(docs, spark):
         )
         assert diff == 0, f"broadcast={bc}"
         assert row.count() == mixed.count()
+
+
+def test_cc_local_fastpath_matches_distributed_loop(spark):
+    """connected_components' size-gated union-find must produce exactly
+    the distributed loop's (id, component) labels."""
+    import random as _random
+
+    from mongo_arrow_spark.operators.dedup import connected_components
+
+    rng = _random.Random(7)
+    pairs = [(rng.randint(0, 300), rng.randint(0, 300)) for _ in range(250)]
+    pairs = [(a, b) if a < b else (b, a) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    local = connected_components(df).collect()
+    dist = connected_components(df, local_threshold=0).collect()
+    assert sorted(map(tuple, local)) == sorted(map(tuple, dist))
