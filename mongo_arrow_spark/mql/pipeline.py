@@ -1477,7 +1477,53 @@ def _vector_search(df, args, resolve):
 
 
 #: operator kinds the $search / $searchMeta clause parser accepts
-_SEARCH_OPERATORS = ("text", "phrase", "range", "equals", "exists", "wildcard")
+_SEARCH_OPERATORS = (
+    "text",
+    "phrase",
+    "range",
+    "equals",
+    "exists",
+    "wildcard",
+    "autocomplete",
+)
+
+
+def _parse_fuzzy(spec):
+    """Atlas ``fuzzy`` option → {maxEdits, prefixLength} (None if absent).
+    Defaults follow Atlas: maxEdits 2, prefixLength 0. maxExpansions is
+    accepted and ignored (it bounds Lucene's term-expansion search; the
+    engine scans tokens directly, so there is nothing to cap)."""
+    fz = spec.get("fuzzy")
+    if fz is None:
+        return None
+    if fz is True:
+        fz = {}
+    max_edits = int(fz.get("maxEdits", 2))
+    if max_edits not in (1, 2):
+        raise MQLTranslationError("$search fuzzy.maxEdits must be 1 or 2")
+    if "maxExpansions" in fz:
+        warnings.warn(
+            "$search fuzzy.maxExpansions accepted but ignored "
+            "(no term-expansion phase to bound)",
+            stacklevel=2,
+        )
+    return {"maxEdits": max_edits, "prefixLength": int(fz.get("prefixLength", 0))}
+
+
+def _term_pred(term, fuzzy):
+    """Token-level match predicate for a query term: exact equality, or
+    Damerau-free Levenshtein ≤ maxEdits with a required shared prefix."""
+
+    def pred(w):
+        if not fuzzy:
+            return w == F.lit(term)
+        m = F.levenshtein(w, F.lit(term)) <= F.lit(fuzzy["maxEdits"])
+        pl = fuzzy["prefixLength"]
+        if pl:
+            m = m & (F.substring(w, 1, pl) == F.lit(term[:pl]))
+        return m
+
+    return pred
 
 
 def _parse_search_clauses(args):
@@ -1497,7 +1543,7 @@ def _parse_search_clauses(args):
     else:
         raise MQLTranslationError(
             "$search supports the text/phrase/range/equals/exists/"
-            "wildcard and compound operators"
+            "wildcard/autocomplete and compound operators"
         )
 
     def parse_clause(clause):
@@ -1505,15 +1551,29 @@ def _parse_search_clauses(args):
         if len(kinds) != 1:
             raise MQLTranslationError(
                 "compound clauses support exactly one of text/phrase/"
-                "range/equals/exists/wildcard"
+                "range/equals/exists/wildcard/autocomplete"
             )
         kind = kinds[0]
         spec = clause[kind]
         path = spec.get("path")
         if not isinstance(path, str):
             raise MQLTranslationError(f"$search {kind}.path must be a single field")
-        if kind in ("text", "phrase"):
+        if kind == "text":
+            return {
+                "kind": kind,
+                "path": path,
+                "terms": spec["query"].split(),
+                "fuzzy": _parse_fuzzy(spec),
+            }
+        if kind == "phrase":
             return {"kind": kind, "path": path, "terms": spec["query"].split()}
+        if kind == "autocomplete":
+            return {
+                "kind": kind,
+                "path": path,
+                "query": str(spec["query"]),
+                "fuzzy": _parse_fuzzy(spec),
+            }
         if kind == "range":
             bounds = {k: spec[k] for k in ("gt", "gte", "lt", "lte") if k in spec}
             if not bounds:
@@ -1562,8 +1622,21 @@ def _search_clause_match(c):
         toks = tokens(c["path"])
         m = F.lit(False)
         for t in c["terms"]:
-            m = m | F.array_contains(toks, F.lit(t))
+            m = m | F.exists(toks, _term_pred(t, c.get("fuzzy")))
         return m
+    if c["kind"] == "autocomplete":
+        # prefix match on any token; with fuzzy, the token's same-length
+        # prefix may sit within maxEdits of the query
+        toks = tokens(c["path"])
+        q = c["query"]
+        fz = c.get("fuzzy")
+        if not fz:
+            return F.exists(toks, lambda w: w.startswith(q))
+        return F.exists(
+            toks,
+            lambda w: F.levenshtein(F.substring(w, 1, len(q)), F.lit(q))
+            <= F.lit(fz["maxEdits"]),
+        )
     if c["kind"] == "phrase":
         return _search_phrase_count(c["path"], c["terms"]) > 0
     if c["kind"] == "range":
@@ -1598,8 +1671,9 @@ def _search_match_pred(parsed):
 
 @_stage("$search")
 def _search(df, args, resolve):
-    """Atlas ``$search`` with the ``text``, ``phrase``, ``range``,
-    ``equals``, ``exists`` and ``wildcard`` operators, standalone or under
+    """Atlas ``$search`` with the ``text`` (incl. ``fuzzy``), ``phrase``,
+    ``range``, ``equals``, ``exists``, ``wildcard`` and ``autocomplete``
+    operators, standalone or under
     ``compound`` (must/should/mustNot/filter). text scores by tf·ln(N/df)
     per query term and phrase by occurrence-count·ln(N/phrase-df) (the
     engine's TF-IDF model — SURVEY 2.E "text search" row; Atlas's BM25
@@ -1624,10 +1698,23 @@ def _search(df, args, resolve):
 
     parsed = _parse_search_clauses(args)
     every = [c for cs in parsed.values() for c in cs]
-    # one DF-stats pass: term dfs for text clauses, phrase dfs for phrases
+    # one DF-stats pass: term dfs for text clauses, phrase dfs for phrases.
+    # Term keys carry the fuzzy knobs: the same term matched exactly and
+    # fuzzily has different document frequencies.
+    def _fz_key(fz):
+        return (fz["maxEdits"], fz["prefixLength"]) if fz else None
+
     all_terms = sorted(
-        {(c["path"], t) for c in every if c["kind"] == "text" for t in c["terms"]}
+        {
+            (c["path"], t, _fz_key(c.get("fuzzy")))
+            for c in every
+            if c["kind"] == "text"
+            for t in c["terms"]
+        },
+        key=str,
     )
+    fz_of = {k: ({"maxEdits": k[2][0], "prefixLength": k[2][1]} if k[2] else None)
+             for k in all_terms}
     idx = {pt: i for i, pt in enumerate(all_terms)}
     phrase_count = _search_phrase_count
     phrases = [c for c in every if c["kind"] == "phrase"]
@@ -1635,9 +1722,12 @@ def _search(df, args, resolve):
         F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(
-                F.when(F.array_contains(tokens(p), t), F.lit(1)).otherwise(F.lit(0))
+                F.when(
+                    F.exists(tokens(p), _term_pred(t, fz_of[(p, t, fzk)])),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
             ).alias(f"__df_{i}")
-            for i, (p, t) in enumerate(all_terms)
+            for i, (p, t, fzk) in enumerate(all_terms)
         ],
         *[
             F.sum(
@@ -1649,11 +1739,8 @@ def _search(df, args, resolve):
     )
     pidx = {id(c): i for i, c in enumerate(phrases)}
 
-    def term_count(path, term):
-        def pred(w):  # arity-1 closure (2-param lambdas bind (value, index))
-            return w == F.lit(term)
-
-        return F.size(F.filter(tokens(path), pred))
+    def term_count(path, term, fuzzy):
+        return F.size(F.filter(tokens(path), _term_pred(term, fuzzy)))
 
     clause_match = _search_clause_match
 
@@ -1661,10 +1748,10 @@ def _search(df, args, resolve):
         if c["kind"] == "text":
             score = F.lit(0.0)
             for t in c["terms"]:
-                i = idx[(c["path"], t)]
+                i = idx[(c["path"], t, _fz_key(c.get("fuzzy")))]
                 score = score + F.when(
                     F.col(f"__df_{i}") > 0,
-                    term_count(c["path"], t)
+                    term_count(c["path"], t, c.get("fuzzy"))
                     * F.log(F.col("__n") / F.col(f"__df_{i}")),
                 ).otherwise(F.lit(0.0))
             return score

@@ -1595,3 +1595,112 @@ def test_ignored_option_warnings(spark):
             "input": {"pipelines": {"p": [{"$sort": {"_id": 1}}, {"$limit": 1}]}},
             "scoreDetails": True}}]).count()
     assert any("scoreDetails" in str(x.message) for x in caught)
+
+
+def test_search_text_fuzzy(spark):
+    """$search text with fuzzy: tokens within maxEdits match; prefixLength
+    constrains the shared prefix; dfs are computed under the fuzzy
+    predicate (so scores use the fuzzy document frequency)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "teh quikc brown dog"),  # 'quikc' is 2 edits from 'quick'
+            (3, "completely different"),
+            (4, "quick quick quick"),
+            (5, "uqick start guide"),  # 2 edits, but prefix 'uq' != 'qu'
+        ],
+        "id int, body string",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {"$search": {"text": {"query": "quick", "path": "body",
+                                  "fuzzy": {"maxEdits": 2}}}},
+            {"$limit": 10},
+            {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+        ],
+    ).collect()
+    ids = [r["id"] for r in out]
+    assert set(ids) == {1, 2, 4, 5}
+    assert ids[0] == 4  # tf=3 ranks first
+    # exact search must NOT match the misspelled doc
+    exact = apply_pipeline(
+        df,
+        [
+            {"$search": {"text": {"query": "quick", "path": "body"}}},
+            {"$limit": 10},
+            {"$project": {"id": 1}},
+        ],
+    ).collect()
+    assert {r["id"] for r in exact} == {1, 4}
+    # prefixLength 2 keeps 'quikc' (prefix 'qu') but rejects 'uqick'
+    pl = apply_pipeline(
+        df,
+        [
+            {"$search": {"text": {"query": "quick", "path": "body",
+                                  "fuzzy": {"maxEdits": 2, "prefixLength": 2}}}},
+            {"$limit": 10},
+            {"$project": {"id": 1}},
+        ],
+    ).collect()
+    assert {r["id"] for r in pl} == {1, 2, 4}
+    # maxEdits validation
+    with pytest.raises(MQLTranslationError):
+        apply_pipeline(
+            df,
+            [{"$search": {"text": {"query": "q", "path": "body",
+                                   "fuzzy": {"maxEdits": 3}}}}],
+        )
+
+
+def test_search_autocomplete(spark):
+    """$search autocomplete: token-prefix match; fuzzy tolerates edits in
+    the same-length prefix; composes under compound."""
+    df = spark.createDataFrame(
+        [
+            (1, "quantum computing"),
+            (2, "quarterly report"),
+            (3, "quenching typo here"),  # prefix 'quen' is 1 edit from 'quan'
+            (4, "nothing relevant"),
+        ],
+        "id int, body string",
+    )
+    got = apply_pipeline(
+        df,
+        [
+            {"$search": {"autocomplete": {"query": "quan", "path": "body"}}},
+            {"$limit": 10},
+            {"$project": {"id": 1}},
+        ],
+    ).collect()
+    assert {r["id"] for r in got} == {1}
+    fz = apply_pipeline(
+        df,
+        [
+            {"$search": {"autocomplete": {"query": "quan", "path": "body",
+                                          "fuzzy": {"maxEdits": 1}}}},
+            {"$limit": 10},
+            {"$project": {"id": 1}},
+        ],
+    ).collect()
+    assert {r["id"] for r in fz} == {1, 2, 3}  # 'quar'/'quen' are 1 edit
+    comp = apply_pipeline(
+        df,
+        [
+            {
+                "$search": {
+                    "compound": {
+                        "must": [
+                            {"autocomplete": {"query": "qua", "path": "body"}}
+                        ],
+                        "mustNot": [
+                            {"text": {"query": "report", "path": "body"}}
+                        ],
+                    }
+                }
+            },
+            {"$limit": 10},
+            {"$project": {"id": 1}},
+        ],
+    ).collect()
+    assert {r["id"] for r in comp} == {1}
