@@ -1718,6 +1718,16 @@ def _search(df, args, resolve):
     idx = {pt: i for i, pt in enumerate(all_terms)}
     phrase_count = _search_phrase_count
     phrases = [c for c in every if c["kind"] == "phrase"]
+    # engine extension: scoring="bm25" uses Lucene's published BM25
+    # (k1=1.2, b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5))) — Atlas's
+    # actual model. Default stays the tf·ln(N/df) documented in the
+    # battery oracle (reproducible in plain SQL); ranking order is the
+    # same monotone tf×rarity family either way.
+    scoring = str(args.get("scoring", "tfidf")).lower()
+    if scoring not in ("tfidf", "bm25"):
+        raise MQLTranslationError("$search scoring must be 'tfidf' or 'bm25'")
+    text_paths = sorted({c["path"] for c in every if c["kind"] == "text"})
+    path_idx = {p: j for j, p in enumerate(text_paths)}
     stats = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
@@ -1736,6 +1746,10 @@ def _search(df, args, resolve):
             ).alias(f"__pdf_{i}")
             for i, c in enumerate(phrases)
         ],
+        *[
+            F.avg(F.size(tokens(p))).alias(f"__adl_{j}")
+            for j, p in enumerate(text_paths)
+        ],
     )
     pidx = {id(c): i for i, c in enumerate(phrases)}
 
@@ -1743,17 +1757,33 @@ def _search(df, args, resolve):
         return F.size(F.filter(tokens(path), _term_pred(term, fuzzy)))
 
     clause_match = _search_clause_match
+    _K1, _B = 1.2, 0.75
 
     def clause_score(c):
         if c["kind"] == "text":
             score = F.lit(0.0)
             for t in c["terms"]:
                 i = idx[(c["path"], t, _fz_key(c.get("fuzzy")))]
-                score = score + F.when(
-                    F.col(f"__df_{i}") > 0,
-                    term_count(c["path"], t, c.get("fuzzy"))
-                    * F.log(F.col("__n") / F.col(f"__df_{i}")),
-                ).otherwise(F.lit(0.0))
+                tf = term_count(c["path"], t, c.get("fuzzy")).cast("double")
+                df_col = F.col(f"__df_{i}")
+                if scoring == "bm25":
+                    dl = F.size(tokens(c["path"])).cast("double")
+                    avgdl = F.col(f"__adl_{path_idx[c['path']]}")
+                    idf = F.log(
+                        F.lit(1.0)
+                        + (F.col("__n") - df_col + 0.5) / (df_col + 0.5)
+                    )
+                    term_score = (
+                        idf
+                        * tf
+                        * (_K1 + 1)
+                        / (tf + _K1 * (1 - _B + _B * dl / avgdl))
+                    )
+                else:
+                    term_score = tf * F.log(F.col("__n") / df_col)
+                score = score + F.when(df_col > 0, term_score).otherwise(
+                    F.lit(0.0)
+                )
             return score
         if c["kind"] == "phrase":
             i = pidx[id(c)]
@@ -1774,6 +1804,7 @@ def _search(df, args, resolve):
         ["__n"]
         + [f"__df_{i}" for i in range(len(all_terms))]
         + [f"__pdf_{i}" for i in range(len(phrases))]
+        + [f"__adl_{j}" for j in range(len(text_paths))]
     )
     return (
         df.crossJoin(F.broadcast(stats))

@@ -1704,3 +1704,46 @@ def test_search_autocomplete(spark):
         ],
     ).collect()
     assert {r["id"] for r in comp} == {1}
+
+
+def test_search_bm25_scoring(spark):
+    """scoring='bm25': Lucene BM25 (k1=1.2, b=0.75) reproduced exactly;
+    length normalization demotes a long document relative to tf·idf."""
+    import math
+
+    rows = [
+        (1, "apple banana"),                       # short, 1 hit
+        (2, "apple " + "filler " * 40 + "apple"),  # long, 2 hits
+        (3, "cherry date"),
+        (4, "apple"),                              # shortest, 1 hit
+    ]
+    df = spark.createDataFrame(rows, "id int, body string")
+    out = {
+        r["id"]: r["score"]
+        for r in apply_pipeline(
+            df,
+            [
+                {"$search": {"text": {"query": "apple", "path": "body"},
+                             "scoring": "bm25"}},
+                {"$limit": 10},
+                {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+            ],
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    # closed-form BM25 on the same corpus
+    n_docs, df_t = 4, 3
+    idf = math.log(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+    dls = {1: 2, 2: 42, 4: 1}
+    avgdl = (2 + 42 + 2 + 1) / 4
+    for i, tf in ((1, 1), (2, 2), (4, 1)):
+        want = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avgdl))
+        assert abs(out[i] - want) < 1e-9, (i, out[i], want)
+    # the long doc's 2 hits score BELOW the short doc's 1 hit (length norm)
+    assert out[2] < out[4]
+    with pytest.raises(MQLTranslationError):
+        apply_pipeline(
+            df,
+            [{"$search": {"text": {"query": "x", "path": "body"},
+                          "scoring": "cosine"}}],
+        )
