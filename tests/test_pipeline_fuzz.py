@@ -629,3 +629,110 @@ def test_date_parts_and_arithmetic_fuzz(date_frame, duck):
             assert gv == wv or (
                 isinstance(gv, (int, float)) and close(gv, wv)
             ), (i, name, gv, wv, g["ts"])
+
+# ------------------------------------------------------- array HOF fuzz
+
+
+@pytest.fixture(scope="module")
+def arr_df(spark):
+    rng = random.Random(SEED + 11)
+
+    def arr():
+        if rng.random() < 0.1:
+            return []
+        return [
+            rng.choice([None, *range(-4, 5)]) for _ in range(rng.randint(1, 6))
+        ]
+
+    rows = [(arr(), [v for v in arr() if v is not None]) for _ in range(150)]
+    df = spark.createDataFrame(rows, "a array<int>, b array<int>")
+    return df, [dict(zip(("a", "b"), r)) for r in rows]
+
+
+def gen_arr_expr(rng, depth=0):
+    """Array-valued MQL trees over $a (nullable elems) / $b (non-null)."""
+    if depth >= 2 or rng.random() < 0.4:
+        return rng.choice(["$a", "$b", {"$literal": [1, 2, 3]}])
+    op = rng.choice(
+        ["$filter", "$map", "$slice", "$sortArray", "$reverseArray", "$concatArrays"]
+    )
+    inner = gen_arr_expr(rng, depth + 1)
+    if op == "$filter":
+        return {"$filter": {"input": inner, "as": "e",
+                            "cond": {"$gt": ["$$e", rng.randint(-3, 3)]}}}
+    if op == "$map":
+        return {"$map": {"input": inner, "as": "e",
+                         "in": {"$add": ["$$e", rng.randint(-2, 2)]}}}
+    if op == "$slice":
+        return {"$slice": [inner, rng.randint(1, 4)]}
+    if op == "$sortArray":
+        return {"$sortArray": {"input": inner, "sortBy": rng.choice([1, -1])}}
+    if op == "$reverseArray":
+        return {"$reverseArray": inner}
+    return {"$concatArrays": [inner, gen_arr_expr(rng, depth + 1)]}
+
+
+def ref_arr_eval(expr, row):
+    """Engine-contract evaluator: $filter drops null-cond elements,
+    $sortArray puts nulls first asc / last desc (Spark sort_array),
+    $slice [arr, n] takes the first n."""
+    if isinstance(expr, str) and expr.startswith("$"):
+        return row.get(expr[1:])
+    if isinstance(expr, dict) and "$literal" in expr:
+        return list(expr["$literal"])
+    ((op, args),) = expr.items()
+    if op == "$filter":
+        arr = ref_arr_eval(args["input"], row)
+        if arr is None:
+            return None
+        thr = args["cond"]["$gt"][1]
+        return [v for v in arr if v is not None and v > thr]
+    if op == "$map":
+        arr = ref_arr_eval(args["input"], row)
+        if arr is None:
+            return None
+        d = args["in"]["$add"][1]
+        return [None if v is None else v + d for v in arr]
+    if op == "$slice":
+        arr = ref_arr_eval(args[0], row)
+        return None if arr is None else arr[: args[1]]
+    if op == "$sortArray":
+        arr = ref_arr_eval(args["input"], row)
+        if arr is None:
+            return None
+        asc = args["sortBy"] == 1
+        nn = sorted([v for v in arr if v is not None], reverse=not asc)
+        nulls = [None] * (len(arr) - len(nn))
+        return nulls + nn if asc else nn + nulls
+    if op == "$reverseArray":
+        arr = ref_arr_eval(args, row)
+        return None if arr is None else arr[::-1]
+    if op == "$concatArrays":
+        parts = [ref_arr_eval(a, row) for a in args]
+        if any(p is None for p in parts):
+            return None
+        return [v for p in parts for v in p]
+    raise AssertionError(op)
+
+
+def test_array_hof_fuzz(arr_df):
+    """80 random array HOF trees per-row vs the reference evaluator, each
+    also observed through $size and $first."""
+    df, rows = arr_df
+    rng = random.Random(SEED + 12)
+    exprs = [gen_arr_expr(rng) for _ in range(80)]
+    for batch_start in range(0, len(exprs), 20):
+        batch = exprs[batch_start : batch_start + 20]
+        fields = {}
+        for i, e in enumerate(batch):
+            fields[f"e{i}"] = e
+            fields[f"n{i}"] = {"$size": e}
+        out = apply_pipeline(df, [{"$addFields": fields}]).collect()
+        for got, row in zip(out, rows):
+            for i, e in enumerate(batch):
+                want = ref_arr_eval(e, row)
+                assert got[f"e{i}"] == want, (
+                    f"expr {e!r} on {row!r}: {got[f'e{i}']!r} != {want!r}"
+                )
+                wn = None if want is None else len(want)
+                assert got[f"n{i}"] == wn, (e, row, got[f"n{i}"], wn)
