@@ -217,3 +217,54 @@ def probe_bloom_rowwise(
         f"__{p}{i}" for i in range(num_hashes) for p in ("bp", "bw", "bb", "iw", "ib")
     ]
     return out.drop(*drop)
+
+
+def probe_and_verify(
+    df: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    key_col: str = "text",
+    *,
+    num_bits: int = 1 << 27,
+    num_hashes: int = 5,
+    out_col: str = "is_member",
+) -> DataFrame:
+    """Zero-loss membership: Bloom probe, then an EXACT check of only the
+    flagged sliver against the corpus. ``out_col`` is exact — no false
+    positives, no false negatives.
+
+    Plan: rows probing ``false`` are definitely new (Bloom guarantee) and
+    skip the corpus entirely. The flagged sliver (~FP-rate × batch plus
+    true members) is md5-digested and **broadcast**; the corpus streams
+    once through a broadcast semi-join projecting only its digest — the
+    corpus is scanned (column-pruned) but NEVER shuffled, and nothing
+    batch-sized joins anything corpus-sized. Use when the FP-sliver loss
+    of ``probe_bloom``+drop is not acceptable; at 100 TB the cost over
+    the plain probe is one digest-column corpus scan per batch.
+    """
+    probed = probe_bloom(
+        df, index, key_col, num_bits=num_bits, num_hashes=num_hashes,
+        out_col="__bloom_maybe",
+    )
+    sliver = probed.filter(F.col("__bloom_maybe")).select(
+        F.md5(F.col(key_col)).alias("__digest")
+    ).distinct()
+    confirmed = (
+        corpus.select(F.md5(F.col(key_col)).alias("__digest"))
+        .join(F.broadcast(sliver), "__digest", "left_semi")
+        .distinct()
+    )
+    out = (
+        probed.withColumn("__digest", F.md5(F.col(key_col)))
+        .join(
+            F.broadcast(confirmed.withColumn("__hit", F.lit(True))),
+            "__digest",
+            "left",
+        )
+        .withColumn(
+            out_col,
+            F.col("__bloom_maybe") & F.coalesce(F.col("__hit"), F.lit(False)),
+        )
+        .drop("__digest", "__hit", "__bloom_maybe")
+    )
+    return out

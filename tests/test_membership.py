@@ -120,3 +120,32 @@ def test_cc_local_fastpath_matches_distributed_loop(spark):
     local = connected_components(df).collect()
     dist = connected_components(df, local_threshold=0).collect()
     assert sorted(map(tuple, local)) == sorted(map(tuple, dist))
+
+
+def test_probe_and_verify_exact(docs, spark):
+    """probe_and_verify is EXACT: is_member == ground-truth membership of
+    the payload in the corpus, even with a deliberately undersized filter
+    (high FP rate) — the verify pass scrubs every false positive."""
+    from mongo_arrow_spark.operators.membership import probe_and_verify
+
+    tiny_bits = 1 << 10  # absurdly small -> many Bloom FPs
+    index = build_bloom_index(docs, "text", num_bits=tiny_bits, num_hashes=K)
+    fresh = spark.range(300).select(
+        (F.col("id") + 5_000_000).alias("doc_id"),
+        F.concat(F.lit("verify-novel "), F.col("id")).alias("text"),
+    )
+    batch = docs.limit(120).select("doc_id", "text").unionAll(fresh)
+    out = probe_and_verify(
+        batch, index, docs, "text", num_bits=tiny_bits, num_hashes=K
+    )
+    # sanity: the undersized filter really does flag some fresh rows
+    truth = batch.join(
+        docs.select(F.col("text").alias("t")).distinct(),
+        batch["text"] == F.col("t"),
+        "left",
+    ).select("doc_id", "text", F.col("t").isNotNull().alias("want"))
+    joined = out.join(truth.select("doc_id", "want"), "doc_id")
+    mismatches = joined.filter(F.col("is_member") != F.col("want")).count()
+    assert mismatches == 0
+    assert out.count() == batch.count()
+    assert set(out.columns) == {"doc_id", "text", "is_member"}
