@@ -966,14 +966,32 @@ def q_pack_materialize(spark, sf_dir):
     )
 
 
-@query("bloom_ingest_gate")  # rows-only: xxhash64 positions aren't SQL-expressible
+@query(
+    "bloom_ingest_gate",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text FROM corpus ORDER BY doc_id LIMIT 100
+      )
+    )
+    SELECT b.doc_id FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+    ORDER BY b.doc_id
+    """,
+)
 def q_bloom_ingest_gate(spark, sf_dir):
-    """Incremental-ingest gate: Bloom index over the standing corpus
-    (doc_id % 10 != 0), probe a batch of held-out docs + 100 re-submitted
-    corpus docs. Returns the definite-new rows (maybe_member = false) —
-    Bloom's no-false-negative side guarantees every re-submission is
-    flagged, so nothing here can be a duplicate of the corpus. Pinned
-    exactly (FN=0, FP bound, compact index) by tests/test_membership.py.
+    """Incremental-ingest gate, EXACT form: Bloom index over the standing
+    corpus (doc_id % 10 != 0), probe-and-verify a batch of held-out docs
+    + 100 re-submitted corpus docs, return the genuinely-new rows. Rows
+    probing false skip the corpus (no-false-negative guarantee); only
+    the flagged sliver's digests broadcast into one corpus scan — which
+    makes the result exact and therefore SQL-oracle-able (NOT EXISTS on
+    the payload). Bloom internals pinned by tests/test_membership.py.
     """
     from mongo_arrow_spark.operators import membership
 
@@ -983,9 +1001,11 @@ def q_bloom_ingest_gate(spark, sf_dir):
         corpus.orderBy("doc_id").limit(100)
     )
     index = membership.build_bloom_index(corpus, "text", num_bits=1 << 22)
-    probed = membership.probe_bloom(batch, index, "text", num_bits=1 << 22)
+    checked = membership.probe_and_verify(
+        batch, index, corpus, "text", num_bits=1 << 22
+    )
     return (
-        probed.filter(~F.col("maybe_member"))
+        checked.filter(~F.col("is_member"))
         .select("doc_id")
         .orderBy("doc_id")
     )
