@@ -106,6 +106,11 @@ _DEMOTED = [
     "multimodal_payload_stats",
     "q_customers_without_orders",
     "q_quarterly_trend",
+    # round-4 continuation: the ingest gate's NOT EXISTS oracle parks
+    # below the window so the driver-verified graded 50 stay
+    # byte-identical; the oracle runs in tests/test_battery.py (exact
+    # membership itself is additionally pinned by test_membership.py)
+    "bloom_ingest_gate",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {
