@@ -109,15 +109,21 @@ def tfidf_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    scoring: str = "tfidf",
 ) -> DataFrame:
     """Keyword search: rank documents by Σ tf(t,d)·ln(N/df(t)) over the
     query terms — the engine's answer to MQL's server-only ``$text``
-    (SURVEY 2.E text-search row).
+    (SURVEY 2.E text-search row). ``scoring="bm25"`` switches to Lucene's
+    published BM25 (k1=1.2, b=0.75, smoothed idf, length-normalized),
+    matching the $search stage's option.
 
     Plan: one pass computes all term document-frequencies (conditional
-    counts in a single aggregate → broadcast 1 row), second pass scores
-    each doc map-side and TakeOrdereds the top k. No shuffle of the corpus.
+    counts in a single aggregate → broadcast 1 row; +1 avg-doc-length
+    column for bm25), second pass scores each doc map-side and
+    TakeOrdereds the top k. No shuffle of the corpus.
     """
+    if scoring not in ("tfidf", "bm25"):
+        raise ValueError("scoring must be 'tfidf' or 'bm25'")
     toks = tokens(text_col)
     stats = df.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -127,6 +133,7 @@ def tfidf_search(
             ).alias(f"__df_{i}")
             for i, t in enumerate(terms)
         ],
+        F.avg(F.size(toks)).alias("__adl"),
     )
     def term_count(term):
         def pred(w):  # arity-1 closure (2-param lambdas bind (value, index))
@@ -137,8 +144,18 @@ def tfidf_search(
     score = None
     for i, t in enumerate(terms):
         tf = term_count(t)
-        idf = F.log(F.col("__n") / F.col(f"__df_{i}"))
-        part = F.when(F.col(f"__df_{i}") > 0, tf * idf).otherwise(F.lit(0.0))
+        dfc = F.col(f"__df_{i}")
+        if scoring == "bm25":
+            tfd = tf.cast("double")
+            dl = F.size(toks).cast("double")
+            idf = F.log(F.lit(1.0) + (F.col("__n") - dfc + 0.5) / (dfc + 0.5))
+            part = F.when(
+                dfc > 0,
+                idf * tfd * 2.2 / (tfd + 1.2 * (0.25 + 0.75 * dl / F.col("__adl"))),
+            ).otherwise(F.lit(0.0))
+        else:
+            idf = F.log(F.col("__n") / dfc)
+            part = F.when(dfc > 0, tf * idf).otherwise(F.lit(0.0))
         score = part if score is None else score + part
     return (
         df.crossJoin(F.broadcast(stats))

@@ -1747,3 +1747,30 @@ def test_search_bm25_scoring(spark):
             [{"$search": {"text": {"query": "x", "path": "body"},
                           "scoring": "cosine"}}],
         )
+
+
+def test_tfidf_search_bm25_matches_stage(spark):
+    """operator-level tfidf_search(scoring='bm25') ranks identically to
+    the $search stage's bm25 on the same corpus and terms."""
+    from mongo_arrow_spark.operators.text import tfidf_search
+
+    rows = [
+        (1, "apple banana"),
+        (2, "apple " + "filler " * 40 + "apple"),
+        (3, "cherry date"),
+        (4, "apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    op = tfidf_search(df, ["apple"], k=10, scoring="bm25").collect()
+    stage = apply_pipeline(
+        df,
+        [
+            {"$search": {"text": {"query": "apple", "path": "text"},
+                         "scoring": "bm25"}},
+            {"$limit": 10},
+            {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}},
+        ],
+    ).collect()
+    assert [r["doc_id"] for r in op] == [r["doc_id"] for r in stage]
+    for a, b in zip(op, stage):
+        assert abs(a["score"] - round(b["score"], 4)) < 1e-4
