@@ -40,7 +40,13 @@ def translate_match(query: dict | None) -> Column:
         elif key == "$nor":
             preds.append(~_reduce(lambda a, b: a | b, map(translate_match, value)))
         elif key == "$expr":
-            preds.append(translate_expr(value))
+            # MQL coerces the expression result to truthiness (false, 0,
+            # null → drop). try_cast keeps boolean expressions untouched
+            # (Catalyst folds the no-op cast, so pushdown survives) and
+            # maps numerics through 0-falsy; types with no boolean cast
+            # (arrays, structs, free-form strings — truthy in mongod)
+            # become null → dropped, the documented delta.
+            preds.append(translate_expr(value).try_cast("boolean"))
         elif key == "$comment":
             continue
         elif key == "$sampleRate":

@@ -193,3 +193,22 @@ def test_arith_translator_agrees_with_python(fuzz_df):
         for j, e in enumerate(exprs):
             want = py_arith(e, row)
             assert got_row[f"e{j}"] == want, (e, row, got_row[f"e{j}"], want)
+
+
+def test_expr_truthiness_coercion(spark):
+    """MQL coerces $expr results to truthiness: false, 0, null drop the
+    row; non-zero numerics keep it. Boolean expressions are untouched
+    (the no-op cast folds away, preserving pushdown — test_plans)."""
+    df = spark.createDataFrame(
+        [(1, 0), (2, 3), (3, None), (4, -1)], "id int, x int"
+    )
+    from mongo_arrow_spark.mql import apply_pipeline
+
+    got = lambda q: sorted(
+        r["id"] for r in apply_pipeline(df, [{"$match": q}]).collect()
+    )
+    assert got({"$expr": "$x"}) == [2, 4]
+    assert got({"$expr": {"$add": ["$x", 0]}}) == [2, 4]
+    assert got({"$expr": {"$gt": ["$x", 1]}}) == [2]
+    assert got({"$expr": {"$literal": 0}}) == []
+    assert got({"$expr": {"$literal": 1}}) == [1, 2, 3, 4]
