@@ -281,20 +281,33 @@ def _cmp(args, env):
 # ------------------------------------------------------------------- logical
 
 
+def _truthy(col: Column) -> Column:
+    """MQL boolean coercion for condition positions: false, 0, null are
+    falsy; other numerics truthy. ``try_cast`` keeps boolean expressions
+    untouched (the no-op cast folds away); the null-coalesce makes a null
+    operand behave as ``false`` exactly like mongod, so e.g.
+    ``{$and: [null, true]}`` is false, not null. Types with no boolean
+    cast (arrays/structs/free-form strings — truthy in mongod) coerce to
+    null → false: the engine's documented delta."""
+    return F.coalesce(col.try_cast("boolean"), F.lit(False))
+
+
 @_op("$and")
 def _and(args, env):
-    return _reduce(lambda a, b: a & b, _many(args, env))
+    # operands coerce to truthiness first — `&` on raw ints would be
+    # BITWISE in Spark (3 & 4 == 0), silently wrong for MQL logic
+    return _reduce(lambda a, b: a & b, [_truthy(c) for c in _many(args, env)])
 
 
 @_op("$or")
 def _or(args, env):
-    return _reduce(lambda a, b: a | b, _many(args, env))
+    return _reduce(lambda a, b: a | b, [_truthy(c) for c in _many(args, env)])
 
 
 @_op("$not")
 def _not(args, env):
     (a,) = _many(args, env)
-    return ~a
+    return ~_truthy(a)
 
 
 # --------------------------------------------------------------- conditional
@@ -306,7 +319,7 @@ def _cond(args, env):
         c, t, e = args["if"], args["then"], args["else"]
     else:
         c, t, e = args
-    return F.when(translate_expr(c, env), translate_expr(t, env)).otherwise(
+    return F.when(_truthy(translate_expr(c, env)), translate_expr(t, env)).otherwise(
         translate_expr(e, env)
     )
 
@@ -320,7 +333,7 @@ def _if_null(args, env):
 def _switch(args, env):
     col = None
     for branch in args["branches"]:
-        case = translate_expr(branch["case"], env)
+        case = _truthy(translate_expr(branch["case"], env))
         then = translate_expr(branch["then"], env)
         col = F.when(case, then) if col is None else col.when(case, then)
     if "default" in args:
@@ -777,7 +790,7 @@ def _filter(args, env):
         inner = dict(env)
         inner[var] = x
         inner.setdefault("this", x)
-        return translate_expr(cond, inner)
+        return _truthy(translate_expr(cond, inner))
 
     col = F.filter(translate_expr(args["input"], env), body)
     if "limit" in args:

@@ -212,3 +212,35 @@ def test_expr_truthiness_coercion(spark):
     assert got({"$expr": {"$gt": ["$x", 1]}}) == [2]
     assert got({"$expr": {"$literal": 0}}) == []
     assert got({"$expr": {"$literal": 1}}) == [1, 2, 3, 4]
+
+
+def test_logical_op_truthiness(spark):
+    """MQL logical ops coerce operands: {$and: [3, 4]} is true (NOT int
+    bitwise 3&4==0); null operands act as false ({$and: [null, true]} →
+    false, {$not: null} → true)."""
+    from mongo_arrow_spark.mql import apply_pipeline
+
+    df = spark.createDataFrame([(1, 3, 4, None)], "id int, a int, b int, n int")
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$addFields": {
+                    "and_ints": {"$and": ["$a", "$b"]},
+                    "and_zero": {"$and": ["$a", {"$literal": 0}]},
+                    "and_null": {"$and": ["$n", {"$literal": True}]},
+                    "or_null": {"$or": ["$n", "$a"]},
+                    "not_null": {"$not": ["$n"]},
+                    "cond_int": {"$cond": ["$a", "yes", "no"]},
+                    "cond_null": {"$cond": ["$n", "yes", "no"]},
+                }
+            }
+        ],
+    ).first()
+    assert out["and_ints"] is True
+    assert out["and_zero"] is False
+    assert out["and_null"] is False
+    assert out["or_null"] is True
+    assert out["not_null"] is True
+    assert out["cond_int"] == "yes"
+    assert out["cond_null"] == "no"
