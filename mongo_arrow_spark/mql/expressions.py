@@ -732,9 +732,15 @@ def _size(args, env):
 def _array_elem_at(args, env):
     arr_e, idx_e = args
     arr = translate_expr(arr_e, env)
-    if isinstance(idx_e, int) and idx_e < 0:
-        return F.try_element_at(arr, F.lit(idx_e))  # both -1-based from the end; null OOB
-    return F.get(arr, translate_expr(idx_e, env))  # 0-based like MQL
+    if isinstance(idx_e, int):
+        if idx_e < 0:
+            # both -1-based from the end; null OOB
+            return F.try_element_at(arr, F.lit(idx_e))
+        return F.get(arr, F.lit(idx_e))  # 0-based like MQL
+    # runtime index: branch on sign so computed negatives also count
+    # from the end (MQL semantics), not silently null out
+    idx = translate_expr(idx_e, env)
+    return F.when(idx < 0, F.try_element_at(arr, idx)).otherwise(F.get(arr, idx))
 
 
 @_op("$first")
@@ -1237,7 +1243,13 @@ def _to_decimal(args, env):
 
 @_op("$toBool")
 def _to_bool(args, env):
-    return translate_expr(args, env).cast("boolean")
+    """Semantics delta (documented): numerics follow mongod (0 → false,
+    else true, null → null); strings follow SQL boolean parsing
+    ('true'/'false'/'1'/'0'...), with unparseable strings → null rather
+    than mongod's any-string-is-true (the static-typed engine cannot
+    branch on runtime BSON type). try_cast keeps ANSI mode from raising
+    on unparseable input."""
+    return translate_expr(args, env).try_cast("boolean")
 
 
 @_op("$toString")

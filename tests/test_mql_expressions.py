@@ -646,3 +646,30 @@ def test_date_trunc_bin_size(spark):
     with pytest.raises(MQLTranslationError):
         translate_expr({"$dateTrunc": {"date": "$ts", "unit": "day",
                                        "binSize": 0}})
+
+
+def test_array_elem_at_runtime_negative_index(spark):
+    from mongo_arrow_spark.mql import apply_pipeline
+
+    df = spark.createDataFrame([([10, 20, 30], -1), ([10, 20, 30], 1)],
+                               "arr array<int>, i int")
+    out = apply_pipeline(
+        df, [{"$addFields": {"v": {"$arrayElemAt": ["$arr", "$i"]}}}]
+    ).collect()
+    assert [r["v"] for r in out] == [30, 20]
+
+
+def test_to_bool_try_cast(spark):
+    from mongo_arrow_spark.mql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(0, "true", "junk"), (2, "false", "1")], "n int, s string, t string"
+    )
+    out = apply_pipeline(
+        df,
+        [{"$addFields": {"bn": {"$toBool": "$n"}, "bs": {"$toBool": "$s"},
+                         "bt": {"$toBool": "$t"}}}],
+    ).collect()
+    assert [r["bn"] for r in out] == [False, True]
+    assert [r["bs"] for r in out] == [True, False]
+    assert [r["bt"] for r in out] == [None, True]  # unparseable -> null, no ANSI crash
