@@ -736,3 +736,80 @@ def test_array_hof_fuzz(arr_df):
                 )
                 wn = None if want is None else len(want)
                 assert got[f"n{i}"] == wn, (e, row, got[f"n{i}"], wn)
+
+
+# -------------------------------------------- logical truthiness fuzz
+
+
+def gen_logic_expr(rng, depth=0):
+    """Logical trees whose operands mix booleans, raw numerics, and nulls
+    — exercising the MQL truthiness coercion in $and/$or/$not/$cond."""
+    if depth >= 3 or rng.random() < 0.3:
+        return rng.choice(["$x", "$z", 0, 1, rng.randint(-3, 3),
+                           {"$literal": True}, {"$literal": False}])
+    # $cond is excluded: mongod's dynamic typing allows mixed-type
+    # then/else branches; Spark's CASE WHEN is statically typed (the
+    # engine's documented delta). Conditions ARE covered via gen_expr.
+    op = rng.choice(["$and", "$or", "$not", "$gt"])
+    if op == "$not":
+        return {"$not": [gen_logic_expr(rng, depth + 1)]}
+    if op == "$gt":
+        return {"$gt": [rng.choice(["$x", "$z", rng.randint(-3, 3)]),
+                        rng.randint(-2, 2)]}
+    n = rng.randint(2, 3)
+    return {op: [gen_logic_expr(rng, depth + 1) for _ in range(n)]}
+
+
+def ref_truthy(v):
+    if v is None or v is False or v == 0:
+        return False
+    return True
+
+
+def ref_logic_eval(expr, row):
+    """Truthiness-aware evaluator. Comparison results may be None (SQL
+    nulls); logical ops coerce every operand through ref_truthy."""
+    if isinstance(expr, str) and expr.startswith("$"):
+        return row.get(expr[1:])
+    if isinstance(expr, dict) and "$literal" in expr:
+        return expr["$literal"]
+    if isinstance(expr, (int, float)):
+        return expr
+    ((op, args),) = expr.items()
+    if op == "$and":
+        return all(ref_truthy(ref_logic_eval(a, row)) for a in args)
+    if op == "$or":
+        return any(ref_truthy(ref_logic_eval(a, row)) for a in args)
+    if op == "$not":
+        return not ref_truthy(ref_logic_eval(args[0], row))
+    if op == "$gt":
+        a = ref_logic_eval(args[0], row)
+        b = args[1]
+        return None if a is None else a > b
+    if op == "$cond":
+        c = ref_logic_eval(args[0], row)
+        return (ref_logic_eval(args[1], row) if ref_truthy(c)
+                else ref_logic_eval(args[2], row))
+    raise AssertionError(op)
+
+
+def test_logic_truthiness_fuzz(fuzz_df):
+    """80 random logical trees with numeric/null operands per-row vs the
+    truthiness evaluator — batched 20 per round trip."""
+    df, rows = fuzz_df
+    rng = random.Random(SEED + 13)
+    exprs = []
+    while len(exprs) < 80:
+        e = gen_logic_expr(rng)
+        if isinstance(e, dict) and any(k in e for k in ("$and", "$or", "$not")):
+            exprs.append(e)  # only logical roots (boolean output, null-free)
+    for batch_start in range(0, len(exprs), 20):
+        batch = exprs[batch_start : batch_start + 20]
+        fields = {f"v{i}": e for i, e in enumerate(batch)}
+        out = apply_pipeline(df, [{"$addFields": fields}]).collect()
+        for got, row in zip(out, rows):
+            for i, e in enumerate(batch):
+                want = ref_logic_eval(e, row)
+                assert got[f"v{i}"] == want, (
+                    f"{e!r} on {row!r}: {got[f'v{i}']!r} != {want!r}"
+                )
