@@ -62,11 +62,25 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def _resolve_max_df(df: DataFrame, max_df):
+    """A float in (0, 1) is a corpus FRACTION, resolved against the row
+    count (one count() job). This is the scale-correct form: a fixed
+    absolute cap lets mid-frequency keys slide under it as the corpus
+    grows, turning the posting self-join superlinear (measured exp 1.23
+    at 10×, SCALE.md); a fractional cap bounds per-key join work at a
+    constant regardless of corpus size."""
+    if isinstance(max_df, float) and 0 < max_df < 1:
+        return max(int(df.count() * max_df), 2)
+    return max_df
+
+
 def _posting_list(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | float | None
 ) -> DataFrame:
     """Inverted index rows (shingle, id). ``max_df`` drops shingles present
-    in more than that many docs — the skew cap for the self-join."""
+    in more than that many docs — the skew cap for the self-join; a float
+    in (0, 1) caps at that fraction of the corpus (see _resolve_max_df)."""
+    max_df = _resolve_max_df(df, max_df)
     posts = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
     )
@@ -87,7 +101,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs from an inverted shingle
     index: (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
@@ -98,6 +112,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
+    max_df = _resolve_max_df(df, max_df)
     # one shingle pass: posting list is built once, persisted (at corpus
     # scale use DISK-backed persist or a checkpoint table), and set sizes
     # are derived from it instead of re-tokenizing the corpus.
@@ -529,7 +544,7 @@ def cross_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | float | None = None,
 ) -> DataFrame:
     """n-gram Jaccard pairs BETWEEN two corpora: (id_l, id_r, jaccard).
     The candidate join goes left-postings × right-postings on the hashed
@@ -548,6 +563,7 @@ def cross_jaccard_pairs(
             ),
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    max_df = _resolve_max_df(left, max_df)
     lbase, rbase = prep(left, "l"), prep(right, "r")
     lposts = lbase.select(F.col("id_l").alias("id"), F.explode("sharr").alias("sh"))
     rposts = rbase.select(F.col("id_r").alias("id"), F.explode("sharr").alias("sh"))
@@ -590,7 +606,7 @@ def decontaminate(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | float | None = None,
 ) -> DataFrame:
     """Drop training documents that near-match any holdout/eval document
     (test-set decontamination). One cross-corpus candidate join + a
@@ -729,7 +745,7 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 10,
     min_count: int = 2,
-    max_df: int | None = None,
+    max_df: int | float | None = None,
 ) -> DataFrame:
     """Exact duplicate-substring spans, the scalable form of Lee et al.
     2021 ("Deduplicating Training Data Makes Language Models Better"):
@@ -753,6 +769,7 @@ def duplicate_spans(
     everywhere) exactly like the Jaccard posting-list cap."""
     from pyspark import StorageLevel
 
+    max_df = _resolve_max_df(df, max_df)
     # tokenize + window-hash ONCE and persist the compact (id, pos, g)
     # table — it feeds both the count agg and the position join-back, and
     # re-deriving it costs a second corpus tokenize pass (measured 1.6×
@@ -820,7 +837,7 @@ def strip_duplicate_spans(
     text_col: str = "text",
     k: int = 10,
     min_count: int = 2,
-    max_df: int | None = None,
+    max_df: int | float | None = None,
 ) -> DataFrame:
     """Remove duplicated substrings in place: tokens covered by any
     ``duplicate_spans`` span are dropped and the remainder re-joined.

@@ -149,3 +149,14 @@ def test_probe_and_verify_exact(docs, spark):
     assert mismatches == 0
     assert out.count() == batch.count()
     assert set(out.columns) == {"doc_id", "text", "is_member"}
+
+
+def test_fractional_max_df(docs):
+    """A float max_df resolves to that fraction of the corpus: the
+    scale-correct skew cap. 0.02 on ~500 docs == absolute 10."""
+    from mongo_arrow_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = docs.count()
+    frac = ngram_jaccard_pairs(docs, threshold=0.3, max_df=10 / n).collect()
+    absolute = ngram_jaccard_pairs(docs, threshold=0.3, max_df=10).collect()
+    assert sorted(map(tuple, frac)) == sorted(map(tuple, absolute))
