@@ -125,6 +125,11 @@ def repetition_metrics(
     )
 
 
+#: Gopher's stop-word list (Rae et al. 2021, appendix A1.1): a document
+#: must contain at least ``min_stop_words`` of these to pass the rule.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
 def gopher_quality_flags(
     df: DataFrame,
     text_col: str = "text",
@@ -133,30 +138,104 @@ def gopher_quality_flags(
     max_mean_word_len: float = 10.0,
     min_mean_word_len: float = 2.0,
     max_symbol_word_ratio: float = 0.1,
+    min_stop_words: int | None = None,
+    min_alpha_word_ratio: float | None = None,
+    max_bullet_line_ratio: float | None = None,
+    max_ellipsis_line_ratio: float | None = None,
 ) -> DataFrame:
-    """Boolean keep/drop flags per the published Gopher heuristics that are
-    expressible over this corpus: token-count bounds, mean word length
-    bounds, symbol-to-word ratio (``#``/``…`` per token). Pure projection.
+    """Boolean keep/drop flags per the published Gopher heuristics: token
+    count bounds, mean word length bounds, symbol-to-word ratio
+    (``#``/``…`` per token), and — opt-in so existing oracle-pinned
+    pipelines are unchanged — the remaining four published rules: stop
+    word presence (≥2 of Gopher's 8-word list), alphabetic-word ratio
+    (≥0.8 of words contain a letter), bullet-started line ratio (<0.9)
+    and ellipsis-ended line ratio (<0.3). Pure projection; every rule is
+    a JVM expression.
     """
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(text_col)
     mean_wl = (n_chars - n_tok + 1) / n_tok
     symbols = F.length(F.regexp_replace(text_col, r"[^#…]", ""))
+    keep = (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & ((symbols / n_tok) <= max_symbol_word_ratio)
+    )
+    cols = {
+        "q_n_tokens": n_tok.cast("long"),
+        "q_mean_word_len": mean_wl.cast("double"),
+        "q_symbol_word_ratio": (symbols / n_tok).cast("double"),
+    }
+    if min_stop_words is not None:
+        low = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+        stop_hits = None
+        for w in GOPHER_STOP_WORDS:
+            hit = F.when(low.rlike(rf"\b{w}\b"), 1).otherwise(0)
+            stop_hits = hit if stop_hits is None else stop_hits + hit
+        cols["q_stop_words"] = stop_hits.cast("long")
+        keep = keep & (stop_hits >= min_stop_words)
+    if min_alpha_word_ratio is not None:
+        alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+        ratio = alpha / F.greatest(n_tok, F.lit(1))
+        cols["q_alpha_word_ratio"] = ratio.cast("double")
+        keep = keep & (ratio >= min_alpha_word_ratio)
+    if max_bullet_line_ratio is not None or max_ellipsis_line_ratio is not None:
+        lines = F.split(F.col(text_col), "\n")
+        n_lines = F.greatest(F.size(lines), F.lit(1))
+        if max_bullet_line_ratio is not None:
+            bullets = F.size(
+                F.filter(lines, lambda l: l.rlike(r"^\s*([\-\*•]|\d+[.)])\s"))
+            )
+            cols["q_bullet_line_ratio"] = (bullets / n_lines).cast("double")
+            keep = keep & ((bullets / n_lines) <= max_bullet_line_ratio)
+        if max_ellipsis_line_ratio is not None:
+            ell = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+            cols["q_ellipsis_line_ratio"] = (ell / n_lines).cast("double")
+            keep = keep & ((ell / n_lines) <= max_ellipsis_line_ratio)
+    cols["q_keep"] = keep
+    return df.withColumns(cols)
+
+
+def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4's published page-level drops (Raffel et al. 2020 §2.2), the
+    subset that is corpus-independent: contains "lorem ipsum", contains a
+    curly brace (code), mentions "javascript" on any line, fewer than 3
+    sentences. Line-level cleaning lives in ``c4_clean_lines``. Pure
+    projection."""
+    low = F.lower(F.col(text_col))
+    n_sentences = F.size(F.split(F.col(text_col), r"[.!?](\s|$)")) - 1
     return df.withColumns(
         {
-            "q_n_tokens": n_tok.cast("long"),
-            "q_mean_word_len": mean_wl.cast("double"),
-            "q_symbol_word_ratio": (symbols / n_tok).cast("double"),
-            "q_keep": (
-                (n_tok >= min_tokens)
-                & (n_tok <= max_tokens)
-                & (mean_wl >= min_mean_word_len)
-                & (mean_wl <= max_mean_word_len)
-                & ((symbols / n_tok) <= max_symbol_word_ratio)
+            "c4_has_lorem": low.contains("lorem ipsum"),
+            "c4_has_brace": F.col(text_col).contains("{"),
+            "c4_has_js": low.rlike(r"(^|\n)[^\n]*javascript"),
+            "c4_n_sentences": n_sentences.cast("long"),
+            "c4_keep": (
+                ~low.contains("lorem ipsum")
+                & ~F.col(text_col).contains("{")
+                & ~low.rlike(r"(^|\n)[^\n]*javascript")
+                & (n_sentences >= 3)
             ),
         }
     )
+
+
+def c4_clean_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4's line-level filter: keep only lines that end in terminal
+    punctuation and have at least 5 words (the published rule; drops nav
+    chrome and fragments). Rewrites ``text_col`` in place; rows whose
+    every line is dropped come out empty — follow with a length filter
+    or ``c4_quality_flags``. Zero shuffle."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r"[.!?\"']\s*$")
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 5),
+    )
+    return df.withColumn(text_col, F.concat_ws("\n", kept))
 
 
 # --------------------------------------------------------------------- PII

@@ -378,3 +378,56 @@ def test_train_split_validates_fractions(spark):
         train_split(df, train=0.9, val=0.2)
     with _pytest.raises(ValueError):
         train_split(df, train=-0.1)
+
+
+def test_gopher_extended_rules(spark):
+    """Opt-in Gopher rules: stop-word presence, alpha-word ratio, bullet
+    and ellipsis line ratios — and defaults leave q_keep unchanged."""
+    from mongo_arrow_spark.operators.quality import gopher_quality_flags
+
+    good = "the cat likes to sit with all of us and that is fine " * 5
+    no_stop = "cat likes sitting quietly near warm windows every single day " * 5
+    bullets = "\n".join(f"- item number {i} listed here now" for i in range(10))
+    ellipses = "\n".join(f"this line number {i} trails off..." for i in range(10))
+    df = spark.createDataFrame(
+        [(1, good), (2, no_stop), (3, bullets), (4, ellipses)], "id int, text string"
+    )
+    out = {r["id"]: r for r in gopher_quality_flags(
+        df, min_tokens=5,
+        min_stop_words=2, min_alpha_word_ratio=0.8,
+        max_bullet_line_ratio=0.9, max_ellipsis_line_ratio=0.3,
+    ).collect()}
+    assert out[1]["q_keep"] is True
+    assert out[2]["q_keep"] is False and out[2]["q_stop_words"] < 2
+    assert out[3]["q_keep"] is False and out[3]["q_bullet_line_ratio"] == 1.0
+    assert out[4]["q_keep"] is False and out[4]["q_ellipsis_line_ratio"] == 1.0
+    # defaults (all four None) leave the original flag semantics untouched
+    base = {r["id"]: r["q_keep"] for r in gopher_quality_flags(df, min_tokens=5).collect()}
+    assert base == {1: True, 2: True, 3: True, 4: True}
+
+
+def test_c4_rules(spark):
+    from mongo_arrow_spark.operators.quality import c4_clean_lines, c4_quality_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "First real sentence is right here. Another full sentence follows it. And a third one closes."),
+            (2, "lorem ipsum dolor sit amet. Filler text goes on and on. More of the same here."),
+            (3, "function f() { return 1; }. Second sentence here too. Third one as well now."),
+            (4, "Enable javascript to view this page. Second sentence right here. Third sentence now."),
+            (5, "Too short."),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r["c4_keep"] for r in c4_quality_flags(df).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+    lines_df = spark.createDataFrame(
+        [(1, "A proper sentence with enough words here.\nshort frag\nMenu Home About\nAnother good long sentence sits right here.")],
+        "id int, text string",
+    )
+    cleaned = c4_clean_lines(lines_df).first()["text"]
+    assert cleaned == (
+        "A proper sentence with enough words here.\n"
+        "Another good long sentence sits right here."
+    )
