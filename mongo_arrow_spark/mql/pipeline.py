@@ -1485,6 +1485,7 @@ _SEARCH_OPERATORS = (
     "exists",
     "wildcard",
     "autocomplete",
+    "near",
 )
 
 
@@ -1574,6 +1575,15 @@ def _parse_search_clauses(args):
                 "query": str(spec["query"]),
                 "fuzzy": _parse_fuzzy(spec),
             }
+        if kind == "near":
+            if "pivot" not in spec or "origin" not in spec:
+                raise MQLTranslationError("$search near needs origin and pivot")
+            return {
+                "kind": kind,
+                "path": path,
+                "origin": spec["origin"],
+                "pivot": spec["pivot"],
+            }
         if kind == "range":
             bounds = {k: spec[k] for k in ("gt", "gte", "lt", "lte") if k in spec}
             if not bounds:
@@ -1650,7 +1660,28 @@ def _search_clause_match(c):
         return F.col(c["path"]).eqNullSafe(F.lit(c["value"]))
     if c["kind"] == "exists":
         return F.col(c["path"]).isNotNull()
+    if c["kind"] == "near":
+        # near matches every document with a value; scoring does the work
+        return F.col(c["path"]).isNotNull()
     return F.col(c["path"]).rlike(c["regex"])  # wildcard
+
+
+def _near_score(c):
+    """Atlas ``near`` scoring: pivot / (pivot + |value − origin|) — 1.0 at
+    the origin, 0.5 at pivot distance, decaying hyperbolically. Numeric
+    and date paths; date origins may be ISO strings (distance in ms, as
+    Atlas specifies pivot in milliseconds for dates)."""
+    val = F.col(c["path"])
+    origin = c["origin"]
+    if isinstance(origin, str):
+        dist = F.abs(
+            (F.unix_micros(val.cast("timestamp"))
+             - F.unix_micros(F.to_timestamp(F.lit(origin)))) / 1000.0
+        )
+    else:
+        dist = F.abs(val.cast("double") - F.lit(float(origin)))
+    pivot = F.lit(float(c["pivot"]))
+    return F.when(val.isNotNull(), pivot / (pivot + dist)).otherwise(F.lit(0.0))
 
 
 def _search_match_pred(parsed):
@@ -1792,6 +1823,8 @@ def _search(df, args, resolve):
                 phrase_count(c["path"], c["terms"]).cast("double")
                 * F.log(F.col("__n") / F.col(f"__pdf_{i}")),
             ).otherwise(F.lit(0.0))
+        if c["kind"] == "near":
+            return _near_score(c)
         # constant-score operators contribute 1.0 when they match
         return F.when(clause_match(c), F.lit(1.0)).otherwise(F.lit(0.0))
 

@@ -643,3 +643,62 @@ def strip_boilerplate_lines(
         .withColumn(text_col, cleaned)
         .drop("__hot")
     )
+
+
+def line_repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher's within-document duplicate-line signals (Rae et al. 2021:
+    drop when duplicate-line fraction > 0.30 or duplicate-line char
+    fraction > 0.20): per doc,
+
+    - ``dup_line_fraction``: lines whose text already appeared earlier in
+      the same document ÷ total lines;
+    - ``dup_line_char_fraction``: characters in those repeated occurrences
+      ÷ total line characters.
+
+    Row-local like repetition_metrics: lines fold to (xxhash64, length)
+    structs, array_sort clusters duplicates, one F.aggregate run-length
+    scan counts repeats — zero shuffle, whole-stage codegen.
+    """
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit(None).cast("long").alias("ph"),
+        zero.alias("dl"),
+        zero.alias("dc"),
+        zero.alias("nl"),
+        zero.alias("nc"),
+    )
+
+    def step(acc, x):
+        rep = x["h"] == acc["ph"]
+        return F.struct(
+            x["h"].alias("ph"),
+            F.when(rep, acc["dl"] + 1).otherwise(acc["dl"]).alias("dl"),
+            F.when(rep, acc["dc"] + x["ln"]).otherwise(acc["dc"]).alias("dc"),
+            (acc["nl"] + 1).alias("nl"),
+            (acc["nc"] + x["ln"]).alias("nc"),
+        )
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    hashed = F.array_sort(
+        F.transform(
+            lines,
+            lambda l: F.struct(
+                F.xxhash64(l).alias("h"), F.length(l).cast("long").alias("ln")
+            ),
+        )
+    )
+    st = F.aggregate(hashed, acc0, step)
+    return df.select(
+        F.col(id_col),
+        F.when(st["nl"] > 0, st["dl"] / st["nl"]).otherwise(F.lit(0.0)).cast(
+            "double"
+        ).alias("dup_line_fraction"),
+        F.when(st["nc"] > 0, st["dc"] / st["nc"]).otherwise(F.lit(0.0)).cast(
+            "double"
+        ).alias("dup_line_char_fraction"),
+    )

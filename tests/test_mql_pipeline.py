@@ -1774,3 +1774,46 @@ def test_tfidf_search_bm25_matches_stage(spark):
     assert [r["doc_id"] for r in op] == [r["doc_id"] for r in stage]
     for a, b in zip(op, stage):
         assert abs(a["score"] - round(b["score"], 4)) < 1e-4
+
+
+def test_search_near(spark):
+    """$search near: hyperbolic pivot scoring for numerics and dates,
+    composable under compound with text must clauses."""
+    df = spark.createDataFrame(
+        [(1, 100.0, "2026-01-01 00:00:00"), (2, 150.0, "2026-01-02 00:00:00"),
+         (3, 500.0, "2026-03-01 00:00:00"), (4, None, None)],
+        "id int, price double, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = {
+        r["id"]: r["score"]
+        for r in apply_pipeline(
+            df,
+            [
+                {"$search": {"near": {"path": "price", "origin": 100,
+                                      "pivot": 50}}},
+                {"$limit": 10},
+                {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+            ],
+        ).collect()
+    }
+    assert out[1] == 1.0                      # at origin
+    assert abs(out[2] - 0.5) < 1e-9           # at pivot distance
+    assert abs(out[3] - 50 / 450) < 1e-9
+    assert 4 not in out                       # null value never matches
+    # date origin: pivot in milliseconds (one day = 86_400_000)
+    dout = {
+        r["id"]: r["score"]
+        for r in apply_pipeline(
+            df,
+            [
+                {"$search": {"near": {"path": "ts", "origin": "2026-01-01",
+                                      "pivot": 86_400_000}}},
+                {"$limit": 10},
+                {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+            ],
+        ).collect()
+    }
+    assert dout[1] == 1.0
+    assert abs(dout[2] - 0.5) < 1e-9
+    with pytest.raises(MQLTranslationError):
+        apply_pipeline(df, [{"$search": {"near": {"path": "price", "origin": 1}}}])

@@ -431,3 +431,24 @@ def test_c4_rules(spark):
         "A proper sentence with enough words here.\n"
         "Another good long sentence sits right here."
     )
+
+
+def test_line_repetition_metrics(spark, duck):
+    """Duplicate-line fractions vs a closed-form DuckDB oracle on the
+    same line decomposition."""
+    from mongo_arrow_spark.operators.quality import line_repetition_metrics
+
+    rows = [
+        (1, "alpha beta\ngamma delta\nalpha beta\nalpha beta\n\n"),
+        (2, "unique one\nunique two\nunique three"),
+        (3, "same\nsame\nsame\nsame"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in line_repetition_metrics(df).collect()}
+    # doc 1: 4 non-empty lines, 'alpha beta' x3 -> 2 repeats of len 10;
+    # total chars = 10+11+10+10 = 41
+    assert abs(got[1]["dup_line_fraction"] - 2 / 4) < 1e-9
+    assert abs(got[1]["dup_line_char_fraction"] - 20 / 41) < 1e-9
+    assert got[2]["dup_line_fraction"] == 0.0
+    assert abs(got[3]["dup_line_fraction"] - 3 / 4) < 1e-9
+    assert abs(got[3]["dup_line_char_fraction"] - 12 / 16) < 1e-9
