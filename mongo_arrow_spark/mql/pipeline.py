@@ -1486,7 +1486,28 @@ _SEARCH_OPERATORS = (
     "wildcard",
     "autocomplete",
     "near",
+    "moreLikeThis",
 )
+
+
+def _more_like_this_terms(like, max_terms=12):
+    """Top-TF terms across the ``like`` documents' string values — the
+    static analogue of Lucene's MLT term selection (the like docs are
+    inline query constants, so extraction happens at translate time, not
+    on data). Single-character tokens are dropped like Lucene's default
+    minimum term length."""
+    docs = like if isinstance(like, list) else [like]
+    counts = {}
+    for d in docs:
+        values = d.values() if isinstance(d, dict) else [d]
+        for v in values:
+            if isinstance(v, str):
+                for w in v.lower().split():
+                    w = "".join(ch for ch in w if ch.isalnum())
+                    if len(w) > 1:
+                        counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [w for w, _ in ranked[:max_terms]]
 
 
 def _parse_fuzzy(spec):
@@ -1584,6 +1605,17 @@ def _parse_search_clauses(args):
                 "origin": spec["origin"],
                 "pivot": spec["pivot"],
             }
+        if kind == "moreLikeThis":
+            # Atlas MLT needs no path (it searches the index); the engine
+            # scans a column, so path is required here (documented delta)
+            terms = _more_like_this_terms(
+                spec["like"], int(spec.get("maxQueryTerms", 12))
+            )
+            if not terms:
+                raise MQLTranslationError(
+                    "$search moreLikeThis found no usable terms in 'like'"
+                )
+            return {"kind": "text", "path": path, "terms": terms, "fuzzy": None}
         if kind == "range":
             bounds = {k: spec[k] for k in ("gt", "gte", "lt", "lte") if k in spec}
             if not bounds:

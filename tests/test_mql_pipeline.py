@@ -1817,3 +1817,37 @@ def test_search_near(spark):
     assert abs(dout[2] - 0.5) < 1e-9
     with pytest.raises(MQLTranslationError):
         apply_pipeline(df, [{"$search": {"near": {"path": "price", "origin": 1}}}])
+
+
+def test_search_more_like_this(spark):
+    """moreLikeThis: top-TF terms from the like document drive a text
+    search; docs sharing the like doc's vocabulary rank first."""
+    df = spark.createDataFrame(
+        [
+            (1, "distributed query engines process big data fast"),
+            (2, "query engines love columnar data"),
+            (3, "gardening tips for growing tomatoes at home"),
+        ],
+        "id int, body string",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$search": {
+                    "moreLikeThis": {
+                        "like": {"body": "columnar query engines for data"},
+                        "path": "body",
+                    }
+                }
+            },
+            {"$limit": 10},
+            {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+        ],
+    ).collect()
+    ids = [r["id"] for r in out]
+    # OR semantics: doc 3 sneaks in via the common term 'for', like
+    # Lucene MLT without a stop list — but ranks dead last
+    assert set(ids) == {1, 2, 3}
+    assert ids[0] == 2  # shares 4 terms incl. rare 'columnar'
+    assert ids[-1] == 3
