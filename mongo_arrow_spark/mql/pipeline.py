@@ -1487,6 +1487,8 @@ _SEARCH_OPERATORS = (
     "autocomplete",
     "near",
     "moreLikeThis",
+    "in",
+    "regex",
 )
 
 
@@ -1605,6 +1607,15 @@ def _parse_search_clauses(args):
                 "origin": spec["origin"],
                 "pivot": spec["pivot"],
             }
+        if kind == "in":
+            vals = spec["value"]
+            if not isinstance(vals, list):
+                vals = [vals]
+            return {"kind": "in", "path": path, "values": vals}
+        if kind == "regex":
+            # Atlas regex matches the ENTIRE field term — anchor it
+            return {"kind": "wildcard", "path": path,
+                    "regex": f"^(?:{spec['query']})$"}
         if kind == "moreLikeThis":
             # Atlas MLT needs no path (it searches the index); the engine
             # scans a column, so path is required here (documented delta)
@@ -1695,6 +1706,8 @@ def _search_clause_match(c):
     if c["kind"] == "near":
         # near matches every document with a value; scoring does the work
         return F.col(c["path"]).isNotNull()
+    if c["kind"] == "in":
+        return F.col(c["path"]).isin(c["values"])
     return F.col(c["path"]).rlike(c["regex"])  # wildcard
 
 

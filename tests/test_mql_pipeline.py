@@ -1851,3 +1851,26 @@ def test_search_more_like_this(spark):
     assert set(ids) == {1, 2, 3}
     assert ids[0] == 2  # shares 4 terms incl. rare 'columnar'
     assert ids[-1] == 3
+
+
+def test_search_in_and_regex(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha", 10), (2, "beta", 20), (3, "gamma", 30)],
+        "id int, tag string, v int",
+    )
+    got = apply_pipeline(
+        df,
+        [
+            {"$search": {"in": {"path": "tag", "value": ["alpha", "gamma"]}}},
+            {"$limit": 10}, {"$project": {"id": 1}},
+        ],
+    ).collect()
+    assert {r["id"] for r in got} == {1, 3}
+    got2 = apply_pipeline(
+        df,
+        [
+            {"$search": {"regex": {"path": "tag", "query": "a....|beta"}}},
+            {"$limit": 10}, {"$project": {"id": 1}},
+        ],
+    ).collect()
+    assert {r["id"] for r in got2} == {1, 2}  # whole-term anchoring: no 'gamma'
