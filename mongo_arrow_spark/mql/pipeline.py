@@ -1489,6 +1489,7 @@ _SEARCH_OPERATORS = (
     "moreLikeThis",
     "in",
     "regex",
+    "embeddedDocument",
 )
 
 
@@ -1607,6 +1608,19 @@ def _parse_search_clauses(args):
                 "origin": spec["origin"],
                 "pivot": spec["pivot"],
             }
+        if kind == "embeddedDocument":
+            inner_spec = spec["operator"]
+            if "compound" in inner_spec:
+                comp = inner_spec["compound"]
+                inner = [parse_clause(cl) for cl in comp.get("must", [])]
+                inner += [parse_clause(cl) for cl in comp.get("filter", [])]
+                if not inner:
+                    raise MQLTranslationError(
+                        "embeddedDocument compound needs must/filter clauses"
+                    )
+            else:
+                inner = [parse_clause(inner_spec)]
+            return {"kind": "embedded", "path": path, "inner": inner}
         if kind == "in":
             vals = spec["value"]
             if not isinstance(vals, list):
@@ -1667,12 +1681,14 @@ def _search_phrase_count(path, terms):
     ).otherwise(F.lit(0))
 
 
-def _search_clause_match(c):
-    """Boolean match Column for one parsed clause (no scoring)."""
+def _search_clause_match(c, col=F.col):
+    """Boolean match Column for one parsed clause (no scoring). ``col``
+    resolves a path to a Column — F.col at document level, an
+    element-field accessor inside embeddedDocument."""
     from mongo_arrow_spark.operators.text import tokens
 
     if c["kind"] == "text":
-        toks = tokens(c["path"])
+        toks = tokens(col(c["path"]))
         m = F.lit(False)
         for t in c["terms"]:
             m = m | F.exists(toks, _term_pred(t, c.get("fuzzy")))
@@ -1680,7 +1696,7 @@ def _search_clause_match(c):
     if c["kind"] == "autocomplete":
         # prefix match on any token; with fuzzy, the token's same-length
         # prefix may sit within maxEdits of the query
-        toks = tokens(c["path"])
+        toks = tokens(col(c["path"]))
         q = c["query"]
         fz = c.get("fuzzy")
         if not fz:
@@ -1691,24 +1707,40 @@ def _search_clause_match(c):
             <= F.lit(fz["maxEdits"]),
         )
     if c["kind"] == "phrase":
-        return _search_phrase_count(c["path"], c["terms"]) > 0
+        return _search_phrase_count(col(c["path"]), c["terms"]) > 0
     if c["kind"] == "range":
         ops = {"gt": Column.__gt__, "gte": Column.__ge__,
                "lt": Column.__lt__, "lte": Column.__le__}
         m = F.lit(True)
         for k, v in c["bounds"].items():
-            m = m & ops[k](F.col(c["path"]), F.lit(v))
+            m = m & ops[k](col(c["path"]), F.lit(v))
         return m
     if c["kind"] == "equals":
-        return F.col(c["path"]).eqNullSafe(F.lit(c["value"]))
+        return col(c["path"]).eqNullSafe(F.lit(c["value"]))
     if c["kind"] == "exists":
-        return F.col(c["path"]).isNotNull()
+        return col(c["path"]).isNotNull()
     if c["kind"] == "near":
         # near matches every document with a value; scoring does the work
-        return F.col(c["path"]).isNotNull()
+        return col(c["path"]).isNotNull()
     if c["kind"] == "in":
-        return F.col(c["path"]).isin(c["values"])
-    return F.col(c["path"]).rlike(c["regex"])  # wildcard
+        return col(c["path"]).isin(c["values"])
+    if c["kind"] == "embedded":
+        # any array element satisfying ALL inner clauses (Atlas matches
+        # per element); constant-score like the other structured
+        # operators — per-element BM25 aggregation is Atlas-index-only
+        prefix = c["path"] + "."
+
+        def inner_match(el):
+            def rel(p):
+                return el[p[len(prefix):]] if p.startswith(prefix) else el[p]
+
+            m = F.lit(True)
+            for ic in c["inner"]:
+                m = m & _search_clause_match(ic, rel)
+            return m
+
+        return F.exists(col(c["path"]), inner_match)
+    return col(c["path"]).rlike(c["regex"])  # wildcard
 
 
 def _near_score(c):

@@ -1874,3 +1874,55 @@ def test_search_in_and_regex(spark):
         ],
     ).collect()
     assert {r["id"] for r in got2} == {1, 2}  # whole-term anchoring: no 'gamma'
+
+
+def test_search_embedded_document(spark):
+    """embeddedDocument: any array element must satisfy ALL inner clauses
+    (text + range across the same element, not across elements)."""
+    rows = [
+        (1, [{"name": "red widget", "qty": 5}, {"name": "blue gadget", "qty": 1}]),
+        (2, [{"name": "red widget", "qty": 1}]),          # text hits, range misses
+        (3, [{"name": "green thing", "qty": 9}]),          # range hits, text misses
+        # text hits one element, range a DIFFERENT one -> must NOT match
+        (4, [{"name": "red widget", "qty": 1}, {"name": "plain box", "qty": 9}]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, items array<struct<name:string, qty:int>>"
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$search": {
+                    "embeddedDocument": {
+                        "path": "items",
+                        "operator": {
+                            "compound": {
+                                "must": [
+                                    {"text": {"query": "widget",
+                                              "path": "items.name"}},
+                                    {"range": {"path": "items.qty", "gte": 3}},
+                                ]
+                            }
+                        },
+                    }
+                }
+            },
+            {"$limit": 10},
+            {"$project": {"id": 1}},
+        ],
+    ).collect()
+    assert {r["id"] for r in out} == {1}
+    # single-operator form
+    out2 = apply_pipeline(
+        df,
+        [
+            {"$search": {"embeddedDocument": {
+                "path": "items",
+                "operator": {"text": {"query": "gadget", "path": "items.name"}},
+            }}},
+            {"$limit": 10},
+            {"$project": {"id": 1}},
+        ],
+    ).collect()
+    assert {r["id"] for r in out2} == {1}
