@@ -1490,7 +1490,66 @@ _SEARCH_OPERATORS = (
     "in",
     "regex",
     "embeddedDocument",
+    "queryString",
 )
+
+
+def _parse_query_string(query: str, default_path: str):
+    """Lucene-lite queryString → (must, mustNot, should) text/wildcard
+    clause specs. Supported subset (documented): bare terms, field:term,
+    quoted phrases, ``*``/``?`` wildcards in terms, AND/OR/NOT (AND binds
+    tighter than OR; NOT prefixes one term). No parentheses, boosts,
+    ranges or fuzzed terms — raise on those so callers know."""
+    import shlex
+
+    try:
+        tokens_ = shlex.split(query)
+    except ValueError as exc:
+        raise MQLTranslationError(f"unparseable queryString: {exc}") from exc
+    if any("(" in t or ")" in t or "^" in t for t in tokens_):
+        raise MQLTranslationError("queryString parens/boosts unsupported")
+
+    def to_clause(tok):
+        path, _, term = tok.rpartition(":")
+        path = path or default_path
+        if not term:
+            raise MQLTranslationError(f"queryString empty term in {tok!r}")
+        if "*" in term or "?" in term:
+            return {"wildcard": {"path": path, "query": term, "tokenLevel": True}}
+        if " " in term:
+            return {"phrase": {"path": path, "query": term}}
+        return {"text": {"path": path, "query": term}}
+
+    groups = [[]]  # OR-separated groups of (negated, clause)
+    negate = False
+    for tok in tokens_:
+        up = tok.upper()
+        if up == "OR":
+            groups.append([])
+            continue
+        if up == "AND":
+            continue
+        if up == "NOT":
+            negate = True
+            continue
+        groups[-1].append((negate, to_clause(tok)))
+        negate = False
+    groups = [g for g in groups if g]
+    if not groups:
+        raise MQLTranslationError("queryString has no terms")
+    if len(groups) == 1:
+        must = [c for neg, c in groups[0] if not neg]
+        must_not = [c for neg, c in groups[0] if neg]
+        return must, must_not, []
+    # pure OR across groups: only single-positive-clause groups supported
+    should = []
+    for g in groups:
+        if len(g) != 1 or g[0][0]:
+            raise MQLTranslationError(
+                "queryString OR of compound/negated groups unsupported"
+            )
+        should.append(g[0][1])
+    return [], [], should
 
 
 def _more_like_this_terms(like, max_terms=12):
@@ -1555,7 +1614,20 @@ def _parse_search_clauses(args):
     """Operator spec (standalone or under ``compound``) →
     {must/should/mustNot/filter: [typed clause dicts]}. Shared by
     ``$search`` and ``$searchMeta``."""
-    if any(k in args for k in _SEARCH_OPERATORS):
+    if "queryString" in args:
+        qs = args["queryString"]
+        must, must_not, should = _parse_query_string(
+            str(qs["query"]), qs.get("defaultPath")
+        )
+        if any(
+            c[k]["path"] is None for c in must + must_not + should for k in c
+        ):
+            raise MQLTranslationError(
+                "queryString bare terms need defaultPath"
+            )
+        clauses = {"must": must, "should": should, "mustNot": must_not,
+                   "filter": []}
+    elif any(k in args for k in _SEARCH_OPERATORS):
         clauses = {"must": [args], "should": [], "mustNot": [], "filter": []}
     elif "compound" in args:
         comp = args["compound"]
@@ -1579,6 +1651,10 @@ def _parse_search_clauses(args):
                 "range/equals/exists/wildcard/autocomplete"
             )
         kind = kinds[0]
+        if kind == "queryString":
+            raise MQLTranslationError(
+                "queryString is a top-level $search form, not a compound clause"
+            )
         spec = clause[kind]
         path = spec.get("path")
         if not isinstance(path, str):
@@ -1650,7 +1726,18 @@ def _parse_search_clauses(args):
             return {"kind": kind, "path": path, "value": spec["value"]}
         if kind == "exists":
             return {"kind": kind, "path": path}
-        # wildcard: * and ? over the whole field value
+        # wildcard: * and ? over the whole field value; queryString sets
+        # tokenLevel (Lucene wildcards apply per term, not per field)
+        if spec.get("tokenLevel"):
+            pat = "".join(
+                r"\S*" if ch == "*" else r"\S" if ch == "?" else _re.escape(ch)
+                for ch in str(spec["query"])
+            )
+            return {
+                "kind": kind,
+                "path": path,
+                "regex": rf"(^|.*\s){pat}(\s.*|$)",
+            }
         pat = "".join(
             ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
             for ch in str(spec["query"])

@@ -1926,3 +1926,36 @@ def test_search_embedded_document(spark):
         ],
     ).collect()
     assert {r["id"] for r in out2} == {1}
+
+
+def test_search_query_string(spark):
+    """queryString: Lucene-lite parsing into must/mustNot/should text,
+    phrase and wildcard clauses."""
+    df = spark.createDataFrame(
+        [
+            (1, "red widget premium"),
+            (2, "blue widget basic"),
+            (3, "red gadget premium"),
+        ],
+        "id int, body string",
+    )
+
+    def run(q, **kw):
+        spec = {"query": q, **kw}
+        return {
+            r["id"]
+            for r in apply_pipeline(
+                df,
+                [{"$search": {"queryString": spec}}, {"$limit": 10},
+                 {"$project": {"id": 1}}],
+            ).collect()
+        }
+
+    assert run("body:widget AND NOT body:blue") == {1}
+    assert run("red OR blue", defaultPath="body") == {1, 2, 3}
+    assert run('body:"red widget"') == {1}
+    assert run("body:gad*") == {3}
+    with pytest.raises(MQLTranslationError):
+        run("(red AND blue)", defaultPath="body")
+    with pytest.raises(MQLTranslationError):
+        run("bare-term-needs-default-path")
