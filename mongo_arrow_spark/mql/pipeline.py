@@ -1867,8 +1867,9 @@ def _search_match_pred(parsed):
 @_stage("$search")
 def _search(df, args, resolve):
     """Atlas ``$search`` with the ``text`` (incl. ``fuzzy``), ``phrase``,
-    ``range``, ``equals``, ``exists``, ``wildcard`` and ``autocomplete``
-    operators, standalone or under
+    ``range``, ``equals``, ``exists``, ``wildcard``, ``autocomplete``,
+    ``near``, ``moreLikeThis``, ``in``, ``regex``, ``embeddedDocument``
+    and ``queryString`` operators, standalone or under
     ``compound`` (must/should/mustNot/filter). text scores by tf·ln(N/df)
     per query term and phrase by occurrence-count·ln(N/phrase-df) (the
     engine's TF-IDF model — SURVEY 2.E "text search" row; Atlas's BM25
