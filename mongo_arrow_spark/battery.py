@@ -111,6 +111,7 @@ _DEMOTED = [
     # byte-identical; the oracle runs in tests/test_battery.py (exact
     # membership itself is additionally pinned by test_membership.py)
     "bloom_ingest_gate",
+    "mql_search_fuzzy",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -1012,3 +1012,54 @@ def mql_graph_lookup(spark, sf_dir):
     return out.select(
         "c_custkey", F.size("chain").cast("long").alias("n_ancestors")
     )
+
+
+@query(
+    "mql_search_fuzzy",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN len(list_filter(t, w -> levenshtein(w, 'joinn') <= 1)) > 0
+                 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN len(list_filter(t, w -> levenshtein(w, 'scann') <= 1)) > 0
+                 THEN 1 ELSE 0 END) AS df2
+      FROM toks
+    )
+    SELECT doc_id,
+           ROUND(len(list_filter(t, w -> levenshtein(w, 'joinn') <= 1))
+                   * ln(n * 1.0 / df1)
+               + len(list_filter(t, w -> levenshtein(w, 'scann') <= 1))
+                   * ln(n * 1.0 / df2), 4) AS score
+    FROM toks, stats
+    WHERE len(list_filter(t, w -> levenshtein(w, 'joinn') <= 1)) > 0
+       OR len(list_filter(t, w -> levenshtein(w, 'scann') <= 1)) > 0
+    """,
+)
+def mql_search_fuzzy(spark, sf_dir):
+    """$search text with fuzzy matching: the misspelled query terms
+    ('joinn', 'scann') match nothing exactly — every hit comes through the
+    edit-distance predicate, and document frequencies are computed under
+    that same predicate. DuckDB's levenshtein() reproduces the scoring
+    exactly, so the fuzzy path is hash-oracle-graded, not just pytest."""
+    return aggregate(
+        _t(spark, sf_dir, "documents"),
+        [
+            {
+                "$search": {
+                    "text": {
+                        "query": "joinn scann",
+                        "path": "text",
+                        "fuzzy": {"maxEdits": 1},
+                    }
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "doc_id": 1,
+                    "score": {"$round": [{"$meta": "searchScore"}, 4]},
+                }
+            },
+        ],
+    )
