@@ -112,6 +112,8 @@ _DEMOTED = [
     # membership itself is additionally pinned by test_membership.py)
     "bloom_ingest_gate",
     "mql_search_fuzzy",
+    "mql_search_near",
+    "mql_search_autocomplete",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -1063,3 +1063,58 @@ def mql_search_fuzzy(spark, sf_dir):
             },
         ],
     )
+
+
+@query(
+    "mql_search_near",
+    """
+    SELECT o_orderkey,
+           ROUND(50000.0 / (50000.0 + ABS(o_totalprice - 150000.0)), 4)
+             AS score
+    FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey % 20 = 0
+    """,
+)
+def mql_search_near(spark, sf_dir):
+    """$search near: hyperbolic pivot-decay scoring over a numeric path —
+    closed-form, so the score column is exactly SQL-reproducible."""
+    return aggregate(
+        _t(spark, sf_dir, "orders"),
+        [
+            {"$match": {"o_orderkey": {"$mod": [20, 0]}}},
+            {
+                "$search": {
+                    "near": {
+                        "path": "o_totalprice",
+                        "origin": 150000.0,
+                        "pivot": 50000.0,
+                    }
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "o_orderkey": 1,
+                    "score": {"$round": [{"$meta": "searchScore"}, 4]},
+                }
+            },
+        ],
+    )
+
+
+@query(
+    "mql_search_autocomplete",
+    """
+    SELECT doc_id FROM documents
+    WHERE len(list_filter(string_split(text, ' '), w -> w LIKE 'quer%')) > 0
+    """,
+)
+def mql_search_autocomplete(spark, sf_dir):
+    """$search autocomplete: token-prefix matching, reproduced by a SQL
+    LIKE over the same tokenization."""
+    return aggregate(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"$search": {"autocomplete": {"query": "quer", "path": "text"}}},
+            {"$project": {"_id": 0, "doc_id": 1}},
+        ],
+    )
