@@ -122,29 +122,36 @@ def probe_bloom(
     Plan: explode the batch's k positions, left-join the bit table on
     ``word`` (uniform keys), test each position's bit, then AND them back
     per input row. The corpus itself is never touched.
+
+    The join-back is keyed on ``md5(key_col)`` — a *deterministic* content
+    digest, never ``monotonically_increasing_id``: the probe subtree is
+    evaluated once per join branch, and after an upstream shuffle the
+    partition-internal row order (hence any positional id) can diverge
+    between branches / task retries, silently attaching verdicts to the
+    wrong rows at cluster scale. The verdict is a pure function of the
+    key, so identical keys legitimately share one digest row.
     """
-    probe = df.withColumn(
-        "__bloom_pos", _positions(F.col(key_col), num_bits, num_hashes)
-    ).withColumn("__bloom_row", F.monotonically_increasing_id())
+    probe = df.withColumn("__bloom_key", F.md5(F.col(key_col)))
     exploded = probe.select(
-        "__bloom_row", F.explode("__bloom_pos").alias("pos")
-    ).select("__bloom_row", *_word_and_bit())
+        "__bloom_key",
+        F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("pos"),
+    ).select("__bloom_key", *_word_and_bit())
     hits = (
         exploded.join(index, "word", "left")
         .select(
-            "__bloom_row",
+            "__bloom_key",
             (
                 F.col("bits").isNotNull()
                 & (F.col("bits").bitwiseAND(F.col("bit")) != 0)
             ).alias("set"),
         )
-        .groupBy("__bloom_row")
+        .groupBy("__bloom_key")
         .agg(F.min("set").alias(out_col))
     )
     return (
-        probe.join(hits, "__bloom_row", "left")
+        probe.join(hits, "__bloom_key", "left")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
-        .drop("__bloom_pos", "__bloom_row")
+        .drop("__bloom_key")
     )
 
 
@@ -228,6 +235,7 @@ def probe_and_verify(
     num_bits: int = 1 << 27,
     num_hashes: int = 5,
     out_col: str = "is_member",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Zero-loss membership: Bloom probe, then an EXACT check of only the
     flagged sliver against the corpus. ``out_col`` is exact — no false
@@ -235,13 +243,21 @@ def probe_and_verify(
 
     Plan: rows probing ``false`` are definitely new (Bloom guarantee) and
     skip the corpus entirely. The flagged sliver (~FP-rate × batch plus
-    true members) is md5-digested and **broadcast**; the corpus streams
-    once through a broadcast semi-join projecting only its digest — the
-    corpus is scanned (column-pruned) but NEVER shuffled, and nothing
-    batch-sized joins anything corpus-sized. Use when the FP-sliver loss
-    of ``probe_bloom``+drop is not acceptable; at 100 TB the cost over
-    the plain probe is one digest-column corpus scan per batch.
+    true members) is md5-digested and **broadcast** by default; the
+    corpus streams once through a broadcast semi-join projecting only its
+    digest — the corpus is scanned (column-pruned) but NEVER shuffled,
+    and nothing batch-sized joins anything corpus-sized. Use when the
+    FP-sliver loss of ``probe_bloom``+drop is not acceptable; at 100 TB
+    the cost over the plain probe is one digest-column corpus scan per
+    batch.
+
+    ``broadcast=True`` assumes the sliver is FP-rate-sized. In
+    re-submission-heavy ingest (most of the batch IS a member) the
+    sliver approaches batch size — pass ``broadcast=False`` there to let
+    the exact check run as a shuffle semi-join instead of forcing a
+    batch-sized broadcast onto every executor.
     """
+    _maybe_bc = F.broadcast if broadcast else (lambda d: d)
     probed = probe_bloom(
         df, index, key_col, num_bits=num_bits, num_hashes=num_hashes,
         out_col="__bloom_maybe",
@@ -251,13 +267,13 @@ def probe_and_verify(
     ).distinct()
     confirmed = (
         corpus.select(F.md5(F.col(key_col)).alias("__digest"))
-        .join(F.broadcast(sliver), "__digest", "left_semi")
+        .join(_maybe_bc(sliver), "__digest", "left_semi")
         .distinct()
     )
     out = (
         probed.withColumn("__digest", F.md5(F.col(key_col)))
         .join(
-            F.broadcast(confirmed.withColumn("__hit", F.lit(True))),
+            _maybe_bc(confirmed.withColumn("__hit", F.lit(True))),
             "__digest",
             "left",
         )

@@ -151,6 +151,48 @@ def test_probe_and_verify_exact(docs, spark):
     assert set(out.columns) == {"doc_id", "text", "is_member"}
 
 
+def test_probe_and_verify_shuffle_semi_join_variant(docs, spark):
+    """broadcast=False (re-submission-heavy batches) keeps exactness and
+    plans no broadcast of the sliver."""
+    from mongo_arrow_spark.operators.membership import probe_and_verify
+
+    tiny_bits = 1 << 10
+    index = build_bloom_index(docs, "text", num_bits=tiny_bits, num_hashes=K)
+    batch = docs.limit(150).select("doc_id", "text")
+    out = probe_and_verify(
+        batch, index, docs, "text",
+        num_bits=tiny_bits, num_hashes=K, broadcast=False,
+    )
+    # whole batch is drawn from the corpus -> every row exact-member
+    assert out.filter(~F.col("is_member")).count() == 0
+    assert out.count() == 150
+    # no broadcast HINT planted (AQE may still choose one on tiny local
+    # data — the contract is that we stop forcing it)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in plan.lower()
+
+
+def test_probe_join_back_is_content_keyed(docs, spark):
+    """Verdict correlation must survive nondeterministic upstream order:
+    the join-back is keyed on a content digest, never a positional id.
+    Pin (a) no monotonically_increasing_id in the plan, (b) duplicate
+    keys all carry one consistent verdict, (c) a shuffled/exchanged
+    input probes identically to the unshuffled one."""
+    index = build_bloom_index(docs, "text", num_bits=BITS, num_hashes=K)
+    probed = probe_bloom(docs, index, "text", num_bits=BITS, num_hashes=K)
+    plan = probed._jdf.queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" not in plan
+    # duplicated keys after an upstream shuffle (the curate() shape)
+    dup = docs.unionAll(docs).repartition(16, "doc_id")
+    out = probe_bloom(dup, index, "text", num_bits=BITS, num_hashes=K)
+    per_key = out.groupBy("text").agg(
+        F.count_distinct("maybe_member").alias("verdicts")
+    )
+    assert per_key.filter(F.col("verdicts") != 1).count() == 0
+    assert out.filter(~F.col("maybe_member")).count() == 0  # still no FNs
+    assert out.count() == 2 * docs.count()
+
+
 def test_fractional_max_df(docs):
     """A float max_df resolves to that fraction of the corpus: the
     scale-correct skew cap. 0.02 on ~500 docs == absolute 10."""
