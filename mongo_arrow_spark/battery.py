@@ -106,6 +106,12 @@ _DEMOTED = [
     "multimodal_payload_stats",
     "q_customers_without_orders",
     "q_quarterly_trend",
+    # Round-5 rotation: q_scan_gzip_dump (compressed dump ingest — the
+    # reference's real-world input shape) enters the graded 50; the slot
+    # comes from q14_promo_effect, whose capabilities stay multiply
+    # pinned: scan+filter+agg by q01_pricing_summary, join+agg by
+    # q03_shipping_priority and q18_large_orders
+    "q14_promo_effect",
     # round-4 continuation: the ingest gate's NOT EXISTS oracle parks
     # below the window so the driver-verified graded 50 stay
     # byte-identical; the oracle runs in tests/test_battery.py (exact

@@ -1011,6 +1011,74 @@ def q_bloom_ingest_gate(spark, sf_dir):
     )
 
 
+def _gzip_corpus_dir(spark, sf_dir: str) -> str:
+    """Materialize the documents table as a gzipped jsonl dump (idempotent
+    per sf_dir) — the ``mongodump --gzip``-shaped corpus the compressed
+    ingest path reads. Distributed write through the engine's own sink
+    (compression=gzip), nothing through the driver."""
+    import hashlib
+    import os
+
+    from mongo_arrow_spark.sources import register
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/mas_gzip_{tag}"
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    register(spark)
+    (
+        _t(spark, sf_dir, "documents")
+        .repartition(4)
+        .write.format("documents")
+        .option("compression", "gzip")
+        .mode("overwrite")
+        .save(d)
+    )
+    open(marker, "w").close()
+    return d
+
+
+@query(
+    "q_scan_gzip_dump",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_id
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_scan_gzip_dump(spark, sf_dir):
+    """Compressed dump ingest: the corpus is round-tripped through gzipped
+    jsonl (the mongodump --gzip / log-shipper shape — reference input
+    contract lib.pyx:296-311 is a format-agnostic byte stream) and read
+    back through the documents source's whole-file bin-packed partitions,
+    then aggregated. Hash-matching the parquet oracle proves the
+    compressed path is byte-lossless end-to-end."""
+    from mongo_arrow_spark.sources import register
+
+    register(spark)
+    d = _gzip_corpus_dir(spark, sf_dir)
+    df = (
+        spark.read.format("documents")
+        .option(
+            "declaredSchema",
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+        .load(d)
+    )
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("first_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("profile_sketches")  # rows-only: Datasketches estimates aren't DuckDB-reproducible
 def q_profile_sketches(spark, sf_dir):
     """Mergeable sketch profile of the documents table: per-source HLL +

@@ -16,6 +16,14 @@ aligned), so parallelism = total bytes / partition_bytes regardless of file
 count; filters are applied before Arrow conversion so non-matching
 documents never allocate; batches are Arrow RecordBatches (vectorized
 ingest path, no per-row Python→JVM crossing).
+
+Compressed dumps (``mongodump --gzip`` writes ``.bson.gz``; log shippers
+emit ``.jsonl.gz``) are first-class: any input may carry a ``.gz`` /
+``.bz2`` / ``.xz`` suffix. Those streams are not byte-splittable, so each
+compressed file is decoded whole by one task; small files are bin-packed
+into size-balanced multi-file partitions (first-fit decreasing on
+estimated decompressed size) so a directory of many little ``.gz`` parts
+still fans out evenly instead of producing one task per tiny file.
 """
 
 from __future__ import annotations
@@ -57,6 +65,51 @@ DEFAULT_SAMPLE_SIZE = 1000
 # reference write caps: 48 MB - 16 KB and 100k ops (api.py:91-95)
 WRITE_MAX_BYTES = 48 * 1024 * 1024 - 16 * 1024
 WRITE_MAX_DOCS = 100_000
+
+
+# --------------------------------------------------------- compression
+
+#: suffix → opener. gzip dominates in the wild (mongodump --gzip); bz2/xz
+#: ride along for free via the stdlib. zstd is intentionally absent until
+#: a wheel is available in the runtime (no silent partial support).
+_COMPRESSION_SUFFIXES = (".gz", ".bz2", ".xz")
+#: conservative decompressed-size multiplier used only for bin-packing
+#: balance (JSON/BSON text compresses ~3-6x under gzip)
+_EXPANSION_ESTIMATE = 4
+
+
+def _is_compressed(path: str) -> bool:
+    return path.endswith(_COMPRESSION_SUFFIXES)
+
+
+def _logical_name(path: str) -> str:
+    """Path with any compression suffix stripped — format dispatch looks
+    at the logical name, so ``dump.bson.gz`` routes to the BSON decoder."""
+    for s in _COMPRESSION_SUFFIXES:
+        if path.endswith(s):
+            return path[: -len(s)]
+    return path
+
+
+def _open_decompressed(path: str):
+    """Binary read handle with transparent decompression by suffix."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rb")
+    if path.endswith(".xz"):
+        import lzma
+
+        return lzma.open(path, "rb")
+    return open(path, "rb")
+
+
+def _is_bson(path: str) -> bool:
+    return _logical_name(path).endswith(".bson")
 
 
 # ------------------------------------------------------------- inference
@@ -139,15 +192,17 @@ def infer_schema(
     drop_corrupt: bool = False,
 ) -> T.StructType:
     """First-non-null sampling inference over the head of the files."""
+    import io
+
     fields: dict[str, T.DataType] = {}
     seen = 0
     for path in _expand(paths):
-        if path.endswith(".bson"):
+        if _is_bson(path):
             try:
                 from bson import decode_file_iter
             except ImportError:
                 from mongo_arrow_spark.bson_codec import decode_file_iter
-            with open(path, "rb") as bfh:
+            with _open_decompressed(path) as bfh:
                 for doc in decode_file_iter(bfh):
                     for k, v in doc.items():
                         fields[k] = _merge_types(
@@ -159,7 +214,9 @@ def infer_schema(
             if seen >= sample_size:
                 break
             continue
-        with open(path, "r", encoding="utf-8", errors="replace") as fh:
+        with io.TextIOWrapper(
+            _open_decompressed(path), encoding="utf-8", errors="replace"
+        ) as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
@@ -196,12 +253,18 @@ def _expand(paths) -> list[str]:
     if isinstance(paths, str):
         paths = [paths]
     out: list[str] = []
+    pats = ["*.jsonl", "*.bson"] + [
+        f"*.{base}{c}"
+        for base in ("jsonl", "bson")
+        for c in _COMPRESSION_SUFFIXES
+    ]
     for p in paths:
         if os.path.isdir(p):
             out.extend(
                 sorted(
-                    _glob.glob(os.path.join(p, "*.jsonl"))
-                    + _glob.glob(os.path.join(p, "*.bson"))
+                    f
+                    for pat in pats
+                    for f in _glob.glob(os.path.join(p, pat))
                 )
             )
         else:
@@ -457,6 +520,31 @@ class _Split(InputPartition):
     end: int
 
 
+@dataclass
+class _FilesSplit(InputPartition):
+    """A group of whole files decoded serially by one task — the shape for
+    compressed inputs, which cannot be byte-split. Files are bin-packed
+    into these by estimated decompressed size so many small ``.gz`` parts
+    still yield balanced parallelism."""
+
+    paths: tuple
+
+
+def _pack_files(sized: list, target: int) -> list:
+    """First-fit-decreasing bin packing of (path, est_bytes) into groups
+    whose estimated total ≤ target (oversized files go alone)."""
+    bins: list[list] = []  # each: [paths, running_total]
+    for path, est in sorted(sized, key=lambda t: -t[1]):
+        for b in bins:
+            if b[1] + est <= target:
+                b[0].append(path)
+                b[1] += est
+                break
+        else:
+            bins.append([[path], est])
+    return [b[0] for b in bins]
+
+
 class DocumentsReader(DataSourceReader):
     def __init__(self, schema: T.StructType, options):
         self.schema = schema
@@ -493,9 +581,14 @@ class DocumentsReader(DataSourceReader):
                 yield f
 
     def partitions(self):
-        splits = []
+        splits: list[InputPartition] = []
+        compressed: list[tuple[str, int]] = []
         for path in self.paths:
             size = os.path.getsize(path)
+            if _is_compressed(path):
+                # not byte-splittable: decode whole, bin-pack for balance
+                compressed.append((path, size * _EXPANSION_ESTIMATE))
+                continue
             if path.endswith(".bson"):
                 splits.append(_Split(path, 0, size))  # length-prefixed: no byte splits
                 continue
@@ -503,51 +596,51 @@ class DocumentsReader(DataSourceReader):
             step = math.ceil(size / n) if size else 1
             for i in range(n):
                 splits.append(_Split(path, i * step, min(size, (i + 1) * step)))
+        for group in _pack_files(compressed, self.partition_bytes):
+            splits.append(_FilesSplit(tuple(group)))
         return splits or [_Split("", 0, 0)]
 
-    def read(self, part: _Split) -> Iterator:
+    def read(self, part) -> Iterator:
         import pyarrow as pa
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        if not part.path:
+        if isinstance(part, _Split) and not part.path:
             return
         arrow_schema = to_arrow_schema(self.schema)
         pred = _filter_fn(self.filters, self.schema)
         fields = self.schema.fields
         cols: list[list] = [[] for _ in fields]
         n = 0
-        if part.path.endswith(".bson"):
-            # BSON dump support (the reference's native format — its core
-            # kernel IS BSON-stream decode, lib.pyx:296-311). pymongo's C
-            # decoder is preferred when installed; otherwise the pure-
-            # Python spec codec (bson_codec.py) decodes the same stream.
-            # Length-prefixed docs can't split on newlines, so each .bson
-            # file is one partition.
-            try:
-                from bson import decode_file_iter
-            except ImportError:
-                from mongo_arrow_spark.bson_codec import decode_file_iter
-            with open(part.path, "rb") as fh:
-                for doc in decode_file_iter(fh):
-                    if self.filters and not pred(doc):
-                        continue
-                    for i, f in enumerate(fields):
-                        cols[i].append(
-                            _coerce(doc.get(f.name), f.dataType, self.strict, f.name, f.metadata)
-                        )
-                    n += 1
-                    if n >= self.batch_size:
-                        yield _to_batch(pa, arrow_schema, cols)
-                        cols = [[] for _ in fields]
-                        n = 0
-            if n:
+        for doc in self._raw_docs(part):
+            if self.filters and not pred(doc):
+                continue
+            for i, f in enumerate(fields):
+                cols[i].append(
+                    _coerce(doc.get(f.name), f.dataType, self.strict, f.name, f.metadata)
+                )
+            n += 1
+            if n >= self.batch_size:
                 yield _to_batch(pa, arrow_schema, cols)
+                cols = [[] for _ in fields]
+                n = 0
+        if n:
+            yield _to_batch(pa, arrow_schema, cols)
+
+    def _raw_docs(self, part) -> Iterator[dict]:
+        """Raw document stream for one split, before filter/coerce."""
+        if isinstance(part, _FilesSplit):
+            for path in part.paths:
+                yield from self._whole_file_docs(path)
             return
-        # binary mode: a byte-offset seek on a text-mode handle can land
-        # mid multi-byte UTF-8 char and readline() then raises
-        # UnicodeDecodeError; on bytes the seek is safe and each complete
-        # line decodes independently (offsets align with getsize/tell)
+        if _is_bson(part.path) or _is_compressed(part.path):
+            yield from self._whole_file_docs(part.path)
+            return
+        # plain .jsonl byte-range. Binary mode: a byte-offset seek on a
+        # text-mode handle can land mid multi-byte UTF-8 char and
+        # readline() then raises UnicodeDecodeError; on bytes the seek is
+        # safe and each complete line decodes independently (offsets
+        # align with getsize/tell)
         with open(part.path, "rb") as fh:
             fh.seek(part.start)
             if part.start > 0:
@@ -556,39 +649,52 @@ class DocumentsReader(DataSourceReader):
                 raw = fh.readline()
                 if not raw:
                     break
-                try:
-                    line = raw.decode("utf-8").strip()
-                    if not line:
-                        continue
-                    doc = json.loads(line)
-                except (UnicodeDecodeError, json.JSONDecodeError) as exc:
-                    if self.corrupt_mode == "drop":
-                        continue
-                    raise ValueError(
-                        f"corrupt document line in {part.path} near byte "
-                        f"{fh.tell()}: {exc}"
-                    ) from exc
-                if not isinstance(doc, dict):
-                    if self.corrupt_mode == "drop":
-                        continue
-                    raise ValueError(
-                        f"corrupt document line in {part.path} near byte "
-                        f"{fh.tell()}: top-level JSON must be an object, "
-                        f"got {type(doc).__name__}"
-                    )
-                if self.filters and not pred(doc):
-                    continue
-                for i, f in enumerate(fields):
-                    cols[i].append(
-                        _coerce(doc.get(f.name), f.dataType, self.strict, f.name, f.metadata)
-                    )
-                n += 1
-                if n >= self.batch_size:
-                    yield _to_batch(pa, arrow_schema, cols)
-                    cols = [[] for _ in fields]
-                    n = 0
-        if n:
-            yield _to_batch(pa, arrow_schema, cols)
+                doc = self._parse_line(raw, part.path, f"byte {fh.tell()}")
+                if doc is not None:
+                    yield doc
+
+    def _whole_file_docs(self, path: str) -> Iterator[dict]:
+        """Decode one entire file (the only option for compressed input;
+        also the .bson shape — length-prefixed docs can't split on
+        newlines). BSON dump support is the reference's native format —
+        its core kernel IS BSON-stream decode (lib.pyx:296-311);
+        pymongo's C decoder is preferred when installed, else the pure-
+        Python spec codec (bson_codec.py) decodes the same stream."""
+        if _is_bson(path):
+            try:
+                from bson import decode_file_iter
+            except ImportError:
+                from mongo_arrow_spark.bson_codec import decode_file_iter
+            with _open_decompressed(path) as fh:
+                yield from decode_file_iter(fh)
+            return
+        with _open_decompressed(path) as fh:
+            for lineno, raw in enumerate(fh, 1):
+                doc = self._parse_line(raw, path, f"line {lineno}")
+                if doc is not None:
+                    yield doc
+
+    def _parse_line(self, raw: bytes, path: str, where: str) -> dict | None:
+        """One JSON line → dict, honoring corruptMode. None = skip."""
+        try:
+            line = raw.decode("utf-8").strip()
+            if not line:
+                return None
+            doc = json.loads(line)
+        except (UnicodeDecodeError, json.JSONDecodeError) as exc:
+            if self.corrupt_mode == "drop":
+                return None
+            raise ValueError(
+                f"corrupt document line in {path} near {where}: {exc}"
+            ) from exc
+        if not isinstance(doc, dict):
+            if self.corrupt_mode == "drop":
+                return None
+            raise ValueError(
+                f"corrupt document line in {path} near {where}: top-level "
+                f"JSON must be an object, got {type(doc).__name__}"
+            )
+        return doc
 
 
 def _to_batch(pa, arrow_schema, cols):
@@ -651,6 +757,17 @@ class DocumentsWriter(DataSourceArrowWriter):
             )
         if self.file_format == "bson" and self.preserialized:
             raise SchemaError("fileFormat=bson is incompatible with preserialized")
+        # compression=gzip|bz2|xz appends the matching suffix and wraps the
+        # part-file handle; the roll caps (maxBytes/maxDocs) count
+        # UNCOMPRESSED bytes — the reference's 48 MB cap is a payload cap
+        # (api.py:91-95), and payload size is what the reader's
+        # whole-file decode partitions must bound.
+        self.compression = str(options.get("compression", "none")).lower()
+        if self.compression not in ("none", "gzip", "bz2", "xz"):
+            raise SchemaError(
+                "compression must be one of none|gzip|bz2|xz, got "
+                f"{self.compression!r}"
+            )
 
     def write(self, iterator) -> _WriteResult:
         import numpy as np
@@ -661,15 +778,32 @@ class DocumentsWriter(DataSourceArrowWriter):
         files, docs = [], 0
         fh, nbytes, ndocs = None, 0, 0
 
+        _ext = {"gzip": ".gz", "bz2": ".bz2", "xz": ".xz"}.get(self.compression, "")
+
+        def _open_part(name):
+            if self.compression == "gzip":
+                import gzip
+
+                return gzip.open(name, "wb")
+            if self.compression == "bz2":
+                import bz2
+
+                return bz2.open(name, "wb")
+            if self.compression == "xz":
+                import lzma
+
+                return lzma.open(name, "wb")
+            return open(name, "wb")
+
         def roll():
             nonlocal fh, nbytes, ndocs
             if fh:
                 fh.close()
             name = os.path.join(
-                self.path, f"part-{uuid.uuid4().hex}.{self.file_format}"
+                self.path, f"part-{uuid.uuid4().hex}.{self.file_format}{_ext}"
             )
             files.append(name)
-            fh = open(name, "wb")
+            fh = _open_part(name)
             nbytes = ndocs = 0
 
         def emit(chunk: bytes, blen: int, n: int):
@@ -776,7 +910,11 @@ class DocumentsStreamReader(DataSourceStreamReader):
         self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
 
     def _listing(self) -> list[str]:
-        return sorted(_glob.glob(os.path.join(self.dir, "*.jsonl")))
+        return sorted(
+            f
+            for pat in ["*.jsonl"] + [f"*.jsonl{c}" for c in _COMPRESSION_SUFFIXES]
+            for f in _glob.glob(os.path.join(self.dir, pat))
+        )
 
     def initialOffset(self):
         return {"index": 0}
@@ -874,7 +1012,9 @@ class DocumentsDataSource(DataSource):
     """``spark.read.format("documents")`` — register with
     :func:`register`. Options: path, mode=PERMISSIVE|FAILFAST,
     sampleSize, partitionBytes, batchSize; writer adds excludeNone,
-    maxBytes, maxDocs."""
+    maxBytes, maxDocs, fileFormat=jsonl|bson, compression=none|gzip|
+    bz2|xz. Inputs may be ``.jsonl`` / ``.bson``, optionally suffixed
+    ``.gz`` / ``.bz2`` / ``.xz`` (mongodump --gzip dumps read natively)."""
 
     @classmethod
     def name(cls) -> str:

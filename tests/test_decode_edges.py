@@ -260,6 +260,146 @@ def test_bson_sink_roundtrip(spark, tmp_path):
     assert list(r["arr"]) == [1, 2] and r["st"]["x"] == 9 and r["s"] == "s"
 
 
+# ------------------------------------------------- compressed dump ingest
+
+
+def _write_gz(path, lines):
+    import gzip
+
+    with gzip.open(path, "wt", encoding="utf-8") as fh:
+        for l in lines:
+            fh.write(l + "\n")
+    return str(path)
+
+
+def test_gzip_jsonl_roundtrip(spark, tmp_path):
+    """A .jsonl.gz file reads identically to its plain twin (mongoexport
+    piped through gzip — the common log-shipper shape)."""
+    lines = [json.dumps({"a": i, "s": f"x{i}"}) for i in range(50)]
+    plain = _write(tmp_path / "d.jsonl", lines)
+    gz = _write_gz(tmp_path / "d2.jsonl.gz", lines)
+    a = _read(spark, plain, declaredSchema="a bigint, s string")
+    b = _read(spark, gz, declaredSchema="a bigint, s string")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_gzip_bson_roundtrip(spark, tmp_path):
+    """mongodump --gzip output (.bson.gz) decodes through the same BSON
+    kernel as the plain dump (reference input contract lib.pyx:296-311 is
+    a byte stream — source-format agnostic)."""
+    import gzip
+
+    from mongo_arrow_spark.bson_codec import encode_document
+
+    docs = [{"_id": i, "v": i * 2.5, "tag": f"t{i}"} for i in range(20)]
+    raw = b"".join(encode_document(d) for d in docs)
+    p = tmp_path / "dump.bson.gz"
+    with gzip.open(p, "wb") as fh:
+        fh.write(raw)
+    df = _read(spark, str(p))
+    assert df.count() == 20
+    assert dict(df.dtypes)["v"] == "double"
+    assert sorted(r["_id"] for r in df.collect()) == list(range(20))
+
+
+def test_compressed_suffix_variants(spark, tmp_path):
+    """bz2 and xz suffixes decode too; a directory mixing plain and
+    compressed parts reads as one corpus."""
+    import bz2
+    import lzma
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    _write(d / "a.jsonl", [json.dumps({"a": 1})])
+    _write_gz(d / "b.jsonl.gz", [json.dumps({"a": 2})])
+    with bz2.open(d / "c.jsonl.bz2", "wt") as fh:
+        fh.write(json.dumps({"a": 3}) + "\n")
+    with lzma.open(d / "e.jsonl.xz", "wt") as fh:
+        fh.write(json.dumps({"a": 4}) + "\n")
+    got = _read(spark, str(d), declaredSchema="a bigint")
+    assert sorted(r["a"] for r in got.collect()) == [1, 2, 3, 4]
+
+
+def test_gzip_corrupt_modes(spark, tmp_path):
+    p = _write_gz(
+        tmp_path / "c.jsonl.gz", ['{"a": 1}', '{"a": 2', '{"a": 3}']
+    )
+    with pytest.raises(Exception) as exc:
+        _read(spark, p, declaredSchema="a bigint").collect()
+    assert "corrupt document line" in str(exc.value)
+    got = _read(spark, p, declaredSchema="a bigint", corruptMode="drop")
+    assert sorted(r["a"] for r in got.collect()) == [1, 3]
+
+
+def test_gzip_inference(tmp_path):
+    p = _write_gz(tmp_path / "i.jsonl.gz", ['{"a": 1, "b": "x"}'])
+    sch = infer_schema(p)
+    assert {f.name: f.dataType.simpleString() for f in sch.fields} == {
+        "a": "int",
+        "b": "string",
+    }
+
+
+def test_gzip_filter_pushdown_still_applies(spark, tmp_path):
+    """Compressed inputs go through the same pre-Arrow predicate path."""
+    p = _write_gz(
+        tmp_path / "f.jsonl.gz", [json.dumps({"a": i}) for i in range(100)]
+    )
+    got = _read(spark, p, declaredSchema="a bigint").filter("a >= 90")
+    assert got.count() == 10
+
+
+def test_writer_gzip_compression_roundtrip(spark, tmp_path):
+    """compression=gzip writes .jsonl.gz parts the source reads back —
+    and api.write's preserialized fast path composes with it."""
+    from mongo_arrow_spark.api import write
+
+    register(spark)
+    df = spark.range(500).selectExpr("id AS a", "concat('v', id) AS s")
+    out = str(tmp_path / "gzout")
+    res = write(df, out, format="documents", spark=spark, compression="gzip")
+    assert res.inserted_count == 500
+    import os as _os
+
+    parts = [p for p in _os.listdir(out) if p.startswith("part-")]
+    assert parts and all(p.endswith(".jsonl.gz") for p in parts)
+    back = _read(spark, out, declaredSchema="a bigint, s string")
+    assert back.count() == 500
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_compressed_files_bin_packed_partitions(spark, tmp_path):
+    """Many small .gz parts pack into few size-balanced partitions
+    instead of one task per file; a file above the target gets its own."""
+    from mongo_arrow_spark.sources.documents import (
+        DocumentsReader,
+        _FilesSplit,
+        _pack_files,
+    )
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(12):
+        _write_gz(d / f"p{i:02d}.jsonl.gz", [json.dumps({"a": i})])
+    reader = DocumentsReader(
+        __import__("pyspark.sql.types", fromlist=["x"]).StructType(),
+        {"path": str(d), "partitionbytes": str(1 << 30)},
+    )
+    parts = reader.partitions()
+    assert all(isinstance(p, _FilesSplit) for p in parts)
+    assert len(parts) == 1 and len(parts[0].paths) == 12
+    # oversized lone file: its own bin; smalls share
+    groups = _pack_files(
+        [("big", 900), ("s1", 100), ("s2", 100), ("s3", 100)], 500
+    )
+    assert sorted(map(sorted, groups)) == [["big"], ["s1", "s2", "s3"]]
+    # rows still all arrive
+    got = _read(spark, str(d), declaredSchema="a bigint")
+    assert sorted(r["a"] for r in got.collect()) == list(range(12))
+
+
 def test_bson_sink_rejects_bad_options(spark, tmp_path):
     register(spark)
     df = spark.createDataFrame([(1,)], "i long")
