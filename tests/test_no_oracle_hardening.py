@@ -113,6 +113,43 @@ def test_embedding_neardup_bucketed_subset_of_exact(spark, tables):
     assert recall >= 0.2, f"bucketed recall {recall:.3f} of {len(exact)} pairs"
 
 
+def test_knn_join_bucketed_recall_vs_exact(spark, tables):
+    """The sign-bucket-blocked kNN join (the corpus×corpus form — an
+    equi-join on bucket ids, no cartesian) recovers ≥0.9 of the exact
+    knn_join's pairs. Random Gaussian fixtures are hyperplane-LSH's worst
+    case, hence the wide ring (bits=6, max_hamming=3 = 42 probe buckets);
+    clustered real-world embeddings prune far harder at the 8/2 default.
+    Scores on returned pairs are exact cosines either way."""
+    from mongo_arrow_spark.operators import similarity
+
+    emb = _emb(spark)
+    left = emb.limit(60)
+    exact = similarity.knn_join(left, emb, k=3)
+    approx = similarity.knn_join_bucketed(
+        left, emb, k=3, bits=6, max_hamming=3
+    )
+    ex = {(r["lid"], r["rid"]): r["score"] for r in exact.collect()}
+    ap = {(r["lid"], r["rid"]): r["score"] for r in approx.collect()}
+    recall = len(set(ex) & set(ap)) / len(ex)
+    assert recall >= 0.9, f"bucketed knn recall@3 {recall:.3f}"
+    for pair in set(ex) & set(ap):
+        assert abs(ex[pair] - ap[pair]) < 1e-9  # exact scoring, same pair
+
+
+def test_knn_join_unguarded_cartesian_warns(spark, tables):
+    """broadcast_side=None on knn_join is the silent O(n^2) hazard — it
+    must warn and point at the bucketed variant."""
+    import warnings
+
+    from mongo_arrow_spark.operators import similarity
+
+    emb = _emb(spark).limit(10)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity.knn_join(emb, emb, k=2, broadcast_side=None)
+    assert any("knn_join_bucketed" in str(x.message) for x in w)
+
+
 def _topk_ids(df):
     return [r["vec_id"] for r in df.collect()]
 

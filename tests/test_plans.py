@@ -130,6 +130,23 @@ def test_knn_join_broadcasts_query_side(spark, tables):
     assert "CartesianProduct" not in p
 
 
+def test_knn_join_bucketed_is_equi_join(spark, tables):
+    """The corpus×corpus kNN form must plan an equi-join on the bucket id
+    — no CartesianProduct, no BroadcastNestedLoopJoin, at the defaults."""
+    from pyspark.sql import functions as F2
+
+    from mongo_arrow_spark.operators.similarity import knn_join_bucketed
+    from mongo_arrow_spark.session import read_documents_parquet
+
+    emb = read_documents_parquet(spark, f"{__import__('conftest').SF_DIR}/embeddings.parquet")
+    out = knn_join_bucketed(emb.limit(20), emb, k=2)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # it IS a join — on the bucket key
+    assert out.count() > 0
+
+
 def test_vector_search_take_ordered(spark, tables):
     """$vectorSearch limit must compile to TakeOrderedAndProject (no
     global sort of the scored corpus)."""
