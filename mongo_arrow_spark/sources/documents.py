@@ -116,46 +116,76 @@ def _is_bson(path: str) -> bool:
 
 
 def _infer_value(v):
+    return _infer_field(v)[0]
+
+
+def _infer_field(v) -> tuple:
+    """(DataType, field metadata) for one observed value. Metadata tags
+    BSON extension scalars so schemaless .bson reads produce the same
+    typed columns the declared-schema path does — mirroring the
+    reference's extension-typed inference (lib.pyx:157-210), which emits
+    ObjectId/Decimal128 extension columns, not strings."""
     import datetime as _dtm
     import decimal as _decimal
 
     if v is None:
-        return T.NullType()
+        return T.NullType(), {}
     if isinstance(v, bool):
-        return T.BooleanType()
+        return T.BooleanType(), {}
     # BSON-decoded scalars (the .bson read path yields these natively)
     if isinstance(v, _dtm.datetime):
-        return T.TimestampType()
+        return T.TimestampType(), {}
+    from mongo_arrow_spark.bson_values import Decimal128 as _D128
+    from mongo_arrow_spark.bson_values import ObjectId as _OID
+
+    if isinstance(v, _OID):
+        # 12-byte binary + tag (reference ObjectIdType, types.py:87-107)
+        return T.BinaryType(), {_BSON_TYPE_KEY: "objectid"}
+    if isinstance(v, _D128):
+        # lossless 16-byte BID carrier + tag (reference Decimal128Type,
+        # lib.pyx:740-762) — same column the declared Decimal128(raw=True)
+        # spelling produces, so schemaless == declared
+        return T.BinaryType(), {_BSON_TYPE_KEY: "decimal128[bid]"}
     if isinstance(v, (bytes, bytearray)):
-        return T.BinaryType()
+        return T.BinaryType(), {}
     if isinstance(v, _decimal.Decimal):
-        return T.DoubleType()
+        return T.DoubleType(), {}
     if isinstance(v, int):
         # reference infers int32 first and widens (lib.pyx:248-255); we
         # record the narrow type and widen on later evidence
-        return T.IntegerType() if -(2**31) <= v < 2**31 else T.LongType()
+        return (
+            T.IntegerType() if -(2**31) <= v < 2**31 else T.LongType()
+        ), {}
     if isinstance(v, float):
-        return T.DoubleType()
+        return T.DoubleType(), {}
     if isinstance(v, str):
-        return T.StringType()
+        return T.StringType(), {}
     if isinstance(v, list):
         elem: T.DataType = T.NullType()
+        emeta: dict = {}
         for e in v:
-            elem = _merge_types(elem, _infer_value(e))
-        return T.ArrayType(elem)
+            et, em = _infer_field(e)
+            elem = _merge_types(elem, et)
+            emeta = emeta or em
+        return T.ArrayType(elem), emeta
     if isinstance(v, dict):
-        return T.StructType(
-            [T.StructField(k, _infer_value(x), True) for k, x in v.items()]
-        )
+        fields = []
+        for k, x in v.items():
+            ft, fm = _infer_field(x)
+            fields.append(T.StructField(k, ft, True, metadata=fm))
+        return T.StructType(fields), {}
     if hasattr(v, "time") and hasattr(v, "inc"):
         # BSON internal timestamp → struct<time, inc> carrier
-        return T.StructType(
-            [
-                T.StructField("time", T.LongType(), True),
-                T.StructField("inc", T.LongType(), True),
-            ]
+        return (
+            T.StructType(
+                [
+                    T.StructField("time", T.LongType(), True),
+                    T.StructField("inc", T.LongType(), True),
+                ]
+            ),
+            {},
         )
-    return T.StringType()
+    return T.StringType(), {}
 
 
 def _merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
@@ -174,13 +204,20 @@ def _merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
         return T.ArrayType(_merge_types(a.elementType, b.elementType))
     if isinstance(a, T.StructType) and isinstance(b, T.StructType):
         fields: dict[str, T.DataType] = {f.name: f.dataType for f in a.fields}
+        metas: dict[str, dict] = {f.name: f.metadata or {} for f in a.fields}
         for f in b.fields:
-            fields[f.name] = (
-                _merge_types(fields[f.name], f.dataType)
-                if f.name in fields
-                else f.dataType
-            )
-        return T.StructType([T.StructField(k, v, True) for k, v in fields.items()])
+            if f.name in fields:
+                fields[f.name] = _merge_types(fields[f.name], f.dataType)
+                metas[f.name] = metas[f.name] or f.metadata or {}
+            else:
+                fields[f.name] = f.dataType
+                metas[f.name] = f.metadata or {}
+        return T.StructType(
+            [
+                T.StructField(k, v, True, metadata=metas[k])
+                for k, v in fields.items()
+            ]
+        )
     # heterogeneous, non-coercible: keep the first-seen type; other values
     # null out in permissive decode (reference test_arrow.py:765-773)
     return a
@@ -195,6 +232,16 @@ def infer_schema(
     import io
 
     fields: dict[str, T.DataType] = {}
+    metas: dict[str, dict] = {}
+
+    def _observe(k, v):
+        t, m = _infer_field(v)
+        fields[k] = _merge_types(fields.get(k, T.NullType()), t)
+        if k not in metas:
+            metas[k] = m
+        elif metas[k] and not isinstance(fields[k], (T.BinaryType, T.ArrayType)):
+            metas[k] = {}  # type diverged from the tagged carrier: drop tag
+
     seen = 0
     for path in _expand(paths):
         if _is_bson(path):
@@ -205,9 +252,7 @@ def infer_schema(
             with _open_decompressed(path) as bfh:
                 for doc in decode_file_iter(bfh):
                     for k, v in doc.items():
-                        fields[k] = _merge_types(
-                            fields.get(k, T.NullType()), _infer_value(v)
-                        )
+                        _observe(k, v)
                     seen += 1
                     if seen >= sample_size:
                         break
@@ -232,8 +277,7 @@ def infer_schema(
                         continue
                     raise SchemaError(f"non-document line in {path}")
                 for k, v in doc.items():
-                    t = _infer_value(v)
-                    fields[k] = _merge_types(fields.get(k, T.NullType()), t)
+                    _observe(k, v)
                 seen += 1
                 if seen >= sample_size:
                     break
@@ -243,7 +287,12 @@ def infer_schema(
         raise SchemaError("cannot infer schema from empty input")
     return T.StructType(
         [
-            T.StructField(k, v if not isinstance(v, T.NullType) else T.StringType(), True)
+            T.StructField(
+                k,
+                v if not isinstance(v, T.NullType) else T.StringType(),
+                True,
+                metadata=metas.get(k) or {},
+            )
             for k, v in fields.items()
         ]
     )
@@ -305,7 +354,13 @@ def _coerce(v, dt: T.DataType, strict: bool, path: str, meta: dict | None = None
                     return None
                 if v.is_integer():
                     return int(v)
-                return int(v)  # double→int truncation (lib.pyx:558-574)
+                if strict:
+                    # reference raises on lossy double→int in strict mode
+                    # (lib.pyx:558-574 overflow/value checks)
+                    raise TypeError(
+                        f"lossy double→int for {v!r} at {path!r} (strict mode)"
+                    )
+                return int(v)  # permissive: truncate toward zero
         elif isinstance(dt, T.DoubleType):
             if isinstance(v, bool):
                 return float(v)
@@ -354,6 +409,10 @@ def _coerce(v, dt: T.DataType, strict: bool, path: str, meta: dict | None = None
 
             if isinstance(v, dict) and "$numberDecimal" in v:
                 v = v["$numberDecimal"]  # extended-JSON carrier
+            from mongo_arrow_spark.bson_values import Decimal128 as _D128c
+
+            if isinstance(v, _D128c):  # .bson decode path: native carrier
+                v = str(v.to_decimal())
             if isinstance(v, (int, float, str)) and not isinstance(v, bool):
                 d = decimal.Decimal(str(v))
                 if not d.is_finite():
@@ -367,9 +426,15 @@ def _coerce(v, dt: T.DataType, strict: bool, path: str, meta: dict | None = None
                     context=decimal.Context(prec=dt.precision),
                 )
         elif isinstance(dt, T.BinaryType):
+            from mongo_arrow_spark.bson_values import ObjectId as _OIDc
+
+            if isinstance(v, _OIDc):  # .bson decode path: 12 raw bytes
+                return v.binary
             if isinstance(v, str):
                 import base64
 
+                if meta and meta.get(_BSON_TYPE_KEY) == "objectid" and len(v) == 24:
+                    return bytes.fromhex(v)  # canonical hex oid spelling
                 return base64.b64decode(v)
             if isinstance(v, (bytes, bytearray)):
                 return bytes(v)

@@ -260,6 +260,98 @@ def test_bson_sink_roundtrip(spark, tmp_path):
     assert list(r["arr"]) == [1, 2] and r["st"]["x"] == 9 and r["s"] == "s"
 
 
+def test_bson_schemaless_inference_is_typed(spark, tmp_path):
+    """Schemaless .bson reads infer TAGGED typed columns for
+    ObjectId/Decimal128 — 12-byte binary + objectid tag, 16-byte BID +
+    decimal128[bid] tag — matching the reference's extension-typed
+    inference (lib.pyx:157-210), and byte-identical to what the
+    declared-schema path produces."""
+    import decimal
+
+    from pyspark.sql import types as T
+
+    from mongo_arrow_spark.bson_types import METADATA_KEY
+    from mongo_arrow_spark.bson_values import (
+        Decimal128,
+        ObjectId,
+        decimal128_from_bid,
+    )
+
+    docs = [
+        {"_id": i, "oid": ObjectId("%024x" % (i + 1)),
+         "price": Decimal128(decimal.Decimal("10.5") + i)}
+        for i in range(4)
+    ]
+    p = _write_bson(tmp_path / "typed.bson", docs)
+    inferred = _read(spark, p)
+    meta = {f.name: f.metadata for f in inferred.schema.fields}
+    assert meta["oid"] == {METADATA_KEY: "objectid"}
+    assert meta["price"] == {METADATA_KEY: "decimal128[bid]"}
+    dt = dict(inferred.dtypes)
+    assert dt["oid"] == "binary" and dt["price"] == "binary"
+    declared = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField(
+                "oid", T.BinaryType(), metadata={METADATA_KEY: "objectid"}
+            ),
+            T.StructField(
+                "price",
+                T.BinaryType(),
+                metadata={METADATA_KEY: "decimal128[bid]"},
+            ),
+        ]
+    )
+    register(spark)
+    twin = spark.read.format("documents").schema(declared).load(p)
+    a = sorted(
+        (r["_id"], bytes(r["oid"]), bytes(r["price"]))
+        for r in inferred.select("_id", "oid", "price").collect()
+    )
+    b = sorted(
+        (r["_id"], bytes(r["oid"]), bytes(r["price"])) for r in twin.collect()
+    )
+    assert a == b
+    assert a[0][1] == bytes.fromhex("%024x" % 1)
+    assert decimal128_from_bid(a[0][2]) == decimal.Decimal("10.5")
+
+
+def test_bson_mixed_tagged_field_drops_tag(spark, tmp_path):
+    """If a tagged scalar's field later carries an incompatible plain
+    value, inference keeps the first-seen type (permissive nulls the
+    misfits) — but a field that stays consistent keeps its tag."""
+    import decimal
+
+    from mongo_arrow_spark.bson_types import METADATA_KEY
+    from mongo_arrow_spark.bson_values import Decimal128, ObjectId
+
+    docs = [
+        {"oid": ObjectId("61" * 12), "d": Decimal128(decimal.Decimal("1"))},
+        {"oid": ObjectId("62" * 12), "d": Decimal128(decimal.Decimal("2"))},
+    ]
+    p = _write_bson(tmp_path / "mix.bson", docs)
+    sch = infer_schema(p)
+    assert sch["oid"].metadata == {METADATA_KEY: "objectid"}
+    assert sch["d"].metadata == {METADATA_KEY: "decimal128[bid]"}
+
+
+def test_strict_double_to_int_raises_permissive_truncates(spark, tmp_path):
+    """Reference raises on lossy double→int in strict mode (lib.pyx:
+    558-574); permissive truncates toward zero (documented). Integral
+    doubles pass in both modes."""
+    p = _write(
+        tmp_path / "dbl.jsonl", ['{"a": 3.0}', '{"a": 3.7}', '{"a": -2.9}']
+    )
+    got = _read(spark, p, declaredSchema="a bigint")  # permissive default
+    assert sorted(r["a"] for r in got.collect()) == [-2, 3, 3]
+    with pytest.raises(Exception) as exc:
+        _read(spark, p, declaredSchema="a bigint", mode="FAILFAST").collect()
+    assert "lossy" in str(exc.value)
+    ok = _write(tmp_path / "ok.jsonl", ['{"a": 3.0}', '{"a": 4.0}'])
+    strict_ok = _read(spark, ok, declaredSchema="a bigint", mode="FAILFAST")
+    assert sorted(r["a"] for r in strict_ok.collect()) == [3, 4]
+
+
 # ------------------------------------------------- compressed dump ingest
 
 
