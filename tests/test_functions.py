@@ -39,3 +39,71 @@ def test_decimal128(spark):
     df = spark.createDataFrame([(1.5,)], "x double")
     out = df.select(bf.decimal128("x").alias("d"))
     assert out.schema["d"].dataType.simpleString() == "decimal(38,6)"
+
+
+# ------------------------------------------------------ Python UDTFs (§2.E)
+
+
+def test_udtf_unwind_matches_explode_plan(spark, tables):
+    """The UDTF extension point's document-exploding example must be
+    row-identical to the explode plan the engine compiles $unwind to
+    (mql/pipeline.py:519) — includeArrayIndex semantics and all."""
+    from pyspark.sql import functions as F
+
+    from mongo_arrow_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    docs = (
+        tables["documents"]
+        .limit(40)
+        .select("doc_id", F.split("text", " ").alias("words"))
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    exploded = docs.select(
+        "doc_id", F.posexplode("words").alias("pos", "element")
+    )
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, u.pos, u.element
+        FROM udtf_docs d, LATERAL unwind_json(to_json(d.words)) u
+        """
+    )
+    a = sorted(map(tuple, exploded.collect()))
+    b = sorted(map(tuple, via_udtf.collect()))
+    assert a == b and a
+
+
+def test_udtf_word_ngrams_lateral(spark, tables):
+    from mongo_arrow_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    one = tables["documents"].limit(1)
+    one.createOrReplaceTempView("udtf_one")
+    text = one.first()["text"]
+    words = text.split()
+    want = sorted(
+        " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+    )
+    got = sorted(
+        r["gram"]
+        for r in spark.sql(
+            "SELECT g.gram FROM udtf_one d, LATERAL word_ngrams(d.text, 3) g"
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_udtf_null_and_scalar_inputs_yield_no_rows(spark):
+    from mongo_arrow_spark.functions.udtf import UnwindJson
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "[]"), (3, '"scalar"'), (4, '["a","b"]')],
+        "id int, payload string",
+    )
+    out = df.lateralJoin(
+        UnwindJson(__import__("pyspark.sql.functions", fromlist=["col"]).col(
+            "payload"
+        ).outer())
+    )
+    rows = [(r["id"], r["pos"], r["element"]) for r in out.collect()]
+    assert sorted(rows) == [(4, 0, "a"), (4, 1, "b")]
