@@ -1491,6 +1491,8 @@ _SEARCH_OPERATORS = (
     "regex",
     "embeddedDocument",
     "queryString",
+    "geoWithin",
+    "geoShape",
 )
 
 
@@ -1717,6 +1719,51 @@ def _parse_search_clauses(args):
                     "$search moreLikeThis found no usable terms in 'like'"
                 )
             return {"kind": "text", "path": path, "terms": terms, "fuzzy": None}
+        if kind == "geoWithin":
+            # Atlas geoWithin: exactly one of circle / box / geometry,
+            # reusing the find-side containment machinery (match.py:176)
+            shapes = [k for k in ("circle", "box", "geometry") if k in spec]
+            if len(shapes) != 1:
+                raise MQLTranslationError(
+                    "$search geoWithin needs exactly one of circle/box/geometry"
+                )
+            s = shapes[0]
+            if s == "circle":
+                cx, cy = spec["circle"]["center"]["coordinates"]
+                # Atlas radius is meters; $centerSphere takes radians
+                rad = float(spec["circle"]["radius"]) / 6378137.0
+                shape = {"$centerSphere": [[float(cx), float(cy)], rad]}
+            elif s == "box":
+                bl = spec["box"]["bottomLeft"]["coordinates"]
+                tr = spec["box"]["topRight"]["coordinates"]
+                shape = {"$box": [[float(bl[0]), float(bl[1])],
+                                  [float(tr[0]), float(tr[1])]]}
+            else:
+                shape = {"$geometry": spec["geometry"]}
+            return {"kind": "geo", "path": path, "shape": shape,
+                    "relation": "within"}
+        if kind == "geoShape":
+            rel = spec.get("relation")
+            if rel not in ("contains", "disjoint", "intersects", "within"):
+                raise MQLTranslationError(
+                    "$search geoShape relation must be one of "
+                    "contains/disjoint/intersects/within"
+                )
+            geom = spec["geometry"]
+            gtype = geom.get("type")
+            if rel == "contains" and gtype != "Point":
+                # document columns are [lng, lat] points: a point only
+                # contains a Point query geometry (equality)
+                raise MQLTranslationError(
+                    "geoShape relation=contains over point columns "
+                    "supports Point query geometry only"
+                )
+            if gtype not in ("Polygon", "MultiPolygon", "Point"):
+                raise MQLTranslationError(
+                    "geoShape geometry supports Point/Polygon/MultiPolygon"
+                )
+            return {"kind": "geo", "path": path,
+                    "shape": {"$geometry": geom}, "relation": rel}
         if kind == "range":
             bounds = {k: spec[k] for k in ("gt", "gte", "lt", "lte") if k in spec}
             if not bounds:
@@ -1811,6 +1858,33 @@ def _search_clause_match(c, col=F.col):
         return col(c["path"]).isNotNull()
     if c["kind"] == "in":
         return col(c["path"]).isin(c["values"])
+    if c["kind"] == "geo":
+        # geoWithin / geoShape over [lng, lat] point columns — the same
+        # exact codegen'd containment the find-side $geoWithin uses
+        # (match.py:176); constant-score, like Atlas's geo operators
+        from mongo_arrow_spark.mql.match import _geo_within
+
+        target = col(c["path"])
+        shape = c["shape"]
+        geom = shape.get("$geometry")
+        if geom is not None and geom.get("type") == "MultiPolygon":
+            m = F.lit(False)
+            for poly in geom["coordinates"]:
+                m = m | _geo_within(
+                    target, {"$geometry": {"type": "Polygon",
+                                           "coordinates": poly}}
+                )
+        elif geom is not None and geom.get("type") == "Point":
+            qx, qy = geom["coordinates"]
+            m = (
+                F.element_at(target, 1).cast("double") == F.lit(float(qx))
+            ) & (F.element_at(target, 2).cast("double") == F.lit(float(qy)))
+        else:
+            m = _geo_within(target, shape)
+        if c.get("relation") == "disjoint":
+            # a document must HAVE a location to be disjoint from the query
+            return target.isNotNull() & ~m
+        return m  # within / intersects / contains(Point) for point columns
     if c["kind"] == "embedded":
         # any array element satisfying ALL inner clauses (Atlas matches
         # per element); constant-score like the other structured
@@ -1868,9 +1942,10 @@ def _search_match_pred(parsed):
 def _search(df, args, resolve):
     """Atlas ``$search`` with the ``text`` (incl. ``fuzzy``), ``phrase``,
     ``range``, ``equals``, ``exists``, ``wildcard``, ``autocomplete``,
-    ``near``, ``moreLikeThis``, ``in``, ``regex``, ``embeddedDocument``
-    and ``queryString`` operators, standalone or under
-    ``compound`` (must/should/mustNot/filter). text scores by tf·ln(N/df)
+    ``near``, ``moreLikeThis``, ``in``, ``regex``, ``embeddedDocument``,
+    ``queryString``, ``geoWithin`` (circle/box/geometry) and ``geoShape``
+    (contains/disjoint/intersects/within over point columns) operators,
+    standalone or under ``compound`` (must/should/mustNot/filter). text scores by tf·ln(N/df)
     per query term and phrase by occurrence-count·ln(N/phrase-df) (the
     engine's TF-IDF model — SURVEY 2.E "text search" row; Atlas's BM25
     constants are not public, so the scoring function differs while
