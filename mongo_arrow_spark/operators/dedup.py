@@ -422,14 +422,20 @@ def connected_components(
 
     Size-gated fast path: when the (deduplicated) edge set is at most
     ``local_threshold`` edges, a driver-side union-find answers in ONE
-    collect instead of O(log n) shuffle rounds — after max_df-capped
+    Arrow pull instead of O(log n) shuffle rounds — after max_df-capped
     candidate generation, near-dup edge sets are routinely tiny even on
-    huge corpora, and a million 16-byte edges is ~16 MB of driver
-    memory, far below one loop round's scheduling cost. The label
-    contract (min reachable id) is identical on both paths; set
-    ``local_threshold=0`` to force the distributed loop.
+    huge corpora, and a million long-id edges lands as two flat 8-byte
+    columns (~16 MB via toPandas; no per-row Row objects), far below one
+    loop round's scheduling cost. The label contract (min reachable id)
+    is identical on both paths — self-loop pairs are dropped up front on
+    both; set ``local_threshold=0`` to force the distributed loop.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # self-loops carry no connectivity information and previously made
+    # the two paths disagree (the fast path's src<dst halves dropped a
+    # vertex whose only edge was (a,a); the loop labeled it) — drop them
+    # up front so both paths see the identical graph
+    edges = edges.filter(F.col("src") != F.col("dst"))
     edges = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -446,9 +452,14 @@ def connected_components(
     # parallelism fiddling is warranted.
     if local_threshold and edges.count() <= 2 * local_threshold:
         # count() is a cached-scan over the checkpointed edges (each
-        # undirected edge appears twice). Collect the canonical halves
-        # and union-find with path compression on the driver.
-        half = edges.filter(F.col("src") < F.col("dst")).collect()
+        # undirected edge appears twice). Pull the canonical halves
+        # through Arrow (toPandas → two flat columns, ~16 bytes/edge for
+        # long ids — NOT a list of pyspark Rows, which cost hundreds of
+        # bytes each at this scale) and union-find with path compression
+        # on the driver.
+        pdf = edges.filter(F.col("src") < F.col("dst")).toPandas()
+        srcs = pdf["src"].tolist()
+        dsts = pdf["dst"].tolist()
         parent: dict = {}
 
         def find(x):
@@ -459,13 +470,13 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in half:
-            a, b = find(r["src"]), find(r["dst"])
+        for a0, b0 in zip(srcs, dsts):
+            a, b = find(a0), find(b0)
             if a != b:
                 # min-id root keeps the label contract without a second pass
                 lo, hi = (a, b) if a < b else (b, a)
                 parent[hi] = lo
-        verts = {v for r in half for v in (r["src"], r["dst"])}
+        verts = set(srcs) | set(dsts)
         rows = [(v, find(v)) for v in sorted(verts)]
         schema = edges.select(
             F.col("src").alias("id"), F.col("src").alias("component")
@@ -563,7 +574,12 @@ def cross_jaccard_pairs(
             ),
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    max_df = _resolve_max_df(left, max_df)
+    if isinstance(max_df, float) and 0 < max_df < 1:
+        # the df this caps is counted across BOTH corpora, so the
+        # fraction resolves against the combined row count (a left-only
+        # base understates the cap when the right corpus is large — the
+        # decontaminate-with-big-holdout shape)
+        max_df = max(int((left.count() + right.count()) * max_df), 2)
     lbase, rbase = prep(left, "l"), prep(right, "r")
     lposts = lbase.select(F.col("id_l").alias("id"), F.explode("sharr").alias("sh"))
     rposts = rbase.select(F.col("id_r").alias("id"), F.explode("sharr").alias("sh"))

@@ -202,21 +202,20 @@ def gopher_quality_flags(
 def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """C4's published page-level drops (Raffel et al. 2020 §2.2), the
     subset that is corpus-independent: contains "lorem ipsum", contains a
-    curly brace (code), mentions "javascript" on any line, fewer than 3
-    sentences. Line-level cleaning lives in ``c4_clean_lines``. Pure
-    projection."""
+    curly brace (code), fewer than 3 sentences. The "javascript" rule is
+    a LINE filter in the paper ("we removed any line with the word
+    Javascript") and lives in ``c4_clean_lines``; it is not a page drop.
+    Pure projection."""
     low = F.lower(F.col(text_col))
     n_sentences = F.size(F.split(F.col(text_col), r"[.!?](\s|$)")) - 1
     return df.withColumns(
         {
             "c4_has_lorem": low.contains("lorem ipsum"),
             "c4_has_brace": F.col(text_col).contains("{"),
-            "c4_has_js": low.rlike(r"(^|\n)[^\n]*javascript"),
             "c4_n_sentences": n_sentences.cast("long"),
             "c4_keep": (
                 ~low.contains("lorem ipsum")
                 & ~F.col(text_col).contains("{")
-                & ~low.rlike(r"(^|\n)[^\n]*javascript")
                 & (n_sentences >= 3)
             ),
         }
@@ -224,16 +223,18 @@ def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def c4_clean_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """C4's line-level filter: keep only lines that end in terminal
-    punctuation and have at least 5 words (the published rule; drops nav
-    chrome and fragments). Rewrites ``text_col`` in place; rows whose
-    every line is dropped come out empty — follow with a length filter
-    or ``c4_quality_flags``. Zero shuffle."""
+    """C4's line-level filters (Raffel et al. 2020 §2.2): keep only lines
+    that end in terminal punctuation, have at least 5 words, and do not
+    mention "javascript" (the paper removes the offending LINE, not the
+    page). Rewrites ``text_col`` in place; rows whose every line is
+    dropped come out empty — follow with a length filter or
+    ``c4_quality_flags``. Zero shuffle."""
     lines = F.split(F.col(text_col), "\n")
     kept = F.filter(
         lines,
         lambda l: l.rlike(r"[.!?\"']\s*$")
-        & (F.size(F.split(F.trim(l), r"\s+")) >= 5),
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 5)
+        & ~F.lower(l).rlike(r"\bjavascript\b"),
     )
     return df.withColumn(text_col, F.concat_ws("\n", kept))
 

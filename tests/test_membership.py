@@ -108,7 +108,8 @@ def test_rowwise_probe_matches_agg_probe(docs, spark):
 
 def test_cc_local_fastpath_matches_distributed_loop(spark):
     """connected_components' size-gated union-find must produce exactly
-    the distributed loop's (id, component) labels."""
+    the distributed loop's (id, component) labels — including when the
+    input carries self-loop pairs (dropped on both paths)."""
     import random as _random
 
     from mongo_arrow_spark.operators.dedup import connected_components
@@ -116,10 +117,13 @@ def test_cc_local_fastpath_matches_distributed_loop(spark):
     rng = _random.Random(7)
     pairs = [(rng.randint(0, 300), rng.randint(0, 300)) for _ in range(250)]
     pairs = [(a, b) if a < b else (b, a) for a, b in pairs if a != b]
+    pairs += [(42, 42), (9999, 9999)]  # self-loops: no connectivity info
     df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
     local = connected_components(df).collect()
     dist = connected_components(df, local_threshold=0).collect()
     assert sorted(map(tuple, local)) == sorted(map(tuple, dist))
+    ids = {r["id"] for r in local}
+    assert 9999 not in ids  # a vertex with only a self-loop is no pair
 
 
 def test_probe_and_verify_exact(docs, spark):

@@ -420,10 +420,12 @@ def test_c4_rules(spark):
         "id int, text string",
     )
     out = {r["id"]: r["c4_keep"] for r in c4_quality_flags(df).collect()}
-    assert out == {1: True, 2: False, 3: False, 4: False, 5: False}
+    # id 4 (javascript mention) is NOT a page-level drop in the paper —
+    # the line filter handles it (see below)
+    assert out == {1: True, 2: False, 3: False, 4: True, 5: False}
 
     lines_df = spark.createDataFrame(
-        [(1, "A proper sentence with enough words here.\nshort frag\nMenu Home About\nAnother good long sentence sits right here.")],
+        [(1, "A proper sentence with enough words here.\nshort frag\nMenu Home About\nPlease enable javascript to view this page properly.\nAnother good long sentence sits right here.")],
         "id int, text string",
     )
     cleaned = c4_clean_lines(lines_df).first()["text"]
