@@ -179,3 +179,125 @@ def test_sim_ivf_recall_vs_bruteforce(spark, tables):
     got = set(_topk_ids(QUERIES["sim_ivf_topk"](spark, SF_DIR)))
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, f"ivf recall@10 {recall:.2f}"
+
+
+# --------------------------------------------- MinHash LSH replay oracle
+
+_XXM = (1 << 64) - 1
+_XXP1, _XXP2, _XXP3 = 11400714785074694791, 14029467366897019727, 1609587929392839161
+_XXP4, _XXP5 = 9650029242287828579, 2870177450012600261
+
+
+def _rotl64(x, r):
+    return ((x << r) | (x >> (64 - r))) & _XXM
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """Spec XXH64 (Collet's published algorithm) — validated bit-for-bit
+    against Spark's F.xxhash64 in test_replay_xxh64_matches_spark."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _XXM
+        v2 = (seed + _XXP2) & _XXM
+        v3 = seed & _XXM
+        v4 = (seed - _XXP1) & _XXM
+        while i + 32 <= n:
+            v1 = (_rotl64((v1 + int.from_bytes(data[i:i + 8], "little") * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+            v2 = (_rotl64((v2 + int.from_bytes(data[i + 8:i + 16], "little") * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+            v3 = (_rotl64((v3 + int.from_bytes(data[i + 16:i + 24], "little") * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+            v4 = (_rotl64((v4 + int.from_bytes(data[i + 24:i + 32], "little") * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _XXM
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_rotl64((v * _XXP2) & _XXM, 31) * _XXP1) & _XXM)) * _XXP1 + _XXP4) & _XXM
+    else:
+        h = (seed + _XXP5) & _XXM
+    h = (h + n) & _XXM
+    while i + 8 <= n:
+        k = (_rotl64((int.from_bytes(data[i:i + 8], "little") * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+        h = ((_rotl64(h ^ k, 27) * _XXP1) + _XXP4) & _XXM
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl64(h ^ ((int.from_bytes(data[i:i + 4], "little") * _XXP1) & _XXM), 23) * _XXP2) + _XXP3) & _XXM
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ ((data[i] * _XXP5) & _XXM), 11) * _XXP1) & _XXM
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _XXM
+    h ^= h >> 29
+    h = (h * _XXP3) & _XXM
+    h ^= h >> 32
+    return h
+
+
+def _signed64(x):
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def test_replay_xxh64_matches_spark(spark):
+    cases = ["hello world", "", "a", "x" * 40,
+             "the quick brown fox jumps over it", "café 名前"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    assert got == [_signed64(_xxh64(c.encode())) for c in cases]
+
+
+def _replay_minhash_pairs(texts, n=3, num_hashes=64, bands=16, threshold=0.3):
+    """Exact Python recomputation of minhash_lsh_pairs: same shingles
+    (split on single spaces, window of n, distinct; short texts yield
+    one all-token shingle), same xxhash64-mod-p base hashes, same seeded
+    affine permutations, same banding and est-jaccard filter."""
+    import random
+
+    P = 2147483647
+    rng = random.Random(42)
+    coeffs = [(rng.randrange(1, P), rng.randrange(0, P)) for _ in range(num_hashes)]
+    sigs = {}
+    for did, text in texts.items():
+        toks = text.split(" ")
+        hi = max(len(toks) - n, 0)
+        sh = {" ".join(toks[i:i + n]) for i in range(hi + 1)}
+        base = [_signed64(_xxh64(s.encode())) % P for s in sh]
+        sigs[did] = [
+            min((h * a + b) % P for h in base) if base else P
+            for a, b in coeffs
+        ]
+    rpb = num_hashes // bands
+    buckets = {}
+    for did, sig in sigs.items():
+        for b in range(bands):
+            buckets.setdefault((b, tuple(sig[b * rpb:(b + 1) * rpb])), []).append(did)
+    cands = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    out = {}
+    for a0, b0 in cands:
+        est = sum(x == y for x, y in zip(sigs[a0], sigs[b0])) / num_hashes
+        if est >= threshold:
+            out[(a0, b0)] = est
+    return out
+
+
+def test_minhash_lsh_replay_oracle(spark, tables):
+    """Full-output replay oracle for the graded-battery MinHash entry:
+    the Spark pairs AND their est_jaccard values must equal an exact
+    Python recomputation of the whole pipeline (shingle → xxhash64 →
+    affine minhash → band → filter). Upgrades dedup_minhash_lsh from
+    rows-only to value-verified (VERDICT r4 next-round #8)."""
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _docs(spark).select("doc_id", "text").collect()
+    }
+    want = _replay_minhash_pairs(texts)
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for pair, est in want.items():
+        assert abs(got[pair] - est) < 1e-12, pair
+    assert want, "replay must be non-vacuous (some pairs at sf0.001)"
