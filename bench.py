@@ -55,6 +55,9 @@ HEADLINE = [
     "duplicate_spans",
     "bloom_ingest_gate",
     "profile_sketches",
+    # round-5 addition: compressed dump ingest (gzip corpus materialized
+    # once in the warm-up; timed runs measure the whole-file decode path)
+    "q_scan_gzip_dump",
 ]
 
 

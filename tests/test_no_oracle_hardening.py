@@ -301,3 +301,71 @@ def test_minhash_lsh_replay_oracle(spark, tables):
     for pair, est in want.items():
         assert abs(got[pair] - est) < 1e-12, pair
     assert want, "replay must be non-vacuous (some pairs at sf0.001)"
+
+
+def test_simhash_replay_oracle(spark, tables):
+    """Full-output replay oracle for dedup_simhash (60-bit, 4 bands,
+    hamming<=3): python recomputation of the per-token xxhash64 bit
+    votes, banding, and hamming filter must equal the Spark output
+    exactly — pairs and hamming values."""
+    bits, bands, max_h = 60, 4, 3
+    bpb = bits // bands
+    mask = (1 << bpb) - 1
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _docs(spark).select("doc_id", "text").collect()
+    }
+    sh = {}
+    for did, text in texts.items():
+        votes = [0] * bits
+        for w in text.split(" "):
+            h = _signed64(_xxh64(w.encode()))
+            for i in range(bits):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        sh[did] = sum(1 << i for i in range(bits) if votes[i] > 0)
+    buckets = {}
+    for did, s in sh.items():
+        for b in range(bands):
+            buckets.setdefault((b, (s >> (b * bpb)) & mask), []).append(did)
+    want = {}
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ham = bin(sh[ids[i]] ^ sh[ids[j]]).count("1")
+                if ham <= max_h:
+                    want[(ids[i], ids[j])] = ham
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in QUERIES["dedup_simhash"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert want, "replay must be non-vacuous"
+
+
+def test_compression_ratio_replay_oracle(spark, tables):
+    """Full-output replay for compression_ratio (rows-only in the driver:
+    DuckDB has no zlib): recompute every document's zlib-6 byte counts in
+    Python and compare all four columns exactly."""
+    import zlib
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _docs(spark).select("doc_id", "text").collect()
+    }
+    want = {}
+    for did, text in texts.items():
+        raw = (text or "").encode("utf-8")
+        ncmp = len(zlib.compress(raw, 6))
+        want[did] = (len(raw), ncmp, ncmp / (len(raw) or 1))
+    got = {
+        r["doc_id"]: (
+            r["n_raw_bytes"], r["n_compressed_bytes"], r["compression_ratio"]
+        )
+        for r in QUERIES["compression_ratio"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for did, (nr, nc, ratio) in want.items():
+        gr, gc, gratio = got[did]
+        assert (gr, gc) == (nr, nc), did
+        assert abs(gratio - ratio) < 1e-12, did
