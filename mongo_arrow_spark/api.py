@@ -394,7 +394,13 @@ def write(
         df = _auto_convert_casts(df)
     if exclude_none:
         options.setdefault("excludeNone", "true")
-    if format == "documents" and str(options.get("fileFormat", "jsonl")).lower() != "bson":
+    if (
+        format == "documents"
+        and str(options.get("fileFormat", "jsonl")).lower() != "bson"
+        and str(options.get("extendedJson", "false")).lower() != "true"
+        # extendedJson needs the generic row path (typed wrappers are
+        # python-side); the JVM to_json fast path can't emit them
+    ):
         from mongo_arrow_spark.sources.documents import PRESERIALIZED_COL
 
         line = F.to_json(

@@ -169,6 +169,9 @@ def _infer_field(v) -> tuple:
             emeta = emeta or em
         return T.ArrayType(elem), emeta
     if isinstance(v, dict):
+        u = _unwrap_ext_json(v)
+        if u is not v:  # Extended-JSON wrapper: infer from the native value
+            return _infer_field(u)
         fields = []
         for k, x in v.items():
             ft, fm = _infer_field(x)
@@ -321,6 +324,92 @@ def _expand(paths) -> list[str]:
     return out
 
 
+# -------------------------------------------------- extended JSON (v2)
+
+#: mongoexport writes MongoDB Extended JSON v2: typed values wrapped as
+#: single-key objects. Decode unwraps them to the same native carriers
+#: the .bson path yields, so a mongoexport .jsonl and a mongodump .bson
+#: of one collection produce identical typed columns.
+_EXT_JSON_KEYS = frozenset(
+    {
+        "$oid",
+        "$date",
+        "$numberInt",
+        "$numberLong",
+        "$numberDouble",
+        "$numberDecimal",
+        "$binary",
+        "$timestamp",
+        "$code",
+        "$uuid",
+        "$minKey",
+        "$maxKey",
+        "$regularExpression",
+    }
+)
+
+
+def _unwrap_ext_json(v: dict):
+    """One Extended-JSON wrapper dict → native python value; the input
+    unchanged if it isn't a recognized wrapper. Canonical AND relaxed
+    spellings accepted ({"$date": "ISO"} and {"$date": {"$numberLong":
+    "ms"}})."""
+    if not (isinstance(v, dict) and v and set(v) <= _EXT_JSON_KEYS | {"$scope"}):
+        return v
+    try:
+        if "$oid" in v:
+            from mongo_arrow_spark.bson_values import ObjectId
+
+            return ObjectId(v["$oid"])
+        if "$date" in v:
+            import datetime as dtm
+
+            d = v["$date"]
+            if isinstance(d, dict) and "$numberLong" in d:
+                d = int(d["$numberLong"])
+            if isinstance(d, (int, float)):
+                return dtm.datetime.utcfromtimestamp(d / 1000.0)
+            return dtm.datetime.fromisoformat(str(d).replace("Z", "+00:00")).replace(
+                tzinfo=None
+            )
+        if "$numberInt" in v:
+            return int(v["$numberInt"])
+        if "$numberLong" in v:
+            return int(v["$numberLong"])
+        if "$numberDouble" in v:
+            s = str(v["$numberDouble"])
+            return float({"Infinity": "inf", "-Infinity": "-inf", "NaN": "nan"}.get(s, s))
+        if "$numberDecimal" in v:
+            import decimal
+
+            from mongo_arrow_spark.bson_values import _DEC128_CTX, Decimal128
+
+            return Decimal128(_DEC128_CTX.create_decimal(str(v["$numberDecimal"])))
+        if "$binary" in v:
+            import base64
+
+            b = v["$binary"]
+            if isinstance(b, dict):
+                return base64.b64decode(b["base64"])
+            return base64.b64decode(b)
+        if "$uuid" in v:
+            import uuid as _uuidm
+
+            return _uuidm.UUID(v["$uuid"]).bytes
+        if "$timestamp" in v:
+            from mongo_arrow_spark.bson_codec import Timestamp
+
+            return Timestamp(int(v["$timestamp"]["t"]), int(v["$timestamp"]["i"]))
+        if "$code" in v:
+            return str(v["$code"])
+        if "$regularExpression" in v:
+            rx = v["$regularExpression"]
+            return str(rx.get("pattern", ""))
+    except (ValueError, KeyError, TypeError, ArithmeticError):
+        return v  # malformed wrapper: fall through to normal handling
+    return v  # $minKey/$maxKey carry no columnar value
+
+
 # ----------------------------------------------------------------- decode
 
 
@@ -334,6 +423,12 @@ def _coerce(v, dt: T.DataType, strict: bool, path: str, meta: dict | None = None
     the lossless 16-byte BID carrier (reference lib.pyx:740-762)."""
     if v is None:
         return None
+    if isinstance(v, dict):
+        # mongoexport Extended JSON v2 wrappers → native carriers (the
+        # same values the .bson decode path yields)
+        v = _unwrap_ext_json(v)
+        if v is None:
+            return None
     if (
         meta
         and meta.get(_BSON_TYPE_KEY) == "decimal128[bid]"
@@ -833,6 +928,18 @@ class DocumentsWriter(DataSourceArrowWriter):
                 "compression must be one of none|gzip|bz2|xz, got "
                 f"{self.compression!r}"
             )
+        # extendedJson=true emits MongoDB Extended JSON v2 wrappers for
+        # typed values (datetime → $date, binary → $binary, decimal →
+        # $numberDecimal) — mongoimport-compatible, and this source reads
+        # the wrappers back into the same typed columns (type-faithful
+        # jsonl round-trip without a declared schema)
+        self.extended_json = (
+            str(options.get("extendedjson", "false")).lower() == "true"
+        )
+        if self.extended_json and self.preserialized:
+            raise SchemaError("extendedJson is incompatible with preserialized")
+        if self.extended_json and self.file_format == "bson":
+            raise SchemaError("extendedJson applies to fileFormat=jsonl only")
 
     def write(self, iterator) -> _WriteResult:
         import numpy as np
@@ -915,10 +1022,13 @@ class DocumentsWriter(DataSourceArrowWriter):
                     data = encode_document(doc)
                     emit(data, len(data), 1)
             else:
+                default = (
+                    _ext_json_default if self.extended_json else _json_default
+                )
                 for doc in batch.to_pylist():
                     if self.exclude_none:
                         doc = {k: v for k, v in doc.items() if v is not None}
-                    data = (json.dumps(doc, default=_json_default) + "\n").encode(
+                    data = (json.dumps(doc, default=default) + "\n").encode(
                         "utf-8"
                     )
                     emit(data, len(data), 1)
@@ -953,6 +1063,29 @@ def _json_default(v):
         return base64.b64encode(bytes(v)).decode("ascii")
     if isinstance(v, decimal.Decimal):
         return float(v)
+    raise TypeError(f"unserializable {type(v)}")
+
+
+def _ext_json_default(v):
+    """Extended JSON v2 (relaxed) wrappers — what mongoexport emits and
+    what this source's reader unwraps back into typed columns."""
+    import base64
+    import datetime as dtm
+    import decimal
+
+    if isinstance(v, dtm.datetime):
+        return {"$date": v.isoformat()}
+    if isinstance(v, dtm.date):
+        return {"$date": v.isoformat()}
+    if isinstance(v, (bytes, bytearray)):
+        return {
+            "$binary": {
+                "base64": base64.b64encode(bytes(v)).decode("ascii"),
+                "subType": "00",
+            }
+        }
+    if isinstance(v, decimal.Decimal):
+        return {"$numberDecimal": str(v)}
     raise TypeError(f"unserializable {type(v)}")
 
 
@@ -1078,8 +1211,10 @@ class DocumentsDataSource(DataSource):
     :func:`register`. Options: path, mode=PERMISSIVE|FAILFAST,
     sampleSize, partitionBytes, batchSize; writer adds excludeNone,
     maxBytes, maxDocs, fileFormat=jsonl|bson, compression=none|gzip|
-    bz2|xz. Inputs may be ``.jsonl`` / ``.bson``, optionally suffixed
-    ``.gz`` / ``.bz2`` / ``.xz`` (mongodump --gzip dumps read natively)."""
+    bz2|xz, extendedJson=true|false. Inputs may be ``.jsonl`` /
+    ``.bson``, optionally suffixed ``.gz`` / ``.bz2`` / ``.xz``
+    (mongodump --gzip dumps read natively); Extended JSON v2 wrappers
+    in jsonl (mongoexport output) decode to typed columns."""
 
     @classmethod
     def name(cls) -> str:

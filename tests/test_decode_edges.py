@@ -499,3 +499,91 @@ def test_bson_sink_rejects_bad_options(spark, tmp_path):
         df.write.format("documents").option("fileFormat", "xml").mode(
             "append"
         ).save(str(tmp_path / "bad"))
+
+
+# ------------------------------------------- mongoexport Extended JSON v2
+
+
+def test_extended_json_mongoexport_fixture(spark, tmp_path):
+    """A mongoexport-shaped .jsonl (Extended JSON v2 wrappers) decodes to
+    the same typed columns a mongodump .bson of the collection would:
+    $oid -> tagged binary, $date -> timestamp, $numberLong -> long,
+    $numberDecimal -> BID carrier, $binary -> binary."""
+    import datetime
+    import decimal
+
+    from mongo_arrow_spark.bson_types import METADATA_KEY
+    from mongo_arrow_spark.bson_values import decimal128_from_bid
+
+    lines = [
+        json.dumps({
+            "_id": {"$oid": "%024x" % (i + 1)},
+            "when": {"$date": f"2024-03-0{i+1}T12:00:00Z"},
+            "n": {"$numberLong": str(10_000_000_000 + i)},
+            "small": {"$numberInt": str(i)},
+            "x": {"$numberDouble": "2.5"},
+            "price": {"$numberDecimal": f"19.9{i}"},
+            "blob": {"$binary": {"base64": "AAEC", "subType": "00"}},
+        })
+        for i in range(3)
+    ]
+    p = _write(tmp_path / "export.jsonl", lines)
+    df = _read(spark, p)
+    meta = {f.name: f.metadata for f in df.schema.fields}
+    dt = dict(df.dtypes)
+    assert meta["_id"] == {METADATA_KEY: "objectid"} and dt["_id"] == "binary"
+    assert dt["when"] == "timestamp"
+    assert dt["n"] == "bigint" and dt["small"] == "int" and dt["x"] == "double"
+    assert meta["price"] == {METADATA_KEY: "decimal128[bid]"}
+    assert dt["blob"] == "binary"
+    r = df.orderBy("small").first()
+    assert bytes(r["_id"]) == bytes.fromhex("%024x" % 1)
+    assert r["when"] == datetime.datetime(2024, 3, 1, 12, 0, 0)
+    assert r["n"] == 10_000_000_000 and r["x"] == 2.5
+    assert decimal128_from_bid(r["price"]) == decimal.Decimal("19.90")
+    assert bytes(r["blob"]) == b"\x00\x01\x02"
+
+
+def test_extended_json_canonical_date_and_declared_schema(spark, tmp_path):
+    """Canonical {"$date": {"$numberLong": ms}} also decodes; declared
+    schemas apply the same unwrapping before coercion (incl. filters)."""
+    import datetime
+
+    lines = [
+        json.dumps({"a": {"$numberLong": "7"},
+                    "ts": {"$date": {"$numberLong": "1700000000000"}}}),
+        json.dumps({"a": {"$numberInt": "8"},
+                    "ts": {"$date": "2024-01-02T03:04:05.500Z"}}),
+    ]
+    p = _write(tmp_path / "canon.jsonl", lines)
+    df = _read(spark, p, declaredSchema="a bigint, ts timestamp")
+    rows = {r["a"]: r["ts"] for r in df.collect()}
+    assert rows[7] == datetime.datetime.utcfromtimestamp(1700000000.0)
+    assert rows[8] == datetime.datetime(2024, 1, 2, 3, 4, 5, 500000)
+    # pushed filter compares the UNWRAPPED value
+    assert df.filter("a > 7").count() == 1
+
+
+def test_extended_json_writer_roundtrip(spark, tmp_path):
+    """extendedJson=true writes typed wrappers that this source reads
+    back into identical typed columns — the type-faithful jsonl
+    round-trip, no declared schema needed on re-read."""
+    import datetime
+
+    from mongo_arrow_spark.api import write
+
+    register(spark)
+    ts = datetime.datetime(2024, 5, 4, 3, 2, 1, 250000)
+    df = spark.createDataFrame(
+        [(1, ts, b"\xff\x00", 2.5, "plain")],
+        "i long, ts timestamp, bin binary, x double, s string",
+    )
+    out = str(tmp_path / "extout")
+    res = write(df, out, format="documents", spark=spark, extendedJson="true")
+    assert res.inserted_count == 1
+    back = spark.read.format("documents").load(out)
+    dt = dict(back.dtypes)
+    assert dt["ts"] == "timestamp" and dt["bin"] == "binary"
+    r = back.first()
+    assert r["ts"] == ts and bytes(r["bin"]) == b"\xff\x00"
+    assert r["i"] == 1 and r["x"] == 2.5 and r["s"] == "plain"
