@@ -56,6 +56,14 @@ def translate_expr(expr, env: dict | None = None) -> Column:
                 raise MQLTranslationError(
                     "$$ROOT is only available inside stages that bind it"
                 )
+            if root == "SEARCH_META":
+                # bound as a hidden column by $search when its `count`
+                # option is present (Atlas semantics: SEARCH_META is
+                # populated by the preceding $search stage)
+                col = F.col("__SEARCH_META")
+                for part in rest.split(".") if rest else []:
+                    col = col.getField(part)
+                return col
             raise MQLTranslationError(f"unbound MQL variable: {expr}")
         if expr.startswith("$"):
             # a field path is shorthand for $$CURRENT.<path>; $redact

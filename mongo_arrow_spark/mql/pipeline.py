@@ -1967,6 +1967,17 @@ def _search(df, args, resolve):
     """
     from mongo_arrow_spark.operators.text import tokens
 
+    # option surface: sort (field order instead of score), count (attach
+    # $$SEARCH_META), scoring (engine extension), index (accepted — index
+    # names don't change results here). Anything else fails fast instead
+    # of silently altering semantics.
+    _opts = set(args) - set(_SEARCH_OPERATORS) - {"compound"}
+    unsupported = _opts - {"sort", "count", "scoring", "index"}
+    if unsupported:
+        raise MQLTranslationError(
+            f"unsupported $search options: {sorted(unsupported)} "
+            "(supported: sort, count, scoring, index)"
+        )
     parsed = _parse_search_clauses(args)
     every = [c for cs in parsed.values() for c in cs]
     # one DF-stats pass: term dfs for text clauses, phrase dfs for phrases.
@@ -2079,13 +2090,44 @@ def _search(df, args, resolve):
         + [f"__pdf_{i}" for i in range(len(phrases))]
         + [f"__adl_{j}" for j in range(len(text_paths))]
     )
-    return (
+    out = (
         df.crossJoin(F.broadcast(stats))
         .withColumn("__search_score", score.cast("double"))
         .filter(pred)
         .drop(*drop)
-        .orderBy(F.col("__search_score").desc())
     )
+    cnt = args.get("count")
+    if cnt is not None:
+        # $$SEARCH_META.count over the MATCHED set: one extra broadcast
+        # agg pass (Atlas's lowerBound short-circuits on the index; exact
+        # counting here costs one scan either way, so total == lowerBound)
+        ctype = str(cnt.get("type", "lowerBound")) if isinstance(cnt, dict) else str(cnt)
+        if ctype not in ("total", "lowerBound"):
+            raise MQLTranslationError(
+                "$search count.type must be 'total' or 'lowerBound'"
+            )
+        meta = out.agg(F.count(F.lit(1)).alias("__c")).select(
+            F.struct(
+                F.struct(F.col("__c").alias(ctype)).alias("count")
+            ).alias("__SEARCH_META")
+        )
+        out = out.crossJoin(F.broadcast(meta))
+    sort_spec = args.get("sort")
+    if sort_spec:
+        order = []
+        for fld, d in sort_spec.items():
+            if isinstance(d, dict) and d.get("$meta") == "searchScore":
+                order.append(F.col("__search_score").desc())
+            elif d in (1, -1):
+                c = F.col(fld)
+                order.append(c.asc() if d == 1 else c.desc())
+            else:
+                raise MQLTranslationError(
+                    "$search sort values must be 1, -1 or "
+                    '{"$meta": "searchScore"}'
+                )
+        return out.orderBy(*order)
+    return out.orderBy(F.col("__search_score").desc())
 
 
 @_stage("$searchMeta")

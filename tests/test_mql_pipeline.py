@@ -2118,3 +2118,76 @@ def test_search_compound_text_plus_geo(spark):
     rows = out.collect()
     assert [r["city"] for r in rows] == ["paris", "lyon"]  # 2 hits > 1 hit
     assert rows[0]["score"] > rows[1]["score"] > 0
+
+
+def test_search_sort_and_count_options(spark, tables):
+    """$search options: `sort` orders by stored fields (or explicit
+    {"$meta": "searchScore"}) instead of the score default; `count`
+    populates $$SEARCH_META for later stages (Atlas semantics);
+    unsupported options fail fast."""
+    from mongo_arrow_spark.api import aggregate
+    from mongo_arrow_spark.errors import MQLTranslationError
+
+    docs = tables["documents"]
+    by_field = aggregate(
+        docs,
+        [
+            {"$search": {"exists": {"path": "lang"},
+                         "sort": {"n_chars": -1, "doc_id": 1}}},
+            {"$limit": 5},
+            {"$project": {"doc_id": 1, "n_chars": 1}},
+        ],
+    ).collect()
+    want = [
+        (r["doc_id"], r["n_chars"])
+        for r in docs.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(5)
+        .select("doc_id", "n_chars")
+        .collect()
+    ]
+    assert [(r["doc_id"], r["n_chars"]) for r in by_field] == want
+    with_meta = aggregate(
+        docs,
+        [
+            {"$search": {"equals": {"path": "lang", "value": "en"},
+                         "count": {"type": "total"}}},
+            {"$limit": 3},
+            {"$project": {"doc_id": 1,
+                          "total": "$$SEARCH_META.count.total"}},
+        ],
+    ).collect()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert len(with_meta) == 3
+    assert all(r["total"] == n_en for r in with_meta)
+    with pytest.raises(MQLTranslationError, match="unsupported \\$search"):
+        aggregate(
+            docs,
+            [{"$search": {"exists": {"path": "lang"},
+                          "highlight": {"path": "text"}}}, {"$limit": 1}],
+        ).collect()
+    with pytest.raises(MQLTranslationError, match="sort values"):
+        aggregate(
+            docs,
+            [{"$search": {"exists": {"path": "lang"},
+                          "sort": {"n_chars": "desc"}}}, {"$limit": 1}],
+        ).collect()
+
+
+def test_search_meta_geo_clauses(spark):
+    """$searchMeta shares the clause parser, so geo operators count
+    there too."""
+    from mongo_arrow_spark.api import aggregate
+
+    df = spark.createDataFrame(
+        [("paris", [2.35, 48.85]), ("berlin", [13.40, 52.52])],
+        "city string, location array<double>",
+    )
+    out = aggregate(
+        df,
+        [{"$searchMeta": {"geoWithin": {
+            "path": "location",
+            "box": {"bottomLeft": {"type": "Point", "coordinates": [0.0, 45.0]},
+                    "topRight": {"type": "Point", "coordinates": [5.0, 50.0]}},
+        }}}],
+    ).first()
+    assert out["count"]["lowerBound"] == 1
