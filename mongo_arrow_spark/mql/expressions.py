@@ -1316,6 +1316,7 @@ def _meta(args, env=None):
         "searchScore": "__search_score",
         "textScore": "__search_score",
         "score": "__fusion_score",  # $rankFusion's combined score (8.1)
+        "searchHighlights": "__search_highlights",  # $search highlight opt
     }
     if args not in cols:
         raise MQLTranslationError(f"unsupported $meta kind: {args!r}")

@@ -1972,11 +1972,11 @@ def _search(df, args, resolve):
     # names don't change results here). Anything else fails fast instead
     # of silently altering semantics.
     _opts = set(args) - set(_SEARCH_OPERATORS) - {"compound"}
-    unsupported = _opts - {"sort", "count", "scoring", "index"}
+    unsupported = _opts - {"sort", "count", "scoring", "index", "highlight"}
     if unsupported:
         raise MQLTranslationError(
             f"unsupported $search options: {sorted(unsupported)} "
-            "(supported: sort, count, scoring, index)"
+            "(supported: sort, count, highlight, scoring, index)"
         )
     parsed = _parse_search_clauses(args)
     every = [c for cs in parsed.values() for c in cs]
@@ -2096,6 +2096,76 @@ def _search(df, args, resolve):
         .filter(pred)
         .drop(*drop)
     )
+    hl = args.get("highlight")
+    if hl is not None:
+        # Atlas highlight: matched passages for a path, exposed via
+        # {"$meta": "searchHighlights"} as [{path, score, texts:
+        # [{value, type: text|hit}]}]. Passages here are hit tokens with
+        # ±3 tokens of context, capped at maxNumPassages (default 5) —
+        # all higher-order functions, no extra scan. Passage score is a
+        # constant 1.0 (Atlas's per-passage relevance model is
+        # index-internal and unpublished).
+        hpath = hl["path"]
+        max_passages = int(hl.get("maxNumPassages", 5))
+        hterms = [
+            (t, c.get("fuzzy"))
+            for c in every
+            if c["kind"] in ("text", "phrase") and c["path"] == hpath
+            for t in c["terms"]
+        ]
+        if not hterms:
+            raise MQLTranslationError(
+                "highlight.path must appear in a text or phrase clause"
+            )
+
+        def _is_hit(w):
+            m = F.lit(False)
+            for t, fz in hterms:
+                m = m | _term_pred(t, fz)(w)
+            return m
+
+        htoks = tokens(F.col(hpath))
+
+        def _ctx(value_col):
+            return F.struct(
+                value_col.alias("value"), F.lit("text").alias("type")
+            )
+
+        def _passage(i):
+            before = F.concat_ws(
+                " ",
+                F.slice(
+                    htoks,
+                    F.greatest(i - 3, F.lit(1)),
+                    F.greatest(F.least(i - F.lit(1), F.lit(3)), F.lit(0)),
+                ),
+            )
+            after = F.concat_ws(" ", F.slice(htoks, i + 1, 3))
+            texts = F.filter(
+                F.array(
+                    _ctx(before),
+                    F.struct(
+                        F.element_at(htoks, i).alias("value"),
+                        F.lit("hit").alias("type"),
+                    ),
+                    _ctx(after),
+                ),
+                lambda t: t["value"] != "",
+            )
+            return F.struct(
+                F.lit(hpath).alias("path"),
+                F.lit(1.0).alias("score"),
+                texts.alias("texts"),
+            )
+
+        positions = F.filter(
+            F.sequence(F.lit(1), F.size(htoks)),
+            lambda i: _is_hit(F.element_at(htoks, i)),
+        )
+        out = out.withColumn(
+            "__search_highlights",
+            F.slice(F.transform(positions, _passage), 1, max_passages),
+        )
     cnt = args.get("count")
     if cnt is not None:
         # $$SEARCH_META.count over the MATCHED set: one extra broadcast

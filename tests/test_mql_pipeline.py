@@ -2163,7 +2163,7 @@ def test_search_sort_and_count_options(spark, tables):
         aggregate(
             docs,
             [{"$search": {"exists": {"path": "lang"},
-                          "highlight": {"path": "text"}}}, {"$limit": 1}],
+                          "searchAfter": "token"}}, {"$limit": 1}],
         ).collect()
     with pytest.raises(MQLTranslationError, match="sort values"):
         aggregate(
@@ -2191,3 +2191,56 @@ def test_search_meta_geo_clauses(spark):
         }}}],
     ).first()
     assert out["count"]["lowerBound"] == 1
+
+
+def test_search_highlight(spark):
+    """highlight returns matched passages (hit token ± 3 context tokens)
+    via {"$meta": "searchHighlights"}, capped at maxNumPassages."""
+    from mongo_arrow_spark.api import aggregate
+    from mongo_arrow_spark.errors import MQLTranslationError
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta spark gamma delta epsilon spark zeta"),
+            (2, "no hits in this one at all"),
+        ],
+        "id int, text string",
+    )
+    out = aggregate(
+        df,
+        [
+            {"$search": {"text": {"query": "spark", "path": "text"},
+                         "highlight": {"path": "text"}}},
+            {"$project": {"id": 1,
+                          "hl": {"$meta": "searchHighlights"}}},
+            {"$limit": 5},
+        ],
+    ).collect()
+    assert [r["id"] for r in out] == [1]
+    hl = out[0]["hl"]
+    assert len(hl) == 2  # two hit positions
+    first = hl[0]
+    assert first["path"] == "text"
+    kinds = [(t["type"], t["value"]) for t in first["texts"]]
+    assert ("hit", "spark") in kinds
+    assert ("text", "alpha beta") in kinds  # only 2 tokens precede
+    assert ("text", "gamma delta epsilon") in kinds
+    # cap passages
+    capped = aggregate(
+        df,
+        [
+            {"$search": {"text": {"query": "spark", "path": "text"},
+                         "highlight": {"path": "text",
+                                       "maxNumPassages": 1}}},
+            {"$project": {"hl": {"$meta": "searchHighlights"}}},
+            {"$limit": 5},
+        ],
+    ).first()
+    assert len(capped["hl"]) == 1
+    with pytest.raises(MQLTranslationError, match="highlight.path"):
+        aggregate(
+            df,
+            [{"$search": {"text": {"query": "spark", "path": "text"},
+                          "highlight": {"path": "other"}}},
+             {"$limit": 1}],
+        ).collect()
