@@ -1108,10 +1108,13 @@ class DocumentsStreamReader(DataSourceStreamReader):
         self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
 
     def _listing(self) -> list[str]:
+        pats = [
+            f"*.{base}{c}"
+            for base in ("jsonl", "bson")
+            for c in ("",) + _COMPRESSION_SUFFIXES
+        ]
         return sorted(
-            f
-            for pat in ["*.jsonl"] + [f"*.jsonl{c}" for c in _COMPRESSION_SUFFIXES]
-            for f in _glob.glob(os.path.join(self.dir, pat))
+            f for pat in pats for f in _glob.glob(os.path.join(self.dir, pat))
         )
 
     def initialOffset(self):

@@ -205,3 +205,27 @@ def test_sessionize_stateful_timers(spark, stream_dir, tables):
     for uid, row in got.items():
         assert row["n"] == want[uid]["n"]
         assert row["t0"] == want[uid]["t0"] and row["t1"] == want[uid]["t1"]
+
+
+def test_stream_reads_bson_and_gzip_arrivals(spark, tmp_path):
+    """The streaming source lists mongodump-shaped (.bson, .bson.gz) and
+    gzipped jsonl arrivals alongside plain jsonl — one growing dump
+    directory, four arrival formats, one stream."""
+    import gzip
+
+    from mongo_arrow_spark.bson_codec import encode_document
+
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    with open(d / "a.jsonl", "w") as fh:
+        fh.write(json.dumps({"k": 1}) + "\n")
+    with gzip.open(d / "b.jsonl.gz", "wt") as fh:
+        fh.write(json.dumps({"k": 2}) + "\n")
+    with open(d / "c.bson", "wb") as fh:
+        fh.write(encode_document({"k": 3}))
+    with gzip.open(d / "e.bson.gz", "wb") as fh:
+        fh.write(encode_document({"k": 4}))
+    stream = read_document_stream(spark, str(d), "k bigint")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    out = _run_stream(spark, stream, name)
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 3, 4]
