@@ -13,9 +13,12 @@ Reference parity map (mongodb-labs/mongo-arrow, bindings/python/...):
 
 Scale design: partitions are byte-ranges of the input files (newline
 aligned), so parallelism = total bytes / partition_bytes regardless of file
-count; filters are applied before Arrow conversion so non-matching
-documents never allocate; batches are Arrow RecordBatches (vectorized
-ingest path, no per-row Python→JVM crossing).
+count; with ``pushdown=true`` filters are applied before Arrow conversion
+so non-matching documents never allocate (OPT-IN: Spark 4.1.2 shares one
+cached read plan per loaded relation, so accepted pushdown is only safe
+in load-per-query patterns — see DocumentsReader.__init__); batches are
+Arrow RecordBatches (vectorized ingest path, no per-row Python→JVM
+crossing).
 
 Compressed dumps (``mongodump --gzip`` writes ``.bson.gz``; log shippers
 emit ``.jsonl.gz``) are first-class: any input may carry a ``.gz`` /
@@ -725,9 +728,27 @@ class DocumentsReader(DataSourceReader):
             raise SchemaError(
                 f"corruptMode must be 'fail' or 'drop', got {self.corrupt_mode!r}"
             )
+        # Decode-skip filter pushdown is OPT-IN (pushdown=true): Spark
+        # 4.1.2 caches one readInfo per python-datasource RELATION
+        # (PythonDataSourceV2.getOrCreateReadInfo) and
+        # PythonScanBuilder.pushFilters overwrites that shared cache, so
+        # a filterless re-scan of the same loaded DataFrame after a
+        # filtered query silently reuses the filter-poisoned read plan
+        # and DROPS ROWS. Accepting pushed filters is therefore only
+        # safe in load-per-query patterns (one query shape per load()).
+        # Default keeps every scan correct: filters are yielded back and
+        # Spark evaluates them post-scan.
+        self.enable_pushdown = (
+            str(options.get("pushdown", "false")).lower() == "true"
+        )
         self.filters: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]):
+        if not self.enable_pushdown:
+            # correctness default under the shared-readInfo cache (see
+            # __init__): Spark re-evaluates everything post-scan
+            yield from filters
+            return
         for f in filters:
             leaf = _attr_type(self.schema, f.attribute) if hasattr(f, "attribute") else None
             if isinstance(f, _SUPPORTED_FILTERS) and isinstance(

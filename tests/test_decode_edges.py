@@ -433,11 +433,14 @@ def test_gzip_inference(tmp_path):
 
 
 def test_gzip_filter_pushdown_still_applies(spark, tmp_path):
-    """Compressed inputs go through the same pre-Arrow predicate path."""
+    """Compressed inputs go through the same pre-Arrow predicate path
+    when pushdown is opted in (load-per-query pattern)."""
     p = _write_gz(
         tmp_path / "f.jsonl.gz", [json.dumps({"a": i}) for i in range(100)]
     )
-    got = _read(spark, p, declaredSchema="a bigint").filter("a >= 90")
+    got = _read(
+        spark, p, declaredSchema="a bigint", pushdown="true"
+    ).filter("a >= 90")
     assert got.count() == 10
 
 

@@ -65,11 +65,35 @@ def test_read_roundtrip(spark, docs_path):
 
 
 def test_filter_pushdown(spark, docs_path):
+    """pushdown=true (opt-in, load-per-query pattern): the reader skips
+    non-matching documents before Arrow conversion."""
     register(spark)
-    df = spark.read.format("documents").load(docs_path).filter(F.col("_id") > 3)
+    df = (
+        spark.read.format("documents")
+        .option("pushdown", "true")
+        .load(docs_path)
+        .filter(F.col("_id") > 3)
+    )
     assert sorted(r["_id"] for r in df.collect()) == [4, 5]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or True  # plan text varies; data proves it
+
+
+def test_no_pushdown_by_default_reuse_is_correct(spark, docs_path):
+    """REGRESSION (Spark 4.1.2 shared-readInfo cache): a filterless
+    re-scan of the same loaded DataFrame after a filtered query must
+    still see every row. With accepted pushdown this silently dropped
+    rows (PythonScanBuilder.pushFilters overwrites the relation's cached
+    read plan; getOrCreateReadInfo then serves it to later scans) —
+    hence decode-skip pushdown is opt-in and the default always yields
+    filters back to Spark."""
+    register(spark)
+    df = spark.read.format("documents").load(docs_path)
+    n_all = df.count()
+    assert df.filter(F.col("_id") > 3).count() == 2
+    assert df.count() == n_all  # the poisoned-cache case
+    assert df.filter(F.col("_id") <= 3).count() == n_all - 2
+    assert sorted(r["_id"] for r in df.collect()) == [1, 2, 3, 4, 5]
 
 
 def test_declared_schema_projection(spark, docs_path):
