@@ -55,12 +55,28 @@ class WordNgrams:
             yield (" ".join(words[i : i + n]),)
 
 
-def register_udtfs(spark) -> None:
+def register_udtfs(spark, use_arrow: bool = False) -> None:
     """Register the engine UDTFs for SQL use:
 
     >>> register_udtfs(spark)
     >>> spark.sql("SELECT d.doc_id, g.gram FROM docs d, "
     ...           "LATERAL word_ngrams(d.text, 3) g")
+
+    ``use_arrow=True`` registers Arrow-optimized variants (rows cross the
+    Python boundary in Arrow batches instead of pickled one-by-one — the
+    same lever pandas UDFs pull); identical output, pinned by tests.
     """
+    if use_arrow:
+        spark.udtf.register(
+            "unwind_json",
+            udtf(UnwindJson.func, returnType=UnwindJson.returnType,
+                 useArrow=True),
+        )
+        spark.udtf.register(
+            "word_ngrams",
+            udtf(WordNgrams.func, returnType=WordNgrams.returnType,
+                 useArrow=True),
+        )
+        return
     spark.udtf.register("unwind_json", UnwindJson)
     spark.udtf.register("word_ngrams", WordNgrams)

@@ -590,3 +590,23 @@ def test_extended_json_writer_roundtrip(spark, tmp_path):
     r = back.first()
     assert r["ts"] == ts and bytes(r["bin"]) == b"\xff\x00"
     assert r["i"] == 1 and r["x"] == 2.5 and r["s"] == "plain"
+
+
+def test_bson_gzip_writer_roundtrip(spark, tmp_path):
+    """fileFormat=bson + compression=gzip emits mongodump --gzip-shaped
+    part files (.bson.gz) that the source reads back."""
+    from mongo_arrow_spark.api import write
+
+    register(spark)
+    df = spark.range(100).selectExpr("id AS a", "concat('v', id) AS s")
+    out = str(tmp_path / "bsongz")
+    res = write(df, out, format="documents", spark=spark,
+                fileFormat="bson", compression="gzip")
+    assert res.inserted_count == 100
+    import os as _os
+
+    parts = [p for p in _os.listdir(out) if p.startswith("part-")]
+    assert parts and all(p.endswith(".bson.gz") for p in parts)
+    back = _read(spark, out)
+    assert back.count() == 100
+    assert sorted(r["a"] for r in back.collect()) == list(range(100))

@@ -107,3 +107,25 @@ def test_udtf_null_and_scalar_inputs_yield_no_rows(spark):
     )
     rows = [(r["id"], r["pos"], r["element"]) for r in out.collect()]
     assert sorted(rows) == [(4, 0, "a"), (4, 1, "b")]
+
+
+def test_udtf_arrow_variant_matches_plain(spark, tables):
+    """use_arrow=True registers Arrow-optimized UDTFs with identical
+    output (the batched-crossing lever, same as pandas UDFs)."""
+    from pyspark.sql import functions as F
+
+    from mongo_arrow_spark.functions.udtf import register_udtfs
+
+    docs = (
+        tables["documents"]
+        .limit(25)
+        .select("doc_id", F.to_json(F.split("text", " ")).alias("payload"))
+    )
+    docs.createOrReplaceTempView("udtf_arrow_docs")
+    q = ("SELECT d.doc_id, u.pos, u.element FROM udtf_arrow_docs d, "
+         "LATERAL unwind_json(d.payload) u")
+    register_udtfs(spark)
+    plain = sorted(map(tuple, spark.sql(q).collect()))
+    register_udtfs(spark, use_arrow=True)
+    arrow = sorted(map(tuple, spark.sql(q).collect()))
+    assert plain == arrow and plain
