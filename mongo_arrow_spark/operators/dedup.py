@@ -64,11 +64,19 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 def _resolve_max_df(df: DataFrame, max_df):
     """A float in (0, 1) is a corpus FRACTION, resolved against the row
-    count (one count() job). This is the scale-correct form: a fixed
-    absolute cap lets mid-frequency keys slide under it as the corpus
-    grows, turning the posting self-join superlinear (measured exp 1.23
-    at 10×, SCALE.md); a fractional cap bounds per-key join work at a
-    constant regardless of corpus size."""
+    count (one count() job).
+
+    ``max_df`` is a COST/RECALL dial, not a superlinearity fix (measured
+    head-to-head at 10×, SCALE.md "max_df forms, measured"): an ABSOLUTE
+    cap bounds per-shingle join work at c² forever — wall grew
+    sub-linearly (exp 0.39) but candidate recall decays as the corpus
+    grows (shingles cross the fixed cap: 147k vs 250k pairs at 10×). A
+    FRACTIONAL cap keeps recall roughly scale-stable but its resolved
+    cap grows with N, so per-shingle work is (fN)² — measured
+    SUPERLINEAR (exp 1.21 at a constant fraction). When exact-Jaccard
+    cost matters more than tail recall, use a small absolute cap; when
+    the corpus is genuinely large, the scale path is MinHash LSH
+    (measured exp 0.54 on the same corpus), not a bigger cap."""
     if isinstance(max_df, float) and 0 < max_df < 1:
         return max(int(df.count() * max_df), 2)
     return max_df
