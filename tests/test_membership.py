@@ -198,8 +198,9 @@ def test_probe_join_back_is_content_keyed(docs, spark):
 
 
 def test_fractional_max_df(docs):
-    """A float max_df resolves to that fraction of the corpus: the
-    scale-correct skew cap. 0.02 on ~500 docs == absolute 10."""
+    """A float max_df resolves to that fraction of the corpus (a recall-
+    stable spelling of the cost/recall dial — see SCALE.md "max_df
+    forms, measured"). 0.02 on ~500 docs == absolute 10."""
     from mongo_arrow_spark.operators.dedup import ngram_jaccard_pairs
 
     n = docs.count()
