@@ -112,6 +112,11 @@ _DEMOTED = [
     # pinned: scan+filter+agg by q01_pricing_summary, join+agg by
     # q03_shipping_priority and q18_large_orders
     "q14_promo_effect",
+    # round-5 continuation: the hypertable rollup's generate_series
+    # oracle parks below the window (hourly bucketing itself is graded
+    # via streaming_hourly_counts; the dense-grid fill is the new part,
+    # oracle runs in tests/test_battery.py)
+    "ts_downsample",
     # round-4 continuation: the ingest gate's NOT EXISTS oracle parks
     # below the window so the driver-verified graded 50 stay
     # byte-identical; the oracle runs in tests/test_battery.py (exact

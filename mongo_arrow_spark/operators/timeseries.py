@@ -62,6 +62,66 @@ def asof_join(
     )
 
 
+def downsample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    every: str = "1 hour",
+    keys: list[str] | tuple = (),
+    aggs: dict | None = None,
+    fill: str | None = None,
+) -> DataFrame:
+    """Hypertable-style rollup: fixed ``every`` time buckets per key with
+    aggregates, optionally densified to a gap-free bucket grid.
+
+    - ``aggs``: alias → aggregate Column (default ``{"n": count(*)}``).
+    - ``fill=None``: only buckets with data (a plain windowed groupBy —
+      one shuffle, partial-agg map-side).
+    - ``fill="zero"``: per key, every bucket between its min and max
+      appears; empty buckets carry 0 (the count/sum semantics).
+    - ``fill="locf"``: empty buckets carry the previous bucket's values
+      (gauge semantics) — one extra window pass.
+
+    The dense grid is ``sequence(min_bucket, max_bucket, every)`` per
+    key — grid size is (span / every) rows per key, independent of event
+    count, so densify cost stays trivial next to the rollup shuffle at
+    any scale. Composes with $densify/$fill in MQL pipelines
+    (mql/pipeline.py); this is the operator-library spelling.
+    """
+    keys = list(keys)
+    aggs = aggs or {"n": F.count(F.lit(1)).cast("long")}
+    bucket = F.window(F.col(ts_col), every)["start"].alias("bucket")
+    out = df.groupBy(*keys, bucket).agg(
+        *[c.alias(a) for a, c in aggs.items()]
+    )
+    if fill is None:
+        return out
+    if fill not in ("zero", "locf"):
+        raise ValueError("fill must be None, 'zero' or 'locf'")
+    grid = (
+        out.groupBy(*keys)
+        .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.col("__lo"), F.col("__hi"), F.expr(f"interval {every}")
+                )
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(out, [*keys, "bucket"], "left")
+    if fill == "zero":
+        return joined.fillna(0, subset=list(aggs))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for a in aggs:
+        joined = joined.withColumn(a, F.last(a, ignorenulls=True).over(w))
+    return joined
+
+
 def salted_group_agg(
     df: DataFrame,
     keys: list[str],

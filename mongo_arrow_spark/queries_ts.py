@@ -95,3 +95,50 @@ def q_salted(spark, sf_dir):
         F.round(F.col("total").cast("double"), 2).alias("total"),
         "n",
     )
+
+
+@query(
+    "ts_downsample",
+    """
+    WITH rolled AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM rolled GROUP BY 1
+    ),
+    grid AS (
+      SELECT s.event_type, g.b AS bucket
+      FROM spans s, LATERAL unnest(generate_series(s.lo, s.hi,
+                                                   INTERVAL 1 HOUR)) AS g(b)
+    )
+    SELECT g.event_type, g.bucket,
+           COALESCE(r.n, 0) AS n, COALESCE(r.total, 0) AS total
+    FROM grid g LEFT JOIN rolled r
+      ON g.event_type = r.event_type AND g.bucket = r.bucket
+    ORDER BY g.event_type, g.bucket
+    """,
+)
+def q_downsample(spark, sf_dir):
+    """Hypertable rollup: hourly buckets per event type, count + sum,
+    densified to a gap-free grid with zero fill — checked against a
+    generate_series + left-join DuckDB oracle."""
+    from mongo_arrow_spark.operators.timeseries import downsample
+
+    ev = _t(spark, sf_dir, "events")
+    out = downsample(
+        ev,
+        ts_col="ts",
+        every="1 hour",
+        keys=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)).cast("long"),
+            "total": F.round(F.sum("value"), 4),
+        },
+        fill="zero",
+    )
+    return out.select("event_type", "bucket", "n", "total").orderBy(
+        "event_type", "bucket"
+    )
