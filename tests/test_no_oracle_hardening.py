@@ -369,3 +369,47 @@ def test_compression_ratio_replay_oracle(spark, tables):
         gr, gc, gratio = got[did]
         assert (gr, gc) == (nr, nc), did
         assert abs(gratio - ratio) < 1e-12, did
+
+
+def test_sim_lsh_replay_oracle(spark, tables):
+    """Full-output replay for sim_topk_lsh: recompute the seeded
+    hyperplanes, every row's 16-bit sign bucket, the Hamming<=6
+    candidate set, exact cosines, and the (score desc, vec_id asc)
+    top-10 in Python — ids and rounded scores must match exactly."""
+    import math
+
+    from mongo_arrow_spark.operators.similarity import _hyperplanes
+
+    rows = {
+        r["vec_id"]: list(r["embedding"])
+        for r in _emb(spark).select("vec_id", "embedding").collect()
+    }
+    q = [float(x) for x in rows[0]]
+    planes = _hyperplanes(len(q), 16, 42)
+
+    def bucket(v):
+        b = 0
+        for i, p in enumerate(planes):
+            if sum(float(a) * c for a, c in zip(v, p)) >= 0:
+                b |= 1 << i
+        return b
+
+    qb = bucket(q)
+    qn = math.sqrt(sum(x * x for x in q))
+    scored = []
+    for vid, v in rows.items():
+        if bin(bucket(v) ^ qb).count("1") > 6:
+            continue
+        vf = [float(x) for x in v]
+        dot = sum(a * b for a, b in zip(vf, q))
+        vn = math.sqrt(sum(x * x for x in vf))
+        scored.append((vid, dot / (vn * qn)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    want = [(vid, round(s, 4)) for vid, s in scored[:10]]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in QUERIES["sim_topk_lsh"](spark, SF_DIR).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gv, gs), (wv, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-4, (gv, gs, ws)
