@@ -84,6 +84,50 @@ def main() -> None:
          apply_pipeline(docs, [{"$searchMeta": {
              "text": {"query": "columnar", "path": "body"}}}]))
 
+    # ---- round-5 surface: options + geo
+    show("sort by stored field (price desc) instead of score",
+         apply_pipeline(docs, [
+             {"$search": {"exists": {"path": "body"},
+                          "sort": {"price": -1}}},
+             {"$limit": 10},
+             {"$project": {"_id": 0, "id": 1, "price": 1}},
+         ]))
+    show("count option + $$SEARCH_META in a later stage",
+         apply_pipeline(docs, [
+             {"$search": {"text": {"query": "engines", "path": "body"},
+                          "count": {"type": "total"}}},
+             {"$limit": 10},
+             {"$project": {"_id": 0, "id": 1,
+                           "total": "$$SEARCH_META.count.total"}},
+         ]))
+    show("highlight passages",
+         apply_pipeline(docs, [
+             {"$search": {"text": {"query": "columnar", "path": "body"},
+                          "highlight": {"path": "body"}}},
+             {"$limit": 10},
+             {"$project": {"_id": 0, "id": 1,
+                           "hl": {"$meta": "searchHighlights"}}},
+         ]))
+    geo = spark.createDataFrame(
+        [(1, "bistro near the louvre", [2.34, 48.86]),
+         (2, "pub by the thames", [-0.12, 51.50]),
+         (3, "biergarten am spree", [13.41, 52.52])],
+        "id int, body string, location array<double>",
+    )
+    show("compound text + geoWithin circle (400 km around Paris)",
+         apply_pipeline(geo, [
+             {"$search": {"compound": {
+                 "must": [{"exists": {"path": "body"}}],
+                 "filter": [{"geoWithin": {
+                     "path": "location",
+                     "circle": {"center": {"type": "Point",
+                                           "coordinates": [2.35, 48.85]},
+                                "radius": 400_000}}}],
+             }}},
+             {"$limit": 10},
+             {"$project": {"_id": 0, "id": 1, "body": 1}},
+         ]))
+
 
 if __name__ == "__main__":
     main()
