@@ -1216,7 +1216,17 @@ def _graph_lookup(df, args, resolve):
     depth_field = args.get("depthField")
     max_depth = args.get("maxDepth", 20)
 
-    left = df.withColumn("__gid", F.monotonically_increasing_id())
+    # __gid correlates each input row with its traversal results. The id
+    # is positional (monotonically_increasing_id), and `left` feeds BOTH
+    # the seeds branch and the final join-back — after an upstream
+    # shuffle those two evaluations could assign different ids to the
+    # same row (the probe_bloom hazard, membership.py). The eager
+    # localCheckpoint materializes the ids ONCE so every branch reads
+    # the same assignment; the stage already checkpoints every depth, so
+    # this adds one materialization of the input, not a new cost class.
+    left = df.withColumn(
+        "__gid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     # normalize scalar/array startWith into an array (schema introspection)
     from pyspark.sql import types as T
 
