@@ -1317,6 +1317,7 @@ def _meta(args, env=None):
         "textScore": "__search_score",
         "score": "__fusion_score",  # $rankFusion's combined score (8.1)
         "searchHighlights": "__search_highlights",  # $search highlight opt
+        "searchScoreDetails": "__search_score_details",  # scoreDetails opt
     }
     if args not in cols:
         raise MQLTranslationError(f"unsupported $meta kind: {args!r}")

@@ -1982,11 +1982,12 @@ def _search(df, args, resolve):
     # names don't change results here). Anything else fails fast instead
     # of silently altering semantics.
     _opts = set(args) - set(_SEARCH_OPERATORS) - {"compound"}
-    unsupported = _opts - {"sort", "count", "scoring", "index", "highlight"}
+    unsupported = _opts - {"sort", "count", "scoring", "index", "highlight",
+                           "scoreDetails"}
     if unsupported:
         raise MQLTranslationError(
             f"unsupported $search options: {sorted(unsupported)} "
-            "(supported: sort, count, highlight, scoring, index)"
+            "(supported: sort, count, highlight, scoreDetails, scoring, index)"
         )
     parsed = _parse_search_clauses(args)
     every = [c for cs in parsed.values() for c in cs]
@@ -2089,8 +2090,23 @@ def _search(df, args, resolve):
         # constant-score operators contribute 1.0 when they match
         return F.when(clause_match(c), F.lit(1.0)).otherwise(F.lit(0.0))
 
+    def _clause_desc(c):
+        kind = c["kind"]
+        path = c.get("path", "")
+        if kind == "text":
+            return (
+                f"text:{path}:{' '.join(c['terms'])} "
+                + ("bm25" if scoring == "bm25" else "tf*ln(N/df)")
+            )
+        if kind == "phrase":
+            return f"phrase:{path}:{' '.join(c['terms'])} count*ln(N/df)"
+        if kind == "near":
+            return f"near:{path} pivot/(pivot+|value-origin|)"
+        return f"{kind}:{path} constant"
+
     score = F.lit(0.0)
-    for c in parsed["must"] + parsed["should"]:
+    scoring_clauses = parsed["must"] + parsed["should"]
+    for c in scoring_clauses:
         score = score + clause_score(c)
     pred = _search_match_pred(parsed)
 
@@ -2104,8 +2120,36 @@ def _search(df, args, resolve):
         df.crossJoin(F.broadcast(stats))
         .withColumn("__search_score", score.cast("double"))
         .filter(pred)
-        .drop(*drop)
     )
+    if args.get("scoreDetails"):
+        # Atlas scoreDetails: the scoring breakdown via {"$meta":
+        # "searchScoreDetails"} — one node per scoring clause with its
+        # contribution and formula. Our formulas are the engine's
+        # documented TF-IDF/BM25 (Atlas's Lucene trace has more depth;
+        # the shape — value/description/details — matches). Built before
+        # the stat columns drop: clause_score reads the __df_*/__n
+        # broadcast stats.
+        out = out.withColumn(
+            "__search_score_details",
+            F.struct(
+                F.col("__search_score").alias("value"),
+                F.lit(
+                    "sum of clause scores ("
+                    + ("bm25" if scoring == "bm25" else "tfidf")
+                    + ")"
+                ).alias("description"),
+                F.array(
+                    *[
+                        F.struct(
+                            clause_score(c).cast("double").alias("value"),
+                            F.lit(_clause_desc(c)).alias("description"),
+                        )
+                        for c in scoring_clauses
+                    ]
+                ).alias("details"),
+            ),
+        )
+    out = out.drop(*drop)
     hl = args.get("highlight")
     if hl is not None:
         # Atlas highlight: matched passages for a path, exposed via

@@ -2244,3 +2244,43 @@ def test_search_highlight(spark):
                           "highlight": {"path": "other"}}},
              {"$limit": 1}],
         ).collect()
+
+
+def test_search_score_details(spark):
+    """scoreDetails attaches the scoring breakdown: top-level value ==
+    searchScore, one detail node per scoring clause whose values sum to
+    the total (filter clauses contribute none)."""
+    from mongo_arrow_spark.api import aggregate
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark engines and spark plans", 120.0),
+            (2, "gardening in spring", 80.0),
+            (3, "query plans for spark", 150.0),
+        ],
+        "id int, body string, price double",
+    )
+    out = aggregate(
+        df,
+        [
+            {"$search": {"compound": {
+                "must": [{"text": {"query": "spark", "path": "body"}}],
+                "should": [{"near": {"path": "price", "origin": 100,
+                                     "pivot": 50}}],
+                "filter": [{"exists": {"path": "body"}}],
+            }, "scoreDetails": True}},
+            {"$limit": 5},
+            {"$project": {"id": 1,
+                          "score": {"$meta": "searchScore"},
+                          "sd": {"$meta": "searchScoreDetails"}}},
+        ],
+    ).collect()
+    assert [r["id"] for r in out]  # spark docs only
+    for r in out:
+        sd = r["sd"]
+        assert abs(sd["value"] - r["score"]) < 1e-9
+        assert len(sd["details"]) == 2  # text + near; filter excluded
+        assert abs(sum(d["value"] for d in sd["details"]) - sd["value"]) < 1e-9
+        descs = [d["description"] for d in sd["details"]]
+        assert any(d.startswith("text:body:spark") for d in descs)
+        assert any(d.startswith("near:price") for d in descs)
