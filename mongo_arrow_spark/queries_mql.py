@@ -715,7 +715,7 @@ def mql_json_schema(spark, sf_dir):
 @query(
     "mql_bitwise_group",
     """
-    SELECT k, COUNT(*) AS n, SUM(x) AS sx
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
     FROM (SELECT o_orderkey & 15 AS k, xor(o_orderkey, 255) & 63 AS x
           FROM orders)
     GROUP BY k ORDER BY k
