@@ -744,7 +744,16 @@ def mql_bitwise_group(spark, sf_dir):
 @query(
     "mql_rank_fusion",
     """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    -- the fused collection is documents ⋈ embeddings (a $rankFusion doc
+    -- must carry both text and embedding); at sf0.1 embeddings is the
+    -- smaller table, so the lexical corpus is the JOINED id set — an
+    -- oracle over all documents scores a different corpus (caught by the
+    -- round-5 full-oracle sweep at sf0.1)
+    WITH corpus AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
     stats AS (
       SELECT COUNT(*) AS n,
              SUM(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS df1,

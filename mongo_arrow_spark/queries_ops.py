@@ -891,7 +891,8 @@ _TAXONOMY = {
              ], x -> x IS NOT NULL) AS labels
       FROM t
     )
-    SELECT doc_id, array_to_string(labels, ',') AS labels,
+    SELECT doc_id,
+           COALESCE(array_to_string(labels, ','), '') AS labels,
            CAST(len(labels) AS BIGINT) AS n_labels
     FROM lab
     """,
