@@ -25,6 +25,14 @@ def _configure(spark: SparkSession) -> SparkSession:
     # legacy conf (events.ts is parquet TIMESTAMP(NANOS))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
+        # Spark 4.1 hard-raises at scan init if a python data source reader
+        # implements pushFilters() while this conf is false; the documents
+        # source only attaches the method when pushdown=true is requested,
+        # but set it anyway so any session the driver passes can opt in.
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         # parity with session.get_spark: MQL $mergeObjects is last-wins
         spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

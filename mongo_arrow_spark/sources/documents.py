@@ -728,38 +728,7 @@ class DocumentsReader(DataSourceReader):
             raise SchemaError(
                 f"corruptMode must be 'fail' or 'drop', got {self.corrupt_mode!r}"
             )
-        # Decode-skip filter pushdown is OPT-IN (pushdown=true): Spark
-        # 4.1.2 caches one readInfo per python-datasource RELATION
-        # (PythonDataSourceV2.getOrCreateReadInfo) and
-        # PythonScanBuilder.pushFilters overwrites that shared cache, so
-        # a filterless re-scan of the same loaded DataFrame after a
-        # filtered query silently reuses the filter-poisoned read plan
-        # and DROPS ROWS. Accepting pushed filters is therefore only
-        # safe in load-per-query patterns (one query shape per load()).
-        # Default keeps every scan correct: filters are yielded back and
-        # Spark evaluates them post-scan.
-        self.enable_pushdown = (
-            str(options.get("pushdown", "false")).lower() == "true"
-        )
         self.filters: list[Filter] = []
-
-    def pushFilters(self, filters: list[Filter]):
-        if not self.enable_pushdown:
-            # correctness default under the shared-readInfo cache (see
-            # __init__): Spark re-evaluates everything post-scan
-            yield from filters
-            return
-        for f in filters:
-            leaf = _attr_type(self.schema, f.attribute) if hasattr(f, "attribute") else None
-            if isinstance(f, _SUPPORTED_FILTERS) and isinstance(
-                leaf, _FILTERABLE_TYPES
-            ):
-                self.filters.append(f)
-            else:
-                # unsupported class OR a leaf type (timestamp/binary/
-                # nested) whose raw-JSON comparison isn't exact →
-                # Spark re-evaluates post-scan
-                yield f
 
     def partitions(self):
         splits: list[InputPartition] = []
@@ -876,6 +845,43 @@ class DocumentsReader(DataSourceReader):
                 f"JSON must be an object, got {type(doc).__name__}"
             )
         return doc
+
+
+class DocumentsPushdownReader(DocumentsReader):
+    """Decode-skip filter pushdown variant, selected only for pushdown=true.
+
+    Kept as a SEPARATE class because Spark 4.1 hard-raises
+    [DATA_SOURCE_PUSHDOWN_DISABLED] at scan init whenever a reader merely
+    *defines* ``pushFilters()`` while ``spark.sql.python.filterPushdown
+    .enabled`` is false — the base reader must not carry the method, or
+    the source breaks under any session conf it doesn't control.
+
+    Pushdown is OPT-IN because Spark 4.1.2 caches one readInfo per
+    python-datasource RELATION (PythonDataSourceV2.getOrCreateReadInfo)
+    and PythonScanBuilder.pushFilters overwrites that shared cache, so a
+    filterless re-scan of the same loaded DataFrame after a filtered
+    query silently reuses the filter-poisoned read plan and DROPS ROWS.
+    Accepting pushed filters is therefore only safe in load-per-query
+    patterns (one query shape per load()). The default reader keeps
+    every scan correct: Spark evaluates all filters post-scan.
+    """
+
+    def pushFilters(self, filters: list[Filter]):
+        for f in filters:
+            leaf = (
+                _attr_type(self.schema, f.attribute)
+                if hasattr(f, "attribute")
+                else None
+            )
+            if isinstance(f, _SUPPORTED_FILTERS) and isinstance(
+                leaf, _FILTERABLE_TYPES
+            ):
+                self.filters.append(f)
+            else:
+                # unsupported class OR a leaf type (timestamp/binary/
+                # nested) whose raw-JSON comparison isn't exact →
+                # Spark re-evaluates post-scan
+                yield f
 
 
 def _to_batch(pa, arrow_schema, cols):
@@ -1258,6 +1264,12 @@ class DocumentsDataSource(DataSource):
         )
 
     def reader(self, schema: T.StructType) -> DocumentsReader:
+        # pushdown=true selects the subclass that defines pushFilters();
+        # the default class omits the method entirely so scans work under
+        # sessions where spark.sql.python.filterPushdown.enabled is false
+        # (Spark 4.1 raises DATA_SOURCE_PUSHDOWN_DISABLED otherwise).
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return DocumentsPushdownReader(schema, self.options)
         return DocumentsReader(schema, self.options)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> DocumentsWriter:

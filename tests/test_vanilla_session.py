@@ -1,0 +1,70 @@
+"""Graded queries must run under a conf-bare SparkSession.
+
+Round-5 regression: every builder-side check ran under ``get_spark``'s
+tuned confs, so a reader that depended on
+``spark.sql.python.filterPushdown.enabled`` passed in-repo but errored in
+the driver's harness (its session never sets the conf).  This test spawns
+a SUBPROCESS (``get_spark`` sets confs at SparkContext-builder time, so an
+in-process ``newSession()`` would inherit them) that builds a bare
+``local[2]`` session, applies only ``__spark_entry__._configure`` — the
+one hook the driver gives us — and runs one representative graded query
+per source type: parquet scan, documents python-datasource (the r5
+failure), streaming replay, and an MQL-translated embeddings query.
+
+Any future conf dependency fails here instead of in the driver's gate.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("vanilla-gate")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as entrymod
+
+queries = entrymod.queries()
+sf_dir = "/root/testdata/sf0.001"
+for name in {names!r}:
+    rows = queries[name](spark, sf_dir).collect()
+    assert rows, f"{{name}}: empty result under vanilla session"
+    print(f"OK {{name}} rows={{len(rows)}}", flush=True)
+spark.stop()
+print("VANILLA_GATE_PASS")
+"""
+
+REPRESENTATIVES = [
+    "q01_pricing_summary",  # parquet scan + agg (ns-timestamp conf path)
+    "q_scan_gzip_dump",  # documents python data source (r5 driver failure)
+    "cdc_watch_stream",  # streaming micro-batch replay
+    "mql_vector_search",  # MQL translator + embeddings table
+]
+
+
+def test_graded_queries_under_vanilla_session():
+    script = _SCRIPT.format(repo=REPO, names=REPRESENTATIVES)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0 and "VANILLA_GATE_PASS" in proc.stdout, (
+        f"vanilla-session gate failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
