@@ -129,9 +129,14 @@ def probe_bloom(
     partition-internal row order (hence any positional id) can diverge
     between branches / task retries, silently attaching verdicts to the
     wrong rows at cluster scale. The verdict is a pure function of the
-    key, so identical keys legitimately share one digest row.
+    key, so identical keys legitimately share one digest row. The digest
+    input is null-safely cast to string (md5 requires string/binary), so
+    non-string keys work and NULL keys join back to the same
+    ``xxhash64(NULL)``-position verdict the build side gave them rather
+    than silently coalescing to false.
     """
-    probe = df.withColumn("__bloom_key", F.md5(F.col(key_col)))
+    digest = F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")))
+    probe = df.withColumn("__bloom_key", digest)
     exploded = probe.select(
         "__bloom_key",
         F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("pos"),

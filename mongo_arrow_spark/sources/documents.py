@@ -245,6 +245,16 @@ def infer_schema(
         fields[k] = _merge_types(fields.get(k, T.NullType()), t)
         if k not in metas:
             metas[k] = m
+        elif (
+            not metas[k]
+            and m
+            and isinstance(fields[k], (T.NullType, T.BinaryType, T.ArrayType))
+        ):
+            # first observation(s) were null, so the meta slot was pinned
+            # to {}: adopt the tagged-carrier metadata now that a typed
+            # value appeared — otherwise a null-first Decimal128/ObjectId
+            # column infers as plain binary and decodes to NULL silently
+            metas[k] = m
         elif metas[k] and not isinstance(fields[k], (T.BinaryType, T.ArrayType)):
             metas[k] = {}  # type diverged from the tagged carrier: drop tag
 
@@ -371,10 +381,16 @@ def _unwrap_ext_json(v: dict):
             if isinstance(d, dict) and "$numberLong" in d:
                 d = int(d["$numberLong"])
             if isinstance(d, (int, float)):
-                return dtm.datetime.utcfromtimestamp(d / 1000.0)
-            return dtm.datetime.fromisoformat(str(d).replace("Z", "+00:00")).replace(
-                tzinfo=None
-            )
+                return dtm.datetime.fromtimestamp(
+                    d / 1000.0, tz=dtm.timezone.utc
+                ).replace(tzinfo=None)
+            parsed = dtm.datetime.fromisoformat(str(d).replace("Z", "+00:00"))
+            if parsed.tzinfo is not None:
+                # convert offset-bearing dates to UTC before stripping the
+                # tzinfo — {"$date": "...T05:00:00+05:00"} is 00:00 UTC,
+                # matching the bson path's epoch-millis decode
+                parsed = parsed.astimezone(dtm.timezone.utc)
+            return parsed.replace(tzinfo=None)
         if "$numberInt" in v:
             return int(v["$numberInt"])
         if "$numberLong" in v:
@@ -453,8 +469,13 @@ def _coerce(v, dt: T.DataType, strict: bool, path: str, meta: dict | None = None
                 if v.is_integer():
                     return int(v)
                 if strict:
-                    # reference raises on lossy double→int in strict mode
-                    # (lib.pyx:558-574 overflow/value checks)
+                    # INTENTIONAL divergence from the reference: its
+                    # Int64Builder appends bson_iter_as_int64 for
+                    # BSON_TYPE_DOUBLE unconditionally (silent truncation
+                    # even with allow_invalid=False, lib.pyx:558-574); we
+                    # treat a lossy double→int as a strict-mode error
+                    # because silent truncation is a data bug at corpus
+                    # scale. Permissive mode matches the reference.
                     raise TypeError(
                         f"lossy double→int for {v!r} at {path!r} (strict mode)"
                     )
@@ -481,10 +502,17 @@ def _coerce(v, dt: T.DataType, strict: bool, path: str, meta: dict | None = None
             if isinstance(v, dtm.datetime):
                 return v  # .bson path decodes datetimes natively
             if isinstance(v, str):
-                return dtm.datetime.fromisoformat(v)
+                parsed = dtm.datetime.fromisoformat(v.replace("Z", "+00:00"))
+                if parsed.tzinfo is not None:
+                    parsed = parsed.astimezone(dtm.timezone.utc).replace(
+                        tzinfo=None
+                    )
+                return parsed
             if isinstance(v, (int, float)):
                 # integer epoch-millis, the BSON datetime carrier
-                return dtm.datetime.utcfromtimestamp(v / 1000.0)
+                return dtm.datetime.fromtimestamp(
+                    v / 1000.0, tz=dtm.timezone.utc
+                ).replace(tzinfo=None)
         elif isinstance(dt, T.ArrayType):
             if isinstance(v, list):
                 return [_coerce(e, dt.elementType, strict, path + "[]", meta) for e in v]
@@ -1121,10 +1149,16 @@ class DocumentsStreamReader(DataSourceStreamReader):
     JSON-lines files (the streaming capability the reference lacks — it is
     batch-only, SURVEY 2.E 'streaming' row).
 
-    Offsets are positions in the sorted file listing, so each microbatch
-    processes exactly the files that appeared since the last one —
-    replayable and exactly-once on retry (same offset range → same files).
-    One partition per new file keeps microbatch parallelism = arrival rate.
+    Offsets carry the SET of seen file names (not positions in a sorted
+    listing): a late-arriving file whose name sorts before already
+    committed ones would shift positional indexes and make the next
+    microbatch skip or re-read files. With name sets, each microbatch
+    processes exactly ``end.seen − start.seen`` — replayable and
+    exactly-once on retry (same offset pair → same files), regardless of
+    arrival order. This mirrors Spark's own FileStreamSource, which also
+    tracks a seen-files map; offset size grows with file count, which the
+    checkpoint log compacts. One partition per new file keeps microbatch
+    parallelism = arrival rate.
     """
 
     def __init__(self, schema: T.StructType, options):
@@ -1145,13 +1179,14 @@ class DocumentsStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self):
-        return {"index": 0}
+        return {"seen": []}
 
     def latestOffset(self):
-        return {"index": len(self._listing())}
+        return {"seen": [os.path.basename(f) for f in self._listing()]}
 
     def partitions(self, start, end):
-        files = self._listing()[start["index"] : end["index"]]
+        new = sorted(set(end.get("seen", ())) - set(start.get("seen", ())))
+        files = [os.path.join(self.dir, name) for name in new]
         return [
             _Split(path, 0, os.path.getsize(path)) for path in files
         ] or [_Split("", 0, 0)]

@@ -3,6 +3,7 @@ $regex+$options folding, $lookup sibling predicates, pushed-filter
 coercion, binary-mode split seeks, $mergeObjects last-wins."""
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -371,3 +372,109 @@ def test_date_from_string_null_without_on_null_is_null(spark):
         ).alias("d")
     ).first()["d"]
     assert got is None
+
+
+# ------------------------------------------------- round-6 advisor findings
+
+
+def test_null_first_decimal128_column_keeps_tag(tmp_path):
+    """A Decimal128 column whose FIRST sampled value is null must still
+    infer the tagged decimal128[bid] carrier (round 5 pinned metas[k]={}
+    on first observation, silently decoding every value to NULL)."""
+    from mongo_arrow_spark.bson_codec import encode_document as encode
+    from mongo_arrow_spark.bson_values import Decimal128
+    from mongo_arrow_spark.sources.documents import _BSON_TYPE_KEY, infer_schema
+
+    p = tmp_path / "d.bson"
+    with open(p, "wb") as fh:
+        fh.write(encode({"amount": None, "k": 1}))
+        fh.write(encode({"amount": Decimal128("12.34"), "k": 2}))
+    schema = infer_schema(str(p))
+    f = schema["amount"]
+    assert f.metadata.get(_BSON_TYPE_KEY) == "decimal128[bid]"
+
+
+def test_null_first_objectid_column_keeps_tag(tmp_path):
+    from mongo_arrow_spark.bson_codec import encode_document as encode
+    from mongo_arrow_spark.bson_values import ObjectId
+    from mongo_arrow_spark.sources.documents import _BSON_TYPE_KEY, infer_schema
+
+    p = tmp_path / "d.bson"
+    with open(p, "wb") as fh:
+        fh.write(encode({"_id": None}))
+        fh.write(encode({"_id": ObjectId("0123456789ab0123456789ab")}))
+    assert (
+        infer_schema(str(p))["_id"].metadata.get(_BSON_TYPE_KEY) == "objectid"
+    )
+
+
+def test_ext_json_date_offset_converts_to_utc(spark, tmp_path):
+    """{"$date": "...T05:00:00+05:00"} is midnight UTC; round 5 stripped
+    the offset and decoded 05:00, diverging from the bson epoch-millis
+    path."""
+    import datetime as dtm
+
+    p = tmp_path / "d.jsonl"
+    with open(p, "w") as fh:
+        fh.write(json.dumps({"ts": {"$date": "2024-01-01T05:00:00+05:00"}, "k": 1}) + "\n")
+        fh.write(json.dumps({"ts": {"$date": "2024-01-01T00:00:00Z"}, "k": 2}) + "\n")
+        fh.write(json.dumps({"ts": {"$date": 1704067200000}, "k": 3}) + "\n")
+    register(spark)
+    rows = (
+        spark.read.format("documents")
+        .schema("ts timestamp, k long")
+        .load(str(p))
+        .orderBy("k")
+        .collect()
+    )
+    # all three spellings are the same instant
+    assert rows[0]["ts"] == rows[1]["ts"] == rows[2]["ts"] == dtm.datetime(
+        2024, 1, 1, 0, 0, 0
+    )
+
+
+def test_probe_bloom_non_string_and_null_keys(spark):
+    """md5 needs string/binary input: integer keys must probe (round 5
+    failed analysis) and NULL keys must get the Bloom verdict for
+    xxhash64(NULL), matching what the build side inserted for them."""
+    from mongo_arrow_spark.operators.membership import build_bloom_index, probe_bloom
+
+    corpus = spark.createDataFrame([(10,), (20,), (None,)], "id int")
+    index = build_bloom_index(corpus, key_col="id", num_bits=1 << 16)
+    batch = spark.createDataFrame(
+        [(10,), (99,), (None,)], "id int"
+    )
+    got = {
+        r["id"]: r["maybe_member"]
+        for r in probe_bloom(batch, index, key_col="id", num_bits=1 << 16).collect()
+    }
+    assert got[10] is True  # inserted
+    assert got[99] is False  # never inserted (no false positive at 64Kib/3 keys)
+    assert got[None] is True  # NULL was inserted on the build side
+
+
+def test_stream_offsets_survive_late_sorting_file(tmp_path):
+    """Name-set offsets: a file that sorts BEFORE already-committed ones
+    must be picked up as new, and committed files must not be re-read
+    (positional offsets skipped/re-read on re-sorted listings)."""
+    from pyspark.sql import types as T
+
+    from mongo_arrow_spark.sources.documents import DocumentsStreamReader
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    (d / "m.jsonl").write_text('{"k": 1}\n')
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    reader = DocumentsStreamReader(schema, {"path": str(d)})
+    start = reader.initialOffset()
+    mid = reader.latestOffset()
+    first = [p.path for p in reader.partitions(start, mid)]
+    assert [os.path.basename(p) for p in first] == ["m.jsonl"]
+    # late-arriving file that sorts before m.jsonl
+    (d / "a.jsonl").write_text('{"k": 2}\n')
+    end = reader.latestOffset()
+    second = [p.path for p in reader.partitions(mid, end)]
+    assert [os.path.basename(p) for p in second] == ["a.jsonl"]
+    # replay of the first range is unchanged by the new arrival
+    replay = [p.path for p in reader.partitions(start, mid)]
+    assert replay == first
