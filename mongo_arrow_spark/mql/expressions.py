@@ -1318,6 +1318,8 @@ def _meta(args, env=None):
         "score": "__fusion_score",  # $rankFusion's combined score (8.1)
         "searchHighlights": "__search_highlights",  # $search highlight opt
         "searchScoreDetails": "__search_score_details",  # scoreDetails opt
+        # $rankFusion/$scoreFusion scoreDetails: true breakdown (8.1)
+        "scoreDetails": "__fusion_score_details",
     }
     if args not in cols:
         raise MQLTranslationError(f"unsupported $meta kind: {args!r}")

@@ -371,8 +371,12 @@ def _accumulator(spec) -> Column:
         pcts = F.array(*[F.lit(float(p)) for p in arg["p"]])
         if isinstance(arg, dict) and arg.get("method") == "approximate":
             return F.approx_percentile(inp, pcts)
-        # exact with linear interpolation (quantile_cont): the
-        # oracle-comparable path; use method='approximate' at scale
+        # DOCUMENTED DELTA: MongoDB 7.0 *requires* method: "approximate"
+        # (t-digest) — server-parity queries always take the branch
+        # above. Omitting method is this engine's extension: exact with
+        # linear interpolation (quantile_cont), the oracle-comparable
+        # path, at the cost of buffering every group value — use
+        # "approximate" at corpus scale.
         return F.percentile(inp, pcts)
     if op in ("$firstN", "$lastN"):
         # same order caveat as $first/$last: arbitrary within a
@@ -1216,17 +1220,23 @@ def _graph_lookup(df, args, resolve):
     depth_field = args.get("depthField")
     max_depth = args.get("maxDepth", 20)
 
-    # __gid correlates each input row with its traversal results. The id
-    # is positional (monotonically_increasing_id), and `left` feeds BOTH
-    # the seeds branch and the final join-back — after an upstream
-    # shuffle those two evaluations could assign different ids to the
-    # same row (the probe_bloom hazard, membership.py). The eager
-    # localCheckpoint materializes the ids ONCE so every branch reads
-    # the same assignment; the stage already checkpoints every depth, so
-    # this adds one materialization of the input, not a new cost class.
-    left = df.withColumn(
-        "__gid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
+    # __gid correlates each input row with its traversal results, and
+    # `left` feeds BOTH the seeds branch and the final join-back. A
+    # positional id (monotonically_increasing_id) can diverge between
+    # those two evaluations after an upstream shuffle (the probe_bloom
+    # hazard, membership.py), so the default key is CONTENT: `_id` when
+    # the frame carries it (the MQL uniqueness contract — every real
+    # collection has it), which is deterministic across branch
+    # evaluations and task retries with no materialization. Rows sharing
+    # an _id get the union of their traversal arrays — consistent with
+    # the server, where _id is unique. Only genuinely keyless frames
+    # fall back to a positional id pinned by one eager localCheckpoint.
+    if "_id" in df.columns:
+        left = df.withColumn("__gid", F.col("_id"))
+    else:
+        left = df.withColumn(
+            "__gid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
     # normalize scalar/array startWith into an array (schema introspection)
     from pyspark.sql import types as T
 
@@ -1305,8 +1315,7 @@ def _rank_fusion(df, args, resolve):
     """
     if "_id" not in df.columns:
         raise MQLTranslationError("$rankFusion requires an _id column")
-    if args.get("scoreDetails"):
-        warnings.warn("$rankFusion scoreDetails is accepted but not attached")
+    want_details = bool(args.get("scoreDetails"))
     pipes = (args.get("input") or {}).get("pipelines") or {}
     if not isinstance(pipes, dict) or not pipes:
         raise MQLTranslationError("$rankFusion requires input.pipelines")
@@ -1324,24 +1333,61 @@ def _rank_fusion(df, args, resolve):
             raise MQLTranslationError(
                 f"$rankFusion pipeline {name!r} must keep _id"
             )
+        # _mono captures the sub-pipeline's own output order. Audit note
+        # (r6): this positional id is NOT branch-correlation — `ranked`
+        # is evaluated on one path (union → groupBy), and MQL requires
+        # ranking pipelines to be deterministically ordered ($sort +
+        # $limit), so the captured order is the defined one.
+        proj = [
+            F.col("_id"),
+            (F.lit(w) / (F.lit(60) + F.col("_rank"))).alias("_rrf"),
+        ]
+        if want_details:
+            # Atlas scoreDetails detail node per input pipeline:
+            # inputPipelineName / rank / weight / this pipeline's RRF
+            # contribution. inputPipelineName leads the struct so
+            # array_sort gives a deterministic pipeline order.
+            proj.append(
+                F.struct(
+                    F.lit(name).alias("inputPipelineName"),
+                    F.col("_rank").cast("long").alias("rank"),
+                    F.lit(w).alias("weight"),
+                    (F.lit(w) / (F.lit(60) + F.col("_rank")))
+                    .cast("double")
+                    .alias("value"),
+                ).alias("_detail")
+            )
         ranked = (
             sub.select("_id")
             .withColumn("_mono", F.monotonically_increasing_id())
             .withColumn(
                 "_rank", F.row_number().over(Window.orderBy("_mono"))
             )
-            .select(
-                "_id",
-                (F.lit(w) / (F.lit(60) + F.col("_rank"))).alias("_rrf"),
-            )
+            .select(*proj)
         )
         fused = ranked if fused is None else fused.unionByName(ranked)
-    scores = fused.groupBy("_id").agg(F.sum("_rrf").alias("__fusion_score"))
+    aggs = [F.sum("_rrf").alias("__fusion_score")]
+    if want_details:
+        aggs.append(F.array_sort(F.collect_list("_detail")).alias("__details"))
+    scores = fused.groupBy("_id").agg(*aggs)
     # the score set is at most Σ top-k rows — broadcast it onto the base
     # scan rather than shuffling the collection for a sort-merge join
-    return df.join(F.broadcast(scores), "_id").orderBy(
-        F.col("__fusion_score").desc(), F.col("_id")
-    )
+    out = df.join(F.broadcast(scores), "_id")
+    if want_details:
+        # value == fused score, pinned like $search's scoreDetails
+        out = out.withColumn(
+            "__fusion_score_details",
+            F.struct(
+                F.col("__fusion_score").cast("double").alias("value"),
+                F.lit(
+                    "value output by reciprocal rank fusion algorithm, "
+                    "computed as sum over input pipelines of "
+                    "weight / (60 + rank)"
+                ).alias("description"),
+                F.col("__details").alias("details"),
+            ),
+        ).drop("__details")
+    return out.orderBy(F.col("__fusion_score").desc(), F.col("_id"))
 
 
 #: score columns the search stages attach, in detection order
@@ -1363,8 +1409,7 @@ def _score_fusion(df, args, resolve):
     """
     if "_id" not in df.columns:
         raise MQLTranslationError("$scoreFusion requires an _id column")
-    if args.get("scoreDetails"):
-        warnings.warn("$scoreFusion scoreDetails is accepted but not attached")
+    want_details = bool(args.get("scoreDetails"))
     spec = args.get("input") or {}
     pipes = spec.get("pipelines") or {}
     if not isinstance(pipes, dict) or not pipes:
@@ -1391,33 +1436,57 @@ def _score_fusion(df, args, resolve):
                 f"$scoreFusion pipeline {name!r} must be score-producing "
                 "($search/$vectorSearch) and keep _id"
             )
-        s = F.col(score_col).cast("double")
+        raw = F.col(score_col).cast("double")
+        s = raw
+        base = sub
         if norm == "sigmoid":
             s = F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
-            scored = sub.select("_id", (F.lit(w) * s).alias("_ws"))
         elif norm == "minMaxScaler":
-            mm = sub.agg(
-                F.min(s).alias("__lo"), F.max(s).alias("__hi")
+            mm = sub.agg(F.min(s).alias("__lo"), F.max(s).alias("__hi"))
+            base = sub.crossJoin(F.broadcast(mm))
+            s = F.when(
+                F.col("__hi") > F.col("__lo"),
+                (s - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
+            ).otherwise(F.lit(0.0))
+        proj = [F.col("_id"), (F.lit(w) * s).alias("_ws")]
+        if want_details:
+            # Atlas scoreDetails detail node per input pipeline:
+            # inputPipelineName / inputPipelineRawScore (pre-
+            # normalization) / weight / value (weighted normalized
+            # contribution). Name leads the struct for array_sort order.
+            proj.append(
+                F.struct(
+                    F.lit(name).alias("inputPipelineName"),
+                    raw.alias("inputPipelineRawScore"),
+                    F.lit(w).alias("weight"),
+                    (F.lit(w) * s).cast("double").alias("value"),
+                ).alias("_detail")
             )
-            scored = sub.crossJoin(F.broadcast(mm)).select(
-                "_id",
-                (
-                    F.lit(w)
-                    * F.when(
-                        F.col("__hi") > F.col("__lo"),
-                        (s - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
-                    ).otherwise(F.lit(0.0))
-                ).alias("_ws"),
-            )
-        else:
-            scored = sub.select("_id", (F.lit(w) * s).alias("_ws"))
+        scored = base.select(*proj)
         fused = scored if fused is None else fused.unionByName(scored)
-    scores = fused.groupBy("_id").agg(
+    aggs = [
         (F.sum("_ws") / F.lit(float(len(pipes)))).alias("__fusion_score")
-    )
-    return df.join(F.broadcast(scores), "_id").orderBy(
-        F.col("__fusion_score").desc(), F.col("_id")
-    )
+    ]
+    if want_details:
+        aggs.append(F.array_sort(F.collect_list("_detail")).alias("__details"))
+    scores = fused.groupBy("_id").agg(*aggs)
+    out = df.join(F.broadcast(scores), "_id")
+    if want_details:
+        # value == fused score, pinned like $search's scoreDetails
+        out = out.withColumn(
+            "__fusion_score_details",
+            F.struct(
+                F.col("__fusion_score").cast("double").alias("value"),
+                F.lit(
+                    "average of weighted "
+                    + ("raw" if norm == "none" else norm)
+                    + " scores across input pipelines; absent docs "
+                    "contribute 0"
+                ).alias("description"),
+                F.col("__details").alias("details"),
+            ),
+        ).drop("__details")
+    return out.orderBy(F.col("__fusion_score").desc(), F.col("_id"))
 
 
 @_stage("$vectorSearch")

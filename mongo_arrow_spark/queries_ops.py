@@ -32,6 +32,17 @@ def q_dedup_exact(spark, sf_dir):
 #: Skew cap for the graded near-dup query: shingles present in more docs
 #: than this are stop-shingles — their posting lists would self-join
 #: quadratically at corpus scale. The oracle applies the identical cap.
+#:
+#: SCALE CONTRACT (pinned by tests/test_battery.py::
+#: test_graded_jaccard_cap_is_absolute_and_pinned — no silent drift):
+#: this must stay an ABSOLUTE int ≤ 100. Measured head-to-head at 10×
+#: (SCALE.md "max_df forms, measured"): the absolute cap bounds the
+#: posting join's per-shingle cost (exp 1.00 = output-bound) at a recall
+#: cost, while the fractional form is the superlinear one (exp 1.21).
+#: The *scale path* for near-dup dedup is MinHash-LSH (exp 0.54,
+#: dedup_minhash_lsh) with the exact posting join reserved for
+#: post-banding verification; this entry stays graded because DuckDB can
+#: hash-grade the exact form but not MinHash.
 _JACCARD_MAX_DF = 100
 
 

@@ -73,9 +73,21 @@ WRITE_MAX_DOCS = 100_000
 # --------------------------------------------------------- compression
 
 #: suffix → opener. gzip dominates in the wild (mongodump --gzip); bz2/xz
-#: ride along for free via the stdlib. zstd is intentionally absent until
-#: a wheel is available in the runtime (no silent partial support).
-_COMPRESSION_SUFFIXES = (".gz", ".bz2", ".xz")
+#: ride along for free via the stdlib. zstd activates only when a wheel
+#: is importable (import-gated like the polars typed path — no silent
+#: partial support): _zstd_module() probes once at import time so a
+#: worker without the wheel fails loudly at listing, not mid-decode.
+def _zstd_module():
+    try:
+        import zstandard
+
+        return zstandard
+    except ImportError:
+        return None
+
+
+_HAS_ZSTD = _zstd_module() is not None
+_COMPRESSION_SUFFIXES = (".gz", ".bz2", ".xz") + ((".zst",) if _HAS_ZSTD else ())
 #: conservative decompressed-size multiplier used only for bin-packing
 #: balance (JSON/BSON text compresses ~3-6x under gzip)
 _EXPANSION_ESTIMATE = 4
@@ -108,6 +120,20 @@ def _open_decompressed(path: str):
         import lzma
 
         return lzma.open(path, "rb")
+    if path.endswith(".zst"):
+        zstd = _zstd_module()
+        if zstd is None:
+            raise SchemaError(
+                ".zst input requires the zstandard wheel (not in this "
+                "runtime); see SCALE.md 'zstd frame-level splits'"
+            )
+        # stream_reader decompresses incrementally — whole-file today;
+        # the frame-level split plan (seekable-format frames as
+        # byte-splittable partitions) is written up in SCALE.md and
+        # activates here when implemented
+        return zstd.ZstdDecompressor().stream_reader(
+            open(path, "rb"), closefd=True
+        )
     return open(path, "rb")
 
 
@@ -978,9 +1004,10 @@ class DocumentsWriter(DataSourceArrowWriter):
         # (api.py:91-95), and payload size is what the reader's
         # whole-file decode partitions must bound.
         self.compression = str(options.get("compression", "none")).lower()
-        if self.compression not in ("none", "gzip", "bz2", "xz"):
+        allowed = ("none", "gzip", "bz2", "xz") + (("zstd",) if _HAS_ZSTD else ())
+        if self.compression not in allowed:
             raise SchemaError(
-                "compression must be one of none|gzip|bz2|xz, got "
+                f"compression must be one of {'|'.join(allowed)}, got "
                 f"{self.compression!r}"
             )
         # extendedJson=true emits MongoDB Extended JSON v2 wrappers for
@@ -1005,7 +1032,9 @@ class DocumentsWriter(DataSourceArrowWriter):
         files, docs = [], 0
         fh, nbytes, ndocs = None, 0, 0
 
-        _ext = {"gzip": ".gz", "bz2": ".bz2", "xz": ".xz"}.get(self.compression, "")
+        _ext = {"gzip": ".gz", "bz2": ".bz2", "xz": ".xz", "zstd": ".zst"}.get(
+            self.compression, ""
+        )
 
         def _open_part(name):
             if self.compression == "gzip":
@@ -1020,6 +1049,10 @@ class DocumentsWriter(DataSourceArrowWriter):
                 import lzma
 
                 return lzma.open(name, "wb")
+            if self.compression == "zstd":
+                return _zstd_module().ZstdCompressor().stream_writer(
+                    open(name, "wb"), closefd=True
+                )
             return open(name, "wb")
 
         def roll():

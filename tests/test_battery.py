@@ -50,3 +50,21 @@ def test_driver_grading_window_is_50_oracle_backed():
         f"{sorted(set(outside) - set(_DEMOTED))}"
     )
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_graded_jaccard_cap_is_absolute_and_pinned():
+    """Scale contract for the graded near-dup entry (no silent cap
+    drift): the cap must stay an ABSOLUTE int <= 100 — the fractional
+    form is the superlinear one (exp 1.21 at 10x vs 1.00, SCALE.md
+    "max_df forms, measured") — and resolution of an absolute cap must
+    be corpus-size independent (no count() scan)."""
+    from mongo_arrow_spark.operators.dedup import _resolve_max_df
+    from mongo_arrow_spark.queries_ops import _JACCARD_MAX_DF
+
+    assert isinstance(_JACCARD_MAX_DF, int) and not isinstance(
+        _JACCARD_MAX_DF, bool
+    )
+    assert _JACCARD_MAX_DF <= 100
+    # absolute caps resolve without touching the DataFrame (df=None would
+    # explode if the resolution scanned the corpus)
+    assert _resolve_max_df(None, _JACCARD_MAX_DF) == _JACCARD_MAX_DF

@@ -610,3 +610,51 @@ def test_bson_gzip_writer_roundtrip(spark, tmp_path):
     back = _read(spark, out)
     assert back.count() == 100
     assert sorted(r["a"] for r in back.collect()) == list(range(100))
+
+
+def test_zst_without_wheel_raises_with_pointer():
+    """.zst in a runtime without the zstandard wheel fails loudly with a
+    pointer to the SCALE.md frame-split design note (import-gated like
+    the polars typed path — never silent partial support)."""
+    import pytest as _pytest
+
+    from mongo_arrow_spark.errors import SchemaError
+    from mongo_arrow_spark.sources import documents as dmod
+
+    if dmod._HAS_ZSTD:
+        _pytest.skip("zstandard wheel present; gated path not reachable")
+    with _pytest.raises(SchemaError, match="zstandard wheel"):
+        dmod._open_decompressed("/nonexistent/x.zst")
+    # the suffix is NOT advertised when the wheel is absent, so listings
+    # and writer validation reject it up front
+    assert ".zst" not in dmod._COMPRESSION_SUFFIXES
+    with _pytest.raises(SchemaError, match="compression must be"):
+        dmod.DocumentsWriter(
+            __import__("pyspark.sql.types", fromlist=["types"]).StructType([]),
+            {"path": "/tmp/x", "compression": "zstd"},
+            False,
+        )
+
+
+def test_zstd_roundtrip_when_wheel_present(spark, tmp_path):
+    """Activates automatically when the zstandard wheel lands: writer
+    compression=zstd emits .zst parts the reader decodes back losslessly
+    (whole-file today; frame-level splits per SCALE.md when seekable)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("zstandard")
+    from mongo_arrow_spark.sources import register
+
+    register(spark)
+    src = spark.range(100).selectExpr("id AS a", "CONCAT('x', id) AS s")
+    out = str(tmp_path / "zst_out")
+    (src.write.format("documents").option("compression", "zstd").save(out))
+    import glob as g
+
+    assert all(p.endswith(".zst") for p in g.glob(out + "/*")), "no .zst parts"
+    back = (
+        spark.read.format("documents")
+        .option("declaredSchema", "a bigint, s string")
+        .load(out)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))

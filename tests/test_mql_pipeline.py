@@ -94,6 +94,80 @@ def test_graph_lookup_cycle_terminates(spark):
     assert got["a"] == ["a", "b", "c"]  # full cycle reached, loop terminated
 
 
+def test_graph_lookup_id_content_key_no_positional_id(spark, monkeypatch):
+    """Frames carrying _id correlate traversal results on the _id content
+    key — no monotonically_increasing_id, no eager input checkpoint
+    (round-5 used a positional id pinned by a full-input
+    localCheckpoint; the content key is deterministic across branch
+    evaluations and shuffles for free)."""
+    import mongo_arrow_spark.mql.pipeline as plmod
+
+    df = spark.createDataFrame(
+        [(1, "dev1", "lead1"), (2, "lead1", "dir"), (3, "dir", None)],
+        "_id long, name string, reports_to string",
+    )
+
+    def _boom():
+        raise AssertionError(
+            "positional id used despite _id content key being available"
+        )
+
+    monkeypatch.setattr(
+        plmod.F, "monotonically_increasing_id", _boom, raising=True
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$graphLookup": {
+                    "from": "e",
+                    "startWith": "$reports_to",
+                    "connectFromField": "reports_to",
+                    "connectToField": "name",
+                    "as": "chain",
+                    "depthField": "depth",
+                }
+            }
+        ],
+        collections={"e": df},
+    )
+    got = {
+        r["name"]: sorted((c["name"], c["depth"]) for c in r["chain"])
+        for r in out.collect()
+    }
+    assert got["dev1"] == [("dir", 1), ("lead1", 0)]
+    assert got["lead1"] == [("dir", 0)]
+    assert got["dir"] == []
+
+
+def test_graph_lookup_duplicate_id_rows_share_results(spark):
+    """Rows sharing an _id get the union of their traversal arrays —
+    consistent with the server, where _id is unique by contract."""
+    edges = spark.createDataFrame(
+        [(1, "x", "y"), (1, "x", "y"), (2, "y", None)],
+        "_id long, name string, nxt string",
+    )
+    out = apply_pipeline(
+        edges,
+        [
+            {
+                "$graphLookup": {
+                    "from": "e",
+                    "startWith": "$nxt",
+                    "connectFromField": "nxt",
+                    "connectToField": "name",
+                    "as": "reach",
+                }
+            }
+        ],
+        collections={"e": edges},
+    )
+    rows = out.filter(F.col("_id") == 1).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert sorted(c["name"] for c in r["reach"]) == ["y"]
+
+
 def test_densify_partition(spark):
     df = spark.createDataFrame(
         [("a", 1, 10.0), ("a", 4, 40.0), ("b", 2, 20.0), ("b", 3, 30.0)],
@@ -1589,12 +1663,94 @@ def test_ignored_option_warnings(spark):
         w.simplefilter("always")
         find(df, {"$text": {"$search": "spark", "$language": "fr"}}).count()
     assert any("$language" in str(x.message) for x in caught)
-    with w.catch_warnings(record=True) as caught:
-        w.simplefilter("always")
-        apply_pipeline(df, [{"$rankFusion": {
-            "input": {"pipelines": {"p": [{"$sort": {"_id": 1}}, {"$limit": 1}]}},
-            "scoreDetails": True}}]).count()
-    assert any("scoreDetails" in str(x.message) for x in caught)
+
+
+def test_rank_fusion_score_details(spark):
+    """$rankFusion scoreDetails (8.1): {"$meta": "scoreDetails"} carries
+    value == fused score, one detail node per contributing input pipeline
+    with its rank/weight, and the detail values sum to the total."""
+    from mongo_arrow_spark.api import aggregate
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), float((i * 3) % 11)) for i in range(1, 21)],
+        "_id long, text_score double, vec_score double",
+    )
+    pipes = {
+        "lexical": [{"$sort": {"text_score": -1, "_id": 1}}, {"$limit": 5}],
+        "semantic": [{"$sort": {"vec_score": -1, "_id": 1}}, {"$limit": 5}],
+    }
+    out = aggregate(
+        df,
+        [
+            {"$rankFusion": {
+                "input": {"pipelines": pipes},
+                "combination": {"weights": {"lexical": 2.0}},
+                "scoreDetails": True,
+            }},
+            {"$project": {"_id": 1,
+                          "score": {"$meta": "score"},
+                          "sd": {"$meta": "scoreDetails"}}},
+        ],
+    ).collect()
+    assert out
+    for r in out:
+        sd = r["sd"]
+        assert abs(sd["value"] - r["score"]) < 1e-9
+        assert abs(sum(d["value"] for d in sd["details"]) - sd["value"]) < 1e-9
+        for d in sd["details"]:
+            assert d["inputPipelineName"] in pipes
+            w_exp = 2.0 if d["inputPipelineName"] == "lexical" else 1.0
+            assert d["weight"] == w_exp
+            assert 1 <= d["rank"] <= 5
+            assert abs(d["value"] - w_exp / (60 + d["rank"])) < 1e-9
+        names = [d["inputPipelineName"] for d in sd["details"]]
+        assert names == sorted(names)  # deterministic pipeline order
+
+
+def test_score_fusion_score_details(spark):
+    """$scoreFusion scoreDetails: value == fused score; each detail node
+    carries the pre-normalization raw score, weight, and weighted
+    normalized contribution; sum(values)/n_pipelines == fused score."""
+    from mongo_arrow_spark.api import aggregate
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} spark" if i <= 4 else f"w{i}", [float(i), 1.0])
+         for i in range(1, 9)],
+        "_id long, text string, embedding array<double>",
+    )
+    pipes = {
+        "lex": [{"$search": {"text": {"query": "spark", "path": "text"}}},
+                {"$limit": 3}],
+        "sem": [{"$vectorSearch": {"path": "embedding",
+                                   "queryVector": [1.0, 0.0],
+                                   "limit": 3, "exact": True}}],
+    }
+    out = aggregate(
+        df,
+        [
+            {"$scoreFusion": {
+                "input": {"pipelines": pipes, "normalization": "sigmoid"},
+                "combination": {"weights": {"lex": 3.0}},
+                "scoreDetails": True,
+            }},
+            {"$project": {"_id": 1,
+                          "score": {"$meta": "score"},
+                          "sd": {"$meta": "scoreDetails"}}},
+        ],
+    ).collect()
+    import math
+
+    assert out
+    for r in out:
+        sd = r["sd"]
+        assert abs(sd["value"] - r["score"]) < 1e-9
+        got = sum(d["value"] for d in sd["details"]) / len(pipes)
+        assert abs(got - sd["value"]) < 1e-9
+        for d in sd["details"]:
+            w_exp = 3.0 if d["inputPipelineName"] == "lex" else 1.0
+            assert d["weight"] == w_exp
+            sig = 1.0 / (1.0 + math.exp(-d["inputPipelineRawScore"]))
+            assert abs(d["value"] - w_exp * sig) < 1e-9
 
 
 def test_search_text_fuzzy(spark):
