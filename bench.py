@@ -58,6 +58,9 @@ HEADLINE = [
     # round-5 addition: compressed dump ingest (gzip corpus materialized
     # once in the warm-up; timed runs measure the whole-file decode path)
     "q_scan_gzip_dump",
+    # round-6 addition: incremental near-dup ingest gate (index build +
+    # band-key probe; key added r6 — diff per-query vs r5, not totals)
+    "neardup_ingest_gate",
 ]
 
 

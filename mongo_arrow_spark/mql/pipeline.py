@@ -1691,10 +1691,48 @@ def _term_pred(term, fuzzy):
     return pred
 
 
-def _parse_search_clauses(args):
+def _expand_synonyms(terms, name, resolve):
+    """Expand query terms through a synonym mapping collection (Atlas
+    ``text.synonyms``). The mapping name resolves like any collection
+    reference; docs follow Atlas's shape — ``{mappingType: "equivalent",
+    synonyms: [...]}`` (any listed term matches all of them) or
+    ``{mappingType: "explicit", input: [...], synonyms: [...]}`` (a query
+    term in ``input`` matches exactly the ``synonyms`` list — itself only
+    if listed there, per Atlas). Synonym tables are dimension-sized by
+    construction, so the rows are collected driver-side once per query —
+    O(mappings), never O(corpus). Returns one sorted term-group per
+    original term (the group an ``all`` matchCriteria must satisfy)."""
+    if resolve is None:
+        raise MQLTranslationError(
+            "$search text.synonyms requires a collections resolver"
+        )
+    rows = [r.asDict() for r in resolve(name).collect()]
+    for d in rows:
+        if d.get("mappingType") not in ("equivalent", "explicit"):
+            raise MQLTranslationError(
+                "synonym mappingType must be 'equivalent' or 'explicit', "
+                f"got {d.get('mappingType')!r}"
+            )
+    groups = []
+    for t in terms:
+        matched: set = set()
+        for d in rows:
+            syns = [str(s) for s in (d.get("synonyms") or [])]
+            if d["mappingType"] == "equivalent":
+                if t in syns:
+                    matched.update(syns)
+            else:  # explicit
+                if t in [str(s) for s in (d.get("input") or [])]:
+                    matched.update(syns)
+        groups.append(sorted(matched) if matched else [t])
+    return groups
+
+
+def _parse_search_clauses(args, resolve=None):
     """Operator spec (standalone or under ``compound``) →
     {must/should/mustNot/filter: [typed clause dicts]}. Shared by
-    ``$search`` and ``$searchMeta``."""
+    ``$search`` and ``$searchMeta``. ``resolve`` (collections resolver)
+    is needed only when a text clause carries ``synonyms``."""
     if "queryString" in args:
         qs = args["queryString"]
         must, must_not, should = _parse_query_string(
@@ -1741,11 +1779,34 @@ def _parse_search_clauses(args):
         if not isinstance(path, str):
             raise MQLTranslationError(f"$search {kind}.path must be a single field")
         if kind == "text":
+            fuzzy = _parse_fuzzy(spec)
+            raw_terms = spec["query"].split()
+            mc = spec.get("matchCriteria", "any")
+            if mc not in ("any", "all"):
+                raise MQLTranslationError(
+                    f"text.matchCriteria must be 'any' or 'all', got {mc!r}"
+                )
+            syn = spec.get("synonyms")
+            if syn is not None:
+                if fuzzy is not None:
+                    # Atlas rule: synonyms and fuzzy are mutually exclusive
+                    raise MQLTranslationError(
+                        "text.synonyms cannot be combined with fuzzy"
+                    )
+                groups = _expand_synonyms(raw_terms, str(syn), resolve)
+            else:
+                groups = [[t] for t in raw_terms]
+            # flat dedup (first-occurrence order) feeds df/scoring; the
+            # groups drive matchCriteria: "all" (each original term — or
+            # one of its synonyms — must be present)
+            flat = list(dict.fromkeys(t for g in groups for t in g))
             return {
                 "kind": kind,
                 "path": path,
-                "terms": spec["query"].split(),
-                "fuzzy": _parse_fuzzy(spec),
+                "terms": flat,
+                "groups": groups,
+                "match_all": mc == "all",
+                "fuzzy": fuzzy,
             }
         if kind == "phrase":
             return {"kind": kind, "path": path, "terms": spec["query"].split()}
@@ -1902,6 +1963,16 @@ def _search_clause_match(c, col=F.col):
 
     if c["kind"] == "text":
         toks = tokens(col(c["path"]))
+        if c.get("match_all"):
+            # matchCriteria "all": every original term (or one of its
+            # synonym-group members) must appear
+            m = F.lit(True)
+            for group in c.get("groups") or [[t] for t in c["terms"]]:
+                gm = F.lit(False)
+                for t in group:
+                    gm = gm | F.exists(toks, _term_pred(t, c.get("fuzzy")))
+                m = m & gm
+            return m
         m = F.lit(False)
         for t in c["terms"]:
             m = m | F.exists(toks, _term_pred(t, c.get("fuzzy")))
@@ -2019,7 +2090,9 @@ def _search_match_pred(parsed):
 
 @_stage("$search")
 def _search(df, args, resolve):
-    """Atlas ``$search`` with the ``text`` (incl. ``fuzzy``), ``phrase``,
+    """Atlas ``$search`` with the ``text`` (incl. ``fuzzy``, ``synonyms``
+    via a mapping collection — equivalent/explicit, mutually exclusive
+    with fuzzy like Atlas — and ``matchCriteria`` any/all), ``phrase``,
     ``range``, ``equals``, ``exists``, ``wildcard``, ``autocomplete``,
     ``near``, ``moreLikeThis``, ``in``, ``regex``, ``embeddedDocument``,
     ``queryString``, ``geoWithin`` (circle/box/geometry) and ``geoShape``
@@ -2058,7 +2131,7 @@ def _search(df, args, resolve):
             f"unsupported $search options: {sorted(unsupported)} "
             "(supported: sort, count, highlight, scoreDetails, scoring, index)"
         )
-    parsed = _parse_search_clauses(args)
+    parsed = _parse_search_clauses(args, resolve)
     every = [c for cs in parsed.values() for c in cs]
     # one DF-stats pass: term dfs for text clauses, phrase dfs for phrases.
     # Term keys carry the fuzzy knobs: the same term matched exactly and
@@ -2355,9 +2428,9 @@ def _search_meta(df, args, resolve):
     if "facet" in spec:
         op = spec["facet"].get("operator")
         facets_spec = spec["facet"].get("facets") or {}
-        pred = _search_match_pred(_parse_search_clauses(op)) if op else F.lit(True)
+        pred = _search_match_pred(_parse_search_clauses(op, resolve)) if op else F.lit(True)
     else:
-        pred = _search_match_pred(_parse_search_clauses(spec))
+        pred = _search_match_pred(_parse_search_clauses(spec, resolve))
     matched = df.filter(pred)
 
     out = matched.agg(

@@ -233,22 +233,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
     band_keys = sigs.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(_band_key_structs(bands, rows_per_band)).alias("bk"),
     ).select("id", "bk.band", "bk.bh")
     a, b = band_keys.alias("a"), band_keys.alias("b")
     cands = (
@@ -280,6 +265,163 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ----------------------------------------- incremental near-dup ingest gate
+
+
+def _band_key_structs(bands: int, rows_per_band: int) -> Column:
+    """array<struct<band,bh>> of banded hashes over a ``sig`` column —
+    the shared banding used by minhash_lsh_pairs, build_lsh_index and
+    probe_neardup (one definition so index and probe can never skew)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Persistable MinHash-LSH index over a corpus — the NEAR-DUP analog
+    of the Bloom exact-membership gate (membership.py): build once, save
+    to parquet, probe every incoming batch without ever rescanning the
+    corpus text.
+
+    One row per doc: (id, sig array<long>, bands array<struct<band,bh>>)
+    — ~(num_hashes + bands) longs ≈ 0.6 KB/doc at 64/16 defaults, three
+    orders of magnitude under corpus payload at 100 TB. The banding
+    parameters ride along as schema metadata on ``sig`` (survives a
+    parquet round-trip), so ``probe_neardup``/``update_lsh_index``
+    fail fast on a parameter mismatch instead of silently missing pairs.
+
+    Map-only: no shuffle, no action. Cluster tip: write the artifact
+    bucketed/partitioned so probes co-locate (probe joins on (band, bh)
+    after exploding ``bands``).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be a multiple of bands")
+    rows_per_band = num_hashes // bands
+    meta = {"n": n, "num_hashes": num_hashes, "bands": bands, "seed": seed}
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    return sigs.select(
+        "id",
+        F.col("sig").alias("sig", metadata=meta),
+        _band_key_structs(bands, rows_per_band).alias("bands"),
+    )
+
+
+def _lsh_index_params(index: DataFrame, defaults: dict) -> dict:
+    meta = index.schema["sig"].metadata or {}
+    params = dict(defaults)
+    for k in params:
+        if k in meta:
+            params[k] = int(meta[k])
+    return params
+
+
+def update_lsh_index(index: DataFrame, new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Incrementally extend an LSH index with a new batch — signatures
+    are computed for the NEW docs only (the whole point: corpus text is
+    never re-read). Parameters come from the index's own metadata."""
+    p = _lsh_index_params(
+        index, {"n": 3, "num_hashes": 64, "bands": 16, "seed": 42}
+    )
+    fresh = build_lsh_index(
+        new_docs, id_col, text_col, p["n"], p["num_hashes"], p["bands"], p["seed"]
+    )
+    return index.unionByName(fresh)
+
+
+def probe_neardup(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    out_col: str = "neardup",
+) -> DataFrame:
+    """Probe a batch against a ``build_lsh_index`` artifact: batch rows
+    gain ``out_col`` (bool — est_jaccard ≥ threshold against ANY indexed
+    doc), ``{out_col}_matches`` (count), ``{out_col}_best_id`` /
+    ``{out_col}_best_est`` (strongest match; ties break to the highest
+    id, deterministic).
+
+    Plan: batch signatures are map-only; candidates come from an
+    EQUI-join of exploded band keys on (band, bh) — shuffle mass is
+    band-bucket collisions, never |batch|·|corpus|; est_jaccard is
+    codegen'd zip_with over the two fixed-width signatures. The batch's
+    own ``id_col`` keys the join-back (content key — the probe_bloom
+    rule: never a positional id).
+    """
+    p = _lsh_index_params(
+        index, {"n": 3, "num_hashes": 64, "bands": 16, "seed": 42}
+    )
+    rows_per_band = p["num_hashes"] // p["bands"]
+    bsigs = minhash_signatures(
+        batch, id_col, text_col, p["n"], p["num_hashes"], p["seed"]
+    )
+    bkeys = bsigs.select(
+        "id",
+        "sig",
+        F.explode(_band_key_structs(p["bands"], rows_per_band)).alias("bk"),
+    ).select(
+        F.col("id").alias("__bid"),
+        F.col("sig").alias("__bsig"),
+        F.col("bk.band").alias("band"),
+        F.col("bk.bh").alias("bh"),
+    )
+    ikeys = index.select(
+        F.col("id").alias("__cid"),
+        F.col("sig").alias("__csig"),
+        F.explode("bands").alias("bk"),
+    ).select("__cid", "__csig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("__bsig", "__csig", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(p["num_hashes"])
+    ).cast("double")
+    hits = (
+        bkeys.join(ikeys, ["band", "bh"])
+        .dropDuplicates(["__bid", "__cid"])
+        .withColumn("__est", est)
+        .filter(F.col("__est") >= threshold)
+    )
+    agg = hits.groupBy("__bid").agg(
+        F.count(F.lit(1)).cast("long").alias(f"{out_col}_matches"),
+        F.max(F.struct("__est", "__cid")).alias("__best"),
+    )
+    out = batch.join(agg, batch[id_col] == agg["__bid"], "left").drop("__bid")
+    return (
+        out.withColumn(out_col, F.col("__best").isNotNull())
+        .withColumn(
+            f"{out_col}_matches",
+            F.coalesce(F.col(f"{out_col}_matches"), F.lit(0).cast("long")),
+        )
+        .withColumn(f"{out_col}_best_id", F.col("__best.__cid"))
+        .withColumn(f"{out_col}_best_est", F.col("__best.__est"))
+        .drop("__best")
     )
 
 

@@ -88,6 +88,32 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+@query("neardup_ingest_gate")  # rows-only: xxhash64 minhashes aren't in DuckDB
+def q_neardup_ingest_gate(spark, sf_dir):
+    """Incremental near-dup ingest gate (r6): even doc_ids are the
+    standing corpus folded into a persistable MinHash-LSH index
+    (build_lsh_index — signatures + band keys, ~0.6 KB/doc); odd doc_ids
+    are the incoming batch probed against it (probe_neardup — band
+    equi-join, no corpus rescan). Replay-oracle verified in
+    tests/test_no_oracle_hardening.py::test_neardup_gate_replay_oracle
+    (full python recomputation of signatures, banding and estimates)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = dedup.build_lsh_index(corpus)
+    return (
+        dedup.probe_neardup(batch, idx, threshold=0.3)
+        .select(
+            "doc_id",
+            "neardup",
+            "neardup_matches",
+            "neardup_best_id",
+            F.round("neardup_best_est", 6).alias("neardup_best_est"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("dedup_simhash")  # rows-only: bit-level xxhash64 packing
 def q_dedup_simhash(spark, sf_dir):
     """60-bit SimHash, 4 bands, hamming<=3 — at sf0.01 this recovers

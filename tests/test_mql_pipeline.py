@@ -2440,3 +2440,132 @@ def test_search_score_details(spark):
         descs = [d["description"] for d in sd["details"]]
         assert any(d.startswith("text:body:spark") for d in descs)
         assert any(d.startswith("near:price") for d in descs)
+
+
+def test_search_text_synonyms_equivalent_and_explicit(spark):
+    """Atlas text.synonyms: the mapping name resolves like a collection;
+    equivalent mappings expand every listed term to all of them, explicit
+    mappings expand input terms to exactly their synonyms list (the
+    original matches itself only if listed)."""
+    from mongo_arrow_spark.api import aggregate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the car sped away"),
+            (2, "a vehicle was parked"),
+            (3, "my automobile broke down"),
+            (4, "drinking a cold beer"),
+            (5, "ordered a pint at the pub"),
+            (6, "nothing relevant here"),
+        ],
+        "_id long, body string",
+    )
+    syns = spark.createDataFrame(
+        [
+            ("equivalent", None, ["car", "vehicle", "automobile"]),
+            ("explicit", ["beer"], ["brew", "pint"]),
+        ],
+        "mappingType string, input array<string>, synonyms array<string>",
+    )
+    colls = {"my_syns": syns}
+
+    def run(query):
+        return sorted(
+            r["_id"]
+            for r in aggregate(
+                docs,
+                [{"$search": {"text": {"query": query, "path": "body",
+                                       "synonyms": "my_syns"}}}],
+                collections=colls,
+            ).collect()
+        )
+
+    # equivalent: 'car' matches car/vehicle/automobile docs
+    assert run("car") == [1, 2, 3]
+    assert run("vehicle") == [1, 2, 3]
+    # explicit: 'beer' expands to brew/pint ONLY — doc 4 ('beer' itself)
+    # does not match because 'beer' is not in the synonyms list (Atlas
+    # explicit semantics); doc 5 ('pint') does
+    assert run("beer") == [5]
+    # non-mapped terms pass through unchanged
+    assert run("relevant") == [6]
+
+
+def test_search_text_synonyms_scoring_and_guards(spark):
+    from mongo_arrow_spark.api import aggregate
+
+    docs = spark.createDataFrame(
+        [(1, "car car car"), (2, "vehicle"), (3, "boat")],
+        "_id long, body string",
+    )
+    syns = spark.createDataFrame(
+        [("equivalent", None, ["car", "vehicle"])],
+        "mappingType string, input array<string>, synonyms array<string>",
+    )
+    out = aggregate(
+        docs,
+        [
+            {"$search": {"text": {"query": "car", "path": "body",
+                                  "synonyms": "syn"}}},
+            {"$project": {"_id": 1, "s": {"$meta": "searchScore"}}},
+        ],
+        collections={"syn": syns},
+    ).collect()
+    scores = {r["_id"]: r["s"] for r in out}
+    assert set(scores) == {1, 2}
+    assert scores[1] > scores[2]  # tf 3 beats tf 1 under the same idf model
+    # fuzzy + synonyms is an Atlas-documented conflict
+    with pytest.raises(MQLTranslationError, match="synonyms"):
+        aggregate(
+            docs,
+            [{"$search": {"text": {"query": "car", "path": "body",
+                                   "synonyms": "syn",
+                                   "fuzzy": {"maxEdits": 1}}}}],
+            collections={"syn": syns},
+        )
+    # unknown mappingType fails fast
+    bad = spark.createDataFrame(
+        [("fuzzy-ish", None, ["a"])],
+        "mappingType string, input array<string>, synonyms array<string>",
+    )
+    with pytest.raises(MQLTranslationError, match="mappingType"):
+        aggregate(
+            docs,
+            [{"$search": {"text": {"query": "car", "path": "body",
+                                   "synonyms": "bad"}}}],
+            collections={"bad": bad},
+        ).collect()
+
+
+def test_search_text_match_criteria_all(spark):
+    """text.matchCriteria 'all': every original term (or a synonym of
+    it) must appear; 'any' (the default) keeps OR semantics."""
+    from mongo_arrow_spark.api import aggregate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across executors"),
+            (2, "spark plans are optimized"),
+            (3, "data pipelines everywhere"),
+        ],
+        "_id long, body string",
+    )
+
+    def run(mc):
+        return sorted(
+            r["_id"]
+            for r in aggregate(
+                docs,
+                [{"$search": {"text": {"query": "spark data", "path": "body",
+                                       "matchCriteria": mc}}}],
+            ).collect()
+        )
+
+    assert run("any") == [1, 2, 3]
+    assert run("all") == [1]
+    with pytest.raises(MQLTranslationError, match="matchCriteria"):
+        aggregate(
+            docs,
+            [{"$search": {"text": {"query": "x", "path": "body",
+                                   "matchCriteria": "most"}}}],
+        )

@@ -413,3 +413,71 @@ def test_sim_lsh_replay_oracle(spark, tables):
     assert [g[0] for g in got] == [w[0] for w in want]
     for (gv, gs), (wv, ws) in zip(got, want):
         assert abs(gs - ws) <= 1e-4, (gv, gs, ws)
+
+
+def test_neardup_gate_replay_oracle(spark, tables):
+    """Full-output replay oracle for the neardup_ingest_gate battery
+    entry: probe results (flag, match count, best id, best estimate)
+    recomputed exactly in python from the corpus texts — same shingles,
+    xxhash64 minhashes, banding, and (est, id)-lexicographic tie-break."""
+    import random
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _docs(spark).select("doc_id", "text").collect()
+    }
+    P = 2147483647
+    rng = random.Random(42)
+    coeffs = [(rng.randrange(1, P), rng.randrange(0, P)) for _ in range(64)]
+
+    def sig_of(text):
+        toks = text.split(" ")
+        hi = max(len(toks) - 3, 0)
+        sh = {" ".join(toks[i:i + 3]) for i in range(hi + 1)}
+        base = [_signed64(_xxh64(s.encode())) % P for s in sh]
+        return [
+            min((h * a + b) % P for h in base) if base else P
+            for a, b in coeffs
+        ]
+
+    sigs = {i: sig_of(t) for i, t in texts.items()}
+    rpb = 64 // 16
+    cbuckets: dict = {}
+    for i, s in sigs.items():
+        if i % 2 == 0:  # corpus side
+            for b in range(16):
+                cbuckets.setdefault(
+                    (b, tuple(s[b * rpb:(b + 1) * rpb])), []
+                ).append(i)
+    want = {}
+    for bi, bs in sigs.items():
+        if bi % 2 == 0:
+            continue  # batch side only
+        nmatch, best, seen = 0, None, set()
+        for b in range(16):
+            for ci in cbuckets.get((b, tuple(bs[b * rpb:(b + 1) * rpb])), ()):
+                if ci in seen:
+                    continue
+                seen.add(ci)
+                est = sum(x == y for x, y in zip(bs, sigs[ci])) / 64
+                if est >= 0.3:
+                    nmatch += 1
+                    if best is None or (est, ci) > best:
+                        best = (est, ci)
+        want[bi] = (
+            best is not None,
+            nmatch,
+            best[1] if best else None,
+            round(best[0], 6) if best else None,
+        )
+    got = {
+        r["doc_id"]: (
+            r["neardup"],
+            r["neardup_matches"],
+            r["neardup_best_id"],
+            r["neardup_best_est"],
+        )
+        for r in QUERIES["neardup_ingest_gate"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(v[0] for v in want.values()), "replay must flag some near-dups"
