@@ -125,6 +125,11 @@ _DEMOTED = [
     "mql_search_fuzzy",
     "mql_search_near",
     "mql_search_autocomplete",
+    # round-6 addition parks below the window by construction: corpus
+    # n-gram frequency shares the explode → hash-agg → TakeOrdered shape
+    # already graded by mql_unwind_wordcount; its exact oracle runs in
+    # tests/test_battery.py
+    "text_top_ngrams",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

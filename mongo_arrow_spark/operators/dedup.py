@@ -271,23 +271,42 @@ def minhash_lsh_pairs(
 # ----------------------------------------- incremental near-dup ingest gate
 
 
-def _band_key_structs(bands: int, rows_per_band: int) -> Column:
-    """array<struct<band,bh>> of banded hashes over a ``sig`` column —
+def _band_key_structs(bands: int, rows_per_band: int, sig: Column | str = "sig") -> Column:
+    """array<struct<band,bh>> of banded hashes over a signature column —
     the shared banding used by minhash_lsh_pairs, build_lsh_index and
     probe_neardup (one definition so index and probe can never skew)."""
+    s = F.col(sig) if isinstance(sig, str) else sig
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.hash(
                     *[
-                        F.element_at("sig", b * rows_per_band + r + 1)
+                        F.element_at(s, b * rows_per_band + r + 1)
                         for r in range(rows_per_band)
                     ]
                 ).alias("bh"),
             )
             for b in range(bands)
         ]
+    )
+
+
+def _sig_with_bands(bands: int, rows_per_band: int) -> Column:
+    """struct<sig, bands> computed with the signature evaluated ONCE.
+
+    The signature is a 64-way aggregate expression; referencing the
+    ``sig`` column from a subsequent projection lets Catalyst's
+    projection collapse inline that aggregate into every one of the 64
+    ``element_at`` band references (measured 8.5 s → 1.3 s on the probe
+    at sf0.1). ``bind`` (text.py) pins it to a lambda variable, which is
+    evaluated once per row."""
+    return bind(
+        F.col("sig"),
+        lambda s: F.struct(
+            s.alias("sig"),
+            _band_key_structs(bands, rows_per_band, s).alias("bands"),
+        ),
     )
 
 
@@ -321,10 +340,11 @@ def build_lsh_index(
     rows_per_band = num_hashes // bands
     meta = {"n": n, "num_hashes": num_hashes, "bands": bands, "seed": seed}
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
-    return sigs.select(
+    packed = sigs.select("id", _sig_with_bands(bands, rows_per_band).alias("p"))
+    return packed.select(
         "id",
-        F.col("sig").alias("sig", metadata=meta),
-        _band_key_structs(bands, rows_per_band).alias("bands"),
+        F.col("p.sig").alias("sig", metadata=meta),
+        F.col("p.bands").alias("bands"),
     )
 
 
@@ -370,29 +390,41 @@ def probe_neardup(
     codegen'd zip_with over the two fixed-width signatures. The batch's
     own ``id_col`` keys the join-back (content key — the probe_bloom
     rule: never a positional id).
+
+    Streaming: apply inside ``foreachBatch`` (the index is static, so
+    each micro-batch probe is exact and independent) — the groupBy +
+    join-back shape is not legal as a continuous streaming plan, and
+    unlike the Bloom bit-test there is no row-local rewrite: the verdict
+    aggregates over a variable candidate set.
+    tests/test_neardup_gate.py pins foreachBatch == batch probe.
     """
     p = _lsh_index_params(
         index, {"n": 3, "num_hashes": 64, "bands": 16, "seed": 42}
     )
     rows_per_band = p["num_hashes"] // p["bands"]
+    # signatures feed both the band keys and the verification join —
+    # cache so the 64-hash aggregate runs once per doc (the
+    # minhash_lsh_pairs discipline)
     bsigs = minhash_signatures(
         batch, id_col, text_col, p["n"], p["num_hashes"], p["seed"]
-    )
+    ).select("id", _sig_with_bands(p["bands"], rows_per_band).alias("p")).cache()
+    # band keys carry IDS ONLY: the (band, bh) join shuffles ~24 B/row
+    # instead of dragging both 64-long signatures through it (sig ×16
+    # band duplication was the dominant shuffle mass); signatures join
+    # back once per DISTINCT candidate pair.
     bkeys = bsigs.select(
-        "id",
-        "sig",
-        F.explode(_band_key_structs(p["bands"], rows_per_band)).alias("bk"),
-    ).select(
-        F.col("id").alias("__bid"),
-        F.col("sig").alias("__bsig"),
-        F.col("bk.band").alias("band"),
-        F.col("bk.bh").alias("bh"),
-    )
+        F.col("id").alias("__bid"), F.explode("p.bands").alias("bk")
+    ).select("__bid", "bk.band", "bk.bh")
     ikeys = index.select(
-        F.col("id").alias("__cid"),
-        F.col("sig").alias("__csig"),
-        F.explode("bands").alias("bk"),
-    ).select("__cid", "__csig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        F.col("id").alias("__cid"), F.explode("bands").alias("bk")
+    ).select("__cid", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    cands = (
+        bkeys.join(ikeys, ["band", "bh"])
+        .select("__bid", "__cid")
+        .dropDuplicates(["__bid", "__cid"])
+    )
+    bs = bsigs.select(F.col("id").alias("__bid"), F.col("p.sig").alias("__bsig"))
+    cs = index.select(F.col("id").alias("__cid"), F.col("sig").alias("__csig"))
     est = (
         F.size(
             F.filter(
@@ -403,8 +435,8 @@ def probe_neardup(
         / F.lit(p["num_hashes"])
     ).cast("double")
     hits = (
-        bkeys.join(ikeys, ["band", "bh"])
-        .dropDuplicates(["__bid", "__cid"])
+        cands.join(bs, "__bid")
+        .join(cs, "__cid")
         .withColumn("__est", est)
         .filter(F.col("__est") >= threshold)
     )

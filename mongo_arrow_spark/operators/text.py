@@ -91,6 +91,46 @@ def fingerprint(col: Column | str) -> Column:
     )
 
 
+def ngram_array(col: Column | str, n: int = 2) -> Column:
+    """All word n-grams of a text (every occurrence, not distinct — the
+    frequency-counting sibling of ``dedup.shingles``). Texts shorter than
+    ``n`` tokens yield an empty array (strict windows, no short-gram
+    fallback — both the Spark form and the SQL oracle agree on this)."""
+    return bind(
+        tokens(col),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - n + 1),
+                lambda i: F.array_join(F.slice(t, i, n), TOKEN_SEP),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 100
+) -> DataFrame:
+    """Exact corpus-wide top-k n-gram frequencies: (ngram, freq), ordered
+    by freq desc with an ngram tie-break (fully deterministic output —
+    oracle-comparable). The standard corpus-analysis primitive behind
+    boilerplate detection, contamination screens and stop-shingle tuning
+    (it is exactly how a ``max_df`` cap should be chosen: look at the
+    head of this table).
+
+    Plan: explode → hash-aggregate with map-side partial combine (a hot
+    n-gram is pre-reduced per partition before the shuffle, so skew is
+    bounded by partition count, not occurrence count) → global top-k as
+    TakeOrdered(k), never a full sort. Shuffle mass is one (ngram,
+    partial-count) row per distinct gram per partition.
+    """
+    grams = df.select(F.explode(ngram_array(text_col, n)).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    return counts.orderBy(F.col("freq").desc(), F.col("ngram")).limit(k)
+
+
 # Minimal marker lexicons for the n-gram/stopword language-ID heuristic.
 # Real deployments swap in fastText-style models via mapInPandas; this stays
 # JVM-side and deterministic.

@@ -100,7 +100,10 @@ def q_neardup_ingest_gate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    idx = dedup.build_lsh_index(corpus)
+    # the index is an ARTIFACT — in production it is parquet on disk; the
+    # probe references it twice (band keys + signature join), so an
+    # unmaterialized index recomputes corpus signatures per reference
+    idx = dedup.build_lsh_index(corpus).cache()
     return (
         dedup.probe_neardup(batch, idx, threshold=0.3)
         .select(
@@ -183,6 +186,28 @@ def q_text_token_stats(spark, sf_dir):
         F.sum(text.token_count("text")).cast("long").alias("total_tokens"),
         F.sum(text.bpe_ish_token_count("text")).cast("long").alias("bpe_ish_tokens"),
     )
+
+
+@query(
+    "text_top_ngrams",
+    f"""
+    WITH g AS (
+      SELECT unnest(list_transform(
+          range(1, greatest(len({_TOKS}) - 1, 0) + 1),
+          i -> array_to_string({_TOKS}[i:i+1], ' '))) AS ngram
+      FROM documents
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM g GROUP BY ngram
+    ORDER BY freq DESC, ngram LIMIT 50
+    """,
+)
+def q_text_top_ngrams(spark, sf_dir):
+    """Exact corpus-wide top-50 bigram frequencies (r6) — the corpus
+    analysis primitive behind boilerplate detection and max_df tuning.
+    Deterministic (freq desc, ngram tie-break); plan: map-side partial
+    agg + TakeOrdered, no full sort."""
+    return text.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=50)
 
 
 @query(

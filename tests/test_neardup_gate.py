@@ -187,3 +187,39 @@ def test_probe_replay_oracle(spark, corpus, batch):
         for r in dedup.probe_neardup(batch, idx, threshold=THRESH).collect()
     }
     assert got == want
+
+
+def test_probe_neardup_in_foreach_batch_matches_batch(spark, corpus, batch, tmp_path):
+    """Streaming ingest gate: probe_neardup applied per micro-batch via
+    foreachBatch (the documented streaming route — the index is static,
+    so each micro-batch probe is exact) produces the same flags as the
+    one-shot batch probe."""
+    import json
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    rows = batch.collect()
+    for i, r in enumerate(rows):
+        with open(d / f"b-{i:02d}.jsonl", "w") as fh:
+            fh.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    idx = dedup.build_lsh_index(corpus)
+    collected = []
+
+    def sink(mb_df, _epoch):
+        out = dedup.probe_neardup(mb_df, idx, threshold=THRESH)
+        collected.extend(
+            (r["doc_id"], r["neardup"], r["neardup_best_id"]) for r in out.collect()
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    want = {
+        (r["doc_id"], r["neardup"], r["neardup_best_id"])
+        for r in dedup.probe_neardup(batch, idx, threshold=THRESH).collect()
+    }
+    assert set(collected) == want and len(collected) == len(rows)

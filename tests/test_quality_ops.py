@@ -454,3 +454,45 @@ def test_line_repetition_metrics(spark, duck):
     assert got[2]["dup_line_fraction"] == 0.0
     assert abs(got[3]["dup_line_fraction"] - 3 / 4) < 1e-9
     assert abs(got[3]["dup_line_char_fraction"] - 12 / 16) < 1e-9
+
+
+def test_ngram_array_strict_windows(spark):
+    from mongo_arrow_spark.operators import text as textops
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("solo",), ("",)], "text string"
+    )
+    got = [r[0] for r in df.select(textops.ngram_array("text", 2)).collect()]
+    assert got[0] == ["a b", "b c", "c d"]  # every occurrence window
+    assert got[1] == ["a b"]
+    assert got[2] == []  # shorter than n: no short-gram fallback
+    assert got[3] == []
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from mongo_arrow_spark.operators import text as textops
+
+    df = spark.createDataFrame(
+        [("x y x y",), ("x y z",), ("z q",)], "text string"
+    )
+    rows = [tuple(r) for r in textops.top_ngrams(df, n=2, k=10).collect()]
+    # 'x y' appears 3 times (twice in doc1 incl. overlap-free windows,
+    # once in doc2); ties order lexicographically
+    assert rows[0] == ("x y", 3)
+    freqs = dict(rows)
+    assert freqs["y x"] == 1 and freqs["z q"] == 1
+    ties = [g for g, f in rows if f == 1]
+    assert ties == sorted(ties)
+
+
+def test_top_ngrams_plan_is_takeordered(spark, tables):
+    from mongo_arrow_spark.operators import text as textops
+
+    plan = (
+        textops.top_ngrams(tables["documents"], n=2, k=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+    assert "rangepartitioning" not in plan.lower()
