@@ -1326,6 +1326,14 @@ def _meta(args, env=None):
     return F.col(cols[args])
 
 
+@_op("$sigmoid")
+def _sigmoid(args, env):
+    """MongoDB 8.1 ``$sigmoid``: 1 / (1 + e^-x) — the score-shaping
+    companion of ``$scoreFusion``'s sigmoid normalization."""
+    x = translate_expr(args, env).cast("double")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
+
+
 # ------------------------------------------------- round-2 surface additions
 
 

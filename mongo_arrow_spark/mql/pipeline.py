@@ -905,6 +905,35 @@ def _set_window_fields(df, args, resolve):
                 field, F.last(translate_expr(arg), ignorenulls=True).over(w)
             )
             continue
+        if op == "$minMaxScaler":
+            # MongoDB 8.1: scale input to [min, max] over the window.
+            # Unlike order-sensitive aggs, its default window is the
+            # WHOLE partition (["unbounded", "unbounded"] per the docs);
+            # a constant window scales to the lower bound (server: 0
+            # for the default [0, 1]).
+            if not isinstance(arg, dict) or "input" not in arg:
+                raise MQLTranslationError("$minMaxScaler requires {input}")
+            inp = translate_expr(arg["input"])
+            lo = float(arg.get("min", 0.0))
+            hi = float(arg.get("max", 1.0))
+            if hi <= lo:
+                raise MQLTranslationError("$minMaxScaler max must exceed min")
+            w = _frame(
+                base,
+                window
+                if window is not None
+                else {"documents": ["unbounded", "unbounded"]},
+                sort_by,
+            )
+            mn = F.min(inp).over(w)
+            mx = F.max(inp).over(w)
+            scaled = F.when(mx > mn, (inp - mn) / (mx - mn)).otherwise(
+                F.lit(0.0)
+            )
+            df = df.withColumn(
+                field, (scaled * F.lit(hi - lo) + F.lit(lo)).cast("double")
+            )
+            continue
         if op == "$linearFill":
             df = _linear_fill(df, field, arg, base, sort_by)
             continue

@@ -2569,3 +2569,61 @@ def test_search_text_match_criteria_all(spark):
             [{"$search": {"text": {"query": "x", "path": "body",
                                    "matchCriteria": "most"}}}],
         )
+
+
+def test_min_max_scaler_window_function(spark):
+    """$setWindowFields $minMaxScaler (8.1): scales to [min,max] over the
+    window; default window is the whole partition; constant windows scale
+    to the lower bound; explicit document frames respected."""
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 40.0),
+         ("b", 1, 5.0), ("b", 2, 5.0)],
+        "k string, i int, v double",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {"$setWindowFields": {
+                "partitionBy": "$k",
+                "sortBy": {"i": 1},
+                "output": {
+                    "scaled": {"$minMaxScaler": {"input": "$v"}},
+                    "scaled5": {"$minMaxScaler": {"input": "$v",
+                                                  "min": 1, "max": 5}},
+                    "running": {"$minMaxScaler": {"input": "$v"},
+                                "window": {"documents": ["unbounded",
+                                                         "current"]}},
+                },
+            }}
+        ],
+    )
+    rows = {(r["k"], r["i"]): r for r in out.collect()}
+    # whole-partition default: a → (10,20,40) maps to (0, 1/3, 1)
+    assert rows[("a", 1)]["scaled"] == 0.0
+    assert abs(rows[("a", 2)]["scaled"] - 1 / 3) < 1e-12
+    assert rows[("a", 3)]["scaled"] == 1.0
+    # custom range [1, 5]
+    assert rows[("a", 1)]["scaled5"] == 1.0
+    assert rows[("a", 3)]["scaled5"] == 5.0
+    # constant partition scales to the lower bound
+    assert rows[("b", 1)]["scaled"] == 0.0 and rows[("b", 2)]["scaled"] == 0.0
+    # explicit running frame: each row vs its prefix
+    assert rows[("a", 1)]["running"] == 0.0  # single-element prefix
+    assert rows[("a", 2)]["running"] == 1.0  # max of (10, 20)
+    assert rows[("a", 3)]["running"] == 1.0
+    with pytest.raises(MQLTranslationError, match="max must exceed"):
+        apply_pipeline(df, [{"$setWindowFields": {
+            "partitionBy": "$k",
+            "output": {"x": {"$minMaxScaler": {"input": "$v",
+                                               "min": 2, "max": 2}}}}}])
+
+
+def test_sigmoid_expression(spark):
+    import math
+
+    from mongo_arrow_spark.mql import translate_expr
+
+    df = spark.createDataFrame([(0.0,), (2.0,), (-3.0,)], "x double")
+    got = [r[0] for r in df.select(translate_expr({"$sigmoid": "$x"})).collect()]
+    want = [1 / (1 + math.exp(-v)) for v in (0.0, 2.0, -3.0)]
+    assert all(abs(g - w) < 1e-12 for g, w in zip(got, want))
