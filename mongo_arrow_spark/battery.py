@@ -125,11 +125,17 @@ _DEMOTED = [
     "mql_search_fuzzy",
     "mql_search_near",
     "mql_search_autocomplete",
-    # round-6 addition parks below the window by construction: corpus
+    # round-6 additions park below the window by construction: corpus
     # n-gram frequency shares the explode → hash-agg → TakeOrdered shape
-    # already graded by mql_unwind_wordcount; its exact oracle runs in
+    # already graded by mql_unwind_wordcount; the leakage-safe split
+    # composes the GRADED dedup_components and the train_split md5 bucket
+    # (both already pinned). Their exact oracles run in
     # tests/test_battery.py
     "text_top_ngrams",
+    "cluster_safe_split",
+    # corpus drift shares the explode+agg shape (mql_unwind_wordcount)
+    # plus a token-keyed full-outer join; oracle runs in pytest
+    "corpus_drift",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -1276,14 +1276,70 @@ _CONVERT_TO = {
 }
 
 
+def _convert_formatted(inp, to, fmt):
+    """MongoDB 8.0 ``$convert`` ``format``: binData ↔ string through an
+    encoding. string side: base64 / base64url / hex (lowercase, like the
+    server) / utf8 / uuid (canonical hyphenated). binData side uses
+    try_to_binary so malformed input yields null → routes to onError."""
+    if to == "string":
+        if fmt == "base64":
+            return F.base64(inp)
+        if fmt == "base64url":
+            return F.translate(F.base64(inp), "+/", "-_")
+        if fmt == "hex":
+            return F.lower(F.hex(inp))
+        if fmt == "utf8":
+            return F.decode(inp, "UTF-8")
+        if fmt == "uuid":
+            h = F.lower(F.hex(inp))
+            return F.when(
+                F.length(h) == 32,
+                F.concat_ws(
+                    "-",
+                    F.substring(h, 1, 8),
+                    F.substring(h, 9, 4),
+                    F.substring(h, 13, 4),
+                    F.substring(h, 17, 4),
+                    F.substring(h, 21, 12),
+                ),
+            )
+    elif to == "binData":
+        if fmt == "base64":
+            return F.try_to_binary(inp, F.lit("base64"))
+        if fmt == "base64url":
+            return F.try_to_binary(
+                F.translate(inp, "-_", "+/"), F.lit("base64")
+            )
+        if fmt == "hex":
+            return F.try_to_binary(inp, F.lit("hex"))
+        if fmt == "utf8":
+            return F.encode(inp, "UTF-8")
+        if fmt == "uuid":
+            # canonical hyphenated string → 16 raw bytes
+            return F.when(
+                F.length(inp) == 36,
+                F.try_to_binary(F.translate(inp, "-", ""), F.lit("hex")),
+            )
+    raise MQLTranslationError(
+        f"$convert format {fmt!r} unsupported for to: {to!r} "
+        "(binData↔string with base64/base64url/hex/utf8/uuid)"
+    )
+
+
 @_op("$convert")
 def _convert(args, env):
     inp = translate_expr(args["input"], env)
     to = args["to"]
-    spark_t = _CONVERT_TO.get(to)
-    if spark_t is None:
-        raise MQLTranslationError(f"$convert to {to} unsupported")
-    out = inp.try_cast(spark_t)
+    fmt = args.get("format")
+    if fmt is not None:
+        out = _convert_formatted(inp, to, fmt)
+    elif to == "binData":
+        out = inp.try_cast("binary")
+    else:
+        spark_t = _CONVERT_TO.get(to)
+        if spark_t is None:
+            raise MQLTranslationError(f"$convert to {to} unsupported")
+        out = inp.try_cast(spark_t)
     if "onError" in args:
         out = F.when(inp.isNotNull() & out.isNull(), translate_expr(args["onError"], env)).otherwise(out)
     if "onNull" in args:

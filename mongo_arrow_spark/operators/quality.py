@@ -347,19 +347,62 @@ def train_split(
     on the DuckDB oracle, on a re-run, and after any repartitioning. Pure
     projection, no shuffle, no RNG state.
     """
+    return df.withColumn(
+        "split", _split_label(F.col(id_col), train, val, salt)
+    )
+
+
+def _split_label(key: Column, train: float, val: float, salt: str) -> Column:
+    """The md5-bucket split assignment over an arbitrary key column
+    (shared by train_split and cluster_safe_split so the two can never
+    disagree on bucket arithmetic)."""
     if not (0 <= train and 0 <= val and train + val <= 1):
         raise ValueError("train/val must be >= 0 with train + val <= 1")
     t_train = format(int(train * 65536), "04x")
     t_val = format(int((train + val) * 65536), "04x")
-    bucket = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
-    )
-    return df.withColumn(
-        "split",
+    bucket = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4)
+    return (
         F.when(bucket < t_train, "train")
         .when(bucket < t_val, "val")
-        .otherwise("test"),
+        .otherwise("test")
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: near-dup CLUSTERS are
+    assigned whole, so a document and its near-duplicates can never
+    straddle splits — the classic eval leak where test answers sit in the
+    training set as near-copies. ``pairs`` is any candidate-pair table
+    (ngram_jaccard_pairs / minhash_lsh_pairs / semantic_dedup_pairs);
+    documents in no pair split independently on their own id.
+
+    Plan: connected components over the pairs (the same post-pair step
+    every dedup pipeline runs), one LEFT join of the (id, component)
+    table onto the corpus, then the shared md5-bucket label computed on
+    ``coalesce(component, id)`` — every member of a cluster hashes the
+    identical key. The component table is bounded by docs appearing in
+    any pair (typically ≪ corpus, where AQE demotes the join to
+    broadcast; on a dirty corpus it can approach corpus size, so the
+    join is left to the optimizer rather than force-broadcast). The
+    label itself is a pure projection.
+    """
+    from mongo_arrow_spark.operators import dedup as _dedup
+
+    comp = _dedup.connected_components(pairs, a_col, b_col).select(
+        F.col("id").alias(id_col), F.col("component")
+    )
+    out = df.join(comp, id_col, "left")
+    key = F.coalesce(F.col("component"), F.col(id_col))
+    return out.withColumn("split", _split_label(key, train, val, salt))
 
 
 def stratified_sample(

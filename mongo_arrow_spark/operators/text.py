@@ -131,6 +131,73 @@ def top_ngrams(
     return counts.orderBy(F.col("freq").desc(), F.col("ngram")).limit(k)
 
 
+def token_distribution(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, n, p): unigram counts and probabilities over a corpus.
+    One explode + hash-agg (map-side partial combine); the total is a
+    1-row broadcast, never a second scan."""
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token", "n", (F.col("n") / F.col("__total")).cast("double").alias("p")
+    )
+
+
+def corpus_drift(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Token-distribution drift between two corpora: the top-``k`` tokens
+    by pointwise Jensen–Shannon contribution (natural log), with both
+    probabilities — the standard QA screen before mixing a new snapshot
+    into a training corpus (catches template floods, language shifts,
+    boilerplate drift long before downstream evals do).
+
+    Pointwise JS term: 0.5·p·ln(p/m) + 0.5·q·ln(q/m), m = (p+q)/2,
+    zero-probability sides contribute 0 — always ≥ 0, and summing the
+    full (un-truncated) table gives the total JS divergence
+    (``js_divergence``). Plan: two token aggs + one full-outer join on
+    the token key + TakeOrdered(k); everything shuffles token-count
+    rows, never documents.
+    """
+    P = token_distribution(left, text_col).select(
+        "token", F.col("p").alias("p_left")
+    )
+    Q = token_distribution(right, text_col).select(
+        "token", F.col("p").alias("p_right")
+    )
+    j = (
+        P.join(Q, "token", "full_outer")
+        .fillna(0.0, ["p_left", "p_right"])
+    )
+    pl, pr = F.col("p_left"), F.col("p_right")
+    m = (pl + pr) / 2
+    term = F.lit(0.5) * (
+        F.when(pl > 0, pl * F.log(pl / m)).otherwise(F.lit(0.0))
+        + F.when(pr > 0, pr * F.log(pr / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        j.withColumn("js_term", term.cast("double"))
+        .orderBy(F.col("js_term").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def js_divergence(
+    left: DataFrame, right: DataFrame, text_col: str = "text"
+) -> float:
+    """Total Jensen–Shannon divergence (nats) between the two corpora's
+    unigram distributions — the un-truncated sum of corpus_drift terms.
+    Driver-side scalar (one agg row)."""
+    full = corpus_drift(left, right, text_col, k=2**31 - 1)
+    return float(full.agg(F.sum("js_term")).first()[0] or 0.0)
+
+
 # Minimal marker lexicons for the n-gram/stopword language-ID heuristic.
 # Real deployments swap in fastText-style models via mapInPandas; this stays
 # JVM-side and deterministic.

@@ -428,6 +428,110 @@ def q_dedup_components(spark, sf_dir):
 
 
 @query(
+    "cluster_safe_split",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len({_TOKS}) - 1, 2)),
+          i -> array_to_string({_TOKS}[i:i+2], ' ')))) AS s
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_JACCARD_MAX_DF}),
+    posts AS (SELECT * FROM sh ANTI JOIN hot USING (s)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    reach AS (
+      SELECT src AS v, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v)
+    SELECT d.doc_id, c.component,
+           CASE WHEN substr(md5('split' ||
+                    CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 4)
+                  < 'cccc' THEN 'train'
+                WHEN substr(md5('split' ||
+                    CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 4)
+                  < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (r6): near-dup clusters
+    (ngram-Jaccard pairs → connected components) are assigned whole via
+    the md5 bucket of coalesce(component, doc_id) — a test document can
+    never have a near-copy in train. 'cccc'/'e666' are
+    int(0.8·65536)/int(0.9·65536) in hex, the same thresholds
+    quality._split_label derives."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, max_df=_JACCARD_MAX_DF
+    )
+    return quality.cluster_safe_split(docs, pairs).select(
+        "doc_id", "component", "split"
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_drift",
+    """
+    WITH lt AS (SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE lang = 'en'),
+    rt AS (SELECT unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE lang <> 'en'),
+    lc AS (SELECT token, COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM lt)
+                    AS p_left FROM lt GROUP BY token),
+    rc AS (SELECT token, COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM rt)
+                    AS p_right FROM rt GROUP BY token),
+    j AS (SELECT COALESCE(lc.token, rc.token) AS token,
+                 COALESCE(p_left, 0.0) AS p_left,
+                 COALESCE(p_right, 0.0) AS p_right
+          FROM lc FULL JOIN rc ON lc.token = rc.token)
+    SELECT token, p_left, p_right,
+           ROUND(0.5 * (
+             CASE WHEN p_left > 0
+                  THEN p_left * ln(p_left / ((p_left + p_right) / 2))
+                  ELSE 0 END +
+             CASE WHEN p_right > 0
+                  THEN p_right * ln(p_right / ((p_left + p_right) / 2))
+                  ELSE 0 END), 6) AS js_term
+    FROM j
+    ORDER BY js_term DESC, token LIMIT 50
+    """,
+)
+def q_corpus_drift(spark, sf_dir):
+    """Token-distribution drift (r6): pointwise Jensen-Shannon terms
+    between the English and non-English sub-corpora, top 50 — the QA
+    screen run before mixing a new snapshot into a training corpus.
+    Terms rounded to 6 (ln differs in the last ulp across engines) and
+    re-ordered on the rounded value so both engines agree on ties."""
+    docs = _t(spark, sf_dir, "documents")
+    drift = text.corpus_drift(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        k=1 << 30,
+    )
+    return (
+        drift.withColumn("js_term", F.round("js_term", 6))
+        .orderBy(F.col("js_term").desc(), "token")
+        .limit(50)
+    )
+
+
+@query(
     "pii_scan",
     r"""
     SELECT doc_id, n_email, n_ipv4, n_phone,

@@ -673,3 +673,48 @@ def test_to_bool_try_cast(spark):
     assert [r["bn"] for r in out] == [False, True]
     assert [r["bs"] for r in out] == [True, False]
     assert [r["bt"] for r in out] == [None, True]  # unparseable -> null, no ANSI crash
+
+
+def test_convert_format_bindata_string(spark):
+    """$convert format (8.0): binData ↔ string via base64/base64url/hex/
+    utf8/uuid; malformed input yields null without onError and routes to
+    onError when given."""
+    from mongo_arrow_spark.mql import translate_expr
+
+    df = spark.createDataFrame([(b"\xfb\xef\xbe", "hi!")], "b binary, s string")
+
+    def one(expr):
+        return df.select(translate_expr(expr).alias("x")).first()["x"]
+
+    assert one({"$convert": {"input": "$b", "to": "string",
+                             "format": "base64"}}) == "++++"
+    assert one({"$convert": {"input": "$b", "to": "string",
+                             "format": "base64url"}}) == "----"
+    assert one({"$convert": {"input": "$b", "to": "string",
+                             "format": "hex"}}) == "fbefbe"
+    assert one({"$convert": {"input": "$s", "to": "binData",
+                             "format": "utf8"}}) == bytearray(b"hi!")
+    # round-trips
+    rt = {"$convert": {"input": {"$convert": {"input": "$b", "to": "string",
+                                              "format": "base64url"}},
+                       "to": "binData", "format": "base64url"}}
+    assert one(rt) == bytearray(b"\xfb\xef\xbe")
+    u = "123e4567-e89b-12d3-a456-426614174000"
+    rt_uuid = {"$convert": {"input": {"$literal": u}, "to": "binData",
+                            "format": "uuid"}}
+    assert one({"$convert": {"input": rt_uuid, "to": "string",
+                             "format": "uuid"}}) == u
+    # malformed hex: null by default, onError fallback when present
+    assert one({"$convert": {"input": {"$literal": "zz"}, "to": "binData",
+                             "format": "hex"}}) is None
+    # onError value unifies with the binary branch type
+    assert one({"$convert": {"input": {"$literal": "zz"}, "to": "binData",
+                             "format": "hex",
+                             "onError": {"$literal": "bad"}}}) == bytearray(b"bad")
+    import pytest as _pytest
+
+    from mongo_arrow_spark.errors import MQLTranslationError
+
+    with _pytest.raises(MQLTranslationError, match="format"):
+        translate_expr({"$convert": {"input": "$b", "to": "int",
+                                     "format": "hex"}})

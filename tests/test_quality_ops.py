@@ -496,3 +496,54 @@ def test_top_ngrams_plan_is_takeordered(spark, tables):
     )
     assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_cluster_safe_split_no_cluster_straddles(spark, tables):
+    """Leakage property: every near-dup cluster lands in exactly one
+    split; documents in no pair get their plain train_split label."""
+    from mongo_arrow_spark.operators import text as textops  # noqa: F401
+
+    docs = tables["documents"]
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=100)
+    out = quality.cluster_safe_split(docs, pairs).cache()
+    clustered = out.filter(F.col("component").isNotNull())
+    assert clustered.count() > 0, "fixture must exercise clusters"
+    straddle = (
+        clustered.groupBy("component")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # unpaired docs agree with plain train_split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in quality.train_split(docs).select("doc_id", "split").collect()
+    }
+    for r in out.filter(F.col("component").isNull()).collect():
+        assert r["split"] == plain[r["doc_id"]]
+    # all three labels exist and ratios are sane at corpus size
+    frac = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(frac.values())
+    assert 0.7 < frac.get("train", 0) / total < 0.9
+
+
+def test_js_divergence_properties(spark):
+    """JS divergence: 0 for identical corpora, ln(2) for disjoint ones,
+    symmetric in between."""
+    import math
+
+    from mongo_arrow_spark.operators import text as textops
+
+    a = spark.createDataFrame([("x y z",), ("x y",)], "text string")
+    b = spark.createDataFrame([("p q",), ("p q r",)], "text string")
+    assert abs(textops.js_divergence(a, a)) < 1e-12
+    # disjoint vocabularies: JS = ln 2
+    assert abs(textops.js_divergence(a, b) - math.log(2)) < 1e-9
+    mixed = spark.createDataFrame([("x q",)], "text string")
+    d1 = textops.js_divergence(a, mixed)
+    d2 = textops.js_divergence(mixed, a)
+    assert abs(d1 - d2) < 1e-12 and 0 < d1 < math.log(2)
