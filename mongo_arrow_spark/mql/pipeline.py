@@ -455,7 +455,7 @@ def _py_accumulator(arg) -> Column:
     return udf(F.collect_list(inp))
 
 
-def _merge_objects_acc(arg) -> Column:
+def _merge_objects_acc(arg, over=None) -> Column:
     """$mergeObjects as a $group accumulator: fold the group's documents
     (MapType column) with last-wins key overwrite. collect_list drops
     null documents (MQL ignores null/missing); the fold is entries-wise
@@ -466,6 +466,8 @@ def _merge_objects_acc(arg) -> Column:
     caller pre-sorts (documented parity with the reference engine)."""
     inp = translate_expr(arg)
     lst = F.collect_list(inp)
+    if over is not None:  # window-function form: frame the collect itself
+        lst = lst.over(over)
 
     def merge2(acc, x):
         return F.map_from_entries(
@@ -484,7 +486,7 @@ def _merge_objects_acc(arg) -> Column:
     return F.aggregate(rest, F.get(lst, F.lit(0)), merge2)
 
 
-def _top_bottom(op, arg) -> Column:
+def _top_bottom(op, arg, over=None) -> Column:
     """$top/$bottom/$topN/$bottomN: output expression(s) of the best
     row(s) under sortBy. Implemented as sort_array over collected
     (sort-keys..., output) structs + slice — one collect per group, no
@@ -513,6 +515,8 @@ def _top_bottom(op, arg) -> Column:
     pairs = F.collect_list(
         F.struct(*keys, translate_expr(arg["output"]).alias("__v"))
     )
+    if over is not None:  # window-function form: frame the collect itself
+        pairs = pairs.over(over)
     ordered = F.sort_array(pairs, asc=pick_first)
     top = F.transform(F.slice(ordered, 1, n), lambda s: s.getField("__v"))
     if op in ("$top", "$bottom"):
@@ -941,8 +945,7 @@ def _set_window_fields(df, args, resolve):
             df = _calculus_window(df, field, op, arg, base, window, sort_by)
             continue
         w = _frame(base, window, sort_by)
-        agg = _window_agg(op, arg)
-        df = df.withColumn(field, agg.over(w))
+        df = df.withColumn(field, _window_agg(op, arg, w))
     return df
 
 
@@ -1047,34 +1050,53 @@ def _calculus_window(df, field, op, arg, base, window, sort_by):
     return df.withColumn(field, F.coalesce(F.sum(inc).over(w), F.lit(0.0)))
 
 
-def _window_agg(op, arg) -> Column:
-    if op == "$sum":
-        return F.sum(translate_expr(arg))
-    if op == "$avg":
-        return F.avg(translate_expr(arg))
-    if op == "$min":
-        return F.min(translate_expr(arg))
-    if op == "$max":
-        return F.max(translate_expr(arg))
-    if op == "$count":
-        return F.count(F.lit(1))
-    if op == "$push":
-        return F.collect_list(translate_expr(arg))
-    if op == "$first":
-        return F.first(translate_expr(arg))
-    if op == "$last":
-        return F.last(translate_expr(arg))
-    if op == "$stdDevPop":
-        return F.stddev_pop(translate_expr(arg))
-    if op == "$stdDevSamp":
-        return F.stddev_samp(translate_expr(arg))
+def _window_agg(op, arg, w) -> Column:
+    """Fully-windowed Column for an accumulator-style window function.
+
+    Root-aggregate accumulators delegate to the $group translator and
+    attach the frame directly. COMPOSED accumulators (post-processing
+    around a collect — $minN/$maxN/$firstN/$lastN/$top(N)/$bottom(N)/
+    $mergeObjects) must window the INNER collect: .over() on the outer
+    expression is not an aggregate root and fails analysis."""
+    if op in ("$minN", "$maxN"):
+        inp = translate_expr(arg["input"])
+        n = int(arg["n"])
+        return F.slice(
+            F.sort_array(F.collect_list(inp).over(w), asc=op == "$minN"),
+            1,
+            n,
+        )
+    if op in ("$firstN", "$lastN"):
+        inp = translate_expr(arg["input"])
+        n = int(arg["n"])
+        col = F.collect_list(F.struct(inp.alias("v"))).over(w)
+        if op == "$firstN":
+            sliced = F.slice(col, 1, n)
+        else:
+            sliced = F.slice(
+                col, F.greatest(F.size(col) - n + 1, F.lit(1)), n
+            )
+        return F.transform(sliced, lambda s: s.getField("v"))
+    if op in ("$top", "$bottom", "$topN", "$bottomN"):
+        return _top_bottom(op, arg, over=w)
+    if op == "$mergeObjects":
+        return _merge_objects_acc(arg, over=w)
     if op == "$covariancePop":
         a, b = arg
-        return F.covar_pop(translate_expr(a), translate_expr(b))
+        return F.covar_pop(translate_expr(a), translate_expr(b)).over(w)
     if op == "$covarianceSamp":
         a, b = arg
-        return F.covar_samp(translate_expr(a), translate_expr(b))
-    raise MQLTranslationError(f"unsupported window function: {op}")
+        return F.covar_samp(translate_expr(a), translate_expr(b)).over(w)
+    if op == "$accumulator":
+        # the python-callable form runs as a pandas UDAF — not legal
+        # over a window frame
+        raise MQLTranslationError(
+            "$accumulator is not supported as a window function"
+        )
+    # every remaining accumulator ($sum/$avg/$min/$max/$count/$push/
+    # $addToSet/$first/$last/$stdDev*/$median/$percentile) is a ROOT
+    # aggregate — MQL 7.0 exposes them as window functions too
+    return _accumulator({op: arg}).over(w)
 
 
 _BOUND = {"unbounded": None, "current": 0}

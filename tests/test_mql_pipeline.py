@@ -2627,3 +2627,57 @@ def test_sigmoid_expression(spark):
     got = [r[0] for r in df.select(translate_expr({"$sigmoid": "$x"})).collect()]
     want = [1 / (1 + math.exp(-v)) for v in (0.0, 2.0, -3.0)]
     assert all(abs(g - w) < 1e-12 for g, w in zip(got, want))
+
+
+def test_window_accumulator_functions(spark):
+    """MQL 7.0 exposes the pure-aggregate accumulators as window
+    functions; $setWindowFields routes them through the same translator
+    ($addToSet/$median/$minN/$topN here), with document frames
+    respected."""
+    df = spark.createDataFrame(
+        [("a", 1, 5.0, "x"), ("a", 2, 1.0, "y"), ("a", 3, 3.0, "x"),
+         ("b", 1, 7.0, "z")],
+        "k string, i int, v double, tag string",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {"$setWindowFields": {
+                "partitionBy": "$k",
+                "sortBy": {"i": 1},
+                "output": {
+                    "tags": {"$addToSet": "$tag",
+                             "window": {"documents": ["unbounded",
+                                                      "unbounded"]}},
+                    "med": {"$median": {"input": "$v",
+                                        "method": "approximate"},
+                            "window": {"documents": ["unbounded",
+                                                     "unbounded"]}},
+                    "low2": {"$minN": {"input": "$v", "n": 2},
+                             "window": {"documents": ["unbounded",
+                                                      "unbounded"]}},
+                    "best": {"$topN": {"sortBy": {"v": -1}, "output": "$i",
+                                       "n": 2},
+                             "window": {"documents": ["unbounded",
+                                                      "unbounded"]}},
+                    "run_max2": {"$maxN": {"input": "$v", "n": 2},
+                                 "window": {"documents": ["unbounded",
+                                                          "current"]}},
+                },
+            }}
+        ],
+    )
+    rows = {(r["k"], r["i"]): r for r in out.collect()}
+    assert sorted(rows[("a", 1)]["tags"]) == ["x", "y"]
+    assert rows[("a", 1)]["med"] == 3.0
+    assert rows[("a", 1)]["low2"] == [1.0, 3.0]
+    assert rows[("a", 1)]["best"] == [1, 3]  # v desc → 5.0 (i=1), 3.0 (i=3)
+    assert rows[("b", 1)]["best"] == [1]
+    # running frame: prefix maxima
+    assert rows[("a", 1)]["run_max2"] == [5.0]
+    assert rows[("a", 2)]["run_max2"] == [5.0, 1.0]
+    assert rows[("a", 3)]["run_max2"] == [5.0, 3.0]
+    with pytest.raises(MQLTranslationError, match="window function"):
+        apply_pipeline(df, [{"$setWindowFields": {
+            "partitionBy": "$k",
+            "output": {"x": {"$accumulator": {"lang": "python"}}}}}])
