@@ -58,9 +58,13 @@ HEADLINE = [
     # round-5 addition: compressed dump ingest (gzip corpus materialized
     # once in the warm-up; timed runs measure the whole-file decode path)
     "q_scan_gzip_dump",
-    # round-6 addition: incremental near-dup ingest gate (index build +
-    # band-key probe; key added r6 — diff per-query vs r5, not totals)
+    # round-6 additions (keys added r6 — diff per-query vs r5, not
+    # totals): incremental near-dup ingest gate (index build + band-key
+    # probe), leakage-safe cluster split (pairs → components → md5
+    # label), corpus drift (token-distribution JS terms)
     "neardup_ingest_gate",
+    "cluster_safe_split",
+    "corpus_drift",
 ]
 
 
