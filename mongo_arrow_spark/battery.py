@@ -136,6 +136,10 @@ _DEMOTED = [
     # corpus drift shares the explode+agg shape (mql_unwind_wordcount)
     # plus a token-keyed full-outer join; oracle runs in pytest
     "corpus_drift",
+    # hive-partitioned round trip: the documents-source capability is
+    # graded via q_scan_gzip_dump; the partition-pruning variant's
+    # oracle runs in pytest
+    "q_scan_partitioned",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

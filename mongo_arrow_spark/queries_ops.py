@@ -1246,6 +1246,75 @@ def q_scan_gzip_dump(spark, sf_dir):
     )
 
 
+def _partitioned_corpus_dir(spark, sf_dir: str) -> str:
+    """Materialize the documents table as a hive-partitioned jsonl layout
+    (lang=<v>/ dirs; idempotent per sf_dir) through the engine's own sink."""
+    import hashlib
+    import os
+
+    from mongo_arrow_spark.sources import register
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/mas_hive_{tag}"
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    register(spark)
+    (
+        _t(spark, sf_dir, "documents")
+        .repartition(4)
+        .write.format("documents")
+        .option("partitionBy", "lang")
+        .mode("overwrite")
+        .save(d)
+    )
+    open(marker, "w").close()
+    return d
+
+
+@query(
+    "q_scan_partitioned",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_id
+    FROM documents WHERE lang IN ('en', 'de') GROUP BY lang ORDER BY lang
+    """,
+)
+def q_scan_partitioned(spark, sf_dir):
+    """Hive-partitioned round trip (r6): the corpus is written through
+    the sink's partitionBy=lang layout and read back with pushdown=true,
+    so the lang IN ('en','de') filter prunes every other language's
+    files at LISTING time (zero I/O, zero decode — the jsonl analog of
+    parquet partition pruning). Hash-matching the parquet oracle proves
+    the partitioned layout is value-lossless, partition columns
+    included."""
+    from mongo_arrow_spark.sources import register
+
+    register(spark)
+    d = _partitioned_corpus_dir(spark, sf_dir)
+    df = (
+        spark.read.format("documents")
+        .option(
+            "declaredSchema",
+            "doc_id bigint, text string, source string, n_chars bigint, "
+            "lang string",
+        )
+        .option("pushdown", "true")
+        .load(d)
+        .filter(F.col("lang").isin("en", "de"))
+    )
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("first_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("profile_sketches")  # rows-only: Datasketches estimates aren't DuckDB-reproducible
 def q_profile_sketches(spark, sf_dir):
     """Mergeable sketch profile of the documents table: per-source HLL +

@@ -27,6 +27,15 @@ compressed file is decoded whole by one task; small files are bin-packed
 into size-balanced multi-file partitions (first-fit decreasing on
 estimated decompressed size) so a directory of many little ``.gz`` parts
 still fans out evenly instead of producing one task per tiny file.
+
+Hive-style directory partitioning (r6): ``partitionBy=col[,col2]`` on the
+sink writes ``col=value/`` layouts with partition columns excluded from
+the payload; the reader recovers them as typed columns from the path
+(Spark-style type inference when schemaless) and, under ``pushdown=true``,
+prunes whole files at LISTING time for filters on partition columns — the
+jsonl analog of parquet partition pruning, which is the single biggest
+scan lever at 100 TB (a date-partitioned corpus filtered to one day reads
+1/365th of the files, no decode, no I/O).
 """
 
 from __future__ import annotations
@@ -139,6 +148,83 @@ def _open_decompressed(path: str):
 
 def _is_bson(path: str) -> bool:
     return _logical_name(path).endswith(".bson")
+
+
+# ------------------------------------------------ hive-style partitioning
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"  # Spark/Hive's null marker
+
+
+def _hive_encode(v) -> str:
+    """Partition value → path segment (URL-quoted like Spark's
+    ExternalCatalogUtils so separators/equals in values stay unambiguous)."""
+    import urllib.parse
+
+    if v is None:
+        return _HIVE_NULL
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return urllib.parse.quote(str(v), safe="")
+
+
+def _hive_parts(path: str) -> dict:
+    """``name=value`` directory segments of a file path → {name: raw str}
+    (None for the hive null marker). The standard layout assumption: any
+    such segment anywhere above the file is a partition column."""
+    import urllib.parse
+
+    out: dict = {}
+    for seg in os.path.dirname(path).split(os.sep):
+        if "=" in seg and not seg.startswith("="):
+            k, _, raw = seg.partition("=")
+            out[k] = None if raw == _HIVE_NULL else urllib.parse.unquote(raw)
+    return out
+
+
+def _coerce_partition(raw: str | None, dt: T.DataType):
+    """Typed decode of one hive path value. Partition dirs are layout
+    metadata, not data — an unparsable value is a structural error, so
+    this raises rather than nulling."""
+    if raw is None:
+        return None
+    try:
+        if isinstance(dt, (T.LongType, T.IntegerType)):
+            return int(raw)
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return float(raw)
+        if isinstance(dt, T.BooleanType):
+            return {"true": True, "false": False}[raw.lower()]
+        if isinstance(dt, T.StringType):
+            return raw
+        if isinstance(dt, T.DateType):
+            import datetime as dtm
+
+            return dtm.date.fromisoformat(raw)
+        if isinstance(dt, T.TimestampType):
+            import datetime as dtm
+
+            return dtm.datetime.fromisoformat(raw)
+    except (ValueError, KeyError) as exc:
+        raise SchemaError(f"bad partition value {raw!r} for {dt}: {exc}")
+    raise SchemaError(f"unsupported partition column type: {dt}")
+
+
+def _infer_partition_type(values) -> T.DataType:
+    """Spark-style partition type inference: all-int → long, all-float →
+    double, else string (nulls ignored)."""
+    seen = [v for v in values if v is not None]
+    if not seen:
+        return T.StringType()
+    for caster, t in ((int, T.LongType()), (float, T.DoubleType())):
+        try:
+            for v in seen:
+                caster(v)
+            return t
+        except ValueError:
+            continue
+    return T.StringType()
 
 
 # ------------------------------------------------------------- inference
@@ -325,6 +411,18 @@ def infer_schema(
                     break
         if seen >= sample_size:
             break
+    # hive partition columns: discovered from the path layout, typed by
+    # Spark-style inference (all-int → long, all-float → double, else
+    # string); a payload field of the same name keeps its doc-inferred
+    # type (the partition value overrides it at read, like Spark)
+    pobserved: dict[str, list] = {}
+    for path in _expand(paths):
+        for k, v in _hive_parts(path).items():
+            pobserved.setdefault(k, []).append(v)
+    for k, vals in pobserved.items():
+        if k not in fields:
+            fields[k] = _infer_partition_type(vals)
+            metas[k] = {}
     if not fields:
         raise SchemaError("cannot infer schema from empty input")
     return T.StructType(
@@ -351,11 +449,15 @@ def _expand(paths) -> list[str]:
     ]
     for p in paths:
         if os.path.isdir(p):
+            # recursive: hive-partitioned layouts nest part files under
+            # col=value/ directories
             out.extend(
                 sorted(
                     f
                     for pat in pats
-                    for f in _glob.glob(os.path.join(p, pat))
+                    for f in _glob.glob(
+                        os.path.join(p, "**", pat), recursive=True
+                    )
                 )
             )
         else:
@@ -705,7 +807,9 @@ def _filter_fn(filters: list[Filter], schema: T.StructType):
                 if v is None or not v <= f.value:
                     return False
             elif isinstance(f, In):
-                if _get(doc, a) not in f.values:
+                # the datasource API field is `value` (a tuple) — r6 fix:
+                # `f.values` raised AttributeError on the first pushed In
+                if _get(doc, a) not in f.value:
                     return False
             elif isinstance(f, IsNull):
                 if _get(doc, a) is not None:
@@ -816,13 +920,20 @@ class DocumentsReader(DataSourceReader):
         fields = self.schema.fields
         cols: list[list] = [[] for _ in fields]
         n = 0
-        for doc in self._raw_docs(part):
+        for doc, pv in self._docs_with_pvals(part):
+            if pv:
+                doc.update(pv)  # typed values: pred sees them like payload
             if self.filters and not pred(doc):
                 continue
             for i, f in enumerate(fields):
-                cols[i].append(
-                    _coerce(doc.get(f.name), f.dataType, self.strict, f.name, f.metadata)
-                )
+                if pv and f.name in pv:
+                    # partition columns come from the path, pre-typed —
+                    # never through the payload coercion
+                    cols[i].append(pv[f.name])
+                else:
+                    cols[i].append(
+                        _coerce(doc.get(f.name), f.dataType, self.strict, f.name, f.metadata)
+                    )
             n += 1
             if n >= self.batch_size:
                 yield _to_batch(pa, arrow_schema, cols)
@@ -830,6 +941,31 @@ class DocumentsReader(DataSourceReader):
                 n = 0
         if n:
             yield _to_batch(pa, arrow_schema, cols)
+
+    def _pvals_for(self, path: str) -> dict:
+        """Typed hive partition values of one file, restricted to schema
+        fields (unknown segments are ignored — they may be user dirs)."""
+        raw = _hive_parts(path)
+        if not raw:
+            return {}
+        return {
+            f.name: _coerce_partition(raw[f.name], f.dataType)
+            for f in self.schema.fields
+            if f.name in raw
+        }
+
+    def _docs_with_pvals(self, part) -> Iterator[tuple]:
+        """(doc, partition-values) pairs for one split — pvals resolved
+        per FILE, since bin-packed _FilesSplit groups may span dirs."""
+        if isinstance(part, _FilesSplit):
+            for path in part.paths:
+                pv = self._pvals_for(path)
+                for doc in self._whole_file_docs(path):
+                    yield doc, pv
+            return
+        pv = self._pvals_for(part.path)
+        for doc in self._raw_docs(part):
+            yield doc, pv
 
     def _raw_docs(self, part) -> Iterator[dict]:
         """Raw document stream for one split, before filter/coerce."""
@@ -937,6 +1073,43 @@ class DocumentsPushdownReader(DocumentsReader):
                 # Spark re-evaluates post-scan
                 yield f
 
+    def partitions(self):
+        """Hive partition pruning: accepted filters that reference a
+        file's partition columns are evaluated against the PATH values,
+        so whole files (and whole bin-packed groups' members) are
+        skipped before a single byte is read or decoded — the
+        listing-level analog of parquet partition pruning. Row-level
+        evaluation of the same filters stays in read() for payload
+        columns; partition columns are injected into each doc, so a
+        claimed partition filter is also correct row-wise."""
+        splits = super().partitions()
+        if not self.filters:
+            return splits
+
+        def keep(path: str) -> bool:
+            if not path:
+                return True
+            pv = self._pvals_for(path)
+            if not pv:
+                return True
+            sub = [
+                f
+                for f in self.filters
+                if len(getattr(f, "attribute", ())) == 1
+                and f.attribute[0] in pv
+            ]
+            return not sub or _filter_fn(sub, self.schema)(pv)
+
+        out: list[InputPartition] = []
+        for s in splits:
+            if isinstance(s, _FilesSplit):
+                kept = tuple(p for p in s.paths if keep(p))
+                if kept:
+                    out.append(_FilesSplit(kept))
+            elif keep(s.path):
+                out.append(s)
+        return out or [_Split("", 0, 0)]
+
 
 def _to_batch(pa, arrow_schema, cols):
     arrays = [
@@ -1022,6 +1195,27 @@ class DocumentsWriter(DataSourceArrowWriter):
             raise SchemaError("extendedJson is incompatible with preserialized")
         if self.extended_json and self.file_format == "bson":
             raise SchemaError("extendedJson applies to fileFormat=jsonl only")
+        # partitionBy=col[,col2]: hive-style directory layout
+        # (col=value/...), partition columns excluded from the payload —
+        # read back as columns by this source, and EqualTo/In filters on
+        # them prune whole files at listing time (pushdown=true)
+        self.partition_by = [
+            c.strip()
+            for c in str(options.get("partitionby", "")).split(",")
+            if c.strip()
+        ]
+        if self.partition_by:
+            if self.preserialized:
+                raise SchemaError(
+                    "partitionBy is incompatible with preserialized (the "
+                    "payload is already serialized with every column)"
+                )
+            known = {f.name for f in schema.fields}
+            missing = [c for c in self.partition_by if c not in known]
+            if missing:
+                raise SchemaError(f"partitionBy columns not in schema: {missing}")
+            if len(self.partition_by) == len(schema.fields):
+                raise SchemaError("partitionBy cannot cover every column")
 
     def write(self, iterator) -> _WriteResult:
         import numpy as np
@@ -1030,7 +1224,12 @@ class DocumentsWriter(DataSourceArrowWriter):
 
         os.makedirs(self.path, exist_ok=True)
         files, docs = [], 0
-        fh, nbytes, ndocs = None, 0, 0
+        #: per-partition-dir open-file state: reldir -> [fh, nbytes, ndocs]
+        state: dict = {}
+        #: bounded open handles for high-cardinality partitionBy — evicted
+        #: dirs simply roll a fresh part file on their next write (no
+        #: appends, so compressed streams stay single-member)
+        max_open = 64
 
         _ext = {"gzip": ".gz", "bz2": ".bz2", "xz": ".xz", "zstd": ".zst"}.get(
             self.compression, ""
@@ -1055,25 +1254,38 @@ class DocumentsWriter(DataSourceArrowWriter):
                 )
             return open(name, "wb")
 
-        def roll():
-            nonlocal fh, nbytes, ndocs
-            if fh:
-                fh.close()
+        def roll(reldir: str):
+            st = state.get(reldir)
+            if st and st[0]:
+                st[0].close()
+            if len(state) >= max_open and reldir not in state:
+                # evict the dir with the most bytes written (closest to a
+                # natural roll anyway)
+                victim = max(state, key=lambda k: state[k][1])
+                state[victim][0].close()
+                del state[victim]
+            d = os.path.join(self.path, reldir) if reldir else self.path
+            os.makedirs(d, exist_ok=True)
             name = os.path.join(
-                self.path, f"part-{uuid.uuid4().hex}.{self.file_format}{_ext}"
+                d, f"part-{uuid.uuid4().hex}.{self.file_format}{_ext}"
             )
             files.append(name)
-            fh = _open_part(name)
-            nbytes = ndocs = 0
+            state[reldir] = [_open_part(name), 0, 0]
 
-        def emit(chunk: bytes, blen: int, n: int):
+        def emit(chunk: bytes, blen: int, n: int, reldir: str = ""):
             # chunk is ≤ one roll unit by construction of the callers
-            nonlocal fh, nbytes, ndocs, docs
-            if fh is None or nbytes + blen > self.max_bytes or ndocs + n > self.max_docs:
-                roll()  # lazy first open: empty partitions write no files
-            fh.write(chunk)
-            nbytes += blen
-            ndocs += n
+            nonlocal docs
+            st = state.get(reldir)
+            if (
+                st is None
+                or st[1] + blen > self.max_bytes
+                or st[2] + n > self.max_docs
+            ):
+                roll(reldir)  # lazy first open: empty partitions write no files
+                st = state[reldir]
+            st[0].write(chunk)
+            st[1] += blen
+            st[2] += n
             docs += n
 
         for batch in iterator:
@@ -1105,24 +1317,36 @@ class DocumentsWriter(DataSourceArrowWriter):
                 from mongo_arrow_spark.bson_codec import encode_document
 
                 for doc in batch.to_pylist():
+                    reldir = self._reldir(doc)
                     if self.exclude_none:
                         doc = {k: v for k, v in doc.items() if v is not None}
                     data = encode_document(doc)
-                    emit(data, len(data), 1)
+                    emit(data, len(data), 1, reldir)
             else:
                 default = (
                     _ext_json_default if self.extended_json else _json_default
                 )
                 for doc in batch.to_pylist():
+                    reldir = self._reldir(doc)
                     if self.exclude_none:
                         doc = {k: v for k, v in doc.items() if v is not None}
                     data = (json.dumps(doc, default=default) + "\n").encode(
                         "utf-8"
                     )
-                    emit(data, len(data), 1)
-        if fh:
-            fh.close()
+                    emit(data, len(data), 1, reldir)
+        for st in state.values():
+            if st[0]:
+                st[0].close()
         return _WriteResult(files=files, docs=docs)
+
+    def _reldir(self, doc: dict) -> str:
+        """Hive-style relative dir for a doc; POPS the partition columns
+        out of the payload (hive convention: values live in the path)."""
+        if not self.partition_by:
+            return ""
+        return os.sep.join(
+            f"{c}={_hive_encode(doc.pop(c, None))}" for c in self.partition_by
+        )
 
     def commit(self, messages):
         total = sum(m.docs for m in messages if m)

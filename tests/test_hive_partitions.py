@@ -1,0 +1,216 @@
+"""Hive-style directory partitioning for the documents source/sink:
+partitioned writes (col=value layout, payload excludes partition columns),
+partition-column recovery on read (typed from the path, Spark-style
+inference), and listing-level pruning under pushdown=true.
+"""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.sources import register
+from mongo_arrow_spark.sources.documents import (
+    DocumentsPushdownReader,
+    _FilesSplit,
+    _hive_encode,
+    _hive_parts,
+    infer_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def part_dir(spark, tmp_path_factory):
+    """A partitioned dataset written through the sink."""
+    register(spark)
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", ["en", "de", "fr"][i % 3], i % 2) for i in range(60)],
+        "doc_id long, text string, lang string, bucket long",
+    )
+    out = str(tmp_path_factory.mktemp("hive") / "docs")
+    (df.write.format("documents")
+       .option("partitionBy", "lang,bucket").mode("append").save(out))
+    return out, df
+
+
+def test_write_layout_and_payload(spark, part_dir):
+    out, df = part_dir
+    dirs = sorted(
+        os.path.relpath(os.path.dirname(p), out)
+        for p in glob.glob(os.path.join(out, "**", "*.jsonl"), recursive=True)
+    )
+    assert set(dirs) == {
+        f"lang={lang}/bucket={b}" for lang in ("en", "de", "fr") for b in (0, 1)
+    }
+    # payload excludes the partition columns (hive convention)
+    sample = glob.glob(os.path.join(out, "lang=en", "bucket=0", "*.jsonl"))[0]
+    with open(sample) as fh:
+        doc = json.loads(fh.readline())
+    assert set(doc) == {"doc_id", "text"}
+
+
+def test_read_back_schemaless_recovers_typed_columns(spark, part_dir):
+    out, df = part_dir
+    back = spark.read.format("documents").load(out)
+    # partition columns recovered; bucket inferred numeric, lang string
+    dt = dict(back.dtypes)
+    assert dt["lang"] == "string" and dt["bucket"] == "bigint"
+    a = sorted(map(tuple, df.select("doc_id", "text", "lang", "bucket").collect()))
+    b = sorted(map(tuple, back.select("doc_id", "text", "lang", "bucket").collect()))
+    assert a == b
+
+
+def test_read_back_declared_schema(spark, part_dir):
+    out, df = part_dir
+    back = (
+        spark.read.format("documents")
+        .option("declaredSchema",
+                "doc_id bigint, text string, lang string, bucket bigint")
+        .load(out)
+    )
+    assert back.filter("bucket = 1").count() == 30
+    assert back.filter("lang = 'de'").count() == 20
+
+
+def test_null_and_special_partition_values(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a/b=c"), (3, "plain")], "id long, k string"
+    )
+    out = str(tmp_path / "nulls")
+    df.write.format("documents").option("partitionBy", "k").mode("append").save(out)
+    dirs = {os.path.basename(os.path.dirname(p))
+            for p in glob.glob(os.path.join(out, "**", "*.jsonl"), recursive=True)}
+    assert "k=__HIVE_DEFAULT_PARTITION__" in dirs
+    assert "k=a%2Fb%3Dc" in dirs  # URL-quoted separators
+    back = spark.read.format("documents").option(
+        "declaredSchema", "id long, k string"
+    ).load(out)
+    got = {r["id"]: r["k"] for r in back.collect()}
+    assert got == {1: None, 2: "a/b=c", 3: "plain"}
+
+
+def test_partition_pruning_skips_files(spark, part_dir):
+    out, _ = part_dir
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(
+        "doc_id bigint, text string, lang string, bucket bigint"
+    )
+    reader = DocumentsPushdownReader(
+        schema, {"path": out, "pushdown": "true"}
+    )
+    total = len(reader.partitions())
+    leftover = list(reader.pushFilters([EqualTo(("lang",), "en")]))
+    assert leftover == []  # claimed
+    pruned = reader.partitions()
+    assert 0 < len(pruned) < total
+    for s in pruned:
+        paths = s.paths if isinstance(s, _FilesSplit) else (s.path,)
+        for p in paths:
+            assert _hive_parts(p)["lang"] == "en"
+
+
+def test_filter_correctness_with_and_without_pushdown(spark, part_dir):
+    out, df = part_dir
+    want = sorted(
+        r["doc_id"] for r in df.filter("lang = 'fr' AND bucket = 0").collect()
+    )
+    for opts in ({}, {"pushdown": "true"}):
+        rd = spark.read.format("documents").option(
+            "declaredSchema",
+            "doc_id bigint, text string, lang string, bucket bigint",
+        )
+        for k, v in opts.items():
+            rd = rd.option(k, v)
+        got = sorted(
+            r["doc_id"]
+            for r in rd.load(out)
+            .filter((F.col("lang") == "fr") & (F.col("bucket") == 0))
+            .collect()
+        )
+        assert got == want, opts
+
+
+def test_partitioned_compressed_round_trip(spark, tmp_path):
+    """Compressed parts inside partition dirs: bin-packed _FilesSplit
+    groups may span dirs, so partition values resolve per FILE."""
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "ab"[i % 2]) for i in range(40)],
+        "id long, text string, grp string",
+    )
+    out = str(tmp_path / "gz")
+    (df.write.format("documents")
+       .option("partitionBy", "grp")
+       .option("compression", "gzip").mode("append").save(out))
+    assert glob.glob(os.path.join(out, "grp=a", "*.jsonl.gz"))
+    back = spark.read.format("documents").option(
+        "declaredSchema", "id long, text string, grp string"
+    ).load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_infer_schema_partition_types(tmp_path):
+    d = tmp_path / "p" / "x=3" / "y=2.5" / "z=w"
+    d.mkdir(parents=True)
+    (d / "f.jsonl").write_text('{"a": 1}\n')
+    schema = infer_schema(str(tmp_path / "p"))
+    got = {f.name: f.dataType.simpleString() for f in schema.fields}
+    # payload ints infer narrow (int32-first, reference widening rule);
+    # partition ints go straight to long like Spark's partition inference
+    assert got == {"a": "int", "x": "bigint", "y": "double", "z": "string"}
+
+
+def test_hive_encode_decode_round_trip():
+    for v in ["plain", "with space", "a/b=c", "", "日本語"]:
+        enc = _hive_encode(v)
+        assert "/" not in enc and "=" not in enc
+        assert _hive_parts(f"/base/k={enc}/part.jsonl")["k"] == v
+    assert _hive_parts("/base/k=__HIVE_DEFAULT_PARTITION__/f.jsonl")["k"] is None
+
+
+def test_partition_by_validation(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    with pytest.raises(Exception, match="not in schema"):
+        (df.write.format("documents")
+           .option("partitionBy", "nope").mode("append").save(str(tmp_path / "v1")))
+    with pytest.raises(Exception, match="every column"):
+        (df.write.format("documents")
+           .option("partitionBy", "id,s").mode("append").save(str(tmp_path / "v2")))
+
+
+def test_in_filter_pushdown_regression(spark, part_dir):
+    """r6 regression: _filter_fn read In.values but the datasource API
+    field is In.value — the first pushed In filter raised
+    AttributeError. Pin both the claimed-filter evaluation and the
+    listing-level pruning for In."""
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import In
+
+    out, df = part_dir
+    schema = T.StructType.fromDDL(
+        "doc_id bigint, text string, lang string, bucket bigint"
+    )
+    reader = DocumentsPushdownReader(schema, {"path": out, "pushdown": "true"})
+    assert list(reader.pushFilters([In(("lang",), ("en", "fr"))])) == []
+    pruned = reader.partitions()
+    for s in pruned:
+        paths = s.paths if isinstance(s, _FilesSplit) else (s.path,)
+        for p in paths:
+            assert _hive_parts(p)["lang"] in ("en", "fr")
+    want = sorted(
+        r["doc_id"] for r in df.filter("lang IN ('en','fr')").collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("documents")
+        .option("declaredSchema",
+                "doc_id bigint, text string, lang string, bucket bigint")
+        .option("pushdown", "true")
+        .load(out)
+        .filter(F.col("lang").isin("en", "fr"))
+        .collect()
+    )
+    assert got == want
