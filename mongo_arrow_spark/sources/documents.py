@@ -1426,20 +1426,29 @@ class DocumentsStreamReader(DataSourceStreamReader):
         self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
 
     def _listing(self) -> list[str]:
+        # recursive: arrivals may land in hive col=value/ partition dirs
         pats = [
             f"*.{base}{c}"
             for base in ("jsonl", "bson")
             for c in ("",) + _COMPRESSION_SUFFIXES
         ]
         return sorted(
-            f for pat in pats for f in _glob.glob(os.path.join(self.dir, pat))
+            f
+            for pat in pats
+            for f in _glob.glob(
+                os.path.join(self.dir, "**", pat), recursive=True
+            )
         )
 
     def initialOffset(self):
         return {"seen": []}
 
     def latestOffset(self):
-        return {"seen": [os.path.basename(f) for f in self._listing()]}
+        # offsets key on RELATIVE paths (not basenames): partition dirs
+        # may hold same-named part files in different subdirectories
+        return {
+            "seen": [os.path.relpath(f, self.dir) for f in self._listing()]
+        }
 
     def partitions(self, start, end):
         new = sorted(set(end.get("seen", ())) - set(start.get("seen", ())))

@@ -214,3 +214,33 @@ def test_in_filter_pushdown_regression(spark, part_dir):
         .collect()
     )
     assert got == want
+
+
+def test_streaming_from_partitioned_dirs(spark, tmp_path):
+    """The change-stream source lists partition dirs recursively, keys
+    offsets on relative paths (same-named part files in different dirs
+    must not collide), and recovers partition columns per file."""
+    import uuid as _uuid
+
+    d = tmp_path / "stream"
+    (d / "grp=a").mkdir(parents=True)
+    (d / "grp=b").mkdir(parents=True)
+    # deliberately identical basenames in both dirs
+    (d / "grp=a" / "part-0.jsonl").write_text('{"id": 1}\n')
+    (d / "grp=b" / "part-0.jsonl").write_text('{"id": 2}\n')
+    register(spark)
+    stream = (
+        spark.readStream.format("documents")
+        .option("declaredSchema", "id long, grp string")
+        .load(str(d))
+    )
+    name = f"hive_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(f"SELECT id, grp FROM {name}").collect()))
+    assert got == [(1, "a"), (2, "b")]
