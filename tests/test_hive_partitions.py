@@ -244,3 +244,40 @@ def test_streaming_from_partitioned_dirs(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql(f"SELECT id, grp FROM {name}").collect()))
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_date_and_bool_partition_columns(spark, tmp_path):
+    """Typed partition values beyond strings/ints: date and boolean
+    round-trip through the path encoding."""
+    import datetime as dtm
+
+    register(spark)
+    df = spark.createDataFrame(
+        [(1, dtm.date(2024, 1, 1), True), (2, dtm.date(2024, 1, 2), False)],
+        "id long, day date, flag boolean",
+    )
+    out = str(tmp_path / "dates")
+    (df.write.format("documents")
+       .option("partitionBy", "day,flag").mode("append").save(out))
+    back = spark.read.format("documents").option(
+        "declaredSchema", "id long, day date, flag boolean"
+    ).load(out)
+    got = sorted(map(tuple, back.collect()))
+    assert got == sorted(map(tuple, df.collect()))
+    # pruning on a date partition column is not claimed (DateType is not
+    # raw-JSON filterable) but post-scan evaluation stays correct
+    assert back.filter("day = DATE'2024-01-01'").count() == 1
+
+
+def test_partition_value_property_round_trip(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=30))
+    def check(v):
+        enc = _hive_encode(v)
+        assert "/" not in enc and os.sep not in enc and "=" not in enc
+        assert _hive_parts(f"/b/k={enc}/f.jsonl").get("k") == v
+
+    check()
