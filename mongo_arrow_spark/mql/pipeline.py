@@ -584,6 +584,10 @@ def _lookup(df, args, resolve):
             )
             return df.crossJoin(F.broadcast(arr))
         local_expr, foreign_field, rest = eq
+        # rewrite constraint (documented): the remaining sub-pipeline
+        # runs on the foreign side BEFORE the correlation join, so (a) a
+        # trailing $project must keep the correlation field, and (b)
+        # per-group stages like $limit apply globally, not per local row
         sub = apply_pipeline(foreign, rest, resolve) if rest else foreign
         grouped = sub.groupBy(
             F.col(foreign_field).alias("__lk")
@@ -605,37 +609,59 @@ def _lookup(df, args, resolve):
 
 def _correlated_eq(pipeline, let):
     """Detect the canonical correlated-$lookup shape:
-    [{$match: {$expr: {$eq: ["$foreign", "$$local_var"]}}}, ...rest]
-    Returns (local_expr, foreign_field, rest_pipeline) or None.
+    [...let-free prefix..., {$match: {$expr: {$eq: ["$foreign",
+    "$$local_var"]}}}, ...rest] and return
+    (local_expr, foreign_field, rest_pipeline) or None.
 
-    Sibling predicates in the leading $match (e.g. {"$match": {"$expr":
-    {...}, "status": "active"}}) are NOT discarded: they are re-emitted
-    as a $match at the head of the rest pipeline so the foreign side is
-    filtered exactly as MQL would."""
-    if not pipeline:
-        return None
-    first = pipeline[0]
-    try:
-        ((name, margs),) = first.items()
-        if name != "$match":
+    The correlated $match may be preceded by stages that don't reference
+    $$let variables (r6 — the Atlas shape where ``$search`` must LEAD a
+    $lookup subpipeline, with the correlation $match second); the prefix
+    runs on the foreign side before correlation, exactly its original
+    position. Sibling predicates in the correlated $match are NOT
+    discarded: they are re-emitted as a $match in the rest pipeline so
+    the foreign side is filtered exactly as MQL would."""
+    for idx, stage in enumerate(pipeline or []):
+        try:
+            ((name, margs),) = stage.items()
+        except (ValueError, AttributeError):
             return None
-        expr = margs["$expr"]
-        ((op, pair),) = expr.items()
-        if op != "$eq":
+        parsed = None
+        if name == "$match" and isinstance(margs, dict) and "$expr" in margs:
+            try:
+                ((op, pair),) = margs["$expr"].items()
+                if op == "$eq":
+                    a, b = pair
+                    var = next(
+                        p for p in (a, b)
+                        if isinstance(p, str) and p.startswith("$$")
+                    )
+                    fld = next(
+                        p for p in (a, b)
+                        if isinstance(p, str)
+                        and p.startswith("$")
+                        and not p.startswith("$$")
+                    )
+                    parsed = (var, fld)
+            except (KeyError, ValueError, StopIteration, AttributeError):
+                parsed = None
+        if parsed is None:
+            if _uses_let_var(stage):
+                return None  # correlated stage we can't rewrite past
+            continue  # let-free prefix stage: runs on the foreign side
+        var, fld = parsed
+        if var[2:] not in let:
             return None
-        a, b = pair
-        var = next(p for p in (a, b) if isinstance(p, str) and p.startswith("$$"))
-        fld = next(p for p in (a, b) if isinstance(p, str) and p.startswith("$") and not p.startswith("$$"))
-    except (KeyError, ValueError, StopIteration, AttributeError):
-        return None
-    local_expr = let[var[2:]]
-    rest = list(pipeline[1:])
-    siblings = {k: v for k, v in margs.items() if k != "$expr"}
-    if siblings:
-        if any(_uses_let_var(v) for v in siblings.values()):
-            return None  # sibling references $$var — fall back
-        rest = [{"$match": siblings}] + rest
-    return local_expr, fld[1:], rest
+        local_expr = let[var[2:]]
+        rest = list(pipeline[:idx]) + list(pipeline[idx + 1:])
+        siblings = {k: v for k, v in margs.items() if k != "$expr"}
+        if siblings:
+            if any(_uses_let_var(v) for v in siblings.values()):
+                return None  # sibling references $$var — fall back
+            rest = list(pipeline[:idx]) + [{"$match": siblings}] + list(
+                pipeline[idx + 1:]
+            )
+        return local_expr, fld[1:], rest
+    return None
 
 
 def _uses_let_var(node) -> bool:

@@ -2681,3 +2681,39 @@ def test_window_accumulator_functions(spark):
         apply_pipeline(df, [{"$setWindowFields": {
             "partitionBy": "$k",
             "output": {"x": {"$accumulator": {"lang": "python"}}}}}])
+
+
+def test_search_inside_lookup_subpipeline(spark):
+    """Compositionality: a $lookup subpipeline may itself run $search
+    (the Atlas federated-search-join shape) — the translator resolves
+    collections and score columns through nested apply_pipeline."""
+    from mongo_arrow_spark.api import aggregate
+
+    users = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "_id long, name string"
+    )
+    posts = spark.createDataFrame(
+        [(10, 1, "spark tuning notes"), (11, 1, "gardening"),
+         (12, 2, "more spark tricks")],
+        "_id long, user_id long, body string",
+    )
+    out = aggregate(
+        users,
+        [
+            {"$lookup": {
+                "from": "posts",
+                "let": {"uid": "$_id"},
+                "pipeline": [
+                    {"$search": {"text": {"query": "spark", "path": "body"}}},
+                    {"$match": {"$expr": {"$eq": ["$user_id", "$$uid"]}}},
+                    # the correlation field must survive trailing
+                    # projections (documented rewrite constraint)
+                    {"$project": {"_id": 1, "user_id": 1}},
+                ],
+                "as": "hits",
+            }},
+        ],
+        collections={"posts": posts},
+    )
+    got = {r["_id"]: sorted(h["_id"] for h in r["hits"]) for r in out.collect()}
+    assert got == {1: [10], 2: [12]}
