@@ -101,3 +101,58 @@ def test_ddl_parser_roundtrip(fields):
     st_ = _parse_ddl(ddl)
     assert [f.name for f in st_.fields] == [n for n, _ in fields]
     assert _parse_ddl(st_.simpleString()[7:-1].replace(":", " ", 0) if False else ddl) == st_
+
+
+# ---------------------------------------- full sink→source round trip
+
+
+def test_write_read_round_trip_property(spark, tmp_path):
+    """Hypothesis-driven end-to-end: random typed rows → documents sink
+    (plain, extendedJson, gzip+partitioned) → source → value equality.
+    One Spark job per variant with all examples embedded as rows."""
+    from hypothesis import strategies as st
+
+    from mongo_arrow_spark.sources import register
+
+    register(spark)
+    texts = st.text(
+        max_size=24,
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+    )
+    row = st.tuples(
+        st.integers(min_value=-(2**31), max_value=2**31),
+        st.one_of(st.none(), texts),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       width=64)),
+        st.lists(st.floats(allow_nan=False, allow_infinity=False, width=64),
+                 max_size=3),
+        st.sampled_from(["g0", "g1", "g2"]),
+    )
+    rows = st.lists(row, min_size=30, max_size=30, unique_by=lambda r: r[0])
+    data = rows.example()
+    ddl = "id long, s string, d double, arr array<double>, grp string"
+    df = spark.createDataFrame(data, ddl)
+    want = sorted(map(tuple, df.collect()))
+
+    variants = [
+        {},
+        {"extendedJson": "true"},
+        {"compression": "gzip", "partitionBy": "grp"},
+    ]
+    for i, opts in enumerate(variants):
+        out = str(tmp_path / f"rt{i}")
+        w = df.write.format("documents").mode("append")
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.save(out)
+        got = sorted(
+            map(
+                tuple,
+                spark.read.format("documents")
+                .option("declaredSchema", ddl)
+                .load(out)
+                .select("id", "s", "d", "arr", "grp")
+                .collect(),
+            )
+        )
+        assert got == want, opts
