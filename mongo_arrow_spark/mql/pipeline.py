@@ -588,6 +588,24 @@ def _lookup(df, args, resolve):
         # runs on the foreign side BEFORE the correlation join, so (a) a
         # trailing $project must keep the correlation field, and (b)
         # per-group stages like $limit apply globally, not per local row
+        risky = [
+            next(iter(s))
+            for s in rest
+            if isinstance(s, dict)
+            and next(iter(s), None) in ("$limit", "$skip", "$sample")
+        ]
+        if risky:
+            # MQL runs the subpipeline once per outer document; the
+            # equi-join rewrite evaluates it ONCE globally. Row-wise
+            # stages (match/project/search scoring) are identical either
+            # way, but cardinality stages differ — surface it instead of
+            # silently returning per-collection limits.
+            warnings.warn(
+                f"$lookup correlated rewrite applies {sorted(set(risky))} "
+                "to the whole foreign collection, not per outer row; use "
+                "$topN-style accumulators on the joined array for "
+                "per-row caps"
+            )
         sub = apply_pipeline(foreign, rest, resolve) if rest else foreign
         grouped = sub.groupBy(
             F.col(foreign_field).alias("__lk")

@@ -2717,3 +2717,48 @@ def test_search_inside_lookup_subpipeline(spark):
     )
     got = {r["_id"]: sorted(h["_id"] for h in r["hits"]) for r in out.collect()}
     assert got == {1: [10], 2: [12]}
+
+
+def test_union_with_search_subpipeline(spark):
+    """$unionWith pipelines may run $search too (hybrid corpus unions)."""
+    from mongo_arrow_spark.api import aggregate
+
+    a = spark.createDataFrame([(1, "spark here")], "_id long, body string")
+    b = spark.createDataFrame(
+        [(2, "also spark"), (3, "nothing")], "_id long, body string"
+    )
+    out = aggregate(
+        a,
+        [
+            {"$unionWith": {"coll": "b", "pipeline": [
+                {"$search": {"text": {"query": "spark", "path": "body"}}},
+                {"$project": {"_id": 1, "body": 1}},
+            ]}},
+            {"$project": {"_id": 1}},
+        ],
+        collections={"b": b},
+    )
+    assert sorted(r["_id"] for r in out.collect()) == [1, 2]
+
+
+def test_correlated_lookup_warns_on_cardinality_stages(spark):
+    import warnings as w
+
+    from mongo_arrow_spark.api import aggregate
+
+    users = spark.createDataFrame([(1,)], "_id long")
+    posts = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1)], "_id long, user_id long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        aggregate(
+            users,
+            [{"$lookup": {"from": "p", "let": {"u": "$_id"},
+                          "pipeline": [
+                              {"$match": {"$expr": {"$eq": ["$user_id", "$$u"]}}},
+                              {"$limit": 2}],
+                          "as": "hits"}}],
+            collections={"p": posts},
+        ).collect()
+    assert any("whole foreign collection" in str(x.message) for x in caught)
