@@ -125,21 +125,27 @@ _DEMOTED = [
     "mql_search_fuzzy",
     "mql_search_near",
     "mql_search_autocomplete",
-    # round-6 additions park below the window by construction: corpus
-    # n-gram frequency shares the explode → hash-agg → TakeOrdered shape
-    # already graded by mql_unwind_wordcount; the leakage-safe split
-    # composes the GRADED dedup_components and the train_split md5 bucket
-    # (both already pinned). Their exact oracles run in
+    # round-6 additions parked below the window: corpus n-gram frequency
+    # shares the explode → hash-agg → TakeOrdered shape already graded
+    # by mql_unwind_wordcount; corpus drift adds only a token-keyed
+    # full-outer join to that shape. Their exact oracles run in
     # tests/test_battery.py
     "text_top_ngrams",
-    "cluster_safe_split",
-    # corpus drift shares the explode+agg shape (mql_unwind_wordcount)
-    # plus a token-keyed full-outer join; oracle runs in pytest
     "corpus_drift",
-    # hive-partitioned round trip: the documents-source capability is
-    # graded via q_scan_gzip_dump; the partition-pruning variant's
-    # oracle runs in pytest
-    "q_scan_partitioned",
+    # Round-6 rotation: the round's two flagship entries enter the
+    # graded 50 —
+    #   cluster_safe_split (leakage-safe split) takes train_split's
+    #   slot: it CONTAINS the identical md5-bucket label (shared
+    #   _split_label) composed with the GRADED dedup_components
+    #   clustering, so the split capability stays pinned by the strictly
+    #   stronger entry; train_split's own oracle runs in pytest.
+    #   q_scan_partitioned (hive-partitioned ingest + listing-level
+    #   pruning) takes decontaminate_pairs' slot: cross-corpus Jaccard
+    #   shares the posting-join machinery graded by dedup_ngram_jaccard
+    #   (plus test_packing_semdedup/test_battery pytest oracles), while
+    #   the partitioned-layout path is brand-new surface.
+    "train_split",
+    "decontaminate_pairs",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -50,8 +50,10 @@ print("VANILLA_GATE_PASS")
 REPRESENTATIVES = [
     "q01_pricing_summary",  # parquet scan + agg (ns-timestamp conf path)
     "q_scan_gzip_dump",  # documents python data source (r5 driver failure)
+    "q_scan_partitioned",  # pushdown=true reader (needs the _configure conf)
     "cdc_watch_stream",  # streaming micro-batch replay
     "mql_vector_search",  # MQL translator + embeddings table
+    "cluster_safe_split",  # r6 graded rotation: components + md5 label
 ]
 
 
