@@ -584,45 +584,155 @@ def _lookup(df, args, resolve):
             )
             return df.crossJoin(F.broadcast(arr))
         local_expr, foreign_field, rest = eq
-        # rewrite constraint (documented): the remaining sub-pipeline
-        # runs on the foreign side BEFORE the correlation join, so (a) a
-        # trailing $project must keep the correlation field, and (b)
-        # per-group stages like $limit apply globally, not per local row
+        main, suffix = _split_cardinality_suffix(rest)
+        sub = apply_pipeline(foreign, main, resolve) if main else foreign
+        if suffix and not _suffix_translatable(suffix, sub):
+            # untranslatable trailing stages (missing sort field, mixed
+            # directions on non-numeric keys): fold them back into the
+            # pre-join pipeline and surface the semantics gap
+            sub = apply_pipeline(sub, [dict([s]) for s in suffix], resolve)
+            _warn_global_cardinality([n for n, _ in suffix])
+            suffix = []
+        # mid-pipeline cardinality stages (a $limit BEFORE a $project,
+        # say) still run once globally — per MQL they'd run per outer
+        # document. Trailing runs are handled exactly below; only the
+        # buried ones are left to warn about.
         risky = [
             next(iter(s))
-            for s in rest
+            for s in main
             if isinstance(s, dict)
             and next(iter(s), None) in ("$limit", "$skip", "$sample")
         ]
         if risky:
-            # MQL runs the subpipeline once per outer document; the
-            # equi-join rewrite evaluates it ONCE globally. Row-wise
-            # stages (match/project/search scoring) are identical either
-            # way, but cardinality stages differ — surface it instead of
-            # silently returning per-collection limits.
-            warnings.warn(
-                f"$lookup correlated rewrite applies {sorted(set(risky))} "
-                "to the whole foreign collection, not per outer row; use "
-                "$topN-style accumulators on the joined array for "
-                "per-row caps"
-            )
-        sub = apply_pipeline(foreign, rest, resolve) if rest else foreign
+            _warn_global_cardinality(risky)
         grouped = sub.groupBy(
             F.col(foreign_field).alias("__lk")
         ).agg(F.collect_list(F.struct(*sub.columns)).alias(as_field))
         joined = df.join(
             grouped, translate_expr(local_expr) == grouped["__lk"], "left"
         ).drop("__lk")
-        return joined.withColumn(
-            as_field, F.coalesce(F.col(as_field), F.array())
-        )
+        arr = F.coalesce(F.col(as_field), F.array())
+        return joined.withColumn(as_field, _apply_array_suffix(arr, suffix))
     local, foreign_field = args["localField"], args["foreignField"]
-    sub = apply_pipeline(foreign, pipeline, resolve) if pipeline else foreign
+    main, suffix = _split_cardinality_suffix(pipeline or [])
+    sub = apply_pipeline(foreign, main, resolve) if main else foreign
+    if suffix and not _suffix_translatable(suffix, sub):
+        sub = apply_pipeline(sub, [dict([s]) for s in suffix], resolve)
+        _warn_global_cardinality([n for n, _ in suffix])
+        suffix = []
     grouped = sub.groupBy(F.col(foreign_field).alias("__lk")).agg(
         F.collect_list(F.struct(*sub.columns)).alias(as_field)
     )
     joined = df.join(grouped, F.col(local) == grouped["__lk"], "left").drop("__lk")
-    return joined.withColumn(as_field, F.coalesce(F.col(as_field), F.array()))
+    arr = F.coalesce(F.col(as_field), F.array())
+    return joined.withColumn(as_field, _apply_array_suffix(arr, suffix))
+
+
+def _warn_global_cardinality(names):
+    warnings.warn(
+        f"$lookup correlated rewrite applies {sorted(set(names))} "
+        "to the whole foreign collection, not per outer row; move them "
+        "to the END of the subpipeline (a trailing $sort/$skip/$limit "
+        "run is translated exactly, per outer row)"
+    )
+
+
+def _split_cardinality_suffix(rest):
+    """Peel the maximal trailing run of $sort/$skip/$limit stages off a
+    $lookup subpipeline. MQL evaluates the subpipeline once per outer
+    document, so these must apply PER OUTER ROW — which the equi-join
+    rewrite achieves by sorting/slicing the collected match array after
+    the join (the top-N-per-row idiom, e.g. "latest 3 orders per
+    customer"). Returns (main_stages, [(name, arg), ...])."""
+    main = list(rest)
+    suffix = []
+    while main:
+        last = main[-1]
+        if not (isinstance(last, dict) and len(last) == 1):
+            break
+        name, arg = next(iter(last.items()))
+        if name == "$sort" and isinstance(arg, dict) and arg and all(
+            isinstance(k, str) and "." not in k and v in (1, -1)
+            for k, v in arg.items()
+        ):
+            suffix.insert(0, (name, arg))
+        elif (
+            name in ("$limit", "$skip")
+            and isinstance(arg, int)
+            and not isinstance(arg, bool)
+            and arg >= 0
+        ):
+            suffix.insert(0, (name, arg))
+        else:
+            break
+        main.pop()
+    return main, suffix
+
+
+def _suffix_translatable(suffix, sub):
+    """Sort keys must exist as top-level columns of the pre-join frame;
+    mixed-direction sorts use key negation, so descending keys must be
+    numeric (same constraint as the $topN accumulator)."""
+    from pyspark.sql.types import NumericType
+
+    fields = {f.name: f.dataType for f in sub.schema.fields}
+    for name, arg in suffix:
+        if name != "$sort":
+            continue
+        if any(k not in fields for k in arg):
+            return False
+        if len(set(arg.values())) > 1 and any(
+            d == -1 and not isinstance(fields[k], NumericType)
+            for k, d in arg.items()
+        ):
+            return False
+    return True
+
+
+def _apply_array_suffix(arr, suffix):
+    """Replay a $sort/$skip/$limit suffix on the collected match array —
+    per-outer-row MQL semantics. Null sort keys land first ascending /
+    last descending, matching the server's null-before-numbers order."""
+    def _keyer(spec, uniform):
+        # closure factory: F.transform treats a 2-arg lambda as
+        # (element, index), so the spec must be captured, not defaulted
+        def key(s):
+            if uniform:
+                keys = [
+                    s.getField(k).alias(f"__k{i}")
+                    for i, k in enumerate(spec)
+                ]
+            else:
+                # mixed directions: negate descending (numeric) keys so
+                # a single ascending struct sort realizes the spec
+                keys = [
+                    (s.getField(k) if d == 1 else -s.getField(k)).alias(
+                        f"__k{i}"
+                    )
+                    for i, (k, d) in enumerate(spec.items())
+                ]
+            return F.struct(*keys, s.alias("__v"))
+
+        return key
+
+    for name, arg in suffix:
+        if name == "$sort":
+            directions = set(arg.values())
+            uniform = len(directions) == 1
+            asc = next(iter(directions)) == 1 if uniform else True
+            keyed = F.transform(arr, _keyer(arg, uniform))
+            arr = F.transform(
+                F.sort_array(keyed, asc=asc), lambda s: s.getField("__v")
+            )
+        elif name == "$skip":
+            arr = F.slice(
+                arr,
+                arg + 1,
+                F.greatest(F.size(arr) - F.lit(arg), F.lit(0)),
+            )
+        else:  # $limit
+            arr = F.slice(arr, 1, arg)
+    return arr
 
 
 def _correlated_eq(pipeline, let):

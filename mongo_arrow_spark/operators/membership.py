@@ -46,6 +46,21 @@ _SEED_A = 0x51_5EED
 _SEED_B = 0xB10_0F
 
 
+def _digest(col):
+    """Deterministic, null-safe, collision-free content digest for
+    join-back keys: NULL encodes as the 1-char tag ``n``; every value
+    encodes as ``v:`` + its string cast. The tag byte makes NULL
+    unconfusable with ANY value (including ``\\x00`` or the empty
+    string), and the string cast makes non-string key columns legal
+    md5 inputs."""
+    return F.md5(
+        F.concat(
+            F.when(col.isNull(), F.lit("n")).otherwise(F.lit("v:")),
+            F.coalesce(col.cast("string"), F.lit("")),
+        )
+    )
+
+
 def _positions(col, num_bits: int, num_hashes: int):
     """Array of ``num_hashes`` bit positions for a key column.
 
@@ -130,13 +145,14 @@ def probe_bloom(
     between branches / task retries, silently attaching verdicts to the
     wrong rows at cluster scale. The verdict is a pure function of the
     key, so identical keys legitimately share one digest row. The digest
-    input is null-safely cast to string (md5 requires string/binary), so
-    non-string keys work and NULL keys join back to the same
-    ``xxhash64(NULL)``-position verdict the build side gave them rather
-    than silently coalescing to false.
+    (``_digest``) is null-safe AND collision-free — NULL gets its own
+    tagged encoding, distinct from every value including the literal
+    ``\\x00`` string — so non-string keys work and NULL keys join back
+    to the same ``xxhash64(NULL)``-position verdict the build side gave
+    them rather than silently coalescing to false or sharing a verdict
+    row with a sentinel-valued key.
     """
-    digest = F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")))
-    probe = df.withColumn("__bloom_key", digest)
+    probe = df.withColumn("__bloom_key", _digest(F.col(key_col)))
     exploded = probe.select(
         "__bloom_key",
         F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("pos"),
@@ -268,15 +284,15 @@ def probe_and_verify(
         out_col="__bloom_maybe",
     )
     sliver = probed.filter(F.col("__bloom_maybe")).select(
-        F.md5(F.col(key_col)).alias("__digest")
+        _digest(F.col(key_col)).alias("__digest")
     ).distinct()
     confirmed = (
-        corpus.select(F.md5(F.col(key_col)).alias("__digest"))
+        corpus.select(_digest(F.col(key_col)).alias("__digest"))
         .join(_maybe_bc(sliver), "__digest", "left_semi")
         .distinct()
     )
     out = (
-        probed.withColumn("__digest", F.md5(F.col(key_col)))
+        probed.withColumn("__digest", _digest(F.col(key_col)))
         .join(
             _maybe_bc(confirmed.withColumn("__hit", F.lit(True))),
             "__digest",

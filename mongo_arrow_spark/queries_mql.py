@@ -1127,3 +1127,52 @@ def mql_search_autocomplete(spark, sf_dir):
             {"$project": {"_id": 0, "doc_id": 1}},
         ],
     )
+
+
+@query(
+    "mql_lookup_topn",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_orderdate FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 3
+    )
+    """,
+)
+def mql_lookup_topn(spark, sf_dir):
+    """Correlated $lookup with a trailing $sort+$limit — MQL's
+    top-N-per-row idiom ("latest 3 orders per customer"). The reference
+    forwards this pipeline verbatim to mongod (reference api.py:252),
+    which evaluates it once PER OUTER DOCUMENT; the translator peels the
+    trailing cardinality run off the equi-join rewrite and replays it
+    per outer row as array_sort + slice on the collected match array
+    (pipeline.py:_split_cardinality_suffix), so the per-row limit is
+    exact — verified here against DuckDB's LATERAL ORDER BY/LIMIT."""
+    return aggregate(
+        _t(spark, sf_dir, "customer"),
+        [
+            {
+                "$lookup": {
+                    "from": "orders",
+                    "let": {"ck": "$c_custkey"},
+                    "pipeline": [
+                        {"$match": {"$expr": {"$eq": ["$o_custkey", "$$ck"]}}},
+                        {"$sort": {"o_orderdate": -1, "o_orderkey": -1}},
+                        {"$limit": 3},
+                    ],
+                    "as": "recent",
+                }
+            },
+            {"$unwind": "$recent"},
+            {
+                "$project": {
+                    "_id": 0,
+                    "c_custkey": 1,
+                    "o_orderkey": "$recent.o_orderkey",
+                    "o_orderdate": "$recent.o_orderdate",
+                }
+            },
+        ],
+        collections={"orders": _t(spark, sf_dir, "orders")},
+    )

@@ -207,3 +207,54 @@ def test_fractional_max_df(docs):
     frac = ngram_jaccard_pairs(docs, threshold=0.3, max_df=10 / n).collect()
     absolute = ngram_jaccard_pairs(docs, threshold=0.3, max_df=10).collect()
     assert sorted(map(tuple, frac)) == sorted(map(tuple, absolute))
+
+
+def test_probe_and_verify_nonstring_and_null_keys(docs, spark):
+    """r7 (verdict item 2): probe_and_verify must accept non-string key
+    columns (digest casts) and give NULL keys an exact verdict instead of
+    a never-joining NULL digest — a NULL key is a member iff the corpus
+    holds a NULL key."""
+    from mongo_arrow_spark.operators.membership import probe_and_verify
+
+    corpus = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, None)], "doc_id long, num long"
+    )
+    index = build_bloom_index(corpus, "num", num_bits=BITS, num_hashes=K)
+    batch = spark.createDataFrame(
+        [(10, 100), (11, 999), (12, None)], "doc_id long, num long"
+    )
+    out = probe_and_verify(
+        batch, index, corpus, "num", num_bits=BITS, num_hashes=K
+    )
+    got = {r["doc_id"]: r["is_member"] for r in out.collect()}
+    assert got == {10: True, 11: False, 12: True}
+    # and with a corpus that has NO null key, a null probe is non-member
+    corpus2 = corpus.filter(F.col("num").isNotNull())
+    index2 = build_bloom_index(corpus2, "num", num_bits=BITS, num_hashes=K)
+    out2 = probe_and_verify(
+        batch, index2, corpus2, "num", num_bits=BITS, num_hashes=K
+    )
+    got2 = {r["doc_id"]: r["is_member"] for r in out2.collect()}
+    assert got2 == {10: True, 11: False, 12: False}
+
+
+def test_null_key_digest_distinct_from_nul_sentinel(spark):
+    """r7 (advisor): the digest's NULL encoding must not collide with a
+    key whose literal value is the 1-byte string '\\x00' — each key group
+    carries its own verdict."""
+    corpus = spark.createDataFrame([("\x00",)], "text string")
+    index = build_bloom_index(corpus, "text", num_bits=BITS, num_hashes=K)
+    batch = spark.createDataFrame(
+        [(1, "\x00"), (2, None)], "doc_id long, text string"
+    )
+    out = probe_bloom(batch, index, "text", num_bits=BITS, num_hashes=K)
+    got = {r["doc_id"]: r["maybe_member"] for r in out.collect()}
+    assert got[1] is True  # inserted — no false negative
+    assert got[2] is False  # NULL never inserted; must not ride along
+    from mongo_arrow_spark.operators.membership import probe_and_verify
+
+    exact = probe_and_verify(
+        batch, index, corpus, "text", num_bits=BITS, num_hashes=K
+    )
+    egot = {r["doc_id"]: r["is_member"] for r in exact.collect()}
+    assert egot == {1: True, 2: False}

@@ -2741,7 +2741,91 @@ def test_union_with_search_subpipeline(spark):
     assert sorted(r["_id"] for r in out.collect()) == [1, 2]
 
 
-def test_correlated_lookup_warns_on_cardinality_stages(spark):
+def test_correlated_lookup_trailing_limit_is_per_outer_row(spark):
+    """A trailing $limit in a correlated $lookup subpipeline caps EACH
+    outer row's match array (MQL evaluates the subpipeline once per outer
+    document, reference api.py:252) — no warning, exact semantics."""
+    import warnings as w
+
+    from mongo_arrow_spark.api import aggregate
+
+    users = spark.createDataFrame([(1,), (2,)], "_id long")
+    posts = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (20, 2)], "_id long, user_id long"
+    )
+    with w.catch_warnings():
+        w.simplefilter("error")
+        rows = aggregate(
+            users,
+            [{"$lookup": {"from": "p", "let": {"u": "$_id"},
+                          "pipeline": [
+                              {"$match": {"$expr": {"$eq": ["$user_id", "$$u"]}}},
+                              {"$limit": 2}],
+                          "as": "hits"}}],
+            collections={"p": posts},
+        ).collect()
+    by_id = {r["_id"]: r["hits"] for r in rows}
+    assert len(by_id[1]) == 2  # capped per row, not globally
+    assert len(by_id[2]) == 1
+
+
+def test_correlated_lookup_trailing_sort_skip_limit_exact(spark):
+    """$sort desc + $skip + $limit suffix replays per outer row via
+    array_sort + slice; order inside the match array follows the $sort."""
+    import warnings as w
+
+    from mongo_arrow_spark.api import aggregate
+
+    users = spark.createDataFrame([(1,), (2,), (3,)], "_id long")
+    posts = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 1, 9.0), (12, 1, 7.0), (13, 1, 1.0),
+         (20, 2, 3.0)],
+        "_id long, user_id long, score double",
+    )
+    with w.catch_warnings():
+        w.simplefilter("error")
+        rows = aggregate(
+            users,
+            [{"$lookup": {"from": "p", "let": {"u": "$_id"},
+                          "pipeline": [
+                              {"$match": {"$expr": {"$eq": ["$user_id", "$$u"]}}},
+                              {"$sort": {"score": -1}},
+                              {"$skip": 1},
+                              {"$limit": 2}],
+                          "as": "hits"}}],
+            collections={"p": posts},
+        ).collect()
+    by_id = {r["_id"]: [h["_id"] for h in r["hits"]] for r in rows}
+    assert by_id[1] == [12, 10]  # sorted 11,12,10,13 → skip 1, take 2
+    assert by_id[2] == []  # one match, skipped away
+    assert by_id[3] == []  # no match → empty array, suffix is a no-op
+
+
+def test_correlated_lookup_mixed_direction_sort_suffix(spark):
+    """Mixed-direction numeric $sort in the suffix (negation path)."""
+    from mongo_arrow_spark.api import aggregate
+
+    users = spark.createDataFrame([(1,)], "_id long")
+    posts = spark.createDataFrame(
+        [(10, 1, 1, 5.0), (11, 1, 1, 9.0), (12, 1, 2, 7.0)],
+        "_id long, user_id long, grp int, score double",
+    )
+    rows = aggregate(
+        users,
+        [{"$lookup": {"from": "p", "let": {"u": "$_id"},
+                      "pipeline": [
+                          {"$match": {"$expr": {"$eq": ["$user_id", "$$u"]}}},
+                          {"$sort": {"grp": 1, "score": -1}},
+                          {"$limit": 2}],
+                      "as": "hits"}}],
+        collections={"p": posts},
+    ).collect()
+    assert [h["_id"] for h in rows[0]["hits"]] == [11, 10]
+
+
+def test_correlated_lookup_warns_on_mid_pipeline_cardinality(spark):
+    """A $limit BURIED before another stage still runs once globally —
+    the warning survives for exactly that shape."""
     import warnings as w
 
     from mongo_arrow_spark.api import aggregate
@@ -2757,8 +2841,64 @@ def test_correlated_lookup_warns_on_cardinality_stages(spark):
             [{"$lookup": {"from": "p", "let": {"u": "$_id"},
                           "pipeline": [
                               {"$match": {"$expr": {"$eq": ["$user_id", "$$u"]}}},
-                              {"$limit": 2}],
+                              {"$limit": 2},
+                              {"$project": {"_id": 1, "user_id": 1}}],
                           "as": "hits"}}],
             collections={"p": posts},
         ).collect()
     assert any("whole foreign collection" in str(x.message) for x in caught)
+
+
+def test_correlated_lookup_untranslatable_suffix_falls_back_with_warning(spark):
+    """A mixed-direction $sort whose DESCENDING key is a string (the
+    negation trick needs numerics) → suffix folds back into the global
+    pipeline and the semantics warning fires."""
+    import warnings as w
+
+    from mongo_arrow_spark.api import aggregate
+
+    users = spark.createDataFrame([(1,)], "_id long")
+    posts = spark.createDataFrame(
+        [(10, 1, "a"), (11, 1, "b")], "_id long, user_id long, tag string"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        aggregate(
+            users,
+            [{"$lookup": {"from": "p", "let": {"u": "$_id"},
+                          "pipeline": [
+                              {"$match": {"$expr": {"$eq": ["$user_id", "$$u"]}}},
+                              {"$sort": {"_id": 1, "tag": -1}},
+                              {"$limit": 1}],
+                          "as": "hits"}}],
+            collections={"p": posts},
+        ).collect()
+    assert any("whole foreign collection" in str(x.message) for x in caught)
+
+
+def test_lookup_localfield_pipeline_trailing_limit_per_row(spark):
+    """localField/foreignField + pipeline form gets the same per-outer-row
+    suffix treatment."""
+    import warnings as w
+
+    from mongo_arrow_spark.api import aggregate
+
+    users = spark.createDataFrame([(1,), (2,)], "uid long")
+    posts = spark.createDataFrame(
+        [(10, 1, 3.0), (11, 1, 1.0), (12, 1, 2.0), (20, 2, 9.0)],
+        "_id long, user_id long, score double",
+    )
+    with w.catch_warnings():
+        w.simplefilter("error")
+        rows = aggregate(
+            users,
+            [{"$lookup": {"from": "p", "localField": "uid",
+                          "foreignField": "user_id",
+                          "pipeline": [{"$sort": {"score": 1}},
+                                       {"$limit": 2}],
+                          "as": "hits"}}],
+            collections={"p": posts},
+        ).collect()
+    by_id = {r["uid"]: [h["_id"] for h in r["hits"]] for r in rows}
+    assert by_id[1] == [11, 12]
+    assert by_id[2] == [20]

@@ -350,6 +350,67 @@ def test_lookup_array_sizes_vs_match_counts(join_frames, duck):
     assert got == want
 
 
+def test_correlated_lookup_cardinality_suffix_fuzz(join_frames, duck):
+    """Random trailing $sort/$skip/$limit suffixes on a correlated
+    $lookup vs DuckDB LATERAL ORDER BY/OFFSET/LIMIT — pins the
+    per-outer-row replay (array_sort + slice) across directions, skip/
+    limit combinations, and null join keys (which match nothing and get
+    empty arrays regardless of the suffix)."""
+    ldf, rdf = join_frames
+    rng = random.Random(SEED + 11)
+    for trial in range(10):
+        direction = rng.choice([1, -1])
+        skip = rng.choice([0, 1, 2])
+        limit = rng.choice([1, 2, 3])
+        suffix = [{"$sort": {"y": direction, "rid": direction}}]
+        if skip:
+            suffix.append({"$skip": skip})
+        suffix.append({"$limit": limit})
+        out = apply_pipeline(
+            ldf,
+            [
+                {
+                    "$lookup": {
+                        "from": "r_fz",
+                        "let": {"lk": "$k"},
+                        "pipeline": [
+                            {"$match": {"$expr": {"$eq": ["$k", "$$lk"]}}},
+                            *suffix,
+                        ],
+                        "as": "m",
+                    }
+                },
+                {
+                    "$project": {
+                        "lid": 1,
+                        "rids": {
+                            "$map": {"input": "$m", "as": "e",
+                                     "in": "$$e.rid"},
+                        },
+                    }
+                },
+            ],
+            collections={"r_fz": rdf},
+        )
+        got = {r["lid"]: list(r["rids"]) for r in out.collect()}
+        ordr = "ASC" if direction == 1 else "DESC"
+        want = {
+            row[0]: list(row[1]) if row[1] is not None else []
+            for row in duck.execute(
+                f"""
+                SELECT l.lid,
+                       (SELECT COALESCE(LIST(rid ORDER BY y {ordr}, rid {ordr}), [])
+                        FROM (SELECT rid, y FROM r_fz r
+                              WHERE r.k = l.k
+                              ORDER BY y {ordr}, rid {ordr}
+                              OFFSET {skip} LIMIT {limit}))
+                FROM l_fz l
+                """
+            ).fetchall()
+        }
+        assert got == want, (trial, direction, skip, limit)
+
+
 # -------------------------------------------------- string expression fuzz
 
 
