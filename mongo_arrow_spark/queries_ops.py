@@ -329,18 +329,38 @@ def q_multimodal_stats(spark, sf_dir):
     "multimodal_decode",
     """
     SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
-           ROUND(octet_length(encode(text)) / 1000.0, 3) AS duration_s
+           CAST(CASE doc_id % 5
+                WHEN 0 THEN 45 WHEN 1 THEN 14 WHEN 2 THEN 54 WHEN 3 THEN 41
+                ELSE 44 + (octet_length(encode(text)) % 1000 + 100) * 2
+           END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE doc_id % 640 + 1 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE (doc_id * 7) % 480 + 1 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 5 = 4
+                THEN (octet_length(encode(text)) % 1000 + 100) * 125
+                ELSE NULL END AS BIGINT) AS duration_us
     FROM documents
     """,
 )
 def q_multimodal_decode(spark, sf_dir):
-    """Arrow-batched mapInPandas decode plumbing with the deterministic
-    fake codec — proves schema/batch shape against a SQL oracle."""
-    media = multimodal.attach_payload(_t(spark, sf_dir, "documents"))
-    return multimodal.decode_media(media, use_fake=True)
+    """r7: REAL media decode end-to-end — synthesize_media builds valid
+    PNG/GIF/BMP/JPEG/WAV payloads (struct-packed headers, stdlib only)
+    whose fields are formulas of the row, and decode_media(use_fake=False)
+    parses them back via the pure-Python header readers. The oracle
+    recomputes the same fields from the formulas, so a hash match proves
+    the Arrow-batched decode inverts actual format headers (dimensions
+    for the four image formats, RIFF duration for WAV). The deterministic
+    fake codec stays for unit tests of unsupported mimes."""
+    media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
+    dec = multimodal.decode_media(media, use_fake=False)
+    return dec.select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(F.col("duration_s") * 1e6).cast("long").alias("duration_us"),
+    )
 
 
 # ----------------------------------------------------------- round-2 corpus ops
