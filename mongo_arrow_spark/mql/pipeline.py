@@ -1425,28 +1425,37 @@ def _graph_lookup(df, args, resolve):
     depth_field = args.get("depthField")
     max_depth = args.get("maxDepth", 20)
 
-    # __gid correlates each input row with its traversal results, and
-    # `left` feeds BOTH the seeds branch and the final join-back. A
-    # positional id (monotonically_increasing_id) can diverge between
-    # those two evaluations after an upstream shuffle (the probe_bloom
-    # hazard, membership.py), so the default key is CONTENT: `_id` when
-    # the frame carries it (the MQL uniqueness contract — every real
-    # collection has it), which is deterministic across branch
-    # evaluations and task retries with no materialization. Rows sharing
-    # an _id get the union of their traversal arrays — consistent with
-    # the server, where _id is unique. Only genuinely keyless frames
-    # fall back to a positional id pinned by one eager localCheckpoint.
-    if "_id" in df.columns:
-        left = df.withColumn("__gid", F.col("_id"))
-    else:
-        left = df.withColumn(
-            "__gid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
     # normalize scalar/array startWith into an array (schema introspection)
     from pyspark.sql import types as T
 
     start_type = df.select(start.alias("__s")).schema[0].dataType
     start_arr = start if isinstance(start_type, T.ArrayType) else F.array(start)
+    # __gid correlates each input row with its traversal results, and
+    # `left` feeds BOTH the seeds branch and the final join-back. A
+    # positional id (monotonically_increasing_id) can diverge between
+    # those two evaluations after an upstream shuffle (the probe_bloom
+    # hazard, membership.py), so the default key is CONTENT — r7: the
+    # composite ``struct(_id, startWith)``, not ``_id`` alone. On a real
+    # collection _id is unique and the struct changes nothing; but a
+    # mid-pipeline frame can legally carry duplicate _id (e.g. $unwind
+    # before $graphLookup), and the startWith component then keys each
+    # row's OWN reachability instead of silently unioning all traversals
+    # that share the _id. Rows agreeing on both fields have identical
+    # traversals by definition, so sharing one key row is exact. Struct
+    # join keys also compare null fields as EQUAL (Spark's complex-type
+    # ordering), so a NULL _id still joins its results back — unlike a
+    # bare-column equi-join where null never matches. Only genuinely
+    # _id-less frames fall back to a positional id pinned by one eager
+    # localCheckpoint.
+    if "_id" in df.columns:
+        left = df.withColumn(
+            "__gid",
+            F.struct(F.col("_id").alias("i"), start_arr.alias("s")),
+        )
+    else:
+        left = df.withColumn(
+            "__gid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
     seeds = left.select(
         "__gid", F.explode(start_arr).alias("__val")
     ).distinct()

@@ -82,10 +82,11 @@ WRITE_MAX_DOCS = 100_000
 # --------------------------------------------------------- compression
 
 #: suffix → opener. gzip dominates in the wild (mongodump --gzip); bz2/xz
-#: ride along for free via the stdlib. zstd activates only when a wheel
-#: is importable (import-gated like the polars typed path — no silent
-#: partial support): _zstd_module() probes once at import time so a
-#: worker without the wheel fails loudly at listing, not mid-decode.
+#: ride along for free via the stdlib. ``.zst`` is ALWAYS listed (r7,
+#: advisor fix): a runtime without the zstandard wheel must fail loudly
+#: at planning (_require_zstd below) rather than silently omit .zst
+#: files from the listing and return partial reads. The wheel gate only
+#: decides whether decode/write can proceed, never what exists.
 def _zstd_module():
     try:
         import zstandard
@@ -96,7 +97,23 @@ def _zstd_module():
 
 
 _HAS_ZSTD = _zstd_module() is not None
-_COMPRESSION_SUFFIXES = (".gz", ".bz2", ".xz") + ((".zst",) if _HAS_ZSTD else ())
+_COMPRESSION_SUFFIXES = (".gz", ".bz2", ".xz", ".zst")
+
+
+def _require_zstd(paths) -> None:
+    """Driver-side early failure: .zst inputs on a wheel-less runtime
+    abort at planning with the fix spelled out, instead of a worker-side
+    stack later (or, worse, the pre-r7 silent omission)."""
+    if _HAS_ZSTD:
+        return
+    bad = next((p for p in paths if p.endswith(".zst")), None)
+    if bad is not None:
+        raise SchemaError(
+            f".zst input listed ({bad}) but the zstandard wheel is not "
+            "importable in this runtime — install zstandard, or re-write "
+            "the corpus with compression=gzip (SCALE.md 'zstd frame-level "
+            "splits')"
+        )
 #: conservative decompressed-size multiplier used only for bin-packing
 #: balance (JSON/BSON text compresses ~3-6x under gzip)
 _EXPANSION_ESTIMATE = 4
@@ -169,18 +186,58 @@ def _hive_encode(v) -> str:
     return urllib.parse.quote(str(v), safe="")
 
 
-def _hive_parts(path: str) -> dict:
+def _hive_parts(path: str, root: str | None = None) -> dict:
     """``name=value`` directory segments of a file path → {name: raw str}
-    (None for the hive null marker). The standard layout assumption: any
-    such segment anywhere above the file is a partition column."""
+    (None for the hive null marker). Segments are taken RELATIVE to the
+    reader's base path (r7, advisor fix): a corpus rooted under e.g.
+    ``/data/exp=3/corpus/`` must not grow a phantom ``exp`` column —
+    Spark likewise restricts partition discovery to below basePath."""
     import urllib.parse
 
+    rel = os.path.relpath(path, root) if root else path
     out: dict = {}
-    for seg in os.path.dirname(path).split(os.sep):
+    for seg in os.path.dirname(rel).split(os.sep):
+        if seg in (os.curdir, os.pardir):
+            continue
         if "=" in seg and not seg.startswith("="):
             k, _, raw = seg.partition("=")
             out[k] = None if raw == _HIVE_NULL else urllib.parse.unquote(raw)
     return out
+
+
+def _glob_root(p: str) -> str:
+    """Longest real-directory prefix of a path/glob — the hive base for
+    non-directory inputs (`/data/c/year=*/part.jsonl` → `/data/c`)."""
+    head = p
+    while head and (
+        any(ch in os.path.basename(head) for ch in "*?[")
+        or not os.path.isdir(head)
+    ):
+        nxt = os.path.dirname(head)
+        if nxt == head:
+            break
+        head = nxt
+    return head
+
+
+def _hive_roots(paths) -> list[str]:
+    """Hive base path for each user-supplied input."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return [
+        p if os.path.isdir(p) else _glob_root(p) for p in (paths or [])
+    ]
+
+
+def _root_for(path: str, roots: list[str]) -> str:
+    """Deepest configured base containing ``path`` (fallback: its own
+    directory, i.e. no partition segments)."""
+    best = None
+    for r in roots:
+        if path == r or path.startswith(r.rstrip(os.sep) + os.sep):
+            if best is None or len(r) > len(best):
+                best = r
+    return best if best is not None else os.path.dirname(path)
 
 
 def _coerce_partition(raw: str | None, dt: T.DataType):
@@ -416,8 +473,9 @@ def infer_schema(
     # string); a payload field of the same name keeps its doc-inferred
     # type (the partition value overrides it at read, like Spark)
     pobserved: dict[str, list] = {}
+    hroots = _hive_roots(paths)
     for path in _expand(paths):
-        for k, v in _hive_parts(path).items():
+        for k, v in _hive_parts(path, _root_for(path, hroots)).items():
             pobserved.setdefault(k, []).append(v)
     for k, vals in pobserved.items():
         if k not in fields:
@@ -871,6 +929,7 @@ class DocumentsReader(DataSourceReader):
         self.schema = schema
         self.options = options
         self.paths = _expand(options.get("path"))
+        self.hive_roots = _hive_roots(options.get("path"))
         self.strict = str(options.get("mode", "PERMISSIVE")).upper() == "FAILFAST"
         self.partition_bytes = int(
             options.get("partitionbytes", DEFAULT_PARTITION_BYTES)
@@ -889,6 +948,7 @@ class DocumentsReader(DataSourceReader):
         self.filters: list[Filter] = []
 
     def partitions(self):
+        _require_zstd(self.paths)
         splits: list[InputPartition] = []
         compressed: list[tuple[str, int]] = []
         for path in self.paths:
@@ -945,7 +1005,7 @@ class DocumentsReader(DataSourceReader):
     def _pvals_for(self, path: str) -> dict:
         """Typed hive partition values of one file, restricted to schema
         fields (unknown segments are ignored — they may be user dirs)."""
-        raw = _hive_parts(path)
+        raw = _hive_parts(path, _root_for(path, self.hive_roots))
         if not raw:
             return {}
         return {
@@ -1451,8 +1511,20 @@ class DocumentsStreamReader(DataSourceStreamReader):
         }
 
     def partitions(self, start, end):
-        new = sorted(set(end.get("seen", ())) - set(start.get("seen", ())))
+        start_seen = start.get("seen")
+        if start_seen is None and "index" in start:
+            # legacy {"index": N} offsets (pre-r6 format): translate as
+            # the first N names of the sorted listing so an existing
+            # checkpoint upgrades without reprocessing every committed
+            # file once (exactly-once across the format change; the old
+            # format already assumed append-only sorted arrivals)
+            listing = [
+                os.path.relpath(f, self.dir) for f in self._listing()
+            ]
+            start_seen = listing[: int(start["index"])]
+        new = sorted(set(end.get("seen", ())) - set(start_seen or ()))
         files = [os.path.join(self.dir, name) for name in new]
+        _require_zstd(files)
         return [
             _Split(path, 0, os.path.getsize(path)) for path in files
         ] or [_Split("", 0, 0)]

@@ -478,3 +478,73 @@ def test_stream_offsets_survive_late_sorting_file(tmp_path):
     # replay of the first range is unchanged by the new arrival
     replay = [p.path for p in reader.partitions(start, mid)]
     assert replay == first
+
+
+# ------------------------------------------------------- r7 advisor fixes
+
+
+def test_zst_listed_and_fails_loudly_without_wheel(spark, tmp_path):
+    """.zst files are always LISTED; on a runtime without the zstandard
+    wheel (this container) the read fails loudly at planning instead of
+    silently omitting the files and returning partial rows."""
+    import pytest as _pytest
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    with open(d / "a.jsonl", "w") as fh:
+        fh.write(json.dumps({"i": 1}) + "\n")
+    (d / "b.jsonl.zst").write_bytes(b"\x28\xb5\x2f\xfd")  # zstd magic
+    from mongo_arrow_spark.sources.documents import _HAS_ZSTD, _expand
+
+    listed = _expand(str(d))
+    assert any(p.endswith(".zst") for p in listed)  # never omitted
+    if not _HAS_ZSTD:
+        register(spark)
+        df = (
+            spark.read.format("documents")
+            .schema("i long")
+            .load(str(d))
+        )
+        with _pytest.raises(Exception, match="zstandard"):
+            df.collect()
+
+
+def test_hive_parts_relative_to_base_path(spark, tmp_path):
+    """name=value directories ABOVE the reader's base path must not leak
+    phantom partition columns (a corpus rooted under /data/exp=3/…)."""
+    base = tmp_path / "exp=3" / "corpus"
+    part = base / "year=2024"
+    part.mkdir(parents=True)
+    with open(part / "p.jsonl", "w") as fh:
+        fh.write(json.dumps({"i": 1}) + "\n")
+    register(spark)
+    df = spark.read.format("documents").load(str(base))
+    assert "year" in df.columns
+    assert "exp" not in df.columns
+    row = df.collect()[0]
+    assert row["year"] == 2024 and row["i"] == 1
+
+
+def test_stream_offset_legacy_index_migration(tmp_path):
+    """A pre-r6 {"index": N} checkpoint offset translates to the first N
+    names of the sorted listing — committed files are NOT reprocessed
+    across the offset-format upgrade."""
+    from pyspark.sql import types as T
+
+    from mongo_arrow_spark.sources.documents import DocumentsStreamReader
+
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    for name in ("0001.jsonl", "0002.jsonl"):
+        with open(d / name, "w") as fh:
+            fh.write(json.dumps({"i": int(name[:4])}) + "\n")
+    reader = DocumentsStreamReader(
+        T.StructType([T.StructField("i", T.LongType())]), {"path": str(d)}
+    )
+    end = reader.latestOffset()
+    parts = reader.partitions({"index": 1}, end)
+    paths = [p.path for p in parts if p.path]
+    assert paths == [str(d / "0002.jsonl")]  # only the uncommitted file
+    # and a fully-caught-up legacy offset yields no work
+    parts2 = reader.partitions({"index": 2}, end)
+    assert [p.path for p in parts2 if p.path] == []

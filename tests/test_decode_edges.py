@@ -625,9 +625,13 @@ def test_zst_without_wheel_raises_with_pointer():
         _pytest.skip("zstandard wheel present; gated path not reachable")
     with _pytest.raises(SchemaError, match="zstandard wheel"):
         dmod._open_decompressed("/nonexistent/x.zst")
-    # the suffix is NOT advertised when the wheel is absent, so listings
-    # and writer validation reject it up front
-    assert ".zst" not in dmod._COMPRESSION_SUFFIXES
+    # r7 (advisor): the suffix is ALWAYS advertised — .zst files must be
+    # listed and then fail loudly at planning (_require_zstd), never be
+    # silently omitted for a partial read. Write-side validation still
+    # rejects compression=zstd up front on a wheel-less runtime.
+    assert ".zst" in dmod._COMPRESSION_SUFFIXES
+    with _pytest.raises(SchemaError, match="zstandard wheel"):
+        dmod._require_zstd(["/data/part-0001.jsonl.zst"])
     with _pytest.raises(SchemaError, match="compression must be"):
         dmod.DocumentsWriter(
             __import__("pyspark.sql.types", fromlist=["types"]).StructType([]),

@@ -141,8 +141,9 @@ def test_graph_lookup_id_content_key_no_positional_id(spark, monkeypatch):
 
 
 def test_graph_lookup_duplicate_id_rows_share_results(spark):
-    """Rows sharing an _id get the union of their traversal arrays —
-    consistent with the server, where _id is unique by contract."""
+    """Rows agreeing on BOTH _id and startWith share one traversal key —
+    their reachability is identical by definition, so each row still
+    receives exactly its own result set."""
     edges = spark.createDataFrame(
         [(1, "x", "y"), (1, "x", "y"), (2, "y", None)],
         "_id long, name string, nxt string",
@@ -166,6 +167,73 @@ def test_graph_lookup_duplicate_id_rows_share_results(spark):
     assert len(rows) == 2
     for r in rows:
         assert sorted(c["name"] for c in r["reach"]) == ["y"]
+
+
+def test_graph_lookup_duplicate_id_distinct_starts_own_reachability(spark):
+    """r7 (advisor): a mid-pipeline frame can legally carry duplicate
+    _id — e.g. $unwind before $graphLookup. The traversal key is
+    struct(_id, startWith), so each unwound row gets ITS OWN startWith
+    reachability, not the union of everything sharing the _id."""
+    people = spark.createDataFrame(
+        [(1, ["a", "b"])], "_id long, friends array<string>"
+    )
+    nodes = spark.createDataFrame(
+        [(10, "a", "a2"), (11, "a2", None), (12, "b", "b2"), (13, "b2", None)],
+        "_id long, name string, nxt string",
+    )
+    out = apply_pipeline(
+        people,
+        [
+            {"$unwind": "$friends"},
+            {
+                "$graphLookup": {
+                    "from": "n",
+                    "startWith": "$friends",
+                    "connectFromField": "nxt",
+                    "connectToField": "name",
+                    "as": "reach",
+                }
+            },
+        ],
+        collections={"n": nodes},
+    )
+    got = {
+        r["friends"]: sorted(c["name"] for c in r["reach"])
+        for r in out.collect()
+    }
+    assert got == {"a": ["a", "a2"], "b": ["b", "b2"]}
+
+
+def test_graph_lookup_null_id_still_joins_results_back(spark):
+    """r7 (advisor): a NULL _id must not orphan the row — the struct key
+    compares null fields as equal, so its traversal array comes back."""
+    frame = spark.createDataFrame(
+        [(None, "a"), (7, "b")], "_id long, start string"
+    )
+    nodes = spark.createDataFrame(
+        [(1, "a", "a2"), (2, "a2", None), (3, "b", None)],
+        "_id long, name string, nxt string",
+    )
+    out = apply_pipeline(
+        frame,
+        [
+            {
+                "$graphLookup": {
+                    "from": "n",
+                    "startWith": "$start",
+                    "connectFromField": "nxt",
+                    "connectToField": "name",
+                    "as": "reach",
+                }
+            }
+        ],
+        collections={"n": nodes},
+    )
+    got = {
+        r["start"]: sorted(c["name"] for c in r["reach"])
+        for r in out.collect()
+    }
+    assert got == {"a": ["a", "a2"], "b": ["b"]}
 
 
 def test_densify_partition(spark):
