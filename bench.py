@@ -68,7 +68,27 @@ HEADLINE = [
     # hive-partitioned scan with listing-level pruning (corpus
     # materialized once in the warm-up; timed runs measure pruned reads)
     "q_scan_partitioned",
+    # round-7 additions (keys added r7 — diff per-query vs r6, not
+    # totals): per-outer-row $lookup top-N, real-header multimodal
+    # decode replaces the fake-codec timing under the same key
+    "mql_lookup_topn",
 ]
+
+
+def _anchor_probe(spark) -> float:
+    """Fixed JVM-only no-op anchor (r6 verdict item 5): a pure
+    whole-stage-codegen sum over spark.range, no I/O, no Python — its
+    wall time moves only with host load. Timed at bench start/middle/
+    end so per-query comparisons across rounds can be read through a
+    MEASURED drift column instead of post-hoc anchor arguments."""
+    import time as _t
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id) AS s").collect()
+        best = min(best, _t.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -86,8 +106,12 @@ def main() -> None:
     # then min of REPEAT timed runs — the min is the least-noise estimator
     # on a shared host (stragglers from neighbor load inflate mean/max)
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    _anchor_probe(spark)  # warm the codegen path once
+    drift = {"start": _anchor_probe(spark)}
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i == len(HEADLINE) // 2:
+            drift["mid"] = _anchor_probe(spark)
         fn = QUERIES[name]
         fn(spark, sf_dir).collect()  # warm-up
         best = float("inf")
@@ -97,6 +121,9 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
             del rows
         timings[name] = round(best, 3)
+    drift["end"] = _anchor_probe(spark)
+    lo, hi = min(drift.values()), max(drift.values())
+    drift["spread_pct"] = round(100.0 * (hi - lo) / lo, 1) if lo else 0.0
 
     # reference-shape microbenches (BASELINE.md:26 — ReadSmall/Large/Array/
     # Document/Extension at N_DOCS=20k) in the same JSON line so the next
@@ -161,6 +188,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "drift": drift,
                 "shapes": shapes,
                 "n_docs": 20_000,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

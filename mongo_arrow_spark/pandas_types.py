@@ -29,6 +29,13 @@ from pandas.api.extensions import (
 )
 from pandas.core.indexers import check_array_indexer
 
+try:  # pandas 3.0 readonly-view protocol (reference pandas_types.py:35-40)
+    from pandas.core.indexers import getitem_returns_view
+except ImportError:  # pandas < 3.0: __getitem__ always copies
+
+    def getitem_returns_view(arr, key):  # noqa: ARG001
+        return False
+
 from mongo_arrow_spark.bson_values import Binary, Code, Decimal128, ObjectId
 
 __all__ = [
@@ -122,11 +129,21 @@ class BSONArray(ExtensionArray):
 
     def __getitem__(self, item):
         if isinstance(item, numbers.Integral):
+            # scalars here are immutable BSON value objects — no view
+            # aliasing to guard
             return self._data[int(item)]
         key = check_array_indexer(self, item)
-        return type(self)(self._data[key], dtype=self._dtype)
+        result = type(self)(self._data[key], dtype=self._dtype)
+        if getitem_returns_view(self, key):
+            # pandas 3.0: the sliced array shares our buffer — carry the
+            # readonly flag forward so writes through the view are
+            # refused like the base array's would be
+            result._readonly = getattr(self, "_readonly", False)
+        return result
 
     def __setitem__(self, item, value):
+        if getattr(self, "_readonly", False):
+            raise ValueError("Cannot modify read-only array")
         scalar_type = self._dtype.type
         if isinstance(item, numbers.Integral):
             if not _is_na(value) and not isinstance(value, scalar_type):

@@ -148,3 +148,31 @@ def test_scalar_classes_as_schema_type_ids():
     assert fields["_id"].metadata == {bt.METADATA_KEY: "objectid"}
     assert fields["d"].dataType.simpleString() == "decimal(38,6)"
     assert fields["c"].metadata == {bt.METADATA_KEY: "code"}
+
+
+def test_readonly_shim_forward_compat():
+    """r7 (verdict item 8): mirror the reference's pandas-3.0 readonly
+    protocol (reference pandas_types.py:35-40) — on pandas < 3.0 the
+    getitem_returns_view fallback returns False and arrays stay
+    writable; a _readonly-flagged array refuses writes either way."""
+    import numpy as np
+
+    from mongo_arrow_spark.bson_values import ObjectId
+    from mongo_arrow_spark.pandas_types import (
+        PandasObjectIdArray,
+        getitem_returns_view,
+    )
+
+    vals = np.empty(3, dtype=object)
+    vals[:] = [ObjectId(), ObjectId(), ObjectId()]
+    arr = PandasObjectIdArray(vals)
+    # pre-3.0 fallback: slices copy, so no view flag propagates
+    sliced = arr[0:2]
+    assert len(sliced) == 2
+    arr._readonly = True
+    with __import__("pytest").raises(ValueError, match="read-only"):
+        arr[0] = ObjectId()
+    # the flag rides along exactly when pandas reports a view
+    s2 = arr[0:2]
+    expected = getitem_returns_view(arr, slice(0, 2))
+    assert getattr(s2, "_readonly", False) == (expected and True)
