@@ -153,6 +153,77 @@ def prune_candidates_lsh(
     return df.filter(dist <= radius)
 
 
+#: centroid-fit sample cap: ids-sorted prefix, so the fit is a pure
+#: function of the corpus (no RNG in the data path, no Spark-ML model
+#: state). 100 TB posture: you never fit KMeans on the full corpus —
+#: centroids come from a bounded sample; only ASSIGNMENT is distributed.
+IVF_FIT_SAMPLE = 4096
+
+
+def fit_ivf_centroids(
+    vectors: list[list[float]], n_clusters: int, seed: int = 42, iters: int = 8
+) -> list[list[float]]:
+    """Deterministic Lloyd's on a driver-side sample: seeded choice of
+    initial centroids, fixed iteration count, ties to the lowest cell,
+    left-to-right float accumulation — every step replayable in pure
+    Python (test_no_oracle_hardening pins the full output)."""
+    import random
+
+    vecs = [[float(x) for x in v] for v in vectors]
+    if len(vecs) <= n_clusters:
+        return vecs
+    rng = random.Random(seed)
+    centroids = [list(v) for v in rng.sample(vecs, n_clusters)]
+    for _ in range(iters):
+        sums = [[0.0] * len(c) for c in centroids]
+        counts = [0] * n_clusters
+        for v in vecs:
+            j = _nearest_cell(v, centroids)
+            counts[j] += 1
+            s = sums[j]
+            for i, x in enumerate(v):
+                s[i] += x
+        centroids = [
+            [x / counts[j] for x in sums[j]] if counts[j] else centroids[j]
+            for j in range(n_clusters)
+        ]
+    return centroids
+
+
+def _nearest_cell(v: list[float], centroids: list[list[float]]) -> int:
+    best, best_d = 0, None
+    for j, c in enumerate(centroids):
+        d = 0.0
+        for a, b in zip(v, c):
+            d += (a - b) * (a - b)
+        if best_d is None or d < best_d:
+            best, best_d = j, d
+    return best
+
+
+def _cell_expr(vec_col: str, centroids: list[list[float]]):
+    """JVM-side argmin cell assignment: dist² to each centroid via a
+    left-to-right HOF fold (the same accumulation order as the Python
+    fit/replay), first minimum wins (array_position → lowest index, like
+    the strict `<` in _nearest_cell)."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -163,28 +234,36 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style approximate top-k: KMeans-partition the corpus (seeded),
-    score only the ``n_probe`` cells nearest the query.
+    """IVF-style approximate top-k: partition the corpus into KMeans
+    cells (deterministic seeded Lloyd's fit on an ids-sorted driver
+    sample — r7, replacing opaque Spark-ML model state), score only the
+    ``n_probe`` cells nearest the query.
 
-    At corpus scale the cluster id is persisted as a partition column, so
+    At corpus scale the cell id is persisted as a partition column, so
     probing = partition pruning (scan shrinks n_clusters/n_probe-fold);
-    here the assignment runs inline. Centroids are tiny (n_clusters × dim)
-    — the only driver-side state."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feats = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v").fit(feats)
+    here the assignment runs inline as one JVM-side projection. Centroids
+    are tiny (n_clusters × dim) — the only driver-side state."""
+    sample = [
+        [float(x) for x in r[0]]
+        for r in df.select(vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(IVF_FIT_SAMPLE)
+        .collect()
+    ]
+    centroids = fit_ivf_centroids(sample, n_clusters, seed)
     q = [float(x) for x in query_vec]
 
     def dist2(c) -> float:
-        return sum((a - b) ** 2 for a, b in zip(c, q))
+        d = 0.0
+        for a, b in zip(c, q):
+            d += (a - b) * (a - b)
+        return d
 
-    probe = sorted(
-        range(n_clusters), key=lambda i: dist2(model.clusterCenters()[i])
-    )[:n_probe]
-    assigned = model.transform(feats).withColumnRenamed("prediction", "__cell")
-    candidates = assigned.filter(F.col("__cell").isin(probe)).drop("__v", "__cell")
+    probe = sorted(range(len(centroids)), key=lambda i: (dist2(centroids[i]), i))[
+        :n_probe
+    ]
+    assigned = df.withColumn("__cell", _cell_expr(vec_col, centroids))
+    candidates = assigned.filter(F.col("__cell").isin(probe)).drop("__cell")
     return cosine_topk(candidates, q, k, id_col, vec_col)
 
 

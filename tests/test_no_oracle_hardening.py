@@ -481,3 +481,144 @@ def test_neardup_gate_replay_oracle(spark, tables):
     }
     assert got == want
     assert any(v[0] for v in want.values()), "replay must flag some near-dups"
+
+
+# -------------------------------------------- r7: remaining replay oracles
+
+
+def test_embedding_neardup_replay_oracle(spark, tables):
+    """Full-output replay for the graded embedding_neardup entry
+    (threshold 0.45, exact O(n²) form): recompute every pair's cosine in
+    pure Python over the same float32→double values and compare the
+    (id_a, id_b) set exactly, rounded cosines to 1e-4."""
+    import math
+
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in _emb(spark).select("vec_id", "embedding").collect()
+    )
+    norms = {vid: math.sqrt(sum(x * x for x in v)) for vid, v in rows}
+    want = {}
+    for i, (ida, va) in enumerate(rows):
+        for idb, vb in rows[i + 1 :]:
+            dot = 0.0
+            for a, b in zip(va, vb):
+                dot += a * b
+            cos = dot / (norms[ida] * norms[idb])
+            if cos >= 0.45:
+                want[(ida, idb)] = round(cos, 4)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in QUERIES["embedding_neardup"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for pair, cos in want.items():
+        assert abs(got[pair] - cos) <= 1e-4, (pair, got[pair], cos)
+    assert want, "replay must be non-vacuous (some pairs at sf0.001)"
+
+
+def test_sim_ivf_replay_oracle(spark, tables):
+    """Full-output replay for sim_ivf_topk: refit the deterministic
+    seeded Lloyd's centroids from the same ids-sorted sample, assign
+    every vector's cell with the same left-to-right float folds, choose
+    the same probe cells, and rank the candidate cosines — ids must
+    match exactly, rounded scores to 1e-4."""
+    import math
+
+    from mongo_arrow_spark.operators.similarity import (
+        IVF_FIT_SAMPLE,
+        _nearest_cell,
+        fit_ivf_centroids,
+    )
+
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in _emb(spark).select("vec_id", "embedding").collect()
+    )
+    sample = [v for _, v in rows[:IVF_FIT_SAMPLE]]
+    centroids = fit_ivf_centroids(sample, n_clusters=8, seed=42)
+    q = dict(rows)[0]
+
+    def dist2(c):
+        d = 0.0
+        for a, b in zip(c, q):
+            d += (a - b) * (a - b)
+        return d
+
+    probe = set(
+        sorted(range(len(centroids)), key=lambda i: (dist2(centroids[i]), i))[:2]
+    )
+    qn = math.sqrt(sum(x * x for x in q))
+    scored = []
+    for vid, v in rows:
+        if _nearest_cell(v, centroids) not in probe:
+            continue
+        dot = 0.0
+        for a, b in zip(v, q):
+            dot += a * b
+        vn = math.sqrt(sum(x * x for x in v))
+        scored.append((vid, dot / (vn * qn)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    want = [(vid, round(s, 4)) for vid, s in scored[:10]]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in QUERIES["sim_ivf_topk"](spark, SF_DIR).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gv, gs), (wv, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-4, (gv, gs, ws)
+    assert want, "replay must be non-vacuous"
+
+
+def test_sim_topk_int8_replay_oracle(spark, tables):
+    """Full-output replay for sim_topk_int8 (quantize → int8 scan top-50
+    → float re-rank top-10): per-row amax/scale, HALF_UP rounding like
+    Spark's F.round, exact integer dot products, the same double
+    division — then the float cosine re-rank. Ids exact, scores 1e-6."""
+    import math
+
+    def round_half_up(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in _emb(spark).select("vec_id", "embedding").collect()
+    )
+    q = dict(rows)[0]
+    amax_q = max(abs(x) for x in q) or 1.0
+    qs = 127.0 / amax_q
+    # the operator quantizes the query driver-side with python round()
+    # (banker's); replay must use the same call
+    q_int = [int(round(x * qs)) for x in q]
+    qlit_norm = math.sqrt(sum(v * v for v in q_int)) or 1.0
+
+    cands = []
+    for vid, v in rows:
+        amax = 0.0
+        for x in v:
+            amax = max(amax, abs(x))
+        scale = 127.0 / amax if amax > 0 else 1.0
+        qv = [int(round_half_up(x * scale)) for x in v]
+        int_dot = sum(a * b for a, b in zip(qv, q_int))
+        qnorm2 = sum(a * a for a in qv)
+        score = float(int_dot) / (math.sqrt(float(qnorm2)) * qlit_norm)
+        cands.append((vid, score, v))
+    cands.sort(key=lambda t: (-t[1], t[0]))
+    top50 = cands[:50]
+    qn = math.sqrt(sum(x * x for x in q))
+    rer = []
+    for vid, _, v in top50:
+        dot = 0.0
+        for a, b in zip(v, q):
+            dot += a * b
+        vn = math.sqrt(sum(x * x for x in v))
+        rer.append((vid, dot / (vn * qn)))
+    rer.sort(key=lambda t: (-t[1], t[0]))
+    want = rer[:10]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in QUERIES["sim_topk_int8"](spark, SF_DIR).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gv, gs), (wv, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-6, (gv, gs, ws)
