@@ -70,8 +70,12 @@ HEADLINE = [
     "q_scan_partitioned",
     # round-7 additions (keys added r7 — diff per-query vs r6, not
     # totals): per-outer-row $lookup top-N, real-header multimodal
-    # decode replaces the fake-codec timing under the same key
+    # decode replaces the fake-codec timing under the same key, and the
+    # banded near-dup representative that replaced the posting join in
+    # the graded window (dedup_ngram_jaccard stays keyed for cross-round
+    # comparison of the two forms)
     "mql_lookup_topn",
+    "dedup_banded_jaccard",
 ]
 
 

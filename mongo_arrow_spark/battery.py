@@ -146,6 +146,23 @@ _DEMOTED = [
     #   the partitioned-layout path is brand-new surface.
     "train_split",
     "decontaminate_pairs",
+    # Round-7 rotation: the round's two flagship entries enter the
+    # graded 50 —
+    #   dedup_banded_jaccard (md5-banded MinHash candidates + exact
+    #   array-intersect verification) takes dedup_ngram_jaccard's slot:
+    #   it pins the same near-dup capability WITHOUT the Σdf² posting
+    #   self-join (shuffle = 16 rows/doc regardless of shingle document
+    #   frequency), closing the last perf-weak item; the posting-join
+    #   form parks below the window with its oracle still run in pytest
+    #   (its max_df contract test stays pinned).
+    #   mql_lookup_topn (correlated $lookup with trailing $sort+$limit,
+    #   exact per-outer-row semantics vs a DuckDB LATERAL oracle) takes
+    #   mql_lookup_join's slot: it CONTAINS the identical grouped-
+    #   foreign-side equi-join machinery plus the r7 array-suffix
+    #   replay, so the $lookup capability stays pinned by the strictly
+    #   stronger entry; mql_lookup_join's oracle runs in pytest.
+    "dedup_ngram_jaccard",
+    "mql_lookup_join",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -213,6 +213,112 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
+def banded_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs via md5-banded MinHash candidates + exact Jaccard
+    verification — the SCALE-SAFE near-dup shape that is also
+    hash-gradeable by a SQL oracle (r7, replacing the posting self-join
+    as the graded representative).
+
+    Candidate generation: per band ``b``, each doc's signature is the
+    CONCAT of two lexicographic minima ``min md5(2b || ':' || shingle)
+    || min md5(2b+1 || ':' || shingle)`` over its shingle set — an
+    r=2-rows-per-band MinHash computed entirely WITHIN the row (one
+    projection, no posting-list shuffle). Candidates are docs sharing a
+    ``(band, sig)`` bucket: the shuffle is ``bands`` rows per doc,
+    independent of shingle document frequency, so there is no Σdf²
+    posting blow-up and no stop-shingle cap to tune. Band collision
+    probability is j² (r=2 — the r=1 form floods candidates with
+    weak pairs, P=1-(1-j)^b ≈ 56 % even at j=0.05); candidate recall
+    1-(1-j²)^16 is ≈0.78 at j=0.3, ≈0.99 at j=0.5 and →1 for true
+    dups. Verification joins each candidate pair back to the two
+    shingle ARRAYS (array_intersect — pair-local, no explosion) for the
+    exact score, so accepted pairs carry true Jaccard, not an estimate.
+    Deterministic in both engines: md5 hex + string MIN are identical in
+    Spark and DuckDB, which is what lets the driver hash-grade the full
+    output (unlike xxhash64-based MinHash)."""
+    from pyspark import StorageLevel
+
+    # spread the signature computation: the md5-per-(shingle×band) work
+    # is the dominant cost and runs BEFORE any shuffle, so a few input
+    # splits (one, for a single local file) would serialize it on a few
+    # cores. One narrow repartition of (id, sharr) fans it out; at
+    # cluster scale the source's own splits already do this and the
+    # repartition is one small extra shuffle of the compact arrays.
+    base = (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sharr"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    def _band_min(hash_idx):
+        return F.array_min(
+            F.transform(
+                F.col("sharr"),
+                lambda s: F.md5(
+                    F.concat(hash_idx.cast("string"), F.lit(":"), s)
+                ),
+            )
+        )
+
+    sigs = base.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sharr",
+    ).select(
+        "id",
+        "band",
+        F.concat(
+            _band_min(F.col("band") * 2), _band_min(F.col("band") * 2 + 1)
+        ).alias("sig"),
+    )
+    # bucket-and-expand instead of a self-join: one shuffle of the
+    # (band, sig) rows, signatures computed ONCE (a self-join would
+    # evaluate the md5 projection on both branches), pairs expanded
+    # in-row from each bucket's sorted id list
+    ids = F.array_sort(F.col("ids"))
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        sigs.groupBy("band", "sig")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("sharr").alias("sh_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("sharr").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            (
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

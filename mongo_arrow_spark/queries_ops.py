@@ -79,6 +79,51 @@ def q_dedup_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@query(
+    "dedup_banded_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len({_TOKS}) - 1, 2)),
+          i -> array_to_string({_TOKS}[i:i+2], ' '))) AS grams
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, b,
+             MIN(md5(CAST(2*b AS VARCHAR) || ':' || g))
+               || MIN(md5(CAST(2*b+1 AS VARCHAR) || ':' || g)) AS sig
+      FROM sh, unnest(grams) AS t(g), range(16) AS r(b)
+      GROUP BY doc_id, b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.grams, sb.grams)) * 1.0
+               / (len(sa.grams) + len(sb.grams)
+                  - len(list_intersect(sa.grams, sb.grams))) AS j
+      FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM scored WHERE j >= 0.3
+    """,
+)
+def q_dedup_banded_jaccard(spark, sf_dir):
+    """r7 graded near-dup representative: md5-banded MinHash candidate
+    buckets + exact array-intersect verification. Unlike the posting
+    self-join it replaces in the window (dedup_ngram_jaccard, now
+    parked), the shuffle here is 16 rows per document regardless of
+    shingle document frequency — no Σdf² term, no stop-shingle cap dial
+    — while staying fully DuckDB-reproducible (md5 + string MIN are
+    engine-identical), so the driver hash-grades the complete output."""
+    pairs = dedup.banded_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3, bands=16
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 @query("dedup_minhash_lsh")  # rows-only: xxhash64 minhashes aren't in DuckDB
 def q_dedup_minhash(spark, sf_dir):
     """MinHash(64) + 16-band LSH candidate pairs at est-Jaccard ≥ 0.3 —

@@ -333,3 +333,16 @@ def test_sketch_profile_single_aggregation_per_grain(spark, tables):
     p = plan_of(spark, "profile_sketches")
     assert p.count("FileScan parquet") == 1
     assert "CartesianProduct" not in p
+
+
+def test_banded_jaccard_plan_no_posting_join_no_cartesian(spark, tables):
+    """r7 graded near-dup representative: candidate generation must be a
+    hash-aggregate over (band, sig) buckets with in-row pair expansion —
+    no cartesian, no nested-loop join, and no posting-list self-join
+    (the shuffled mass is bands-per-doc rows, never Σdf² postings)."""
+    p = plan_of(spark, "dedup_banded_jaccard")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # exactly the verify joins (pair→set a, pair→set b) may be joins;
+    # candidate generation itself is aggregate+explode, not a join
+    assert "HashAggregate" in p
