@@ -402,8 +402,13 @@ def infer_schema(
     paths: list[str] | str,
     sample_size: int = DEFAULT_SAMPLE_SIZE,
     drop_corrupt: bool = False,
+    base_path: str | None = None,
 ) -> T.StructType:
-    """First-non-null sampling inference over the head of the files."""
+    """First-non-null sampling inference over the head of the files.
+    ``base_path`` overrides the hive-partition discovery root (Spark's
+    ``basePath`` option): name=value segments are taken relative to it,
+    letting a user read ``root/year=2024/`` alone while still recovering
+    the ``year`` column."""
     import io
 
     fields: dict[str, T.DataType] = {}
@@ -473,7 +478,7 @@ def infer_schema(
     # string); a payload field of the same name keeps its doc-inferred
     # type (the partition value overrides it at read, like Spark)
     pobserved: dict[str, list] = {}
-    hroots = _hive_roots(paths)
+    hroots = [base_path] if base_path else _hive_roots(paths)
     for path in _expand(paths):
         for k, v in _hive_parts(path, _root_for(path, hroots)).items():
             pobserved.setdefault(k, []).append(v)
@@ -929,7 +934,8 @@ class DocumentsReader(DataSourceReader):
         self.schema = schema
         self.options = options
         self.paths = _expand(options.get("path"))
-        self.hive_roots = _hive_roots(options.get("path"))
+        base = options.get("basepath")
+        self.hive_roots = [base] if base else _hive_roots(options.get("path"))
         self.strict = str(options.get("mode", "PERMISSIVE")).upper() == "FAILFAST"
         self.partition_bytes = int(
             options.get("partitionbytes", DEFAULT_PARTITION_BYTES)
@@ -1634,6 +1640,7 @@ class DocumentsDataSource(DataSource):
             int(self.options.get("samplesize", DEFAULT_SAMPLE_SIZE)),
             drop_corrupt=str(self.options.get("corruptmode", "fail")).lower()
             == "drop",
+            base_path=self.options.get("basepath"),
         )
 
     def reader(self, schema: T.StructType) -> DocumentsReader:

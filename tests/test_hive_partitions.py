@@ -281,3 +281,31 @@ def test_partition_value_property_round_trip(spark):
         assert _hive_parts(f"/b/k={enc}/f.jsonl").get("k") == v
 
     check()
+
+
+def test_base_path_option_overrides_discovery_root(spark, tmp_path):
+    """r7: Spark-parity ``basePath`` — reading a single partition
+    directory directly still recovers the partition column when basePath
+    points at the layout root."""
+    import json
+
+    from mongo_arrow_spark.sources import register
+
+    root = tmp_path / "corpus"
+    for y in (2023, 2024):
+        d = root / f"year={y}"
+        d.mkdir(parents=True)
+        with open(d / "p.jsonl", "w") as fh:
+            fh.write(json.dumps({"i": y}) + "\n")
+    register(spark)
+    # without basePath: reading the leaf dir directly loses the column
+    plain = spark.read.format("documents").load(str(root / "year=2024"))
+    assert "year" not in plain.columns
+    # with basePath: the column comes back, typed
+    df = (
+        spark.read.format("documents")
+        .option("basePath", str(root))
+        .load(str(root / "year=2024"))
+    )
+    rows = df.collect()
+    assert [(r["year"], r["i"]) for r in rows] == [(2024, 2024)]
