@@ -15,6 +15,9 @@ the shapes follow the published Gopher/C4 filtering rules.
 
 from __future__ import annotations
 
+import math
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -745,4 +748,270 @@ def line_repetition_metrics(
         F.when(st["nc"] > 0, st["dc"] / st["nc"]).otherwise(F.lit(0.0)).cast(
             "double"
         ).alias("dup_line_char_fraction"),
+    )
+
+
+# ------------------------------------------- supervised token-level scoring
+
+
+class TokenLogOddsModel(NamedTuple):
+    """Fitted Naive-Bayes token log-odds model.
+
+    ``tokens`` is a small (vocab-sized) DataFrame ``(w, log_odds)`` meant
+    to be broadcast at scoring time; ``default_log_odds`` is the smoothed
+    score of a token never seen at fit time. The totals ride along so a
+    persisted model can be re-materialized without refitting.
+    """
+
+    tokens: "DataFrame"
+    default_log_odds: float
+    pos_token_total: float
+    neg_token_total: float
+    vocab_size: float
+
+
+def fit_token_logodds(
+    seed: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> TokenLogOddsModel:
+    """Fit a Naive-Bayes token log-odds model from a labeled seed corpus
+    — the closed-form, aggregation-only stand-in for the fasttext-style
+    quality classifiers used by CCNet/RefinedWeb-shaped pipelines
+    (reference scope note: mongo-arrow ships no corpus ops at all,
+    SURVEY §2.E; this extends the engine's trainer tier).
+
+    For token ``t`` with add-``alpha`` smoothing over the seed vocabulary
+    ``V``::
+
+        log_odds(t) = ln((ct_pos(t)+α) / (T_pos+αV))
+                    - ln((ct_neg(t)+α) / (T_neg+αV))
+
+    Scale shape: one explode → per-token hash aggregation (map-side
+    partial, shuffle ∝ distinct tokens), then one tiny 1-row totals
+    action. The model is vocab-sized — a broadcast dimension table, the
+    same way a trained linear model's weights ship to executors.
+    Deterministic and engine-portable: the battery grades fit+score
+    end-to-end against a DuckDB re-derivation.
+    """
+    toks = seed.select(
+        F.col(label_col).cast("boolean").alias("__pos"),
+        F.explode(tokens(text_col)).alias("w"),
+    )
+    agg = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).cast("double").alias("pc"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).cast("double").alias("nc"),
+    )
+    tot = agg.agg(
+        F.sum("pc").alias("p"),
+        F.sum("nc").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    ).first()
+    p_total = float(tot["p"] or 0.0)
+    n_total = float(tot["n"] or 0.0)
+    vocab = float(tot["v"] or 0.0)
+    p_denom = p_total + alpha * vocab
+    n_denom = n_total + alpha * vocab
+    model = agg.select(
+        "w",
+        (
+            F.log((F.col("pc") + F.lit(alpha)) / F.lit(p_denom))
+            - F.log((F.col("nc") + F.lit(alpha)) / F.lit(n_denom))
+        ).cast("double").alias("log_odds"),
+    )
+    default = math.log(alpha / p_denom) - math.log(alpha / n_denom)
+    return TokenLogOddsModel(model, default, p_total, n_total, vocab)
+
+
+def score_token_logodds(
+    df: DataFrame,
+    model: TokenLogOddsModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "nb_logodds",
+) -> DataFrame:
+    """Score each document as the MEAN log-odds of its tokens under a
+    fitted ``TokenLogOddsModel`` (mean, not sum — length-normalized, so
+    the score thresholds like a per-token classifier margin). Output:
+    ``(id_col, n_tokens, out_col)``.
+
+    Plan: explode → broadcast hash join against the vocab-sized model →
+    per-doc aggregation. The explode preserves row locality, so the
+    final groupBy partial-aggregates each document to ~1 row map-side;
+    the only shuffle is ~1 row per document. Unseen tokens take the
+    model's smoothed default."""
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("w")
+    )
+    scored = (
+        toks.join(F.broadcast(model.tokens), "w", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(
+                F.coalesce(F.col("log_odds"), F.lit(model.default_log_odds))
+            ).cast("double").alias(out_col),
+        )
+    )
+    return scored.withColumnRenamed("__id", id_col)
+
+
+# ------------------------------------- DSIR-style importance resampling
+
+
+def _grams(text_col) -> Column:
+    """Unigrams + word bigrams of a text column (non-distinct, in order)
+    — the hashed feature set of Xie et al. 2023 ("Data Selection for
+    Language Models via Importance Resampling"). Bigrams are guarded for
+     1-token rows (``F.sequence(1, 0)`` would generate a DESCENDING
+    sequence, not an empty one)."""
+    return bind(
+        tokens(text_col),
+        lambda t: F.concat(
+            t,
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )
+
+
+def _md5_bucket(col: Column, buckets: int) -> Column:
+    """Deterministic, engine-portable feature bucket: the first 8 hex
+    chars of md5 as an integer, mod ``buckets``. Identical in DuckDB as
+    ``('0x' || substr(md5(x),1,8))::UBIGINT % buckets`` — which is what
+    lets the battery hash-grade the full weighted output (xxhash64 has
+    no DuckDB twin)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % F.lit(
+        buckets
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    out_col: str = "log_importance",
+) -> DataFrame:
+    """DSIR importance weight per raw document: the log-likelihood ratio
+    of its hashed n-gram features under the TARGET distribution vs the
+    RAW distribution (Xie et al. 2023)::
+
+        log w(doc) = Σ_{g ∈ grams(doc)} ln(p_target[b(g)] / p_raw[b(g)])
+
+    with ``b(g)`` an md5 bucket (``_md5_bucket``) and add-``alpha``
+    smoothed bucket probabilities. Documents whose feature profile looks
+    more target-like (e.g. Wikipedia-like, target-language) score
+    higher; ``importance_resample`` turns the weights into a sampled
+    subset.
+
+    Scale shape: two explode → bucket-count aggregations (shuffle ∝
+    ``buckets`` after map-side partials — NOT corpus size), a
+    buckets-sized (≤ tens of KB) broadcast ratio table, then one
+    explode → broadcast join → per-doc sum whose final shuffle is ~1 row
+    per document. The raw corpus is scanned twice (count pass + score
+    pass) and never shuffled whole. Output: ``df`` columns + ``out_col``
+    via an id-keyed join."""
+    bucket_of = lambda g: _md5_bucket(g, buckets)  # noqa: E731
+
+    def bucket_counts(frame):
+        return (
+            frame.select(F.explode(_grams(text_col)).alias("g"))
+            .select(bucket_of(F.col("g")).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        )
+
+    tc = bucket_counts(target)
+    rc = bucket_counts(df)
+    t_tot = float(tc.agg(F.sum("c")).first()[0] or 0.0)
+    r_tot = float(rc.agg(F.sum("c")).first()[0] or 0.0)
+    ratio = (
+        tc.withColumnRenamed("c", "tc")
+        .join(rc.withColumnRenamed("c", "rc"), "b", "full")
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0.0)) + F.lit(alpha))
+                    / F.lit(t_tot + alpha * buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("rc"), F.lit(0.0)) + F.lit(alpha))
+                    / F.lit(r_tot + alpha * buckets)
+                )
+            ).cast("double").alias("lr"),
+        )
+    )
+    per_doc = (
+        df.select(F.col(id_col).alias("__id"), F.explode(_grams(text_col)).alias("g"))
+        .select("__id", bucket_of(F.col("g")).alias("b"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy("__id")
+        .agg(F.sum("lr").cast("double").alias(out_col))
+    )
+    return df.join(
+        per_doc.withColumnRenamed("__id", id_col), id_col, "left"
+    ).fillna({out_col: 0.0})
+
+
+def importance_resample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Sample ``k`` raw documents WITHOUT replacement with probability
+    ∝ exp(log_importance / temperature), via the Gumbel-top-k trick:
+    key = log w / τ + Gumbel(0,1), take the k largest keys. The Gumbel
+    noise is derived from a seeded md5 of the document id, so the draw
+    is fully deterministic and replayable in SQL (the battery's DuckDB
+    oracle recomputes the identical sample).
+
+    Plan: ``importance_weights`` + one seeded-hash projection + a
+    TakeOrdered top-k — no sort of the full corpus, no extra shuffle
+    beyond the weights'. This is the DSIR selection step sized for any
+    corpus: at 100 TB the only driver-side object is the k result rows.
+    Output adds ``log_importance`` and the sampling key ``__gumbel_key``
+    is dropped."""
+    weighted = importance_weights(
+        df, target, id_col, text_col, buckets=buckets, alpha=alpha
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed), F.lit(":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    key = F.col("log_importance") / F.lit(float(temperature)) - F.log(
+        -F.log(u)
+    )
+    return (
+        weighted.withColumn("__gumbel_key", key)
+        .orderBy(F.col("__gumbel_key").desc(), F.col(id_col))
+        .limit(int(k))
+        .drop("__gumbel_key")
     )

@@ -1393,3 +1393,92 @@ def q_profile_sketches(spark, sf_dir):
     artifacts = profile.sketch_profile(docs, batch_col="source")
     merged = profile.merge_sketch_profiles(artifacts)
     return profile.sketch_estimates(merged).orderBy("column")
+
+
+@query(
+    "quality_nb_classifier",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS pos, unnest({_TOKS}) AS w FROM documents
+    ), agg AS (
+      SELECT w, SUM(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE AS pc,
+                SUM(CASE WHEN pos THEN 0 ELSE 1 END)::DOUBLE AS nc
+      FROM toks GROUP BY w
+    ), tot AS (
+      SELECT SUM(pc) AS p, SUM(nc) AS n, COUNT(*)::DOUBLE AS v FROM agg
+    ), model AS (
+      SELECT w, ln((pc+1.0)/(p+v)) - ln((nc+1.0)/(n+v)) AS lo FROM agg, tot
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(m.lo), 4) + 0.0 AS nb_logodds
+    FROM toks t JOIN model m USING (w) GROUP BY t.doc_id
+    """,
+)
+def q_quality_nb_classifier(spark, sf_dir):
+    """Supervised Naive-Bayes quality classifier (r7), fit+score
+    end-to-end: token log-odds are FIT from a labeled seed (here:
+    lang='en' as the target class, the CCNet-style target-language
+    scorer) and every document scored as the mean log-odds of its
+    tokens. One vocab aggregation, a broadcast model join, one ~1-row-
+    per-doc shuffle — the plan a trained linear classifier runs at
+    100 TB. The oracle re-derives fit AND score in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    model = quality.fit_token_logodds(
+        docs.withColumn("__pos", F.col("lang") == "en"), "__pos"
+    )
+    return quality.score_token_logodds(docs, model).select(
+        "doc_id",
+        "n_tokens",
+        (F.round("nb_logodds", 4) + 0.0).alias("nb_logodds"),
+    )
+
+
+@query(
+    "dsir_resample",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, unnest(list_concat(t,
+         list_transform(range(1, greatest(len(t),1)), i -> t[i] || ' ' || t[i+1]))) AS g
+      FROM toks
+    ), b AS (
+      SELECT doc_id, lang, ('0x' || substr(md5(g),1,8))::UBIGINT % 4096 AS b FROM grams
+    ), tc AS (
+      SELECT b, COUNT(*)::DOUBLE AS c FROM b WHERE lang = 'en' GROUP BY b
+    ), rc AS (
+      SELECT b, COUNT(*)::DOUBLE AS c FROM b GROUP BY b
+    ), tot AS (
+      SELECT (SELECT SUM(c) FROM tc) AS tt, (SELECT SUM(c) FROM rc) AS rt
+    ), ratio AS (
+      SELECT COALESCE(tc.b, rc.b) AS b,
+             ln((COALESCE(tc.c,0)+1.0)/(tot.tt+4096.0))
+           - ln((COALESCE(rc.c,0)+1.0)/(tot.rt+4096.0)) AS lr
+      FROM tc FULL JOIN rc ON tc.b = rc.b, tot
+    ), w AS (
+      SELECT b.doc_id, SUM(r.lr) AS log_importance
+      FROM b JOIN ratio r USING (b) GROUP BY b.doc_id
+    ), keyed AS (
+      SELECT doc_id, log_importance,
+             log_importance + -ln(-ln((('0x' || substr(md5('r7:' || CAST(doc_id AS VARCHAR)),1,8))::UBIGINT + 1.0)/4294967297.0)) AS k
+      FROM w
+    )
+    SELECT doc_id, ROUND(log_importance, 4) + 0.0 AS log_importance
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 100
+    """,
+)
+def q_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling (r7, Xie et al. 2023): hashed
+    unigram+bigram bucket counts give each raw document a target-vs-raw
+    log-likelihood ratio (target = lang='en'), and a seeded Gumbel-top-k
+    draws 100 docs WITHOUT replacement with probability ∝ exp(log w) —
+    fully deterministic, so the DuckDB oracle recomputes the identical
+    sample. Shuffles are bucket-sized (4096) and ~1-row-per-doc; the
+    selection is a TakeOrdered top-k, never a full sort."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    samp = quality.importance_resample(docs, target, k=100, seed="r7")
+    return samp.select(
+        "doc_id",
+        (F.round("log_importance", 4) + 0.0).alias("log_importance"),
+    )

@@ -547,3 +547,104 @@ def test_js_divergence_properties(spark):
     d1 = textops.js_divergence(a, mixed)
     d2 = textops.js_divergence(mixed, a)
     assert abs(d1 - d2) < 1e-12 and 0 < d1 < math.log(2)
+
+
+# ------------------------ r7: supervised NB scorer + DSIR resampling
+
+
+def _mini_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "good clean prose text", True),
+            (2, "good solid prose here", True),
+            (3, "spam spam buy now", False),
+            (4, "buy spam now cheap", False),
+        ],
+        "doc_id long, text string, is_target boolean",
+    )
+
+
+def test_nb_logodds_hand_computed(spark):
+    """log_odds on a 4-doc corpus matches the closed form: 'spam' occurs
+    3x in neg (8 tokens) and 0x in pos (8 tokens), V=10 distinct tokens,
+    alpha=1 -> log((0+1)/(8+10)) - log((3+1)/(8+10)) = -log(4)."""
+    import math
+
+    m = quality.fit_token_logodds(_mini_corpus(spark), "is_target")
+    rows = {r["w"]: r["log_odds"] for r in m.tokens.collect()}
+    assert m.vocab_size == 10 and m.pos_token_total == 8 and m.neg_token_total == 8
+    assert rows["spam"] == pytest.approx(-math.log(4.0))
+    assert rows["prose"] == pytest.approx(math.log(3.0))  # 2 pos, 0 neg
+    assert rows["good"] > 0 > rows["buy"]
+    # unseen-token default: symmetric classes -> exactly 0
+    assert m.default_log_odds == pytest.approx(0.0)
+
+
+def test_nb_score_separates_classes_and_handles_unseen(spark):
+    corpus = _mini_corpus(spark)
+    m = quality.fit_token_logodds(corpus, "is_target")
+    scored = {
+        r["doc_id"]: r["nb_logodds"]
+        for r in quality.score_token_logodds(corpus, m).collect()
+    }
+    assert scored[1] > 0 > scored[3]
+    assert min(scored[1], scored[2]) > max(scored[3], scored[4])
+    # a doc of entirely unseen tokens scores the default (= 0 here)
+    unseen = spark.createDataFrame(
+        [(9, "zzz qqq")], "doc_id long, text string"
+    )
+    s = quality.score_token_logodds(unseen, m).collect()[0]
+    assert s["n_tokens"] == 2 and s["nb_logodds"] == pytest.approx(0.0)
+
+
+def test_importance_weights_favor_target_like_docs(spark):
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(1, 6)]
+        + [(i, "noise junk rubbish clutter") for i in range(6, 11)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: r["log_importance"]
+        for r in quality.importance_weights(raw, target).collect()
+    }
+    assert len(w) == 10
+    assert min(w[i] for i in range(1, 6)) > max(w[i] for i in range(6, 11))
+
+
+def test_importance_resample_deterministic_and_seed_sensitive(spark):
+    raw = spark.range(1, 101).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    target = raw.filter(F.col("doc_id") % 7 == 0)
+    a1 = sorted(
+        r["doc_id"]
+        for r in quality.importance_resample(raw, target, 10, seed="s1").collect()
+    )
+    a2 = sorted(
+        r["doc_id"]
+        for r in quality.importance_resample(raw, target, 10, seed="s1").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in quality.importance_resample(raw, target, 10, seed="s2").collect()
+    )
+    assert a1 == a2 and len(a1) == 10
+    assert a1 != b  # a different seed draws a different sample
+    # k >= n returns every row
+    assert quality.importance_resample(raw, target, 500).count() == 100
+
+
+def test_importance_resample_topk_plan_no_full_sort(spark):
+    """The selection must compile to TakeOrderedAndProject (bounded
+    per-partition top-k + driver merge), never a global Sort+Limit."""
+    raw = spark.range(1, 51).select(
+        F.col("id").alias("doc_id"), F.lit("alpha beta").alias("text")
+    )
+    plan = quality.importance_resample(raw, raw, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
