@@ -76,6 +76,11 @@ HEADLINE = [
     # comparison of the two forms)
     "mql_lookup_topn",
     "dedup_banded_jaccard",
+    # round-7 second wave: supervised NB token-logodds classifier
+    # (fit + broadcast-model scoring) and DSIR importance resampling
+    # (hashed-bucket ratios + Gumbel-top-k)
+    "quality_nb_classifier",
+    "dsir_resample",
 ]
 
 
