@@ -892,6 +892,107 @@ def _md5_bucket(col: Column, buckets: int) -> Column:
     )
 
 
+class BucketRatioModel(NamedTuple):
+    """Fitted DSIR bucket-ratio model: a ≤``buckets``-row DataFrame
+    ``(b, lr)`` of per-bucket log-likelihood ratios, the smoothed ratio
+    for buckets unobserved at fit time, and the bucket count the grams
+    must be hashed with at apply time. ``ratios`` is broadcast-sized by
+    construction; persist it (parquet) plus the two scalars to weight
+    future batches without ever rescanning the fit corpora."""
+
+    ratios: "DataFrame"
+    default_lr: float
+    buckets: int
+    alpha: float
+
+
+def fit_bucket_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+    alpha: float = 1.0,
+) -> BucketRatioModel:
+    """Fit the DSIR hashed-feature ratio table: per md5 bucket,
+    ``ln(p_target[b] / p_raw[b])`` with add-``alpha`` smoothing over
+    ``buckets`` buckets (Xie et al. 2023).
+
+    Scale shape: two explode → bucket-count aggregations whose shuffle
+    caps at ``buckets`` rows after map-side partials — corpus-size
+    independent — plus two 1-row totals actions. Fit ONCE per
+    (raw-distribution, target) pair; ``apply_bucket_ratios`` weights any
+    number of later batches against the frozen ratios."""
+    bucket_of = lambda g: _md5_bucket(g, buckets)  # noqa: E731
+
+    def bucket_counts(frame):
+        return (
+            frame.select(F.explode(_grams(text_col)).alias("g"))
+            .select(bucket_of(F.col("g")).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        )
+
+    tc = bucket_counts(target)
+    rc = bucket_counts(raw)
+    t_tot = float(tc.agg(F.sum("c")).first()[0] or 0.0)
+    r_tot = float(rc.agg(F.sum("c")).first()[0] or 0.0)
+    t_denom = t_tot + alpha * buckets
+    r_denom = r_tot + alpha * buckets
+    ratios = (
+        tc.withColumnRenamed("c", "tc")
+        .join(rc.withColumnRenamed("c", "rc"), "b", "full")
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0.0)) + F.lit(alpha))
+                    / F.lit(t_denom)
+                )
+                - F.log(
+                    (F.coalesce(F.col("rc"), F.lit(0.0)) + F.lit(alpha))
+                    / F.lit(r_denom)
+                )
+            ).cast("double").alias("lr"),
+        )
+    )
+    default = math.log(alpha / t_denom) - math.log(alpha / r_denom)
+    return BucketRatioModel(ratios, default, buckets, alpha)
+
+
+def apply_bucket_ratios(
+    df: DataFrame,
+    model: BucketRatioModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "log_importance",
+) -> DataFrame:
+    """Weight a batch against a fitted ``BucketRatioModel``::
+
+        log w(doc) = Σ_{g ∈ grams(doc)} lr[b(g)]
+
+    Buckets never observed at fit time take the model's smoothed
+    default. Plan: explode → broadcast join against the buckets-sized
+    ratio table → per-doc sum that partial-aggregates to ~1 row/doc
+    map-side; the batch is never shuffled whole. Output: ``df`` columns
+    + ``out_col`` via an id-keyed join."""
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("__id"), F.explode(_grams(text_col)).alias("g")
+        )
+        .select("__id", _md5_bucket(F.col("g"), model.buckets).alias("b"))
+        .join(F.broadcast(model.ratios), "b", "left")
+        .groupBy("__id")
+        .agg(
+            F.sum(F.coalesce(F.col("lr"), F.lit(model.default_lr)))
+            .cast("double")
+            .alias(out_col)
+        )
+    )
+    return df.join(
+        per_doc.withColumnRenamed("__id", id_col), id_col, "left"
+    ).fillna({out_col: 0.0})
+
+
 def importance_weights(
     df: DataFrame,
     target: DataFrame,
@@ -911,56 +1012,17 @@ def importance_weights(
     smoothed bucket probabilities. Documents whose feature profile looks
     more target-like (e.g. Wikipedia-like, target-language) score
     higher; ``importance_resample`` turns the weights into a sampled
-    subset.
-
-    Scale shape: two explode → bucket-count aggregations (shuffle ∝
-    ``buckets`` after map-side partials — NOT corpus size), a
-    buckets-sized (≤ tens of KB) broadcast ratio table, then one
-    explode → broadcast join → per-doc sum whose final shuffle is ~1 row
-    per document. The raw corpus is scanned twice (count pass + score
-    pass) and never shuffled whole. Output: ``df`` columns + ``out_col``
-    via an id-keyed join."""
-    bucket_of = lambda g: _md5_bucket(g, buckets)  # noqa: E731
-
-    def bucket_counts(frame):
-        return (
-            frame.select(F.explode(_grams(text_col)).alias("g"))
-            .select(bucket_of(F.col("g")).alias("b"))
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).cast("double").alias("c"))
-        )
-
-    tc = bucket_counts(target)
-    rc = bucket_counts(df)
-    t_tot = float(tc.agg(F.sum("c")).first()[0] or 0.0)
-    r_tot = float(rc.agg(F.sum("c")).first()[0] or 0.0)
-    ratio = (
-        tc.withColumnRenamed("c", "tc")
-        .join(rc.withColumnRenamed("c", "rc"), "b", "full")
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0.0)) + F.lit(alpha))
-                    / F.lit(t_tot + alpha * buckets)
-                )
-                - F.log(
-                    (F.coalesce(F.col("rc"), F.lit(0.0)) + F.lit(alpha))
-                    / F.lit(r_tot + alpha * buckets)
-                )
-            ).cast("double").alias("lr"),
-        )
+    subset. One-shot form of ``fit_bucket_ratios`` +
+    ``apply_bucket_ratios`` with ``raw = df`` (so every bucket a gram
+    hashes into was observed at fit time and the default never fires);
+    use the split form to persist the ratios and weight future batches
+    without rescanning the fit corpora."""
+    model = fit_bucket_ratios(
+        df, target, text_col=text_col, buckets=buckets, alpha=alpha
     )
-    per_doc = (
-        df.select(F.col(id_col).alias("__id"), F.explode(_grams(text_col)).alias("g"))
-        .select("__id", bucket_of(F.col("g")).alias("b"))
-        .join(F.broadcast(ratio), "b")
-        .groupBy("__id")
-        .agg(F.sum("lr").cast("double").alias(out_col))
+    return apply_bucket_ratios(
+        df, model, id_col=id_col, text_col=text_col, out_col=out_col
     )
-    return df.join(
-        per_doc.withColumnRenamed("__id", id_col), id_col, "left"
-    ).fillna({out_col: 0.0})
 
 
 def importance_resample(

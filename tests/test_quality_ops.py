@@ -648,3 +648,34 @@ def test_importance_resample_topk_plan_no_full_sort(spark):
     plan = quality.importance_resample(raw, raw, 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "GlobalLimit" not in plan
+
+
+def test_bucket_ratio_fit_apply_split_matches_oneshot(spark):
+    """fit_bucket_ratios + apply_bucket_ratios == importance_weights when
+    the batch is the fit corpus, and a DISJOINT later batch weights
+    through the frozen model (unseen buckets take the smoothed default,
+    never a dropped gram)."""
+    raw = spark.range(1, 41).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha tok"), (F.col("id") % 5).cast("string")).alias("text"),
+    )
+    target = raw.filter(F.col("doc_id") % 5 == 1)
+    oneshot = {
+        r["doc_id"]: r["log_importance"]
+        for r in quality.importance_weights(raw, target).collect()
+    }
+    model = quality.fit_bucket_ratios(raw, target)
+    split = {
+        r["doc_id"]: r["log_importance"]
+        for r in quality.apply_bucket_ratios(raw, model).collect()
+    }
+    assert split == pytest.approx(oneshot)
+    # a new batch with grams never seen at fit time still weights: its
+    # unseen-bucket grams take default_lr (nonzero when |target| != |raw|)
+    batch = spark.createDataFrame(
+        [(900, "zzznew qqqnew")], "doc_id long, text string"
+    )
+    got = quality.apply_bucket_ratios(batch, model).collect()[0]
+    # 2 unigrams + 1 bigram, all unseen -> exactly 3 * default_lr
+    assert got["log_importance"] == pytest.approx(3 * model.default_lr)
+    assert model.default_lr != 0.0
