@@ -1027,7 +1027,7 @@ def importance_weights(
 
 def importance_resample(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1035,6 +1035,7 @@ def importance_resample(
     alpha: float = 1.0,
     seed: str = "dsir",
     temperature: float = 1.0,
+    model: BucketRatioModel | None = None,
 ) -> DataFrame:
     """Sample ``k`` raw documents WITHOUT replacement with probability
     ∝ exp(log_importance / temperature), via the Gumbel-top-k trick:
@@ -1043,15 +1044,26 @@ def importance_resample(
     is fully deterministic and replayable in SQL (the battery's DuckDB
     oracle recomputes the identical sample).
 
-    Plan: ``importance_weights`` + one seeded-hash projection + a
+    Pass ``model=`` (a prefit ``BucketRatioModel``) to weight against
+    frozen ratios instead of refitting from ``target`` — the
+    index-once/sample-per-batch shape; ``target`` may then be ``None``.
+
+    Plan: the weights' shuffles + one seeded-hash projection + a
     TakeOrdered top-k — no sort of the full corpus, no extra shuffle
     beyond the weights'. This is the DSIR selection step sized for any
     corpus: at 100 TB the only driver-side object is the k result rows.
     Output adds ``log_importance`` and the sampling key ``__gumbel_key``
     is dropped."""
-    weighted = importance_weights(
-        df, target, id_col, text_col, buckets=buckets, alpha=alpha
-    )
+    if model is not None:
+        weighted = apply_bucket_ratios(
+            df, model, id_col=id_col, text_col=text_col
+        )
+    elif target is not None:
+        weighted = importance_weights(
+            df, target, id_col, text_col, buckets=buckets, alpha=alpha
+        )
+    else:
+        raise ValueError("importance_resample needs target or model")
     u = (
         F.conv(
             F.substring(

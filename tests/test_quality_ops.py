@@ -679,3 +679,25 @@ def test_bucket_ratio_fit_apply_split_matches_oneshot(spark):
     # 2 unigrams + 1 bigram, all unseen -> exactly 3 * default_lr
     assert got["log_importance"] == pytest.approx(3 * model.default_lr)
     assert model.default_lr != 0.0
+
+
+def test_importance_resample_with_prefit_model(spark):
+    raw = spark.range(1, 61).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 6).cast("string")).alias("text"),
+    )
+    target = raw.filter(F.col("doc_id") % 6 == 0)
+    model = quality.fit_bucket_ratios(raw, target)
+    via_model = sorted(
+        r["doc_id"]
+        for r in quality.importance_resample(
+            raw, None, 12, seed="m", model=model
+        ).collect()
+    )
+    refit = sorted(
+        r["doc_id"]
+        for r in quality.importance_resample(raw, target, 12, seed="m").collect()
+    )
+    assert via_model == refit and len(via_model) == 12
+    with pytest.raises(ValueError):
+        quality.importance_resample(raw, None, 5)
