@@ -171,6 +171,12 @@ _DEMOTED = [
     # plus a TakeOrdered top-k to that shape.
     "quality_nb_classifier",
     "dsir_resample",
+    # round-7 third wave parks below the window by construction: the
+    # bigram stupid-backoff LM extends text_unigram_logprob's graded-
+    # sibling shape (vocab agg + broadcast scoring join) with one more
+    # broadcast-sized model table; its exact oracle runs in
+    # tests/test_battery.py
+    "text_bigram_logprob",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -9,6 +9,9 @@ is identical to the 60 kB plan.
 
 from __future__ import annotations
 
+import math
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -350,6 +353,195 @@ def unigram_logprob(
         )
     )
     return scored.withColumnRenamed("id", id_col)
+
+
+def _bigram_pairs(col: Column | str) -> Column:
+    """One ``(p, w)`` struct per token of the text: ``w`` is the token,
+    ``p`` the previous token (NULL for the first). Built in-row with
+    ``zip_with`` over the token array and its NULL-prepended shift — no
+    positional explode + self-join, so the per-row cost stays O(tokens)
+    and the expression survives whole-stage codegen."""
+    return bind(
+        tokens(col),
+        lambda t: F.zip_with(
+            F.concat(
+                F.array(F.lit(None).cast("string")),
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            ),
+            t,
+            lambda p, w: F.struct(p.alias("p"), w.alias("w")),
+        ),
+    )
+
+
+class NgramLM(NamedTuple):
+    """Fitted bigram stupid-backoff language model.
+
+    ``unigrams`` is the ≤``vocab_size``-row table ``(w, c, ulp)`` —
+    raw count plus the add-``alpha`` smoothed unigram log-probability;
+    ``bigrams`` the ≤``bigram_size``-row table ``(p, w, blp)`` with
+    ``blp = ln(count(p,w) / count(p))``. Both are broadcast-sized by
+    construction; persist them (parquet) plus the scalars to score any
+    number of later batches without rescanning the fit corpus — the
+    same fit-once/apply-many split as ``quality.BucketRatioModel``."""
+
+    unigrams: "DataFrame"
+    bigrams: "DataFrame"
+    oov_lp: float
+    backoff: float
+    vocab_size: int
+    bigram_size: int
+    alpha: float
+
+
+def fit_ngram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 10_000,
+    bigram_size: int = 50_000,
+    alpha: float = 0.5,
+    backoff: float = 0.4,
+) -> NgramLM:
+    """Fit a bigram stupid-backoff LM on the corpus's own text — the
+    n-gram upgrade of ``unigram_logprob``'s scorer, the deterministic
+    stand-in for the CCNet/RefinedWeb KenLM perplexity filter (Wenzek
+    et al. 2020 use a 5-gram KenLM; Brants et al. 2007 show stupid
+    backoff matches Kneser-Ney at corpus scale, which is exactly the
+    regime this engine targets).
+
+    Model: unigram ``p(w) = (c(w)+alpha) / (total + alpha·(V+1))`` over
+    the top-``vocab_size`` vocabulary (OOV shares one smoothed count);
+    bigram ``p(w|p) = c(p,w)/c(p)`` over the top-``bigram_size``
+    in-vocabulary bigrams, falling back to ``backoff · p(w)`` for
+    unseen bigrams. Both cuts are fully ordered (count desc, then
+    word(s)) so the fitted model is deterministic and oracle-replayable.
+
+    Scale shape: two explode → count aggregations (shuffle ∝ distinct
+    grams after map-side partials, not corpus size), each followed by a
+    TakeOrdered top-k cut that keeps the model broadcast-sized. Fit
+    ONCE; ``score_ngram_lm`` scores any batch against the frozen model.
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("w"))
+    counts = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    vocab = counts.orderBy(F.col("c").desc(), F.col("w")).limit(
+        int(vocab_size)
+    )
+    total = float(
+        df.select(F.sum(token_count(text_col)).cast("double")).first()[0]
+        or 0.0
+    )
+    v = vocab.count()
+    denom = total + alpha * (v + 1)
+    unigrams = vocab.select(
+        "w",
+        "c",
+        F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))
+        .cast("double")
+        .alias("ulp"),
+    )
+    pairs = (
+        df.select(F.explode(_bigram_pairs(text_col)).alias("z"))
+        .select("z.p", "z.w")
+        .where(F.col("p").isNotNull())
+    )
+    in_vocab = vocab.select("w")
+    bi = (
+        pairs.join(
+            F.broadcast(in_vocab.withColumnRenamed("w", "p")), "p", "left_semi"
+        )
+        .join(F.broadcast(in_vocab), "w", "left_semi")
+        .groupBy("p", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("bc"))
+        .orderBy(F.col("bc").desc(), F.col("p"), F.col("w"))
+        .limit(int(bigram_size))
+    )
+    bigrams = bi.join(
+        F.broadcast(unigrams.select(F.col("w").alias("p"), F.col("c").alias("pc"))),
+        "p",
+    ).select(
+        "p",
+        "w",
+        F.log(F.col("bc") / F.col("pc")).cast("double").alias("blp"),
+    )
+    return NgramLM(
+        unigrams=unigrams,
+        bigrams=bigrams,
+        oov_lp=math.log(alpha / denom),
+        backoff=backoff,
+        vocab_size=int(vocab_size),
+        bigram_size=int(bigram_size),
+        alpha=alpha,
+    )
+
+
+def score_ngram_lm(
+    df: DataFrame,
+    model: NgramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "logprob",
+) -> DataFrame:
+    """Score each document's mean per-token log-probability under a
+    fitted ``NgramLM``: the first token scores by its smoothed unigram
+    probability; each later token by ``ln c(p,w)/c(p)`` when the bigram
+    is in the model, else ``ln(backoff) + unigram``. Documents far below
+    the corpus mean are boilerplate/noise; far above are repetitive —
+    the usual two-sided CCNet-style gate.
+
+    Plan: the in-row ``(prev, w)`` pairs explode once, then join the
+    two broadcast model tables (unigram on ``w``, bigram on
+    ``(p, w)``) — map-side hash joins, no corpus shuffle — and
+    partial-aggregate back to one ``(id, n_tokens, logprob)`` row per
+    document. Output columns: ``(id_col, n_tokens, out_col)``."""
+    seq = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_bigram_pairs(text_col)).alias("z"),
+    ).select("__id", "z.p", "z.w")
+    scored = (
+        seq.join(F.broadcast(model.unigrams.select("w", "ulp")), "w", "left")
+        .join(F.broadcast(model.bigrams), ["p", "w"], "left")
+        .withColumn("__ulp", F.coalesce(F.col("ulp"), F.lit(model.oov_lp)))
+        .withColumn(
+            "__lp",
+            F.when(F.col("p").isNull(), F.col("__ulp"))
+            .when(F.col("blp").isNotNull(), F.col("blp"))
+            .otherwise(F.lit(math.log(model.backoff)) + F.col("__ulp")),
+        )
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg("__lp").cast("double").alias(out_col),
+        )
+    )
+    return scored.withColumnRenamed("__id", id_col)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 10_000,
+    bigram_size: int = 50_000,
+    alpha: float = 0.5,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """One-shot convenience: fit the bigram stupid-backoff LM on ``df``
+    and score ``df`` against it (self-scoring, the corpus-quality use).
+    For the fit-once/score-many split keep the ``NgramLM`` from
+    ``fit_ngram_lm`` and call ``score_ngram_lm`` per batch."""
+    model = fit_ngram_lm(
+        df,
+        text_col=text_col,
+        vocab_size=vocab_size,
+        bigram_size=bigram_size,
+        alpha=alpha,
+        backoff=backoff,
+    )
+    return score_ngram_lm(
+        df, model, id_col=id_col, text_col=text_col
+    )
 
 
 def tag_keywords(

@@ -1095,6 +1095,67 @@ def q_text_unigram_logprob(spark, sf_dir):
     )
 
 
+@query(
+    "text_bigram_logprob",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+    seq AS (
+      SELECT doc_id, z[1] AS p, z[2] AS w
+      FROM (SELECT doc_id,
+                   unnest(list_zip(list_prepend(NULL, s[1:greatest(len(s)-1,0)]),
+                                   s)) AS z
+            FROM base)
+    ),
+    total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM seq),
+    counts AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM seq
+      GROUP BY w ORDER BY c DESC, w LIMIT 10000
+    ),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM counts),
+    uni AS (
+      SELECT w, c, ln((c + 0.5) / (total.t + 0.5 * (v.n + 1))) AS ulp
+      FROM counts, total, v
+    ),
+    bi AS (
+      SELECT p, w, CAST(COUNT(*) AS DOUBLE) AS bc
+      FROM seq
+      WHERE p IS NOT NULL
+        AND p IN (SELECT w FROM counts) AND w IN (SELECT w FROM counts)
+      GROUP BY p, w ORDER BY bc DESC, p, w LIMIT 50000
+    ),
+    blp AS (
+      SELECT bi.p, bi.w, ln(bi.bc / uni.c) AS blp
+      FROM bi JOIN uni ON uni.w = bi.p
+    ),
+    oov AS (SELECT ln(0.5 / (total.t + 0.5 * (v.n + 1))) AS lp FROM total, v),
+    scored AS (
+      SELECT seq.doc_id,
+             CASE WHEN seq.p IS NULL THEN COALESCE(uni.ulp, oov.lp)
+                  WHEN blp.blp IS NOT NULL THEN blp.blp
+                  ELSE ln(0.4) + COALESCE(uni.ulp, oov.lp) END AS lp
+      FROM seq
+      LEFT JOIN uni ON uni.w = seq.w
+      LEFT JOIN blp ON blp.p = seq.p AND blp.w = seq.w
+      CROSS JOIN oov
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(lp), 4) AS logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_bigram_logprob(spark, sf_dir):
+    """Bigram stupid-backoff LM score (the n-gram upgrade of the CCNet
+    perplexity proxy): two broadcast-sized model tables fit with
+    TakeOrdered cuts, then one explode + two broadcast joins per scored
+    batch — the corpus itself is never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    model = text.fit_ngram_lm(docs)
+    out = text.score_ngram_lm(docs, model)
+    return out.select(
+        "doc_id", "n_tokens", F.round("logprob", 4).alias("logprob")
+    )
+
+
 #: Deterministic toy taxonomy over the synthetic corpus vocabulary.
 _TAXONOMY = {
     "storage": ["table", "row", "parquet"],

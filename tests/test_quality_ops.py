@@ -348,6 +348,90 @@ def test_unigram_logprob_orders_noise_below_prose(spark):
     assert out[0] > out[99]
 
 
+def test_ngram_lm_bigram_beats_backoff_and_oov_floors(spark):
+    """Bigram continuations seen at fit time score above the backoff
+    path; OOV tokens take the smoothed floor; all scores finite."""
+    import math
+
+    from mongo_arrow_spark.operators.text import fit_ngram_lm, score_ngram_lm
+
+    fit_df = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(8)],
+        "doc_id long, text string",
+    )
+    model = fit_ngram_lm(fit_df, vocab_size=100, bigram_size=100)
+    batch = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),  # all in-model bigrams
+            (90, "mat on cat"),  # known words, only unseen bigrams
+            (99, "zzqx vvwk qqrr"),  # fully OOV
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["logprob"])
+        for r in score_ngram_lm(batch, model).collect()
+    }
+    assert out[0][0] == 6
+    assert all(math.isfinite(lp) and lp < 0 for _, lp in out.values())
+    # in-model bigrams > reordered (backoff) > OOV
+    assert out[0][1] > out[90][1] > out[99][1]
+
+
+def test_ngram_lm_fit_once_scores_new_batch(spark):
+    """The fit/score split: a model fit on one corpus scores a disjoint
+    batch (incl. OOV-only docs) without refitting, and the one-shot
+    bigram_logprob equals fit+score composed."""
+    from mongo_arrow_spark.operators.text import (
+        bigram_logprob,
+        fit_ngram_lm,
+        score_ngram_lm,
+    )
+
+    fit_df = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = fit_ngram_lm(fit_df, vocab_size=10, bigram_size=10)
+    batch = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "nope nada")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["logprob"] for r in score_ngram_lm(batch, model).collect()}
+    assert out[1] > out[2]
+    one_shot = {
+        r["doc_id"]: r["logprob"]
+        for r in bigram_logprob(fit_df, vocab_size=10, bigram_size=10).collect()
+    }
+    composed = {
+        r["doc_id"]: r["logprob"]
+        for r in score_ngram_lm(fit_df, model).collect()
+    }
+    assert one_shot == composed
+
+
+def test_ngram_lm_model_tables_are_deterministic_and_capped(spark):
+    """The vocab/bigram cuts are fully ordered (count desc, word) so two
+    fits of the same corpus produce identical model tables, capped at
+    the requested sizes."""
+    from mongo_arrow_spark.operators.text import fit_ngram_lm
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 7} w{i % 3} filler") for i in range(40)],
+        "doc_id long, text string",
+    )
+    m1 = fit_ngram_lm(df, vocab_size=5, bigram_size=6)
+    m2 = fit_ngram_lm(df, vocab_size=5, bigram_size=6)
+    u1 = sorted(map(tuple, m1.unigrams.collect()))
+    u2 = sorted(map(tuple, m2.unigrams.collect()))
+    b1 = sorted(map(tuple, m1.bigrams.collect()))
+    b2 = sorted(map(tuple, m2.bigrams.collect()))
+    assert u1 == u2 and b1 == b2
+    assert len(u1) == 5 and len(b1) == 6
+    # every bigram's blp = ln(bc/c(p)) <= 0 and both words in vocab
+    vocab = {w for w, _, _ in u1}
+    assert all(p in vocab and w in vocab and blp <= 0 for p, w, blp in b1)
+
+
 def test_strip_boilerplate_lines(spark):
     from mongo_arrow_spark.operators.quality import (
         boilerplate_lines,
