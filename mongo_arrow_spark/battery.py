@@ -177,6 +177,11 @@ _DEMOTED = [
     # broadcast-sized model table; its exact oracle runs in
     # tests/test_battery.py
     "text_bigram_logprob",
+    # quality-aware survivor selection composes the GRADED
+    # dedup_components clustering with a payload-free argmax + broadcast
+    # join; its exact oracle (recursive CTE + QUALIFY-style row_number)
+    # runs in tests/test_battery.py
+    "dedup_canonical",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

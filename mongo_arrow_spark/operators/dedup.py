@@ -836,6 +836,54 @@ def dedup_survivors(
     ).drop("component")
 
 
+def canonical_survivors(
+    df: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the BEST row per near-dup component — highest ``score_col``
+    (numeric), ties broken by min id — plus every row that never
+    appeared in a candidate pair. The quality-aware upgrade of
+    ``dedup_survivors``: real pipelines keep the longest / highest-
+    quality duplicate, not the arbitrary min-id one (e.g. the canonical
+    page among mirror copies).
+
+    Plan: per-component winners come from one partial-aggregated
+    ``min(struct(-score, id))`` — the shuffle carries (component, score,
+    id) triples pre-reduced map-side, never payloads — and the winner
+    table (one row per component, typically a small fraction of the
+    corpus) broadcast-joins back, so document payloads are never
+    shuffled. Output: ``df``'s columns.
+    """
+    marked = df.join(
+        components.withColumnsRenamed({"id": id_col}), id_col, "left"
+    )
+    clustered = marked.where(F.col("component").isNotNull())
+    winners = (
+        clustered.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(score_col)).alias("ns"),
+                    F.col(id_col).alias("i"),
+                )
+            ).alias("w")
+        )
+        .select("component", F.col("w.i").alias("__winner"))
+    )
+    kept = (
+        clustered.join(F.broadcast(winners), "component")
+        .where(F.col(id_col) == F.col("__winner"))
+        .drop("__winner")
+    )
+    return (
+        marked.where(F.col("component").isNull())
+        .unionByName(kept)
+        .drop("component")
+    )
+
+
 def cross_jaccard_pairs(
     left: DataFrame,
     right: DataFrame,

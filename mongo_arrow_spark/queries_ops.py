@@ -493,6 +493,73 @@ def q_dedup_components(spark, sf_dir):
 
 
 @query(
+    "dedup_canonical",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len({_TOKS}) - 1, 2)),
+          i -> array_to_string({_TOKS}[i:i+2], ' ')))) AS s
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_JACCARD_MAX_DF}),
+    posts AS (SELECT * FROM sh ANTI JOIN hot USING (s)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    reach AS (
+      SELECT src AS v, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+    marked AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             c.component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, n_tokens FROM marked WHERE component IS NULL
+    UNION ALL
+    SELECT doc_id, n_tokens FROM (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM marked WHERE component IS NOT NULL)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_canonical(spark, sf_dir):
+    """Quality-aware near-dup survivor selection: clusters from the
+    graded components machinery, then the LONGEST doc per cluster kept
+    (ties → min id) instead of the arbitrary min-id representative.
+    Winners come from a payload-free partial-aggregated argmax +
+    broadcast join back."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text.token_count("text").cast("long")
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.3,
+        max_df=_JACCARD_MAX_DF,
+    )
+    comp = dedup.connected_components(pairs)
+    return dedup.canonical_survivors(docs, comp, score_col="n_tokens").select(
+        "doc_id", "n_tokens"
+    )
+
+
+@query(
     "cluster_safe_split",
     f"""
     WITH RECURSIVE sh AS (

@@ -145,6 +145,32 @@ def test_dedup_survivors_policy(spark):
     assert kept == [0, 1, 3, 5]
 
 
+def test_canonical_survivors_keeps_best_scored(spark):
+    """Highest score wins the cluster; ties break to min id; unclustered
+    rows pass through; constant scores reduce to dedup_survivors."""
+    docs = spark.createDataFrame(
+        [(0, 5.0), (1, 1.0), (2, 9.0), (3, 2.0), (4, 9.0), (5, 7.0)],
+        ["doc_id", "score"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], ["id_a", "id_b"])
+    comps = dedup.connected_components(pairs)
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.canonical_survivors(docs, comps, "score").collect()
+    )
+    # component {1,2,4}: 2 and 4 tie at 9.0 -> min id 2 wins
+    assert kept == [0, 2, 3, 5]
+    flat = docs.withColumn("score", F.lit(1.0))
+    a = sorted(
+        r["doc_id"]
+        for r in dedup.canonical_survivors(flat, comps, "score").collect()
+    )
+    b = sorted(
+        r["doc_id"] for r in dedup.dedup_survivors(flat, comps).collect()
+    )
+    assert a == b
+
+
 def test_decontaminate_planted(spark):
     shared = " ".join(f"w{i}" for i in range(30))
     train = spark.createDataFrame(
