@@ -81,6 +81,11 @@ HEADLINE = [
     # (hashed-bucket ratios + Gumbel-top-k)
     "quality_nb_classifier",
     "dsir_resample",
+    # round-7 third wave: bigram stupid-backoff LM (fit two TakeOrdered
+    # model cuts + broadcast-join scoring) and quality-aware canonical
+    # survivor selection (components + payload-free argmax)
+    "text_bigram_logprob",
+    "dedup_canonical",
 ]
 
 

@@ -182,6 +182,11 @@ _DEMOTED = [
     # join; its exact oracle (recursive CTE + QUALIFY-style row_number)
     # runs in tests/test_battery.py
     "dedup_canonical",
+    # semantic decontamination composes the GRADED semantic_dedup
+    # bucket+cosine machinery cross-corpus with the broadcast-holdout
+    # anti-join shape already pinned by decontaminate_pairs/bloom gate;
+    # exact oracle runs in tests/test_battery.py
+    "decontaminate_semantic",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -970,6 +970,48 @@ def decontaminate(
     return train.join(hits, id_col, "left_anti")
 
 
+def decontaminate_semantic(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    bits: int = 8,
+) -> DataFrame:
+    """Drop training rows whose embedding is semantically near ANY
+    holdout/benchmark row (cosine ≥ ``threshold``) — the embedding
+    analog of n-gram ``decontaminate``, catching paraphrased benchmark
+    leakage that token overlap misses (the contamination mode reported
+    for rephrased eval sets).
+
+    Scale shape: both sides bucket by the deterministic sign-bit
+    quantizer (``signbit_clusters``) and compare only within a bucket;
+    the holdout (an eval suite — thousands of rows, not billions) is
+    **broadcast**, so the training corpus is scanned once and never
+    shuffled; the anti-join key set is train ids only. ``bits`` is the
+    recall/cost dial exactly as in ``semantic_dedup_pairs``: a holdout
+    vector and its paraphrase land in the same bucket iff their leading
+    sign bits agree."""
+    from mongo_arrow_spark.operators.similarity import dot, normalize
+
+    t = train.select(
+        F.col(id_col).alias("__tid"),
+        normalize(F.col(vec_col)).alias("__tv"),
+        signbit_clusters(vec_col, bits).alias("__c"),
+    )
+    h = holdout.select(
+        normalize(F.col(vec_col)).alias("__hv"),
+        signbit_clusters(vec_col, bits).alias("__c"),
+    )
+    hits = (
+        t.join(F.broadcast(h), "__c")
+        .where(dot(F.col("__tv"), F.col("__hv")) >= threshold)
+        .select(F.col("__tid").alias(id_col))
+        .distinct()
+    )
+    return train.join(hits, id_col, "left_anti")
+
+
 # ------------------------------------------------------- semantic dedup
 
 

@@ -1007,6 +1007,47 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 @query(
+    "decontaminate_semantic",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS c,
+             sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    hold AS (SELECT * FROM v WHERE vec_id % 37 = 0),
+    tr AS (SELECT * FROM v WHERE vec_id % 37 <> 0),
+    hits AS (
+      SELECT DISTINCT t.vec_id
+      FROM tr t JOIN hold h ON t.c = h.c
+      WHERE list_sum(list_transform(list_zip(t.embedding, h.embedding),
+            p -> CAST(struct_extract(p, 1) AS DOUBLE)
+               * CAST(struct_extract(p, 2) AS DOUBLE))) / (t.nrm * h.nrm)
+            >= 0.2
+    )
+    SELECT vec_id FROM tr ANTI JOIN hits USING (vec_id)
+    """,
+)
+def q_decontaminate_semantic(spark, sf_dir):
+    """Semantic decontamination: training vectors cosine-near any
+    holdout vector (within sign-bit buckets, holdout broadcast) are
+    dropped — the paraphrase-robust sibling of the n-gram
+    decontaminate gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    hold = emb.where(F.col("vec_id") % 37 == 0)
+    train = emb.where(F.col("vec_id") % 37 != 0)
+    return dedup.decontaminate_semantic(
+        train, hold, threshold=0.2, bits=6
+    ).select("vec_id")
+
+
+@query(
     "duplicate_spans",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
