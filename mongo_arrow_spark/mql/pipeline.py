@@ -686,6 +686,27 @@ def _suffix_translatable(suffix, sub):
             for k, d in arg.items()
         ):
             return False
+        # the replay sorts struct(keys..., whole-row) — the whole-row
+        # tail makes every column an implicit comparator, so a
+        # non-orderable column anywhere in the foreign frame (MapType,
+        # say) would fail at analysis; fall back to the warned global
+        # path instead
+        if not all(_orderable(t) for t in fields.values()):
+            return False
+    return True
+
+
+def _orderable(dt):
+    """True if Spark can sort values of this type (struct comparison
+    requires every field orderable; maps are never orderable)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
     return True
 
 
@@ -704,13 +725,22 @@ def _apply_array_suffix(arr, suffix):
                 ]
             else:
                 # mixed directions: negate descending (numeric) keys so
-                # a single ascending struct sort realizes the spec
-                keys = [
-                    (s.getField(k) if d == 1 else -s.getField(k)).alias(
-                        f"__k{i}"
-                    )
-                    for i, (k, d) in enumerate(spec.items())
-                ]
+                # a single ascending struct sort realizes the spec.
+                # -NULL is NULL (would sort FIRST ascending), but the
+                # server places nulls LAST under a descending key — so
+                # each key carries an explicit null rank: asc nulls
+                # first (0), desc nulls last (1)
+                keys = []
+                for i, (k, d) in enumerate(spec.items()):
+                    v = s.getField(k)
+                    if d == 1:
+                        rank = F.when(v.isNull(), 0).otherwise(1)
+                        keys.append(rank.alias(f"__n{i}"))
+                        keys.append(v.alias(f"__k{i}"))
+                    else:
+                        rank = F.when(v.isNull(), 1).otherwise(0)
+                        keys.append(rank.alias(f"__n{i}"))
+                        keys.append((-v).alias(f"__k{i}"))
             return F.struct(*keys, s.alias("__v"))
 
         return key

@@ -9,15 +9,17 @@ Catalyst plans the whole pipeline together: filters run scan-side before
 any shuffle, stages that are pure projections (quality flags, PII
 redaction, split assignment, chunking) fuse into the surrounding
 whole-stage-codegen spans, and the only exchanges are the ones the
-algorithms irreducibly need (the dedup digest agg, the shingle posting
-join, the component propagation, the decontamination anti-join).
+algorithms irreducibly need (the dedup digest agg, the banded-signature
+bucket agg, the component propagation, the decontamination anti-join).
 
 Shuffle census at 100 TB (why the stage ORDER is what it is): quality
 filtering is free and typically drops 30–60 % of raw web text, so it runs
 first and every downstream shuffle moves only survivors; exact dedup
-shuffles 24-byte (digest, id) pairs, never payloads; fuzzy dedup and
-decontamination shuffle 8-byte hashed shingle keys; the final
-split+chunk pass is map-only. Payload bytes cross the wire zero times.
+shuffles 24-byte (digest, id) pairs, never payloads; fuzzy dedup (banded
+default) shuffles a fixed ``fuzzy_bands`` signature rows per doc —
+independent of shingle document frequency — and decontamination shuffles
+8-byte hashed shingle keys; the final split+chunk pass is map-only.
+Payload bytes cross the wire zero times.
 """
 
 from __future__ import annotations
@@ -48,9 +50,17 @@ def curate(
     bloom_index: DataFrame | None = None,
     bloom_num_bits: int = 1 << 27,
     bloom_num_hashes: int = 5,
-    # fuzzy dedup (None threshold disables the fuzzy stage)
+    # fuzzy dedup (None threshold disables the fuzzy stage).
+    # fuzzy_candidates picks the candidate generator: "banded" (default —
+    # md5-banded MinHash buckets, shuffle = fuzzy_bands rows/doc
+    # independent of shingle document frequency, the 100 TB shape) or
+    # "posting" (the exact inverted-index self-join — full recall below
+    # max_df, but shuffle ∝ Σdf² so the cap sheds recall at scale; the
+    # opt-in recall dial for bounded corpora)
     jaccard_n: int = 3,
     jaccard_threshold: float | None = 0.3,
+    fuzzy_candidates: str = "banded",
+    fuzzy_bands: int = 16,
     max_df: int | None = 1000,
     # exact duplicate-substring stripping (Lee et al.; None disables)
     strip_spans_k: int | None = None,
@@ -129,14 +139,29 @@ def curate(
 
     # 3. fuzzy dedup — candidate pairs → components → min-id survivors
     if jaccard_threshold is not None:
-        pairs = dedup_ops.ngram_jaccard_pairs(
-            kept,
-            id_col=id_col,
-            text_col=text_col,
-            n=jaccard_n,
-            threshold=jaccard_threshold,
-            max_df=max_df,
-        )
+        if fuzzy_candidates == "banded":
+            pairs = dedup_ops.banded_jaccard_pairs(
+                kept,
+                id_col=id_col,
+                text_col=text_col,
+                n=jaccard_n,
+                threshold=jaccard_threshold,
+                bands=fuzzy_bands,
+            )
+        elif fuzzy_candidates == "posting":
+            pairs = dedup_ops.ngram_jaccard_pairs(
+                kept,
+                id_col=id_col,
+                text_col=text_col,
+                n=jaccard_n,
+                threshold=jaccard_threshold,
+                max_df=max_df,
+            )
+        else:
+            raise ValueError(
+                f"fuzzy_candidates must be 'banded' or 'posting', "
+                f"got {fuzzy_candidates!r}"
+            )
         comps = dedup_ops.connected_components(pairs)
         kept = dedup_ops.dedup_survivors(kept, comps, id_col)
 

@@ -852,9 +852,11 @@ def canonical_survivors(
     Plan: per-component winners come from one partial-aggregated
     ``min(struct(-score, id))`` — the shuffle carries (component, score,
     id) triples pre-reduced map-side, never payloads — and the winner
-    table (one row per component, typically a small fraction of the
-    corpus) broadcast-joins back, so document payloads are never
-    shuffled. Output: ``df``'s columns.
+    table (one row per component) joins back on the component key. The
+    winner table is UNBOUNDED (∝ number of near-dup clusters), so the
+    join-back is left to AQE: small winner sets broadcast at runtime,
+    web-scale ones degrade to a shuffled join instead of OOMing the
+    driver on a forced broadcast. Output: ``df``'s columns.
     """
     marked = df.join(
         components.withColumnsRenamed({"id": id_col}), id_col, "left"
@@ -873,7 +875,7 @@ def canonical_survivors(
         .select("component", F.col("w.i").alias("__winner"))
     )
     kept = (
-        clustered.join(F.broadcast(winners), "component")
+        clustered.join(winners, "component")
         .where(F.col(id_col) == F.col("__winner"))
         .drop("__winner")
     )

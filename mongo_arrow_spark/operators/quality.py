@@ -795,14 +795,19 @@ def fit_token_logodds(
     Deterministic and engine-portable: the battery grades fit+score
     end-to-end against a DuckDB re-derivation.
     """
+    from pyspark import StorageLevel
+
     toks = seed.select(
         F.col(label_col).cast("boolean").alias("__pos"),
         F.explode(tokens(text_col)).alias("w"),
     )
+    # vocab-sized; persisted so the totals action and the model
+    # projection share ONE corpus scan (at 100 TB each re-evaluation
+    # would be a full re-scan of the seed)
     agg = toks.groupBy("w").agg(
         F.sum(F.when(F.col("__pos"), 1).otherwise(0)).cast("double").alias("pc"),
         F.sum(F.when(F.col("__pos"), 0).otherwise(1)).cast("double").alias("nc"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = agg.agg(
         F.sum("pc").alias("p"),
         F.sum("nc").alias("n"),
@@ -932,8 +937,13 @@ def fit_bucket_ratios(
             .agg(F.count(F.lit(1)).cast("double").alias("c"))
         )
 
-    tc = bucket_counts(target)
-    rc = bucket_counts(raw)
+    from pyspark import StorageLevel
+
+    # ≤ buckets rows each; persisted so each corpus is scanned ONCE —
+    # the totals action materializes the cached counts the ratios join
+    # then reuses (unpersisted: 2 extra full gram-explode scans per fit)
+    tc = bucket_counts(target).persist(StorageLevel.MEMORY_AND_DISK)
+    rc = bucket_counts(raw).persist(StorageLevel.MEMORY_AND_DISK)
     t_tot = float(tc.agg(F.sum("c")).first()[0] or 0.0)
     r_tot = float(rc.agg(F.sum("c")).first()[0] or 0.0)
     t_denom = t_tot + alpha * buckets

@@ -421,17 +421,22 @@ def fit_ngram_lm(
     TakeOrdered top-k cut that keeps the model broadcast-sized. Fit
     ONCE; ``score_ngram_lm`` scores any batch against the frozen model.
     """
+    from pyspark import StorageLevel
+
     toks = df.select(F.explode(tokens(text_col)).alias("w"))
+    # distinct-token sized (≪ corpus); persisted so the unigram fit
+    # scans the corpus ONCE — total, the vocab cut, and the unigram
+    # table all derive from the cached counts instead of re-exploding
     counts = toks.groupBy("w").agg(
         F.count(F.lit(1)).cast("double").alias("c")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ≤ vocab_size rows, evaluated 4× below (count, two semi-joins,
+    # unigrams) — cache the cut itself too
     vocab = counts.orderBy(F.col("c").desc(), F.col("w")).limit(
         int(vocab_size)
-    )
-    total = float(
-        df.select(F.sum(token_count(text_col)).cast("double")).first()[0]
-        or 0.0
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # corpus token total == Σ counts — no second corpus scan
+    total = float(counts.agg(F.sum("c")).first()[0] or 0.0)
     v = vocab.count()
     denom = total + alpha * (v + 1)
     unigrams = vocab.select(

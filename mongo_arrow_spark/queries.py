@@ -142,7 +142,7 @@ def q03(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cst), orders.o_custkey == cst.c_custkey)
+        .join(cst, orders.o_custkey == cst.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(_disc_price()).alias("rev"))
         .orderBy(F.col("rev").desc(), F.col("l_orderkey"))
@@ -182,9 +182,9 @@ def q05(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cst), orders.o_custkey == cst.c_custkey)
+        .join(cst, orders.o_custkey == cst.c_custkey)
         .join(
-            F.broadcast(sup),
+            sup,
             (li.l_suppkey == sup.s_suppkey)
             & (cst.c_nationkey == sup.s_nationkey),
         )
@@ -252,7 +252,7 @@ def q10(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cst), orders.o_custkey == cst.c_custkey)
+        .join(cst, orders.o_custkey == cst.c_custkey)
         .join(F.broadcast(nation), cst.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_disc_price()).alias("rev"))
@@ -283,7 +283,7 @@ def q14(spark, sf_dir):
         F.lit(0).cast("decimal(18,4)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)

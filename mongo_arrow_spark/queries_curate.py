@@ -20,9 +20,11 @@ _TOKS = "string_split(text, ' ')"
 _MAX_DF = 100
 
 # The oracle re-states the pipeline stage by stage (names mirror the
-# curate() docstring). Shingle construction / max_df capping / recursive
-# reachability reuse the exact shapes proven green in dedup_ngram_jaccard
-# and dedup_components; the gopher bounds, md5 split, and PII regexes are
+# curate() docstring). The fuzzy stage uses the BANDED candidate
+# generator (r8 default — the CTE shape proven green in
+# dedup_banded_jaccard); decontamination keeps the cross-corpus capped
+# posting join (dedup_ngram_jaccard's shape); recursive reachability is
+# dedup_components'; the gopher bounds, md5 split, and PII regexes are
 # the ones proven green in text_quality / train_split / pii_scan.
 _CURATE_SQL = rf"""
 WITH RECURSIVE
@@ -43,26 +45,34 @@ gate AS (
 -- 2. exact dedup (min id per payload digest)
 keep_exact AS (SELECT MIN(doc_id) AS doc_id FROM gate GROUP BY md5(text)),
 e AS (SELECT gate.* FROM gate JOIN keep_exact USING (doc_id)),
--- 3. fuzzy dedup: shingles -> capped postings -> jaccard pairs ->
---    recursive reachability -> min-label components -> survivors
-sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
+-- 3. fuzzy dedup (r8: BANDED candidates, the scale-safe default —
+--    md5-banded MinHash buckets -> exact jaccard verification ->
+--    recursive reachability -> min-label components -> survivors;
+--    same CTE shape proven green in dedup_banded_jaccard)
+shl AS (
+  SELECT doc_id, list_distinct(list_transform(
       range(1, greatest(len({_TOKS}) - 1, 2)),
-      i -> array_to_string({_TOKS}[i:i+2], ' ')))) AS s
+      i -> array_to_string({_TOKS}[i:i+2], ' '))) AS grams
   FROM e
 ),
-sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
-hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_MAX_DF}),
-posts AS (SELECT * FROM sh ANTI JOIN hot USING (s)),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
-  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+sigs AS (
+  SELECT doc_id, b,
+         MIN(md5(CAST(2*b AS VARCHAR) || ':' || g))
+           || MIN(md5(CAST(2*b+1 AS VARCHAR) || ':' || g)) AS sig
+  FROM shl, unnest(grams) AS t(g), range(16) AS r(b)
+  GROUP BY doc_id, b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
 pairs AS (
   SELECT id_a, id_b
-  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
+  FROM cand JOIN shl sa ON id_a = sa.doc_id JOIN shl sb ON id_b = sb.doc_id
+  WHERE len(list_intersect(sa.grams, sb.grams)) * 1.0
+        / (len(sa.grams) + len(sb.grams)
+           - len(list_intersect(sa.grams, sb.grams))) >= 0.3
 ),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
@@ -83,9 +93,11 @@ hsh AS (
       i -> array_to_string({_TOKS}[i:i+2], ' ')))) AS s
   FROM hold
 ),
-fsh AS (SELECT sh.* FROM sh JOIN f USING (doc_id)),
+fsh AS (SELECT shl.doc_id, unnest(shl.grams) AS s
+        FROM shl JOIN f USING (doc_id)),
 hsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM hsh GROUP BY doc_id),
-fsz AS (SELECT sz.* FROM sz JOIN f USING (doc_id)),
+fsz AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS sz
+        FROM shl JOIN f USING (doc_id)),
 xhot AS (
   SELECT s FROM (SELECT * FROM fsh UNION ALL SELECT * FROM hsh)
   GROUP BY s HAVING COUNT(*) > {_MAX_DF}

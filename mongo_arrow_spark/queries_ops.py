@@ -496,23 +496,29 @@ def q_dedup_components(spark, sf_dir):
     "dedup_canonical",
     f"""
     WITH RECURSIVE sh AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
+      SELECT doc_id, list_distinct(list_transform(
           range(1, greatest(len({_TOKS}) - 1, 2)),
-          i -> array_to_string({_TOKS}[i:i+2], ' ')))) AS s
+          i -> array_to_string({_TOKS}[i:i+2], ' '))) AS grams
       FROM documents
     ),
-    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
-    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_JACCARD_MAX_DF}),
-    posts AS (SELECT * FROM sh ANTI JOIN hot USING (s)),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
-      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    sigs AS (
+      SELECT doc_id, b,
+             MIN(md5(CAST(2*b AS VARCHAR) || ':' || g))
+               || MIN(md5(CAST(2*b+1 AS VARCHAR) || ':' || g)) AS sig
+      FROM sh, unnest(grams) AS t(g), range(16) AS r(b)
+      GROUP BY doc_id, b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
     prs AS (
       SELECT id_a, id_b
-      FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
+      FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+      WHERE len(list_intersect(sa.grams, sb.grams)) * 1.0
+            / (len(sa.grams) + len(sb.grams)
+               - len(list_intersect(sa.grams, sb.grams))) >= 0.3
     ),
     edges AS (SELECT id_a AS src, id_b AS dst FROM prs
               UNION SELECT id_b, id_a FROM prs),
@@ -540,18 +546,17 @@ def q_dedup_components(spark, sf_dir):
 )
 def q_dedup_canonical(spark, sf_dir):
     """Quality-aware near-dup survivor selection: clusters from the
-    graded components machinery, then the LONGEST doc per cluster kept
-    (ties → min id) instead of the arbitrary min-id representative.
-    Winners come from a payload-free partial-aggregated argmax +
-    broadcast join back."""
+    scale-safe BANDED candidate generator (r8 — same pairs the graded
+    dedup_banded_jaccard produces, no Σdf² posting join), then the
+    LONGEST doc per cluster kept (ties → min id) instead of the
+    arbitrary min-id representative. Winners come from a payload-free
+    partial-aggregated argmax; the join-back is AQE-sized, never a
+    forced broadcast."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "n_tokens", text.token_count("text").cast("long")
     )
-    pairs = dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"),
-        n=3,
-        threshold=0.3,
-        max_df=_JACCARD_MAX_DF,
+    pairs = dedup.banded_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3, bands=16
     )
     comp = dedup.connected_components(pairs)
     return dedup.canonical_survivors(docs, comp, score_col="n_tokens").select(
@@ -563,23 +568,29 @@ def q_dedup_canonical(spark, sf_dir):
     "cluster_safe_split",
     f"""
     WITH RECURSIVE sh AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
+      SELECT doc_id, list_distinct(list_transform(
           range(1, greatest(len({_TOKS}) - 1, 2)),
-          i -> array_to_string({_TOKS}[i:i+2], ' ')))) AS s
+          i -> array_to_string({_TOKS}[i:i+2], ' '))) AS grams
       FROM documents
     ),
-    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
-    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_JACCARD_MAX_DF}),
-    posts AS (SELECT * FROM sh ANTI JOIN hot USING (s)),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
-      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    sigs AS (
+      SELECT doc_id, b,
+             MIN(md5(CAST(2*b AS VARCHAR) || ':' || g))
+               || MIN(md5(CAST(2*b+1 AS VARCHAR) || ':' || g)) AS sig
+      FROM sh, unnest(grams) AS t(g), range(16) AS r(b)
+      GROUP BY doc_id, b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
     prs AS (
       SELECT id_a, id_b
-      FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
+      FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+      WHERE len(list_intersect(sa.grams, sb.grams)) * 1.0
+            / (len(sa.grams) + len(sb.grams)
+               - len(list_intersect(sa.grams, sb.grams))) >= 0.3
     ),
     edges AS (SELECT id_a AS src, id_b AS dst FROM prs
               UNION SELECT id_b, id_a FROM prs),
@@ -602,16 +613,15 @@ def q_dedup_canonical(spark, sf_dir):
     """,
 )
 def q_cluster_safe_split(spark, sf_dir):
-    """Leakage-safe train/val/test split (r6): near-dup clusters
-    (ngram-Jaccard pairs → connected components) are assigned whole via
-    the md5 bucket of coalesce(component, doc_id) — a test document can
-    never have a near-copy in train. 'cccc'/'e666' are
+    """Leakage-safe train/val/test split (r6, re-based r8 on the
+    scale-safe BANDED candidate generator): near-dup clusters
+    (banded-MinHash pairs → connected components) are assigned whole
+    via the md5 bucket of coalesce(component, doc_id) — a test document
+    can never have a near-copy in train. 'cccc'/'e666' are
     int(0.8·65536)/int(0.9·65536) in hex, the same thresholds
     quality._split_label derives."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, n=3, threshold=0.3, max_df=_JACCARD_MAX_DF
-    )
+    pairs = dedup.banded_jaccard_pairs(docs, n=3, threshold=0.3, bands=16)
     return quality.cluster_safe_split(docs, pairs).select(
         "doc_id", "component", "split"
     ).orderBy("doc_id")
@@ -1624,9 +1634,15 @@ def q_quality_nb_classifier(spark, sf_dir):
              ln((COALESCE(tc.c,0)+1.0)/(tot.tt+4096.0))
            - ln((COALESCE(rc.c,0)+1.0)/(tot.rt+4096.0)) AS lr
       FROM tc FULL JOIN rc ON tc.b = rc.b, tot
-    ), w AS (
+    ), w0 AS (
       SELECT b.doc_id, SUM(r.lr) AS log_importance
       FROM b JOIN ratio r USING (b) GROUP BY b.doc_id
+    ), w AS (
+      -- LEFT JOIN from documents: a doc whose text tokenizes to zero
+      -- grams keeps log_importance 0 (weight 1) and stays eligible,
+      -- matching apply_bucket_ratios' left-join + fillna(0.0)
+      SELECT d.doc_id, COALESCE(w0.log_importance, 0.0) AS log_importance
+      FROM documents d LEFT JOIN w0 USING (doc_id)
     ), keyed AS (
       SELECT doc_id, log_importance,
              log_importance + -ln(-ln((('0x' || substr(md5('r7:' || CAST(doc_id AS VARCHAR)),1,8))::UBIGINT + 1.0)/4294967297.0)) AS k

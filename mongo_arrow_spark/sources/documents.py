@@ -1527,7 +1527,29 @@ class DocumentsStreamReader(DataSourceStreamReader):
             listing = [
                 os.path.relpath(f, self.dir) for f in self._listing()
             ]
-            start_seen = listing[: int(start["index"])]
+            n = int(start["index"])
+            if len(listing) < n:
+                # the historical prefix is gone (committed files deleted
+                # or renamed since the checkpoint): a silent prefix map
+                # would re-process or skip records — fail loudly so the
+                # operator repairs the checkpoint or the directory
+                raise ValueError(
+                    f"legacy streaming offset index={n} exceeds the "
+                    f"current listing ({len(listing)} files) of "
+                    f"{self.dir}: committed files were deleted or "
+                    "renamed since the checkpoint, so the prefix "
+                    "translation is ambiguous. Restore the files or "
+                    "reset the checkpoint."
+                )
+            import warnings
+
+            warnings.warn(
+                f"translating legacy streaming offset index={n} as the "
+                f"first {n} names of the CURRENT sorted listing of "
+                f"{self.dir}; this is only exactly-once if no committed "
+                "file was deleted or renamed since the checkpoint"
+            )
+            start_seen = listing[:n]
         new = sorted(set(end.get("seen", ())) - set(start_seen or ()))
         files = [os.path.join(self.dir, name) for name in new]
         _require_zstd(files)

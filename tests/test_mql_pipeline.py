@@ -2970,3 +2970,94 @@ def test_lookup_localfield_pipeline_trailing_limit_per_row(spark):
     by_id = {r["uid"]: [h["_id"] for h in r["hits"]] for r in rows}
     assert by_id[1] == [11, 12]
     assert by_id[2] == [20]
+
+
+def test_correlated_lookup_mixed_sort_null_desc_lands_last(spark):
+    """r8 ADVICE fix: under a DESCENDING key in a mixed-direction suffix
+    sort, NULL values must land LAST (server semantics) — naive key
+    negation leaves -NULL = NULL sorting FIRST, selecting the wrong rows
+    when a $limit follows."""
+    import warnings as w
+
+    from mongo_arrow_spark.api import aggregate
+
+    users = spark.createDataFrame([(1,)], "_id long")
+    posts = spark.createDataFrame(
+        [(10, 1, 1, 5.0), (11, 1, 1, None), (12, 1, 1, 9.0),
+         (13, 1, 2, 1.0)],
+        "_id long, user_id long, grp int, score double",
+    )
+    with w.catch_warnings():
+        w.simplefilter("error")
+        rows = aggregate(
+            users,
+            [{"$lookup": {"from": "p", "let": {"u": "$_id"},
+                          "pipeline": [
+                              {"$match": {"$expr": {"$eq": ["$user_id", "$$u"]}}},
+                              {"$sort": {"grp": 1, "score": -1}},
+                              {"$limit": 2}],
+                          "as": "hits"}}],
+            collections={"p": posts},
+        ).collect()
+    # grp 1 sorted by score desc: 12 (9.0), 10 (5.0), 11 (NULL last)
+    assert [h["_id"] for h in rows[0]["hits"]] == [12, 10]
+
+
+def test_correlated_lookup_mixed_sort_null_asc_lands_first(spark):
+    """Ascending keys in the mixed-direction replay keep server null
+    order too: nulls FIRST."""
+    import warnings as w
+
+    from mongo_arrow_spark.api import aggregate
+
+    users = spark.createDataFrame([(1,)], "_id long")
+    posts = spark.createDataFrame(
+        [(10, 1, 5.0, 1), (11, 1, None, 1), (12, 1, 9.0, 2)],
+        "_id long, user_id long, score double, rank int",
+    )
+    with w.catch_warnings():
+        w.simplefilter("error")
+        rows = aggregate(
+            users,
+            [{"$lookup": {"from": "p", "let": {"u": "$_id"},
+                          "pipeline": [
+                              {"$match": {"$expr": {"$eq": ["$user_id", "$$u"]}}},
+                              {"$sort": {"score": 1, "rank": -1}},
+                              {"$limit": 1}],
+                          "as": "hits"}}],
+            collections={"p": posts},
+        ).collect()
+    assert [h["_id"] for h in rows[0]["hits"]] == [11]  # NULL first asc
+
+
+def test_correlated_lookup_suffix_map_column_falls_back(spark):
+    """r8 ADVICE fix: the suffix replay sorts struct(keys…, whole-row),
+    so a non-orderable foreign column (MapType) would fail at ANALYSIS —
+    _suffix_translatable must reject it and fall back to the warned
+    global path instead of raising."""
+    import warnings as w
+
+    from pyspark.sql import functions as F
+
+    from mongo_arrow_spark.api import aggregate
+
+    users = spark.createDataFrame([(1,)], "_id long")
+    posts = spark.createDataFrame(
+        [(10, 1, 2.0), (11, 1, 1.0)], "_id long, user_id long, score double"
+    ).withColumn("meta", F.create_map(F.lit("k"), F.col("score")))
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        rows = aggregate(
+            users,
+            [{"$lookup": {"from": "p", "let": {"u": "$_id"},
+                          "pipeline": [
+                              {"$match": {"$expr": {"$eq": ["$user_id", "$$u"]}}},
+                              {"$sort": {"score": 1}},
+                              {"$limit": 1}],
+                          "as": "hits"}}],
+            collections={"p": posts},
+        ).collect()
+    assert any("whole foreign collection" in str(x.message) for x in caught)
+    # the fallback still applies the stages (globally here — one outer
+    # row, so global == per-row and the result is exact)
+    assert [h["_id"] for h in rows[0]["hits"]] == [11]

@@ -346,3 +346,54 @@ def test_banded_jaccard_plan_no_posting_join_no_cartesian(spark, tables):
     # exactly the verify joins (pair→set a, pair→set b) may be joins;
     # candidate generation itself is aggregate+explode, not a join
     assert "HashAggregate" in p
+
+
+def _executed(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fit_token_logodds_one_scan(spark, tables):
+    """r8: the NB fit persists its vocab-sized aggregate before the
+    totals action, so the model projection reads the CACHE, not a second
+    corpus scan (at 100 TB every re-evaluation is a full re-scan)."""
+    from pyspark.sql import functions as F
+
+    from mongo_arrow_spark.operators import quality
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("pos")
+    )
+    model = quality.fit_token_logodds(docs, "pos")
+    p = _executed(model.tokens)
+    # reads the materialized cache (the embedded InMemoryRelation text
+    # still DESCRIBES its build scan, so we pin the cache read + the
+    # persist, not FileScan absence)
+    assert "InMemoryTableScan" in p
+
+
+def test_fit_bucket_ratios_one_scan_per_side(spark, tables):
+    """r8: DSIR's fit persists both bucket-count tables (≤ buckets rows)
+    before the totals actions — the ratios join reuses the cached counts
+    instead of re-exploding each corpus."""
+    from pyspark.sql import functions as F
+
+    from mongo_arrow_spark.operators import quality
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    model = quality.fit_bucket_ratios(docs, docs.filter(F.col("lang") == "en"))
+    p = _executed(model.ratios)
+    assert p.count("InMemoryTableScan") >= 2  # both sides cached
+
+
+def test_fit_ngram_lm_one_unigram_scan(spark, tables):
+    """r8: the bigram-LM fit derives total + vocab + unigrams from ONE
+    cached token-count table (the corpus token total is Σ counts, not a
+    second corpus scan); the bigram side is its own single pair scan."""
+    from mongo_arrow_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    model = text.fit_ngram_lm(docs, vocab_size=100, bigram_size=200)
+    pu = _executed(model.unigrams)
+    assert "InMemoryTableScan" in pu
+    pb = _executed(model.bigrams)
+    assert "InMemoryTableScan" in pb  # vocab cuts come from the cache
