@@ -163,30 +163,39 @@ _DEMOTED = [
     #   stronger entry; mql_lookup_join's oracle runs in pytest.
     "dedup_ngram_jaccard",
     "mql_lookup_join",
-    # round-7 second wave parks below the window by construction — the
-    # graded 50 stay byte-identical; both oracles run in
-    # tests/test_battery.py at three scales. The supervised NB scorer
-    # shares the explode→broadcast-join→per-doc-agg shape graded by
-    # text_token_stats; DSIR adds only bucket-sized count aggregations
-    # plus a TakeOrdered top-k to that shape.
-    "quality_nb_classifier",
-    "dsir_resample",
-    # round-7 third wave parks below the window by construction: the
-    # bigram stupid-backoff LM extends text_unigram_logprob's graded-
-    # sibling shape (vocab agg + broadcast scoring join) with one more
-    # broadcast-sized model table; its exact oracle runs in
-    # tests/test_battery.py
-    "text_bigram_logprob",
-    # quality-aware survivor selection composes the GRADED
-    # dedup_components clustering with a payload-free argmax + broadcast
-    # join; its exact oracle (recursive CTE + QUALIFY-style row_number)
-    # runs in tests/test_battery.py
-    "dedup_canonical",
     # semantic decontamination composes the GRADED semantic_dedup
     # bucket+cosine machinery cross-corpus with the broadcast-holdout
     # anti-join shape already pinned by decontaminate_pairs/bloom gate;
     # exact oracle runs in tests/test_battery.py
     "decontaminate_semantic",
+    # Round-8 rotation: the r7 data-selection tier enters the graded 50
+    # (quality_nb_classifier — supervised NB fit+score; dsir_resample —
+    # DSIR importance resampling with seeded Gumbel-top-k;
+    # text_bigram_logprob — bigram stupid-backoff LM fit+score;
+    # dedup_canonical — quality-aware survivor selection over BANDED
+    # candidates). The four slots come from multiply-pinned rows whose
+    # §2 capability stays pinned by a green graded sibling:
+    #   pii_scan         → the identical PII regex projection is hash-
+    #                      graded INSIDE curate_corpus (redaction stage
+    #                      feeds the graded fp digest); map-only
+    #                      projection shape also pinned by text_quality
+    #   chunk_tokens     → token-window posexplode shape pinned by the
+    #                      GRADED pack_sequences (same token slicing +
+    #                      provenance columns); chunk oracle runs in
+    #                      pytest
+    #   stratified_sample→ seeded md5-uniform sampling pinned by the
+    #                      GRADED dsir_resample (same md5→uniform
+    #                      primitive under Gumbel-top-k) and the md5
+    #                      bucket label by cluster_safe_split
+    #   profile_numeric  → median/quantile aggs pinned by the GRADED
+    #                      mql_group_accumulators; full-profile shape
+    #                      additionally covered by profile_sketches +
+    #                      the pytest oracle
+    # Every demoted oracle still runs in tests/test_battery.py.
+    "pii_scan",
+    "chunk_tokens",
+    "stratified_sample",
+    "profile_numeric",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -54,6 +54,12 @@ REPRESENTATIVES = [
     "cdc_watch_stream",  # streaming micro-batch replay
     "mql_vector_search",  # MQL translator + embeddings table
     "cluster_safe_split",  # r6 graded rotation: components + md5 label
+    # r8 graded rotation: the data-selection tier (each promoted entry
+    # must run conf-bare before the driver sees it)
+    "quality_nb_classifier",
+    "dsir_resample",
+    "text_bigram_logprob",
+    "dedup_canonical",
 ]
 
 
