@@ -71,6 +71,28 @@ def main() -> None:
     )
     picked.select("doc_id", F.round("log_importance", 3).alias("log_w")).show(5)
 
+    # --- 3. the product surface: curate() with prefit artifacts -------
+    # fit once, save to parquet (scalars ride in schema metadata), then
+    # any batch — or any foreachBatch micro-batch, see
+    # curate.select_with_models — selects against the frozen artifacts
+    import tempfile
+
+    from mongo_arrow_spark.operators.curate import curate
+
+    with tempfile.TemporaryDirectory() as tmp:
+        quality.save_token_logodds(model, f"{tmp}/nb")
+        ratio_model = quality.fit_bucket_ratios(docs, target)
+        quality.save_bucket_ratios(ratio_model, f"{tmp}/dsir")
+        curated = curate(
+            docs,
+            jaccard_threshold=None,
+            nb_model=quality.load_token_logodds(spark, f"{tmp}/nb"),
+            nb_min_logodds=0.0,
+            dsir_model=quality.load_bucket_ratios(spark, f"{tmp}/dsir"),
+            dsir_k=50,
+        )
+        print("curate() with NB gate + DSIR selection:", curated.count())
+
     spark.stop()
 
 

@@ -71,6 +71,15 @@ def curate(
     semantic_bits: int = 8,
     # decontamination vs the holdout corpus
     decontaminate_threshold: float = 0.8,
+    # model-based selection (r8, prefit artifacts — see
+    # quality.fit_token_logodds / fit_bucket_ratios and the
+    # save_*/load_* round-trips; None disables each stage)
+    nb_model: "quality_ops.TokenLogOddsModel | None" = None,
+    nb_min_logodds: float = 0.0,
+    dsir_model: "quality_ops.BucketRatioModel | None" = None,
+    dsir_k: int | None = None,
+    dsir_seed: str = "dsir",
+    dsir_temperature: float = 1.0,
     # PII
     redact_pii: bool = True,
     # split + chunk
@@ -204,6 +213,21 @@ def curate(
             max_df=max_df,
         )
 
+    # 4b. model-based selection — supervised NB gate and/or DSIR
+    # resampling against PREFIT broadcast-sized models (fit once
+    # outside; curate never rescans the fit corpora)
+    kept = select_with_models(
+        kept,
+        nb_model=nb_model,
+        nb_min_logodds=nb_min_logodds,
+        dsir_model=dsir_model,
+        dsir_k=dsir_k,
+        dsir_seed=dsir_seed,
+        dsir_temperature=dsir_temperature,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
     # 5. PII redaction — regex projection
     if redact_pii:
         kept = kept.withColumn(text_col, quality_ops.pii_redact(text_col))
@@ -280,6 +304,67 @@ def curation_report(
     return total.crossJoin(out)
 
 
+def select_with_models(
+    df: DataFrame,
+    *,
+    nb_model: "quality_ops.TokenLogOddsModel | None" = None,
+    nb_min_logodds: float = 0.0,
+    dsir_model: "quality_ops.BucketRatioModel | None" = None,
+    dsir_k: int | None = None,
+    dsir_seed: str = "dsir",
+    dsir_temperature: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based selection stages over PREFIT artifacts, shared by
+    batch ``curate`` and streaming ``foreachBatch``:
+
+    - **NB gate**: keep rows whose mean token log-odds under
+      ``nb_model`` (``quality.score_token_logodds``) is ≥
+      ``nb_min_logodds`` — the CCNet/GPT-3-style classifier filter.
+    - **DSIR selection**: ``quality.importance_resample`` with the
+      frozen ``dsir_model`` ratios draws ``dsir_k`` rows via the seeded
+      Gumbel-top-k (deterministic; ``log_importance`` is dropped so the
+      stage is pass-through on columns).
+
+    Both plans are explode → broadcast model join → ~1-row-per-doc
+    partial agg → id-keyed join-back; the batch is never shuffled whole
+    and the models never refit. Pass-through contract: output columns ==
+    input columns; with both models None the input returns unchanged.
+
+    Streaming: the per-doc aggregation is not append-legal as a raw
+    stream transform, so apply this INSIDE ``foreachBatch`` (each
+    micro-batch is a plain batch frame; ``dsir_k`` then selects top-k
+    PER MICRO-BATCH). Model-refresh semantics: a model loaded with
+    ``quality.load_token_logodds`` / ``load_bucket_ratios`` is a static
+    parquet lineage, re-resolved on every micro-batch — overwrite the
+    artifact and the next batch scores under the new model, no restart.
+    """
+    out = df
+    if nb_model is not None:
+        scored = quality_ops.score_token_logodds(
+            out, nb_model, id_col=id_col, text_col=text_col
+        )
+        keep_ids = scored.filter(
+            F.col("nb_logodds") >= nb_min_logodds
+        ).select(id_col)
+        out = out.join(keep_ids, id_col, "left_semi")
+    if dsir_model is not None:
+        if dsir_k is None:
+            raise ValueError("dsir_model requires dsir_k")
+        out = quality_ops.importance_resample(
+            out,
+            None,
+            k=dsir_k,
+            id_col=id_col,
+            text_col=text_col,
+            seed=dsir_seed,
+            temperature=dsir_temperature,
+            model=dsir_model,
+        ).drop("log_importance")
+    return out
+
+
 def curate_stream(
     stream: DataFrame,
     *,
@@ -311,7 +396,11 @@ def curate_stream(
     batch-only by nature — they join the whole corpus against itself.
     The streaming pipeline is the ingest gate; run batch ``curate`` over
     the accumulated table on a schedule for the global stages (the
-    standard lambda shape for corpus curation).
+    standard lambda shape for corpus curation). The model-based
+    selection stages (NB gate, DSIR) need a per-doc aggregation that is
+    not append-legal as a raw stream transform — apply
+    ``select_with_models`` inside ``foreachBatch`` (streaming == batch
+    parity pinned in tests/test_curate.py).
 
     Same determinism contract as batch: a row that flows through both
     paths lands in the same split with the same redacted text.

@@ -760,7 +760,9 @@ class TokenLogOddsModel(NamedTuple):
     ``tokens`` is a small (vocab-sized) DataFrame ``(w, log_odds)`` meant
     to be broadcast at scoring time; ``default_log_odds`` is the smoothed
     score of a token never seen at fit time. The totals ride along so a
-    persisted model can be re-materialized without refitting.
+    persisted model can be re-materialized without refitting —
+    ``save_token_logodds`` / ``load_token_logodds`` round-trip the whole
+    model (table + scalars) through one parquet artifact.
     """
 
     tokens: "DataFrame"
@@ -827,6 +829,43 @@ def fit_token_logodds(
     )
     default = math.log(alpha / p_denom) - math.log(alpha / n_denom)
     return TokenLogOddsModel(model, default, p_total, n_total, vocab)
+
+
+def save_token_logodds(model: TokenLogOddsModel, path: str) -> None:
+    """Persist a fitted ``TokenLogOddsModel`` as ONE parquet artifact:
+    the vocab-sized token table with the scalar parameters riding along
+    as schema metadata on ``w`` (the ``build_lsh_index`` discipline —
+    metadata survives the parquet round-trip, so a loaded model scores
+    bit-for-bit identically without refitting)."""
+    meta = {
+        "default_log_odds": model.default_log_odds,
+        "pos_token_total": model.pos_token_total,
+        "neg_token_total": model.neg_token_total,
+        "vocab_size": model.vocab_size,
+    }
+    model.tokens.select(
+        F.col("w").alias("w", metadata=meta), "log_odds"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_token_logodds(spark, path: str) -> TokenLogOddsModel:
+    """Load a ``save_token_logodds`` artifact. Fails loudly if the
+    parquet at ``path`` doesn't carry the model parameters (i.e. isn't a
+    saved model)."""
+    df = spark.read.parquet(path)
+    meta = df.schema["w"].metadata or {}
+    if "default_log_odds" not in meta:
+        raise ValueError(
+            f"{path} is not a save_token_logodds artifact (missing "
+            "model parameters in schema metadata)"
+        )
+    return TokenLogOddsModel(
+        df.select("w", "log_odds"),
+        float(meta["default_log_odds"]),
+        float(meta["pos_token_total"]),
+        float(meta["neg_token_total"]),
+        float(meta["vocab_size"]),
+    )
 
 
 def score_token_logodds(
@@ -902,7 +941,8 @@ class BucketRatioModel(NamedTuple):
     ``(b, lr)`` of per-bucket log-likelihood ratios, the smoothed ratio
     for buckets unobserved at fit time, and the bucket count the grams
     must be hashed with at apply time. ``ratios`` is broadcast-sized by
-    construction; persist it (parquet) plus the two scalars to weight
+    construction; ``save_bucket_ratios`` / ``load_bucket_ratios``
+    round-trip the whole model through one parquet artifact to weight
     future batches without ever rescanning the fit corpora."""
 
     ratios: "DataFrame"
@@ -967,6 +1007,37 @@ def fit_bucket_ratios(
     )
     default = math.log(alpha / t_denom) - math.log(alpha / r_denom)
     return BucketRatioModel(ratios, default, buckets, alpha)
+
+
+def save_bucket_ratios(model: BucketRatioModel, path: str) -> None:
+    """Persist a fitted ``BucketRatioModel`` (DSIR ratios) as one
+    parquet artifact, scalars in schema metadata on ``b``."""
+    meta = {
+        "default_lr": model.default_lr,
+        "buckets": model.buckets,
+        "alpha": model.alpha,
+    }
+    model.ratios.select(
+        F.col("b").alias("b", metadata=meta), "lr"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bucket_ratios(spark, path: str) -> BucketRatioModel:
+    """Load a ``save_bucket_ratios`` artifact; fails loudly on a parquet
+    that doesn't carry the model parameters."""
+    df = spark.read.parquet(path)
+    meta = df.schema["b"].metadata or {}
+    if "default_lr" not in meta:
+        raise ValueError(
+            f"{path} is not a save_bucket_ratios artifact (missing "
+            "model parameters in schema metadata)"
+        )
+    return BucketRatioModel(
+        df.select("b", "lr"),
+        float(meta["default_lr"]),
+        int(meta["buckets"]),
+        float(meta["alpha"]),
+    )
 
 
 def apply_bucket_ratios(

@@ -481,6 +481,46 @@ def fit_ngram_lm(
     )
 
 
+def save_ngram_lm(model: NgramLM, path: str) -> None:
+    """Persist a fitted ``NgramLM`` as one artifact directory:
+    ``path/unigrams`` and ``path/bigrams`` parquet, with the scalar
+    parameters riding as schema metadata on the unigram ``w`` field
+    (the ``build_lsh_index`` discipline — a loaded model scores
+    bit-for-bit identically without refitting)."""
+    meta = {
+        "oov_lp": model.oov_lp,
+        "backoff": model.backoff,
+        "vocab_size": model.vocab_size,
+        "bigram_size": model.bigram_size,
+        "alpha": model.alpha,
+    }
+    model.unigrams.select(
+        F.col("w").alias("w", metadata=meta), "c", "ulp"
+    ).write.mode("overwrite").parquet(f"{path}/unigrams")
+    model.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
+
+
+def load_ngram_lm(spark, path: str) -> NgramLM:
+    """Load a ``save_ngram_lm`` artifact; fails loudly when the unigram
+    parquet doesn't carry the model parameters."""
+    uni = spark.read.parquet(f"{path}/unigrams")
+    meta = uni.schema["w"].metadata or {}
+    if "oov_lp" not in meta:
+        raise ValueError(
+            f"{path} is not a save_ngram_lm artifact (missing model "
+            "parameters in schema metadata)"
+        )
+    return NgramLM(
+        unigrams=uni.select("w", "c", "ulp"),
+        bigrams=spark.read.parquet(f"{path}/bigrams"),
+        oov_lp=float(meta["oov_lp"]),
+        backoff=float(meta["backoff"]),
+        vocab_size=int(meta["vocab_size"]),
+        bigram_size=int(meta["bigram_size"]),
+        alpha=float(meta["alpha"]),
+    )
+
+
 def score_ngram_lm(
     df: DataFrame,
     model: NgramLM,

@@ -324,3 +324,147 @@ def test_curate_stream_bloom_gate(spark, tmp_path, docs):
     leaked = got.join(standing.select("text"), "text", "left_semi").count()
     assert leaked == 0
     assert got.count() > 0
+
+
+def test_nb_gate_stage_toggles_and_passthrough(spark, docs):
+    """r8: the NB classifier gate is a pure filter — output columns ==
+    input columns, survivors a subset, gate off == identity."""
+    from mongo_arrow_spark.operators import quality
+
+    labeled = docs.withColumn("pos", F.col("doc_id") % 2 == 0)
+    model = quality.fit_token_logodds(labeled, "pos")
+    base = curate(docs, jaccard_threshold=None, redact_pii=False)
+    gated = curate(
+        docs, jaccard_threshold=None, redact_pii=False,
+        nb_model=model, nb_min_logodds=0.0,
+    )
+    assert gated.columns == base.columns
+    assert 0 < gated.count() < base.count()
+    extra = gated.select("doc_id").exceptAll(base.select("doc_id"))
+    assert extra.count() == 0
+
+
+def test_dsir_stage_selects_k_and_passthrough(spark, docs):
+    """r8: DSIR selection inside curate() draws exactly k rows from the
+    cleaned pool under a prefit model, deterministic across runs, and is
+    pass-through on columns (log_importance dropped)."""
+    from mongo_arrow_spark.operators import quality
+
+    target = docs.filter(F.col("doc_id") % 3 == 0)
+    model = quality.fit_bucket_ratios(docs, target, buckets=256)
+    base = curate(docs, jaccard_threshold=None, redact_pii=False)
+    picked = curate(
+        docs, jaccard_threshold=None, redact_pii=False,
+        dsir_model=model, dsir_k=25,
+    )
+    assert picked.columns == base.columns
+    assert picked.count() == 25
+    again = curate(
+        docs, jaccard_threshold=None, redact_pii=False,
+        dsir_model=model, dsir_k=25,
+    )
+    a = {r["doc_id"] for r in picked.select("doc_id").collect()}
+    b = {r["doc_id"] for r in again.select("doc_id").collect()}
+    assert a == b  # seeded Gumbel-top-k: same draw every run
+
+
+def test_dsir_model_without_k_raises(spark, docs):
+    from mongo_arrow_spark.operators import quality
+
+    model = quality.fit_bucket_ratios(docs, docs.limit(5), buckets=64)
+    with pytest.raises(ValueError, match="dsir_k"):
+        curate(docs, jaccard_threshold=None, dsir_model=model)
+
+
+def test_every_stage_composes_with_selection_models(tables, docs):
+    """The r8 composability superset: all prior stages PLUS the NB gate
+    and DSIR selection in one lazy program."""
+    from mongo_arrow_spark.operators import quality
+
+    holdout = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    labeled = corpus.withColumn("pos", F.col("doc_id") % 2 == 0)
+    nb = quality.fit_token_logodds(labeled, "pos")
+    dsir = quality.fit_bucket_ratios(corpus, corpus.limit(50), buckets=256)
+    out = curate(
+        corpus,
+        holdout=holdout,
+        jaccard_threshold=0.3,
+        strip_spans_k=6,
+        embeddings=tables["embeddings"],
+        semantic_threshold=0.2,
+        semantic_bits=6,
+        nb_model=nb,
+        nb_min_logodds=-10.0,
+        dsir_model=dsir,
+        dsir_k=40,
+        chunk_size=64,
+        stride=64,
+        pack_seq_len=128,
+        pack_streams=4,
+    )
+    rows = out.count()
+    assert rows > 0
+    assert {"doc_id", "chunk_id", "chunk_text", "split", "stream", "seq_id",
+            "seq_offset"} <= set(out.columns)
+
+
+def test_select_with_models_streaming_parity(spark, tmp_path, docs):
+    """r8 streaming parity for the scorers: curate_stream +
+    select_with_models in foreachBatch over a ONE-batch finite replay
+    equals the batch path with the same prefit models (per-micro-batch
+    top-k == global top-k exactly when the replay is one batch)."""
+    import json as _json
+    import uuid as _uuid
+
+    from mongo_arrow_spark.operators import quality
+    from mongo_arrow_spark.operators.curate import (
+        curate_stream,
+        select_with_models,
+    )
+    from mongo_arrow_spark.streaming import read_document_stream
+
+    labeled = docs.withColumn("pos", F.col("doc_id") % 2 == 0)
+    nb = quality.fit_token_logodds(labeled, "pos")
+    dsir = quality.fit_bucket_ratios(
+        docs, docs.filter(F.col("doc_id") % 3 == 0), buckets=256
+    )
+
+    d = tmp_path / "docs_stream_models"
+    d.mkdir()
+    with open(d / "batch-0.jsonl", "w") as fh:
+        for r in docs.collect():
+            fh.write(
+                _json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n"
+            )
+
+    stream = read_document_stream(spark, str(d), "doc_id bigint, text string")
+    gated_stream = curate_stream(stream, ts_col=None)
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {name} (doc_id bigint, text string, split string) "
+        "USING parquet"
+    )
+
+    def sink(batch_df, _bid):
+        select_with_models(
+            batch_df, nb_model=nb, nb_min_logodds=0.0,
+            dsir_model=dsir, dsir_k=20,
+        ).write.insertInto(name)
+
+    q = (
+        gated_stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name).collect()
+
+    from mongo_arrow_spark.operators.curate import curate
+
+    want = select_with_models(
+        curate(docs, jaccard_threshold=None),
+        nb_model=nb, nb_min_logodds=0.0, dsir_model=dsir, dsir_k=20,
+    ).collect()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
+    spark.sql(f"DROP TABLE {name}")
