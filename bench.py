@@ -86,6 +86,12 @@ HEADLINE = [
     # survivor selection (components + payload-free argmax)
     "text_bigram_logprob",
     "dedup_canonical",
+    # round-8 addition: the composed curation pipeline (now the product
+    # surface for the selection tier; fuzzy stage re-based on banded
+    # candidates this round — dedup_canonical and cluster_safe_split
+    # likewise, so expect their r7→r8 per-key deltas to reflect the
+    # generator swap, not drift)
+    "curate_corpus",
 ]
 
 
@@ -176,7 +182,14 @@ def main() -> None:
             best = min(best, _time.perf_counter() - t0)
         return round(best, 3)
 
-    for name, df in build_frames(spark).items():
+    # the shape loop reads through its own drift anchor (r7 verdict item
+    # 8): anchor samples bracket the loop so the 2×-of-baseline shape
+    # claim is drift-adjusted exactly like the headline queries
+    shape_drift = {"start": _anchor_probe(spark)}
+    frames = build_frames(spark)
+    for i, (name, df) in enumerate(frames.items()):
+        if i == len(frames) // 2:
+            shape_drift["mid"] = _anchor_probe(spark)
         df = df.cache()
         df.count()
         shapes[name] = {
@@ -193,6 +206,12 @@ def main() -> None:
         }
         df.unpersist()
     shutil.rmtree(wdir, ignore_errors=True)
+    shape_drift["end"] = _anchor_probe(spark)
+    lo, hi = min(shape_drift.values()), max(shape_drift.values())
+    shape_drift["spread_pct"] = (
+        round(100.0 * (hi - lo) / lo, 1) if lo else 0.0
+    )
+    shapes["drift"] = shape_drift
 
     total = round(sum(timings.values()), 3)
     print(
