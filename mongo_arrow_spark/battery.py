@@ -196,6 +196,19 @@ _DEMOTED = [
     "chunk_tokens",
     "stratified_sample",
     "profile_numeric",
+    # round-8 additions park below the window by construction — the
+    # graded 50 stay byte-identical; both oracles run in
+    # tests/test_battery.py at three scales (tests/test_timeseries.py /
+    # test_quality_ops.py pin the operator semantics):
+    #   ts_range_join — interval join via epoch-bucket equi-join;
+    #   temporal-join capability stays pinned by the GRADED ts_asof_join
+    #   text_ppl_buckets — CCNet per-language perplexity terciles; the
+    #   LM scoring inside it is the GRADED text_bigram_logprob, the
+    #   broadcast-threshold projection shape is pinned by graded
+    #   siblings (mix_sources' bucketing, dsir_resample's broadcast
+    #   ratios)
+    "ts_range_join",
+    "text_ppl_buckets",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

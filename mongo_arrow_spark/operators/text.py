@@ -589,6 +589,60 @@ def bigram_logprob(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str = "logprob",
+    by: str | list[str] | None = None,
+    fractions: tuple = (1 / 3, 2 / 3),
+    labels: tuple = ("tail", "middle", "head"),
+    out_col: str = "ppl_bucket",
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split a
+    scored corpus into head/middle/tail tiers by per-group score
+    quantiles — the published recipe computes per-LANGUAGE perplexity
+    terciles and keeps/weights tiers differently downstream.
+
+    ``fractions`` are the quantile cut points over ``score_col`` (mean
+    log-probability: HIGHER = more fluent, so the top tier is the last
+    label); ``labels`` has one more entry than ``fractions``. A row at
+    exactly a threshold takes the LOWER tier (strict ``>`` promotes).
+
+    Plan: one groupBy(``by``) percentile aggregation (thresholds — one
+    row per group, broadcast back), then a pure projection. With
+    ``exact=True`` the thresholds come from Spark's exact ``percentile``
+    (sort-based within the agg, engine-identical to DuckDB's
+    ``quantile_cont`` — what makes the battery entry hash-gradeable);
+    ``exact=False`` switches to ``percentile_approx(accuracy)`` — the
+    100 TB path, one bounded-sketch pass, same plan shape.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    fr = [float(f) for f in fractions]
+    if len(labels) != len(fr) + 1:
+        raise ValueError("labels must have len(fractions) + 1 entries")
+    if sorted(fr) != fr:
+        raise ValueError("fractions must be ascending")
+    arr = "array(" + ", ".join(repr(f) for f in fr) + ")"
+    fn = (
+        f"percentile({score_col}, {arr})"
+        if exact
+        else f"percentile_approx({score_col}, {arr}, {int(accuracy)})"
+    )
+    th = df.groupBy(*by).agg(F.expr(fn).alias("__th"))
+    joined = (
+        df.join(F.broadcast(th), by)
+        if by
+        else df.crossJoin(F.broadcast(th))
+    )
+    bucket = F.lit(labels[0])
+    for i in range(len(fr)):
+        bucket = F.when(
+            F.col(score_col) > F.col("__th")[i], F.lit(labels[i + 1])
+        ).otherwise(bucket)
+    return joined.withColumn(out_col, bucket).drop("__th")
+
+
 def tag_keywords(
     df: DataFrame,
     taxonomy: dict[str, list[str]],

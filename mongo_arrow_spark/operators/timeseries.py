@@ -62,6 +62,99 @@ def asof_join(
     )
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: str | list[str] | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval) join: every ``points`` row pairs with every
+    ``intervals`` row satisfying ``start <= ts < end`` (and equal ``by``
+    keys when given) — the classic "events inside maintenance windows /
+    sessions / incident windows" operator Spark has no native form of
+    (a raw inequality join plans as BroadcastNestedLoop/cartesian).
+
+    Plan (scale-safe): time is quantized into ``bucket_seconds`` epochs;
+    each point carries its ONE bucket, each interval explodes to the
+    buckets it covers, and candidates come from an EQUI-join on
+    (``by``…, bucket) with the exact ``start <= ts < end`` refinement
+    after. Shuffle mass is |points| + |intervals| × ceil(span/bucket)
+    rows — never |points|·|intervals| — and each qualifying pair is
+    produced exactly once (a point has exactly one bucket), so no
+    dedup pass. Pick ``bucket_seconds`` near the median interval span:
+    larger buckets fatten candidate lists, smaller ones fatten the
+    interval explosion. Bucketing is on ``unix_micros`` so sub-second
+    boundaries land in the right epoch; the end bound stays exclusive.
+
+    ``how``: ``inner`` (matches only) or ``left`` (points with no
+    qualifying interval keep NULL interval columns; the no-match side is
+    recovered by an anti-join on the full point row, so ``left``
+    requires point rows to be distinct). Point and interval column
+    names must be disjoint apart from ``by``.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    clash = (set(points.columns) & set(intervals.columns)) - set(by)
+    if clash:
+        raise ValueError(
+            f"point/interval column names must be disjoint: {sorted(clash)}"
+        )
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    bucket_us = int(bucket_seconds) * 1_000_000
+
+    def epoch_us(df, col):
+        # unix_micros rejects TIMESTAMP_NTZ; timestampdiff from the NTZ
+        # epoch is the timezone-free equivalent (no session-tz shift, so
+        # no DST seam can split an interval's bucket covering)
+        if dict(df.dtypes)[col] == "timestamp_ntz":
+            return F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)"
+            )
+        return F.unix_micros(F.col(col))
+
+    p = points.withColumn(
+        "__b", F.floor(epoch_us(points, point_ts) / F.lit(bucket_us))
+    )
+    iv = (
+        intervals.where(F.col(start_col) < F.col(end_col))
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(
+                        epoch_us(intervals, start_col) / F.lit(bucket_us)
+                    ),
+                    # end is exclusive: the last covered epoch holds the
+                    # last instant strictly BEFORE end
+                    F.floor(
+                        (epoch_us(intervals, end_col) - 1) / F.lit(bucket_us)
+                    ),
+                )
+            ),
+        )
+    )
+    matched = p.join(iv, [*by, "__b"]).where(
+        (F.col(start_col) <= F.col(point_ts))
+        & (F.col(point_ts) < F.col(end_col))
+    ).drop("__b")
+    if how == "inner":
+        return matched
+    ivcols = [c for c in intervals.columns if c not in by]
+    unmatched = p.drop("__b").join(
+        matched.select(*points.columns), points.columns, "left_anti"
+    )
+    for c in ivcols:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(dict(intervals.dtypes)[c])
+        )
+    return matched.unionByName(unmatched)
+
+
 def downsample(
     df: DataFrame,
     ts_col: str = "ts",

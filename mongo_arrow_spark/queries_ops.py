@@ -1274,6 +1274,90 @@ def q_text_bigram_logprob(spark, sf_dir):
     )
 
 
+@query(
+    "text_ppl_buckets",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+    seq AS (
+      SELECT doc_id, z[1] AS p, z[2] AS w
+      FROM (SELECT doc_id,
+                   unnest(list_zip(list_prepend(NULL, s[1:greatest(len(s)-1,0)]),
+                                   s)) AS z
+            FROM base)
+    ),
+    total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM seq),
+    counts AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM seq
+      GROUP BY w ORDER BY c DESC, w LIMIT 10000
+    ),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM counts),
+    uni AS (
+      SELECT w, c, ln((c + 0.5) / (total.t + 0.5 * (v.n + 1))) AS ulp
+      FROM counts, total, v
+    ),
+    bi AS (
+      SELECT p, w, CAST(COUNT(*) AS DOUBLE) AS bc
+      FROM seq
+      WHERE p IS NOT NULL
+        AND p IN (SELECT w FROM counts) AND w IN (SELECT w FROM counts)
+      GROUP BY p, w ORDER BY bc DESC, p, w LIMIT 50000
+    ),
+    blp AS (
+      SELECT bi.p, bi.w, ln(bi.bc / uni.c) AS blp
+      FROM bi JOIN uni ON uni.w = bi.p
+    ),
+    oov AS (SELECT ln(0.5 / (total.t + 0.5 * (v.n + 1))) AS lp FROM total, v),
+    scored AS (
+      SELECT seq.doc_id,
+             CASE WHEN seq.p IS NULL THEN COALESCE(uni.ulp, oov.lp)
+                  WHEN blp.blp IS NOT NULL THEN blp.blp
+                  ELSE ln(0.4) + COALESCE(uni.ulp, oov.lp) END AS lp
+      FROM seq
+      LEFT JOIN uni ON uni.w = seq.w
+      LEFT JOIN blp ON blp.p = seq.p AND blp.w = seq.w
+      CROSS JOIN oov
+    ),
+    final AS (
+      SELECT s.doc_id, d.lang, ROUND(AVG(s.lp), 4) + 0.0 AS logprob
+      FROM scored s JOIN documents d USING (doc_id)
+      GROUP BY s.doc_id, d.lang
+    ),
+    th AS (
+      SELECT lang,
+             quantile_cont(logprob,
+                [0.3333333333333333, 0.6666666666666666]) AS t
+      FROM final GROUP BY lang
+    )
+    SELECT f.doc_id, f.lang, f.logprob,
+           CASE WHEN f.logprob > th.t[2] THEN 'head'
+                WHEN f.logprob > th.t[1] THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM final f JOIN th USING (lang)
+    """,
+)
+def q_text_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity tiers (r8, Wenzek et al. 2020):
+    per-LANGUAGE terciles of the bigram-LM score split the corpus into
+    quality buckets. Thresholds come from ONE exact-percentile groupBy
+    (rows = languages, broadcast back); bucketing compares the ROUNDED
+    scores both engines already agree on bit-for-bit (graded
+    text_bigram_logprob), and Spark's exact percentile equals DuckDB's
+    quantile_cont on identical doubles, so the whole tiering is
+    hash-gradeable. exact=False flips the same plan to percentile_approx
+    for the 100 TB path."""
+    docs = _t(spark, sf_dir, "documents")
+    model = text.fit_ngram_lm(docs)
+    scored = text.score_ngram_lm(docs, model).select(
+        "doc_id", (F.round("logprob", 4) + 0.0).alias("logprob")
+    )
+    scored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    out = text.perplexity_buckets(
+        scored, score_col="logprob", by="lang",
+        fractions=(1 / 3, 2 / 3), labels=("tail", "middle", "head"),
+    )
+    return out.select("doc_id", "lang", "logprob", "ppl_bucket")
+
+
 #: Deterministic toy taxonomy over the synthetic corpus vocabulary.
 _TAXONOMY = {
     "storage": ["table", "row", "parquet"],

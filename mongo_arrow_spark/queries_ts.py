@@ -142,3 +142,58 @@ def q_downsample(spark, sf_dir):
     return out.select("event_type", "bucket", "n", "total").orderBy(
         "event_type", "bucket"
     )
+
+
+@query(
+    "ts_range_join",
+    """
+    WITH win AS (
+      SELECT event_id AS err_id, user_id, ts AS win_start,
+             ts + INTERVAL 30 MINUTE AS win_end
+      FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT w.err_id, w.user_id,
+           CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks,
+           ROUND(CAST(COALESCE(SUM(c.value), 0.0) AS DOUBLE), 2)
+             AS click_value
+    FROM win w LEFT JOIN clicks c
+      ON c.user_id = w.user_id
+     AND c.ts >= w.win_start AND c.ts < w.win_end
+    GROUP BY w.err_id, w.user_id
+    """,
+)
+def q_ts_range_join(spark, sf_dir):
+    """Range (interval) join, r8: each user's error opens a 30-minute
+    incident window; the same user's clicks inside [ts, ts+30m) are
+    counted and summed. The operator quantizes time into epochs and
+    equi-joins on (user, epoch) — a raw inequality join would plan as a
+    nested loop — so shuffle mass is points + intervals×2 rows. Oracle =
+    DuckDB's native inequality join."""
+    from mongo_arrow_spark.operators.timeseries import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("win_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"),
+        F.col("value").alias("c_value"),
+    )
+    joined = range_join(
+        clicks, windows, point_ts="c_ts", start_col="win_start",
+        end_col="win_end", by="user_id", bucket_seconds=1800, how="inner",
+    )
+    matched = joined.groupBy("err_id", "user_id").agg(
+        F.count("c_id").cast("long").alias("n_clicks"),
+        F.round(F.sum("c_value").cast("double"), 2).alias("click_value"),
+    )
+    # LEFT semantics of the oracle: windows with zero clicks carry 0
+    return (
+        windows.select("err_id", "user_id")
+        .join(matched, ["err_id", "user_id"], "left")
+        .fillna({"n_clicks": 0, "click_value": 0.0})
+    )
