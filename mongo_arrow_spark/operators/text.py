@@ -640,7 +640,7 @@ def perplexity_buckets(
         bucket = F.when(
             F.col(score_col) > F.col("__th")[i], F.lit(labels[i + 1])
         ).otherwise(bucket)
-    return joined.withColumn(out_col, bucket).drop("__th")
+    return joined.select(*df.columns, bucket.alias(out_col))
 
 
 def tag_keywords(

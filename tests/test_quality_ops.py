@@ -811,3 +811,57 @@ def test_importance_resample_with_prefit_model(spark):
     assert via_model == refit and len(via_model) == 12
     with pytest.raises(ValueError):
         quality.importance_resample(raw, None, 5)
+
+
+def test_perplexity_buckets_tiers_and_boundaries(spark):
+    """r8: per-group quantile tiers — top scores head, bottom tail, a
+    row exactly AT a threshold takes the lower tier."""
+    from mongo_arrow_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(1, 10)]
+        + [(100 + i, "de", float(i)) for i in range(1, 4)],
+        "doc_id long, lang string, logprob double",
+    )
+    out = perplexity_buckets(df, score_col="logprob", by="lang")
+    got = {r["doc_id"]: r["ppl_bucket"] for r in out.collect()}
+    # en: 9 values 1..9 → terciles at 3.666/6.333 (quantile_cont over 9
+    # points): 1-3 tail, 4-6 middle, 7-9 head
+    assert [got[i] for i in range(1, 10)] == (
+        ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+    )
+    # de computed from its OWN distribution, not en's
+    assert got[101] == "tail" and got[103] == "head"
+    assert out.columns == df.columns + ["ppl_bucket"]
+
+
+def test_perplexity_buckets_global_and_approx(spark):
+    from mongo_arrow_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, logprob double"
+    )
+    exact = perplexity_buckets(df, score_col="logprob")
+    approx = perplexity_buckets(df, score_col="logprob", exact=False)
+    # the approx sketch at default accuracy is exact on 100 points
+    a = {r["doc_id"]: r["ppl_bucket"] for r in exact.collect()}
+    b = {r["doc_id"]: r["ppl_bucket"] for r in approx.collect()}
+    assert a == b
+    assert sorted(
+        {v for v in a.values()}
+    ) == ["head", "middle", "tail"]
+
+
+def test_perplexity_buckets_validates_args(spark):
+    import pytest as _pytest
+
+    from mongo_arrow_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, logprob double")
+    with _pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(df, score_col="logprob", labels=("a", "b"))
+    with _pytest.raises(ValueError, match="ascending"):
+        perplexity_buckets(
+            df, score_col="logprob", fractions=(0.7, 0.3),
+            labels=("a", "b", "c"),
+        )

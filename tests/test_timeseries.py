@@ -59,3 +59,113 @@ def test_downsample_rejects_bad_fill(spark):
 
     with pytest.raises(ValueError, match="fill"):
         downsample(_series(spark), fill="interpolate")
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _mk_range_frames(spark):
+    points = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 00:10:00")),
+         (2, "u", _ts("2024-01-01 01:59:59.999999")),
+         (3, "u", _ts("2024-01-01 02:00:00")),
+         (4, "v", _ts("2024-01-01 00:10:00")),
+         (5, "u", _ts("2024-01-05 00:00:00"))],
+        "pid long, user string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, "u", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00")),
+         (11, "u", _ts("2024-01-01 01:30:00"), _ts("2024-01-01 03:00:00")),
+         (12, "v", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:30:00"))],
+        "iid long, user string, start timestamp, end timestamp",
+    )
+    return points, intervals
+
+
+def test_range_join_exact_pairs_and_end_exclusive(spark):
+    """r8 range_join: every (point, interval) with start <= ts < end and
+    matching key, each produced exactly once; end is exclusive."""
+    from mongo_arrow_spark.operators.timeseries import range_join
+
+    points, intervals = _mk_range_frames(spark)
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, point_ts="ts", by="user",
+            bucket_seconds=3600,
+        ).collect()
+    )
+    # pid2 at 01:59:59.999999 is inside both windows; pid3 at exactly
+    # 02:00 is EXCLUDED from iid10 (end exclusive) but inside iid11;
+    # pid5 matches nothing; keys isolate u/v
+    assert got == [(1, 10), (2, 10), (2, 11), (3, 11), (4, 12)]
+
+
+def test_range_join_bucket_size_invariance(spark):
+    """The bucket width is a performance dial, never a semantics dial."""
+    from mongo_arrow_spark.operators.timeseries import range_join
+
+    points, intervals = _mk_range_frames(spark)
+    expect = None
+    for bs in (60, 1800, 86_400):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(
+                points, intervals, point_ts="ts", by="user",
+                bucket_seconds=bs,
+            ).collect()
+        )
+        expect = expect or got
+        assert got == expect, f"bucket_seconds={bs} changed the result"
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from mongo_arrow_spark.operators.timeseries import range_join
+
+    points, intervals = _mk_range_frames(spark)
+    out = range_join(
+        points, intervals, point_ts="ts", by="user", how="left"
+    )
+    rows = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert (5, None) in rows
+    assert out.count() == 6  # 5 matches + 1 unmatched
+
+
+def test_range_join_rejects_column_clash_and_bad_how(spark):
+    import pytest as _pytest
+
+    from mongo_arrow_spark.operators.timeseries import range_join
+
+    points, intervals = _mk_range_frames(spark)
+    with _pytest.raises(ValueError, match="disjoint"):
+        range_join(points, intervals.withColumnRenamed("iid", "pid"),
+                   point_ts="ts", by="user")
+    with _pytest.raises(ValueError, match="how"):
+        range_join(points, intervals, point_ts="ts", by="user", how="outer")
+
+
+def test_range_join_no_nested_loop_plan(spark):
+    """The whole point vs a raw inequality join: candidates come from an
+    equi-join on (key, epoch) — no BroadcastNestedLoopJoin/cartesian."""
+    from mongo_arrow_spark.operators.timeseries import range_join
+
+    points, intervals = _mk_range_frames(spark)
+    plan = (
+        range_join(points, intervals, point_ts="ts", by="user")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_empty_and_inverted_intervals(spark):
+    from mongo_arrow_spark.operators.timeseries import range_join
+
+    points, _ = _mk_range_frames(spark)
+    bad = spark.createDataFrame(
+        [(20, "u", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 01:00:00")),
+         (21, "u", _ts("2024-01-01 02:00:00"), _ts("2024-01-01 01:00:00"))],
+        "iid long, user string, start timestamp, end timestamp",
+    )
+    assert range_join(points, bad, point_ts="ts", by="user").count() == 0
