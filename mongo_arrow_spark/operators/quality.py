@@ -777,6 +777,7 @@ def fit_token_logodds(
     label_col: str,
     text_col: str = "text",
     alpha: float = 1.0,
+    max_vocab: int | None = None,
 ) -> TokenLogOddsModel:
     """Fit a Naive-Bayes token log-odds model from a labeled seed corpus
     — the closed-form, aggregation-only stand-in for the fasttext-style
@@ -796,6 +797,14 @@ def fit_token_logodds(
     same way a trained linear model's weights ship to executors.
     Deterministic and engine-portable: the battery grades fit+score
     end-to-end against a DuckDB re-derivation.
+
+    A FULL vocabulary grows with the seed (Heaps' law), so at web scale
+    the broadcast can outgrow executors: ``max_vocab`` keeps only the
+    top-``max_vocab`` tokens by total count (ties → lexicographic, a
+    deterministic TakeOrdered cut). Smoothing denominators still use the
+    FULL totals — the cut only bounds the table; dropped (now-unseen)
+    tokens score the same smoothed default an OOV token does, exactly
+    the hashing-trick/fasttext bucket semantics.
     """
     from pyspark import StorageLevel
 
@@ -820,6 +829,13 @@ def fit_token_logodds(
     vocab = float(tot["v"] or 0.0)
     p_denom = p_total + alpha * vocab
     n_denom = n_total + alpha * vocab
+    if max_vocab is not None:
+        # bound the broadcast: top tokens by evidence mass, fully
+        # ordered so the cut is deterministic. Totals above came from
+        # the FULL aggregate (cached), so smoothing is unchanged.
+        agg = agg.orderBy(
+            (F.col("pc") + F.col("nc")).desc(), F.col("w")
+        ).limit(int(max_vocab))
     model = agg.select(
         "w",
         (

@@ -92,3 +92,22 @@ def test_load_rejects_non_artifact_parquet(spark, docs, tmp_path):
         docs.select(F.col("doc_id").alias("b"), F.lit(0.0).alias("lr")) \
             .limit(5).write.parquet(str(tmp_path / "plain_b"))
         quality.load_bucket_ratios(spark, str(tmp_path / "plain_b"))
+
+
+def test_token_logodds_max_vocab_bounds_model(spark, docs):
+    """r8: max_vocab bounds the broadcast table without changing the
+    smoothing — dropped tokens score the OOV default; in-vocab tokens
+    keep their full-fit log-odds."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    labeled = docs.withColumn("pos", F.col("lang") == "en")
+    full = quality.fit_token_logodds(labeled, "pos")
+    cut = quality.fit_token_logodds(labeled, "pos", max_vocab=10)
+    assert cut.tokens.count() == 10
+    assert cut.default_log_odds == full.default_log_odds
+    assert cut.vocab_size == full.vocab_size  # smoothing from FULL totals
+    full_lo = dict(full.tokens.collect())
+    for w, lo in cut.tokens.collect():
+        assert lo == full_lo[w]
+    # scoring still runs and stays bounded
+    assert quality.score_token_logodds(docs, cut).count() == docs.count()
