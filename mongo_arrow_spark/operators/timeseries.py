@@ -95,6 +95,11 @@ def range_join(
     recovered by an anti-join on the full point row, so ``left``
     requires point rows to be distinct). Point and interval column
     names must be disjoint apart from ``by``.
+
+    Streaming: ``inner`` over STREAMING points and a static interval
+    table is append-legal as-is (projection + stream-static equi-join +
+    filter — streaming == batch parity pinned in tests); ``left`` needs
+    the anti-join, so run it inside ``foreachBatch``.
     """
     by = [by] if isinstance(by, str) else list(by or [])
     clash = (set(points.columns) & set(intervals.columns)) - set(by)

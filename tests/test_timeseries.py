@@ -169,3 +169,44 @@ def test_range_join_empty_and_inverted_intervals(spark):
         "iid long, user string, start timestamp, end timestamp",
     )
     assert range_join(points, bad, point_ts="ts", by="user").count() == 0
+
+
+def test_range_join_streaming_inner_matches_batch(spark, tmp_path):
+    """r8: inner range_join is a projection + stream-static equi-join +
+    filter — append-legal as-is. Streaming points joined to a STATIC
+    interval table equal the batch result on a finite replay."""
+    import json as _json
+    import uuid as _uuid
+
+    from mongo_arrow_spark.operators.timeseries import range_join
+    from mongo_arrow_spark.streaming import read_document_stream
+
+    points, intervals = _mk_range_frames(spark)
+    d = tmp_path / "points_stream"
+    d.mkdir()
+    rows = points.collect()
+    for i, chunk in enumerate((rows[:2], rows[2:])):
+        with open(d / f"b{i}.jsonl", "w") as fh:
+            for r in chunk:
+                fh.write(_json.dumps(
+                    {"pid": r["pid"], "user": r["user"],
+                     "ts": r["ts"].isoformat(sep=" ")}) + "\n")
+
+    stream = read_document_stream(
+        spark, str(d), "pid long, user string, ts timestamp"
+    )
+    out = range_join(stream, intervals, point_ts="ts", by="user")
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["pid"], r["iid"]) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, point_ts="ts", by="user").collect()
+    )
+    assert got == want
