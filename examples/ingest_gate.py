@@ -76,6 +76,20 @@ def main() -> None:
     print(f"lsh index: {lsh_idx.count()} → {grown.count()} entries "
           f"(new signatures computed for accepted docs only)")
 
+    # ---- the same flow as ONE product operator (r8) ----------------
+    from mongo_arrow_spark.operators.curate import ingest_gate
+
+    accepted2, grown2 = ingest_gate(
+        batch,
+        bloom_index=bloom_idx,
+        bloom_num_bits=1 << 20,
+        lsh_index=lsh_idx.cache(),
+        neardup_threshold=0.7,
+        min_tokens=None,  # match the manual flow above (no quality gate)
+    )
+    print(f"ingest_gate(): accepted {accepted2.count()}, "
+          f"index {grown2.count()} entries")
+
 
 if __name__ == "__main__":
     main()

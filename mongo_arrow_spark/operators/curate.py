@@ -365,6 +365,89 @@ def select_with_models(
     return out
 
 
+def ingest_gate(
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    # in-batch exact dedup (always on: a batch must not admit its own
+    # duplicates even when no standing index exists yet)
+    # standing-corpus exact gate (Bloom bit table; None disables)
+    bloom_index: DataFrame | None = None,
+    bloom_num_bits: int = 1 << 27,
+    bloom_num_hashes: int = 5,
+    # standing-corpus near-dup gate (build_lsh_index artifact; None
+    # disables)
+    lsh_index: DataFrame | None = None,
+    neardup_threshold: float = 0.8,
+    # model-based selection over prefit artifacts (None disables each)
+    nb_model: "quality_ops.TokenLogOddsModel | None" = None,
+    nb_min_logodds: float = 0.0,
+    dsir_model: "quality_ops.BucketRatioModel | None" = None,
+    dsir_k: int | None = None,
+    # quality bounds (None disables the gopher gate)
+    min_tokens: int | None = 20,
+    max_tokens: int = 100_000,
+) -> tuple[DataFrame, DataFrame | None]:
+    """The incremental-ingest door for a standing corpus, as ONE product
+    operator (the batch twin of ``curate_stream``; previously composed
+    by hand in examples/ingest_gate.py): quality gate → in-batch exact
+    dedup → standing Bloom exact gate → standing LSH near-dup gate →
+    prefit-model selection. Returns ``(accepted, updated_lsh_index)`` —
+    the accepted rows and, when ``lsh_index`` was given, the index
+    extended with the accepted docs' signatures
+    (``dedup.update_lsh_index`` — new rows only, the corpus text is
+    NEVER rescanned); the caller persists both.
+
+    Every stage probes a bounded artifact (bit table, signature index,
+    model table) — the standing corpus itself never joins, so the cost
+    per batch is O(batch), independent of corpus size. All gates are
+    conservative drops (Bloom's false-positive sliver, LSH's candidate
+    recall): size the artifacts for the loss tolerance, or verify the
+    flagged sliver against the corpus with ``membership.probe_and_verify``
+    outside the gate when zero loss is required.
+    """
+    kept = batch
+    if min_tokens is not None:
+        flagged = quality_ops.gopher_quality_flags(
+            kept, text_col, min_tokens=min_tokens, max_tokens=max_tokens
+        )
+        kept = flagged.filter(F.col("q_keep")).select(batch.columns)
+    kept = dedup_ops.exact_dedup(kept, id_col, text_col)
+    if bloom_index is not None:
+        kept = membership_ops.probe_bloom(
+            kept,
+            bloom_index,
+            text_col,
+            num_bits=bloom_num_bits,
+            num_hashes=bloom_num_hashes,
+        )
+        kept = kept.filter(~F.col("maybe_member")).drop("maybe_member")
+    if lsh_index is not None:
+        kept = dedup_ops.probe_neardup(
+            kept, lsh_index, id_col, text_col, threshold=neardup_threshold
+        )
+        kept = kept.filter(~F.col("neardup")).drop(
+            "neardup", "neardup_matches", "neardup_best_id",
+            "neardup_best_est",
+        )
+    kept = select_with_models(
+        kept,
+        nb_model=nb_model,
+        nb_min_logodds=nb_min_logodds,
+        dsir_model=dsir_model,
+        dsir_k=dsir_k,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    updated = None
+    if lsh_index is not None:
+        updated = dedup_ops.update_lsh_index(
+            lsh_index, kept.select(id_col, text_col), id_col, text_col
+        )
+    return kept, updated
+
+
 def curate_stream(
     stream: DataFrame,
     *,

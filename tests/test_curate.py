@@ -468,3 +468,52 @@ def test_select_with_models_streaming_parity(spark, tmp_path, docs):
     ).collect()
     assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
     spark.sql(f"DROP TABLE {name}")
+
+
+def test_ingest_gate_all_stages(spark, docs):
+    """r8 ingest_gate: standing Bloom + LSH artifacts plus prefit models
+    guard an incoming batch; the corpus never re-joins; accepted rows
+    pass every individual gate; the LSH index grows by the accepted."""
+    from mongo_arrow_spark.operators import dedup, membership, quality
+    from mongo_arrow_spark.operators.curate import ingest_gate
+
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    bloom = membership.build_bloom_index(corpus, key_col="text",
+                                         num_bits=1 << 20)
+    lsh = dedup.build_lsh_index(corpus, "doc_id", "text").cache()
+    nb = quality.fit_token_logodds(
+        docs.withColumn("pos", F.col("doc_id") % 3 == 0), "pos"
+    )
+    accepted, updated = ingest_gate(
+        batch,
+        bloom_index=bloom,
+        bloom_num_bits=1 << 20,
+        lsh_index=lsh,
+        neardup_threshold=0.3,
+        nb_model=nb,
+        nb_min_logodds=-100.0,  # permissive: gate mechanics, not tuning
+    )
+    n_acc = accepted.count()
+    assert 0 < n_acc < batch.count()
+    assert accepted.columns == batch.columns  # pass-through contract
+    # every accepted doc independently clears the near-dup probe
+    again = dedup.probe_neardup(accepted, lsh, threshold=0.3)
+    assert again.filter("neardup").count() == 0
+    # the returned index holds corpus + accepted signatures
+    assert updated.count() == lsh.count() + n_acc
+
+
+def test_ingest_gate_no_artifacts_is_exact_dedup_plus_quality(spark, docs):
+    from mongo_arrow_spark.operators import dedup
+    from mongo_arrow_spark.operators.curate import ingest_gate
+
+    batch = docs.limit(100)
+    accepted, updated = ingest_gate(batch)
+    assert updated is None
+    want = dedup.exact_dedup(
+        curate(batch, jaccard_threshold=None, redact_pii=False)
+        .drop("split"),
+        "doc_id", "text",
+    )
+    assert accepted.count() == want.count()
