@@ -196,19 +196,20 @@ _DEMOTED = [
     "chunk_tokens",
     "stratified_sample",
     "profile_numeric",
-    # round-8 additions park below the window by construction — the
-    # graded 50 stay byte-identical; both oracles run in
-    # tests/test_battery.py at three scales (tests/test_timeseries.py /
-    # test_quality_ops.py pin the operator semantics):
-    #   ts_range_join — interval join via epoch-bucket equi-join;
-    #   temporal-join capability stays pinned by the GRADED ts_asof_join
-    #   text_ppl_buckets — CCNet per-language perplexity terciles; the
-    #   LM scoring inside it is the GRADED text_bigram_logprob, the
-    #   broadcast-threshold projection shape is pinned by graded
-    #   siblings (mix_sources' bucketing, dsir_resample's broadcast
-    #   ratios)
-    "ts_range_join",
-    "text_ppl_buckets",
+    # Round-8 second rotation: the round's two new operator FAMILIES
+    # enter the graded 50 —
+    #   ts_range_join (interval join via epoch-bucket equi-join, a
+    #   capability Spark has no native form of) and text_ppl_buckets
+    #   (CCNet per-language perplexity terciles over the graded
+    #   bigram-LM scores). The slots come from two narrow expression
+    #   showcases whose surface is multiply pinned: the 152-operator
+    #   expression translator is exercised by the differential fuzz
+    #   suites (test_pipeline_fuzz: ~30k expression/row comparisons vs a
+    #   reference evaluator, incl. $toUpper/$substrCP/$mod/$switch
+    #   shapes) plus 12 other graded mql_* rows; mql_string_ops and
+    #   mql_switch_tiers park with their oracles still run in pytest.
+    "mql_string_ops",
+    "mql_switch_tiers",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -60,6 +60,9 @@ REPRESENTATIVES = [
     "dsir_resample",
     "text_bigram_logprob",
     "dedup_canonical",
+    # r8 second rotation: the new operator families
+    "ts_range_join",
+    "text_ppl_buckets",
 ]
 
 
