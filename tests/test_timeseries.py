@@ -210,3 +210,51 @@ def test_range_join_streaming_inner_matches_batch(spark, tmp_path):
         for r in range_join(points, intervals, point_ts="ts", by="user").collect()
     )
     assert got == want
+
+
+def test_range_join_randomized_differential_vs_duckdb(spark):
+    """Seeded random frames: range_join's pair set must equal DuckDB's
+    native inequality join exactly, across bucket widths (including
+    widths far smaller and larger than the interval spans)."""
+    import random
+
+    import duckdb
+
+    from mongo_arrow_spark.operators.timeseries import range_join
+
+    rng = random.Random(8)
+    base = datetime.datetime(2024, 1, 1)
+    points = [
+        (i, f"k{rng.randrange(4)}",
+         base + datetime.timedelta(seconds=rng.randrange(0, 200_000)))
+        for i in range(300)
+    ]
+    intervals = []
+    for j in range(80):
+        s = base + datetime.timedelta(seconds=rng.randrange(0, 200_000))
+        intervals.append(
+            (1000 + j, f"k{rng.randrange(4)}", s,
+             s + datetime.timedelta(seconds=rng.randrange(1, 20_000)))
+        )
+    pdf = spark.createDataFrame(points, "pid long, k string, ts timestamp")
+    idf = spark.createDataFrame(
+        intervals, "iid long, k string, start timestamp, end timestamp"
+    )
+    con = duckdb.connect()
+    con.register("p", pdf.toPandas())
+    con.register("iv", idf.toPandas())
+    want = sorted(
+        tuple(r) for r in con.execute(
+            "SELECT pid, iid FROM p JOIN iv ON p.k = iv.k "
+            "AND p.ts >= iv.start AND p.ts < iv.end"
+        ).fetchall()
+    )
+    assert want  # the fixture must actually produce matches
+    for bs in (600, 3600, 50_000):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(
+                pdf, idf, point_ts="ts", by="k", bucket_seconds=bs
+            ).collect()
+        )
+        assert got == want, f"bucket_seconds={bs}"
