@@ -397,3 +397,22 @@ def test_fit_ngram_lm_one_unigram_scan(spark, tables):
     assert "InMemoryTableScan" in pu
     pb = _executed(model.bigrams)
     assert "InMemoryTableScan" in pb  # vocab cuts come from the cache
+
+
+def test_range_join_plan_equi_join_no_nested_loop(spark, tables):
+    """ts_range_join (graded r8): candidates must come from the
+    (key, epoch) equi-join — a raw inequality join would plan as
+    BroadcastNestedLoopJoin/cartesian and explode at scale."""
+    p = plan_of(spark, "ts_range_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ppl_buckets_plan_broadcast_thresholds(spark, tables):
+    """text_ppl_buckets (graded r8): the per-language threshold table
+    (rows = languages) must broadcast back — never shuffle the scored
+    corpus against it — and nothing plans as a nested loop."""
+    p = plan_of(spark, "text_ppl_buckets")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
