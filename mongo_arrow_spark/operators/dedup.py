@@ -16,16 +16,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mongo_arrow_spark.operators.text import bind, tokens
+from mongo_arrow_spark.operators.text import bind, normalize_text, tokens
 
 
 def exact_dedup_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalized: bool = False,
 ) -> DataFrame:
     """Group identical payloads by md5 digest: (digest, n_copies, keep_id).
-    Shuffles 16-byte digests + ids only."""
+    Shuffles 16-byte digests + ids only. ``normalized=True`` hashes the
+    CCNet-normalized form (text.normalize_text: case/accents/digits/
+    punctuation folded) so near-identical mirror edits collide too —
+    same plan, one extra codegen'd projection."""
+    key = (
+        normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    )
     return (
-        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        df.select(F.md5(key).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_copies"),
@@ -35,10 +44,14 @@ def exact_dedup_stats(
 
 
 def exact_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalized: bool = False,
 ) -> DataFrame:
-    """Keep exactly one row (min id) per distinct payload."""
-    keep = exact_dedup_stats(df, id_col, text_col).select(
+    """Keep exactly one row (min id) per distinct payload
+    (``normalized=True``: per distinct CCNet-normalized payload)."""
+    keep = exact_dedup_stats(df, id_col, text_col, normalized).select(
         F.col("keep_id").alias(id_col)
     )
     return df.join(keep, id_col, "left_semi")

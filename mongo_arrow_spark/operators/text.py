@@ -85,6 +85,31 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Latin-1/Latin-Extended accent folding table for normalize_text —
+#: identical in Spark and DuckDB translate(), so normalized digests are
+#: engine-portable.
+_ACCENT_FROM = "áàâäãåéèêëíìîïóòôöõúùûüýÿçñÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÇÑ"
+_ACCENT_TO = "aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """CCNet-style normalization for dedup keys (Wenzek et al. 2020):
+    lowercase → fold accents → map every digit to ``0`` → strip
+    punctuation → collapse whitespace → trim. Hash THIS instead of the
+    raw text and mirror-site edits (case, dates, serial numbers,
+    trailing punctuation) collide into one digest.
+
+    Pure JVM projection (translate + regexp chains, whole-stage
+    codegen); every step has the identical DuckDB spelling, so
+    normalized digests stay oracle-gradeable. NULL passes through."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.translate(c, _ACCENT_FROM.lower(), _ACCENT_TO.lower())
+    c = F.regexp_replace(c, r"[0-9]", "0")
+    c = F.regexp_replace(c, r"[^a-z0 ]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token bag. Robust to token reordering (near-dup canary), exact-joinable.

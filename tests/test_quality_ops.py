@@ -865,3 +865,52 @@ def test_perplexity_buckets_validates_args(spark):
             df, score_col="logprob", fractions=(0.7, 0.3),
             labels=("a", "b", "c"),
         )
+
+
+def test_normalize_text_folds_mirror_edits(spark):
+    """r8: CCNet-style normalization — case, accents, digits,
+    punctuation and whitespace fold away; distinct content stays
+    distinct; NULL passes through."""
+    from mongo_arrow_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Héllo,  Wörld! 2024"),
+         (2, "hello world 1999."),
+         (3, "a genuinely different document"),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", normalize_text("text").alias("n"))
+    got = {r["doc_id"]: r["n"] for r in out.collect()}
+    assert got[1] == got[2] == "hello world 0000"
+    assert got[3] == "a genuinely different document"
+    assert got[4] is None
+    # engine parity: DuckDB's identical chain produces the same keys
+    import duckdb
+
+    from mongo_arrow_spark.operators.text import _ACCENT_FROM, _ACCENT_TO
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sql = (
+        "SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace("
+        f"translate(lower(text), '{_ACCENT_FROM.lower()}', "
+        f"'{_ACCENT_TO.lower()}'), '[0-9]', '0', 'g'), "
+        "'[^a-z0 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS n FROM t"
+    )
+    duck = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert duck == got
+
+
+def test_exact_dedup_normalized_collapses_mirror_copies(spark):
+    from mongo_arrow_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "The cat. Sat 2020"), (2, "the cát,  sat 1234"),
+         (3, "something else")],
+        "doc_id long, text string",
+    )
+    plain = exact_dedup(df)
+    norm = exact_dedup(df, normalized=True)
+    assert plain.count() == 3  # raw bytes differ
+    assert {r["doc_id"] for r in norm.collect()} == {1, 3}  # min-id wins
