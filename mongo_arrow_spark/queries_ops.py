@@ -1751,3 +1751,49 @@ def q_dsir_resample(spark, sf_dir):
         "doc_id",
         (F.round("log_importance", 4) + 0.0).alias("log_importance"),
     )
+
+
+@query(
+    "corpus_card",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             CAST(length(text) AS BIGINT) AS nc, lang
+      FROM documents),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             CAST(SUM(nc) AS BIGINT) AS n_chars,
+             ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 4) + 0.0
+               AS mean_tokens,
+             ROUND(quantile_cont(nt, 0.5), 4) + 0.0 AS p50_tokens,
+             ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 4)
+               + 0.0 AS exact_dup_fraction
+      FROM base),
+    langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM base GROUP BY lang),
+    lagg AS (
+      SELECT CAST((SELECT COUNT(*) FROM langs) AS BIGINT) AS n_langs,
+             lang AS top_lang,
+             ROUND(n * 1.0 / (SELECT SUM(n) FROM langs), 4) + 0.0
+               AS top_lang_fraction
+      FROM langs ORDER BY n DESC, lang DESC LIMIT 1)
+    SELECT * FROM agg CROSS JOIN lagg
+    """,
+)
+def q_corpus_card(spark, sf_dir):
+    """One-row exact dataset card (r8): volume, length distribution,
+    exact-dup rate, language concentration — two aggregations over one
+    scan, every number exact and diffable across corpus snapshots."""
+    from mongo_arrow_spark.operators.profile import corpus_card
+
+    card = corpus_card(_t(spark, sf_dir, "documents"))
+    return card.select(
+        "n_docs", "n_tokens", "n_chars",
+        (F.round("mean_tokens", 4) + 0.0).alias("mean_tokens"),
+        (F.round("p50_tokens", 4) + 0.0).alias("p50_tokens"),
+        (F.round("exact_dup_fraction", 4) + 0.0).alias("exact_dup_fraction"),
+        "n_langs", "top_lang",
+        (F.round("top_lang_fraction", 4) + 0.0).alias("top_lang_fraction"),
+    )
