@@ -322,6 +322,9 @@ def select_with_models(
     - **NB gate**: keep rows whose mean token log-odds under
       ``nb_model`` (``quality.score_token_logodds``) is ≥
       ``nb_min_logodds`` — the CCNet/GPT-3-style classifier filter.
+      A zero-token (NULL-text) row scores the model's smoothed default,
+      so its fate follows the threshold instead of a silent drop — the
+      same keep-eligible contract as the DSIR stage.
     - **DSIR selection**: ``quality.importance_resample`` with the
       frozen ``dsir_model`` ratios draws ``dsir_k`` rows via the seeded
       Gumbel-top-k (deterministic; ``log_importance`` is dropped so the

@@ -268,7 +268,6 @@ def estimate_overlap(
 
 def corpus_card(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str | None = "lang",
 ) -> DataFrame:
@@ -292,7 +291,6 @@ def corpus_card(
     from mongo_arrow_spark.operators.text import token_count
 
     base = df.select(
-        F.col(id_col),
         F.col(text_col).alias("__t"),
         token_count(text_col).cast("long").alias("__nt"),
         F.length(text_col).cast("long").alias("__nc"),

@@ -771,6 +771,13 @@ class TokenLogOddsModel(NamedTuple):
     neg_token_total: float
     vocab_size: float
 
+    def unpersist(self) -> "TokenLogOddsModel":
+        """Release the cached model table — the teardown for long-lived
+        sessions that refit per batch (each fit caches exactly one
+        vocab-sized table; without this it lives until session end)."""
+        self.tokens.unpersist()
+        return self
+
 
 def fit_token_logodds(
     seed: DataFrame,
@@ -829,20 +836,26 @@ def fit_token_logodds(
     vocab = float(tot["v"] or 0.0)
     p_denom = p_total + alpha * vocab
     n_denom = n_total + alpha * vocab
+    cut = agg
     if max_vocab is not None:
         # bound the broadcast: top tokens by evidence mass, fully
         # ordered so the cut is deterministic. Totals above came from
         # the FULL aggregate (cached), so smoothing is unchanged.
-        agg = agg.orderBy(
+        cut = agg.orderBy(
             (F.col("pc") + F.col("nc")).desc(), F.col("w")
         ).limit(int(max_vocab))
-    model = agg.select(
+    model = cut.select(
         "w",
         (
             F.log((F.col("pc") + F.lit(alpha)) / F.lit(p_denom))
             - F.log((F.col("nc") + F.lit(alpha)) / F.lit(n_denom))
         ).cast("double").alias("log_odds"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the MODEL cache and release the intermediate — a fit
+    # leaves exactly one cached (vocab-sized) table behind, released by
+    # model.unpersist(), instead of leaking one block per fit call
+    model.count()
+    agg.unpersist()
     default = math.log(alpha / p_denom) - math.log(alpha / n_denom)
     return TokenLogOddsModel(model, default, p_total, n_total, vocab)
 
@@ -914,7 +927,21 @@ def score_token_logodds(
             ).cast("double").alias(out_col),
         )
     )
-    return scored.withColumnRenamed("__id", id_col)
+    # one row per INPUT doc: a zero-token document (NULL text) vanishes
+    # in the explode, which would silently drop it from any downstream
+    # gate — it gets n_tokens 0 and the smoothed default instead (the
+    # same keep-eligible contract the DSIR scorer has)
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col(out_col), F.lit(model.default_log_odds))
+            .cast("double")
+            .alias(out_col),
+        )
+    )
 
 
 # ------------------------------------- DSIR-style importance resampling
@@ -965,6 +992,11 @@ class BucketRatioModel(NamedTuple):
     default_lr: float
     buckets: int
     alpha: float
+
+    def unpersist(self) -> "BucketRatioModel":
+        """Release the cached ratio table (see TokenLogOddsModel)."""
+        self.ratios.unpersist()
+        return self
 
 
 def fit_bucket_ratios(
@@ -1020,7 +1052,13 @@ def fit_bucket_ratios(
                 )
             ).cast("double").alias("lr"),
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the model cache, release the per-side intermediates —
+    # a fit leaves one ≤buckets-row cached table, freed by
+    # model.unpersist()
+    ratios.count()
+    tc.unpersist()
+    rc.unpersist()
     default = math.log(alpha / t_denom) - math.log(alpha / r_denom)
     return BucketRatioModel(ratios, default, buckets, alpha)
 

@@ -100,12 +100,16 @@ def normalize_text(col: Column | str) -> Column:
     trailing punctuation) collide into one digest.
 
     Pure JVM projection (translate + regexp chains, whole-stage
-    codegen); every step has the identical DuckDB spelling, so
-    normalized digests stay oracle-gradeable. NULL passes through."""
+    codegen); every step has the identical DuckDB spelling (Unicode
+    category classes — ``\\p{L}``/``\\p{N}`` — exist in both Java regex
+    and RE2), so normalized digests stay oracle-gradeable. Letters of
+    EVERY script pass through (an ASCII-only keep-class would collapse
+    all CJK/Cyrillic/Greek text to one empty digest); NULL passes
+    through."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     c = F.translate(c, _ACCENT_FROM.lower(), _ACCENT_TO.lower())
-    c = F.regexp_replace(c, r"[0-9]", "0")
-    c = F.regexp_replace(c, r"[^a-z0 ]", " ")
+    c = F.regexp_replace(c, r"\p{N}", "0")
+    c = F.regexp_replace(c, r"[^\p{L}0 ]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 
@@ -418,6 +422,14 @@ class NgramLM(NamedTuple):
     bigram_size: int
     alpha: float
 
+    def unpersist(self) -> "NgramLM":
+        """Release the two cached model tables — teardown for long-lived
+        sessions that refit per batch (each fit caches exactly these
+        two; without this they live until session end)."""
+        self.unigrams.unpersist()
+        self.bigrams.unpersist()
+        return self
+
 
 def fit_ngram_lm(
     df: DataFrame,
@@ -494,7 +506,16 @@ def fit_ngram_lm(
         "p",
         "w",
         F.log(F.col("bc") / F.col("pc")).cast("double").alias("blp"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the two MODEL caches (≤ vocab/bigram rows) and release
+    # the fit intermediates — a fit leaves exactly two cached tables
+    # behind, freed together by model.unpersist(), instead of leaking
+    # one counts + one vocab block per fit call
+    unigrams = unigrams.persist(StorageLevel.MEMORY_AND_DISK)
+    unigrams.count()
+    bigrams.count()
+    counts.unpersist()
+    vocab.unpersist()
     return NgramLM(
         unigrams=unigrams,
         bigrams=bigrams,
@@ -655,11 +676,20 @@ def perplexity_buckets(
         else f"percentile_approx({score_col}, {arr}, {int(accuracy)})"
     )
     th = df.groupBy(*by).agg(F.expr(fn).alias("__th"))
-    joined = (
-        df.join(F.broadcast(th), by)
-        if by
-        else df.crossJoin(F.broadcast(th))
-    )
+    if by:
+        # null-safe group join: a NULL group key is a real group (its
+        # threshold IS computed above) — a plain equi-join would drop
+        # every NULL-keyed row instead of bucketing it
+        th = th.select(
+            *[F.col(k).alias(f"__g_{k}") for k in by], "__th"
+        )
+        cond = None
+        for k in by:
+            eq = F.col(k).eqNullSafe(F.col(f"__g_{k}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = df.join(F.broadcast(th), cond)
+    else:
+        joined = df.crossJoin(F.broadcast(th))
     bucket = F.lit(labels[0])
     for i in range(len(fr)):
         bucket = F.when(

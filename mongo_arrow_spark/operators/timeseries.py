@@ -150,9 +150,16 @@ def range_join(
     if how == "inner":
         return matched
     ivcols = [c for c in intervals.columns if c not in by]
-    unmatched = p.drop("__b").join(
-        matched.select(*points.columns), points.columns, "left_anti"
-    )
+    # null-safe anti-join: plain column-list equality would treat a
+    # NULL attribute as unequal to itself, re-emitting every matched
+    # NULL-bearing point as a spurious unmatched row
+    lhs = p.drop("__b").alias("__l")
+    rhs = matched.select(*points.columns).alias("__r")
+    cond = None
+    for c in points.columns:
+        eq = F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    unmatched = lhs.join(rhs, cond, "left_anti")
     for c in ivcols:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(dict(intervals.dtypes)[c])

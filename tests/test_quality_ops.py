@@ -914,3 +914,85 @@ def test_exact_dedup_normalized_collapses_mirror_copies(spark):
     norm = exact_dedup(df, normalized=True)
     assert plain.count() == 3  # raw bytes differ
     assert {r["doc_id"] for r in norm.collect()} == {1, 3}  # min-id wins
+
+
+def test_normalize_text_preserves_non_latin_scripts(spark):
+    """r8 review fix: non-Latin letters pass through — distinct CJK /
+    Cyrillic documents must NOT collapse to one empty digest."""
+    from mongo_arrow_spark.operators.dedup import exact_dedup
+    from mongo_arrow_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "你好世界"), (2, "完全不同的文本"), (3, "Привет, мир 2024!")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", normalize_text("text").alias("n")).collect()}
+    assert out[1] == "你好世界" and out[2] == "完全不同的文本"
+    assert out[3] == "привет мир 0000"
+    assert exact_dedup(df, normalized=True).count() == 3
+
+
+def test_perplexity_buckets_null_group_kept(spark):
+    """r8 review fix: a NULL group key is a real group — its rows are
+    bucketed against their own threshold, not dropped."""
+    from mongo_arrow_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(1, "en", 1.0), (2, "en", 2.0), (3, "en", 3.0),
+         (4, None, 5.0), (5, None, 6.0), (6, None, 7.0)],
+        "doc_id long, lang string, logprob double",
+    )
+    out = perplexity_buckets(df, score_col="logprob", by="lang")
+    assert out.count() == 6
+    got = {r["doc_id"]: r["ppl_bucket"] for r in out.collect()}
+    assert got[4] == "tail" and got[6] == "head"  # own distribution
+
+
+def test_score_token_logodds_zero_token_doc_kept(spark):
+    """r8 review fix: a NULL-text doc gets one output row (n_tokens 0,
+    smoothed default) instead of vanishing — so the NB gate's verdict on
+    it follows the threshold, consistent with the DSIR stage."""
+    from mongo_arrow_spark.operators import quality
+    from mongo_arrow_spark.operators.curate import select_with_models
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "beta gamma", False)],
+        "doc_id long, text string, pos boolean",
+    )
+    model = quality.fit_token_logodds(docs, "pos")
+    batch = spark.createDataFrame(
+        [(3, "alpha beta"), (4, None)], "doc_id long, text string"
+    )
+    scored = {r["doc_id"]: (r["n_tokens"], r["nb_logodds"])
+              for r in quality.score_token_logodds(batch, model).collect()}
+    assert scored[4] == (0, model.default_log_odds)
+    kept = select_with_models(
+        batch, nb_model=model, nb_min_logodds=-1e9
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {3, 4}
+    model.unpersist()
+
+
+def test_fit_releases_intermediate_caches(spark):
+    """r8 review fix: each fit leaves exactly its MODEL table(s) cached
+    (released by model.unpersist()), not one leaked block per call."""
+    from mongo_arrow_spark.operators import quality, text
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 5} common", i % 2 == 0)
+         for i in range(40)],
+        "doc_id long, text string, pos boolean",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached():
+        return jsc.getPersistentRDDs().size()
+
+    base = n_cached()
+    m1 = quality.fit_token_logodds(docs, "pos")
+    m2 = quality.fit_bucket_ratios(docs, docs.filter("pos"), buckets=64)
+    m3 = text.fit_ngram_lm(docs, vocab_size=50, bigram_size=100)
+    assert n_cached() == base + 4  # tokens + ratios + unigrams + bigrams
+    m1.unpersist(); m2.unpersist(); m3.unpersist()
+    assert n_cached() == base

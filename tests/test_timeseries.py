@@ -258,3 +258,23 @@ def test_range_join_randomized_differential_vs_duckdb(spark):
             ).collect()
         )
         assert got == want, f"bucket_seconds={bs}"
+
+
+def test_range_join_left_null_attribute_not_duplicated(spark):
+    """r8 review fix: a matched point carrying a NULL attribute must not
+    be re-emitted as a spurious unmatched row (the anti-join is
+    null-safe)."""
+    from mongo_arrow_spark.operators.timeseries import range_join
+
+    points = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 00:10:00"), None),
+         (2, "u", _ts("2024-01-05 00:10:00"), None)],
+        "pid long, user string, ts timestamp, val double",
+    )
+    intervals = spark.createDataFrame(
+        [(10, "u", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"))],
+        "iid long, user string, start timestamp, end timestamp",
+    )
+    out = range_join(points, intervals, point_ts="ts", by="user", how="left")
+    rows = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert rows == [(1, 10), (2, None)]
