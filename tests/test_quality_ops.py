@@ -877,7 +877,9 @@ def test_normalize_text_folds_mirror_edits(spark):
         [(1, "Héllo,  Wörld! 2024"),
          (2, "hello world 1999."),
          (3, "a genuinely different document"),
-         (4, None)],
+         (4, None),
+         (5, "Привет, мир 2024!"),
+         (6, "你好，世界 42")],
         "doc_id long, text string",
     )
     out = df.select("doc_id", normalize_text("text").alias("n"))
@@ -895,8 +897,8 @@ def test_normalize_text_folds_mirror_edits(spark):
     sql = (
         "SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace("
         f"translate(lower(text), '{_ACCENT_FROM.lower()}', "
-        f"'{_ACCENT_TO.lower()}'), '[0-9]', '0', 'g'), "
-        "'[^a-z0 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS n FROM t"
+        f"'{_ACCENT_TO.lower()}'), '\\p{{N}}', '0', 'g'), "
+        "'[^\\p{L}0 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS n FROM t"
     )
     duck = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     assert duck == got
