@@ -80,6 +80,11 @@ def curate(
     dsir_k: int | None = None,
     dsir_seed: str = "dsir",
     dsir_temperature: float = 1.0,
+    # CCNet perplexity tiering over a prefit text.NgramLM (None disables)
+    lm_model=None,
+    lm_keep: tuple = ("middle", "head"),
+    lm_fractions: tuple = (1 / 3, 2 / 3),
+    lm_exact: bool = False,
     # PII
     redact_pii: bool = True,
     # split + chunk
@@ -224,6 +229,10 @@ def curate(
         dsir_k=dsir_k,
         dsir_seed=dsir_seed,
         dsir_temperature=dsir_temperature,
+        lm_model=lm_model,
+        lm_keep=lm_keep,
+        lm_fractions=lm_fractions,
+        lm_exact=lm_exact,
         id_col=id_col,
         text_col=text_col,
     )
@@ -313,6 +322,10 @@ def select_with_models(
     dsir_k: int | None = None,
     dsir_seed: str = "dsir",
     dsir_temperature: float = 1.0,
+    lm_model=None,
+    lm_keep: tuple = ("middle", "head"),
+    lm_fractions: tuple = (1 / 3, 2 / 3),
+    lm_exact: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -329,6 +342,13 @@ def select_with_models(
       frozen ``dsir_model`` ratios draws ``dsir_k`` rows via the seeded
       Gumbel-top-k (deterministic; ``log_importance`` is dropped so the
       stage is pass-through on columns).
+    - **LM perplexity tiers** (``lm_model``: a fitted ``text.NgramLM``):
+      CCNet's head/middle/tail split — rows are scored by
+      ``text.score_ngram_lm`` and bucketed by batch-relative quantiles
+      (``text.perplexity_buckets``; ``lm_exact=False`` uses
+      ``percentile_approx``, the 100 TB path); only ``lm_keep`` tiers
+      survive. A zero-token row scores the OOV default and follows the
+      tiering like any other.
 
     Both plans are explode → broadcast model join → ~1-row-per-doc
     partial agg → id-keyed join-back; the batch is never shuffled whole
@@ -350,6 +370,23 @@ def select_with_models(
         )
         keep_ids = scored.filter(
             F.col("nb_logodds") >= nb_min_logodds
+        ).select(id_col)
+        out = out.join(keep_ids, id_col, "left_semi")
+    if lm_model is not None:
+        from mongo_arrow_spark.operators import text as text_ops
+
+        lm_scored = text_ops.score_ngram_lm(
+            out, lm_model, id_col=id_col, text_col=text_col
+        )
+        tiers = text_ops.perplexity_buckets(
+            lm_scored,
+            score_col="logprob",
+            fractions=lm_fractions,
+            labels=("tail", "middle", "head")[: len(lm_fractions) + 1],
+            exact=lm_exact,
+        )
+        keep_ids = tiers.filter(
+            F.col("ppl_bucket").isin(list(lm_keep))
         ).select(id_col)
         out = out.join(keep_ids, id_col, "left_semi")
     if dsir_model is not None:

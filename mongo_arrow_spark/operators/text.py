@@ -606,7 +606,21 @@ def score_ngram_lm(
             F.avg("__lp").cast("double").alias(out_col),
         )
     )
-    return scored.withColumnRenamed("__id", id_col)
+    # one row per INPUT doc: a zero-token (NULL-text) document vanishes
+    # in the explode — it gets n_tokens 0 and the OOV log-probability so
+    # downstream gates decide by threshold instead of silently dropping
+    # it (same contract as quality.score_token_logodds)
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col(out_col), F.lit(model.oov_lp))
+            .cast("double")
+            .alias(out_col),
+        )
+    )
 
 
 def bigram_logprob(

@@ -517,3 +517,44 @@ def test_ingest_gate_no_artifacts_is_exact_dedup_plus_quality(spark, docs):
         "doc_id", "text",
     )
     assert accepted.count() == want.count()
+
+
+def test_lm_tier_stage_keeps_fractions_and_passthrough(spark, docs):
+    """r8: the CCNet perplexity-tier stage drops the tail tier
+    (batch-relative terciles), passes columns through, and keeps ~2/3
+    of rows with the default keep set."""
+    from mongo_arrow_spark.operators import text as text_ops
+
+    from mongo_arrow_spark.operators.curate import curate
+
+    lm = text_ops.fit_ngram_lm(docs, vocab_size=500, bigram_size=1000)
+    base = curate(docs, jaccard_threshold=None, redact_pii=False)
+    tiered = curate(
+        docs, jaccard_threshold=None, redact_pii=False,
+        lm_model=lm, lm_exact=True,
+    )
+    assert tiered.columns == base.columns
+    n_base, n_tiered = base.count(), tiered.count()
+    assert 0 < n_tiered < n_base
+    assert abs(n_tiered - 2 * n_base / 3) <= max(3, 0.05 * n_base)
+    extra = tiered.select("doc_id").exceptAll(base.select("doc_id"))
+    assert extra.count() == 0
+    lm.unpersist()
+
+
+def test_score_ngram_lm_zero_token_doc_kept(spark):
+    from mongo_arrow_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    lm = text_ops.fit_ngram_lm(docs, vocab_size=10, bigram_size=10)
+    batch = spark.createDataFrame(
+        [(3, "alpha beta"), (4, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["logprob"])
+           for r in text_ops.score_ngram_lm(batch, lm).collect()}
+    assert got[4] == (0, lm.oov_lp)
+    assert got[3][0] == 2
+    lm.unpersist()
