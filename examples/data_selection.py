@@ -83,6 +83,10 @@ def main() -> None:
         quality.save_token_logodds(model, f"{tmp}/nb")
         ratio_model = quality.fit_bucket_ratios(docs, target)
         quality.save_bucket_ratios(ratio_model, f"{tmp}/dsir")
+        from mongo_arrow_spark.operators import text as text_ops
+
+        lm = text_ops.fit_ngram_lm(docs)
+        text_ops.save_ngram_lm(lm, f"{tmp}/lm")
         curated = curate(
             docs,
             jaccard_threshold=None,
@@ -90,8 +94,11 @@ def main() -> None:
             nb_min_logodds=0.0,
             dsir_model=quality.load_bucket_ratios(spark, f"{tmp}/dsir"),
             dsir_k=50,
+            # CCNet tiering: drop the tail perplexity tier
+            lm_model=text_ops.load_ngram_lm(spark, f"{tmp}/lm"),
         )
-        print("curate() with NB gate + DSIR selection:", curated.count())
+        print("curate() with NB gate + LM tiers + DSIR selection:",
+              curated.count())
 
     spark.stop()
 
