@@ -425,6 +425,8 @@ def ingest_gate(
     nb_min_logodds: float = 0.0,
     dsir_model: "quality_ops.BucketRatioModel | None" = None,
     dsir_k: int | None = None,
+    lm_model=None,
+    lm_keep: tuple = ("middle", "head"),
     # quality bounds (None disables the gopher gate)
     min_tokens: int | None = 20,
     max_tokens: int = 100_000,
@@ -477,6 +479,8 @@ def ingest_gate(
         nb_min_logodds=nb_min_logodds,
         dsir_model=dsir_model,
         dsir_k=dsir_k,
+        lm_model=lm_model,
+        lm_keep=lm_keep,
         id_col=id_col,
         text_col=text_col,
     )
