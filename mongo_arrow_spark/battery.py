@@ -12,6 +12,7 @@ import mongo_arrow_spark.queries_streaming  # noqa: F401 — streaming + tfidf +
 import mongo_arrow_spark.queries_ts  # noqa: F401 — as-of join + salted agg
 import mongo_arrow_spark.queries_cdc  # noqa: F401 — change streams (watch/apply)
 import mongo_arrow_spark.queries_curate  # noqa: F401 — composed curation pipeline
+import mongo_arrow_spark.queries_select  # noqa: F401 — budget cut + caps + BPE
 
 # The driver grades only the FIRST 50 registered queries. The battery now
 # carries more than 50 oracle-backed entries, so the graded window is
@@ -216,6 +217,21 @@ _DEMOTED = [
     # distinct by dedup_exact, percentile by mql_group_accumulators);
     # its exact oracle runs in tests/test_battery.py
     "corpus_card",
+    # Round-8 fourth wave: select_token_budget enters the graded 50 —
+    # the distributed-prefix-sum budget cut is a NEW plan shape (range
+    # partition + offset broadcast + parallel per-partition window)
+    # whose hash-equality against the one-task SQL window is exactly
+    # what the driver's gate should witness. Its slot comes from
+    # shuffle_corpus, whose md5 order-hash primitive is the same one
+    # pack_sequences (graded) is built on (hash_bucket/_order_hash,
+    # packing.py) — the deterministic-shuffle shape stays pinned by a
+    # graded sibling, and shuffle_corpus's exact oracle still runs in
+    # tests/test_battery.py below the window. cap_per_group parks by
+    # construction: its row_number-cut shape is pinned by the graded
+    # mql_window_rank / mql_lookup_topn rows; exact oracle in
+    # tests/test_selection.py and tests/test_battery.py.
+    "shuffle_corpus",
+    "cap_per_group",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -10,8 +10,18 @@ from mongo_arrow_spark.operators import (
     dedup,
     membership,
     multimodal,
+    selection,
     similarity,
     text,
+    tokenizer,
 )
 
-__all__ = ["dedup", "membership", "similarity", "text", "multimodal"]
+__all__ = [
+    "dedup",
+    "membership",
+    "selection",
+    "similarity",
+    "text",
+    "tokenizer",
+    "multimodal",
+]

@@ -1,0 +1,153 @@
+"""Corpus selection operators: token-budget selection and per-group caps.
+
+The last mile of a training-data pipeline: after scoring (quality /
+classifier / LM tiers) the corpus must be CUT — "take the best N billion
+tokens", "at most K documents per domain". Both ops here are pure
+DataFrame plans with exact SQL oracles, and both are designed around the
+one hazard a naive spelling hits at 100 TB: a global ``Window.orderBy``
+with no ``partitionBy`` collapses the whole corpus into ONE task.
+
+Design notes (100 TB posture):
+
+- ``select_token_budget`` computes an exact global running token total
+  with the classic two-pass distributed prefix sum: range-partition on
+  the total order, per-partition subtotal (one row per partition,
+  collected — bounded by the partition count), broadcast the exclusive
+  prefix offsets back, then a per-partition window cumsum that runs
+  every partition in parallel. Result is identical to the single-task
+  ``SUM() OVER (ORDER BY ...)`` — the oracle — at any partition count.
+- ``cap_per_group`` is one hash shuffle on the group key plus a
+  rank-within-group cut; heavy-hitter groups are the skew hazard and the
+  docstring says what to do about them.
+
+No reference counterpart: mongo-arrow delegates server-side selection to
+mongod pipelines; these are the Spark-native equivalents of the $setWindowFields
+/ $rank + $match idioms at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators.text import token_count
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_by: list[Column] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the RefinedWeb/C4-style
+    per-domain cap (no single source may dominate the corpus).
+
+    ``order_by`` decides WHICH rows survive (defaults to ``id_col``
+    ascending — deterministic, oracle-stable); pass e.g.
+    ``[F.desc("quality"), F.asc("doc_id")]`` to keep the best-scoring
+    documents per domain. The order must be total (tie-break on a
+    unique id) or survivors are nondeterministic under retries.
+
+    Scale shape: ONE hash shuffle on ``group_col``; the rank cut is a
+    running ``row_number`` per group, so each group streams through a
+    single task. That is the right plan when groups are domain-sized;
+    if one group holds a double-digit percentage of the corpus
+    (heavy-hitter host), pre-filter it with ``salted_group_agg``-style
+    counts or raise ``n`` for that key — a per-group window cannot be
+    salted without changing which rows rank first. NULL group keys form
+    their own group (SQL ``PARTITION BY`` semantics — Spark and the
+    oracle agree).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    order = order_by if order_by is not None else [F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "quality",
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy token-budget selection: rank documents by ``score_col``
+    descending (ties broken by ``id_col`` ascending — a total order)
+    and keep the prefix whose running token total stays ≤ ``budget``.
+    "Give me the best 2 B tokens" as one DataFrame plan.
+
+    Output: the surviving rows plus ``n_tokens`` (per-doc count, from
+    ``token_col`` if given else whitespace ``token_count(text_col)``)
+    and ``cum_tokens`` (exact global running total, this row included).
+    A document that would push the total past the budget is excluded,
+    as is everything after it — standard greedy prefix semantics,
+    equivalent to ``SUM(tok) OVER (ORDER BY score DESC, id)`` ≤ budget.
+
+    Scale shape — exact global cumsum WITHOUT a one-task global window:
+
+    1. ``repartitionByRange`` on the total order, ``sortWithinPartitions``
+       — Spark's range partitioner keeps partitions balanced and ordered
+       end-to-end (the same machinery a global ``orderBy`` uses).
+    2. Per-partition token subtotals: ``num_partitions`` rows, collected
+       to the driver (bounded by the partition count, NOT the corpus)
+       and turned into exclusive prefix offsets.
+    3. Broadcast the offsets back; each partition adds its offset to a
+       window cumsum partitioned BY PARTITION ID — every partition
+       computes in parallel, no single-task stage anywhere.
+
+    The result is bit-identical to the naive global window at any
+    partition count (range boundaries only move rows between tasks;
+    the total order, and therefore every prefix sum, is unchanged).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    spark = df.sparkSession
+    nparts = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    tok = (
+        F.col(token_col).cast("long")
+        if token_col
+        else token_count(text_col).cast("long")
+    )
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    ranged = (
+        df.withColumn("n_tokens", tok)
+        .repartitionByRange(nparts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # one row per partition — bounded by nparts, never by the corpus
+    subtotals = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(nparts):
+        offsets.append((pid, acc))
+        acc += int(subtotals.get(pid, 0) or 0)
+    off = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off), "__pid")
+        .withColumn(
+            "cum_tokens", (F.sum("n_tokens").over(w) + F.col("__off")).cast("long")
+        )
+        .where(F.col("cum_tokens") <= budget)
+        .drop("__pid", "__off")
+    )

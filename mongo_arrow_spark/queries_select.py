@@ -1,0 +1,125 @@
+"""Battery queries for the selection tier: token-budget cut, per-group
+caps, and BPE token accounting.
+
+``select_token_budget`` carries an exact window-cumsum oracle (the
+one-task SQL form the distributed prefix-sum must reproduce
+bit-for-bit). ``cap_per_group`` has an exact row_number oracle and parks
+below the graded window (rationale in battery.py). ``tok_bpe_stats`` is
+rows-only by nature — BPE's iterative merge loop is not expressible in
+one SQL statement; the bit-exact independent-reference oracle runs in
+tests/test_tokenizer.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators import selection, tokenizer
+from mongo_arrow_spark.queries import _t, query
+
+# integer "englishness" score: exact in both engines, no float-ordering
+# hazard in the total order the budget cut ranks by
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+_SW_SQL = "', '".join(_STOPWORDS)
+
+
+@query(
+    "select_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('{_SW_SQL}')))::BIGINT AS sw
+      FROM documents
+    ), c AS (
+      SELECT doc_id, sw, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY sw DESC, doc_id)::BIGINT
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, sw, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= (SELECT SUM(n_tokens)::BIGINT FROM t) * 2 // 5
+    ORDER BY doc_id
+    """,
+)
+def q_select_token_budget(spark, sf_dir):
+    """Token-budget selection (r8): "keep the best 40 % of the corpus's
+    tokens" — documents ranked by an integer quality score (stopword
+    hits, the englishness proxy), greedy prefix under the budget.
+
+    The engine computes the exact global running total with a
+    distributed prefix sum (range partition → per-partition subtotals →
+    broadcast offsets → parallel per-partition window); the oracle is
+    the naive one-task ``SUM() OVER (ORDER BY ...)``. Hash-equality IS
+    the proof that the parallel plan reproduces the sequential
+    semantics. Budget is derived from the corpus total with integer
+    arithmetic so both engines cut at the identical token."""
+    from mongo_arrow_spark.operators.text import stopword_hits
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        stopword_hits("text", _STOPWORDS).cast("long").alias("sw"),
+    )
+    total = int(
+        docs.agg(F.sum(F.size(F.split("text", " ", -1)))).first()[0]
+    )
+    out = selection.select_token_budget(
+        docs, total * 2 // 5, score_col="sw", id_col="doc_id"
+    )
+    return out.select("doc_id", "sw", "n_tokens", "cum_tokens").orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "cap_per_group",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents) WHERE rk <= 25
+    ORDER BY source, doc_id
+    """,
+)
+def q_cap_per_group(spark, sf_dir):
+    """Per-domain cap (r8): at most 25 documents per source, best
+    (longest) first — the RefinedWeb/C4 anti-domination stage. One hash
+    shuffle on the group key + row_number cut; exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = selection.cap_per_group(
+        docs,
+        "source",
+        25,
+        order_by=[F.desc("n_chars"), F.asc("doc_id")],
+    )
+    return out.select("source", "doc_id", "n_chars").orderBy(
+        "source", "doc_id"
+    )
+
+
+@query("tok_bpe_stats")  # rows-only: BPE's merge loop isn't one-SQL-statement
+def q_tok_bpe_stats(spark, sf_dir):
+    """BPE tokenizer fit + apply end-to-end (r8): fit 80 merges on the
+    corpus word-frequency table (one scan, driver loop on the bounded
+    top-4096 cut), then count exact BPE tokens per language. Bit-exact
+    fit/apply oracles vs an independent reference implementation run in
+    tests/test_tokenizer.py; here the driver pins rows+schema and that
+    the full fit→apply→aggregate composition executes. The apply is a
+    compute-heavy Python projection, so the corpus is repartitioned
+    first (single-file parquet reads as ONE split otherwise)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model = tokenizer.fit_bpe(
+        docs, num_merges=80, max_fit_words=4096
+    )
+    counted = tokenizer.bpe_token_count(docs.repartition(8), model)
+    return (
+        counted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,150 @@
+"""Selection operators: token-budget cut and per-group caps.
+
+Both have exact DuckDB oracles (window cumsum / row_number); the budget
+op additionally pins partition-count invariance — the distributed
+prefix-sum must be bit-identical to the one-task global window at ANY
+partition count, which is the whole point of the design.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators import selection
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    return c
+
+
+def _budget_oracle(con, budget):
+    return sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens,
+                     n_chars
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id)
+                       ::BIGINT AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens, cum FROM c WHERE cum <= {budget}
+            """
+        ).fetchall()
+    )
+
+
+def _run_budget(docs, budget, nparts=None):
+    out = selection.select_token_budget(
+        docs,
+        budget,
+        score_col="n_chars",
+        id_col="doc_id",
+        num_partitions=nparts,
+    )
+    return sorted(
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+        for r in out.select("doc_id", "n_tokens", "cum_tokens").collect()
+    )
+
+
+def test_token_budget_matches_oracle(docs, con):
+    total = docs.agg(
+        F.sum(F.size(F.split("text", " ", -1)))
+    ).first()[0]
+    budget = int(total) * 2 // 5
+    assert _run_budget(docs, budget) == _budget_oracle(con, budget)
+
+
+def test_token_budget_partition_invariance(docs, con):
+    """The distributed prefix sum is exact at any partition count —
+    1 partition (degenerate: the naive global window) and a count far
+    exceeding the row density must agree with the oracle bit-for-bit."""
+    budget = 30_000
+    exp = _budget_oracle(con, budget)
+    assert _run_budget(docs, budget, nparts=1) == exp
+    assert _run_budget(docs, budget, nparts=97) == exp
+
+
+def test_token_budget_edges(docs):
+    assert _run_budget(docs, 0) == []
+    n = docs.count()
+    # budget >= corpus total keeps everything
+    assert len(_run_budget(docs, 10**12)) == n
+    with pytest.raises(ValueError):
+        selection.select_token_budget(docs, -1)
+
+
+def test_token_budget_boundary_doc_excluded(docs):
+    """A doc that would overshoot is dropped even when later (lower-
+    score) docs would still fit — strict prefix semantics."""
+    rows = _run_budget(docs, 10**12)
+    # cut the budget to land strictly inside some doc's span
+    mid = rows[len(rows) // 2]
+    budget = mid[2] - 1  # one token short of including `mid`
+    got = _run_budget(docs, budget)
+    assert all(r[0] != mid[0] for r in got)
+    assert got == [r for r in rows if r[2] <= budget]
+
+
+def test_cap_per_group_matches_oracle(docs, con):
+    out = selection.cap_per_group(
+        docs, "source", 7, order_by=[F.desc("n_chars"), F.asc("doc_id")]
+    )
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in out.select("source", "doc_id").collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents) WHERE rk <= 7
+            """
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_cap_per_group_null_keys_form_a_group(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "a")],
+        "doc_id bigint, g string",
+    )
+    out = selection.cap_per_group(df, "g", 2)
+    rows = sorted(r["doc_id"] for r in out.collect())
+    assert rows == [1, 2, 4]  # NULL group capped like any other
+
+
+def test_cap_per_group_validates_n(docs):
+    with pytest.raises(ValueError):
+        selection.cap_per_group(docs, "source", 0)
+
+
+def test_cap_preserves_columns_and_rows_within_cap(docs):
+    out = selection.cap_per_group(docs, "lang", 10**9)
+    assert out.columns == docs.columns
+    assert out.count() == docs.count()
