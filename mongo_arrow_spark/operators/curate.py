@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from mongo_arrow_spark.operators import dedup as dedup_ops
 from mongo_arrow_spark.operators import membership as membership_ops
 from mongo_arrow_spark.operators import quality as quality_ops
+from mongo_arrow_spark.operators import selection as selection_ops
 
 
 def curate(
@@ -85,6 +86,19 @@ def curate(
     lm_keep: tuple = ("middle", "head"),
     lm_fractions: tuple = (1 / 3, 2 / 3),
     lm_exact: bool = False,
+    # per-group cap (r8; None disables — see selection.cap_per_group):
+    # at most cap_n surviving docs per cap_group_col value, longest
+    # text first (anti-domination, the RefinedWeb per-domain cap)
+    cap_group_col: str | None = None,
+    cap_n: int = 1000,
+    # token-budget cut (r8; None disables — see
+    # selection.select_token_budget): keep the best-scoring prefix of
+    # the survivors under an exact whitespace-token budget, scored by
+    # integer stopword hits (the englishness proxy; deterministic and
+    # engine-portable). Triggers one bounded collect (per-partition
+    # subtotals, ≤ shuffle-partition rows) like the fuzzy stage's
+    # convergence checks.
+    token_budget: int | None = None,
     # PII
     redact_pii: bool = True,
     # split + chunk
@@ -236,6 +250,41 @@ def curate(
         id_col=id_col,
         text_col=text_col,
     )
+
+    # 4c. per-group cap — one hash shuffle on the group key; best
+    # (longest) docs survive, ties broken by id for determinism
+    if cap_group_col is not None:
+        kept = selection_ops.cap_per_group(
+            kept,
+            cap_group_col,
+            cap_n,
+            order_by=[
+                F.length(text_col).desc(),
+                F.col(id_col).asc(),
+            ],
+            id_col=id_col,
+        )
+
+    # 4d. token-budget cut — the final size gate: rank survivors by
+    # stopword hits (integer, deterministic) and keep the prefix whose
+    # exact running whitespace-token total stays within the budget
+    if token_budget is not None:
+        from mongo_arrow_spark.operators.text import (
+            DEFAULT_STOPWORDS,
+            stopword_hits,
+        )
+
+        scored = kept.withColumn(
+            "__budget_score",
+            stopword_hits(text_col, DEFAULT_STOPWORDS).cast("long"),
+        )
+        kept = selection_ops.select_token_budget(
+            scored,
+            token_budget,
+            score_col="__budget_score",
+            text_col=text_col,
+            id_col=id_col,
+        ).drop("__budget_score", "n_tokens", "cum_tokens")
 
     # 5. PII redaction — regex projection
     if redact_pii:

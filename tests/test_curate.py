@@ -558,3 +558,68 @@ def test_score_ngram_lm_zero_token_doc_kept(spark):
     assert got[4] == (0, lm.oov_lp)
     assert got[3][0] == 2
     lm.unpersist()
+
+
+def test_cap_stage_bounds_groups_and_passthrough(spark, docs):
+    """r8 per-group cap stage: with a tiny cap every lang bucket holds at
+    most cap_n survivors; cap off → stage is the identity (same rows)."""
+    base = curate(docs, jaccard_threshold=None, redact_pii=False)
+    # group by a real column: re-attach lang from the source table
+    src = docs.sparkSession.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    capped = curate(
+        docs.join(src, "doc_id").select("doc_id", "text", "lang"),
+        jaccard_threshold=None,
+        redact_pii=False,
+        cap_group_col="lang",
+        cap_n=3,
+    )
+    per_group = capped.groupBy("lang").count().collect()
+    assert per_group and all(r["count"] <= 3 for r in per_group)
+    # survivors are a subset of the uncapped pipeline's
+    assert capped.count() <= base.count()
+
+
+def test_token_budget_stage_respects_budget(spark, docs):
+    """r8 budget stage: the curated corpus's exact whitespace-token total
+    stays within the budget, and the stage only removes rows."""
+    base = curate(docs, jaccard_threshold=None, redact_pii=False)
+    budget = 5_000
+    cut = curate(
+        docs,
+        jaccard_threshold=None,
+        redact_pii=False,
+        token_budget=budget,
+    )
+    total = cut.select(
+        F.sum(F.size(F.split("text", " ", -1))).alias("t")
+    ).first()["t"]
+    assert total is not None and total <= budget
+    assert 0 < cut.count() < base.count()
+    assert set(cut.columns) == set(base.columns)  # helpers dropped
+
+
+def test_cap_and_budget_compose_with_all_stages(tables, docs):
+    """Caps + budget slot into the full composed pipeline."""
+    holdout = docs.filter(F.col("doc_id") % 17 == 0)
+    src = docs.sparkSession.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    corpus = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .join(src, "doc_id")
+        .select("doc_id", "text", "lang")
+    )
+    out = curate(
+        corpus,
+        holdout=holdout,
+        jaccard_threshold=0.3,
+        cap_group_col="lang",
+        cap_n=50,
+        token_budget=20_000,
+        chunk_size=64,
+        stride=64,
+    )
+    assert out.count() > 0
+    assert {"doc_id", "chunk_id", "split"} <= set(out.columns)

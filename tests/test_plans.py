@@ -417,3 +417,38 @@ def test_ppl_buckets_plan_broadcast_thresholds(spark, tables):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_token_budget_plan_no_single_partition_stage(spark, tables):
+    """select_token_budget (graded r8): the exact global cumsum must be
+    the distributed prefix sum — range-partitioned exchange, offsets
+    broadcast back, window partitioned by partition id. The naive
+    spelling (one global window) plans an Exchange SinglePartition and
+    serializes the corpus through one task; its absence IS the gate."""
+    p = plan_of(spark, "select_token_budget")
+    assert "SinglePartition" not in p
+    assert "rangepartitioning" in p.lower()
+    assert "BroadcastHashJoin" in p  # nparts-row offset table broadcasts
+    assert "CartesianProduct" not in p
+
+
+def test_cap_per_group_plan_partitioned_window(spark, tables):
+    """cap_per_group (r8, parked): the rank cut must run as a window
+    partitioned on the group key — one hash shuffle, every group in
+    parallel — never a single-partition global window."""
+    p = plan_of(spark, "cap_per_group")
+    assert "SinglePartition" not in p
+    assert "row_number" in p
+    assert "hashpartitioning(source" in p
+
+
+def test_bpe_apply_plan_repartitioned_arrow_batches(spark, tables):
+    """tok_bpe_stats (r8, rows-only): the BPE apply is a compute-heavy
+    Python projection, so the plan must show (a) Arrow-batched
+    evaluation, not row-at-a-time Python, and (b) a round-robin
+    repartition ahead of it — single-file parquet otherwise reads as
+    ONE split and the encode serializes on one core."""
+    p = plan_of(spark, "tok_bpe_stats")
+    assert "ArrowEvalPython" in p
+    assert "RoundRobinPartitioning" in p or "roundrobinpartitioning" in p.lower()
+    assert "BatchEvalPython" not in p  # the row-at-a-time slow path
