@@ -92,6 +92,12 @@ HEADLINE = [
     # likewise, so expect their r7→r8 per-key deltas to reflect the
     # generator swap, not drift)
     "curate_corpus",
+    # round-8 fourth wave (keys added r8 — diff per-query vs r8-prior
+    # rounds' shared keys, not totals): token-budget cut (distributed
+    # prefix sum, graded) and BPE fit+apply end-to-end (word-count
+    # reduction + Arrow-batched encode)
+    "select_token_budget",
+    "tok_bpe_stats",
 ]
 
 

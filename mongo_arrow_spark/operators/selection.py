@@ -49,15 +49,17 @@ def cap_per_group(
     documents per domain. The order must be total (tie-break on a
     unique id) or survivors are nondeterministic under retries.
 
-    Scale shape: ONE hash shuffle on ``group_col``; the rank cut is a
-    running ``row_number`` per group, so each group streams through a
-    single task. That is the right plan when groups are domain-sized;
-    if one group holds a double-digit percentage of the corpus
-    (heavy-hitter host), pre-filter it with ``salted_group_agg``-style
-    counts or raise ``n`` for that key — a per-group window cannot be
-    salted without changing which rows rank first. NULL group keys form
-    their own group (SQL ``PARTITION BY`` semantics — Spark and the
-    oracle agree).
+    Scale shape: because the cut is expressed declaratively
+    (``row_number() <= n``), Catalyst's InferWindowGroupLimit rewrites
+    it into a Partial ``WindowGroupLimit`` BEFORE the exchange plus a
+    Final one after — every input partition pre-cuts to its local
+    top-``n`` per group map-side, so the one hash shuffle on
+    ``group_col`` moves at most ``n × groups`` rows per input
+    partition, never the corpus (the plan gate pins the Partial stage).
+    That also defuses most heavy-hitter skew: a group that dominates
+    the input still arrives at its reduce task pre-cut to
+    ``n × input_partitions`` rows. NULL group keys form their own group
+    (SQL ``PARTITION BY`` semantics — Spark and the oracle agree).
     """
     if n < 1:
         raise ValueError("n must be >= 1")

@@ -440,6 +440,10 @@ def test_cap_per_group_plan_partitioned_window(spark, tables):
     assert "SinglePartition" not in p
     assert "row_number" in p
     assert "hashpartitioning(source" in p
+    # Catalyst's InferWindowGroupLimit must pre-cut map-side: a Partial
+    # WindowGroupLimit below the exchange means the shuffle moves at
+    # most n rows per (group, input partition), never the corpus
+    assert "WindowGroupLimit" in p and "Partial" in p
 
 
 def test_bpe_apply_plan_repartitioned_arrow_batches(spark, tables):
