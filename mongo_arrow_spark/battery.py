@@ -232,6 +232,11 @@ _DEMOTED = [
     # tests/test_selection.py and tests/test_battery.py.
     "shuffle_corpus",
     "cap_per_group",
+    # budget_per_group parks by construction: the partitioned-window
+    # cumsum shape is the trivial (already-parallel) form of the graded
+    # select_token_budget's prefix sum; exact oracle runs in
+    # tests/test_battery.py and tests/test_selection.py
+    "budget_per_group",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -64,11 +64,19 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "pack",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-then-split sequence packing: documents are concatenated in a
     deterministic hash order and the token stream is cut every
     ``seq_len`` tokens — the standard GPT-style packing (no padding, docs
     may straddle sequence boundaries).
+
+    ``n_tokens_col`` switches the token accounting from the default
+    whitespace ``token_count(text_col)`` to a precomputed column —
+    pipe ``tokenizer.bpe_token_count`` output in to pack by the
+    TRAINER'S tokens instead of the whitespace estimate (whitespace
+    undercounts morphology-rich and OOV-heavy text, so sequences
+    packed by it overflow the real context window).
 
     Output, one row per document: ``(id, stream, seq_id, seq_offset,
     n_tokens)`` — the document's tokens begin at ``seq_offset`` inside
@@ -84,7 +92,11 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
-    n_tok = token_count(text_col).cast("long")
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else token_count(text_col).cast("long")
+    )
     stream = hash_bucket(id_col, n_streams, salt)
     w = (
         Window.partitionBy("stream")

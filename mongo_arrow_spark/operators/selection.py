@@ -72,6 +72,47 @@ def cap_per_group(
     )
 
 
+def select_token_budget_per_group(
+    df: DataFrame,
+    budget: int,
+    group_col: str,
+    score_col: str = "quality",
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group token budgets: within EACH ``group_col`` value, keep the
+    best-scoring prefix whose running token total stays ≤ ``budget`` —
+    "2 B tokens per language", the stratified form of
+    ``select_token_budget``.
+
+    Simpler at scale than the global cut: a window partitioned on the
+    group key is already parallel (one hash shuffle, every group's
+    cumsum runs in its own task) — no prefix-sum machinery needed.
+    Heavy-hitter groups stream through one task each; that is inherent
+    to an exact per-group prefix (the rows must be ranked somewhere),
+    and the window only carries (score, id, token count), never
+    payloads, if you project before calling. Output adds ``n_tokens``
+    and ``cum_tokens`` (running total WITHIN the group)."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    tok = (
+        F.col(token_col).cast("long")
+        if token_col
+        else token_count(text_col).cast("long")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", tok)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .where(F.col("cum_tokens") <= budget)
+    )
+
+
 def select_token_budget(
     df: DataFrame,
     budget: int,

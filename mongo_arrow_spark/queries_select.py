@@ -123,3 +123,45 @@ def q_tok_bpe_stats(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "budget_per_group",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('{_SW_SQL}')))::BIGINT AS sw
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, sw, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY sw DESC, doc_id)::BIGINT
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, sw, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= 4000
+    ORDER BY lang, doc_id
+    """,
+)
+def q_budget_per_group(spark, sf_dir):
+    """Per-language token budgets (r8): within each language keep the
+    best-scoring prefix under 4 000 tokens — the stratified budget cut.
+    One hash shuffle on the group key; each group's cumsum window runs
+    in parallel. Exact window-cumsum oracle."""
+    from mongo_arrow_spark.operators.text import stopword_hits
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        stopword_hits("text", _STOPWORDS).cast("long").alias("sw"),
+    )
+    out = selection.select_token_budget_per_group(
+        docs, 4000, "lang", score_col="sw", id_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "lang", "sw", "n_tokens", "cum_tokens"
+    ).orderBy("lang", "doc_id")

@@ -148,3 +148,39 @@ def test_cap_preserves_columns_and_rows_within_cap(docs):
     out = selection.cap_per_group(docs, "lang", 10**9)
     assert out.columns == docs.columns
     assert out.count() == docs.count()
+
+
+def test_budget_per_group_matches_oracle(docs, con):
+    out = selection.select_token_budget_per_group(
+        docs, 3000, "lang", score_col="n_chars", id_col="doc_id"
+    )
+    got = sorted(
+        (r["lang"], r["doc_id"], r["cum_tokens"])
+        for r in out.select("lang", "doc_id", "cum_tokens").collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     len(string_split(text,' '))::BIGINT AS n_tokens,
+                     n_chars FROM documents
+            )
+            SELECT lang, doc_id, cum FROM (
+              SELECT lang, doc_id,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id)::BIGINT AS cum
+              FROM t) WHERE cum <= 3000
+            """
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_budget_per_group_validates(docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        selection.select_token_budget_per_group(docs, -5, "lang")

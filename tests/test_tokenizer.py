@@ -157,3 +157,19 @@ def test_load_rejects_foreign_parquet(spark, tmp_path):
     spark.range(3).withColumn("rank", F.col("id").cast("int")).write.parquet(p)
     with pytest.raises(ValueError, match="not a save_bpe artifact"):
         tk.load_bpe(spark, p)
+
+
+def test_pack_sequences_by_bpe_counts(docs, model):
+    """pack_sequences(n_tokens_col=...) packs by the tokenizer-true
+    counts: offsets/seq ids derive from the BPE column, not whitespace."""
+    from mongo_arrow_spark.operators import packing
+
+    counted = tk.bpe_token_count(docs.limit(100), model)
+    packed = packing.pack_sequences(
+        counted, seq_len=256, n_streams=4, n_tokens_col="n_bpe_tokens"
+    )
+    joined = packed.join(
+        counted.select("doc_id", "n_bpe_tokens"), "doc_id"
+    )
+    assert joined.filter("n_tokens != n_bpe_tokens").count() == 0
+    assert packed.filter("seq_offset < 0 or seq_offset >= 256").count() == 0
