@@ -237,6 +237,13 @@ _DEMOTED = [
     # select_token_budget's prefix sum; exact oracle runs in
     # tests/test_battery.py and tests/test_selection.py
     "budget_per_group",
+    # layout_zorder parks by construction: the Morton-key arithmetic is
+    # already pinned bit-for-bit by the DuckDB oracle in
+    # tests/test_layout.py + the parked oracle in tests/test_battery.py;
+    # the capability it enables (file-level min/max pruning) is a write-
+    # side layout property measured by tests/test_layout.py's per-file
+    # bounding-box assertions, not a query-result property
+    "layout_zorder",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -8,6 +8,7 @@ loops), then validated against DuckDB oracles at small SF.
 
 from mongo_arrow_spark.operators import (
     dedup,
+    layout,
     membership,
     multimodal,
     selection,
@@ -18,6 +19,7 @@ from mongo_arrow_spark.operators import (
 
 __all__ = [
     "dedup",
+    "layout",
     "membership",
     "selection",
     "similarity",

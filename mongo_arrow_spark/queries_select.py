@@ -165,3 +165,57 @@ def q_budget_per_group(spark, sf_dir):
     return out.select(
         "doc_id", "lang", "sw", "n_tokens", "cum_tokens"
     ).orderBy("lang", "doc_id")
+
+
+def _interleave_sql(cols, bits):
+    return " + ".join(
+        f"((({c} // {1 << b}) % 2) * {1 << (b * len(cols) + i)})"
+        for i, c in enumerate(cols)
+        for b in range(bits)
+    )
+
+
+@query(
+    "layout_zorder",
+    f"""
+    WITH k AS (
+      SELECT (l_suppkey % 256) AS sx, (l_partkey % 256) AS py,
+             l_extendedprice
+      FROM lineitem
+    ), z AS (
+      SELECT {_interleave_sql(('sx', 'py'), 8)} AS zkey, l_extendedprice
+      FROM k
+    )
+    SELECT (zkey // 4096) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(zkey) AS BIGINT) AS zmin,
+           CAST(MAX(zkey) AS BIGINT) AS zmax,
+           CAST(SUM(l_extendedprice) AS DECIMAL(18,2)) AS sum_price
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_layout_zorder(spark, sf_dir):
+    """Z-order layout key (r8): Morton-interleave two fact-table key
+    ranks and aggregate per curve segment — the clustering key
+    ``write_zordered`` range-partitions output files by. The interleave
+    is pure engine-portable integer arithmetic, so every key (and the
+    per-segment rollup) matches DuckDB bit-for-bit; the file-level
+    pruning efficacy this buys is measured in tests/test_layout.py."""
+    from mongo_arrow_spark.operators import layout
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 256).cast("long").alias("sx"),
+        (F.col("l_partkey") % 256).cast("long").alias("py"),
+        "l_extendedprice",
+    )
+    z = li.withColumn("zkey", layout.interleave_bits(["sx", "py"], bits=8))
+    return (
+        z.groupBy((F.col("zkey") / 4096).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("zkey").cast("long").alias("zmin"),
+            F.max("zkey").cast("long").alias("zmax"),
+            F.sum("l_extendedprice").cast("decimal(18,2)").alias("sum_price"),
+        )
+        .orderBy("zbucket")
+    )

@@ -1,0 +1,132 @@
+"""Z-order layout: interleave math vs a DuckDB oracle, and the efficacy
+contract — per-file value ranges shrink on EVERY clustered column
+relative to a single-column sort, and a predicate on the non-sort column
+prunes more files."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators import layout
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    """Two independent uniform dimensions — the workload Z-ordering
+    exists for (a single-column sort can't help the other column)."""
+    return (
+        spark.range(4096)
+        .withColumn("x", (F.col("id") * 2654435761) % 256)
+        .withColumn("y", (F.col("id") * 40503) % 256)
+        .select(F.col("id").cast("long"), F.col("x").cast("long"),
+                F.col("y").cast("long"))
+    )
+
+
+def test_interleave_matches_duckdb_oracle(spark, grid):
+    """The Morton key is engine-portable integer math: the identical
+    shift-free formula in DuckDB reproduces every key bit-for-bit."""
+    got = {
+        r["id"]: r["z"]
+        for r in grid.withColumn(
+            "z", layout.interleave_bits(["x", "y"], bits=8)
+        ).collect()
+    }
+    con = duckdb.connect()
+    terms = " + ".join(
+        f"((({c} // {1 << b}) % 2) * {1 << (b * 2 + i)})"
+        for i, c in enumerate(("x", "y"))
+        for b in range(8)
+    )
+    exp = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"""
+            WITH g AS (
+              SELECT i AS id, (i * 2654435761) % 256 AS x,
+                     (i * 40503) % 256 AS y
+              FROM range(4096) t(i))
+            SELECT id, {terms} AS z FROM g
+            """
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_interleave_validation_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(None, 3), (300, -5)], "x int, y int"
+    )
+    rows = df.withColumn(
+        "z", layout.interleave_bits(["x", "y"], bits=4)
+    ).collect()
+    # NULL and out-of-range clamp instead of corrupting the curve:
+    # (NULL→0, 3) and (300→15, -5→0)
+    assert rows[0]["z"] == sum(
+        ((3 >> b) & 1) << (2 * b + 1) for b in range(4)
+    )
+    assert rows[1]["z"] == sum(
+        ((15 >> b) & 1) << (2 * b) for b in range(4)
+    )
+    with pytest.raises(ValueError):
+        layout.interleave_bits(["x"], bits=4)
+    with pytest.raises(ValueError):
+        layout.interleave_bits(["x"] * 8, bits=16)
+
+
+def test_quantile_ranks_equal_population(spark, grid):
+    ranked, cuts = layout.quantile_ranks(grid, ["x"], bits=2)
+    assert len(cuts["x"]) == 3
+    counts = [
+        r["count"]
+        for r in ranked.groupBy("x__rank").count().orderBy("x__rank").collect()
+    ]
+    # 4 quantile buckets over a uniform column: roughly equal population
+    assert len(counts) == 4
+    assert max(counts) < 2 * min(counts)
+
+
+def test_zorder_layout_shrinks_bounding_boxes(spark, grid, tmp_path):
+    """THE efficacy claim. Write the same data (a) sorted by x only and
+    (b) Z-ordered on (x, y), 16 files each; per-file [min, max] spans of
+    y must shrink dramatically under (b), while x spans stay bounded —
+    that is what makes min/max pruning fire on BOTH columns."""
+    naive, zord = str(tmp_path / "naive"), str(tmp_path / "zord")
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(naive)
+    )
+    layout.write_zordered(grid, zord, ["x", "y"], bits=8, num_files=16)
+
+    def mean_span(path, col):
+        st = layout.file_stats(spark.read.parquet(path), [col])
+        row = st.agg(
+            F.avg(F.col(f"{col}_max") - F.col(f"{col}_min")).alias("s")
+        ).first()
+        return float(row["s"])
+
+    y_naive, y_z = mean_span(naive, "y"), mean_span(zord, "y")
+    x_naive, x_z = mean_span(naive, "x"), mean_span(zord, "x")
+    # sorted-by-x leaves y unclustered: each file spans ~the full y range
+    assert y_naive > 200
+    # Z-order: both dimensions' per-file spans well under half the domain
+    assert y_z < y_naive / 2
+    assert x_z < 128
+    # pruning proxy: files whose [min,max] intersects a 16-wide y slice
+    def files_hit(path):
+        st = layout.file_stats(spark.read.parquet(path), ["y"]).collect()
+        return sum(1 for r in st if r["y_min"] <= 47 and r["y_max"] >= 32)
+
+    assert files_hit(zord) < files_hit(naive)
+
+
+def test_write_zordered_round_trips_rows(spark, grid, tmp_path):
+    p = str(tmp_path / "z2")
+    layout.write_zordered(grid, p, ["x", "y"], bits=6, num_files=4)
+    back = spark.read.parquet(p)
+    assert back.columns == grid.columns  # zkey dropped
+    assert back.count() == grid.count()
+    assert back.exceptAll(grid).count() == 0
