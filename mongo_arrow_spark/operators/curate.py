@@ -322,14 +322,18 @@ def curate(
                 "chunk_uid",
                 F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_id")),
             )
+        # pack WITHIN each split: a sequence straddling train/val would
+        # leak eval text into training batches, so the sequence identity
+        # is (split, stream, seq_id)
         packed = packing_ops.pack_sequences(
             base,
             seq_len=pack_seq_len,
             n_streams=pack_streams,
             id_col=unit_id,
             text_col=unit_text,
+            group_cols=["split"],
         )
-        kept = base.join(packed.drop("n_tokens"), unit_id)
+        kept = base.join(packed.drop("n_tokens", "split"), unit_id)
         if chunk_size is not None:
             kept = kept.drop("chunk_uid")
     return kept

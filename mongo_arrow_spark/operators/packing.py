@@ -65,6 +65,7 @@ def pack_sequences(
     text_col: str = "text",
     salt: str = "pack",
     n_tokens_col: str | None = None,
+    group_cols: list | None = None,
 ) -> DataFrame:
     """Concat-then-split sequence packing: documents are concatenated in a
     deterministic hash order and the token stream is cut every
@@ -77,6 +78,14 @@ def pack_sequences(
     TRAINER'S tokens instead of the whitespace estimate (whitespace
     undercounts morphology-rich and OOV-heavy text, so sequences
     packed by it overflow the real context window).
+
+    ``group_cols`` packs each group's documents into its OWN sequences
+    (the sequence identity becomes ``(*group_cols, stream, seq_id)``) —
+    pass ``["split"]`` so no packed sequence ever mixes train and
+    validation text (a sequence straddling splits leaks eval text into
+    training batches). Each group packs exactly as if it were passed
+    alone (pinned by test); the group columns ride through to the
+    output.
 
     Output, one row per document: ``(id, stream, seq_id, seq_offset,
     n_tokens)`` — the document's tokens begin at ``seq_offset`` inside
@@ -97,21 +106,24 @@ def pack_sequences(
         if n_tokens_col
         else token_count(text_col).cast("long")
     )
+    groups = list(group_cols or [])
     stream = hash_bucket(id_col, n_streams, salt)
     w = (
-        Window.partitionBy("stream")
+        Window.partitionBy(*groups, "stream")
         .orderBy(_order_hash(id_col, salt), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         df.select(
             F.col(id_col),
+            *[F.col(g) for g in groups],
             stream.alias("stream"),
             n_tok.alias("n_tokens"),
         )
         .withColumn("__end", F.sum("n_tokens").over(w))
         .select(
             id_col,
+            *groups,
             "stream",
             F.floor((F.col("__end") - F.col("n_tokens")) / seq_len).alias("seq_id"),
             ((F.col("__end") - F.col("n_tokens")) % seq_len).alias("seq_offset"),
@@ -123,6 +135,7 @@ def pack_sequences(
 def pack_manifest(
     packed: DataFrame,
     seq_len: int = 2048,
+    group_cols: list | None = None,
 ) -> DataFrame:
     """Expand ``pack_sequences`` output into the per-sequence manifest a
     trainer consumes: one row per (stream, seq_id) with ``n_docs`` (docs
@@ -130,15 +143,22 @@ def pack_manifest(
     and ``fill`` (n_tokens / seq_len; every sequence except each stream's
     last is exactly full by construction).
 
+    When the packing ran with ``group_cols``, pass the same list here —
+    the sequence identity is ``(*group_cols, stream, seq_id)`` and an
+    ungrouped manifest would merge same-numbered sequences across
+    groups.
+
     A document starting at ``seq_offset`` with ``n_tokens`` tokens spans
     sequences ``seq_id .. seq_id + (seq_offset + n_tokens - 1) ÷
     seq_len`` — expanded row-locally with ``posexplode(sequence(...))``,
     then one partial-aggregated group-by. Empty docs contribute to their
     start sequence only."""
+    groups = list(group_cols or [])
     extra = F.floor(
         (F.col("seq_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / seq_len
     )
     exploded = packed.select(
+        *groups,
         "stream",
         F.col("n_tokens"),
         F.col("seq_offset"),
@@ -158,8 +178,8 @@ def pack_manifest(
         .otherwise(F.lit(seq_len))
     )
     return (
-        exploded.select("stream", "seq_id", in_seq.alias("__t"))
-        .groupBy("stream", "seq_id")
+        exploded.select(*groups, "stream", "seq_id", in_seq.alias("__t"))
+        .groupBy(*groups, "stream", "seq_id")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("__t").cast("long").alias("n_tokens"),

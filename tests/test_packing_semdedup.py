@@ -304,3 +304,66 @@ def test_materialize_reconstructs_streams(docs):
         .count()
         == 0
     )
+
+
+def test_group_packing_equals_independent_per_group_packs(spark, docs):
+    """r8: pack_sequences(group_cols=["g"]) must assign each group's
+    docs EXACTLY as if that group were packed alone — the grouped window
+    is a pure partition refinement of the same deterministic order."""
+    tagged = docs.withColumn("g", (F.col("doc_id") % 3).cast("int"))
+    grouped = packing.pack_sequences(
+        tagged, seq_len=128, n_streams=4, group_cols=["g"]
+    )
+    for g in range(3):
+        alone = packing.pack_sequences(
+            tagged.filter(F.col("g") == g), seq_len=128, n_streams=4
+        )
+        got = {
+            r["doc_id"]: (r["stream"], r["seq_id"], r["seq_offset"])
+            for r in grouped.filter(F.col("g") == g).collect()
+        }
+        exp = {
+            r["doc_id"]: (r["stream"], r["seq_id"], r["seq_offset"])
+            for r in alone.collect()
+        }
+        assert got == exp
+
+
+def test_grouped_manifest_counts_per_group(spark, docs):
+    tagged = docs.withColumn("g", (F.col("doc_id") % 2).cast("int"))
+    packed = packing.pack_sequences(
+        tagged, seq_len=128, n_streams=2, group_cols=["g"]
+    )
+    man = packing.pack_manifest(packed, seq_len=128, group_cols=["g"])
+    assert "g" in man.columns
+    # full sequences are exactly full, per group
+    full = man.filter("fill > 1.0").count()
+    assert full == 0
+
+
+def test_curate_packs_within_split(spark, docs):
+    """r8 leak fix: curate's packed sequences never straddle splits —
+    every (split, stream) restarts its own sequence numbering at
+    (seq_id 0, offset 0), proving val text can't ride in a train
+    sequence's tail."""
+    from mongo_arrow_spark.operators.curate import curate
+
+    out = curate(
+        docs.select("doc_id", "text"),
+        jaccard_threshold=None,
+        redact_pii=False,
+        pack_seq_len=128,
+        pack_streams=2,
+    )
+    firsts = (
+        out.groupBy("split", "stream")
+        .agg(
+            F.min(F.struct("seq_id", "seq_offset")).alias("first")
+        )
+        .collect()
+    )
+    assert firsts
+    assert all(
+        r["first"]["seq_id"] == 0 and r["first"]["seq_offset"] == 0
+        for r in firsts
+    )
