@@ -153,3 +153,42 @@ def file_stats(df_read: DataFrame, cols: list) -> DataFrame:
         .groupBy("__file")
         .agg(*aggs)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list,
+    num_buckets: int = 64,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a bucketed (hash-clustered) table: rows are hash-
+    partitioned into ``num_buckets`` files per partition on
+    ``bucket_cols``, optionally sorted within buckets.
+
+    This is the CO-LOCATION half of the layout tier (Z-order optimizes
+    min/max pruning; bucketing optimizes joins): two tables bucketed the
+    same way on the same key join with ZERO exchange on either side —
+    at 100 TB that deletes the single largest shuffle a fact-fact join
+    plans, and the within-bucket sort upgrades it to a zero-sort
+    SortMergeJoin. The bucket layout is recorded in the catalog, so
+    every later reader gets the exchange-free plan for free
+    (``tests/test_layout.py`` pins Exchange-absence on a bucketed
+    self-family join).
+
+    ``path`` makes it an external table (data at ``path``, metadata in
+    the catalog); default is a managed table under the session
+    warehouse. Spark bucketing requires ``saveAsTable`` — a bare
+    ``.parquet(path)`` write cannot record bucket metadata.
+    """
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    w = df.write.mode("overwrite").bucketBy(
+        int(num_buckets), bucket_cols[0], *bucket_cols[1:]
+    )
+    if sort:
+        w = w.sortBy(bucket_cols[0], *bucket_cols[1:])
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -130,3 +130,39 @@ def test_write_zordered_round_trips_rows(spark, grid, tmp_path):
     assert back.columns == grid.columns  # zkey dropped
     assert back.count() == grid.count()
     assert back.exceptAll(grid).count() == 0
+
+
+def test_bucketed_join_no_exchange(spark, grid, tmp_path):
+    """write_bucketed co-location contract: two tables bucketed on the
+    same key join with ZERO exchange and zero extra sort — the plan a
+    fact-fact join needs at 100 TB. Broadcast is disabled so the test
+    exercises the SortMergeJoin path the layout optimizes."""
+    spark.sql("DROP TABLE IF EXISTS zt_a")
+    spark.sql("DROP TABLE IF EXISTS zt_b")
+    layout.write_bucketed(
+        grid, "zt_a", ["x"], num_buckets=8, path=str(tmp_path / "a")
+    )
+    layout.write_bucketed(
+        grid.select("id", "x", (F.col("y") * 2).alias("y2")),
+        "zt_b",
+        ["x"],
+        num_buckets=8,
+        path=str(tmp_path / "b"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("zt_a").join(spark.table("zt_b"), "x")
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p
+        assert "SortMergeJoin" in p
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS zt_a")
+        spark.sql("DROP TABLE IF EXISTS zt_b")
+
+
+def test_write_bucketed_validates(grid):
+    with pytest.raises(ValueError):
+        layout.write_bucketed(grid, "zt_bad", [])
