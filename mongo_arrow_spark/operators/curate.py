@@ -580,7 +580,10 @@ def curate_stream(
     selection stages (NB gate, DSIR) need a per-doc aggregation that is
     not append-legal as a raw stream transform — apply
     ``select_with_models`` inside ``foreachBatch`` (streaming == batch
-    parity pinned in tests/test_curate.py).
+    parity pinned in tests/test_curate.py). The r8 closing stages
+    (per-group cap, token-budget cut) are likewise batch-only: both
+    rank across the WHOLE corpus, which has no append-legal streaming
+    form — run them in the scheduled batch pass.
 
     Same determinism contract as batch: a row that flows through both
     paths lands in the same split with the same redacted text.
