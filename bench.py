@@ -98,6 +98,10 @@ HEADLINE = [
     # reduction + Arrow-batched encode)
     "select_token_budget",
     "tok_bpe_stats",
+    # round-8 sixth wave: CCNet cross-corpus paragraph dedup (graded
+    # rotation — segment explode → min-struct winner → ordered
+    # reassembly; the one reassembly shuffle carries only survivors)
+    "dedup_paragraphs",
 ]
 
 

@@ -1284,3 +1284,50 @@ def strip_duplicate_spans(
         text_col,
         F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(cleaned),
     ).drop("__spans")
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+    normalized: bool = False,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Cross-corpus paragraph dedup (CCNet, Wenzek et al. 2020): every
+    paragraph keeps exactly its FIRST occurrence in the corpus — lowest
+    ``(id, position)`` — and disappears from every later document (and
+    from later positions of the same document). Documents are rebuilt
+    from their surviving paragraphs in order; ``drop_empty`` controls
+    whether fully-deduplicated documents vanish or stay as ``""``.
+
+    ``normalized=True`` keys on ``text.normalize_text`` (case/accents/
+    digits/punctuation folded) so boilerplate with injected dates or
+    serial numbers still collides; the raw form of the WINNING
+    occurrence is what survives.
+
+    100 TB plan shape: paragraphs explode once; the winner per digest is
+    a partial-aggregating groupBy ``min(struct(id, pos))`` over 16-byte
+    digests — map-side combine absorbs hot paragraphs (the skew case a
+    window-function row_number would serialize into one task). Survivor
+    keys semi-join back (ids only, never text), then one reassembly
+    shuffle carries surviving paragraph payloads. No driver state, no
+    broadcast of corpus-proportional tables.
+    """
+    from mongo_arrow_spark.operators.text import (
+        reassemble_segments,
+        split_segments,
+    )
+
+    pars = split_segments(df, id_col, text_col, sep)
+    key = normalize_text(F.col("__seg")) if normalized else F.col("__seg")
+    keyed = pars.withColumn("__digest", F.md5(key))
+    winners = keyed.groupBy("__digest").agg(
+        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__w")
+    )
+    keep_keys = winners.select(
+        F.col("__w.__id").alias("__id"), F.col("__w.__pos").alias("__pos")
+    )
+    kept = pars.join(keep_keys, ["__id", "__pos"], "left_semi")
+    return reassemble_segments(df, kept, id_col, text_col, join_sep, drop_empty)

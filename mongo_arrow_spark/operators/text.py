@@ -753,3 +753,73 @@ def tag_keywords(
             F.size(labels).cast("long").alias("n_labels"),
         )
     )
+
+
+def split_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+    keep_blank: bool = False,
+) -> DataFrame:
+    """Explode documents into ordered segments (paragraphs / lines):
+    one row per segment as ``(__id, __pos, __seg)``.
+
+    Building block for corpus-level segment operators
+    (``dedup.dedup_paragraphs``, ``quality.strip_boilerplate_lines``).
+    Whitespace-only segments (split artifacts from leading/trailing or
+    repeated separators) are dropped unless ``keep_blank=True``. Rows
+    whose text is NULL produce no segments — callers that must preserve
+    such documents rejoin on the original frame
+    (``reassemble_segments`` does).
+    """
+    out = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__seg"),
+    )
+    if not keep_blank:
+        out = out.filter(F.trim(F.col("__seg")) != "")
+    return out
+
+
+def reassemble_segments(
+    df: DataFrame,
+    kept: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    join_sep: str = "\n\n",
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Rebuild documents from surviving ``(__id, __pos, __seg)`` rows:
+    segments re-join in original order under ``join_sep``; every other
+    column of ``df`` passes through untouched.
+
+    ``drop_empty=True`` removes documents with no surviving segment
+    (and NULL-text documents, which never had one); ``drop_empty=False``
+    keeps them with ``""`` — except NULL text, which stays NULL
+    (explode produced no rows, so the left join preserves the original).
+
+    Plan: one groupBy-``__id`` shuffle carrying only surviving segment
+    payloads, then an id-keyed join back to the original frame — the
+    full document text is never shuffled, only what survived.
+    """
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            join_sep,
+        ).alias("__new_text")
+    )
+    out = df.join(rebuilt, F.col(id_col) == F.col("__id"), "left").drop("__id")
+    if drop_empty:
+        out = out.filter(F.col("__new_text").isNotNull())
+        return out.withColumn(text_col, F.col("__new_text")).drop("__new_text")
+    return out.withColumn(
+        text_col,
+        F.coalesce(
+            F.col("__new_text"),
+            F.when(F.col(text_col).isNotNull(), F.lit("")),
+        ),
+    ).drop("__new_text")

@@ -1807,3 +1807,45 @@ def q_corpus_card(spark, sf_dir):
         "n_langs", "top_lang",
         (F.round("top_lang_fraction", 4) + 0.0).alias("top_lang_fraction"),
     )
+
+
+@query(
+    "dedup_paragraphs",
+    r"""
+    WITH d2 AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                            '\1' || chr(10) || chr(10), 'g') AS text
+      FROM documents
+    ), lists AS (
+      SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l FROM d2
+    ), pars AS (
+      SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS par
+      FROM lists
+    ), keyed AS (
+      SELECT doc_id, pos, par, md5(par) AS dg
+      FROM pars WHERE trim(par) <> ''
+    ), ranked AS (
+      SELECT doc_id, pos, par,
+             row_number() OVER (PARTITION BY dg ORDER BY doc_id, pos) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, string_agg(par, chr(10) || chr(10) ORDER BY pos) AS text
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def q_dedup_paragraphs(spark, sf_dir):
+    """Cross-corpus paragraph dedup (r8 sixth wave — CCNet §4.1): every
+    paragraph survives only at its first (doc_id, position) occurrence;
+    documents are rebuilt from the survivors. The corpus is single-line,
+    so both engines first insert a paragraph break after every 5th word
+    with the identical regex — the operator then runs on realistic
+    multi-paragraph documents. Spark keys winners with a
+    partial-aggregating min(struct(id,pos)) over md5 digests (map-side
+    combine absorbs hot paragraphs — no windowed row_number serializing
+    a hot digest into one task); the oracle's row_number is the
+    semantics spec, not the plan."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1\n\n")
+    )
+    return dedup.dedup_paragraphs(docs).select("doc_id", "text")

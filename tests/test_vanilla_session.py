@@ -63,6 +63,8 @@ REPRESENTATIVES = [
     # r8 second rotation: the new operator families
     "ts_range_join",
     "text_ppl_buckets",
+    # r8 sixth wave: cross-corpus paragraph dedup (graded rotation)
+    "dedup_paragraphs",
 ]
 
 
