@@ -51,6 +51,14 @@ def curate(
     bloom_index: DataFrame | None = None,
     bloom_num_bits: int = 1 << 27,
     bloom_num_hashes: int = 5,
+    # cross-corpus paragraph dedup (CCNet §4.1; False disables): every
+    # paragraph survives only at its first (id, position) occurrence —
+    # removes shared quotes/boilerplate bodies BEFORE fuzzy dedup so
+    # near-dup similarity is computed on what's actually unique
+    paragraph_dedup: bool = False,
+    paragraph_sep: str = r"\n{2,}",
+    paragraph_join_sep: str = "\n\n",
+    paragraph_normalized: bool = False,
     # fuzzy dedup (None threshold disables the fuzzy stage).
     # fuzzy_candidates picks the candidate generator: "banded" (default —
     # md5-banded MinHash buckets, shuffle = fuzzy_bands rows/doc
@@ -164,6 +172,19 @@ def curate(
             num_hashes=bloom_num_hashes,
         )
         kept = kept.filter(~F.col("maybe_member")).drop("maybe_member")
+
+    # 2c. cross-corpus paragraph dedup — first-occurrence winners over
+    # md5 digests (partial-agg min-struct, survivors-only reassembly);
+    # documents whose every paragraph already appeared elsewhere drop out
+    if paragraph_dedup:
+        kept = dedup_ops.dedup_paragraphs(
+            kept,
+            id_col=id_col,
+            text_col=text_col,
+            sep=paragraph_sep,
+            join_sep=paragraph_join_sep,
+            normalized=paragraph_normalized,
+        )
 
     # 3. fuzzy dedup — candidate pairs → components → min-id survivors
     if jaccard_threshold is not None:

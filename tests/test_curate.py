@@ -623,3 +623,36 @@ def test_cap_and_budget_compose_with_all_stages(tables, docs):
     )
     assert out.count() > 0
     assert {"doc_id", "chunk_id", "split"} <= set(out.columns)
+
+
+def test_paragraph_dedup_stage_in_curate(spark):
+    shared = "this shared paragraph appears in every single document body"
+    rows = [
+        (
+            i,
+            f"unique opening line for document number {i} right here\n\n"
+            f"{shared}\n\n"
+            f"unique closing line for document number {i} as well",
+        )
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate(
+        df,
+        jaccard_threshold=None,
+        redact_pii=False,
+        paragraph_dedup=True,
+        min_tokens=5,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # the shared paragraph survives only in the min-id document
+    assert sum(shared in t for t in got.values()) == 1
+    assert shared in got[0]
+    # off by default: stage is a no-op unless asked for
+    out2 = curate(
+        df, jaccard_threshold=None, redact_pii=False, min_tokens=5
+    )
+    assert all(
+        shared in r["text"] for r in out2.collect()
+    ), "paragraph_dedup must default off"
