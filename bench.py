@@ -102,6 +102,9 @@ HEADLINE = [
     # rotation — segment explode → min-struct winner → ordered
     # reassembly; the one reassembly shuffle carries only survivors)
     "dedup_paragraphs",
+    # deterministic quantized k-means (fit k=4 x 2 Lloyd steps + assign;
+    # per-iteration shuffle is k x (d+1) longs, assignment map-only)
+    "cluster_kmeans",
 ]
 
 

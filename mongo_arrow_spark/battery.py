@@ -256,6 +256,13 @@ _DEMOTED = [
     # pinned by the window differential-fuzz suite vs DuckDB
     # (tests/test_pipeline_fuzz.py) plus its exact oracle in pytest.
     "mql_window_calculus",
+    # cluster_kmeans (r8 sixth wave: deterministic integer-quantized
+    # k-means, the clustering tier's first EXACT oracle) parks below the
+    # window by construction this round — candidate promotion for r9
+    # once it has a full three-scale history; its unrolled-iteration
+    # DuckDB oracle runs in tests/test_battery.py and the operator
+    # invariants in tests/test_clustering.py.
+    "cluster_kmeans",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

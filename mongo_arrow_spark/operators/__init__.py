@@ -7,6 +7,7 @@ loops), then validated against DuckDB oracles at small SF.
 """
 
 from mongo_arrow_spark.operators import (
+    clustering,
     dedup,
     layout,
     membership,
@@ -18,6 +19,7 @@ from mongo_arrow_spark.operators import (
 )
 
 __all__ = [
+    "clustering",
     "dedup",
     "layout",
     "membership",

@@ -1,0 +1,203 @@
+"""Deterministic distributed k-means over embedding columns.
+
+Why another k-means when ``pyspark.ml.clustering.KMeans`` exists (and
+``dedup.semantic_dedup_kmeans`` / ``similarity.ivf_topk`` already use
+it): MLlib's fit is float-summation-order dependent — re-running on a
+different partitioning can flip assignments, so its results can never be
+hash-graded, replayed across engines, or reproduced run-to-run. This
+implementation trades a fixed-point quantization (``scale`` = 1e4 by
+default, the same contract as ``similarity``'s int8 path) for EXACT
+arithmetic: every distance and every centroid update is integer math,
+identical in Spark, DuckDB, and plain Python — a reproducibility
+property training-data pipelines need when a cluster id becomes part of
+a dataset card or a mixing recipe.
+
+Scale design (100 TB posture):
+- The assignment pass is a pure whole-stage-codegen projection: the
+  k×d centroid table is compiled into the plan as literals (k·d longs —
+  kilobytes), so assignment is map-only, no join, no shuffle.
+- Each fit iteration shuffles ONE partial-aggregating groupBy: k rows ×
+  (d sums + count) — map-side combine absorbs everything; the driver
+  collects ≤ k×(d+1) longs per iteration (bounded coordination, the
+  ``ivf_topk`` fit-sample precedent).
+- Init is a TakeOrdered of the k lowest ``md5(id)`` rows (seeded,
+  engine-reproducible; k rows collected).
+- Empty clusters keep their previous centroid (documented, oracle
+  mirrors it).
+
+The reference (mongodb-labs/mongo-arrow) has no clustering surface —
+this extends the training-data tier (SURVEY.md §2 extension block).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class KMeansModel(NamedTuple):
+    """Fitted quantized k-means: ``centroids`` is a k×d list of ints in
+    quantized space (``round(x * scale)``)."""
+
+    centroids: list
+    scale: int
+    iters: int
+
+    @property
+    def k(self) -> int:
+        return len(self.centroids)
+
+    @property
+    def dim(self) -> int:
+        return len(self.centroids[0])
+
+
+def quantize_vec(col: Column | str, scale: int = 10_000) -> Column:
+    """float array → long array via ``floor(x*scale + 0.5)``: the one
+    rounding spelling that is bit-identical in Spark and DuckDB (both
+    engines' ``round`` half-rules differ on negative/.5 edge values;
+    ``floor`` does not)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c,
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
+def _sq_dist(q: Column, centroid: list) -> Column:
+    """Integer squared L2 distance between a quantized vector column and
+    a literal centroid — whole-stage codegen, no join."""
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(q, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_cluster(q: Column, centroids: list) -> Column:
+    """Index of the nearest centroid, ties to the lowest index (the
+    struct array_min orders by (dist, idx) lexicographically)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(_sq_dist(q, c).alias("d"), F.lit(j).alias("c"))
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )["c"]
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division — the shared semantics of
+    Spark ``div`` and DuckDB ``//`` (spelled sign-split in the oracle so
+    the match is by construction, not by flooring luck)."""
+    return (abs(int(s)) // int(n)) * (1 if s >= 0 else -1)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> KMeansModel:
+    """Fit quantized k-means: seeded md5 init, ``iters`` Lloyd steps.
+
+    Fully deterministic — independent of partitioning, engine, and
+    re-runs: quantized integer distances, integer centroid sums, and a
+    truncating integer mean. Each iteration is one partial-aggregating
+    shuffle of k×(d+1) longs plus a bounded driver collect of the same.
+
+    Rows whose vector is NULL (or whose length differs from the init
+    centroids') are ignored by the fit — guarded by the caller's schema
+    in practice; a NULL vector would poison every distance otherwise.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError("k must be >= 1 and iters >= 0")
+    q = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), quantize_vec(vec_col, scale).alias("__q")
+    )
+    init_rows = (
+        q.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds the {len(init_rows)} input rows")
+    cents = [list(r["__q"]) for r in init_rows]
+    d = len(cents[0])
+    for _ in range(iters):
+        assigned = q.withColumn("__c", _argmin_cluster(F.col("__q"), cents))
+        stats = assigned.groupBy("__c").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}")
+                for i in range(d)
+            ],
+        )
+        by_c = {r["__c"]: r for r in stats.collect()}  # ≤ k rows
+        cents = [
+            [
+                _trunc_div(by_c[j][f"__s{i}"], by_c[j]["__n"])
+                for i in range(d)
+            ]
+            if j in by_c
+            else cents[j]  # empty cluster keeps its previous centroid
+            for j in range(k)
+        ]
+    return KMeansModel(centroids=cents, scale=scale, iters=iters)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    model: KMeansModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Tag each row with its nearest centroid index — a map-only
+    codegen projection (the model rides in the plan as literals);
+    NULL vectors get a NULL cluster."""
+    q = quantize_vec(vec_col, model.scale)
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(vec_col).isNotNull(),
+            _argmin_cluster(q, model.centroids),
+        ).cast("long"),
+    )
+
+
+def save_kmeans(spark, model: KMeansModel, path: str) -> None:
+    """Persist the model as one tiny parquet (k rows: cluster,
+    centroid array), params in schema metadata — the same
+    artifact-round-trip contract as the selection-tier models."""
+    meta = {"scale": model.scale, "iters": model.iters}
+    rows = [(j, [int(v) for v in c]) for j, c in enumerate(model.centroids)]
+    sdf = spark.createDataFrame(rows, "cluster long, centroid array<long>")
+    sdf.select(
+        F.col("cluster").alias("cluster", metadata=meta), "centroid"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_kmeans(spark, path: str) -> KMeansModel:
+    """Load a ``save_kmeans`` artifact; loud failure on a foreign parquet."""
+    df = spark.read.parquet(path)
+    meta = df.schema["cluster"].metadata or {}
+    if "scale" not in meta:
+        raise ValueError(
+            f"{path} is not a save_kmeans artifact (missing model "
+            "parameters in schema metadata)"
+        )
+    rows = sorted(df.collect(), key=lambda r: r["cluster"])
+    return KMeansModel(
+        centroids=[list(r["centroid"]) for r in rows],
+        scale=int(meta["scale"]),
+        iters=int(meta["iters"]),
+    )

@@ -1849,3 +1849,86 @@ def q_dedup_paragraphs(spark, sf_dir):
         "text", F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1\n\n")
     )
     return dedup.dedup_paragraphs(docs).select("doc_id", "text")
+
+
+@query(
+    "cluster_kmeans",
+    r"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), init AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+             qv
+      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+    ), d0 AS (
+      SELECT q.vec_id, q.qv, i.c,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+               j -> (q.qv[j] - i.qv[j]) * (q.qv[j] - i.qv[j]))) AS dist
+      FROM q CROSS JOIN init i
+    ), a0 AS (
+      SELECT vec_id, qv, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ), s1 AS (
+      SELECT c, u.d, SUM(qv[u.d + 1]) AS s, COUNT(*) AS n
+      FROM a0 CROSS JOIN range(64) u(d)
+      GROUP BY c, u.d
+    ), c1 AS (
+      SELECT c, list((abs(s) // n) * (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                     ORDER BY d) AS qv
+      FROM s1 GROUP BY c
+    ), cent1 AS (
+      SELECT i.c, COALESCE(c1.qv, i.qv) AS qv
+      FROM init i LEFT JOIN c1 USING (c)
+    ), d1 AS (
+      SELECT q.vec_id, q.qv, i.c,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+               j -> (q.qv[j] - i.qv[j]) * (q.qv[j] - i.qv[j]))) AS dist
+      FROM q CROSS JOIN cent1 i
+    ), a1 AS (
+      SELECT vec_id, qv, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ), s2 AS (
+      SELECT c, u.d, SUM(qv[u.d + 1]) AS s, COUNT(*) AS n
+      FROM a1 CROSS JOIN range(64) u(d)
+      GROUP BY c, u.d
+    ), c2 AS (
+      SELECT c, list((abs(s) // n) * (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                     ORDER BY d) AS qv
+      FROM s2 GROUP BY c
+    ), cent2 AS (
+      SELECT i.c, COALESCE(c2.qv, i.qv) AS qv
+      FROM cent1 i LEFT JOIN c2 USING (c)
+    ), d2 AS (
+      SELECT q.vec_id, i.c,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+               j -> (q.qv[j] - i.qv[j]) * (q.qv[j] - i.qv[j]))) AS dist
+      FROM q CROSS JOIN cent2 i
+    )
+    SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      FROM d2
+    ) WHERE rn = 1
+    """,
+)
+def q_cluster_kmeans(spark, sf_dir):
+    """Deterministic quantized k-means (r8 sixth wave): fit k=4 / 2
+    Lloyd steps on the embeddings table, then assign every vector —
+    EXACT across engines because every distance and centroid update is
+    integer arithmetic on 1e-4-quantized values (the oracle unrolls the
+    identical iterations; MLlib's float k-means could never hash-match).
+    Spark's assignment pass is a map-only codegen projection with the
+    k×d centroid literals compiled into the plan; each fit iteration is
+    one partial-aggregating shuffle of k×(d+1) longs."""
+    from mongo_arrow_spark.operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = clustering.kmeans_fit(emb, k=4, iters=2)
+    return clustering.kmeans_assign(emb, model).select("vec_id", "cluster")

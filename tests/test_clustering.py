@@ -1,0 +1,119 @@
+"""Deterministic quantized k-means (r8 sixth wave).
+
+The exact cross-engine semantics are pinned by the ``cluster_kmeans``
+DuckDB oracle (unrolled Lloyd iterations, tests/test_battery.py); these
+pin what the oracle can't see: partitioning-independence, the
+empty-cluster contract, NULL-vector handling, the artifact round-trip,
+and that assignment actually minimizes the quantized distance (numpy
+replay).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators.clustering import (
+    KMeansModel,
+    kmeans_assign,
+    kmeans_fit,
+    load_kmeans,
+    save_kmeans,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_fit_deterministic_under_repartitioning(emb):
+    a = kmeans_fit(emb, k=4, iters=2)
+    b = kmeans_fit(emb.repartition(13), k=4, iters=2)
+    assert a.centroids == b.centroids
+
+
+def test_assignment_minimizes_quantized_distance(emb):
+    """Numpy replay: every row's cluster is the argmin (ties → lowest
+    index) of the integer squared distance to the model centroids."""
+    import numpy as np
+
+    m = kmeans_fit(emb, k=3, iters=1)
+    rows = kmeans_assign(emb, m).select("vec_id", "embedding", "cluster").collect()
+    cents = np.array(m.centroids, dtype=np.int64)
+    for r in rows[:200]:
+        q = np.floor(np.array(r["embedding"], dtype=np.float64) * 10_000 + 0.5).astype(
+            np.int64
+        )
+        dists = ((cents - q) ** 2).sum(axis=1)
+        assert r["cluster"] == int(np.argmin(dists))
+
+
+def test_iters_zero_assigns_against_init(emb):
+    m = kmeans_fit(emb, k=4, iters=0)
+    assert m.k == 4 and m.iters == 0
+    assert kmeans_assign(emb, m).filter(F.col("cluster").isNull()).count() == 0
+
+
+def test_null_vector_gets_null_cluster(spark, emb):
+    m = kmeans_fit(emb, k=2, iters=1)
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, None)], "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, m).collect()}
+    assert got[2] is None and got[1] is not None
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """Two far-apart points, k=2, but both init centroids... force the
+    empty-cluster path with k=2 over two identical points: one cluster
+    captures both, the other must keep its init centroid unchanged."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    m = kmeans_fit(df, k=2, iters=2)
+    # both points are identical → one centroid is their mean, and the
+    # OTHER survived every iteration untouched (it started as the same
+    # quantized point, so both end at [10000, 10000])
+    assert m.centroids[0] == [10000, 10000]
+    assert m.centroids[1] == [10000, 10000]
+    # ties resolve to the lowest cluster index
+    out = kmeans_assign(df, m)
+    assert {r["cluster"] for r in out.collect()} == {0}
+
+
+def test_k_exceeding_rows_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_fit(df, k=5, iters=1)
+
+
+def test_artifact_round_trip(spark, emb, tmp_path):
+    m = kmeans_fit(emb, k=4, iters=2)
+    path = str(tmp_path / "kmeans_model")
+    save_kmeans(spark, m, path)
+    m2 = load_kmeans(spark, path)
+    assert m2 == m
+    a = {(r["vec_id"], r["cluster"]) for r in kmeans_assign(emb, m).collect()}
+    b = {(r["vec_id"], r["cluster"]) for r in kmeans_assign(emb, m2).collect()}
+    assert a == b
+
+
+def test_load_rejects_foreign_parquet(spark, tmp_path):
+    path = str(tmp_path / "not_a_model")
+    spark.createDataFrame([(1, [1])], "cluster long, centroid array<long>").write.parquet(
+        path
+    )
+    with pytest.raises(ValueError, match="not a save_kmeans artifact"):
+        load_kmeans(spark, path)
+
+
+def test_assignment_plan_is_map_only(emb):
+    """The 100 TB contract: assignment must compile the centroids into
+    the plan — no join, no exchange anywhere in the assign projection."""
+    m = kmeans_fit(emb, k=4, iters=1)
+    plan = kmeans_assign(emb, m)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
