@@ -78,6 +78,10 @@ def curate(
     embeddings_id_col: str = "vec_id",
     semantic_threshold: float = 0.85,
     semantic_bits: int = 8,
+    # deterministic k-means cells for the semantic stage (None keeps the
+    # sign-bit quantizer; see clustering.kmeans_fit — assignment stays a
+    # map-only literal-centroid projection, so determinism is preserved)
+    semantic_kmeans_model=None,
     # decontamination vs the holdout corpus
     decontaminate_threshold: float = 0.8,
     # model-based selection (r8, prefit artifacts — see
@@ -233,6 +237,7 @@ def curate(
                 id_col=embeddings_id_col,
                 threshold=semantic_threshold,
                 bits=semantic_bits,
+                kmeans_model=semantic_kmeans_model,
             )
             .select(F.col("id_b").alias(id_col))
             .distinct()

@@ -1056,6 +1056,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.85,
     bits: int = 8,
+    kmeans_model=None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: cluster embeddings with a
     deterministic coarse quantizer, compare pairs only inside a cluster,
@@ -1068,13 +1069,28 @@ def semantic_dedup_pairs(
     on pre-normalized vectors so each pair costs one dot product in
     whole-stage codegen. Published form: Abbas et al. 2023 (SemDeDup)
     cluster with k-means and prune within-cluster; the quantizer here is
-    the portable stand-in and KMeans is available one call away."""
+    the portable stand-in and KMeans is available one call away.
+
+    ``kmeans_model`` (a ``clustering.KMeansModel``) swaps the sign-bit
+    quantizer for the published clustering WITHOUT losing determinism:
+    assignment is the same map-only literal-centroid projection, so the
+    pair set stays reproducible across partitionings and re-runs (unlike
+    ``semantic_dedup_kmeans``, whose MLlib fit is float-order dependent);
+    the cluster-balance kill-switch becomes the model's ``k``."""
     from mongo_arrow_spark.operators.similarity import dot, normalize
 
+    if kmeans_model is not None:
+        from mongo_arrow_spark.operators.clustering import _argmin_cluster, quantize_vec
+
+        cell = _argmin_cluster(
+            quantize_vec(vec_col, kmeans_model.scale), kmeans_model.centroids
+        )
+    else:
+        cell = signbit_clusters(vec_col, bits)
     base = df.select(
         F.col(id_col).alias("id"),
         normalize(F.col(vec_col)).alias("v"),
-        signbit_clusters(vec_col, bits).alias("c"),
+        cell.alias("c"),
     )
     a, b = base.alias("a"), base.alias("b")
     return (
@@ -1094,13 +1110,16 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.85,
     bits: int = 8,
+    kmeans_model=None,
 ) -> DataFrame:
     """Semantic dedup survivors: drop every row that has a semantically
     near-identical row with a smaller id (min-id keep policy — the
     deterministic stand-in for SemDeDup's keep-closest-to-centroid).
-    One anti-join against the pair set's right side."""
+    One anti-join against the pair set's right side. ``kmeans_model``
+    selects deterministic k-means cells over sign-bit cells (see
+    ``semantic_dedup_pairs``)."""
     doomed = (
-        semantic_dedup_pairs(df, id_col, vec_col, threshold, bits)
+        semantic_dedup_pairs(df, id_col, vec_col, threshold, bits, kmeans_model)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

@@ -117,3 +117,30 @@ def test_assignment_plan_is_map_only(emb):
     m = kmeans_fit(emb, k=4, iters=1)
     plan = kmeans_assign(emb, m)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_semantic_dedup_with_kmeans_cells(emb):
+    """SemDeDup over deterministic k-means cells: reproducible under
+    repartitioning, survivors have no surviving near-dup pair, and the
+    cell swap changes only candidate generation (any pair found is
+    still cosine-verified)."""
+    from mongo_arrow_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    m = kmeans_fit(emb, k=8, iters=2)
+    pairs = semantic_dedup_pairs(emb, threshold=0.2, kmeans_model=m)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            emb.repartition(11), threshold=0.2, kmeans_model=m
+        ).collect()
+    }
+    assert got == got2
+    assert all(a < b for a, b in got)
+    surv = semantic_dedup(emb, threshold=0.2, kmeans_model=m)
+    ids = {r["vec_id"] for r in surv.select("vec_id").collect()}
+    # no surviving pair: for every found pair, the bigger id is gone
+    assert not any(a in ids and b in ids for a, b in got)

@@ -656,3 +656,31 @@ def test_paragraph_dedup_stage_in_curate(spark):
     assert all(
         shared in r["text"] for r in out2.collect()
     ), "paragraph_dedup must default off"
+
+
+def test_semantic_stage_with_kmeans_model(tables, docs):
+    """Deterministic k-means cells slot into curate()'s semantic stage."""
+    from mongo_arrow_spark.operators.clustering import kmeans_fit
+
+    emb = tables["embeddings"]
+    m = kmeans_fit(emb, k=4, iters=1)
+    base = curate(
+        docs, jaccard_threshold=None, redact_pii=False,
+        embeddings=emb, semantic_threshold=0.2,
+    )
+    km = curate(
+        docs, jaccard_threshold=None, redact_pii=False,
+        embeddings=emb, semantic_threshold=0.2, semantic_kmeans_model=m,
+    )
+    n_base, n_km = base.count(), km.count()
+    assert n_km > 0
+    # both prune; the cell geometry differs, survivors needn't be equal
+    assert n_km <= docs.count()
+    # determinism: re-running with the same model gives identical ids
+    km2 = curate(
+        docs, jaccard_threshold=None, redact_pii=False,
+        embeddings=emb, semantic_threshold=0.2, semantic_kmeans_model=m,
+    )
+    assert {r["doc_id"] for r in km.select("doc_id").collect()} == {
+        r["doc_id"] for r in km2.select("doc_id").collect()
+    }
