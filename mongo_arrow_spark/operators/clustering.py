@@ -114,13 +114,18 @@ def kmeans_fit(
     truncating integer mean. Each iteration is one partial-aggregating
     shuffle of k×(d+1) longs plus a bounded driver collect of the same.
 
-    Rows whose vector is NULL (or whose length differs from the init
-    centroids') are ignored by the fit — guarded by the caller's schema
-    in practice; a NULL vector would poison every distance otherwise.
+    Rows whose vector is NULL or contains a NULL element are ignored by
+    the fit (a NULL would otherwise poison every distance and dump the
+    row into cluster 0 via nulls-first struct ordering); rows whose
+    dimensionality differs from the init rows' are ignored too, and
+    mixed dimensionality WITHIN the init sample is a loud error.
     """
     if k < 1 or iters < 0:
         raise ValueError("k must be >= 1 and iters >= 0")
-    q = df.filter(F.col(vec_col).isNotNull()).select(
+    q = df.filter(
+        F.col(vec_col).isNotNull()
+        & F.forall(F.col(vec_col), lambda x: x.isNotNull())
+    ).select(
         F.col(id_col).alias("__id"), quantize_vec(vec_col, scale).alias("__q")
     )
     init_rows = (
@@ -131,7 +136,11 @@ def kmeans_fit(
     if len(init_rows) < k:
         raise ValueError(f"k={k} exceeds the {len(init_rows)} input rows")
     cents = [list(r["__q"]) for r in init_rows]
+    dims = {len(c) for c in cents}
+    if len(dims) > 1:
+        raise ValueError(f"mixed vector dimensions in init sample: {sorted(dims)}")
     d = len(cents[0])
+    q = q.filter(F.size("__q") == d)
     for _ in range(iters):
         assigned = q.withColumn("__c", _argmin_cluster(F.col("__q"), cents))
         stats = assigned.groupBy("__c").agg(
@@ -162,15 +171,20 @@ def kmeans_assign(
     out_col: str = "cluster",
 ) -> DataFrame:
     """Tag each row with its nearest centroid index — a map-only
-    codegen projection (the model rides in the plan as literals);
-    NULL vectors get a NULL cluster."""
+    codegen projection (the model rides in the plan as literals).
+    Vectors that are NULL, contain a NULL element, or whose length
+    differs from the model's get a NULL cluster (never a silent
+    cluster 0 — NULL distances would win nulls-first struct ordering)."""
+    v = F.col(vec_col)
     q = quantize_vec(vec_col, model.scale)
+    valid = (
+        v.isNotNull()
+        & (F.size(v) == model.dim)
+        & F.forall(v, lambda x: x.isNotNull())
+    )
     return df.withColumn(
         out_col,
-        F.when(
-            F.col(vec_col).isNotNull(),
-            _argmin_cluster(q, model.centroids),
-        ).cast("long"),
+        F.when(valid, _argmin_cluster(q, model.centroids)).cast("long"),
     )
 
 
@@ -189,6 +203,11 @@ def save_kmeans(spark, model: KMeansModel, path: str) -> None:
 def load_kmeans(spark, path: str) -> KMeansModel:
     """Load a ``save_kmeans`` artifact; loud failure on a foreign parquet."""
     df = spark.read.parquet(path)
+    if "cluster" not in df.columns or "centroid" not in df.columns:
+        raise ValueError(
+            f"{path} is not a save_kmeans artifact (missing "
+            "cluster/centroid columns)"
+        )
     meta = df.schema["cluster"].metadata or {}
     if "scale" not in meta:
         raise ValueError(

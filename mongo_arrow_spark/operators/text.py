@@ -766,7 +766,9 @@ def split_segments(
     one row per segment as ``(__id, __pos, __seg)``.
 
     Building block for corpus-level segment operators
-    (``dedup.dedup_paragraphs``, ``quality.strip_boilerplate_lines``).
+    (``dedup.dedup_paragraphs``; note ``quality.strip_boilerplate_lines``
+    deliberately does NOT use it — its filter is a row-local HOF with a
+    zero-shuffle plan, no explode).
     Whitespace-only segments (split artifacts from leading/trailing or
     repeated separators) are dropped unless ``keep_blank=True``. Rows
     whose text is NULL produce no segments — callers that must preserve

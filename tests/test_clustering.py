@@ -144,3 +144,48 @@ def test_semantic_dedup_with_kmeans_cells(emb):
     ids = {r["vec_id"] for r in surv.select("vec_id").collect()}
     # no surviving pair: for every found pair, the bigger id is gone
     assert not any(a in ids and b in ids for a, b in got)
+
+
+def test_null_element_and_dim_mismatch_get_null_cluster(spark, emb):
+    """r8 review fix: a vector with a NULL element or the wrong
+    dimensionality must NOT silently land in cluster 0 (NULL distances
+    win nulls-first struct ordering otherwise)."""
+    m = kmeans_fit(emb, k=2, iters=1)
+    bad = spark.createDataFrame(
+        [
+            (1, [0.1] * 64),
+            (2, [0.1] * 63 + [None]),
+            (3, [0.1] * 32),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_assign(bad, m).collect()}
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None
+
+
+def test_fit_ignores_corrupt_and_mismatched_rows(spark):
+    """Corrupt rows must not poison the centroid statistics: fitting
+    with and without them yields identical centroids."""
+    clean = [(i, [float(i % 3), float(i % 5)]) for i in range(1, 21)]
+    df_clean = spark.createDataFrame(
+        clean, "vec_id long, embedding array<float>"
+    )
+    corrupt = clean + [
+        (100, None),
+        (101, [1.0, None]),
+        (102, [1.0, 2.0, 3.0]),
+    ]
+    df_corrupt = spark.createDataFrame(
+        corrupt, "vec_id long, embedding array<float>"
+    )
+    a = kmeans_fit(df_clean, k=2, iters=2)
+    b = kmeans_fit(df_corrupt, k=2, iters=2)
+    assert a.centroids == b.centroids
+
+
+def test_load_rejects_parquet_without_model_columns(spark, tmp_path):
+    path = str(tmp_path / "totally_foreign")
+    spark.createDataFrame([(1, "x")], "a long, b string").write.parquet(path)
+    with pytest.raises(ValueError, match="not a save_kmeans artifact"):
+        load_kmeans(spark, path)

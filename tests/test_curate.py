@@ -672,10 +672,12 @@ def test_semantic_stage_with_kmeans_model(tables, docs):
         docs, jaccard_threshold=None, redact_pii=False,
         embeddings=emb, semantic_threshold=0.2, semantic_kmeans_model=m,
     )
+    n_nosem = curate(docs, jaccard_threshold=None, redact_pii=False).count()
     n_base, n_km = base.count(), km.count()
     assert n_km > 0
-    # both prune; the cell geometry differs, survivors needn't be equal
-    assert n_km <= docs.count()
+    # both variants actually prune relative to the no-semantic pipeline;
+    # the cell geometry differs, so survivors needn't be equal
+    assert n_base < n_nosem and n_km < n_nosem
     # determinism: re-running with the same model gives identical ids
     km2 = curate(
         docs, jaccard_threshold=None, redact_pii=False,
