@@ -671,7 +671,11 @@ def _coerce(v, dt: T.DataType, strict: bool, path: str, meta: dict | None = None
                         f"lossy double→int for {v!r} at {path!r} (strict mode)"
                     )
                 return int(v)  # permissive: truncate toward zero
-        elif isinstance(dt, T.DoubleType):
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            # FloatType shares the double path (r8 fix: a declared
+            # array<float> embedding column silently nulled every
+            # element before — floats fell through to permissive-null);
+            # Spark narrows the python double to float32 on ingest.
             if isinstance(v, bool):
                 return float(v)
             if isinstance(v, (int, float)):

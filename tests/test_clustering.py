@@ -189,3 +189,52 @@ def test_load_rejects_parquet_without_model_columns(spark, tmp_path):
     spark.createDataFrame([(1, "x")], "a long, b string").write.parquet(path)
     with pytest.raises(ValueError, match="not a save_kmeans artifact"):
         load_kmeans(spark, path)
+
+
+def test_kmeans_assign_streaming_parity(spark, emb, tmp_path):
+    """Assignment is a map-only projection over a prefit model —
+    append-legal, so it runs unchanged inside a stream. One-batch finite
+    replay == batch assignment exactly (the Bloom rowwise-probe /
+    score_token_logodds precedent). Model-refresh semantics: the
+    centroid literals are compiled into the plan at stream START —
+    swapping the model requires a stream restart, unlike broadcast-join
+    scorers which re-resolve their static side per micro-batch."""
+    import json as _json
+    import uuid as _uuid
+
+    from mongo_arrow_spark.streaming import read_document_stream
+
+    m = kmeans_fit(emb, k=4, iters=1)
+
+    d = tmp_path / "emb_stream"
+    d.mkdir()
+    with open(d / "batch-0.jsonl", "w") as fh:
+        for r in emb.select("vec_id", "embedding").collect():
+            fh.write(
+                _json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                )
+                + "\n"
+            )
+
+    stream = read_document_stream(
+        spark, str(d), "vec_id bigint, embedding array<float>"
+    )
+    assigned = kmeans_assign(stream, m).select("vec_id", "cluster")
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {name} (vec_id bigint, cluster bigint) USING parquet")
+    q = (
+        assigned.writeStream.foreachBatch(
+            lambda b, _i: b.write.insertInto(name)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["vec_id"], r["cluster"]) for r in spark.table(name).collect()}
+    want = {
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(emb, m).select("vec_id", "cluster").collect()
+    }
+    assert got == want
+    spark.sql(f"DROP TABLE {name}")

@@ -662,3 +662,25 @@ def test_zstd_roundtrip_when_wheel_present(spark, tmp_path):
         .load(out)
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_float_columns_decode_like_double(spark, tmp_path):
+    """r8 regression: a declared ``float`` / ``array<float>`` column
+    must decode JSON numbers (the streaming-kmeans parity test caught
+    every element silently nulling — FloatType fell through _coerce to
+    permissive-null)."""
+    p = _write(
+        tmp_path / "f.jsonl",
+        [
+            json.dumps({"x": 1.5, "v": [0.25, -2.0, 3]}),
+            json.dumps({"x": None, "v": [None, 0.5]}),
+            json.dumps({"x": True, "v": None}),
+        ],
+    )
+    out = _read(
+        spark, p, declaredSchema="x float, v array<float>"
+    ).collect()
+    by_x = {r["x"]: r["v"] for r in out}
+    assert by_x[1.5] == [0.25, -2.0, 3.0]
+    assert by_x[None] == [None, 0.5]
+    assert by_x[1.0] is None  # bool → 1.0, like the double path
