@@ -1350,3 +1350,126 @@ def dedup_paragraphs(
     )
     kept = pars.join(keep_keys, ["__id", "__pos"], "left_semi")
     return reassemble_segments(df, kept, id_col, text_col, join_sep, drop_empty)
+
+
+def build_paragraph_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+    normalized: bool = False,
+) -> DataFrame:
+    """Standing paragraph-digest index for INCREMENTAL paragraph dedup:
+    one row per distinct paragraph already in the corpus —
+    ``(digest, first_id, first_pos)``, provenance pointing at the
+    winning occurrence. Persist with plain parquet (or
+    ``layout.write_bucketed`` on ``digest`` so later anti-joins are
+    zero-exchange); extend per batch with ``update_paragraph_index``.
+    The corpus text itself is never re-read."""
+    from mongo_arrow_spark.operators.text import split_segments
+
+    pars = split_segments(df, id_col, text_col, sep)
+    key = normalize_text(F.col("__seg")) if normalized else F.col("__seg")
+    return (
+        pars.withColumn("__digest", F.md5(key))
+        .groupBy("__digest")
+        .agg(F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__w"))
+        .select(
+            F.col("__digest").alias("digest"),
+            F.col("__w.__id").alias("first_id"),
+            F.col("__w.__pos").alias("first_pos"),
+        )
+    )
+
+
+def update_paragraph_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+    normalized: bool = False,
+) -> DataFrame:
+    """Extend a standing paragraph index with a new batch: digests are
+    computed for the NEW docs only; on collision the standing entry wins
+    (its occurrence came first), so the index's provenance is stable
+    across any number of batches. One digest-keyed shuffle."""
+    fresh = build_paragraph_index(new_docs, id_col, text_col, sep, normalized)
+    return (
+        index.join(fresh, "digest", "full_outer")
+        .select(
+            "digest",
+            F.coalesce(index["first_id"], fresh["first_id"]).alias("first_id"),
+            F.coalesce(index["first_pos"], fresh["first_pos"]).alias(
+                "first_pos"
+            ),
+        )
+    )
+
+
+def strip_known_paragraphs(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+    normalized: bool = False,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Remove every paragraph of ``batch`` that already exists in a
+    standing ``build_paragraph_index`` artifact; documents are rebuilt
+    from the surviving paragraphs (``dedup_paragraphs`` semantics, with
+    history supplied by the index instead of the batch itself).
+
+    The digest anti-join is SMJ against the (corpus-proportional) index —
+    never broadcast; bucket the index on ``digest``
+    (``layout.write_bucketed``) to make it exchange-free on the index
+    side. Streaming: run inside ``foreachBatch`` with a static index
+    snapshot (the stream-static left-anti join is append-legal, but the
+    REASSEMBLY groupBy is a per-micro-batch aggregation — the same
+    batch-only-closing-stage contract as ``curate_stream``'s tail).
+
+    NOTE: this strips only HISTORY duplicates. Within-batch repeats are
+    the batch's own problem — run ``dedup_paragraphs`` on the batch
+    first (``paragraph_ingest_gate`` composes both)."""
+    from mongo_arrow_spark.operators.text import (
+        reassemble_segments,
+        split_segments,
+    )
+
+    pars = split_segments(batch, id_col, text_col, sep)
+    key = normalize_text(F.col("__seg")) if normalized else F.col("__seg")
+    keyed = pars.withColumn("__digest", F.md5(key))
+    kept = keyed.join(
+        index.select(F.col("digest").alias("__digest")),
+        "__digest",
+        "left_anti",
+    ).drop("__digest")
+    return reassemble_segments(
+        batch, kept, id_col, text_col, join_sep, drop_empty
+    )
+
+
+def paragraph_ingest_gate(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+    normalized: bool = False,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Incremental CCNet paragraph dedup for a standing corpus: dedup
+    the batch against ITSELF (first occurrence wins within the batch),
+    then strip everything the standing index has already seen. When
+    batches arrive in id order, processing a corpus batch-by-batch with
+    ``update_paragraph_index`` after each gate is EQUIVALENT to one
+    global ``dedup_paragraphs`` over the whole corpus (pinned by test)."""
+    inner = dedup_paragraphs(
+        batch, id_col, text_col, sep, join_sep, normalized, drop_empty
+    )
+    return strip_known_paragraphs(
+        inner, index, id_col, text_col, sep, join_sep, normalized, drop_empty
+    )

@@ -89,3 +89,106 @@ def test_custom_separator_single_newline(spark):
         for r in dedup_paragraphs(df, sep=r"\n+", join_sep="\n").collect()
     }
     assert got == {1: "x\ny\nz", 2: "w"}
+
+
+# ------------------------------------------------- incremental ingest gate
+
+
+def test_paragraph_gate_two_batches_equals_global(spark):
+    """Batch-by-batch gate + index update == one global dedup_paragraphs
+    when batches arrive in id order (the gate's documented invariant)."""
+    from mongo_arrow_spark.operators.dedup import (
+        build_paragraph_index,
+        dedup_paragraphs,
+        paragraph_ingest_gate,
+        update_paragraph_index,
+    )
+
+    rows = [
+        (1, "aa bb\n\nshared one\n\ncc"),
+        (2, "shared one\n\ndd ee"),
+        (3, "ff gg\n\nshared two"),
+        (4, "shared two\n\nshared one\n\nhh"),
+        (5, "shared one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (r["doc_id"], r["text"]) for r in dedup_paragraphs(df).collect()
+    }
+
+    b1 = df.filter(F.col("doc_id") <= 2)
+    b2 = df.filter(F.col("doc_id") > 2)
+    idx = build_paragraph_index(b1.limit(0))  # empty standing index
+    got = set()
+    for batch in (b1, b2):
+        gated = paragraph_ingest_gate(batch, idx)
+        got |= {(r["doc_id"], r["text"]) for r in gated.collect()}
+        idx = update_paragraph_index(idx, batch)
+    assert got == want
+
+
+def test_index_update_keeps_first_provenance(spark):
+    from mongo_arrow_spark.operators.dedup import (
+        build_paragraph_index,
+        update_paragraph_index,
+    )
+
+    b1 = spark.createDataFrame(
+        [(10, "alpha\n\nbeta")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(20, "beta\n\ngamma")], "doc_id long, text string"
+    )
+    idx = update_paragraph_index(build_paragraph_index(b1), b2)
+    got = {r["digest"]: (r["first_id"], r["first_pos"]) for r in idx.collect()}
+    assert len(got) == 3
+    # 'beta' collided: the STANDING entry (doc 10, pos 1) wins
+    import hashlib
+
+    beta = hashlib.md5(b"beta").hexdigest()
+    assert got[beta] == (10, 1)
+
+
+def test_strip_known_paragraphs_streaming(spark, tmp_path):
+    """foreachBatch strip against a static index snapshot: one-batch
+    replay == batch strip (the documented streaming contract — the
+    reassembly groupBy makes the op batch-per-micro-batch, so it runs
+    in the sink, not on the raw stream)."""
+    import json as _json
+    import uuid as _uuid
+
+    from mongo_arrow_spark.operators.dedup import (
+        build_paragraph_index,
+        strip_known_paragraphs,
+    )
+    from mongo_arrow_spark.streaming import read_document_stream
+
+    standing = spark.createDataFrame(
+        [(1, "known para\n\nalso known")], "doc_id long, text string"
+    )
+    idx = build_paragraph_index(standing)
+    batch_rows = [
+        {"doc_id": 10, "text": "fresh stuff\n\nknown para"},
+        {"doc_id": 11, "text": "also known"},
+    ]
+    d = tmp_path / "pstream"
+    d.mkdir()
+    with open(d / "b0.jsonl", "w") as fh:
+        for r in batch_rows:
+            fh.write(_json.dumps(r) + "\n")
+    stream = read_document_stream(spark, str(d), "doc_id bigint, text string")
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {name} (doc_id bigint, text string) USING parquet")
+
+    def sink(batch_df, _bid):
+        strip_known_paragraphs(batch_df, idx).write.insertInto(name)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["text"]) for r in spark.table(name).collect()}
+    assert got == {(10, "fresh stuff")}
+    spark.sql(f"DROP TABLE {name}")
