@@ -263,6 +263,13 @@ _DEMOTED = [
     # DuckDB oracle runs in tests/test_battery.py and the operator
     # invariants in tests/test_clustering.py.
     "cluster_kmeans",
+    # embed_project (r8 sixth wave: seeded ±1 JL projection, matrix
+    # regrown from md5(seed,i,j) in both engines) parks by construction:
+    # a map-only integer projection whose exact oracle runs in
+    # tests/test_battery.py; its composition target (clustering in the
+    # projected space) is pinned by cluster_kmeans's oracle + the
+    # composition test in tests/test_clustering.py.
+    "embed_project",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

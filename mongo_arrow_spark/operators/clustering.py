@@ -220,3 +220,69 @@ def load_kmeans(spark, path: str) -> KMeansModel:
         scale=int(meta["scale"]),
         iters=int(meta["iters"]),
     )
+
+
+def _rp_sign(seed: str, i: int, j: int) -> int:
+    """±1 from the parity of md5's first hex digit — the same derivation
+    the DuckDB oracle spells inline, so the projection matrix never has
+    to ship anywhere: both engines regrow it from (seed, i, j)."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "rp",
+    scale: int = 10_000,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Seeded Johnson–Lindenstrauss projection with a ±1 (Achlioptas
+    2003) matrix over quantized vectors: ``proj[j] = Σ_i q[i]·s(i,j)``
+    where ``s`` is md5-derived from ``(seed, i, j)``.
+
+    Everything is integer arithmetic on the same 1e-4 fixed-point
+    carrier as ``kmeans_fit`` — the output is EXACT across engines,
+    partitionings and re-runs, and feeds straight into
+    ``kmeans_fit(..., vec_col=out_col, scale=1)`` for clustering in the
+    cheaper projected space (the standard big-corpus recipe: project
+    64→8 dims, cluster there, 8× less distance work per Lloyd step).
+
+    Plan: map-only whole-stage-codegen projection — the d×out_dim sign
+    matrix compiles into the plan as literals (a few KB); no shuffle,
+    no Python, no stored matrix artifact (it regrows from the seed).
+    NULL vectors (or vectors with NULL elements / foreign length) get a
+    NULL projection rather than a corrupt one."""
+    first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError(f"no non-NULL {vec_col!r} rows to project")
+    d = len(first[0])
+    q = quantize_vec(vec_col, scale)
+    v = F.col(vec_col)
+    valid = (
+        v.isNotNull()
+        & (F.size(v) == d)
+        & F.forall(v, lambda x: x.isNotNull())
+    )
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                q,
+                F.array(
+                    *[
+                        F.lit(_rp_sign(seed, i, j)).cast("long")
+                        for i in range(d)
+                    ]
+                ),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for j in range(out_dim)
+    ]
+    return df.withColumn(out_col, F.when(valid, F.array(*comps)))

@@ -1932,3 +1932,38 @@ def q_cluster_kmeans(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     model = clustering.kmeans_fit(emb, k=4, iters=2)
     return clustering.kmeans_assign(emb, model).select("vec_id", "cluster")
+
+
+@query(
+    "embed_project",
+    r"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), p AS (
+      SELECT vec_id, v.j,
+             (SELECT SUM(qv[u.i + 1] *
+                (CASE WHEN ('0x' || substr(md5('rp:' || u.i || ':' || v.j), 1, 1))::UBIGINT % 2 = 0
+                      THEN 1 ELSE -1 END))
+              FROM range(64) u(i)) AS c
+      FROM q CROSS JOIN range(8) v(j)
+    )
+    SELECT vec_id, list(c ORDER BY j) AS proj FROM p GROUP BY vec_id
+    """,
+)
+def q_embed_project(spark, sf_dir):
+    """Seeded ±1 Johnson–Lindenstrauss projection (r8 sixth wave,
+    Achlioptas 2003): 64 → 8 dims in pure integer arithmetic on the
+    1e-4 fixed-point carrier — the matrix regrows from md5(seed,i,j) in
+    BOTH engines, so nothing ships and the hash match is exact. Spark
+    side is one map-only codegen projection (the sign matrix compiles
+    into the plan as literals); feeds kmeans_fit(scale=1) for clustering
+    in the cheaper projected space."""
+    from mongo_arrow_spark.operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.random_projection(emb, out_dim=8).select(
+        "vec_id", "proj"
+    )

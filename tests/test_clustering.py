@@ -238,3 +238,72 @@ def test_kmeans_assign_streaming_parity(spark, emb, tmp_path):
     }
     assert got == want
     spark.sql(f"DROP TABLE {name}")
+
+
+# --------------------------------------------------- random projection
+
+
+def test_random_projection_deterministic_and_exact(emb):
+    """Seeded JL projection: partitioning-independent, and a numpy
+    replay of the md5-derived ±1 matrix reproduces it bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    from mongo_arrow_spark.operators.clustering import random_projection
+
+    out = random_projection(emb, out_dim=4, seed="t")
+    a = {r["vec_id"]: list(r["proj"]) for r in out.select("vec_id", "proj").collect()}
+    b = {
+        r["vec_id"]: list(r["proj"])
+        for r in random_projection(emb.repartition(9), out_dim=4, seed="t")
+        .select("vec_id", "proj")
+        .collect()
+    }
+    assert a == b
+    signs = np.array(
+        [
+            [
+                1 if int(hashlib.md5(f"t:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+                for j in range(4)
+            ]
+            for i in range(64)
+        ],
+        dtype=np.int64,
+    )
+    for r in emb.select("vec_id", "embedding").limit(50).collect():
+        q = np.floor(np.array(r["embedding"], dtype=np.float64) * 10_000 + 0.5).astype(np.int64)
+        assert list(q @ signs) == a[r["vec_id"]]
+
+
+def test_random_projection_null_and_plan_contracts(spark, emb):
+    from mongo_arrow_spark.operators.clustering import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None), (3, [0.5] * 63 + [None]), (4, [0.5] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    # dim taken from the first non-null row (64): short/corrupt rows → NULL
+    got = {r["vec_id"]: r["proj"] for r in random_projection(df, out_dim=2).collect()}
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None and got[4] is None
+    plan = (
+        random_projection(emb, out_dim=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_projected_kmeans_composes(emb):
+    """The documented recipe: project 64→8 then cluster with scale=1 —
+    deterministic end to end."""
+    from mongo_arrow_spark.operators.clustering import random_projection
+
+    proj = random_projection(emb, out_dim=8)
+    m = kmeans_fit(proj, k=4, iters=2, vec_col="proj", scale=1)
+    m2 = kmeans_fit(proj.repartition(7), k=4, iters=2, vec_col="proj", scale=1)
+    assert m.centroids == m2.centroids
+    out = kmeans_assign(proj, m, vec_col="proj")
+    assert out.filter(F.col("cluster").isNull()).count() == 0
