@@ -192,3 +192,55 @@ def test_strip_known_paragraphs_streaming(spark, tmp_path):
     got = {(r["doc_id"], r["text"]) for r in spark.table(name).collect()}
     assert got == {(10, "fresh stuff")}
     spark.sql(f"DROP TABLE {name}")
+
+
+# ------------------------------------------------------ property (random)
+
+
+def test_paragraph_dedup_matches_python_reference_random(spark):
+    """Randomized differential: dedup_paragraphs over random corpora ==
+    a pure-python first-occurrence reference (beyond the DuckDB oracle:
+    covers empty paragraphs, hollow docs, and both drop_empty modes)."""
+    import random
+    import re
+
+    rng = random.Random(80801)
+    alphabet = ["aa", "bb", "cc", "dd", "ee ff", "gg hh ii", ""]
+
+    def ref(rows, drop_empty):
+        seen, out = set(), {}
+        for doc_id, text in sorted(rows):
+            if text is None:
+                if not drop_empty:
+                    out[doc_id] = None
+                continue
+            kept = []
+            for par in re.split(r"\n{2,}", text):
+                if par.strip() == "" or par in seen:
+                    continue
+                seen.add(par)
+                kept.append(par)
+            if kept:
+                out[doc_id] = "\n\n".join(kept)
+            elif not drop_empty:
+                out[doc_id] = ""
+        return out
+
+    for trial in range(8):
+        rows = []
+        for doc_id in range(rng.randint(1, 10)):
+            if rng.random() < 0.1:
+                rows.append((doc_id, None))
+            else:
+                pars = [
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(0, 6))
+                ]
+                rows.append((doc_id, "\n\n".join(pars)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for drop_empty in (True, False):
+            got = {
+                r["doc_id"]: r["text"]
+                for r in dedup_paragraphs(df, drop_empty=drop_empty).collect()
+            }
+            assert got == ref(rows, drop_empty), (trial, drop_empty, rows)
