@@ -609,7 +609,11 @@ def curate_stream(
     parity pinned in tests/test_curate.py). The r8 closing stages
     (per-group cap, token-budget cut) are likewise batch-only: both
     rank across the WHOLE corpus, which has no append-legal streaming
-    form — run them in the scheduled batch pass.
+    form — run them in the scheduled batch pass. Incremental paragraph
+    dedup DOES have a streaming form: apply
+    ``dedup.paragraph_ingest_gate`` inside ``foreachBatch`` against a
+    standing ``build_paragraph_index`` snapshot and persist the updated
+    index per batch (parity pinned in tests/test_paragraph_dedup.py).
 
     Same determinism contract as batch: a row that flows through both
     paths lands in the same split with the same redacted text.
