@@ -270,6 +270,13 @@ _DEMOTED = [
     # projected space) is pinned by cluster_kmeans's oracle + the
     # composition test in tests/test_clustering.py.
     "embed_project",
+    # mix_upsample (r8 seventh wave: epochs-per-source data-recipe
+    # upsampling with exact per-domain targets) parks by construction:
+    # the md5-threshold downsampling half of the mixing capability is
+    # pinned by the parked mix_sources oracle + the GRADED dsir_resample
+    # md5 primitive, and the rank-window shape by cap_per_group/graded
+    # mql_window_rank; its own exact oracle runs in tests/test_battery.py.
+    "mix_upsample",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

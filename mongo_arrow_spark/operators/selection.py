@@ -194,3 +194,100 @@ def select_token_budget(
         .where(F.col("cum_tokens") <= budget)
         .drop("__pid", "__off")
     )
+
+
+def temperature_weights(
+    df: DataFrame, key_col: str = "source", alpha: float = 0.5
+) -> dict:
+    """Temperature-flattened mixing weights ``p_k ∝ n_k^alpha`` (the
+    multilingual-sampling rule of mBERT/mT5, Conneau & Lample 2019):
+    ``alpha=1`` is proportional, ``alpha=0`` uniform; 0.3–0.7 boosts
+    scarce domains without letting them dominate. One K-row aggregate
+    collected to the driver (K = distinct domains — bounded by nature);
+    feed the dict to ``quality.mix_sources`` (downsampling) or
+    ``upsample_to_mix`` (repeat-factor upsampling)."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(key_col).count().collect()
+    raw = {r[key_col]: float(r["count"]) ** alpha for r in counts}
+    total = sum(raw.values())
+    return {k: v / total for k, v in sorted(raw.items())}
+
+
+def upsample_to_mix(
+    df: DataFrame,
+    weights: dict,
+    n_total: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Resample a corpus to target domain proportions WITH repetition —
+    the data-recipe form (LLaMA-style "epochs per source"): domain ``k``
+    contributes exactly ``floor(w_k · n_total)`` rows, repeating its
+    documents ``target_k // n_k`` full epochs plus an md5-ranked prefix
+    of size ``target_k mod n_k`` for the fractional epoch. Every output
+    row carries ``epoch_col`` (0-based copy index) so downstream packing
+    / shuffling treats repeats as distinct training rows.
+
+    Deterministic across engines and partitionings: the fractional
+    prefix is rank-by-``md5(salt‖id)`` (ties impossible — id is unique),
+    exactly SQL-replayable. Domains absent from ``weights`` are dropped;
+    a weight that demands more than the domain has simply repeats it
+    (that is the point).
+
+    Plan shape: a K-row count aggregate collected to the driver decides
+    per-domain (repeats, remainder) — bounded coordination; the
+    expansion is a map-only ``explode(sequence(...))`` sized per domain
+    via a literal map (no join), and the fractional cut is one
+    rank-within-domain window (parallel per domain, the ``cap_per_group``
+    shape). The corpus payload is read once and never shuffled except
+    for that per-domain rank."""
+    if n_total <= 0:
+        raise ValueError("n_total must be positive")
+    total_w = float(sum(weights.values()))
+    counts = {
+        r[key_col]: r["count"]
+        for r in df.filter(
+            F.col(key_col).isin(list(weights))
+        )
+        .groupBy(key_col)
+        .count()
+        .collect()
+    }
+    plan: dict = {}
+    for k, w in weights.items():
+        n_k = counts.get(k, 0)
+        if n_k == 0:
+            continue
+        target = int(n_total * (float(w) / total_w))
+        plan[k] = (target // n_k, target % n_k)
+    if not plan:
+        raise ValueError("no domain in `weights` has any rows")
+
+    full_map = F.create_map(
+        *[F.lit(x) for k, (full, _r) in plan.items() for x in (k, full)]
+    )
+    rem_map = F.create_map(
+        *[F.lit(x) for k, (_f, rem) in plan.items() for x in (k, rem)]
+    )
+    base = df.filter(F.col(key_col).isin(list(plan)))
+    ranked = base.withColumn(
+        "__rank",
+        F.row_number().over(
+            Window.partitionBy(key_col).orderBy(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+                F.col(id_col),
+            )
+        ),
+    )
+    n_copies = full_map[F.col(key_col)] + F.when(
+        F.col("__rank") <= rem_map[F.col(key_col)], 1
+    ).otherwise(0)
+    # guard: Spark's sequence(0, -1) is DESCENDING, not empty — a
+    # zero-copy row must produce a NULL array so explode drops it
+    epochs = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies.cast("int") - 1)
+    )
+    return ranked.withColumn(epoch_col, F.explode(epochs)).drop("__rank")

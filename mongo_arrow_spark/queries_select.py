@@ -219,3 +219,53 @@ def q_layout_zorder(spark, sf_dir):
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "mix_upsample",
+    r"""
+    WITH w(lang, wt) AS (VALUES ('en', 4.0), ('de', 1.0), ('es', 1.0),
+                                ('fr', 1.0), ('zh', 1.0)),
+    counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    plan AS (
+      SELECT c.lang, c.n,
+             CAST(floor(2048 * wt / (SELECT SUM(wt) FROM w)) AS BIGINT)
+               AS target
+      FROM counts c JOIN w USING (lang)
+    ), fr_ AS (
+      SELECT lang, n, target // n AS nfull, target % n AS rem FROM plan
+    ), ranked AS (
+      SELECT d.doc_id, d.lang,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rk
+      FROM documents d JOIN fr_ USING (lang)
+    ), expanded AS (
+      SELECT r.doc_id, r.lang,
+             unnest(range(f.nfull + CASE WHEN r.rk <= f.rem THEN 1 ELSE 0 END))
+               AS epoch
+      FROM ranked r JOIN fr_ f USING (lang)
+    )
+    SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch FROM expanded
+    """,
+)
+def q_mix_upsample(spark, sf_dir):
+    """Data-recipe upsampling (r8 seventh wave — the LLaMA-style
+    "epochs per source" mix): each domain contributes exactly
+    floor(w_k·N) rows by repeating its documents whole-epochs plus an
+    md5-ranked fractional prefix; every copy carries its epoch index.
+    Weights are dyadic (4:1:1:1:1 over 2048) so the float target
+    arithmetic is exact in both engines. Plan: K-row driver plan +
+    literal-map sized explode + one per-domain rank window (parallel by
+    domain, cap_per_group's shape) — payloads shuffle once."""
+    docs = _t(spark, sf_dir, "documents")
+    out = selection.upsample_to_mix(
+        docs,
+        {"en": 4.0, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0},
+        n_total=2048,
+        key_col="lang",
+    )
+    return out.select(
+        "doc_id", "lang", F.col("epoch").cast("long").alias("epoch")
+    )

@@ -184,3 +184,95 @@ def test_budget_per_group_validates(docs):
 
     with _pytest.raises(ValueError):
         selection.select_token_budget_per_group(docs, -5, "lang")
+
+
+# ------------------------------------------------ upsampling data recipes
+
+
+def test_temperature_weights_properties(docs):
+    from mongo_arrow_spark.operators.selection import temperature_weights
+
+    w1 = temperature_weights(docs, "lang", alpha=1.0)
+    w0 = temperature_weights(docs, "lang", alpha=0.0)
+    wh = temperature_weights(docs, "lang", alpha=0.5)
+    assert abs(sum(w1.values()) - 1.0) < 1e-12
+    # alpha=0 is uniform
+    vals = list(w0.values())
+    assert max(vals) - min(vals) < 1e-12
+    # flattening: the dominant domain's share shrinks as alpha drops
+    top = max(w1, key=w1.get)
+    assert w0[top] <= wh[top] <= w1[top]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(docs, "lang", alpha=-1)
+
+
+def test_upsample_exact_targets_and_epochs(docs):
+    from mongo_arrow_spark.operators.selection import upsample_to_mix
+
+    weights = {"en": 4.0, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    out = upsample_to_mix(docs, weights, n_total=2048, key_col="lang")
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {"en": 1024, "de": 256, "es": 256, "fr": 256, "zh": 256}
+    # epochs are dense 0..max per (lang, doc): every copy distinct
+    dup = (
+        out.groupBy("lang", "doc_id", "epoch")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    # determinism under repartitioning
+    out2 = upsample_to_mix(
+        docs.repartition(13), weights, n_total=2048, key_col="lang"
+    )
+    a = {(r["doc_id"], r["epoch"]) for r in out.select("doc_id", "epoch").collect()}
+    b = {(r["doc_id"], r["epoch"]) for r in out2.select("doc_id", "epoch").collect()}
+    assert a == b
+
+
+def test_upsample_repeats_scarce_domain(spark):
+    from mongo_arrow_spark.operators.selection import upsample_to_mix
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "x"), (4, "b", "x"),
+         (5, "b", "x"), (6, "b", "x")],
+        "doc_id long, src string, text string",
+    )
+    # demand 8 rows of 'a' (only 2 exist → 4 full epochs each)
+    out = upsample_to_mix(
+        df, {"a": 1.0}, n_total=8, key_col="src"
+    )
+    got = sorted(
+        (r["doc_id"], r["epoch"]) for r in out.select("doc_id", "epoch").collect()
+    )
+    assert got == [(1, 0), (1, 1), (1, 2), (1, 3), (2, 0), (2, 1), (2, 2), (2, 3)]
+
+
+def test_upsample_zero_copy_rows_vanish(spark):
+    """sequence(0,-1) is descending in Spark — a zero-copy row must not
+    leak a phantom epoch-0 copy."""
+    from mongo_arrow_spark.operators.selection import upsample_to_mix
+
+    df = spark.createDataFrame(
+        [(i, "a", "x") for i in range(10)], "doc_id long, src string, text string"
+    )
+    out = upsample_to_mix(df, {"a": 1.0}, n_total=3, key_col="src")
+    assert out.count() == 3
+    assert out.filter(F.col("epoch") != 0).count() == 0
+
+
+def test_upsample_no_eligible_domain_raises(spark):
+    from mongo_arrow_spark.operators.selection import upsample_to_mix
+
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, src string, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no domain"):
+        upsample_to_mix(df, {"zz": 1.0}, n_total=10, key_col="src")
+    with _pytest.raises(ValueError, match="positive"):
+        upsample_to_mix(df, {"a": 1.0}, n_total=0, key_col="src")
