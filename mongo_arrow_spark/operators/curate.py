@@ -111,6 +111,17 @@ def curate(
     # subtotals, ≤ shuffle-partition rows) like the fuzzy stage's
     # convergence checks.
     token_budget: int | None = None,
+    # domain mixing over the survivors (None disables; see
+    # quality.mix_sources / selection.upsample_to_mix /
+    # selection.temperature_weights). mix_weights maps mix_key values to
+    # target proportions; "downsample" keeps the corpus a subset (the
+    # scarcest domain stays whole), "upsample" repeats documents to hit
+    # exact floor(w·mix_total) per-domain targets and adds an `epoch`
+    # provenance column (mix_total required).
+    mix_weights: dict | None = None,
+    mix_key: str = "source",
+    mix_mode: str = "downsample",
+    mix_total: int | None = None,
     # PII
     redact_pii: bool = True,
     # split + chunk
@@ -311,6 +322,26 @@ def curate(
             text_col=text_col,
             id_col=id_col,
         ).drop("__budget_score", "n_tokens", "cum_tokens")
+
+    # 4e. domain mixing — rebalance the survivors to target proportions:
+    # "downsample" filters (corpus never shuffles, scarcest domain kept
+    # whole); "upsample" repeats to exact per-domain targets and tags
+    # each copy with its epoch index
+    if mix_weights is not None:
+        if mix_mode == "downsample":
+            kept = quality_ops.mix_sources(
+                kept, mix_weights, key_col=mix_key, id_col=id_col
+            )
+        elif mix_mode == "upsample":
+            if mix_total is None:
+                raise ValueError("mix_mode='upsample' requires mix_total")
+            kept = selection_ops.upsample_to_mix(
+                kept, mix_weights, mix_total, key_col=mix_key, id_col=id_col
+            )
+        else:
+            raise ValueError(
+                f"mix_mode must be 'downsample' or 'upsample', got {mix_mode!r}"
+            )
 
     # 5. PII redaction — regex projection
     if redact_pii:

@@ -686,3 +686,45 @@ def test_semantic_stage_with_kmeans_model(tables, docs):
     assert {r["doc_id"] for r in km.select("doc_id").collect()} == {
         r["doc_id"] for r in km2.select("doc_id").collect()
     }
+
+
+def test_mix_stage_downsample_and_upsample(spark, docs):
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    corpus = docs.join(src, "doc_id").select("doc_id", "text", "lang")
+    base = curate(corpus, jaccard_threshold=None, redact_pii=False)
+    n_base = base.count()
+
+    down = curate(
+        corpus, jaccard_threshold=None, redact_pii=False,
+        mix_weights={"en": 0.5, "de": 0.5}, mix_key="lang",
+    )
+    langs = {r["lang"] for r in down.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}  # unweighted domains dropped
+    assert down.count() <= n_base
+
+    up = curate(
+        corpus, jaccard_threshold=None, redact_pii=False,
+        mix_weights={"en": 1.0, "de": 1.0}, mix_key="lang",
+        mix_mode="upsample", mix_total=512,
+    )
+    got = {
+        r["lang"]: r["n"]
+        for r in up.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {"en": 256, "de": 256}
+    assert "epoch" in up.columns and "split" in up.columns
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mix_total"):
+        curate(
+            corpus, jaccard_threshold=None, redact_pii=False,
+            mix_weights={"en": 1.0}, mix_key="lang", mix_mode="upsample",
+        )
+    with _pytest.raises(ValueError, match="mix_mode"):
+        curate(
+            corpus, jaccard_threshold=None, redact_pii=False,
+            mix_weights={"en": 1.0}, mix_key="lang", mix_mode="nope",
+        )
