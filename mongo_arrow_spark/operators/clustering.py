@@ -240,6 +240,7 @@ def random_projection(
     seed: str = "rp",
     scale: int = 10_000,
     out_col: str = "proj",
+    dim: int | None = None,
 ) -> DataFrame:
     """Seeded Johnson–Lindenstrauss projection with a ±1 (Achlioptas
     2003) matrix over quantized vectors: ``proj[j] = Σ_i q[i]·s(i,j)``
@@ -256,11 +257,19 @@ def random_projection(
     matrix compiles into the plan as literals (a few KB); no shuffle,
     no Python, no stored matrix artifact (it regrows from the seed).
     NULL vectors (or vectors with NULL elements / foreign length) get a
-    NULL projection rather than a corrupt one."""
-    first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
-    if first is None:
-        raise ValueError(f"no non-NULL {vec_col!r} rows to project")
-    d = len(first[0])
+    NULL projection rather than a corrupt one.
+
+    ``dim`` pins the input dimensionality explicitly — REQUIRED for
+    streams and recommended for corpora that may carry corrupt rows
+    (r8 review fix: ``first()``-based inference picks an arbitrary
+    non-NULL row, which is partition-order dependent when lengths are
+    mixed, and triggers an eager job)."""
+    if dim is None:
+        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if first is None:
+            raise ValueError(f"no non-NULL {vec_col!r} rows to project")
+        dim = len(first[0])
+    d = int(dim)
     q = quantize_vec(vec_col, scale)
     v = F.col(vec_col)
     valid = (

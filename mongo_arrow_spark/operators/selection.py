@@ -209,7 +209,15 @@ def temperature_weights(
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
     counts = df.groupBy(key_col).count().collect()
-    raw = {r[key_col]: float(r["count"]) ** alpha for r in counts}
+    # a NULL domain is dirty metadata, not a mixable source — dropped
+    # (and it would break the cosmetic sorted() below)
+    raw = {
+        r[key_col]: float(r["count"]) ** alpha
+        for r in counts
+        if r[key_col] is not None
+    }
+    if not raw:
+        raise ValueError(f"no non-NULL {key_col!r} values to weight")
     total = sum(raw.values())
     return {k: v / total for k, v in sorted(raw.items())}
 
@@ -246,6 +254,11 @@ def upsample_to_mix(
     for that per-domain rank."""
     if n_total <= 0:
         raise ValueError("n_total must be positive")
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            "weights must be a non-empty dict of positive values, got "
+            f"{weights!r}"
+        )
     total_w = float(sum(weights.values()))
     counts = {
         r[key_col]: r["count"]
@@ -256,15 +269,21 @@ def upsample_to_mix(
         .count()
         .collect()
     }
+    missing = sorted(str(k) for k in weights if counts.get(k, 0) == 0)
+    if missing:
+        # silent under-delivery is the "silent cap" failure mode: a
+        # weighted domain with zero rows would quietly shrink the output
+        # by its share of n_total — refuse instead (intersect `weights`
+        # with the domains actually present, or derive them from the
+        # data via temperature_weights)
+        raise ValueError(
+            f"weighted domains have no rows in {key_col!r}: {missing}"
+        )
     plan: dict = {}
     for k, w in weights.items():
-        n_k = counts.get(k, 0)
-        if n_k == 0:
-            continue
+        n_k = counts[k]
         target = int(n_total * (float(w) / total_w))
         plan[k] = (target // n_k, target % n_k)
-    if not plan:
-        raise ValueError("no domain in `weights` has any rows")
 
     full_map = F.create_map(
         *[F.lit(x) for k, (full, _r) in plan.items() for x in (k, full)]

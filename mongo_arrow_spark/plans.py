@@ -29,7 +29,7 @@ class PlanReport(NamedTuple):
     sort_merge_joins: int
     global_sorts: int  # Sort [ ... ] with a preceding rangepartitioning
     take_ordered: int  # TakeOrderedAndProject (top-k, never a full sort)
-    codegen_spans: int  # WholeStageCodegen regions
+    codegen_spans: int  # codegen regions ('*(n)'; 0 until AQE finalizes)
     python_evals: int  # Batch/ArrowEvalPython, MapInPandas, FlatMapGroupsInPandas
     file_scans: int
     pushed_filter_scans: int  # FileScans carrying PushedFilters: [non-empty]
@@ -49,8 +49,14 @@ _PY_NODES = (
 
 
 def plan_string(df: DataFrame) -> str:
-    """The executed (post-optimizer, pre-AQE-rewrite) physical plan."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The executed physical plan. After an action has run, AQE prints
+    BOTH '== Final Plan ==' and '== Initial Plan ==' sections — only the
+    final one is kept, or every landmark would double-count (r8 review
+    fix, verified live)."""
+    p = df._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in p:
+        p = p.split("== Initial Plan ==", 1)[0]
+    return p
 
 
 def plan_report(df: DataFrame) -> PlanReport:
@@ -67,7 +73,11 @@ def plan_report(df: DataFrame) -> PlanReport:
         if s.strip()
     ]
     return PlanReport(
-        exchanges=len(re.findall(r"\bExchange (?:hash|range|single)", p)),
+        # every shuffle Exchange variant (hashpartitioning,
+        # rangepartitioning, SinglePartition, RoundRobinPartitioning —
+        # r8 review fix, the old lowercase set missed the last two);
+        # the lookbehind excludes BroadcastExchange, counted separately
+        exchanges=len(re.findall(r"(?<![A-Za-z])Exchange ", p)),
         broadcast_exchanges=p.count("BroadcastExchange"),
         cartesian_products=p.count("CartesianProduct"),
         nested_loop_joins=p.count("BroadcastNestedLoopJoin"),
@@ -76,7 +86,10 @@ def plan_report(df: DataFrame) -> PlanReport:
             re.findall(r"Exchange rangepartitioning", p)
         ),
         take_ordered=p.count("TakeOrderedAndProject"),
-        codegen_spans=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", p))),
+        # executedPlan renders codegen regions as '*(n)' prefixes
+        # (the literal 'WholeStageCodegen (n)' only appears in
+        # explain mode='formatted') — r8 review fix, verified live
+        codegen_spans=len(set(re.findall(r"\*\((\d+)\)", p))),
         python_evals=sum(p.count(n) for n in _PY_NODES),
         file_scans=len(scans),
         pushed_filter_scans=len(pushed),

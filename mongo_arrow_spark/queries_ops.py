@@ -1941,7 +1941,13 @@ def q_cluster_kmeans(spark, sf_dir):
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings
+      -- mirror random_projection's validity guard exactly: corrupt rows
+      -- (NULL element / foreign length) project to NULL on the Spark
+      -- side and are excluded on both sides here (r8 review fix — SQL
+      -- SUM would otherwise skip NULL terms and emit a partial sum)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ), p AS (
       SELECT vec_id, v.j,
              (SELECT SUM(qv[u.i + 1] *
@@ -1964,6 +1970,8 @@ def q_embed_project(spark, sf_dir):
     from mongo_arrow_spark.operators import clustering
 
     emb = _t(spark, sf_dir, "embeddings")
-    return clustering.random_projection(emb, out_dim=8).select(
-        "vec_id", "proj"
+    return (
+        clustering.random_projection(emb, out_dim=8, dim=64)
+        .filter(F.col("proj").isNotNull())
+        .select("vec_id", "proj")
     )

@@ -307,3 +307,21 @@ def test_projected_kmeans_composes(emb):
     assert m.centroids == m2.centroids
     out = kmeans_assign(proj, m, vec_col="proj")
     assert out.filter(F.col("cluster").isNull()).count() == 0
+
+
+def test_random_projection_explicit_dim_pins_corrupt_corpora(spark):
+    """r8 review fix: with mixed-length vectors, dim= makes the valid
+    set partitioning-independent (first()-inference is arbitrary)."""
+    from mongo_arrow_spark.operators.clustering import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, [0.5] * 63), (3, [0.5] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    for reparted in (df, df.repartition(5)):
+        got = {
+            r["vec_id"]: r["proj"]
+            for r in random_projection(reparted, out_dim=2, dim=64).collect()
+        }
+        assert got[2] is None
+        assert got[1] is not None and got[1] == got[3]

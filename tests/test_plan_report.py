@@ -92,3 +92,23 @@ def test_engine_operators_pass_the_gate(docs):
 
     assert_scale_safe(exact_dedup(docs), require_python_free=True)
     assert_scale_safe(dedup_paragraphs(docs), require_python_free=True)
+
+
+def test_exchange_variants_counted_and_no_aqe_double_count(spark, docs):
+    """r8 review fixes (verified-live findings): Exchange SinglePartition
+    and RoundRobinPartitioning must count as shuffles, codegen spans
+    come from '*(n)' prefixes, and an executed plan (AQE Final+Initial
+    sections) must not double-count."""
+    single = docs.agg(F.sum("n_chars"))
+    assert plan_report(single).exchanges >= 1  # Exchange SinglePartition
+    rr = docs.repartition(4)
+    assert plan_report(rr).exchanges >= 1  # RoundRobinPartitioning
+    with pytest.raises(AssertionError, match="shuffles"):
+        assert_scale_safe(single, max_exchanges=0)
+    agg = docs.groupBy("lang").count()
+    before = plan_report(agg).exchanges
+    agg.collect()  # finalize AQE: plan now prints Final + Initial
+    after = plan_report(agg).exchanges
+    assert after == before
+    # codegen '*(n)' markers only exist once AQE finalizes the plan
+    assert plan_report(agg).codegen_spans >= 1

@@ -272,7 +272,28 @@ def test_upsample_no_eligible_domain_raises(spark):
     df = spark.createDataFrame([(1, "a", "x")], "doc_id long, src string, text string")
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="no domain"):
+    with _pytest.raises(ValueError, match="have no rows"):
         upsample_to_mix(df, {"zz": 1.0}, n_total=10, key_col="src")
+    # r8 review fix: a weighted-but-absent domain must refuse loudly
+    # rather than silently under-deliver its share of n_total
+    with _pytest.raises(ValueError, match="zz"):
+        upsample_to_mix(df, {"a": 1.0, "zz": 1.0}, n_total=10, key_col="src")
+    with _pytest.raises(ValueError, match="positive values"):
+        upsample_to_mix(df, {"a": -1.0}, n_total=10, key_col="src")
+    with _pytest.raises(ValueError, match="positive values"):
+        upsample_to_mix(df, {}, n_total=10, key_col="src")
     with _pytest.raises(ValueError, match="positive"):
         upsample_to_mix(df, {"a": 1.0}, n_total=0, key_col="src")
+
+
+def test_temperature_weights_drops_null_domain(spark):
+    """r8 review fix: NULL domain keys (dirty metadata) are dropped
+    instead of crashing the cosmetic sorted()."""
+    from mongo_arrow_spark.operators.selection import temperature_weights
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")],
+        "doc_id long, src string",
+    )
+    w = temperature_weights(df, "src", alpha=1.0)
+    assert set(w) == {"a", "b"} and abs(sum(w.values()) - 1.0) < 1e-12
