@@ -297,3 +297,49 @@ def test_temperature_weights_drops_null_domain(spark):
     )
     w = temperature_weights(df, "src", alpha=1.0)
     assert set(w) == {"a", "b"} and abs(sum(w.values()) - 1.0) < 1e-12
+
+
+def test_upsample_matches_python_reference_random(spark):
+    """Randomized differential: upsample_to_mix over random corpora and
+    random positive weights == a pure-python replay of the documented
+    plan (floor targets, whole epochs, md5-ranked fractional prefix)."""
+    import hashlib
+    import random
+
+    from mongo_arrow_spark.operators.selection import upsample_to_mix
+
+    rng = random.Random(80802)
+    for trial in range(6):
+        domains = rng.sample(["a", "b", "c", "d"], rng.randint(1, 4))
+        rows, nid = [], 0
+        for dkey in domains:
+            for _ in range(rng.randint(1, 12)):
+                rows.append((nid, dkey, "t"))
+                nid += 1
+        weights = {dkey: float(rng.randint(1, 5)) for dkey in domains}
+        n_total = rng.randint(1, 60)
+        df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+        got = {
+            (r["doc_id"], r["epoch"])
+            for r in upsample_to_mix(
+                df, weights, n_total, key_col="src"
+            ).select("doc_id", "epoch").collect()
+        }
+
+        total_w = sum(weights.values())
+        want = set()
+        for dkey in domains:
+            ids = [i for i, s, _ in rows if s == dkey]
+            target = int(n_total * (weights[dkey] / total_w))
+            full, rem = target // len(ids), target % len(ids)
+            ranked = sorted(
+                ids,
+                key=lambda i: (
+                    hashlib.md5(f"mix:{i}".encode()).hexdigest(),
+                    i,
+                ),
+            )
+            for rank, i in enumerate(ranked, start=1):
+                copies = full + (1 if rank <= rem else 0)
+                want |= {(i, e) for e in range(copies)}
+        assert got == want, (trial, weights, n_total)
