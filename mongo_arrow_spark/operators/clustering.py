@@ -122,45 +122,59 @@ def kmeans_fit(
     """
     if k < 1 or iters < 0:
         raise ValueError("k must be >= 1 and iters >= 0")
+    from pyspark import StorageLevel
+
     q = df.filter(
         F.col(vec_col).isNotNull()
         & F.forall(F.col(vec_col), lambda x: x.isNotNull())
     ).select(
         F.col(id_col).alias("__id"), quantize_vec(vec_col, scale).alias("__q")
     )
-    init_rows = (
-        q.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
-        .limit(k)
-        .collect()
-    )
-    if len(init_rows) < k:
-        raise ValueError(f"k={k} exceeds the {len(init_rows)} input rows")
-    cents = [list(r["__q"]) for r in init_rows]
-    dims = {len(c) for c in cents}
-    if len(dims) > 1:
-        raise ValueError(f"mixed vector dimensions in init sample: {sorted(dims)}")
-    d = len(cents[0])
-    q = q.filter(F.size("__q") == d)
-    for _ in range(iters):
-        assigned = q.withColumn("__c", _argmin_cluster(F.col("__q"), cents))
-        stats = assigned.groupBy("__c").agg(
-            F.count(F.lit(1)).alias("__n"),
-            *[
-                F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}")
-                for i in range(d)
-            ],
+    # persist-before-action (the r7 fit-stage discipline): the fit runs
+    # iters+1 actions over q — uncached, each one would re-scan the
+    # whole corpus at 100 TB. The cached form is (id, quantized vector)
+    # only, never payloads; released before returning.
+    cached = q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init_rows = (
+            q.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+            .limit(k)
+            .collect()
         )
-        by_c = {r["__c"]: r for r in stats.collect()}  # ≤ k rows
-        cents = [
-            [
-                _trunc_div(by_c[j][f"__s{i}"], by_c[j]["__n"])
-                for i in range(d)
+        if len(init_rows) < k:
+            raise ValueError(f"k={k} exceeds the {len(init_rows)} input rows")
+        cents = [list(r["__q"]) for r in init_rows]
+        dims = {len(c) for c in cents}
+        if len(dims) > 1:
+            raise ValueError(
+                f"mixed vector dimensions in init sample: {sorted(dims)}"
+            )
+        d = len(cents[0])
+        q = q.filter(F.size("__q") == d)
+        for _ in range(iters):
+            assigned = q.withColumn(
+                "__c", _argmin_cluster(F.col("__q"), cents)
+            )
+            stats = assigned.groupBy("__c").agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}")
+                    for i in range(d)
+                ],
+            )
+            by_c = {r["__c"]: r for r in stats.collect()}  # ≤ k rows
+            cents = [
+                [
+                    _trunc_div(by_c[j][f"__s{i}"], by_c[j]["__n"])
+                    for i in range(d)
+                ]
+                if j in by_c
+                else cents[j]  # empty cluster keeps its previous centroid
+                for j in range(k)
             ]
-            if j in by_c
-            else cents[j]  # empty cluster keeps its previous centroid
-            for j in range(k)
-        ]
-    return KMeansModel(centroids=cents, scale=scale, iters=iters)
+        return KMeansModel(centroids=cents, scale=scale, iters=iters)
+    finally:
+        cached.unpersist()
 
 
 def kmeans_assign(
