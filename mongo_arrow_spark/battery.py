@@ -277,6 +277,11 @@ _DEMOTED = [
     # md5 primitive, and the rank-window shape by cap_per_group/graded
     # mql_window_rank; its own exact oracle runs in tests/test_battery.py.
     "mix_upsample",
+    # curriculum_rank parks by construction: the distributed prefix-rank
+    # is the token=1 special case of the GRADED select_token_budget's
+    # prefix sum (same range-partition + offset-broadcast machinery);
+    # its exact oracle runs in tests/test_battery.py.
+    "curriculum_rank",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

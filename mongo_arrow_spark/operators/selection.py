@@ -310,3 +310,53 @@ def upsample_to_mix(
         n_copies > 0, F.sequence(F.lit(0), n_copies.cast("int") - 1)
     )
     return ranked.withColumn(epoch_col, F.explode(epochs)).drop("__rank")
+
+
+def assign_global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based rank over an arbitrary total order, WITHOUT
+    a one-task global window — the trainer-facing ordering primitive:
+    curriculum schedules (``order_by=[difficulty.asc(), id.asc()]``),
+    resumable shard assignment (``rank // shard_size``), deterministic
+    replay cursors.
+
+    Same machinery as ``select_token_budget`` with a token of 1:
+    range-partition on the order, count per partition (``nparts`` rows
+    collected — bounded by partition count, never the corpus),
+    broadcast the exclusive offsets, per-partition ``row_number`` adds
+    its offset — every partition ranks in parallel, bit-identical to
+    ``row_number() OVER (ORDER BY ...)`` at any partition count.
+
+    ``order_by`` must be a TOTAL order (tie-break on a unique id), or
+    ranks are nondeterministic under retries."""
+    spark = df.sparkSession
+    nparts = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        df.repartitionByRange(nparts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(nparts):
+        offsets.append((pid, acc))
+        acc += int(counts.get(pid, 0) or 0)
+    off = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        ranged.join(F.broadcast(off), "__pid")
+        .withColumn(
+            rank_col, (F.row_number().over(w) + F.col("__off")).cast("long")
+        )
+        .drop("__pid", "__off")
+    )

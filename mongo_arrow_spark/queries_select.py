@@ -269,3 +269,36 @@ def q_mix_upsample(spark, sf_dir):
     return out.select(
         "doc_id", "lang", F.col("epoch").cast("long").alias("epoch")
     )
+
+
+@query(
+    "curriculum_rank",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('{_SW_SQL}')))::BIGINT AS score
+      FROM documents
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score ASC, doc_id ASC) AS BIGINT)
+             AS rank
+    FROM scored
+    """,
+)
+def q_curriculum_rank(spark, sf_dir):
+    """Curriculum ordering (r8 seventh wave): exact global rank over
+    (easiness score, id) via the distributed prefix-rank — range
+    partition + bounded per-partition counts + parallel row_number —
+    hash-matched against the one-task SQL window it replaces. The rank
+    column is the trainer's replay cursor / shard key."""
+    from mongo_arrow_spark.operators.text import stopword_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        stopword_hits("text", _STOPWORDS).cast("long").alias("score"),
+    )
+    return selection.assign_global_rank(
+        scored, [F.col("score").asc(), F.col("doc_id").asc()], rank_col="rank"
+    )

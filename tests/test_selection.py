@@ -343,3 +343,18 @@ def test_upsample_matches_python_reference_random(spark):
                 copies = full + (1 if rank <= rem else 0)
                 want |= {(i, e) for e in range(copies)}
         assert got == want, (trial, weights, n_total)
+
+
+def test_assign_global_rank_partitioning_independent(docs):
+    """Exact global rank == the one-task window at any partition count;
+    ranks are a dense 1..N permutation."""
+    from mongo_arrow_spark.operators.selection import assign_global_rank
+
+    order = [F.length("text").desc(), F.col("doc_id").asc()]
+    a = assign_global_rank(docs, order, num_partitions=3)
+    b = assign_global_rank(docs.repartition(11), order, num_partitions=17)
+    ra = {r["doc_id"]: r["rank"] for r in a.collect()}
+    rb = {r["doc_id"]: r["rank"] for r in b.collect()}
+    assert ra == rb
+    n = docs.count()
+    assert sorted(ra.values()) == list(range(1, n + 1))
