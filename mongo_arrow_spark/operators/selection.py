@@ -163,11 +163,24 @@ def select_token_budget(
         else token_count(text_col).cast("long")
     )
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    from pyspark import StorageLevel
+
     ranged = (
         df.withColumn("n_tokens", tok)
         .repartitionByRange(nparts, *order)
         .sortWithinPartitions(*order)
         .withColumn("__pid", F.spark_partition_id())
+        # MUST persist: repartitionByRange SAMPLES its boundaries with a
+        # per-evaluation seed, so the subtotal collect and the final
+        # join would otherwise see (slightly) different partitionings
+        # and the offsets go stale — rows near boundaries get wrong
+        # cumsums (r8 fix, caught by the curriculum_rank sf0.1 gate;
+        # the subtotal collect below materializes the cache). The cache
+        # holds (n_tokens, order keys, payload cols the caller kept);
+        # project before calling at corpus scale. No in-function
+        # teardown: the returned frame reads through the cache
+        # (ngram_jaccard_pairs precedent) — callers may unpersist.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # one row per partition — bounded by nparts, never by the corpus
     subtotals = {
@@ -338,10 +351,17 @@ def assign_global_rank(
         num_partitions
         or spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    from pyspark import StorageLevel
+
     ranged = (
         df.repartitionByRange(nparts, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("__pid", F.spark_partition_id())
+        # MUST persist — see select_token_budget: range boundaries are
+        # sampled per evaluation, so the count collect and the final
+        # join need to read the SAME materialized partitioning or the
+        # offsets go stale (r8 fix, caught by the sf0.1 gate)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = {
         r["__pid"]: r["n"]

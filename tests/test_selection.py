@@ -8,6 +8,7 @@ partition count, which is the whole point of the design.
 
 import duckdb
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mongo_arrow_spark.operators import selection
@@ -358,3 +359,60 @@ def test_assign_global_rank_partitioning_independent(docs):
     assert ra == rb
     n = docs.count()
     assert sorted(ra.values()) == list(range(1, n + 1))
+
+
+def test_prefix_sum_matches_one_task_window_at_scale(spark):
+    """r8 fix: repartitionByRange samples boundaries PER EVALUATION, so
+    the offsets collect and the final join must read one persisted
+    partitioning — uncached, ranks/cumsums near partition boundaries
+    went stale (caught by the sf0.1 gate: 8 divergent rows of 3004).
+    Pinned here against Spark's own one-task window at 20k rows."""
+    from mongo_arrow_spark.operators.selection import (
+        assign_global_rank,
+        select_token_budget,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("w"), (F.col("id") % 97).cast("string"), F.lit("x y")
+        ).alias("text"),
+        (F.xxhash64(F.col("id")) % 1000).alias("score"),
+    )
+    order = [F.col("score").asc(), F.col("doc_id").asc()]
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in assign_global_rank(df, order, num_partitions=24).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["doc_id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+    budget = 30_000
+    got_b = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in select_token_budget(
+            df, budget, score_col="score", num_partitions=24
+        )
+        .select("doc_id", "cum_tokens")
+        .collect()
+    }
+    from mongo_arrow_spark.operators.text import token_count
+
+    w2 = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want_b = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in df.withColumn("n_tokens", token_count("text").cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w2).cast("long"))
+        .where(F.col("cum_tokens") <= budget)
+        .select("doc_id", "cum_tokens")
+        .collect()
+    }
+    assert got_b == want_b
