@@ -136,9 +136,10 @@ def select_token_budget(
 
     Scale shape — exact global cumsum WITHOUT a one-task global window:
 
-    1. ``repartitionByRange`` on the total order, ``sortWithinPartitions``
-       — Spark's range partitioner keeps partitions balanced and ordered
-       end-to-end (the same machinery a global ``orderBy`` uses).
+    1. ``repartitionByRange`` on the total order — Spark's range
+       partitioner keeps partitions balanced and order-aligned (the
+       same machinery a global ``orderBy`` uses); the partitioning is
+       materialized ONCE via localCheckpoint (see ``_prefix_offsets``).
     2. Per-partition token subtotals: ``num_partitions`` rows, collected
        to the driver (bounded by the partition count, NOT the corpus)
        and turned into exclusive prefix offsets.
@@ -163,37 +164,9 @@ def select_token_budget(
         else token_count(text_col).cast("long")
     )
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
-    from pyspark import StorageLevel
-
-    ranged = (
-        df.withColumn("n_tokens", tok)
-        .repartitionByRange(nparts, *order)
-        .sortWithinPartitions(*order)
-        .withColumn("__pid", F.spark_partition_id())
-        # MUST persist: repartitionByRange SAMPLES its boundaries with a
-        # per-evaluation seed, so the subtotal collect and the final
-        # join would otherwise see (slightly) different partitionings
-        # and the offsets go stale — rows near boundaries get wrong
-        # cumsums (r8 fix, caught by the curriculum_rank sf0.1 gate;
-        # the subtotal collect below materializes the cache). The cache
-        # holds (n_tokens, order keys, payload cols the caller kept);
-        # project before calling at corpus scale. No in-function
-        # teardown: the returned frame reads through the cache
-        # (ngram_jaccard_pairs precedent) — callers may unpersist.
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ranged, off = _prefix_offsets(
+        df.withColumn("n_tokens", tok), order, nparts, "n_tokens"
     )
-    # one row per partition — bounded by nparts, never by the corpus
-    subtotals = {
-        r["__pid"]: r["s"]
-        for r in ranged.groupBy("__pid")
-        .agg(F.sum("n_tokens").alias("s"))
-        .collect()
-    }
-    offsets, acc = [], 0
-    for pid in range(nparts):
-        offsets.append((pid, acc))
-        acc += int(subtotals.get(pid, 0) or 0)
-    off = spark.createDataFrame(offsets, "__pid int, __off long")
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order)
@@ -207,6 +180,45 @@ def select_token_budget(
         .where(F.col("cum_tokens") <= budget)
         .drop("__pid", "__off")
     )
+
+
+def _prefix_offsets(df: DataFrame, order_by: list, nparts: int, weight_col: str | None):
+    """Shared scaffold of the distributed prefix ops: range-partition on
+    the total order, materialize ONE fixed partitioning, and compute the
+    exclusive per-partition prefix offsets (``weight_col=None`` counts
+    rows). Returns ``(ranged, offsets_df)``.
+
+    MUST materialize one partitioning: ``repartitionByRange`` SAMPLES
+    its boundaries with a per-evaluation seed, so the offsets collect
+    and the caller's final join would otherwise see slightly different
+    partitionings and boundary rows get stale offsets (r8 fix, caught by
+    the curriculum_rank sf0.1 gate). ``localCheckpoint`` rather than
+    ``persist``: a cache-manager pin from inside an operator can never
+    be released by the caller (unpersist on the derived result is a
+    no-op), while checkpoint blocks are freed by the ContextCleaner once
+    the returned frames are garbage-collected. No sortWithinPartitions —
+    the caller's partitioned window re-sorts anyway; __pid depends only
+    on the range boundaries."""
+    spark = df.sparkSession
+    ranged = (
+        df.repartitionByRange(nparts, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    agg = (
+        F.sum(weight_col).alias("s")
+        if weight_col
+        else F.count("*").alias("s")
+    )
+    totals = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid").agg(agg).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(nparts):
+        offsets.append((pid, acc))
+        acc += int(totals.get(pid, 0) or 0)
+    return ranged, spark.createDataFrame(offsets, "__pid int, __off long")
 
 
 def temperature_weights(
@@ -351,27 +363,7 @@ def assign_global_rank(
         num_partitions
         or spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    from pyspark import StorageLevel
-
-    ranged = (
-        df.repartitionByRange(nparts, *order_by)
-        .sortWithinPartitions(*order_by)
-        .withColumn("__pid", F.spark_partition_id())
-        # MUST persist — see select_token_budget: range boundaries are
-        # sampled per evaluation, so the count collect and the final
-        # join need to read the SAME materialized partitioning or the
-        # offsets go stale (r8 fix, caught by the sf0.1 gate)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    counts = {
-        r["__pid"]: r["n"]
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("n")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in range(nparts):
-        offsets.append((pid, acc))
-        acc += int(counts.get(pid, 0) or 0)
-    off = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    ranged, off = _prefix_offsets(df, order_by, nparts, None)
     w = Window.partitionBy("__pid").orderBy(*order_by)
     return (
         ranged.join(F.broadcast(off), "__pid")

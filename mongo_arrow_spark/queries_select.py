@@ -275,9 +275,13 @@ def q_mix_upsample(spark, sf_dir):
     "curriculum_rank",
     f"""
     WITH scored AS (
+      -- NULL text scores -1 EXPLICITLY on both sides: Spark's size()
+      -- and DuckDB's len() disagree on NULL (-1 vs NULL) and ASC
+      -- ordering would place the row at opposite ends (r8 review fix)
       SELECT doc_id,
-             len(list_filter(string_split(text, ' '),
-                             w -> w IN ('{_SW_SQL}')))::BIGINT AS score
+             CASE WHEN text IS NULL THEN -1
+                  ELSE len(list_filter(string_split(text, ' '),
+                           w -> w IN ('{_SW_SQL}')))::BIGINT END AS score
       FROM documents
     )
     SELECT doc_id, score,
@@ -297,7 +301,10 @@ def q_curriculum_rank(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
-        stopword_hits("text", _STOPWORDS).cast("long").alias("score"),
+        F.when(F.col("text").isNull(), F.lit(-1))
+        .otherwise(stopword_hits("text", _STOPWORDS))
+        .cast("long")
+        .alias("score"),
     )
     return selection.assign_global_rank(
         scored, [F.col("score").asc(), F.col("doc_id").asc()], rank_col="rank"

@@ -427,7 +427,11 @@ def test_token_budget_plan_no_single_partition_stage(spark, tables):
     serializes the corpus through one task; its absence IS the gate."""
     p = plan_of(spark, "select_token_budget")
     assert "SinglePartition" not in p
-    assert "rangepartitioning" in p.lower()
+    # r8: the range-partitioned frame is materialized once via
+    # localCheckpoint (repartitionByRange samples boundaries per
+    # evaluation — stale-offset fix), so the final plan reads the
+    # checkpointed RDD instead of showing the range exchange inline
+    assert "ExistingRDD" in p or "rangepartitioning" in p.lower()
     assert "BroadcastHashJoin" in p  # nparts-row offset table broadcasts
     assert "CartesianProduct" not in p
 

@@ -416,3 +416,32 @@ def test_prefix_sum_matches_one_task_window_at_scale(spark):
         .collect()
     }
     assert got_b == want_b
+
+
+def test_curriculum_rank_null_text_contract(spark):
+    """r8 review fix: NULL text is pinned to score -1 on BOTH engines
+    (Spark size() yields -1, DuckDB len() yields NULL — ASC ordering
+    would otherwise place the row at opposite ends)."""
+    import duckdb as _duck
+
+    from mongo_arrow_spark.battery import ORACLES, QUERIES
+
+    rows = [(1, "the a of x"), (2, None), (3, "zz zz zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        (r["doc_id"], r["score"], r["rank"])
+        for r in QUERIES["curriculum_rank"](spark, d).collect()
+    }
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(ORACLES["curriculum_rank"]).fetchall()}
+    assert got == want
+    # NULL-text row ranks FIRST under ASC with score -1
+    assert (2, -1, 1) in got
