@@ -282,6 +282,16 @@ _DEMOTED = [
     # prefix sum (same range-partition + offset-broadcast machinery);
     # its exact oracle runs in tests/test_battery.py.
     "curriculum_rank",
+    # Diversity tier (r8 eighth wave: greedy k-center coreset — global
+    # and per-group — and MMR) parks by construction this round, the
+    # cluster_kmeans precedent: new exact-oracle entries earn a
+    # three-scale history below the window before any r9 promotion.
+    # Their generated chained-CTE oracles run in tests/test_battery.py
+    # and the randomized differential vs pure-python greedy in
+    # tests/test_diversity.py.
+    "select_kcenter",
+    "select_kcenter_grouped",
+    "select_mmr",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

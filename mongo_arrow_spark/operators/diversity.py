@@ -1,0 +1,316 @@
+"""Diversity-aware selection over embedding columns: greedy k-center
+coresets and maximal-marginal-relevance (MMR) reranking.
+
+The selection tier picks rows by *quality* (NB log-odds, DSIR weights,
+token budgets, per-group caps) — nothing in it yet optimizes *coverage*:
+"give me k rows that span the embedding space" (coreset for curriculum
+seeding, eval-set picking, annotation budgets) or "k rows relevant to
+this query but not redundant with each other" (MMR, the classic
+retrieval-diversification objective). Both are greedy argmax loops, and
+both are implemented here with the same determinism contract as
+``operators.clustering``: every distance is integer math on
+1e-4-quantized vectors, so results are bit-identical across engines,
+partitionings, and re-runs — a DuckDB oracle can unroll the identical
+greedy stages (``queries_select.py``).
+
+Scale design (100 TB posture):
+- Each greedy step is ONE bounded aggregation over the candidate frame:
+  a two-stage partial agg (per-group max gain, then min-id among the
+  arg-maxes — never a corpus-wide window), collecting ≤ one row per
+  group. The running min-distance/max-similarity column is updated by a
+  map-only whole-stage-codegen projection (global: the new center rides
+  in the plan as literals; grouped: a broadcast join against the ≤G-row
+  new-centers table, distance via ``zip_with`` on the two array
+  columns).
+- Lineage grows by one projection (plus, grouped, one broadcast join)
+  per step; ``rematerialize_every`` localCheckpoints the candidate frame
+  so neither the plan nor the recompute cost grows quadratically in k
+  (the ``_prefix_offsets`` checkpoint discipline: GC-releasable, unlike
+  an operator-internal persist).
+- k (and the group count G) are coordination-bounded: the driver holds
+  the selected ids and one d-vector per group per step — the
+  ``kmeans_fit`` collect contract. The corpus itself never moves: the
+  output is the selected ids + ranks, built driver-side.
+
+The reference (mongodb-labs/mongo-arrow) has no selection surface at
+all — this extends the training-data tier (SURVEY.md §2 extension
+block) alongside selection.py / clustering.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators.clustering import _sq_dist, quantize_vec
+
+
+def _int_dot(q: Column, vec: list) -> Column:
+    """Integer dot product between a quantized vector column and a
+    literal quantized vector — map-only codegen, no join."""
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in vec])
+    return F.aggregate(
+        F.zip_with(q, lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sq_dist_cols(a: Column, b: Column) -> Column:
+    """Integer squared L2 distance between two quantized vector
+    COLUMNS (the grouped-update path, where the center arrives via a
+    broadcast join instead of a literal)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _clean(df: DataFrame, id_col: str, vec_col: str, scale: int, extra):
+    """(id, [group], quantized vec) with NULL-id and NULL / NULL-element
+    vectors dropped — the ``kmeans_fit`` corrupt-vector contract (a NULL
+    id would poison the tie-break ordering). Dimension filtering happens
+    later, once the seed fixes d."""
+    v = F.col(vec_col)
+    return df.filter(
+        F.col(id_col).isNotNull()
+        & v.isNotNull()
+        & F.forall(v, lambda x: x.isNotNull())
+    ).select(
+        F.col(id_col).alias("__id"),
+        *extra,
+        quantize_vec(vec_col, scale).alias("__q"),
+    )
+
+
+def _argbest(cur: DataFrame, gain_col: str, grouped: bool):
+    """One greedy step: the row with max ``gain_col`` (per group when
+    grouped), ties to the smallest id — WITHOUT a corpus-wide window.
+    Two partial-aggregating passes: (1) max gain per group (≤G rows),
+    (2) min (id, vec) among the rows achieving it (a broadcast-join
+    filtered frame, again ≤G result rows). Returns collected rows with
+    ``__id``/``__q``/``__gain`` (+ ``__g`` when grouped)."""
+    keys = ["__g"] if grouped else []
+    best = cur.groupBy(*keys).agg(F.max(gain_col).alias(gain_col))
+    cands = cur.join(F.broadcast(best), [*keys, gain_col])
+    picked = cands.groupBy(*keys).agg(
+        F.min(F.struct("__id", "__q")).alias("__w"),
+        F.first(gain_col).alias("__gain"),
+    )
+    rows = picked.select(*keys, "__w.__id", "__w.__q", "__gain").collect()
+    # a GLOBAL groupBy on an empty frame still emits one all-NULL row —
+    # that's "no candidates left", not a pick (ids are never NULL here)
+    return [r for r in rows if r["__id"] is not None]
+
+
+def _md5_inverted(col: Column) -> Column:
+    """Hex digest with digits order-reversed, so an argMAX over it is an
+    argMIN over the digest — lets the seed ride the same max-gain step
+    as every other greedy iteration."""
+    return F.translate(
+        F.md5(col.cast("string")),
+        "0123456789abcdef",
+        "fedcba9876543210",
+    )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    scale: int = 10_000,
+    rematerialize_every: int = 16,
+) -> DataFrame:
+    """Greedy k-center (farthest-point traversal): select ``k`` rows —
+    per group when ``group_col`` is set — each maximizing its squared L2
+    distance to the already-selected set. The classic 2-approximation
+    coverage coreset; the standard big-corpus recipe composes
+    ``clustering.random_projection`` → ``kmeans_assign`` → per-cluster
+    ``kcenter_select(group_col="cluster")``.
+
+    Deterministic and engine-exact: distances are integer math on
+    quantized vectors; the seed is the md5(id)-min row (per group); ties
+    always break to the smallest id. Contracts: groups with fewer than
+    ``k`` valid rows yield all their rows; rows whose vector is NULL or
+    contains a NULL element are ignored; rows whose dimensionality
+    differs from the global seed row's are ignored (both the
+    ``kmeans_fit`` contract); rows with a NULL group are dropped (the
+    grouped update joins on the group key — documented drop, mirror of
+    ``cap_per_group``'s keep which needs no join).
+
+    Returns a small DataFrame (bounded by the selection size, built from
+    the driver-held picks): ``(id, [group], sel_rank, gain)`` where
+    ``sel_rank`` is the 1-based selection order within its group and
+    ``gain`` the squared distance to the previously-selected set at
+    selection time (NULL for each group's seed) — non-increasing in
+    rank: the greedy coverage-radius curve, the number you watch to
+    decide k was enough.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = df.sparkSession
+    grouped = group_col is not None
+    extra = [F.col(group_col).alias("__g")] if grouped else []
+    q = _clean(df, id_col, vec_col, scale, extra)
+    if grouped:
+        q = q.filter(F.col("__g").isNotNull())
+
+    seeds = _argbest(
+        q.withColumn("__neg", _md5_inverted(F.col("__id"))), "__neg", grouped
+    )
+    if not seeds:
+        raise ValueError("no valid vectors to select from")
+    d = len(seeds[0]["__q"])
+    cur = q.filter(F.size("__q") == d)
+
+    out = []  # (id, group, rank, gain)
+    selected: dict = {}  # group -> [ids]
+    centers = {}  # group -> this step's new center
+    for r in seeds:
+        g = r["__g"] if grouped else None
+        out.append((r["__id"], g, 1, None))
+        centers[g] = list(r["__q"])
+        selected.setdefault(g, []).append(r["__id"])
+
+    def apply_centers(frame: DataFrame, first: bool) -> DataFrame:
+        """dmin := least(dmin, dist to the group's NEW center) — global:
+        literal center, pure projection; grouped: broadcast ≤G-row join."""
+        if not grouped:
+            dist = _sq_dist(F.col("__q"), centers[None])
+            new = dist if first else F.least("__dmin", dist)
+            return frame.withColumn("__dmin", new)
+        g_t = frame.schema["__g"].dataType.simpleString()
+        cdf = spark.createDataFrame(
+            [(g, c) for g, c in centers.items()],
+            f"__g {g_t}, __c array<bigint>",
+        )
+        j = frame.join(F.broadcast(cdf), "__g", "left")
+        dist = _sq_dist_cols(F.col("__q"), F.col("__c"))
+        new = (
+            dist
+            if first
+            else F.when(
+                F.col("__c").isNotNull(), F.least("__dmin", dist)
+            ).otherwise(F.col("__dmin"))
+        )
+        return j.withColumn("__dmin", new).drop("__c")
+
+    cur = apply_centers(cur, first=True)
+    for rank in range(2, k + 1):
+        if rank % rematerialize_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+        sel_ids = [i for ids in selected.values() for i in ids]
+        picks = _argbest(
+            cur.filter(~F.col("__id").isin(sel_ids)), "__dmin", grouped
+        )
+        if not picks:
+            break  # every group exhausted
+        centers = {}
+        for r in picks:
+            g = r["__g"] if grouped else None
+            out.append((r["__id"], g, rank, int(r["__gain"])))
+            centers[g] = list(r["__q"])
+            selected[g].append(r["__id"])
+        cur = apply_centers(cur, first=False)
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    if grouped:
+        g_t = df.schema[group_col].dataType.simpleString()
+        schema = f"{id_col} {id_t}, {group_col} {g_t}, sel_rank long, gain long"
+        rows = out
+    else:
+        schema = f"{id_col} {id_t}, sel_rank long, gain long"
+        rows = [(i, rk, gn) for (i, _g, rk, gn) in out]
+    return spark.createDataFrame(rows, schema)
+
+
+def mmr_select(
+    df: DataFrame,
+    k: int,
+    query_vec: list | None = None,
+    rel_col: str | None = None,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+    rematerialize_every: int = 16,
+) -> DataFrame:
+    """Maximal marginal relevance: greedily select ``k`` rows maximizing
+    ``λ·rel − (1−λ)·max_sim_to_selected`` (Carbonell & Goldstein 1998) —
+    relevant to the query but not redundant with each other.
+
+    ``rel`` is the integer dot product with the quantized ``query_vec``,
+    or a caller-provided integer ``rel_col`` (quantize floats with the
+    shared ``floor(x·scale + 0.5)`` rule first). λ is the exact rational
+    ``lam_num/lam_den`` and the objective stays in integer numerator
+    form (``lam_num·rel − (lam_den−lam_num)·smax``), so selection is
+    bit-exact across engines. The seed is the max-relevance row; ties
+    always break to the smallest id. NULL / NULL-element / wrong-dim
+    vectors are ignored and NULL ``rel_col`` rows are never selected
+    (the ``kmeans_fit`` contract).
+
+    Returns ``(id, sel_rank, score)``: ``score`` is the integer
+    objective numerator at selection time (seed: ``lam_num·rel``).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if (query_vec is None) == (rel_col is None):
+        raise ValueError("exactly one of query_vec / rel_col is required")
+    if not (0 <= lam_num <= lam_den) or lam_den < 1:
+        raise ValueError("need 0 <= lam_num <= lam_den, lam_den >= 1")
+    spark = df.sparkSession
+    extra = [F.col(rel_col).cast("long").alias("__rel")] if rel_col else []
+    q = _clean(df, id_col, vec_col, scale, extra)
+    if query_vec is not None:
+        qq = [int(math.floor(float(x) * scale + 0.5)) for x in query_vec]
+        q = q.filter(F.size("__q") == len(qq)).withColumn(
+            "__rel", _int_dot(F.col("__q"), qq)
+        )
+
+    picks = _argbest(q.filter(F.col("__rel").isNotNull()), "__rel", False)
+    if not picks:
+        raise ValueError("no valid vectors to select from")
+    seed = picks[0]
+    if rel_col is not None:
+        # no query to fix d — the seed's dimensionality is the contract
+        q = q.filter(F.size("__q") == len(seed["__q"]))
+    out = [(seed["__id"], 1, int(lam_num) * int(seed["__gain"]))]
+    sel_ids = [seed["__id"]]
+    mu = int(lam_den - lam_num)
+    cur = q.filter(F.col("__rel").isNotNull()).withColumn(
+        "__smax", _int_dot(F.col("__q"), list(seed["__q"]))
+    )
+    for rank in range(2, k + 1):
+        if rank % rematerialize_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+        score = (
+            F.lit(int(lam_num)).cast("long") * F.col("__rel")
+            - F.lit(mu).cast("long") * F.col("__smax")
+        )
+        picks = _argbest(
+            cur.filter(~F.col("__id").isin(sel_ids)).withColumn(
+                "__score", score
+            ),
+            "__score",
+            False,
+        )
+        if not picks:
+            break  # fewer than k valid rows
+        p = picks[0]
+        out.append((p["__id"], rank, int(p["__gain"])))
+        sel_ids.append(p["__id"])
+        cur = cur.withColumn(
+            "__smax",
+            F.greatest("__smax", _int_dot(F.col("__q"), list(p["__q"]))),
+        )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out, f"{id_col} {id_t}, sel_rank long, score long"
+    )

@@ -309,3 +309,250 @@ def q_curriculum_rank(spark, sf_dir):
     return selection.assign_global_rank(
         scored, [F.col("score").asc(), F.col("doc_id").asc()], rank_col="rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# diversity tier (r8 eighth wave): greedy k-center + MMR. The oracles are
+# GENERATED chained-CTE unrollings of the identical greedy stages — every
+# distance/score is integer math on 1e-4-quantized vectors (the
+# cluster_kmeans machinery), so hash-equality proves the distributed
+# greedy loop (bounded two-stage argmax per step, no corpus window)
+# reproduces the sequential semantics bit-for-bit.
+
+_DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
+
+
+def _dk_q(group: str | None = None) -> str:
+    """Shared quantize CTE: the kmeans_fit corrupt-vector contract
+    (NULL / NULL-element vectors out, 1e-4 floor-quantize)."""
+    g = f", {group}" if group else ""
+    gf = f" AND {group} IS NOT NULL" if group else ""
+    return f"""q AS (
+      SELECT vec_id{g},
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(embedding) = {_DIM}{gf}
+    )"""
+
+
+def _dk_dist(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {_DIM + 1}),"
+        f" j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))) AS BIGINT)"
+    )
+
+
+def _dk_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {_DIM + 1}),"
+        f" j -> {a}[j] * {b}[j])) AS BIGINT)"
+    )
+
+
+def _kcenter_sql(k: int) -> str:
+    """Unrolled global greedy k-center: s{r} picks, d{r} running dmin."""
+    parts = [_dk_q()]
+    parts.append(
+        """s1 AS MATERIALIZED (
+      SELECT vec_id, qv, CAST(NULL AS BIGINT) AS gain
+      FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+    )"""
+    )
+    parts.append(
+        f"""d1 AS MATERIALIZED (
+      SELECT q.vec_id, q.qv, {_dk_dist('q.qv', 's.qv')} AS dmin
+      FROM q CROSS JOIN s1 s
+    )"""
+    )
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+      SELECT vec_id, qv, dmin AS gain FROM d{r - 1}
+      WHERE vec_id NOT IN ({prev})
+      ORDER BY dmin DESC, vec_id LIMIT 1
+    )"""
+        )
+        if r < k:
+            parts.append(
+                f"""d{r} AS MATERIALIZED (
+      SELECT d.vec_id, d.qv,
+             LEAST(d.dmin, {_dk_dist('d.qv', 's.qv')}) AS dmin
+      FROM d{r - 1} d CROSS JOIN s{r} s
+    )"""
+            )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT vec_id, CAST({r} AS BIGINT) AS sel_rank, gain FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {sel} ORDER BY sel_rank"
+
+
+def _kcenter_grouped_sql(k: int, group: str) -> str:
+    """Unrolled PER-GROUP greedy k-center (row_number per group replaces
+    the global TOP 1; the dmin update LEFT JOINs the per-group pick so
+    exhausted groups keep their dmin — the operator's contract)."""
+    parts = [_dk_q(group)]
+    parts.append(
+        f"""s1 AS MATERIALIZED (
+      SELECT {group}, vec_id, qv, CAST(NULL AS BIGINT) AS gain FROM (
+        SELECT *, row_number() OVER (PARTITION BY {group}
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM q
+      ) WHERE rn = 1
+    )"""
+    )
+    parts.append(
+        f"""d1 AS MATERIALIZED (
+      SELECT q.vec_id, q.{group}, q.qv, {_dk_dist('q.qv', 's.qv')} AS dmin
+      FROM q JOIN s1 s USING ({group})
+    )"""
+    )
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+      SELECT {group}, vec_id, qv, dmin AS gain FROM (
+        SELECT *, row_number() OVER (PARTITION BY {group}
+          ORDER BY dmin DESC, vec_id) AS rn
+        FROM d{r - 1} WHERE vec_id NOT IN ({prev})
+      ) WHERE rn = 1
+    )"""
+        )
+        if r < k:
+            parts.append(
+                f"""d{r} AS MATERIALIZED (
+      SELECT d.vec_id, d.{group}, d.qv,
+             CASE WHEN s.qv IS NULL THEN d.dmin
+                  ELSE LEAST(d.dmin, {_dk_dist('d.qv', 's.qv')}) END AS dmin
+      FROM d{r - 1} d LEFT JOIN s{r} s USING ({group})
+    )"""
+            )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {group}, CAST({r} AS BIGINT) AS sel_rank, gain"
+        f" FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"\n    {sel}"
+        f" ORDER BY {group}, sel_rank"
+    )
+
+
+def _mmr_sql(k: int, lam_num: int = 1, lam_den: int = 2) -> str:
+    """Unrolled MMR with the md5-min row's vector as the query: rel is
+    the integer dot product; the objective stays in integer numerator
+    form lam_num*rel - (lam_den-lam_num)*smax."""
+    mu = lam_den - lam_num
+    parts = [_dk_q()]
+    parts.append(
+        """qv0 AS MATERIALIZED (
+      SELECT qv FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+    )"""
+    )
+    parts.append(
+        f"""r AS MATERIALIZED (
+      SELECT q.vec_id, q.qv, {_dk_dot('q.qv', 'v.qv')} AS rel
+      FROM q CROSS JOIN qv0 v
+    )"""
+    )
+    parts.append(
+        f"""s1 AS MATERIALIZED (
+      SELECT vec_id, qv, rel, CAST({lam_num} * rel AS BIGINT) AS score
+      FROM r ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    )
+    parts.append(
+        f"""m1 AS MATERIALIZED (
+      SELECT r.vec_id, r.qv, r.rel, {_dk_dot('r.qv', 's.qv')} AS smax
+      FROM r CROSS JOIN s1 s
+    )"""
+    )
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+      SELECT vec_id, qv, rel,
+             CAST({lam_num} * rel - {mu} * smax AS BIGINT) AS score
+      FROM m{r - 1}
+      WHERE vec_id NOT IN ({prev})
+      ORDER BY {lam_num} * rel - {mu} * smax DESC, vec_id LIMIT 1
+    )"""
+        )
+        if r < k:
+            parts.append(
+                f"""m{r} AS MATERIALIZED (
+      SELECT m.vec_id, m.qv, m.rel,
+             GREATEST(m.smax, {_dk_dot('m.qv', 's.qv')}) AS smax
+      FROM m{r - 1} m CROSS JOIN s{r} s
+    )"""
+            )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT vec_id, CAST({r} AS BIGINT) AS sel_rank, score FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {sel} ORDER BY sel_rank"
+
+
+@query("select_kcenter", _kcenter_sql(8))
+def q_select_kcenter(spark, sf_dir):
+    """Greedy k-center coreset (r8 eighth wave): 8 embeddings spanning
+    the space, selected by farthest-point traversal. Each greedy step in
+    the engine is a bounded two-stage partial agg (max gain, then min-id
+    argmax) + a map-only dmin update with the new center compiled in as
+    literals; the oracle unrolls the identical 8 stages as chained CTEs.
+    Integer-exact (quantized distances), hence hash-gradeable."""
+    from mongo_arrow_spark.operators import diversity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return diversity.kcenter_select(emb, 8).select(
+        "vec_id", "sel_rank", "gain"
+    )
+
+
+@query("select_kcenter_grouped", _kcenter_grouped_sql(3, "label"))
+def q_select_kcenter_grouped(spark, sf_dir):
+    """Per-group k-center (r8): 3 diverse representatives per label —
+    the stratified-coreset shape (per-language / per-cluster annotation
+    budgets). The grouped update is a broadcast ≤G-row join instead of
+    compiled literals; groups advance independently."""
+    from mongo_arrow_spark.operators import diversity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return diversity.kcenter_select(emb, 3, group_col="label").select(
+        "vec_id", "label", "sel_rank", "gain"
+    )
+
+
+@query("select_mmr", _mmr_sql(8))
+def q_select_mmr(spark, sf_dir):
+    """Maximal marginal relevance (r8): 8 rows relevant to a query
+    vector (the md5-min row's embedding — engine-reproducible) but
+    mutually non-redundant, λ = 1/2 kept as an exact integer rational.
+    Seed is the max-relevance row; every later pick maximizes
+    lam_num·rel − (lam_den−lam_num)·max_sim_to_selected."""
+    from mongo_arrow_spark.operators import diversity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(
+            F.col("embedding").isNotNull()
+            & F.col("vec_id").isNotNull()
+            & F.forall("embedding", lambda x: x.isNotNull())
+            & (F.size("embedding") == _DIM)
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .select("embedding")
+        .first()
+    )
+    return diversity.mmr_select(
+        emb, 8, query_vec=list(qrow["embedding"])
+    ).select("vec_id", "sel_rank", "score")

@@ -1,0 +1,328 @@
+"""Diversity selection (r8 eighth wave): greedy k-center + MMR.
+
+The exact cross-engine semantics are pinned by the generated chained-CTE
+DuckDB oracles (``select_kcenter``/``select_kcenter_grouped``/
+``select_mmr``, tests/test_battery.py); these pin what the oracles can't
+see: partitioning-independence, the corrupt-vector and NULL-group
+contracts, duplicate-point tie-breaks, group exhaustion, the greedy
+coverage-radius invariant, the rel_col path, and a randomized
+differential against an independent pure-python greedy.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators.diversity import kcenter_select, mmr_select
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# --- independent pure-python greedy reference ---------------------------
+
+
+def _quant(v, scale=10_000):
+    return [int(math.floor(float(x) * scale + 0.5)) for x in v]
+
+
+def _sqd(a, b):
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def _dot(a, b):
+    return sum(x * y for x, y in zip(a, b))
+
+
+def _md5(i):
+    return hashlib.md5(str(i).encode()).hexdigest()
+
+
+def _py_kcenter(pts, k):
+    """pts: [(id, quantized_vec)] — returns [(id, rank, gain)]."""
+    seed = min(pts, key=lambda p: (_md5(p[0]), p[0]))
+    out = [(seed[0], 1, None)]
+    sel_ids = {seed[0]}
+    dmin = {p[0]: _sqd(p[1], seed[1]) for p in pts}
+    for rank in range(2, k + 1):
+        cand = [p for p in pts if p[0] not in sel_ids]
+        if not cand:
+            break
+        m = max(dmin[p[0]] for p in cand)
+        best = min((p for p in cand if dmin[p[0]] == m), key=lambda p: p[0])
+        out.append((best[0], rank, m))
+        sel_ids.add(best[0])
+        for p in pts:
+            dmin[p[0]] = min(dmin[p[0]], _sqd(p[1], best[1]))
+    return out
+
+
+def _py_mmr(pts, k, qq, ln=1, ld=2):
+    rel = {p[0]: _dot(p[1], qq) for p in pts}
+    m = max(rel.values())
+    seed = min((p for p in pts if rel[p[0]] == m), key=lambda p: p[0])
+    out = [(seed[0], 1, ln * rel[seed[0]])]
+    sel_ids = {seed[0]}
+    smax = {p[0]: _dot(p[1], seed[1]) for p in pts}
+    for rank in range(2, k + 1):
+        cand = [p for p in pts if p[0] not in sel_ids]
+        if not cand:
+            break
+        sc = {p[0]: ln * rel[p[0]] - (ld - ln) * smax[p[0]] for p in cand}
+        mm = max(sc.values())
+        best = min((p for p in cand if sc[p[0]] == mm), key=lambda p: p[0])
+        out.append((best[0], rank, mm))
+        sel_ids.add(best[0])
+        for p in pts:
+            smax[p[0]] = max(smax[p[0]], _dot(p[1], best[1]))
+    return out
+
+
+def _mk(spark, rows, dim=4):
+    return spark.createDataFrame(
+        rows, f"vec_id long, embedding array<float>, grp string"
+    )
+
+
+def _rand_rows(seed, n, dim=4, groups=("a", "b")):
+    """Deterministic pseudo-random points via md5 — no RNG state."""
+    rows = []
+    for i in range(n):
+        vec = [
+            (int(_md5(f"{seed}:{i}:{j}")[:6], 16) % 2000 - 1000) / 997.0
+            for j in range(dim)
+        ]
+        rows.append((i, vec, groups[i % len(groups)]))
+    return rows
+
+
+# --- randomized differentials -------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_kcenter_matches_python_greedy(spark, seed):
+    rows = _rand_rows(seed, 40)
+    df = _mk(spark, rows)
+    pts = [(i, _quant(v)) for i, v, _ in rows]
+    want = _py_kcenter(pts, 7)
+    got = sorted(
+        [(r["vec_id"], r["sel_rank"], r["gain"]) for r in
+         kcenter_select(df, 7).collect()],
+        key=lambda t: t[1],
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_mmr_matches_python_greedy(spark, seed):
+    rows = _rand_rows(seed, 35)
+    df = _mk(spark, rows)
+    pts = [(i, _quant(v)) for i, v, _ in rows]
+    query = rows[0][1]
+    want = _py_mmr(pts, 6, _quant(query))
+    got = sorted(
+        [(r["vec_id"], r["sel_rank"], r["score"]) for r in
+         mmr_select(df, 6, query_vec=query).collect()],
+        key=lambda t: t[1],
+    )
+    assert got == want
+
+
+def test_grouped_kcenter_matches_per_group_python(spark):
+    rows = _rand_rows(5, 30, groups=("x", "y", "z"))
+    df = _mk(spark, rows)
+    want = []
+    for g in ("x", "y", "z"):
+        pts = [(i, _quant(v)) for i, v, gg in rows if gg == g]
+        want += [(i, g, rk, gn) for i, rk, gn in _py_kcenter(pts, 4)]
+    got = [
+        (r["vec_id"], r["grp"], r["sel_rank"], r["gain"])
+        for r in kcenter_select(df, 4, group_col="grp").collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+# --- determinism / partitioning ------------------------------------------
+
+
+def test_partitioning_invariance(spark, emb):
+    a = kcenter_select(emb.repartition(1), 6).collect()
+    b = kcenter_select(emb.repartition(13), 6).collect()
+    key = lambda r: r["sel_rank"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+    m1 = mmr_select(emb.repartition(1), 5, query_vec=[0.1] * 64).collect()
+    m2 = mmr_select(emb.repartition(13), 5, query_vec=[0.1] * 64).collect()
+    assert sorted(m1, key=key) == sorted(m2, key=key)
+
+
+def test_rematerialize_does_not_change_result(spark, emb):
+    a = kcenter_select(emb, 8, rematerialize_every=3).collect()
+    b = kcenter_select(emb, 8, rematerialize_every=1000).collect()
+    key = lambda r: r["sel_rank"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+# --- contracts ------------------------------------------------------------
+
+
+def test_duplicate_points_still_select_distinct_ids(spark):
+    rows = [(i, [1.0, 2.0, 3.0, 4.0], "g") for i in range(10)]
+    df = _mk(spark, rows)
+    got = kcenter_select(df, 4).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 4 and len(set(ids)) == 4
+    # all-duplicate corpus: every post-seed gain is 0
+    assert all(r["gain"] == 0 for r in got if r["sel_rank"] > 1)
+
+
+def test_corrupt_vectors_ignored(spark):
+    rows = _rand_rows(7, 20)
+    bad = [
+        (100, None, "a"),  # NULL vector
+        (101, [1.0, None, 3.0, 4.0], "a"),  # NULL element
+        (102, [1.0, 2.0], "a"),  # wrong dim
+    ]
+    df = spark.createDataFrame(
+        rows + bad, "vec_id long, embedding array<float>, grp string"
+    )
+    got = {r["vec_id"] for r in kcenter_select(df, 23).collect()}
+    assert got == {i for i, _, _ in rows}
+    got_m = {
+        r["vec_id"]
+        for r in mmr_select(df, 23, query_vec=rows[0][1]).collect()
+    }
+    assert got_m == {i for i, _, _ in rows}
+
+
+def test_null_group_dropped(spark):
+    rows = _rand_rows(8, 12) + [(200, [0.5] * 4, None)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, grp string"
+    )
+    got = kcenter_select(df, 2, group_col="grp").collect()
+    assert all(r["grp"] is not None for r in got)
+    assert 200 not in {r["vec_id"] for r in got}
+
+
+def test_group_exhaustion_yields_all_rows(spark):
+    rows = [
+        (1, [1.0, 0.0], "small"),
+        (2, [0.0, 1.0], "small"),
+        (10, [1.0, 1.0], "big"),
+        (11, [2.0, 2.0], "big"),
+        (12, [3.0, 3.0], "big"),
+        (13, [4.0, 4.0], "big"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, grp string"
+    )
+    got = kcenter_select(df, 4, group_col="grp").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["grp"], []).append(r)
+    assert len(by_g["small"]) == 2  # exhausted early, all rows kept
+    assert len(by_g["big"]) == 4
+
+
+def test_k_exceeding_rows_returns_all(spark, emb):
+    n = emb.count()
+    got = kcenter_select(emb.limit(5), 50).collect()
+    assert len(got) == 5 and n >= 5
+
+
+def test_gain_non_increasing(spark, emb):
+    """The greedy coverage-radius curve: gains never increase in rank."""
+    got = sorted(
+        kcenter_select(emb, 10).collect(), key=lambda r: r["sel_rank"]
+    )
+    gains = [r["gain"] for r in got if r["gain"] is not None]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+
+
+def test_mmr_rel_col_path(spark):
+    rows = _rand_rows(9, 25)
+    df = _mk(spark, rows).withColumn(
+        "rel", (F.col("vec_id") * 7 % 13).cast("long")
+    )
+    got = sorted(
+        [(r["vec_id"], r["sel_rank"], r["score"]) for r in
+         mmr_select(df, 5, rel_col="rel").collect()],
+        key=lambda t: t[1],
+    )
+    pts = [(i, _quant(v)) for i, v, _ in rows]
+    rel = {i: (i * 7) % 13 for i, _, _ in rows}
+    # python replay with the caller-provided rel
+    m = max(rel.values())
+    seed = min(i for i in rel if rel[i] == m)
+    seed_q = dict(pts)[seed]
+    out = [(seed, 1, 1 * rel[seed])]
+    sel = {seed}
+    smax = {i: _dot(q, seed_q) for i, q in pts}
+    for rank in range(2, 6):
+        sc = {i: rel[i] - smax[i] for i, _ in pts if i not in sel}
+        mm = max(sc.values())
+        best = min(i for i in sc if sc[i] == mm)
+        out.append((best, rank, mm))
+        sel.add(best)
+        bq = dict(pts)[best]
+        for i, q in pts:
+            smax[i] = max(smax[i], _dot(q, bq))
+    assert got == out
+
+
+def test_validation_errors(spark, emb):
+    with pytest.raises(ValueError, match="k must be"):
+        kcenter_select(emb, 0)
+    with pytest.raises(ValueError, match="exactly one"):
+        mmr_select(emb, 3)
+    with pytest.raises(ValueError, match="exactly one"):
+        mmr_select(emb, 3, query_vec=[0.1] * 64, rel_col="label")
+    with pytest.raises(ValueError, match="lam"):
+        mmr_select(emb, 3, query_vec=[0.1] * 64, lam_num=3, lam_den=2)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no valid vectors"):
+        kcenter_select(empty, 2)
+
+
+# --- composition + plan shape ---------------------------------------------
+
+
+def test_composes_with_random_projection(spark, emb):
+    """The big-corpus recipe: JL-project 64→8, then pick the coreset in
+    the cheap space — deterministic end-to-end."""
+    from mongo_arrow_spark.operators.clustering import random_projection
+
+    proj = random_projection(emb, out_dim=8, seed="s3")
+    a = kcenter_select(proj, 5, vec_col="proj", scale=1).collect()
+    b = kcenter_select(
+        random_projection(emb.repartition(7), out_dim=8, seed="s3"),
+        5,
+        vec_col="proj",
+        scale=1,
+    ).collect()
+    key = lambda r: r["sel_rank"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_no_cartesian_in_greedy_step(spark, emb):
+    """The per-step argmax is a bounded two-stage agg + broadcast join —
+    never a cartesian product or a corpus-wide window."""
+    from mongo_arrow_spark.operators.diversity import _argbest, _clean
+
+    q = _clean(emb, "vec_id", "embedding", 10_000, [])
+    best = q.groupBy().agg(F.max("__id").alias("__id"))
+    plan = q.join(F.broadcast(best), ["__id"])._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    # and the selection output is a driver-built local frame (no lineage
+    # back into the corpus — safe to reuse without recompute surprises)
+    out = kcenter_select(emb, 3)
+    assert "Scan ExistingRDD" in out._jdf.queryExecution().toString() or \
+        "LocalTableScan" in out._jdf.queryExecution().toString()
