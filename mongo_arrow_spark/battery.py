@@ -292,6 +292,12 @@ _DEMOTED = [
     "select_kcenter",
     "select_kcenter_grouped",
     "select_mmr",
+    # graph_pagerank (r8 ninth wave: integer-exact PageRank, the graph
+    # tier's second exact oracle after connected components) parks by
+    # construction — same three-scale-history-before-promotion
+    # discipline; its unrolled power-iteration oracle runs in
+    # tests/test_battery.py, the loop contracts in tests/test_graph.py.
+    "graph_pagerank",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

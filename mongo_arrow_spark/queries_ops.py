@@ -1975,3 +1975,82 @@ def q_embed_project(spark, sf_dir):
         .filter(F.col("proj").isNotNull())
         .select("vec_id", "proj")
     )
+
+
+def _pagerank_sql(iters: int = 3, d_num: int = 85, d_den: int = 100) -> str:
+    """Unrolled integer-exact PageRank oracle (r8 ninth wave): the
+    part→supplier graph from lineitem (suppliers offset out of the part
+    id space), ``iters`` power iterations of the identical fixed-point
+    recurrence the engine runs (truncating integer division — DuckDB
+    ``//`` == Spark ``div`` on non-negatives). CTEs are MATERIALIZED:
+    each iteration references its predecessor twice (mass join + carry),
+    and inlined chains expand exponentially."""
+    scale = 10**12
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    )""",
+        """dg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+    )""",
+        """nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    )""",
+        f"""k AS MATERIALIZED (
+      SELECT {scale} // COUNT(*) AS p0,
+             (({d_den} - {d_num}) * ({scale} // COUNT(*))) // {d_den} AS base
+      FROM nodes
+    )""",
+        """r0 AS MATERIALIZED (
+      SELECT node, (SELECT p0 FROM k) AS rank FROM nodes
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""i{i} AS MATERIALIZED (
+      SELECT e.dst, SUM(r.rank // d.deg) AS mass
+      FROM e JOIN dg d USING (src) JOIN r{i - 1} r ON r.node = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT n.node,
+             (SELECT base FROM k)
+               + ({d_num} * COALESCE(i.mass, 0)) // {d_den} AS rank
+      FROM nodes n LEFT JOIN i{i} i ON i.dst = n.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}"
+        " ORDER BY node"
+    )
+
+
+@query("graph_pagerank", _pagerank_sql(3))
+def q_graph_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (r8 ninth wave) over the part→supplier
+    graph: 3 power iterations, damping 85/100, all mass fixed-point
+    integers — the centrality signal curation pipelines use to pick
+    canonical documents / weight domain authority. Each iteration is
+    exactly two shuffles (join ranks onto degree-annotated edges by
+    src, partial-agg sum by dst) with a localCheckpoint between rounds
+    (the connected_components loop discipline); the oracle unrolls the
+    identical recurrence. GraphX's float PageRank could never
+    hash-match — this one is bit-exact by construction."""
+    from mongo_arrow_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+    )
+    return (
+        pagerank(edges, iters=3)
+        .select("node", "rank")
+        .orderBy("node")
+    )

@@ -1,0 +1,135 @@
+"""Integer-exact PageRank (r8 ninth wave).
+
+Cross-engine exactness is pinned by the ``graph_pagerank`` unrolled
+power-iteration oracle (tests/test_battery.py); these pin what it can't
+see: partitioning-independence, the dangling-mass and duplicate-edge
+contracts, NULL endpoints, hub sanity, iters=0, and a randomized
+differential vs an independent pure-python replay.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators.graph import pagerank
+
+SCALE = 10**12
+
+
+def _py_pagerank(edges, iters=3, d_num=85, d_den=100, scale=SCALE):
+    E = sorted({(a, b) for a, b in edges if a is not None and b is not None})
+    nodes = sorted({a for a, _ in E} | {b for _, b in E})
+    n = len(nodes)
+    deg = {}
+    for a, _ in E:
+        deg[a] = deg.get(a, 0) + 1
+    p0 = scale // n
+    base = ((d_den - d_num) * p0) // d_den
+    p = {v: p0 for v in nodes}
+    for _ in range(iters):
+        mass = {}
+        for a, b in E:
+            mass[b] = mass.get(b, 0) + p[a] // deg[a]
+        p = {v: base + (d_num * mass.get(v, 0)) // d_den for v in nodes}
+    return p
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+@pytest.mark.parametrize("seed,iters", [(3, 3), (11, 5)])
+def test_matches_python_replay(spark, seed, iters):
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:6], 16)
+
+    edges = [(h(i) % 50, h(i + 1000) % 50) for i in range(300)]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges_df(spark, edges), iters=iters).collect()
+    }
+    assert got == _py_pagerank(edges, iters=iters)
+
+
+def test_partitioning_invariance(spark):
+    edges = [(i % 17, (i * 7) % 17) for i in range(100)]
+    a = pagerank(_edges_df(spark, edges).repartition(1), iters=3).collect()
+    b = pagerank(_edges_df(spark, edges).repartition(13), iters=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_duplicate_edges_collapse(spark):
+    once = [(1, 2), (2, 3), (3, 1)]
+    twice = once * 4
+    a = pagerank(_edges_df(spark, once), iters=2).collect()
+    b = pagerank(_edges_df(spark, twice), iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_null_endpoints_dropped(spark):
+    clean = [(1, 2), (2, 3), (3, 1)]
+    dirty = clean + [(None, 2), (3, None)]
+    df = spark.createDataFrame(dirty, "src long, dst long")
+    a = pagerank(df, iters=2).collect()
+    b = pagerank(_edges_df(spark, clean), iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hub_ranks_highest(spark):
+    """Star graph: everyone links to node 0 — it must dominate."""
+    edges = [(i, 0) for i in range(1, 20)]
+    got = {r["node"]: r["rank"] for r in
+           pagerank(_edges_df(spark, edges), iters=3).collect()}
+    assert got[0] == max(got.values())
+    assert got[0] > 10 * got[1]
+
+
+def test_dangling_mass_leaks(spark):
+    """Documented contract: dangling nodes leak their mass, so total
+    mass strictly decreases — but ordering is still meaningful."""
+    edges = [(1, 2), (2, 3)]  # 3 is dangling
+    got = {r["node"]: r["rank"] for r in
+           pagerank(_edges_df(spark, edges), iters=3).collect()}
+    assert sum(got.values()) < SCALE
+    assert set(got) == {1, 2, 3}
+
+
+def test_iters_zero_uniform(spark):
+    edges = [(1, 2), (3, 4)]
+    got = {r["node"]: r["rank"] for r in
+           pagerank(_edges_df(spark, edges), iters=0).collect()}
+    assert set(got.values()) == {SCALE // 4}
+
+
+def test_self_loop_kept(spark):
+    """A self-loop is a legal PageRank edge (the node feeds itself)."""
+    edges = [(1, 1), (1, 2), (2, 1)]
+    got = {r["node"]: r["rank"] for r in
+           pagerank(_edges_df(spark, edges), iters=2).collect()}
+    assert got == _py_pagerank(edges, iters=2)
+
+
+def test_validation_and_empty(spark):
+    df = _edges_df(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(df, iters=-1)
+    with pytest.raises(ValueError, match="d_num"):
+        pagerank(df, d_num=120)
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, iters=2).count() == 0
+
+
+def test_plan_no_cartesian_and_bounded_shuffles(spark):
+    """One iteration = the rank-onto-edges join + the by-dst partial agg
+    + the carry join back to the node list — no cartesian product, and
+    the iteration input is the checkpointed frame (flat lineage)."""
+    from mongo_arrow_spark.plans import plan_report
+
+    edges = [(i % 11, (i * 3) % 11) for i in range(60)]
+    out = pagerank(_edges_df(spark, edges), iters=2)
+    rep = plan_report(out)
+    assert rep.cartesian_products == 0
+    # localCheckpoint per round: the final plan reads the checkpointed
+    # RDD, so lineage (and shuffle count) does not grow with iters
+    assert "ExistingRDD" in out._jdf.queryExecution().toString()
