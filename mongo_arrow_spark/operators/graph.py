@@ -16,16 +16,15 @@ bit-identical across engines, partitionings, and re-runs, and a DuckDB
 oracle can unroll the identical power iterations as chained
 materialized CTEs (``queries_ops.py:graph_pagerank``).
 
-Recurrence (per node v, iteration t):
-    share_t(u)   = p_t(u) // out_deg(u)
-    p_{t+1}(v)   = ((d_den − d_num) · p0) // d_den
-                 + (d_num · Σ_{u→v} share_t(u)) // d_den
-with ``p0 = scale // n`` the uniform start. Dangling nodes (no
+Recurrence (per node v, iteration t; w ≡ 1 when unweighted):
+    share_t(u→v) = (p_t(u) · w_uv) div W_u          (W_u = out-weight)
+    p_{t+1}(v)   = ((d_den − d_num) · p0) // d_den  (teleport)
+                 + (d_num · Σ_{u→v} share_t(u→v)) // d_den
+with ``p0 = scale // n`` the uniform start (personalized variant:
+start/teleport concentrated on ``reset_nodes``). Dangling nodes (no
 out-edges) simply leak their mass — the standard simplification;
 ranks still order nodes identically for curation purposes and the
-contract is what the oracle replays. Duplicate edges are collapsed
-(documented; pass pre-weighted multi-edges through ``weight_col``
-instead when multiplicity matters).
+contract is what the oracle replays.
 
 Scale design (100 TB posture):
 - One-time prep: dedup edges, out-degree (one partial-agg shuffle),
@@ -58,6 +57,8 @@ def pagerank(
     iters: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
+    reset_nodes: list | None = None,
     d_num: int = 85,
     d_den: int = 100,
     scale: int = 10**12,
@@ -70,41 +71,93 @@ def pagerank(
     Node set = distinct endpoints; NULL endpoints are dropped (a NULL
     node id is meaningless and would poison the degree join);
     self-loops are legal PageRank edges and kept; duplicate (src, dst)
-    rows are collapsed to one edge.
+    rows are collapsed to one edge of weight 1 — pass integer
+    multiplicities through ``weight_col`` instead when they matter.
+
+    ``weight_col`` (integer > 0; NULL/non-positive edges are dropped):
+    each source distributes ``share(u→v) = (p(u)·w_uv) div W_u`` with
+    ``W_u`` the total out-weight — the unweighted path is exactly the
+    all-weights-1 case, so adding the dial changes no unweighted result.
+    Keep weights small (≲1e6 at the default scale): the product
+    ``p·w`` must stay inside int64.
+
+    ``reset_nodes`` (bounded driver-held list): PERSONALIZED PageRank —
+    both the start mass and the per-iteration teleport go uniformly to
+    these nodes only, so ranks measure proximity to the seed set
+    ("documents close to this trusted set" / topic-conditioned
+    authority). Seeds that aren't graph endpoints still receive
+    teleport mass (they join the node set).
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
     if not (0 <= d_num <= d_den) or d_den < 1:
         raise ValueError("need 0 <= d_num <= d_den, d_den >= 1")
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    spark = edges.sparkSession
+    if weight_col is None:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+            .withColumn("w", F.lit(1).cast("long"))
         )
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
-    # one-time prep, materialized once: degree-annotated edges + nodes
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("w") > 0)
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    # one-time prep, materialized once: out-weight-annotated edges + nodes
+    deg = e.groupBy("src").agg(F.sum("w").alias("wout"))
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if reset_nodes is not None:
+        if not reset_nodes:
+            raise ValueError("reset_nodes must be non-empty when given")
+        seeds = spark.createDataFrame(
+            [(v,) for v in reset_nodes], nodes.schema
+        )
+        nodes = nodes.union(seeds).distinct()
+    nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(None).cast("long"))
-    p0 = scale // n
+    n_reset = len(set(reset_nodes)) if reset_nodes is not None else n
+    p0 = scale // n_reset
     base = ((d_den - d_num) * p0) // d_den
-    p = nodes.withColumn("rank", F.lit(p0).cast("long"))
+    if reset_nodes is None:
+        start = F.lit(p0).cast("long")
+        base_col = F.lit(base).cast("long")
+    else:
+        in_seed = F.col("node").isin(list(set(reset_nodes)))
+        start = F.when(in_seed, F.lit(p0)).otherwise(F.lit(0)).cast("long")
+        base_col = (
+            F.when(in_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
+        )
+    p = nodes.withColumn("rank", start)
     for _ in range(iters):
         inbound = (
             ed.join(p, ed["src"] == p["node"])
             # `div` is Spark's INTEGER division (truncating) — never `/`,
             # whose double result can land below the exact quotient and
             # truncate differently than DuckDB's exact `//` at 1e12 scale
-            .select(F.col("dst"), F.expr("rank div deg").alias("share"))
+            .select(
+                F.col("dst"), F.expr("(rank * w) div wout").alias("share")
+            )
             .groupBy("dst")
             .agg(F.sum("share").alias("mass"))
         )
@@ -113,7 +166,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base).cast("long")
+                    base_col
                     + F.expr(
                         f"(CAST({d_num} AS BIGINT)"
                         f" * coalesce(mass, CAST(0 AS BIGINT))) div {d_den}"

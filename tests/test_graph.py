@@ -133,3 +133,89 @@ def test_plan_no_cartesian_and_bounded_shuffles(spark):
     # localCheckpoint per round: the final plan reads the checkpointed
     # RDD, so lineage (and shuffle count) does not grow with iters
     assert "ExistingRDD" in out._jdf.queryExecution().toString()
+
+
+def _py_pagerank_w(wedges, iters=3, d_num=85, d_den=100, scale=SCALE,
+                   reset=None):
+    """Weighted/personalized replay: wedges = {(src, dst): w}."""
+    nodes = sorted({a for a, _ in wedges} | {b for _, b in wedges})
+    if reset is not None:
+        nodes = sorted(set(nodes) | set(reset))
+    wout = {}
+    for (a, _), w in wedges.items():
+        wout[a] = wout.get(a, 0) + w
+    n_reset = len(set(reset)) if reset is not None else len(nodes)
+    p0 = scale // n_reset
+    base = ((d_den - d_num) * p0) // d_den
+    seed = set(reset) if reset is not None else set(nodes)
+    p = {v: (p0 if v in seed else 0) for v in nodes}
+    for _ in range(iters):
+        mass = {}
+        for (a, b), w in wedges.items():
+            mass[b] = mass.get(b, 0) + (p[a] * w) // wout[a]
+        p = {
+            v: (base if v in seed else 0)
+            + (d_num * mass.get(v, 0)) // d_den
+            for v in nodes
+        }
+    return p
+
+
+def test_weighted_matches_python_replay(spark):
+    wedges = {(1, 2): 3, (1, 3): 1, (2, 3): 5, (3, 1): 2, (3, 4): 7}
+    df = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in wedges.items()],
+        "src long, dst long, w long",
+    )
+    got = {r["node"]: r["rank"] for r in
+           pagerank(df, iters=3, weight_col="w").collect()}
+    assert got == _py_pagerank_w(wedges, iters=3)
+
+
+def test_weight_one_equals_unweighted(spark):
+    edges = [(i % 9, (i * 5) % 9) for i in range(40)]
+    df = spark.createDataFrame(
+        [(a, b, 1) for a, b in set(edges)], "src long, dst long, w long"
+    )
+    a = pagerank(df, iters=3, weight_col="w").collect()
+    b = pagerank(_edges_df(spark, edges), iters=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_duplicate_weighted_edges_sum(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 2), (1, 2, 3), (2, 1, 4)], "src long, dst long, w long"
+    )
+    got = {r["node"]: r["rank"] for r in
+           pagerank(df, iters=2, weight_col="w").collect()}
+    assert got == _py_pagerank_w({(1, 2): 5, (2, 1): 4}, iters=2)
+
+
+def test_nonpositive_weights_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, 2), (1, 3, 0), (3, 1, -4), (2, 3, None)],
+        "src long, dst long, w long",
+    )
+    got = {r["node"]: r["rank"] for r in
+           pagerank(df, iters=2, weight_col="w").collect()}
+    assert got == _py_pagerank_w({(1, 2): 3, (2, 1): 2}, iters=2)
+
+
+def test_personalized_teleports_to_seeds(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+    got = {r["node"]: r["rank"] for r in
+           pagerank(_edges_df(spark, edges), iters=3,
+                    reset_nodes=[1]).collect()}
+    want = _py_pagerank_w({e: 1 for e in edges}, iters=3, reset=[1])
+    assert got == want
+    # seed that is not a graph endpoint still receives teleport mass
+    got2 = {r["node"]: r["rank"] for r in
+            pagerank(_edges_df(spark, edges), iters=2,
+                     reset_nodes=[1, 99]).collect()}
+    want2 = _py_pagerank_w({e: 1 for e in edges}, iters=2, reset=[1, 99])
+    assert got2 == want2 and 99 in got2
+
+
+def test_personalized_empty_seeds_rejected(spark):
+    with pytest.raises(ValueError, match="reset_nodes"):
+        pagerank(_edges_df(spark, [(1, 2)]), reset_nodes=[])
