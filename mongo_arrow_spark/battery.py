@@ -298,6 +298,12 @@ _DEMOTED = [
     # discipline; its unrolled power-iteration oracle runs in
     # tests/test_battery.py, the loop contracts in tests/test_graph.py.
     "graph_pagerank",
+    # pack_shards (r8 tenth wave: token-balanced shard assignment) parks
+    # by construction — its distributed-prefix-sum machinery is the
+    # GRADED select_token_budget's (shared _prefix_offsets), and the md5
+    # shuffle order is the GRADED shuffle_corpus primitive; its own
+    # one-task-cumsum oracle runs in tests/test_battery.py.
+    "pack_shards",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -292,3 +292,106 @@ def materialize_sequences(
             ).alias("n_tokens"),
         )
     )
+
+
+def assign_token_shards(
+    df: DataFrame,
+    tokens_per_shard: int,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+    shard_col: str = "shard",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-BALANCED shard assignment: shard ``i`` holds the documents
+    whose exclusive running token total lands in
+    ``[i·tokens_per_shard, (i+1)·tokens_per_shard)`` under a
+    deterministic total order (default: the md5 shuffle order
+    ``shuffle_corpus`` uses, so shards are also well-mixed). Trainers
+    want equal-TOKEN shards, not equal-row ones — a shard of long
+    documents otherwise carries several times the optimizer steps of a
+    shard of short ones. Every shard except the last carries within one
+    max-document of the budget (a long document overshooting a boundary
+    delays the next shard's first start by the overshoot).
+
+    The running total is the ``selection._prefix_offsets`` distributed
+    prefix sum (range partition on the order → bounded per-partition
+    subtotal collect → broadcast offsets → per-partition windows) — the
+    exact global cumsum with NO single-task window, bit-identical to the
+    one-task ``SUM() OVER (ORDER BY …)`` the oracle runs. A document
+    never splits: the shard boundary falls between documents (pack first
+    with ``pack_sequences`` when sequence-exact budgets matter).
+
+    Returns the input plus ``n_tokens`` and ``shard`` (0-based). NULL
+    text counts 0 tokens (kept — dropping rows is a selection decision,
+    not a sharding one).
+    """
+    if tokens_per_shard < 1:
+        raise ValueError("tokens_per_shard must be >= 1")
+    from mongo_arrow_spark.operators.selection import _prefix_offsets
+
+    spark = df.sparkSession
+    nparts = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    order = order_by or [
+        _order_hash(id_col, "shard").asc(),
+        F.col(id_col).asc(),
+    ]
+    tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else F.coalesce(token_count(text_col).cast("long"), F.lit(0))
+    )
+    ranged, off = _prefix_offsets(
+        df.withColumn("n_tokens", tok), order, nparts, "n_tokens"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off), "__pid")
+        .withColumn(
+            "__cum", F.sum("n_tokens").over(w) + F.col("__off")
+        )
+        # exclusive prefix: the shard a document STARTS in
+        .withColumn(
+            shard_col,
+            F.expr(
+                f"(__cum - n_tokens) div CAST({tokens_per_shard} AS BIGINT)"
+            ).cast("long"),
+        )
+        .drop("__pid", "__off", "__cum")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    tokens_per_shard: int,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> None:
+    """Materialize token-balanced shards as a hive layout
+    (``path/shard=N/``): ``assign_token_shards`` then one hash shuffle
+    on the shard id so each shard writes from its own tasks. Readers
+    get partition pruning per shard (resume training at shard k without
+    listing the rest) and every shard carries ~``tokens_per_shard``
+    tokens regardless of document-length skew."""
+    out = assign_token_shards(
+        df,
+        tokens_per_shard,
+        order_by=order_by,
+        id_col=id_col,
+        text_col=text_col,
+        n_tokens_col=n_tokens_col,
+    )
+    out.repartition(F.col("shard")).write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)

@@ -556,3 +556,38 @@ def q_select_mmr(spark, sf_dir):
     return diversity.mmr_select(
         emb, 8, query_vec=list(qrow["embedding"])
     ).select("vec_id", "sel_rank", "score")
+
+
+@query(
+    "pack_shards",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens,
+             md5('shard' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             (SUM(n_tokens) OVER (ORDER BY h, doc_id)
+              - n_tokens)::BIGINT AS excl
+      FROM t
+    )
+    SELECT doc_id, n_tokens, (excl // 5000)::BIGINT AS shard
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_pack_shards(spark, sf_dir):
+    """Token-balanced shard assignment (r8 tenth wave): shard i holds
+    the docs whose exclusive running token total (under the md5 shuffle
+    order) lands in [i·5000, (i+1)·5000) — the trainer-facing closing
+    op: equal-TOKEN output shards regardless of document-length skew.
+    The engine's running total is the distributed prefix sum (range
+    partition → bounded offsets → per-partition windows, never a
+    single-task global window); the oracle is the one-task SQL cumsum.
+    Hash-equality proves the parallel plan reproduces the sequential
+    semantics."""
+    from mongo_arrow_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = packing.assign_token_shards(docs, 5000, id_col="doc_id")
+    return out.select("doc_id", "n_tokens", "shard").orderBy("doc_id")

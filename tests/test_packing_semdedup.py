@@ -10,6 +10,7 @@ advertises.
 
 import pyspark.sql.functions as F
 import pytest
+from pyspark.sql import Window
 
 from mongo_arrow_spark.operators import dedup, packing
 
@@ -367,3 +368,130 @@ def test_curate_packs_within_split(spark, docs):
         r["first"]["seq_id"] == 0 and r["first"]["seq_offset"] == 0
         for r in firsts
     )
+
+
+# --- token-balanced shards (r8 tenth wave) --------------------------------
+
+
+class TestTokenShards:
+    def _docs(self, spark):
+        rows = [(i, " ".join(["w"] * ((i * 37) % 90 + 1))) for i in range(120)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_one_task_window(self, spark):
+        from mongo_arrow_spark.operators.packing import (
+            _order_hash,
+            assign_token_shards,
+        )
+
+        docs = self._docs(spark)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["shard"])
+            for r in assign_token_shards(docs, 500).collect()
+        }
+        one = (
+            docs.withColumn("n_tokens", F.size(F.split("text", " ", -1)))
+            .withColumn("h", _order_hash("doc_id", "shard"))
+            .withColumn(
+                "excl",
+                F.sum("n_tokens").over(
+                    Window.orderBy("h", "doc_id").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("n_tokens"),
+            )
+            .withColumn("shard", F.expr("excl div 500"))
+        )
+        want = {
+            r["doc_id"]: (r["n_tokens"], r["shard"]) for r in one.collect()
+        }
+        assert got == want
+
+    def test_partitioning_invariance(self, spark):
+        from mongo_arrow_spark.operators.packing import assign_token_shards
+
+        docs = self._docs(spark)
+        a = sorted(
+            map(tuple, assign_token_shards(docs.repartition(1), 700).collect())
+        )
+        b = sorted(
+            map(tuple, assign_token_shards(docs.repartition(13), 700).collect())
+        )
+        assert a == b
+
+    def test_shards_are_token_balanced(self, spark):
+        """Every shard except the last is within one max-document of the
+        budget (a long doc can overshoot into the next shard's range,
+        delaying its first start — so totals wobble by < max_doc on
+        either side, never by shard-count multiples)."""
+        from mongo_arrow_spark.operators.packing import assign_token_shards
+
+        out = assign_token_shards(self._docs(spark), 600)
+        totals = {
+            r["shard"]: r["t"]
+            for r in out.groupBy("shard")
+            .agg(F.sum("n_tokens").alias("t"))
+            .collect()
+        }
+        max_doc = out.agg(F.max("n_tokens")).first()[0]
+        last = max(totals)
+        assert set(totals) == set(range(last + 1))  # no empty shard ids
+        for s, t in totals.items():
+            if s != last:
+                assert abs(t - 600) < max_doc
+
+    def test_precomputed_counts_and_null_text(self, spark):
+        from mongo_arrow_spark.operators.packing import assign_token_shards
+
+        rows = [(1, "a b c", 3), (2, None, 0), (3, "d e", 2)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, n long")
+        via_col = assign_token_shards(
+            df, 4, n_tokens_col="n", order_by=[F.col("doc_id").asc()]
+        ).collect()
+        via_text = assign_token_shards(
+            df, 4, order_by=[F.col("doc_id").asc()]
+        ).collect()
+        key = lambda r: r["doc_id"]  # noqa: E731
+        assert sorted(
+            [(r["doc_id"], r["n_tokens"], r["shard"]) for r in via_col]
+        ) == sorted(
+            [(r["doc_id"], r["n_tokens"], r["shard"]) for r in via_text]
+        )
+        # NULL text counted 0 and KEPT
+        assert {r["doc_id"] for r in via_text} == {1, 2, 3}
+
+    def test_write_training_shards_roundtrip(self, spark, tmp_path):
+        from mongo_arrow_spark.operators.packing import (
+            assign_token_shards,
+            write_training_shards,
+        )
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "shards")
+        write_training_shards(docs, path, 900)
+        back = spark.read.parquet(path)
+        assert back.count() == 120
+        # hive layout: shard is a partition column → pruning applies
+        want = {
+            r["doc_id"]
+            for r in assign_token_shards(docs, 900)
+            .filter(F.col("shard") == 0)
+            .collect()
+        }
+        got = {
+            r["doc_id"] for r in back.filter(F.col("shard") == 0).collect()
+        }
+        assert got == want
+        plan = (
+            back.filter(F.col("shard") == 0)
+            ._jdf.queryExecution()
+            .toString()
+        )
+        assert "PartitionFilters" in plan
+
+    def test_validation(self, spark):
+        from mongo_arrow_spark.operators.packing import assign_token_shards
+
+        with pytest.raises(ValueError, match="tokens_per_shard"):
+            assign_token_shards(self._docs(spark), 0)
