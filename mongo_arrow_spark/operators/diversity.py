@@ -73,7 +73,7 @@ def _clean(df: DataFrame, id_col: str, vec_col: str, scale: int, extra):
     """(id, [group], quantized vec) with NULL-id and NULL / NULL-element
     vectors dropped — the ``kmeans_fit`` corrupt-vector contract (a NULL
     id would poison the tie-break ordering). Dimension filtering happens
-    later, once the seed fixes d."""
+    next, against ``_resolve_dim``'s contract — BEFORE any seeding."""
     v = F.col(vec_col)
     return df.filter(
         F.col(id_col).isNotNull()
@@ -106,6 +106,26 @@ def _argbest(cur: DataFrame, gain_col: str, grouped: bool):
     return [r for r in rows if r["__id"] is not None]
 
 
+def _resolve_dim(q: DataFrame, dim: int | None) -> int:
+    """Vector dimensionality contract, resolved BEFORE any seeding: the
+    caller's explicit ``dim`` wins; otherwise the MODAL dimension (ties
+    to the smaller — deterministic), from one bounded agg. Inferring
+    from the seed row instead would let a single corrupt short vector
+    with a minimal md5 hijack the contract and silently discard the
+    whole valid corpus (r8 review fix — the generated oracles filter to
+    the fixed dim up front, and now so does the operator)."""
+    if dim is not None:
+        return int(dim)
+    rows = (
+        q.groupBy(F.size("__q").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no valid vectors to select from")
+    return int(sorted(rows, key=lambda r: (-r["n"], r["d"]))[0]["d"])
+
+
 def _md5_inverted(col: Column) -> Column:
     """Hex digest with digits order-reversed, so an argMAX over it is an
     argMIN over the digest — lets the seed ride the same max-gain step
@@ -125,6 +145,7 @@ def kcenter_select(
     group_col: str | None = None,
     scale: int = 10_000,
     rematerialize_every: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """Greedy k-center (farthest-point traversal): select ``k`` rows —
     per group when ``group_col`` is set — each maximizing its squared L2
@@ -137,10 +158,13 @@ def kcenter_select(
     quantized vectors; the seed is the md5(id)-min row (per group); ties
     always break to the smallest id. Contracts: groups with fewer than
     ``k`` valid rows yield all their rows; rows whose vector is NULL or
-    contains a NULL element are ignored; rows whose dimensionality
-    differs from the global seed row's are ignored (both the
-    ``kmeans_fit`` contract); rows with a NULL group are dropped (the
-    grouped update joins on the group key — documented drop, mirror of
+    contains a NULL element are ignored (the ``kmeans_fit`` contract);
+    the dimensionality contract is ``dim`` when given, else the modal
+    dimension (resolved BEFORE seeding — one bounded agg; ties to the
+    smaller), and rows of any other dimensionality are ignored, so a
+    group whose vectors are all foreign-dimensional is absent from the
+    output entirely; rows with a NULL group are dropped (the grouped
+    update joins on the group key — documented drop, mirror of
     ``cap_per_group``'s keep which needs no join).
 
     Returns a small DataFrame (bounded by the selection size, built from
@@ -159,14 +183,14 @@ def kcenter_select(
     q = _clean(df, id_col, vec_col, scale, extra)
     if grouped:
         q = q.filter(F.col("__g").isNotNull())
+    q = q.filter(F.size("__q") == _resolve_dim(q, dim))
 
     seeds = _argbest(
         q.withColumn("__neg", _md5_inverted(F.col("__id"))), "__neg", grouped
     )
     if not seeds:
         raise ValueError("no valid vectors to select from")
-    d = len(seeds[0]["__q"])
-    cur = q.filter(F.size("__q") == d)
+    cur = q
 
     out = []  # (id, group, rank, gain)
     selected: dict = {}  # group -> [ids]
@@ -240,6 +264,7 @@ def mmr_select(
     vec_col: str = "embedding",
     scale: int = 10_000,
     rematerialize_every: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """Maximal marginal relevance: greedily select ``k`` rows maximizing
     ``λ·rel − (1−λ)·max_sim_to_selected`` (Carbonell & Goldstein 1998) —
@@ -251,9 +276,11 @@ def mmr_select(
     ``lam_num/lam_den`` and the objective stays in integer numerator
     form (``lam_num·rel − (lam_den−lam_num)·smax``), so selection is
     bit-exact across engines. The seed is the max-relevance row; ties
-    always break to the smallest id. NULL / NULL-element / wrong-dim
-    vectors are ignored and NULL ``rel_col`` rows are never selected
-    (the ``kmeans_fit`` contract).
+    always break to the smallest id. NULL / NULL-element vectors are
+    ignored and NULL ``rel_col`` rows are never selected (the
+    ``kmeans_fit`` contract); the dimensionality contract is
+    ``len(query_vec)`` / ``dim`` when given, else the modal dimension
+    (resolved before seeding), and other-dimensional rows are ignored.
 
     Returns ``(id, sel_rank, score)``: ``score`` is the integer
     objective numerator at selection time (seed: ``lam_num·rel``).
@@ -272,14 +299,16 @@ def mmr_select(
         q = q.filter(F.size("__q") == len(qq)).withColumn(
             "__rel", _int_dot(F.col("__q"), qq)
         )
+    else:
+        # no query to fix d — modal dimension BEFORE seeding (r8 review
+        # fix: seed-row inference let a corrupt short vector with max
+        # rel hijack the contract)
+        q = q.filter(F.size("__q") == _resolve_dim(q, dim))
 
     picks = _argbest(q.filter(F.col("__rel").isNotNull()), "__rel", False)
     if not picks:
         raise ValueError("no valid vectors to select from")
     seed = picks[0]
-    if rel_col is not None:
-        # no query to fix d — the seed's dimensionality is the contract
-        q = q.filter(F.size("__q") == len(seed["__q"]))
     out = [(seed["__id"], 1, int(lam_num) * int(seed["__gain"]))]
     sel_ids = [seed["__id"]]
     mu = int(lam_den - lam_num)

@@ -30,14 +30,17 @@ Scale design (100 TB posture):
 - One-time prep: dedup edges, out-degree (one partial-agg shuffle),
   attach degree to edges (one shuffle join), node list — all
   localCheckpoint()ed once.
-- Each iteration is exactly TWO shuffles: join p onto edges by src
-  (repartitioned consistently so only p moves), then a
-  partial-aggregating sum by dst — hot destinations (high in-degree
-  hubs) are absorbed map-side, and high out-degree hubs fan out in
-  parallel. The result joins back to the node list (left, missing →
-  no inbound mass) and is localCheckpoint()ed per round — the
-  ``connected_components`` loop discipline (at cluster scale,
-  checkpoint to reliable storage).
+- Each iteration is a bounded, fixed plan: the rank frame joins the
+  degree-annotated edge table by src (both sides exchange —
+  localCheckpoint does NOT preserve hash partitioning, verified against
+  the executed plan; at cluster scale write the prepared edges ONCE
+  with ``layout.write_bucketed(keys=["src"])`` and every iteration's
+  edge side joins with zero exchange), then one partial-aggregating
+  sum by dst — hot destinations (high in-degree hubs) are absorbed
+  map-side, and high out-degree hubs fan out in parallel. The result
+  joins back to the node list (left, missing → no inbound mass) and is
+  localCheckpoint()ed per round — the ``connected_components`` loop
+  discipline (at cluster scale, checkpoint to reliable storage).
 - The driver coordinates iteration count only; no per-node state ever
   reaches it.
 

@@ -31,6 +31,8 @@ __all__ = [
     "pack_manifest",
     "shuffle_corpus",
     "materialize_sequences",
+    "assign_token_shards",
+    "write_training_shards",
 ]
 
 _HEX = "0123456789abcdef"
@@ -324,8 +326,11 @@ def assign_token_shards(
     with ``pack_sequences`` when sequence-exact budgets matter).
 
     Returns the input plus ``n_tokens`` and ``shard`` (0-based). NULL
-    text counts 0 tokens (kept — dropping rows is a selection decision,
-    not a sharding one).
+    text — and a NULL precomputed ``n_tokens_col`` — counts 0 tokens
+    and the row is KEPT with a real shard id (dropping rows is a
+    selection decision, not a sharding one; an un-coalesced NULL count
+    would give the row a NULL shard and hive-write it into
+    __HIVE_DEFAULT_PARTITION__, invisible to shard=k pruning).
     """
     if tokens_per_shard < 1:
         raise ValueError("tokens_per_shard must be >= 1")
@@ -340,10 +345,13 @@ def assign_token_shards(
         _order_hash(id_col, "shard").asc(),
         F.col(id_col).asc(),
     ]
-    tok = (
-        F.col(n_tokens_col).cast("long")
-        if n_tokens_col
-        else F.coalesce(token_count(text_col).cast("long"), F.lit(0))
+    tok = F.coalesce(
+        (
+            F.col(n_tokens_col)
+            if n_tokens_col
+            else token_count(text_col)
+        ).cast("long"),
+        F.lit(0).cast("long"),
     )
     ranged, off = _prefix_offsets(
         df.withColumn("n_tokens", tok), order, nparts, "n_tokens"

@@ -1988,7 +1988,7 @@ def _pagerank_sql(iters: int = 3, d_num: int = 85, d_den: int = 100) -> str:
     scale = 10**12
     parts = [
         """e AS MATERIALIZED (
-      SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+      SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000000 AS dst
       FROM lineitem
       WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
     )""",
@@ -2047,7 +2047,7 @@ def q_graph_pagerank(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_partkey").alias("src"),
-        (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        (F.col("l_suppkey") + F.lit(10**12)).alias("dst"),
     )
     return (
         pagerank(edges, iters=3)

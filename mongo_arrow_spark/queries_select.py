@@ -275,9 +275,10 @@ def q_mix_upsample(spark, sf_dir):
     "curriculum_rank",
     f"""
     WITH scored AS (
-      -- NULL text scores -1 EXPLICITLY on both sides: Spark's size()
-      -- and DuckDB's len() disagree on NULL (-1 vs NULL) and ASC
-      -- ordering would place the row at opposite ends (r8 review fix)
+      -- NULL text scores -1 EXPLICITLY on both sides: the engines
+      -- disagree on where a NULL score sorts (Spark ASC = NULLS FIRST,
+      -- DuckDB ASC = NULLS LAST), so an un-pinned NULL would land the
+      -- row at opposite ends of the total order (r8 review fix)
       SELECT doc_id,
              CASE WHEN text IS NULL THEN -1
                   ELSE len(list_filter(string_split(text, ' '),

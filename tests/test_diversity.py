@@ -326,3 +326,53 @@ def test_no_cartesian_in_greedy_step(spark, emb):
     out = kcenter_select(emb, 3)
     assert "Scan ExistingRDD" in out._jdf.queryExecution().toString() or \
         "LocalTableScan" in out._jdf.queryExecution().toString()
+
+
+def test_short_corrupt_vector_cannot_hijack_seed(spark):
+    """r8 review fix: the dimensionality contract resolves BEFORE
+    seeding (modal dim), so one wrong-dim row with a minimal md5 can't
+    become the seed and silently discard the whole valid corpus."""
+    rows = _rand_rows(13, 10)
+    # find an id whose md5 is smaller than every valid row's
+    cand = next(
+        i for i in range(10_000, 30_000)
+        if _md5(i) < min(_md5(r[0]) for r in rows)
+    )
+    df = spark.createDataFrame(
+        rows + [(cand, [1.0, 2.0], "a")],
+        "vec_id long, embedding array<float>, grp string",
+    )
+    got = kcenter_select(df, 4).collect()
+    assert len(got) == 4
+    assert cand not in {r["vec_id"] for r in got}
+    # explicit dim can deliberately select the minority dimension
+    only_short = kcenter_select(df, 4, dim=2).collect()
+    assert {r["vec_id"] for r in only_short} == {cand}
+    # mmr rel_col path shares the fix (max-rel corrupt row can't seed)
+    df2 = df.withColumn(
+        "rel",
+        F.when(F.col("vec_id") == cand, F.lit(10**9)).otherwise(
+            F.col("vec_id") % 7
+        ),
+    )
+    got_m = mmr_select(df2, 3, rel_col="rel").collect()
+    assert cand not in {r["vec_id"] for r in got_m}
+
+
+def test_foreign_dim_group_absent_not_seed_only(spark):
+    """r8 review fix: a group whose vectors are all foreign-dimensional
+    is absent from the output entirely (deterministic modal-dim
+    contract) — never nondeterministically starved to its seed."""
+    rows = [(i, [float(i), 1.0, 2.0, 3.0], "a") for i in range(5)] + [
+        (100 + i, [float(i), 9.0], "b") for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, grp string"
+    )
+    got = kcenter_select(df, 3, group_col="grp").collect()
+    # modal dim is 4 on ties? counts equal (5 vs 5) -> tie to SMALLER dim
+    assert {r["grp"] for r in got} == {"b"}
+    assert len(got) == 3
+    # explicit dim selects the other group deterministically
+    got4 = kcenter_select(df, 3, group_col="grp", dim=4).collect()
+    assert {r["grp"] for r in got4} == {"a"} and len(got4) == 3

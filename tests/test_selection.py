@@ -419,9 +419,11 @@ def test_prefix_sum_matches_one_task_window_at_scale(spark):
 
 
 def test_curriculum_rank_null_text_contract(spark):
-    """r8 review fix: NULL text is pinned to score -1 on BOTH engines
-    (Spark size() yields -1, DuckDB len() yields NULL — ASC ordering
-    would otherwise place the row at opposite ends)."""
+    """r8 review fix: NULL text is pinned to score -1 on BOTH engines —
+    an un-pinned NULL score sorts NULLS FIRST in Spark ASC but NULLS
+    LAST in DuckDB ASC, landing the row at opposite ends of the total
+    order (under ANSI mode Spark's size(NULL) is NULL, not the legacy
+    -1, so the explicit CASE is the only safe pin)."""
     import duckdb as _duck
 
     from mongo_arrow_spark.battery import ORACLES, QUERIES
