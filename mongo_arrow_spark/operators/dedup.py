@@ -1473,3 +1473,47 @@ def paragraph_ingest_gate(
     return strip_known_paragraphs(
         inner, index, id_col, text_col, sep, join_sep, normalized, drop_empty
     )
+
+
+def centrality_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    id_col: str = "doc_id",
+    iters: int = 3,
+    components: DataFrame | None = None,
+) -> DataFrame:
+    """Keep the most CENTRAL row per near-dup component — the one whose
+    integer-exact PageRank over the (undirected) candidate-pair graph is
+    highest, ties to min id — plus every row never paired. The
+    graph-aware upgrade of ``canonical_survivors``: when no quality
+    score exists, the document similar to the most other duplicates is
+    the natural canonical (the medoid of its mirror set — hub pages
+    beat stragglers, complete copies beat truncated ones that only
+    match a few peers).
+
+    Plan: ``graph.pagerank`` over the doubled pair edges (bounded
+    iterations, two shuffles each), components from the caller or one
+    ``connected_components`` run, then exactly ``canonical_survivors``'s
+    payload-free winner reduction with the rank as the score. Rows
+    outside every pair keep rank 0 — they are unclustered and survive
+    regardless."""
+    from mongo_arrow_spark.operators.graph import pagerank
+
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    ranks = pagerank(edges, iters=iters).withColumnsRenamed(
+        {"node": id_col, "rank": "__ctr"}
+    )
+    comps = (
+        components
+        if components is not None
+        else connected_components(pairs, a_col, b_col)
+    )
+    scored = df.join(ranks, id_col, "left").withColumn(
+        "__ctr", F.coalesce("__ctr", F.lit(0).cast("long"))
+    )
+    return canonical_survivors(scored, comps, "__ctr", id_col).drop("__ctr")

@@ -219,3 +219,44 @@ def test_personalized_teleports_to_seeds(spark):
 def test_personalized_empty_seeds_rejected(spark):
     with pytest.raises(ValueError, match="reset_nodes"):
         pagerank(_edges_df(spark, [(1, 2)]), reset_nodes=[])
+
+
+# --- centrality-based canonical selection (dedup composition) -------------
+
+
+def test_centrality_survivors_picks_hub(spark):
+    """Mirror set {1,2,3,4}: 1 pairs with everyone (complete copy), the
+    others only with 1 (truncated) — the hub survives. Component {10,11}
+    is a tie (symmetric pair) → min id. 99 never paired → kept."""
+    from mongo_arrow_spark.operators.dedup import centrality_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 4, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"] for r in centrality_survivors(docs, pairs).collect()}
+    assert got == {1, 10, 99}
+
+
+def test_centrality_survivors_accepts_precomputed_components(spark):
+    from mongo_arrow_spark.operators.dedup import (
+        centrality_survivors,
+        connected_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    comps = connected_components(pairs)
+    a = {r["doc_id"] for r in
+         centrality_survivors(docs, pairs, components=comps).collect()}
+    b = {r["doc_id"] for r in centrality_survivors(docs, pairs).collect()}
+    assert a == b
+    # chain 0-1-2: node 1 (the middle) is most central; 3 unpaired
+    assert a == {1, 3, 4}
