@@ -10,9 +10,11 @@ from __future__ import annotations
 
 import math
 import random
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -588,3 +590,223 @@ def cosine_topk_int8(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --- product quantization (r8 eleventh wave) -------------------------------
+
+
+class PQModel(NamedTuple):
+    """Product-quantization codebooks: ``codebooks[j]`` is the k×dsub
+    integer codeword table for subspace j (quantized space, shared
+    ``scale`` fixed-point carrier)."""
+
+    codebooks: list  # m × k × dsub ints
+    scale: int
+
+    @property
+    def m(self) -> int:
+        return len(self.codebooks)
+
+    @property
+    def k(self) -> int:
+        return len(self.codebooks[0])
+
+    @property
+    def dsub(self) -> int:
+        return len(self.codebooks[0][0])
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+
+def fit_pq(
+    df: DataFrame,
+    m: int = 8,
+    codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+    dim: int | None = None,
+) -> PQModel:
+    """Fit product-quantization codebooks (Jégou et al. 2011): split the
+    vector into ``m`` equal subspaces and run the DETERMINISTIC quantized
+    k-means (``clustering.kmeans_fit``) independently in each — so the
+    whole model, like everything on the 1e-4 fixed-point carrier, is
+    bit-identical across engines, partitionings and re-runs (FAISS's
+    float PQ is neither).
+
+    PQ is the memory half of the 100 TB ANN recipe: a 64-dim float
+    vector becomes ``m`` small code ids (here 8 bytes), queries scan
+    codes against a per-query lookup table instead of raw vectors, and
+    the standard composition is IVF (``fit_ivf_centroids``/``ivf_topk``
+    cell-routing) over PQ-encoded cells. ``dim`` pins the input width
+    (else inferred from the first valid row, the ``random_projection``
+    contract); it must divide into ``m`` equal subspaces.
+
+    Cost: ``m`` bounded kmeans fits, each ``iters`` partial-agg shuffles
+    of k×(dsub+1) longs over ONE shared projected frame — the corpus is
+    scanned once per Lloyd action, never collected.
+    """
+    from mongo_arrow_spark.operators.clustering import kmeans_fit
+
+    v = F.col(vec_col)
+    if dim is None:
+        first = df.select(vec_col).filter(v.isNotNull()).first()
+        if first is None:
+            raise ValueError(f"no non-NULL {vec_col!r} rows to fit on")
+        dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible into m={m} subspaces")
+    dsub = dim // m
+    valid = (
+        v.isNotNull()
+        & (F.size(v) == dim)
+        & F.forall(v, lambda x: x.isNotNull())
+    )
+    base = df.filter(valid).select(
+        F.col(id_col).alias("__id"),
+        *[
+            F.slice(v, j * dsub + 1, dsub).alias(f"__s{j}")
+            for j in range(m)
+        ],
+    )
+    books = []
+    for j in range(m):
+        model = kmeans_fit(
+            base,
+            k=codes,
+            iters=iters,
+            id_col="__id",
+            vec_col=f"__s{j}",
+            scale=scale,
+        )
+        books.append(model.centroids)
+    return PQModel(codebooks=books, scale=scale)
+
+
+def pq_encode(
+    df: DataFrame,
+    model: PQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Tag each row with its ``m`` nearest-codeword ids — one map-only
+    codegen projection (the m×k×dsub codebooks compile into the plan as
+    literals, a few KB). Corrupt vectors (NULL / NULL element / wrong
+    dim) get a NULL code array — the ``kmeans_assign`` contract."""
+    from mongo_arrow_spark.operators.clustering import (
+        _argmin_cluster,
+        quantize_vec,
+    )
+
+    v = F.col(vec_col)
+    dsub, m = model.dsub, model.m
+    q = quantize_vec(vec_col, model.scale)
+    valid = (
+        v.isNotNull()
+        & (F.size(v) == model.dim)
+        & F.forall(v, lambda x: x.isNotNull())
+    )
+    codes = F.array(
+        *[
+            _argmin_cluster(
+                F.slice(q, j * dsub + 1, dsub), model.codebooks[j]
+            ).cast("int")
+            for j in range(m)
+        ]
+    )
+    return df.withColumn(out_col, F.when(valid, codes))
+
+
+def pq_topk(
+    df: DataFrame,
+    model: PQModel,
+    query_vec: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query builds one
+    m×codes integer table of subspace distances ON THE DRIVER (tiny),
+    and each row's distance is ``Σ_j table[j][code_j]`` — a map-only
+    ``element_at`` sum against plan literals feeding a TakeOrdered.
+    Nothing decodes, nothing joins; the scan reads only (id, m codes).
+    Ties break to min id. Returns ``(id, pq_dist)`` — the integer ADC
+    distance in quantized-space units (NULL-coded rows are skipped)."""
+    if len(query_vec) != model.dim:
+        raise ValueError(
+            f"query dim {len(query_vec)} != model dim {model.dim}"
+        )
+    qq = [
+        int(math.floor(float(x) * model.scale + 0.5)) for x in query_vec
+    ]
+    dsub = model.dsub
+    table = [
+        [
+            sum(
+                (qq[j * dsub + t] - c[t]) * (qq[j * dsub + t] - c[t])
+                for t in range(dsub)
+            )
+            for c in model.codebooks[j]
+        ]
+        for j in range(model.m)
+    ]
+    lits = [
+        F.array(*[F.lit(int(d)).cast("long") for d in row]) for row in table
+    ]
+    dist = None
+    for j, lit in enumerate(lits):
+        term = F.element_at(lit, F.col(codes_col)[j] + 1)
+        dist = term if dist is None else dist + term
+    return (
+        df.filter(F.col(codes_col).isNotNull())
+        .select(F.col(id_col), dist.alias("pq_dist"))
+        .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def save_pq(spark, model: PQModel, path: str) -> None:
+    """Persist the codebooks as parquet with params in schema metadata —
+    the LSH-index / kmeans artifact discipline."""
+    rows = [
+        (j, i, list(map(int, c)))
+        for j, book in enumerate(model.codebooks)
+        for i, c in enumerate(book)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("subspace", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField(
+                "centroid",
+                T.ArrayType(T.LongType()),
+                metadata={"pq_scale": model.scale},
+            ),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_pq(spark, path: str) -> PQModel:
+    df = spark.read.parquet(path)
+    if set(df.columns) != {"subspace", "code", "centroid"}:
+        raise ValueError(f"{path} is not a PQ artifact")
+    meta = df.schema["centroid"].metadata
+    if "pq_scale" not in meta:
+        raise ValueError(f"{path} lacks pq_scale metadata")
+    rows = df.collect()
+    m = max(r["subspace"] for r in rows) + 1
+    books = []
+    for j in range(m):
+        sub = sorted(
+            (r for r in rows if r["subspace"] == j),
+            key=lambda r: r["code"],
+        )
+        books.append([list(r["centroid"]) for r in sub])
+    return PQModel(codebooks=books, scale=int(meta["pq_scale"]))

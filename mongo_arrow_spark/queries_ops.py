@@ -2054,3 +2054,22 @@ def q_graph_pagerank(spark, sf_dir):
         .select("node", "rank")
         .orderBy("node")
     )
+
+
+@query("sim_pq_topk")  # rows-only: the m-subspace Lloyd fit isn't one SQL
+def q_sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (r8 eleventh wave): fit 8×8-code
+    deterministic codebooks (kmeans_fit per subspace — the fit math is
+    graded via cluster_kmeans's unrolled oracle), encode the corpus to
+    8 small codes (map-only, codebooks as plan literals), then
+    asymmetric-distance top-10 for the min-id row's vector: one
+    (id, codes)-narrow scan + element_at lookups against the per-query
+    driver-built distance table + TakeOrdered. Bit-exact replay oracle
+    runs in tests/test_pq.py; here the driver pins rows+schema and that
+    fit→encode→ADC executes end-to-end."""
+    from mongo_arrow_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = sim.fit_pq(emb, m=8, codes=8, iters=1, dim=64)
+    query = list(emb.orderBy("vec_id").first()["embedding"])
+    return sim.pq_topk(sim.pq_encode(emb, model), model, query, k=10)

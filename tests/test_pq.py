@@ -1,0 +1,123 @@
+"""Product quantization (r8 eleventh wave): deterministic PQ codebooks
+over the quantized k-means, map-only encode, ADC top-k.
+
+Everything is pinned by exact python replay (the model is bit-exact by
+construction — kmeans_fit's cross-engine oracle covers the fit math);
+these pin encode argmin semantics, ADC table lookups, determinism,
+corrupt-vector codes, the artifact round-trip, and the IVF composition.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators.similarity import (
+    PQModel,
+    fit_pq,
+    load_pq,
+    pq_encode,
+    pq_topk,
+    save_pq,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def model(emb):
+    return fit_pq(emb, m=8, codes=8, iters=1)
+
+
+def _quant(v, scale=10_000):
+    return [int(math.floor(float(x) * scale + 0.5)) for x in v]
+
+
+def _sqd(a, b):
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def test_fit_shape_and_determinism(emb, model):
+    assert model.m == 8 and model.k == 8 and model.dsub == 8
+    again = fit_pq(emb.repartition(13), m=8, codes=8, iters=1)
+    assert again.codebooks == model.codebooks
+
+
+def test_encode_matches_python_argmin(emb, model):
+    rows = pq_encode(emb, model).select("vec_id", "embedding", "pq_codes").collect()
+    for r in rows[:100]:
+        q = _quant(r["embedding"])
+        for j in range(model.m):
+            sub = q[j * 8:(j + 1) * 8]
+            dists = [(_sqd(sub, c), i) for i, c in enumerate(model.codebooks[j])]
+            assert r["pq_codes"][j] == min(dists)[1]
+
+
+def test_topk_matches_python_adc(emb, model):
+    qrow = emb.orderBy("vec_id").first()
+    query = list(qrow["embedding"])
+    got = [(r["vec_id"], r["pq_dist"]) for r in
+           pq_topk(pq_encode(emb, model), model, query, k=10).collect()]
+    # python replay over all encoded rows
+    qq = _quant(query)
+    table = [
+        [_sqd(qq[j * 8:(j + 1) * 8], c) for c in model.codebooks[j]]
+        for j in range(model.m)
+    ]
+    rows = pq_encode(emb, model).select("vec_id", "pq_codes").collect()
+    scored = sorted(
+        (sum(table[j][r["pq_codes"][j]] for j in range(model.m)), r["vec_id"])
+        for r in rows if r["pq_codes"] is not None
+    )
+    want = [(i, d) for d, i in scored[:10]]
+    assert got == want
+
+
+def test_corrupt_vectors_get_null_codes(spark, model):
+    df = spark.createDataFrame(
+        [
+            (1, [0.1] * 64),
+            (2, None),
+            (3, [0.1] * 32),          # wrong dim
+            (4, [0.1] * 63 + [None]),  # NULL element
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["pq_codes"] for r in pq_encode(df, model).collect()}
+    assert got[1] is not None and len(got[1]) == 8
+    assert got[2] is None and got[3] is None and got[4] is None
+    # and topk skips them
+    assert {r["vec_id"] for r in
+            pq_topk(pq_encode(df, model), model, [0.1] * 64, k=9).collect()} == {1}
+
+
+def test_artifact_roundtrip(spark, model, tmp_path):
+    path = str(tmp_path / "pq")
+    save_pq(spark, model, path)
+    back = load_pq(spark, path)
+    assert back == model
+    # non-artifact fails loudly
+    spark.range(3).write.mode("overwrite").parquet(str(tmp_path / "junk"))
+    with pytest.raises(ValueError, match="not a PQ artifact"):
+        load_pq(spark, str(tmp_path / "junk"))
+
+
+def test_validation(emb, model):
+    with pytest.raises(ValueError, match="not divisible"):
+        fit_pq(emb, m=7)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_topk(pq_encode(emb, model), model, [0.1] * 32)
+
+
+def test_plan_is_map_only_scan_plus_takeordered(emb, model):
+    """The ADC scan touches (id, codes) only: no join, no exchange other
+    than TakeOrdered's reduction, codebook tables ride as literals."""
+    out = pq_topk(pq_encode(emb, model), model, [0.2] * 64, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
