@@ -810,3 +810,57 @@ def load_pq(spark, path: str) -> PQModel:
         )
         books.append([list(r["centroid"]) for r in sub])
     return PQModel(codebooks=books, scale=int(meta["pq_scale"]))
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    pq_model: PQModel,
+    query_vec: list,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """The composed 100 TB ANN shape — IVF routes, PQ scores: assign
+    rows to deterministic IVF cells, keep only the ``n_probe`` cells
+    nearest the query (at corpus scale: cell = partition column →
+    probing is partition PRUNING), then rank the survivors by the PQ
+    asymmetric distance over their codes (``pq_topk``'s map-only
+    element_at scan). ``n_probe >= n_clusters`` degrades exactly to
+    ``pq_topk`` over the whole corpus (pinned by test).
+
+    Input needs the raw vectors (for cell assignment — persist the cell
+    id instead at scale) and either precomputed ``codes_col`` or the
+    vectors to encode on the fly."""
+    cols = set(df.columns)
+    if codes_col not in cols:
+        df = pq_encode(df, pq_model, id_col=id_col, vec_col=vec_col,
+                       out_col=codes_col)
+    sample = [
+        [float(x) for x in r[0]]
+        for r in df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col).asc())
+        .limit(IVF_FIT_SAMPLE)
+        .collect()
+    ]
+    centroids = fit_ivf_centroids(sample, n_clusters, seed)
+    q = [float(x) for x in query_vec]
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda j: (
+            sum((a - b) * (a - b) for a, b in zip(centroids[j], q)),
+            j,
+        ),
+    )
+    probe = ranked[: max(1, n_probe)]
+    routed = df.filter(
+        _cell_expr(vec_col, centroids).isin([int(j) for j in probe])
+    )
+    return pq_topk(
+        routed, pq_model, query_vec, k=k, id_col=id_col,
+        codes_col=codes_col,
+    )

@@ -121,3 +121,30 @@ def test_plan_is_map_only_scan_plus_takeordered(emb, model):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivf_pq_full_probe_equals_pq(spark, emb, model):
+    """n_probe >= n_clusters degrades exactly to whole-corpus ADC."""
+    from mongo_arrow_spark.operators.similarity import ivf_pq_topk
+
+    query = [0.15] * 64
+    full = [(r["vec_id"], r["pq_dist"]) for r in
+            pq_topk(pq_encode(emb, model), model, query, k=8).collect()]
+    comp = [(r["vec_id"], r["pq_dist"]) for r in
+            ivf_pq_topk(emb, model, query, k=8, n_clusters=4,
+                        n_probe=4).collect()]
+    assert comp == full
+
+
+def test_ivf_pq_probe_subset_is_subset_of_corpus_scores(spark, emb, model):
+    """Probing fewer cells returns rows whose ADC distances appear in
+    the full ranking (routing only restricts candidates, never rescores)."""
+    from mongo_arrow_spark.operators.similarity import ivf_pq_topk
+
+    query = [0.15] * 64
+    full = {r["vec_id"]: r["pq_dist"] for r in
+            pq_topk(pq_encode(emb, model), model, query, k=500).collect()}
+    got = ivf_pq_topk(emb, model, query, k=8, n_clusters=8, n_probe=2).collect()
+    assert 0 < len(got) <= 8
+    for r in got:
+        assert full[r["vec_id"]] == r["pq_dist"]
