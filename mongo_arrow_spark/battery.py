@@ -304,6 +304,12 @@ _DEMOTED = [
     # shuffle order is the GRADED shuffle_corpus primitive; its own
     # one-task-cumsum oracle runs in tests/test_battery.py.
     "pack_shards",
+    # mix_interleave (r8 twelfth wave: stride-scheduled source
+    # interleave) parks by construction — the per-source row_number is
+    # cap_per_group's graded shape and the global order is the GRADED
+    # select_token_budget prefix machinery via assign_global_rank; its
+    # one-task-window oracle runs in tests/test_battery.py.
+    "mix_interleave",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

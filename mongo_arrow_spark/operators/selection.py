@@ -372,3 +372,67 @@ def assign_global_rank(
         )
         .drop("__pid", "__off")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    order_by: list | None = None,
+    rank_col: str = "train_order",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic stride-scheduled interleave of weighted sources
+    into ONE training order: source s with integer weight w_s emits its
+    i-th row (0-based, md5-shuffled within the source by default) at
+    virtual time ``vt = (i+1)·10^12 // w_s``, and the global order is
+    ascending vt (ties: source name, then position). Classic stride
+    scheduling — EVERY prefix of the schedule carries each source in
+    proportion w_s/Σw to within one row per source, unlike a global
+    hash shuffle of the mixed corpus whose local proportions are only
+    binomial. That local exactness is what curriculum/recipe replays
+    want: "2 parts web, 1 part code, everywhere in the stream".
+
+    Rows whose source is missing from ``weights`` are DROPPED (a
+    recipe is a whitelist; weight 0 would divide by zero anyway) —
+    mirror of ``mix_sources``. Weights must be positive ints (exact
+    integer vt; scale ratios up, e.g. {web: 2, code: 1}).
+
+    Plan: one hash-shuffle window per source for positions (the
+    ``cap_per_group`` shape), a map-only vt projection, then
+    ``assign_global_rank``'s distributed prefix rank over (vt, source,
+    pos) — no one-task window anywhere. Returns the input plus ``pos``
+    (within-source), ``vt``, and ``rank_col`` (1-based global order).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if int(w) < 1:
+            raise ValueError(f"weight for {s!r} must be a positive int")
+    stride = 10**12
+    src = F.col(source_col)
+    kept = df.filter(src.isin(list(weights)))
+    order = order_by or [
+        F.md5(F.concat(F.lit("interleave"), F.col(id_col).cast("string"))),
+        F.col(id_col).asc(),
+    ]
+    w_map = F.create_map(
+        *[x for s, w in weights.items() for x in (F.lit(s), F.lit(int(w)))]
+    )
+    pos_w = Window.partitionBy(source_col).orderBy(*order)
+    staged = (
+        kept.withColumn("pos", F.row_number().over(pos_w) - 1)
+        .withColumn("__w", w_map[src].cast("long"))
+        .withColumn(
+            "vt",
+            F.expr(f"((pos + 1) * CAST({stride} AS BIGINT)) div __w"),
+        )
+        .drop("__w")
+    )
+    return assign_global_rank(
+        staged,
+        [F.col("vt").asc(), src.asc(), F.col("pos").asc()],
+        rank_col=rank_col,
+        num_partitions=num_partitions,
+    )

@@ -592,3 +592,53 @@ def q_pack_shards(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = packing.assign_token_shards(docs, 5000, id_col="doc_id")
     return out.select("doc_id", "n_tokens", "shard").orderBy("doc_id")
+
+
+@query(
+    "mix_interleave",
+    """
+    WITH kept AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 1
+                         WHEN 'src2' THEN 2 END AS w
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ), pos AS (
+      SELECT doc_id, source, w,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('interleave' || CAST(doc_id AS VARCHAR)),
+                        doc_id) - 1 AS pos
+      FROM kept
+    ), vt AS (
+      SELECT doc_id, source, pos,
+             ((pos + 1) * 1000000000000 // w)::BIGINT AS vt
+      FROM pos
+    )
+    SELECT doc_id, source, pos::BIGINT AS pos, vt,
+           row_number() OVER (ORDER BY vt, source, pos)::BIGINT
+             AS train_order
+    FROM vt ORDER BY doc_id
+    """,
+)
+def q_mix_interleave(spark, sf_dir):
+    """Stride-scheduled source interleave (r8 twelfth wave): three
+    domains at 3:1:2 into one deterministic training order where EVERY prefix carries
+    the recipe proportions to within one row per source (a hash shuffle
+    of the mixed corpus is only binomially local). The engine's global
+    order is the distributed prefix rank (never a one-task window); the
+    oracle is the naive one-task row_number over the identical integer
+    virtual times."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = selection.interleave_sources(
+        docs,
+        {"src0": 3, "src1": 1, "src2": 2},
+        source_col="source",
+        id_col="doc_id",
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("pos").cast("long").alias("pos"),
+        "vt",
+        "train_order",
+    ).orderBy("doc_id")

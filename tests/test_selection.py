@@ -447,3 +447,67 @@ def test_curriculum_rank_null_text_contract(spark):
     assert got == want
     # NULL-text row ranks FIRST under ASC with score -1
     assert (2, -1, 1) in got
+
+
+# --- stride-scheduled interleave (r8 twelfth wave) -------------------------
+
+
+def _interleave_input(spark):
+    rows = [(i, "a" if i % 6 < 3 else ("b" if i % 6 < 5 else "c"))
+            for i in range(120)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_interleave_prefix_proportions(spark):
+    """Stride scheduling's defining property: every schedule prefix
+    carries each source in proportion to its weight, within one row per
+    source (binomial local mix would wobble by O(sqrt(L)))."""
+    from mongo_arrow_spark.operators.selection import interleave_sources
+
+    df = _interleave_input(spark)
+    w = {"a": 3, "b": 2, "c": 1}
+    out = sorted(
+        [(r["train_order"], r["source"]) for r in
+         interleave_sources(df, w).collect()]
+    )
+    total_w = sum(w.values())
+    seen = {s: 0 for s in w}
+    for L, (_, s) in enumerate(out, start=1):
+        seen[s] += 1
+        for src, cnt in seen.items():
+            expected = L * w[src] / total_w
+            # within one emission interval of the ideal line
+            assert abs(cnt - expected) <= 1 + total_w / w[src]
+
+
+def test_interleave_partitioning_invariance_and_rank_dense(spark):
+    from mongo_arrow_spark.operators.selection import interleave_sources
+
+    df = _interleave_input(spark)
+    w = {"a": 2, "b": 1, "c": 1}
+    a = sorted(map(tuple, interleave_sources(df.repartition(1), w).collect()))
+    b = sorted(map(tuple, interleave_sources(df.repartition(13), w).collect()))
+    assert a == b
+    ranks = sorted(r["train_order"] for r in
+                   interleave_sources(df, w).collect())
+    assert ranks == list(range(1, 121))
+
+
+def test_interleave_unlisted_sources_dropped(spark):
+    from mongo_arrow_spark.operators.selection import interleave_sources
+
+    df = _interleave_input(spark)
+    out = interleave_sources(df, {"a": 1}).collect()
+    assert {r["source"] for r in out} == {"a"}
+    # and positions are dense within the source
+    assert sorted(r["pos"] for r in out) == list(range(len(out)))
+
+
+def test_interleave_validation(spark):
+    from mongo_arrow_spark.operators.selection import interleave_sources
+
+    df = _interleave_input(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        interleave_sources(df, {})
+    with pytest.raises(ValueError, match="positive int"):
+        interleave_sources(df, {"a": 0})
