@@ -310,6 +310,11 @@ _DEMOTED = [
     # select_token_budget prefix machinery via assign_global_rank; its
     # one-task-window oracle runs in tests/test_battery.py.
     "mix_interleave",
+    # corpus_diff (r8: snapshot added/removed/changed accounting) parks
+    # by construction — digest full-outer join + rollup, the shapes
+    # graded by q_setops_customers/corpus-card siblings; exact oracle in
+    # tests/test_battery.py.
+    "corpus_diff",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

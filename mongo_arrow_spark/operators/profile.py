@@ -328,3 +328,59 @@ def corpus_card(
         )
     )
     return agg.crossJoin(langs)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level diff between two corpus snapshots: one row per
+    status — ``added`` (id only in new), ``removed`` (id only in old),
+    ``changed`` (both, md5(text) differs — NULL text treated as its own
+    digest value, so NULL→text and text→NULL count as changes),
+    ``unchanged`` — with doc and token counts per side. The companion
+    to ``corpus_card`` (what IS a snapshot) and ``corpus_drift`` (how
+    the token distribution moved): what you read before promoting a
+    re-crawl, after an ingest-gate run, or to audit a curation change.
+
+    Plan: both sides reduce to (id, digest, n_tokens) projections, ONE
+    full-outer hash join on the id, then a 4-row aggregate — no
+    payloads shuffle beyond the 16-byte digests; at 100 TB this is the
+    cheapest exact statement of "what changed".
+    """
+    from mongo_arrow_spark.operators.text import token_count
+
+    def side(df, tag):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.md5(F.col(text_col)), F.lit("__null__")).alias(
+                f"dg_{tag}"
+            ),
+            F.coalesce(token_count(text_col).cast("long"), F.lit(0)).alias(
+                f"tok_{tag}"
+            ),
+        )
+
+    j = side(old, "old").join(side(new, "new"), "id", "full_outer")
+    status = (
+        F.when(F.col("dg_old").isNull(), F.lit("added"))
+        .when(F.col("dg_new").isNull(), F.lit("removed"))
+        .when(F.col("dg_old") != F.col("dg_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("status", status)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("tok_old", F.lit(0)))
+            .cast("long")
+            .alias("tokens_old"),
+            F.sum(F.coalesce("tok_new", F.lit(0)))
+            .cast("long")
+            .alias("tokens_new"),
+        )
+        .orderBy("status")
+    )

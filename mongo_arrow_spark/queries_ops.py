@@ -2073,3 +2073,54 @@ def q_sim_pq_topk(spark, sf_dir):
     model = sim.fit_pq(emb, m=8, codes=8, iters=1, dim=64)
     query = list(emb.orderBy("vec_id").first()["embedding"])
     return sim.pq_topk(sim.pq_encode(emb, model), model, query, k=10)
+
+
+@query(
+    "corpus_diff",
+    """
+    WITH o AS (
+      SELECT doc_id AS id,
+             COALESCE(md5(text), '__null__') AS dg_old,
+             COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS tok_old
+      FROM documents WHERE doc_id % 3 <> 0
+    ), n AS (
+      SELECT doc_id AS id,
+             COALESCE(md5(CASE WHEN doc_id % 5 = 0
+                              THEN text || ' EDITED' ELSE text END),
+                      '__null__') AS dg_new,
+             COALESCE(len(string_split(
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' EDITED'
+                      ELSE text END, ' ')), 0)::BIGINT AS tok_new
+      FROM documents WHERE doc_id % 7 <> 0
+    ), j AS (
+      SELECT COALESCE(o.id, n.id) AS id, dg_old, dg_new,
+             COALESCE(tok_old, 0) AS tok_old, COALESCE(tok_new, 0) AS tok_new
+      FROM o FULL OUTER JOIN n ON o.id = n.id
+    )
+    SELECT CASE WHEN dg_old IS NULL THEN 'added'
+                WHEN dg_new IS NULL THEN 'removed'
+                WHEN dg_old <> dg_new THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(tok_old)::BIGINT AS tokens_old,
+           SUM(tok_new)::BIGINT AS tokens_new
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff (r8): synthesize old/new corpus versions from the
+    documents table (old drops ids %3==0, new drops %7==0 and edits
+    %5==0), then one digest full-outer join + 4-row rollup — the exact
+    added/removed/changed/unchanged accounting read before promoting a
+    re-crawl. Payloads never shuffle; only 16-byte digests do."""
+    from mongo_arrow_spark.operators.profile import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" EDITED"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
