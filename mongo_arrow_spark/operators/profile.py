@@ -345,6 +345,12 @@ def snapshot_diff(
     the token distribution moved): what you read before promoting a
     re-crawl, after an ingest-gate run, or to audit a curation change.
 
+    Precondition: ids are UNIQUE within each snapshot (the corpus id
+    contract every op in this repo assumes; run ``exact_dedup`` on the
+    id first if a pre-dedup re-crawl may repeat them) — a duplicated id
+    multiplies through the full-outer join and inflates its status
+    counts by the duplication factor.
+
     Plan: both sides reduce to (id, digest, n_tokens) projections, ONE
     full-outer hash join on the id, then a 4-row aggregate — no
     payloads shuffle beyond the 16-byte digests; at 100 TB this is the

@@ -386,18 +386,23 @@ def interleave_sources(
     """Deterministic stride-scheduled interleave of weighted sources
     into ONE training order: source s with integer weight w_s emits its
     i-th row (0-based, md5-shuffled within the source by default) at
-    virtual time ``vt = (i+1)·10^12 // w_s``, and the global order is
-    ascending vt (ties: source name, then position). Classic stride
-    scheduling — EVERY prefix of the schedule carries each source in
-    proportion w_s/Σw to within one row per source, unlike a global
-    hash shuffle of the mixed corpus whose local proportions are only
-    binomial. That local exactness is what curriculum/recipe replays
-    want: "2 parts web, 1 part code, everywhere in the stream".
+    virtual time ``vt = (i+1)·(L // w_s)`` with ``L = lcm(weights)``,
+    and the global order is ascending vt (ties: source name, then
+    position). Classic stride scheduling — EVERY prefix of the schedule
+    carries each source in proportion w_s/Σw to within one row per
+    source, unlike a global hash shuffle of the mixed corpus whose
+    local proportions are only binomial. That local exactness is what
+    curriculum/recipe replays want: "2 parts web, 1 part code,
+    everywhere in the stream". The lcm stride keeps every ratio exact
+    with the SMALLEST integers (vt stays far inside int64 — a fixed
+    1e12 stride would overflow once a source passes ~9.2M rows).
 
     Rows whose source is missing from ``weights`` are DROPPED (a
     recipe is a whitelist; weight 0 would divide by zero anyway) —
-    mirror of ``mix_sources``. Weights must be positive ints (exact
-    integer vt; scale ratios up, e.g. {web: 2, code: 1}).
+    mirror of ``mix_sources``. Weights must be positive ints — floats
+    are rejected, not truncated (scale ratios up, e.g. {web: 2,
+    code: 1}). The input must not already carry ``pos``/``vt``/the
+    rank column (loud error — they are documented outputs).
 
     Plan: one hash-shuffle window per source for positions (the
     ``cap_per_group`` shape), a map-only vt projection, then
@@ -405,30 +410,39 @@ def interleave_sources(
     pos) — no one-task window anywhere. Returns the input plus ``pos``
     (within-source), ``vt``, and ``rank_col`` (1-based global order).
     """
+    import math as _math
+
     if not weights:
         raise ValueError("weights must be non-empty")
     for s, w in weights.items():
-        if int(w) < 1:
+        if not isinstance(w, int) or isinstance(w, bool) or w < 1:
             raise ValueError(f"weight for {s!r} must be a positive int")
-    stride = 10**12
+    taken = {"pos", "vt", rank_col} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"input already carries output column(s) {sorted(taken)}"
+        )
+    lcm = _math.lcm(*weights.values())
     src = F.col(source_col)
     kept = df.filter(src.isin(list(weights)))
     order = order_by or [
         F.md5(F.concat(F.lit("interleave"), F.col(id_col).cast("string"))),
         F.col(id_col).asc(),
     ]
-    w_map = F.create_map(
-        *[x for s, w in weights.items() for x in (F.lit(s), F.lit(int(w)))]
+    # per-source stride literals: L // w_s exactly (w_s divides L)
+    s_map = F.create_map(
+        *[
+            x
+            for s, w in weights.items()
+            for x in (F.lit(s), F.lit(lcm // int(w)))
+        ]
     )
     pos_w = Window.partitionBy(source_col).orderBy(*order)
     staged = (
         kept.withColumn("pos", F.row_number().over(pos_w) - 1)
-        .withColumn("__w", w_map[src].cast("long"))
-        .withColumn(
-            "vt",
-            F.expr(f"((pos + 1) * CAST({stride} AS BIGINT)) div __w"),
-        )
-        .drop("__w")
+        .withColumn("__s", s_map[src].cast("long"))
+        .withColumn("vt", (F.col("pos") + 1).cast("long") * F.col("__s"))
+        .drop("__s")
     )
     return assign_global_rank(
         staged,

@@ -641,9 +641,12 @@ def fit_pq(
     vector becomes ``m`` small code ids (here 8 bytes), queries scan
     codes against a per-query lookup table instead of raw vectors, and
     the standard composition is IVF (``fit_ivf_centroids``/``ivf_topk``
-    cell-routing) over PQ-encoded cells. ``dim`` pins the input width
-    (else inferred from the first valid row, the ``random_projection``
-    contract); it must divide into ``m`` equal subspaces.
+    cell-routing) over PQ-encoded cells. ``dim`` pins the input width;
+    when None it is inferred from the MIN-ID row with a fully valid
+    vector (deterministic, unlike a partition-order ``first()`` — but a
+    corrupt min-id row still wins, so pin ``dim`` explicitly for
+    corpora that may carry truncated vectors); it must divide into
+    ``m`` equal subspaces.
 
     Cost: ``m`` bounded kmeans fits, each ``iters`` partial-agg shuffles
     of k×(dsub+1) longs over ONE shared projected frame — the corpus is
@@ -653,10 +656,15 @@ def fit_pq(
 
     v = F.col(vec_col)
     if dim is None:
-        first = df.select(vec_col).filter(v.isNotNull()).first()
+        first = (
+            df.select(id_col, vec_col)
+            .filter(v.isNotNull() & F.forall(v, lambda x: x.isNotNull()))
+            .orderBy(F.col(id_col).asc())
+            .first()
+        )
         if first is None:
-            raise ValueError(f"no non-NULL {vec_col!r} rows to fit on")
-        dim = len(first[0])
+            raise ValueError(f"no valid {vec_col!r} rows to fit on")
+        dim = len(first[1])
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible into m={m} subspaces")
     dsub = dim // m
@@ -672,18 +680,27 @@ def fit_pq(
             for j in range(m)
         ],
     )
-    books = []
-    for j in range(m):
-        model = kmeans_fit(
-            base,
-            k=codes,
-            iters=iters,
-            id_col="__id",
-            vec_col=f"__s{j}",
-            scale=scale,
-        )
-        books.append(model.centroids)
-    return PQModel(codebooks=books, scale=scale)
+    from pyspark import StorageLevel
+
+    # persist the shared sliced frame ONCE: each subspace fit otherwise
+    # re-scans the raw corpus to materialize its own projection — m full
+    # scans where one suffices (the fit-stage persist discipline)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        books = []
+        for j in range(m):
+            model = kmeans_fit(
+                base,
+                k=codes,
+                iters=iters,
+                id_col="__id",
+                vec_col=f"__s{j}",
+                scale=scale,
+            )
+            books.append(model.centroids)
+        return PQModel(codebooks=books, scale=scale)
+    finally:
+        base.unpersist()
 
 
 def pq_encode(
@@ -801,6 +818,8 @@ def load_pq(spark, path: str) -> PQModel:
     if "pq_scale" not in meta:
         raise ValueError(f"{path} lacks pq_scale metadata")
     rows = df.collect()
+    if not rows:
+        raise ValueError(f"{path} is not a PQ artifact (empty)")
     m = max(r["subspace"] for r in rows) + 1
     books = []
     for j in range(m):
@@ -808,7 +827,13 @@ def load_pq(spark, path: str) -> PQModel:
             (r for r in rows if r["subspace"] == j),
             key=lambda r: r["code"],
         )
+        if not sub or [r["code"] for r in sub] != list(range(len(sub))):
+            raise ValueError(
+                f"{path} is not a PQ artifact (subspace {j} incomplete)"
+            )
         books.append([list(r["centroid"]) for r in sub])
+    if len({len(b) for b in books}) != 1:
+        raise ValueError(f"{path} is not a PQ artifact (uneven codebooks)")
     return PQModel(codebooks=books, scale=int(meta["pq_scale"]))
 
 
@@ -839,10 +864,17 @@ def ivf_pq_topk(
     if codes_col not in cols:
         df = pq_encode(df, pq_model, id_col=id_col, vec_col=vec_col,
                        out_col=codes_col)
+    v = F.col(vec_col)
     sample = [
         [float(x) for x in r[0]]
         for r in df.select(vec_col)
-        .filter(F.col(vec_col).isNotNull())
+        # full corrupt-vector contract: a NULL element would crash the
+        # float() pull, a wrong-dim row would silently skew the fit
+        .filter(
+            v.isNotNull()
+            & (F.size(v) == pq_model.dim)
+            & F.forall(v, lambda x: x.isNotNull())
+        )
         .orderBy(F.col(id_col).asc())
         .limit(IVF_FIT_SAMPLE)
         .collect()

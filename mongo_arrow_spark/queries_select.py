@@ -610,8 +610,10 @@ def q_pack_shards(spark, sf_dir):
                         doc_id) - 1 AS pos
       FROM kept
     ), vt AS (
+      -- stride = lcm(3,1,2)=6 over each weight: exact smallest-integer
+      -- virtual times (src0->2, src1->6, src2->3)
       SELECT doc_id, source, pos,
-             ((pos + 1) * 1000000000000 // w)::BIGINT AS vt
+             ((pos + 1) * (6 // w))::BIGINT AS vt
       FROM pos
     )
     SELECT doc_id, source, pos::BIGINT AS pos, vt,

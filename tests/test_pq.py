@@ -148,3 +148,52 @@ def test_ivf_pq_probe_subset_is_subset_of_corpus_scores(spark, emb, model):
     assert 0 < len(got) <= 8
     for r in got:
         assert full[r["vec_id"]] == r["pq_dist"]
+
+
+def test_fit_dim_inferred_from_min_id_not_partition_order(spark, emb):
+    """r8 review fix: dim inference is the min-id valid row, so results
+    are partitioning-independent even with corrupt rows present."""
+    from pyspark.sql import functions as F
+
+    corrupt = spark.createDataFrame(
+        [(10**9, [0.5] * 32)], "vec_id long, embedding array<float>"
+    )
+    df = emb.select("vec_id", "embedding").unionByName(corrupt)
+    a = fit_pq(df, m=8, codes=4, iters=1)
+    b = fit_pq(df.repartition(17), m=8, codes=4, iters=1)
+    assert a.codebooks == b.codebooks and a.dim == 64
+
+
+def test_ivf_pq_sample_tolerates_corrupt_rows(spark, emb, model):
+    """r8 review fix: a NULL-element / wrong-dim vector inside the IVF
+    fit sample window must not crash the driver pull."""
+    from mongo_arrow_spark.operators.similarity import ivf_pq_topk
+
+    bad = spark.createDataFrame(
+        [(-1, [0.1] * 63 + [None]), (-2, [0.2] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    df = emb.select("vec_id", "embedding").unionByName(bad)
+    got = ivf_pq_topk(df, model, [0.15] * 64, k=5, n_clusters=4,
+                      n_probe=4).collect()
+    assert len(got) == 5
+    assert all(r["vec_id"] >= 0 for r in got)
+
+
+def test_load_pq_rejects_empty_and_incomplete(spark, model, tmp_path):
+    import pyspark.sql.functions as F
+
+    # empty artifact with the right shape
+    p1 = str(tmp_path / "empty")
+    save_pq(spark, model, p1)
+    spark.read.parquet(p1).limit(0).write.mode("overwrite").parquet(p1 + "2")
+    with pytest.raises(ValueError, match="empty"):
+        load_pq(spark, p1 + "2")
+    # missing one subspace's rows
+    p2 = str(tmp_path / "partial")
+    save_pq(spark, model, p2)
+    spark.read.parquet(p2).filter(F.col("subspace") != 3).write.mode(
+        "overwrite"
+    ).parquet(p2 + "2")
+    with pytest.raises(ValueError, match="incomplete"):
+        load_pq(spark, p2 + "2")

@@ -511,3 +511,27 @@ def test_interleave_validation(spark):
         interleave_sources(df, {})
     with pytest.raises(ValueError, match="positive int"):
         interleave_sources(df, {"a": 0})
+
+
+def test_interleave_rejects_float_weights_and_collisions(spark):
+    """r8 review fix: float weights are rejected (not truncated) and
+    pre-existing pos/vt columns fail loudly instead of being clobbered."""
+    from mongo_arrow_spark.operators.selection import interleave_sources
+
+    df = _interleave_input(spark)
+    with pytest.raises(ValueError, match="positive int"):
+        interleave_sources(df, {"a": 2.7})
+    with pytest.raises(ValueError, match="already carries"):
+        interleave_sources(df.withColumn("vt", F.lit(1)), {"a": 1})
+
+
+def test_interleave_vt_is_smallest_exact_stride(spark):
+    """r8 review fix: vt = (pos+1)·(lcm//w) — smallest exact integers,
+    no 1e12 factor to overflow at large source sizes."""
+    from mongo_arrow_spark.operators.selection import interleave_sources
+
+    df = _interleave_input(spark)
+    out = interleave_sources(df, {"a": 3, "b": 2, "c": 1}).collect()
+    stride = {"a": 2, "b": 3, "c": 6}  # lcm(3,2,1)=6
+    for r in out:
+        assert r["vt"] == (r["pos"] + 1) * stride[r["source"]]
