@@ -9,6 +9,8 @@ import uuid
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
+
 from mongo_arrow_spark.streaming import (
     read_document_stream,
     running_totals_stateful,
@@ -229,3 +231,47 @@ def test_stream_reads_bson_and_gzip_arrivals(spark, tmp_path):
     name = f"t_{uuid.uuid4().hex[:8]}"
     out = _run_stream(spark, stream, name)
     assert sorted(r["k"] for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_pq_encode_streaming_parity(spark, tmp_path):
+    """pq_encode with a PREFIT model is a map-only literal projection —
+    append-legal, so it composes with readStream unchanged and a finite
+    replay equals the batch encoding row-for-row (the scorer-parity
+    contract: the model is driver state, nothing re-fits per batch)."""
+    import uuid as _uuid
+
+    from mongo_arrow_spark.operators.similarity import fit_pq, pq_encode
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    model = fit_pq(emb, m=8, codes=4, iters=1, dim=64)
+
+    d = tmp_path / "emb_stream"
+    d.mkdir()
+    rows = emb.select("vec_id", "embedding").limit(60).collect()
+    for b in range(3):  # three arrival files
+        with open(d / f"b{b}.jsonl", "w") as fh:
+            for r in rows[b * 20:(b + 1) * 20]:
+                fh.write(json.dumps(
+                    {"vec_id": r["vec_id"],
+                     "embedding": [float(x) for x in r["embedding"]]}
+                ) + "\n")
+    stream = read_document_stream(
+        spark, str(d), "vec_id bigint, embedding array<float>"
+    )
+    out = pq_encode(stream, model)
+    name = f"pq_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["vec_id"]: list(r["pq_codes"]) for r in spark.table(name).collect()}
+    batch_df = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows],
+        "vec_id long, embedding array<float>",
+    )
+    want = {r["vec_id"]: list(r["pq_codes"])
+            for r in pq_encode(batch_df, model).collect()}
+    assert got == want and len(got) == 60
