@@ -133,6 +133,13 @@ def curate(
     # sequence packing of the curated corpus (None disables)
     pack_seq_len: int | None = None,
     pack_streams: int = 16,
+    # per-stage attrition audit (None disables): pass a dict and curate
+    # fills it with {stage_name: surviving_row_count} after every stage
+    # that ran — "which stage dropped my documents". Each entry is one
+    # count() ACTION (materializes the plan up to that stage), so audit
+    # runs cost roughly stages × one pipeline pass; leave None in
+    # production and audit samples.
+    audit: dict | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the curated corpus (or, when
     ``chunk_size`` is set, the curated CHUNKS with ``chunk_id``/``n_tokens``
@@ -148,6 +155,12 @@ def curate(
     convergence checks — see dedup.connected_components), so calling this
     with ``jaccard_threshold`` set triggers those bounded actions.
     """
+    def _tap(name, frame):
+        if audit is not None:
+            audit[name] = frame.count()
+        return frame
+
+    _tap("input", df)
     # 1. quality gate — pure projection + filter, runs scan-side
     flagged = quality_ops.gopher_quality_flags(
         df,
@@ -158,18 +171,22 @@ def curate(
         min_mean_word_len=min_mean_word_len,
         max_symbol_word_ratio=max_symbol_word_ratio,
     )
-    kept = flagged.filter(F.col("q_keep")).select(df.columns)
+    kept = _tap("quality_gate", flagged.filter(F.col("q_keep")).select(df.columns))
 
     # 1b. boilerplate line strip — line-level repetition (nav menus,
     # banners) removed BEFORE dedup so identical bodies wrapped in
     # different chrome still collide
     if boilerplate_min_df is not None:
-        kept = quality_ops.strip_boilerplate_lines(
-            kept, id_col=id_col, text_col=text_col, min_df=boilerplate_min_df
+        kept = _tap(
+            "boilerplate_strip",
+            quality_ops.strip_boilerplate_lines(
+                kept, id_col=id_col, text_col=text_col,
+                min_df=boilerplate_min_df,
+            ),
         )
 
     # 2. exact dedup — digest+id shuffle only
-    kept = dedup_ops.exact_dedup(kept, id_col, text_col)
+    kept = _tap("exact_dedup", dedup_ops.exact_dedup(kept, id_col, text_col))
 
     # 2b. standing-corpus Bloom gate — drop rows whose payload already
     # exists in a PREVIOUS corpus (index built once via
@@ -186,19 +203,24 @@ def curate(
             num_bits=bloom_num_bits,
             num_hashes=bloom_num_hashes,
         )
-        kept = kept.filter(~F.col("maybe_member")).drop("maybe_member")
+        kept = _tap(
+            "bloom_gate", kept.filter(~F.col("maybe_member")).drop("maybe_member")
+        )
 
     # 2c. cross-corpus paragraph dedup — first-occurrence winners over
     # md5 digests (partial-agg min-struct, survivors-only reassembly);
     # documents whose every paragraph already appeared elsewhere drop out
     if paragraph_dedup:
-        kept = dedup_ops.dedup_paragraphs(
-            kept,
-            id_col=id_col,
-            text_col=text_col,
-            sep=paragraph_sep,
-            join_sep=paragraph_join_sep,
-            normalized=paragraph_normalized,
+        kept = _tap(
+            "paragraph_dedup",
+            dedup_ops.dedup_paragraphs(
+                kept,
+                id_col=id_col,
+                text_col=text_col,
+                sep=paragraph_sep,
+                join_sep=paragraph_join_sep,
+                normalized=paragraph_normalized,
+            ),
         )
 
     # 3. fuzzy dedup — candidate pairs → components → min-id survivors
@@ -227,15 +249,18 @@ def curate(
                 f"got {fuzzy_candidates!r}"
             )
         comps = dedup_ops.connected_components(pairs)
-        kept = dedup_ops.dedup_survivors(kept, comps, id_col)
+        kept = _tap("fuzzy_dedup", dedup_ops.dedup_survivors(kept, comps, id_col))
 
     # 3b. duplicate-substring stripping — removes boilerplate repeated
     # across surviving docs (doc-level dedup can't see sub-document
     # repetition); one digest-count shuffle + per-doc islands window
     if strip_spans_k is not None:
-        kept = dedup_ops.strip_duplicate_spans(
-            kept, id_col=id_col, text_col=text_col, k=strip_spans_k,
-            max_df=max_df,
+        kept = _tap(
+            "strip_spans",
+            dedup_ops.strip_duplicate_spans(
+                kept, id_col=id_col, text_col=text_col, k=strip_spans_k,
+                max_df=max_df,
+            ),
         )
 
     # 3c. semantic dedup — near-identical meaning under different surface
@@ -255,18 +280,21 @@ def curate(
         )
         # anti-join on the doomed side: docs without an embedding pass
         # through (a semi-join on survivors would silently drop them)
-        kept = kept.join(doomed, id_col, "left_anti")
+        kept = _tap("semantic_dedup", kept.join(doomed, id_col, "left_anti"))
 
     # 4. decontamination — drop train docs near-matching any holdout doc
     if holdout is not None:
-        kept = dedup_ops.decontaminate(
-            kept,
-            holdout,
-            id_col=id_col,
-            text_col=text_col,
-            n=jaccard_n,
-            threshold=decontaminate_threshold,
-            max_df=max_df,
+        kept = _tap(
+            "decontaminate",
+            dedup_ops.decontaminate(
+                kept,
+                holdout,
+                id_col=id_col,
+                text_col=text_col,
+                n=jaccard_n,
+                threshold=decontaminate_threshold,
+                max_df=max_df,
+            ),
         )
 
     # 4b. model-based selection — supervised NB gate and/or DSIR
@@ -287,6 +315,8 @@ def curate(
         id_col=id_col,
         text_col=text_col,
     )
+    if nb_model is not None or dsir_model is not None or lm_model is not None:
+        _tap("model_select", kept)
 
     # 4c. per-group cap — one hash shuffle on the group key; best
     # (longest) docs survive, ties broken by id for determinism
@@ -301,6 +331,7 @@ def curate(
             ],
             id_col=id_col,
         )
+        _tap("group_cap", kept)
 
     # 4d. token-budget cut — the final size gate: rank survivors by
     # stopword hits (integer, deterministic) and keep the prefix whose
@@ -322,6 +353,7 @@ def curate(
             text_col=text_col,
             id_col=id_col,
         ).drop("__budget_score", "n_tokens", "cum_tokens")
+        _tap("token_budget", kept)
 
     # 4e. domain mixing — rebalance the survivors to target proportions:
     # "downsample" filters (corpus never shuffles, scarcest domain kept
@@ -342,6 +374,7 @@ def curate(
             raise ValueError(
                 f"mix_mode must be 'downsample' or 'upsample', got {mix_mode!r}"
             )
+        _tap("mix", kept)
 
     # 5. PII redaction — regex projection
     if redact_pii:
@@ -362,7 +395,7 @@ def curate(
             chunk_size=chunk_size,
             stride=stride or chunk_size,
         )
-        kept = chunks.join(kept.select(id_col, *carry), id_col)
+        kept = _tap("chunk", chunks.join(kept.select(id_col, *carry), id_col))
 
     # 8. sequence packing — (stream, seq_id, seq_offset) assignment over
     # independent hash streams; the trainer-facing manifest columns ride
@@ -565,7 +598,7 @@ def ingest_gate(
             kept, text_col, min_tokens=min_tokens, max_tokens=max_tokens
         )
         kept = flagged.filter(F.col("q_keep")).select(batch.columns)
-    kept = dedup_ops.exact_dedup(kept, id_col, text_col)
+    kept = _tap("exact_dedup", dedup_ops.exact_dedup(kept, id_col, text_col))
     if bloom_index is not None:
         kept = membership_ops.probe_bloom(
             kept,
@@ -574,7 +607,9 @@ def ingest_gate(
             num_bits=bloom_num_bits,
             num_hashes=bloom_num_hashes,
         )
-        kept = kept.filter(~F.col("maybe_member")).drop("maybe_member")
+        kept = _tap(
+            "bloom_gate", kept.filter(~F.col("maybe_member")).drop("maybe_member")
+        )
     if lsh_index is not None:
         kept = dedup_ops.probe_neardup(
             kept, lsh_index, id_col, text_col, threshold=neardup_threshold
@@ -683,7 +718,9 @@ def curate_stream(
             num_bits=bloom_num_bits,
             num_hashes=bloom_num_hashes,
         )
-        kept = kept.filter(~F.col("maybe_member")).drop("maybe_member")
+        kept = _tap(
+            "bloom_gate", kept.filter(~F.col("maybe_member")).drop("maybe_member")
+        )
 
     if redact_pii:
         kept = kept.withColumn(text_col, quality_ops.pii_redact(text_col))

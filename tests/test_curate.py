@@ -728,3 +728,38 @@ def test_mix_stage_downsample_and_upsample(spark, docs):
             corpus, jaccard_threshold=None, redact_pii=False,
             mix_weights={"en": 1.0}, mix_key="lang", mix_mode="nope",
         )
+
+
+def test_audit_stage_counts(docs):
+    """Opt-in audit (r8 session 3): per-stage survivor counts land in
+    the caller's dict, monotone non-increasing through the filtering
+    stages, and the audited run returns the identical corpus."""
+    audit = {}
+    plain = curate(docs, jaccard_threshold=0.3, redact_pii=False)
+    audited = curate(docs, jaccard_threshold=0.3, redact_pii=False,
+                     audit=audit)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, audited.collect())
+    )
+    assert list(audit) == ["input", "quality_gate", "exact_dedup",
+                           "fuzzy_dedup"]
+    counts = list(audit.values())
+    assert counts == sorted(counts, reverse=True)
+    assert audit["fuzzy_dedup"] == plain.count()
+    # stages that didn't run leave no key
+    assert "bloom_gate" not in audit and "chunk" not in audit
+
+
+def test_audit_covers_optional_stages(docs):
+    audit = {}
+    curate(
+        docs,
+        jaccard_threshold=None,
+        cap_group_col=None,
+        token_budget=5000,
+        chunk_size=64,
+        redact_pii=False,
+        audit=audit,
+    ).count()
+    assert list(audit) == ["input", "quality_gate", "exact_dedup",
+                           "token_budget", "chunk"]
