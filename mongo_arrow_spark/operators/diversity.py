@@ -126,6 +126,20 @@ def _resolve_dim(q: DataFrame, dim: int | None) -> int:
     return int(sorted(rows, key=lambda r: (-r["n"], r["d"]))[0]["d"])
 
 
+def _exclude(cur: DataFrame, sel_ids: list) -> DataFrame:
+    """Drop already-selected ids. Small selections ride an isin literal
+    (no extra plan nodes); past 256 ids the literal list would bloat the
+    plan linearly in k·G, so a broadcast anti-join on a driver-built ids
+    frame takes over (same result, bounded plan)."""
+    if len(sel_ids) <= 256:
+        return cur.filter(~F.col("__id").isin(sel_ids))
+    spark = cur.sparkSession
+    ids = spark.createDataFrame(
+        [(i,) for i in sel_ids], cur.select("__id").schema
+    )
+    return cur.join(F.broadcast(ids), "__id", "left_anti")
+
+
 def _md5_inverted(col: Column) -> Column:
     """Hex digest with digits order-reversed, so an argMAX over it is an
     argMIN over the digest — lets the seed ride the same max-gain step
@@ -229,9 +243,7 @@ def kcenter_select(
         if rank % rematerialize_every == 0:
             cur = cur.localCheckpoint(eager=True)
         sel_ids = [i for ids in selected.values() for i in ids]
-        picks = _argbest(
-            cur.filter(~F.col("__id").isin(sel_ids)), "__dmin", grouped
-        )
+        picks = _argbest(_exclude(cur, sel_ids), "__dmin", grouped)
         if not picks:
             break  # every group exhausted
         centers = {}
@@ -323,9 +335,7 @@ def mmr_select(
             - F.lit(mu).cast("long") * F.col("__smax")
         )
         picks = _argbest(
-            cur.filter(~F.col("__id").isin(sel_ids)).withColumn(
-                "__score", score
-            ),
+            _exclude(cur, sel_ids).withColumn("__score", score),
             "__score",
             False,
         )

@@ -376,3 +376,22 @@ def test_foreign_dim_group_absent_not_seed_only(spark):
     # explicit dim selects the other group deterministically
     got4 = kcenter_select(df, 3, group_col="grp", dim=4).collect()
     assert {r["grp"] for r in got4} == {"a"} and len(got4) == 3
+
+
+def test_exclusion_antijoin_path_matches_isin(spark):
+    """Past 256 selected ids the exclusion switches from an isin literal
+    to a broadcast anti-join — same semantics, bounded plan. Pin the two
+    paths equal by running a selection that crosses the threshold."""
+    from mongo_arrow_spark.operators import diversity as dv
+
+    rows = _rand_rows(21, 300)
+    df = _mk(spark, rows)
+    got = dv.kcenter_select(df, 280).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 280 and len(set(ids)) == 280
+    # prefix stability: the first picks of a smaller-k run are identical
+    # (greedy prefix property — independent of which exclusion path ran)
+    small = dv.kcenter_select(df, 10).collect()
+    by_rank_big = {r["sel_rank"]: r["vec_id"] for r in got}
+    for r in small:
+        assert by_rank_big[r["sel_rank"]] == r["vec_id"]
