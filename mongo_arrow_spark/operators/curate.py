@@ -598,7 +598,7 @@ def ingest_gate(
             kept, text_col, min_tokens=min_tokens, max_tokens=max_tokens
         )
         kept = flagged.filter(F.col("q_keep")).select(batch.columns)
-    kept = _tap("exact_dedup", dedup_ops.exact_dedup(kept, id_col, text_col))
+    kept = dedup_ops.exact_dedup(kept, id_col, text_col)
     if bloom_index is not None:
         kept = membership_ops.probe_bloom(
             kept,
@@ -607,9 +607,7 @@ def ingest_gate(
             num_bits=bloom_num_bits,
             num_hashes=bloom_num_hashes,
         )
-        kept = _tap(
-            "bloom_gate", kept.filter(~F.col("maybe_member")).drop("maybe_member")
-        )
+        kept = kept.filter(~F.col("maybe_member")).drop("maybe_member")
     if lsh_index is not None:
         kept = dedup_ops.probe_neardup(
             kept, lsh_index, id_col, text_col, threshold=neardup_threshold
@@ -718,9 +716,7 @@ def curate_stream(
             num_bits=bloom_num_bits,
             num_hashes=bloom_num_hashes,
         )
-        kept = _tap(
-            "bloom_gate", kept.filter(~F.col("maybe_member")).drop("maybe_member")
-        )
+        kept = kept.filter(~F.col("maybe_member")).drop("maybe_member")
 
     if redact_pii:
         kept = kept.withColumn(text_col, quality_ops.pii_redact(text_col))
