@@ -71,9 +71,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("pq top-5:", [(r["vec_id"], r["pq_dist"]) for r in adc])
 
     # 4. authority: canonical docs by centrality over near-dup pairs
-    pairs = dedup.banded_jaccard_pairs(docs.limit(200), threshold=0.2)
-    kept = dedup.centrality_survivors(docs.limit(200), pairs)
-    print(f"centrality survivors: {kept.count()} of 200")
+    # (a deterministic id-filtered sample — LIMIT without ORDER BY may
+    # resolve differently across jobs on a multi-partition source)
+    sample = docs.filter(F.col("doc_id") < 200)
+    pairs = dedup.banded_jaccard_pairs(sample, threshold=0.2)
+    kept = dedup.centrality_survivors(sample, pairs)
+    print(f"centrality survivors: {kept.count()} of {sample.count()}")
 
     # 5. trainer handoff: interleave two sources 2:1, shard by tokens
     two = docs.filter(F.col("source").isin("src0", "src1"))

@@ -160,6 +160,10 @@ def curate(
             audit[name] = frame.count()
         return frame
 
+    if audit is not None:
+        # reset: a reused dict would carry stage keys from a previous
+        # call and break the "no key == stage did not run" contract
+        audit.clear()
     _tap("input", df)
     # 1. quality gate — pure projection + filter, runs scan-side
     flagged = quality_ops.gopher_quality_flags(

@@ -380,18 +380,19 @@ def test_foreign_dim_group_absent_not_seed_only(spark):
 
 def test_exclusion_antijoin_path_matches_isin(spark):
     """Past 256 selected ids the exclusion switches from an isin literal
-    to a broadcast anti-join — same semantics, bounded plan. Pin the two
-    paths equal by running a selection that crosses the threshold."""
+    to a broadcast anti-join — pin the two paths row-identical directly
+    (running a 280-step greedy just to cross the threshold costs ~3 min;
+    the branch condition is len(sel_ids), nothing else)."""
     from mongo_arrow_spark.operators import diversity as dv
+    from mongo_arrow_spark.operators.diversity import _clean, _exclude
 
-    rows = _rand_rows(21, 300)
-    df = _mk(spark, rows)
-    got = dv.kcenter_select(df, 280).collect()
-    ids = [r["vec_id"] for r in got]
-    assert len(ids) == 280 and len(set(ids)) == 280
-    # prefix stability: the first picks of a smaller-k run are identical
-    # (greedy prefix property — independent of which exclusion path ran)
-    small = dv.kcenter_select(df, 10).collect()
-    by_rank_big = {r["sel_rank"]: r["vec_id"] for r in got}
-    for r in small:
-        assert by_rank_big[r["sel_rank"]] == r["vec_id"]
+    rows = _rand_rows(21, 400)
+    q = _clean(_mk(spark, rows), "vec_id", "embedding", 10_000, [])
+    sel = list(range(0, 300))  # > 256 -> anti-join branch
+    via_anti = {r["__id"] for r in _exclude(q, sel).collect()}
+    via_isin = {r["__id"] for r in
+                q.filter(~F.col("__id").isin(sel)).collect()}
+    assert via_anti == via_isin == set(range(300, 400))
+    # and the isin branch still serves small selections
+    small = {r["__id"] for r in _exclude(q, [0, 1]).collect()}
+    assert small == set(range(2, 400))

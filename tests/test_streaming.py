@@ -238,8 +238,6 @@ def test_pq_encode_streaming_parity(spark, tmp_path):
     append-legal, so it composes with readStream unchanged and a finite
     replay equals the batch encoding row-for-row (the scorer-parity
     contract: the model is driver state, nothing re-fits per batch)."""
-    import uuid as _uuid
-
     from mongo_arrow_spark.operators.similarity import fit_pq, pq_encode
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -259,14 +257,8 @@ def test_pq_encode_streaming_parity(spark, tmp_path):
         spark, str(d), "vec_id bigint, embedding array<float>"
     )
     out = pq_encode(stream, model)
-    name = f"pq_stream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    name = f"pq_stream_{uuid.uuid4().hex[:8]}"
+    _run_stream(spark, out, name)
     got = {r["vec_id"]: list(r["pq_codes"]) for r in spark.table(name).collect()}
     batch_df = spark.createDataFrame(
         [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows],
