@@ -1977,7 +1977,9 @@ def q_embed_project(spark, sf_dir):
     )
 
 
-def _pagerank_sql(iters: int = 3, d_num: int = 85, d_den: int = 100) -> str:
+def _pagerank_sql(
+    iters: int = 3, d_num: int = 85, d_den: int = 100, weighted: bool = False
+) -> str:
     """Unrolled integer-exact PageRank oracle (r8 ninth wave): the
     part→supplier graph from lineitem (suppliers offset out of the part
     id space), ``iters`` power iterations of the identical fixed-point
@@ -1986,14 +1988,26 @@ def _pagerank_sql(iters: int = 3, d_num: int = 85, d_den: int = 100) -> str:
     each iteration references its predecessor twice (mass join + carry),
     and inlined chains expand exponentially."""
     scale = 10**12
-    parts = [
+    e_cte = (
         """e AS MATERIALIZED (
-      SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000000 AS dst
+      SELECT l_partkey AS src, l_suppkey + 1000000000000 AS dst,
+             COUNT(*)::BIGINT AS w
       FROM lineitem
       WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
-    )""",
+      GROUP BY 1, 2
+    )"""
+        if weighted
+        else """e AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000000 AS dst,
+             1::BIGINT AS w
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    )"""
+    )
+    parts = [
+        e_cte,
         """dg AS MATERIALIZED (
-      SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+      SELECT src, SUM(w)::BIGINT AS deg FROM e GROUP BY src
     )""",
         """nodes AS MATERIALIZED (
       SELECT src AS node FROM e UNION SELECT dst FROM e
@@ -2010,7 +2024,7 @@ def _pagerank_sql(iters: int = 3, d_num: int = 85, d_den: int = 100) -> str:
     for i in range(1, iters + 1):
         parts.append(
             f"""i{i} AS MATERIALIZED (
-      SELECT e.dst, SUM(r.rank // d.deg) AS mass
+      SELECT e.dst, SUM((r.rank * e.w) // d.deg) AS mass
       FROM e JOIN dg d USING (src) JOIN r{i - 1} r ON r.node = e.src
       GROUP BY e.dst
     )"""
@@ -2124,3 +2138,25 @@ def q_corpus_diff(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     return snapshot_diff(old, new)
+
+
+@query("graph_pagerank_weighted", _pagerank_sql(3, weighted=True))
+def q_graph_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED integer-exact PageRank (r8): the same part→supplier
+    graph with edge weight = lineitem multiplicity, so a supplier that
+    ships a part often pulls proportionally more authority —
+    share(u→v) = (rank·w) div out-weight, exactly the unweighted
+    recurrence at w≡1. The oracle unrolls the identical weighted
+    iterations; hash-equality proves the weight dial end-to-end."""
+    from mongo_arrow_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(10**12)).alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    return (
+        pagerank(edges, iters=3, weight_col="w")
+        .select("node", "rank")
+        .orderBy("node")
+    )
