@@ -319,6 +319,9 @@ _DEMOTED = [
     # recurrence, w==1 reduction pinned by test_graph); oracle in
     # tests/test_battery.py.
     "graph_pagerank_weighted",
+    # graph_hits parks with its pagerank siblings (same loop machinery,
+    # bipartite hub/authority variant); oracle in tests/test_battery.py.
+    "graph_hits",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

@@ -179,3 +179,88 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return p
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999): hub and authority scores
+    over a directed edge table — the natural centrality for BIPARTITE
+    curation graphs (domains→documents, parts→suppliers, queries→docs):
+    a good hub points at good authorities and vice versa, mutually
+    reinforcing, where PageRank only measures inbound mass.
+
+    Each iteration: ``a'(v) = Σ_{u→v} h(u)`` then ``h'(u) = Σ_{u→v}
+    a'(v)``, each half renormalized to ``max = scale`` by a truncating
+    integer division (the classic ∞-norm variant; max is one bounded
+    1-row agg per half, the only driver coordination). All integer, so
+    results are bit-identical across engines/partitionings and a DuckDB
+    oracle unrolls the same halves (``graph_hits``). Same edge
+    contracts as ``pagerank``: NULL endpoints drop, duplicates
+    collapse; nodes with no outgoing edges have hub 0, no incoming →
+    authority 0. Returns ``(node, hub, authority)``.
+
+    Scale shape: two partial-aggregating shuffles per iteration over
+    the edge table plus a 1-row max agg per half; scores
+    localCheckpoint per round (the pagerank loop discipline; bucket the
+    edges for a zero-exchange join side at cluster scale).
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.withColumn("hub", F.lit(scale).cast("long"))
+    a = nodes.withColumn("auth", F.lit(0).cast("long"))
+    for _ in range(iters):
+        raw_a = (
+            e.join(h, e["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        a = _renorm(nodes, raw_a, "dst", "auth", scale)
+        raw_h = (
+            e.join(a, e["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        h = _renorm(nodes, raw_h, "src", "hub", scale)
+    return (
+        h.join(a.select(F.col("node").alias("__n"), "auth"),
+               h["node"] == F.col("__n"))
+        .select("node", "hub", F.col("auth").alias("authority"))
+    )
+
+
+def _renorm(nodes: DataFrame, raw: DataFrame, key: str, out: str, scale: int):
+    """∞-norm renormalization: score·scale div max — one bounded 1-row
+    agg, then a map-only projection; zero-sum frames stay all-zero."""
+    mx = raw.agg(F.max("s")).first()[0]
+    joined = nodes.join(raw, nodes["node"] == raw[key], "left")
+    if not mx:
+        return nodes.withColumn(out, F.lit(0).cast("long")).localCheckpoint(
+            eager=True
+        )
+    return (
+        joined.select(
+            "node",
+            F.expr(
+                f"(coalesce(s, CAST(0 AS BIGINT))"
+                f" * CAST({scale} AS BIGINT)) div CAST({mx} AS BIGINT)"
+            ).alias(out),
+        )
+        .localCheckpoint(eager=True)
+    )

@@ -2160,3 +2160,77 @@ def q_graph_pagerank_weighted(spark, sf_dir):
         .select("node", "rank")
         .orderBy("node")
     )
+
+
+def _hits_sql(iters: int = 3, scale: int = 10**6) -> str:
+    """Unrolled integer-exact HITS oracle: per half-iteration, the sum
+    over the joined side then an ∞-norm renormalization whose max is a
+    scalar subquery over the materialized raw CTE."""
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000000 AS dst
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    )""",
+        """nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    )""",
+        f"""h0 AS MATERIALIZED (
+      SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""ra{i} AS MATERIALIZED (
+      SELECT e.dst, SUM(h.hub) AS s
+      FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+    )"""
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT n.node,
+             CAST((COALESCE(r.s, 0) * {scale})
+                  // (SELECT MAX(s) FROM ra{i}) AS BIGINT) AS auth
+      FROM nodes n LEFT JOIN ra{i} r ON r.dst = n.node
+    )"""
+        )
+        parts.append(
+            f"""rh{i} AS MATERIALIZED (
+      SELECT e.src, SUM(a.auth) AS s
+      FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+    )"""
+        )
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+      SELECT n.node,
+             CAST((COALESCE(r.s, 0) * {scale})
+                  // (SELECT MAX(s) FROM rh{i}) AS BIGINT) AS hub
+      FROM nodes n LEFT JOIN rh{i} r ON r.src = n.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT h.node, h.hub, a.auth AS authority
+    FROM h{iters} h JOIN a{iters} a USING (node) ORDER BY node"""
+    )
+
+
+@query("graph_hits", _hits_sql(3))
+def q_graph_hits(spark, sf_dir):
+    """Integer-exact HITS (r8): hub/authority scores over the
+    part→supplier graph — the mutually-reinforcing centrality for
+    bipartite curation graphs (a good hub points at good authorities),
+    where PageRank only measures inbound mass. Two partial-agg shuffles
+    per iteration plus one bounded 1-row max agg per half (the ∞-norm
+    renormalization, truncating integer division both engines); the
+    oracle unrolls the identical halves."""
+    from mongo_arrow_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(10**12)).alias("dst"),
+    )
+    return hits(edges, iters=3).orderBy("node")

@@ -260,3 +260,64 @@ def test_centrality_survivors_accepts_precomputed_components(spark):
     assert a == b
     # chain 0-1-2: node 1 (the middle) is most central; 3 unpaired
     assert a == {1, 3, 4}
+
+
+# --- HITS (hubs & authorities) ---------------------------------------------
+
+
+def _py_hits(edges, iters=3, scale=10**6):
+    E = sorted({(a, b) for a, b in edges if a is not None and b is not None})
+    nodes = sorted({a for a, _ in E} | {b for _, b in E})
+    h = {v: scale for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        ra = {}
+        for u, v in E:
+            ra[v] = ra.get(v, 0) + h[u]
+        mx = max(ra.values()) if ra else 0
+        a = {v: (ra.get(v, 0) * scale) // mx if mx else 0 for v in nodes}
+        rh = {}
+        for u, v in E:
+            rh[u] = rh.get(u, 0) + a[v]
+        mx = max(rh.values()) if rh else 0
+        h = {v: (rh.get(v, 0) * scale) // mx if mx else 0 for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def test_hits_matches_python_replay(spark):
+    from mongo_arrow_spark.operators.graph import hits
+
+    import hashlib
+
+    def hsh(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+
+    edges = sorted({(hsh(i) % 25, 100 + hsh(i + 900) % 15) for i in range(90)})
+    got = {r["node"]: (r["hub"], r["authority"]) for r in
+           hits(_edges_df(spark, edges), iters=3).collect()}
+    assert got == _py_hits(edges, iters=3)
+
+
+def test_hits_bipartite_roles_and_invariance(spark):
+    """Pure bipartite graph: sources have authority 0, sinks hub 0; the
+    best-connected sink is the top authority. Partitioning-invariant."""
+    from mongo_arrow_spark.operators.graph import hits
+
+    edges = [(u, 100) for u in range(5)] + [(0, 101), (1, 101), (2, 102)]
+    got = {r["node"]: (r["hub"], r["authority"]) for r in
+           hits(_edges_df(spark, edges), iters=3).collect()}
+    assert all(got[u][1] == 0 for u in range(5))     # sources: no inbound
+    assert all(got[s][0] == 0 for s in (100, 101, 102))  # sinks: no outbound
+    assert got[100][1] == max(v[1] for v in got.values())
+    b = {r["node"]: (r["hub"], r["authority"]) for r in
+         hits(_edges_df(spark, edges).repartition(7), iters=3).collect()}
+    assert b == got
+
+
+def test_hits_validation_and_empty(spark):
+    from mongo_arrow_spark.operators.graph import hits
+
+    with pytest.raises(ValueError, match="iters"):
+        hits(_edges_df(spark, [(1, 2)]), iters=-1)
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits(empty, iters=2).count() == 0
