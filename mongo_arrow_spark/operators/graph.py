@@ -208,6 +208,14 @@ def hits(
     the edge table plus a 1-row max agg per half; scores
     localCheckpoint per round (the pagerank loop discipline; bucket the
     edges for a zero-exchange join side at cluster scale).
+
+    int64 bound (mirror of ``pagerank``'s weight bound): the renorm
+    computes ``s · scale`` before the div, and ``s`` can reach
+    ``max_in_degree × scale`` — so ``max_degree × scale² `` must stay
+    under 2⁶³ (at the default ``scale=10**6``: degree ≲ 9.2×10⁶).
+    The bound is CHECKED at runtime from the max raw sum the renorm
+    already collects — a graph past it raises instead of silently
+    wrapping; lower ``scale`` to trade precision for degree headroom.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -247,8 +255,16 @@ def hits(
 
 def _renorm(nodes: DataFrame, raw: DataFrame, key: str, out: str, scale: int):
     """∞-norm renormalization: score·scale div max — one bounded 1-row
-    agg, then a map-only projection; zero-sum frames stay all-zero."""
+    agg, then a map-only projection; zero-sum frames stay all-zero.
+    Checked multiplication: every summand is ``s ≤ mx``, so
+    ``mx · scale`` fitting in int64 proves no projection overflows."""
     mx = raw.agg(F.max("s")).first()[0]
+    if mx is not None and int(mx) > (2**63 - 1) // scale:
+        raise ValueError(
+            f"renorm overflow: max raw score {mx} x scale {scale} exceeds "
+            "int64 — the graph's max degree is past scale's headroom "
+            "(see the hits() int64 bound note); lower scale"
+        )
     joined = nodes.join(raw, nodes["node"] == raw[key], "left")
     if not mx:
         return nodes.withColumn(out, F.lit(0).cast("long")).localCheckpoint(

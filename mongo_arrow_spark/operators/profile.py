@@ -270,24 +270,33 @@ def corpus_card(
     df: DataFrame,
     text_col: str = "text",
     lang_col: str | None = "lang",
+    exact: bool = True,
 ) -> DataFrame:
     """One-row dataset card for a document corpus — the summary a
     training-data pipeline publishes with every snapshot (Datasheets /
     Dolma-style): volume, length distribution, exact-duplication rate,
-    and language concentration. Everything is EXACT (no sketches), so
-    the card is oracle-gradeable and diffable across snapshots.
+    and language concentration. With ``exact=True`` every number is
+    exact (no sketches), so the card is oracle-gradeable and diffable
+    across snapshots.
 
     Columns: ``n_docs``, ``n_tokens``, ``n_chars``, ``mean_tokens``,
-    ``p50_tokens`` (exact median), ``exact_dup_fraction``
-    (1 − distinct md5(text)/docs), and — when ``lang_col`` is given —
-    ``n_langs``, ``top_lang``, ``top_lang_fraction``.
+    ``p50_tokens`` (median), ``exact_dup_fraction``
+    (1 − distinct md5(text)/docs; NULL texts count as ONE duplicate
+    class via a sentinel digest, the ``snapshot_diff`` convention — an
+    all-NULL corpus reports n−1 duplicates, not a spurious 1.0 — r8
+    advice), and — when ``lang_col`` is given — ``n_langs``,
+    ``top_lang``, ``top_lang_fraction``.
 
     Plan: ONE scan feeding a single global aggregate (count/sum/
     percentile/count_distinct partial-aggregate map-side; the exact
     distinct-digest count is the one real shuffle) plus, for the
     language mode, a lang-cardinality groupBy whose result is rows =
     languages. At 100 TB this is two aggregations over one read — never
-    a per-metric pass."""
+    a per-metric pass. Memory bound: the exact ``percentile`` buffers
+    every per-doc token count in one reducer (~8 bytes/doc — fine to
+    ~1 B docs, a single-task hazard beyond); pass ``exact=False`` for
+    ``percentile_approx`` (mergeable sketch, no single-task stage — the
+    100 TB dial, same as ``perplexity_buckets``)."""
     from mongo_arrow_spark.operators.text import token_count
 
     base = df.select(
@@ -296,15 +305,21 @@ def corpus_card(
         F.length(text_col).cast("long").alias("__nc"),
         *( [F.col(lang_col).alias("__lang")] if lang_col else [] ),
     )
+    p50 = (
+        F.expr("percentile(__nt, 0.5)")
+        if exact
+        else F.expr("percentile_approx(__nt, 0.5, 10000)")
+    )
     agg = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("__nt").cast("long").alias("n_tokens"),
         F.sum("__nc").cast("long").alias("n_chars"),
         (F.sum("__nt") / F.count(F.lit(1))).cast("double").alias("mean_tokens"),
-        F.expr("percentile(__nt, 0.5)").cast("double").alias("p50_tokens"),
+        p50.cast("double").alias("p50_tokens"),
         (
             1.0
-            - F.countDistinct(F.md5("__t")) / F.count(F.lit(1))
+            - F.countDistinct(F.coalesce(F.md5("__t"), F.lit("__null__")))
+            / F.count(F.lit(1))
         ).cast("double").alias("exact_dup_fraction"),
     )
     if not lang_col:

@@ -752,7 +752,13 @@ def pq_topk(
     ``element_at`` sum against plan literals feeding a TakeOrdered.
     Nothing decodes, nothing joins; the scan reads only (id, m codes).
     Ties break to min id. Returns ``(id, pq_dist)`` — the integer ADC
-    distance in quantized-space units (NULL-coded rows are skipped)."""
+    distance in quantized-space units. Corrupt code rows are skipped
+    entirely: NULL arrays, wrong length, NULL elements, or out-of-range
+    code ids (``pq_encode`` can emit only the first kind, but
+    ``ivf_pq_topk`` accepts caller-precomputed codes, and a corrupt row
+    would otherwise score a NULL distance that ``orderBy(asc)`` sorts
+    FIRST, displacing real neighbors — r8 advice). The order is
+    additionally ``asc_nulls_last`` as belt and braces."""
     if len(query_vec) != model.dim:
         raise ValueError(
             f"query dim {len(query_vec)} != model dim {model.dim}"
@@ -778,10 +784,17 @@ def pq_topk(
     for j, lit in enumerate(lits):
         term = F.element_at(lit, F.col(codes_col)[j] + 1)
         dist = term if dist is None else dist + term
+    n_codes = model.k
+    codes = F.col(codes_col)
+    valid = (
+        codes.isNotNull()
+        & (F.size(codes) == model.m)
+        & F.forall(codes, lambda c: c.isNotNull() & (c >= 0) & (c < n_codes))
+    )
     return (
-        df.filter(F.col(codes_col).isNotNull())
+        df.filter(valid)
         .select(F.col(id_col), dist.alias("pq_dist"))
-        .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+        .orderBy(F.col("pq_dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 

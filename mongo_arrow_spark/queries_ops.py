@@ -1778,7 +1778,10 @@ def q_dsir_resample(spark, sf_dir):
              ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 4) + 0.0
                AS mean_tokens,
              ROUND(quantile_cont(nt, 0.5), 4) + 0.0 AS p50_tokens,
-             ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 4)
+             -- NULL texts count as ONE duplicate class (sentinel
+             -- digest), mirroring the engine's snapshot_diff convention
+             ROUND(1.0 - COUNT(DISTINCT COALESCE(md5(text), '__null__'))
+                         * 1.0 / COUNT(*), 4)
                + 0.0 AS exact_dup_fraction
       FROM base),
     langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n

@@ -637,3 +637,80 @@ def test_apply_bucket_ratios_zero_gram_doc_stays_eligible(spark):
     assert by_id[3] != 0.0
     samp = quality.importance_resample(batch, None, k=2, model=model)
     assert {r["doc_id"] for r in samp.collect()} == {3, 4}
+
+
+# ------------------------------------------------- r9 ADVICE regressions
+
+
+def test_pq_topk_skips_corrupt_code_rows(spark):
+    """r9 ADVICE fix: caller-supplied code arrays with NULL elements,
+    out-of-range code ids, or the wrong length must be SKIPPED, not
+    scored to a NULL distance that asc-sorts ahead of real neighbors."""
+    from mongo_arrow_spark.operators.similarity import PQModel, pq_topk
+
+    model = PQModel(codebooks=[[[0, 0], [10_000, 10_000]]], scale=10_000)
+    rows = [
+        (1, [0]),       # valid: dist 0 to query (0,0)
+        (2, [1]),       # valid: dist 2e8
+        (3, [None]),    # NULL element
+        (4, [5]),       # out-of-range code id
+        (5, [0, 1]),    # wrong length (m=1)
+        (6, None),      # NULL array
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, pq_codes array<int>")
+    got = pq_topk(df, model, [0.0, 0.0], k=10).collect()
+    assert [r["vec_id"] for r in got] == [1, 2]
+    assert got[0]["pq_dist"] == 0
+    assert got[1]["pq_dist"] == 2 * 10_000 * 10_000
+
+
+def test_corpus_card_null_text_one_duplicate_class(spark):
+    """r9 ADVICE fix: NULL texts form ONE duplicate class via a sentinel
+    digest — an all-NULL corpus reports (n-1)/n duplication, never a
+    spurious 1.0, and n_docs still counts every row."""
+    from mongo_arrow_spark.operators.profile import corpus_card
+
+    all_null = spark.createDataFrame(
+        [(i, None) for i in range(4)], "doc_id long, text string"
+    )
+    card = corpus_card(all_null, lang_col=None).first()
+    assert card["n_docs"] == 4
+    assert abs(card["exact_dup_fraction"] - 3 / 4) < 1e-12
+    mixed = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")],
+        "doc_id long, text string",
+    )
+    card = corpus_card(mixed, lang_col=None).first()
+    # distinct classes: {a}, {b}, {NULL} -> 1 - 3/5
+    assert abs(card["exact_dup_fraction"] - (1 - 3 / 5)) < 1e-12
+
+
+def test_corpus_card_approx_percentile_path(spark):
+    """r9 ADVICE fix: exact=False swaps the single-reducer exact median
+    for the mergeable percentile_approx sketch; on a small odd-count
+    frame the two agree exactly (approx returns a data value)."""
+    from mongo_arrow_spark.operators.profile import corpus_card
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i + 1)) for i in range(9)], "doc_id long, text string"
+    )
+    exact = corpus_card(docs, lang_col=None).first()
+    approx = corpus_card(docs, lang_col=None, exact=False).first()
+    assert approx["p50_tokens"] == exact["p50_tokens"]
+    assert approx["n_tokens"] == exact["n_tokens"]
+
+
+def test_hits_renorm_overflow_guard(spark):
+    """r9 ADVICE fix: the ∞-norm renorm's s*scale product is CHECKED —
+    a max raw sum past int64/scale raises instead of silently wrapping
+    (in-degree 2 at scale 4e9 -> s = 8e9 > (2^63-1)/4e9 ≈ 2.3e9)."""
+    from mongo_arrow_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="renorm overflow"):
+        hits(edges, iters=1, scale=4 * 10**9)
+    # and the documented-default regime still works
+    out = hits(edges, iters=1).collect()
+    assert {r["node"] for r in out} == {1, 2, 3}
