@@ -65,6 +65,14 @@ REPRESENTATIVES = [
     "text_ppl_buckets",
     # r8 sixth wave: cross-corpus paragraph dedup (graded rotation)
     "dedup_paragraphs",
+    # r9 rotation: the session-3 flagship families (r8 verdict item #1)
+    "select_kcenter",
+    "select_mmr",
+    "graph_pagerank",
+    "pack_shards",
+    "mix_interleave",
+    "corpus_diff",
+    "cluster_kmeans",
 ]
 
 
