@@ -877,22 +877,52 @@ def ivf_pq_topk(
     if codes_col not in cols:
         df = pq_encode(df, pq_model, id_col=id_col, vec_col=vec_col,
                        out_col=codes_col)
+    centroids = _fit_ivf_from_df(
+        df, n_clusters, seed, id_col, vec_col, pq_model.dim
+    )
+    probe = _probe_cells(centroids, query_vec, n_probe)
+    routed = df.filter(
+        _cell_expr(vec_col, centroids).isin([int(j) for j in probe])
+    )
+    return pq_topk(
+        routed, pq_model, query_vec, k=k, id_col=id_col,
+        codes_col=codes_col,
+    )
+
+
+def _fit_ivf_from_df(
+    df: DataFrame,
+    n_clusters: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> list[list[float]]:
+    """Deterministic IVF fit from an ids-sorted driver sample — shared
+    by the in-plan ``ivf_pq_topk`` and the persisted
+    ``build_ivf_pq_index`` so both derive IDENTICAL cells (the artifact
+    round-trip parity contract). Full corrupt-vector filter: a NULL
+    element would crash the float() pull, a wrong-dim row would
+    silently skew the fit."""
     v = F.col(vec_col)
     sample = [
         [float(x) for x in r[0]]
         for r in df.select(vec_col)
-        # full corrupt-vector contract: a NULL element would crash the
-        # float() pull, a wrong-dim row would silently skew the fit
         .filter(
             v.isNotNull()
-            & (F.size(v) == pq_model.dim)
+            & (F.size(v) == dim)
             & F.forall(v, lambda x: x.isNotNull())
         )
         .orderBy(F.col(id_col).asc())
         .limit(IVF_FIT_SAMPLE)
         .collect()
     ]
-    centroids = fit_ivf_centroids(sample, n_clusters, seed)
+    return fit_ivf_centroids(sample, n_clusters, seed)
+
+
+def _probe_cells(
+    centroids: list[list[float]], query_vec: list, n_probe: int
+) -> list[int]:
     q = [float(x) for x in query_vec]
     ranked = sorted(
         range(len(centroids)),
@@ -901,11 +931,95 @@ def ivf_pq_topk(
             j,
         ),
     )
-    probe = ranked[: max(1, n_probe)]
-    routed = df.filter(
-        _cell_expr(vec_col, centroids).isin([int(j) for j in probe])
+    return [int(j) for j in ranked[: max(1, n_probe)]]
+
+
+def build_ivf_pq_index(
+    df: DataFrame,
+    path: str,
+    pq_model: PQModel,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> None:
+    """Persist the IVF×PQ index with the cell id as a HIVE PARTITION
+    column (r8 verdict item #3) — the persisted form of Atlas
+    ``$vectorSearch``'s index (reference: the whole point of
+    ``numCandidates`` routing): cell assignment and PQ encoding run
+    ONCE at build time, and every later query reads only its
+    ``n_probe`` cell DIRECTORIES — probing is partition pruning against
+    the listing, not a filter over a full scan (``ivf_pq_index_topk``;
+    the ``build_ann_index`` / ``pack_shards`` layout precedent).
+
+    Layout: ``path/__cell=J/…`` parquet carrying ONLY ``(id, codes)``
+    — 8 small ints per row at the default m=8, never the raw vectors —
+    plus ``path/_pq/`` (the ``save_pq`` artifact, hidden from Spark's
+    listing by the ``_`` prefix) and ``path/_ivf_pq_index.json``
+    recording centroids/params. Centroids are ``n_clusters × dim``
+    floats — driver/manifest-sized. Rows with corrupt vectors (NULL /
+    NULL element / wrong dim) get NULL cell AND NULL codes; they land
+    in the hive default partition, are never probed, and ``pq_topk``
+    would skip them anyway."""
+    import json
+    import os
+
+    centroids = _fit_ivf_from_df(
+        df, n_clusters, seed, id_col, vec_col, pq_model.dim
     )
+    encoded = pq_encode(
+        df, pq_model, id_col=id_col, vec_col=vec_col, out_col=codes_col
+    )
+    (
+        encoded.withColumn("__cell", _cell_expr(vec_col, centroids))
+        .select(id_col, codes_col, "__cell")
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(path)
+    )
+    save_pq(df.sparkSession, pq_model, os.path.join(path, "_pq"))
+    with open(os.path.join(path, "_ivf_pq_index.json"), "w") as fh:
+        json.dump(
+            {
+                "n_clusters": n_clusters,
+                "seed": seed,
+                "id_col": id_col,
+                "codes_col": codes_col,
+                "centroids": centroids,
+            },
+            fh,
+        )
+
+
+def ivf_pq_index_topk(
+    spark,
+    path: str,
+    query_vec: list,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Top-k over a ``build_ivf_pq_index`` directory: rank the manifest
+    centroids against the query ON THE DRIVER, read ONLY the winning
+    ``n_probe`` cell directories (``__cell`` is a partition column, so
+    the ``isin`` prunes against the listing — PartitionFilters in the
+    scan node, non-probed directories never opened), and run
+    ``pq_topk``'s join-free ADC scan over their ``(id, codes)`` rows.
+    Bit-identical to the in-plan ``ivf_pq_topk`` built with the same
+    model/params (pinned by the round-trip test)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_pq_index.json")) as fh:
+        meta = json.load(fh)
+    model = load_pq(spark, os.path.join(path, "_pq"))
+    probe = _probe_cells(meta["centroids"], query_vec, n_probe)
+    routed = spark.read.parquet(path).filter(F.col("__cell").isin(probe))
     return pq_topk(
-        routed, pq_model, query_vec, k=k, id_col=id_col,
-        codes_col=codes_col,
+        routed,
+        model,
+        query_vec,
+        k=k,
+        id_col=meta["id_col"],
+        codes_col=meta["codes_col"],
     )

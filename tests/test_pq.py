@@ -197,3 +197,83 @@ def test_load_pq_rejects_empty_and_incomplete(spark, model, tmp_path):
     ).parquet(p2 + "2")
     with pytest.raises(ValueError, match="incomplete"):
         load_pq(spark, p2 + "2")
+
+
+# --------------------------------------- persisted IVF×PQ index (r9)
+
+
+def test_ivf_pq_index_roundtrip_bit_exact(spark, emb, model, tmp_path):
+    """r8 verdict item #3: probing the PERSISTED index returns the
+    in-memory ivf_pq_topk result bit-for-bit (same model, n_clusters,
+    seed → identical cells, codes, and ADC distances)."""
+    from mongo_arrow_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+        ivf_pq_topk,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(emb, path, model, n_clusters=8, seed=42)
+    query = [0.15] * 64
+    for n_probe in (1, 2, 8):
+        mem = [
+            (r["vec_id"], r["pq_dist"])
+            for r in ivf_pq_topk(
+                emb, model, query, k=8, n_clusters=8, n_probe=n_probe
+            ).collect()
+        ]
+        idx = [
+            (r["vec_id"], r["pq_dist"])
+            for r in ivf_pq_index_topk(
+                spark, path, query, k=8, n_probe=n_probe
+            ).collect()
+        ]
+        assert idx == mem, f"n_probe={n_probe}"
+
+
+def test_ivf_pq_index_probe_is_partition_pruning(spark, emb, model, tmp_path):
+    """The probe must reach the scan as a PARTITION filter over
+    ``__cell`` (directories, not rows), and the scan reads only
+    (id, codes) — no vectors in the ReadSchema."""
+    from mongo_arrow_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(emb, path, model, n_clusters=8, seed=42)
+    out = ivf_pq_index_topk(spark, path, [0.15] * 64, k=8, n_probe=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "__cell" in seg
+    assert "embedding" not in plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivf_pq_index_corrupt_rows_parked_not_probed(spark, emb, model, tmp_path):
+    """Corrupt vectors land in the hive default partition with NULL
+    codes; probes never read them and results match the clean corpus."""
+    import os
+
+    from mongo_arrow_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+    )
+
+    bad = spark.createDataFrame(
+        [(990001, None), (990002, [0.1] * 3)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        emb.select("vec_id", "embedding").unionByName(bad),
+        path, model, n_clusters=8, seed=42,
+    )
+    assert any(
+        "__HIVE_DEFAULT_PARTITION__" in d for d in os.listdir(path)
+    )
+    got = ivf_pq_index_topk(spark, path, [0.15] * 64, k=8, n_probe=8).collect()
+    ids = {r["vec_id"] for r in got}
+    assert ids.isdisjoint({990001, 990002}) and len(got) == 8
