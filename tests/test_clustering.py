@@ -325,3 +325,25 @@ def test_random_projection_explicit_dim_pins_corrupt_corpora(spark):
         }
         assert got[2] is None
         assert got[1] is not None and got[1] == got[3]
+
+
+def test_literal_codebook_bound_is_loud(spark):
+    """r8 verdict "what's wrong #2": a k=4096 x d=768 flat codebook
+    would stall codegen for minutes — kmeans_assign/pq_encode must
+    refuse past the documented literal-cell bound with a pointer to
+    the IVF/PQ decomposition."""
+    import pytest as _pytest
+
+    from mongo_arrow_spark.operators.clustering import (
+        KMeansModel,
+        kmeans_assign,
+    )
+
+    big = KMeansModel(
+        centroids=[[0] * 768] * 4096, scale=10_000, iters=0
+    )
+    df = spark.createDataFrame(
+        [(1, [0.0] * 768)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="literal-compile bound"):
+        kmeans_assign(df, big).collect()
