@@ -79,7 +79,7 @@ def main() -> None:
     # ---- the same flow as ONE product operator (r8) ----------------
     from mongo_arrow_spark.operators.curate import ingest_gate
 
-    accepted2, grown2 = ingest_gate(
+    accepted2, grown2, _pars2 = ingest_gate(
         batch,
         bloom_index=bloom_idx,
         bloom_num_bits=1 << 20,

@@ -485,7 +485,7 @@ def test_ingest_gate_all_stages(spark, docs):
     nb = quality.fit_token_logodds(
         docs.withColumn("pos", F.col("doc_id") % 3 == 0), "pos"
     )
-    accepted, updated = ingest_gate(
+    accepted, updated, _pars = ingest_gate(
         batch,
         bloom_index=bloom,
         bloom_num_bits=1 << 20,
@@ -509,8 +509,8 @@ def test_ingest_gate_no_artifacts_is_exact_dedup_plus_quality(spark, docs):
     from mongo_arrow_spark.operators.curate import ingest_gate
 
     batch = docs.limit(100)
-    accepted, updated = ingest_gate(batch)
-    assert updated is None
+    accepted, updated, updated_pars = ingest_gate(batch)
+    assert updated is None and updated_pars is None
     want = dedup.exact_dedup(
         curate(batch, jaccard_threshold=None, redact_pii=False)
         .drop("split"),
@@ -763,3 +763,42 @@ def test_audit_covers_optional_stages(docs):
     ).count()
     assert list(audit) == ["input", "quality_gate", "exact_dedup",
                            "token_budget", "chunk"]
+
+
+def test_ingest_gate_paragraph_stage_batchwise_equals_global(spark):
+    """r8 verdict item #5: the standing paragraph index behind the one
+    ingest_gate call — batch-by-batch gating + returned-index updates
+    equals one global dedup_paragraphs when batches arrive in id order
+    (the test_paragraph_dedup equivalence, composed through the door),
+    and the index grows by exactly the admitted digests."""
+    from mongo_arrow_spark.operators.curate import ingest_gate
+    from mongo_arrow_spark.operators.dedup import (
+        build_paragraph_index,
+        dedup_paragraphs,
+    )
+
+    rows = [
+        (1, "aa bb\n\nshared one\n\nuniq c1"),
+        (2, "shared one\n\ndd ee"),
+        (3, "ff gg\n\nshared two\n\nuniq c3"),
+        (4, "shared two\n\nshared one\n\nuniq c4"),
+        (5, "shared one\n\nuniq c5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (r["doc_id"], r["text"]) for r in dedup_paragraphs(df).collect()
+    }
+
+    idx = build_paragraph_index(df.limit(0))  # empty standing index
+    got = set()
+    for lo, hi in ((1, 2), (3, 5)):
+        batch = df.filter(F.col("doc_id").between(lo, hi))
+        accepted, _lsh, idx = ingest_gate(
+            batch, paragraph_index=idx, min_tokens=None
+        )
+        before = {r["digest"] for r in idx.collect()}
+        got |= {(r["doc_id"], r["text"]) for r in accepted.collect()}
+        assert {r["digest"] for r in idx.collect()} == before  # stable
+    assert got == want
+    # the final index holds every distinct paragraph of the corpus
+    assert idx.count() == build_paragraph_index(df).count()
