@@ -330,6 +330,12 @@ _DEMOTED = [
     # graph_hits parks with its pagerank siblings (same loop machinery,
     # bipartite hub/authority variant); oracle in tests/test_battery.py.
     "graph_hits",
+    # r9: tokenizer-true packing composition parks by construction — its
+    # prefix-sum cut and stream-offset windows are the GRADED
+    # select_token_budget / pack_sequences shapes, now re-proved over
+    # exact BPE counts (artifact-fed oracle; the BPE fit/apply itself is
+    # bit-exact-pinned in tests/test_tokenizer.py).
+    "tok_pack_pipeline",
 ]
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {

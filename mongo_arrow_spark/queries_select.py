@@ -14,8 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mongo_arrow_spark.operators import packing as packing_ops
 from mongo_arrow_spark.operators import selection, tokenizer
 from mongo_arrow_spark.queries import _t, query
+from mongo_arrow_spark.queries_ops import _md5_bucket_sql
 
 # integer "englishness" score: exact in both engines, no float-ordering
 # hazard in the total order the budget cut ranks by
@@ -165,6 +167,118 @@ def q_budget_per_group(spark, sf_dir):
     return out.select(
         "doc_id", "lang", "sw", "n_tokens", "cum_tokens"
     ).orderBy("lang", "doc_id")
+
+
+# tokenizer-true packing (r9): the oracle can't recompute BPE (iterative
+# merge loop), but BPE counts are DETERMINISTIC given the fit — so the
+# engine materializes its counts as a parquet artifact at a FIXED path
+# and BOTH engines derive the downstream (budget cut → packing) from the
+# identical bytes. The artifact is rewritten on every query invocation
+# (the oracle string is static, so the path can't carry an sf tag), and
+# the harness always runs the Spark query before its oracle — the
+# sequencing contract the gzip-dump precedent also relies on. The counts
+# themselves are bit-exact-pinned vs an independent reference in
+# tests/test_tokenizer.py; THIS entry grades that the tokenizer-true
+# composition (counts → prefix-sum cut → stream packing) reproduces the
+# sequential SQL semantics.
+_BPE_COUNTS_PATH = "/tmp/mas_bpe_budget_counts"
+
+
+def _bpe_counts_artifact(spark, sf_dir: str) -> str:
+    """Fit BPE on the corpus and write exact per-doc token counts —
+    overwritten per call so the artifact always reflects ``sf_dir``."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = tokenizer.fit_bpe(docs, num_merges=80, max_fit_words=4096)
+    counted = tokenizer.bpe_token_count(docs.repartition(8), model)
+    (
+        counted.select(
+            "doc_id",
+            F.coalesce("n_bpe_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+        .write.mode("overwrite")
+        .parquet(_BPE_COUNTS_PATH)
+    )
+    return _BPE_COUNTS_PATH
+
+
+@query(
+    "tok_pack_pipeline",
+    f"""
+    WITH bpe AS (
+      SELECT doc_id, CAST(n_bpe_tokens AS BIGINT) AS n_tokens
+      FROM read_parquet('{_BPE_COUNTS_PATH}/*.parquet')
+    ), t AS (
+      SELECT d.doc_id, b.n_tokens,
+             CASE WHEN d.text IS NULL THEN -1
+                  ELSE len(list_filter(string_split(d.text, ' '),
+                           w -> w IN ('{_SW_SQL}')))::BIGINT END AS sw
+      FROM documents d JOIN bpe b USING (doc_id)
+    ), c AS (
+      SELECT doc_id, sw, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY sw DESC, doc_id)::BIGINT
+               AS cum_tokens
+      FROM t
+    ), kept AS (
+      SELECT doc_id, n_tokens FROM c
+      WHERE cum_tokens <= (SELECT SUM(n_tokens)::BIGINT FROM t) * 2 // 5
+    ), s AS (
+      SELECT doc_id, n_tokens,
+             md5('pack' || CAST(doc_id AS VARCHAR)) AS h,
+             {_md5_bucket_sql('pack', 8)} AS stream
+      FROM kept
+    ), p AS (
+      SELECT doc_id, n_tokens, stream,
+             SUM(n_tokens) OVER (PARTITION BY stream ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS e
+      FROM s
+    )
+    SELECT doc_id, stream,
+           CAST(FLOOR((e - n_tokens) / 256) AS BIGINT) AS seq_id,
+           CAST((e - n_tokens) % 256 AS BIGINT) AS seq_offset,
+           n_tokens
+    FROM p ORDER BY doc_id
+    """,
+)
+def q_tok_pack_pipeline(spark, sf_dir):
+    """Tokenizer-true packing end-to-end (r9, verdict item 7): exact BPE
+    counts → "best 40 % of the corpus's BPE tokens" budget cut →
+    GPT-style stream packing, composed as a real trainer pipeline would
+    run it (``bpe_token_count`` → ``select_token_budget(token_col=)`` →
+    ``pack_sequences(n_tokens_col=)``). The engine materializes its BPE
+    counts as a parquet artifact (see ``_bpe_counts_artifact``) and
+    reads them back, so the oracle consumes byte-identical counts and
+    hash-equality grades the full downstream composition — the
+    distributed prefix-sum cut and the per-stream offset windows —
+    against the naive one-task SQL. Whitespace counts undercount
+    morphology-rich text, so sequences packed by them overflow the real
+    context window; this is the path that doesn't."""
+    from mongo_arrow_spark.operators.text import stopword_hits
+
+    path = _bpe_counts_artifact(spark, sf_dir)
+    counts = spark.read.parquet(path)
+    scored = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(F.col("text").isNull(), F.lit(-1))
+            .otherwise(stopword_hits("text", _STOPWORDS))
+            .cast("long")
+            .alias("sw"),
+        )
+        .join(counts, "doc_id")
+    )
+    total = int(scored.agg(F.sum("n_bpe_tokens")).first()[0])
+    kept = selection.select_token_budget(
+        scored, total * 2 // 5, score_col="sw", token_col="n_bpe_tokens"
+    )
+    packed = packing_ops.pack_sequences(
+        kept, seq_len=256, n_streams=8, n_tokens_col="n_tokens"
+    )
+    return packed.select(
+        "doc_id", "stream", "seq_id", "seq_offset", "n_tokens"
+    ).orderBy("doc_id")
 
 
 def _interleave_sql(cols, bits):
