@@ -105,6 +105,15 @@ HEADLINE = [
     # deterministic quantized k-means (fit k=4 x 2 Lloyd steps + assign;
     # per-iteration shuffle is k x (d+1) longs, assignment map-only)
     "cluster_kmeans",
+    # round-9: the session-3 families promoted into the graded window
+    # (r8 verdict items 1+6) — first-reading numbers, diff vs SCALE.md's
+    # x10 tables rather than earlier rounds' totals
+    "graph_pagerank",
+    "corpus_diff",
+    "select_kcenter",
+    "select_mmr",
+    "pack_shards",
+    "mix_interleave",
 ]
 
 
