@@ -5,6 +5,7 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
@@ -20,6 +21,23 @@ con = duckdb.connect()
 for n in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {n} AS SELECT * FROM read_parquet('{sf}/{n}.parquet')")
 
+def _canon(v, in_list=False):
+    # array-typed cells (e.g. embed_project's projected vectors) come
+    # back as unhashable ndarrays pandas can't sort, and str(ndarray) !=
+    # str(list); duckdb's fetch_df also packs BIGINT lists into float
+    # ndarrays, so inside lists integral floats ARE ints
+    if isinstance(v, np.ndarray):
+        return [_canon(e, True) for e in v.tolist()]
+    if isinstance(v, list):
+        return [_canon(e, True) for e in v]
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return int(f) if in_list and f.is_integer() else f
+    return v
+
+
 window = [n for n in QUERIES if n in ORACLES][:50]
 names = only or window
 bad = []
@@ -28,35 +46,13 @@ for name in names:
         g = qs[name](spark, sf).toPandas()
         x = con.execute(oracles[name]).fetch_df()
         cols_match = sorted(g.columns) == sorted(x.columns)
-        # canonicalize + stringify BEFORE sorting: array-typed cells
-        # (e.g. embed_project's projected vectors) come back as
-        # unhashable ndarrays pandas can't sort, and str(ndarray) !=
-        # str(list) — map both engines' cells onto plain lists first
-        import numpy as np
-
-        def _canon(v, in_list=False):
-            if isinstance(v, np.ndarray):
-                return [_canon(e, True) for e in v.tolist()]
-            if isinstance(v, list):
-                return [_canon(e, True) for e in v]
-            if isinstance(v, np.integer):
-                return int(v)
-            if isinstance(v, (float, np.floating)):
-                f = float(v)
-                # duckdb's fetch_df packs BIGINT lists into float
-                # ndarrays; inside lists, integral floats ARE ints
-                return int(f) if in_list and f.is_integer() else f
-            return v
-
         g = g[sorted(g.columns)].apply(lambda c: c.map(_canon)).astype(str)
         x = x[sorted(x.columns)].apply(lambda c: c.map(_canon)).astype(str)
         g = g.sort_values(sorted(g.columns)).reset_index(drop=True)
         x = x.sort_values(sorted(x.columns)).reset_index(drop=True)
         count_match = len(g) == len(x)
         values_match = bool(
-            count_match
-            and cols_match
-            and (g.astype(str).values == x.astype(str).values).all()
+            count_match and cols_match and (g.values == x.values).all()
         )
         ok = cols_match and count_match and values_match
         print(json.dumps({"q": name, "rows": len(g), "cols": cols_match,

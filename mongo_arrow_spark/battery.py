@@ -337,6 +337,11 @@ _DEMOTED = [
     # bit-exact-pinned in tests/test_tokenizer.py).
     "tok_pack_pipeline",
 ]
+# a typo'd demotion would silently leave the intended query graded and
+# push the 51st oracle-backed entry past the driver's cut — fail loudly
+_unknown = sorted(set(_DEMOTED) - set(QUERIES))
+if _unknown:
+    raise AssertionError(f"_DEMOTED names not in QUERIES: {_unknown}")
 _window = [n for n in QUERIES if n in ORACLES and n not in _DEMOTED]
 QUERIES = {
     **{n: QUERIES[n] for n in _window},

@@ -584,7 +584,7 @@ def ingest_gate(
     # quality bounds (None disables the gopher gate)
     min_tokens: int | None = 20,
     max_tokens: int = 100_000,
-) -> tuple[DataFrame, DataFrame | None]:
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
     """The incremental-ingest door for a standing corpus, as ONE product
     operator (the batch twin of ``curate_stream``; previously composed
     by hand in examples/ingest_gate.py): standing paragraph gate →

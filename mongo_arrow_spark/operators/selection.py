@@ -103,10 +103,7 @@ def select_token_budget_per_group(
     if budget < 0:
         raise ValueError("budget must be >= 0")
     spark = df.sparkSession
-    nparts = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    nparts = _nparts(spark, num_partitions)
     tok = (
         F.col(token_col).cast("long")
         if token_col
@@ -173,10 +170,7 @@ def select_token_budget(
     if budget < 0:
         raise ValueError("budget must be >= 0")
     spark = df.sparkSession
-    nparts = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    nparts = _nparts(spark, num_partitions)
     tok = (
         F.col(token_col).cast("long")
         if token_col
@@ -198,6 +192,15 @@ def select_token_budget(
         )
         .where(F.col("cum_tokens") <= budget)
         .drop("__pid", "__off")
+    )
+
+
+def _nparts(spark, num_partitions: int | None) -> int:
+    """Shared partition-count resolution for the prefix-sum family: the
+    caller's explicit value, else the session shuffle-partition conf."""
+    return int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
 
 
@@ -339,10 +342,7 @@ def assign_group_rank(
     …)`` at any partition count (pinned by the skew + invariance
     tests). ``order_by`` must be total within each group."""
     spark = df.sparkSession
-    nparts = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    nparts = _nparts(spark, num_partitions)
     joined = _grouped_prefix_join(df, group_cols, order_by, nparts, None)
     w = Window.partitionBy(*group_cols, "__pid").orderBy(*order_by)
     return (
@@ -492,10 +492,7 @@ def assign_global_rank(
     ``order_by`` must be a TOTAL order (tie-break on a unique id), or
     ranks are nondeterministic under retries."""
     spark = df.sparkSession
-    nparts = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    nparts = _nparts(spark, num_partitions)
     ranged, off = _prefix_offsets(df, order_by, nparts, None)
     w = Window.partitionBy("__pid").orderBy(*order_by)
     return (
@@ -574,7 +571,13 @@ def interleave_sources(
         ]
     )
     staged = (
-        assign_group_rank(kept, [source_col], order, rank_col="pos")
+        assign_group_rank(
+            kept,
+            [source_col],
+            order,
+            rank_col="pos",
+            num_partitions=num_partitions,
+        )
         .withColumn("pos", F.col("pos") - 1)
         .withColumn("__s", s_map[src].cast("long"))
         .withColumn("vt", (F.col("pos") + 1).cast("long") * F.col("__s"))

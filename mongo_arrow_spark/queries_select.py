@@ -176,7 +176,10 @@ def q_budget_per_group(spark, sf_dir):
 # identical bytes. The artifact is rewritten on every query invocation
 # (the oracle string is static, so the path can't carry an sf tag), and
 # the harness always runs the Spark query before its oracle — the
-# sequencing contract the gzip-dump precedent also relies on. The counts
+# sequencing contract the gzip-dump precedent also relies on. That
+# contract is PER-PROCESS: two harnesses grading this entry at
+# different sfs concurrently would race on the path (don't — every
+# grading surface here, driver and pytest alike, runs sequentially). The counts
 # themselves are bit-exact-pinned vs an independent reference in
 # tests/test_tokenizer.py; THIS entry grades that the tokenizer-true
 # composition (counts → prefix-sum cut → stream packing) reproduces the

@@ -793,12 +793,17 @@ def test_ingest_gate_paragraph_stage_batchwise_equals_global(spark):
     got = set()
     for lo, hi in ((1, 2), (3, 5)):
         batch = df.filter(F.col("doc_id").between(lo, hi))
+        before = {r["digest"] for r in idx.collect()}
         accepted, _lsh, idx = ingest_gate(
             batch, paragraph_index=idx, min_tokens=None
         )
-        before = {r["digest"] for r in idx.collect()}
         got |= {(r["doc_id"], r["text"]) for r in accepted.collect()}
-        assert {r["digest"] for r in idx.collect()} == before  # stable
+        # the index grows by EXACTLY the admitted (cleaned) paragraphs'
+        # digests — recording pre-strip text would add extra digests
+        admitted = {
+            r["digest"] for r in build_paragraph_index(accepted).collect()
+        }
+        assert {r["digest"] for r in idx.collect()} == before | admitted
     assert got == want
     # the final index holds every distinct paragraph of the corpus
     assert idx.count() == build_paragraph_index(df).count()
