@@ -336,6 +336,10 @@ _DEMOTED = [
     # exact BPE counts (artifact-fed oracle; the BPE fit/apply itself is
     # bit-exact-pinned in tests/test_tokenizer.py).
     "tok_pack_pipeline",
+    # r9: rank-fusion ensemble parks by construction — four chained
+    # passes of the GRADED curriculum_rank/select_token_budget prefix
+    # machinery; oracle runs in tests/test_battery.py.
+    "quality_ensemble",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

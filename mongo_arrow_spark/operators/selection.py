@@ -589,3 +589,64 @@ def interleave_sources(
         rank_col=rank_col,
         num_partitions=num_partitions,
     )
+
+
+def ensemble_rank(
+    df: DataFrame,
+    score_cols: list[str],
+    weights: list[int] | None = None,
+    id_col: str = "doc_id",
+    rank_col: str = "ens_rank",
+    keep_ranks: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rank-fusion quality ensemble (the FineWeb/RefinedWeb practice of
+    combining several imperfect quality signals): each score column gets
+    an EXACT global rank (1 = best, score descending, ties by ``id_col``
+    ascending), the ensemble key is the weighted SUM of ranks (Borda
+    fusion — integer weights keep it integer-exact and therefore
+    engine-portable, unlike z-score averaging whose float means drift),
+    and ``rank_col`` is the exact global rank of that key ascending.
+    Rank fusion is scale-free: signals with wildly different units
+    (log-odds, chars, token counts) combine without calibration, and a
+    single score's outliers can't dominate the way raw-value averaging
+    lets them.
+
+    Scale shape: ``len(score_cols) + 1`` chained ``assign_global_rank``
+    passes — each a distributed prefix rank (range partition → bounded
+    per-partition counts → parallel windows), NEVER a one-task global
+    window; no joins between passes (each pass re-ranges the running
+    frame and appends one column). Output adds ``__rank_<col>`` per
+    score (``keep_ranks=False`` drops them) plus ``__wsum`` and
+    ``rank_col``.
+    """
+    if not score_cols:
+        raise ValueError("score_cols must be non-empty")
+    w = [int(x) for x in (weights or [1] * len(score_cols))]
+    if len(w) != len(score_cols):
+        raise ValueError("weights must match score_cols")
+    out = df
+    rank_names = []
+    for c in score_cols:
+        rn = f"__rank_{c}"
+        rank_names.append(rn)
+        out = assign_global_rank(
+            out,
+            [F.col(c).desc(), F.col(id_col).asc()],
+            rank_col=rn,
+            num_partitions=num_partitions,
+        )
+    wsum = None
+    for rn, wt in zip(rank_names, w):
+        term = F.col(rn) * F.lit(wt)
+        wsum = term if wsum is None else wsum + term
+    out = out.withColumn("__wsum", wsum.cast("long"))
+    out = assign_global_rank(
+        out,
+        [F.col("__wsum").asc(), F.col(id_col).asc()],
+        rank_col=rank_col,
+        num_partitions=num_partitions,
+    )
+    if not keep_ranks:
+        out = out.drop(*rank_names)
+    return out

@@ -284,6 +284,75 @@ def q_tok_pack_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query(
+    "quality_ensemble",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN -1
+                  ELSE len(list_filter(string_split(text, ' '),
+                           w -> w IN ('{_SW_SQL}')))::BIGINT END AS sw,
+             COALESCE(n_chars, -1)::BIGINT AS nc,
+             CASE WHEN text IS NULL THEN -1
+                  ELSE len(list_distinct(string_split(text, ' ')))::BIGINT
+                  END AS dw
+      FROM documents
+    ), r AS (
+      SELECT doc_id, sw, nc, dw,
+             row_number() OVER (ORDER BY sw DESC, doc_id)::BIGINT AS rank_sw,
+             row_number() OVER (ORDER BY nc DESC, doc_id)::BIGINT AS rank_nc,
+             row_number() OVER (ORDER BY dw DESC, doc_id)::BIGINT AS rank_dw
+      FROM s
+    ), e AS (
+      SELECT doc_id, sw, nc, dw, rank_sw, rank_nc, rank_dw,
+             (2 * rank_sw + rank_nc + rank_dw)::BIGINT AS wsum
+      FROM r
+    )
+    SELECT doc_id, sw, nc, dw, rank_sw, rank_nc, rank_dw, wsum,
+           row_number() OVER (ORDER BY wsum, doc_id)::BIGINT AS ens_rank
+    FROM e ORDER BY doc_id
+    """,
+)
+def q_quality_ensemble(spark, sf_dir):
+    """Rank-fusion quality ensemble (r9): three integer quality signals
+    — stopword hits (englishness), character length, distinct-word
+    count — each exactly globally ranked, Borda-fused with weights
+    2:1:1, and the fused key exactly ranked again. The engine runs four
+    chained distributed prefix ranks (range partition → bounded offsets
+    → parallel windows, never a one-task global window); the oracle is
+    the naive four-window SQL. NULL text pins every signal to −1 on
+    both sides (the engines disagree on NULL sort position)."""
+    docs = _t(spark, sf_dir, "documents")
+    from mongo_arrow_spark.operators.text import stopword_hits
+
+    scored = docs.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(-1))
+        .otherwise(stopword_hits("text", _STOPWORDS))
+        .cast("long")
+        .alias("sw"),
+        F.coalesce("n_chars", F.lit(-1)).cast("long").alias("nc"),
+        F.when(F.col("text").isNull(), F.lit(-1))
+        .otherwise(F.size(F.array_distinct(F.split("text", " ", -1))))
+        .cast("long")
+        .alias("dw"),
+    )
+    out = selection.ensemble_rank(
+        scored, ["sw", "nc", "dw"], weights=[2, 1, 1], id_col="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        "sw",
+        "nc",
+        "dw",
+        F.col("__rank_sw").alias("rank_sw"),
+        F.col("__rank_nc").alias("rank_nc"),
+        F.col("__rank_dw").alias("rank_dw"),
+        F.col("__wsum").alias("wsum"),
+        "ens_rank",
+    ).orderBy("doc_id")
+
+
 def _interleave_sql(cols, bits):
     return " + ".join(
         f"((({c} // {1 << b}) % 2) * {1 << (b * len(cols) + i)})"

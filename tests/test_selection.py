@@ -639,3 +639,65 @@ def test_upsample_and_interleave_grouped_rank_invariance(spark):
         ).collect()
     )
     assert ia == ib and len(ia) == 600
+
+
+def test_ensemble_rank_matches_one_task_windows(docs):
+    """Borda fusion == the naive window spelling, at two partition
+    counts (the battery oracle re-proves this vs DuckDB; here the pin
+    is partition invariance plus the fused ordering contract)."""
+    from pyspark.sql import Window as W
+
+    scored = docs.select(
+        "doc_id",
+        F.coalesce(F.length("text"), F.lit(-1)).alias("a"),
+        F.coalesce("n_chars", F.lit(-1)).alias("b"),
+    )
+    naive = (
+        scored.withColumn(
+            "ra", F.row_number().over(W.orderBy(F.desc("a"), F.asc("doc_id")))
+        )
+        .withColumn(
+            "rb", F.row_number().over(W.orderBy(F.desc("b"), F.asc("doc_id")))
+        )
+        .withColumn("ws", 3 * F.col("ra") + F.col("rb"))
+        .withColumn(
+            "er", F.row_number().over(W.orderBy(F.asc("ws"), F.asc("doc_id")))
+        )
+    )
+    want = {r["doc_id"]: (r["ra"], r["rb"], r["ws"], r["er"]) for r in naive.collect()}
+    for nparts in (1, 17):
+        out = selection.ensemble_rank(
+            scored.repartition(5),
+            ["a", "b"],
+            weights=[3, 1],
+            num_partitions=nparts,
+        )
+        got = {
+            r["doc_id"]: (r["__rank_a"], r["__rank_b"], r["__wsum"], r["ens_rank"])
+            for r in out.collect()
+        }
+        assert got == want
+
+
+def test_ensemble_rank_validates_and_drops_ranks(docs):
+    scored = docs.select("doc_id", F.col("n_chars").alias("a"))
+    with pytest.raises(ValueError):
+        selection.ensemble_rank(scored, [])
+    with pytest.raises(ValueError):
+        selection.ensemble_rank(scored, ["a"], weights=[1, 2])
+    out = selection.ensemble_rank(scored, ["a"], keep_ranks=False)
+    assert "__rank_a" not in out.columns and "ens_rank" in out.columns
+
+
+def test_ensemble_rank_no_single_partition_exchange(docs):
+    """The fusion must never fall back to a one-task global window."""
+    from mongo_arrow_spark.plans import plan_string
+
+    scored = docs.select(
+        "doc_id",
+        F.coalesce(F.length("text"), F.lit(-1)).alias("a"),
+        F.coalesce("n_chars", F.lit(-1)).alias("b"),
+    )
+    out = selection.ensemble_rank(scored, ["a", "b"], num_partitions=4)
+    out.collect()
+    assert "Exchange SinglePartition" not in plan_string(out)
