@@ -340,6 +340,11 @@ _DEMOTED = [
     # passes of the GRADED curriculum_rank/select_token_budget prefix
     # machinery; oracle runs in tests/test_battery.py.
     "quality_ensemble",
+    # r9: hard-negative mining parks by construction — broadcast-query
+    # kNN (graded sim_bruteforce_topk/mql_vector_search machinery) plus
+    # a label anti-predicate on the quantize carrier; oracle runs in
+    # tests/test_battery.py.
+    "sim_hard_negatives",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

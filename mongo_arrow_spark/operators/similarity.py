@@ -1023,3 +1023,97 @@ def ivf_pq_index_topk(
         id_col=meta["id_col"],
         codes_col=meta["codes_col"],
     )
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    scale: int = 10_000,
+    max_qdot: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the ``k`` MOST similar corpus rows with a DIFFERENT label —
+    the negatives that actually move the loss (random negatives are
+    trivially separated after the first epochs; the hardest same-ish
+    ones teach the boundary).
+
+    ``max_qdot`` (quantized-dot-product units, ``scale²``-scaled) drops
+    negatives ABOVE the threshold first — the standard guard against
+    false negatives: a cross-label pair that similar is more likely a
+    labeling error or an undetected near-duplicate than a informative
+    negative (semi-hard mining, FaceNet-style).
+
+    Similarity is the INTEGER dot product of 1e-4-quantized vectors
+    (``clustering.quantize_vec`` — the repo's engine-portable carrier),
+    so results are bit-identical across engines/partitionings and the
+    battery oracle grades them exactly. Rows with NULL labels, NULL /
+    corrupt vectors, or wrong ``dim`` are excluded on BOTH sides
+    (a NULL-label row's class is unknown — it can't be certified a
+    negative); an anchor never mines itself (same id excluded).
+
+    Plan shape: anchors broadcast (the query set is the bounded side —
+    a labeled seed or an eval batch, like ``knn_join``'s contract), the
+    corpus streams ONCE through a BroadcastNestedLoopJoin, and the
+    per-anchor top-k is a ``row_number() <= k`` cut that Catalyst
+    rewrites into a map-side-partial ``WindowGroupLimit`` — each input
+    partition pre-cuts to k rows per anchor before the one shuffle on
+    the anchor id, so no anchor group ever streams corpus-sized data
+    through one task. For corpus×corpus mining use the sign-bucketed
+    candidate generation (``knn_join_bucketed``) and apply the label
+    filter to its candidate pairs instead.
+    """
+    from pyspark.sql import Window
+
+    from mongo_arrow_spark.operators.clustering import quantize_vec
+
+    def side(df, out_id, out_q, out_lbl):
+        v = F.col(vec_col)
+        return df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(label_col).isNotNull()
+            & v.isNotNull()
+            & (F.size(v) == dim)
+            & F.forall(v, lambda x: x.isNotNull())
+        ).select(
+            F.col(id_col).alias(out_id),
+            quantize_vec(vec_col, scale).alias(out_q),
+            F.col(label_col).alias(out_lbl),
+        )
+
+    a = side(anchors, "anchor_id", "__aq", "anchor_label")
+    b = side(corpus, "neg_id", "__bq", "__blbl")
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(
+            (F.col("anchor_label") != F.col("__blbl"))
+            & (F.col("anchor_id") != F.col("neg_id"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            F.aggregate(
+                F.zip_with(
+                    "__aq", "__bq", lambda x, y: x * y
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    if max_qdot is not None:
+        pairs = pairs.filter(F.col("qdot") <= int(max_qdot))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("qdot").desc(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "anchor_label", "neg_id", "qdot", "neg_rank")
+    )

@@ -689,6 +689,43 @@ def _mmr_sql(k: int, lam_num: int = 1, lam_den: int = 2) -> str:
     return "WITH " + ",\n    ".join(parts) + f"\n    {sel} ORDER BY sel_rank"
 
 
+def _hard_neg_sql(k: int) -> str:
+    return f"""
+    WITH {_dk_q('label')}, a AS (
+      SELECT * FROM q WHERE vec_id % 100 = 0
+    ), p AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS neg_id, {_dk_dot('a.qv', 'b.qv')} AS qdot
+      FROM a JOIN q b
+        ON a.label <> b.label AND a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT anchor_id, anchor_label, neg_id, qdot,
+             row_number() OVER (PARTITION BY anchor_id
+               ORDER BY qdot DESC, neg_id)::BIGINT AS neg_rank
+      FROM p
+    )
+    SELECT anchor_id, anchor_label, neg_id, qdot, neg_rank
+    FROM r WHERE neg_rank <= {k}
+    ORDER BY anchor_id, neg_rank
+    """
+
+
+@query("sim_hard_negatives", _hard_neg_sql(5))
+def q_sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (r9): for each anchor (every 100th vec_id),
+    the 5 most-similar corpus rows with a DIFFERENT label — integer dot
+    products on the 1e-4 quantize carrier, so the oracle reproduces
+    every score and rank exactly. Anchors broadcast; the corpus streams
+    once; the per-anchor cut is the WindowGroupLimit pre-cut shape."""
+    from mongo_arrow_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.hard_negatives(anchors, emb, k=5).orderBy(
+        "anchor_id", "neg_rank"
+    )
+
+
 @query("select_kcenter", _kcenter_sql(8))
 def q_select_kcenter(spark, sf_dir):
     """Greedy k-center coreset (r8 eighth wave): 8 embeddings spanning

@@ -396,3 +396,34 @@ def test_exclusion_antijoin_path_matches_isin(spark):
     # and the isin branch still serves small selections
     small = {r["__id"] for r in _exclude(q, [0, 1]).collect()}
     assert small == set(range(2, 400))
+
+
+def test_hard_negatives_contract(spark):
+    """Label exclusion, self exclusion, NULL/corrupt hygiene and the
+    semi-hard max_qdot cut, against a hand-computable corpus."""
+    from mongo_arrow_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),     # same label as anchor 0 — never mined
+        (2, [0.8, 0.2], "b"),     # nearest cross-label
+        (3, [0.0, 1.0], "b"),     # far cross-label
+        (4, None, "b"),           # NULL vector — excluded
+        (5, [0.7, None], "b"),    # NULL element — excluded
+        (6, [0.6], "b"),          # wrong dim — excluded
+        (7, [0.95, 0.05], None),  # NULL label — excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    anchors = df.filter("vec_id = 0")
+    out = hard_negatives(anchors, df, k=5, dim=2).collect()
+    got = [(r["neg_id"], r["neg_rank"]) for r in out]
+    assert got == [(2, 1), (3, 2)]  # only the two clean cross-label rows
+    assert all(r["anchor_id"] == 0 and r["anchor_label"] == "a" for r in out)
+    # qdot is the exact integer dot on the 1e-4 carrier
+    qd = {r["neg_id"]: r["qdot"] for r in out}
+    assert qd[2] == 10000 * 8000 + 0 * 2000
+    # semi-hard cut: drop the too-similar row 2 (false-negative guard)
+    cut = hard_negatives(anchors, df, k=5, dim=2, max_qdot=qd[2] - 1).collect()
+    assert [(r["neg_id"], r["neg_rank"]) for r in cut] == [(3, 1)]

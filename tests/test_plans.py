@@ -460,3 +460,19 @@ def test_bpe_apply_plan_repartitioned_arrow_batches(spark, tables):
     assert "ArrowEvalPython" in p
     assert "RoundRobinPartitioning" in p or "roundrobinpartitioning" in p.lower()
     assert "BatchEvalPython" not in p  # the row-at-a-time slow path
+
+
+def test_hard_negatives_plan_broadcast_and_group_limit(spark, tables):
+    """sim_hard_negatives (r9, parked): anchors must broadcast (the
+    corpus streams once, no shuffled cartesian) and the per-anchor
+    top-k must pre-cut map-side via InferWindowGroupLimit — no anchor
+    group ever carries corpus-sized data through one task."""
+    df = QUERIES["sim_hard_negatives"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in p:
+        p = p.split("== Initial Plan ==", 1)[0]
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p and "Partial" in p
+    assert "Exchange SinglePartition" not in p
