@@ -345,6 +345,11 @@ _DEMOTED = [
     # a label anti-predicate on the quantize carrier; oracle runs in
     # tests/test_battery.py.
     "sim_hard_negatives",
+    # r9: length-bucketed batching parks by construction — the grouped
+    # prefix-sum shape graded via budget_per_group/select_token_budget
+    # plus the graded pack_shards div-assignment; oracle runs in
+    # tests/test_battery.py.
+    "pack_bucket_batches",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

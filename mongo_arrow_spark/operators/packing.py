@@ -32,6 +32,7 @@ __all__ = [
     "shuffle_corpus",
     "materialize_sequences",
     "assign_token_shards",
+    "bucket_batches",
     "write_training_shards",
 ]
 
@@ -403,3 +404,84 @@ def write_training_shards(
     out.repartition(F.col("shard")).write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)
+
+
+def bucket_batches(
+    df: DataFrame,
+    capacity: int,
+    bucket_width: int = 64,
+    bucket_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+    salt: str = "batch",
+    batch_col: str = "batch_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Length-bucketed dynamic batching (the fairseq/NeMo
+    ``--max-tokens`` scheme): documents are grouped into LENGTH buckets
+    (``n_tokens div bucket_width``, or a caller-supplied ``bucket_col``)
+    so a batch pads every member to roughly the same length, then each
+    bucket is cut into batches of ~``capacity`` tokens under the
+    deterministic md5 order. Padding waste is bounded by the bucket
+    width instead of the corpus-max length; batch token sums land below
+    ``capacity`` + one bucket-max document (a document never splits —
+    the batch boundary falls between documents, ``assign_token_shards``
+    semantics per bucket).
+
+    Scale shape: the GROUPED distributed prefix sum
+    (``selection._grouped_prefix_join``) — range partition on (bucket,
+    order), bounded per-(bucket, partition) offsets, parallel windows —
+    so the one giant bucket every real corpus has (most documents are
+    short) never serializes into one task, unlike a plain
+    ``Window.partitionBy(bucket)``. Bit-identical to the one-task
+    per-bucket window at any partition count.
+
+    Returns the input plus ``n_tokens``, ``len_bucket`` and
+    ``batch_col`` (0-based WITHIN the bucket — the global batch key is
+    the pair ``(len_bucket, batch_id)``). NULL text / NULL counts batch
+    as 0-token rows in bucket 0, kept (dropping is a selection
+    decision, not a batching one)."""
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if bucket_col is None and bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    from mongo_arrow_spark.operators.selection import (
+        _grouped_prefix_join,
+        _nparts,
+    )
+
+    nparts = _nparts(df.sparkSession, num_partitions)
+    tok = F.coalesce(
+        (
+            F.col(n_tokens_col) if n_tokens_col else token_count(text_col)
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    staged = df.withColumn("n_tokens", tok).withColumn(
+        "len_bucket",
+        F.col(bucket_col).cast("long")
+        if bucket_col
+        else F.expr(f"n_tokens div CAST({bucket_width} AS BIGINT)"),
+    )
+    order = [_order_hash(id_col, salt).asc(), F.col(id_col).asc()]
+    joined = _grouped_prefix_join(
+        staged, ["len_bucket"], order, nparts, "n_tokens"
+    )
+    w = (
+        Window.partitionBy("len_bucket", "__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn(
+            "__cum", F.sum("n_tokens").over(w) + F.col("__off")
+        )
+        .withColumn(
+            batch_col,
+            F.expr(
+                f"(__cum - n_tokens) div CAST({capacity} AS BIGINT)"
+            ).cast("long"),
+        )
+        .drop("__pid", "__off", "__cum")
+    )

@@ -689,6 +689,43 @@ def _mmr_sql(k: int, lam_num: int = 1, lam_den: int = 2) -> str:
     return "WITH " + ",\n    ".join(parts) + f"\n    {sel} ORDER BY sel_rank"
 
 
+@query(
+    "pack_bucket_batches",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens,
+             md5('batch' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens, h, (n_tokens // 64)::BIGINT AS len_bucket
+      FROM t
+    ), c AS (
+      SELECT doc_id, n_tokens, len_bucket,
+             (SUM(n_tokens) OVER (PARTITION BY len_bucket
+                ORDER BY h, doc_id) - n_tokens)::BIGINT AS excl
+      FROM b
+    )
+    SELECT doc_id, n_tokens, len_bucket, (excl // 600)::BIGINT AS batch_id
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_pack_bucket_batches(spark, sf_dir):
+    """Length-bucketed dynamic batching (r9): documents bucketed by
+    ``n_tokens div 64`` and cut into ~600-token batches per bucket under
+    the md5 order — the fairseq ``--max-tokens`` scheme as one plan.
+    The engine runs the grouped distributed prefix sum (the giant
+    short-doc bucket spans many range partitions and cumsums in
+    parallel); the oracle is the naive one-task-per-bucket window."""
+    from mongo_arrow_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = packing.bucket_batches(docs, capacity=600, bucket_width=64)
+    return out.select(
+        "doc_id", "n_tokens", "len_bucket", "batch_id"
+    ).orderBy("doc_id")
+
+
 def _hard_neg_sql(k: int) -> str:
     return f"""
     WITH {_dk_q('label')}, a AS (

@@ -495,3 +495,65 @@ class TestTokenShards:
 
         with pytest.raises(ValueError, match="tokens_per_shard"):
             assign_token_shards(self._docs(spark), 0)
+
+
+class TestBucketBatches:
+    def test_capacity_bound_and_bucketing(self, docs):
+        from mongo_arrow_spark.operators.packing import bucket_batches
+
+        out = bucket_batches(docs, capacity=600, bucket_width=64)
+        rows = out.select(
+            "doc_id", "n_tokens", "len_bucket", "batch_id"
+        ).collect()
+        assert {r["doc_id"] for r in rows} == {
+            r["doc_id"] for r in docs.select("doc_id").collect()
+        }
+        # bucket membership is the documented div
+        assert all(r["len_bucket"] == r["n_tokens"] // 64 for r in rows)
+        # batch token sums stay below capacity + one bucket-max document
+        from collections import defaultdict
+
+        sums, bmax = defaultdict(int), defaultdict(int)
+        for r in rows:
+            sums[(r["len_bucket"], r["batch_id"])] += r["n_tokens"]
+            bmax[r["len_bucket"]] = max(bmax[r["len_bucket"]], r["n_tokens"])
+        for (bkt, _), s in sums.items():
+            assert s < 600 + max(bmax[bkt], 1)
+
+    def test_partition_invariance(self, docs):
+        from mongo_arrow_spark.operators.packing import bucket_batches
+
+        a = {
+            (r["doc_id"], r["len_bucket"], r["batch_id"])
+            for r in bucket_batches(docs, 600, num_partitions=1).collect()
+        }
+        b = {
+            (r["doc_id"], r["len_bucket"], r["batch_id"])
+            for r in bucket_batches(
+                docs.repartition(13), 600, num_partitions=29
+            ).collect()
+        }
+        assert a == b
+
+    def test_null_text_lands_in_bucket_zero(self, spark):
+        from mongo_arrow_spark.operators.packing import bucket_batches
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a b c")], "doc_id long, text string"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in bucket_batches(df, capacity=10, bucket_width=4).collect()
+        }
+        assert rows[1]["n_tokens"] == 0 and rows[1]["len_bucket"] == 0
+        assert rows[1]["batch_id"] == 0  # kept, not NULL
+
+    def test_validation(self, docs):
+        import pytest
+
+        from mongo_arrow_spark.operators.packing import bucket_batches
+
+        with pytest.raises(ValueError):
+            bucket_batches(docs, 0)
+        with pytest.raises(ValueError):
+            bucket_batches(docs, 10, bucket_width=0)
