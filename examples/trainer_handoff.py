@@ -55,19 +55,34 @@ def main() -> None:
     total = counted.agg(F.sum("n_bpe_tokens")).first()[0]
     print(f"tokenizer: {len(model.merges)} merges, corpus = {total} BPE tokens")
 
-    # 2. budgets: per-language floor, then the global cut (score: longer
-    # docs first — substitute any quality/classifier score)
+    # 2. score: Borda-fuse two cheap signals (length, lexical variety)
+    # into one calibration-free quality rank (r9) — substitute NB
+    # log-odds / LM perplexity for real corpora; then per-language
+    # budget floor (no language starves), then the global cut
+    scored = selection.ensemble_rank(
+        counted.withColumn(
+            "dw",
+            F.size(
+                F.array_distinct(
+                    F.split(F.coalesce("text", F.lit("")), " ", -1)
+                )
+            ).cast("long"),
+        ),
+        ["n_chars", "dw"],
+        weights=[1, 2],
+        keep_ranks=False,
+    ).withColumn("quality", -F.col("ens_rank"))
     per_lang = selection.select_token_budget_per_group(
-        counted,
+        scored,
         int(total) // 6,
         "lang",
-        score_col="n_chars",
+        score_col="quality",
         token_col="n_bpe_tokens",
     ).drop("n_tokens", "cum_tokens")
     chosen = selection.select_token_budget(
         per_lang,
         int(total) // 2,
-        score_col="n_chars",
+        score_col="quality",
         token_col="n_bpe_tokens",
     ).drop("n_tokens", "cum_tokens")
     print(f"budget: {docs.count()} docs -> {chosen.count()} selected")
@@ -91,6 +106,20 @@ def main() -> None:
             .collect()
         ),
     )
+
+    # 3b. eval batches: the val split gets length-bucketed dynamic
+    # batches (r9) — padded eval batches of ~2048 BPE tokens whose
+    # members share a length bucket, fairseq --max-tokens style
+    val_batches = packing.bucket_batches(
+        split.filter(F.col("split") == "val"),
+        capacity=2048,
+        bucket_width=128,
+        n_tokens_col="n_bpe_tokens",
+    )
+    n_b = (
+        val_batches.select("len_bucket", "batch_id").distinct().count()
+    )
+    print(f"eval batching: {val_batches.count()} val docs -> {n_b} batches")
 
     # 4. layout for the next reader: Z-ordered manifest, bucketed payload
     layout.write_zordered(

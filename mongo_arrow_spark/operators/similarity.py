@@ -1117,3 +1117,166 @@ def hard_negatives(
         .filter(F.col("neg_rank") <= k)
         .select("anchor_id", "anchor_label", "neg_id", "qdot", "neg_rank")
     )
+
+
+def hard_negatives_ivf(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    scale: int = 10_000,
+    seed: int = 42,
+    max_qdot: int | None = None,
+) -> DataFrame:
+    """Corpus×corpus hard-negative mining — the scale path when the
+    anchor set is itself corpus-sized (every doc mines its own
+    negatives, the contrastive-pretraining shape) and
+    :func:`hard_negatives`' broadcast contract no longer holds.
+
+    Candidate generation is IVF routing with a PRODUCTIVE-cell twist.
+    Each corpus row lands in its nearest of ``n_clusters`` deterministic
+    IVF cells (map-only literal-centroid argmin, the ``ivf_topk`` cell
+    contract) and candidates meet on a plain cell equi-join — never a
+    cartesian. But an anchor must NOT simply probe its absolutely
+    nearest cells: with tight label clusters those are its OWN label's
+    cells, whose every row the cross-label filter then discards
+    (measured recall 0.26 on a clustered corpus). So a bounded
+    (cell × label) presence table is collected once (≤ n_clusters ×
+    n_labels rows) and each anchor probes its ``n_probe`` nearest cells
+    AMONG those containing at least one other-label row — the nearest
+    foreign clusters. Measured recall@3 vs the brute form (sf0.001-
+    sized corpora): 0.92 on a 4-label clustered corpus at the 8/4
+    default (pinned ≥ 0.85 in tests), 0.55–0.89 when inter-cluster
+    distance dwarfs cluster radius (centroid ranking can no longer
+    tell WHICH foreign cells hold the boundary points — raise
+    ``n_probe``), ~0.68 at 25 % probed on uniform-random vectors
+    (no sublinear candidate generator beats uniformity).
+    ``n_probe == n_clusters`` reproduces the brute result exactly
+    (pinned) — the dial runs all the way to exact.
+
+    Sign-bucket Hamming rings were measured strictly worse here
+    (recall ≤ 0.83 even probing 64 % of the bucket space): hard
+    negatives are typically FAR in absolute terms and hyperplane-sign
+    agreement decays with angle, while IVF cells partition by locality.
+
+    Cross-label / self / hygiene filters apply to the CANDIDATES
+    (before the top-k cut, so the k survivors are the best cross-label
+    candidates, not a post-filter of mixed-label winners); scores are
+    the same integer quantized dot products as the brute form. Same
+    output schema as :func:`hard_negatives`. The per-anchor probe cut
+    is a window over ≤ ``n_clusters`` exploded rows per anchor
+    (bounded, WindowGroupLimit pre-cut), and the eligibility join is a
+    broadcast of the tiny presence table."""
+    from pyspark.sql import Window
+
+    from mongo_arrow_spark.operators.clustering import quantize_vec
+
+    centroids = _fit_ivf_from_df(
+        corpus, n_clusters, seed, id_col, vec_col, dim
+    )
+    n_probe = min(max(1, n_probe), len(centroids))
+
+    def side(df, out_id, out_q, out_lbl):
+        v = F.col(vec_col)
+        return df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(label_col).isNotNull()
+            & v.isNotNull()
+            & (F.size(v) == dim)
+            & F.forall(v, lambda x: x.isNotNull())
+        ).select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("__v"),
+            quantize_vec(vec_col, scale).alias(out_q),
+            F.col(label_col).alias(out_lbl),
+        )
+
+    corpus_side = (
+        side(corpus, "neg_id", "__bq", "__blbl")
+        .withColumn("__cell", _cell_expr("__v", centroids))
+        .drop("__v")
+        .localCheckpoint(eager=False)
+    )
+    # bounded presence table: which (label, cell) combinations exist
+    present = {
+        (r["__blbl"], r["__cell"])
+        for r in corpus_side.select("__blbl", "__cell").distinct().collect()
+    }
+    labels = sorted({l for l, _ in present})
+    eligible = [
+        (lbl, int(c))
+        for lbl in labels
+        for c in sorted({c for _, c in present})
+        if any(l2 != lbl and (l2, c) in present for l2 in labels)
+    ]
+    spark = corpus.sparkSession
+    lbl_type = corpus.schema[label_col].dataType.simpleString()
+    elig = spark.createDataFrame(
+        eligible, f"anchor_label {lbl_type}, __cell int"
+    )
+    dstructs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__v"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    wprobe = Window.partitionBy("anchor_id").orderBy(F.col("__pos").asc())
+    anchor_side = (
+        side(anchors, "anchor_id", "__aq", "anchor_label")
+        .select(
+            "anchor_id",
+            "__aq",
+            "anchor_label",
+            F.posexplode(
+                F.transform(F.array_sort(dstructs), lambda st: st["j"])
+            ).alias("__pos", "__cell"),
+        )
+        .join(F.broadcast(elig), ["anchor_label", "__cell"])
+        .withColumn("__prk", F.row_number().over(wprobe))
+        .filter(F.col("__prk") <= n_probe)
+        .drop("__pos", "__prk")
+    )
+    pairs = (
+        anchor_side.join(corpus_side, "__cell")
+        .filter(
+            (F.col("anchor_label") != F.col("__blbl"))
+            & (F.col("anchor_id") != F.col("neg_id"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            F.aggregate(
+                F.zip_with("__aq", "__bq", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    if max_qdot is not None:
+        pairs = pairs.filter(F.col("qdot") <= int(max_qdot))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("qdot").desc(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "anchor_label", "neg_id", "qdot", "neg_rank")
+    )
