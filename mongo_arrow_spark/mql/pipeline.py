@@ -1752,10 +1752,25 @@ def _vector_search(df, args, resolve):
     The angular buckets approximate cosine/dotProduct ranking; euclidean
     always scores exactly (documented delta — Atlas uses HNSW for all).
 
+    ``index`` (r9): in Atlas this NAMES the persisted vector index — the
+    engine's equivalent is a ``build_ivf_pq_index`` artifact, so when
+    ``index`` is a path to one (and ``exact`` is not set), candidate
+    generation runs through the index: ``ivf_pq_index_topk`` reads only
+    the ``nProbe`` (extension knob, default 4) nearest cell DIRECTORIES
+    and ADC-scores ``numCandidates`` candidate ids (default
+    ``10 × limit``), which broadcast-semi-join back to the collection
+    for EXACT scoring and the final TakeOrdered(limit) — the standard
+    two-stage retrieve-then-rerank, scores always true. A non-path
+    ``index`` value (an Atlas index NAME) is accepted and ignored, as
+    before. Probing the artifact is partition pruning against its cell
+    layout — the 100 TB shape where the corpus scan never happens.
+
     Plan: [ANN: bucket-distance histogram (≤9-row agg) + pruned scan,]
     codegen dot product against the broadcast-literal query vector,
     TakeOrdered(limit) — no shuffle of the data.
     """
+    import os as _os
+
     from mongo_arrow_spark.operators.similarity import (
         dot,
         norm,
@@ -1769,7 +1784,34 @@ def _vector_search(df, args, resolve):
         df = df.filter(translate_match(args["filter"]))
     sim = args.get("similarity", "cosine")
     num_cand = args.get("numCandidates")
+    idx = args.get("index")
     if (
+        isinstance(idx, str)
+        and not args.get("exact", False)
+        and _os.path.exists(_os.path.join(idx, "_ivf_pq_index.json"))
+    ):
+        import json as _json
+
+        from mongo_arrow_spark.operators.similarity import (
+            ivf_pq_index_topk,
+        )
+
+        with open(_os.path.join(idx, "_ivf_pq_index.json")) as fh:
+            id_col = _json.load(fh)["id_col"]
+        if id_col not in df.columns:
+            raise MQLTranslationError(
+                f"$vectorSearch index {idx!r} keys on {id_col!r}, which "
+                "the collection does not carry"
+            )
+        cand = ivf_pq_index_topk(
+            df.sparkSession,
+            idx,
+            qv,
+            k=int(num_cand or 10 * k),
+            n_probe=int(args.get("nProbe", 4)),
+        ).select(id_col)
+        df = df.join(F.broadcast(cand), id_col, "left_semi")
+    elif (
         num_cand is not None
         and not args.get("exact", False)
         and sim in ("cosine", "dotProduct")

@@ -3061,3 +3061,84 @@ def test_correlated_lookup_suffix_map_column_falls_back(spark):
     # the fallback still applies the stages (globally here — one outer
     # row, so global == per-row and the result is exact)
     assert [h["_id"] for h in rows[0]["hits"]] == [11]
+
+
+def test_vector_search_persisted_index_route(spark, tmp_path):
+    """$vectorSearch index= pointing at a build_ivf_pq_index artifact
+    routes candidate generation through the persisted index (retrieve by
+    ADC over n_probe cell dirs, exact re-rank): full-probe + corpus-wide
+    numCandidates reproduces the exact stage bit-for-bit; an index keyed
+    on a column the collection lacks raises; a non-path index name is
+    ignored (plain exact scan)."""
+    from mongo_arrow_spark.api import aggregate
+    from mongo_arrow_spark.operators.similarity import (
+        build_ivf_pq_index,
+        fit_pq,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    model = fit_pq(emb, m=8, codes=16)
+    idx = str(tmp_path / "vsidx")
+    build_ivf_pq_index(emb, idx, model, n_clusters=8)
+    qv = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    stage = {"path": "embedding", "queryVector": qv, "limit": 5}
+    exact = [
+        (r["vec_id"], r["__vector_score"])
+        for r in aggregate(
+            emb,
+            [
+                {"$vectorSearch": stage},
+                {"$project": {"vec_id": 1, "__vector_score": 1, "_id": 0}},
+            ],
+        ).collect()
+    ]
+    n = emb.count()
+    routed = [
+        (r["vec_id"], r["__vector_score"])
+        for r in aggregate(
+            emb,
+            [
+                {
+                    "$vectorSearch": {
+                        **stage,
+                        "index": idx,
+                        "numCandidates": n,
+                        "nProbe": 8,
+                    }
+                },
+                {"$project": {"vec_id": 1, "__vector_score": 1, "_id": 0}},
+            ],
+        ).collect()
+    ]
+    assert routed == exact
+    # default knobs still return limit rows with true (exact) scores
+    some = aggregate(
+        emb, [{"$vectorSearch": {**stage, "index": idx}}]
+    ).collect()
+    assert len(some) == 5
+    escore = dict(exact)
+    for r in some:
+        if r["vec_id"] in escore:
+            assert abs(r["__vector_score"] - escore[r["vec_id"]]) < 1e-12
+    # index keyed on a missing column fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(MQLTranslationError, match="keys on"):
+        aggregate(
+            emb.withColumnRenamed("vec_id", "other_id"),
+            [{"$vectorSearch": {**stage, "index": idx}}],
+        )
+    # an Atlas index NAME (not a path) is accepted and ignored
+    named = [
+        (r["vec_id"], r["__vector_score"])
+        for r in aggregate(
+            emb,
+            [
+                {"$vectorSearch": {**stage, "index": "vector_index"}},
+                {"$project": {"vec_id": 1, "__vector_score": 1, "_id": 0}},
+            ],
+        ).collect()
+    ]
+    assert named == exact
