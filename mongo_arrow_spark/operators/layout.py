@@ -192,3 +192,95 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_content_addressed(
+    df: DataFrame,
+    name: str,
+    payload_cols: list[str],
+    id_cols: list[str] | None = None,
+    num_buckets: int = 16,
+    path: str | None = None,
+) -> dict:
+    """Content-addressed payload store: the deduplicated STORAGE layout.
+    Real corpora carry 1.3–3× exact duplication (CommonCrawl snapshots,
+    mirrored docs, boilerplate) — storing every copy wastes that factor
+    of disk AND of every downstream scan. This splits the frame into
+
+    - ``<name>_payloads``: ONE row per distinct payload
+      (``__digest`` + ``payload_cols``), and
+    - ``<name>_manifest``: one row per document (``id_cols`` +
+      ``__digest``) — the cheap, payload-free side every metadata
+      operation (counting, splitting, sampling, diffing) can use alone,
+
+    both bucketed on ``__digest`` by ``write_bucketed``, so
+    ``read_content_addressed`` reconstructs the full frame with a
+    ZERO-EXCHANGE sorted bucket join (plan-gated in tests) — at 100 TB
+    the reconstruction join moves nothing. The digest is md5 over the
+    null-tagged concat of ``payload_cols`` (a NULL payload is a real,
+    distinct value — tagged so (NULL) ≠ ('')). Dedup here is EXACT
+    bytes; near-dup reduction stays a curation decision upstream.
+
+    Returns ``{"n_rows", "n_payloads", "dedup_ratio"}`` — the measured
+    storage saving (ratio 1.0 = no duplication).
+    """
+    if not payload_cols:
+        raise ValueError("payload_cols must be non-empty")
+    ids = list(id_cols or ["doc_id"])
+    overlap = set(ids) & set(payload_cols)
+    if overlap:
+        raise ValueError(f"id/payload overlap: {sorted(overlap)}")
+    # null-tagged serialization: each payload column contributes a
+    # nullness tag ('0'/'1') plus its string form, NUL-joined — so
+    # (NULL) ≠ ('') and ('a', NULL) ≠ ('a', '') byte-wise
+    digest = F.md5(
+        F.concat_ws(
+            "\x00",
+            *[
+                F.concat(
+                    F.when(F.col(c).isNull(), F.lit("0")).otherwise(
+                        F.lit("1")
+                    ),
+                    F.coalesce(F.col(c).cast("string"), F.lit("")),
+                )
+                for c in payload_cols
+            ],
+        )
+    )
+    tagged = df.withColumn("__digest", digest)
+    payloads = tagged.select("__digest", *payload_cols).dropDuplicates(
+        ["__digest"]
+    )
+    manifest = tagged.select(*ids, "__digest")
+    write_bucketed(
+        payloads,
+        f"{name}_payloads",
+        ["__digest"],
+        num_buckets=num_buckets,
+        path=None if path is None else f"{path}/payloads",
+    )
+    write_bucketed(
+        manifest,
+        f"{name}_manifest",
+        ["__digest"],
+        num_buckets=num_buckets,
+        path=None if path is None else f"{path}/manifest",
+    )
+    spark = df.sparkSession
+    n_rows = spark.table(f"{name}_manifest").count()
+    n_payloads = spark.table(f"{name}_payloads").count()
+    return {
+        "n_rows": n_rows,
+        "n_payloads": n_payloads,
+        "dedup_ratio": round(n_rows / max(n_payloads, 1), 4),
+    }
+
+
+def read_content_addressed(spark, name: str) -> DataFrame:
+    """Reconstruct the full frame from a ``write_content_addressed``
+    store: manifest ⋈ payloads on ``__digest`` — both sides bucketed and
+    sorted on the key, so the plan is an exchange-free (and sort-free)
+    SortMergeJoin; the ``__digest`` column is dropped from the result."""
+    manifest = spark.table(f"{name}_manifest")
+    payloads = spark.table(f"{name}_payloads")
+    return manifest.join(payloads, "__digest").drop("__digest")

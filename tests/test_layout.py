@@ -166,3 +166,59 @@ def test_bucketed_join_no_exchange(spark, grid, tmp_path):
 def test_write_bucketed_validates(grid):
     with pytest.raises(ValueError):
         layout.write_bucketed(grid, "zt_bad", [])
+
+
+def test_content_addressed_round_trip_and_plan(spark, tmp_path):
+    """write/read_content_addressed: reconstruction is lossless (every
+    (id, payload) row identical, duplicates restored), the payload table
+    holds one row per DISTINCT payload ((NULL) ≠ ('') pinned), the
+    reported dedup ratio matches, and reconstruction joins with ZERO
+    exchange (both sides bucketed on the digest)."""
+    rows = [
+        (1, "same text", "en"),
+        (2, "same text", "en"),   # exact dup of 1
+        (3, "same text", "de"),   # same text, different lang → distinct
+        (4, None, "en"),          # NULL payload
+        (5, "", "en"),            # empty string ≠ NULL
+        (6, "unique", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    for t in ("cas_payloads", "cas_manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    stats = layout.write_content_addressed(
+        df,
+        "cas",
+        ["text", "lang"],
+        id_cols=["doc_id"],
+        num_buckets=4,
+        path=str(tmp_path / "cas"),
+    )
+    assert stats == {"n_rows": 6, "n_payloads": 5, "dedup_ratio": 1.2}
+    back = layout.read_content_addressed(spark, "cas")
+    got = {(r["doc_id"], r["text"], r["lang"]) for r in back.collect()}
+    assert got == set(rows)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = (
+            layout.read_content_addressed(spark, "cas")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in p
+        assert "SortMergeJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("cas_payloads", "cas_manifest"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_content_addressed_validates(spark):
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        layout.write_content_addressed(df, "x", [])
+    with pytest.raises(ValueError):
+        layout.write_content_addressed(
+            df, "x", ["text"], id_cols=["text"]
+        )
