@@ -1,0 +1,202 @@
+"""Corpus versioning: delta-only writes + time-travel reads.
+
+Training-data pipelines re-release corpora (a new crawl folded in, a
+dedup pass re-run, a licensing takedown applied) and then need BOTH the
+new version and the ability to reproduce any model trained on an old
+one. Rewriting 100 TB per release is not a plan; this module stores
+version N as the DIFF against version N−1 — added/changed payloads plus
+removed ids — and reconstructs any version by folding the chain.
+The mini-lakehouse pattern (Delta/Iceberg snapshots), expressed as
+plain parquet + DataFrame plans, for corpora whose sink is this repo's
+document/parquet layout rather than a table format.
+
+Scale design:
+
+- A release writes ONLY its delta: one digest-keyed full-outer join
+  between the incoming frame and the latest reconstruction (digests are
+  md5 of the null-tagged payload serialization — 16 bytes per row cross
+  the shuffle, payloads never move except the added rows being written).
+- Reconstruction folds ``(base ⟕ anti-join removed) ∪ added`` per
+  delta — each step is one broadcast-sized anti-join (removed ids are
+  digest-only) plus a union. The chain length is bounded by
+  ``checkpoint=True`` releases, which materialize a full copy and become
+  the new fold origin (the Delta-checkpoint idea) — readers start from
+  the nearest checkpoint at or below the requested version.
+- Version metadata is a per-version ``_meta.json`` (counts, flags,
+  column contract) — driver-sized, never scanned.
+
+No reference counterpart: mongo-arrow reads live collections; change
+streams (`streaming/changes.py`) cover the ROW-level CDC story, this
+covers the RELEASE-level one. ``profile.snapshot_diff`` reports what
+changed between corpus versions; this module is the storage layout that
+makes keeping every version affordable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _digest(payload_cols: list[str]):
+    """md5 over the null-tagged payload serialization (the
+    ``write_content_addressed`` contract: (NULL) ≠ ('') byte-wise)."""
+    return F.md5(
+        F.concat_ws(
+            "\x00",
+            *[
+                F.concat(
+                    F.when(F.col(c).isNull(), F.lit("0")).otherwise(
+                        F.lit("1")
+                    ),
+                    F.coalesce(F.col(c).cast("string"), F.lit("")),
+                )
+                for c in payload_cols
+            ],
+        )
+    )
+
+
+def _vdir(path: str, v: int) -> str:
+    return os.path.join(path, f"v={v}")
+
+
+def list_versions(path: str) -> list[dict]:
+    """All committed versions, ascending — each dict is the version's
+    ``_meta.json`` plus ``version``. Uncommitted (crashed) writes have
+    no ``_meta.json`` and are ignored."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if not d.startswith("v="):
+            continue
+        meta_p = os.path.join(path, d, "_meta.json")
+        if not os.path.exists(meta_p):
+            continue
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        meta["version"] = int(d[2:])
+        out.append(meta)
+    return sorted(out, key=lambda m: m["version"])
+
+
+def write_version(
+    df: DataFrame,
+    path: str,
+    payload_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    checkpoint: bool = False,
+) -> dict:
+    """Commit ``df`` as the next corpus version. The first version (and
+    any ``checkpoint=True`` release) writes the full frame; every other
+    release writes only ``added/`` (new or changed rows, full payloads)
+    and ``removed/`` (ids gone or changed — a changed row is
+    removed + re-added). Returns the committed ``_meta.json`` (version,
+    counts, mode).
+
+    ``id_col`` must be unique per version (release semantics — one row
+    per document id); duplicate-id input raises rather than committing
+    an ambiguous version. Column contract: every version of a corpus
+    must carry the same ``payload_cols`` (pinned in meta, checked on
+    write)."""
+    versions = list_versions(path)
+    cols = payload_cols or [c for c in df.columns if c != id_col]
+    if not cols or id_col in cols:
+        raise ValueError("payload_cols must be non-empty and exclude id_col")
+    if versions and versions[-1]["payload_cols"] != cols:
+        raise ValueError(
+            f"payload_cols {cols} != the corpus contract "
+            f"{versions[-1]['payload_cols']}"
+        )
+    dup = df.groupBy(id_col).count().filter("count > 1").limit(1).collect()
+    if dup:
+        raise ValueError(f"duplicate {id_col} in input: {dup[0][id_col]!r}")
+    v = (versions[-1]["version"] + 1) if versions else 1
+    vdir = _vdir(path, v)
+    cur = df.select(id_col, *cols).withColumn("__digest", _digest(cols))
+    meta: dict = {
+        "payload_cols": cols,
+        "id_col": id_col,
+        "checkpoint": bool(checkpoint or not versions),
+    }
+    if not versions or checkpoint:
+        cur.drop("__digest").write.mode("overwrite").parquet(
+            os.path.join(vdir, "full")
+        )
+        n = read_version(df.sparkSession, path, _peek=vdir, _meta=meta).count()
+        meta.update({"n_rows": n, "added": n, "removed": 0})
+    else:
+        prev = read_version(df.sparkSession, path, versions[-1]["version"])
+        prev_d = prev.withColumn("__digest", _digest(cols)).select(
+            F.col(id_col).alias("__pid"), F.col("__digest").alias("__pdig")
+        )
+        j = cur.select(id_col, "__digest").join(
+            prev_d, cur[id_col].eqNullSafe(prev_d["__pid"]), "full_outer"
+        )
+        added_ids = j.filter(
+            F.col("__pid").isNull()
+            | (F.col("__digest") != F.col("__pdig"))
+        ).select(F.col(id_col))
+        removed_ids = j.filter(
+            F.col(id_col).isNull()
+            | (F.col("__digest") != F.col("__pdig"))
+        ).select(F.col("__pid").alias(id_col))
+        added = cur.drop("__digest").join(added_ids, id_col, "left_semi")
+        added.write.mode("overwrite").parquet(os.path.join(vdir, "added"))
+        removed_ids.write.mode("overwrite").parquet(
+            os.path.join(vdir, "removed")
+        )
+        spark = df.sparkSession
+        n_add = spark.read.parquet(os.path.join(vdir, "added")).count()
+        n_rem = spark.read.parquet(os.path.join(vdir, "removed")).count()
+        meta.update(
+            {"n_rows": cur.count(), "added": n_add, "removed": n_rem}
+        )
+    with open(os.path.join(vdir, "_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return {**meta, "version": v}
+
+
+def read_version(
+    spark,
+    path: str,
+    version: int | None = None,
+    _peek: str | None = None,
+    _meta: dict | None = None,
+) -> DataFrame:
+    """Time-travel read: reconstruct ``version`` (default: latest) by
+    folding deltas forward from the nearest checkpoint at or below it.
+    Each fold step is an anti-join on the removed ids plus a union of
+    the added rows — payloads are read once, from the version that
+    committed them."""
+    if _peek is not None:  # internal: count a just-written full dir
+        return spark.read.parquet(os.path.join(_peek, "full"))
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"no committed versions under {path}")
+    if version is None:
+        version = versions[-1]["version"]
+    chain = [m for m in versions if m["version"] <= version]
+    if not chain or chain[-1]["version"] != version:
+        raise ValueError(
+            f"version {version} not committed (have "
+            f"{[m['version'] for m in versions]})"
+        )
+    start = max(i for i, m in enumerate(chain) if m["checkpoint"])
+    base_meta = chain[start]
+    id_col = base_meta["id_col"]
+    base = spark.read.parquet(
+        os.path.join(_vdir(path, base_meta["version"]), "full")
+    )
+    for m in chain[start + 1 :]:
+        vdir = _vdir(path, m["version"])
+        removed = spark.read.parquet(os.path.join(vdir, "removed"))
+        added = spark.read.parquet(os.path.join(vdir, "added"))
+        base = base.join(
+            removed, base[id_col].eqNullSafe(removed[id_col]), "left_anti"
+        ).unionByName(added)
+    return base
