@@ -904,3 +904,43 @@ def q_mix_interleave(spark, sf_dir):
         "vt",
         "train_order",
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_time_travel",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+           lang
+    FROM documents
+    WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
+    ORDER BY doc_id
+    """,
+)
+def q_corpus_time_travel(spark, sf_dir):
+    """Corpus versioning round-trip (r9): release v1 = two thirds of the
+    corpus; release v2 = v1 minus the %5 ids, with the %7 texts edited —
+    committed as a digest-diff delta (added/changed payloads + removed
+    ids only) and READ BACK through the fold (v1 full ∪ delta). The
+    oracle recomputes v2 directly from the base table, so hash-equality
+    proves the delta commit + time-travel reconstruction is lossless —
+    including the null-tagged change detection deciding what entered
+    the delta. The store is wiped per invocation (versions accumulate
+    otherwise)."""
+    import shutil
+
+    from mongo_arrow_spark.operators import versioning as V
+
+    path = "/tmp/mas_time_travel_store"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    v1 = docs.filter(F.col("doc_id") % 3 != 0)
+    v2 = v1.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    V.write_version(v1, path)
+    V.write_version(v2, path)
+    return V.read_version(spark, path, 2).orderBy("doc_id")
