@@ -1764,6 +1764,11 @@ def _vector_search(df, args, resolve):
     ``index`` value (an Atlas index NAME) is accepted and ignored, as
     before. Probing the artifact is partition pruning against its cell
     layout — the 100 TB shape where the corpus scan never happens.
+    Route limits (each falls back to the LSH/exact paths): the index's
+    L2 retrieval serves ``cosine`` (normalized-embeddings convention)
+    and ``euclidean`` only — never ``dotProduct``; and a stage with a
+    ``filter`` uses the index only when ``numCandidates`` is explicit,
+    because index candidates intersect the filter AFTER retrieval.
 
     Plan: [ANN: bucket-distance histogram (≤9-row agg) + pruned scan,]
     codegen dot product against the broadcast-literal query vector,
@@ -1785,11 +1790,28 @@ def _vector_search(df, args, resolve):
     sim = args.get("similarity", "cosine")
     num_cand = args.get("numCandidates")
     idx = args.get("index")
-    if (
+    use_index = (
         isinstance(idx, str)
         and not args.get("exact", False)
         and _os.path.exists(_os.path.join(idx, "_ivf_pq_index.json"))
-    ):
+        # the index's IVF routing and ADC candidates rank by (squared)
+        # L2 — aligned with euclidean, and with cosine under the
+        # normalized-embeddings convention Atlas itself recommends for
+        # cosine indexes; a dotProduct query's top match can be a
+        # high-norm vector in an L2-far cell that NO n_probe reaches,
+        # so dotProduct falls through to the LSH/exact paths (r9 review
+        # fix)
+        and sim in ("cosine", "euclidean")
+        # candidates come from the WHOLE index; a pre-filter then
+        # intersects AFTER retrieval, so a selective filter with the
+        # default numCandidates=10*limit would collapse the result
+        # (post-filter ANN). With a filter present the index route runs
+        # only when the caller sized numCandidates explicitly —
+        # otherwise exact scoring over the (already filtered, hence
+        # smaller) collection is both correct and cheap (r9 review fix)
+        and (not args.get("filter") or num_cand is not None)
+    )
+    if use_index:
         import json as _json
 
         from mongo_arrow_spark.operators.similarity import (

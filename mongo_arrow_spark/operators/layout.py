@@ -194,6 +194,35 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def payload_digest(payload_cols: list[str]):
+    """md5 over a PREFIX-FREE serialization of the payload columns — the
+    one digest contract shared by the content-addressed store and
+    ``operators.versioning`` (two copies would silently diverge). Each
+    column contributes ``<nullness tag><byte length>:<value>``: the tag
+    makes (NULL) ≠ (''), and the explicit length makes the encoding
+    unambiguous even when values CONTAIN the join byte (('a\\x001b','c')
+    vs ('a','b\\x001c') hash differently — a plain NUL-join conflates
+    them, r9 review fix)."""
+    return F.md5(
+        F.concat_ws(
+            "\x00",
+            *[
+                F.concat(
+                    F.when(F.col(c).isNull(), F.lit("0")).otherwise(
+                        F.lit("1")
+                    ),
+                    F.octet_length(
+                        F.coalesce(F.col(c).cast("string"), F.lit(""))
+                    ).cast("string"),
+                    F.lit(":"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("")),
+                )
+                for c in payload_cols
+            ],
+        )
+    )
+
+
 def write_content_addressed(
     df: DataFrame,
     name: str,
@@ -230,24 +259,7 @@ def write_content_addressed(
     overlap = set(ids) & set(payload_cols)
     if overlap:
         raise ValueError(f"id/payload overlap: {sorted(overlap)}")
-    # null-tagged serialization: each payload column contributes a
-    # nullness tag ('0'/'1') plus its string form, NUL-joined — so
-    # (NULL) ≠ ('') and ('a', NULL) ≠ ('a', '') byte-wise
-    digest = F.md5(
-        F.concat_ws(
-            "\x00",
-            *[
-                F.concat(
-                    F.when(F.col(c).isNull(), F.lit("0")).otherwise(
-                        F.lit("1")
-                    ),
-                    F.coalesce(F.col(c).cast("string"), F.lit("")),
-                )
-                for c in payload_cols
-            ],
-        )
-    )
-    tagged = df.withColumn("__digest", digest)
+    tagged = df.withColumn("__digest", payload_digest(payload_cols))
     payloads = tagged.select("__digest", *payload_cols).dropDuplicates(
         ["__digest"]
     )

@@ -1025,6 +1025,58 @@ def ivf_pq_index_topk(
     )
 
 
+def _hn_side(
+    df, id_col, vec_col, label_col, dim, scale, out_id, out_q, out_lbl,
+    keep_vec=False,
+):
+    """Shared hygiene + quantize projection of the two hard-negative
+    miners (one contract, one implementation): NULL id / NULL label /
+    NULL or corrupt vector / wrong dim rows are excluded."""
+    from mongo_arrow_spark.operators.clustering import quantize_vec
+
+    v = F.col(vec_col)
+    extra = [F.col(vec_col).alias("__v")] if keep_vec else []
+    return df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & v.isNotNull()
+        & (F.size(v) == dim)
+        & F.forall(v, lambda x: x.isNotNull())
+    ).select(
+        F.col(id_col).alias(out_id),
+        *extra,
+        quantize_vec(vec_col, scale).alias(out_q),
+        F.col(label_col).alias(out_lbl),
+    )
+
+
+def _hn_topk(pairs, k, max_qdot):
+    """Shared scoring tail: integer qdot, semi-hard cut, per-anchor
+    row_number <= k (WindowGroupLimit pre-cut shape)."""
+    from pyspark.sql import Window
+
+    scored = pairs.select(
+        "anchor_id",
+        "anchor_label",
+        "neg_id",
+        F.aggregate(
+            F.zip_with("__aq", "__bq", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qdot"),
+    )
+    if max_qdot is not None:
+        scored = scored.filter(F.col("qdot") <= int(max_qdot))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("qdot").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "anchor_label", "neg_id", "qdot", "neg_rank")
+    )
+
+
 def hard_negatives(
     anchors: DataFrame,
     corpus: DataFrame,
@@ -1067,26 +1119,14 @@ def hard_negatives(
     candidate generation (``knn_join_bucketed``) and apply the label
     filter to its candidate pairs instead.
     """
-    from pyspark.sql import Window
-
-    from mongo_arrow_spark.operators.clustering import quantize_vec
-
-    def side(df, out_id, out_q, out_lbl):
-        v = F.col(vec_col)
-        return df.filter(
-            F.col(id_col).isNotNull()
-            & F.col(label_col).isNotNull()
-            & v.isNotNull()
-            & (F.size(v) == dim)
-            & F.forall(v, lambda x: x.isNotNull())
-        ).select(
-            F.col(id_col).alias(out_id),
-            quantize_vec(vec_col, scale).alias(out_q),
-            F.col(label_col).alias(out_lbl),
-        )
-
-    a = side(anchors, "anchor_id", "__aq", "anchor_label")
-    b = side(corpus, "neg_id", "__bq", "__blbl")
+    a = _hn_side(
+        anchors, id_col, vec_col, label_col, dim, scale,
+        "anchor_id", "__aq", "anchor_label",
+    )
+    b = _hn_side(
+        corpus, id_col, vec_col, label_col, dim, scale,
+        "neg_id", "__bq", "__blbl",
+    )
     pairs = (
         F.broadcast(a)
         .crossJoin(b)
@@ -1094,29 +1134,8 @@ def hard_negatives(
             (F.col("anchor_label") != F.col("__blbl"))
             & (F.col("anchor_id") != F.col("neg_id"))
         )
-        .select(
-            "anchor_id",
-            "anchor_label",
-            "neg_id",
-            F.aggregate(
-                F.zip_with(
-                    "__aq", "__bq", lambda x, y: x * y
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("qdot"),
-        )
     )
-    if max_qdot is not None:
-        pairs = pairs.filter(F.col("qdot") <= int(max_qdot))
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.col("qdot").desc(), F.col("neg_id").asc()
-    )
-    return (
-        pairs.withColumn("neg_rank", F.row_number().over(w))
-        .filter(F.col("neg_rank") <= k)
-        .select("anchor_id", "anchor_label", "neg_id", "qdot", "neg_rank")
-    )
+    return _hn_topk(pairs, k, max_qdot)
 
 
 def hard_negatives_ivf(
@@ -1174,30 +1193,16 @@ def hard_negatives_ivf(
     broadcast of the tiny presence table."""
     from pyspark.sql import Window
 
-    from mongo_arrow_spark.operators.clustering import quantize_vec
-
     centroids = _fit_ivf_from_df(
         corpus, n_clusters, seed, id_col, vec_col, dim
     )
     n_probe = min(max(1, n_probe), len(centroids))
 
-    def side(df, out_id, out_q, out_lbl):
-        v = F.col(vec_col)
-        return df.filter(
-            F.col(id_col).isNotNull()
-            & F.col(label_col).isNotNull()
-            & v.isNotNull()
-            & (F.size(v) == dim)
-            & F.forall(v, lambda x: x.isNotNull())
-        ).select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias("__v"),
-            quantize_vec(vec_col, scale).alias(out_q),
-            F.col(label_col).alias(out_lbl),
-        )
-
     corpus_side = (
-        side(corpus, "neg_id", "__bq", "__blbl")
+        _hn_side(
+            corpus, id_col, vec_col, label_col, dim, scale,
+            "neg_id", "__bq", "__blbl", keep_vec=True,
+        )
         .withColumn("__cell", _cell_expr("__v", centroids))
         .drop("__v")
         .localCheckpoint(eager=False)
@@ -1207,12 +1212,25 @@ def hard_negatives_ivf(
         (r["__blbl"], r["__cell"])
         for r in corpus_side.select("__blbl", "__cell").distinct().collect()
     }
-    labels = sorted({l for l, _ in present})
+    corpus_labels = sorted({l for l, _ in present})
+    all_cells = sorted({c for _, c in present})
+    # anchor labels come from the ANCHORS (bounded by label cardinality,
+    # like the presence table): a label absent from the corpus must see
+    # EVERY non-empty cell — all its rows are cross-label — where the
+    # old corpus-only table silently dropped those anchors whole (r9
+    # review fix)
+    anchor_labels = sorted(
+        r[0]
+        for r in anchors.filter(F.col(label_col).isNotNull())
+        .select(label_col)
+        .distinct()
+        .collect()
+    )
     eligible = [
         (lbl, int(c))
-        for lbl in labels
-        for c in sorted({c for _, c in present})
-        if any(l2 != lbl and (l2, c) in present for l2 in labels)
+        for lbl in anchor_labels
+        for c in all_cells
+        if any(l2 != lbl and (l2, c) in present for l2 in corpus_labels)
     ]
     spark = corpus.sparkSession
     lbl_type = corpus.schema[label_col].dataType.simpleString()
@@ -1239,7 +1257,10 @@ def hard_negatives_ivf(
     )
     wprobe = Window.partitionBy("anchor_id").orderBy(F.col("__pos").asc())
     anchor_side = (
-        side(anchors, "anchor_id", "__aq", "anchor_label")
+        _hn_side(
+            anchors, id_col, vec_col, label_col, dim, scale,
+            "anchor_id", "__aq", "anchor_label", keep_vec=True,
+        )
         .select(
             "anchor_id",
             "__aq",
@@ -1253,30 +1274,8 @@ def hard_negatives_ivf(
         .filter(F.col("__prk") <= n_probe)
         .drop("__pos", "__prk")
     )
-    pairs = (
-        anchor_side.join(corpus_side, "__cell")
-        .filter(
-            (F.col("anchor_label") != F.col("__blbl"))
-            & (F.col("anchor_id") != F.col("neg_id"))
-        )
-        .select(
-            "anchor_id",
-            "anchor_label",
-            "neg_id",
-            F.aggregate(
-                F.zip_with("__aq", "__bq", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("qdot"),
-        )
+    pairs = anchor_side.join(corpus_side, "__cell").filter(
+        (F.col("anchor_label") != F.col("__blbl"))
+        & (F.col("anchor_id") != F.col("neg_id"))
     )
-    if max_qdot is not None:
-        pairs = pairs.filter(F.col("qdot") <= int(max_qdot))
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.col("qdot").desc(), F.col("neg_id").asc()
-    )
-    return (
-        pairs.withColumn("neg_rank", F.row_number().over(w))
-        .filter(F.col("neg_rank") <= k)
-        .select("anchor_id", "anchor_label", "neg_id", "qdot", "neg_rank")
-    )
+    return _hn_topk(pairs, k, max_qdot)

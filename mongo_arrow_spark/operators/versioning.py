@@ -41,23 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _digest(payload_cols: list[str]):
-    """md5 over the null-tagged payload serialization (the
-    ``write_content_addressed`` contract: (NULL) ≠ ('') byte-wise)."""
-    return F.md5(
-        F.concat_ws(
-            "\x00",
-            *[
-                F.concat(
-                    F.when(F.col(c).isNull(), F.lit("0")).otherwise(
-                        F.lit("1")
-                    ),
-                    F.coalesce(F.col(c).cast("string"), F.lit("")),
-                )
-                for c in payload_cols
-            ],
-        )
-    )
+from mongo_arrow_spark.operators.layout import payload_digest as _digest
 
 
 def _vdir(path: str, v: int) -> str:
@@ -98,9 +82,10 @@ def write_version(
     removed + re-added). Returns the committed ``_meta.json`` (version,
     counts, mode).
 
-    ``id_col`` must be unique per version (release semantics — one row
-    per document id); duplicate-id input raises rather than committing
-    an ambiguous version. Column contract: every version of a corpus
+    ``id_col`` must be non-NULL and unique per version (release
+    semantics — one row per document id); NULL or duplicate ids raise
+    rather than committing an ambiguous version (a NULL id would also
+    silently fall out of every delta's semi-join, r9 review fix). Column contract: every version of a corpus
     must carry the same ``payload_cols`` (pinned in meta, checked on
     write)."""
     versions = list_versions(path)
@@ -112,9 +97,18 @@ def write_version(
             f"payload_cols {cols} != the corpus contract "
             f"{versions[-1]['payload_cols']}"
         )
-    dup = df.groupBy(id_col).count().filter("count > 1").limit(1).collect()
-    if dup:
-        raise ValueError(f"duplicate {id_col} in input: {dup[0][id_col]!r}")
+    bad = (
+        df.groupBy(id_col)
+        .count()
+        .filter((F.col("count") > 1) | F.col(id_col).isNull())
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        r = bad[0]
+        if r[id_col] is None:
+            raise ValueError(f"NULL {id_col} in input")
+        raise ValueError(f"duplicate {id_col} in input: {r[id_col]!r}")
     v = (versions[-1]["version"] + 1) if versions else 1
     vdir = _vdir(path, v)
     cur = df.select(id_col, *cols).withColumn("__digest", _digest(cols))
@@ -123,19 +117,27 @@ def write_version(
         "id_col": id_col,
         "checkpoint": bool(checkpoint or not versions),
     }
+    spark = df.sparkSession
     if not versions or checkpoint:
         cur.drop("__digest").write.mode("overwrite").parquet(
             os.path.join(vdir, "full")
         )
-        n = read_version(df.sparkSession, path, _peek=vdir, _meta=meta).count()
+        n = spark.read.parquet(os.path.join(vdir, "full")).count()
         meta.update({"n_rows": n, "added": n, "removed": 0})
     else:
-        prev = read_version(df.sparkSession, path, versions[-1]["version"])
+        # materialize ONCE: cur feeds the diff join, the added write and
+        # the n_rows count; j feeds the added AND removed writes — the
+        # _prefix_offsets checkpoint discipline, or each action re-folds
+        # the whole prior chain (r9 review fix)
+        cur = cur.localCheckpoint(eager=True)
+        prev = read_version(spark, path, versions[-1]["version"])
         prev_d = prev.withColumn("__digest", _digest(cols)).select(
             F.col(id_col).alias("__pid"), F.col("__digest").alias("__pdig")
         )
-        j = cur.select(id_col, "__digest").join(
-            prev_d, cur[id_col].eqNullSafe(prev_d["__pid"]), "full_outer"
+        j = (
+            cur.select(id_col, "__digest")
+            .join(prev_d, cur[id_col] == prev_d["__pid"], "full_outer")
+            .localCheckpoint(eager=True)
         )
         added_ids = j.filter(
             F.col("__pid").isNull()
@@ -150,7 +152,6 @@ def write_version(
         removed_ids.write.mode("overwrite").parquet(
             os.path.join(vdir, "removed")
         )
-        spark = df.sparkSession
         n_add = spark.read.parquet(os.path.join(vdir, "added")).count()
         n_rem = spark.read.parquet(os.path.join(vdir, "removed")).count()
         meta.update(
@@ -165,16 +166,12 @@ def read_version(
     spark,
     path: str,
     version: int | None = None,
-    _peek: str | None = None,
-    _meta: dict | None = None,
 ) -> DataFrame:
     """Time-travel read: reconstruct ``version`` (default: latest) by
     folding deltas forward from the nearest checkpoint at or below it.
     Each fold step is an anti-join on the removed ids plus a union of
     the added rows — payloads are read once, from the version that
     committed them."""
-    if _peek is not None:  # internal: count a just-written full dir
-        return spark.read.parquet(os.path.join(_peek, "full"))
     versions = list_versions(path)
     if not versions:
         raise ValueError(f"no committed versions under {path}")
@@ -197,6 +194,6 @@ def read_version(
         removed = spark.read.parquet(os.path.join(vdir, "removed"))
         added = spark.read.parquet(os.path.join(vdir, "added"))
         base = base.join(
-            removed, base[id_col].eqNullSafe(removed[id_col]), "left_anti"
+            removed, base[id_col] == removed[id_col], "left_anti"
         ).unionByName(added)
     return base

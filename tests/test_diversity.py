@@ -499,3 +499,33 @@ def test_hard_negatives_ivf_uniform_data_dial(spark):
         ).collect()
     }
     assert full == brute  # n_probe == n_clusters: candidate set is total
+
+
+def test_hard_negatives_ivf_foreign_label_anchor(spark):
+    """An anchor whose label does not occur in the corpus must still
+    mine: every corpus row is cross-label for it, so the IVF form must
+    agree with the brute form instead of dropping the anchor whole
+    (r9 review fix — the eligibility table is keyed by ANCHOR labels)."""
+    from mongo_arrow_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_ivf,
+    )
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(100)
+    anchors = corpus.limit(3).withColumn(
+        "label", F.lit(999_999).cast(corpus.schema["label"].dataType)
+    )
+    brute = {
+        (r["anchor_id"], r["neg_id"], r["qdot"], r["neg_rank"])
+        for r in hard_negatives(anchors, corpus, k=3).collect()
+    }
+    got = {
+        (r["anchor_id"], r["neg_id"], r["qdot"], r["neg_rank"])
+        for r in hard_negatives_ivf(
+            anchors, corpus, k=3, n_clusters=4, n_probe=4
+        ).collect()
+    }
+    assert got == brute  # full probe + foreign label == brute exactly
+    assert len({a for a, *_ in got}) == 3  # no anchor dropped

@@ -3142,3 +3142,45 @@ def test_vector_search_persisted_index_route(spark, tmp_path):
         ).collect()
     ]
     assert named == exact
+
+
+def test_vector_search_index_route_limits(spark, tmp_path):
+    """The index route declines dotProduct (L2 retrieval can
+    permanently miss high-norm matches) and declines filtered stages
+    without an explicit numCandidates (post-filter ANN would collapse
+    the result) — both fall back to exact semantics; a filtered stage
+    WITH explicit corpus-wide numCandidates routes and still matches
+    exact (r9 review fixes)."""
+    from mongo_arrow_spark.api import aggregate
+    from mongo_arrow_spark.operators.similarity import (
+        build_ivf_pq_index,
+        fit_pq,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding", "label")
+    model = fit_pq(emb, m=8, codes=16)
+    idx = str(tmp_path / "vsidx2")
+    build_ivf_pq_index(emb, idx, model, n_clusters=8)
+    qv = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+
+    def ids(extra):
+        stage = {"path": "embedding", "queryVector": qv, "limit": 5, **extra}
+        return [
+            r["vec_id"]
+            for r in aggregate(emb, [{"$vectorSearch": stage}]).collect()
+        ]
+
+    # dotProduct: index ignored == exact dotProduct
+    assert ids({"similarity": "dotProduct", "index": idx}) == ids(
+        {"similarity": "dotProduct"}
+    )
+    # filter without numCandidates: index ignored == filtered exact
+    filt = {"label": {"$gte": 0}}
+    assert ids({"filter": filt, "index": idx}) == ids({"filter": filt})
+    # filter + corpus-wide numCandidates + full probe: routed, == exact
+    n = emb.count()
+    assert ids(
+        {"filter": filt, "index": idx, "numCandidates": n, "nProbe": 8}
+    ) == ids({"filter": filt})

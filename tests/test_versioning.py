@@ -108,3 +108,28 @@ def test_guards(spark, tmp_path):
             spark.createDataFrame([(1,)], "doc_id long"),
             str(tmp_path / "x"),
         )
+
+
+def test_null_id_rejected(spark, tmp_path):
+    """A NULL id would silently fall out of every delta's semi-join —
+    rejected at commit instead (r9 review fix)."""
+    p = str(tmp_path / "corpus")
+    df = spark.createDataFrame(
+        [(None, "a", "en"), (2, "b", "en")],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        V.write_version(df, p)
+
+
+def test_digest_is_prefix_free(spark, tmp_path):
+    """Payload values containing the join byte must not conflate: the
+    length-prefixed serialization keeps ('a\\x001b','c') ≠ ('a','b\\x001c')
+    — a change between them commits a real delta (r9 review fix)."""
+    p = str(tmp_path / "corpus")
+    V.write_version(
+        _frame(spark, [(1, "a\x001b", "c")]), p
+    )
+    m2 = V.write_version(_frame(spark, [(1, "a", "b\x001c")]), p)
+    assert (m2["added"], m2["removed"]) == (1, 1)
+    assert _snap(V.read_version(spark, p, 2)) == {(1, "a", "b\x001c")}
