@@ -103,6 +103,15 @@ def curate(
     # text first (anti-domination, the RefinedWeb per-domain cap)
     cap_group_col: str | None = None,
     cap_n: int = 1000,
+    # rank-fusion ensemble gate (r9; None disables — see
+    # selection.ensemble_rank): Borda-fuse caller-provided numeric
+    # signal columns already on the frame (NB log-odds, LM scores,
+    # heuristics — scale-free, no calibration) and keep the best
+    # ensemble_top_n rows by fused rank. Runs len(cols)+1 distributed
+    # prefix ranks (bounded collects, no one-task window).
+    ensemble_cols: list | None = None,
+    ensemble_weights: list | None = None,
+    ensemble_top_n: int | None = None,
     # token-budget cut (r8; None disables — see
     # selection.select_token_budget): keep the best-scoring prefix of
     # the survivors under an exact whitespace-token budget, scored by
@@ -336,6 +345,22 @@ def curate(
             id_col=id_col,
         )
         _tap("group_cap", kept)
+
+    # 4c2. rank-fusion ensemble gate — combine heterogeneous quality
+    # signals without calibration; a single outlier signal can't
+    # dominate the way raw-value averaging lets it
+    if ensemble_cols:
+        kept = selection_ops.ensemble_rank(
+            kept,
+            list(ensemble_cols),
+            weights=ensemble_weights,
+            id_col=id_col,
+            keep_ranks=False,
+        )
+        if ensemble_top_n is not None:
+            kept = kept.filter(F.col("ens_rank") <= int(ensemble_top_n))
+        kept = kept.drop("__wsum", "ens_rank")
+        _tap("ensemble", kept)
 
     # 4d. token-budget cut — the final size gate: rank survivors by
     # stopword hits (integer, deterministic) and keep the prefix whose

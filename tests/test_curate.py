@@ -807,3 +807,32 @@ def test_ingest_gate_paragraph_stage_batchwise_equals_global(spark):
     assert got == want
     # the final index holds every distinct paragraph of the corpus
     assert idx.count() == build_paragraph_index(df).count()
+
+
+def test_curate_ensemble_stage(spark):
+    """curate(ensemble_cols=) fuses signal columns and keeps the top-n
+    by Borda rank; disabled by default (None) the output is unchanged —
+    the stage-toggle composability contract."""
+    rows = [
+        (i, " ".join(["the word"] * (20 + i)), 100 + i, "en", "s")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long, lang string, source string"
+    )
+    base = curate(df, redact_pii=False, jaccard_threshold=None)
+    out = curate(
+        df,
+        redact_pii=False,
+        jaccard_threshold=None,
+        ensemble_cols=["n_chars"],
+        ensemble_top_n=5,
+    )
+    assert out.count() == 5
+    # top-5 by the single signal = the 5 largest n_chars survivors
+    want = sorted(
+        (r["n_chars"] for r in base.collect()), reverse=True
+    )[:5]
+    assert sorted((r["n_chars"] for r in out.collect()), reverse=True) == want
+    # columns unchanged (rank scaffolding dropped)
+    assert set(out.columns) == set(base.columns)
