@@ -73,6 +73,14 @@ REPRESENTATIVES = [
     "mix_interleave",
     "corpus_diff",
     "cluster_kmeans",
+    # r9 parked additions that touch session-external state (artifact
+    # writes, catalog-free parquet stores) — conf-bare before the driver
+    # could ever run them
+    "tok_pack_pipeline",
+    "corpus_time_travel",
+    "quality_ensemble",
+    "sim_hard_negatives",
+    "pack_bucket_batches",
 ]
 
 
