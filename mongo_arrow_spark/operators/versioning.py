@@ -197,3 +197,33 @@ def read_version(
             removed, base[id_col] == removed[id_col], "left_anti"
         ).unionByName(added)
     return base
+
+
+def version_diff_report(
+    spark,
+    path: str,
+    v_from: int,
+    v_to: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """What changed between two committed releases, as the
+    ``profile.snapshot_diff`` status report (added / removed / changed /
+    unchanged with doc+token counts per side) over the two time-travel
+    reconstructions — the audit you read before promoting a release.
+    Note the diff recomputed here is text-column-level (the
+    snapshot_diff contract); the commit deltas themselves are
+    whole-payload (every ``payload_cols`` column participates in the
+    digest), so a change in a non-text payload column appears in the
+    commit's added/removed counts but as ``unchanged`` here."""
+    from mongo_arrow_spark.operators.profile import snapshot_diff
+
+    meta = list_versions(path)
+    if not meta:
+        raise ValueError(f"no committed versions under {path}")
+    id_col = meta[-1]["id_col"]
+    return snapshot_diff(
+        read_version(spark, path, v_from),
+        read_version(spark, path, v_to),
+        id_col=id_col,
+        text_col=text_col,
+    )

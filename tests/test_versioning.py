@@ -133,3 +133,19 @@ def test_digest_is_prefix_free(spark, tmp_path):
     m2 = V.write_version(_frame(spark, [(1, "a", "b\x001c")]), p)
     assert (m2["added"], m2["removed"]) == (1, 1)
     assert _snap(V.read_version(spark, p, 2)) == {(1, "a", "b\x001c")}
+
+
+def test_version_diff_report(spark, tmp_path):
+    p = str(tmp_path / "corpus")
+    V.write_version(_frame(spark, [(1, "a", "en"), (2, "b", "en")]), p)
+    V.write_version(
+        _frame(spark, [(1, "a", "en"), (2, "B", "en"), (3, "c", "de")]), p
+    )
+    rep = {
+        r["status"]: r["n_docs"]
+        for r in V.version_diff_report(spark, p, 1, 2).collect()
+    }
+    assert rep.get("added") == 1
+    assert rep.get("changed") == 1
+    assert rep.get("unchanged") == 1
+    assert "removed" not in rep or rep["removed"] == 0
