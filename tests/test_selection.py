@@ -701,3 +701,47 @@ def test_ensemble_rank_no_single_partition_exchange(docs):
     out = selection.ensemble_rank(scored, ["a", "b"], num_partitions=4)
     out.collect()
     assert "Exchange SinglePartition" not in plan_string(out)
+
+
+def test_ensemble_rank_property_random_frames(spark):
+    """Randomized brute-force parity: for arbitrary integer signal
+    frames (ties, negatives, skew), the fused ranks equal a pure-python
+    Borda computation and ens_rank is a dense 1..N permutation. Few
+    seeded draws rather than hypothesis: each example is a Spark job."""
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = rng.randint(1, 60)
+        rows = [
+            (i, rng.randint(-5, 5), rng.choice([0, 0, 0, rng.randint(-100, 100)]))
+            for i in range(n)
+        ]
+        w = [rng.randint(1, 4), rng.randint(1, 4)]
+        df = spark.createDataFrame(rows, "doc_id long, a long, b long")
+        got = {
+            r["doc_id"]: (r["__rank_a"], r["__rank_b"], r["ens_rank"])
+            for r in selection.ensemble_rank(
+                df, ["a", "b"], weights=w, num_partitions=rng.choice([1, 7])
+            ).collect()
+        }
+        # brute python Borda
+        ra = {
+            d: i + 1
+            for i, (d, _, _) in enumerate(
+                sorted(rows, key=lambda r: (-r[1], r[0]))
+            )
+        }
+        rb = {
+            d: i + 1
+            for i, (d, _, _) in enumerate(
+                sorted(rows, key=lambda r: (-r[2], r[0]))
+            )
+        }
+        ws = {d: w[0] * ra[d] + w[1] * rb[d] for d, _, _ in rows}
+        er = {
+            d: i + 1
+            for i, d in enumerate(sorted(ws, key=lambda d: (ws[d], d)))
+        }
+        want = {d: (ra[d], rb[d], er[d]) for d, _, _ in rows}
+        assert got == want, f"seed={seed}"
