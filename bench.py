@@ -114,6 +114,13 @@ HEADLINE = [
     "select_mmr",
     "pack_shards",
     "mix_interleave",
+    # round-9 waves (parked oracles, 3-scale green): first-reading
+    # headline numbers so BENCH tracks them through the drift anchors
+    "quality_ensemble",
+    "sim_hard_negatives",
+    "pack_bucket_batches",
+    "tok_pack_pipeline",
+    "corpus_time_travel",
 ]
 
 
