@@ -16,6 +16,7 @@ from mongo_arrow_spark.operators import (
     similarity,
     text,
     tokenizer,
+    versioning,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "text",
     "tokenizer",
     "multimodal",
+    "versioning",
 ]
