@@ -354,6 +354,10 @@ _DEMOTED = [
     # plumbing over the graded scan surface; oracle recomputes the
     # reconstructed release from the base table in pytest.
     "corpus_time_travel",
+    # r9: novelty scoring parks by construction — the soft sibling of
+    # the graded decontaminate/dedup overlap machinery (explode ->
+    # distinct -> left-join -> per-doc agg); oracle in pytest.
+    "text_ngram_novelty",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

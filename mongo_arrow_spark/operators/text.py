@@ -825,3 +825,70 @@ def reassemble_segments(
             F.when(F.col(text_col).isNotNull(), F.lit("")),
         ),
     ).drop("__new_text")
+
+
+def ngram_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: of the
+    document's DISTINCT word n-grams, how many (and what fraction) the
+    reference has never seen. High novelty separates fresh content from
+    recombinations of the corpus it will train beside; near-zero novelty
+    flags paraphrase-level duplication that exact/MinHash dedup misses
+    and memorization-risk passages — the soft sibling of the hard
+    ``decontaminate`` gate (which DROPS above an overlap threshold,
+    where this SCORES and leaves the cut to the caller).
+
+    Returns one row per input document: ``(id, n_ngrams, n_unseen,
+    novelty)`` — ``novelty = n_unseen / n_ngrams``, NULL when the text
+    has no n-grams (shorter than ``n`` tokens, or NULL). Documents that
+    explode to zero n-grams are re-joined, never dropped.
+
+    Plan: reference distinct grams build once (explode → partial-agg
+    distinct); doc grams LEFT-join them on the gram string (exact — at
+    100 TB pre-hash both sides to ``xxhash64`` 8-byte keys to shrink
+    the shuffle; a collision marks one novel gram seen, bias ~2⁻⁶⁴ per
+    pair) and reduce per doc. Skewed hot grams pre-reduce map-side via
+    the distinct's partial aggregation.
+    """
+    ref_t = ref_text_col or text_col
+    ref = (
+        reference.select(F.explode(ngram_array(ref_t, n)).alias("__g"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngram_array(text_col, n))).alias("__g"),
+    )
+    per_doc = (
+        grams.join(ref, "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unseen"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_unseen", F.lit(0)).cast("long").alias("n_unseen"),
+        )
+        .withColumn(
+            "novelty",
+            F.when(
+                F.col("n_ngrams") > 0,
+                (F.round(F.col("n_unseen") / F.col("n_ngrams"), 6) + 0.0),
+            ),
+        )
+    )

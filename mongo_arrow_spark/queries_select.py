@@ -944,3 +944,50 @@ def q_corpus_time_travel(spark, sf_dir):
     V.write_version(v1, path)
     V.write_version(v2, path)
     return V.read_version(spark, path, 2).orderBy("doc_id")
+
+
+@query(
+    "text_ngram_novelty",
+    """
+    WITH refd AS (
+      SELECT DISTINCT unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+          i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        AS g
+      FROM documents WHERE doc_id % 2 = 0
+    ), d AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+          i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+        AS g
+      FROM documents WHERE doc_id % 2 = 1
+    ), f AS (
+      SELECT d.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen
+      FROM d LEFT JOIN refd r USING (g)
+      GROUP BY d.doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(f.n_ngrams, 0)::BIGINT AS n_ngrams,
+           COALESCE(f.n_unseen, 0)::BIGINT AS n_unseen,
+           CASE WHEN COALESCE(f.n_ngrams, 0) > 0
+                THEN ROUND(f.n_unseen / f.n_ngrams, 6) + 0.0 END AS novelty
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b
+    LEFT JOIN f USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def q_text_ngram_novelty(spark, sf_dir):
+    """Per-doc trigram novelty (r9): odd-id documents scored against the
+    even-id half as the reference corpus — distinct-trigram counts,
+    unseen counts, and the novelty fraction, exactly reproduced by the
+    naive SQL (string-keyed gram join both sides; NULL novelty pinned
+    for gram-less docs)."""
+    from mongo_arrow_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return text_ops.ngram_novelty(batch, ref, n=3).orderBy("doc_id")

@@ -836,3 +836,32 @@ def test_curate_ensemble_stage(spark):
     assert sorted((r["n_chars"] for r in out.collect()), reverse=True) == want
     # columns unchanged (rank scaffolding dropped)
     assert set(out.columns) == set(base.columns)
+
+
+def test_ngram_novelty_contract(spark):
+    """Zero-gram docs (short / NULL text) are kept with NULL novelty;
+    counts are exact on a hand-computable corpus."""
+    from mongo_arrow_spark.operators.text import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d")], "doc_id long, text string"
+    )  # reference trigrams: {a b c, b c d}
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x"),   # trigrams {a b c, b c x}: 1 unseen
+            (2, "a b"),       # too short: 0 grams, NULL novelty
+            (3, None),        # NULL text: 0 grams, NULL novelty
+            (4, "p q r"),     # {p q r}: fully novel
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_unseen"], r["novelty"])
+        for r in ngram_novelty(docs, ref, n=3).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (0, 0, None),
+        3: (0, 0, None),
+        4: (1, 1, 1.0),
+    }
