@@ -476,3 +476,29 @@ def test_hard_negatives_plan_broadcast_and_group_limit(spark, tables):
     assert "CartesianProduct" not in p
     assert "WindowGroupLimit" in p and "Partial" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_bucket_batches_plan_grouped_prefix(spark, tables):
+    """pack_bucket_batches (r9, parked): the per-bucket cumsum must run
+    on the grouped distributed prefix sum — no single-partition window,
+    offsets broadcast back, range machinery materialized once."""
+    df = QUERIES["pack_bucket_batches"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in p:
+        p = p.split("== Initial Plan ==", 1)[0]
+    assert "Exchange SinglePartition" not in p
+    assert "BroadcastHashJoin" in p  # bounded offsets join back
+    assert "CartesianProduct" not in p
+
+
+def test_quality_ensemble_plan_no_global_window(spark, tables):
+    """quality_ensemble (r9, parked): four chained prefix ranks — never
+    a one-task global window anywhere in the fused plan."""
+    df = QUERIES["quality_ensemble"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in p:
+        p = p.split("== Initial Plan ==", 1)[0]
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
