@@ -227,3 +227,38 @@ def version_diff_report(
         id_col=id_col,
         text_col=text_col,
     )
+
+
+def compact_version(spark, path: str, version: int | None = None) -> dict:
+    """Materialize a synthetic checkpoint AT an existing committed
+    version (default: latest): reconstruct it once, write the full copy
+    into that version's directory, and flip its ``checkpoint`` flag —
+    every later ``read_version`` of this or any newer version now folds
+    from here instead of replaying the whole delta run. The deltas
+    themselves stay untouched (older versions keep reconstructing), so
+    this is pure read-amplification maintenance — run it when the
+    fold chain since the last checkpoint has grown past the read-latency
+    budget, exactly like Delta's checkpoint cadence. Idempotent: a
+    version that already checkpoints returns its meta unchanged.
+    Returns the updated ``_meta.json`` (+``version``)."""
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"no committed versions under {path}")
+    if version is None:
+        version = versions[-1]["version"]
+    meta = next((m for m in versions if m["version"] == version), None)
+    if meta is None:
+        raise ValueError(
+            f"version {version} not committed (have "
+            f"{[m['version'] for m in versions]})"
+        )
+    if meta["checkpoint"]:
+        return meta
+    full = read_version(spark, path, version)
+    vdir = _vdir(path, version)
+    full.write.mode("overwrite").parquet(os.path.join(vdir, "full"))
+    meta = {k: v for k, v in meta.items() if k != "version"}
+    meta["checkpoint"] = True
+    with open(os.path.join(vdir, "_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return {**meta, "version": version}

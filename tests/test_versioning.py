@@ -149,3 +149,36 @@ def test_version_diff_report(spark, tmp_path):
     assert rep.get("changed") == 1
     assert rep.get("unchanged") == 1
     assert "removed" not in rep or rep["removed"] == 0
+
+
+def test_compact_version_becomes_fold_origin(spark, tmp_path):
+    """compact_version materializes a synthetic checkpoint at an
+    existing version: reads of it and later versions fold from there
+    (proved physically — pre-compaction dirs hidden), older versions
+    still reconstruct, and compaction is idempotent."""
+    import shutil
+
+    p = str(tmp_path / "corpus")
+    V.write_version(_frame(spark, [(1, "a", "en"), (2, "b", "en")]), p)
+    V.write_version(_frame(spark, [(1, "a2", "en"), (2, "b", "en")]), p)
+    v3 = [(1, "a2", "en"), (3, "c", "de")]
+    V.write_version(_frame(spark, v3), p)
+    m = V.compact_version(spark, p, 3)
+    assert m["checkpoint"] and m["version"] == 3
+    assert m == V.compact_version(spark, p, 3)  # idempotent
+    v4 = v3 + [(4, "d", "fr")]
+    V.write_version(_frame(spark, v4), p)
+    for v in (1, 2):
+        shutil.move(os.path.join(p, f"v={v}"), os.path.join(p, f"hide{v}"))
+    try:
+        assert _snap(V.read_version(spark, p, 3)) == set(v3)
+        assert _snap(V.read_version(spark, p, 4)) == set(v4)
+    finally:
+        for v in (1, 2):
+            shutil.move(
+                os.path.join(p, f"hide{v}"), os.path.join(p, f"v={v}")
+            )
+    assert _snap(V.read_version(spark, p, 2)) == {
+        (1, "a2", "en"),
+        (2, "b", "en"),
+    }
