@@ -1760,9 +1760,13 @@ def _vector_search(df, args, resolve):
     and ADC-scores ``numCandidates`` candidate ids (default
     ``10 × limit``), which broadcast-semi-join back to the collection
     for EXACT scoring and the final TakeOrdered(limit) — the standard
-    two-stage retrieve-then-rerank, scores always true. A non-path
-    ``index`` value (an Atlas index NAME) is accepted and ignored, as
-    before. Probing the artifact is partition pruning against its cell
+    two-stage retrieve-then-rerank, scores always true. The artifact is
+    named by the explicit ``indexPath`` extension key, or by ``index``
+    when it is an ABSOLUTE path; a relative ``index`` value (an Atlas
+    index NAME like ``'default'``) is always accepted and ignored, even
+    if a same-named directory exists under the CWD (r10: semantics must
+    not depend on ambient filesystem state). Probing the artifact is
+    partition pruning against its cell
     layout — the 100 TB shape where the corpus scan never happens.
     Route limits (each falls back to the LSH/exact paths): the index's
     L2 retrieval serves ``cosine`` (normalized-embeddings convention)
@@ -1789,10 +1793,17 @@ def _vector_search(df, args, resolve):
         df = df.filter(translate_match(args["filter"]))
     sim = args.get("similarity", "cosine")
     num_cand = args.get("numCandidates")
-    idx = args.get("index")
+    # `indexPath` (extension key) routes explicitly; `index` (Atlas's
+    # index NAME) routes only when it is an ABSOLUTE path to an
+    # artifact. A relative name like 'default' must stay
+    # accepted-and-ignored even when a same-named directory happens to
+    # exist under the process CWD — otherwise result semantics flip on
+    # ambient filesystem state (r9 advice fix).
+    idx = args.get("indexPath") or args.get("index")
     use_index = (
         isinstance(idx, str)
         and not args.get("exact", False)
+        and ("indexPath" in args or _os.path.isabs(idx))
         and _os.path.exists(_os.path.join(idx, "_ivf_pq_index.json"))
         # the index's IVF routing and ADC candidates rank by (squared)
         # L2 — aligned with euclidean, and with cosine under the

@@ -612,41 +612,64 @@ def ensemble_rank(
     single score's outliers can't dominate the way raw-value averaging
     lets them.
 
-    Scale shape: ``len(score_cols) + 1`` chained ``assign_global_rank``
-    passes — each a distributed prefix rank (range partition → bounded
-    per-partition counts → parallel windows), NEVER a one-task global
-    window; no joins between passes (each pass re-ranges the running
-    frame and appends one column). Output adds ``__rank_<col>`` per
-    score (``keep_ranks=False`` drops them) plus ``__wsum`` and
-    ``rank_col``.
+    Scale shape (r10, verdict #5): every ranking pass runs over a SLIM
+    ``(id, key)`` projection, never the widening payload frame — each of
+    the ``len(score_cols) + 1`` ``assign_global_rank`` passes is a
+    distributed prefix rank (range partition → bounded per-partition
+    counts → parallel windows, never a one-task global window), and each
+    pass's internal ``localCheckpoint`` now materializes two columns
+    instead of the full corpus width (the r9 form re-checkpointed the
+    ENTIRE running frame N+1 times, carrying every previously appended
+    rank column — ~4 corpus-width copies to executor-local disk for a
+    3-signal ensemble). The bounded rank columns join back on ``id_col``
+    at the end: id-keyed hash shuffles of (id, long) pairs, orders of
+    magnitude cheaper than full-width checkpoints at corpus scale.
+
+    Contract: ``id_col`` must be unique and non-NULL — it is the
+    tie-break of every total order here (NULL/duplicate ids made ranks
+    nondeterministic in the r9 form too; now they would also drop or
+    duplicate rows in the id join-back). Output adds ``__rank_<col>``
+    per score (``keep_ranks=False`` drops them) plus ``__wsum`` and
+    ``rank_col``; inputs already carrying any of those names are
+    rejected loudly (they are documented outputs — silently replacing
+    a caller's column flips semantics; r10 advice fix, matching the
+    ``interleave_sources`` guard).
     """
     if not score_cols:
         raise ValueError("score_cols must be non-empty")
     w = [int(x) for x in (weights or [1] * len(score_cols))]
     if len(w) != len(score_cols):
         raise ValueError("weights must match score_cols")
-    out = df
-    rank_names = []
-    for c in score_cols:
-        rn = f"__rank_{c}"
-        rank_names.append(rn)
-        out = assign_global_rank(
-            out,
+    rank_names = [f"__rank_{c}" for c in score_cols]
+    taken = ({"__wsum", rank_col} | set(rank_names)) & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"input already carries output column(s) {sorted(taken)}"
+        )
+    # rank each signal over a two-column projection — column pruning
+    # pushes the (id, score) read into the scan, so the payload never
+    # enters any ranking pass
+    fused = None
+    for c, rn in zip(score_cols, rank_names):
+        ranked = assign_global_rank(
+            df.select(id_col, c),
             [F.col(c).desc(), F.col(id_col).asc()],
             rank_col=rn,
             num_partitions=num_partitions,
-        )
+        ).select(id_col, rn)
+        fused = ranked if fused is None else fused.join(ranked, id_col)
     wsum = None
     for rn, wt in zip(rank_names, w):
         term = F.col(rn) * F.lit(wt)
         wsum = term if wsum is None else wsum + term
-    out = out.withColumn("__wsum", wsum.cast("long"))
-    out = assign_global_rank(
-        out,
+    fused = fused.withColumn("__wsum", wsum.cast("long"))
+    fused = assign_global_rank(
+        fused,
         [F.col("__wsum").asc(), F.col(id_col).asc()],
         rank_col=rank_col,
         num_partitions=num_partitions,
     )
     if not keep_ranks:
-        out = out.drop(*rank_names)
-    return out
+        fused = fused.drop(*rank_names)
+    # single id-keyed join re-attaches the payload, evaluated once
+    return df.join(fused, id_col)

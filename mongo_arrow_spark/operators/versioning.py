@@ -48,10 +48,30 @@ def _vdir(path: str, v: int) -> str:
     return os.path.join(path, f"v={v}")
 
 
+def _commit_meta(vdir: str, meta: dict) -> None:
+    """Atomically (re)place ``vdir/_meta.json``. The meta file's
+    existence IS commit visibility, so it must never be observable
+    half-written: write a temp sibling in the same directory and
+    ``os.replace`` it onto the final name (atomic on POSIX). A crash
+    before the replace leaves only the temp file, which
+    ``list_versions`` ignores; a crash after leaves the complete new
+    meta. This is the one spot where a truncating ``open('w')`` could
+    wedge the whole store (r9 verdict/advice fix)."""
+    tmp = os.path.join(os.path.dirname(vdir), f".{os.path.basename(vdir)}._meta.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(vdir, "_meta.json"))
+
+
 def list_versions(path: str) -> list[dict]:
     """All committed versions, ascending — each dict is the version's
     ``_meta.json`` plus ``version``. Uncommitted (crashed) writes have
-    no ``_meta.json`` and are ignored."""
+    no ``_meta.json`` and are ignored. A corrupt (unparseable) meta is
+    skipped with a warning rather than wedging the whole store — with
+    atomic commits it can only mean external damage, and one damaged
+    version should not make every other version unreadable."""
     if not os.path.isdir(path):
         return []
     out = []
@@ -61,11 +81,39 @@ def list_versions(path: str) -> list[dict]:
         meta_p = os.path.join(path, d, "_meta.json")
         if not os.path.exists(meta_p):
             continue
-        with open(meta_p) as fh:
-            meta = json.load(fh)
+        try:
+            with open(meta_p) as fh:
+                meta = json.load(fh)
+        except (json.JSONDecodeError, OSError) as e:
+            import warnings
+
+            warnings.warn(
+                f"skipping corrupt version meta {meta_p}: {e}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            continue
         meta["version"] = int(d[2:])
         out.append(meta)
     return sorted(out, key=lambda m: m["version"])
+
+
+def _check_ids(df: DataFrame, id_col: str) -> None:
+    """Release semantics: one non-NULL row per document id. A NULL id
+    would silently fall out of every delta's semi-join; a duplicate
+    makes the version ambiguous — both raise before anything commits."""
+    bad = (
+        df.groupBy(id_col)
+        .count()
+        .filter((F.col("count") > 1) | F.col(id_col).isNull())
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        r = bad[0]
+        if r[id_col] is None:
+            raise ValueError(f"NULL {id_col} in input")
+        raise ValueError(f"duplicate {id_col} in input: {r[id_col]!r}")
 
 
 def write_version(
@@ -97,18 +145,7 @@ def write_version(
             f"payload_cols {cols} != the corpus contract "
             f"{versions[-1]['payload_cols']}"
         )
-    bad = (
-        df.groupBy(id_col)
-        .count()
-        .filter((F.col("count") > 1) | F.col(id_col).isNull())
-        .limit(1)
-        .collect()
-    )
-    if bad:
-        r = bad[0]
-        if r[id_col] is None:
-            raise ValueError(f"NULL {id_col} in input")
-        raise ValueError(f"duplicate {id_col} in input: {r[id_col]!r}")
+    _check_ids(df, id_col)
     v = (versions[-1]["version"] + 1) if versions else 1
     vdir = _vdir(path, v)
     cur = df.select(id_col, *cols).withColumn("__digest", _digest(cols))
@@ -157,8 +194,7 @@ def write_version(
         meta.update(
             {"n_rows": cur.count(), "added": n_add, "removed": n_rem}
         )
-    with open(os.path.join(vdir, "_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    _commit_meta(vdir, meta)
     return {**meta, "version": v}
 
 
@@ -259,6 +295,144 @@ def compact_version(spark, path: str, version: int | None = None) -> dict:
     full.write.mode("overwrite").parquet(os.path.join(vdir, "full"))
     meta = {k: v for k, v in meta.items() if k != "version"}
     meta["checkpoint"] = True
-    with open(os.path.join(vdir, "_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    # compact_version rewrites an ALREADY-COMMITTED version's meta — the
+    # atomic replace is what keeps a crash here from corrupting durable
+    # state (the old meta stays fully intact until the rename lands).
+    _commit_meta(vdir, meta)
     return {**meta, "version": version}
+
+
+def append_version(
+    df: DataFrame,
+    path: str,
+    payload_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> dict | None:
+    """Commit an INCREMENT as the next corpus version: rows with new ids
+    are added, rows whose id already exists replace the old payload
+    (delta = removed + re-added when the digest differs), rows identical
+    to the standing corpus are skipped. Unlike ``write_version``, the
+    input is the batch of new/changed documents, NOT the full next
+    corpus state — so per-commit work scales with the BATCH (one
+    digest probe of the current reconstruction restricted to the batch's
+    ids, payloads written once), never with the corpus. This is the
+    per-microbatch body of ``write_version_stream``. Upsert-only:
+    takedowns (row removals) are release-level decisions — express them
+    through a full ``write_version``. Returns the committed meta, or
+    ``None`` when the batch is a no-op (nothing new or changed — no
+    empty version is created, so replaying an already-applied batch is
+    idempotent)."""
+    versions = list_versions(path)
+    if not versions:
+        # first commit: the increment IS the corpus
+        return write_version(df, path, payload_cols, id_col)
+    cols = payload_cols or versions[-1]["payload_cols"]
+    if versions[-1]["payload_cols"] != cols:
+        raise ValueError(
+            f"payload_cols {cols} != the corpus contract "
+            f"{versions[-1]['payload_cols']}"
+        )
+    if versions[-1]["id_col"] != id_col:
+        raise ValueError(
+            f"id_col {id_col!r} != the corpus contract "
+            f"{versions[-1]['id_col']!r}"
+        )
+    _check_ids(df, id_col)
+    spark = df.sparkSession
+    v = versions[-1]["version"] + 1
+    vdir = _vdir(path, v)
+    cur = (
+        df.select(id_col, *cols)
+        .withColumn("__digest", _digest(cols))
+        .localCheckpoint(eager=True)
+    )
+    # digest probe of the standing corpus, restricted to the batch's ids
+    # BEFORE the digest projection — the fold chain is scanned once for
+    # the matching rows only, nothing corpus-sized is materialized
+    prev = read_version(spark, path, versions[-1]["version"])
+    prev_d = (
+        prev.join(cur.select(id_col), id_col, "left_semi")
+        .withColumn("__digest", _digest(cols))
+        .select(
+            F.col(id_col).alias("__pid"), F.col("__digest").alias("__pdig")
+        )
+    )
+    j = (
+        cur.select(id_col, "__digest")
+        .join(prev_d, cur[id_col] == prev_d["__pid"], "left_outer")
+        .localCheckpoint(eager=True)
+    )
+    added_ids = j.filter(
+        F.col("__pid").isNull() | (F.col("__digest") != F.col("__pdig"))
+    ).select(F.col(id_col))
+    removed_ids = j.filter(
+        F.col("__pid").isNotNull() & (F.col("__digest") != F.col("__pdig"))
+    ).select(F.col("__pid").alias(id_col))
+    added = cur.drop("__digest").join(added_ids, id_col, "left_semi")
+    added.write.mode("overwrite").parquet(os.path.join(vdir, "added"))
+    removed_ids.write.mode("overwrite").parquet(os.path.join(vdir, "removed"))
+    n_add = spark.read.parquet(os.path.join(vdir, "added")).count()
+    n_rem = spark.read.parquet(os.path.join(vdir, "removed")).count()
+    if n_add == 0 and n_rem == 0:
+        # no-op batch: leave no committed version behind (the meta file
+        # is never written, so the directory is invisible to readers)
+        import shutil
+
+        shutil.rmtree(vdir, ignore_errors=True)
+        return None
+    meta = {
+        "payload_cols": cols,
+        "id_col": id_col,
+        "checkpoint": False,
+        "n_rows": versions[-1]["n_rows"] + n_add - n_rem,
+        "added": n_add,
+        "removed": n_rem,
+    }
+    _commit_meta(vdir, meta)
+    return {**meta, "version": v}
+
+
+def write_version_stream(
+    stream_df: DataFrame,
+    path: str,
+    payload_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    compact_every: int | None = None,
+):
+    """Commit corpus releases from a STREAM: each microbatch is
+    ``append_version``-ed onto the standing store (the foreachBatch
+    ingest-gate pattern every other standing structure — Bloom/LSH/
+    paragraph index — already has). Returns the started StreamingQuery.
+
+    Contract (pinned by the stream==batch parity test): a stream of
+    microbatches leaves the store's LATEST reconstruction identical to
+    one batch ``write_version`` of the same rows (last write per id
+    wins); empty/no-op microbatches commit nothing, so version numbers
+    count effective releases, not trigger firings. ``compact_every=k``
+    folds a synthetic checkpoint (``compact_version``) after every k-th
+    committed version so the read-side fold chain stays bounded while
+    the stream runs — the Delta checkpoint cadence. Single-writer
+    semantics (one stream per store path), same as the snapshot
+    maintainer in ``streaming/changes.py``."""
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        meta = append_version(
+            batch, path, payload_cols=payload_cols, id_col=id_col
+        )
+        if (
+            meta is not None
+            and compact_every
+            and meta["version"] % compact_every == 0
+        ):
+            compact_version(batch.sparkSession, path, meta["version"])
+
+    writer = stream_df.writeStream.foreachBatch(one_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -12,6 +12,9 @@ tests/test_tokenizer.py instead.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import functions as F
 
 from mongo_arrow_spark.operators import packing as packing_ops
@@ -169,22 +172,29 @@ def q_budget_per_group(spark, sf_dir):
     ).orderBy("lang", "doc_id")
 
 
+# Engine artifacts (BPE counts, the time-travel store) live under a
+# PER-PROCESS mkdtemp root: mode-0700 and unpredictable, so no
+# symlink/pre-creation hazard on shared hosts, no cross-process race
+# when two harnesses grade concurrently at different sfs, and no stale
+# bytes from a previous run at a different sf (r10 advice fix — the
+# paths were fixed /tmp literals before).
+_ART_DIR = tempfile.mkdtemp(prefix="mas_artifacts_")
+
 # tokenizer-true packing (r9): the oracle can't recompute BPE (iterative
 # merge loop), but BPE counts are DETERMINISTIC given the fit — so the
-# engine materializes its counts as a parquet artifact at a FIXED path
-# and BOTH engines derive the downstream (budget cut → packing) from the
-# identical bytes. The artifact is rewritten on every query invocation
-# (the oracle string is static, so the path can't carry an sf tag), and
-# the harness always runs the Spark query before its oracle — the
-# sequencing contract the gzip-dump precedent also relies on. That
-# contract is PER-PROCESS: two harnesses grading this entry at
-# different sfs concurrently would race on the path (don't — every
-# grading surface here, driver and pytest alike, runs sequentially). The counts
+# engine materializes its counts as a parquet artifact at a path FIXED
+# FOR THIS PROCESS and BOTH engines derive the downstream (budget cut →
+# packing) from the identical bytes. The artifact is rewritten on every
+# query invocation (the oracle string is rendered once at import, so the
+# path can't carry an sf tag), and the harness always runs the Spark
+# query before its oracle — the sequencing contract the gzip-dump
+# precedent also relies on. That contract is PER-PROCESS, which the
+# mkdtemp root now enforces rather than merely documents. The counts
 # themselves are bit-exact-pinned vs an independent reference in
 # tests/test_tokenizer.py; THIS entry grades that the tokenizer-true
 # composition (counts → prefix-sum cut → stream packing) reproduces the
 # sequential SQL semantics.
-_BPE_COUNTS_PATH = "/tmp/mas_bpe_budget_counts"
+_BPE_COUNTS_PATH = os.path.join(_ART_DIR, "bpe_budget_counts")
 
 
 def _bpe_counts_artifact(spark, sf_dir: str) -> str:
@@ -726,10 +736,10 @@ def q_pack_bucket_batches(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _hard_neg_sql(k: int) -> str:
+def _hard_neg_sql(k: int, anchor_pred: str) -> str:
     return f"""
     WITH {_dk_q('label')}, a AS (
-      SELECT * FROM q WHERE vec_id % 100 = 0
+      SELECT * FROM q WHERE {anchor_pred}
     ), p AS (
       SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
              b.vec_id AS neg_id, {_dk_dot('a.qv', 'b.qv')} AS qdot
@@ -747,20 +757,59 @@ def _hard_neg_sql(k: int) -> str:
     """
 
 
-@query("sim_hard_negatives", _hard_neg_sql(5))
+# the brute form's contract is a BOUNDED anchor set (a labeled seed or
+# an eval batch that broadcasts) — the battery entry now uses a fixed
+# literal id list rather than a corpus-proportional predicate, so the
+# entry users copy matches the operator's contract (r9 verdict #2);
+# ids all exist at every sf (vec_id 0–499 everywhere, TESTDATA.md)
+_HN_ANCHOR_IDS = [0, 49, 98, 147, 196, 245, 294, 343, 392, 441]
+
+
+@query(
+    "sim_hard_negatives",
+    _hard_neg_sql(5, f"vec_id IN ({', '.join(map(str, _HN_ANCHOR_IDS))})"),
+)
 def q_sim_hard_negatives(spark, sf_dir):
-    """Hard-negative mining (r9): for each anchor (every 100th vec_id),
-    the 5 most-similar corpus rows with a DIFFERENT label — integer dot
-    products on the 1e-4 quantize carrier, so the oracle reproduces
-    every score and rank exactly. Anchors broadcast; the corpus streams
-    once; the per-anchor cut is the WindowGroupLimit pre-cut shape."""
+    """Hard-negative mining, bounded-anchor form (r9; anchors fixed in
+    r10): for each of 10 FIXED anchor ids, the 5 most-similar corpus
+    rows with a DIFFERENT label — integer dot products on the 1e-4
+    quantize carrier, so the oracle reproduces every score and rank
+    exactly. Anchors broadcast (the operator's documented contract —
+    for corpus-sized anchor sets see ``sim_hard_negatives_ivf``); the
+    corpus streams once; the per-anchor cut is the WindowGroupLimit
+    pre-cut shape."""
     from mongo_arrow_spark.operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    anchors = emb.filter(F.col("vec_id").isin(_HN_ANCHOR_IDS))
     return similarity.hard_negatives(anchors, emb, k=5).orderBy(
         "anchor_id", "neg_rank"
     )
+
+
+@query("sim_hard_negatives_ivf", _hard_neg_sql(3, "TRUE"))
+def q_sim_hard_negatives_ivf(spark, sf_dir):
+    """Corpus×corpus hard-negative mining through the IVF route (r10,
+    the graded representative — r9 verdict #2): EVERY row mines its own
+    3 cross-label negatives, the contrastive-pretraining shape where the
+    brute broadcast contract no longer holds. Candidates meet on a cell
+    EQUI-join (plan-gated in tests/test_plans.py: no
+    BroadcastNestedLoopJoin, no CartesianProduct anywhere in the
+    executed plan), with per-anchor probing over the bounded
+    (cell × label) eligibility table. Graded at the brute-identical
+    ``n_probe == n_clusters`` dial setting so the DuckDB oracle is
+    EXACT (the same cross-label top-k SQL, all rows as anchors); the
+    pruned-probe settings are recall-pinned (≥ 0.85) and
+    probe-monotonicity-pinned in tests/test_pq.py — the dial runs all
+    the way to exact, and THIS entry hash-grades that endpoint through
+    the full IVF machinery (fit → cell assignment → eligibility →
+    probe → equi-join → top-k)."""
+    from mongo_arrow_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives_ivf(
+        emb, emb, k=3, n_clusters=8, n_probe=8
+    ).orderBy("anchor_id", "neg_rank")
 
 
 @query("select_kcenter", _kcenter_sql(8))
@@ -931,7 +980,7 @@ def q_corpus_time_travel(spark, sf_dir):
 
     from mongo_arrow_spark.operators import versioning as V
 
-    path = "/tmp/mas_time_travel_store"
+    path = os.path.join(_ART_DIR, "time_travel_store")
     shutil.rmtree(path, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     v1 = docs.filter(F.col("doc_id") % 3 != 0)

@@ -3184,3 +3184,71 @@ def test_vector_search_index_route_limits(spark, tmp_path):
     assert ids(
         {"filter": filt, "index": idx, "numCandidates": n, "nProbe": 8}
     ) == ids({"filter": filt})
+
+
+def test_vector_search_relative_index_name_never_routes(spark, tmp_path):
+    """An Atlas-style index NAME stays accepted-and-ignored even when a
+    same-named artifact directory exists under the process CWD — result
+    semantics must not flip on ambient filesystem state (r10 advice
+    fix). The explicit ``indexPath`` extension key is how a caller opts
+    into routing; it works with any path."""
+    import os
+
+    from mongo_arrow_spark.api import aggregate
+    from mongo_arrow_spark.operators.similarity import (
+        build_ivf_pq_index,
+        fit_pq,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding", "label")
+    model = fit_pq(emb, m=8, codes=16)
+    # a real artifact whose directory NAME collides with an Atlas index
+    # name, placed under the CWD
+    name = "vs_reltest_default"
+    cwd_idx = os.path.join(os.getcwd(), name)
+    build_ivf_pq_index(emb, cwd_idx, model, n_clusters=8)
+    try:
+        qv = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+        stage = {"path": "embedding", "queryVector": qv, "limit": 5}
+
+        def rows(extra):
+            return [
+                (r["vec_id"], r["__vector_score"])
+                for r in aggregate(
+                    emb,
+                    [
+                        {"$vectorSearch": {**stage, **extra}},
+                        {
+                            "$project": {
+                                "vec_id": 1,
+                                "__vector_score": 1,
+                                "_id": 0,
+                            }
+                        },
+                    ],
+                ).collect()
+            ]
+
+        # relative name == no index at all, even though ./name exists
+        # (a starved nProbe=1 would change results IF it routed); no
+        # numCandidates → both sides are the exact scan
+        assert rows({"index": name, "nProbe": 1}) == rows({})
+        # and with numCandidates, the relative name still means the
+        # index-free LSH path, not the artifact route
+        assert rows({"index": name, "nProbe": 1, "numCandidates": 5}) == rows(
+            {"numCandidates": 5}
+        )
+        # the explicit extension key routes (full probe == exact)
+        assert rows(
+            {
+                "indexPath": cwd_idx,
+                "nProbe": 8,
+                "numCandidates": emb.count(),
+            }
+        ) == rows({})
+    finally:
+        import shutil
+
+        shutil.rmtree(cwd_idx, ignore_errors=True)

@@ -493,8 +493,9 @@ def test_bucket_batches_plan_grouped_prefix(spark, tables):
 
 
 def test_quality_ensemble_plan_no_global_window(spark, tables):
-    """quality_ensemble (r9, parked): four chained prefix ranks — never
-    a one-task global window anywhere in the fused plan."""
+    """quality_ensemble (graded since r10): N+1 prefix ranks over slim
+    (id, key) projections — never a one-task global window anywhere in
+    the fused plan."""
     df = QUERIES["quality_ensemble"](spark, SF_DIR)
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
@@ -502,3 +503,24 @@ def test_quality_ensemble_plan_no_global_window(spark, tables):
         p = p.split("== Initial Plan ==", 1)[0]
     assert "Exchange SinglePartition" not in p
     assert "CartesianProduct" not in p
+
+
+def test_hard_negatives_ivf_plan_cell_equijoin_only(spark, tables):
+    """sim_hard_negatives_ivf (graded since r10 — r9 verdict #2): the
+    corpus×corpus candidate generation must meet on the __cell
+    EQUI-join. No BroadcastNestedLoopJoin and no CartesianProduct
+    anywhere in the executed plan — the brute form's
+    anchors×corpus pair explosion is exactly what this route exists to
+    avoid at 100 TB."""
+    df = QUERIES["sim_hard_negatives_ivf"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in p:
+        p = p.split("== Initial Plan ==", 1)[0]
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # candidates meet on the cell key (either join strategy is fine —
+    # the point is it's an EQUI join)
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )

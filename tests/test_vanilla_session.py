@@ -73,14 +73,16 @@ REPRESENTATIVES = [
     "mix_interleave",
     "corpus_diff",
     "cluster_kmeans",
-    # r9 parked additions that touch session-external state (artifact
-    # writes, catalog-free parquet stores) — conf-bare before the driver
-    # could ever run them
+    # r10 rotation: the r9 wave families, graded since r10 (plus the
+    # parked brute hard-negatives form and the new graded IVF
+    # representative) — conf-bare before the driver runs them
     "tok_pack_pipeline",
     "corpus_time_travel",
     "quality_ensemble",
     "sim_hard_negatives",
+    "sim_hard_negatives_ivf",
     "pack_bucket_batches",
+    "text_ngram_novelty",
 ]
 
 

@@ -182,3 +182,109 @@ def test_compact_version_becomes_fold_origin(spark, tmp_path):
         (1, "a2", "en"),
         (2, "b", "en"),
     }
+
+
+def test_meta_commit_is_atomic_and_damage_is_contained(spark, tmp_path):
+    """Crash-safety of the commit protocol (r9 verdict #4): a truncated
+    _meta.json neither wedges list_versions nor becomes visible as a
+    committed version; an orphaned commit temp file is invisible; and
+    the store recovers by committing over the damaged slot."""
+    p = str(tmp_path / "corpus")
+    V.write_version(_frame(spark, [(1, "a", "en"), (2, "b", "en")]), p)
+    # simulate a crash mid-commit of v2 under the OLD (truncating-write)
+    # protocol: data written, meta half-written
+    vdir = os.path.join(p, "v=2")
+    os.makedirs(vdir)
+    _frame(spark, [(3, "c", "de")]).write.parquet(
+        os.path.join(vdir, "added")
+    )
+    with open(os.path.join(vdir, "_meta.json"), "w") as fh:
+        fh.write('{"payload_cols": ["te')  # truncated mid-dump
+    with pytest.warns(RuntimeWarning, match="corrupt version meta"):
+        versions = V.list_versions(p)
+    assert [m["version"] for m in versions] == [1]  # damage contained
+    assert _snap(V.read_version(spark, p)) == {(1, "a", "en"), (2, "b", "en")}
+    # an orphaned temp file from a crash BEFORE os.replace is invisible
+    with open(os.path.join(p, ".v=9._meta.tmp"), "w") as fh:
+        fh.write('{"half": tru')
+    assert [m["version"] for m in V.list_versions(p)] == [1]
+    # the store recovers: the next commit takes the damaged v2 slot
+    m2 = V.write_version(_frame(spark, [(1, "a", "en"), (4, "d", "fr")]), p)
+    assert m2["version"] == 2
+    assert _snap(V.read_version(spark, p, 2)) == {(1, "a", "en"), (4, "d", "fr")}
+
+
+def test_append_version_upsert_and_noop(spark, tmp_path):
+    """append_version commits an INCREMENT: new ids add, changed ids
+    replace (removed+re-added), identical rows skip, and an
+    already-applied batch is an idempotent no-op (no empty version)."""
+    p = str(tmp_path / "corpus")
+    m1 = V.append_version(_frame(spark, [(1, "a", "en"), (2, "b", "en")]), p)
+    assert m1["version"] == 1 and m1["checkpoint"]  # first commit = full
+    batch = _frame(spark, [(2, "B!", "en"), (3, "c", "de")])  # chg 2, add 3
+    m2 = V.append_version(batch, p)
+    assert (m2["added"], m2["removed"], m2["n_rows"]) == (2, 1, 3)
+    want = {(1, "a", "en"), (2, "B!", "en"), (3, "c", "de")}
+    assert _snap(V.read_version(spark, p)) == want
+    # v1 still reconstructs — appends never rewrite history
+    assert _snap(V.read_version(spark, p, 1)) == {(1, "a", "en"), (2, "b", "en")}
+    # replaying the same batch commits nothing
+    assert V.append_version(batch, p) is None
+    assert [m["version"] for m in V.list_versions(p)] == [1, 2]
+    # contract guards carry over from write_version
+    with pytest.raises(ValueError, match="contract"):
+        V.append_version(
+            _frame(spark, [(9, "z", "en")]), p, payload_cols=["text"]
+        )
+    with pytest.raises(ValueError, match="id_col"):
+        V.append_version(
+            spark.createDataFrame(
+                [(9, "z", "en")], "other_id long, text string, lang string"
+            ),
+            p,
+            id_col="other_id",
+        )
+
+
+def test_stream_of_batches_equals_one_batch_commit(spark, tmp_path):
+    """write_version_stream parity (r9 verdict #6): streaming N
+    microbatches leaves the latest reconstruction identical to ONE batch
+    write_version of the same rows, and compact_every folds a synthetic
+    checkpoint while the stream runs."""
+    import pandas as pd
+
+    sdir = tmp_path / "incoming"
+    sdir.mkdir()
+    batches = [
+        [(1, "a", "en"), (2, "b", "en")],
+        [(3, "c", "de"), (4, "d", "fr")],
+        [(5, "e", "en"), (6, "f", "de")],
+    ]
+    for i, rows in enumerate(batches):
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).to_parquet(
+            str(sdir / f"b{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    store = str(tmp_path / "store")
+    q = V.write_version_stream(
+        stream,
+        store,
+        id_col="doc_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+    all_rows = [r for b in batches for r in b]
+    batch_store = str(tmp_path / "batch_store")
+    V.write_version(_frame(spark, all_rows), batch_store)
+    assert _snap(V.read_version(spark, store)) == _snap(
+        V.read_version(spark, batch_store)
+    )
+    versions = V.list_versions(store)
+    assert len(versions) == 3  # one per non-empty microbatch
+    # compact_every=2 folded a synthetic checkpoint at v2
+    assert [m["checkpoint"] for m in versions] == [True, True, False]
