@@ -121,6 +121,15 @@ HEADLINE = [
     "pack_bucket_batches",
     "tok_pack_pipeline",
     "corpus_time_travel",
+    # round-10: the IVF corpus×corpus form is now the hard-negatives
+    # REPRESENTATIVE (graded; cell equi-join — r9 verdict #2); the brute
+    # key above stays for cross-round comparison of the two forms, with
+    # its anchors now the fixed bounded list (expect its r9→r10 delta to
+    # reflect the anchor-contract change, not drift). Plus the two other
+    # r10 first-reading keys.
+    "sim_hard_negatives_ivf",
+    "text_ngram_novelty",
+    "layout_content_addressed",
 ]
 
 
@@ -243,20 +252,43 @@ def main() -> None:
     shapes["drift"] = shape_drift
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "drift": drift,
-                "shapes": shapes,
-                "n_docs": 20_000,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "drift": drift,
+        "shapes": shapes,
+        "n_docs": 20_000,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver records only the LAST 2000 chars of stdout and parses
+    # the final JSON line — with 60+ query keys the one-line dump blew
+    # past that window, truncating the leading keys and leaving
+    # BENCH_r*.json "parsed": null (r9 verdict #8). Two-part fix: the
+    # FULL payload always lands in BENCH_FULL.json at the repo root
+    # (committed per round, so every key survives), and the printed line
+    # is shrunk to fit the capture — queries ordered slowest-first, and
+    # if the line still exceeds the window the fastest keys are elided
+    # into "queries_elided" (count; their values are in the file).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(payload, fh, indent=1)
+    by_cost = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     )
+    line = {**payload, "queries": by_cost, "full": "BENCH_FULL.json"}
+    line.pop("shapes", None)  # shape timings live in the file
+    s = json.dumps(line, separators=(",", ":"))
+    while len(s) > 1900 and len(by_cost) > 1:
+        by_cost.pop(next(reversed(by_cost)))
+        line["queries"] = by_cost
+        line["queries_elided"] = len(timings) - len(by_cost)
+        s = json.dumps(line, separators=(",", ":"))
+    print(s)
 
 
 if __name__ == "__main__":

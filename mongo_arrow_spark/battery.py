@@ -384,6 +384,12 @@ _DEMOTED = [
     "sim_bruteforce_topk",
     "streaming_hourly_counts",
     "text_quality",
+    # r10: the content-addressed store round-trip parks by construction
+    # (r9 verdict #3) — storage plumbing over the graded scan surface,
+    # its zero-exchange reconstruction join plan-gated in
+    # tests/test_layout.py; the exact oracle (mirrored-crawl dedup
+    # accounting) runs in tests/test_battery.py.
+    "layout_content_addressed",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

@@ -498,6 +498,9 @@ def select_with_models(
     lm_keep: tuple = ("middle", "head"),
     lm_fractions: tuple = (1 / 3, 2 / 3),
     lm_exact: bool = False,
+    ensemble_cols: list | tuple | None = None,
+    ensemble_weights: list | None = None,
+    ensemble_top_n: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -521,6 +524,17 @@ def select_with_models(
       ``percentile_approx``, the 100 TB path); only ``lm_keep`` tiers
       survive. A zero-token row scores the OOV default and follows the
       tiering like any other.
+    - **Rank-fusion ensemble** (``ensemble_cols`` — r10): Borda-fuse
+      caller-provided numeric signal columns (``selection.ensemble_rank``)
+      and, with ``ensemble_top_n``, keep the best n. BATCH-LOCAL rank
+      semantics, like ``dsir_k`` and the LM quantile tiers: ranks (and
+      the top-n cut) are computed WITHIN the frame this function is
+      handed — inside ``foreachBatch`` that is the micro-batch, so
+      "top n" means per batch, and the union of per-batch winners is
+      NOT the global top over the accumulated corpus (rank fusion has
+      no append-legal streaming form — run batch ``curate`` with
+      ``ensemble_cols=`` over the accumulated table for the global
+      cut). Scaffolding columns are dropped: pass-through contract.
 
     Both plans are explode → broadcast model join → ~1-row-per-doc
     partial agg → id-keyed join-back; the batch is never shuffled whole
@@ -574,6 +588,17 @@ def select_with_models(
             temperature=dsir_temperature,
             model=dsir_model,
         ).drop("log_importance")
+    if ensemble_cols:
+        ranked = selection_ops.ensemble_rank(
+            out,
+            list(ensemble_cols),
+            weights=ensemble_weights,
+            id_col=id_col,
+            keep_ranks=False,
+        )
+        if ensemble_top_n is not None:
+            ranked = ranked.filter(F.col("ens_rank") <= int(ensemble_top_n))
+        out = ranked.drop("__wsum", "ens_rank")
     return out
 
 

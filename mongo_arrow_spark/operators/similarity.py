@@ -1151,6 +1151,7 @@ def hard_negatives_ivf(
     scale: int = 10_000,
     seed: int = 42,
     max_qdot: int | None = None,
+    probe_per_label: bool = False,
 ) -> DataFrame:
     """Corpus×corpus hard-negative mining — the scale path when the
     anchor set is itself corpus-sized (every doc mines its own
@@ -1182,6 +1183,18 @@ def hard_negatives_ivf(
     (recall ≤ 0.83 even probing 64 % of the bucket space): hard
     negatives are typically FAR in absolute terms and hyperplane-sign
     agreement decays with angle, while IVF cells partition by locality.
+
+    ``probe_per_label=True`` (r10) probes the ``n_probe`` nearest
+    eligible cells of EACH foreign label instead of ``n_probe`` cells
+    overall — the fix for the documented tight-cluster failure, where
+    one far label's cells are all (nearly) equidistant and global
+    centroid ranking spends the whole probe budget on the nearest
+    foreign label, never reaching the others (a ball-tree lower bound
+    does not help: the radii tie too). Probe rows stay bounded
+    (≤ n_labels × n_probe cells per anchor, deduplicated before the
+    corpus join), and ``n_probe == n_clusters`` remains exactly brute.
+    Costs proportionally more candidates when labels are many; the
+    default stays the global ranking.
 
     Cross-label / self / hygiene filters apply to the CANDIDATES
     (before the top-k cut, so the k survivors are the best cross-label
@@ -1226,17 +1239,31 @@ def hard_negatives_ivf(
         .distinct()
         .collect()
     )
-    eligible = [
-        (lbl, int(c))
-        for lbl in anchor_labels
-        for c in all_cells
-        if any(l2 != lbl and (l2, c) in present for l2 in corpus_labels)
-    ]
     spark = corpus.sparkSession
     lbl_type = corpus.schema[label_col].dataType.simpleString()
-    elig = spark.createDataFrame(
-        eligible, f"anchor_label {lbl_type}, __cell int"
-    )
+    if probe_per_label:
+        # one eligibility row per (anchor label, cell, FOREIGN label in
+        # that cell): the probe window below ranks cells per foreign
+        # label, so every other label gets its own n_probe budget
+        eligible = [
+            (lbl, int(c), l2)
+            for lbl in anchor_labels
+            for (l2, c) in present
+            if l2 != lbl
+        ]
+        elig = spark.createDataFrame(
+            eligible, f"anchor_label {lbl_type}, __cell int, __flbl {lbl_type}"
+        )
+    else:
+        eligible = [
+            (lbl, int(c))
+            for lbl in anchor_labels
+            for c in all_cells
+            if any(l2 != lbl and (l2, c) in present for l2 in corpus_labels)
+        ]
+        elig = spark.createDataFrame(
+            eligible, f"anchor_label {lbl_type}, __cell int"
+        )
     dstructs = F.array(
         *[
             F.struct(
@@ -1255,7 +1282,9 @@ def hard_negatives_ivf(
             for j, c in enumerate(centroids)
         ]
     )
-    wprobe = Window.partitionBy("anchor_id").orderBy(F.col("__pos").asc())
+    wprobe = Window.partitionBy(
+        "anchor_id", *(["__flbl"] if probe_per_label else [])
+    ).orderBy(F.col("__pos").asc())
     anchor_side = (
         _hn_side(
             anchors, id_col, vec_col, label_col, dim, scale,
@@ -1274,6 +1303,12 @@ def hard_negatives_ivf(
         .filter(F.col("__prk") <= n_probe)
         .drop("__pos", "__prk")
     )
+    if probe_per_label:
+        # a cell can win for several foreign labels — dedupe before the
+        # corpus join or candidates (and top-k ties) would double-count
+        anchor_side = anchor_side.drop("__flbl").dropDuplicates(
+            ["anchor_id", "__cell"]
+        )
     pairs = anchor_side.join(corpus_side, "__cell").filter(
         (F.col("anchor_label") != F.col("__blbl"))
         & (F.col("anchor_id") != F.col("neg_id"))

@@ -418,6 +418,67 @@ def q_layout_zorder(spark, sf_dir):
 
 
 @query(
+    "layout_content_addressed",
+    """
+    WITH s AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text, lang FROM documents
+    )
+    SELECT doc_id, text, lang,
+           COUNT(*) OVER (PARTITION BY text, lang)::BIGINT AS n_copies
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_layout_content_addressed(spark, sf_dir):
+    """Content-addressed store round-trip (r10 — r9 verdict #3): a
+    mirrored-crawl corpus (every payload ingested twice under new ids —
+    the CommonCrawl-snapshot duplication shape) is split into the
+    one-row-per-distinct-digest payload table + the payload-free
+    manifest (``write_content_addressed``), then reconstructed through
+    the ZERO-EXCHANGE bucketed join (``read_content_addressed``,
+    plan-gated in tests/test_layout.py) with the per-payload copy count
+    attached from the MANIFEST side alone. Hash-equality vs the base
+    table proves the round-trip is lossless — including the null-tagged
+    digest deciding payload identity — and that the dedup accounting
+    (``n_copies``; ``dedup_ratio`` = its mean) is exact: SQL's
+    ``PARTITION BY payload`` groups exactly where the prefix-free digest
+    groups. Catalog-safety: table names are per-sf (md5 tag) so
+    concurrent sf grades never collide, and the data lands as EXTERNAL
+    tables under the per-process artifact root — a managed table here
+    would orphan its warehouse directory across sessions (the in-memory
+    catalog forgets the table, the directory persists, and the next
+    session's saveAsTable refuses the location; hit live in the r10
+    bench)."""
+    import hashlib
+
+    from mongo_arrow_spark.operators import layout
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    name = f"mas_cas_{tag}"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    mirrored = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    layout.write_content_addressed(
+        mirrored,
+        name,
+        payload_cols=["text", "lang"],
+        id_cols=["doc_id"],
+        path=os.path.join(_ART_DIR, f"cas_{tag}"),
+    )
+    recon = layout.read_content_addressed(spark, name)
+    man = spark.table(f"{name}_manifest")
+    copies = man.groupBy("__digest").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    per_doc = man.join(copies, "__digest").select("doc_id", "n_copies")
+    return recon.join(per_doc, "doc_id").select(
+        "doc_id", "text", "lang", "n_copies"
+    ).orderBy("doc_id")
+
+
+@query(
     "mix_upsample",
     r"""
     WITH w(lang, wt) AS (VALUES ('en', 4.0), ('de', 1.0), ('es', 1.0),

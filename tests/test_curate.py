@@ -470,6 +470,53 @@ def test_select_with_models_streaming_parity(spark, tmp_path, docs):
     spark.sql(f"DROP TABLE {name}")
 
 
+def test_select_with_models_ensemble_stage_batch_local(spark, docs):
+    """r10: the rank-fusion ensemble stage in select_with_models —
+    pass-through columns, equality with a direct ensemble_rank top-n on
+    the same frame, and the DOCUMENTED batch-local semantics: per-batch
+    winners are ranked within their batch, so the union of two batches'
+    top-n differs from the global top-2n when the batches are skewed."""
+    from mongo_arrow_spark.operators.curate import select_with_models
+    from mongo_arrow_spark.operators.selection import ensemble_rank
+
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("s_len"),
+        (F.col("doc_id") % 17).cast("long").alias("s_mod"),
+    )
+    out = select_with_models(
+        scored, ensemble_cols=["s_len", "s_mod"], ensemble_top_n=25
+    )
+    assert out.columns == scored.columns  # pass-through contract
+    want = {
+        r["doc_id"]
+        for r in ensemble_rank(scored, ["s_len", "s_mod"])
+        .filter(F.col("ens_rank") <= 25)
+        .collect()
+    }
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == want
+    # batch-local: a skewed split ranks within each batch — the union
+    # of per-batch top-25s is NOT the global top-50
+    b1 = scored.filter(F.col("s_len") >= 200)  # long docs batch
+    b2 = scored.filter(F.col("s_len") < 200)
+    per_batch = set()
+    for b in (b1, b2):
+        per_batch |= {
+            r["doc_id"]
+            for r in select_with_models(
+                b, ensemble_cols=["s_len", "s_mod"], ensemble_top_n=25
+            ).select("doc_id").collect()
+        }
+    global_50 = {
+        r["doc_id"]
+        for r in ensemble_rank(scored, ["s_len", "s_mod"])
+        .filter(F.col("ens_rank") <= 50)
+        .collect()
+    }
+    assert per_batch != global_50  # documented divergence, by design
+
+
 def test_ingest_gate_all_stages(spark, docs):
     """r8 ingest_gate: standing Bloom + LSH artifacts plus prefit models
     guard an incoming batch; the corpus never re-joins; accepted rows

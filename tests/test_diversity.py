@@ -529,3 +529,77 @@ def test_hard_negatives_ivf_foreign_label_anchor(spark):
     }
     assert got == brute  # full probe + foreign label == brute exactly
     assert len({a for a, *_ in got}) == 3  # no anchor dropped
+
+
+def test_hard_negatives_ivf_per_label_probing_far_tight_cluster(spark):
+    """probe_per_label=True (r10): the documented tight-cluster failure
+    mode. The hardest negatives live in a FAR tight cluster (label c:
+    same direction as the anchors, scaled — top dot product, but L2-far)
+    while a nearer label (b) soaks up the whole global probe budget.
+    Global ranking misses c entirely at small n_probe; per-label probing
+    gives c its own budget and recovers the brute result. Exactness at
+    n_probe == n_clusters must also hold for the per-label mode."""
+    import random
+
+    from mongo_arrow_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_ivf,
+    )
+
+    rng = random.Random(11)
+    dim = 4
+    rows = []
+    vid = 0
+    for _ in range(20):  # anchors: label a near [1,0,0,0]
+        rows.append(
+            (vid, [1.0 + rng.gauss(0, 0.01), rng.gauss(0, 0.01),
+                   rng.gauss(0, 0.01), rng.gauss(0, 0.01)], "a")
+        )
+        vid += 1
+    for _ in range(100):  # label b: L2-near, dot ~ 0 — the decoys
+        rows.append(
+            (vid, [rng.gauss(0, 0.05), 1.0 + rng.gauss(0, 0.3),
+                   rng.gauss(0, 0.3), rng.gauss(0, 0.3)], "b")
+        )
+        vid += 1
+    for _ in range(40):  # label c: far tight cluster, top dot product
+        rows.append(
+            (vid, [5.0 + rng.gauss(0, 0.01), rng.gauss(0, 0.01),
+                   rng.gauss(0, 0.01), rng.gauss(0, 0.01)], "c")
+        )
+        vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    anchors = emb.filter(F.col("label") == "a")
+    brute = {
+        (r["anchor_id"], r["neg_id"])
+        for r in hard_negatives(anchors, emb, k=3, dim=dim).collect()
+    }
+
+    def recall(per_label):
+        got = {
+            (r["anchor_id"], r["neg_id"])
+            for r in hard_negatives_ivf(
+                anchors, emb, k=3, dim=dim, n_clusters=8, n_probe=2,
+                probe_per_label=per_label,
+            ).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    r_global, r_per_label = recall(False), recall(True)
+    assert r_per_label >= 0.95, (r_global, r_per_label)
+    assert r_per_label > r_global, (r_global, r_per_label)
+    # the dial still runs to exact in per-label mode
+    full = {
+        (r["anchor_id"], r["neg_id"], r["qdot"], r["neg_rank"])
+        for r in hard_negatives_ivf(
+            anchors, emb, k=3, dim=dim, n_clusters=8, n_probe=8,
+            probe_per_label=True,
+        ).collect()
+    }
+    brute_full = {
+        (r["anchor_id"], r["neg_id"], r["qdot"], r["neg_rank"])
+        for r in hard_negatives(anchors, emb, k=3, dim=dim).collect()
+    }
+    assert full == brute_full

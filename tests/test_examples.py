@@ -1,0 +1,31 @@
+"""Examples run in CI (r10): the version-aware decontamination example
+is the end-to-end reproducibility story of the versioning tier (r9
+verdict #7) — it asserts its own invariants (monotone gates, pinned-v1
+bit-identical replay) and a regression in versioning/decontaminate/
+novelty composition fails it loudly. Run as a real subprocess so it
+proves the example works exactly as a user would invoke it."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_version_decontam_example_runs():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "version_decontam.py"),
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"example failed\nstdout:\n{proc.stdout[-2000:]}\n"
+        f"stderr:\n{proc.stderr[-2000:]}"
+    )
+    assert "reproducibility: v1 gate replayed" in proc.stdout
