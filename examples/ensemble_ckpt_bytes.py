@@ -32,6 +32,25 @@ def _rdd_bytes(spark) -> int:
     )
 
 
+def _settled_rdd_bytes(spark) -> int:
+    """Spark's ContextCleaner frees checkpoint blocks asynchronously
+    (after a JVM GC notices the RDD is unreachable) — re-baselining
+    right after a Python `del` races it and can subtract blocks that
+    vanish mid-measurement (r10 review fix). Nudge both collectors,
+    then poll until two consecutive readings agree."""
+    import time
+
+    spark.sparkContext._jvm.System.gc()
+    prev = _rdd_bytes(spark)
+    for _ in range(20):
+        time.sleep(0.5)
+        cur = _rdd_bytes(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("ensemble-ckpt-bytes")
@@ -47,7 +66,7 @@ def main() -> None:
     cols = ["s1", "s2", "s3"]
 
     # --- r10 slim form (the shipped ensemble_rank)
-    base = _rdd_bytes(spark)
+    base = _settled_rdd_bytes(spark)
     out_new = selection.ensemble_rank(scored, cols)
     n_new = out_new.count()
     new_bytes = _rdd_bytes(spark) - base
@@ -58,7 +77,7 @@ def main() -> None:
 
     del out_new
     gc.collect()
-    base = _rdd_bytes(spark)
+    base = _settled_rdd_bytes(spark)
     out = scored
     for c in cols:
         out = selection.assign_global_rank(
@@ -78,6 +97,7 @@ def main() -> None:
     old_bytes = _rdd_bytes(spark) - base
 
     assert n_new == n_old
+    assert new_bytes > 0 and old_bytes > 0, (new_bytes, old_bytes)
     mb = 1024 * 1024
     print(
         f"rows={n_new} signals={len(cols)}  "

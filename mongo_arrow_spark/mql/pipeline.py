@@ -1799,11 +1799,16 @@ def _vector_search(df, args, resolve):
     # accepted-and-ignored even when a same-named directory happens to
     # exist under the process CWD — otherwise result semantics flip on
     # ambient filesystem state (r9 advice fix).
+    # routing permission follows the SOURCE of idx: an explicit truthy
+    # indexPath routes as-is; a value that fell back to `index` (Atlas's
+    # NAME — including when indexPath is present but null/empty) routes
+    # only when absolute (r10 review fix: key-presence would have let a
+    # template's "indexPath": null re-enable CWD-relative routing)
     idx = args.get("indexPath") or args.get("index")
     use_index = (
         isinstance(idx, str)
         and not args.get("exact", False)
-        and ("indexPath" in args or _os.path.isabs(idx))
+        and (bool(args.get("indexPath")) or _os.path.isabs(idx))
         and _os.path.exists(_os.path.join(idx, "_ivf_pq_index.json"))
         # the index's IVF routing and ADC candidates rank by (squared)
         # L2 — aligned with euclidean, and with cosine under the

@@ -525,8 +525,10 @@ def select_with_models(
       survive. A zero-token row scores the OOV default and follows the
       tiering like any other.
     - **Rank-fusion ensemble** (``ensemble_cols`` — r10): Borda-fuse
-      caller-provided numeric signal columns (``selection.ensemble_rank``)
-      and, with ``ensemble_top_n``, keep the best n. BATCH-LOCAL rank
+      caller-provided numeric signal columns (``selection.ensemble_rank``;
+      ``ensemble_weights`` must be INTEGERS — fusion is integer-exact,
+      scale ratios up) and, with ``ensemble_top_n``, keep the best n.
+      BATCH-LOCAL rank
       semantics, like ``dsir_k`` and the LM quantile tiers: ranks (and
       the top-n cut) are computed WITHIN the frame this function is
       handed — inside ``foreachBatch`` that is the micro-batch, so

@@ -637,7 +637,16 @@ def ensemble_rank(
     """
     if not score_cols:
         raise ValueError("score_cols must be non-empty")
-    w = [int(x) for x in (weights or [1] * len(score_cols))]
+    w = list(weights or [1] * len(score_cols))
+    for x in w:
+        # Borda fusion is integer-exact by contract — silently flooring
+        # a 0.5 weight to 0 would drop that signal with no error (r10
+        # review fix); scale ratios up instead (e.g. [1, 2], not [0.5, 1])
+        if not isinstance(x, int) or isinstance(x, bool):
+            raise ValueError(
+                f"weights must be ints (got {x!r}); scale ratios to "
+                "integers — rank fusion is integer-exact by contract"
+            )
     if len(w) != len(score_cols):
         raise ValueError("weights must match score_cols")
     rank_names = [f"__rank_{c}" for c in score_cols]
@@ -671,5 +680,10 @@ def ensemble_rank(
     )
     if not keep_ranks:
         fused = fused.drop(*rank_names)
-    # single id-keyed join re-attaches the payload, evaluated once
-    return df.join(fused, id_col)
+    # single id-keyed join re-attaches the payload, evaluated once; the
+    # trailing select restores the INPUT column order (a USING join
+    # moves the key first — positional consumers like insertInto would
+    # silently misalign; r10 review fix) with the rank columns appended
+    joined = df.join(fused, id_col)
+    added = [c for c in joined.columns if c not in df.columns]
+    return joined.select(*df.columns, *added)

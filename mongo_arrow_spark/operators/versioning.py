@@ -220,6 +220,22 @@ def read_version(
             f"{[m['version'] for m in versions]})"
         )
     start = max(i for i, m in enumerate(chain) if m["checkpoint"])
+    # deltas COMPOSE: a version missing between the fold origin and the
+    # target (a corrupt meta skipped by list_versions — external damage)
+    # would silently drop its added/removed from every later
+    # reconstruction. Versions are assigned contiguously at commit, so
+    # any gap above the fold origin means exactly that — fail the read
+    # instead of returning wrong data (r10 review fix). Damage BELOW the
+    # nearest checkpoint is harmless: the fold never visits it.
+    expected = list(range(chain[start]["version"], version + 1))
+    actual = [m["version"] for m in chain[start:]]
+    if actual != expected:
+        missing = sorted(set(expected) - set(actual))
+        raise ValueError(
+            f"cannot reconstruct version {version}: version(s) {missing} "
+            f"between the fold origin v{chain[start]['version']} and the "
+            "target are missing or have corrupt metadata"
+        )
     base_meta = chain[start]
     id_col = base_meta["id_col"]
     base = spark.read.parquet(
@@ -400,6 +416,7 @@ def write_version_stream(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     compact_every: int | None = None,
+    seq_col: str | None = None,
 ):
     """Commit corpus releases from a STREAM: each microbatch is
     ``append_version``-ed onto the standing store (the foreachBatch
@@ -409,17 +426,35 @@ def write_version_stream(
     Contract (pinned by the stream==batch parity test): a stream of
     microbatches leaves the store's LATEST reconstruction identical to
     one batch ``write_version`` of the same rows (last write per id
-    wins); empty/no-op microbatches commit nothing, so version numbers
-    count effective releases, not trigger firings. ``compact_every=k``
-    folds a synthetic checkpoint (``compact_version``) after every k-th
+    wins ACROSS microbatches — later batch replaces earlier); empty/
+    no-op microbatches commit nothing, so version numbers count
+    effective releases, not trigger firings. WITHIN one microbatch a
+    duplicate id is ambiguous — Spark lumps pending inputs into a batch
+    in no meaningful order, so "last" is undefined: by default the
+    commit raises (``append_version``'s id check) and the query fails
+    loudly rather than committing an arbitrary winner (a file stream
+    with ``availableNow`` and no ``maxFilesPerTrigger`` can absorb two
+    updates of one id into a single batch — r10 review fix). Pass
+    ``seq_col`` (an event sequence / timestamp column, ties must not
+    occur per id) to resolve intra-batch duplicates deterministically:
+    the max-``seq_col`` row per id wins. ``compact_every=k`` folds a
+    synthetic checkpoint (``compact_version``) after every k-th
     committed version so the read-side fold chain stays bounded while
     the stream runs — the Delta checkpoint cadence. Single-writer
     semantics (one stream per store path), same as the snapshot
     maintainer in ``streaming/changes.py``."""
+    from pyspark.sql import Window
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if seq_col is not None:
+            w = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
+            batch = (
+                batch.withColumn("__vrn", F.row_number().over(w))
+                .filter(F.col("__vrn") == 1)
+                .drop("__vrn", seq_col)
+            )
         meta = append_version(
             batch, path, payload_cols=payload_cols, id_col=id_col
         )

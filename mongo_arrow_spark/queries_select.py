@@ -172,13 +172,20 @@ def q_budget_per_group(spark, sf_dir):
     ).orderBy("lang", "doc_id")
 
 
-# Engine artifacts (BPE counts, the time-travel store) live under a
-# PER-PROCESS mkdtemp root: mode-0700 and unpredictable, so no
-# symlink/pre-creation hazard on shared hosts, no cross-process race
-# when two harnesses grade concurrently at different sfs, and no stale
-# bytes from a previous run at a different sf (r10 advice fix — the
-# paths were fixed /tmp literals before).
+# Engine artifacts (BPE counts, the time-travel store, the
+# content-addressed store) live under a PER-PROCESS mkdtemp root:
+# mode-0700 and unpredictable, so no symlink/pre-creation hazard on
+# shared hosts, no cross-process race when two harnesses grade
+# concurrently at different sfs, and no stale bytes from a previous run
+# at a different sf (r10 advice fix — the paths were fixed /tmp
+# literals before). Removed at interpreter exit (after all grading —
+# oracles read the artifacts mid-process), so repeated runs don't
+# accumulate corpus-sized temp dirs.
+import atexit as _atexit
+import shutil as _shutil
+
 _ART_DIR = tempfile.mkdtemp(prefix="mas_artifacts_")
+_atexit.register(_shutil.rmtree, _ART_DIR, ignore_errors=True)
 
 # tokenizer-true packing (r9): the oracle can't recompute BPE (iterative
 # merge loop), but BPE counts are DETERMINISTIC given the fit — so the

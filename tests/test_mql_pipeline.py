@@ -3235,6 +3235,11 @@ def test_vector_search_relative_index_name_never_routes(spark, tmp_path):
         # (a starved nProbe=1 would change results IF it routed); no
         # numCandidates → both sides are the exact scan
         assert rows({"index": name, "nProbe": 1}) == rows({})
+        # a PRESENT-but-null indexPath must not re-enable relative
+        # routing through key-presence (r10 review fix)
+        assert rows(
+            {"index": name, "indexPath": None, "nProbe": 1}
+        ) == rows({})
         # and with numCandidates, the relative name still means the
         # index-free LSH path, not the artifact route
         assert rows({"index": name, "nProbe": 1, "numCandidates": 5}) == rows(

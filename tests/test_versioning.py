@@ -214,6 +214,36 @@ def test_meta_commit_is_atomic_and_damage_is_contained(spark, tmp_path):
     assert _snap(V.read_version(spark, p, 2)) == {(1, "a", "en"), (4, "d", "fr")}
 
 
+def test_damaged_mid_chain_version_fails_reads_above_it(spark, tmp_path):
+    """Deltas COMPOSE: a version whose meta is damaged (external — the
+    commit protocol is atomic) must fail reconstructions ABOVE it
+    loudly instead of silently folding without its added/removed (r10
+    review fix); reads at/below the surviving fold origin still work,
+    and restoring the meta repairs everything."""
+    p = str(tmp_path / "corpus")
+    V.write_version(_frame(spark, [(1, "a", "en"), (2, "b", "en")]), p)
+    V.write_version(_frame(spark, [(1, "a", "en"), (3, "c", "de")]), p)
+    V.write_version(_frame(spark, [(1, "a", "en"), (5, "e", "fr")]), p)
+    meta_p = os.path.join(p, "v=2", "_meta.json")
+    good_meta = open(meta_p).read()
+    with open(meta_p, "w") as fh:
+        fh.write(good_meta[: len(good_meta) // 2])
+    with pytest.warns(RuntimeWarning, match="corrupt version meta"):
+        with pytest.raises(ValueError, match="missing or have corrupt"):
+            V.read_version(spark, p, 3)
+    with pytest.warns(RuntimeWarning, match="corrupt version meta"):
+        assert _snap(V.read_version(spark, p, 1)) == {
+            (1, "a", "en"),
+            (2, "b", "en"),
+        }
+    with open(meta_p, "w") as fh:
+        fh.write(good_meta)
+    assert _snap(V.read_version(spark, p, 3)) == {
+        (1, "a", "en"),
+        (5, "e", "fr"),
+    }
+
+
 def test_append_version_upsert_and_noop(spark, tmp_path):
     """append_version commits an INCREMENT: new ids add, changed ids
     replace (removed+re-added), identical rows skip, and an
@@ -288,3 +318,40 @@ def test_stream_of_batches_equals_one_batch_commit(spark, tmp_path):
     assert len(versions) == 3  # one per non-empty microbatch
     # compact_every=2 folded a synthetic checkpoint at v2
     assert [m["checkpoint"] for m in versions] == [True, True, False]
+
+
+def test_stream_intra_batch_duplicate_ids(spark, tmp_path):
+    """Within ONE microbatch a duplicate id is ambiguous: by default the
+    commit raises (loud failure, not an arbitrary winner); with seq_col
+    the max-sequence row per id wins deterministically and seq_col is
+    dropped from the committed payload (r10 review fix)."""
+    import pandas as pd
+
+    sdir = tmp_path / "incoming"
+    sdir.mkdir()
+    # one file -> one microbatch carrying doc_id=1 twice
+    pd.DataFrame(
+        [(1, "old", "en", 10), (1, "new", "en", 20), (2, "b", "en", 5)],
+        columns=["doc_id", "text", "lang", "seq"],
+    ).to_parquet(str(sdir / "b0.parquet"))
+
+    def start(store, **kw):
+        stream = spark.readStream.schema(
+            "doc_id long, text string, lang string, seq long"
+        ).parquet(str(sdir))
+        return V.write_version_stream(
+            stream,
+            store,
+            id_col="doc_id",
+            checkpoint_dir=str(tmp_path / f"ckpt_{len(kw)}"),
+            **kw,
+        )
+
+    # default: the ambiguous batch fails the query loudly
+    q = start(str(tmp_path / "store_fail"))
+    with pytest.raises(Exception, match="duplicate"):
+        q.awaitTermination(120)
+    # seq_col: last write (max seq) per id wins, seq dropped from payload
+    start(str(tmp_path / "store_ok"), seq_col="seq").awaitTermination(120)
+    got = _snap(V.read_version(spark, str(tmp_path / "store_ok")))
+    assert got == {(1, "new", "en"), (2, "b", "en")}
