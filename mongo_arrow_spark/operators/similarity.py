@@ -1142,7 +1142,7 @@ def hard_negatives_ivf(
     anchors: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_clusters: int = 8,
+    n_clusters: int | str = 8,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1152,6 +1152,7 @@ def hard_negatives_ivf(
     seed: int = 42,
     max_qdot: int | None = None,
     probe_per_label: bool = False,
+    target_cell_rows: int = 256,
 ) -> DataFrame:
     """Corpus×corpus hard-negative mining — the scale path when the
     anchor set is itself corpus-sized (every doc mines its own
@@ -1184,6 +1185,19 @@ def hard_negatives_ivf(
     negatives are typically FAR in absolute terms and hyperplane-sign
     agreement decays with angle, while IVF cells partition by locality.
 
+    ``n_clusters="auto"`` (r10) sizes the cell count to the corpus —
+    ``clamp(count / target_cell_rows, 8, 1024)`` — which is the 100 TB
+    contract measured in SCALE.md: with cell size held CONSTANT, each
+    anchor's candidate set is ``n_probe × target_cell_rows`` (bounded)
+    and total work stays linear in the corpus, where a FIXED cell count
+    lets cells grow with the corpus and the pairwise term reappear
+    (measured 51.5 s vs 340.8 s at ×10, same n_probe). Costs one count
+    aggregate to size k. The 1024 cap keeps the compiled literal
+    centroid table inside codegen budget (k × dim literals — the
+    ``clustering._argmin_cluster`` 64k guard rationale); past it, use
+    the persisted ``build_ivf_pq_index`` route, whose cells are a
+    partition column instead of compiled literals.
+
     ``probe_per_label=True`` (r10) probes the ``n_probe`` nearest
     eligible cells of EACH foreign label instead of ``n_probe`` cells
     overall — the fix for the documented tight-cluster failure, where
@@ -1206,6 +1220,9 @@ def hard_negatives_ivf(
     broadcast of the tiny presence table."""
     from pyspark.sql import Window
 
+    if n_clusters == "auto":
+        n_rows = corpus.count()
+        n_clusters = min(1024, max(8, -(-n_rows // int(target_cell_rows))))
     centroids = _fit_ivf_from_df(
         corpus, n_clusters, seed, id_col, vec_col, dim
     )

@@ -880,6 +880,26 @@ def q_sim_hard_negatives_ivf(spark, sf_dir):
     ).orderBy("anchor_id", "neg_rank")
 
 
+@query("sim_hard_negatives_ivf_pruned")
+def q_sim_hard_negatives_ivf_pruned(spark, sf_dir):
+    """The SCALE configuration of corpus×corpus hard-negative mining —
+    the benched representative (rows-only: the pruned probe is not
+    SQL-replayable; its recall is pinned ≥ 0.85 in pytest and the
+    exactness endpoint of the same machinery is hash-graded by
+    ``sim_hard_negatives_ivf``). ``n_clusters="auto"`` holds cell size
+    ~constant (the SCALE.md linear-work contract: candidates per anchor
+    = n_probe × cell size, bounded) and ``n_probe=4`` prunes the
+    candidate space — at sf0.1 this reads ~an eighth of the exact
+    endpoint's pairs and the gap widens with corpus size (51.5 s vs
+    340.8 s at ×10, SCALE.md)."""
+    from mongo_arrow_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives_ivf(
+        emb, emb, k=3, n_clusters="auto", target_cell_rows=64, n_probe=4
+    ).orderBy("anchor_id", "neg_rank")
+
+
 @query("select_kcenter", _kcenter_sql(8))
 def q_select_kcenter(spark, sf_dir):
     """Greedy k-center coreset (r8 eighth wave): 8 embeddings spanning

@@ -603,3 +603,30 @@ def test_hard_negatives_ivf_per_label_probing_far_tight_cluster(spark):
         for r in hard_negatives(anchors, emb, k=3, dim=dim).collect()
     }
     assert full == brute_full
+
+
+def test_hard_negatives_ivf_auto_cell_count(spark):
+    """n_clusters='auto' (r10): sizes the cell count to hold cell size
+    constant — clamp(count/target_cell_rows, 8, 1024), the SCALE.md
+    linear-work contract — and at the clamp floor reproduces the
+    explicit n_clusters=8 result exactly."""
+    from mongo_arrow_spark.operators.similarity import hard_negatives_ivf
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200)
+
+    def rows(**kw):
+        return sorted(
+            (r["anchor_id"], r["neg_id"], r["qdot"], r["neg_rank"])
+            for r in hard_negatives_ivf(emb, emb, k=3, n_probe=4, **kw)
+            .collect()
+        )
+
+    # 200 rows / target 256 -> floor clamp to 8 == explicit 8
+    assert rows(n_clusters="auto") == rows(n_clusters=8)
+    # a small target drives the count up: 200/16 = 13 cells — the run
+    # must still produce k negatives per anchor (cells stay productive)
+    got = rows(n_clusters="auto", target_cell_rows=16)
+    assert len({a for a, *_ in got}) == 200
+    assert all(rk <= 3 for *_, rk in got)
