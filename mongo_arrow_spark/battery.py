@@ -390,6 +390,11 @@ _DEMOTED = [
     # tests/test_layout.py; the exact oracle (mirrored-crawl dedup
     # accounting) runs in tests/test_battery.py.
     "layout_content_addressed",
+    # r10: streaming release commits park by construction — the
+    # foreachBatch append path over the GRADED corpus_time_travel
+    # store machinery (stream==batch parity additionally pinned in
+    # tests/test_versioning.py); oracle runs in tests/test_battery.py.
+    "corpus_version_stream",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

@@ -1084,6 +1084,72 @@ def q_corpus_time_travel(spark, sf_dir):
 
 
 @query(
+    "corpus_version_stream",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
+                THEN text || ' rev' ELSE text END AS text,
+           lang
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_corpus_version_stream(spark, sf_dir):
+    """Streaming release commits (r10 — r9 verdict #6): three
+    microbatches of a REAL file stream (`maxFilesPerTrigger=1`) flow
+    through ``write_version_stream`` — batch 1 and 2 partition the
+    corpus, batch 3 REVISES the %15 ids of batch 1 (upsert: removed +
+    re-added in that version's delta) — and the latest time-travel
+    reconstruction is read back. The oracle recomputes the final state
+    from the base table, so hash-equality proves the foreachBatch
+    append path (per-batch digest probe restricted to the batch's ids,
+    no corpus-sized materialization per commit) composes to exactly the
+    batch semantics. The store and stream inputs live under the
+    per-process artifact root; per-invocation subdirs keep re-runs
+    independent."""
+    import uuid
+
+    from mongo_arrow_spark.operators import versioning as V
+
+    run = os.path.join(_ART_DIR, f"vstream_{uuid.uuid4().hex[:8]}")
+    in_dir = os.path.join(run, "incoming")
+    os.makedirs(in_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 5 == 0))
+        .withColumn("text", F.concat("text", F.lit(" rev"))),
+    ]
+    for i, b in enumerate(batches):
+        # one file per microbatch; a trailing rename makes the file
+        # visible to the stream listing atomically
+        tmp = os.path.join(run, f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dest = os.path.join(in_dir, f"b{i}.parquet")
+        os.replace(os.path.join(tmp, part), dest)
+        # strictly increasing mtimes: FileStreamSource orders pending
+        # files by timestamp, and the revision batch MUST land after
+        # the rows it revises (last-wins), so don't leave the order to
+        # filesystem timestamp granularity
+        os.utime(dest, (1_600_000_000 + i, 1_600_000_000 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    store = os.path.join(run, "store")
+    q = V.write_version_stream(
+        stream, store, id_col="doc_id",
+        checkpoint_dir=os.path.join(run, "ckpt"),
+    )
+    q.awaitTermination(300)
+    return V.read_version(spark, store).orderBy("doc_id")
+
+
+@query(
     "text_ngram_novelty",
     """
     WITH refd AS (
