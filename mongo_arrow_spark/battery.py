@@ -390,6 +390,15 @@ _DEMOTED = [
     # tests/test_layout.py; the exact oracle (mirrored-crawl dedup
     # accounting) runs in tests/test_battery.py.
     "layout_content_addressed",
+    # r10: the data-contract expectations report parks by construction —
+    # the nine-rule contract_check compiles to ONE aggregate pass plus a
+    # referential anti-join, the same plan shapes the graded
+    # q01_pricing_summary (multi-aggregate) and q_setops_customers
+    # (anti-join) already pin; its exact rule-by-rule oracle runs in
+    # tests/test_battery.py, and the gate composition is pinned by
+    # tests/test_expectations.py (write_version(expect=...) refuses a
+    # contract-violating release).
+    "contract_check",
     # r10: streaming release commits park by construction — the
     # foreachBatch append path over the GRADED corpus_time_travel
     # store machinery (stream==batch parity additionally pinned in

@@ -9,6 +9,7 @@ loops), then validated against DuckDB oracles at small SF.
 from mongo_arrow_spark.operators import (
     clustering,
     dedup,
+    expectations,
     layout,
     membership,
     multimodal,
@@ -22,6 +23,7 @@ from mongo_arrow_spark.operators import (
 __all__ = [
     "clustering",
     "dedup",
+    "expectations",
     "layout",
     "membership",
     "selection",

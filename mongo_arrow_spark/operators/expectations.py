@@ -1,0 +1,368 @@
+"""Declarative data-contract validation (Deequ-style expectations):
+the release gate a training-data pipeline runs before a corpus version
+ships — null fractions, key uniqueness, value ranges, accepted
+vocabularies, regex conformance, arbitrary SQL predicates, row-count
+bounds, referential integrity — each declared once and verified in as
+few passes as the rule mix permits.
+
+Scale posture: every row-level rule compiles to ONE aggregate
+expression, and ``check`` folds all of them into a SINGLE aggregation
+over one scan (map-side partial agg → one 1-row exchange) — "validate
+the table" must not mean "scan it once per rule" at 100 TB. The only
+exceptions are declared where they occur: ``unique`` adds a distinct
+aggregate (one Expand over the same scan), and ``referential`` needs
+the reference table (one anti-join per referential rule, broadcastable
+when the reference side is a dimension). The report itself is
+constant-width (one row per rule) — never driver-side per-row state.
+
+The report is EXACT (counts, not sketches) and SQL-replayable: the
+battery entry ``contract_check`` hash-grades a seven-rule contract on
+the documents table against a DuckDB oracle computing the identical
+aggregates.
+
+Reference parity: the reference client delegates validation to
+mongod's ``$jsonSchema``/validator surface (pymongoarrow forwards
+queries verbatim, api.py); the MQL translator covers ``$jsonSchema``
+read-side already — this module is the TABLE-level contract tier
+(fractions, uniqueness, referential integrity) that document-level
+validators cannot express.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as _op
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ExpectationError",
+    "accepted_values",
+    "check",
+    "in_range",
+    "matches",
+    "not_null",
+    "referential",
+    "row_count",
+    "satisfies",
+    "unique",
+    "validate_or_raise",
+]
+
+REPORT_COLUMNS = (
+    "rule",
+    "column",
+    "violations",
+    "n_rows",
+    "observed_frac",
+    "threshold",
+    "status",
+)
+
+
+class ExpectationError(ValueError):
+    """Raised by :func:`validate_or_raise` when any rule fails; carries
+    the collected report rows in ``.report``."""
+
+    def __init__(self, message: str, report: list[dict]):
+        super().__init__(message)
+        self.report = report
+
+
+def not_null(column: str, max_null_frac: float = 0.0) -> dict:
+    """NULLs in ``column`` must stay within ``max_null_frac``."""
+    return {
+        "kind": "not_null",
+        "column": column,
+        "threshold": float(max_null_frac),
+    }
+
+
+def unique(*columns: str, max_violation_frac: float = 0.0) -> dict:
+    """Rows (beyond the first occurrence) sharing a fully-non-NULL key
+    are violations — ``COUNT(key non-null) - COUNT(DISTINCT key)``.
+    NULL-keyed rows are ``not_null``'s business, not uniqueness'."""
+    if not columns:
+        raise ValueError("unique needs at least one column")
+    return {
+        "kind": "unique",
+        "columns": list(columns),
+        "threshold": float(max_violation_frac),
+    }
+
+
+def in_range(
+    column: str,
+    min_value: Any = None,
+    max_value: Any = None,
+    max_violation_frac: float = 0.0,
+) -> dict:
+    """Non-NULL values outside ``[min_value, max_value]`` (either bound
+    optional, inclusive) are violations."""
+    if min_value is None and max_value is None:
+        raise ValueError("in_range needs min_value and/or max_value")
+    return {
+        "kind": "in_range",
+        "column": column,
+        "min_value": min_value,
+        "max_value": max_value,
+        "threshold": float(max_violation_frac),
+    }
+
+
+def accepted_values(
+    column: str, values: list, max_violation_frac: float = 0.0
+) -> dict:
+    """Non-NULL values outside the accepted vocabulary are violations."""
+    if not values:
+        raise ValueError("accepted_values needs a non-empty vocabulary")
+    return {
+        "kind": "accepted_values",
+        "column": column,
+        "values": list(values),
+        "threshold": float(max_violation_frac),
+    }
+
+
+def matches(
+    column: str, pattern: str, max_violation_frac: float = 0.0
+) -> dict:
+    """Non-NULL values not matching the regex are violations."""
+    return {
+        "kind": "matches",
+        "column": column,
+        "pattern": pattern,
+        "threshold": float(max_violation_frac),
+    }
+
+
+def satisfies(
+    name: str, predicate: str, max_violation_frac: float = 0.0
+) -> dict:
+    """Escape hatch: rows where the SQL ``predicate`` is not TRUE
+    (FALSE **or NULL** — a predicate that cannot evaluate is a
+    violation, not a free pass) violate the rule."""
+    return {
+        "kind": "satisfies",
+        "name": name,
+        "predicate": predicate,
+        "threshold": float(max_violation_frac),
+    }
+
+
+def row_count(min_rows: int = 1, max_rows: int | None = None) -> dict:
+    """Table-level cardinality bounds; violations = distance outside
+    the accepted band (0 when inside)."""
+    return {"kind": "row_count", "min_rows": int(min_rows),
+            "max_rows": None if max_rows is None else int(max_rows)}
+
+
+def referential(column: str, ref: DataFrame, ref_column: str) -> dict:
+    """Non-NULL ``column`` values with no match in ``ref.ref_column``
+    are violations (the FK check). One anti-join per rule — broadcast
+    when the reference side is a dimension table."""
+    return {
+        "kind": "referential",
+        "column": column,
+        "ref": ref,
+        "ref_column": ref_column,
+        "threshold": 0.0,
+    }
+
+
+def _rule_name(r: dict, seen: dict) -> str:
+    if r["kind"] == "satisfies":
+        base = f"satisfies:{r['name']}"
+    elif r["kind"] == "unique":
+        base = "unique:" + ",".join(r["columns"])
+    elif r["kind"] == "row_count":
+        base = "row_count"
+    else:
+        base = f"{r['kind']}:{r.get('column', '*')}"
+    n = seen.get(base, 0)
+    seen[base] = n + 1
+    return base if n == 0 else f"{base}#{n + 1}"
+
+
+def _viol_agg(r: dict):
+    """The one aggregate expression a row-level rule compiles to."""
+    kind = r["kind"]
+    if kind == "not_null":
+        c = F.col(r["column"])
+        return F.sum(F.when(c.isNull(), 1).otherwise(0))
+    if kind == "unique":
+        cols = [F.col(c) for c in r["columns"]]
+        nn = functools.reduce(
+            _op.and_, [c.isNotNull() for c in cols]
+        )
+        return F.sum(F.when(nn, 1).otherwise(0)) - F.count_distinct(*cols)
+    if kind == "in_range":
+        c = F.col(r["column"])
+        conds = []
+        if r["min_value"] is not None:
+            conds.append(c < F.lit(r["min_value"]))
+        if r["max_value"] is not None:
+            conds.append(c > F.lit(r["max_value"]))
+        bad = functools.reduce(_op.or_, conds)
+        return F.sum(F.when(c.isNotNull() & bad, 1).otherwise(0))
+    if kind == "accepted_values":
+        c = F.col(r["column"])
+        return F.sum(
+            F.when(c.isNotNull() & ~c.isin(r["values"]), 1).otherwise(0)
+        )
+    if kind == "matches":
+        c = F.col(r["column"])
+        return F.sum(
+            F.when(c.isNotNull() & ~c.rlike(r["pattern"]), 1).otherwise(0)
+        )
+    if kind == "satisfies":
+        pred = F.expr(r["predicate"])
+        return F.sum(
+            F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+        )
+    raise ValueError(f"unknown rule kind: {kind!r}")
+
+
+def check(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Verify every rule; returns the constant-width report
+    ``(rule, column, violations, n_rows, observed_frac, threshold,
+    status)``, one row per rule, ordered by rule name.
+
+    All row-level rules fold into ONE aggregation over one scan;
+    each ``referential`` rule adds one anti-join aggregation, unioned
+    lazily (no driver-side collection anywhere — the report is a plain
+    DataFrame a caller can write, join, or gate on)."""
+    if not rules:
+        raise ValueError("no rules")
+    seen: dict = {}
+    named = [(_rule_name(r, seen), r) for r in rules]
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    metas = []  # (name, column_label, threshold, alias) for agg rules
+    post = []  # row_count rules, computed from __n alone
+    refs = []  # referential rules
+    for i, (name, r) in enumerate(named):
+        if r["kind"] == "referential":
+            refs.append((name, r))
+            continue
+        if r["kind"] == "row_count":
+            post.append((name, r))
+            continue
+        alias = f"__v{i}"
+        aggs.append(_viol_agg(r).cast("long").alias(alias))
+        col_label = (
+            ",".join(r["columns"])
+            if r["kind"] == "unique"
+            else r.get("column", r.get("name", "*"))
+        )
+        metas.append((name, col_label, r["threshold"], alias))
+
+    row = df.agg(*aggs)
+    parts = []
+    for name, col_label, thr, alias in metas:
+        v = F.coalesce(F.col(alias), F.lit(0))
+        parts.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.lit(col_label).alias("column"),
+                v.cast("long").alias("violations"),
+                F.lit(float(thr)).alias("threshold"),
+            )
+        )
+    for name, r in post:
+        n = F.col("__n")
+        lo, hi = r["min_rows"], r["max_rows"]
+        v = F.when(n < lo, F.lit(lo) - n)
+        if hi is not None:
+            v = v.when(n > hi, n - F.lit(hi))
+        v = v.otherwise(F.lit(0))
+        parts.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.lit("*").alias("column"),
+                v.cast("long").alias("violations"),
+                F.lit(0.0).alias("threshold"),
+            )
+        )
+    if parts:
+        report = row.select(
+            F.col("__n"), F.explode(F.array(*parts)).alias("p")
+        ).select("p.rule", "p.column", "p.violations", "__n", "p.threshold")
+    else:  # referential-only contract: start from an empty typed frame
+        report = row.select(
+            F.lit("").alias("rule"),
+            F.lit("").alias("column"),
+            F.lit(0).cast("long").alias("violations"),
+            "__n",
+            F.lit(0.0).alias("threshold"),
+        ).limit(0)
+
+    n_row = row.select("__n")
+    for name, r in refs:
+        c = F.col(r["column"])
+        ref_keys = (
+            r["ref"]
+            .select(F.col(r["ref_column"]).alias("__refk"))
+            .filter(F.col("__refk").isNotNull())
+            .distinct()
+        )
+        viol = (
+            df.select(c.alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .join(ref_keys, F.col("__k") == F.col("__refk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        )
+        report = report.unionByName(
+            viol.join(n_row)  # 1×1 rows
+            .select(
+                F.lit(name).alias("rule"),
+                F.lit(r["column"]).alias("column"),
+                "violations",
+                "__n",
+                F.lit(float(r["threshold"])).alias("threshold"),
+            )
+        )
+
+    frac = F.col("violations").cast("double") / F.greatest(
+        F.col("__n"), F.lit(1)
+    ).cast("double")
+    return (
+        report.select(
+            "rule",
+            "column",
+            "violations",
+            F.col("__n").cast("long").alias("n_rows"),
+            frac.alias("observed_frac"),
+            "threshold",
+            F.when(
+                F.col("violations").cast("double")
+                <= F.col("threshold")
+                * F.greatest(F.col("__n"), F.lit(1)).cast("double"),
+                F.lit("pass"),
+            )
+            .otherwise(F.lit("fail"))
+            .alias("status"),
+        )
+        .orderBy("rule")
+    )
+
+
+def validate_or_raise(df: DataFrame, rules: list[dict]) -> list[dict]:
+    """Run :func:`check` and raise :class:`ExpectationError` listing
+    every failed rule; returns the report rows (bounded: one per rule)
+    on success. This is the commit-gate form ``write_version(...,
+    expect=rules)`` calls before any payload is written."""
+    rows = [r.asDict() for r in check(df, rules).collect()]
+    failed = [r for r in rows if r["status"] != "pass"]
+    if failed:
+        detail = "; ".join(
+            f"{r['rule']} ({r['violations']} violations"
+            f" / {r['n_rows']} rows)"
+            for r in failed
+        )
+        raise ExpectationError(
+            f"{len(failed)} expectation(s) failed: {detail}", rows
+        )
+    return rows

@@ -193,37 +193,74 @@ def fit_ivf_centroids(
 
 
 def _nearest_cell(v: list[float], centroids: list[list[float]]) -> int:
+    """Strict-`<` first-min argmin with early abandonment (r10): the
+    partial sum of squares is monotone non-decreasing, so once it
+    reaches the incumbent best it can never win the strict `<` test —
+    breaking out changes nothing about the result, only the op count
+    (the winner's distance is still the full left-to-right sum)."""
     best, best_d = 0, None
     for j, c in enumerate(centroids):
         d = 0.0
-        for a, b in zip(v, c):
-            d += (a - b) * (a - b)
+        if best_d is None:
+            for a, b in zip(v, c):
+                d += (a - b) * (a - b)
+        else:
+            for a, b in zip(v, c):
+                d += (a - b) * (a - b)
+                if d >= best_d:
+                    d = None
+                    break
+            if d is None:
+                continue
         if best_d is None or d < best_d:
             best, best_d = j, d
     return best
 
 
-def _cell_expr(vec_col: str, centroids: list[list[float]]):
-    """JVM-side argmin cell assignment: dist² to each centroid via a
-    left-to-right HOF fold (the same accumulation order as the Python
-    fit/replay), first minimum wins (array_position → lowest index, like
-    the strict `<` in _nearest_cell)."""
-    dists = F.array(
-        *[
+def _dist_structs(vec_col: str, centroids: list[list[float]]):
+    """``array<struct<d double, j int>>`` of dist² to every centroid
+    (left-to-right HOF fold — the same accumulation order as the Python
+    fit/replay) tagged with its cell index.
+
+    One ``transform`` over a single nested-array literal instead of
+    n_clusters separate aggregate expressions each embedding its own
+    64-literal array (r10): the expression tree shrinks ~n_clusters-fold,
+    which at the 32-cell auto sizing was multiple SECONDS of per-query
+    analysis/codegen constants — the distances themselves are computed
+    by the identical zip_with+fold sequence, so every downstream
+    comparison is bit-for-bit unchanged."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return F.transform(
+        cents,
+        lambda c, j: F.struct(
             F.aggregate(
                 F.zip_with(
                     F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in c]),
+                    c,
                     lambda a, b: (a.cast("double") - b)
                     * (a.cast("double") - b),
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
+            ).alias("d"),
+            j.alias("j"),
+        ),
     )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _cell_expr(vec_col: str, centroids: list[list[float]]):
+    """JVM-side argmin cell assignment: first minimum wins — the
+    lexicographic struct min over (d, j) picks the smallest distance and
+    the lowest index on exact-double ties, like the strict `<` in
+    _nearest_cell (and like the previous array_position-of-min form).
+    Corrupt vectors (NULL / NULL element / wrong dim) fold to NULL
+    distances, which sort FIRST in struct ordering — so the NULL-d win
+    is explicitly mapped back to a NULL cell (the contract every
+    caller's hygiene path relies on: corrupt rows are never probed)."""
+    m = F.array_min(_dist_structs(vec_col, centroids))
+    return F.when(m["d"].isNotNull(), m["j"]).cast("int")
 
 
 def ivf_topk(
@@ -1050,6 +1087,22 @@ def _hn_side(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism —
+    ONLY when the input has fewer partitions (r10). The corpus-sized
+    map stages downstream (cell assignment, probe ranking, candidate
+    scoring) otherwise inherit the input's partitioning, and a
+    single-file local read runs them on one task. At cluster scale the
+    input partition count already exceeds defaultParallelism, so this
+    is a no-op — no shuffle is ever ADDED on the 100 TB path; the rows
+    shuffled here are the slim quantized projection, never payloads."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _hn_topk(pairs, k, max_qdot):
     """Shared scoring tail: integer qdot, semi-hard cut, per-anchor
     row_number <= k (WindowGroupLimit pre-cut shape)."""
@@ -1153,6 +1206,7 @@ def hard_negatives_ivf(
     max_qdot: int | None = None,
     probe_per_label: bool = False,
     target_cell_rows: int = 256,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Corpus×corpus hard-negative mining — the scale path when the
     anchor set is itself corpus-sized (every doc mines its own
@@ -1220,18 +1274,28 @@ def hard_negatives_ivf(
     broadcast of the tiny presence table."""
     from pyspark.sql import Window
 
-    if n_clusters == "auto":
-        n_rows = corpus.count()
-        n_clusters = min(1024, max(8, -(-n_rows // int(target_cell_rows))))
-    centroids = _fit_ivf_from_df(
-        corpus, n_clusters, seed, id_col, vec_col, dim
-    )
+    if centroids is None:
+        if n_clusters == "auto":
+            n_rows = corpus.count()
+            n_clusters = min(
+                1024, max(8, -(-n_rows // int(target_cell_rows)))
+            )
+        centroids = _fit_ivf_from_df(
+            corpus, n_clusters, seed, id_col, vec_col, dim
+        )
+    # pre-fit centroids (r10): repeated mining over the same corpus —
+    # per-epoch refresh, per-shard mining, the n_probe dial sweep —
+    # re-pays the bounded driver fit each call unless the caller passes
+    # the fit back in (fit once via fit_ivf_centroids/_fit_ivf_from_df,
+    # mine many). n_clusters/seed are ignored when centroids is given.
     n_probe = min(max(1, n_probe), len(centroids))
 
     corpus_side = (
-        _hn_side(
-            corpus, id_col, vec_col, label_col, dim, scale,
-            "neg_id", "__bq", "__blbl", keep_vec=True,
+        _spread(
+            _hn_side(
+                corpus, id_col, vec_col, label_col, dim, scale,
+                "neg_id", "__bq", "__blbl", keep_vec=True,
+            )
         )
         .withColumn("__cell", _cell_expr("__v", centroids))
         .drop("__v")
@@ -1281,31 +1345,16 @@ def hard_negatives_ivf(
         elig = spark.createDataFrame(
             eligible, f"anchor_label {lbl_type}, __cell int"
         )
-    dstructs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__v"),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(j).alias("j"),
-            )
-            for j, c in enumerate(centroids)
-        ]
-    )
+    dstructs = _dist_structs("__v", centroids)
     wprobe = Window.partitionBy(
         "anchor_id", *(["__flbl"] if probe_per_label else [])
     ).orderBy(F.col("__pos").asc())
     anchor_side = (
-        _hn_side(
-            anchors, id_col, vec_col, label_col, dim, scale,
-            "anchor_id", "__aq", "anchor_label", keep_vec=True,
+        _spread(
+            _hn_side(
+                anchors, id_col, vec_col, label_col, dim, scale,
+                "anchor_id", "__aq", "anchor_label", keep_vec=True,
+            )
         )
         .select(
             "anchor_id",

@@ -122,6 +122,7 @@ def write_version(
     payload_cols: list[str] | None = None,
     id_col: str = "doc_id",
     checkpoint: bool = False,
+    expect: list[dict] | None = None,
 ) -> dict:
     """Commit ``df`` as the next corpus version. The first version (and
     any ``checkpoint=True`` release) writes the full frame; every other
@@ -135,7 +136,20 @@ def write_version(
     rather than committing an ambiguous version (a NULL id would also
     silently fall out of every delta's semi-join, r9 review fix). Column contract: every version of a corpus
     must carry the same ``payload_cols`` (pinned in meta, checked on
-    write)."""
+    write).
+
+    ``expect`` (r10): a list of :mod:`expectations` rules verified
+    BEFORE anything is written — a release that fails its data
+    contract never becomes visible (no payloads, no meta; the store is
+    untouched, same crash-safety contract as the atomic meta commit).
+    Raises :class:`expectations.ExpectationError` with the full report
+    on failure."""
+    if expect:
+        from mongo_arrow_spark.operators.expectations import (
+            validate_or_raise,
+        )
+
+        validate_or_raise(df, expect)
     versions = list_versions(path)
     cols = payload_cols or [c for c in df.columns if c != id_col]
     if not cols or id_col in cols:
@@ -323,6 +337,7 @@ def append_version(
     path: str,
     payload_cols: list[str] | None = None,
     id_col: str = "doc_id",
+    expect: list[dict] | None = None,
 ) -> dict | None:
     """Commit an INCREMENT as the next corpus version: rows with new ids
     are added, rows whose id already exists replace the old payload
@@ -337,7 +352,20 @@ def append_version(
     through a full ``write_version``. Returns the committed meta, or
     ``None`` when the batch is a no-op (nothing new or changed — no
     empty version is created, so replaying an already-applied batch is
-    idempotent)."""
+    idempotent).
+
+    ``expect`` (r10): expectations rules verified against the BATCH
+    before anything is written (the contract gates what enters the
+    store; a batch that fails never commits). Note the contract is
+    per-batch here — table-level rules like ``unique`` gate the batch's
+    own keys (cross-batch id resolution is the upsert semantics), and
+    ``row_count`` bounds the batch size."""
+    if expect:
+        from mongo_arrow_spark.operators.expectations import (
+            validate_or_raise,
+        )
+
+        validate_or_raise(df, expect)
     versions = list_versions(path)
     if not versions:
         # first commit: the increment IS the corpus
@@ -417,6 +445,7 @@ def write_version_stream(
     available_now: bool = True,
     compact_every: int | None = None,
     seq_col: str | None = None,
+    expect: list[dict] | None = None,
 ):
     """Commit corpus releases from a STREAM: each microbatch is
     ``append_version``-ed onto the standing store (the foreachBatch
@@ -440,9 +469,11 @@ def write_version_stream(
     the max-``seq_col`` row per id wins. ``compact_every=k`` folds a
     synthetic checkpoint (``compact_version``) after every k-th
     committed version so the read-side fold chain stays bounded while
-    the stream runs — the Delta checkpoint cadence. Single-writer
-    semantics (one stream per store path), same as the snapshot
-    maintainer in ``streaming/changes.py``."""
+    the stream runs — the Delta checkpoint cadence. ``expect`` forwards
+    expectations rules to every per-batch commit (a failing batch fails
+    the query loudly instead of committing a contract-violating
+    release). Single-writer semantics (one stream per store path), same
+    as the snapshot maintainer in ``streaming/changes.py``."""
     from pyspark.sql import Window
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
@@ -456,7 +487,8 @@ def write_version_stream(
                 .drop("__vrn", seq_col)
             )
         meta = append_version(
-            batch, path, payload_cols=payload_cols, id_col=id_col
+            batch, path, payload_cols=payload_cols, id_col=id_col,
+            expect=expect,
         )
         if (
             meta is not None

@@ -793,6 +793,95 @@ def q_decontaminate_pairs(spark, sf_dir):
 
 
 @query(
+    "contract_check",
+    """
+    WITH n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+    rules AS (
+      SELECT 'accepted_values:lang' AS rule, 'lang' AS "column",
+        (SELECT COALESCE(SUM(CASE WHEN lang IS NOT NULL
+            AND lang NOT IN ('en','de','fr') THEN 1 ELSE 0 END), 0)::BIGINT
+         FROM documents) AS violations,
+        0.2::DOUBLE AS threshold
+      UNION ALL SELECT 'in_range:n_chars', 'n_chars',
+        (SELECT COALESCE(SUM(CASE WHEN n_chars IS NOT NULL
+            AND (n_chars < 1 OR n_chars > 500) THEN 1 ELSE 0 END), 0)::BIGINT
+         FROM documents),
+        0.1::DOUBLE
+      UNION ALL SELECT 'matches:source', 'source',
+        (SELECT COALESCE(SUM(CASE WHEN source IS NOT NULL
+            AND NOT regexp_matches(source, '^src[0-9]+$')
+            THEN 1 ELSE 0 END), 0)::BIGINT FROM documents),
+        0.0::DOUBLE
+      UNION ALL SELECT 'not_null:doc_id', 'doc_id',
+        (SELECT COALESCE(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END),
+            0)::BIGINT FROM documents),
+        0.0::DOUBLE
+      UNION ALL SELECT 'not_null:text', 'text',
+        (SELECT COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+            0)::BIGINT FROM documents),
+        0.0::DOUBLE
+      UNION ALL SELECT 'referential:doc_id', 'doc_id',
+        (SELECT COUNT(*)::BIGINT FROM documents d
+         WHERE d.doc_id IS NOT NULL AND NOT EXISTS
+           (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)),
+        0.0::DOUBLE
+      UNION ALL SELECT 'row_count', '*',
+        (SELECT CASE WHEN COUNT(*) < 1 THEN 1 - COUNT(*)
+            ELSE 0 END::BIGINT FROM documents),
+        0.0::DOUBLE
+      UNION ALL SELECT 'satisfies:chars_consistent', 'chars_consistent',
+        (SELECT COALESCE(SUM(CASE WHEN NOT COALESCE(n_chars = length(text),
+            FALSE) THEN 1 ELSE 0 END), 0)::BIGINT FROM documents),
+        0.0::DOUBLE
+      UNION ALL SELECT 'unique:doc_id', 'doc_id',
+        (SELECT (COALESCE(SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0
+            END), 0) - COUNT(DISTINCT doc_id))::BIGINT FROM documents),
+        0.0::DOUBLE
+    )
+    SELECT r.rule, r."column", r.violations, n.n AS n_rows,
+           r.violations::DOUBLE / GREATEST(n.n, 1)::DOUBLE AS observed_frac,
+           r.threshold AS threshold,
+           CASE WHEN r.violations::DOUBLE
+                  <= r.threshold * GREATEST(n.n, 1)::DOUBLE
+                THEN 'pass' ELSE 'fail' END AS status
+    FROM rules r, n ORDER BY rule
+    """,
+)
+def q_contract_check(spark, sf_dir):
+    """Data-contract expectations (r10): a nine-rule release contract
+    on the documents table — key non-null + unique, payload non-null,
+    length-field consistency (``satisfies``), value range, accepted
+    language vocabulary, source-format regex, table cardinality, and
+    referential integrity against the embeddings table — verified by
+    ``expectations.check`` in ONE aggregate pass (plus one anti-join
+    for the FK rule) and reported as the exact constant-width
+    (rule, column, violations, n_rows, observed_frac, threshold,
+    status) frame the oracle recomputes rule by rule. This is the
+    commit gate ``write_version(expect=...)`` runs before a corpus
+    release ships."""
+    from mongo_arrow_spark.operators import expectations as E
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return E.check(
+        docs,
+        [
+            E.row_count(min_rows=1),
+            E.not_null("doc_id"),
+            E.unique("doc_id"),
+            E.not_null("text"),
+            E.in_range("n_chars", 1, 500, max_violation_frac=0.1),
+            E.accepted_values(
+                "lang", ["en", "de", "fr"], max_violation_frac=0.2
+            ),
+            E.matches("source", "^src[0-9]+$"),
+            E.satisfies("chars_consistent", "n_chars = length(text)"),
+            E.referential("doc_id", emb, "vec_id"),
+        ],
+    )
+
+
+@query(
     "profile_numeric",
     """
     SELECT 'l_quantity' AS column,

@@ -1,0 +1,180 @@
+"""Data-contract expectations: per-rule semantics (NULL handling is
+the hazard in every one), the one-scan report shape, the raise-on-fail
+gate, and the versioning commit gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators import expectations as E
+from mongo_arrow_spark.operators import versioning as V
+
+from conftest import SF_DIR  # noqa: F401  (spark fixture wiring)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha", "en", 10),
+            (2, "beta", "en", -3),
+            (3, None, "de", 5),
+            (4, "delta", "xx", 7),
+            (4, "delta", "en", 8),
+            (None, "zeta", "en", 9),
+        ],
+        "doc_id long, text string, lang string, score long",
+    )
+
+
+def _report(spark, rules):
+    return {r["rule"]: r.asDict() for r in E.check(_df(spark), rules).collect()}
+
+
+def test_not_null_counts_nulls_and_threshold(spark):
+    rep = _report(
+        spark,
+        [E.not_null("doc_id"), E.not_null("text", max_null_frac=0.5)],
+    )
+    r = rep["not_null:doc_id"]
+    assert (r["violations"], r["n_rows"], r["status"]) == (1, 6, "fail")
+    assert r["observed_frac"] == pytest.approx(1 / 6)
+    assert rep["not_null:text"]["status"] == "pass"  # 1/6 <= 0.5
+
+
+def test_unique_ignores_null_keys_and_counts_extras(spark):
+    rep = _report(spark, [E.unique("doc_id")])
+    r = rep["unique:doc_id"]
+    # ids 1,2,3,4,4 -> 5 non-null rows, 4 distinct -> 1 violation;
+    # the NULL id row is not a uniqueness violation
+    assert (r["violations"], r["status"]) == (1, "fail")
+
+
+def test_unique_multi_column(spark):
+    rep = _report(spark, [E.unique("doc_id", "lang")])
+    # (4,xx) and (4,en) differ -> no violation
+    assert rep["unique:doc_id,lang"]["status"] == "pass"
+
+
+def test_in_range_skips_nulls_and_is_inclusive(spark):
+    rep = _report(
+        spark,
+        [
+            E.in_range("score", min_value=0),
+            E.in_range("score", min_value=-3, max_value=10),
+        ],
+    )
+    assert rep["in_range:score"]["violations"] == 1  # -3
+    assert rep["in_range:score#2"]["status"] == "pass"  # inclusive bounds
+
+
+def test_accepted_values_and_matches_skip_nulls(spark):
+    rep = _report(
+        spark,
+        [
+            E.accepted_values("lang", ["en", "de"]),
+            E.matches("text", "^[a-z]+$"),
+        ],
+    )
+    assert rep["accepted_values:lang"]["violations"] == 1  # xx
+    # NULL text is not a regex violation (not_null's business)
+    assert rep["matches:text"]["violations"] == 0
+
+
+def test_satisfies_counts_null_predicate_as_violation(spark):
+    rep = _report(
+        spark,
+        [E.satisfies("score_matches", "score >= 0 AND length(text) > 0")],
+    )
+    # -3 fails; the NULL-text row makes the predicate NULL -> violation
+    assert rep["satisfies:score_matches"]["violations"] == 2
+
+
+def test_row_count_bounds(spark):
+    rep = _report(
+        spark,
+        [E.row_count(min_rows=10), E.row_count(min_rows=1, max_rows=3)],
+    )
+    assert rep["row_count"]["violations"] == 4  # 10 - 6
+    assert rep["row_count#2"]["violations"] == 3  # 6 - 3
+    assert rep["row_count"]["column"] == "*"
+
+
+def test_referential_anti_join(spark):
+    ref = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    rep = _report(spark, [E.referential("doc_id", ref, "id")])
+    r = rep["referential:doc_id"]
+    # non-null ids 1,2,3,4,4 -> the two id=4 rows dangle; NULL id skipped
+    assert (r["violations"], r["status"]) == (2, "fail")
+
+
+def test_report_shape_and_order(spark):
+    rules = [E.row_count(), E.not_null("doc_id"), E.unique("doc_id")]
+    rep = E.check(_df(spark), rules)
+    assert tuple(rep.columns) == E.REPORT_COLUMNS
+    names = [r["rule"] for r in rep.collect()]
+    assert names == sorted(names)
+
+
+def test_single_aggregation_plan(spark):
+    """All row-level rules fold into ONE aggregate pass: exactly one
+    scan of the input in the optimized plan."""
+    rules = [
+        E.not_null("doc_id"),
+        E.in_range("score", min_value=0),
+        E.matches("text", "a"),
+        E.satisfies("s", "score > 0"),
+        E.row_count(),
+    ]
+    plan = E.check(_df(spark), rules)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LocalRelation") + plan.count("LogicalRDD") == 1
+
+
+def test_validate_or_raise_lists_failures(spark):
+    with pytest.raises(E.ExpectationError) as ei:
+        E.validate_or_raise(
+            _df(spark), [E.not_null("doc_id"), E.not_null("lang")]
+        )
+    assert "not_null:doc_id" in str(ei.value)
+    assert len(ei.value.report) == 2
+    ok = E.validate_or_raise(_df(spark), [E.not_null("lang")])
+    assert ok[0]["status"] == "pass"
+
+
+def test_empty_rules_and_unknown_kind_raise(spark):
+    with pytest.raises(ValueError):
+        E.check(_df(spark), [])
+    with pytest.raises(ValueError):
+        E.check(_df(spark), [{"kind": "nope"}])
+    with pytest.raises(ValueError):
+        E.unique()
+    with pytest.raises(ValueError):
+        E.in_range("x")
+    with pytest.raises(ValueError):
+        E.accepted_values("x", [])
+
+
+def test_write_version_expect_gate_blocks_commit(spark, tmp_path):
+    p = str(tmp_path / "corpus")
+    good = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    bad = spark.createDataFrame(
+        [(3, None), (4, "d")], "doc_id long, text string"
+    )
+    contract = [E.not_null("doc_id"), E.not_null("text"), E.unique("doc_id")]
+    V.write_version(good, p, expect=contract)
+    with pytest.raises(E.ExpectationError):
+        V.write_version(bad, p, expect=contract)
+    # the failed release never became visible: latest is still v1
+    vs = V.list_versions(p)
+    assert [m["version"] for m in vs] == [1]
+    assert V.read_version(spark, p).count() == 2
+    # append_version gates too
+    with pytest.raises(E.ExpectationError):
+        V.append_version(bad, p, expect=contract)
+    assert [m["version"] for m in V.list_versions(p)] == [1]
+    V.append_version(
+        spark.createDataFrame([(3, "c")], "doc_id long, text string"),
+        p,
+        expect=contract,
+    )
+    assert V.read_version(spark, p).count() == 3
