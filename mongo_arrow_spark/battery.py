@@ -399,6 +399,10 @@ _DEMOTED = [
     # tests/test_expectations.py (write_version(expect=...) refuses a
     # contract-violating release).
     "contract_check",
+    # r10: the grouped form parks with its table-level sibling — one
+    # groupBy aggregation (the shape every graded agg entry pins),
+    # exact per-group oracle in tests/test_battery.py.
+    "contract_by_group",
     # r10: streaming release commits park by construction — the
     # foreachBatch append path over the GRADED corpus_time_travel
     # store machinery (stream==batch parity additionally pinned in

@@ -225,7 +225,9 @@ def _viol_agg(r: dict):
     raise ValueError(f"unknown rule kind: {kind!r}")
 
 
-def check(df: DataFrame, rules: list[dict]) -> DataFrame:
+def check(
+    df: DataFrame, rules: list[dict], by: list[str] | None = None
+) -> DataFrame:
     """Verify every rule; returns the constant-width report
     ``(rule, column, violations, n_rows, observed_frac, threshold,
     status)``, one row per rule, ordered by rule name.
@@ -233,9 +235,20 @@ def check(df: DataFrame, rules: list[dict]) -> DataFrame:
     All row-level rules fold into ONE aggregation over one scan;
     each ``referential`` rule adds one anti-join aggregation, unioned
     lazily (no driver-side collection anywhere — the report is a plain
-    DataFrame a caller can write, join, or gate on)."""
+    DataFrame a caller can write, join, or gate on).
+
+    ``by`` (r10): verify the contract PER GROUP — "every language must
+    have ≥ N documents", "null fraction per source within 1 %". Still
+    one aggregation (a groupBy over the same scan; report rows =
+    groups × rules, ordered by group then rule), with a leading
+    ``group`` column (``/``-joined stringified key, NULLs spelled
+    ``NULL``). ``row_count`` bounds each group's size and ``unique``
+    counts within-group duplicates; ``referential`` is table-level and
+    raises under ``by``."""
     if not rules:
         raise ValueError("no rules")
+    if by:
+        return _check_by(df, rules, list(by))
     seen: dict = {}
     named = [(_rule_name(r, seen), r) for r in rules]
 
@@ -346,6 +359,103 @@ def check(df: DataFrame, rules: list[dict]) -> DataFrame:
             .alias("status"),
         )
         .orderBy("rule")
+    )
+
+
+def _check_by(df: DataFrame, rules: list[dict], by: list[str]) -> DataFrame:
+    """The grouped body of :func:`check` — same rule compilation, one
+    groupBy aggregation, report keyed by the stringified group."""
+    seen: dict = {}
+    named = [(_rule_name(r, seen), r) for r in rules]
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    metas, post = [], []
+    for i, (name, r) in enumerate(named):
+        if r["kind"] == "referential":
+            raise ValueError(
+                "referential rules are table-level; run them in an "
+                "ungrouped check()"
+            )
+        if r["kind"] == "row_count":
+            post.append((name, r))
+            continue
+        alias = f"__v{i}"
+        aggs.append(_viol_agg(r).cast("long").alias(alias))
+        col_label = (
+            ",".join(r["columns"])
+            if r["kind"] == "unique"
+            else r.get("column", r.get("name", "*"))
+        )
+        metas.append((name, col_label, r["threshold"], alias))
+
+    grp = F.concat_ws(
+        "/",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+            for c in by
+        ],
+    )
+    row = df.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+    parts = []
+    for name, col_label, thr, alias in metas:
+        v = F.coalesce(F.col(alias), F.lit(0))
+        parts.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.lit(col_label).alias("column"),
+                v.cast("long").alias("violations"),
+                F.lit(float(thr)).alias("threshold"),
+            )
+        )
+    for name, r in post:
+        n = F.col("__n")
+        lo, hi = r["min_rows"], r["max_rows"]
+        v = F.when(n < lo, F.lit(lo) - n)
+        if hi is not None:
+            v = v.when(n > hi, n - F.lit(hi))
+        v = v.otherwise(F.lit(0))
+        parts.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.lit("*").alias("column"),
+                v.cast("long").alias("violations"),
+                F.lit(0.0).alias("threshold"),
+            )
+        )
+    frac = F.col("violations").cast("double") / F.greatest(
+        F.col("n_rows"), F.lit(1)
+    ).cast("double")
+    return (
+        row.select(
+            grp.alias("group"),
+            F.col("__n"),
+            F.explode(F.array(*parts)).alias("p"),
+        )
+        .select(
+            "group",
+            "p.rule",
+            "p.column",
+            "p.violations",
+            F.col("__n").cast("long").alias("n_rows"),
+            "p.threshold",
+        )
+        .select(
+            "group",
+            "rule",
+            "column",
+            "violations",
+            "n_rows",
+            frac.alias("observed_frac"),
+            "threshold",
+            F.when(
+                F.col("violations").cast("double")
+                <= F.col("threshold")
+                * F.greatest(F.col("n_rows"), F.lit(1)).cast("double"),
+                F.lit("pass"),
+            )
+            .otherwise(F.lit("fail"))
+            .alias("status"),
+        )
+        .orderBy("group", "rule")
     )
 
 

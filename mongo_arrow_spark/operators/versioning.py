@@ -123,6 +123,7 @@ def write_version(
     id_col: str = "doc_id",
     checkpoint: bool = False,
     expect: list[dict] | None = None,
+    max_row_delta_frac: float | None = None,
 ) -> dict:
     """Commit ``df`` as the next corpus version. The first version (and
     any ``checkpoint=True`` release) writes the full frame; every other
@@ -143,7 +144,15 @@ def write_version(
     contract never becomes visible (no payloads, no meta; the store is
     untouched, same crash-safety contract as the atomic meta commit).
     Raises :class:`expectations.ExpectationError` with the full report
-    on failure."""
+    on failure.
+
+    ``max_row_delta_frac`` (r10): refuse the release when its row count
+    moved more than this fraction from the previous version's — the
+    "a broken upstream filter silently dropped 40 % of the corpus"
+    guard. Drift is judged against the PREVIOUS meta's ``n_rows``
+    (driver-sized state, no extra scan of history); the incoming frame
+    pays one count. No-op on the first version (nothing to drift
+    from)."""
     if expect:
         from mongo_arrow_spark.operators.expectations import (
             validate_or_raise,
@@ -151,6 +160,16 @@ def write_version(
 
         validate_or_raise(df, expect)
     versions = list_versions(path)
+    if max_row_delta_frac is not None and versions:
+        n_prev = versions[-1]["n_rows"]
+        n_new = df.count()
+        if abs(n_new - n_prev) > float(max_row_delta_frac) * n_prev:
+            raise ValueError(
+                f"release row count {n_new} drifted more than "
+                f"{max_row_delta_frac:.0%} from v{versions[-1]['version']}"
+                f"'s {n_prev} — refusing to commit; pass a larger "
+                "max_row_delta_frac (or None) if the move is intended"
+            )
     cols = payload_cols or [c for c in df.columns if c != id_col]
     if not cols or id_col in cols:
         raise ValueError("payload_cols must be non-empty and exclude id_col")

@@ -882,6 +882,62 @@ def q_contract_check(spark, sf_dir):
 
 
 @query(
+    "contract_by_group",
+    """
+    WITH g AS (
+      SELECT COALESCE(CAST(lang AS VARCHAR), 'NULL') AS grp,
+        COUNT(*)::BIGINT AS n,
+        COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+            0)::BIGINT AS v_nn,
+        COALESCE(SUM(CASE WHEN n_chars IS NOT NULL
+            AND (n_chars < 1 OR n_chars > 500) THEN 1 ELSE 0 END),
+            0)::BIGINT AS v_rng,
+        (COALESCE(SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+            - COUNT(DISTINCT doc_id))::BIGINT AS v_unq
+      FROM documents GROUP BY lang
+    ), rules AS (
+      SELECT grp, 'in_range:n_chars' AS rule, 'n_chars' AS "column",
+             v_rng AS violations, n, 0.1::DOUBLE AS threshold FROM g
+      UNION ALL SELECT grp, 'not_null:text', 'text', v_nn, n,
+             0.0::DOUBLE FROM g
+      UNION ALL SELECT grp, 'row_count', '*',
+             (CASE WHEN n < 20 THEN 20 - n ELSE 0 END)::BIGINT, n,
+             0.0::DOUBLE FROM g
+      UNION ALL SELECT grp, 'unique:doc_id', 'doc_id', v_unq, n,
+             0.0::DOUBLE FROM g
+    )
+    SELECT grp AS "group", rule, "column", violations, n AS n_rows,
+           violations::DOUBLE / GREATEST(n, 1)::DOUBLE AS observed_frac,
+           threshold,
+           CASE WHEN violations::DOUBLE
+                  <= threshold * GREATEST(n, 1)::DOUBLE
+                THEN 'pass' ELSE 'fail' END AS status
+    FROM rules ORDER BY "group", rule
+    """,
+)
+def q_contract_by_group(spark, sf_dir):
+    """Per-group data contract (r10): the same expectations machinery
+    verified PER LANGUAGE — payload non-null, length range, a minimum
+    per-language document count, and within-group key uniqueness —
+    still one groupBy aggregation over one scan (report rows = groups ×
+    rules). The per-domain release gate: "no language may ship with
+    fewer than N documents"."""
+    from mongo_arrow_spark.operators import expectations as E
+
+    docs = _t(spark, sf_dir, "documents")
+    return E.check(
+        docs,
+        [
+            E.not_null("text"),
+            E.in_range("n_chars", 1, 500, max_violation_frac=0.1),
+            E.row_count(min_rows=20),
+            E.unique("doc_id"),
+        ],
+        by=["lang"],
+    )
+
+
+@query(
     "profile_numeric",
     """
     SELECT 'l_quantity' AS column,

@@ -152,6 +152,60 @@ def test_empty_rules_and_unknown_kind_raise(spark):
         E.accepted_values("x", [])
 
 
+def test_check_by_group_contract(spark):
+    rep = E.check(
+        _df(spark),
+        [E.not_null("text"), E.row_count(min_rows=2), E.unique("doc_id")],
+        by=["lang"],
+    )
+    assert tuple(rep.columns) == ("group",) + E.REPORT_COLUMNS
+    rows = {(r["group"], r["rule"]): r.asDict() for r in rep.collect()}
+    # 3 groups (en, de, xx) × 3 rules
+    assert len(rows) == 9
+    # the NULL text row is in de
+    assert rows[("de", "not_null:text")]["violations"] == 1
+    assert rows[("en", "not_null:text")]["violations"] == 0
+    # xx has 1 row < min_rows=2
+    assert rows[("xx", "row_count")]["violations"] == 1
+    assert rows[("xx", "row_count")]["status"] == "fail"
+    # doc_id 4 appears once in en and once in xx -> unique PER GROUP
+    assert rows[("en", "unique:doc_id")]["violations"] == 0
+    # ordering: group then rule
+    ordered = [(r["group"], r["rule"]) for r in rep.collect()]
+    assert ordered == sorted(ordered)
+
+
+def test_check_by_rejects_referential_and_stringifies_null_group(spark):
+    ref = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        E.check(_df(spark), [E.referential("doc_id", ref, "id")], by=["lang"])
+    df = spark.createDataFrame(
+        [(1, None), (2, "en")], "doc_id long, lang string"
+    )
+    rep = E.check(df, [E.not_null("doc_id")], by=["lang"])
+    assert {r["group"] for r in rep.collect()} == {"NULL", "en"}
+
+
+def test_write_version_row_delta_guard(spark, tmp_path):
+    p = str(tmp_path / "corpus")
+    v1 = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    V.write_version(v1, p)
+    shrunk = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(4)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="drifted"):
+        V.write_version(shrunk, p, max_row_delta_frac=0.2)
+    assert [m["version"] for m in V.list_versions(p)] == [1]
+    # within the band commits; first version never drifts
+    ok = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(9)], "doc_id long, text string"
+    )
+    V.write_version(ok, p, max_row_delta_frac=0.2)
+    assert [m["version"] for m in V.list_versions(p)] == [1, 2]
+
+
 def test_write_version_expect_gate_blocks_commit(spark, tmp_path):
     p = str(tmp_path / "corpus")
     good = spark.createDataFrame(
