@@ -9,6 +9,9 @@
    (a takedown, a re-crawl, a dedup re-run) as a digest-diff DELTA,
    time-travel back to any release, and audit what changed between two
    releases with the snapshot-diff report.
+3. **Gated releases (r10)**: every commit runs a declarative data
+   contract (expectations) plus a row-drift band — a release that
+   fails its contract or silently lost rows never becomes visible.
 
 Run: python examples/storage_tour.py [sf_dir]
 """
@@ -21,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from mongo_arrow_spark.operators import expectations as E
 from mongo_arrow_spark.operators import layout, versioning
 from mongo_arrow_spark.session import get_spark, load_tables
 
@@ -51,15 +55,35 @@ def main() -> None:
     )
 
     # 2. versioned releases: v1 full, v2 = takedown + edits (delta only)
+    # — every commit behind the same release contract + a ±20 % row band
+    contract = [
+        E.not_null("doc_id"),
+        E.unique("doc_id"),
+        E.not_null("text"),
+        E.row_count(min_rows=1),
+    ]
     vpath = f"{out}/versions"
-    m1 = versioning.write_version(docs, vpath)
+    m1 = versioning.write_version(docs, vpath, expect=contract)
     v2 = docs.filter(F.col("doc_id") % 97 != 0).withColumn(
         "text",
         F.when(
             F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" [edited]"))
         ).otherwise(F.col("text")),
     )
-    m2 = versioning.write_version(v2, vpath)
+    m2 = versioning.write_version(
+        v2, vpath, expect=contract, max_row_delta_frac=0.2
+    )
+    # a contract-violating release (NULL payloads) is refused, store
+    # untouched — this is the gate, not a post-hoc report
+    try:
+        versioning.write_version(
+            v2.withColumn("text", F.lit(None).cast("string")),
+            vpath,
+            expect=contract,
+        )
+        raise AssertionError("gate should have refused the release")
+    except E.ExpectationError as ex:
+        print(f"gate refused a bad release: {str(ex)[:72]}…")
     print(
         f"releases: v1 full={m1['n_rows']} rows; "
         f"v2 delta added={m2['added']} removed={m2['removed']} "
