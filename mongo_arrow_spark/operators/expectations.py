@@ -47,6 +47,7 @@ __all__ = [
     "referential",
     "row_count",
     "satisfies",
+    "suggest_rules",
     "unique",
     "validate_or_raise",
 ]
@@ -457,6 +458,98 @@ def _check_by(df: DataFrame, rules: list[dict], by: list[str]) -> DataFrame:
         )
         .orderBy("group", "rule")
     )
+
+
+def suggest_rules(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_vocab: int = 32,
+) -> list[dict]:
+    """Bootstrap a contract from the data (Deequ's constraint
+    suggestion): ONE profiling aggregation over one scan proposes
+
+    - ``not_null(col)`` for every column observed NULL-free,
+    - ``unique(col)`` where the exact distinct count equals the
+      non-null count (single-column keys),
+    - ``in_range(col, min, max)`` for numeric columns (observed
+      bounds, inclusive),
+    - ``accepted_values(col, vocab)`` for string columns whose exact
+      distinct count is ≤ ``max_vocab`` (vocabulary collected in the
+      same pass via ``collect_set`` — bounded by the same cap),
+    - ``row_count(min_rows=1)`` always.
+
+    Exact-distinct aggregates (not sketches) so a suggested rule is
+    TRUE on the profiled frame by construction — `check(df,
+    suggest_rules(df))` passes, and the suggestions are a starting
+    point to tighten by hand, the other way around from a learned
+    validator. Driver state is bounded: one report row per column plus
+    ≤ ``max_vocab`` values for small vocabularies."""
+    import pyspark.sql.types as T
+
+    names = columns or [
+        f.name
+        for f in df.schema.fields
+        if not isinstance(
+            f.dataType, (T.StructType, T.ArrayType, T.MapType)
+        )
+    ]
+    if not names:
+        raise ValueError("no suggestible columns")
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(
+            f.dataType,
+            (
+                T.IntegerType,
+                T.LongType,
+                T.ShortType,
+                T.DoubleType,
+                T.FloatType,
+                T.DecimalType,
+            ),
+        )
+    }
+    string = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+    }
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in names:
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nn_{c}"),
+            F.count_distinct(col).cast("long").alias(f"__nd_{c}"),
+        ]
+        if c in numeric:
+            aggs += [
+                F.min(col).alias(f"__mn_{c}"),
+                F.max(col).alias(f"__mx_{c}"),
+            ]
+        if c in string:
+            # bounded: only kept when the exact distinct count is small
+            aggs.append(
+                F.slice(
+                    F.sort_array(F.collect_set(col)), 1, max_vocab + 1
+                ).alias(f"__vs_{c}")
+            )
+    row = df.agg(*aggs).collect()[0]
+    n = row["__n"]
+    rules: list[dict] = [row_count(min_rows=1)]
+    for c in names:
+        nn, nd = row[f"__nn_{c}"], row[f"__nd_{c}"]
+        if nn == 0 and n > 0:
+            rules.append(not_null(c))
+        if n > 0 and nd == n - nn and nd > 0:
+            rules.append(unique(c))
+        if c in numeric and row[f"__mn_{c}"] is not None:
+            rules.append(in_range(c, row[f"__mn_{c}"], row[f"__mx_{c}"]))
+        if c in string and 0 < nd <= max_vocab:
+            rules.append(accepted_values(c, list(row[f"__vs_{c}"])))
+    return rules
 
 
 def validate_or_raise(df: DataFrame, rules: list[dict]) -> list[dict]:

@@ -48,6 +48,29 @@ def _vdir(path: str, v: int) -> str:
     return os.path.join(path, f"v={v}")
 
 
+def _write_contract(vdir: str, report: list[dict] | None) -> None:
+    """Persist the verified contract report next to the version's data
+    (r10) — the audit trail of WHAT was checked when the release
+    shipped. Written before ``_meta.json``: an uncommitted directory is
+    invisible, so no atomicity dance is needed here; visibility stays
+    meta-gated."""
+    if not report:
+        return
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "_contract.json"), "w") as fh:
+        json.dump(report, fh)
+
+
+def contract_report(path: str, version: int) -> list[dict] | None:
+    """The contract report recorded with a committed release, or
+    ``None`` when the release shipped ungated."""
+    p = os.path.join(_vdir(path, version), "_contract.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
 def _commit_meta(vdir: str, meta: dict) -> None:
     """Atomically (re)place ``vdir/_meta.json``. The meta file's
     existence IS commit visibility, so it must never be observable
@@ -144,7 +167,9 @@ def write_version(
     contract never becomes visible (no payloads, no meta; the store is
     untouched, same crash-safety contract as the atomic meta commit).
     Raises :class:`expectations.ExpectationError` with the full report
-    on failure.
+    on failure. The verified report is recorded with the release
+    (``_contract.json``, readable via :func:`contract_report`) — the
+    audit trail of what was checked when the version shipped.
 
     ``max_row_delta_frac`` (r10): refuse the release when its row count
     moved more than this fraction from the previous version's — the
@@ -153,12 +178,13 @@ def write_version(
     (driver-sized state, no extra scan of history); the incoming frame
     pays one count. No-op on the first version (nothing to drift
     from)."""
+    report = None
     if expect:
         from mongo_arrow_spark.operators.expectations import (
             validate_or_raise,
         )
 
-        validate_or_raise(df, expect)
+        report = validate_or_raise(df, expect)
     versions = list_versions(path)
     if max_row_delta_frac is not None and versions:
         n_prev = versions[-1]["n_rows"]
@@ -227,6 +253,7 @@ def write_version(
         meta.update(
             {"n_rows": cur.count(), "added": n_add, "removed": n_rem}
         )
+    _write_contract(vdir, report)
     _commit_meta(vdir, meta)
     return {**meta, "version": v}
 
@@ -378,17 +405,20 @@ def append_version(
     store; a batch that fails never commits). Note the contract is
     per-batch here — table-level rules like ``unique`` gate the batch's
     own keys (cross-batch id resolution is the upsert semantics), and
-    ``row_count`` bounds the batch size."""
+    ``row_count`` bounds the batch size. The verified per-batch report
+    is recorded with the committed version (``_contract.json``)."""
+    versions = list_versions(path)
+    if not versions:
+        # first commit: the increment IS the corpus — write_version
+        # runs (and records) the contract itself
+        return write_version(df, path, payload_cols, id_col, expect=expect)
+    report = None
     if expect:
         from mongo_arrow_spark.operators.expectations import (
             validate_or_raise,
         )
 
-        validate_or_raise(df, expect)
-    versions = list_versions(path)
-    if not versions:
-        # first commit: the increment IS the corpus
-        return write_version(df, path, payload_cols, id_col)
+        report = validate_or_raise(df, expect)
     cols = payload_cols or versions[-1]["payload_cols"]
     if versions[-1]["payload_cols"] != cols:
         raise ValueError(
@@ -451,6 +481,7 @@ def append_version(
         "added": n_add,
         "removed": n_rem,
     }
+    _write_contract(vdir, report)
     _commit_meta(vdir, meta)
     return {**meta, "version": v}
 

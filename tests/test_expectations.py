@@ -206,6 +206,69 @@ def test_write_version_row_delta_guard(spark, tmp_path):
     assert [m["version"] for m in V.list_versions(p)] == [1, 2]
 
 
+def test_suggest_rules_bootstrap_passes_on_profiled_frame(spark):
+    df = spark.createDataFrame(
+        [(1, "en", 10.5), (2, "de", -2.0), (3, "en", 7.25)],
+        "doc_id long, lang string, score double",
+    )
+    rules = E.suggest_rules(df)
+    kinds = {(r["kind"], r.get("column") or ",".join(r.get("columns", [])))
+             for r in rules}
+    # NULL-free columns -> not_null; doc_id unique; numeric ranges;
+    # small string vocab -> accepted_values; row_count always
+    assert ("not_null", "doc_id") in kinds
+    assert ("unique", "doc_id") in kinds
+    assert ("in_range", "score") in kinds
+    assert ("accepted_values", "lang") in kinds
+    assert ("row_count", "") in kinds
+    # suggestions hold on the frame they were profiled from
+    rep = E.check(df, rules)
+    assert all(r["status"] == "pass" for r in rep.collect())
+    # observed bounds are what in_range carries
+    rng = next(
+        r
+        for r in rules
+        if r["kind"] == "in_range" and r["column"] == "score"
+    )
+    assert (rng["min_value"], rng["max_value"]) == (-2.0, 10.5)
+
+
+def test_suggest_rules_respects_nulls_and_vocab_cap(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "b"), (2, "c")], "id long, s string"
+    )
+    rules = E.suggest_rules(df, max_vocab=1)
+    kinds = {(r["kind"], r.get("column")) for r in rules}
+    assert ("not_null", "s") not in kinds  # s has a NULL
+    assert ("unique", "id") not in kinds  # id repeats
+    assert ("accepted_values", "s") not in kinds  # vocab 2 > cap 1
+    assert ("not_null", "id") in kinds
+
+
+def test_contract_report_recorded_with_release(spark, tmp_path):
+    p = str(tmp_path / "corpus")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    contract = [E.not_null("doc_id"), E.unique("doc_id")]
+    V.write_version(v1, p, expect=contract)
+    rep = V.contract_report(p, 1)
+    assert rep is not None and len(rep) == 2
+    assert all(r["status"] == "pass" for r in rep)
+    # ungated release records nothing
+    V.write_version(
+        spark.createDataFrame([(1, "a")], "doc_id long, text string"), p
+    )
+    assert V.contract_report(p, 2) is None
+    # append path records too
+    V.append_version(
+        spark.createDataFrame([(9, "z")], "doc_id long, text string"),
+        p,
+        expect=contract,
+    )
+    assert V.contract_report(p, 3) is not None
+
+
 def test_write_version_expect_gate_blocks_commit(spark, tmp_path):
     p = str(tmp_path / "corpus")
     good = spark.createDataFrame(
