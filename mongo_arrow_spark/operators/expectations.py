@@ -16,7 +16,7 @@ when the reference side is a dimension). The report itself is
 constant-width (one row per rule) — never driver-side per-row state.
 
 The report is EXACT (counts, not sketches) and SQL-replayable: the
-battery entry ``contract_check`` hash-grades a seven-rule contract on
+battery entry ``contract_check`` hash-grades a nine-rule contract on
 the documents table against a DuckDB oracle computing the identical
 aggregates.
 
@@ -227,7 +227,10 @@ def _viol_agg(r: dict):
 
 
 def check(
-    df: DataFrame, rules: list[dict], by: list[str] | None = None
+    df: DataFrame,
+    rules: list[dict],
+    by: list[str] | None = None,
+    expected_groups: list | None = None,
 ) -> DataFrame:
     """Verify every rule; returns the constant-width report
     ``(rule, column, violations, n_rows, observed_frac, threshold,
@@ -245,11 +248,22 @@ def check(
     ``group`` column (``/``-joined stringified key, NULLs spelled
     ``NULL``). ``row_count`` bounds each group's size and ``unique``
     counts within-group duplicates; ``referential`` is table-level and
-    raises under ``by``."""
+    raises under ``by``.
+
+    Groups are derived FROM THE DATA, so a group with zero rows
+    produces no report row at all — the most severe form of the
+    shrinkage ``row_count`` guards against is invisible unless the
+    caller declares the roster: pass ``expected_groups`` (values for a
+    single ``by`` column, tuples for several) and every declared group
+    absent from the data gets synthesized report rows with
+    ``n_rows=0`` — its ``row_count(min_rows=N)`` fails with N
+    violations, while purely row-level rules pass vacuously."""
     if not rules:
         raise ValueError("no rules")
     if by:
-        return _check_by(df, rules, list(by))
+        return _check_by(df, rules, list(by), expected_groups)
+    if expected_groups is not None:
+        raise ValueError("expected_groups requires by=")
     seen: dict = {}
     named = [(_rule_name(r, seen), r) for r in rules]
 
@@ -363,9 +377,24 @@ def check(
     )
 
 
-def _check_by(df: DataFrame, rules: list[dict], by: list[str]) -> DataFrame:
+def _group_str(g) -> str:
+    """The stringified group key — must mirror the concat_ws('/',
+    coalesce(cast, 'NULL')) expression the grouped report uses."""
+    vals = g if isinstance(g, (tuple, list)) else (g,)
+    return "/".join("NULL" if v is None else str(v) for v in vals)
+
+
+def _check_by(
+    df: DataFrame,
+    rules: list[dict],
+    by: list[str],
+    expected_groups: list | None = None,
+) -> DataFrame:
     """The grouped body of :func:`check` — same rule compilation, one
-    groupBy aggregation, report keyed by the stringified group."""
+    groupBy aggregation, report keyed by the stringified group.
+    Declared-but-absent groups (``expected_groups``) are synthesized
+    with ``n_rows=0`` via a lazy anti-join — no extra scan of the
+    data, no driver-side inspection of which groups exist."""
     seen: dict = {}
     named = [(_rule_name(r, seen), r) for r in rules]
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
@@ -422,42 +451,58 @@ def _check_by(df: DataFrame, rules: list[dict], by: list[str]) -> DataFrame:
                 F.lit(0.0).alias("threshold"),
             )
         )
+    base = row.select(
+        grp.alias("group"),
+        F.col("__n"),
+        F.explode(F.array(*parts)).alias("p"),
+    ).select(
+        "group",
+        "p.rule",
+        "p.column",
+        "p.violations",
+        F.col("__n").cast("long").alias("n_rows"),
+        "p.threshold",
+    )
+    if expected_groups is not None:
+        spark = df.sparkSession
+        strs = sorted({_group_str(g) for g in expected_groups})
+        exp_df = spark.createDataFrame([(s,) for s in strs], "group string")
+        missing = exp_df.join(
+            base.select("group").distinct(), "group", "left_anti"
+        )
+        tmpl = [
+            (name, col_label, 0, 0, float(thr))
+            for name, col_label, thr, _ in metas
+        ] + [
+            (name, "*", int(r["min_rows"]), 0, 0.0) for name, r in post
+        ]
+        tmpl_df = spark.createDataFrame(
+            tmpl,
+            "rule string, column string, violations long,"
+            " n_rows long, threshold double",
+        )
+        # bounded cross: (missing declared groups) × (rules)
+        base = base.unionByName(missing.crossJoin(tmpl_df))
     frac = F.col("violations").cast("double") / F.greatest(
         F.col("n_rows"), F.lit(1)
     ).cast("double")
-    return (
-        row.select(
-            grp.alias("group"),
-            F.col("__n"),
-            F.explode(F.array(*parts)).alias("p"),
+    return base.select(
+        "group",
+        "rule",
+        "column",
+        "violations",
+        "n_rows",
+        frac.alias("observed_frac"),
+        "threshold",
+        F.when(
+            F.col("violations").cast("double")
+            <= F.col("threshold")
+            * F.greatest(F.col("n_rows"), F.lit(1)).cast("double"),
+            F.lit("pass"),
         )
-        .select(
-            "group",
-            "p.rule",
-            "p.column",
-            "p.violations",
-            F.col("__n").cast("long").alias("n_rows"),
-            "p.threshold",
-        )
-        .select(
-            "group",
-            "rule",
-            "column",
-            "violations",
-            "n_rows",
-            frac.alias("observed_frac"),
-            "threshold",
-            F.when(
-                F.col("violations").cast("double")
-                <= F.col("threshold")
-                * F.greatest(F.col("n_rows"), F.lit(1)).cast("double"),
-                F.lit("pass"),
-            )
-            .otherwise(F.lit("fail"))
-            .alias("status"),
-        )
-        .orderBy("group", "rule")
-    )
+        .otherwise(F.lit("fail"))
+        .alias("status"),
+    ).orderBy("group", "rule")
 
 
 def suggest_rules(
@@ -482,8 +527,13 @@ def suggest_rules(
     TRUE on the profiled frame by construction — `check(df,
     suggest_rules(df))` passes, and the suggestions are a starting
     point to tighten by hand, the other way around from a learned
-    validator. Driver state is bounded: one report row per column plus
-    ≤ ``max_vocab`` values for small vocabularies."""
+    validator. Two passes: the profiling aggregation first, then a
+    vocabulary aggregation restricted to the string columns the first
+    pass PROVED small (≤ ``max_vocab`` exact distinct) — collecting a
+    set for every string column up front would buffer the full
+    distinct payload of wide text columns in executor memory. State
+    everywhere is bounded: one report row per column, ≤ ``max_vocab``
+    values per collected vocabulary."""
     import pyspark.sql.types as T
 
     names = columns or [
@@ -529,15 +579,24 @@ def suggest_rules(
                 F.min(col).alias(f"__mn_{c}"),
                 F.max(col).alias(f"__mx_{c}"),
             ]
-        if c in string:
-            # bounded: only kept when the exact distinct count is small
-            aggs.append(
-                F.slice(
-                    F.sort_array(F.collect_set(col)), 1, max_vocab + 1
-                ).alias(f"__vs_{c}")
-            )
     row = df.agg(*aggs).collect()[0]
     n = row["__n"]
+    vocab_cols = [
+        c
+        for c in names
+        if c in string and 0 < row[f"__nd_{c}"] <= max_vocab
+    ]
+    vocabs = {}
+    if vocab_cols:
+        # second pass, restricted to columns the first pass proved
+        # small — the collect_set buffers are ≤ max_vocab values each
+        vrow = df.agg(
+            *[
+                F.sort_array(F.collect_set(F.col(c))).alias(f"__vs_{c}")
+                for c in vocab_cols
+            ]
+        ).collect()[0]
+        vocabs = {c: list(vrow[f"__vs_{c}"]) for c in vocab_cols}
     rules: list[dict] = [row_count(min_rows=1)]
     for c in names:
         nn, nd = row[f"__nn_{c}"], row[f"__nd_{c}"]
@@ -547,8 +606,8 @@ def suggest_rules(
             rules.append(unique(c))
         if c in numeric and row[f"__mn_{c}"] is not None:
             rules.append(in_range(c, row[f"__mn_{c}"], row[f"__mx_{c}"]))
-        if c in string and 0 < nd <= max_vocab:
-            rules.append(accepted_values(c, list(row[f"__vs_{c}"])))
+        if c in vocabs:
+            rules.append(accepted_values(c, vocabs[c]))
     return rules
 
 

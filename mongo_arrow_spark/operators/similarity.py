@@ -1288,6 +1288,16 @@ def hard_negatives_ivf(
     # re-pays the bounded driver fit each call unless the caller passes
     # the fit back in (fit once via fit_ivf_centroids/_fit_ivf_from_df,
     # mine many). n_clusters/seed are ignored when centroids is given.
+    # A dim mismatch would NULL every distance via zip_with padding and
+    # surface as an unrelated int(None) crash (or a silent empty
+    # result) — reject it here instead.
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    bad_dim = [len(c) for c in centroids if len(c) != dim]
+    if bad_dim:
+        raise ValueError(
+            f"centroid dims {sorted(set(bad_dim))} != dim={dim}"
+        )
     n_probe = min(max(1, n_probe), len(centroids))
 
     corpus_side = (

@@ -54,10 +54,18 @@ def _write_contract(vdir: str, report: list[dict] | None) -> None:
     shipped. Written before ``_meta.json``: an uncommitted directory is
     invisible, so no atomicity dance is needed here; visibility stays
     meta-gated."""
+    p = os.path.join(vdir, "_contract.json")
     if not report:
+        # an UNGATED commit must not inherit a contract file orphaned
+        # by a crashed earlier gated attempt at the same version number
+        # (payload dirs are overwritten on retry; this must be too, or
+        # contract_report would attribute the stale report to data it
+        # never checked)
+        if os.path.exists(p):
+            os.remove(p)
         return
     os.makedirs(vdir, exist_ok=True)
-    with open(os.path.join(vdir, "_contract.json"), "w") as fh:
+    with open(p, "w") as fh:
         json.dump(report, fh)
 
 
@@ -176,8 +184,10 @@ def write_version(
     "a broken upstream filter silently dropped 40 % of the corpus"
     guard. Drift is judged against the PREVIOUS meta's ``n_rows``
     (driver-sized state, no extra scan of history); the incoming frame
-    pays one count. No-op on the first version (nothing to drift
-    from)."""
+    pays one count — reused from the contract report when ``expect``
+    also ran, so the two gates together still scan once. No-op on the
+    first version and on an empty previous version (nothing meaningful
+    to drift from)."""
     report = None
     if expect:
         from mongo_arrow_spark.operators.expectations import (
@@ -186,9 +196,18 @@ def write_version(
 
         report = validate_or_raise(df, expect)
     versions = list_versions(path)
-    if max_row_delta_frac is not None and versions:
+    # n_prev == 0 is skipped like the first version: every non-empty
+    # release is infinite relative drift from an empty one, and no
+    # finite band could admit it — there is nothing meaningful to
+    # drift FROM. When a contract ran, its report already carries the
+    # exact row count — reuse it instead of a second full scan.
+    if (
+        max_row_delta_frac is not None
+        and versions
+        and versions[-1]["n_rows"] > 0
+    ):
         n_prev = versions[-1]["n_rows"]
-        n_new = df.count()
+        n_new = report[0]["n_rows"] if report else df.count()
         if abs(n_new - n_prev) > float(max_row_delta_frac) * n_prev:
             raise ValueError(
                 f"release row count {n_new} drifted more than "

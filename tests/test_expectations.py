@@ -206,6 +206,66 @@ def test_write_version_row_delta_guard(spark, tmp_path):
     assert [m["version"] for m in V.list_versions(p)] == [1, 2]
 
 
+def test_check_by_expected_groups_flags_vanished_group(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b"), (3, "fr", "c")],
+        "doc_id long, lang string, text string",
+    )
+    rep = E.check(
+        df,
+        [E.row_count(min_rows=2), E.not_null("text")],
+        by=["lang"],
+        expected_groups=["en", "fr", "de"],
+    )
+    rows = {(r["group"], r["rule"]): r.asDict() for r in rep.collect()}
+    # de vanished entirely: synthesized with n_rows=0, row_count fails
+    de = rows[("de", "row_count")]
+    assert (de["n_rows"], de["violations"], de["status"]) == (0, 2, "fail")
+    # row-level rules pass vacuously on the empty group
+    assert rows[("de", "not_null:text")]["status"] == "pass"
+    # present groups unaffected; fr has 1 < 2 rows
+    assert rows[("fr", "row_count")]["status"] == "fail"
+    assert rows[("en", "row_count")]["status"] == "pass"
+    with pytest.raises(ValueError):
+        E.check(df, [E.not_null("text")], expected_groups=["en"])
+
+
+def test_hard_negatives_ivf_rejects_bad_centroids(spark):
+    from mongo_arrow_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 4, "a"), (2, [1.0] * 4, "b")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    with pytest.raises(ValueError, match="dim"):
+        S.hard_negatives_ivf(emb, emb, dim=4, centroids=[[0.0] * 8])
+    with pytest.raises(ValueError, match="non-empty"):
+        S.hard_negatives_ivf(emb, emb, dim=4, centroids=[])
+
+
+def test_ungated_retry_clears_orphaned_contract(spark, tmp_path):
+    import os
+
+    p = str(tmp_path / "corpus")
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    # simulate a crashed gated attempt: contract written, meta never
+    vdir = os.path.join(p, "v=1")
+    os.makedirs(vdir)
+    with open(os.path.join(vdir, "_contract.json"), "w") as fh:
+        fh.write("[]")
+    V.write_version(df, p)  # ungated commit of the same version number
+    assert V.contract_report(p, 1) is None
+
+
+def test_drift_guard_skips_empty_previous(spark, tmp_path):
+    p = str(tmp_path / "corpus")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    V.write_version(empty, p)
+    ok = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    V.write_version(ok, p, max_row_delta_frac=0.1)  # must not raise
+    assert V.read_version(spark, p).count() == 1
+
+
 def test_suggest_rules_bootstrap_passes_on_profiled_frame(spark):
     df = spark.createDataFrame(
         [(1, "en", 10.5), (2, "de", -2.0), (3, "en", 7.25)],
