@@ -403,6 +403,11 @@ _DEMOTED = [
     # groupBy aggregation (the shape every graded agg entry pins),
     # exact per-group oracle in tests/test_battery.py.
     "contract_by_group",
+    # r10: numeric PSI drift parks with its graded lexical sibling
+    # corpus_diff/corpus_drift family — two bounded groupBy(bucket)
+    # counts + a ≤ n_buckets full-outer join; integer-exact bucket
+    # oracle in tests/test_battery.py.
+    "drift_numeric",
     # r10: streaming release commits park by construction — the
     # foreachBatch append path over the GRADED corpus_time_travel
     # store machinery (stream==batch parity additionally pinned in

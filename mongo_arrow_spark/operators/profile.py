@@ -345,6 +345,144 @@ def corpus_card(
     return agg.crossJoin(langs)
 
 
+def numeric_drift(
+    left: DataFrame,
+    right: DataFrame,
+    column: str,
+    n_buckets: int = 16,
+    bounds: tuple | None = None,
+) -> DataFrame:
+    """Population-stability report for a numeric column between two
+    corpora (a release and its successor, a fresh crawl vs the standing
+    corpus): a fixed-width histogram over SHARED bounds, per-bucket
+    fractions on both sides, and each bucket's PSI contribution —
+    ``sum(psi_term)`` is the population stability index (the industry
+    screen: ≳0.1 moderate shift, ≳0.2 major). The numeric sibling of
+    ``text.corpus_drift`` (lexical JS): catches a crawl whose document
+    LENGTHS or quality scores moved even when its vocabulary did not.
+
+    Bucketing is INTEGER-exact for integral columns — ``bucket =
+    clamp(((x - lo) * n) div (hi - lo + 1), 0, n-1)`` in pure int64
+    arithmetic, so the per-bucket counts (and the exact fractions built
+    from them) are engine-portable and hash-gradeable; fractional
+    columns use ``floor((x - lo) · n / (hi - lo))`` in double math
+    (``x == hi`` clamps into the last bucket; float-boundary rows are
+    the usual cross-engine hazard). NULLs are excluded on both sides
+    (``not_null`` is the expectations tier's business). ``bounds``
+    overrides the shared ``(lo, hi)``; by default they come from one
+    bounded min/max aggregate over each side.
+
+    PSI term: ``(frac_right - frac_left) * ln((frac_right + ε) /
+    (frac_left + ε))``, ε = 1e-6 — the standard smoothed form, ≥ 0,
+    finite on empty buckets.
+
+    Plan at 100 TB: one min/max agg per side (1-row, broadcast back as
+    the shared bounds — the repo's 1-row stats-frame crossJoin
+    pattern), one groupBy(bucket) count per side (map-side partial,
+    ≤ n_buckets rows shuffle), a full-outer join on the bucket id and
+    a broadcast of the two 1-row totals. Payloads never shuffle."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    c = F.col(column)
+    sides = []
+    for tag, df in (("left", left), ("right", right)):
+        sides.append(df.filter(c.isNotNull()).select(c.alias("__x")))
+    if bounds is not None:
+        lo_lit, hi_lit = bounds
+        bframe = None
+    else:
+        mm = [
+            s.agg(
+                F.min("__x").alias(f"__lo_{i}"),
+                F.max("__x").alias(f"__hi_{i}"),
+            )
+            for i, s in enumerate(sides)
+        ]
+        bframe = (
+            mm[0]
+            .join(mm[1])  # 1×1 rows
+            .select(
+                F.least("__lo_0", "__lo_1").alias("__lo"),
+                F.greatest("__hi_0", "__hi_1").alias("__hi"),
+            )
+        )
+    integral = isinstance(
+        left.schema[column].dataType,
+        (T.LongType, T.IntegerType, T.ShortType),
+    )
+    hists = []
+    for i, s in enumerate(sides):
+        if bframe is not None:
+            s = s.join(F.broadcast(bframe))  # 1-row stats frame
+        else:
+            s = s.withColumns(
+                {"__lo": F.lit(lo_lit), "__hi": F.lit(hi_lit)}
+            )
+        if integral:
+            # pure int64 arithmetic (`div`, not `/` — Spark's `/` on
+            # longs is DOUBLE division): engine-portable, hash-exact.
+            # span = hi-lo+1 covers the inclusive integer range, so
+            # raw < n_buckets without clamping; the clamp only guards
+            # caller-supplied bounds narrower than the data
+            raw = F.expr(
+                f"((__x - __lo) * {int(n_buckets)})"
+                " div (__hi - __lo + 1)"
+            )
+        else:
+            span = F.col("__hi").cast("double") - F.col("__lo").cast(
+                "double"
+            )
+            raw = F.when(span > 0, F.floor(
+                (F.col("__x").cast("double") - F.col("__lo"))
+                * F.lit(n_buckets)
+                / span
+            )).otherwise(F.lit(0))
+        bucket = F.least(
+            F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)
+        ).cast("int")
+        hists.append(
+            s.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"n_{i}"))
+        )
+    from pyspark.sql import Window
+
+    j = (
+        hists[0]
+        .join(hists[1], "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_0", F.lit(0)).cast("long").alias("n_left"),
+            F.coalesce("n_1", F.lit(0)).cast("long").alias("n_right"),
+        )
+    )
+    # totals via a whole-frame window over the JOINED histogram —
+    # ≤ n_buckets rows, so the single-partition window is bounded and
+    # each input side is scanned exactly once (a separate total agg
+    # would re-run the scan feeding the histogram)
+    w = Window.partitionBy()
+    fl = F.col("n_left").cast("double") / F.greatest(
+        F.sum("n_left").over(w), F.lit(1)
+    ).cast("double")
+    fr = F.col("n_right").cast("double") / F.greatest(
+        F.sum("n_right").over(w), F.lit(1)
+    ).cast("double")
+    eps = F.lit(1e-6)
+    return (
+        j.select(
+            "bucket",
+            "n_left",
+            "n_right",
+            fl.alias("frac_left"),
+            fr.alias("frac_right"),
+            ((fr - fl) * F.log((fr + eps) / (fl + eps))).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

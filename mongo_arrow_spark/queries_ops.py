@@ -638,6 +638,69 @@ def q_cluster_safe_split(spark, sf_dir):
 
 
 @query(
+    "drift_numeric",
+    """
+    WITH lx AS (SELECT n_chars AS x FROM documents
+                WHERE n_chars IS NOT NULL),
+    rx AS (SELECT n_chars AS x FROM documents
+           WHERE lang = 'en' AND n_chars IS NOT NULL),
+    b AS (SELECT LEAST((SELECT MIN(x) FROM lx), (SELECT MIN(x) FROM rx))
+                   AS lo,
+                 GREATEST((SELECT MAX(x) FROM lx), (SELECT MAX(x) FROM rx))
+                   AS hi),
+    hl AS (SELECT LEAST(GREATEST(((x - b.lo) * 8) // (b.hi - b.lo + 1),
+                   0), 7)::INT AS bucket,
+                  COUNT(*)::BIGINT AS n_left
+           FROM lx, b GROUP BY 1),
+    hr AS (SELECT LEAST(GREATEST(((x - b.lo) * 8) // (b.hi - b.lo + 1),
+                   0), 7)::INT AS bucket,
+                  COUNT(*)::BIGINT AS n_right
+           FROM rx, b GROUP BY 1),
+    j AS (SELECT COALESCE(hl.bucket, hr.bucket) AS bucket,
+                 COALESCE(n_left, 0)::BIGINT AS n_left,
+                 COALESCE(n_right, 0)::BIGINT AS n_right
+          FROM hl FULL OUTER JOIN hr ON hl.bucket = hr.bucket),
+    t AS (SELECT SUM(n_left)::BIGINT AS tl, SUM(n_right)::BIGINT AS tr
+          FROM j)
+    SELECT bucket, n_left, n_right,
+           ROUND(n_left::DOUBLE / GREATEST(tl, 1)::DOUBLE, 4)
+             AS frac_left,
+           ROUND(n_right::DOUBLE / GREATEST(tr, 1)::DOUBLE, 4)
+             AS frac_right,
+           ROUND((n_right::DOUBLE / GREATEST(tr, 1)::DOUBLE
+                  - n_left::DOUBLE / GREATEST(tl, 1)::DOUBLE)
+                 * LN((n_right::DOUBLE / GREATEST(tr, 1)::DOUBLE + 1e-6)
+                      / (n_left::DOUBLE / GREATEST(tl, 1)::DOUBLE + 1e-6)),
+                 4) AS psi_term
+    FROM j, t ORDER BY bucket
+    """,
+)
+def q_drift_numeric(spark, sf_dir):
+    """Numeric distribution drift (r10): the PSI histogram report for
+    document lengths between the full corpus and its English slice —
+    shared integer-exact buckets (pure int64 `div` arithmetic, so
+    counts and fractions hash-match engine-to-engine), per-bucket
+    fractions on both sides, smoothed PSI contributions. The numeric
+    sibling of the graded corpus_drift's lexical JS screen: catches a
+    crawl whose LENGTH distribution moved even when its vocabulary did
+    not. sum(psi_term) is the release gate's stability index."""
+    from mongo_arrow_spark.operators import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = profile.numeric_drift(
+        docs, docs.filter(F.col("lang") == "en"), "n_chars", n_buckets=8
+    )
+    return out.select(
+        "bucket",
+        "n_left",
+        "n_right",
+        F.round("frac_left", 4).alias("frac_left"),
+        F.round("frac_right", 4).alias("frac_right"),
+        F.round("psi_term", 4).alias("psi_term"),
+    )
+
+
+@query(
     "corpus_drift",
     """
     WITH lt AS (SELECT unnest(string_split(text, ' ')) AS token
