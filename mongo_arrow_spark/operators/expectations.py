@@ -41,6 +41,7 @@ __all__ = [
     "ExpectationError",
     "accepted_values",
     "check",
+    "from_json_schema",
     "in_range",
     "matches",
     "not_null",
@@ -140,17 +141,75 @@ def matches(
 
 
 def satisfies(
-    name: str, predicate: str, max_violation_frac: float = 0.0
+    name: str, predicate, max_violation_frac: float = 0.0
 ) -> dict:
-    """Escape hatch: rows where the SQL ``predicate`` is not TRUE
-    (FALSE **or NULL** — a predicate that cannot evaluate is a
-    violation, not a free pass) violate the rule."""
+    """Escape hatch: rows where the ``predicate`` (a SQL string or a
+    prebuilt boolean Column) is not TRUE (FALSE **or NULL** — a
+    predicate that cannot evaluate is a violation, not a free pass)
+    violate the rule."""
     return {
         "kind": "satisfies",
         "name": name,
         "predicate": predicate,
         "threshold": float(max_violation_frac),
     }
+
+
+def from_json_schema(
+    schema: dict, max_violation_frac: float = 0.0
+) -> list[dict]:
+    """Translate a MongoDB collection validator (``$jsonSchema``,
+    draft-4 subset — exactly the keyword set the MQL ``$match``
+    translator accepts read-side) into expectations rules: every
+    ``required`` field becomes a ``not_null`` rule, every top-level
+    property's sub-schema becomes one rule over the SAME compiled
+    predicate the query translator evaluates (so write-gate and
+    read-filter semantics can never drift apart), and root-level
+    combinators (``allOf``/``anyOf``/``oneOf``/``not``) fold into one
+    whole-document rule. JSON Schema constraints bind only when the
+    property is present, so NULL passes every property rule and only
+    ``required`` fails it — the server's own semantics.
+
+    The reference-parity story: the validator mongod enforces per
+    insert becomes the contract this engine enforces per RELEASE
+    (``write_version(expect=from_json_schema(validator))``) — one
+    aggregate pass over the corpus instead of a per-document hook.
+    Unsupported keywords raise (the server rejects them too)."""
+    from mongo_arrow_spark.mql.match import _json_schema_predicate
+
+    if not isinstance(schema, dict) or not schema:
+        raise ValueError("$jsonSchema must be a non-empty document")
+    rules: list[dict] = []
+    rest: dict = {}
+    for kw, arg in schema.items():
+        if kw == "required":
+            rules += [
+                not_null(f, max_null_frac=max_violation_frac)
+                for f in arg
+            ]
+        elif kw == "properties":
+            for f, s in arg.items():
+                c = F.col(f)
+                rules.append(
+                    satisfies(
+                        f"jsonschema.{f}",
+                        c.isNull() | _json_schema_predicate(s, c),
+                        max_violation_frac=max_violation_frac,
+                    )
+                )
+        else:
+            rest[kw] = arg
+    if rest:
+        rules.append(
+            satisfies(
+                "jsonschema.root",
+                _json_schema_predicate(rest, None),
+                max_violation_frac=max_violation_frac,
+            )
+        )
+    if not rules:
+        raise ValueError("schema produced no rules")
+    return rules
 
 
 def row_count(min_rows: int = 1, max_rows: int | None = None) -> dict:
@@ -219,7 +278,9 @@ def _viol_agg(r: dict):
             F.when(c.isNotNull() & ~c.rlike(r["pattern"]), 1).otherwise(0)
         )
     if kind == "satisfies":
-        pred = F.expr(r["predicate"])
+        pred = r["predicate"]
+        if isinstance(pred, str):
+            pred = F.expr(pred)
         return F.sum(
             F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
         )

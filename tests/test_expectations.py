@@ -266,6 +266,45 @@ def test_drift_guard_skips_empty_previous(spark, tmp_path):
     assert V.read_version(spark, p).count() == 1
 
 
+def test_from_json_schema_validator_as_contract(spark):
+    validator = {
+        "required": ["doc_id", "text"],
+        "properties": {
+            "score": {"minimum": 0, "maximum": 100},
+            "lang": {"enum": ["en", "de"]},
+            "text": {"minLength": 2, "pattern": "^[a-z]"},
+        },
+    }
+    rules = E.from_json_schema(validator)
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", "en", 50),
+            (2, "b", "de", -1),  # minLength + minimum violations
+            (3, None, "xx", 5),  # required text + enum violations
+            (None, "delta", "en", None),  # required doc_id; null score OK
+        ],
+        "doc_id long, text string, lang string, score long",
+    )
+    rep = {r["rule"]: r.asDict() for r in E.check(df, rules).collect()}
+    assert rep["not_null:doc_id"]["violations"] == 1
+    assert rep["not_null:text"]["violations"] == 1
+    # null score passes the property rule (JSON Schema presence rule)
+    assert rep["satisfies:jsonschema.score"]["violations"] == 1  # -1 only
+    assert rep["satisfies:jsonschema.lang"]["violations"] == 1  # xx
+    assert rep["satisfies:jsonschema.text"]["violations"] == 1  # "b"
+    # root combinator folds into one whole-document rule
+    root = E.from_json_schema(
+        {"anyOf": [{"required": ["doc_id"]}, {"required": ["text"]}]}
+    )
+    rep2 = {r["rule"]: r.asDict() for r in E.check(df, root).collect()}
+    assert rep2["satisfies:jsonschema.root"]["violations"] == 0
+    # unsupported keywords raise, like the server
+    with pytest.raises(Exception, match="unsupported"):
+        E.from_json_schema({"properties": {"x": {"format": "email"}}})
+    with pytest.raises(ValueError):
+        E.from_json_schema({})
+
+
 def test_suggest_rules_bootstrap_passes_on_profiled_frame(spark):
     df = spark.createDataFrame(
         [(1, "en", 10.5), (2, "de", -2.0), (3, "en", 7.25)],
