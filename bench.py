@@ -136,6 +136,12 @@ HEADLINE = [
     "sim_hard_negatives_ivf_pruned",
     "text_ngram_novelty",
     "layout_content_addressed",
+    # round-10 session waves (parked oracles, 3-scale green):
+    # data-contract report (one aggregate pass + FK anti-join), the
+    # grouped per-language form, and the numeric PSI drift histogram
+    "contract_check",
+    "contract_by_group",
+    "drift_numeric",
 ]
 
 

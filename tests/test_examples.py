@@ -29,3 +29,26 @@ def test_version_decontam_example_runs():
         f"stderr:\n{proc.stderr[-2000:]}"
     )
     assert "reproducibility: v1 gate replayed" in proc.stdout
+
+
+def test_storage_tour_example_runs():
+    """The storage tour demonstrates the content-addressed store,
+    gated versioned releases (r10: the expectations contract refusing
+    a NULL-payload release), and time travel — as a real subprocess."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "storage_tour.py"),
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"example failed\nstdout:\n{proc.stdout[-2000:]}\n"
+        f"stderr:\n{proc.stderr[-2000:]}"
+    )
+    assert "gate refused a bad release" in proc.stdout
+    assert "time travel" in proc.stdout
