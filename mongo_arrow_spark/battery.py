@@ -403,6 +403,12 @@ _DEMOTED = [
     # groupBy aggregation (the shape every graded agg entry pins),
     # exact per-group oracle in tests/test_battery.py.
     "contract_by_group",
+    # r10: the WARC crawl-archive round-trip parks with its graded
+    # ingest sibling q_scan_gzip_dump (same whole-file bin-packed
+    # compressed-scan machinery, different record framing); exact
+    # round-trip oracle in tests/test_battery.py, byte-split boundary
+    # ownership + fake-marker desync pinned in tests/test_warc.py.
+    "q_scan_warc",
     # r10: numeric PSI drift parks with its graded lexical sibling
     # corpus_diff/corpus_drift family — two bounded groupBy(bucket)
     # counts + a ≤ n_buckets full-outer join; integer-exact bucket

@@ -1752,6 +1752,57 @@ def _gzip_corpus_dir(spark, sf_dir: str) -> str:
     return d
 
 
+def _warc_corpus_dir(spark, sf_dir: str) -> str:
+    """Materialize the documents table as a WARC archive layout (one
+    .warc.gz per partition, Common Crawl shape; idempotent per
+    sf_dir) through the engine's own distributed writer."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/mas_warc_{tag}"
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    from mongo_arrow_spark.sources.warc import write_warc
+
+    write_warc(
+        _t(spark, sf_dir, "documents").repartition(4).select(
+            "doc_id", "text"
+        ),
+        d,
+    )
+    open(marker, "w").close()
+    return d
+
+
+@query(
+    "q_scan_warc",
+    "SELECT doc_id, text FROM documents ORDER BY doc_id",
+)
+def q_scan_warc(spark, sf_dir):
+    """WARC crawl-archive ingest (r10): the corpus round-trips through
+    a Common-Crawl-shaped archive — one gzip-membered .warc.gz per
+    partition, each document a WARC response record with an HTTP
+    envelope — and is read back through the warc source (bin-packed
+    whole-file groups, HTTP strip, typed Arrow batches). Hash-matching
+    the parquet oracle proves the crawl path byte-lossless end-to-end
+    incl. non-ASCII payloads. Plain (uncompressed) archives
+    additionally byte-split with validated record-boundary seek —
+    pinned with payload-embedded fake markers in tests/test_warc.py."""
+    from mongo_arrow_spark.sources.warc import register_warc
+
+    register_warc(spark)
+    d = _warc_corpus_dir(spark, sf_dir)
+    df = spark.read.format("warc").load(d + "/*.warc.gz")
+    return df.select(
+        F.regexp_extract("record_id", r"urn:mas:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("payload").cast("string").alias("text"),
+    ).orderBy("doc_id")
+
+
 @query(
     "q_scan_gzip_dump",
     """

@@ -19,11 +19,19 @@ from mongo_arrow_spark.sources.documents import (
     infer_schema,
     register,
 )
+from mongo_arrow_spark.sources.warc import (
+    WarcDataSource,
+    register_warc,
+    write_warc,
+)
 
 __all__ = [
     "DocumentsDataSource",
+    "WarcDataSource",
     "infer_schema",
     "register",
+    "register_warc",
+    "write_warc",
     "save_bucketed",
     "read_bucketed",
     "bucket_spec",

@@ -1,0 +1,167 @@
+"""WARC ingest source: record parsing, HTTP envelope stripping,
+byte-split boundary ownership (incl. payload-embedded fake markers),
+gz whole-file groups, corrupt policies, and the distributed write →
+read round trip."""
+
+import gzip
+import os
+
+import pytest
+
+from mongo_arrow_spark.sources.warc import (
+    build_warc_record,
+    register_warc,
+    write_warc,
+)
+
+from conftest import SF_DIR  # noqa: F401  (spark fixture wiring)
+
+
+def _mk_warc(path, records, compress=False):
+    blob = b"".join(records)
+    if compress:
+        with gzip.open(path, "wb") as fh:
+            fh.write(blob)
+    else:
+        with open(path, "wb") as fh:
+            fh.write(blob)
+    return path
+
+
+def _info_record():
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"WARC-Record-ID: <urn:info:0>\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 10\r\n\r\n"
+        b"robots: ok" + b"\r\n\r\n"
+    )
+
+
+def _read(spark, path, **opts):
+    register_warc(spark)
+    r = spark.read.format("warc")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def test_basic_records_and_http_strip(spark, tmp_path):
+    p = str(tmp_path / "a.warc")
+    _mk_warc(
+        p,
+        [
+            _info_record(),
+            build_warc_record("<urn:mas:1>", "https://x.org/1", b"<p>hi</p>"),
+            build_warc_record(
+                "<urn:mas:2>", "https://x.org/2", b"body2",
+                http_content_type="text/plain",
+            ),
+        ],
+    )
+    rows = {r["record_id"]: r.asDict() for r in _read(spark, p).collect()}
+    # default warcTypes=response filters the warcinfo record out
+    assert set(rows) == {"<urn:mas:1>", "<urn:mas:2>"}
+    r1 = rows["<urn:mas:1>"]
+    assert r1["target_uri"] == "https://x.org/1"
+    assert bytes(r1["payload"]) == b"<p>hi</p>"  # HTTP envelope stripped
+    assert r1["http_status"] == 200
+    assert r1["http_content_type"] == "text/html"
+    assert r1["warc_type"] == "response"
+    assert rows["<urn:mas:2>"]["http_content_type"] == "text/plain"
+    # warcTypes=* keeps the warcinfo record, envelope intact w/o strip
+    allr = _read(spark, p, warcTypes="*", stripHttp="false").collect()
+    assert len(allr) == 3
+    resp = next(r for r in allr if r["record_id"] == "<urn:mas:1>")
+    assert bytes(resp["payload"]).startswith(b"HTTP/1.1 200")
+    assert resp["http_status"] is None
+
+
+def test_byte_splits_cover_exactly_once(spark, tmp_path):
+    p = str(tmp_path / "big.warc")
+    recs = [
+        build_warc_record(
+            f"<urn:mas:{i}>", f"https://x.org/{i}", (b"x" * 50) + str(i).encode()
+        )
+        for i in range(200)
+    ]
+    _mk_warc(p, recs)
+    whole = sorted(
+        r["record_id"] for r in _read(spark, p).collect()
+    )
+    # force many byte splits, far smaller than the file
+    split = sorted(
+        r["record_id"]
+        for r in _read(spark, p, partitionBytes="500").collect()
+    )
+    assert split == whole and len(whole) == 200
+
+
+def test_fake_marker_in_payload_does_not_desync(spark, tmp_path):
+    p = str(tmp_path / "fake.warc")
+    fake = b"AAAA\r\n\r\nWARC/1.0\r\nnot a real header block zzz\r\n" + b"B" * 400
+    recs = [
+        build_warc_record(f"<urn:mas:{i}>", f"https://x.org/{i}", fake)
+        for i in range(40)
+    ]
+    _mk_warc(p, recs)
+    whole = sorted(r["record_id"] for r in _read(spark, p).collect())
+    split = sorted(
+        r["record_id"]
+        for r in _read(spark, p, partitionBytes="700").collect()
+    )
+    assert split == whole and len(whole) == 40
+
+
+def test_gz_groups_and_concatenated_members(spark, tmp_path):
+    # Common Crawl shape: each record its own gzip member, concatenated
+    p = str(tmp_path / "cc.warc.gz")
+    with open(p, "wb") as fh:
+        for i in range(5):
+            fh.write(
+                gzip.compress(
+                    build_warc_record(
+                        f"<urn:mas:{i}>", f"https://x.org/{i}", b"hi"
+                    )
+                )
+            )
+    rows = _read(spark, p).collect()
+    assert sorted(r["record_id"] for r in rows) == [
+        f"<urn:mas:{i}>" for i in range(5)
+    ]
+
+
+def test_corrupt_modes(spark, tmp_path):
+    good = build_warc_record("<urn:mas:1>", "https://x.org/1", b"ok")
+    truncated = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:mas:2>\r\n"
+        b"Content-Type: application/http\r\nContent-Length: 999\r\n\r\nshort"
+    )
+    p = str(tmp_path / "bad.warc")
+    _mk_warc(p, [good, truncated])
+    with pytest.raises(Exception, match="truncated"):
+        _read(spark, p).collect()
+    kept = _read(spark, p, corruptMode="drop").collect()
+    assert [r["record_id"] for r in kept] == ["<urn:mas:1>"]
+    with pytest.raises(Exception, match="corruptMode"):
+        _read(spark, p, corruptMode="nope").collect()
+
+
+def test_write_read_round_trip(spark, tmp_path):
+    out = str(tmp_path / "corpus_warc")
+    df = spark.createDataFrame(
+        [(i, f"text {i} é") for i in range(50)],
+        "doc_id long, text string",
+    )
+    write_warc(df.repartition(4), out)
+    back = _read(spark, out + "/*.warc.gz")
+    got = {
+        int(r["record_id"].split(":")[-1].rstrip(">")): bytes(
+            r["payload"]
+        ).decode("utf-8")
+        for r in back.collect()
+    }
+    assert got == {i: f"text {i} é" for i in range(50)}
+    assert back.count() == 50
