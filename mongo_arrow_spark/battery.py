@@ -409,6 +409,10 @@ _DEMOTED = [
     # round-trip oracle in tests/test_battery.py, byte-split boundary
     # ownership + fake-marker desync pinned in tests/test_warc.py.
     "q_scan_warc",
+    # r10: the HTML-extraction composition parks with it — the same
+    # archive machinery plus text.html_to_text's JVM regexp chain;
+    # exact reconstruction oracle in tests/test_battery.py.
+    "q_scan_warc_html",
     # r10: numeric PSI drift parks with its graded lexical sibling
     # corpus_diff/corpus_drift family — two bounded groupBy(bucket)
     # counts + a ≤ n_buckets full-outer join; integer-exact bucket

@@ -114,6 +114,41 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(c)
 
 
+def html_to_text(col: Column | str) -> Column:
+    """Crude-but-deterministic HTML → text extraction, entirely
+    JVM-side (chained ``regexp_replace`` — no UDF, stays inside
+    whole-stage codegen): drop the ``<head>`` block (titles/meta are
+    chrome, not prose), ``<script>``/``<style>`` blocks and
+    comments, strip all tags to spaces, unescape the six ubiquitous
+    entities (``&amp;`` LAST so ``&amp;lt;`` cannot double-unescape),
+    collapse whitespace, trim. The first stage of the crawl path
+    (WARC payload → text) before language-ID / quality / dedup; the
+    patterns avoid backreferences and lookarounds on purpose, so an
+    RE2-based oracle (DuckDB) can replay them exactly. Real
+    deployments swap in trafilatura-class extractors via mapInPandas;
+    this stays portable and testable. Accepts a string column or a
+    binary payload column (cast to UTF-8 string first)."""
+    x = (col if isinstance(col, Column) else F.col(col)).cast("string")
+    for pat in (
+        r"(?is)<head[^>]*>.*?</head\s*>",
+        r"(?is)<script[^>]*>.*?</script\s*>",
+        r"(?is)<style[^>]*>.*?</style\s*>",
+        r"(?s)<!--.*?-->",
+        r"(?s)<[^>]*>",
+    ):
+        x = F.regexp_replace(x, pat, " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token bag. Robust to token reordering (near-dup canary), exact-joinable.

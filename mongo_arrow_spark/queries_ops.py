@@ -1803,6 +1803,70 @@ def q_scan_warc(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _warc_html_corpus_dir(spark, sf_dir: str) -> str:
+    """The documents table wrapped in realistic HTML (script/style
+    blocks, comments, entities) and shipped as a WARC archive —
+    the crawl-ingest fixture for the extraction entry."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/mas_warch_{tag}"
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    from mongo_arrow_spark.sources.warc import write_warc
+
+    wrapped = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>d</title><script type="text/javascript">'
+                "var x = 1 < 2;</script><style>p { color: red }</style>"
+                "</head><body><!-- chrome --><p>"
+            ),
+            F.col("text"),
+            F.lit("</p><div>&amp; footer</div></body></html>"),
+        ).alias("text"),
+    )
+    write_warc(wrapped.repartition(4), d)
+    open(marker, "w").close()
+    return d
+
+
+@query(
+    "q_scan_warc_html",
+    r"""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(text || ' & footer', '\s+', ' ', 'g'))
+             AS text
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_scan_warc_html(spark, sf_dir):
+    """The crawl path end-to-end (r10): HTML pages inside a
+    Common-Crawl-shaped WARC archive → warc source (HTTP strip) →
+    ``text.html_to_text`` (JVM-side regexp chain: script/style/comment
+    removal, tag strip, entity unescape, whitespace collapse) →
+    (doc_id, text). The oracle reconstructs the expected extraction
+    from the parquet base — hash equality proves the WHOLE chain
+    (archive framing, gzip members, HTTP envelope, HTML stripping)
+    reproduces the original prose byte-for-byte (modulo the collapsed
+    whitespace the extractor defines)."""
+    from mongo_arrow_spark.operators import text as text_ops
+    from mongo_arrow_spark.sources.warc import register_warc
+
+    register_warc(spark)
+    d = _warc_html_corpus_dir(spark, sf_dir)
+    df = spark.read.format("warc").load(d + "/*.warc.gz")
+    return df.select(
+        F.regexp_extract("record_id", r"urn:mas:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        text_ops.html_to_text(F.col("payload")).alias("text"),
+    ).orderBy("doc_id")
+
+
 @query(
     "q_scan_gzip_dump",
     """

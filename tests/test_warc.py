@@ -165,3 +165,37 @@ def test_write_read_round_trip(spark, tmp_path):
     }
     assert got == {i: f"text {i} é" for i in range(50)}
     assert back.count() == 50
+
+
+def test_html_to_text_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from mongo_arrow_spark.operators.text import html_to_text
+
+    cases = [
+        (
+            "<html><head><title>Chrome</title><script>var a=1;</script>"
+            "</head><body><p>Hello   <b>world</b></p>"
+            "<!-- hidden --><style>p{}</style>x &amp; y &lt;z&gt;</body></html>",
+            "Hello world x & y <z>",
+        ),
+        # double-escaped entity unescapes exactly one level
+        ("&amp;lt;", "&lt;"),
+        # script block spanning lines, case-insensitive close tag
+        ("<SCRIPT>\nmulti\nline\n</Script>after", "after"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, html string"
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", html_to_text("html").alias("out")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])
+    # binary payloads cast through UTF-8
+    bdf = spark.createDataFrame(
+        [(bytearray("<p>été</p>".encode("utf-8")),)], "b binary"
+    )
+    assert bdf.select(html_to_text(F.col("b")).alias("o")).first()["o"] == "été"
