@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""The crawl path end-to-end (r10): a Common-Crawl-shaped archive in,
+trainer-ready text out.
+
+1. **Archive**: HTML pages land as WARC response records
+   (gzip-membered ``.warc.gz``, one archive per partition).
+2. **Ingest**: ``spark.read.format("warc")`` — typed records, HTTP
+   envelopes stripped, Arrow batches.
+3. **Extract**: ``text.html_to_text`` — JVM-side regexp chain (no
+   UDF), head/script/style/comment/tag removal + entity unescape.
+4. **Screen**: language-ID + quality metrics + exact dedup, the
+   standard front gate before anything expensive runs.
+5. **Contract**: the extracted corpus must pass its expectations
+   before it ships as a versioned release.
+
+Run: python examples/crawl_tour.py [sf_dir]
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators import dedup, expectations as E, text, versioning
+from mongo_arrow_spark.session import get_spark, load_tables
+from mongo_arrow_spark.sources import register_warc, write_warc
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = tempfile.mkdtemp(prefix="crawl_tour_")
+    spark = get_spark("crawl-tour")
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    # 1. fabricate the crawl: each doc becomes an HTML page in a WARC
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>t</title></head><body><p>"),
+            F.col("text"),
+            F.lit("</p><!-- chrome --></body></html>"),
+        ).alias("text"),
+    )
+    # a duplicated shard, as crawls always have
+    pages = pages.unionByName(
+        pages.limit(50).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    archive = f"{out}/archive"
+    write_warc(pages.repartition(4), archive)
+    n_archives = len(
+        [f for f in os.listdir(archive) if f.endswith(".warc.gz")]
+    )
+
+    # 2-3. ingest + extract
+    register_warc(spark)
+    crawled = (
+        spark.read.format("warc")
+        .load(archive + "/*.warc.gz")
+        .select(
+            F.regexp_extract("record_id", r"urn:mas:(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            text.html_to_text(F.col("payload")).alias("text"),
+        )
+    )
+    print(f"ingested {crawled.count()} pages from {n_archives} archives")
+
+    # 4. screen: lang-id, quality, exact dedup
+    screened = crawled.withColumn("lang", text.lang_id("text"))
+    kept = dedup.exact_dedup(screened, text_col="text")
+    print(
+        "after exact dedup:", kept.count(),
+        "langs:", sorted(
+            r["lang"] for r in kept.select("lang").distinct().collect()
+        ),
+    )
+
+    # 5. contract-gated release of the extracted corpus
+    contract = [
+        E.not_null("doc_id"),
+        E.unique("doc_id"),
+        E.not_null("text"),
+        E.satisfies("non_empty_text", "length(text) > 0"),
+        E.row_count(min_rows=1),
+    ]
+    meta = versioning.write_version(
+        kept.select("doc_id", "text"), f"{out}/release", expect=contract
+    )
+    print(
+        f"release v{meta['version']} committed: {meta['n_rows']} rows "
+        f"(contract recorded: "
+        f"{len(versioning.contract_report(f'{out}/release', 1))} rules)"
+    )
+    print(f"artifacts under {out}")
+
+
+if __name__ == "__main__":
+    main()

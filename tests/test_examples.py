@@ -52,3 +52,25 @@ def test_storage_tour_example_runs():
     )
     assert "gate refused a bad release" in proc.stdout
     assert "time travel" in proc.stdout
+
+
+def test_crawl_tour_example_runs():
+    """Archive → warc source → HTML extraction → screen → contract-
+    gated release, as a real subprocess (r10)."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "crawl_tour.py"),
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"example failed\nstdout:\n{proc.stdout[-2000:]}\n"
+        f"stderr:\n{proc.stderr[-2000:]}"
+    )
+    assert "after exact dedup: 500" in proc.stdout
+    assert "release v1 committed: 500 rows" in proc.stdout
