@@ -384,9 +384,10 @@ def numeric_drift(
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     c = F.col(column)
-    sides = []
-    for tag, df in (("left", left), ("right", right)):
-        sides.append(df.filter(c.isNotNull()).select(c.alias("__x")))
+    sides = [
+        df.filter(c.isNotNull()).select(c.alias("__x"))
+        for df in (left, right)
+    ]
     if bounds is not None:
         lo_lit, hi_lit = bounds
         bframe = None
@@ -406,9 +407,17 @@ def numeric_drift(
                 F.greatest("__hi_0", "__hi_1").alias("__hi"),
             )
         )
-    integral = isinstance(
-        left.schema[column].dataType,
-        (T.LongType, T.IntegerType, T.ShortType),
+    # the int64 `div` path needs integral operands EVERYWHERE it
+    # touches — both sides' column AND any caller-supplied bounds
+    # (a float bound against a long column used to crash the analyzer
+    # with a div-requires-BIGINT mismatch)
+    int_types = (T.LongType, T.IntegerType, T.ShortType)
+    integral = all(
+        isinstance(df.schema[column].dataType, int_types)
+        for df in (left, right)
+    ) and (
+        bounds is None
+        or all(isinstance(b, int) and not isinstance(b, bool) for b in bounds)
     )
     hists = []
     for i, s in enumerate(sides):

@@ -129,10 +129,13 @@ def html_to_text(col: Column | str) -> Column:
     this stays portable and testable. Accepts a string column or a
     binary payload column (cast to UTF-8 string first)."""
     x = (col if isinstance(col, Column) else F.col(col)).cast("string")
+    # `(\s[^>]*)?>` — NOT `[^>]*>` — so `<head>` cannot also match the
+    # HTML5 `<header>` tag and swallow body prose up to a distant
+    # stray `</head>` (and likewise script/scripting-style names)
     for pat in (
-        r"(?is)<head[^>]*>.*?</head\s*>",
-        r"(?is)<script[^>]*>.*?</script\s*>",
-        r"(?is)<style[^>]*>.*?</style\s*>",
+        r"(?is)<head(\s[^>]*)?>.*?</head\s*>",
+        r"(?is)<script(\s[^>]*)?>.*?</script\s*>",
+        r"(?is)<style(\s[^>]*)?>.*?</style\s*>",
         r"(?s)<!--.*?-->",
         r"(?s)<[^>]*>",
     ):

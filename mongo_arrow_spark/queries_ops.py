@@ -1778,7 +1778,11 @@ def _warc_corpus_dir(spark, sf_dir: str) -> str:
 
 @query(
     "q_scan_warc",
-    "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    # COALESCE mirrors the writer's documented NULL→'' coercion (WARC
+    # has no null body), so the oracle stays exact on corpora that
+    # carry NULL text
+    "SELECT doc_id, COALESCE(text, '') AS text FROM documents "
+    "ORDER BY doc_id",
 )
 def q_scan_warc(spark, sf_dir):
     """WARC crawl-archive ingest (r10): the corpus round-trips through
@@ -1825,7 +1829,7 @@ def _warc_html_corpus_dir(spark, sf_dir: str) -> str:
                 "var x = 1 < 2;</script><style>p { color: red }</style>"
                 "</head><body><!-- chrome --><p>"
             ),
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit("</p><div>&amp; footer</div></body></html>"),
         ).alias("text"),
     )
@@ -1838,8 +1842,8 @@ def _warc_html_corpus_dir(spark, sf_dir: str) -> str:
     "q_scan_warc_html",
     r"""
     SELECT doc_id,
-           TRIM(REGEXP_REPLACE(text || ' & footer', '\s+', ' ', 'g'))
-             AS text
+           TRIM(REGEXP_REPLACE(COALESCE(text, '') || ' & footer',
+                               '\s+', ' ', 'g')) AS text
     FROM documents ORDER BY doc_id
     """,
 )

@@ -47,7 +47,7 @@ from mongo_arrow_spark.errors import SchemaError
 from mongo_arrow_spark.sources.documents import (
     DEFAULT_BATCH_SIZE,
     DEFAULT_PARTITION_BYTES,
-    _expand,
+    _EXPANSION_ESTIMATE,
     _FilesSplit,
     _pack_files,
     _Split,
@@ -70,21 +70,46 @@ WARC_SCHEMA = T.StructType(
     ]
 )
 
-# decompressed-size estimate for bin-packing .warc.gz groups (html ~4x)
-_GZ_EXPANSION = 4
+def _expand_warc(paths) -> list[str]:
+    """Glob/directory expansion for warc inputs (the documents
+    source's ``_expand`` only knows jsonl/bson patterns — reusing it
+    here made ``.load(archive_dir)`` silently read as empty)."""
+    import glob as _glob
+
+    if isinstance(paths, str):
+        paths = [paths]
+    out: list[str] = []
+    for p in paths or []:
+        if os.path.isdir(p):
+            out.extend(
+                sorted(
+                    f
+                    for pat in ("*.warc", "*.warc.gz")
+                    for f in _glob.glob(
+                        os.path.join(p, "**", pat), recursive=True
+                    )
+                )
+            )
+        else:
+            out.extend(sorted(_glob.glob(p)) or [p])
+    return out
 
 
 class WarcCorruptError(SchemaError):
     pass
 
 
-def _read_one(fh, source: str, offset: int):
+def _read_one(fh, source: str, offset: int, first_line: bytes | None = None):
     """Parse ONE record at the stream's current position (which must be
     a record start, possibly preceded by blank separator lines).
+    ``first_line``: the already-consumed version line — callers that
+    probed it pass it through instead of seeking back (a backward seek
+    on a GzipFile outside its buffer REWINDS and re-decompresses from
+    byte 0; with one probe per record that made gz ingest quadratic).
     Returns (version, headers, body) or None at EOF. Raises
     WarcCorruptError on anything malformed — the caller applies the
     fail/drop policy."""
-    line = fh.readline()
+    line = first_line if first_line is not None else fh.readline()
     while line in (b"\r\n", b"\n"):
         line = fh.readline()
     if not line:
@@ -130,7 +155,9 @@ def _iter_records(fh, source: str, corrupt_mode: str, stop_at=None):
     stream (the chain is broken; resynchronizing risks emitting a
     payload-embedded fake record)."""
     while True:
-        # skip inter-record blank lines so tell() lands on the record
+        # skip inter-record blank lines; the probed version line is
+        # passed into _read_one rather than seeking back (see its
+        # docstring — backward seeks rewind gzip streams to byte 0)
         pos = fh.tell()
         probe = fh.readline()
         while probe in (b"\r\n", b"\n"):
@@ -138,11 +165,10 @@ def _iter_records(fh, source: str, corrupt_mode: str, stop_at=None):
             probe = fh.readline()
         if not probe:
             return
-        fh.seek(pos)
         if stop_at is not None and pos >= stop_at:
             return
         try:
-            rec = _read_one(fh, source, pos)
+            rec = _read_one(fh, source, pos, first_line=probe)
         except WarcCorruptError:
             if corrupt_mode == "drop":
                 return
@@ -201,19 +227,27 @@ def _seek_record_start(fh, start: int, source: str) -> bool:
 def _split_http(body: bytes):
     """(http_status, http_content_type, stripped_body) for an
     ``application/http`` payload; (None, None, body) when the envelope
-    is not recognizable."""
-    head, sep, rest = body.partition(b"\r\n\r\n")
-    first = head.split(b"\r\n", 1)[0]
-    if not first.startswith(b"HTTP/"):
+    is not recognizable — including an envelope with NO header/body
+    separator at all, where dropping everything would silently lose
+    the document. Real crawls carry both CRLF-CRLF and (non-compliant
+    but common) LF-LF separators."""
+    if not body.startswith(b"HTTP/"):
         return None, None, body
-    parts = first.split()
+    for sep_bytes in (b"\r\n\r\n", b"\n\n"):
+        head, sep, rest = body.partition(sep_bytes)
+        if sep:
+            break
+    else:
+        return None, None, body
+    lines = head.splitlines()
+    parts = lines[0].split()
     status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
     ctype = None
-    for line in head.split(b"\r\n")[1:]:
+    for line in lines[1:]:
         if line.lower().startswith(b"content-type:"):
             ctype = line.split(b":", 1)[1].strip().decode("latin-1")
             break
-    return status, ctype, rest if sep else b""
+    return status, ctype, rest
 
 
 def _is_gz(path: str) -> bool:
@@ -223,7 +257,7 @@ def _is_gz(path: str) -> bool:
 class WarcReader(DataSourceReader):
     def __init__(self, schema: T.StructType, options):
         self.schema = schema
-        self.paths = _expand(options.get("path"))
+        self.paths = _expand_warc(options.get("path"))
         self.partition_bytes = int(
             options.get("partitionbytes", DEFAULT_PARTITION_BYTES)
         )
@@ -248,7 +282,7 @@ class WarcReader(DataSourceReader):
         for path in self.paths:
             size = os.path.getsize(path)
             if _is_gz(path):
-                gz.append((path, size * _GZ_EXPANSION))
+                gz.append((path, size * _EXPANSION_ESTIMATE))
                 continue
             n = max(1, -(-size // self.partition_bytes))
             step = -(-size // n) if size else 1
@@ -404,10 +438,19 @@ def write_warc(
     parallelism on both write and read), each row a response record
     with ``urn:mas:<id>`` identity and the text as the HTTP body.
     Executor-side streaming append — no driver collection, no
-    per-partition buffering beyond one record."""
-    import pandas as pd  # noqa: F401  (mapInPandas contract)
+    per-partition buffering beyond one record. Overwrite semantics:
+    pre-existing ``part-*.warc[.gz]`` files under ``path`` are removed
+    first (a rewrite with fewer partitions must not leave stale
+    archives that later reads union in — the documents writer's
+    ``mode('overwrite')`` contract). NULL ``text_col`` values write an
+    empty body: WARC has no null, so NULL round-trips as ``''``."""
+    import glob as _glob
 
     os.makedirs(path, exist_ok=True)
+    for stale in _glob.glob(os.path.join(path, "part-*.warc")) + _glob.glob(
+        os.path.join(path, "part-*.warc.gz")
+    ):
+        os.remove(stale)
     ext = ".warc.gz" if compress else ".warc"
     cols = [id_col, text_col] + ([uri_col] if uri_col else [])
     sel = df.select(*cols)

@@ -199,3 +199,66 @@ def test_html_to_text_extraction(spark):
         [(bytearray("<p>été</p>".encode("utf-8")),)], "b binary"
     )
     assert bdf.select(html_to_text(F.col("b")).alias("o")).first()["o"] == "été"
+
+
+def test_directory_load_and_overwrite_semantics(spark, tmp_path):
+    out = str(tmp_path / "dir")
+    df8 = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(40)], "doc_id long, text string"
+    )
+    write_warc(df8.repartition(8), out)
+    # loading the DIRECTORY (no glob) finds the archives
+    assert _read(spark, out).count() == 40
+    # rewrite with fewer partitions clears stale part files
+    df2 = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10)], "doc_id long, text string"
+    )
+    write_warc(df2.repartition(2), out)
+    back = _read(spark, out)
+    assert back.count() == 10
+    assert sorted(
+        bytes(r["payload"]).decode() for r in back.collect()
+    ) == sorted(f"u{i}" for i in range(10))
+
+
+def test_lf_only_http_envelope_and_unsplittable(spark, tmp_path):
+    lf_env = b"HTTP/1.1 404 Not Found\nContent-Type: text/plain\n\nbody-lf"
+    no_sep = b"HTTP/1.1 200 OK"  # no separator at all: keep body intact
+    recs = []
+    for i, body in enumerate((lf_env, no_sep)):
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:mas:{i}>\r\n"
+            f"Content-Type: application/http\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        recs.append(head + body + b"\r\n\r\n")
+    p = str(tmp_path / "lf.warc")
+    _mk_warc(p, recs)
+    rows = {r["record_id"]: r.asDict() for r in _read(spark, p).collect()}
+    r0 = rows["<urn:mas:0>"]
+    assert bytes(r0["payload"]) == b"body-lf"
+    assert (r0["http_status"], r0["http_content_type"]) == (404, "text/plain")
+    r1 = rows["<urn:mas:1>"]
+    assert bytes(r1["payload"]) == no_sep  # not silently dropped
+    assert r1["http_status"] is None
+
+
+def test_html_to_text_header_tag_is_not_head(spark):
+    from mongo_arrow_spark.operators.text import html_to_text
+
+    html = (
+        "<body><header>nav</header><p>prose stays</p>"
+        "trailing</head>after</body>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    out = df.select(html_to_text("h").alias("o")).first()["o"]
+    assert "prose stays" in out and "after" in out
+
+
+def test_numeric_drift_integral_column_float_bounds(spark):
+    from mongo_arrow_spark.operators.profile import numeric_drift
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    rep = numeric_drift(df, df, "x", n_buckets=2, bounds=(0.0, 9.0)).collect()
+    assert sum(r["n_left"] for r in rep) == 10  # no analyzer crash
