@@ -142,6 +142,11 @@ HEADLINE = [
     "contract_check",
     "contract_by_group",
     "drift_numeric",
+    # round-10 session-3: the crawl path — WARC archive round-trip and
+    # the composed HTML-extraction chain (both parked oracles, 3-scale
+    # green; scan-family siblings of q_scan_gzip_dump above)
+    "q_scan_warc",
+    "q_scan_warc_html",
 ]
 
 

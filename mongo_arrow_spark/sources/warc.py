@@ -390,7 +390,7 @@ def register_warc(spark) -> None:
 
 def build_warc_record(
     record_id: str,
-    uri: str,
+    uri: str | None,
     body: bytes,
     date: str = "2026-01-01T00:00:00Z",
     warc_type: str = "response",
@@ -398,7 +398,8 @@ def build_warc_record(
     http_content_type: str = "text/html",
 ) -> bytes:
     """One spec-shaped WARC record (``http=True`` wraps the body in a
-    minimal HTTP/1.1 200 envelope, the Common Crawl response shape).
+    minimal HTTP/1.1 200 envelope, the Common Crawl response shape;
+    ``uri=None`` omits WARC-Target-URI — warcinfo records carry none).
     Deterministic bytes — the write side of the round-trip the battery
     grades."""
     if http:
@@ -413,11 +414,12 @@ def build_warc_record(
         ctype = "application/http; msgtype=response"
     else:
         ctype = http_content_type
+    uri_line = f"WARC-Target-URI: {uri}\r\n" if uri is not None else ""
     head = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
         f"WARC-Record-ID: {record_id}\r\n"
-        f"WARC-Target-URI: {uri}\r\n"
+        f"{uri_line}"
         f"WARC-Date: {date}\r\n"
         f"Content-Type: {ctype}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
@@ -463,6 +465,19 @@ def write_warc(
         opener = gzip.open if compress else open
         n = 0
         with opener(fname, "wb") as out:
+            # spec-shaped leading warcinfo record per archive; readers
+            # with the default warcTypes=response skip it
+            out.write(
+                build_warc_record(
+                    f"<urn:mas:warcinfo:{pid}>",
+                    None,
+                    b"software: mongo-arrow-spark\r\n"
+                    b"format: WARC File Format 1.0",
+                    warc_type="warcinfo",
+                    http=False,
+                    http_content_type="application/warc-fields",
+                )
+            )
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     rid = getattr(row, id_col)
