@@ -83,6 +83,14 @@ REPRESENTATIVES = [
     "sim_hard_negatives_ivf",
     "pack_bucket_batches",
     "text_ngram_novelty",
+    # r10 session waves (parked, promotion candidates): contract tier,
+    # numeric drift, and the crawl path — conf-bare before any future
+    # rotation puts them in front of the driver
+    "contract_check",
+    "contract_by_group",
+    "drift_numeric",
+    "q_scan_warc",
+    "q_scan_warc_html",
 ]
 
 
