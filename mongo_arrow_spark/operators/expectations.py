@@ -440,9 +440,16 @@ def check(
 
 def _group_str(g) -> str:
     """The stringified group key — must mirror the concat_ws('/',
-    coalesce(cast, 'NULL')) expression the grouped report uses."""
+    coalesce(cast, 'NULL')) expression the grouped report uses.
+    Multi-column keys escape ``\\`` and ``/`` inside each part so
+    ('a/b','c') and ('a','b/c') stay distinct; single-column keys are
+    the raw value (no join ambiguity, and the string stays
+    oracle-replayable)."""
     vals = g if isinstance(g, (tuple, list)) else (g,)
-    return "/".join("NULL" if v is None else str(v) for v in vals)
+    parts = ["NULL" if v is None else str(v) for v in vals]
+    if len(parts) > 1:
+        parts = [p.replace("\\", "\\\\").replace("/", "\\/") for p in parts]
+    return "/".join(parts)
 
 
 def _check_by(
@@ -478,13 +485,16 @@ def _check_by(
         )
         metas.append((name, col_label, r["threshold"], alias))
 
-    grp = F.concat_ws(
-        "/",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
-            for c in by
-        ],
-    )
+    grp_cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in by
+    ]
+    if len(by) > 1:
+        # mirror _group_str's multi-key escaping ('\' and '/' prefixed
+        # with '\') so distinct keys can't collide after the join
+        grp_cols = [
+            F.regexp_replace(c, r"([\\/])", r"\\$1") for c in grp_cols
+        ]
+    grp = F.concat_ws("/", *grp_cols)
     row = df.groupBy(*[F.col(c) for c in by]).agg(*aggs)
     parts = []
     for name, col_label, thr, alias in metas:

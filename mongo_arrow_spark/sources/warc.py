@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import zlib
 from typing import Iterator
 
 from pyspark.sql import types as T
@@ -148,45 +149,102 @@ def _read_one(fh, source: str, offset: int, first_line: bytes | None = None):
     return line.rstrip().decode("latin-1"), headers, body
 
 
+# a mangled/truncated gzip member surfaces from readline()/read() as
+# one of these (BadGzipFile is an OSError subclass), not as a
+# WarcCorruptError — corruptMode=drop must contain them too, or one
+# bad member kills a 10-hour crawl ingest
+_STREAM_ERRORS = (OSError, EOFError, zlib.error)
+
+
 def _iter_records(fh, source: str, corrupt_mode: str, stop_at=None):
     """Yield (start_offset, headers, body) from a record-aligned stream.
     ``stop_at``: stop before a record STARTING at/after this offset
-    (byte-split ownership). On corruption: fail raises, drop ends the
-    stream (the chain is broken; resynchronizing risks emitting a
-    payload-embedded fake record)."""
+    (byte-split ownership). On corruption — malformed WARC framing OR
+    an unreadable compressed stream — fail raises WarcCorruptError,
+    drop ends this stream (the chain is broken; resynchronizing risks
+    emitting a payload-embedded fake record) and the caller continues
+    with the next file in the split."""
     while True:
-        # skip inter-record blank lines; the probed version line is
-        # passed into _read_one rather than seeking back (see its
-        # docstring — backward seeks rewind gzip streams to byte 0)
-        pos = fh.tell()
-        probe = fh.readline()
-        while probe in (b"\r\n", b"\n"):
+        pos = 0
+        try:
+            # skip inter-record blank lines; the probed version line is
+            # passed into _read_one rather than seeking back (see its
+            # docstring — backward seeks rewind gzip streams to byte 0)
             pos = fh.tell()
             probe = fh.readline()
-        if not probe:
-            return
-        if stop_at is not None and pos >= stop_at:
-            return
-        try:
+            while probe in (b"\r\n", b"\n"):
+                pos = fh.tell()
+                probe = fh.readline()
+            if not probe:
+                return
+            if stop_at is not None and pos >= stop_at:
+                return
             rec = _read_one(fh, source, pos, first_line=probe)
         except WarcCorruptError:
             if corrupt_mode == "drop":
                 return
             raise
+        except _STREAM_ERRORS as exc:
+            if corrupt_mode == "drop":
+                return
+            raise WarcCorruptError(
+                f"{source}: unreadable stream at offset ~{pos}: {exc}"
+            ) from exc
         if rec is None:
             return
         yield pos, rec[1], rec[2]
 
 
+# cap on header-block bytes scanned when validating a candidate
+# boundary — real WARC header blocks are a few hundred bytes; a
+# payload-embedded fake marker whose "headers" only terminate at a
+# distant blank line must not trigger an unbounded scan per candidate
+_MAX_PROBE_HEADER_BYTES = 1 << 16
+
+
+def _probe_record_at(fh, cand: int, size: int) -> bool:
+    """Bounded validation that a real record starts at ``cand``:
+    version line + header block must parse within
+    ``_MAX_PROBE_HEADER_BYTES``, and Content-Length must fit inside
+    the file — NO full-body read (a file dense with fake markers made
+    the old full-parse validation quadratic in the worst case).
+    Leaves ``fh`` at an arbitrary position; the caller re-seeks."""
+    fh.seek(cand)
+    line = fh.readline(_MAX_PROBE_HEADER_BYTES)
+    if not line.startswith(b"WARC/") or not line.endswith(b"\n"):
+        return False
+    scanned = len(line)
+    cl = None
+    while scanned < _MAX_PROBE_HEADER_BYTES:
+        h = fh.readline(_MAX_PROBE_HEADER_BYTES - scanned)
+        if h in (b"\r\n", b"\n"):
+            scanned += len(h)
+            return cl is not None and cand + scanned + cl <= size
+        if not h or not h.endswith(b"\n"):
+            return False
+        scanned += len(h)
+        if b":" in h:
+            k, v = h.split(b":", 1)
+            if k.strip().lower() == b"content-length":
+                try:
+                    cl = int(v.strip())
+                except ValueError:
+                    return False
+                if cl < 0:
+                    return False
+    return False
+
+
 def _seek_record_start(fh, start: int, source: str) -> bool:
     """Position ``fh`` on the first VALIDATED record boundary at or
     after ``start`` (a candidate ``\\r\\n\\r\\nWARC/`` marker counts
-    only if a full header block + Content-Length body parses there —
-    bodies may embed fake markers). Returns False when no boundary
-    exists before EOF."""
+    only if a bounded header-block parse succeeds there and its
+    Content-Length fits inside the file — bodies may embed fake
+    markers). Returns False when no boundary exists before EOF."""
     if start == 0:
         fh.seek(0)
         return True
+    size = os.fstat(fh.fileno()).st_size
     marker = b"\r\n\r\nWARC/"
     fh.seek(max(0, start - len(marker)))
     carry = b""
@@ -210,12 +268,7 @@ def _seek_record_start(fh, start: int, source: str) -> bool:
                 i = j + 1
                 continue
             here = fh.tell()
-            fh.seek(cand)
-            try:
-                ok = _read_one(fh, source, cand) is not None
-            except WarcCorruptError:
-                ok = False
-            if ok:
+            if _probe_record_at(fh, cand, size):
                 fh.seek(cand)
                 return True
             fh.seek(here)
@@ -233,12 +286,17 @@ def _split_http(body: bytes):
     but common) LF-LF separators."""
     if not body.startswith(b"HTTP/"):
         return None, None, body
-    for sep_bytes in (b"\r\n\r\n", b"\n\n"):
-        head, sep, rest = body.partition(sep_bytes)
-        if sep:
-            break
-    else:
+    # pick the separator whose FIRST OCCURRENCE is earliest — an
+    # LF-delimited envelope whose body contains \r\n\r\n must split at
+    # the envelope's \n\n, not partition mid-body and drop the prefix
+    i_crlf = body.find(b"\r\n\r\n")
+    i_lf = body.find(b"\n\n")
+    if i_crlf < 0 and i_lf < 0:
         return None, None, body
+    if i_lf >= 0 and (i_crlf < 0 or i_lf < i_crlf):
+        head, rest = body[:i_lf], body[i_lf + 2:]
+    else:
+        head, rest = body[:i_crlf], body[i_crlf + 4:]
     lines = head.splitlines()
     parts = lines[0].split()
     status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None

@@ -394,3 +394,30 @@ def test_write_version_expect_gate_blocks_commit(spark, tmp_path):
         expect=contract,
     )
     assert V.read_version(spark, p).count() == 3
+
+
+def test_multi_column_group_keys_escape_slashes(spark):
+    """('a/b','c') and ('a','b/c') must not collide in the stringified
+    group key: multi-column parts escape '/' and '\\', mirrored between
+    the report expression and the expected_groups anti-join."""
+    df = spark.createDataFrame(
+        [(1, "a/b", "c", "x"), (2, "a/b", "c", "y")],
+        "doc_id long, k1 string, k2 string, text string",
+    )
+    rep = E.check(
+        df,
+        [E.row_count(min_rows=1)],
+        by=["k1", "k2"],
+        expected_groups=[("a/b", "c"), ("a", "b/c")],
+    )
+    rows = {r["group"]: r.asDict() for r in rep.collect()}
+    assert set(rows) == {"a\\/b/c", "a/b\\/c"}
+    present = rows["a\\/b/c"]
+    assert (present["n_rows"], present["status"]) == (2, "pass")
+    # the genuinely absent ('a','b/c') group is synthesized as missing,
+    # not mis-marked present by a collision with ('a/b','c')
+    absent = rows["a/b\\/c"]
+    assert (absent["n_rows"], absent["status"]) == (0, "fail")
+    # single-column groups stay raw (oracle-replayable, no escaping)
+    rep1 = E.check(df, [E.row_count(min_rows=1)], by=["k1"])
+    assert [r["group"] for r in rep1.collect()] == ["a/b"]

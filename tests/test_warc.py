@@ -262,3 +262,98 @@ def test_numeric_drift_integral_column_float_bounds(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], "x long")
     rep = numeric_drift(df, df, "x", n_buckets=2, bounds=(0.0, 9.0)).collect()
     assert sum(r["n_left"] for r in rep) == 10  # no analyzer crash
+
+
+# ------------------------------------------------- round-11 advice fixes
+
+
+def test_drop_mode_contains_mangled_gzip_member(spark, tmp_path):
+    """A truncated/garbage gzip member raises EOFError/BadGzipFile from
+    the stream itself (not WarcCorruptError); corruptMode=drop must end
+    that stream and keep the other files in the group alive."""
+    good = str(tmp_path / "good.warc.gz")
+    _mk_warc(
+        good,
+        [build_warc_record("<urn:mas:ok>", "https://x.org/ok", b"fine")],
+        compress=True,
+    )
+    # truncated member: valid gzip header, body cut mid-stream
+    blob_src = _mk_warc(
+        str(tmp_path / "tmp.bin"),
+        [build_warc_record("<urn:mas:cut>", "https://x.org/c", b"x" * 4096)],
+    )
+    with open(blob_src, "rb") as fh:
+        raw = fh.read()
+    full = gzip.compress(raw)
+    trunc = str(tmp_path / "trunc.warc.gz")
+    with open(trunc, "wb") as fh:
+        fh.write(full[: len(full) // 2])
+    # garbage member: not gzip at all under a .gz name
+    garbage = str(tmp_path / "garbage.warc.gz")
+    with open(garbage, "wb") as fh:
+        fh.write(b"\x00\x01not-gzip-at-all" * 32)
+
+    got = _read(spark, str(tmp_path / "*.warc.gz"), corruptMode="drop")
+    ids = sorted(r["record_id"] for r in got.collect())
+    assert ids == ["<urn:mas:ok>"]
+    # fail mode still raises, wrapped with file context
+    with pytest.raises(Exception):
+        _read(spark, trunc, corruptMode="fail").collect()
+
+
+def test_lf_envelope_with_crlf_in_body_keeps_prefix(spark, tmp_path):
+    """Separator is chosen by earliest position: an LF-delimited
+    envelope whose BODY contains \\r\\n\\r\\n must not partition at the
+    body's CRLFCRLF and silently drop the payload prefix."""
+    from mongo_arrow_spark.sources.warc import _split_http
+
+    body = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nAAA\r\n\r\nBBB"
+    status, ctype, payload = _split_http(body)
+    assert (status, ctype) == (200, "text/plain")
+    assert payload == b"AAA\r\n\r\nBBB"
+    # CRLF envelope unaffected
+    body2 = b"HTTP/1.1 200 OK\r\nContent-Type: a/b\r\n\r\nreal\n\nbody"
+    assert _split_http(body2)[2] == b"real\n\nbody"
+
+
+def test_boundary_probe_rejects_oversized_content_length(tmp_path):
+    """The bounded boundary probe validates Content-Length against the
+    file size instead of reading the full body — a fake marker claiming
+    a body larger than the file is rejected without a giant read, and
+    byte-split reads still see each record exactly once."""
+    from mongo_arrow_spark.sources.warc import (
+        _probe_record_at,
+        _seek_record_start,
+    )
+
+    real = build_warc_record("<urn:mas:r>", "https://x.org/r", b"y" * 100)
+    fake = (
+        b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: 99999999\r\n\r\n"
+    )
+    p = str(tmp_path / "fake_cl.warc")
+    _mk_warc(
+        p,
+        [
+            build_warc_record(
+                "<urn:mas:a>", "https://x.org/a", b"A" * 50 + fake + b"tail"
+            ),
+            real,
+        ],
+    )
+    size = os.path.getsize(p)
+    with open(p, "rb") as fh:
+        # candidate at the embedded fake marker: bounded probe rejects
+        with open(p, "rb") as probe_fh:
+            data = probe_fh.read()
+        cand = data.find(fake) + 4
+        assert not _probe_record_at(fh, cand, size)
+        # a candidate at the REAL second record validates
+        real_start = data.find(b"\r\n\r\nWARC/", cand) 
+        while real_start >= 0:
+            if _probe_record_at(fh, real_start + 4, size):
+                break
+            real_start = data.find(b"\r\n\r\nWARC/", real_start + 1)
+        assert real_start >= 0
+        assert _seek_record_start(fh, cand, p)
+        assert fh.tell() == real_start + 4
