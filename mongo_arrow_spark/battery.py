@@ -384,45 +384,56 @@ _DEMOTED = [
     "sim_bruteforce_topk",
     "streaming_hourly_counts",
     "text_quality",
-    # r10: the content-addressed store round-trip parks by construction
-    # (r9 verdict #3) — storage plumbing over the graded scan surface,
-    # its zero-exchange reconstruction join plan-gated in
-    # tests/test_layout.py; the exact oracle (mirrored-crawl dedup
-    # accounting) runs in tests/test_battery.py.
-    "layout_content_addressed",
-    # r10: the data-contract expectations report parks by construction —
-    # the nine-rule contract_check compiles to ONE aggregate pass plus a
-    # referential anti-join, the same plan shapes the graded
-    # q01_pricing_summary (multi-aggregate) and q_setops_customers
-    # (anti-join) already pin; its exact rule-by-rule oracle runs in
-    # tests/test_battery.py, and the gate composition is pinned by
-    # tests/test_expectations.py (write_version(expect=...) refuses a
-    # contract-violating release).
-    "contract_check",
-    # r10: the grouped form parks with its table-level sibling — one
-    # groupBy aggregation (the shape every graded agg entry pins),
-    # exact per-group oracle in tests/test_battery.py.
-    "contract_by_group",
-    # r10: the WARC crawl-archive round-trip parks with its graded
-    # ingest sibling q_scan_gzip_dump (same whole-file bin-packed
-    # compressed-scan machinery, different record framing); exact
-    # round-trip oracle in tests/test_battery.py, byte-split boundary
-    # ownership + fake-marker desync pinned in tests/test_warc.py.
-    "q_scan_warc",
-    # r10: the HTML-extraction composition parks with it — the same
-    # archive machinery plus text.html_to_text's JVM regexp chain;
-    # exact reconstruction oracle in tests/test_battery.py.
-    "q_scan_warc_html",
-    # r10: numeric PSI drift parks with its graded lexical sibling
-    # corpus_diff/corpus_drift family — two bounded groupBy(bucket)
-    # counts + a ≤ n_buckets full-outer join; integer-exact bucket
-    # oracle in tests/test_battery.py.
-    "drift_numeric",
-    # r10: streaming release commits park by construction — the
-    # foreachBatch append path over the GRADED corpus_time_travel
-    # store machinery (stream==batch parity additionally pinned in
-    # tests/test_versioning.py); oracle runs in tests/test_battery.py.
-    "corpus_version_stream",
+    # Round-11 rotation (r10 verdict #1): the seven r10 wave entries —
+    # contract_check, contract_by_group, q_scan_warc, q_scan_warc_html,
+    # drift_numeric, layout_content_addressed, corpus_version_stream —
+    # enter the graded 50 from their three-scale-green parked-oracle
+    # history (COVERAGE.md §r10; each also passes the conf-bare
+    # vanilla-session gate in tests/test_vanilla_session.py). The seven
+    # slots come from multiply-pinned graded rows whose SURVEY §2
+    # capability stays pinned by a green graded sibling (every demoted
+    # oracle still runs in tests/test_battery.py):
+    #   sequence packing → graded tok_pack_pipeline RUNS the identical
+    #                     pack_sequences machinery (packing.py) fed by
+    #                     real tokenizer artifacts — strictly richer;
+    #                     pack_sequences parks (its parked views
+    #                     pack_manifest/pack_materialize stay pinned in
+    #                     pytest alongside it)
+    "pack_sequences",
+    #   bigram LM       → graded text_ppl_buckets composes the identical
+    #                     bigram-LM fit+score (text_bigram_logprob's
+    #                     machinery) under per-language terciles —
+    #                     strictly richer; the raw-score form parks
+    "text_bigram_logprob",
+    #   compressed ingest → the whole-file bin-packed gz scan machinery
+    #                     (_pack_files/_FilesSplit → Arrow batches) is
+    #                     now graded by q_scan_warc/q_scan_warc_html
+    #                     (same split machinery, richer framing); the
+    #                     BSON-dump framing keeps its exact oracle in
+    #                     pytest plus tests/test_decode_edges.py
+    "q_scan_gzip_dump",
+    #   corpus drift/diff → the two-bounded-aggs + tiny-join family is
+    #                     now graded by drift_numeric (numeric PSI), and
+    #                     version-store diffs by graded
+    #                     corpus_time_travel; the lexical snapshot diff
+    #                     parks with its corpus_drift sibling
+    "corpus_diff",
+    #   distinct counts → graded dedup_exact (distinct-digest counting)
+    #                     + mql_group_accumulators ($addToSet/count
+    #                     accumulators) pin the countDistinct shape
+    "q_distinct_counts",
+    #   skew salting    → the salted two-phase aggregation returns the
+    #                     same result as the plain groupBy the graded
+    #                     q01/mql_group_accumulators pin; the salting
+    #                     CONTRACT (two-exchange plan, no key hotspot)
+    #                     is a plan property pinned by tests/test_plans
+    #                     + the exact pytest oracle
+    "skew_salted_group",
+    #   grouping sets   → per-level sums are the graded q01 multi-
+    #                     aggregate shape; the rollup grid keeps its
+    #                     exact oracle in pytest where the cube sibling
+    #                     (q_cube_counts) has sat green since r3
+    "q_rollup_orders",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

@@ -91,6 +91,10 @@ REPRESENTATIVES = [
     "drift_numeric",
     "q_scan_warc",
     "q_scan_warc_html",
+    # r11 rotation: the remaining r10 wave entries, graded since r11 —
+    # conf-bare before the driver runs them
+    "layout_content_addressed",
+    "corpus_version_stream",
 ]
 
 
