@@ -147,6 +147,12 @@ HEADLINE = [
     # green; scan-family siblings of q_scan_gzip_dump above)
     "q_scan_warc",
     "q_scan_warc_html",
+    # round-11: the URL tier (keys added r11 — first-reading numbers):
+    # canonicalization over a full-table messy-variant construction and
+    # the per-registered-domain cap (map-only expression chains; the
+    # cap's one shuffle moves pre-cut rows through WindowGroupLimit)
+    "url_canonicalize",
+    "url_domain_cap",
 ]
 
 
@@ -158,30 +164,23 @@ def _anchor_probe(spark) -> float:
     MEASURED drift column instead of post-hoc anchor arguments."""
     import time as _t
 
+    # min-of-3 over 500M rows: the old min-of-2/200M probe ran ~0.1 s,
+    # small enough that scheduler jitter alone read as tens of percent
+    # "drift" — a twitchy anchor makes the r11 spread bound misfire
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = _t.perf_counter()
-        spark.range(200_000_000).selectExpr("sum(id) AS s").collect()
+        spark.range(500_000_000).selectExpr("sum(id) AS s").collect()
         best = min(best, _t.perf_counter() - t0)
     return round(best, 3)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
+def _run_headline(spark, sf_dir: str, repeat: int):
+    """One full pass over the headline queries with bracketing drift
+    anchors. Returns (timings, drift) — the caller applies the
+    spread-bound policy."""
     from mongo_arrow_spark.battery import QUERIES
-    from mongo_arrow_spark.session import get_spark
 
-    spark = get_spark("bench")
-    # warm the JVM + parquet footers with a trivial action
-    spark.range(1).count()
-
-    # asv-style repeat discipline: one warm-up (codegen + broadcast build),
-    # then min of REPEAT timed runs — the min is the least-noise estimator
-    # on a shared host (stragglers from neighbor load inflate mean/max)
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
-    _anchor_probe(spark)  # warm the codegen path once
     drift = {"start": _anchor_probe(spark)}
     timings: dict[str, float] = {}
     for i, name in enumerate(HEADLINE):
@@ -199,6 +198,46 @@ def main() -> None:
     drift["end"] = _anchor_probe(spark)
     lo, hi = min(drift.values()), max(drift.values())
     drift["spread_pct"] = round(100.0 * (hi - lo) / lo, 1) if lo else 0.0
+    return timings, drift
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from mongo_arrow_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.range(1).count()
+
+    # asv-style repeat discipline: one warm-up (codegen + broadcast build),
+    # then min of REPEAT timed runs — the min is the least-noise estimator
+    # on a shared host (stragglers from neighbor load inflate mean/max)
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    _anchor_probe(spark)  # warm the codegen path once
+
+    # self-policing drift bound (r10 verdict #2): a capture whose anchor
+    # spread exceeds the bound is host-load-poisoned — per-key deltas
+    # read through it are attribution noise, and r10's committed record
+    # (+229.9% spread, cdc_watch_stream 2.78→5.55 s with untouched code)
+    # proved a poisoned capture CAN become the round record. Policy:
+    # re-run the whole headline pass (up to MAX_ATTEMPTS), keep the
+    # attempt with the smallest spread; if even the best attempt exceeds
+    # the bound, the emitted line carries "drift_exceeded": true so the
+    # record is self-describing instead of silently trusted.
+    bound = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SPREAD_PCT", "75"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    attempts = []
+    for _ in range(max_attempts):
+        timings, drift = _run_headline(spark, sf_dir, repeat)
+        attempts.append((drift["spread_pct"], timings, drift))
+        if drift["spread_pct"] <= bound:
+            break
+    spread, timings, drift = min(attempts, key=lambda a: a[0])
+    drift["attempts"] = len(attempts)
+    drift["max_spread_pct"] = bound
+    drift_exceeded = spread > bound
 
     # reference-shape microbenches (BASELINE.md:26 — ReadSmall/Large/Array/
     # Document/Extension at N_DOCS=20k) in the same JSON line so the next
@@ -279,6 +318,8 @@ def main() -> None:
         "n_docs": 20_000,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if drift_exceeded:
+        payload["drift_exceeded"] = True
     # The driver records only the LAST 2000 chars of stdout and parses
     # the final JSON line — with 60+ query keys the one-line dump blew
     # past that window, truncating the leading keys and leaving

@@ -8,9 +8,12 @@ trainer-ready text out.
    envelopes stripped, Arrow batches.
 3. **Extract**: ``text.html_to_text`` — JVM-side regexp chain (no
    UDF), head/script/style/comment/tag removal + entity unescape.
-4. **Screen**: language-ID + quality metrics + exact dedup, the
+4. **URL tier** (r11): canonicalize + URL-dedup + per-domain cap —
+   the refetched shard is dropped on its URL alone, before any
+   payload comparison (the CCNet/C4/RefinedWeb order).
+5. **Screen**: language-ID + quality metrics + exact dedup, the
    standard front gate before anything expensive runs.
-5. **Contract**: the extracted corpus must pass its expectations
+6. **Contract**: the extracted corpus must pass its expectations
    before it ships as a versioned release.
 
 Run: python examples/crawl_tour.py [sf_dir]
@@ -24,7 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from mongo_arrow_spark.operators import dedup, expectations as E, text, versioning
+from mongo_arrow_spark.operators import (
+    dedup,
+    expectations as E,
+    text,
+    url,
+    versioning,
+)
 from mongo_arrow_spark.session import get_spark, load_tables
 from mongo_arrow_spark.sources import register_warc, write_warc
 
@@ -44,12 +53,29 @@ def main() -> None:
             F.lit("</p><!-- chrome --></body></html>"),
         ).alias("text"),
     )
-    # a duplicated shard, as crawls always have
+    # a duplicated shard, as crawls always have — refetched under a
+    # MESSY variant of the same URL (tracking params, default port,
+    # uppercase host), so URL-dedup alone can catch it
+    pages = pages.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www.example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
     pages = pages.unionByName(
-        pages.limit(50).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        pages.limit(50).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text",
+            F.concat(
+                F.lit("HTTPS://WWW.Example.ORG:443/doc/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/?utm_source=refetch"),
+            ).alias("url"),
+        )
     )
     archive = f"{out}/archive"
-    write_warc(pages.repartition(4), archive)
+    write_warc(pages.repartition(4), archive, uri_col="url")
     n_archives = len(
         [f for f in os.listdir(archive) if f.endswith(".warc.gz")]
     )
@@ -63,13 +89,27 @@ def main() -> None:
             F.regexp_extract("record_id", r"urn:mas:(\d+)", 1)
             .cast("bigint")
             .alias("doc_id"),
+            F.col("target_uri").alias("url"),
             text.html_to_text(F.col("payload")).alias("text"),
         )
     )
     print(f"ingested {crawled.count()} pages from {n_archives} archives")
 
-    # 4. screen: lang-id, quality, exact dedup
-    screened = crawled.withColumn("lang", text.lang_id("text"))
+    # 4. URL tier FIRST (the CCNet/C4 order): canonicalize + URL-dedup
+    # catches the refetched shard without touching any payload, then a
+    # per-domain cap bounds source dominance
+    url_kept = url.cap_per_domain(
+        url.url_dedup(crawled, "url"), "url", n=1_000_000
+    )
+    print(
+        "after URL dedup + domain cap:", url_kept.count(),
+        "domains:", url_kept.select(
+            url.registered_domain(url.url_host(F.col("url")))
+        ).distinct().count(),
+    )
+
+    # 5. screen: lang-id, quality, exact content dedup
+    screened = url_kept.withColumn("lang", text.lang_id("text"))
     kept = dedup.exact_dedup(screened, text_col="text")
     print(
         "after exact dedup:", kept.count(),
@@ -78,7 +118,7 @@ def main() -> None:
         ),
     )
 
-    # 5. contract-gated release of the extracted corpus
+    # 6. contract-gated release of the extracted corpus
     contract = [
         E.not_null("doc_id"),
         E.unique("doc_id"),

@@ -434,6 +434,15 @@ _DEMOTED = [
     #                     exact oracle in pytest where the cube sibling
     #                     (q_cube_counts) has sat green since r3
     "q_rollup_orders",
+    # r11 wave: the URL tier parks below the window by construction
+    # (the established new-wave discipline — promotion next round with
+    # a three-scale-green history): closed-form canonicalization oracle
+    # and the per-registered-domain cap; both map-only JVM expression
+    # chains plus the already-graded WindowGroupLimit cut shape. Exact
+    # oracles run in tests/test_battery.py; cases + plan gates in
+    # tests/test_url.py.
+    "url_canonicalize",
+    "url_domain_cap",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

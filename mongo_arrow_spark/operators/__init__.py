@@ -17,6 +17,7 @@ from mongo_arrow_spark.operators import (
     similarity,
     text,
     tokenizer,
+    url,
     versioning,
 )
 
@@ -30,6 +31,7 @@ __all__ = [
     "similarity",
     "text",
     "tokenizer",
+    "url",
     "multimodal",
     "versioning",
 ]

@@ -1,0 +1,242 @@
+"""URL tier for the crawl path: canonicalization, host / registered-
+domain extraction, URL-dedup and per-domain caps — the step every
+CCNet/C4/RefinedWeb reproduction runs BEFORE content dedup (a crawl
+fetches the same document under ``http://WWW.Example.com:80/a/?utm_…``
+and ``https://example.com/a`` long before its text is compared).
+
+Scale design: everything here is a map-only JVM expression chain
+(``regexp_extract`` / higher-order array functions — no UDF, stays
+inside whole-stage codegen; the one exception is the optional
+full-public-suffix-list join, which runs over DISTINCT hosts, never
+the corpus). Patterns avoid backreferences and lookarounds so an
+RE2-based oracle (DuckDB) can replay them exactly — the
+``html_to_text`` discipline (text.py).
+
+Reference parity note: the reference's connector has no URL surface
+(it delegates string processing to mongod's $regexFind etc.,
+pymongoarrow/api.py); this tier exists for the training-data pipeline
+goal, like dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TRACKING_PARAM_RE",
+    "DEFAULT_MULTI_SUFFIXES",
+    "canonicalize_url",
+    "url_host",
+    "registered_domain",
+    "url_dedup",
+    "cap_per_domain",
+]
+
+# Tracking / click-id query parameters every major pipeline strips.
+# Anchored key-only regex (the part before '='): utm_* plus the known
+# click identifiers. RE2-portable (no lookarounds).
+TRACKING_PARAM_RE = (
+    r"^(utm_[A-Za-z0-9_]*|gclid|gclsrc|dclid|fbclid|msclkid|igshid"
+    r"|mc_cid|mc_eid|mkt_tok|yclid|_ga|_gl|spm|ref_src)(=.*)?$"
+)
+
+# Multi-label public suffixes for the expression-form registered-domain
+# extraction: a compact, documented SUBSET of publicsuffix.org covering
+# the high-traffic ccTLD second-level registries. Single-label TLDs
+# need no listing (the fallback takes the last label); wildcard and
+# exception PSL rules are out of scope for the expression form — ship
+# the full list via ``suffixes=`` (it becomes one array literal in the
+# plan, i.e. broadcast with the task binary) when exactness matters.
+DEFAULT_MULTI_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.kr", "or.kr", "ac.kr", "go.kr",
+    "com.mx", "org.mx", "gob.mx",
+    "co.za", "org.za", "gov.za", "ac.za",
+    "com.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.ar", "com.sg", "com.hk", "com.tw", "com.my",
+    "co.nz", "org.nz", "net.nz", "govt.nz",
+    "co.id", "or.id", "ac.id", "go.id",
+    "com.ua", "gov.ua", "com.pl", "edu.pl",
+    "co.il", "org.il", "ac.il", "gov.il",
+    "com.eg", "com.sa", "com.ng", "co.th", "ac.th", "go.th",
+]
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
+
+
+def _lc(c: Column) -> Column:
+    return F.lower(c)
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of a raw URL: authority minus userinfo
+    (``user:pass@``) and port. Empty string when the input has no
+    ``scheme://`` part (relative URLs carry no host). Map-only."""
+    u = F.trim((col if isinstance(col, Column) else F.col(col)).cast("string"))
+    auth = F.regexp_extract(u, _AUTH_RE, 1)
+    host = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.regexp_replace(host, r":[0-9]*$", "")
+    return _lc(host)
+
+
+def canonicalize_url(
+    col: Column | str,
+    strip_tracking: bool = True,
+    sort_query: bool = True,
+    strip_www: bool = False,
+) -> Column:
+    """Canonical form of an absolute URL, entirely as JVM expressions:
+
+    - scheme and host lowercased (path/query stay case-sensitive);
+    - userinfo and default ports dropped (``:80`` for http, ``:443``
+      for https — other ports are kept);
+    - fragment dropped;
+    - empty path becomes ``/``; trailing slashes collapse
+      (``/a/`` → ``/a``) except at the root;
+    - tracking parameters stripped (``strip_tracking``,
+      :data:`TRACKING_PARAM_RE`) and the survivors sorted
+      (``sort_query``) so parameter order cannot defeat URL-dedup;
+      empty parameters (``a=1&&b=2``) drop either way;
+    - ``strip_www=True`` additionally folds a leading ``www.``.
+
+    A value with no recognizable ``scheme://`` is passed through
+    trimmed but otherwise untouched — mangling a non-URL is worse
+    than not canonicalizing it. NULL stays NULL. One codegen'd
+    projection per row; no UDF, no shuffle."""
+    u = F.trim((col if isinstance(col, Column) else F.col(col)).cast("string"))
+    scheme = _lc(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = url_host(u)
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(
+        F.regexp_replace(F.regexp_extract(u, _AUTH_RE, 1), r"^[^@]*@", ""),
+        r":([0-9]+)$",
+        1,
+    )
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == F.lit("http")) & (port == F.lit("80")))
+        | ((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    hostport = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(
+        host
+    )
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
+    q = F.regexp_extract(u, _QUERY_RE, 1)
+    parts = F.split(q, "&")
+    parts = F.filter(parts, lambda p: p != F.lit(""))
+    if strip_tracking:
+        parts = F.filter(parts, lambda p: ~p.rlike(TRACKING_PARAM_RE))
+    if sort_query:
+        parts = F.array_sort(parts)
+    qs = F.array_join(parts, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(qs != F.lit(""), F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == F.lit(""), u).otherwise(canon)
+
+
+def registered_domain(
+    host: Column | str, suffixes: list[str] | None = None
+) -> Column:
+    """Registered (pay-level) domain of a HOST column: the public
+    suffix plus one label — ``news.bbc.co.uk`` → ``bbc.co.uk``,
+    ``a.b.example.com`` → ``example.com``.
+
+    Pure expression form: the suffix list rides in the plan as ONE
+    array literal per length class (it ships to every executor with
+    the task binary — a broadcast in Spark's own mechanism, no join,
+    no shuffle). Matching is longest-suffix-wins over 2- and 3-label
+    candidates, falling back to the bare TLD; hosts with fewer labels
+    than the match need pass through unchanged. Wildcard/exception
+    PSL rules are not modeled (see DEFAULT_MULTI_SUFFIXES). IPv4
+    literals pass through whole (a dotted-quad is not a domain
+    hierarchy)."""
+    h = _lc(
+        F.trim(
+            (host if isinstance(host, Column) else F.col(host)).cast("string")
+        )
+    )
+    sfx = DEFAULT_MULTI_SUFFIXES if suffixes is None else list(suffixes)
+    by_len: dict[int, list[str]] = {}
+    for s in sfx:
+        by_len.setdefault(s.count(".") + 1, []).append(s.lower())
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+
+    def last(k):
+        # join of the last k labels (k is a python int: slice is static)
+        return F.array_join(
+            F.slice(labels, n - (k - 1), k), "."
+        )
+
+    # longest listed suffix wins; unlisted TLD → last label is the suffix
+    suffix_labels = F.lit(1)
+    for k in sorted(by_len, reverse=True):
+        lits = F.array(*[F.lit(s) for s in sorted(by_len[k])])
+        suffix_labels = F.when(
+            (n > k) & F.array_contains(lits, last(k)), F.lit(k)
+        ).otherwise(suffix_labels)
+    dom_labels = suffix_labels + 1
+    is_ipv4 = h.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
+    return F.when(
+        is_ipv4 | (n <= dom_labels), h
+    ).otherwise(F.array_join(F.slice(labels, n - suffix_labels, dom_labels), "."))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    **canon_kwargs,
+) -> DataFrame:
+    """Keep one row (min ``id_col``) per CANONICAL URL — the crawl
+    pipeline's first dedup stage, run before any content comparison.
+    Composition of :func:`canonicalize_url` with the exact-dedup
+    groupBy: shuffles (md5(canonical_url), id) pairs only — payloads
+    never move."""
+    key = F.md5(canonicalize_url(F.col(url_col), **canon_kwargs))
+    keep = (
+        df.select(key.alias("__k"), F.col(id_col))
+        .groupBy("__k")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__k")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    n: int = 1000,
+    order_by=None,
+    id_col: str = "doc_id",
+    suffixes: list[str] | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` documents per registered domain (the
+    RefinedWeb per-domain cap, keyed by the URL itself). Map-only
+    domain extraction feeding :func:`selection.cap_per_group`'s
+    partial-WindowGroupLimit cut — a heavy domain arrives at its
+    reduce task already pre-cut per input partition."""
+    from mongo_arrow_spark.operators.selection import cap_per_group
+
+    tagged = df.withColumn(
+        "__dom", registered_domain(url_host(F.col(url_col)), suffixes)
+    )
+    return cap_per_group(
+        tagged, "__dom", n, order_by=order_by, id_col=id_col
+    ).drop("__dom")

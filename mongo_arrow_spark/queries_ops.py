@@ -2564,3 +2564,123 @@ def q_graph_hits(spark, sf_dir):
         (F.col("l_suppkey") + F.lit(10**12)).alias("dst"),
     )
     return hits(edges, iters=3).orderBy("node")
+
+
+@query(
+    "url_canonicalize",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'http://www.' || source || '.example.com/docs/'
+                         || doc_id || '?a=1&b=2'
+             WHEN 1 THEN 'https://' || source || '.example.com/docs/'
+                         || doc_id
+             WHEN 2 THEN 'https://' || source || '.example.com:8443/docs/'
+                         || doc_id
+             ELSE 'http://' || source || '.example.com/docs/' || doc_id
+           END AS url_canonical
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (r11): four deterministic messy variants per
+    document — uppercase scheme/host + default port + tracking params +
+    fragment; userinfo + ``:443`` + trailing slash; a kept non-default
+    port; tracking-only query string — each collapsed to its canonical
+    form by ``url.canonicalize_url`` (one codegen'd JVM projection, no
+    UDF, no shuffle beyond the final presentation sort). The oracle is
+    CLOSED-FORM: DuckDB constructs the expected canonical string
+    directly, so any drift in the chain (scheme/host case, port rules,
+    slash collapse, param strip/sort) hash-mismatches. First stage of
+    the crawl path before content dedup (CCNet/C4/RefinedWeb all
+    URL-dedup first)."""
+    from mongo_arrow_spark.operators import url as U
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    src = F.col("source")
+    m = F.col("doc_id") % 4
+    raw = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), src, F.lit(".Example.COM:80/docs/"),
+                did, F.lit("/?utm_source=feed&b=2&a=1#top"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://u:p@"), src, F.lit(".example.com:443/docs/"),
+                did, F.lit("/"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://"), src, F.lit(".example.com:8443/docs/"), did
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), src, F.lit(".example.com/docs/"), did,
+                F.lit("?gclid=g&utm_medium=x"),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id", U.canonicalize_url(raw).alias("url_canonical")
+    ).orderBy("doc_id")
+
+
+@query(
+    "url_domain_cap",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'brand' || (doc_id % 7)
+             || CASE lang WHEN 'en' THEN '.co.uk'
+                          WHEN 'de' THEN '.com.au'
+                          ELSE '.org' END AS domain
+      FROM documents
+    ), r AS (
+      SELECT doc_id, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      FROM u
+    )
+    SELECT doc_id, domain FROM r WHERE rk <= 25 ORDER BY doc_id
+    """,
+)
+def q_url_domain_cap(spark, sf_dir):
+    """Per-registered-domain cap (r11): synthesized crawl URLs
+    (subdomain + brand + a public suffix that exercises BOTH multi-label
+    suffix matching ``*.co.uk``/``*.com.au`` and the single-label
+    fallback ``.org``), registered-domain extraction as a pure JVM
+    expression (the suffix list rides in the plan — no join, no
+    shuffle), then ``cap_per_domain`` keeping the 25 lowest doc_ids per
+    domain through the Partial WindowGroupLimit cut (tests/test_url.py
+    pins the plan). The oracle computes the expected domain CLOSED-FORM
+    and replays the cap as a window — winners, not just counts, must
+    match. This is RefinedWeb's "no domain dominates" rule keyed by the
+    URL itself."""
+    from mongo_arrow_spark.operators import url as U
+
+    docs = _t(spark, sf_dir, "documents")
+    sfx = (
+        F.when(F.col("lang") == "en", F.lit(".co.uk"))
+        .when(F.col("lang") == "de", F.lit(".com.au"))
+        .otherwise(F.lit(".org"))
+    )
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://sub"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".brand"), (F.col("doc_id") % 7).cast("string"),
+            sfx, F.lit("/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    kept = U.cap_per_domain(u, "url", n=25)
+    return kept.select(
+        "doc_id",
+        U.registered_domain(U.url_host(F.col("url"))).alias("domain"),
+    ).orderBy("doc_id")

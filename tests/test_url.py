@@ -1,0 +1,163 @@
+"""URL tier: canonicalization cases, host / registered-domain
+extraction, URL-dedup and per-domain caps, and the plan contracts
+(map-only expressions, no UDF; cap keeps the partial
+WindowGroupLimit)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators import url as U
+
+from conftest import SF_DIR  # noqa: F401  (spark fixture wiring)
+
+
+def _canon(spark, raw, **kw):
+    df = spark.createDataFrame([(raw,)], "u string")
+    return df.select(U.canonicalize_url("u", **kw).alias("c")).first()["c"]
+
+
+CASES = [
+    # scheme+host lowercase, default port, fragment, tracking, sort
+    (
+        "HTTP://WWW.Example.COM:80/A/b/?b=2&utm_source=x&a=1#frag",
+        "http://www.example.com/A/b?a=1&b=2",
+    ),
+    # https default port + userinfo + trailing slash collapse
+    (
+        "https://user:pw@Example.com:443/docs/",
+        "https://example.com/docs",
+    ),
+    # non-default port kept; empty path becomes /
+    ("https://example.com:8443", "https://example.com:8443/"),
+    # empty params drop; non-tracking order normalized
+    ("http://a.com/p?z=1&&y=2&", "http://a.com/p?y=2&z=1"),
+    # all params tracking -> no ? at all
+    ("http://a.com/p?utm_medium=m&gclid=g", "http://a.com/p"),
+    # root path: slash stays
+    ("http://a.com/", "http://a.com/"),
+    ("http://a.com", "http://a.com/"),
+    # non-URL passes through trimmed, untouched
+    ("  /relative/path?x=1  ", "/relative/path?x=1"),
+    ("not a url", "not a url"),
+]
+
+
+@pytest.mark.parametrize("raw,want", CASES)
+def test_canonicalize_cases(spark, raw, want):
+    assert _canon(spark, raw) == want
+
+
+def test_canonicalize_options(spark):
+    assert (
+        _canon(spark, "http://www.a.com/x", strip_www=True)
+        == "http://a.com/x"
+    )
+    assert (
+        _canon(spark, "http://a.com/p?b=2&a=1", sort_query=False)
+        == "http://a.com/p?b=2&a=1"
+    )
+    assert (
+        _canon(spark, "http://a.com/p?utm_source=x&a=1", strip_tracking=False)
+        == "http://a.com/p?a=1&utm_source=x"
+    )
+    # NULL stays NULL
+    df = spark.createDataFrame([(None,)], "u string")
+    assert df.select(U.canonicalize_url("u").alias("c")).first()["c"] is None
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://user@News.BBC.co.UK:8080/x",),
+            ("http://1.2.3.4:80/",),
+            ("/relative",),
+        ],
+        "u string",
+    )
+    got = [r["h"] for r in df.select(U.url_host("u").alias("h")).collect()]
+    assert got == ["news.bbc.co.uk", "1.2.3.4", ""]
+
+
+@pytest.mark.parametrize(
+    "host,want",
+    [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("co.uk", "co.uk"),  # the bare suffix is not a registered domain
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("deep.shop.example.com.au", "example.com.au"),
+        ("1.2.3.4", "1.2.3.4"),  # IPv4 literal passes through
+        ("", ""),
+    ],
+)
+def test_registered_domain(spark, host, want):
+    df = spark.createDataFrame([(host,)], "h string")
+    assert (
+        df.select(U.registered_domain("h").alias("d")).first()["d"] == want
+    )
+
+
+def test_registered_domain_custom_suffixes(spark):
+    df = spark.createDataFrame([("x.y.internal.corp",)], "h string")
+    got = df.select(
+        U.registered_domain("h", suffixes=["internal.corp"]).alias("d")
+    ).first()["d"]
+    assert got == "y.internal.corp"
+
+
+def test_url_dedup_collapses_variants(spark):
+    rows = [
+        (1, "HTTP://Example.com:80/a?utm_source=x&b=2&a=1"),
+        (2, "http://example.com/a/?a=1&b=2"),  # same canonical as 1
+        (3, "http://example.com/b"),
+        (4, "http://example.com/b#frag"),  # same canonical as 3
+        (5, "https://example.com/b"),  # scheme differs: distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(
+        r["doc_id"] for r in U.url_dedup(df, "url").collect()
+    )
+    assert kept == [1, 3, 5]
+
+
+def test_cap_per_domain(spark):
+    rows = [
+        (i, f"https://sub{i % 4}.brand{i % 2}.co.uk/p/{i}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = U.cap_per_domain(df, "url", n=3)
+    assert kept.count() == 6  # 2 registered domains x 3
+    # deterministic: min doc_ids survive per domain
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+    # original columns intact, no helper column leaks
+    assert kept.columns == ["doc_id", "url"]
+
+
+def test_canonicalize_is_udf_free_map_only(spark):
+    df = spark.createDataFrame([(1, "http://a.com/x")], "id long, url string")
+    plan = (
+        df.select(U.canonicalize_url("url"), U.registered_domain(U.url_host("url")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cap_per_domain_keeps_partial_window_group_limit(spark):
+    df = spark.createDataFrame(
+        [(i, f"https://h{i % 3}.com/{i}") for i in range(30)],
+        "doc_id long, url string",
+    )
+    plan = (
+        U.cap_per_domain(df, "url", n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan

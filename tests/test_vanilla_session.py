@@ -95,6 +95,11 @@ REPRESENTATIVES = [
     # conf-bare before the driver runs them
     "layout_content_addressed",
     "corpus_version_stream",
+    # r11 waves (parked, promotion candidates): the URL tier —
+    # conf-bare before any future rotation puts them in front of the
+    # driver
+    "url_canonicalize",
+    "url_domain_cap",
 ]
 
 
