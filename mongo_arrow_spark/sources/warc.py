@@ -9,12 +9,17 @@ Scale design mirrors the documents source (``documents.py``): plain
 ``.warc`` files byte-split into ``partitionBytes`` ranges — each task
 scans forward to the first VALIDATED record boundary at/after its
 range start (candidate ``\\r\\n\\r\\nWARC/`` markers are verified by a
-full header+Content-Length parse, so a page whose BODY contains a fake
-WARC header cannot desynchronize the scan) and owns the records
-STARTING inside its range; ``.warc.gz`` (Common Crawl's per-record
-gzip members — not byte-splittable without an index) decodes
-whole-file, bin-packed into balanced groups by estimated decompressed
-size. Rows reach Spark as Arrow RecordBatches; payload bytes never
+bounded header parse with Content-Length checked against the file, so
+a page whose BODY contains a fake WARC header cannot desynchronize
+the scan) and owns the records STARTING inside its range. Large
+``.warc.gz`` (Common Crawl's member-per-record layout) byte-split the
+same way: each task seeks the first VALIDATED gzip member boundary
+(magic + clear reserved FLG bits + decompressed ``WARC/`` prefix) at
+or after its range start and streams exactly the members starting
+inside it — a 1 GB archive parallelizes within the file. Small gz
+files decode whole-file, bin-packed into balanced groups by estimated
+decompressed size; a single-member archive degrades to one productive
+task. Rows reach Spark as Arrow RecordBatches; payload bytes never
 materialize as Python row objects.
 
 Reference parity note: the reference's connector role is a byte-stream
@@ -277,6 +282,160 @@ def _seek_record_start(fh, start: int, source: str) -> bool:
         base = fh.tell()
 
 
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+class _OneMemberFile:
+    """Streaming file-like over ONE gzip member at a raw offset —
+    ``read``/``readline``/``tell`` operate on DECOMPRESSED bytes and
+    stop at the member boundary (``zlib.decompressobj(wbits=31)``
+    ends at member end; ``unused_data`` marks where the next
+    concatenated member starts). This is how a byte-split task decodes
+    exactly the members it owns without materializing any member in
+    memory: raw chunks in, bounded decompressed buffer out.
+    ``eof_raw`` (valid once the member is drained) is the raw offset
+    of the next member."""
+
+    _CHUNK = 1 << 20
+
+    def __init__(self, fh, offset: int, source: str):
+        self._fh = fh
+        self._fh.seek(offset)
+        self._d = zlib.decompressobj(31)
+        self._buf = b""
+        self._pos = 0
+        self._off = offset
+        self._consumed = 0
+        self._source = source
+        self.eof_raw: int | None = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def _fill(self) -> None:
+        while not self._buf and not self._d.eof:
+            raw = self._fh.read(self._CHUNK)
+            if not raw:
+                raise EOFError(
+                    f"{self._source}: truncated gzip member at raw offset "
+                    f"~{self._off}"
+                )
+            self._buf = self._d.decompress(raw)
+            self._consumed += len(raw)
+        if self._d.eof and self.eof_raw is None:
+            self.eof_raw = (
+                self._off + self._consumed - len(self._d.unused_data)
+            )
+
+    def read(self, n: int = -1) -> bytes:
+        out = []
+        want = n if n >= 0 else float("inf")
+        while want > 0:
+            self._fill()
+            if not self._buf:
+                break
+            take = self._buf if want >= len(self._buf) else self._buf[
+                : int(want)
+            ]
+            self._buf = self._buf[len(take):]
+            self._pos += len(take)
+            want -= len(take)
+            out.append(take)
+        return b"".join(out)
+
+    def readline(self, limit: int = -1) -> bytes:
+        out = []
+        lim = limit if limit >= 0 else float("inf")
+        while lim > 0:
+            self._fill()
+            if not self._buf:
+                break
+            j = self._buf.find(b"\n")
+            end = j + 1 if j >= 0 else len(self._buf)
+            take = self._buf[: min(end, int(lim)) if lim != float("inf") else end]
+            self._buf = self._buf[len(take):]
+            self._pos += len(take)
+            lim -= len(take)
+            out.append(take)
+            if take.endswith(b"\n"):
+                break
+        return b"".join(out)
+
+    def tell(self) -> int:
+        return self._pos
+
+    def drain(self) -> None:
+        """Consume to member end so ``eof_raw`` is valid (records
+        normally read to the boundary already; this covers filtered or
+        partially-read members)."""
+        while self.eof_raw is None:
+            self._buf = b""
+            self._fill()
+        self._buf = b""
+
+
+def _probe_gz_member_at(fh, cand: int, source: str) -> bool:
+    """Bounded validation that a real per-record gzip member starts at
+    ``cand``: magic + reserved FLG bits clear, and the decompressed
+    prefix must start with a WARC version line — compressed payload
+    bytes that happen to contain the 3-byte magic cannot fabricate
+    both a valid deflate stream AND a ``WARC/`` prefix."""
+    fh.seek(cand)
+    head = fh.read(1 << 16)
+    if not head.startswith(_GZ_MAGIC):
+        return False
+    if len(head) > 3 and head[3] & 0xE0:
+        return False  # reserved FLG bits must be zero
+    d = zlib.decompressobj(31)
+    out = b""
+    data = head
+    try:
+        for _ in range(4):
+            out += d.decompress(data, 16)
+            if len(out) >= 5 or d.eof:
+                break
+            data = d.unconsumed_tail or fh.read(1 << 16)
+            if not data:
+                break
+    except zlib.error:
+        return False
+    return out.startswith(b"WARC/")
+
+
+def _seek_gz_member(fh, start: int, source: str) -> int | None:
+    """First VALIDATED gzip member boundary at or after ``start``
+    (raw offset), or None when the range holds none — the
+    ``_seek_record_start`` discipline for the compressed layout."""
+    if start == 0:
+        return 0
+    fh.seek(max(0, start))
+    carry = b""
+    base = fh.tell()
+    while True:
+        chunk = fh.read(1 << 20)
+        if not chunk:
+            return None
+        buf = carry + chunk
+        buf_base = base - len(carry)
+        i = 0
+        while True:
+            j = buf.find(_GZ_MAGIC, i)
+            if j < 0:
+                break
+            cand = buf_base + j
+            if cand >= start:
+                here = fh.tell()
+                if _probe_gz_member_at(fh, cand, source):
+                    return cand
+                fh.seek(here)
+            i = j + 1
+        carry = buf[-(len(_GZ_MAGIC) - 1):]
+        base = fh.tell()
+
+
 def _split_http(body: bytes):
     """(http_status, http_content_type, stripped_body) for an
     ``application/http`` payload; (None, None, body) when the envelope
@@ -339,9 +498,18 @@ class WarcReader(DataSourceReader):
         gz: list[tuple[str, int]] = []
         for path in self.paths:
             size = os.path.getsize(path)
-            if _is_gz(path):
+            if _is_gz(path) and size <= self.partition_bytes:
+                # small archives: whole-file decode, bin-packed into
+                # balanced groups by estimated decompressed size
                 gz.append((path, size * _EXPANSION_ESTIMATE))
                 continue
+            # plain .warc AND large .warc.gz byte-split into ranges: a
+            # 1 GB Common Crawl archive (per-record gzip members)
+            # parallelizes WITHIN the file — each task seeks to the
+            # first validated boundary (record marker / member magic)
+            # at/after its range start and owns what STARTS inside it.
+            # A single-member gz (no boundaries to find) degrades to
+            # one productive task, same as the whole-file path.
             n = max(1, -(-size // self.partition_bytes))
             step = -(-size // n) if size else 1
             for i in range(n):
@@ -411,11 +579,15 @@ class WarcReader(DataSourceReader):
 
     def _streams(self, part):
         """(source_name, positioned stream ctx, stop_at) per file in the
-        split. Plain files seek to their validated range start; gz
-        streams decode whole-file."""
+        split. Plain files seek to their validated range start;
+        byte-split gz yields one stream per OWNED member; small gz
+        files decode whole-file."""
         if isinstance(part, _FilesSplit):
             for path in part.paths:
                 yield os.path.basename(path), gzip.open(path, "rb"), None
+            return
+        if _is_gz(part.path):
+            yield from self._gz_member_streams(part)
             return
         fh = open(part.path, "rb")
         if not _seek_record_start(fh, part.start, part.path):
@@ -425,6 +597,41 @@ class WarcReader(DataSourceReader):
             fh.close()
             return
         yield os.path.basename(part.path), fh, part.end
+
+    def _gz_member_streams(self, part):
+        """Members of a byte-split ``.warc.gz`` whose raw START offset
+        falls inside the range — decoded one by one, each as a
+        streaming one-member file (never materialized). After the
+        first validated seek, successive members chain at exactly
+        ``eof_raw``; anything else there is corruption (fail raises,
+        drop ends the file)."""
+        src = os.path.basename(part.path)
+        with open(part.path, "rb") as fh:
+            size = os.fstat(fh.fileno()).st_size
+            off = _seek_gz_member(fh, part.start, src)
+            while off is not None and off < part.end:
+                member = _OneMemberFile(fh, off, src)
+                yield src, member, None
+                try:
+                    member.drain()
+                except _STREAM_ERRORS as exc:
+                    if self.corrupt_mode == "drop":
+                        return
+                    raise WarcCorruptError(
+                        f"{src}: unreadable gzip member at raw offset "
+                        f"~{off}: {exc}"
+                    ) from exc
+                off = member.eof_raw
+                if off is None or off >= size:
+                    return
+                fh.seek(off)
+                if fh.read(3) != _GZ_MAGIC:
+                    if self.corrupt_mode == "drop":
+                        return
+                    raise WarcCorruptError(
+                        f"{src}: expected gzip member at raw offset "
+                        f"{off}, found garbage"
+                    )
 
 
 class WarcDataSource(DataSource):
@@ -497,6 +704,11 @@ def write_warc(
     per partition (Common Crawl's many-archives shape — file-level
     parallelism on both write and read), each row a response record
     with ``urn:mas:<id>`` identity and the text as the HTTP body.
+    Compressed archives use Common Crawl's member-per-record layout
+    (each record its own gzip member, ``mtime=0`` for deterministic
+    bytes): whole-file readers see one concatenated stream, and the
+    byte-split reader parallelizes WITHIN a large archive by seeking
+    validated member boundaries.
     Executor-side streaming append — no driver collection, no
     per-partition buffering beyond one record. Overwrite semantics:
     pre-existing ``part-*.warc[.gz]`` files under ``path`` are removed
@@ -520,20 +732,27 @@ def write_warc(
 
         pid = TaskContext.get().partitionId()
         fname = os.path.join(path, f"part-{pid:05d}{ext}")
-        opener = gzip.open if compress else open
+
+        def enc(record: bytes) -> bytes:
+            # member-per-record (mtime=0: deterministic bytes) — the
+            # layout that makes large archives byte-splittable
+            return gzip.compress(record, 6, mtime=0) if compress else record
+
         n = 0
-        with opener(fname, "wb") as out:
+        with open(fname, "wb") as out:
             # spec-shaped leading warcinfo record per archive; readers
             # with the default warcTypes=response skip it
             out.write(
-                build_warc_record(
-                    f"<urn:mas:warcinfo:{pid}>",
-                    None,
-                    b"software: mongo-arrow-spark\r\n"
-                    b"format: WARC File Format 1.0",
-                    warc_type="warcinfo",
-                    http=False,
-                    http_content_type="application/warc-fields",
+                enc(
+                    build_warc_record(
+                        f"<urn:mas:warcinfo:{pid}>",
+                        None,
+                        b"software: mongo-arrow-spark\r\n"
+                        b"format: WARC File Format 1.0",
+                        warc_type="warcinfo",
+                        http=False,
+                        http_content_type="application/warc-fields",
+                    )
                 )
             )
             for pdf in batches:
@@ -546,8 +765,10 @@ def write_warc(
                         else f"https://example.org/doc/{rid}"
                     )
                     out.write(
-                        build_warc_record(
-                            f"<urn:mas:{rid}>", uri, txt.encode("utf-8")
+                        enc(
+                            build_warc_record(
+                                f"<urn:mas:{rid}>", uri, txt.encode("utf-8")
+                            )
                         )
                     )
                     n += 1

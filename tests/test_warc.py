@@ -357,3 +357,129 @@ def test_boundary_probe_rejects_oversized_content_length(tmp_path):
         assert real_start >= 0
         assert _seek_record_start(fh, cand, p)
         assert fh.tell() == real_start + 4
+
+
+# --------------------------------------------- round-11: splittable gz
+
+
+def _mk_member_warc(path, records):
+    """Member-per-record gz archive (Common Crawl layout)."""
+    with open(path, "wb") as fh:
+        for rec in records:
+            fh.write(gzip.compress(rec, 6, mtime=0))
+    return path
+
+
+def test_gz_byte_splits_cover_exactly_once(spark, tmp_path):
+    """A member-per-record archive read under byte-splits must see
+    every record exactly once, for any partitionBytes — including cuts
+    landing mid-member and mid-magic."""
+    recs = [
+        build_warc_record(
+            f"<urn:mas:{i}>", f"https://x.org/{i}", (f"body-{i}-" * 40).encode()
+        )
+        for i in range(40)
+    ]
+    p = str(tmp_path / "cc.warc.gz")
+    _mk_member_warc(p, recs)
+    size = os.path.getsize(p)
+    want = sorted(f"<urn:mas:{i}>" for i in range(40))
+    # small partitionBytes forces many intra-file splits
+    for pb in (size // 7, size // 3, 1024, size + 10):
+        got = sorted(
+            r["record_id"]
+            for r in _read(spark, p, partitionBytes=str(pb)).collect()
+        )
+        assert got == want, f"partitionBytes={pb}"
+
+
+def test_gz_split_fake_magic_in_payload_does_not_desync(spark, tmp_path):
+    """Compressed payloads can contain the 3-byte gzip magic; the
+    boundary probe requires a valid deflate stream yielding a WARC/
+    prefix, so a fake magic cannot start a phantom member."""
+    evil = b"A" * 50 + b"\x1f\x8b\x08\x00junkjunk" * 20 + b"B" * 50
+    recs = [
+        build_warc_record(f"<urn:mas:{i}>", f"https://x.org/{i}", evil)
+        for i in range(12)
+    ]
+    p = str(tmp_path / "evil.warc.gz")
+    _mk_member_warc(p, recs)
+    size = os.path.getsize(p)
+    got = sorted(
+        r["record_id"]
+        for r in _read(spark, p, partitionBytes=str(size // 5)).collect()
+    )
+    assert got == sorted(f"<urn:mas:{i}>" for i in range(12))
+    # payloads intact
+    rows = _read(spark, p, partitionBytes=str(size // 5)).collect()
+    assert all(bytes(r["payload"]) == evil for r in rows)
+
+
+def test_gz_single_member_archive_degrades_to_one_task(spark, tmp_path):
+    """An archive compressed as ONE member (the old writer layout) has
+    no interior boundaries: byte-split reading still returns every
+    record exactly once (one productive task streams the member)."""
+    recs = [
+        build_warc_record(f"<urn:mas:{i}>", None, b"x" * 500, http=False)
+        for i in range(10)
+    ]
+    p = str(tmp_path / "single.warc.gz")
+    with gzip.open(p, "wb") as fh:
+        for rec in recs:
+            fh.write(rec)
+    size = os.path.getsize(p)
+    got = sorted(
+        r["record_id"]
+        for r in _read(spark, p, partitionBytes=str(max(64, size // 4))).collect()
+    )
+    assert got == sorted(f"<urn:mas:{i}>" for i in range(10))
+
+
+def test_write_warc_member_per_record_and_deterministic(spark, tmp_path):
+    """The compressed writer emits one gzip member per record with
+    mtime=0: re-writing identical data yields identical bytes, and a
+    written archive contains multiple member boundaries."""
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    ).coalesce(1)
+    d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    write_warc(df, d1)
+    write_warc(df, d2)
+    f1 = os.path.join(d1, os.listdir(d1)[0])
+    f2 = os.path.join(d2, os.listdir(d2)[0])
+    b1 = open(f1, "rb").read()
+    assert b1 == open(f2, "rb").read()
+    assert b1.count(b"\x1f\x8b\x08") >= 21  # warcinfo + 20 records
+    # and the split reader round-trips it
+    got = _read(spark, f1, partitionBytes="512").count()
+    assert got == 20
+
+
+def test_gz_split_corrupt_member_drop_vs_fail(spark, tmp_path):
+    """A damaged interior member under byte-splits: drop ends that
+    file's stream without killing the read; fail raises."""
+    recs = [
+        build_warc_record(f"<urn:mas:{i}>", f"https://x.org/{i}", b"z" * 200)
+        for i in range(6)
+    ]
+    members = [gzip.compress(r, 6, mtime=0) for r in recs]
+    # mangle the 4th member's deflate body
+    bad = bytearray(members[3])
+    for k in range(12, min(40, len(bad))):
+        bad[k] ^= 0xFF
+    members[3] = bytes(bad)
+    p = str(tmp_path / "dmg.warc.gz")
+    with open(p, "wb") as fh:
+        fh.write(b"".join(members))
+    # one split: drop keeps the records before the damage at least
+    got = {
+        r["record_id"]
+        for r in _read(
+            spark, p, corruptMode="drop",
+            partitionBytes=str(os.path.getsize(p) + 1),
+        ).collect()
+    }
+    assert {f"<urn:mas:{i}>" for i in range(3)} <= got
+    assert "<urn:mas:3>" not in got
+    with pytest.raises(Exception):
+        _read(spark, p, corruptMode="fail").collect()
