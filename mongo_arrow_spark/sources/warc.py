@@ -47,7 +47,11 @@ import zlib
 from typing import Iterator
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+)
 
 from mongo_arrow_spark.errors import SchemaError
 from mongo_arrow_spark.sources.documents import (
@@ -59,7 +63,13 @@ from mongo_arrow_spark.sources.documents import (
     _Split,
 )
 
-__all__ = ["WarcDataSource", "register_warc", "build_warc_record", "write_warc"]
+__all__ = [
+    "WarcDataSource",
+    "register_warc",
+    "build_warc_record",
+    "write_warc",
+    "read_warc_stream",
+]
 
 WARC_SCHEMA = T.StructType(
     [
@@ -634,9 +644,63 @@ class WarcReader(DataSourceReader):
                     )
 
 
+class WarcStreamReader(DataSourceStreamReader):
+    """Streaming WARC ingest: ``spark.readStream.format("warc")`` over
+    an archive DROP DIRECTORY — each newly arrived ``.warc[.gz]`` file
+    becomes (part of) a microbatch, so ``curate_stream``/``ingest_gate``
+    run directly off the crawler's output directory.
+
+    Offset discipline is the documents stream reader's seen-file-set
+    (documents.py): offsets carry the SET of relative file names, so a
+    late-arriving archive whose name sorts early cannot shift positional
+    indexes — each microbatch processes exactly ``end.seen − start.seen``,
+    replayable and exactly-once on retry. Within a microbatch, new
+    archives go through the SAME split planning as the batch reader
+    (byte-split large files at validated boundaries, bin-pack small gz),
+    so one huge arrival still parallelizes."""
+
+    def __init__(self, schema: T.StructType, options):
+        self.schema = schema
+        self.options = options
+        self.dir = options.get("path")
+
+    def _listing(self) -> list[str]:
+        import glob as _glob
+
+        return sorted(
+            f
+            for pat in ("*.warc", "*.warc.gz")
+            for f in _glob.glob(
+                os.path.join(self.dir, "**", pat), recursive=True
+            )
+        )
+
+    def initialOffset(self):
+        return {"seen": []}
+
+    def latestOffset(self):
+        return {
+            "seen": [os.path.relpath(f, self.dir) for f in self._listing()]
+        }
+
+    def partitions(self, start, end):
+        new = sorted(set(end.get("seen", ())) - set(start.get("seen", ())))
+        files = [os.path.join(self.dir, name) for name in new]
+        reader = WarcReader(self.schema, self.options)
+        reader.paths = files
+        return reader.partitions()
+
+    def read(self, part) -> Iterator:
+        reader = WarcReader(self.schema, self.options)
+        yield from reader.read(part)
+
+    def commit(self, end):
+        pass
+
+
 class WarcDataSource(DataSource):
-    """``spark.read.format("warc")`` — register with
-    :func:`register_warc`."""
+    """``spark.read.format("warc")`` / ``spark.readStream.format("warc")``
+    — register with :func:`register_warc`."""
 
     @classmethod
     def name(cls) -> str:
@@ -648,9 +712,23 @@ class WarcDataSource(DataSource):
     def reader(self, schema: T.StructType) -> WarcReader:
         return WarcReader(schema, self.options)
 
+    def streamReader(self, schema: T.StructType) -> WarcStreamReader:
+        return WarcStreamReader(schema, self.options)
+
 
 def register_warc(spark) -> None:
     spark.dataSource.register(WarcDataSource)
+
+
+def read_warc_stream(spark, path: str, **options):
+    """``readStream`` over a WARC drop directory (see
+    :class:`WarcStreamReader`). Options are the batch reader's
+    (``warcTypes``/``stripHttp``/``corruptMode``/``partitionBytes``)."""
+    register_warc(spark)
+    reader = spark.readStream.format("warc").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def build_warc_record(

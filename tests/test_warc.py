@@ -483,3 +483,117 @@ def test_gz_split_corrupt_member_drop_vs_fail(spark, tmp_path):
     assert "<urn:mas:3>" not in got
     with pytest.raises(Exception):
         _read(spark, p, corruptMode="fail").collect()
+
+
+# ------------------------------------------- round-11: streaming ingest
+
+
+def test_warc_stream_equals_batch_on_finite_replay(spark, tmp_path):
+    """readStream over an archive drop directory == the batch read on
+    the same finite archives (availableNow drains everything seen)."""
+    import uuid
+
+    from mongo_arrow_spark.sources.warc import read_warc_stream
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    for a in range(3):
+        _mk_member_warc(
+            os.path.join(drop, f"crawl-{a}.warc.gz"),
+            [
+                build_warc_record(
+                    f"<urn:mas:{a}-{i}>", f"https://x.org/{a}/{i}",
+                    f"payload {a}-{i}".encode(),
+                )
+                for i in range(5)
+            ],
+        )
+    name = f"warc_stream_{uuid.uuid4().hex[:8]}"
+    (
+        read_warc_stream(spark, drop)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r["record_id"], bytes(r["payload"]))
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["record_id"], bytes(r["payload"]))
+        for r in _read(spark, drop).collect()
+    }
+    assert got == want and len(got) == 15
+
+
+def test_warc_stream_incremental_arrivals(spark, tmp_path):
+    """New archives landing between offsets are planned exactly once —
+    including a late arrival whose name sorts FIRST (the seen-set
+    offset contract), and a large arrival still byte-splits within
+    the microbatch."""
+    from mongo_arrow_spark.sources.warc import WARC_SCHEMA, WarcStreamReader
+
+    drop = tmp_path / "drop2"
+    drop.mkdir()
+
+    def arrive(name, tag, n, body=b"x"):
+        _mk_member_warc(
+            str(drop / name),
+            [
+                build_warc_record(
+                    f"<urn:mas:{tag}-{i}>", None, body, http=False
+                )
+                for i in range(n)
+            ],
+        )
+
+    arrive("m-mid.warc.gz", "first", 4)
+    reader = WarcStreamReader(WARC_SCHEMA, {"path": str(drop)})
+    start = reader.initialOffset()
+    mid = reader.latestOffset()
+    first = [p for p in reader.partitions(start, mid)]
+    assert sorted(
+        os.path.basename(getattr(p, "paths", (getattr(p, "path", ""),))[0])
+        for p in first
+    ) == ["m-mid.warc.gz"]
+    # late arrival sorting BEFORE the committed file is still new
+    arrive("a-early.warc.gz", "late", 3)
+    end = reader.latestOffset()
+    second = reader.partitions(mid, end)
+    names = {
+        os.path.basename(getattr(p, "paths", (getattr(p, "path", ""),))[0])
+        for p in second
+    }
+    assert names == {"a-early.warc.gz"}
+    # replay of the committed range is unchanged by the new arrival
+    replay = reader.partitions(start, mid)
+    assert [
+        getattr(p, "paths", getattr(p, "path", None)) for p in replay
+    ] == [getattr(p, "paths", getattr(p, "path", None)) for p in first]
+    # a big arrival byte-splits within its microbatch
+    arrive("z-big.warc.gz", "big", 40, body=b"B" * 4096)
+    big = reader.partitions(end, reader.latestOffset())
+    small_reader = WarcStreamReader(
+        WARC_SCHEMA, {"path": str(drop), "partitionbytes": "2048"}
+    )
+    big_split = small_reader.partitions(end, small_reader.latestOffset())
+    assert len(big) == 1 and len(big_split) > 1
+    # and the split reads union to exactly the file's records
+    got = sorted(
+        headers.get("warc-record-id")
+        for p in big_split
+        for _, headers, _ in _collect_records(small_reader, p)
+    )
+    assert got == sorted(f"<urn:mas:big-{i}>" for i in range(40))
+
+
+def _collect_records(reader, part):
+    out = []
+    for batch in reader.read(part):
+        for i in range(batch.num_rows):
+            out.append(
+                (None, {"warc-record-id": batch.column(0)[i].as_py()}, None)
+            )
+    return out
