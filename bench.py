@@ -153,6 +153,10 @@ HEADLINE = [
     # cap's one shuffle moves pre-cut rows through WindowGroupLimit)
     "url_canonicalize",
     "url_domain_cap",
+    # main-content extraction (boilerplate containers + segment filter
+    # on top of the q_scan_warc_html chain — expect it to read a bit
+    # above that key: same archive decode plus the HOF segment pass)
+    "q_scan_warc_main",
 ]
 
 

@@ -443,6 +443,13 @@ _DEMOTED = [
     # tests/test_url.py.
     "url_canonicalize",
     "url_domain_cap",
+    # r11 wave: main-content extraction parks with its graded sibling
+    # q_scan_warc_html (same archive machinery; html_main_text adds
+    # boilerplate-container removal + the per-segment length/link-
+    # density filter). Closed-form oracle in tests/test_battery.py;
+    # extraction-quality fixtures + no-UDF plan gate in
+    # tests/test_warc.py.
+    "q_scan_warc_main",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

@@ -152,6 +152,101 @@ def html_to_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(x, r"\s+", " "))
 
 
+#: Container elements whose entire content is chrome, not prose — the
+#: blocks every production extractor (trafilatura/jusText class) drops.
+_BOILERPLATE_TAGS = (
+    "header", "nav", "aside", "footer", "form",
+    "noscript", "iframe", "svg", "button",
+)
+
+#: Block-level boundaries that end a text segment for the per-segment
+#: length / link-density filter.
+_SEGMENT_SPLIT_RE = (
+    r"(?i)</(?:p|div|section|article|li|ul|ol|table|tr|td|h[1-6]"
+    r"|blockquote)\s*>|<br\s*/?>"
+)
+
+
+def _strip_tags_text(x: Column) -> Column:
+    """Tag strip + entity unescape + whitespace collapse — the shared
+    tail of both extractors, usable inside higher-order lambdas."""
+    t = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_main_text(
+    col: Column | str,
+    min_text_chars: int = 25,
+    max_link_density: float = 0.5,
+) -> Column:
+    """Main-content extraction (r11): :func:`html_to_text` plus the two
+    boilerplate moves every production crawl pipeline makes —
+
+    1. **container removal**: ``<header>/<nav>/<aside>/<footer>/<form>/
+       <noscript>/<iframe>/<svg>/<button>`` blocks drop whole (chrome,
+       not prose). Non-greedy block matches: a same-tag NESTED
+       container keeps its tail — the documented regex limit, exactly
+       like ``html_to_text``'s head/script handling.
+    2. **segment filter** (the jusText/trafilatura-lite line filter):
+       the remaining markup splits into segments at block-level
+       boundaries (``</p> </div> </li> <h*> <br>`` …); a segment
+       survives only if its extracted text has ≥ ``min_text_chars``
+       characters AND its link density (fraction of extracted chars
+       that came from ``<a>`` elements) is ≤ ``max_link_density`` —
+       short and link-dense segments are menus, breadcrumbs, tag
+       clouds and "related links" farms.
+
+    Still entirely JVM expressions — the strip chain runs inside
+    ``transform``/``filter`` higher-order lambdas, no UDF, and every
+    pattern avoids backreferences/lookarounds (RE2-portable, so an
+    oracle can replay the construction). Rows with no surviving
+    segment yield ``''`` (empty, not NULL)."""
+    x = (col if isinstance(col, Column) else F.col(col)).cast("string")
+    for pat in (
+        r"(?is)<head(\s[^>]*)?>.*?</head\s*>",
+        r"(?is)<script(\s[^>]*)?>.*?</script\s*>",
+        r"(?is)<style(\s[^>]*)?>.*?</style\s*>",
+        r"(?s)<!--.*?-->",
+    ):
+        x = F.regexp_replace(x, pat, " ")
+    for tag in _BOILERPLATE_TAGS:
+        x = F.regexp_replace(
+            x, rf"(?is)<{tag}(\s[^>]*)?>.*?</{tag}\s*>", " "
+        )
+    segs = F.split(x, _SEGMENT_SPLIT_RE)
+    # per segment: extracted text, and the same with <a> elements
+    # removed first — the length delta is the anchor-derived text
+    stats = F.transform(
+        segs,
+        lambda s: F.struct(
+            _strip_tags_text(s).alias("t"),
+            _strip_tags_text(
+                F.regexp_replace(s, r"(?is)<a(\s[^>]*)?>.*?</a\s*>", " ")
+            ).alias("na"),
+        ),
+    )
+    kept = F.filter(
+        stats,
+        lambda st: (F.length(st["t"]) >= F.lit(int(min_text_chars)))
+        & (
+            (F.length(st["t"]) - F.length(st["na"])).cast("double")
+            <= F.lit(float(max_link_density))
+            * F.length(st["t"]).cast("double")
+        ),
+    )
+    joined = F.array_join(F.transform(kept, lambda st: st["t"]), " ")
+    return F.trim(F.regexp_replace(joined, r"\s+", " "))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token bag. Robust to token reordering (near-dup canary), exact-joinable.

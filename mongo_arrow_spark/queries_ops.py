@@ -2684,3 +2684,79 @@ def q_url_domain_cap(spark, sf_dir):
         "doc_id",
         U.registered_domain(U.url_host(F.col("url"))).alias("domain"),
     ).orderBy("doc_id")
+
+
+def _warc_main_corpus_dir(spark, sf_dir: str) -> str:
+    """The documents table wrapped in FULL page chrome (header, nav
+    menu, link farm, footer — the blocks production extractors drop)
+    and shipped as a WARC archive — the main-content-extraction
+    fixture."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/mas_warcm_{tag}"
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    from mongo_arrow_spark.sources.warc import write_warc
+
+    wrapped = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "<html><head><title>d</title></head><body>"
+                "<header><h1>Site</h1></header>"
+                '<nav><ul><li><a href="/">Home</a></li>'
+                '<li><a href="/about">About the site</a></li></ul></nav>'
+                "<article><p>"
+            ),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(
+                '</p></article><div class="rel"><a href="/1">one</a> '
+                '<a href="/2">two</a> <a href="/3">three</a></div>'
+                "<footer>&copy; 2026 Example</footer></body></html>"
+            ),
+        ).alias("text"),
+    )
+    write_warc(wrapped.repartition(4), d)
+    open(marker, "w").close()
+    return d
+
+
+@query(
+    "q_scan_warc_main",
+    r"""
+    SELECT doc_id,
+           CASE WHEN LENGTH(TRIM(REGEXP_REPLACE(COALESCE(text, ''),
+                                                '\s+', ' ', 'g'))) >= 25
+                THEN TRIM(REGEXP_REPLACE(COALESCE(text, ''),
+                                         '\s+', ' ', 'g'))
+                ELSE '' END AS text
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_scan_warc_main(spark, sf_dir):
+    """Main-content extraction over the crawl path (r11): pages carry
+    FULL chrome — header, nav menu, a related-links farm, footer —
+    and ``text.html_main_text`` must return exactly the article prose:
+    container removal drops the header/nav/footer blocks whole, and the
+    per-segment length + link-density filter kills the link farm (13
+    chars, density 1.0). The oracle is CLOSED-FORM from the parquet
+    base: the normalized document text when it meets the 25-char
+    segment floor, else '' — so chrome leaking through, prose dropped,
+    or a filter-threshold drift all hash-mismatch. Entirely JVM
+    expressions (the strip chain runs inside transform/filter HOF
+    lambdas; plan gate in tests/test_warc.py)."""
+    from mongo_arrow_spark.operators import text as text_ops
+    from mongo_arrow_spark.sources.warc import register_warc
+
+    register_warc(spark)
+    d = _warc_main_corpus_dir(spark, sf_dir)
+    df = spark.read.format("warc").load(d + "/*.warc.gz")
+    return df.select(
+        F.regexp_extract("record_id", r"urn:mas:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        text_ops.html_main_text(F.col("payload")).alias("text"),
+    ).orderBy("doc_id")

@@ -100,6 +100,7 @@ REPRESENTATIVES = [
     # driver
     "url_canonicalize",
     "url_domain_cap",
+    "q_scan_warc_main",
 ]
 
 

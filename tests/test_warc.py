@@ -597,3 +597,78 @@ def _collect_records(reader, part):
                 (None, {"warc-record-id": batch.column(0)[i].as_py()}, None)
             )
     return out
+
+
+# ------------------------------------- round-11: main-content extraction
+
+
+def test_html_main_text_drops_boilerplate(spark):
+    from mongo_arrow_spark.operators.text import html_main_text
+
+    html = (
+        "<html><head><title>t</title></head><body>"
+        "<header><h1>Site name</h1></header>"
+        "<nav><ul><li><a href='/'>Home</a></li>"
+        "<li><a href='/a'>About us page</a></li></ul></nav>"
+        "<article><p>This is the actual prose of the page, long enough"
+        " to survive the segment filter.</p></article>"
+        "<div class='links'><a href='/1'>one</a> <a href='/2'>two</a>"
+        " <a href='/3'>three</a></div>"
+        "<footer>&copy; 2026 Example Corp</footer>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    out = df.select(html_main_text("h").alias("o")).first()["o"]
+    assert "actual prose" in out
+    assert "Home" not in out and "Site name" not in out
+    assert "one" not in out and "Example Corp" not in out
+
+
+def test_html_main_text_link_density_and_length(spark):
+    from mongo_arrow_spark.operators.text import html_main_text
+
+    # long but link-dense segment dropped; prose with a MINOR inline
+    # link kept (its link density is low)
+    html = (
+        "<body><div>"
+        "<a href='/x'>A long navigation label here</a> "
+        "<a href='/y'>another long navigation label</a></div>"
+        "<p>Real content sentence mentioning <a href='/r'>a ref</a> "
+        "inline and carrying on with enough prose to pass.</p>"
+        "<p>short</p></body>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    out = df.select(html_main_text("h").alias("o")).first()["o"]
+    assert "Real content sentence" in out and "a ref" in out
+    assert "navigation label" not in out
+    assert "short" not in out  # below min_text_chars
+    # dials: raising density tolerance keeps the nav block
+    loose = df.select(
+        html_main_text("h", max_link_density=1.0).alias("o")
+    ).first()["o"]
+    assert "navigation label" in loose
+
+
+def test_html_main_text_no_surviving_segment_is_empty(spark):
+    from mongo_arrow_spark.operators.text import html_main_text
+
+    df = spark.createDataFrame(
+        [("<body><nav><a href='/'>Home</a></nav></body>",), (None,)],
+        "h string",
+    )
+    got = [r["o"] for r in df.select(html_main_text("h").alias("o")).collect()]
+    assert got[0] == ""
+    assert got[1] is None
+
+
+def test_html_main_text_is_udf_free(spark):
+    from mongo_arrow_spark.operators.text import html_main_text
+
+    df = spark.createDataFrame([("<p>x</p>",)], "h string")
+    plan = (
+        df.select(html_main_text("h"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Exchange" not in plan
