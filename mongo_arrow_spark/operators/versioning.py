@@ -147,6 +147,67 @@ def _check_ids(df: DataFrame, id_col: str) -> None:
         raise ValueError(f"duplicate {id_col} in input: {r[id_col]!r}")
 
 
+def _check_distribution_drift(
+    df: DataFrame,
+    spark,
+    path: str,
+    versions: list[dict],
+    max_psi: dict | None,
+    max_js: float | None,
+    js_text_col: str,
+) -> None:
+    """Distribution-drift release gate (r11, the heavyweight sibling of
+    the ``max_row_delta_frac`` row-count guard): refuse the commit when
+    the incoming frame's distributions moved too far from the PREVIOUS
+    release. ``max_psi={"col": bound}`` bounds the numeric population
+    stability index per column (``profile.numeric_drift``; ≳0.1 is the
+    industry "moderate shift" line); ``max_js`` bounds the lexical
+    Jensen–Shannon divergence of ``js_text_col``
+    (``text.js_divergence``, nats). Costs one reconstruction of the
+    previous release (pinned via localCheckpoint so the fold chain
+    replays once, not per guard) plus bounded aggregations — strictly
+    opt-in. No-op on the first version and on an empty previous
+    release (nothing to drift from). NOTE for per-batch callers
+    (``append_version``/``write_version_stream``): a small batch's
+    empirical distribution is NOISY against a large standing corpus —
+    size thresholds for the batch regime, or gate full releases only."""
+    if (not max_psi and max_js is None) or not versions:
+        return
+    if versions[-1]["n_rows"] <= 0:
+        return
+    prev = read_version(spark, path, versions[-1]["version"]).localCheckpoint(
+        eager=True
+    )
+    try:
+        for col, bound in (max_psi or {}).items():
+            from mongo_arrow_spark.operators.profile import numeric_drift
+
+            rep = numeric_drift(prev, df, col)
+            psi = rep.agg(F.sum("psi_term").alias("s")).first()["s"] or 0.0
+            if psi > float(bound):
+                raise ValueError(
+                    f"release drifted: PSI({col}) = {psi:.4f} exceeds "
+                    f"max_psi[{col!r}] = {bound} vs "
+                    f"v{versions[-1]['version']} — refusing to commit; "
+                    "raise the bound (or drop the guard) if the move "
+                    "is intended"
+                )
+        if max_js is not None:
+            from mongo_arrow_spark.operators.text import js_divergence
+
+            js = js_divergence(prev, df, js_text_col)
+            if js > float(max_js):
+                raise ValueError(
+                    f"release drifted: JS({js_text_col}) = {js:.4f} "
+                    f"exceeds max_js = {max_js} vs "
+                    f"v{versions[-1]['version']} — refusing to commit; "
+                    "raise the bound (or drop the guard) if the move "
+                    "is intended"
+                )
+    finally:
+        prev.unpersist()
+
+
 def write_version(
     df: DataFrame,
     path: str,
@@ -155,6 +216,9 @@ def write_version(
     checkpoint: bool = False,
     expect: list[dict] | None = None,
     max_row_delta_frac: float | None = None,
+    max_psi: dict | None = None,
+    max_js: float | None = None,
+    js_text_col: str = "text",
 ) -> dict:
     """Commit ``df`` as the next corpus version. The first version (and
     any ``checkpoint=True`` release) writes the full frame; every other
@@ -187,7 +251,13 @@ def write_version(
     pays one count — reused from the contract report when ``expect``
     also ran, so the two gates together still scan once. No-op on the
     first version and on an empty previous version (nothing meaningful
-    to drift from)."""
+    to drift from).
+
+    ``max_psi`` / ``max_js`` (r11): DISTRIBUTION-drift gates against
+    the previous release — per-column numeric PSI bounds and a lexical
+    JS-divergence bound (see :func:`_check_distribution_drift`); a
+    corpus whose length/quality/vocabulary distribution moved too far
+    is refused even when its row count held steady."""
     report = None
     if expect:
         from mongo_arrow_spark.operators.expectations import (
@@ -215,6 +285,9 @@ def write_version(
                 f"'s {n_prev} — refusing to commit; pass a larger "
                 "max_row_delta_frac (or None) if the move is intended"
             )
+    _check_distribution_drift(
+        df, df.sparkSession, path, versions, max_psi, max_js, js_text_col
+    )
     cols = payload_cols or [c for c in df.columns if c != id_col]
     if not cols or id_col in cols:
         raise ValueError("payload_cols must be non-empty and exclude id_col")
@@ -403,6 +476,9 @@ def append_version(
     payload_cols: list[str] | None = None,
     id_col: str = "doc_id",
     expect: list[dict] | None = None,
+    max_psi: dict | None = None,
+    max_js: float | None = None,
+    js_text_col: str = "text",
 ) -> dict | None:
     """Commit an INCREMENT as the next corpus version: rows with new ids
     are added, rows whose id already exists replace the old payload
@@ -431,6 +507,9 @@ def append_version(
         # first commit: the increment IS the corpus — write_version
         # runs (and records) the contract itself
         return write_version(df, path, payload_cols, id_col, expect=expect)
+    _check_distribution_drift(
+        df, df.sparkSession, path, versions, max_psi, max_js, js_text_col
+    )
     report = None
     if expect:
         from mongo_arrow_spark.operators.expectations import (
@@ -515,6 +594,9 @@ def write_version_stream(
     compact_every: int | None = None,
     seq_col: str | None = None,
     expect: list[dict] | None = None,
+    max_psi: dict | None = None,
+    max_js: float | None = None,
+    js_text_col: str = "text",
 ):
     """Commit corpus releases from a STREAM: each microbatch is
     ``append_version``-ed onto the standing store (the foreachBatch
@@ -557,7 +639,8 @@ def write_version_stream(
             )
         meta = append_version(
             batch, path, payload_cols=payload_cols, id_col=id_col,
-            expect=expect,
+            expect=expect, max_psi=max_psi, max_js=max_js,
+            js_text_col=js_text_col,
         )
         if (
             meta is not None
@@ -572,3 +655,41 @@ def write_version_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def release_card(
+    spark, path: str, version: int | None = None, **card_kwargs
+) -> DataFrame:
+    """Dataset card FOR A RELEASE (r11): :func:`profile.corpus_card`
+    over a committed version's reconstruction, annotated with the
+    release's recorded contract audit trail — ``version``,
+    ``contract_rules`` (how many rules were verified when it shipped)
+    and ``contract_failed`` (rules over threshold; always 0 for a
+    gate-committed release — the gate refuses otherwise). NULL
+    contract columns mean the release shipped UNGATED: the card makes
+    that visible instead of silently equating audited and unaudited
+    snapshots. ``version=None`` cards the latest release. One
+    reconstruction feeding the card's single-scan aggregation; the
+    contract columns come from driver-sized ``_contract.json``."""
+    from mongo_arrow_spark.operators.profile import corpus_card
+
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"no committed versions under {path}")
+    v = versions[-1]["version"] if version is None else int(version)
+    card = corpus_card(read_version(spark, path, v), **card_kwargs)
+    rep = contract_report(path, v)
+    n_rules = F.lit(len(rep)).cast("int") if rep is not None else F.lit(
+        None
+    ).cast("int")
+    n_fail = (
+        F.lit(sum(1 for r in rep if r.get("status") == "fail")).cast("int")
+        if rep is not None
+        else F.lit(None).cast("int")
+    )
+    return card.select(
+        F.lit(v).cast("int").alias("version"),
+        "*",
+        n_rules.alias("contract_rules"),
+        n_fail.alias("contract_failed"),
+    )

@@ -74,3 +74,25 @@ def test_crawl_tour_example_runs():
     )
     assert "after exact dedup: 500" in proc.stdout
     assert "release v1 committed: 500 rows" in proc.stdout
+
+
+def test_contract_workflow_example_runs():
+    """Deequ's suggest → human-trim → gate loop plus the release card's
+    contract audit trail (r11), as a real subprocess."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "contract_workflow.py"),
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"example failed\nstdout:\n{proc.stdout[-2000:]}\n"
+        f"stderr:\n{proc.stderr[-2000:]}"
+    )
+    assert "gate refused a broken release" in proc.stdout
+    assert "shipped UNGATED" in proc.stdout

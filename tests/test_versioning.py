@@ -355,3 +355,66 @@ def test_stream_intra_batch_duplicate_ids(spark, tmp_path):
     start(str(tmp_path / "store_ok"), seq_col="seq").awaitTermination(120)
     got = _snap(V.read_version(spark, str(tmp_path / "store_ok")))
     assert got == {(1, "new", "en"), (2, "b", "en")}
+
+
+# ------------------------------------------ r11: distribution drift gates
+
+
+def _corpus(spark, n, length_mul=1, word="alpha"):
+    return spark.createDataFrame(
+        [(i, f"{word} " * (3 * length_mul) + f"doc {i}", 10 * length_mul)
+         for i in range(n)],
+        "doc_id long, text string, n_chars long",
+    )
+
+
+def test_write_version_max_psi_gate(spark, tmp_path):
+    p = str(tmp_path / "psi")
+    V.write_version(_corpus(spark, 60), p)
+    shifted = _corpus(spark, 60, length_mul=5)
+    with pytest.raises(ValueError, match=r"PSI\(n_chars\)"):
+        V.write_version(shifted, p, max_psi={"n_chars": 0.1})
+    # refusal leaves the store untouched
+    assert [m["version"] for m in V.list_versions(p)] == [1]
+    # a loose bound (or an un-shifted release) commits
+    V.write_version(shifted, p, max_psi={"n_chars": 1e9})
+    assert [m["version"] for m in V.list_versions(p)] == [1, 2]
+    # steady distribution passes a tight bound
+    V.write_version(
+        _corpus(spark, 55, length_mul=5), p, max_psi={"n_chars": 0.1}
+    )
+    assert [m["version"] for m in V.list_versions(p)] == [1, 2, 3]
+
+
+def test_write_version_max_js_gate(spark, tmp_path):
+    p = str(tmp_path / "js")
+    V.write_version(_corpus(spark, 50, word="alpha"), p)
+    swapped = _corpus(spark, 50, word="omega")
+    with pytest.raises(ValueError, match=r"JS\(text\)"):
+        V.write_version(swapped, p, max_js=0.05)
+    assert [m["version"] for m in V.list_versions(p)] == [1]
+    V.write_version(swapped, p, max_js=10.0)
+    assert [m["version"] for m in V.list_versions(p)] == [1, 2]
+    # identical vocabulary passes a tight bound
+    V.write_version(_corpus(spark, 52, word="omega"), p, max_js=0.05)
+    assert len(V.list_versions(p)) == 3
+
+
+def test_append_version_drift_gate_and_first_commit_noop(spark, tmp_path):
+    p = str(tmp_path / "app")
+    # first commit: gate is a no-op (nothing to drift from)
+    V.append_version(_corpus(spark, 40), p, max_psi={"n_chars": 0.01})
+    assert [m["version"] for m in V.list_versions(p)] == [1]
+    # drifted batch refused, store untouched
+    bad = spark.createDataFrame(
+        [(1000 + i, "x", 500) for i in range(40)],
+        "doc_id long, text string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="PSI"):
+        V.append_version(bad, p, max_psi={"n_chars": 0.1})
+    assert [m["version"] for m in V.list_versions(p)] == [1]
+    # in-distribution batch commits
+    V.append_version(
+        _corpus(spark, 45), p, max_psi={"n_chars": 0.1}
+    )
+    assert [m["version"] for m in V.list_versions(p)] == [1, 2]
