@@ -308,9 +308,18 @@ class _OneMemberFile:
 
     _CHUNK = 1 << 20
 
-    def __init__(self, fh, offset: int, source: str):
+    def __init__(self, fh, offset: int, source: str, initial: bytes | None = None):
+        """``initial``: raw bytes already read past this member's start
+        (the PREVIOUS member's ``unused_data``) — consumed before any
+        file read, and the file handle is trusted to sit just past
+        them. Without it, every tiny member would re-seek and re-read
+        a full chunk: O(members × chunk) I/O on a member-per-record
+        archive (the r11 chain carry)."""
         self._fh = fh
-        self._fh.seek(offset)
+        if initial is None:
+            self._fh.seek(offset)
+            initial = b""
+        self._initial = initial
         self._d = zlib.decompressobj(31)
         self._buf = b""
         self._pos = 0
@@ -318,6 +327,7 @@ class _OneMemberFile:
         self._consumed = 0
         self._source = source
         self.eof_raw: int | None = None
+        self.unused: bytes = b""
 
     def __enter__(self):
         return self
@@ -327,7 +337,10 @@ class _OneMemberFile:
 
     def _fill(self) -> None:
         while not self._buf and not self._d.eof:
-            raw = self._fh.read(self._CHUNK)
+            if self._initial:
+                raw, self._initial = self._initial, b""
+            else:
+                raw = self._fh.read(self._CHUNK)
             if not raw:
                 raise EOFError(
                     f"{self._source}: truncated gzip member at raw offset "
@@ -336,9 +349,8 @@ class _OneMemberFile:
             self._buf = self._d.decompress(raw)
             self._consumed += len(raw)
         if self._d.eof and self.eof_raw is None:
-            self.eof_raw = (
-                self._off + self._consumed - len(self._d.unused_data)
-            )
+            self.unused = self._d.unused_data
+            self.eof_raw = self._off + self._consumed - len(self.unused)
 
     def read(self, n: int = -1) -> bytes:
         out = []
@@ -619,8 +631,9 @@ class WarcReader(DataSourceReader):
         with open(part.path, "rb") as fh:
             size = os.fstat(fh.fileno()).st_size
             off = _seek_gz_member(fh, part.start, src)
+            carry: bytes | None = None
             while off is not None and off < part.end:
-                member = _OneMemberFile(fh, off, src)
+                member = _OneMemberFile(fh, off, src, initial=carry)
                 yield src, member, None
                 try:
                     member.drain()
@@ -632,10 +645,17 @@ class WarcReader(DataSourceReader):
                         f"~{off}: {exc}"
                     ) from exc
                 off = member.eof_raw
+                carry = member.unused
                 if off is None or off >= size:
                     return
-                fh.seek(off)
-                if fh.read(3) != _GZ_MAGIC:
+                # next member must start EXACTLY at eof_raw: peek its
+                # magic from the carry (no seek, no re-read)
+                while len(carry) < 3:
+                    more = fh.read(_OneMemberFile._CHUNK)
+                    if not more:
+                        break
+                    carry += more
+                if carry[:3] != _GZ_MAGIC:
                     if self.corrupt_mode == "drop":
                         return
                     raise WarcCorruptError(
