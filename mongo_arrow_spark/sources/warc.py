@@ -37,6 +37,15 @@ Reader options:
   ``drop`` (skip the remainder of the damaged file/stream — a mangled
   member must not kill a 10-hour crawl ingest).
 - ``partitionBytes`` — byte-split / bin-pack target (default 64 MB).
+- ``splitGz`` — byte-split large ``.warc.gz`` at validated member
+  boundaries (default true). KNOWN LIMIT of the boundary scan: a
+  payload that is ITSELF a ``.warc.gz`` archive can survive deflate
+  compression verbatim (stored blocks) and then validates as a
+  phantom member boundary — a mid-file task would emit the embedded
+  archive's records until its chain breaks (loud in corruptMode=fail).
+  For corpora that may embed raw warc.gz payloads, set
+  ``splitGz=false`` (whole-file decode never scans) or use a plain
+  ``.warc`` layout / an external CDX index.
 """
 
 from __future__ import annotations
@@ -165,10 +174,13 @@ def _read_one(fh, source: str, offset: int, first_line: bytes | None = None):
 
 
 # a mangled/truncated gzip member surfaces from readline()/read() as
-# one of these (BadGzipFile is an OSError subclass), not as a
-# WarcCorruptError — corruptMode=drop must contain them too, or one
-# bad member kills a 10-hour crawl ingest
-_STREAM_ERRORS = (OSError, EOFError, zlib.error)
+# one of these, not as a WarcCorruptError — corruptMode=drop must
+# contain them too, or one bad member kills a 10-hour crawl ingest.
+# Deliberately NARROW: gzip.BadGzipFile, not the OSError base class —
+# a transient I/O error (EIO, network-FS timeout) must propagate and
+# fail the task for retry, not be misread as corruption and silently
+# drop the rest of the file (r11 review fix).
+_STREAM_ERRORS = (gzip.BadGzipFile, EOFError, zlib.error)
 
 
 def _iter_records(fh, source: str, corrupt_mode: str, stop_at=None):
@@ -217,13 +229,43 @@ def _iter_records(fh, source: str, corrupt_mode: str, stop_at=None):
 _MAX_PROBE_HEADER_BYTES = 1 << 16
 
 
-def _probe_record_at(fh, cand: int, size: int) -> bool:
+def _is_header_line(h: bytes) -> bool:
+    """WARC header shape: token-named ``Name: value`` lines or folded
+    continuations (leading space/tab). A payload-embedded fake
+    marker's "headers" are page prose — spaces before any colon — and
+    fail this within a line or two; real headers always pass, so the
+    shape check never rejects what the full parser would accept."""
+    if h[:1] in (b" ", b"\t"):
+        return True
+    j = h.find(b":")
+    if j <= 0:
+        return False
+    return all(33 <= b <= 126 for b in h[:j])
+
+
+def _could_be_header_prefix(h: bytes) -> bool:
+    """Is a newline-less fragment (the cap cut it) consistent with a
+    header line's prefix?"""
+    if h[:1] in (b" ", b"\t"):
+        return True
+    j = h.find(b":")
+    name = h[:j] if j > 0 else h
+    return len(name) > 0 and all(33 <= b <= 126 for b in name)
+
+
+def _probe_record_at(fh, cand: int, size: int) -> bool | None:
     """Bounded validation that a real record starts at ``cand``:
     version line + header block must parse within
-    ``_MAX_PROBE_HEADER_BYTES``, and Content-Length must fit inside
-    the file — NO full-body read (a file dense with fake markers made
-    the old full-parse validation quadratic in the worst case).
-    Leaves ``fh`` at an arbitrary position; the caller re-seeks."""
+    ``_MAX_PROBE_HEADER_BYTES``, every header line must be
+    token-shaped (fake markers die on their first prose line), and
+    Content-Length must fit inside the file — NO full-body read (a
+    file dense with fake markers made the old full-parse validation
+    quadratic in the worst case). Returns ``None`` — undecided — when
+    the cap is reached with only WELL-FORMED header lines so far: the
+    caller falls back to one unbounded full parse, so a spec-valid
+    record with a giant header block is never silently skipped (r11
+    review fix). Leaves ``fh`` at an arbitrary position; the caller
+    re-seeks."""
     fh.seek(cand)
     line = fh.readline(_MAX_PROBE_HEADER_BYTES)
     if not line.startswith(b"WARC/") or not line.endswith(b"\n"):
@@ -235,19 +277,33 @@ def _probe_record_at(fh, cand: int, size: int) -> bool:
         if h in (b"\r\n", b"\n"):
             scanned += len(h)
             return cl is not None and cand + scanned + cl <= size
-        if not h or not h.endswith(b"\n"):
+        if not h:
             return False
         scanned += len(h)
-        if b":" in h:
-            k, v = h.split(b":", 1)
-            if k.strip().lower() == b"content-length":
-                try:
-                    cl = int(v.strip())
-                except ValueError:
-                    return False
-                if cl < 0:
-                    return False
-    return False
+        if not h.endswith(b"\n"):
+            # cap cut the line mid-way: undecided if it still LOOKS
+            # like a header prefix, else reject
+            return None if _could_be_header_prefix(h) else False
+        if not _is_header_line(h):
+            return False
+        if h.find(b":") > 0 and h[: h.find(b":")].strip().lower() == b"content-length":
+            try:
+                cl = int(h[h.find(b":") + 1:].strip())
+            except ValueError:
+                return False
+            if cl < 0:
+                return False
+    return None
+
+
+def _full_validate_record_at(fh, cand: int, source: str) -> bool:
+    """Unbounded fallback validation for the rare undecided probe
+    (header block larger than the cap): one full record parse."""
+    fh.seek(cand)
+    try:
+        return _read_one(fh, source, cand) is not None
+    except WarcCorruptError:
+        return False
 
 
 def _seek_record_start(fh, start: int, source: str) -> bool:
@@ -283,7 +339,13 @@ def _seek_record_start(fh, start: int, source: str) -> bool:
                 i = j + 1
                 continue
             here = fh.tell()
-            if _probe_record_at(fh, cand, size):
+            ok = _probe_record_at(fh, cand, size)
+            if ok is None:
+                # header block bigger than the probe cap but shaped
+                # like real headers: one unbounded full parse decides
+                # (rare by construction — prose fails the shape check)
+                ok = _full_validate_record_at(fh, cand, source)
+            if ok:
                 fh.seek(cand)
                 return True
             fh.seek(here)
@@ -427,16 +489,20 @@ def _probe_gz_member_at(fh, cand: int, source: str) -> bool:
     return out.startswith(b"WARC/")
 
 
-def _seek_gz_member(fh, start: int, source: str) -> int | None:
-    """First VALIDATED gzip member boundary at or after ``start``
-    (raw offset), or None when the range holds none — the
-    ``_seek_record_start`` discipline for the compressed layout."""
+def _seek_gz_member(fh, start: int, source: str, end: int) -> int | None:
+    """First VALIDATED gzip member boundary in ``[start, end)`` (raw
+    offsets), or None when the range holds none — the
+    ``_seek_record_start`` discipline for the compressed layout. The
+    scan stops at ``end``: only members STARTING inside the range are
+    this split's, so scanning past it would be pure read amplification
+    — on a single-member archive every boundary-less split used to
+    scan to EOF, O(n_splits × file_size) (r11 review fix)."""
     if start == 0:
         return 0
     fh.seek(max(0, start))
     carry = b""
     base = fh.tell()
-    while True:
+    while base - len(carry) < end:
         chunk = fh.read(1 << 20)
         if not chunk:
             return None
@@ -448,6 +514,8 @@ def _seek_gz_member(fh, start: int, source: str) -> int | None:
             if j < 0:
                 break
             cand = buf_base + j
+            if cand >= end:
+                return None
             if cand >= start:
                 here = fh.tell()
                 if _probe_gz_member_at(fh, cand, source):
@@ -456,6 +524,7 @@ def _seek_gz_member(fh, start: int, source: str) -> int | None:
             i = j + 1
         carry = buf[-(len(_GZ_MAGIC) - 1):]
         base = fh.tell()
+    return None
 
 
 def _split_http(body: bytes):
@@ -502,6 +571,7 @@ class WarcReader(DataSourceReader):
         )
         self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
         self.strip_http = str(options.get("striphttp", "true")).lower() == "true"
+        self.split_gz = str(options.get("splitgz", "true")).lower() == "true"
         self.corrupt_mode = str(options.get("corruptmode", "fail")).lower()
         if self.corrupt_mode not in ("fail", "drop"):
             raise SchemaError(
@@ -520,9 +590,12 @@ class WarcReader(DataSourceReader):
         gz: list[tuple[str, int]] = []
         for path in self.paths:
             size = os.path.getsize(path)
-            if _is_gz(path) and size <= self.partition_bytes:
-                # small archives: whole-file decode, bin-packed into
-                # balanced groups by estimated decompressed size
+            if _is_gz(path) and (
+                size <= self.partition_bytes or not self.split_gz
+            ):
+                # small archives (or splitGz=false): whole-file decode,
+                # bin-packed into balanced groups by estimated
+                # decompressed size
                 gz.append((path, size * _EXPANSION_ESTIMATE))
                 continue
             # plain .warc AND large .warc.gz byte-split into ranges: a
@@ -630,7 +703,7 @@ class WarcReader(DataSourceReader):
         src = os.path.basename(part.path)
         with open(part.path, "rb") as fh:
             size = os.fstat(fh.fileno()).st_size
-            off = _seek_gz_member(fh, part.start, src)
+            off = _seek_gz_member(fh, part.start, src, part.end)
             carry: bytes | None = None
             while off is not None and off < part.end:
                 member = _OneMemberFile(fh, off, src, initial=carry)
@@ -685,15 +758,18 @@ class WarcStreamReader(DataSourceStreamReader):
         self.dir = options.get("path")
 
     def _listing(self) -> list[str]:
-        import glob as _glob
+        return _expand_warc(self.dir)
 
-        return sorted(
-            f
-            for pat in ("*.warc", "*.warc.gz")
-            for f in _glob.glob(
-                os.path.join(self.dir, "**", pat), recursive=True
-            )
-        )
+    def _bare_reader(self) -> "WarcReader":
+        """A WarcReader with the ``path`` option stripped: the batch
+        reader's __init__ would otherwise re-glob the WHOLE drop
+        directory (driver: before its paths are overwritten; executor:
+        once per partition per microbatch, pure waste on a directory
+        that has accumulated 100k archives — r11 review fix)."""
+        opts = {
+            k: v for k, v in dict(self.options).items() if k != "path"
+        }
+        return WarcReader(self.schema, opts)
 
     def initialOffset(self):
         return {"seen": []}
@@ -705,14 +781,12 @@ class WarcStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         new = sorted(set(end.get("seen", ())) - set(start.get("seen", ())))
-        files = [os.path.join(self.dir, name) for name in new]
-        reader = WarcReader(self.schema, self.options)
-        reader.paths = files
+        reader = self._bare_reader()
+        reader.paths = [os.path.join(self.dir, name) for name in new]
         return reader.partitions()
 
     def read(self, part) -> Iterator:
-        reader = WarcReader(self.schema, self.options)
-        yield from reader.read(part)
+        yield from self._bare_reader().read(part)
 
     def commit(self, end):
         pass

@@ -672,3 +672,104 @@ def test_html_main_text_is_udf_free(spark):
         .toString()
     )
     assert "Python" not in plan and "Exchange" not in plan
+
+
+# -------------------------------------------- r11 review-finding fixes
+
+
+def test_gz_seek_is_bounded_to_range(tmp_path):
+    """A boundary-less range returns None without scanning past its
+    end (single-member archives used to cost O(n_splits x size))."""
+    from mongo_arrow_spark.sources.warc import _seek_gz_member
+
+    p = str(tmp_path / "one.warc.gz")
+    with gzip.open(p, "wb") as fh:
+        fh.write(build_warc_record("<urn:mas:0>", None, b"x" * 100_000, http=False))
+    size = os.path.getsize(p)
+
+    class CountingFile:
+        def __init__(self, fh):
+            self.fh = fh
+            self.read_bytes = 0
+        def read(self, n=-1):
+            b = self.fh.read(n)
+            self.read_bytes += len(b)
+            return b
+        def __getattr__(self, a):
+            return getattr(self.fh, a)
+
+    with open(p, "rb") as raw:
+        cf = CountingFile(raw)
+        start, end = size // 4, size // 4 + 2048
+        assert _seek_gz_member(cf, start, p, end) is None
+        # bounded: ~ (range + one chunk), never the rest of the file
+        assert cf.read_bytes <= (end - start) + (1 << 20)
+
+
+def test_probe_accepts_folded_and_giant_headers(tmp_path):
+    """A record with folded continuation headers and one with a header
+    block larger than the probe cap are both found at split
+    boundaries (tristate probe + full-parse fallback)."""
+    from mongo_arrow_spark.sources.warc import (
+        _MAX_PROBE_HEADER_BYTES,
+        _probe_record_at,
+        _seek_record_start,
+    )
+
+    folded = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.org/a\r\n"
+        b"  folded-continuation-line\r\n"
+        b"Content-Length: 4\r\n\r\nBODY\r\n\r\n"
+    )
+    giant_header = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        + b"X-Big: " + b"v" * (_MAX_PROBE_HEADER_BYTES + 100) + b"\r\n"
+        + b"Content-Length: 4\r\n\r\nBODY\r\n\r\n"
+    )
+    first = build_warc_record("<urn:mas:first>", None, b"y" * 64, http=False)
+    p = str(tmp_path / "hdr.warc")
+    _mk_warc(p, [first, folded, giant_header])
+    size = os.path.getsize(p)
+    off_folded = len(first)
+    off_giant = len(first) + len(folded)
+    with open(p, "rb") as fh:
+        assert _probe_record_at(fh, off_folded, size) is True
+        assert _probe_record_at(fh, off_giant, size) is None  # undecided
+        # the seek (with fallback) still lands on them
+        assert _seek_record_start(fh, off_folded - 1, p)
+        assert fh.tell() == off_folded
+        assert _seek_record_start(fh, off_giant - 1, p)
+        assert fh.tell() == off_giant
+
+
+def test_drop_mode_propagates_plain_oserror(tmp_path):
+    """corruptMode=drop contains CORRUPTION (BadGzipFile/EOFError/
+    zlib.error) but not infrastructure failures: a transient OSError
+    must propagate for task retry, not silently drop data."""
+    from mongo_arrow_spark.sources.warc import _iter_records
+
+    class FlakyFile:
+        def __init__(self):
+            self.calls = 0
+        def tell(self):
+            return 0
+        def readline(self, *a):
+            raise OSError(5, "Input/output error")
+
+    with pytest.raises(OSError):
+        list(_iter_records(FlakyFile(), "flaky", "drop"))
+
+
+def test_split_gz_false_forces_whole_file(spark, tmp_path):
+    recs = [
+        build_warc_record(f"<urn:mas:{i}>", None, b"z" * 2000, http=False)
+        for i in range(30)
+    ]
+    p = str(tmp_path / "nosplit.warc.gz")
+    _mk_member_warc(p, recs)
+    got = _read(
+        spark, p, splitGz="false", partitionBytes="1024", warcTypes="*"
+    )
+    assert got.count() == 30
