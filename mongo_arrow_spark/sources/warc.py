@@ -43,9 +43,16 @@ Reader options:
   compression verbatim (stored blocks) and then validates as a
   phantom member boundary — a mid-file task would emit the embedded
   archive's records until its chain breaks (loud in corruptMode=fail).
-  For corpora that may embed raw warc.gz payloads, set
-  ``splitGz=false`` (whole-file decode never scans) or use a plain
-  ``.warc`` layout / an external CDX index.
+  For corpora that may embed raw warc.gz payloads, write the sidecar
+  INDEX (below — offset-exact, no scanning at all), set
+  ``splitGz=false`` (whole-file decode never scans), or use a plain
+  ``.warc`` layout.
+- ``useIndex`` — consult ``<archive>.cdxj`` sidecar indexes (written
+  by ``write_warc(index=True)``: one JSON line per record with its
+  exact raw offset, CDX-style) to position each split directly on its
+  first owned record — no boundary scan, no validation heuristics,
+  phantom-proof. Default true (falls back to scanning when no index
+  exists); ``false`` ignores indexes.
 """
 
 from __future__ import annotations
@@ -527,6 +534,42 @@ def _seek_gz_member(fh, start: int, source: str, end: int) -> int | None:
     return None
 
 
+def _index_path(archive_path: str) -> str:
+    return archive_path + ".cdxj"
+
+
+def _load_index_offsets(archive_path: str) -> list[int] | None:
+    """Sorted record/member start offsets from the sidecar index, or
+    None when no index exists. One small local file per archive, read
+    by the task that owns the split — never the driver (100k archives
+    must not serialize through one listing pass)."""
+    import json as _json
+
+    idx = _index_path(archive_path)
+    if not os.path.exists(idx):
+        return None
+    offs = []
+    with open(idx, "rb") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                offs.append(int(_json.loads(line)["offset"]))
+    offs.sort()
+    return offs
+
+
+def _index_entry_at(
+    offs: list[int], start: int, end: int
+) -> int | None:
+    """First indexed offset in ``[start, end)``, else None."""
+    import bisect
+
+    k = bisect.bisect_left(offs, start)
+    if k < len(offs) and offs[k] < end:
+        return offs[k]
+    return None
+
+
 def _split_http(body: bytes):
     """(http_status, http_content_type, stripped_body) for an
     ``application/http`` payload; (None, None, body) when the envelope
@@ -572,6 +615,7 @@ class WarcReader(DataSourceReader):
         self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
         self.strip_http = str(options.get("striphttp", "true")).lower() == "true"
         self.split_gz = str(options.get("splitgz", "true")).lower() == "true"
+        self.use_index = str(options.get("useindex", "true")).lower() == "true"
         self.corrupt_mode = str(options.get("corruptmode", "fail")).lower()
         if self.corrupt_mode not in ("fail", "drop"):
             raise SchemaError(
@@ -685,12 +729,22 @@ class WarcReader(DataSourceReader):
             yield from self._gz_member_streams(part)
             return
         fh = open(part.path, "rb")
-        if not _seek_record_start(fh, part.start, part.path):
-            fh.close()
-            return
-        if fh.tell() >= part.end:
-            fh.close()
-            return
+        offs = self.use_index and _load_index_offsets(part.path)
+        if offs:
+            # offset-exact entry from the sidecar index: no scan, no
+            # validation heuristics
+            entry = _index_entry_at(offs, part.start, part.end)
+            if entry is None:
+                fh.close()
+                return
+            fh.seek(entry)
+        else:
+            if not _seek_record_start(fh, part.start, part.path):
+                fh.close()
+                return
+            if fh.tell() >= part.end:
+                fh.close()
+                return
         yield os.path.basename(part.path), fh, part.end
 
     def _gz_member_streams(self, part):
@@ -703,7 +757,13 @@ class WarcReader(DataSourceReader):
         src = os.path.basename(part.path)
         with open(part.path, "rb") as fh:
             size = os.fstat(fh.fileno()).st_size
-            off = _seek_gz_member(fh, part.start, src, part.end)
+            offs = self.use_index and _load_index_offsets(part.path)
+            if offs:
+                off = _index_entry_at(offs, part.start, part.end)
+                if off is not None:
+                    fh.seek(off)
+            else:
+                off = _seek_gz_member(fh, part.start, src, part.end)
             carry: bytes | None = None
             while off is not None and off < part.end:
                 member = _OneMemberFile(fh, off, src, initial=carry)
@@ -871,6 +931,7 @@ def write_warc(
     uri_col: str | None = None,
     text_col: str = "text",
     compress: bool = True,
+    index: bool = False,
 ) -> None:
     """Materialize a frame as a WARC layout: one ``part-N.warc[.gz]``
     per partition (Common Crawl's many-archives shape — file-level
@@ -887,12 +948,22 @@ def write_warc(
     first (a rewrite with fewer partitions must not leave stale
     archives that later reads union in — the documents writer's
     ``mode('overwrite')`` contract). NULL ``text_col`` values write an
-    empty body: WARC has no null, so NULL round-trips as ``''``."""
+    empty body: WARC has no null, so NULL round-trips as ``''``.
+
+    ``index=True`` (r11) additionally writes a ``<archive>.cdxj``
+    sidecar per archive — one JSON line per record with its exact raw
+    ``offset``/``length`` plus id/uri/type (the CDX idea) — which the
+    reader's ``useIndex`` path uses to place byte-splits exactly on
+    record boundaries: no scanning, no validation heuristics,
+    phantom-proof even for payloads that embed raw warc.gz bytes."""
     import glob as _glob
+    import json as _json
 
     os.makedirs(path, exist_ok=True)
-    for stale in _glob.glob(os.path.join(path, "part-*.warc")) + _glob.glob(
-        os.path.join(path, "part-*.warc.gz")
+    for stale in (
+        _glob.glob(os.path.join(path, "part-*.warc"))
+        + _glob.glob(os.path.join(path, "part-*.warc.gz"))
+        + _glob.glob(os.path.join(path, "part-*.cdxj"))
     ):
         os.remove(stale)
     ext = ".warc.gz" if compress else ".warc"
@@ -911,13 +982,36 @@ def write_warc(
             return gzip.compress(record, 6, mtime=0) if compress else record
 
         n = 0
+        pos = 0
+        idx = open(_index_path(fname), "w") if index else None
+
+        def emit(out, blob: bytes, rid: str, uri, wtype: str) -> None:
+            nonlocal pos
+            if idx is not None:
+                idx.write(
+                    _json.dumps(
+                        {
+                            "offset": pos,
+                            "length": len(blob),
+                            "id": rid,
+                            "uri": uri,
+                            "type": wtype,
+                        }
+                    )
+                    + "\n"
+                )
+            out.write(blob)
+            pos += len(blob)
+
         with open(fname, "wb") as out:
             # spec-shaped leading warcinfo record per archive; readers
             # with the default warcTypes=response skip it
-            out.write(
+            info_id = f"<urn:mas:warcinfo:{pid}>"
+            emit(
+                out,
                 enc(
                     build_warc_record(
-                        f"<urn:mas:warcinfo:{pid}>",
+                        info_id,
                         None,
                         b"software: mongo-arrow-spark\r\n"
                         b"format: WARC File Format 1.0",
@@ -925,7 +1019,10 @@ def write_warc(
                         http=False,
                         http_content_type="application/warc-fields",
                     )
-                )
+                ),
+                info_id,
+                None,
+                "warcinfo",
             )
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
@@ -936,16 +1033,24 @@ def write_warc(
                         if uri_col
                         else f"https://example.org/doc/{rid}"
                     )
-                    out.write(
+                    emit(
+                        out,
                         enc(
                             build_warc_record(
                                 f"<urn:mas:{rid}>", uri, txt.encode("utf-8")
                             )
-                        )
+                        ),
+                        f"<urn:mas:{rid}>",
+                        uri,
+                        "response",
                     )
                     n += 1
+        if idx is not None:
+            idx.close()
         if n == 0:
             os.remove(fname)
+            if index:
+                os.remove(_index_path(fname))
         import pandas as pd
 
         yield pd.DataFrame({"n": [n]})

@@ -773,3 +773,110 @@ def test_split_gz_false_forces_whole_file(spark, tmp_path):
         spark, p, splitGz="false", partitionBytes="1024", warcTypes="*"
     )
     assert got.count() == 30
+
+
+# --------------------------------------------- r11: CDX sidecar indexes
+
+
+def test_write_warc_index_and_indexed_split_read(spark, tmp_path):
+    """index=True writes one .cdxj per archive with exact offsets;
+    byte-split reads position via the index (no scanning) and still
+    cover every record exactly once."""
+    import json
+
+    df = spark.createDataFrame(
+        [(i, f"text {i} " * 30) for i in range(50)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    d = str(tmp_path / "idx")
+    write_warc(df, d, index=True)
+    archives = [f for f in os.listdir(d) if f.endswith(".warc.gz")]
+    sidecars = [f for f in os.listdir(d) if f.endswith(".cdxj")]
+    assert len(archives) == 1 and len(sidecars) == 1
+    f = os.path.join(d, archives[0])
+    entries = [
+        json.loads(line)
+        for line in open(os.path.join(d, sidecars[0]))
+        if line.strip()
+    ]
+    assert len(entries) == 51  # warcinfo + 50
+    # offsets are exact member starts: offset+length chains and the
+    # last entry reaches EOF
+    entries.sort(key=lambda e: e["offset"])
+    for a, b in zip(entries, entries[1:]):
+        assert a["offset"] + a["length"] == b["offset"]
+    assert entries[-1]["offset"] + entries[-1]["length"] == os.path.getsize(f)
+    got = sorted(
+        r["doc_id"]
+        for r in _read(spark, f, partitionBytes="2048")
+        .select(
+            __import__("pyspark.sql.functions", fromlist=["F"]).regexp_extract(
+                "record_id", r"urn:mas:(\d+)", 1
+            ).cast("long").alias("doc_id")
+        )
+        .collect()
+    )
+    assert got == list(range(50))
+
+
+def test_index_defeats_phantom_member(spark, tmp_path):
+    """An archive whose payload embeds a REAL .warc.gz compressed with
+    stored deflate blocks (level 0) reproduces the embedded member
+    bytes verbatim: the scan path can validate a phantom boundary, the
+    index path cannot be fooled. Both modes must agree with the
+    whole-file read; useIndex (default) must be exact."""
+    inner = gzip.compress(
+        build_warc_record("<urn:mas:phantom>", None, b"EVIL", http=False),
+        6,
+        mtime=0,
+    )
+    # outer members at level 0 => stored blocks, inner bytes verbatim
+    recs = [
+        build_warc_record(f"<urn:mas:{i}>", None, b"pad " * 200 + inner, http=False)
+        for i in range(8)
+    ]
+    d = str(tmp_path / "ph")
+    os.makedirs(d)
+    f = os.path.join(d, "part-00000.warc.gz")
+    import json
+
+    with open(f, "wb") as fh, open(f + ".cdxj", "w") as idx:
+        pos = 0
+        for i, rec in enumerate(recs):
+            blob = gzip.compress(rec, 0, mtime=0)
+            idx.write(json.dumps({"offset": pos, "length": len(blob),
+                                  "id": f"<urn:mas:{i}>", "uri": None,
+                                  "type": "response"}) + "\n")
+            fh.write(blob)
+            pos += len(blob)
+    # sanity: the embedded magic is really present in the raw bytes
+    raw = open(f, "rb").read()
+    assert raw.count(b"\x1f\x8b\x08") > len(recs)
+    whole = sorted(
+        r["record_id"] for r in _read(spark, f, warcTypes="*").collect()
+    )
+    split_indexed = sorted(
+        r["record_id"]
+        for r in _read(
+            spark, f, warcTypes="*", partitionBytes=str(len(raw) // 5)
+        ).collect()
+    )
+    assert split_indexed == whole
+    assert "<urn:mas:phantom>" not in split_indexed
+
+
+def test_use_index_false_falls_back_to_scan(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "w " * 50) for i in range(30)], "doc_id long, text string"
+    ).coalesce(1)
+    d = str(tmp_path / "fb")
+    write_warc(df, d, index=True)
+    f = os.path.join(
+        d, [x for x in os.listdir(d) if x.endswith(".warc.gz")][0]
+    )
+    n1 = _read(spark, f, partitionBytes="1024").count()
+    n2 = _read(spark, f, partitionBytes="1024", useIndex="false").count()
+    assert n1 == n2 == 30
+    # and with no sidecar at all, scanning still works
+    os.remove(f + ".cdxj")
+    assert _read(spark, f, partitionBytes="1024").count() == 30
