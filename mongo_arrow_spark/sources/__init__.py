@@ -21,6 +21,7 @@ from mongo_arrow_spark.sources.documents import (
 )
 from mongo_arrow_spark.sources.warc import (
     WarcDataSource,
+    read_warc_record,
     read_warc_stream,
     register_warc,
     write_warc,
@@ -31,6 +32,7 @@ __all__ = [
     "WarcDataSource",
     "infer_schema",
     "register",
+    "read_warc_record",
     "read_warc_stream",
     "register_warc",
     "write_warc",

@@ -85,6 +85,7 @@ __all__ = [
     "build_warc_record",
     "write_warc",
     "read_warc_stream",
+    "read_warc_record",
 ]
 
 WARC_SCHEMA = T.StructType(
@@ -99,6 +100,12 @@ WARC_SCHEMA = T.StructType(
         T.StructField("http_content_type", T.StringType()),
         T.StructField("payload", T.BinaryType()),
         T.StructField("source_file", T.StringType()),
+        # provenance pointer: pass (source_file, source_offset) to
+        # read_warc_record for O(1) random access back to the archive
+        # bytes — raw record offset in plain files, raw member offset
+        # under gz byte-splits, decompressed offset under whole-file gz
+        # decode (read_warc_record disambiguates by peeking the magic)
+        T.StructField("source_offset", T.LongType()),
     ]
 )
 
@@ -666,6 +673,7 @@ class WarcReader(DataSourceReader):
         atypes = [
             pa.string(), pa.string(), pa.string(), pa.string(), pa.string(),
             pa.int64(), pa.int32(), pa.string(), pa.binary(), pa.string(),
+            pa.int64(),
         ]
         cols: list[list] = [[] for _ in names]
         n = 0
@@ -676,7 +684,7 @@ class WarcReader(DataSourceReader):
                 names=names,
             )
 
-        for source, stream, stop in self._streams(part):
+        for source, stream, stop, base in self._streams(part):
             with stream as fh:
                 for pos, headers, body in _iter_records(
                     fh, source, self.corrupt_mode, stop_at=stop
@@ -705,6 +713,7 @@ class WarcReader(DataSourceReader):
                         hct,
                         body,
                         source,
+                        (base if base is not None else pos),
                     )
                     for i, v in enumerate(row):
                         cols[i].append(v)
@@ -723,7 +732,9 @@ class WarcReader(DataSourceReader):
         files decode whole-file."""
         if isinstance(part, _FilesSplit):
             for path in part.paths:
-                yield os.path.basename(path), gzip.open(path, "rb"), None
+                # base=None: record offsets are the decompressed stream
+                # positions _iter_records reports
+                yield os.path.basename(path), gzip.open(path, "rb"), None, None
             return
         if _is_gz(part.path):
             yield from self._gz_member_streams(part)
@@ -745,7 +756,7 @@ class WarcReader(DataSourceReader):
             if fh.tell() >= part.end:
                 fh.close()
                 return
-        yield os.path.basename(part.path), fh, part.end
+        yield os.path.basename(part.path), fh, part.end, None
 
     def _gz_member_streams(self, part):
         """Members of a byte-split ``.warc.gz`` whose raw START offset
@@ -767,7 +778,11 @@ class WarcReader(DataSourceReader):
             carry: bytes | None = None
             while off is not None and off < part.end:
                 member = _OneMemberFile(fh, off, src, initial=carry)
-                yield src, member, None
+                # base=off: every record in the member points at the
+                # member's raw start (one record per member in the
+                # write_warc/Common-Crawl layout; a foreign multi-record
+                # member shares its start across its records)
+                yield src, member, None, off
                 try:
                     member.drain()
                 except _STREAM_ERRORS as exc:
@@ -1056,3 +1071,53 @@ def write_warc(
         yield pd.DataFrame({"n": [n]})
 
     sel.mapInPandas(one_partition, "n long").collect()
+
+
+def read_warc_record(
+    path: str, offset: int, strip_http: bool = True
+) -> dict:
+    """O(1) random access to ONE record by its provenance pointer —
+    the ``(source_file, source_offset)`` pair every reader row carries.
+    This is the training-data audit path: a curated document points
+    back to the exact archive bytes it came from without scanning the
+    archive. Offsets are raw record starts in plain ``.warc``, raw
+    member starts in ``.warc.gz`` (one seek + one member decode), or
+    decompressed positions from the whole-file decode path (gzip
+    magic at the offset disambiguates; a decompressed-offset fetch
+    costs a stream decode up to the offset). Returns a dict shaped
+    like the reader row. Raises WarcCorruptError when no record
+    starts there."""
+    if _is_gz(path):
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            if fh.read(3) == _GZ_MAGIC:
+                member = _OneMemberFile(fh, offset, os.path.basename(path))
+                rec = _read_one(member, os.path.basename(path), 0)
+            else:
+                gz = gzip.open(path, "rb")
+                gz.seek(offset)
+                rec = _read_one(gz, os.path.basename(path), offset)
+    else:
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            rec = _read_one(fh, os.path.basename(path), offset)
+    if rec is None:
+        raise WarcCorruptError(f"{path}: no record at offset {offset}")
+    _, headers, body = rec
+    ctype = headers.get("content-type")
+    status = hct = None
+    if strip_http and ctype and ctype.lower().startswith("application/http"):
+        status, hct, body = _split_http(body)
+    return {
+        "record_id": headers.get("warc-record-id"),
+        "warc_type": headers.get("warc-type"),
+        "target_uri": headers.get("warc-target-uri"),
+        "warc_date": headers.get("warc-date"),
+        "content_type": ctype,
+        "content_length": int(headers.get("content-length", 0)),
+        "http_status": status,
+        "http_content_type": hct,
+        "payload": body,
+        "source_file": os.path.basename(path),
+        "source_offset": offset,
+    }

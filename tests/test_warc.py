@@ -880,3 +880,49 @@ def test_use_index_false_falls_back_to_scan(spark, tmp_path):
     # and with no sidecar at all, scanning still works
     os.remove(f + ".cdxj")
     assert _read(spark, f, partitionBytes="1024").count() == 30
+
+
+# --------------------------------- r11: provenance offsets + random access
+
+
+def test_source_offset_round_trips_every_layout(spark, tmp_path):
+    """Every reader row's (source_file, source_offset) must fetch the
+    SAME record via read_warc_record — across plain byte-split,
+    gz byte-split, and whole-file gz decode."""
+    from mongo_arrow_spark.sources.warc import read_warc_record
+
+    recs = [
+        build_warc_record(
+            f"<urn:mas:{i}>", f"https://x.org/{i}", f"payload-{i}".encode()
+        )
+        for i in range(15)
+    ]
+    plain = _mk_warc(str(tmp_path / "p.warc"), recs)
+    member_gz = _mk_member_warc(str(tmp_path / "m.warc.gz"), recs)
+    whole_gz = _mk_warc(str(tmp_path / "w.warc.gz"), recs, compress=True)
+    for path, opts in (
+        (plain, {"partitionBytes": "512"}),
+        (member_gz, {"partitionBytes": "512"}),
+        (whole_gz, {}),  # single-member: whole-file or degraded split
+    ):
+        rows = _read(spark, path, **opts).collect()
+        assert len(rows) == 15, path
+        for r in rows:
+            fetched = read_warc_record(path, r["source_offset"])
+            assert fetched["record_id"] == r["record_id"], path
+            assert fetched["payload"] == bytes(r["payload"]), path
+            assert fetched["http_status"] == r["http_status"]
+
+
+def test_read_warc_record_bad_offset_raises(tmp_path):
+    from mongo_arrow_spark.sources.warc import (
+        WarcCorruptError,
+        read_warc_record,
+    )
+
+    p = _mk_warc(
+        str(tmp_path / "b.warc"),
+        [build_warc_record("<urn:mas:0>", None, b"x" * 100, http=False)],
+    )
+    with pytest.raises(WarcCorruptError):
+        read_warc_record(p, 17)
