@@ -157,6 +157,10 @@ HEADLINE = [
     # on top of the q_scan_warc_html chain — expect it to read a bit
     # above that key: same archive decode plus the HOF segment pass)
     "q_scan_warc_main",
+    # streaming crawl ingest (same fixture as q_scan_warc through the
+    # StreamExecution route — expect the streaming machinery constant
+    # on top of that key)
+    "q_crawl_stream",
 ]
 
 

@@ -450,6 +450,12 @@ _DEMOTED = [
     # extraction-quality fixtures + no-UDF plan gate in
     # tests/test_warc.py.
     "q_scan_warc_main",
+    # r11 wave: the streaming crawl ingest parks with its batch sibling
+    # q_scan_warc (same archive fixture, same oracle — the delta is the
+    # StreamExecution route: seen-file-set offsets + per-microbatch
+    # split planning). Oracle runs in tests/test_battery.py; offset
+    # contract + parity pinned in tests/test_warc.py.
+    "q_crawl_stream",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

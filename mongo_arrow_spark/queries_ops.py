@@ -2760,3 +2760,40 @@ def q_scan_warc_main(spark, sf_dir):
         .alias("doc_id"),
         text_ops.html_main_text(F.col("payload")).alias("text"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_crawl_stream",
+    "SELECT doc_id, COALESCE(text, '') AS text FROM documents "
+    "ORDER BY doc_id",
+)
+def q_crawl_stream(spark, sf_dir):
+    """Streaming crawl ingest (r11): the SAME archive layout
+    ``q_scan_warc`` grades, consumed through the STREAMING surface —
+    ``read_warc_stream`` over the archive directory, drained with an
+    availableNow trigger into a memory sink, payloads decoded back to
+    (doc_id, text). Hash-equality against the parquet base proves
+    streaming == batch on the crawl path (the bar every other
+    streaming entry meets): seen-file-set offsets, per-microbatch
+    split planning, Arrow batches, HTTP strip — all through the
+    StreamExecution machinery, not the batch reader."""
+    import uuid
+
+    from mongo_arrow_spark.sources.warc import read_warc_stream
+
+    d = _warc_corpus_dir(spark, sf_dir)
+    name = f"mas_crawl_stream_{uuid.uuid4().hex[:8]}"
+    (
+        read_warc_stream(spark, d)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.table(name).select(
+        F.regexp_extract("record_id", r"urn:mas:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("payload").cast("string").alias("text"),
+    ).orderBy("doc_id")

@@ -101,6 +101,7 @@ REPRESENTATIVES = [
     "url_canonicalize",
     "url_domain_cap",
     "q_scan_warc_main",
+    "q_crawl_stream",
 ]
 
 
