@@ -31,6 +31,7 @@ from mongo_arrow_spark.operators import dedup as dedup_ops
 from mongo_arrow_spark.operators import membership as membership_ops
 from mongo_arrow_spark.operators import quality as quality_ops
 from mongo_arrow_spark.operators import selection as selection_ops
+from mongo_arrow_spark.operators import url as url_ops
 
 
 def curate(
@@ -39,6 +40,13 @@ def curate(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    # URL tier (r11; None disables — see operators/url.py): runs FIRST,
+    # the CCNet/C4/RefinedWeb order — canonical-URL dedup drops
+    # refetches payload-free (16-byte digest shuffle, text never moves),
+    # then an optional per-registered-domain cap bounds source
+    # dominance before any text-side work happens at all
+    url_col: str | None = None,
+    url_domain_cap_n: int | None = None,
     # quality gate (Gopher-style bounds; see quality.gopher_quality_flags)
     min_tokens: int = 20,
     max_tokens: int = 100_000,
@@ -174,6 +182,18 @@ def curate(
         # call and break the "no key == stage did not run" contract
         audit.clear()
     _tap("input", df)
+
+    # 0. URL tier — before anything touches the text
+    if url_col is not None:
+        df = _tap("url_dedup", url_ops.url_dedup(df, url_col, id_col=id_col))
+        if url_domain_cap_n is not None:
+            df = _tap(
+                "url_domain_cap",
+                url_ops.cap_per_domain(
+                    df, url_col, n=url_domain_cap_n, id_col=id_col
+                ),
+            )
+
     # 1. quality gate — pure projection + filter, runs scan-side
     flagged = quality_ops.gopher_quality_flags(
         df,

@@ -912,3 +912,38 @@ def test_ngram_novelty_contract(spark):
         3: (0, 0, None),
         4: (1, 1, 1.0),
     }
+
+
+def test_curate_url_tier_runs_first(spark):
+    """url_col engages the URL tier before any text-side stage: messy
+    refetch variants collapse on the canonical URL, the per-domain cap
+    bounds source dominance, and the audit shows both stages."""
+    rows = []
+    for i in range(12):
+        rows.append(
+            (i, "good text with enough plain words to pass the gate "
+                "and some more filler words here " + str(i),
+             f"https://www.site{i % 2}.com/p/{i}")
+        )
+    # messy refetches of the first 4 docs: same canonical URL
+    for i in range(4):
+        rows.append(
+            (100 + i, "refetched body text that is entirely different",
+             f"HTTPS://WWW.Site{i % 2}.COM:443/p/{i}?utm_source=x")
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    audit: dict = {}
+    out = curate(
+        df,
+        url_col="url",
+        url_domain_cap_n=4,
+        jaccard_threshold=None,
+        redact_pii=False,
+        min_tokens=3,
+        audit=audit,
+    )
+    assert audit["input"] == 16
+    assert audit["url_dedup"] == 12  # the 4 refetches died on URL alone
+    assert audit["url_domain_cap"] == 8  # 2 domains x 4
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept <= set(range(12)) and len(kept) == 8
