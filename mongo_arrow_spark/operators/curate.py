@@ -184,6 +184,11 @@ def curate(
     _tap("input", df)
 
     # 0. URL tier — before anything touches the text
+    if url_col is None and url_domain_cap_n is not None:
+        raise ValueError(
+            "url_domain_cap_n requires url_col — the cap is keyed by "
+            "the URL's registered domain"
+        )
     if url_col is not None:
         df = _tap("url_dedup", url_ops.url_dedup(df, url_col, id_col=id_col))
         if url_domain_cap_n is not None:

@@ -2783,14 +2783,18 @@ def q_crawl_stream(spark, sf_dir):
 
     d = _warc_corpus_dir(spark, sf_dir)
     name = f"mas_crawl_stream_{uuid.uuid4().hex[:8]}"
-    (
+    q = (
         read_warc_stream(spark, d)
         .writeStream.format("memory")
         .queryName(name)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(300)
     )
+    if not q.awaitTermination(300):
+        # a timed-out drain would read a partially-filled sink as if
+        # it were the full result — fail loudly instead
+        q.stop()
+        raise RuntimeError("q_crawl_stream: drain did not finish in 300s")
     return spark.table(name).select(
         F.regexp_extract("record_id", r"urn:mas:(\d+)", 1)
         .cast("bigint")

@@ -547,22 +547,49 @@ def _index_path(archive_path: str) -> str:
 
 def _load_index_offsets(archive_path: str) -> list[int] | None:
     """Sorted record/member start offsets from the sidecar index, or
-    None when no index exists. One small local file per archive, read
-    by the task that owns the split — never the driver (100k archives
-    must not serialize through one listing pass)."""
+    None when there is no USABLE index (absent, unparseable, or not
+    covering the archive — all fall back to the scan path rather than
+    crash or silently drop records). One small local file per archive,
+    read by the task that owns the split — never the driver (100k
+    archives must not serialize through one listing pass).
+
+    Format tolerance: our writer emits bare JSON lines; standard CDXJ
+    (pywb/cdxj-indexer) prefixes a SURT key + timestamp before the
+    JSON blob — both parse (JSON starts at the first ``{``). Trust
+    discipline: the entries must CHAIN (offset 0, each offset+length
+    = the next offset, the last reaching the file size) — a partial or
+    stale index that misses records would otherwise silently drop
+    them, so it is ignored instead."""
     import json as _json
 
     idx = _index_path(archive_path)
     if not os.path.exists(idx):
         return None
-    offs = []
-    with open(idx, "rb") as fh:
-        for line in fh:
-            line = line.strip()
-            if line:
-                offs.append(int(_json.loads(line)["offset"]))
-    offs.sort()
-    return offs
+    entries: list[tuple[int, int]] = []
+    try:
+        with open(idx, "rb") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                j = line.find(b"{")
+                if j < 0:
+                    return None
+                rec = _json.loads(line[j:])
+                entries.append((int(rec["offset"]), int(rec["length"])))
+    except (ValueError, KeyError, TypeError, OSError):
+        return None
+    if not entries:
+        return None
+    entries.sort()
+    pos = 0
+    for off, length in entries:
+        if off != pos or length <= 0:
+            return None
+        pos = off + length
+    if pos != os.path.getsize(archive_path):
+        return None
+    return [off for off, _ in entries]
 
 
 def _index_entry_at(
@@ -996,9 +1023,10 @@ def write_warc(
             # layout that makes large archives byte-splittable
             return gzip.compress(record, 6, mtime=0) if compress else record
 
+        import contextlib
+
         n = 0
         pos = 0
-        idx = open(_index_path(fname), "w") if index else None
 
         def emit(out, blob: bytes, rid: str, uri, wtype: str) -> None:
             nonlocal pos
@@ -1018,7 +1046,11 @@ def write_warc(
             out.write(blob)
             pos += len(blob)
 
-        with open(fname, "wb") as out:
+        with open(fname, "wb") as out, (
+            open(_index_path(fname), "w")
+            if index
+            else contextlib.nullcontext()
+        ) as idx:
             # spec-shaped leading warcinfo record per archive; readers
             # with the default warcTypes=response skip it
             info_id = f"<urn:mas:warcinfo:{pid}>"
@@ -1060,8 +1092,6 @@ def write_warc(
                         "response",
                     )
                     n += 1
-        if idx is not None:
-            idx.close()
         if n == 0:
             os.remove(fname)
             if index:
@@ -1086,21 +1116,32 @@ def read_warc_record(
     magic at the offset disambiguates; a decompressed-offset fetch
     costs a stream decode up to the offset). Returns a dict shaped
     like the reader row. Raises WarcCorruptError when no record
-    starts there."""
-    if _is_gz(path):
-        with open(path, "rb") as fh:
-            fh.seek(offset)
-            if fh.read(3) == _GZ_MAGIC:
-                member = _OneMemberFile(fh, offset, os.path.basename(path))
-                rec = _read_one(member, os.path.basename(path), 0)
-            else:
-                gz = gzip.open(path, "rb")
-                gz.seek(offset)
-                rec = _read_one(gz, os.path.basename(path), offset)
-    else:
-        with open(path, "rb") as fh:
-            fh.seek(offset)
-            rec = _read_one(fh, os.path.basename(path), offset)
+    starts there — including a stale pointer landing on payload bytes
+    that merely look like gzip magic. CAVEAT for foreign archives
+    packing SEVERAL records into one gzip member: all records of a
+    member share the member's offset, so this returns the member's
+    FIRST record; write_warc's member-per-record layout (and Common
+    Crawl's) never hits this."""
+    src = os.path.basename(path)
+    try:
+        if _is_gz(path):
+            with open(path, "rb") as fh:
+                fh.seek(offset)
+                if fh.read(3) == _GZ_MAGIC:
+                    member = _OneMemberFile(fh, offset, src)
+                    rec = _read_one(member, src, 0)
+                else:
+                    with gzip.open(path, "rb") as gz:
+                        gz.seek(offset)
+                        rec = _read_one(gz, src, offset)
+        else:
+            with open(path, "rb") as fh:
+                fh.seek(offset)
+                rec = _read_one(fh, src, offset)
+    except _STREAM_ERRORS as exc:
+        raise WarcCorruptError(
+            f"{path}: no decodable record at offset {offset}: {exc}"
+        ) from exc
     if rec is None:
         raise WarcCorruptError(f"{path}: no record at offset {offset}")
     _, headers, body = rec
