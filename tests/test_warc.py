@@ -926,3 +926,49 @@ def test_read_warc_record_bad_offset_raises(tmp_path):
     )
     with pytest.raises(WarcCorruptError):
         read_warc_record(p, 17)
+
+
+def test_foreign_and_partial_cdxj_sidecars(spark, tmp_path):
+    """Standard CDXJ lines (SURT + timestamp before the JSON) parse;
+    an index that does not chain contiguously over the archive is
+    IGNORED (scan fallback) rather than trusted or fatal."""
+    import json
+
+    from mongo_arrow_spark.sources.warc import _load_index_offsets
+
+    recs = [
+        build_warc_record(f"<urn:mas:{i}>", None, b"q" * 300, http=False)
+        for i in range(6)
+    ]
+    d = tmp_path / "foreign"
+    d.mkdir()
+    f = str(d / "part-00000.warc.gz")
+    offs = []
+    with open(f, "wb") as fh:
+        pos = 0
+        for rec in recs:
+            blob = gzip.compress(rec, 6, mtime=0)
+            offs.append((pos, len(blob)))
+            fh.write(blob)
+            pos += len(blob)
+    # pywb-style cdxj: surt key + timestamp, then the JSON blob
+    with open(f + ".cdxj", "w") as idx:
+        for (o, ln), i in zip(offs, range(len(offs))):
+            idx.write(
+                f"org,example)/{i} 20260101000000 "
+                + json.dumps({"offset": o, "length": ln, "status": "200"})
+                + "\n"
+            )
+    assert _load_index_offsets(f) == [o for o, _ in offs]
+    assert _read(spark, f, warcTypes="*", partitionBytes="512").count() == 6
+    # partial index (first record missing): rejected -> scan fallback
+    with open(f + ".cdxj", "w") as idx:
+        for (o, ln) in offs[1:]:
+            idx.write(json.dumps({"offset": o, "length": ln}) + "\n")
+    assert _load_index_offsets(f) is None
+    assert _read(spark, f, warcTypes="*", partitionBytes="512").count() == 6
+    # garbage sidecar: ignored, not fatal
+    with open(f + ".cdxj", "w") as idx:
+        idx.write("not an index at all\n")
+    assert _load_index_offsets(f) is None
+    assert _read(spark, f, warcTypes="*").count() == 6
