@@ -161,3 +161,31 @@ def test_cap_per_domain_keeps_partial_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_url_bloom_gate_composition(spark):
+    """The incremental URL-dedup ingest gate is a composition: a
+    standing Bloom over CANONICAL urls, probed with the canonical form
+    of each arriving batch — messy refetches of known pages are
+    dropped without any payload comparison."""
+    from mongo_arrow_spark.operators import membership as M
+
+    standing = spark.createDataFrame(
+        [(i, f"https://site.com/p/{i}") for i in range(50)],
+        "doc_id long, url string",
+    ).withColumn("canon", U.canonicalize_url(F.col("url")))
+    idx = M.build_bloom_index(standing, "canon", num_bits=1 << 16)
+    batch = spark.createDataFrame(
+        [
+            (100, "HTTPS://Site.COM:443/p/7?utm_source=x"),  # refetch
+            (101, "https://site.com/p/9/"),  # refetch (trailing slash)
+            (102, "https://site.com/p/999"),  # genuinely new
+        ],
+        "doc_id long, url string",
+    ).withColumn("canon", U.canonicalize_url(F.col("url")))
+    probed = M.probe_bloom(batch, idx, "canon", num_bits=1 << 16)
+    fresh = sorted(
+        r["doc_id"]
+        for r in probed.filter(~F.col("maybe_member")).collect()
+    )
+    assert fresh == [102]

@@ -972,3 +972,27 @@ def test_foreign_and_partial_cdxj_sidecars(spark, tmp_path):
         idx.write("not an index at all\n")
     assert _load_index_offsets(f) is None
     assert _read(spark, f, warcTypes="*").count() == 6
+
+
+def test_wet_shape_conversion_records(spark, tmp_path):
+    """Common Crawl WET files are WARC archives of `conversion`
+    records (extracted text, no HTTP envelope) — the reader handles
+    them with warcTypes=conversion, no new code path."""
+    recs = [_info_record()] + [
+        build_warc_record(
+            f"<urn:mas:wet:{i}>",
+            f"https://x.org/{i}",
+            f"extracted plain text {i}".encode(),
+            warc_type="conversion",
+            http=False,
+            http_content_type="text/plain",
+        )
+        for i in range(5)
+    ]
+    p = str(tmp_path / "seg.warc.gz")
+    _mk_member_warc(p, recs)
+    rows = _read(spark, p, warcTypes="conversion").collect()
+    assert len(rows) == 5
+    assert all(r["warc_type"] == "conversion" for r in rows)
+    assert bytes(rows[0]["payload"]).startswith(b"extracted plain text")
+    assert rows[0]["http_status"] is None  # nothing to strip
