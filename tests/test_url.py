@@ -189,3 +189,108 @@ def test_url_bloom_gate_composition(spark):
         for r in probed.filter(~F.col("maybe_member")).collect()
     )
     assert fresh == [102]
+
+
+# ------------------------- differential fuzz: Spark chain vs Python mirror
+
+
+def _py_canon(u, strip_tracking=True, sort_query=True, strip_www=False):
+    """Independent Python mirror of canonicalize_url — NOT a port of
+    the Column chain but a re-derivation from its documented rules, so
+    a regex-semantics slip on either side shows up as a mismatch."""
+    import re
+
+    u = u.strip()
+    m = re.match(r"([A-Za-z][A-Za-z0-9+.-]*)://", u)
+    if not m:
+        return u
+    scheme = m.group(1).lower()
+    rest = u[m.end():]
+    am = re.match(r"[^/?#]*", rest)
+    auth = am.group(0)
+    after = rest[am.end():]
+    host = re.sub(r"^[^@]*@", "", auth)
+    pm = re.search(r":([0-9]+)$", host)
+    port = pm.group(1) if pm else ""
+    host = re.sub(r":[0-9]*$", "", host).lower()
+    if strip_www:
+        host = re.sub(r"^www\.", "", host)
+    keep_port = port != "" and not (
+        (scheme == "http" and port == "80")
+        or (scheme == "https" and port == "443")
+    )
+    hostport = f"{host}:{port}" if keep_port else host
+    path_m = re.match(r"[^?#]*", after)
+    path = path_m.group(0)
+    path = re.sub(r"/+$", "", path) or "/"
+    # the fragment starts at the FIRST '#'; a '?' after it is part of
+    # the fragment, not a query (the Spark chain anchors its query
+    # regex with [^#?]*\? for the same reason)
+    qm = re.search(r"\?([^#]*)", after.split("#", 1)[0])
+    q = qm.group(1) if qm else ""
+    parts = [p for p in q.split("&") if p != ""]
+    if strip_tracking:
+        tr = re.compile(
+            r"^(utm_[A-Za-z0-9_]*|gclid|gclsrc|dclid|fbclid|msclkid"
+            r"|igshid|mc_cid|mc_eid|mkt_tok|yclid|_ga|_gl|spm|ref_src)"
+            r"(=.*)?$"
+        )
+        parts = [p for p in parts if not tr.match(p)]
+    if sort_query:
+        parts = sorted(parts)
+    qs = "&".join(parts)
+    return f"{scheme}://{hostport}{path}" + (f"?{qs}" if qs else "")
+
+
+def test_canonicalize_differential_fuzz(spark):
+    import itertools
+    import random
+
+    rng = random.Random(1106)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp"]
+    hosts = [
+        "Example.COM", "www.Site.org", "a.b.C.co.uk", "1.2.3.4",
+        "xn--bcher-kva.de", "host_with_underscore.net",
+    ]
+    ports = ["", ":80", ":443", ":8080", ":0443", ":"]
+    userinfos = ["", "u@", "user:p@ss@"]
+    paths = ["", "/", "/A/b", "/a//b///", "/a/b/", "/%7Euser/x"]
+    params = [
+        "a=1", "B=2", "utm_source=x", "gclid=zzz", "", "z", "a=1=2",
+        "ref_src=t", "utm_=e", "key=v&broken",
+    ]
+    frags = ["", "#f", "#a?b=1", "#"]
+    cases = []
+    for _ in range(300):
+        q = "&".join(rng.sample(params, rng.randint(0, 4)))
+        cases.append(
+            rng.choice(schemes)
+            + "://"
+            + rng.choice(userinfos)
+            + rng.choice(hosts)
+            + rng.choice(ports)
+            + rng.choice(paths)
+            + (("?" + q) if q or rng.random() < 0.2 else "")
+            + rng.choice(frags)
+        )
+    cases += ["not a url", "  spaced  ", "", "relative/path?a=1#x",
+              "://nohost", "h\ttab://x.com/a"]
+    for flags in itertools.product([True, False], repeat=3):
+        st, sq, sw = flags
+        df = spark.createDataFrame([(c,) for c in cases], "u string")
+        got = [
+            r["c"]
+            for r in df.select(
+                U.canonicalize_url(
+                    "u", strip_tracking=st, sort_query=sq, strip_www=sw
+                ).alias("c")
+            ).collect()
+        ]
+        for raw, g in zip(cases, got):
+            want = _py_canon(
+                raw, strip_tracking=st, sort_query=sq, strip_www=sw
+            )
+            assert g == want, (
+                f"mismatch flags={flags} raw={raw!r}: spark={g!r} "
+                f"python={want!r}"
+            )
