@@ -524,3 +524,55 @@ def test_hard_negatives_ivf_plan_cell_equijoin_only(spark, tables):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     )
+
+
+def test_url_tier_scale_budget(spark, tables):
+    """URL tier plan budget: canonical-dedup is ONE exchange (the
+    digest groupBy) plus the semi-join back; the domain cap stays one
+    hash exchange with the Partial WindowGroupLimit pre-cut and no
+    Python eval anywhere."""
+    from mongo_arrow_spark.operators import url as U
+    from mongo_arrow_spark.plans import assert_scale_safe, plan_string
+
+    df = spark.createDataFrame(
+        [(i, f"https://s{i % 5}.brand{i % 3}.co.uk/p/{i}?b=2&a=1")
+         for i in range(200)],
+        "doc_id long, url string",
+    )
+    deduped = U.url_dedup(df, "url")
+    r = assert_scale_safe(
+        deduped, forbid_cartesian=True, require_python_free=True,
+        forbid_global_sort=True,
+    )
+    capped = U.cap_per_domain(df, "url", n=3)
+    assert_scale_safe(
+        capped, forbid_cartesian=True, require_python_free=True,
+        forbid_global_sort=True,
+    )
+    assert "WindowGroupLimit" in plan_string(capped)
+
+
+def test_warc_scan_feeds_codegen_extraction(spark, tables, tmp_path):
+    """The crawl chain (warc scan → html_main_text) keeps the
+    extraction in whole-stage codegen: the only Python node is the
+    datasource scan itself, and there is no exchange before the
+    projection."""
+    from mongo_arrow_spark.operators.text import html_main_text
+    from mongo_arrow_spark.plans import plan_report
+    from mongo_arrow_spark.sources.warc import (
+        build_warc_record,
+        register_warc,
+    )
+
+    p = str(tmp_path / "x.warc")
+    with open(p, "wb") as fh:
+        fh.write(build_warc_record("<urn:mas:1>", "https://x/1", b"<p>hello</p>"))
+    register_warc(spark)
+    out = (
+        spark.read.format("warc")
+        .load(p)
+        .select(html_main_text(__import__("pyspark.sql.functions", fromlist=["F"]).col("payload")).alias("t"))
+    )
+    r = plan_report(out)
+    assert r.exchanges == 0
+    assert r.python_evals <= 1  # the datasource scan only
