@@ -75,7 +75,9 @@ def main() -> None:
         )
     )
     archive = f"{out}/archive"
-    write_warc(pages.repartition(4), archive, uri_col="url")
+    # index=True: .cdxj sidecars make splits offset-exact (and phantom-
+    # proof) and give every record an O(1) provenance pointer
+    write_warc(pages.repartition(4), archive, uri_col="url", index=True)
     n_archives = len(
         [f for f in os.listdir(archive) if f.endswith(".warc.gz")]
     )
@@ -91,9 +93,25 @@ def main() -> None:
             .alias("doc_id"),
             F.col("target_uri").alias("url"),
             text.html_to_text(F.col("payload")).alias("text"),
+            "source_file",
+            "source_offset",
         )
     )
     print(f"ingested {crawled.count()} pages from {n_archives} archives")
+
+    # provenance: any curated row points straight back at its archive
+    # bytes — the training-data audit path
+    from mongo_arrow_spark.sources import read_warc_record
+
+    one = crawled.orderBy("doc_id").first()
+    fetched = read_warc_record(
+        os.path.join(archive, one["source_file"]), one["source_offset"]
+    )
+    assert fetched["record_id"] == f"<urn:mas:{one['doc_id']}>"
+    print(
+        f"provenance: doc {one['doc_id']} -> "
+        f"{one['source_file']}@{one['source_offset']} fetched OK"
+    )
 
     # 4. URL tier FIRST (the CCNet/C4 order): canonicalize + URL-dedup
     # catches the refetched shard without touching any payload, then a
