@@ -996,3 +996,43 @@ def test_wet_shape_conversion_records(spark, tmp_path):
     assert all(r["warc_type"] == "conversion" for r in rows)
     assert bytes(rows[0]["payload"]).startswith(b"extracted plain text")
     assert rows[0]["http_status"] is None  # nothing to strip
+
+
+def test_gz_split_exactly_once_randomized(spark, tmp_path):
+    """Property sweep: random record counts/sizes (incl. empty bodies
+    and bodies full of gzip magic + CRLF WARC markers), random
+    partitionBytes — byte-split union must equal the whole-file read
+    for every seed."""
+    import random
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        recs = []
+        for i in range(rng.randint(5, 60)):
+            size = rng.choice((0, 3, 50, 700, 5000))
+            body = bytes(rng.getrandbits(8) for _ in range(min(size, 64)))
+            body = body * (size // max(1, len(body)) + 1) if size else b""
+            body = body[:size]
+            if rng.random() < 0.3:
+                body += b"\r\n\r\nWARC/1.0\r\n" + b"\x1f\x8b\x08"
+            recs.append(
+                build_warc_record(
+                    f"<urn:mas:{seed}-{i}>", f"https://x/{i}", body,
+                    http=rng.random() < 0.5,
+                )
+            )
+        p = str(tmp_path / f"r{seed}.warc.gz")
+        _mk_member_warc(p, recs)
+        size = os.path.getsize(p)
+        whole = {
+            (r["record_id"], bytes(r["payload"]))
+            for r in _read(spark, p, warcTypes="*").collect()
+        }
+        pb = rng.choice((512, 2048, max(1, size // rng.randint(2, 9))))
+        split = {
+            (r["record_id"], bytes(r["payload"]))
+            for r in _read(
+                spark, p, warcTypes="*", partitionBytes=str(pb)
+            ).collect()
+        }
+        assert split == whole and len(whole) == len(recs), (seed, pb)
