@@ -5,10 +5,9 @@ fetches the same document under ``http://WWW.Example.com:80/a/?utm_…``
 and ``https://example.com/a`` long before its text is compared).
 
 Scale design: everything here is a map-only JVM expression chain
-(``regexp_extract`` / higher-order array functions — no UDF, stays
-inside whole-stage codegen; the one exception is the optional
-full-public-suffix-list join, which runs over DISTINCT hosts, never
-the corpus). Patterns avoid backreferences and lookarounds so an
+(``regexp_extract`` / higher-order array functions — no UDF, no
+shuffle, stays inside whole-stage codegen; even the full public-suffix
+list rides the plan as array literals). Patterns avoid backreferences and lookarounds so an
 RE2-based oracle (DuckDB) can replay them exactly — the
 ``html_to_text`` discipline (text.py).
 
@@ -28,6 +27,7 @@ __all__ = [
     "DEFAULT_MULTI_SUFFIXES",
     "canonicalize_url",
     "url_host",
+    "parse_public_suffix_list",
     "registered_domain",
     "url_dedup",
     "cap_per_domain",
@@ -44,10 +44,11 @@ TRACKING_PARAM_RE = (
 # Multi-label public suffixes for the expression-form registered-domain
 # extraction: a compact, documented SUBSET of publicsuffix.org covering
 # the high-traffic ccTLD second-level registries. Single-label TLDs
-# need no listing (the fallback takes the last label); wildcard and
-# exception PSL rules are out of scope for the expression form — ship
-# the full list via ``suffixes=`` (it becomes one array literal in the
-# plan, i.e. broadcast with the task binary) when exactness matters.
+# need no listing (the fallback takes the last label). For full PSL
+# fidelity — thousands of rules plus ``*.x`` wildcards and ``!x``
+# exceptions — ship publicsuffix.org's dat file with the job and pass
+# ``rules=parse_public_suffix_list(...)``; it rides the plan as array
+# literals exactly like this subset.
 DEFAULT_MULTI_SUFFIXES = [
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au",
@@ -150,31 +151,71 @@ def canonicalize_url(
     return F.when(scheme == F.lit(""), u).otherwise(canon)
 
 
+def parse_public_suffix_list(text: str) -> dict:
+    """Parse publicsuffix.org ``public_suffix_list.dat`` content into
+    the rule dict :func:`registered_domain` accepts: ``{"exact":
+    [...], "wildcard": [<bases of *.x rules>], "exception": [<rules
+    after '!'>]}``. Comments (``//``), blank lines and trailing text
+    after whitespace are dropped, everything lowercased. Ship the file
+    with your job and pass ``rules=parse_public_suffix_list(open(p)
+    .read())`` — it becomes plan literals exactly like the built-in
+    subset."""
+    exact: list[str] = []
+    wildcard: list[str] = []
+    exception: list[str] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            exception.append(rule[1:])
+        elif rule.startswith("*."):
+            wildcard.append(rule[2:])
+        else:
+            exact.append(rule)
+    return {"exact": exact, "wildcard": wildcard, "exception": exception}
+
+
 def registered_domain(
-    host: Column | str, suffixes: list[str] | None = None
+    host: Column | str,
+    suffixes: list[str] | None = None,
+    rules: dict | None = None,
 ) -> Column:
     """Registered (pay-level) domain of a HOST column: the public
     suffix plus one label — ``news.bbc.co.uk`` → ``bbc.co.uk``,
     ``a.b.example.com`` → ``example.com``.
 
-    Pure expression form: the suffix list rides in the plan as ONE
-    array literal per length class (it ships to every executor with
-    the task binary — a broadcast in Spark's own mechanism, no join,
-    no shuffle). Matching is longest-suffix-wins over 2- and 3-label
-    candidates, falling back to the bare TLD; hosts with fewer labels
-    than the match need pass through unchanged. Wildcard/exception
-    PSL rules are not modeled (see DEFAULT_MULTI_SUFFIXES). IPv4
+    Pure expression form: the suffix rules ride in the plan as array
+    literals per length class (they ship to every executor with the
+    task binary — a broadcast in Spark's own mechanism, no join, no
+    shuffle). PSL semantics: the MOST SPECIFIC matching rule wins
+    (nested suffixes like ``ak.us`` + ``k12.ak.us`` resolve to the
+    longer), ``*.<base>`` wildcard rules treat every direct child of
+    ``base`` as a public suffix, and ``!<rule>`` exceptions override
+    everything (``!www.ck`` under ``*.ck`` makes ``www.ck``
+    registrable). Unlisted TLD → the last label is the suffix; hosts
+    with no more labels than the suffix pass through unchanged; IPv4
     literals pass through whole (a dotted-quad is not a domain
-    hierarchy)."""
+    hierarchy).
+
+    ``suffixes``: a plain list of exact multi-label suffixes (the
+    compact built-in :data:`DEFAULT_MULTI_SUFFIXES` when None).
+    ``rules``: the full-fidelity dict from
+    :func:`parse_public_suffix_list` — overrides ``suffixes``."""
     h = _lc(
         F.trim(
             (host if isinstance(host, Column) else F.col(host)).cast("string")
         )
     )
-    sfx = DEFAULT_MULTI_SUFFIXES if suffixes is None else list(suffixes)
-    by_len: dict[int, list[str]] = {}
-    for s in sfx:
-        by_len.setdefault(s.count(".") + 1, []).append(s.lower())
+    if rules is None:
+        rules = {
+            "exact": (
+                DEFAULT_MULTI_SUFFIXES if suffixes is None else list(suffixes)
+            ),
+            "wildcard": [],
+            "exception": [],
+        }
     labels = F.split(h, r"\.")
     n = F.size(labels)
 
@@ -184,12 +225,39 @@ def registered_domain(
             F.slice(labels, n - (k - 1), k), "."
         )
 
-    # longest listed suffix wins; unlisted TLD → last label is the suffix
+    def _by_len(vals):
+        out: dict[int, list[str]] = {}
+        for s in vals:
+            out.setdefault(s.count(".") + 1, []).append(s.lower())
+        return out
+
+    # Build the CASE chain shortest-to-longest so the LONGEST matching
+    # rule sits outermost and wins (building longest-first put the
+    # shortest class at the head of the final CASE — nested suffixes
+    # resolved to the shorter rule, the r11 precedence fix). Wildcard
+    # ``*.base`` has effective suffix length len(base)+1, merged into
+    # the same ordering; exceptions apply last (outermost), overriding
+    # all.
+    tiers: list[tuple[int, str, int, list[str]]] = []
+    for k, vals in _by_len(rules.get("exact", ())).items():
+        tiers.append((k, "exact", k, vals))
+    for k, vals in _by_len(rules.get("wildcard", ())).items():
+        tiers.append((k + 1, "wildcard", k, vals))
     suffix_labels = F.lit(1)
-    for k in sorted(by_len, reverse=True):
-        lits = F.array(*[F.lit(s) for s in sorted(by_len[k])])
+    for eff, kind, k, vals in sorted(tiers, key=lambda t: (t[0], t[1])):
+        lits = F.array(*[F.lit(s) for s in sorted(vals)])
+        if kind == "exact":
+            cond = (n > k) & F.array_contains(lits, last(k))
+        else:
+            # the '*' label must exist AND a registrant label above it
+            cond = (n > k + 1) & F.array_contains(lits, last(k))
+        suffix_labels = F.when(cond, F.lit(eff)).otherwise(suffix_labels)
+    for k, vals in sorted(_by_len(rules.get("exception", ())).items()):
+        lits = F.array(*[F.lit(s) for s in sorted(vals)])
+        # the exception rule ITSELF is registrable: its suffix is the
+        # rule minus its first label
         suffix_labels = F.when(
-            (n > k) & F.array_contains(lits, last(k)), F.lit(k)
+            (n >= k) & F.array_contains(lits, last(k)), F.lit(k - 1)
         ).otherwise(suffix_labels)
     dom_labels = suffix_labels + 1
     is_ipv4 = h.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")

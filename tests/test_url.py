@@ -294,3 +294,59 @@ def test_canonicalize_differential_fuzz(spark):
                 f"mismatch flags={flags} raw={raw!r}: spark={g!r} "
                 f"python={want!r}"
             )
+
+
+def test_nested_suffix_longest_wins(spark):
+    """PSL 'most specific rule wins': with both ak.us and k12.ak.us
+    listed, a k12 school district resolves to the LONGER suffix (the
+    r11 precedence fix — the CASE chain used to check the shortest
+    class first)."""
+    sfx = ["ak.us", "k12.ak.us"]
+    df = spark.createDataFrame(
+        [("south.k12.ak.us",), ("city.ak.us",), ("x.south.k12.ak.us",)],
+        "h string",
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            U.registered_domain("h", suffixes=sfx).alias("d")
+        ).collect()
+    ]
+    assert got == ["south.k12.ak.us", "city.ak.us", "south.k12.ak.us"]
+
+
+def test_psl_wildcard_and_exception_rules(spark):
+    """Full PSL semantics through parse_public_suffix_list: *.ck makes
+    every direct child of ck a public suffix; !www.ck carves www.ck
+    back out as registrable (the canonical PSL example)."""
+    dat = """
+// ck : https://en.wikipedia.org/wiki/.ck
+*.ck
+!www.ck
+// plain rules
+com
+co.uk
+"""
+    rules = U.parse_public_suffix_list(dat)
+    assert rules == {
+        "exact": ["com", "co.uk"],
+        "wildcard": ["ck"],
+        "exception": ["www.ck"],
+    }
+    cases = [
+        ("foo.b.ck", "foo.b.ck"),  # suffix b.ck -> registrable is itself
+        ("x.foo.b.ck", "foo.b.ck"),
+        ("b.ck", "b.ck"),  # the suffix alone: passthrough
+        ("www.ck", "www.ck"),  # exception: registrable
+        ("sub.www.ck", "www.ck"),  # under the exception
+        ("a.b.example.com", "example.com"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [
+        r["d"]
+        for r in df.select(
+            U.registered_domain("h", rules=rules).alias("d")
+        ).collect()
+    ]
+    assert got == [w for _, w in cases]
