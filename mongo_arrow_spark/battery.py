@@ -434,28 +434,42 @@ _DEMOTED = [
     #                     exact oracle in pytest where the cube sibling
     #                     (q_cube_counts) has sat green since r3
     "q_rollup_orders",
-    # r11 wave: the URL tier parks below the window by construction
-    # (the established new-wave discipline — promotion next round with
-    # a three-scale-green history): closed-form canonicalization oracle
-    # and the per-registered-domain cap; both map-only JVM expression
-    # chains plus the already-graded WindowGroupLimit cut shape. Exact
-    # oracles run in tests/test_battery.py; cases + plan gates in
-    # tests/test_url.py.
-    "url_canonicalize",
-    "url_domain_cap",
-    # r11 wave: main-content extraction parks with its graded sibling
-    # q_scan_warc_html (same archive machinery; html_main_text adds
-    # boilerplate-container removal + the per-segment length/link-
-    # density filter). Closed-form oracle in tests/test_battery.py;
-    # extraction-quality fixtures + no-UDF plan gate in
-    # tests/test_warc.py.
-    "q_scan_warc_main",
-    # r11 wave: the streaming crawl ingest parks with its batch sibling
-    # q_scan_warc (same archive fixture, same oracle — the delta is the
-    # StreamExecution route: seen-file-set offsets + per-microbatch
-    # split planning). Oracle runs in tests/test_battery.py; offset
-    # contract + parity pinned in tests/test_warc.py.
-    "q_crawl_stream",
+    # Round-12 rotation (r11 verdict #1): the four r11 wave entries —
+    # url_canonicalize, url_domain_cap (URL tier: closed-form
+    # canonicalization + per-registered-domain cap), q_scan_warc_main
+    # (main-content extraction), q_crawl_stream (streaming crawl
+    # ingest) — enter the graded 50 from their three-scale-green
+    # parked-oracle history (COVERAGE.md §r11; each passes the
+    # conf-bare vanilla-session gate in tests/test_vanilla_session.py).
+    # The four slots come from multiply-pinned graded rows whose
+    # SURVEY §2 capability stays pinned by a green graded sibling
+    # (every demoted oracle still runs in tests/test_battery.py):
+    #   pivot/grouping grid → the multi-aggregate hash-agg shape is
+    #                     graded by q01_pricing_summary; the grouping-
+    #                     grid family keeps its exact oracles in pytest
+    #                     (q_cube_counts parked since r3, q_rollup_orders
+    #                     since r11) — q_pivot_status parks
+    "q_pivot_status",
+    #   rank fusion     → quality scoring stays graded by
+    #                     quality_nb_classifier + text_ppl_buckets; the
+    #                     per-signal rank windows are the graded
+    #                     mql_window_rank shape and the fusion blend
+    #                     keeps its parked mql_rank_fusion sibling
+    #                     oracle — quality_ensemble parks
+    "quality_ensemble",
+    #   length batching → packing stays graded by tok_pack_pipeline
+    #                     (pack_sequences machinery on real tokenizer
+    #                     artifacts) + pack_shards; the width-bucket +
+    #                     row_number batch cut is the graded
+    #                     mql_window_rank / parked cap_per_group shape
+    #                     — pack_bucket_batches parks
+    "pack_bucket_batches",
+    #   versioned store → the store family stays graded by
+    #                     corpus_version_stream (the SAME delta store,
+    #                     streaming route) + layout_content_addressed;
+    #                     the batch time-travel read keeps its exact
+    #                     oracle in pytest — corpus_time_travel parks
+    "corpus_time_travel",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly
