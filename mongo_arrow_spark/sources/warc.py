@@ -43,10 +43,13 @@ Reader options:
   compression verbatim (stored blocks) and then validates as a
   phantom member boundary — a mid-file task would emit the embedded
   archive's records until its chain breaks (loud in corruptMode=fail).
-  For corpora that may embed raw warc.gz payloads, write the sidecar
-  INDEX (below — offset-exact, no scanning at all), set
-  ``splitGz=false`` (whole-file decode never scans), or use a plain
-  ``.warc`` layout.
+  Because only fail mode is loud, ``corruptMode=drop`` boundary-scans
+  ONLY when splitGz was set EXPLICITLY: with the default, an unindexed
+  large gz decodes whole-file under drop (no scan, no phantom), and an
+  indexed one splits offset-exactly. For corpora that may embed raw
+  warc.gz payloads, write the sidecar INDEX (below — offset-exact, no
+  scanning at all), set ``splitGz=false`` (whole-file decode never
+  scans), or use a plain ``.warc`` layout.
 - ``useIndex`` — consult ``<archive>.cdxj`` sidecar indexes (written
   by ``write_warc(index=True)``: one JSON line per record with its
   exact raw offset, CDX-style) to position each split directly on its
@@ -59,6 +62,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import time
 import zlib
 from typing import Iterator
 
@@ -159,6 +163,7 @@ def _read_one(fh, source: str, offset: int, first_line: bytes | None = None):
             f"got {line[:40]!r}"
         )
     headers: dict[str, str] = {}
+    last_key: str | None = None
     while True:
         h = fh.readline()
         if h in (b"\r\n", b"\n"):
@@ -167,11 +172,31 @@ def _read_one(fh, source: str, offset: int, first_line: bytes | None = None):
             raise WarcCorruptError(
                 f"{source}: truncated header block at offset ~{offset}"
             )
-        if b":" in h:
-            k, v = h.split(b":", 1)
-            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
-                "utf-8", "replace"
+        if h[:1] in (b" ", b"\t"):
+            # folded continuation (RFC 822 style): extend the previous
+            # value; a continuation before any header is ignored, which
+            # is exactly what the boundary probe accepts
+            if last_key is not None:
+                headers[last_key] = (
+                    headers[last_key] + " "
+                    + h.strip().decode("utf-8", "replace")
+                ).strip()
+            continue
+        j = h.find(b":")
+        # the parser and the split-boundary probe (_is_header_line) MUST
+        # accept the same header shapes: a colon-less line, a name with
+        # embedded whitespace, or non-token name bytes fails HERE with a
+        # loud WarcCorruptError (fail/drop policy applies) instead of
+        # parsing fine serially but being silently dropped when a
+        # byte-split task's probe rejects the record (r11 ADVICE fix)
+        if j <= 0 or not all(33 <= b <= 126 for b in h[:j]):
+            raise WarcCorruptError(
+                f"{source}: malformed header line at offset ~{offset}: "
+                f"{h[:60]!r}"
             )
+        k, v = h[:j], h[j + 1:]
+        last_key = k.strip().lower().decode("latin-1")
+        headers[last_key] = v.strip().decode("utf-8", "replace")
     try:
         cl = int(headers["content-length"])
     except (KeyError, ValueError):
@@ -247,8 +272,11 @@ def _is_header_line(h: bytes) -> bool:
     """WARC header shape: token-named ``Name: value`` lines or folded
     continuations (leading space/tab). A payload-embedded fake
     marker's "headers" are page prose — spaces before any colon — and
-    fail this within a line or two; real headers always pass, so the
-    shape check never rejects what the full parser would accept."""
+    fail this within a line or two. This predicate and ``_read_one``
+    accept EXACTLY the same header shapes (``_read_one`` raises on any
+    line this rejects), so a record can never parse fine serially yet
+    be silently dropped by a byte-split task's boundary probe —
+    tests/test_warc.py pins the agreement."""
     if h[:1] in (b" ", b"\t"):
         return True
     j = h.find(b":")
@@ -649,6 +677,18 @@ class WarcReader(DataSourceReader):
         self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
         self.strip_http = str(options.get("striphttp", "true")).lower() == "true"
         self.split_gz = str(options.get("splitgz", "true")).lower() == "true"
+        # Was splitGz set by the USER (vs defaulted)? The documented
+        # phantom-member limit of the gz boundary scan (a payload
+        # embedding raw .warc.gz bytes via stored deflate blocks
+        # validates as a member start) is only loud under
+        # corruptMode=fail — under drop a mid-file task would emit the
+        # embedded archive's records and silently stop. So by DEFAULT,
+        # drop-mode byte-splits a large gz only when an offset-exact
+        # sidecar index exists; an explicit splitGz=true accepts the
+        # documented risk (r11 ADVICE fix).
+        self.split_gz_explicit = any(
+            str(k).lower() == "splitgz" for k in dict(options)
+        )
         self.use_index = str(options.get("useindex", "true")).lower() == "true"
         self.corrupt_mode = str(options.get("corruptmode", "fail")).lower()
         if self.corrupt_mode not in ("fail", "drop"):
@@ -668,8 +708,21 @@ class WarcReader(DataSourceReader):
         gz: list[tuple[str, int]] = []
         for path in self.paths:
             size = os.path.getsize(path)
+            split_this = self.split_gz
+            if (
+                _is_gz(path)
+                and split_this
+                and not self.split_gz_explicit
+                and self.corrupt_mode == "drop"
+                and not os.path.exists(_index_path(path))
+            ):
+                # phantom discipline (see __init__): no index to trust,
+                # drop mode would be silent — decode whole-file instead
+                # (existence only here; the owning TASK validates the
+                # index chain, never the driver)
+                split_this = False
             if _is_gz(path) and (
-                size <= self.partition_bytes or not self.split_gz
+                size <= self.partition_bytes or not split_this
             ):
                 # small archives (or splitGz=false): whole-file decode,
                 # bin-packed into balanced groups by estimated
@@ -795,15 +848,27 @@ class WarcReader(DataSourceReader):
         src = os.path.basename(part.path)
         with open(part.path, "rb") as fh:
             size = os.fstat(fh.fileno()).st_size
+            end = part.end
             offs = self.use_index and _load_index_offsets(part.path)
             if offs:
                 off = _index_entry_at(offs, part.start, part.end)
                 if off is not None:
                     fh.seek(off)
+            elif self.corrupt_mode == "drop" and not self.split_gz_explicit:
+                # planning byte-split this file because a sidecar index
+                # EXISTED, but the chain-trust check rejected it: the
+                # boundary scan under drop is the silent-phantom window,
+                # so degrade deterministically — the range-0 task decodes
+                # the WHOLE file, every other range emits nothing
+                # (exactly-once preserved; one productive task, same as
+                # the unindexed whole-file plan)
+                if part.start > 0:
+                    return
+                off, end = 0, size
             else:
                 off = _seek_gz_member(fh, part.start, src, part.end)
             carry: bytes | None = None
-            while off is not None and off < part.end:
+            while off is not None and off < end:
                 member = _OneMemberFile(fh, off, src, initial=carry)
                 # base=off: every record in the member points at the
                 # member's raw start (one record per member in the
@@ -858,6 +923,16 @@ class WarcStreamReader(DataSourceStreamReader):
         self.schema = schema
         self.options = options
         self.dir = options.get("path")
+        # admission contract: by default producers MUST write to a temp
+        # name and atomically rename into the drop directory (Spark's
+        # own FileStreamSource discipline) — a half-written file that is
+        # listed gets ingested ONCE, truncated, and the seen-file-set
+        # offset model never revisits it. For producers that can't
+        # rename atomically, stableFileMs=N admits a file only once its
+        # mtime is ≥ N ms old OR its (size, mtime) pair is unchanged
+        # since a previous listing (r11 ADVICE fix).
+        self.stable_ms = int(options.get("stablefilems", 0))
+        self._last_stat: dict[str, tuple[int, float]] = {}
 
     def _listing(self) -> list[str]:
         return _expand_warc(self.dir)
@@ -877,9 +952,28 @@ class WarcStreamReader(DataSourceStreamReader):
         return {"seen": []}
 
     def latestOffset(self):
-        return {
-            "seen": [os.path.relpath(f, self.dir) for f in self._listing()]
-        }
+        if self.stable_ms <= 0:
+            return {
+                "seen": [
+                    os.path.relpath(f, self.dir) for f in self._listing()
+                ]
+            }
+        now = time.time()
+        seen: list[str] = []
+        cur: dict[str, tuple[int, float]] = {}
+        for f in self._listing():
+            rel = os.path.relpath(f, self.dir)
+            try:
+                st = os.stat(f)
+            except OSError:
+                continue  # vanished between listing and stat
+            cur[rel] = (st.st_size, st.st_mtime)
+            if (now - st.st_mtime) * 1000.0 >= self.stable_ms or (
+                self._last_stat.get(rel) == cur[rel]
+            ):
+                seen.append(rel)
+        self._last_stat = cur
+        return {"seen": sorted(seen)}
 
     def partitions(self, start, end):
         new = sorted(set(end.get("seen", ())) - set(start.get("seen", ())))

