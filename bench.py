@@ -247,6 +247,32 @@ def main() -> None:
     drift["max_spread_pct"] = bound
     drift_exceeded = spread > bound
 
+    # Slow-tail re-timing (r11 verdict #6): the min-of-REPEAT inside one
+    # pass draws its samples seconds apart, so a multi-second key whose
+    # pass landed in a load window keeps a poisoned min and swings
+    # ×1.5-3 between same-code captures. Re-time every key that read
+    # over the threshold AFTER the attempt loop (minutes later — a
+    # temporally decorrelated draw) and keep the overall min. Only the
+    # slow tail re-runs, so the extra wall cost is bounded.
+    slow_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC", "2"))
+    slow_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SLOW_REPEAT", "2"))
+    if slow_reps > 0:
+        from mongo_arrow_spark.battery import QUERIES as _Q
+
+        retimed = []
+        for name, t in timings.items():
+            if t <= slow_thresh:
+                continue
+            best = t
+            for _ in range(slow_reps):
+                t0 = time.perf_counter()
+                _Q[name](spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            if best < t:
+                retimed.append(name)
+            timings[name] = round(best, 3)
+        drift["slow_retimed"] = len(retimed)
+
     # reference-shape microbenches (BASELINE.md:26 — ReadSmall/Large/Array/
     # Document/Extension at N_DOCS=20k) in the same JSON line so the next
     # round can gate x1.3 regressions per shape, like the reference's asv.

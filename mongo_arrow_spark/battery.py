@@ -470,6 +470,14 @@ _DEMOTED = [
     #                     the batch time-travel read keeps its exact
     #                     oracle in pytest — corpus_time_travel parks
     "corpus_time_travel",
+    # r12 wave: charset-aware payload decode parks below the window by
+    # construction (the established new-wave discipline — promotion
+    # next round with a three-scale-green history): closed-form
+    # transcode oracle over eight legacy-encoded fixtures; one
+    # Arrow-batched pandas_udf projection. Exact oracle runs in
+    # tests/test_battery.py; sniff/codec cases + the WARC-chain
+    # mojibake regression pin in tests/test_encoding.py.
+    "q_decode_charset",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

@@ -9,6 +9,7 @@ loops), then validated against DuckDB oracles at small SF.
 from mongo_arrow_spark.operators import (
     clustering,
     dedup,
+    encoding,
     expectations,
     layout,
     membership,
@@ -24,6 +25,7 @@ from mongo_arrow_spark.operators import (
 __all__ = [
     "clustering",
     "dedup",
+    "encoding",
     "expectations",
     "layout",
     "membership",

@@ -1,0 +1,269 @@
+"""Charset-aware payload decode for crawl archives.
+
+A real Common Crawl slice is several-percent legacy-encoded
+(windows-125x, Shift-JIS, GBK, EUC-KR, KOI8-R, TIS-620, …); decoding
+every payload with ``cast("string")`` (UTF-8 assumed) mojibakes those
+pages and silently poisons language-ID, quality signals and dedup
+digests downstream. This module is the transcode step the extraction
+chain runs FIRST:
+
+    decode_payload(payload, http_content_type)  ->  UTF-8 string
+
+Detection order (first hit wins — the same discipline as browsers and
+the WHATWG encoding sniff, deterministic by construction):
+
+1. **BOM** — UTF-8 / UTF-16LE/BE / UTF-32LE/BE byte-order marks are
+   definitive (and the only way UTF-16 pages are recognized).
+2. **HTTP ``Content-Type`` charset parameter** — the reader already
+   captures the envelope header into ``http_content_type``
+   (sources/warc.py); ``charset=`` is authoritative per RFC 9110 …
+3. **HTML ``<meta charset>`` / ``<meta http-equiv>`` probe** — scanned
+   in the first 4 KiB (ASCII-compatible scan, which covers every
+   single-byte family plus UTF-8).
+4. **Content heuristic** — strict-UTF-8 try, else windows-1252 (the
+   de-facto superset of latin-1 that real servers mean by either
+   label).
+
+One correction is applied over the declared label: a page declared as
+a SINGLE-BYTE charset whose bytes are valid strict UTF-8 *with at
+least one multi-byte sequence* is decoded as UTF-8 — the
+declared-latin1-but-actually-utf8 page is the single most common
+mislabel in web corpora, and every byte string is "valid" in a
+single-byte codec so the declaration alone can never catch it.
+
+The decode itself is Python's codec machinery inside an Arrow-batched
+``pandas_udf`` — per-value work that no JVM expression can express,
+exactly the carve-out the architecture reserves for Pandas UDFs. The
+pure-Python core (:func:`sniff_charset` / :func:`decode_bytes`) is
+importable for differential tests and driver-side audits.
+
+Reference surface: the reference library decodes BSON strings as
+UTF-8 only (pymongoarrow delegates charset problems to the server);
+this tier exists for the crawl front-door, where the bytes arrive raw.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sniff_charset",
+    "decode_bytes",
+    "decode_payload",
+    "detect_charset",
+    "SINGLE_BYTE_FAMILIES",
+]
+
+# label → python codec for the families every crawl pipeline must
+# handle; anything else resolvable by codecs.lookup also works — this
+# table only normalizes the web's historical alias mess.
+_CHARSET_ALIASES = {
+    "utf8": "utf-8",
+    "utf-8": "utf-8",
+    "ascii": "utf-8",  # promote: ASCII is a strict UTF-8 subset
+    "us-ascii": "utf-8",
+    "iso-8859-1": "windows-1252",  # WHATWG: latin-1 means cp1252
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "iso-8859-15": "iso-8859-15",
+    "windows-1252": "windows-1252",
+    "cp1252": "windows-1252",
+    "windows-1251": "windows-1251",
+    "cp1251": "windows-1251",
+    "windows-1250": "windows-1250",
+    "windows-1253": "windows-1253",
+    "windows-1254": "windows-1254",
+    "windows-1255": "windows-1255",
+    "windows-1256": "windows-1256",
+    "windows-1257": "windows-1257",
+    "windows-1258": "windows-1258",
+    "koi8-r": "koi8-r",
+    "koi8-u": "koi8-u",
+    "shift_jis": "cp932",  # WHATWG: shift_jis means the cp932 superset
+    "shift-jis": "cp932",
+    "sjis": "cp932",
+    "x-sjis": "cp932",
+    "euc-jp": "euc-jp",
+    "gb2312": "gb18030",  # WHATWG: gb2312/gbk decode as gb18030
+    "gbk": "gb18030",
+    "gb18030": "gb18030",
+    "big5": "big5",
+    "euc-kr": "cp949",  # WHATWG: euc-kr means the cp949 superset
+    "ks_c_5601-1987": "cp949",
+    "tis-620": "cp874",
+    "windows-874": "cp874",
+    "iso-8859-11": "cp874",
+}
+
+# single-byte codecs (every byte sequence decodes "successfully") —
+# the set the actually-UTF-8 correction applies to
+SINGLE_BYTE_FAMILIES = frozenset(
+    v
+    for v in _CHARSET_ALIASES.values()
+    if v.startswith(("windows-", "iso-8859", "koi8", "cp874", "cp1251"))
+) | {"windows-1252"}
+
+_CT_CHARSET_RE = re.compile(r"charset\s*=\s*[\"']?([A-Za-z0-9._:\-]+)")
+_META_RE = re.compile(
+    rb"<meta[^>]{0,200}?charset\s*=\s*[\"']?([A-Za-z0-9._:\-]+)",
+    re.IGNORECASE | re.DOTALL,
+)
+_BOMS = [
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF8, "utf-8-sig"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+]
+_META_PROBE_BYTES = 4096
+
+
+def _normalize_label(label: str | None) -> str | None:
+    if not label:
+        return None
+    key = label.strip().strip(";,").lower()
+    codec = _CHARSET_ALIASES.get(key)
+    if codec:
+        return codec
+    try:
+        return codecs.lookup(key).name
+    except LookupError:
+        return None
+
+
+def _is_strict_multibyte_utf8(raw: bytes) -> bool:
+    if not any(b >= 0x80 for b in raw):
+        return False
+    try:
+        raw.decode("utf-8", "strict")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+def sniff_charset(raw: bytes | None, content_type: str | None = None) -> str:
+    """Detected python codec name for a payload (see module docstring
+    for the precedence). Always returns a decodable codec; ``utf-8``
+    for empty/None input."""
+    if not raw:
+        return "utf-8"
+    for bom, codec in _BOMS:
+        if raw.startswith(bom):
+            return codec
+    declared = None
+    if content_type:
+        m = _CT_CHARSET_RE.search(content_type)
+        if m:
+            declared = _normalize_label(m.group(1))
+    if declared is None:
+        m = _META_RE.search(raw[:_META_PROBE_BYTES])
+        if m:
+            declared = _normalize_label(m.group(1).decode("latin-1"))
+    if declared is not None:
+        if declared in SINGLE_BYTE_FAMILIES and _is_strict_multibyte_utf8(
+            raw
+        ):
+            return "utf-8"  # mislabeled-UTF-8 correction
+        return declared
+    # no declaration anywhere: strict UTF-8 try, else cp1252
+    try:
+        raw.decode("utf-8", "strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "windows-1252"
+
+
+def decode_bytes(raw: bytes | None, content_type: str | None = None) -> str | None:
+    """Pure-Python core: sniff + decode to a UTF-8 ``str``. Undecodable
+    sequences inside a CORRECTLY sniffed family are replaced (U+FFFD)
+    rather than raised — one broken byte must not null a whole page."""
+    if raw is None:
+        return None
+    if not raw:
+        return ""
+    codec = sniff_charset(raw, content_type)
+    if codec in ("utf-16-le", "utf-16-be", "utf-32-le", "utf-32-be"):
+        # strip the BOM these codecs would render as U+FEFF
+        for bom, name in _BOMS:
+            if name.endswith(codec[-5:]) and raw.startswith(bom):
+                raw = raw[len(bom):]
+                break
+    return raw.decode(codec, "replace")
+
+
+def _udf_decode():
+    import pandas as pd  # noqa: F401  (Arrow batch transport)
+
+    @F.pandas_udf("string")
+    def dec(payload, ctype):
+        return payload.combine(
+            ctype,
+            lambda p, c: decode_bytes(
+                bytes(p) if p is not None else None,
+                c if isinstance(c, str) else None,
+            ),
+        )
+
+    return dec
+
+
+def _udf_detect():
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("string")
+    def det(payload, ctype):
+        return payload.combine(
+            ctype,
+            lambda p, c: (
+                None
+                if p is None
+                else sniff_charset(
+                    bytes(p), c if isinstance(c, str) else None
+                )
+            ),
+        )
+
+    return det
+
+
+def decode_payload(
+    payload: Column | str, http_content_type: Column | str | None = None
+) -> Column:
+    """UTF-8 string column from a raw payload column, charset-sniffed
+    (module docstring). ``http_content_type`` is the reader-captured
+    envelope header (sources/warc.py) — pass it whenever available;
+    None sniffs from content alone. Arrow-batched ``pandas_udf``."""
+    p = payload if isinstance(payload, Column) else F.col(payload)
+    ct = (
+        F.lit(None).cast("string")
+        if http_content_type is None
+        else (
+            http_content_type
+            if isinstance(http_content_type, Column)
+            else F.col(http_content_type)
+        )
+    )
+    return _udf_decode()(p.cast("binary"), ct)
+
+
+def detect_charset(
+    payload: Column | str, http_content_type: Column | str | None = None
+) -> Column:
+    """The sniffed codec NAME per row (profiling / contract audits:
+    ``GROUP BY detect_charset(...)`` shows a corpus's encoding mix
+    before committing to a transcode)."""
+    p = payload if isinstance(payload, Column) else F.col(payload)
+    ct = (
+        F.lit(None).cast("string")
+        if http_content_type is None
+        else (
+            http_content_type
+            if isinstance(http_content_type, Column)
+            else F.col(http_content_type)
+        )
+    )
+    return _udf_detect()(p.cast("binary"), ct)

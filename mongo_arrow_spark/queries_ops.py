@@ -2801,3 +2801,75 @@ def q_crawl_stream(spark, sf_dir):
         .alias("doc_id"),
         F.col("payload").cast("string").alias("text"),
     ).orderBy("doc_id")
+
+
+# Charset-transcode fixtures (r12): (prose, python codec, declared
+# Content-Type). Hex-encoded at import so the payloads ride the plan as
+# unhex literals — deterministic in both engines; the oracle replays
+# the PROSE closed-form. Covers the big single-byte families, the CJK
+# multi-byte families, the mislabeled-UTF-8 correction and the
+# no-declaration cp1252 fallback (operators/encoding.py).
+_CHARSET_FIXTURES = [
+    ("Füße Öl Größe", "windows-1252",
+     "text/html; charset=iso-8859-1"),
+    ("Русский текст",
+     "koi8-r", "text/html; charset=koi8-r"),
+    ("日本語のページ", "cp932",
+     "text/html; charset=Shift_JIS"),
+    ("简体中文网页", "gb18030",
+     "text/html; charset=GB2312"),
+    ("한국어 페이지", "cp949",
+     "text/html; charset=euc-kr"),
+    ("naïve café déjà", "utf-8",
+     "text/html; charset=iso-8859-1"),  # mislabeled -> UTF-8 correction
+    ("fenêtre à côté", "windows-1252",
+     None),  # undeclared -> cp1252 fallback
+    ("plain ascii page", "utf-8", "text/html"),
+]
+
+
+def _charset_oracle() -> str:
+    whens = "\n".join(
+        f"           WHEN {i} THEN '{prose}'"
+        for i, (prose, _, _) in enumerate(_CHARSET_FIXTURES)
+    )
+    return (
+        "SELECT doc_id,\n"
+        "           CASE doc_id % 8\n" + whens + "\n"
+        "           END AS decoded\n"
+        "    FROM documents ORDER BY doc_id"
+    )
+
+
+@query("q_decode_charset", _charset_oracle())
+def q_decode_charset(spark, sf_dir):
+    """Charset-aware payload decode (r12, verdict item #2): each
+    document carries one of eight legacy-encoded byte payloads (riding
+    the plan as unhex literals) plus its HTTP Content-Type; the
+    ``encoding.decode_payload`` sniff+transcode chain — BOM, header
+    charset, <meta> probe, mislabeled-UTF-8 correction, cp1252
+    fallback — must reproduce the original prose byte-for-byte. The
+    oracle is CLOSED-FORM (the prose itself), so any sniff or codec
+    drift hash-mismatches. One Arrow-batched pandas_udf projection, no
+    shuffle beyond the presentation sort — the transcode step runs
+    before extraction/lang-ID/dedup in the crawl chain."""
+    from mongo_arrow_spark.operators.encoding import decode_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 8
+    payload = None
+    ctype = None
+    for i, (prose, codec, ct) in enumerate(_CHARSET_FIXTURES):
+        hexed = F.unhex(F.lit(prose.encode(codec).hex()))
+        ctl = F.lit(ct).cast("string") if ct else F.lit(None).cast("string")
+        payload = (
+            F.when(m == i, hexed)
+            if payload is None
+            else payload.when(m == i, hexed)
+        )
+        ctype = (
+            F.when(m == i, ctl) if ctype is None else ctype.when(m == i, ctl)
+        )
+    return docs.select(
+        "doc_id", decode_payload(payload, ctype).alias("decoded")
+    ).orderBy("doc_id")

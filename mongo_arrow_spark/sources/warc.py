@@ -50,6 +50,19 @@ Reader options:
   warc.gz payloads, write the sidecar INDEX (below — offset-exact, no
   scanning at all), set ``splitGz=false`` (whole-file decode never
   scans), or use a plain ``.warc`` layout.
+- ``decodeContentEncoding`` — undo HTTP wire encodings on stripped
+  bodies: ``Transfer-Encoding: chunked`` unframed, then each
+  ``Content-Encoding`` token (gzip / x-gzip / deflate — zlib or raw —
+  plus br / zstd when the optional codec package is importable)
+  right-to-left. Default false: Common Crawl ships DECODED payloads
+  and must not be re-inflated; raw crawler output (the streaming
+  ingest case) sets true. Truncated/undecodable bodies follow
+  ``corruptMode`` (fail raises with file+offset; drop skips that
+  record only).
+- ``stableFileMs`` — (streaming only) admit a drop-directory archive
+  once its mtime is ≥ N ms old or its size/mtime held still across two
+  listings. Default 0: producers write to a temp name and atomically
+  rename in (Spark's own file-source contract).
 - ``useIndex`` — consult ``<archive>.cdxj`` sidecar indexes (written
   by ``write_warc(index=True)``: one JSON line per record with its
   exact raw offset, CDX-style) to position each split directly on its
@@ -633,21 +646,22 @@ def _index_entry_at(
 
 
 def _split_http(body: bytes):
-    """(http_status, http_content_type, stripped_body) for an
-    ``application/http`` payload; (None, None, body) when the envelope
-    is not recognizable — including an envelope with NO header/body
-    separator at all, where dropping everything would silently lose
-    the document. Real crawls carry both CRLF-CRLF and (non-compliant
-    but common) LF-LF separators."""
+    """(http_status, http_content_type, http_content_encoding,
+    http_transfer_encoding, stripped_body) for an ``application/http``
+    payload; (None, None, None, None, body) when the envelope is not
+    recognizable — including an envelope with NO header/body separator
+    at all, where dropping everything would silently lose the document.
+    Real crawls carry both CRLF-CRLF and (non-compliant but common)
+    LF-LF separators."""
     if not body.startswith(b"HTTP/"):
-        return None, None, body
+        return None, None, None, None, body
     # pick the separator whose FIRST OCCURRENCE is earliest — an
     # LF-delimited envelope whose body contains \r\n\r\n must split at
     # the envelope's \n\n, not partition mid-body and drop the prefix
     i_crlf = body.find(b"\r\n\r\n")
     i_lf = body.find(b"\n\n")
     if i_crlf < 0 and i_lf < 0:
-        return None, None, body
+        return None, None, None, None, body
     if i_lf >= 0 and (i_crlf < 0 or i_lf < i_crlf):
         head, rest = body[:i_lf], body[i_lf + 2:]
     else:
@@ -655,12 +669,116 @@ def _split_http(body: bytes):
     lines = head.splitlines()
     parts = lines[0].split()
     status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
-    ctype = None
+    ctype = cenc = tenc = None
     for line in lines[1:]:
-        if line.lower().startswith(b"content-type:"):
+        low = line.lower()
+        if ctype is None and low.startswith(b"content-type:"):
             ctype = line.split(b":", 1)[1].strip().decode("latin-1")
-            break
-    return status, ctype, rest
+        elif cenc is None and low.startswith(b"content-encoding:"):
+            cenc = line.split(b":", 1)[1].strip().decode("latin-1")
+        elif tenc is None and low.startswith(b"transfer-encoding:"):
+            tenc = line.split(b":", 1)[1].strip().decode("latin-1")
+    return status, ctype, cenc, tenc, rest
+
+
+def _dechunk(body: bytes, source: str, offset) -> bytes:
+    """Reassemble a ``Transfer-Encoding: chunked`` body (hex size line,
+    chunk bytes, CRLF, ... , 0-size terminator). Raw crawler output
+    keeps the wire framing; Common Crawl strips it. Malformed framing
+    raises WarcCorruptError — the caller applies fail/drop."""
+    out = []
+    pos = 0
+    n = len(body)
+    while True:
+        j = body.find(b"\n", pos)
+        if j < 0:
+            raise WarcCorruptError(
+                f"{source}: truncated chunked body at offset ~{offset}"
+            )
+        size_line = body[pos:j].strip().split(b";", 1)[0]  # drop extensions
+        try:
+            size = int(size_line, 16)
+        except ValueError:
+            raise WarcCorruptError(
+                f"{source}: bad chunk size {size_line[:20]!r} at offset "
+                f"~{offset}"
+            )
+        pos = j + 1
+        if size == 0:
+            return b"".join(out)  # trailers (if any) are discarded
+        if pos + size > n:
+            raise WarcCorruptError(
+                f"{source}: truncated chunk at offset ~{offset} "
+                f"(wanted {size} bytes)"
+            )
+        out.append(body[pos:pos + size])
+        pos += size
+        # consume the chunk-terminating CRLF / LF
+        if body[pos:pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos:pos + 1] == b"\n":
+            pos += 1
+
+
+def _decode_http_body(
+    cenc: str | None, tenc: str | None, body: bytes, source: str, offset
+) -> bytes:
+    """Undo the HTTP wire encodings on a stripped body — raw crawler
+    output (the streaming-ingest use case) often keeps them, so the
+    "text" column would otherwise hold compressed bytes. Applied only
+    under the reader's ``decodeContentEncoding=true`` (Common Crawl
+    ships decoded payloads — the default must not re-inflate them).
+    ``Transfer-Encoding: chunked`` is unframed first, then each
+    Content-Encoding token right-to-left (``gzip, br`` means br was
+    applied last). Truncated/garbage streams and unavailable codecs
+    raise WarcCorruptError; the caller applies fail/drop."""
+    if tenc and "chunked" in tenc.lower():
+        body = _dechunk(body, source, offset)
+    if not cenc:
+        return body
+    for enc in reversed([e.strip().lower() for e in cenc.split(",")]):
+        if enc in ("", "identity", "none", "chunked"):
+            continue
+        try:
+            if enc in ("gzip", "x-gzip"):
+                body = gzip.decompress(body)
+            elif enc == "deflate":
+                # RFC 9110 says zlib-wrapped, but raw-deflate servers
+                # are legion — try wrapped first, then raw
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:
+                    d = zlib.decompressobj(-15)
+                    body = d.decompress(body) + d.flush()
+            elif enc == "br":
+                try:
+                    import brotli  # type: ignore[import-not-found]
+                except ImportError:
+                    raise WarcCorruptError(
+                        f"{source}: Content-Encoding 'br' at offset "
+                        f"~{offset} needs the optional brotli package"
+                    )
+                body = brotli.decompress(body)
+            elif enc == "zstd":
+                try:
+                    import zstandard  # type: ignore[import-not-found]
+                except ImportError:
+                    raise WarcCorruptError(
+                        f"{source}: Content-Encoding 'zstd' at offset "
+                        f"~{offset} needs the optional zstandard package"
+                    )
+                body = zstandard.ZstdDecompressor().decompress(body)
+            else:
+                raise WarcCorruptError(
+                    f"{source}: unsupported Content-Encoding {enc!r} at "
+                    f"offset ~{offset}"
+                )
+        except _STREAM_ERRORS as exc:
+            raise WarcCorruptError(
+                f"{source}: undecodable {enc} body at offset ~{offset}: "
+                f"{exc}"
+            ) from exc
+    return body
 
 
 def _is_gz(path: str) -> bool:
@@ -690,6 +808,15 @@ class WarcReader(DataSourceReader):
             str(k).lower() == "splitgz" for k in dict(options)
         )
         self.use_index = str(options.get("useindex", "true")).lower() == "true"
+        # decodeContentEncoding (default false): undo Transfer-Encoding
+        # chunked + Content-Encoding gzip/deflate(/br/zstd if available)
+        # on stripped HTTP bodies — raw crawler output keeps the wire
+        # encodings; Common Crawl ships decoded payloads, so the
+        # default must not re-inflate
+        self.decode_content = (
+            str(options.get("decodecontentencoding", "false")).lower()
+            == "true"
+        )
         self.corrupt_mode = str(options.get("corruptmode", "fail")).lower()
         if self.corrupt_mode not in ("fail", "drop"):
             raise SchemaError(
@@ -781,7 +908,16 @@ class WarcReader(DataSourceReader):
                         and ctype
                         and ctype.lower().startswith("application/http")
                     ):
-                        status, hct, body = _split_http(body)
+                        status, hct, cenc, tenc, body = _split_http(body)
+                        if self.decode_content and (cenc or tenc):
+                            try:
+                                body = _decode_http_body(
+                                    cenc, tenc, body, source, pos
+                                )
+                            except WarcCorruptError:
+                                if self.corrupt_mode == "drop":
+                                    continue  # this record only
+                                raise
                     row = (
                         headers.get("warc-record-id"),
                         headers.get("warc-type"),
@@ -1198,7 +1334,10 @@ def write_warc(
 
 
 def read_warc_record(
-    path: str, offset: int, strip_http: bool = True
+    path: str,
+    offset: int,
+    strip_http: bool = True,
+    decode_content_encoding: bool = False,
 ) -> dict:
     """O(1) random access to ONE record by its provenance pointer —
     the ``(source_file, source_offset)`` pair every reader row carries.
@@ -1242,7 +1381,10 @@ def read_warc_record(
     ctype = headers.get("content-type")
     status = hct = None
     if strip_http and ctype and ctype.lower().startswith("application/http"):
-        status, hct, body = _split_http(body)
+        status, hct, cenc, tenc, body = _split_http(body)
+        if decode_content_encoding and (cenc or tenc):
+            # a single-record audit fetch is explicitly loud on failure
+            body = _decode_http_body(cenc, tenc, body, src, offset)
     return {
         "record_id": headers.get("warc-record-id"),
         "warc_type": headers.get("warc-type"),

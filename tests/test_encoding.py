@@ -1,0 +1,169 @@
+"""Charset sniff + transcode (operators/encoding.py): pure-core
+differential vs the Spark pandas_udf, and the crawl-chain integration —
+legacy-encoded WARC payloads round-trip to correct prose where the old
+cast("string") path mojibaked (r11 verdict item #2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_arrow_spark.operators.encoding import (
+    decode_bytes,
+    decode_payload,
+    detect_charset,
+    sniff_charset,
+)
+
+from conftest import SF_DIR  # noqa: F401  (spark fixture wiring)
+
+PAGES = [
+    # (prose, encode-codec, declared content-type)
+    ("Füße, Öl & Größe — naïve café", "windows-1252",
+     "text/html; charset=iso-8859-1"),
+    ("Русский текст про котов и собак", "koi8-r",
+     "text/html; charset=koi8-r"),
+    ("Ще не вмерла України слава", "windows-1251",
+     "text/html; charset=windows-1251"),
+    ("日本語のページです。東京と大阪。", "cp932",
+     "text/html; charset=Shift_JIS"),
+    ("简体中文网页内容测试", "gb18030", "text/html; charset=GB2312"),
+    ("한국어 웹 페이지 내용", "cp949", "text/html; charset=euc-kr"),
+    ("ภาษาไทยบนเว็บ", "cp874", "text/html; charset=TIS-620"),
+    ("Ελληνικά κείμενα στο διαδίκτυο", "windows-1253",
+     "text/html; charset=windows-1253"),
+    ("plain ascii page", "utf-8", "text/html"),
+    ("unicode ✓ utf-8 page — no declaration", "utf-8", None),
+]
+
+
+def test_spark_decode_matches_python_core(spark):
+    rows = [
+        (i, prose.encode(codec), ct)
+        for i, (prose, codec, ct) in enumerate(PAGES)
+    ] + [(len(PAGES), None, None), (len(PAGES) + 1, b"", "text/html")]
+    df = spark.createDataFrame(rows, "i int, payload binary, ct string")
+    got = {
+        r["i"]: (r["txt"], r["cs"])
+        for r in df.select(
+            "i",
+            decode_payload("payload", "ct").alias("txt"),
+            detect_charset("payload", "ct").alias("cs"),
+        ).collect()
+    }
+    for i, (payload, ct) in enumerate((p, c) for _, p, c in
+                                      ((None, r[1], r[2]) for r in rows)):
+        want_txt = decode_bytes(payload, ct)
+        want_cs = None if payload is None else sniff_charset(payload, ct)
+        assert got[i] == (want_txt, want_cs), i
+    # the actual prose survives
+    for i, (prose, _, _) in enumerate(PAGES):
+        assert got[i][0] == prose, (i, got[i])
+
+
+def test_meta_charset_probe_without_http_header(spark):
+    html = '<html><head><meta charset="shift_jis"></head><body>東京</body></html>'
+    df = spark.createDataFrame(
+        [(html.encode("cp932"),)], "payload binary"
+    )
+    row = df.select(
+        decode_payload("payload").alias("txt"),
+        detect_charset("payload").alias("cs"),
+    ).first()
+    assert "東京" in row["txt"] and row["cs"] == "cp932"
+
+
+def test_mislabeled_utf8_correction(spark):
+    # declared latin-1, bytes are strict multi-byte UTF-8 (the most
+    # common real-world mislabel) -> decoded as UTF-8, not mojibaked
+    df = spark.createDataFrame(
+        [("déjà vu — naïve".encode("utf-8"),
+          "text/html; charset=iso-8859-1")],
+        "payload binary, ct string",
+    )
+    row = df.select(
+        decode_payload("payload", "ct").alias("txt"),
+        detect_charset("payload", "ct").alias("cs"),
+    ).first()
+    assert row["txt"] == "déjà vu — naïve" and row["cs"] == "utf-8"
+
+
+def test_warc_crawl_chain_transcodes_legacy_pages(spark, tmp_path):
+    """q_scan_warc_html sibling: one archive per legacy family, payload
+    wrapped in page chrome; decode_payload(payload, http_content_type)
+    → html_to_text yields the exact prose, while the old
+    cast("string") path mojibakes (regression pin)."""
+    from mongo_arrow_spark.operators.text import html_to_text
+    from mongo_arrow_spark.sources.warc import build_warc_record, register_warc
+
+    recs = []
+    for i, (prose, codec, ct) in enumerate(PAGES):
+        if ct is None:
+            ct = "text/html"
+        html = f"<html><head><title>t</title></head><body><p>{prose}</p></body></html>"
+        recs.append(
+            build_warc_record(
+                f"<urn:enc:{i}>",
+                f"https://x/{i}",
+                html.encode(codec),
+                http_content_type=ct,
+            )
+        )
+    p = str(tmp_path / "legacy.warc")
+    with open(p, "wb") as fh:
+        fh.write(b"".join(recs))
+    register_warc(spark)
+    df = spark.read.format("warc").load(p)
+    got = {
+        r["record_id"]: r["txt"]
+        for r in df.select(
+            "record_id",
+            F.trim(
+                html_to_text(decode_payload("payload", "http_content_type"))
+            ).alias("txt"),
+        ).collect()
+    }
+    for i, (prose, _, _) in enumerate(PAGES):
+        assert got[f"<urn:enc:{i}>"] == prose, (i, got[f"<urn:enc:{i}>"])
+    # mojibake regression pin: the UTF-8-assumed cast corrupts the
+    # single-byte and CJK families (replacement chars / wrong prose)
+    naive = {
+        r["record_id"]: r["txt"]
+        for r in df.select(
+            "record_id",
+            F.trim(html_to_text(F.col("payload").cast("string"))).alias("txt"),
+        ).collect()
+    }
+    broken = [
+        i
+        for i, (prose, codec, _) in enumerate(PAGES)
+        if codec != "utf-8" and naive[f"<urn:enc:{i}>"] != prose
+    ]
+    assert len(broken) == sum(1 for _, c, _ in PAGES if c != "utf-8"), broken
+
+
+def test_undeclared_legacy_falls_back_to_cp1252(spark):
+    raw = "fenêtre à côté".encode("windows-1252")
+    df = spark.createDataFrame([(raw,)], "payload binary")
+    row = df.select(
+        decode_payload("payload").alias("txt"),
+        detect_charset("payload").alias("cs"),
+    ).first()
+    assert row["txt"] == "fenêtre à côté" and row["cs"] == "windows-1252"
+
+
+def test_bom_families(spark):
+    import codecs
+
+    text = "bom page ✓"
+    rows = [
+        (0, codecs.BOM_UTF8 + text.encode("utf-8")),
+        (1, codecs.BOM_UTF16_LE + text.encode("utf-16-le")),
+        (2, codecs.BOM_UTF16_BE + text.encode("utf-16-be")),
+    ]
+    df = spark.createDataFrame(rows, "i int, payload binary")
+    got = {
+        r["i"]: r["txt"]
+        for r in df.select(
+            "i", decode_payload("payload").alias("txt")
+        ).collect()
+    }
+    assert got == {0: text, 1: text, 2: text}

@@ -308,12 +308,12 @@ def test_lf_envelope_with_crlf_in_body_keeps_prefix(spark, tmp_path):
     from mongo_arrow_spark.sources.warc import _split_http
 
     body = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nAAA\r\n\r\nBBB"
-    status, ctype, payload = _split_http(body)
+    status, ctype, _cenc, _tenc, payload = _split_http(body)
     assert (status, ctype) == (200, "text/plain")
     assert payload == b"AAA\r\n\r\nBBB"
     # CRLF envelope unaffected
     body2 = b"HTTP/1.1 200 OK\r\nContent-Type: a/b\r\n\r\nreal\n\nbody"
-    assert _split_http(body2)[2] == b"real\n\nbody"
+    assert _split_http(body2)[4] == b"real\n\nbody"
 
 
 def test_boundary_probe_rejects_oversized_content_length(tmp_path):
@@ -1235,3 +1235,123 @@ def test_gz_drop_mode_default_defeats_stored_deflate_phantom(spark, tmp_path):
     # phantom — assert only that every TRUE record is still present
     got_opt = ids(corruptMode="drop", splitGz="true")
     assert set(want) <= set(got_opt)
+
+
+def _http_record(rid, body, extra_headers=b""):
+    """WARC response record with a hand-built HTTP envelope."""
+    env = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        + extra_headers
+        + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body
+    )
+    head = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        f"WARC-Target-URI: https://x/e\r\n"
+        f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(env)}\r\n\r\n"
+    ).encode()
+    return head + env + b"\r\n\r\n"
+
+
+def test_decode_content_encoding_matches_identity_twin(spark, tmp_path):
+    """decodeContentEncoding=true: gzip / deflate (zlib AND raw) /
+    chunked / combined chunked+gzip responses read byte-identical to an
+    identity-encoded twin archive; default (false) keeps wire bytes."""
+    import zlib as _z
+
+    prose = ("The quick brown fox jumps over the lazy dog. " * 40).encode()
+
+    def chunked(b, n=100):
+        out = b""
+        for i in range(0, len(b), n):
+            c = b[i:i + n]
+            out += hex(len(c))[2:].encode() + b"\r\n" + c + b"\r\n"
+        return out + b"0\r\n\r\n"
+
+    gz_prose = gzip.compress(prose, mtime=0)
+    encoded = [
+        _http_record("<urn:e:gzip>", gz_prose,
+                     b"Content-Encoding: gzip\r\n"),
+        _http_record("<urn:e:zlibdef>", _z.compress(prose),
+                     b"Content-Encoding: deflate\r\n"),
+        _http_record("<urn:e:rawdef>",
+                     _z.compressobj(9, _z.DEFLATED, -15).compress(prose)
+                     + _z.compressobj(9, _z.DEFLATED, -15).flush(),
+                     b"Content-Encoding: deflate\r\n"),
+        _http_record("<urn:e:chunk>", chunked(prose),
+                     b"Transfer-Encoding: chunked\r\n"),
+        _http_record("<urn:e:both>", chunked(gz_prose),
+                     b"Content-Encoding: gzip\r\n"
+                     b"Transfer-Encoding: chunked\r\n"),
+        _http_record("<urn:e:plain>", prose),
+    ]
+    # raw-deflate compressobj above: flush on a fresh object returns the
+    # empty-stream tail; rebuild properly
+    co = _z.compressobj(9, _z.DEFLATED, -15)
+    raw_deflate = co.compress(prose) + co.flush()
+    encoded[2] = _http_record("<urn:e:rawdef>", raw_deflate,
+                              b"Content-Encoding: deflate\r\n")
+    identity = [
+        _http_record(rid, prose)
+        for rid in ("<urn:e:gzip>", "<urn:e:zlibdef>", "<urn:e:rawdef>",
+                    "<urn:e:chunk>", "<urn:e:both>", "<urn:e:plain>")
+    ]
+    pe = str(tmp_path / "enc.warc")
+    pi = str(tmp_path / "ident.warc")
+    _mk_warc(pe, encoded)
+    _mk_warc(pi, identity)
+
+    got = {
+        r["record_id"]: bytes(r["payload"])
+        for r in _read(spark, pe, decodeContentEncoding="true").collect()
+    }
+    want = {
+        r["record_id"]: bytes(r["payload"])
+        for r in _read(spark, pi).collect()
+    }
+    assert got == want and all(v == prose for v in got.values())
+    # default: wire bytes untouched
+    raw = {
+        r["record_id"]: bytes(r["payload"])
+        for r in _read(spark, pe).collect()
+    }
+    assert raw["<urn:e:gzip>"] == gz_prose
+    assert raw["<urn:e:plain>"] == prose
+
+
+def test_decode_content_encoding_corrupt_modes(spark, tmp_path):
+    """A truncated gzip body under decodeContentEncoding: fail raises,
+    drop skips THAT record and keeps the rest of the file."""
+    prose = b"hello world " * 50
+    gz_p = gzip.compress(prose, mtime=0)
+    recs = [
+        _http_record("<urn:c:bad>", gz_p[:20],
+                     b"Content-Encoding: gzip\r\n"),
+        _http_record("<urn:c:good>", gz_p,
+                     b"Content-Encoding: gzip\r\n"),
+    ]
+    p = str(tmp_path / "trunc.warc")
+    _mk_warc(p, recs)
+    with pytest.raises(Exception):
+        _read(spark, p, decodeContentEncoding="true",
+              corruptMode="fail").collect()
+    rows = _read(spark, p, decodeContentEncoding="true",
+                 corruptMode="drop").collect()
+    assert [r["record_id"] for r in rows] == ["<urn:c:good>"]
+    assert bytes(rows[0]["payload"]) == prose
+
+
+def test_read_warc_record_decodes_content_encoding(tmp_path):
+    from mongo_arrow_spark.sources.warc import read_warc_record
+
+    prose = b"audit me " * 30
+    p = str(tmp_path / "one.warc")
+    gz_p = gzip.compress(prose, mtime=0)
+    _mk_warc(p, [_http_record("<urn:a:1>", gz_p,
+                              b"Content-Encoding: gzip\r\n")])
+    assert read_warc_record(p, 0, decode_content_encoding=True)[
+        "payload"] == prose
+    assert read_warc_record(p, 0)["payload"] == gz_p
