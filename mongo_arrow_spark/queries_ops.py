@@ -2873,3 +2873,72 @@ def q_decode_charset(spark, sf_dir):
     return docs.select(
         "doc_id", decode_payload(payload, ctype).alias("decoded")
     ).orderBy("doc_id")
+
+
+# Lang-ID fixtures (r12): 24 clearly-separable languages (the
+# confusable pairs ms/id, cs/sk, da/no stay OUT of the graded fixture —
+# tests/test_langid.py documents and pins them separately). Sentences
+# are DISJOINT from the profile samples in operators/langid.py.
+_LANGID_FIXTURES = [
+    ("en", "a quiet library near the river stays open late on weekends for students and readers."),
+    ("de", "am wochenende besuchen wir gern das kleine museum in der altstadt und trinken danach kaffee."),
+    ("fr", "pendant les vacances, nous visitons souvent de petits villages où les boulangeries ouvrent tôt."),
+    ("es", "durante el verano solemos caminar por la playa y cenar pescado en un restaurante pequeño."),
+    ("it", "ogni domenica la nonna prepara la pasta fatta in casa e tutta la famiglia si riunisce a tavola."),
+    ("pt", "no inverno gostamos de ler livros perto da lareira enquanto a chuva cai lá fora."),
+    ("nl", "in de winter schaatsen veel mensen op de grachten als het ijs dik genoeg is."),
+    ("sv", "under sommaren åker många familjer till skärgården för att bada och fiska tillsammans."),
+    ("fi", "talvella lapset hiihtävät metsässä ja juovat kuumaa kaakaota takan ääressä illalla."),
+    ("hu", "ősszel a diákok visszatérnek az iskolába és a fák levelei sárgára meg pirosra váltanak."),
+    ("pl", "zimą często jeździmy w góry na narty a wieczorem pijemy gorącą herbatę z miodem."),
+    ("ru", "зимой мы часто катаемся на лыжах в лесу а вечером пьём горячий чай с мёдом дома."),
+    ("el", "το καλοκαίρι πολλές οικογένειες ταξιδεύουν στα νησιά για να κολυμπήσουν στη θάλασσα."),
+    ("tr", "yazın aileler deniz kenarına gider ve akşamları balık lokantalarında yemek yer."),
+    ("ar", "في فصل الشتاء نجلس قرب النار ونقرأ الكتب بينما يسقط المطر في الخارج."),
+    ("he", "בחורף אנחנו יושבים ליד האח וקוראים ספרים בזמן שהגשם יורד בחוץ."),
+    ("hi", "सर्दियों में हम आग के पास बैठकर किताबें पढ़ते हैं और बाहर बारिश होती रहती है।"),
+    ("th", "ในฤดูหนาวเรานั่งอ่านหนังสือใกล้กองไฟขณะที่ฝนตกอยู่ข้างนอก"),
+    ("ja", "冬には暖炉のそばで本を読みながら、外で雨が降るのを聞くのが好きです。"),
+    ("ko", "겨울에는 난로 옆에서 책을 읽으며 밖에 내리는 비 소리를 듣는 것을 좋아합니다."),
+    ("zh", "冬天我们喜欢坐在炉火旁读书，听着外面的雨声慢慢度过夜晚。"),
+    ("vi", "vào mùa đông chúng tôi thích ngồi bên lò sưởi đọc sách và nghe tiếng mưa rơi bên ngoài."),
+    ("sw", "wakati wa baridi tunapenda kukaa karibu na moto tukisoma vitabu huku mvua ikinyesha nje."),
+    ("uk", "восени студенти повертаються до навчання а листя на деревах стає жовтим та червоним."),
+]
+
+
+def _langid_oracle() -> str:
+    whens = "\n".join(
+        f"           WHEN {i} THEN '{code}'"
+        for i, (code, _) in enumerate(_LANGID_FIXTURES)
+    )
+    return (
+        "SELECT doc_id,\n"
+        "           CASE doc_id % 24\n" + whens + "\n"
+        "           END AS lang_pred\n"
+        "    FROM documents ORDER BY doc_id"
+    )
+
+
+@query("lang_id_trigram", _langid_oracle())
+def q_lang_id_trigram(spark, sf_dir):
+    """Trigram language-ID over ~50 languages (r12, verdict item #4):
+    each document carries one of 24 labeled sentences (plan literals,
+    languages chosen OUTSIDE the documented confusable groups);
+    ``langid.identify_language`` — profile table broadcast, trigram
+    explode, partial-agg-before-shuffle sum, argmax — must recover
+    every label. The oracle is CLOSED-FORM (the labels), so profile or
+    scoring drift hash-mismatches; the machinery differential vs a
+    driver replay and the plan gates (BroadcastHashJoin, no UDF) live
+    in tests/test_langid.py. This is the bucket key the per-language
+    tiers (perplexity_buckets, budgets, contracts) consume."""
+    from mongo_arrow_spark.operators.langid import identify_language
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 24
+    text = None
+    for i, (_, sentence) in enumerate(_LANGID_FIXTURES):
+        lit = F.lit(sentence)
+        text = F.when(m == i, lit) if text is None else text.when(m == i, lit)
+    fx = docs.select("doc_id", text.alias("text"))
+    return identify_language(fx, "text", id_col="doc_id").orderBy("doc_id")
