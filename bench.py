@@ -161,6 +161,14 @@ HEADLINE = [
     # StreamExecution route — expect the streaming machinery constant
     # on top of that key)
     "q_crawl_stream",
+    # round-12 (keys added r12 — first-reading numbers): charset
+    # transcode (Arrow-batched pandas_udf projection), trigram lang-ID
+    # (broadcast profile join + partial-agg shuffle), and the curation
+    # pipeline with the URL tier enabled (expect it near curate_corpus
+    # plus the map-only stage-0 chain)
+    "q_decode_charset",
+    "lang_id_trigram",
+    "curate_corpus_url",
 ]
 
 

@@ -485,6 +485,12 @@ _DEMOTED = [
     # plan gates and the python-replay differential in
     # tests/test_langid.py.
     "lang_id_trigram",
+    # r12 wave: the URL-tier COMPOSITION entry parks below the window
+    # by construction: curate_corpus with url_col=/url_domain_cap_n=
+    # enabled (CCNet stage order end to end), oracle = the proven
+    # curate SQL with stage 0 restated closed-form. Exact at three
+    # scales; oracle runs in tests/test_battery.py.
+    "curate_corpus_url",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

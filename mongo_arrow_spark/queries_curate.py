@@ -150,3 +150,90 @@ def q_curate(spark, sf_dir):
         val=0.1,
     )
     return out.select("doc_id", "split", F.md5("text").alias("fp"))
+
+
+# r12 (r11 verdict #8): curate_corpus with the URL tier ENABLED —
+# CCNet/C4/RefinedWeb stage order end to end under one oracle. Each
+# document gets a deterministic messy URL; consecutive doc pairs
+# (2k, 2k+1) canonicalize to the SAME url whenever they share a lang
+# (refetch variants: case/port/tracking/fragment/trailing slash), so
+# url_dedup genuinely drops rows before any text-side work, and a
+# per-registered-domain cap (n=40, lowest doc_id first) bounds source
+# dominance. The oracle restates stage 0 closed-form (group by the
+# canonical key, row_number cap) on top of the proven curate SQL.
+_URL_STAGE0_SQL = """base0 AS (
+  SELECT doc_id, text,
+         (doc_id // 2) % 5 AS sub,
+         'brand' || CAST((doc_id // 2) % 7 AS VARCHAR)
+           || CASE lang WHEN 'en' THEN '.co.uk'
+                        WHEN 'de' THEN '.com.au'
+                        ELSE '.org' END AS domain,
+         doc_id // 2 AS pathkey
+  FROM documents WHERE doc_id % 50 <> 0),
+ud AS (SELECT MIN(doc_id) AS doc_id FROM base0
+       GROUP BY sub, domain, pathkey),
+udocs AS (SELECT base0.* FROM base0 JOIN ud USING (doc_id)),
+capped AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+    FROM udocs)
+  WHERE rk <= 40),
+base AS (SELECT doc_id, text FROM udocs JOIN capped USING (doc_id)),"""
+
+_CURATE_URL_SQL = _CURATE_SQL.replace(
+    "base AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),",
+    _URL_STAGE0_SQL,
+)
+
+
+@query("curate_corpus_url", _CURATE_URL_SQL)
+def q_curate_url(spark, sf_dir):
+    """The composed curation pipeline WITH the URL tier as stage 0
+    (url_col= + url_domain_cap_n=): canonical-URL dedup drops refetch
+    variants payload-free, the per-registered-domain cap bounds
+    dominance, then the full graded chain (quality gate → exact dedup
+    → banded fuzzy dedup → decontamination → PII → split) runs on the
+    survivors — the CCNet order, driver-verified in COMPOSITION rather
+    than only as standalone keys."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    holdout = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    k = F.expr("doc_id DIV 2")
+    sfx = (
+        F.when(F.col("lang") == "en", F.lit(".co.uk"))
+        .when(F.col("lang") == "de", F.lit(".com.au"))
+        .otherwise(F.lit(".org"))
+    )
+    stem = F.concat(
+        F.lit("sub"), (k % 5).cast("string"),
+        F.lit(".brand"), (k % 7).cast("string"), sfx,
+        F.lit("/p/"), k.cast("string"),
+    )
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTPS://"), stem, F.lit("/?utm_source=x")),
+    ).otherwise(F.concat(F.lit("https://"), stem, F.lit("#frag")))
+    # the even variant sneaks the :443 port in via the host position
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://sub"), (k % 5).cast("string"),
+            F.lit(".brand"), (k % 7).cast("string"), sfx, F.lit(":443"),
+            F.lit("/p/"), k.cast("string"), F.lit("/?utm_source=x"),
+        ),
+    ).otherwise(url)
+    corpus = corpus.select("doc_id", "text", url.alias("url"))
+    out = curate(
+        corpus,
+        holdout,
+        url_col="url",
+        url_domain_cap_n=40,
+        min_tokens=20,
+        jaccard_threshold=0.3,
+        max_df=_MAX_DF,
+        decontaminate_threshold=0.8,
+        train=0.8,
+        val=0.1,
+    )
+    return out.select("doc_id", "split", F.md5("text").alias("fp"))
