@@ -6,15 +6,21 @@ trainer-ready text out.
    (gzip-membered ``.warc.gz``, one archive per partition).
 2. **Ingest**: ``spark.read.format("warc")`` — typed records, HTTP
    envelopes stripped, Arrow batches.
-3. **Extract**: ``text.html_to_text`` — JVM-side regexp chain (no
-   UDF), head/script/style/comment/tag removal + entity unescape.
+3. **Transcode + extract** (r12): ``encoding.decode_payload`` sniffs
+   the charset (HTTP header → <meta> probe → heuristic) and
+   transcodes legacy-encoded pages to UTF-8, then ``text.html_to_text``
+   — a JVM-side regexp chain (no UDF) — strips the markup.
 4. **URL tier** (r11): canonicalize + URL-dedup + per-domain cap —
    the refetched shard is dropped on its URL alone, before any
    payload comparison (the CCNet/C4/RefinedWeb order).
-5. **Screen**: language-ID + quality metrics + exact dedup, the
-   standard front gate before anything expensive runs.
+5. **Screen** (r12): trigram language-ID over ~50 languages
+   (broadcast profile join) feeds CCNet per-language perplexity
+   terciles; quality metrics + exact dedup complete the front gate.
 6. **Contract**: the extracted corpus must pass its expectations
    before it ships as a versioned release.
+7. **WET export** (r12): the curated text ships as ``.warc.wet.gz``
+   conversion records carrying WARC-Refers-To + source-offset
+   provenance — interchange with pipelines that consume ``.wet``.
 
 Run: python examples/crawl_tour.py [sf_dir]
 """
@@ -29,7 +35,9 @@ from pyspark.sql import functions as F
 
 from mongo_arrow_spark.operators import (
     dedup,
+    encoding,
     expectations as E,
+    langid,
     text,
     url,
     versioning,
@@ -82,7 +90,10 @@ def main() -> None:
         [f for f in os.listdir(archive) if f.endswith(".warc.gz")]
     )
 
-    # 2-3. ingest + extract
+    # 2-3. ingest + transcode + extract: decode_payload makes legacy-
+    # encoded pages (windows-125x/Shift-JIS/GBK/...) safe BEFORE
+    # extraction — a UTF-8-assumed cast would mojibake them through
+    # lang-ID, quality and dedup
     register_warc(spark)
     crawled = (
         spark.read.format("warc")
@@ -92,7 +103,9 @@ def main() -> None:
             .cast("bigint")
             .alias("doc_id"),
             F.col("target_uri").alias("url"),
-            text.html_to_text(F.col("payload")).alias("text"),
+            text.html_to_text(
+                encoding.decode_payload("payload", "http_content_type")
+            ).alias("text"),
             "source_file",
             "source_offset",
         )
@@ -126,13 +139,31 @@ def main() -> None:
         ).distinct().count(),
     )
 
-    # 5. screen: lang-id, quality, exact content dedup
-    screened = url_kept.withColumn("lang", text.lang_id("text"))
+    # 5. screen: trigram lang-ID (r12 — broadcast profile join, the
+    # bucket key CCNet tiers on), exact content dedup, then per-language
+    # perplexity terciles fed by the PREDICTED language
+    langs = langid.identify_language(url_kept, "text", id_col="doc_id")
+    screened = url_kept.join(langs, "doc_id")
     kept = dedup.exact_dedup(screened, text_col="text")
     print(
         "after exact dedup:", kept.count(),
         "langs:", sorted(
-            r["lang"] for r in kept.select("lang").distinct().collect()
+            r["lang_pred"]
+            for r in kept.select("lang_pred").distinct().collect()
+        ),
+    )
+    scored = kept.withColumn(
+        "logprob",
+        F.length("text").cast("double") / (text.token_count("text") + 1),
+    )
+    tiers = text.perplexity_buckets(scored, by="lang_pred")
+    print(
+        "per-language perplexity tiers:",
+        sorted(
+            (r["ppl_bucket"], r["n"])
+            for r in tiers.groupBy("ppl_bucket").agg(
+                F.count("*").alias("n")
+            ).collect()
         ),
     )
 
@@ -151,6 +182,38 @@ def main() -> None:
         f"release v{meta['version']} committed: {meta['n_rows']} rows "
         f"(contract recorded: "
         f"{len(versioning.contract_report(f'{out}/release', 1))} rules)"
+    )
+    # 7. WET export: curated text as conversion records, provenance
+    # headers pointing at the exact source-archive bytes
+    from mongo_arrow_spark.sources import write_wet
+
+    wet_dir = f"{out}/wet"
+    write_wet(
+        kept.select(
+            "doc_id",
+            "text",
+            F.concat(
+                F.lit("<urn:mas:"), F.col("doc_id").cast("string"),
+                F.lit(">"),
+            ).alias("src_id"),
+            "source_file",
+            "source_offset",
+        ).repartition(2),
+        wet_dir,
+        refers_to_col="src_id",
+        source_file_col="source_file",
+        source_offset_col="source_offset",
+        index=True,
+    )
+    wet_back = (
+        spark.read.format("warc")
+        .option("warcTypes", "conversion")
+        .load(wet_dir)
+    )
+    assert wet_back.count() == kept.count()
+    print(
+        f"WET export: {wet_back.count()} conversion records "
+        f"(refers_to + source-offset provenance)"
     )
     print(f"artifacts under {out}")
 

@@ -25,6 +25,7 @@ from mongo_arrow_spark.sources.warc import (
     read_warc_stream,
     register_warc,
     write_warc,
+    write_wet,
 )
 
 __all__ = [
@@ -36,6 +37,7 @@ __all__ = [
     "read_warc_stream",
     "register_warc",
     "write_warc",
+    "write_wet",
     "save_bucketed",
     "read_bucketed",
     "bucket_spec",

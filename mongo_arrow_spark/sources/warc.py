@@ -101,6 +101,7 @@ __all__ = [
     "register_warc",
     "build_warc_record",
     "write_warc",
+    "write_wet",
     "read_warc_stream",
     "read_warc_record",
 ]
@@ -115,6 +116,11 @@ WARC_SCHEMA = T.StructType(
         T.StructField("content_length", T.LongType()),
         T.StructField("http_status", T.IntegerType()),
         T.StructField("http_content_type", T.StringType()),
+        # WARC-Refers-To: on conversion/revisit records, the record id
+        # of the source capture (write_wet emits it; the companion
+        # WARC-Source-File/WARC-Source-Offset extension headers are
+        # surfaced by read_warc_record(...)["headers"])
+        T.StructField("refers_to", T.StringType()),
         T.StructField("payload", T.BinaryType()),
         T.StructField("source_file", T.StringType()),
         # provenance pointer: pass (source_file, source_offset) to
@@ -140,7 +146,12 @@ def _expand_warc(paths) -> list[str]:
             out.extend(
                 sorted(
                     f
-                    for pat in ("*.warc", "*.warc.gz")
+                    for pat in (
+                        "*.warc",
+                        "*.warc.gz",
+                        "*.warc.wet",
+                        "*.warc.wet.gz",
+                    )
                     for f in _glob.glob(
                         os.path.join(p, "**", pat), recursive=True
                     )
@@ -879,8 +890,8 @@ class WarcReader(DataSourceReader):
         names = [f.name for f in WARC_SCHEMA.fields]
         atypes = [
             pa.string(), pa.string(), pa.string(), pa.string(), pa.string(),
-            pa.int64(), pa.int32(), pa.string(), pa.binary(), pa.string(),
-            pa.int64(),
+            pa.int64(), pa.int32(), pa.string(), pa.string(), pa.binary(),
+            pa.string(), pa.int64(),
         ]
         cols: list[list] = [[] for _ in names]
         n = 0
@@ -927,6 +938,7 @@ class WarcReader(DataSourceReader):
                         int(headers.get("content-length", 0)),
                         status,
                         hct,
+                        headers.get("warc-refers-to"),
                         body,
                         source,
                         (base if base is not None else pos),
@@ -1165,6 +1177,7 @@ def build_warc_record(
     warc_type: str = "response",
     http: bool = True,
     http_content_type: str = "text/html",
+    extra_headers: dict[str, str] | None = None,
 ) -> bytes:
     """One spec-shaped WARC record (``http=True`` wraps the body in a
     minimal HTTP/1.1 200 envelope, the Common Crawl response shape;
@@ -1184,11 +1197,16 @@ def build_warc_record(
     else:
         ctype = http_content_type
     uri_line = f"WARC-Target-URI: {uri}\r\n" if uri is not None else ""
+    extra = "".join(
+        f"{k}: {v}\r\n" for k, v in (extra_headers or {}).items()
+        if v is not None
+    )
     head = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
         f"WARC-Record-ID: {record_id}\r\n"
         f"{uri_line}"
+        f"{extra}"
         f"WARC-Date: {date}\r\n"
         f"Content-Type: {ctype}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
@@ -1333,6 +1351,161 @@ def write_warc(
     sel.mapInPandas(one_partition, "n long").collect()
 
 
+def write_wet(
+    df,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    uri_col: str | None = None,
+    refers_to_col: str | None = None,
+    source_file_col: str | None = None,
+    source_offset_col: str | None = None,
+    compress: bool = True,
+    index: bool = False,
+) -> None:
+    """WET-style conversion output: one ``part-N.warc.wet[.gz]`` per
+    partition, each row a ``WARC-Type: conversion`` record with the
+    extracted TEXT as a ``text/plain`` body — the interchange layout
+    pipelines that consume Common Crawl ``.wet`` expect, written the
+    same executor-side streaming way as :func:`write_warc` (member-
+    per-record gz, mtime=0, deterministic bytes, ``index=True`` CDXJ
+    sidecars, overwrite semantics).
+
+    Provenance: ``refers_to_col`` (the source capture's record id)
+    emits the standard ``WARC-Refers-To`` header — surfaced as the
+    reader's ``refers_to`` column — and ``source_file_col`` /
+    ``source_offset_col`` (the reader's provenance pair) emit
+    ``WARC-Source-File`` / ``WARC-Source-Offset`` extension headers,
+    so a curated text record points at the exact archive bytes it was
+    extracted from (``read_warc_record(...)["headers"]`` returns
+    them). Read back with ``warcTypes=conversion``."""
+    import glob as _glob
+    import json as _json
+
+    os.makedirs(path, exist_ok=True)
+    for stale in (
+        _glob.glob(os.path.join(path, "part-*.warc.wet"))
+        + _glob.glob(os.path.join(path, "part-*.warc.wet.gz"))
+        + _glob.glob(os.path.join(path, "part-*.warc.wet.cdxj"))
+        + _glob.glob(os.path.join(path, "part-*.warc.wet.gz.cdxj"))
+    ):
+        os.remove(stale)
+    ext = ".warc.wet.gz" if compress else ".warc.wet"
+    cols = [id_col, text_col]
+    for c in (uri_col, refers_to_col, source_file_col, source_offset_col):
+        if c and c not in cols:
+            cols.append(c)
+    sel = df.select(*cols)
+
+    def one_partition(batches):
+        import contextlib
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}{ext}")
+
+        def enc(record: bytes) -> bytes:
+            return gzip.compress(record, 6, mtime=0) if compress else record
+
+        n = 0
+        pos = 0
+
+        def emit(out, idx, blob: bytes, rid: str, uri, wtype: str) -> None:
+            nonlocal pos
+            if idx is not None:
+                idx.write(
+                    _json.dumps(
+                        {
+                            "offset": pos,
+                            "length": len(blob),
+                            "id": rid,
+                            "uri": uri,
+                            "type": wtype,
+                        }
+                    )
+                    + "\n"
+                )
+            out.write(blob)
+            pos += len(blob)
+
+        with open(fname, "wb") as out, (
+            open(_index_path(fname), "w")
+            if index
+            else contextlib.nullcontext()
+        ) as idx:
+            info_id = f"<urn:mas:wetinfo:{pid}>"
+            emit(
+                out,
+                idx,
+                enc(
+                    build_warc_record(
+                        info_id,
+                        None,
+                        b"software: mongo-arrow-spark\r\n"
+                        b"format: WARC File Format 1.0\r\n"
+                        b"conformsTo: conversion",
+                        warc_type="warcinfo",
+                        http=False,
+                        http_content_type="application/warc-fields",
+                    )
+                ),
+                info_id,
+                None,
+                "warcinfo",
+            )
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    rid = getattr(row, id_col)
+                    txt = getattr(row, text_col) or ""
+                    uri = (
+                        getattr(row, uri_col)
+                        if uri_col
+                        else f"https://example.org/doc/{rid}"
+                    )
+                    extra: dict[str, str] = {}
+                    if refers_to_col:
+                        extra["WARC-Refers-To"] = getattr(row, refers_to_col)
+                    if source_file_col:
+                        extra["WARC-Source-File"] = getattr(
+                            row, source_file_col
+                        )
+                    if source_offset_col:
+                        v = getattr(row, source_offset_col)
+                        extra["WARC-Source-Offset"] = (
+                            None if v is None else str(int(v))
+                        )
+                    wid = f"<urn:mas:wet:{rid}>"
+                    emit(
+                        out,
+                        idx,
+                        enc(
+                            build_warc_record(
+                                wid,
+                                uri,
+                                txt.encode("utf-8"),
+                                warc_type="conversion",
+                                http=False,
+                                http_content_type="text/plain",
+                                extra_headers=extra,
+                            )
+                        ),
+                        wid,
+                        uri,
+                        "conversion",
+                    )
+                    n += 1
+        if n == 0:
+            os.remove(fname)
+            if index:
+                os.remove(_index_path(fname))
+        yield pd.DataFrame({"n": [n]})
+
+    sel.mapInPandas(one_partition, "n long").collect()
+
+
+
 def read_warc_record(
     path: str,
     offset: int,
@@ -1394,7 +1567,13 @@ def read_warc_record(
         "content_length": int(headers.get("content-length", 0)),
         "http_status": status,
         "http_content_type": hct,
+        "refers_to": headers.get("warc-refers-to"),
         "payload": body,
         "source_file": os.path.basename(path),
         "source_offset": offset,
+        # the FULL parsed header block — extension headers (e.g.
+        # write_wet's WARC-Source-File/WARC-Source-Offset provenance)
+        # are audit-fetchable even though the columnar schema stays
+        # fixed
+        "headers": dict(headers),
     }

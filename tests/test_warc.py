@@ -1355,3 +1355,76 @@ def test_read_warc_record_decodes_content_encoding(tmp_path):
     assert read_warc_record(p, 0, decode_content_encoding=True)[
         "payload"] == prose
     assert read_warc_record(p, 0)["payload"] == gz_p
+
+
+def test_wet_write_read_round_trip_with_provenance(spark, tmp_path):
+    """write_wet -> read(warcTypes=conversion): text round-trips as
+    text/plain conversion records; WARC-Refers-To surfaces as the
+    refers_to column; WARC-Source-File/Offset provenance extension
+    headers are audit-fetchable via read_warc_record."""
+    from mongo_arrow_spark.sources.warc import (
+        read_warc_record,
+        write_warc,
+        write_wet,
+    )
+
+    # source archive first, so the provenance actually points somewhere
+    src_dir = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, f"extracted text {i} é") for i in range(40)],
+        "doc_id long, text string",
+    )
+    write_warc(df.repartition(2), src_dir, index=True)
+    raw = _read(spark, src_dir).select(
+        "record_id", "payload", "source_file", "source_offset"
+    )
+    from pyspark.sql import functions as F2
+
+    extracted = raw.select(
+        F2.regexp_extract("record_id", r"urn:mas:(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F2.col("payload").cast("string").alias("text"),
+        F2.col("record_id").alias("src_id"),
+        "source_file",
+        "source_offset",
+    )
+    out = str(tmp_path / "wet")
+    write_wet(
+        extracted.repartition(2),
+        out,
+        refers_to_col="src_id",
+        source_file_col="source_file",
+        source_offset_col="source_offset",
+        index=True,
+    )
+    import glob
+
+    files = sorted(glob.glob(out + "/part-*.warc.wet.gz"))
+    assert files and all(glob.glob(f + ".cdxj") for f in files)
+    back = _read(spark, out, warcTypes="conversion")
+    rows = back.collect()
+    assert len(rows) == 40
+    assert all(r["content_type"] == "text/plain" for r in rows)
+    got = {
+        r["refers_to"]: bytes(r["payload"]).decode() for r in rows
+    }
+    assert got == {
+        f"<urn:mas:{i}>": f"extracted text {i} é" for i in range(40)
+    }
+    # audit fetch: conversion record -> headers -> source archive bytes
+    one = rows[0]
+    wet_rec = read_warc_record(
+        out + "/" + one["source_file"], one["source_offset"]
+    )
+    hdrs = wet_rec["headers"]
+    assert hdrs["warc-refers-to"] == one["refers_to"]
+    src_rec = read_warc_record(
+        src_dir + "/" + hdrs["warc-source-file"],
+        int(hdrs["warc-source-offset"]),
+    )
+    assert src_rec["record_id"] == one["refers_to"]
+    assert src_rec["payload"].decode() == bytes(one["payload"]).decode()
+    # overwrite semantics: rewriting with fewer rows clears stale parts
+    write_wet(extracted.limit(5).repartition(1), out)
+    assert _read(spark, out, warcTypes="conversion").count() == 5
