@@ -102,6 +102,12 @@ REPRESENTATIVES = [
     "url_domain_cap",
     "q_scan_warc_main",
     "q_crawl_stream",
+    # r12 waves (parked, promotion candidates): charset transcode,
+    # trigram lang-ID, URL-tier curation composition — conf-bare
+    # before any future rotation puts them in front of the driver
+    "q_decode_charset",
+    "lang_id_trigram",
+    "curate_corpus_url",
 ]
 
 
