@@ -130,7 +130,9 @@ def main() -> None:
     # catches the refetched shard without touching any payload, then a
     # per-domain cap bounds source dominance
     url_kept = url.cap_per_domain(
-        url.url_dedup(crawled, "url"), "url", n=1_000_000
+        url.url_dedup(url.filter_urls(crawled, "url"), "url"),
+        "url",
+        n=1_000_000,
     )
     print(
         "after URL dedup + domain cap:", url_kept.count(),

@@ -491,6 +491,12 @@ _DEMOTED = [
     # curate SQL with stage 0 restated closed-form. Exact at three
     # scales; oracle runs in tests/test_battery.py.
     "curate_corpus_url",
+    # r12 wave: the URL blocklist/word-score gate parks below the
+    # window by construction: closed-form residue-class oracle,
+    # map-only plan (InSet per label-depth + codegen'd contains).
+    # Exact at three scales; oracle runs in tests/test_battery.py;
+    # cases + map-only plan gate in tests/test_url.py.
+    "url_filter",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

@@ -31,6 +31,9 @@ __all__ = [
     "registered_domain",
     "url_dedup",
     "cap_per_domain",
+    "url_word_score",
+    "filter_urls",
+    "DEFAULT_URL_WORD_WEIGHTS",
 ]
 
 # Tracking / click-id query parameters every major pipeline strips.
@@ -316,3 +319,79 @@ def cap_per_domain(
     return cap_per_group(
         tagged, "__dom", n, order_by=order_by, id_col=id_col
     ).drop("__dom")
+
+
+def url_word_score(
+    col: Column | str, word_weights: dict[str, float] | None = None
+) -> Column:
+    """RefinedWeb-style soft URL score: Σ weight over the flagged
+    terms appearing as substrings of the lowercased URL. Pure JVM
+    projection — one ``contains`` per term (term lists are tens of
+    entries; each compiles to a codegen'd substring search). Higher =
+    more objectionable; threshold it with :func:`filter_urls`.
+
+    ``word_weights`` defaults to :data:`DEFAULT_URL_WORD_WEIGHTS` — a
+    small, documented stand-in for the production lists (UT1-class
+    blocklists ship hundreds of terms; they ride the plan the same
+    way)."""
+    weights = (
+        DEFAULT_URL_WORD_WEIGHTS if word_weights is None else word_weights
+    )
+    u = _lc(
+        F.trim((col if isinstance(col, Column) else F.col(col)).cast("string"))
+    )
+    score = F.lit(0.0)
+    for term, w in sorted(weights.items()):
+        score = score + F.when(u.contains(term.lower()), F.lit(float(w))).otherwise(
+            F.lit(0.0)
+        )
+    return score
+
+
+# Compact documented stand-in for the UT1/adult/spam URL term lists the
+# production pipelines weight (RefinedWeb §G.1 uses soft word scores so
+# "essex"/"sexton" class false positives need several hits to trip).
+DEFAULT_URL_WORD_WEIGHTS: dict[str, float] = {
+    "porn": 2.0, "xxx": 2.0, "sex": 1.0, "casino": 1.5, "viagra": 2.0,
+    "escort": 1.5, "poker": 1.0, "bet365": 1.5, "camgirl": 2.0,
+    "hentai": 2.0, "warez": 1.5, "crack-download": 1.5, "free-iphone": 1.5,
+}
+
+
+def filter_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    block_domains: list[str] | None = None,
+    word_weights: dict[str, float] | None = None,
+    max_word_score: float = 2.0,
+    suffixes: list[str] | None = None,
+) -> DataFrame:
+    """URL-level filtering, the stage crawls run before fetching text
+    signals (RefinedWeb/CCNet order — drop on the URL alone):
+
+    - ``block_domains``: a listed domain blocks itself AND every
+      subdomain (UT1-class lists mix registrable domains and full
+      hosts) — the host's last-k-labels are membership-tested per
+      label-depth class, each an ``InSet`` hash lookup (plan literal,
+      no join, no shuffle; a million-entry production blocklist would
+      swap to a broadcast anti-join, same contract).
+    - soft word score (:func:`url_word_score`) must stay UNDER
+      ``max_word_score`` (strict <) — single ambiguous hits survive,
+      accumulation trips.
+
+    Map-only: both tests are projections; the plan gains no exchange.
+    NULL urls drop (no URL = no provenance = not crawlable content).
+    """
+    u = F.col(url_col)
+    keep = url_word_score(u, word_weights) < F.lit(float(max_word_score))
+    if block_domains:
+        host = url_host(u)
+        labels = F.split(host, r"\.")
+        n = F.size(labels)
+        by_len: dict[int, list[str]] = {}
+        for d in {d.lower().strip(".") for d in block_domains}:
+            by_len.setdefault(d.count(".") + 1, []).append(d)
+        for k, vals in sorted(by_len.items()):
+            last_k = F.array_join(F.slice(labels, n - (k - 1), k), ".")
+            keep = keep & ((n < k) | ~last_k.isin(*sorted(vals)))
+    return df.filter(keep)

@@ -2942,3 +2942,57 @@ def q_lang_id_trigram(spark, sf_dir):
         text = F.when(m == i, lit) if text is None else text.when(m == i, lit)
     fx = docs.select("doc_id", text.alias("text"))
     return identify_language(fx, "text", id_col="doc_id").orderBy("doc_id")
+
+
+@query(
+    "url_filter",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'https://sub.brand' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.co.uk/article/' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN 'https://badsite.org/read/' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN 'https://news.example.com/story-sex-' || CAST(doc_id AS VARCHAR)
+               WHEN 3 THEN 'https://spam.example.net/casino-poker-' || CAST(doc_id AS VARCHAR)
+               WHEN 4 THEN 'https://shop.evil.co.uk/item/' || CAST(doc_id AS VARCHAR)
+               ELSE 'https://www.essex-news.ac.uk/dept/' || CAST(doc_id AS VARCHAR)
+             END AS url
+      FROM documents
+    )
+    SELECT doc_id, url FROM u WHERE doc_id % 6 IN (0, 2, 5)
+    ORDER BY doc_id
+    """,
+)
+def q_url_filter(spark, sf_dir):
+    """URL blocklist + soft word-score filter (r12): six deterministic
+    URL shapes per corpus — clean, a blocklisted domain, a single soft
+    term (survives: strict < 2.0), an accumulating junk URL (casino +
+    poker trips), a blocklisted subdomain (suffix matching blocks it),
+    and the classic 'essex' false-positive (one ambiguous hit
+    survives). ``url.filter_urls`` is map-only (InSet per label-depth,
+    codegen'd contains per term — no join, no shuffle, plan gate in
+    tests/test_url.py); the oracle states the surviving residue
+    classes closed-form. RefinedWeb's URL-level gate, before any text
+    is fetched or compared."""
+    from mongo_arrow_spark.operators import url as U
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://sub.brand"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".co.uk/article/"), did))
+        .when(m == 1, F.concat(F.lit("https://badsite.org/read/"), did))
+        .when(m == 2, F.concat(
+            F.lit("https://news.example.com/story-sex-"), did))
+        .when(m == 3, F.concat(
+            F.lit("https://spam.example.net/casino-poker-"), did))
+        .when(m == 4, F.concat(F.lit("https://shop.evil.co.uk/item/"), did))
+        .otherwise(F.concat(F.lit("https://www.essex-news.ac.uk/dept/"), did))
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return U.filter_urls(
+        u, block_domains=["badsite.org", "evil.co.uk"]
+    ).orderBy("doc_id")

@@ -355,3 +355,66 @@ co.uk
         ).collect()
     ]
     assert got == [w for _, w in cases]
+
+
+def test_url_word_score_and_filter(spark):
+    from mongo_arrow_spark.operators.url import (
+        filter_urls,
+        url_word_score,
+    )
+
+    rows = [
+        (0, "https://news.site.org/article/1"),            # clean
+        (1, "https://www.essex.ac.uk/sexton-bells"),       # 2 soft hits of 'sex' ... substring appears twice but scored once
+        (2, "https://free-iphone.win/casino-poker"),       # 1.5+1.5+1.0 trips
+        (3, "https://xxx.example.com/v"),                  # 2.0 trips (>= max)
+        (4, None),
+        (5, "https://blocked.example.org/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    scores = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", url_word_score("url").alias("s")
+        ).collect()
+    }
+    assert scores[0] == 0.0
+    assert scores[1] == 1.0  # 'sex' counted once regardless of repeats
+    assert scores[2] == pytest.approx(4.0)  # free-iphone + casino + poker
+    assert scores[3] == 2.0
+    assert scores[4] is None or scores[4] == 0.0
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_urls(
+            df.filter(F.col("url").isNotNull()),
+            block_domains=["blocked.example.org"],
+        ).collect()
+    )
+    # strict <2.0: the single ambiguous 'sex' hit survives, xxx trips,
+    # the accumulated junk trips, the blocklisted domain drops
+    assert kept == [0, 1]
+    # a listed domain blocks its subdomains too; unrelated lookalike
+    # suffixes survive ('notexample.org' is NOT under 'example.org')
+    sub = spark.createDataFrame(
+        [
+            (10, "https://a.b.evil.org/x"),
+            (11, "https://evil.org/x"),
+            (12, "https://notevil.org/x"),
+            (13, "https://evil.org.safe.com/x"),
+        ],
+        "doc_id long, url string",
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in filter_urls(sub, block_domains=["evil.org"]).collect()
+    )
+    assert kept2 == [12, 13]
+
+
+def test_filter_urls_is_map_only(spark):
+    from mongo_arrow_spark.operators.url import filter_urls
+
+    df = spark.createDataFrame([(1, "https://a.org/x")], "doc_id long, url string")
+    out = filter_urls(df, block_domains=["b.org"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -108,6 +108,7 @@ REPRESENTATIVES = [
     "q_decode_charset",
     "lang_id_trigram",
     "curate_corpus_url",
+    "url_filter",
 ]
 
 
