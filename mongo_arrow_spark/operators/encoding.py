@@ -100,12 +100,46 @@ _CHARSET_ALIASES = {
 }
 
 # single-byte codecs (every byte sequence decodes "successfully") —
-# the set the actually-UTF-8 correction applies to
+# the set the actually-UTF-8 correction applies to. Seeded from the
+# alias table; codecs resolved through the codecs.lookup fallback
+# (iso8859-2..16, cp1250, mac-cyrillic, …) are classified EMPIRICALLY
+# by _is_single_byte — a declared-single-byte label outside the alias
+# table must still get the mislabeled-UTF-8 correction (r12 review
+# fix: 'charset=iso-8859-2' over UTF-8 bytes used to mojibake).
 SINGLE_BYTE_FAMILIES = frozenset(
     v
     for v in _CHARSET_ALIASES.values()
-    if v.startswith(("windows-", "iso-8859", "koi8", "cp874", "cp1251"))
-) | {"windows-1252"}
+    if v.startswith(("windows-", "iso-8859", "koi8", "cp874"))
+)
+
+_SINGLE_BYTE_CACHE: dict[str, bool] = {v: True for v in SINGLE_BYTE_FAMILIES}
+_SINGLE_BYTE_CACHE.update({"utf-8": False, "gb18030": False, "cp932": False,
+                           "cp949": False, "big5": False, "euc-jp": False})
+
+def _is_single_byte(codec: str) -> bool:
+    """Is this a one-byte-one-char codec (no multi-byte structure)?
+    Decided empirically, once per codec (cached): decode each of the
+    256 bytes ALONE. Single-byte codecs decode nearly all of them to
+    exactly one char (a few undefined holes — cp1250 leaves 0x81/0x83/
+    … unmapped — are tolerated); multi-byte codecs fail on their many
+    lead bytes (cp932/gb18030/big5/euc-* reject 60-130 of them as
+    incomplete sequences) or map one byte to multiple chars."""
+    hit = _SINGLE_BYTE_CACHE.get(codec)
+    if hit is not None:
+        return hit
+    ok_count = 0
+    try:
+        for b in range(256):
+            try:
+                if len(bytes([b]).decode(codec, "strict")) == 1:
+                    ok_count += 1
+            except UnicodeDecodeError:
+                pass
+        ok = ok_count >= 240
+    except LookupError:
+        ok = False
+    _SINGLE_BYTE_CACHE[codec] = ok
+    return ok
 
 _CT_CHARSET_RE = re.compile(r"charset\s*=\s*[\"']?([A-Za-z0-9._:\-]+)")
 _META_RE = re.compile(
@@ -135,25 +169,26 @@ def _normalize_label(label: str | None) -> str | None:
         return None
 
 
-def _is_strict_multibyte_utf8(raw: bytes) -> bool:
-    if not any(b >= 0x80 for b in raw):
-        return False
+def _strict_utf8(raw: bytes) -> str | None:
+    """The payload decoded as strict UTF-8, or None. `raw.isascii()`
+    is one C call (the old per-byte Python loop cost ~1M interpreter
+    iterations on a 1 MB page — r12 review fix); the decoded string is
+    RETURNED so callers never pay the decode twice."""
     try:
-        raw.decode("utf-8", "strict")
-        return True
+        return raw.decode("utf-8", "strict")
     except UnicodeDecodeError:
-        return False
+        return None
 
 
-def sniff_charset(raw: bytes | None, content_type: str | None = None) -> str:
-    """Detected python codec name for a payload (see module docstring
-    for the precedence). Always returns a decodable codec; ``utf-8``
-    for empty/None input."""
-    if not raw:
-        return "utf-8"
+def _sniff_ex(
+    raw: bytes, content_type: str | None
+) -> tuple[str, str | None]:
+    """(codec, already_decoded_text_or_None) — the shared core: when
+    sniffing required a successful strict decode, the result is handed
+    back so decode_bytes does not decode the same bytes again."""
     for bom, codec in _BOMS:
         if raw.startswith(bom):
-            return codec
+            return codec, None
     declared = None
     if content_type:
         m = _CT_CHARSET_RE.search(content_type)
@@ -164,17 +199,25 @@ def sniff_charset(raw: bytes | None, content_type: str | None = None) -> str:
         if m:
             declared = _normalize_label(m.group(1).decode("latin-1"))
     if declared is not None:
-        if declared in SINGLE_BYTE_FAMILIES and _is_strict_multibyte_utf8(
-            raw
-        ):
-            return "utf-8"  # mislabeled-UTF-8 correction
-        return declared
+        if not raw.isascii() and _is_single_byte(declared):
+            decoded = _strict_utf8(raw)
+            if decoded is not None:
+                return "utf-8", decoded  # mislabeled-UTF-8 correction
+        return declared, None
     # no declaration anywhere: strict UTF-8 try, else cp1252
-    try:
-        raw.decode("utf-8", "strict")
+    decoded = _strict_utf8(raw)
+    if decoded is not None:
+        return "utf-8", decoded
+    return "windows-1252", None
+
+
+def sniff_charset(raw: bytes | None, content_type: str | None = None) -> str:
+    """Detected python codec name for a payload (see module docstring
+    for the precedence). Always returns a decodable codec; ``utf-8``
+    for empty/None input."""
+    if not raw:
         return "utf-8"
-    except UnicodeDecodeError:
-        return "windows-1252"
+    return _sniff_ex(raw, content_type)[0]
 
 
 def decode_bytes(raw: bytes | None, content_type: str | None = None) -> str | None:
@@ -185,7 +228,9 @@ def decode_bytes(raw: bytes | None, content_type: str | None = None) -> str | No
         return None
     if not raw:
         return ""
-    codec = sniff_charset(raw, content_type)
+    codec, decoded = _sniff_ex(raw, content_type)
+    if decoded is not None:
+        return decoded
     if codec in ("utf-16-le", "utf-16-be", "utf-32-le", "utf-32-be"):
         # strip the BOM these codecs would render as U+FEFF
         for bom, name in _BOMS:
@@ -195,39 +240,39 @@ def decode_bytes(raw: bytes | None, content_type: str | None = None) -> str | No
     return raw.decode(codec, "replace")
 
 
-def _udf_decode():
-    import pandas as pd  # noqa: F401  (Arrow batch transport)
+_UDFS: dict = {}
+
+
+def _udf(kind: str):
+    """Module-cached pandas_udf wrappers (one construction per
+    process, not per call — r12 review fix)."""
+    fn = _UDFS.get(kind)
+    if fn is not None:
+        return fn
+    core = decode_bytes if kind == "decode" else (
+        lambda raw, ct: None if raw is None else sniff_charset(raw, ct)
+    )
 
     @F.pandas_udf("string")
-    def dec(payload, ctype):
+    def udf(payload, ctype):
         return payload.combine(
             ctype,
-            lambda p, c: decode_bytes(
+            lambda p, c: core(
                 bytes(p) if p is not None else None,
                 c if isinstance(c, str) else None,
             ),
         )
 
-    return dec
+    _UDFS[kind] = udf
+    return udf
 
 
-def _udf_detect():
-    import pandas as pd  # noqa: F401
-
-    @F.pandas_udf("string")
-    def det(payload, ctype):
-        return payload.combine(
-            ctype,
-            lambda p, c: (
-                None
-                if p is None
-                else sniff_charset(
-                    bytes(p), c if isinstance(c, str) else None
-                )
-            ),
-        )
-
-    return det
+def _ct_col(http_content_type) -> Column:
+    if http_content_type is None:
+        return F.lit(None).cast("string")
+    if isinstance(http_content_type, Column):
+        return http_content_type
+    return F.col(http_content_type)
 
 
 def decode_payload(
@@ -238,16 +283,7 @@ def decode_payload(
     envelope header (sources/warc.py) — pass it whenever available;
     None sniffs from content alone. Arrow-batched ``pandas_udf``."""
     p = payload if isinstance(payload, Column) else F.col(payload)
-    ct = (
-        F.lit(None).cast("string")
-        if http_content_type is None
-        else (
-            http_content_type
-            if isinstance(http_content_type, Column)
-            else F.col(http_content_type)
-        )
-    )
-    return _udf_decode()(p.cast("binary"), ct)
+    return _udf("decode")(p.cast("binary"), _ct_col(http_content_type))
 
 
 def detect_charset(
@@ -257,13 +293,4 @@ def detect_charset(
     ``GROUP BY detect_charset(...)`` shows a corpus's encoding mix
     before committing to a transcode)."""
     p = payload if isinstance(payload, Column) else F.col(payload)
-    ct = (
-        F.lit(None).cast("string")
-        if http_content_type is None
-        else (
-            http_content_type
-            if isinstance(http_content_type, Column)
-            else F.col(http_content_type)
-        )
-    )
-    return _udf_detect()(p.cast("binary"), ct)
+    return _udf("detect")(p.cast("binary"), _ct_col(http_content_type))

@@ -345,7 +345,9 @@ def url_word_score(
         score = score + F.when(u.contains(term.lower()), F.lit(float(w))).otherwise(
             F.lit(0.0)
         )
-    return score
+    # NULL in -> NULL out (a missing URL has no score; filter_urls
+    # drops such rows explicitly)
+    return F.when(u.isNotNull(), score)
 
 
 # Compact documented stand-in for the UT1/adult/spam URL term lists the
@@ -383,7 +385,12 @@ def filter_urls(
     NULL urls drop (no URL = no provenance = not crawlable content).
     """
     u = F.col(url_col)
-    keep = url_word_score(u, word_weights) < F.lit(float(max_word_score))
+    # NULL urls drop unconditionally (documented contract): a NULL
+    # score would otherwise read as 0.0 < threshold and keep the row
+    # whenever no blocklist conjunct nulls it out (r12 review fix)
+    keep = u.isNotNull() & (
+        url_word_score(u, word_weights) < F.lit(float(max_word_score))
+    )
     if block_domains:
         host = url_host(u)
         labels = F.split(host, r"\.")

@@ -731,6 +731,57 @@ def _dechunk(body: bytes, source: str, offset) -> bytes:
             pos += 1
 
 
+def _decode_one_encoding(enc: str, body: bytes, source: str, offset) -> bytes:
+    """Undo ONE encoding token. Every decompressor failure — including
+    the optional codecs' own exception types (brotli.error,
+    zstandard.ZstdError), which are NOT in _STREAM_ERRORS — is wrapped
+    into WarcCorruptError here so corruptMode=drop can skip the one
+    record instead of the whole task dying (r12 review fix)."""
+    try:
+        if enc in ("gzip", "x-gzip"):
+            return gzip.decompress(body)
+        if enc == "deflate":
+            # RFC 9110 says zlib-wrapped, but raw-deflate servers are
+            # legion — try wrapped first, then raw
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                d = zlib.decompressobj(-15)
+                return d.decompress(body) + d.flush()
+        if enc == "br":
+            try:
+                import brotli  # type: ignore[import-not-found]
+            except ImportError:
+                raise WarcCorruptError(
+                    f"{source}: Content-Encoding 'br' at offset "
+                    f"~{offset} needs the optional brotli package"
+                )
+            return brotli.decompress(body)
+        if enc == "zstd":
+            try:
+                import zstandard  # type: ignore[import-not-found]
+            except ImportError:
+                raise WarcCorruptError(
+                    f"{source}: Content-Encoding 'zstd' at offset "
+                    f"~{offset} needs the optional zstandard package"
+                )
+            # decompressobj handles frames without a content-size
+            # header (typical for streamed HTTP zstd responses, where
+            # one-shot .decompress() raises)
+            return zstandard.ZstdDecompressor().decompressobj().decompress(
+                body
+            )
+    except WarcCorruptError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — codec errors vary by lib
+        raise WarcCorruptError(
+            f"{source}: undecodable {enc} body at offset ~{offset}: {exc}"
+        ) from exc
+    raise WarcCorruptError(
+        f"{source}: unsupported encoding {enc!r} at offset ~{offset}"
+    )
+
+
 def _decode_http_body(
     cenc: str | None, tenc: str | None, body: bytes, source: str, offset
 ) -> bytes:
@@ -739,56 +790,23 @@ def _decode_http_body(
     "text" column would otherwise hold compressed bytes. Applied only
     under the reader's ``decodeContentEncoding=true`` (Common Crawl
     ships decoded payloads — the default must not re-inflate them).
-    ``Transfer-Encoding: chunked`` is unframed first, then each
-    Content-Encoding token right-to-left (``gzip, br`` means br was
-    applied last). Truncated/garbage streams and unavailable codecs
-    raise WarcCorruptError; the caller applies fail/drop."""
-    if tenc and "chunked" in tenc.lower():
-        body = _dechunk(body, source, offset)
-    if not cenc:
-        return body
-    for enc in reversed([e.strip().lower() for e in cenc.split(",")]):
-        if enc in ("", "identity", "none", "chunked"):
+    ``Transfer-Encoding`` tokens are undone right-to-left (``chunked``
+    unframed, ``gzip``/``deflate`` decompressed — RFC 9112 allows
+    them as transfer codings too; an unknown token raises, never
+    silently returns compressed bytes — r12 review fix), then each
+    ``Content-Encoding`` token right-to-left (``gzip, br`` means br
+    was applied last). Truncated/garbage streams and unavailable
+    codecs raise WarcCorruptError; the caller applies fail/drop."""
+    for spec in (tenc, cenc):
+        if not spec:
             continue
-        try:
-            if enc in ("gzip", "x-gzip"):
-                body = gzip.decompress(body)
-            elif enc == "deflate":
-                # RFC 9110 says zlib-wrapped, but raw-deflate servers
-                # are legion — try wrapped first, then raw
-                try:
-                    body = zlib.decompress(body)
-                except zlib.error:
-                    d = zlib.decompressobj(-15)
-                    body = d.decompress(body) + d.flush()
-            elif enc == "br":
-                try:
-                    import brotli  # type: ignore[import-not-found]
-                except ImportError:
-                    raise WarcCorruptError(
-                        f"{source}: Content-Encoding 'br' at offset "
-                        f"~{offset} needs the optional brotli package"
-                    )
-                body = brotli.decompress(body)
-            elif enc == "zstd":
-                try:
-                    import zstandard  # type: ignore[import-not-found]
-                except ImportError:
-                    raise WarcCorruptError(
-                        f"{source}: Content-Encoding 'zstd' at offset "
-                        f"~{offset} needs the optional zstandard package"
-                    )
-                body = zstandard.ZstdDecompressor().decompress(body)
+        for enc in reversed([e.strip().lower() for e in spec.split(",")]):
+            if enc in ("", "identity", "none"):
+                continue
+            if enc == "chunked":
+                body = _dechunk(body, source, offset)
             else:
-                raise WarcCorruptError(
-                    f"{source}: unsupported Content-Encoding {enc!r} at "
-                    f"offset ~{offset}"
-                )
-        except _STREAM_ERRORS as exc:
-            raise WarcCorruptError(
-                f"{source}: undecodable {enc} body at offset ~{offset}: "
-                f"{exc}"
-            ) from exc
+                body = _decode_one_encoding(enc, body, source, offset)
     return body
 
 
@@ -1472,10 +1490,13 @@ def write_wet(
                             row, source_file_col
                         )
                     if source_offset_col:
+                        # a nullable long column reaches pandas as
+                        # float64: NULL arrives as NaN, not None —
+                        # omit the header instead of crashing on
+                        # int(NaN) (r12 review fix)
                         v = getattr(row, source_offset_col)
-                        extra["WARC-Source-Offset"] = (
-                            None if v is None else str(int(v))
-                        )
+                        if v is not None and v == v:
+                            extra["WARC-Source-Offset"] = str(int(v))
                     wid = f"<urn:mas:wet:{rid}>"
                     emit(
                         out,

@@ -167,3 +167,24 @@ def test_bom_families(spark):
         ).collect()
     }
     assert got == {0: text, 1: text, 2: text}
+
+
+def test_mislabel_correction_covers_lookup_fallback_codecs(spark):
+    """r12 review fix: single-byte charsets resolved through the
+    codecs.lookup fallback (iso-8859-2..16, cp1250, mac-cyrillic) get
+    the mislabeled-UTF-8 correction too — and genuinely legacy content
+    under those labels still decodes as declared."""
+    utf8 = "déjà vu — naïve".encode("utf-8")
+    legacy = "příliš žluťoučký kůň".encode("iso-8859-2")
+    for ct in ("charset=iso-8859-2", "charset=cp1250", "charset=mac-cyrillic"):
+        assert decode_bytes(utf8, ct) == "déjà vu — naïve", ct
+        assert sniff_charset(utf8, ct) == "utf-8", ct
+    assert decode_bytes(legacy, "charset=iso-8859-2") == "příliš žluťoučký kůň"
+    # multi-byte declarations NEVER get the correction (valid cp932
+    # bytes can incidentally be valid UTF-8-looking, and vice versa)
+    from mongo_arrow_spark.operators.encoding import _is_single_byte
+
+    assert not any(
+        _is_single_byte(c)
+        for c in ("cp932", "gb18030", "big5", "cp949", "euc-jp", "utf-8")
+    )

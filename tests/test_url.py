@@ -382,7 +382,7 @@ def test_url_word_score_and_filter(spark):
     assert scores[1] == 1.0  # 'sex' counted once regardless of repeats
     assert scores[2] == pytest.approx(4.0)  # free-iphone + casino + poker
     assert scores[3] == 2.0
-    assert scores[4] is None or scores[4] == 0.0
+    assert scores[4] is None  # NULL url -> NULL score (and filter_urls drops it)
     kept = sorted(
         r["doc_id"]
         for r in filter_urls(

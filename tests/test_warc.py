@@ -1428,3 +1428,77 @@ def test_wet_write_read_round_trip_with_provenance(spark, tmp_path):
     # overwrite semantics: rewriting with fewer rows clears stale parts
     write_wet(extracted.limit(5).repartition(1), out)
     assert _read(spark, out, warcTypes="conversion").count() == 5
+
+
+def test_decode_content_encoding_transfer_gzip_and_unknown(spark, tmp_path):
+    """r12 review fixes: (a) 'Transfer-Encoding: gzip' (RFC 9112) is
+    decoded, never silently returned as compressed bytes; (b) an
+    unavailable/unknown codec ('br' without the brotli wheel, bogus
+    tokens) is contained by corruptMode — drop skips THAT record, the
+    rest of the file survives."""
+    prose = b"the quick brown fox " * 30
+    gz = gzip.compress(prose, mtime=0)
+    recs = [
+        _http_record("<urn:t:tgzip>", gz, b"Transfer-Encoding: gzip\r\n"),
+        _http_record("<urn:t:br>", b"\x0b\x02\x80junk",
+                     b"Content-Encoding: br\r\n"),
+        _http_record("<urn:t:bogus>", prose,
+                     b"Content-Encoding: frobnicate\r\n"),
+        _http_record("<urn:t:plain>", prose),
+    ]
+    p = str(tmp_path / "te.warc")
+    _mk_warc(p, recs)
+    rows = {
+        r["record_id"]: bytes(r["payload"])
+        for r in _read(
+            spark, p, decodeContentEncoding="true", corruptMode="drop"
+        ).collect()
+    }
+    # transfer-gzip decoded; br (no wheel) and bogus dropped; plain kept
+    assert rows == {"<urn:t:tgzip>": prose, "<urn:t:plain>": prose}
+    with pytest.raises(Exception):
+        _read(spark, p, decodeContentEncoding="true",
+              corruptMode="fail").collect()
+
+
+def test_write_wet_null_offset_omits_header(spark, tmp_path):
+    """A NULL source_offset (NaN through pandas) omits the provenance
+    header instead of killing the task (r12 review fix)."""
+    from mongo_arrow_spark.sources.warc import read_warc_record, write_wet
+
+    df = spark.createDataFrame(
+        [(1, "text one", "a.warc.gz", 100), (2, "text two", None, None)],
+        "doc_id long, text string, sf string, so long",
+    )
+    out = str(tmp_path / "wetnull")
+    write_wet(
+        df.coalesce(1), out,
+        source_file_col="sf", source_offset_col="so",
+    )
+    back = _read(spark, out, warcTypes="conversion").collect()
+    assert len(back) == 2
+    by_id = {r["record_id"]: r for r in back}
+    rec1 = read_warc_record(
+        out + "/" + by_id["<urn:mas:wet:1>"]["source_file"],
+        by_id["<urn:mas:wet:1>"]["source_offset"],
+    )
+    assert rec1["headers"]["warc-source-offset"] == "100"
+    rec2 = read_warc_record(
+        out + "/" + by_id["<urn:mas:wet:2>"]["source_file"],
+        by_id["<urn:mas:wet:2>"]["source_offset"],
+    )
+    assert "warc-source-offset" not in rec2["headers"]
+    assert "warc-source-file" not in rec2["headers"]
+
+
+def test_filter_urls_drops_nulls_unconditionally(spark):
+    from mongo_arrow_spark.operators.url import filter_urls
+
+    df = spark.createDataFrame(
+        [(0, "https://ok.org/x"), (1, None)], "doc_id long, url string"
+    )
+    assert [r["doc_id"] for r in filter_urls(df).collect()] == [0]
+    assert [
+        r["doc_id"]
+        for r in filter_urls(df, block_domains=["b.org"]).collect()
+    ] == [0]
