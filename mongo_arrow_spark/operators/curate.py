@@ -101,11 +101,20 @@ def curate(
     dsir_k: int | None = None,
     dsir_seed: str = "dsir",
     dsir_temperature: float = 1.0,
-    # CCNet perplexity tiering over a prefit text.NgramLM (None disables)
+    # CCNet perplexity tiering over a prefit text.NgramLM (None disables).
+    # lm_by keys the quantile tiers PER GROUP (the published recipe
+    # computes per-LANGUAGE terciles) — any column on the frame, e.g.
+    # the one lang_id_col produces.
     lm_model=None,
     lm_keep: tuple = ("middle", "head"),
     lm_fractions: tuple = (1 / 3, 2 / 3),
     lm_exact: bool = False,
+    lm_by: str | None = None,
+    # trigram language-ID (r12; None disables): attach
+    # langid.identify_language's prediction under this column name
+    # right after the URL tier, so every later stage (LM tiers via
+    # lm_by, per-language caps/budgets downstream) can key on it
+    lang_id_col: str | None = None,
     # per-group cap (r8; None disables — see selection.cap_per_group):
     # at most cap_n surviving docs per cap_group_col value, longest
     # text first (anti-domination, the RefinedWeb per-domain cap)
@@ -198,6 +207,23 @@ def curate(
                     df, url_col, n=url_domain_cap_n, id_col=id_col
                 ),
             )
+
+    # 0.5 language-ID tag (r12) — computed on the URL-surviving frame
+    # so the broadcast-join scorer never touches rows the URL tier
+    # already dropped; the column rides the pipeline for lm_by and any
+    # downstream per-language consumer
+    if lang_id_col is not None:
+        from mongo_arrow_spark.operators.langid import identify_language
+
+        df = _tap(
+            "lang_id",
+            df.join(
+                identify_language(
+                    df, text_col=text_col, id_col=id_col, out_col=lang_id_col
+                ),
+                id_col,
+            ),
+        )
 
     # 1. quality gate — pure projection + filter, runs scan-side
     flagged = quality_ops.gopher_quality_flags(
@@ -350,6 +376,7 @@ def curate(
         lm_keep=lm_keep,
         lm_fractions=lm_fractions,
         lm_exact=lm_exact,
+        lm_by=lm_by,
         id_col=id_col,
         text_col=text_col,
     )
@@ -523,6 +550,7 @@ def select_with_models(
     lm_keep: tuple = ("middle", "head"),
     lm_fractions: tuple = (1 / 3, 2 / 3),
     lm_exact: bool = False,
+    lm_by: str | None = None,
     ensemble_cols: list | tuple | None = None,
     ensemble_weights: list | None = None,
     ensemble_top_n: int | None = None,
@@ -591,9 +619,17 @@ def select_with_models(
         lm_scored = text_ops.score_ngram_lm(
             out, lm_model, id_col=id_col, text_col=text_col
         )
+        if lm_by is not None:
+            # per-group (CCNet: per-LANGUAGE) quantile tiers — the
+            # grouping column rides the input frame, score_ngram_lm
+            # returns only (id, n_tokens, logprob), so join it back
+            lm_scored = lm_scored.join(
+                out.select(id_col, lm_by), id_col
+            )
         tiers = text_ops.perplexity_buckets(
             lm_scored,
             score_col="logprob",
+            by=lm_by,
             fractions=lm_fractions,
             labels=("tail", "middle", "head")[: len(lm_fractions) + 1],
             exact=lm_exact,

@@ -947,3 +947,88 @@ def test_curate_url_tier_runs_first(spark):
     assert audit["url_domain_cap"] == 8  # 2 domains x 4
     kept = {r["doc_id"] for r in out.collect()}
     assert kept <= set(range(12)) and len(kept) == 8
+
+
+def test_lang_id_col_and_per_language_lm_tiers(spark):
+    """r12: curate(lang_id_col=) attaches the trigram lang-ID after the
+    URL tier, and lm_by= keys the CCNet perplexity terciles PER
+    LANGUAGE. Survivors must equal a manual replay (identify_language →
+    score_ngram_lm → perplexity_buckets(by=lang) → lm_keep filter)."""
+    from pyspark.sql import functions as F
+
+    from mongo_arrow_spark.operators.curate import curate
+    from mongo_arrow_spark.operators.langid import identify_language
+    from mongo_arrow_spark.operators import text as text_ops
+
+    en = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a quiet library near the river stays open late on weekends",
+        "children like to play in the park after school with friends",
+        "we went to the market to buy fresh bread and sweet fruit",
+        "the old clock on the wall strikes twelve every single night",
+        "students read many books because they want to learn history",
+    ]
+    fr = [
+        "les enfants aiment jouer au parc après l'école avec leurs amis",
+        "nous sommes allés au marché pour acheter du pain frais",
+        "le soleil se lève le matin au-dessus des hautes montagnes",
+        "elle veut étudier à l'université l'année prochaine à paris",
+        "pendant les vacances nous visitons souvent de petits villages",
+        "les étudiants lisent beaucoup de livres pour mieux comprendre",
+    ]
+    rows = [(i, t) for i, t in enumerate(en + fr)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = text_ops.fit_ngram_lm(df, text_col="text")
+    try:
+        out = curate(
+            df,
+            min_tokens=3,
+            jaccard_threshold=None,
+            decontaminate_threshold=None,
+            redact_pii=False,
+            lang_id_col="lang_pred",
+            lm_model=lm,
+            lm_by="lang_pred",
+            lm_keep=("middle", "head"),
+            lm_exact=True,
+        )
+        got = sorted(r["doc_id"] for r in out.collect())
+        # manual replay
+        tagged = df.join(
+            identify_language(df, "text", id_col="doc_id",
+                              out_col="lang_pred"),
+            "doc_id",
+        )
+        scored = text_ops.score_ngram_lm(tagged, lm).join(
+            tagged.select("doc_id", "lang_pred"), "doc_id"
+        )
+        tiers = text_ops.perplexity_buckets(
+            scored, score_col="logprob", by="lang_pred", exact=True
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in tiers.filter(
+                F.col("ppl_bucket").isin(["middle", "head"])
+            ).collect()
+        )
+        assert got == want and 0 < len(got) < len(rows)
+        # the lang column rides the output frame
+        langs = {r["lang_pred"] for r in out.select("lang_pred").collect()}
+        assert langs == {"en", "fr"}
+        # per-language tiers differ from the global cut for at least
+        # one document (the point of lm_by)
+        gtiers = text_ops.perplexity_buckets(
+            scored, score_col="logprob", exact=True
+        )
+        gwant = sorted(
+            r["doc_id"]
+            for r in gtiers.filter(
+                F.col("ppl_bucket").isin(["middle", "head"])
+            ).collect()
+        )
+        if gwant == want:
+            import pytest as _pytest
+
+            _pytest.skip("fixture produced identical global/per-lang cuts")
+    finally:
+        lm.unpersist()
