@@ -497,6 +497,12 @@ _DEMOTED = [
     # Exact at three scales; oracle runs in tests/test_battery.py;
     # cases + map-only plan gate in tests/test_url.py.
     "url_filter",
+    # r12 wave: the WET conversion-layout round trip parks below the
+    # window with its siblings (same scan machinery as the graded
+    # q_scan_warc; the delta is the conversion record type + refers_to
+    # provenance). Exact at three scales; oracle runs in
+    # tests/test_battery.py.
+    "q_scan_wet",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly

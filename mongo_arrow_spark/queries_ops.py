@@ -2996,3 +2996,65 @@ def q_url_filter(spark, sf_dir):
     return U.filter_urls(
         u, block_domains=["badsite.org", "evil.co.uk"]
     ).orderBy("doc_id")
+
+
+def _wet_corpus_dir(spark, sf_dir: str) -> str:
+    """Materialize the documents table as a WET conversion-record
+    layout (one .warc.wet.gz per partition; idempotent per sf_dir)
+    through the engine's own distributed writer, with WARC-Refers-To
+    provenance pointing at the synthetic response ids."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/mas_wet_{tag}"
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    from mongo_arrow_spark.sources.warc import write_wet
+
+    src = _t(spark, sf_dir, "documents").repartition(4).select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("<urn:mas:"), F.col("doc_id").cast("string"), F.lit(">")
+        ).alias("src_id"),
+    )
+    write_wet(src, d, refers_to_col="src_id", index=True)
+    open(marker, "w").close()
+    return d
+
+
+@query(
+    "q_scan_wet",
+    # COALESCE mirrors the writer's NULL→'' coercion (text/plain bodies
+    # have no null); refers_to must reconstruct the source record id
+    "SELECT doc_id, COALESCE(text, '') AS text, "
+    "'<urn:mas:' || CAST(doc_id AS VARCHAR) || '>' AS refers_to "
+    "FROM documents ORDER BY doc_id",
+)
+def q_scan_wet(spark, sf_dir):
+    """WET conversion-layout round trip (r12): the corpus written as
+    ``.warc.wet.gz`` conversion records (member-per-record, CDXJ
+    sidecars) and read back with ``warcTypes=conversion`` must
+    hash-match the parquet base INCLUDING the WARC-Refers-To
+    provenance column — the interchange contract with pipelines that
+    consume Common Crawl ``.wet``. Same scan machinery the graded
+    q_scan_warc rides (bin-packed gz groups / indexed byte-splits)."""
+    from mongo_arrow_spark.sources.warc import register_warc
+
+    d = _wet_corpus_dir(spark, sf_dir)
+    register_warc(spark)
+    return (
+        spark.read.format("warc")
+        .option("warcTypes", "conversion")
+        .load(d)
+        .select(
+            F.regexp_extract("record_id", r"urn:mas:wet:(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("payload").cast("string").alias("text"),
+            "refers_to",
+        )
+        .orderBy("doc_id")
+    )

@@ -109,6 +109,7 @@ REPRESENTATIVES = [
     "lang_id_trigram",
     "curate_corpus_url",
     "url_filter",
+    "q_scan_wet",
 ]
 
 
