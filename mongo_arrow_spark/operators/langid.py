@@ -1,4 +1,4 @@
-"""Character-trigram language identification over ~50 languages.
+"""Character-trigram language identification over 71 languages.
 
 The CCNet/C4/RefinedWeb lineage keys its per-language buckets
 (perplexity terciles, per-language budgets, contracts) on a language
@@ -191,6 +191,8 @@ LANG_SAMPLES: dict[str, str] = {
         "l'anno prossimo."
         "gli studenti leggono molti libri perché vogliono capire meglio la storia della città e delle sue chiese. questo formaggio è più buono di quello che abbiamo mangiato ieri sera."
         "oggi il tempo è bello e facciamo una passeggiata in piazza con gli amici. il ragazzo ha detto che il lavoro sarà finito già domani sera. mi piacerebbe anche vedere quella mostra di pittura che hanno aperto nella galleria."
+        "così degli amici hanno già organizzato una festa nella piazza principale perché il paese compie mille anni. quella canzone è più bella di quanto pensassi e gli altri ragazzi vogliono ascoltarla ancora. abbiamo mangiato gli spaghetti con il sugo di pomodoro e poi il gelato al cioccolato."
+        "la mattina la nebbia copre la valle e la città si sveglia lentamente. la domenica la gente passeggia lungo la riva del fiume. la nonna racconta la storia di famiglia mentre prepara la cena."
     ),
     "ja": (
         "太陽は朝、高い山の上に昇ります。子供たちは学校の後で公園で遊ぶの"
@@ -341,6 +343,66 @@ LANG_SAMPLES: dict[str, str] = {
         "chơi trong công viên sau giờ học. chúng tôi đã đi chợ để mua "
         "bánh mì tươi và trái cây. cô ấy muốn học đại học vào năm tới."
     ),
+    "am": (
+        "ፀሐይ ጠዋት በከፍተኛ ተራሮች ላይ ትወጣለች። ልጆች ከትምህርት ቤት በኋላ በፓርክ መጫወት ይወዳሉ። አዲስ ዳቦ እና ፍራፍሬ ለመግዛት ወደ ገበያ ሄድን። እሷ በሚቀጥለው ዓመት በዩኒቨርሲቲ መማር ትፈልጋለች።"
+    ),
+    "cy": (
+        "mae'r haul yn codi yn y bore dros y mynyddoedd uchel. mae'r plant yn hoffi chwarae yn y parc ar ôl yr ysgol. aethon ni i'r farchnad i brynu bara ffres a ffrwythau. mae hi eisiau astudio yn y brifysgol y flwyddyn nesaf."
+    ),
+    "eu": (
+        "eguzkia goizean mendi garaien gainean ateratzen da. haurrek eskolatik irten ondoren parkean jolastea gustuko dute. merkatura joan ginen ogi freskoa eta fruta erostera. datorren urtean unibertsitatean ikasi nahi du."
+    ),
+    "ga": (
+        "éiríonn an ghrian ar maidin os cionn na sléibhte arda. is maith leis na páistí a bheith ag súgradh sa pháirc tar éis na scoile. chuamar go dtí an margadh chun arán úr agus torthaí a cheannach. ba mhaith léi staidéar a dhéanamh san ollscoil an bhliain seo chugainn."
+    ),
+    "gl": (
+        "o sol sae pola mañá sobre as montañas altas. aos nenos gústalles xogar no parque despois da escola. fomos ao mercado mercar pan fresco e froita. ela quere estudar na universidade o ano que vén. os estudantes len moitos libros porque queren coñecer mellor a historia da cidade."
+    ),
+    "gu": (
+        "સૂર્ય સવારે ઊંચા પહાડો પર ઊગે છે. બાળકો શાળા પછી બગીચામાં રમવાનું પસંદ કરે છે. અમે તાજી રોટલી અને ફળ ખરીદવા બજારમાં ગયા. તે આવતા વર્ષે યુનિવર્સિટીમાં ભણવા માંગે છે."
+    ),
+    "hy": (
+        "արևը առավոտյան ծագում է բարձր լեռների վրա։ երեխաները սիրում են խաղալ այգում դպրոցից հետո։ մենք գնացինք շուկա թարմ հաց և միրգ գնելու։ նա ուզում է սովորել համալսարանում հաջորդ տարի։"
+    ),
+    "is": (
+        "sólin kemur upp á morgnana yfir háu fjöllunum. börnin vilja leika sér í garðinum eftir skóla. við fórum á markaðinn til að kaupa ferskt brauð og ávexti. hún ætlar að læra við háskólann á næsta ári. það snjóar mikið á veturna og þá förum við á skíði."
+    ),
+    "km": (
+        "ព្រះអាទិត្យរះនៅពេលព្រឹកលើភ្នំខ្ពស់។ ក្មេងៗចូលចិត្តលេងនៅសួនច្បារបន្ទាប់ពីសាលារៀន។ យើងបានទៅផ្សារដើម្បីទិញនំប៉័ងថ្មីនិងផ្លែឈើ។ នាងចង់រៀននៅសាកលវិទ្យាល័យនៅឆ្នាំក្រោយ។"
+    ),
+    "kn": (
+        "ಸೂರ್ಯ ಬೆಳಿಗ್ಗೆ ಎತ್ತರದ ಬೆಟ್ಟಗಳ ಮೇಲೆ ಉದಯಿಸುತ್ತಾನೆ. ಮಕ್ಕಳು ಶಾಲೆಯ ನಂತರ ಉದ್ಯಾನದಲ್ಲಿ ಆಡಲು ಇಷ್ಟಪಡುತ್ತಾರೆ. ನಾವು ತಾಜಾ ರೊಟ್ಟಿ ಮತ್ತು ಹಣ್ಣುಗಳನ್ನು ಕೊಳ್ಳಲು ಮಾರುಕಟ್ಟೆಗೆ ಹೋದೆವು. ಅವಳು ಮುಂದಿನ ವರ್ಷ ವಿಶ್ವವಿದ್ಯಾಲಯದಲ್ಲಿ ಓದಲು ಬಯಸುತ್ತಾಳೆ."
+    ),
+    "lo": (
+        "ຕາເວັນຂຶ້ນຕອນເຊົ້າເໜືອພູສູງ. ເດັກນ້ອຍມັກຫຼິ້ນຢູ່ສວນຫຼັງຈາກໂຮງຮຽນ. ພວກເຮົາໄປຕະຫຼາດເພື່ອຊື້ເຂົ້າຈີ່ໃໝ່ແລະໝາກໄມ້. ລາວຢາກຮຽນຢູ່ມະຫາວິທະຍາໄລໃນປີໜ້າ."
+    ),
+    "ml": (
+        "സൂര്യൻ രാവിലെ ഉയർന്ന മലകളുടെ മുകളിൽ ഉദിക്കുന്നു. കുട്ടികൾ സ്കൂളിനു ശേഷം പാർക്കിൽ കളിക്കാൻ ഇഷ്ടപ്പെടുന്നു. ഞങ്ങൾ പുതിയ റൊട്ടിയും പഴങ്ങളും വാങ്ങാൻ മാർക്കറ്റിൽ പോയി. അവൾ അടുത്ത വർഷം സർവകലാശാലയിൽ പഠിക്കാൻ ആഗ്രഹിക്കുന്നു."
+    ),
+    "mn": (
+        "нар өглөө өндөр уулсын дээгүүр мандана. хүүхдүүд сургуулийн дараа цэцэрлэгт хүрээлэнд тоглох дуртай. бид зах руу шинэ талх, жимс авахаар явсан. тэр ирэх жил их сургуульд суралцахыг хүсч байна."
+    ),
+    "mr": (
+        "सूर्य सकाळी उंच डोंगरांवर उगवतो. मुलांना शाळेनंतर बागेत खेळायला आवडते. आम्ही ताजी भाकरी आणि फळे विकत घ्यायला बाजारात गेलो. तिला पुढच्या वर्षी विद्यापीठात शिकायचे आहे."
+    ),
+    "mt": (
+        "ix-xemx titla' filgħodu fuq il-muntanji għoljin. it-tfal iħobbu jilagħbu fil-park wara l-iskola. morna s-suq biex nixtru ħobż frisk u frott. hi trid tistudja fl-università s-sena d-dieħla."
+    ),
+    "my": (
+        "နေသည် မနက်ခင်းတွင် မြင့်သော တောင်များပေါ်မှ ထွက်လာသည်။ ကလေးများသည် ကျောင်းပြီးနောက် ပန်းခြံတွင် ကစားရသည်ကို နှစ်သက်ကြသည်။ ကျွန်ုပ်တို့သည် ပေါင်မုန့်အသစ်နှင့် သစ်သီးများ ဝယ်ရန် ဈေးသို့ သွားခဲ့သည်။ သူမသည် နောက်နှစ်တွင် တက္ကသိုလ်တွင် ပညာသင်လိုသည်။"
+    ),
+    "ne": (
+        "घाम बिहान अग्ला पहाडहरूमाथि उदाउँछ। केटाकेटीहरू विद्यालयपछि पार्कमा खेल्न मन पराउँछन्। हामी ताजा रोटी र फलफूल किन्न बजार गयौं। उनी अर्को वर्ष विश्वविद्यालयमा पढ्न चाहन्छिन्।"
+    ),
+    "pa": (
+        "ਸੂਰਜ ਸਵੇਰੇ ਉੱਚੇ ਪਹਾੜਾਂ ਉੱਤੇ ਚੜ੍ਹਦਾ ਹੈ। ਬੱਚੇ ਸਕੂਲ ਤੋਂ ਬਾਅਦ ਪਾਰਕ ਵਿੱਚ ਖੇਡਣਾ ਪਸੰਦ ਕਰਦੇ ਹਨ। ਅਸੀਂ ਤਾਜ਼ੀ ਰੋਟੀ ਅਤੇ ਫਲ ਖਰੀਦਣ ਬਾਜ਼ਾਰ ਗਏ। ਉਹ ਅਗਲੇ ਸਾਲ ਯੂਨੀਵਰਸਿਟੀ ਵਿੱਚ ਪੜ੍ਹਨਾ ਚਾਹੁੰਦੀ ਹੈ।"
+    ),
+    "si": (
+        "හිරු උදෑසන උස කඳු මතින් උදා වෙයි. ළමයි පාසලෙන් පසු උද්‍යානයේ සෙල්ලම් කිරීමට කැමතියි. අපි අලුත් පාන් සහ පලතුරු ගන්න වෙළඳපොළට ගියෙමු. ඇය ලබන වසරේ විශ්වවිද්‍යාලයේ ඉගෙන ගැනීමට කැමතියි."
+    ),
+    "te": (
+        "సూర్యుడు ఉదయం ఎత్తైన కొండల మీద ఉదయిస్తాడు. పిల్లలు బడి తర్వాత పార్కులో ఆడటానికి ఇష్టపడతారు. మేము తాజా రొట్టె మరియు పండ్లు కొనడానికి మార్కెట్‌కు వెళ్ళాము. ఆమె వచ్చే సంవత్సరం విశ్వవిద్యాలయంలో చదవాలనుకుంటోంది."
+    ),
     "zh": (
         "太阳早晨从高山上升起。孩子们喜欢放学后在公园里玩耍。我们去市场买"
         "新鲜的面包和水果。她想明年上大学读书。"
@@ -355,7 +417,7 @@ CONFUSABLE_GROUPS: list[frozenset] = [
     frozenset({"da", "no"}),
     frozenset({"hr", "sl", "sr"}),  # sr only for latin-transliterated text
     frozenset({"ru", "be", "uk", "bg", "mk", "kk"}),
-    frozenset({"es", "ca", "pt"}),
+    frozenset({"es", "ca", "pt", "gl"}),
 ]
 
 

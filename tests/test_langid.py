@@ -53,6 +53,29 @@ FIXTURE = {
     "bn": "শীতকালে আমরা আগুনের পাশে বসে বই পড়ি আর বাইরে বৃষ্টি পড়ে।",
     "ta": "குளிர்காலத்தில் நாங்கள் நெருப்பின் அருகில் அமர்ந்து புத்தகங்கள் படிக்கிறோம்.",
     "ka": "ზამთარში ჩვენ ცეცხლთან ვსხდებით და წიგნებს ვკითხულობთ.",
+    # r12 second wave: 20 more languages (script-unique Indic/SEA/
+    # Caucasus additions + the Latin tail incl. the gl member of the
+    # iberian confusable group)
+    "te": "చలికాలంలో మేము మంట దగ్గర కూర్చొని పుస్తకాలు చదువుతాము.",
+    "kn": "ಚಳಿಗಾಲದಲ್ಲಿ ನಾವು ಬೆಂಕಿಯ ಬಳಿ ಕುಳಿತು ಪುಸ್ತಕಗಳನ್ನು ಓದುತ್ತೇವೆ.",
+    "ml": "തണുപ്പുകാലത്ത് ഞങ്ങൾ തീയുടെ അടുത്തിരുന്ന് പുസ്തകങ്ങൾ വായിക്കുന്നു.",
+    "gu": "શિયાળામાં અમે આગ પાસે બેસીને પુસ્તકો વાંચીએ છીએ.",
+    "pa": "ਸਰਦੀਆਂ ਵਿੱਚ ਅਸੀਂ ਅੱਗ ਕੋਲ ਬੈਠ ਕੇ ਕਿਤਾਬਾਂ ਪੜ੍ਹਦੇ ਹਾਂ।",
+    "mr": "हिवाळ्यात आम्ही शेकोटीजवळ बसून पुस्तके वाचतो.",
+    "ne": "जाडोमा हामी आगो नजिक बसेर किताबहरू पढ्छौं।",
+    "si": "ශීත කාලයේදී අපි ගිනි අසල වාඩි වී පොත් කියවමු.",
+    "my": "ဆောင်းရာသီတွင် ကျွန်ုပ်တို့သည် မီးအနီးတွင်ထိုင်၍ စာအုပ်များဖတ်ကြသည်။",
+    "km": "នៅរដូវរងារ យើងអង្គុយក្បែរភ្លើងអានសៀវភៅ។",
+    "lo": "ໃນລະດູໜາວ ພວກເຮົານັ່ງໃກ້ໄຟອ່ານປຶ້ມ.",
+    "am": "በክረምት ወቅት እሳቱ አጠገብ ተቀምጠን መጽሐፍት እናነባለን።",
+    "hy": "ձմռանը մենք նստում ենք կրակի մոտ և գրքեր կարդում։",
+    "mn": "өвлийн улиралд бид галын дэргэд сууж ном уншдаг.",
+    "is": "á veturna sitjum við við eldinn og lesum bækur meðan rigningin fellur úti.",
+    "ga": "sa gheimhreadh suímid cois na tine agus léimid leabhair le chéile.",
+    "mt": "fix-xitwa noqogħdu ħdejn in-nar u naqraw il-kotba flimkien.",
+    "eu": "neguan sutondoan esertzen gara eta liburuak irakurtzen ditugu elkarrekin.",
+    "gl": "no inverno sentamos preto do lume e lemos libros mentres chove fóra.",
+    "cy": "yn y gaeaf rydyn ni'n eistedd wrth y tân ac yn darllen llyfrau gyda'n gilydd.",
 }
 
 
@@ -102,7 +125,7 @@ def test_plan_broadcast_join_partial_agg_no_udf(spark):
 def test_profiles_deterministic_and_normalized(spark):
     p1, p2 = build_profiles(), build_profiles()
     assert p1 == p2
-    assert set(p1) == set(LANG_SAMPLES) and len(p1) >= 48
+    assert set(p1) == set(LANG_SAMPLES) and len(p1) >= 70
     for lang, w in p1.items():
         assert 0 < len(w) <= 120
         norm = sum(x * x for x in w.values()) ** 0.5
