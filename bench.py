@@ -268,6 +268,7 @@ def main() -> None:
         from mongo_arrow_spark.battery import QUERIES as _Q
 
         retimed = []
+        pre_retime: dict[str, float] = {}
         for name, t in timings.items():
             if t <= slow_thresh:
                 continue
@@ -278,8 +279,29 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             if best < t:
                 retimed.append(name)
+                pre_retime[name] = t
             timings[name] = round(best, 3)
         drift["slow_retimed"] = len(retimed)
+        if retimed:
+            # the final per-key numbers now partly come from the retime
+            # window, so the drift verdict must describe that window
+            # too: keep the pre-retime values alongside, bracket the
+            # retime pass with its own anchor probe, and recompute
+            # spread/exceeded over ALL probes so the shipped verdict is
+            # consistent with the shipped timings (r12 ADVICE fix).
+            drift["pre_retime"] = pre_retime
+            drift["retime_anchor"] = _anchor_probe(spark)
+            probes = [
+                v
+                for k, v in drift.items()
+                if k in ("start", "mid", "end", "retime_anchor")
+            ]
+            lo, hi = min(probes), max(probes)
+            drift["attempt_spread_pct"] = drift["spread_pct"]
+            drift["spread_pct"] = (
+                round(100.0 * (hi - lo) / lo, 1) if lo else 0.0
+            )
+            drift_exceeded = drift["spread_pct"] > bound
 
     # reference-shape microbenches (BASELINE.md:26 — ReadSmall/Large/Array/
     # Document/Extension at N_DOCS=20k) in the same JSON line so the next

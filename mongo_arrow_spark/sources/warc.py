@@ -1096,9 +1096,25 @@ class WarcStreamReader(DataSourceStreamReader):
         # offset model never revisits it. For producers that can't
         # rename atomically, stableFileMs=N admits a file only once its
         # mtime is ≥ N ms old OR its (size, mtime) pair is unchanged
-        # since a previous listing (r11 ADVICE fix).
+        # since a previous listing (r11 ADVICE fix). Residual caveat:
+        # the offsets API gives latestOffset no view of the restored
+        # checkpoint, so a checkpointed file that is UNSTABLE at the
+        # exact first post-restart listing emits one regressed offset
+        # and re-ingests once when it stabilizes — the window is one
+        # microbatch and only for files touched within stableFileMs of
+        # a driver restart; atomic-rename producers (the default
+        # contract) are unaffected.
         self.stable_ms = int(options.get("stablefilems", 0))
         self._last_stat: dict[str, tuple[int, float]] = {}
+        # Offsets must be MONOTONE: once a name has been emitted in an
+        # offset (hence possibly ingested), it must never leave — a
+        # file appended/touched after ingest goes unstable, and if it
+        # dropped out of `seen` it would re-enter once stable, making
+        # partitions(start, end)'s set difference re-ingest the whole
+        # file (duplicate records; r12 ADVICE fix). Seeded from offset
+        # payloads in partitions() so a restarted driver (fresh
+        # in-memory set) inherits everything the checkpoint admitted.
+        self._admitted: set[str] = set()
 
     def _listing(self) -> list[str]:
         return _expand_warc(self.dir)
@@ -1125,7 +1141,7 @@ class WarcStreamReader(DataSourceStreamReader):
                 ]
             }
         now = time.time()
-        seen: list[str] = []
+        stable: set[str] = set()
         cur: dict[str, tuple[int, float]] = {}
         for f in self._listing():
             rel = os.path.relpath(f, self.dir)
@@ -1137,11 +1153,20 @@ class WarcStreamReader(DataSourceStreamReader):
             if (now - st.st_mtime) * 1000.0 >= self.stable_ms or (
                 self._last_stat.get(rel) == cur[rel]
             ):
-                seen.append(rel)
+                stable.add(rel)
         self._last_stat = cur
-        return {"seen": sorted(seen)}
+        # monotone union: a name never leaves the offset once admitted
+        self._admitted |= stable
+        return {"seen": sorted(self._admitted)}
 
     def partitions(self, start, end):
+        # seed the monotone set from the checkpointed offsets too — a
+        # restarted driver starts with an empty in-memory _admitted,
+        # and without this a file ingested before the restart that is
+        # mid-append at restart time would drop out of the next offset
+        # and be re-ingested when it stabilizes
+        self._admitted |= set(start.get("seen", ()))
+        self._admitted |= set(end.get("seen", ()))
         new = sorted(set(end.get("seen", ())) - set(start.get("seen", ())))
         reader = self._bare_reader()
         reader.paths = [os.path.join(self.dir, name) for name in new]
@@ -1187,6 +1212,16 @@ def read_warc_stream(spark, path: str, **options):
     return reader.load()
 
 
+def _header_value(v: str) -> str:
+    """Sanitize a data-derived WARC header value: CR/LF would inject
+    header lines and corrupt record framing (the stricter ``_read_one``
+    then raises or misparses on read-back — r12 ADVICE fix), and
+    leading whitespace would make the line parse as a folded
+    continuation of the previous header. Strip both; interior bytes
+    pass through untouched."""
+    return str(v).replace("\r", "").replace("\n", "").lstrip(" \t")
+
+
 def build_warc_record(
     record_id: str,
     uri: str | None,
@@ -1214,9 +1249,14 @@ def build_warc_record(
         ctype = "application/http; msgtype=response"
     else:
         ctype = http_content_type
-    uri_line = f"WARC-Target-URI: {uri}\r\n" if uri is not None else ""
+    uri_line = (
+        f"WARC-Target-URI: {_header_value(uri)}\r\n"
+        if uri is not None
+        else ""
+    )
     extra = "".join(
-        f"{k}: {v}\r\n" for k, v in (extra_headers or {}).items()
+        f"{k}: {_header_value(v)}\r\n"
+        for k, v in (extra_headers or {}).items()
         if v is not None
     )
     head = (

@@ -714,3 +714,119 @@ def test_hits_renorm_overflow_guard(spark):
     # and the documented-default regime still works
     out = hits(edges, iters=1).collect()
     assert {r["node"] for r in out} == {1, 2, 3}
+
+
+# ------------------------------------------------------- r12 advisor fixes
+
+
+def test_stream_stable_offset_monotone(tmp_path):
+    """r12 ADVICE fix (medium): with stableFileMs>0 the offset is
+    MONOTONE — a file already admitted (hence possibly ingested) that
+    is later appended/touched must NOT drop out of `seen` while
+    unstable, or its re-entry once stable would make
+    partitions(start, end)'s set difference re-ingest the whole file
+    (duplicate records)."""
+    import time as _t
+
+    from mongo_arrow_spark.sources.warc import (
+        WARC_SCHEMA,
+        WarcStreamReader,
+        build_warc_record,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    f = d / "a.warc"
+    f.write_bytes(build_warc_record("<urn:mas:m1>", "https://x/1", b"b1"))
+
+    rdr = WarcStreamReader(
+        WARC_SCHEMA, {"path": str(d), "stablefilems": "60000"}
+    )
+    start = rdr.initialOffset()
+    rdr.latestOffset()  # first sight: held back
+    mid = rdr.latestOffset()  # stat held still -> admitted
+    assert mid["seen"] == ["a.warc"]
+    assert len(rdr.partitions(start, mid)) >= 1  # ingested once
+    # producer appends to the already-ingested file -> stat changes, the
+    # file is momentarily unstable — but it must STAY in the offset
+    _t.sleep(0.02)
+    with open(f, "ab") as fh:
+        fh.write(build_warc_record("<urn:mas:m2>", "https://x/2", b"b2"))
+    end = rdr.latestOffset()
+    assert "a.warc" in end["seen"], "admitted file dropped out of offset"
+    # and the set difference re-ingests nothing (only the empty
+    # placeholder split Spark requires)
+    assert [p.path for p in rdr.partitions(mid, end) if p.path] == []
+    # once stable again it still re-enters nothing new
+    end2 = rdr.latestOffset()
+    assert "a.warc" in end2["seen"]
+    assert [p.path for p in rdr.partitions(end, end2) if p.path] == []
+
+
+def test_stream_stable_offset_monotone_across_restart(tmp_path):
+    """A RESTARTED driver (fresh in-memory state): a checkpointed file
+    that is stable at the first post-restart listing re-enters the
+    offset (excluded from the diff by the checkpoint), and when it is
+    touched AFTERWARDS it must stay in every later offset — the
+    monotone set rebuilds from the stable listing plus the offsets
+    partitions() sees, so no re-ingest."""
+    import time as _t
+
+    from mongo_arrow_spark.sources.warc import (
+        WARC_SCHEMA,
+        WarcStreamReader,
+        build_warc_record,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    f = d / "a.warc"
+    f.write_bytes(build_warc_record("<urn:mas:r1>", "https://x/1", b"b1"))
+    os.utime(f, (_t.time() - 120, _t.time() - 120))  # old -> stable
+    checkpointed = {"seen": ["a.warc"]}  # admitted before the restart
+
+    fresh = WarcStreamReader(
+        WARC_SCHEMA, {"path": str(d), "stablefilems": "60000"}
+    )
+    end = fresh.latestOffset()
+    assert end["seen"] == ["a.warc"]  # stable at restart -> re-listed
+    assert [
+        p.path for p in fresh.partitions(checkpointed, end) if p.path
+    ] == []  # excluded by the checkpoint diff
+    # producer touches the already-ingested file post-restart
+    _t.sleep(0.02)
+    with open(f, "ab") as fh:
+        fh.write(build_warc_record("<urn:mas:r2>", "https://x/2", b"b2"))
+    end2 = fresh.latestOffset()
+    assert "a.warc" in end2["seen"]  # monotone across the restart
+    assert [p.path for p in fresh.partitions(end, end2) if p.path] == []
+
+
+def test_warc_header_value_crlf_sanitized(tmp_path):
+    """r12 ADVICE fix (low): data-derived header values (extra_headers,
+    target URI) are sanitized — CR/LF would inject header lines and
+    corrupt record framing; leading whitespace would fold into the
+    previous header. The written record must parse back as ONE record
+    with the injection neutralized."""
+    import io
+
+    from mongo_arrow_spark.sources.warc import (
+        _read_one,
+        build_warc_record,
+    )
+
+    blob = build_warc_record(
+        "<urn:mas:inj>",
+        "https://x/1\r\nWARC-Evil: via-uri",
+        b"BODY",
+        extra_headers={
+            "WARC-Refers-To": "<urn:uuid:1>\r\nWARC-Evil: via-extra",
+            "WARC-Source-File": "  lead.warc.gz",
+        },
+    )
+    _, hdrs, body = _read_one(io.BytesIO(blob), "t", 0)
+    assert body.endswith(b"BODY")
+    assert "warc-evil" not in hdrs
+    assert hdrs["warc-target-uri"] == "https://x/1WARC-Evil: via-uri"
+    assert hdrs["warc-refers-to"] == "<urn:uuid:1>WARC-Evil: via-extra"
+    assert hdrs["warc-source-file"] == "lead.warc.gz"
