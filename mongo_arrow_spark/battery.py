@@ -470,39 +470,52 @@ _DEMOTED = [
     #                     the batch time-travel read keeps its exact
     #                     oracle in pytest — corpus_time_travel parks
     "corpus_time_travel",
-    # r12 wave: charset-aware payload decode parks below the window by
-    # construction (the established new-wave discipline — promotion
-    # next round with a three-scale-green history): closed-form
-    # transcode oracle over eight legacy-encoded fixtures; one
-    # Arrow-batched pandas_udf projection. Exact oracle runs in
-    # tests/test_battery.py; sniff/codec cases + the WARC-chain
-    # mojibake regression pin in tests/test_encoding.py.
-    "q_decode_charset",
-    # r12 wave: trigram language-ID parks below the window by
-    # construction: closed-form 24-language fixture oracle; broadcast
-    # profile join + partial-agg shuffle (≤ n_langs rows/doc on the
-    # wire). Exact oracle runs in tests/test_battery.py; accuracy pin,
-    # plan gates and the python-replay differential in
-    # tests/test_langid.py.
-    "lang_id_trigram",
-    # r12 wave: the URL-tier COMPOSITION entry parks below the window
-    # by construction: curate_corpus with url_col=/url_domain_cap_n=
-    # enabled (CCNet stage order end to end), oracle = the proven
-    # curate SQL with stage 0 restated closed-form. Exact at three
-    # scales; oracle runs in tests/test_battery.py.
-    "curate_corpus_url",
-    # r12 wave: the URL blocklist/word-score gate parks below the
-    # window by construction: closed-form residue-class oracle,
-    # map-only plan (InSet per label-depth + codegen'd contains).
-    # Exact at three scales; oracle runs in tests/test_battery.py;
-    # cases + map-only plan gate in tests/test_url.py.
-    "url_filter",
-    # r12 wave: the WET conversion-layout round trip parks below the
-    # window with its siblings (same scan machinery as the graded
-    # q_scan_warc; the delta is the conversion record type + refers_to
-    # provenance). Exact at three scales; oracle runs in
-    # tests/test_battery.py.
-    "q_scan_wet",
+    # Round-13 rotation (r12 verdict #1): the five r12 wave entries —
+    # q_decode_charset (charset-aware payload transcode),
+    # lang_id_trigram (71-language trigram lang-ID), curate_corpus_url
+    # (URL tier composed into curate), url_filter (URL blocklist +
+    # word-score gate), q_scan_wet (WET conversion round trip) — enter
+    # the graded 50 from their three-scale-green parked-oracle history
+    # (COVERAGE.md §r12; each passes the conf-bare vanilla-session
+    # gate in tests/test_vanilla_session.py). The five slots come from
+    # multiply-pinned graded rows whose SURVEY §2 capability stays
+    # pinned by a green graded sibling (every demoted oracle still
+    # runs in tests/test_battery.py):
+    #   raw WARC scan   → the scan/split/framing machinery is graded
+    #                     by q_scan_warc_html + q_scan_warc_main (same
+    #                     archives, richer extraction), q_crawl_stream
+    #                     (streaming route) and the newly graded
+    #                     q_scan_wet (conversion layout) — the bare
+    #                     round-trip q_scan_warc parks
+    "q_scan_warc",
+    #   data contracts  → the rule engine + report shape is graded by
+    #                     contract_check; the per-group variant is the
+    #                     same engine under a groupBy wrapper and keeps
+    #                     its exact oracle in pytest — contract_by_group
+    #                     parks
+    "contract_by_group",
+    #   exact dedup     → the exact-digest distinct shape is hash-graded
+    #                     INSIDE curate_corpus and the newly graded
+    #                     curate_corpus_url (the exact-dedup stage feeds
+    #                     the graded fp digest), and the digest-winner
+    #                     machinery by graded dedup_paragraphs —
+    #                     dedup_exact parks
+    "dedup_exact",
+    #   semantic dedup  → the cluster-bucket + cosine-verify machinery
+    #                     is graded by cluster_kmeans (same bucketing)
+    #                     and sim_hard_negatives_ivf (cell equi-join
+    #                     cosine top-k at corpus scale); SemDeDup's
+    #                     exact replay oracle stays in pytest with its
+    #                     decontaminate_semantic sibling —
+    #                     semantic_dedup parks
+    "semantic_dedup",
+    #   unwind/wordcount → the explode → hash-agg → TakeOrdered shape
+    #                     is graded by text_search_tfidf (same explode
+    #                     + agg machinery through tf-idf ranking) and
+    #                     the $unwind translation by the differential
+    #                     fuzz suites + 11 other graded mql_* rows —
+    #                     mql_unwind_wordcount parks
+    "mql_unwind_wordcount",
 ]
 # a typo'd demotion would silently leave the intended query graded and
 # push the 51st oracle-backed entry past the driver's cut — fail loudly
