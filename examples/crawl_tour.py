@@ -103,8 +103,11 @@ def main() -> None:
             .cast("bigint")
             .alias("doc_id"),
             F.col("target_uri").alias("url"),
-            text.html_to_text(
-                encoding.decode_payload("payload", "http_content_type")
+            # content-type routed (r12 verdict #6): text/plain records
+            # pass through verbatim; HTML extracts as before
+            text.extract_text(
+                encoding.decode_payload("payload", "http_content_type"),
+                "http_content_type",
             ).alias("text"),
             "source_file",
             "source_offset",

@@ -170,10 +170,11 @@ def _normalize_label(label: str | None) -> str | None:
 
 
 def _strict_utf8(raw: bytes) -> str | None:
-    """The payload decoded as strict UTF-8, or None. `raw.isascii()`
-    is one C call (the old per-byte Python loop cost ~1M interpreter
-    iterations on a 1 MB page — r12 review fix); the decoded string is
-    RETURNED so callers never pay the decode twice."""
+    """The payload decoded as strict UTF-8, or None. The decoded
+    string is RETURNED so callers never pay the decode twice. (The
+    ``raw.isascii()`` one-C-call fast-path lives in the CALLER,
+    ``_sniff_ex`` — it gates whether a strict decode is attempted at
+    all; r12 review fix replacing a per-byte Python loop.)"""
     try:
         return raw.decode("utf-8", "strict")
     except UnicodeDecodeError:

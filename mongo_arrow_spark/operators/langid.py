@@ -505,6 +505,7 @@ def identify_language(
     profiles: dict[str, dict[str, float]] | None = None,
     cap: int = 600,
     keep_score: bool = False,
+    min_score: float = 0.0,
 ):
     """(id_col, out_col[, out_col+"_score"]) per input row — the
     broadcast-join scorer (module docstring). ``und`` for rows with no
@@ -513,6 +514,27 @@ def identify_language(
     language code. Join the result back on ``id_col`` to tag the
     corpus; every downstream per-language consumer
     (``perplexity_buckets``/budgets/contracts) takes the column name.
+
+    ``min_score`` is a confidence floor RELATIVE to the document's
+    trigram mass: a prediction whose best score is below
+    ``min_score × n_trigrams`` (average matched profile weight per
+    trigram) becomes ``und``, so per-language LM tiers and budgets
+    don't train on confusable-pair noise — numbers, code, or a
+    language with no profile argmax-ing into a weak neighbor.
+    Profile weights are L2-normalized over the top-120 trigrams;
+    in-language per-trigram averages run ~0.01–0.1 for alphabetic
+    scripts but drop to ~0.003 for large-inventory scripts (th/km/zh:
+    a real sentence covers few of the profile's 120 trigrams), so the
+    usable floor range is small: ``min_score=0.002`` keeps every
+    language on the 55-language fixture unchanged while sending
+    near-zero-evidence docs (digit/punct soup with one stray function
+    word in a long page) to ``und``. What the dial cannot do: Latin
+    junk that genuinely contains common function-word trigrams (code,
+    base64 with 'for'/'la ') scores like a weak real sentence — that
+    is the quality/URL tier's job, not lang-ID's
+    (tests/test_langid.py documents the trade-off). The default 0.0
+    keeps the r12 argmax behavior — and the min_score==0 plan —
+    byte-identical.
 
     Plan shape (pinned in tests/test_langid.py): one BroadcastHashJoin
     against the ~6k-row profile table, partial hash aggregation BEFORE
@@ -526,14 +548,18 @@ def identify_language(
     # rows that aggregate into a (0.0, 'und') candidate — no docs drop
     # out, no distinct+join-back second pass. All weights are > 0, so
     # any real match beats the 'und' candidate.
-    tg = df.select(
-        F.col(id_col),
-        F.explode_outer(trigrams(text_col, cap=cap)).alias("tg"),
-    )
+    arr = trigrams(text_col, cap=cap)
+    cols = [F.col(id_col), F.explode_outer(arr).alias("tg")]
+    if min_score > 0.0:
+        # doc trigram mass rides along row-side (no extra shuffle:
+        # first(n_tg) folds into the same partial aggregations)
+        cols.insert(1, F.coalesce(F.size(arr), F.lit(0)).alias("n_tg"))
+    tg = df.select(*cols)
+    mass_agg = [F.first("n_tg").alias("n_tg")] if min_score > 0.0 else []
     out = (
         tg.join(prof, "tg", "left")
         .groupBy(id_col, "lang")
-        .agg(F.sum("w").alias("score"))
+        .agg(F.sum("w").alias("score"), *mass_agg)
         .groupBy(id_col)
         .agg(
             F.max(
@@ -541,11 +567,21 @@ def identify_language(
                     F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
                     F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
                 )
-            ).alias("best")
+            ).alias("best"),
+            *([F.first("n_tg").alias("n_tg")] if min_score > 0.0 else []),
         )
         .select(
             id_col,
-            F.col("best.lang").alias(out_col),
+            (
+                F.when(
+                    F.col("best.score")
+                    >= F.lit(float(min_score))
+                    * F.greatest(F.col("n_tg"), F.lit(1)),
+                    F.col("best.lang"),
+                ).otherwise(F.lit("und"))
+                if min_score > 0.0
+                else F.col("best.lang")
+            ).alias(out_col),
             F.col("best.score").alias(f"{out_col}_score"),
         )
     )

@@ -191,3 +191,49 @@ def test_spark_matches_python_replay(spark):
         lang, sc = got[label]
         assert lang == best[0], (label, lang, best)
         assert abs(sc - best[1]) < 1e-9, (label, sc, best)
+
+
+def test_min_score_confidence_floor(spark):
+    """r12 verdict #5: ``min_score`` floors the argmax relative to doc
+    trigram mass. At the documented 0.002: (a) every prediction on the
+    55-language fixture is UNCHANGED (coverage intact — th/km/zh sit
+    near 0.003 evidence-per-trigram, the binding constraint on the
+    dial); (b) a near-zero-evidence doc — one real function word
+    buried in a long digit page, per-trigram evidence ~1e-4 — flips to
+    ``und`` instead of training a per-language LM tier on noise."""
+    from mongo_arrow_spark.operators.langid import _profiles
+
+    df = spark.createDataFrame(
+        list(FIXTURE.items()), "label string, text string"
+    )
+    base = {
+        r["label"]: r["p"]
+        for r in identify_language(
+            df, "text", id_col="label", out_col="p"
+        ).collect()
+    }
+    floored = {
+        r["label"]: r["p"]
+        for r in identify_language(
+            df, "text", id_col="label", out_col="p", min_score=0.002
+        ).collect()
+    }
+    assert floored == base  # accuracy unchanged at the documented floor
+
+    # self-calibrating weak doc: a MEDIAN-weight profile trigram of
+    # one language, once, inside ~600 chars of digits — nonzero match,
+    # per-trigram evidence far below any real sentence's
+    prof = _profiles()["en"]
+    ranked = sorted(prof, key=prof.get)
+    tg = ranked[len(ranked) // 2].strip()
+    digits = " ".join(["0123456789"] * 40)
+    weak = spark.createDataFrame(
+        [("w", f"{digits} {tg} {digits}")], "rid string, text string"
+    )
+    kw = dict(text_col="text", id_col="rid", out_col="p", keep_score=True)
+    no_floor = identify_language(weak, **kw).first()
+    assert no_floor["p_score"] > 0.0  # the trigram did match
+    with_floor = identify_language(weak, min_score=0.002, **kw).first()
+    assert with_floor["p"] == "und"
+    # and the score column still reports the raw evidence for auditing
+    assert with_floor["p_score"] == no_floor["p_score"]

@@ -1502,3 +1502,66 @@ def test_filter_urls_drops_nulls_unconditionally(spark):
         r["doc_id"]
         for r in filter_urls(df, block_domains=["b.org"]).collect()
     ] == [0]
+
+
+def test_extract_text_content_type_routing(spark):
+    """r12 verdict #6: twin records — identical payload bytes, one
+    declared text/plain and one text/html. The plain record passes
+    through VERBATIM (prose mentioning <angle brackets> is not
+    tag-stripped); the HTML record extracts exactly as html_to_text
+    would. Undeclared content types fall to the payload probe."""
+    from mongo_arrow_spark.operators.text import extract_text, html_to_text
+
+    payload = "code: if a <b> c &amp; d </b> done"
+    rows = [
+        ("plain", "text/plain; charset=utf-8", payload),
+        ("html", "text/html; charset=utf-8", payload),
+        ("none_tagfree", None, "just prose, 1 < 2 at most"),
+        ("none_tagged", None, "<p>hello <b>world</b></p>"),
+        ("other_tagged", "application/octet-stream", "<p>hi</p>"),
+        ("null_payload", "text/plain", None),
+    ]
+    df = spark.createDataFrame(rows, "rid string, ct string, payload string")
+    got = {
+        r["rid"]: r["out"]
+        for r in df.select(
+            "rid",
+            extract_text("payload", "ct").alias("out"),
+        ).collect()
+    }
+    assert got["plain"] == payload  # verbatim, including <b> and &amp;
+    expected_html = df.filter("rid = 'html'").select(
+        html_to_text("payload").alias("t")
+    ).first()["t"]
+    assert got["html"] == expected_html
+    assert "<b>" not in got["html"] and "&amp;" not in got["html"]
+    assert got["none_tagfree"] == "just prose, 1 < 2 at most"
+    assert got["none_tagged"] == "hello world"
+    assert got["other_tagged"] == "hi"
+    assert got["null_payload"] is None
+
+
+def test_extract_text_main_routing_and_udf_free(spark):
+    """main=True routes to html_main_text for HTML and still passes
+    text/plain through verbatim; the whole routed expression stays a
+    JVM projection (no Python eval in the plan)."""
+    from mongo_arrow_spark.operators.text import extract_text
+
+    html = (
+        "<html><body><nav>a b c d e f g h i j k l m n o p</nav>"
+        "<p>This paragraph is long enough to survive the segment "
+        "filter with room to spare.</p></body></html>"
+    )
+    df = spark.createDataFrame(
+        [("h", "text/html", html), ("p", "text/plain", html)],
+        "rid string, ct string, payload string",
+    )
+    out = df.select(
+        "rid", extract_text("payload", "ct", main=True).alias("t")
+    )
+    got = {r["rid"]: r["t"] for r in out.collect()}
+    assert got["h"].startswith("This paragraph")
+    assert "nav" not in got["h"].split("This")[0]
+    assert got["p"] == html  # declared plain: verbatim even with tags
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
