@@ -1212,6 +1212,69 @@ def read_warc_stream(spark, path: str, **options):
     return reader.load()
 
 
+import re as _re
+
+_URI_SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def _open_output(path: str, text: bool = False):
+    """Binary (or text) output stream for an archive part — the r12
+    verdict #3 fix: archive sinks no longer assume a POSIX-visible
+    shared mount. Schemeless paths keep the bare ``open()`` fast path
+    (correct on local disk and any task-visible shared FS). Any
+    ``scheme://`` URI (``s3://``, ``hdfs://``, ``gs://``, ``file://``)
+    routes through ``pyarrow.fs.FileSystem.from_uri`` — the one FS
+    layer a Spark PYTHON worker can reach (executors have no py4j
+    gateway, so the JVM Hadoop FileSystem is driver-only), still
+    streaming append, no whole-archive buffering. ``file://`` URIs
+    take the pyarrow branch deliberately so tests exercise it against
+    a real filesystem. ``compression=None`` is load-bearing: pyarrow
+    would otherwise auto-gzip ``.gz`` names a second time."""
+    if not _URI_SCHEME_RE.match(path):
+        return open(path, "w" if text else "wb")
+    import io as _io
+
+    from pyarrow import fs as _pafs
+
+    f, p = _pafs.FileSystem.from_uri(path)
+    stream = f.open_output_stream(p, compression=None)
+    return _io.TextIOWrapper(stream, encoding="utf-8") if text else stream
+
+
+def _prepare_output_dir(path: str, patterns: tuple[str, ...]) -> None:
+    """mkdir -p + remove stale ``part-*`` outputs matching ``patterns``
+    (the overwrite contract), on either the local or the pyarrow FS
+    branch."""
+    import fnmatch as _fn
+    import glob as _glob
+
+    if not _URI_SCHEME_RE.match(path):
+        os.makedirs(path, exist_ok=True)
+        for pat in patterns:
+            for stale in _glob.glob(os.path.join(path, pat)):
+                os.remove(stale)
+        return
+    from pyarrow import fs as _pafs
+
+    f, p = _pafs.FileSystem.from_uri(path)
+    f.create_dir(p, recursive=True)
+    for info in f.get_file_info(
+        _pafs.FileSelector(p, allow_not_found=True)
+    ):
+        if any(_fn.fnmatch(info.base_name, pat) for pat in patterns):
+            f.delete_file(info.path)
+
+
+def _remove_output(path: str) -> None:
+    if not _URI_SCHEME_RE.match(path):
+        os.remove(path)
+        return
+    from pyarrow import fs as _pafs
+
+    f, p = _pafs.FileSystem.from_uri(path)
+    f.delete_file(p)
+
+
 def _header_value(v: str) -> str:
     """Sanitize a data-derived WARC header value: CR/LF would inject
     header lines and corrupt record framing (the stricter ``_read_one``
@@ -1303,17 +1366,19 @@ def write_warc(
     ``offset``/``length`` plus id/uri/type (the CDX idea) — which the
     reader's ``useIndex`` path uses to place byte-splits exactly on
     record boundaries: no scanning, no validation heuristics,
-    phantom-proof even for payloads that embed raw warc.gz bytes."""
-    import glob as _glob
+    phantom-proof even for payloads that embed raw warc.gz bytes.
+
+    FS contract (r12 verdict #3): a schemeless ``path`` is opened with
+    plain ``open()`` on each EXECUTOR — it must be a task-visible
+    (shared) mount. Any ``scheme://`` URI instead streams through
+    ``pyarrow.fs`` (``s3://``/``hdfs://``/``gs://``/``file://``), so on
+    an object-store cluster pass the store URI, not a local path. See
+    :func:`_open_output`."""
     import json as _json
 
-    os.makedirs(path, exist_ok=True)
-    for stale in (
-        _glob.glob(os.path.join(path, "part-*.warc"))
-        + _glob.glob(os.path.join(path, "part-*.warc.gz"))
-        + _glob.glob(os.path.join(path, "part-*.cdxj"))
-    ):
-        os.remove(stale)
+    _prepare_output_dir(
+        path, ("part-*.warc", "part-*.warc.gz", "part-*.cdxj")
+    )
     ext = ".warc.gz" if compress else ".warc"
     cols = [id_col, text_col] + ([uri_col] if uri_col else [])
     sel = df.select(*cols)
@@ -1352,8 +1417,8 @@ def write_warc(
             out.write(blob)
             pos += len(blob)
 
-        with open(fname, "wb") as out, (
-            open(_index_path(fname), "w")
+        with _open_output(fname) as out, (
+            _open_output(_index_path(fname), text=True)
             if index
             else contextlib.nullcontext()
         ) as idx:
@@ -1399,9 +1464,9 @@ def write_warc(
                     )
                     n += 1
         if n == 0:
-            os.remove(fname)
+            _remove_output(fname)
             if index:
-                os.remove(_index_path(fname))
+                _remove_output(_index_path(fname))
         import pandas as pd
 
         yield pd.DataFrame({"n": [n]})
@@ -1436,18 +1501,22 @@ def write_wet(
     ``WARC-Source-File`` / ``WARC-Source-Offset`` extension headers,
     so a curated text record points at the exact archive bytes it was
     extracted from (``read_warc_record(...)["headers"]`` returns
-    them). Read back with ``warcTypes=conversion``."""
-    import glob as _glob
+    them). Read back with ``warcTypes=conversion``.
+
+    FS contract: same as :func:`write_warc` — schemeless paths use
+    executor-local ``open()`` (task-visible mount required);
+    ``scheme://`` URIs stream through ``pyarrow.fs``."""
     import json as _json
 
-    os.makedirs(path, exist_ok=True)
-    for stale in (
-        _glob.glob(os.path.join(path, "part-*.warc.wet"))
-        + _glob.glob(os.path.join(path, "part-*.warc.wet.gz"))
-        + _glob.glob(os.path.join(path, "part-*.warc.wet.cdxj"))
-        + _glob.glob(os.path.join(path, "part-*.warc.wet.gz.cdxj"))
-    ):
-        os.remove(stale)
+    _prepare_output_dir(
+        path,
+        (
+            "part-*.warc.wet",
+            "part-*.warc.wet.gz",
+            "part-*.warc.wet.cdxj",
+            "part-*.warc.wet.gz.cdxj",
+        ),
+    )
     ext = ".warc.wet.gz" if compress else ".warc.wet"
     cols = [id_col, text_col]
     for c in (uri_col, refers_to_col, source_file_col, source_offset_col):
@@ -1488,8 +1557,8 @@ def write_wet(
             out.write(blob)
             pos += len(blob)
 
-        with open(fname, "wb") as out, (
-            open(_index_path(fname), "w")
+        with _open_output(fname) as out, (
+            _open_output(_index_path(fname), text=True)
             if index
             else contextlib.nullcontext()
         ) as idx:
@@ -1558,9 +1627,9 @@ def write_wet(
                     )
                     n += 1
         if n == 0:
-            os.remove(fname)
+            _remove_output(fname)
             if index:
-                os.remove(_index_path(fname))
+                _remove_output(_index_path(fname))
         yield pd.DataFrame({"n": [n]})
 
     sel.mapInPandas(one_partition, "n long").collect()

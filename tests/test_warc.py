@@ -1565,3 +1565,57 @@ def test_extract_text_main_routing_and_udf_free(spark):
     assert got["p"] == html  # declared plain: verbatim even with tags
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_write_warc_scheme_uri_via_pyarrow_fs(spark, tmp_path):
+    """r12 verdict #3: a ``scheme://`` output path routes through
+    pyarrow.fs instead of executor-local ``open()``. ``file://``
+    deliberately takes that branch, so the full round trip (overwrite
+    cleanup, streaming append, index sidecar, empty-partition removal)
+    exercises the object-store code path against a real FS."""
+    from mongo_arrow_spark.sources import register_warc, write_warc
+
+    d = tmp_path / "scheme_out"
+    uri = "file://" + str(d)
+    df = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(20)], "doc_id long, text string"
+    ).repartition(4)
+    # pre-plant a stale part that the overwrite contract must remove
+    d.mkdir()
+    (d / "part-99999.warc.gz").write_bytes(b"stale")
+    write_warc(df, uri, index=True)
+    assert not (d / "part-99999.warc.gz").exists()
+    assert sorted(p.name for p in d.glob("*.cdxj"))  # sidecars written
+    register_warc(spark)
+    back = spark.read.format("warc").load(str(d))
+    assert back.count() == 20
+    got = sorted(
+        r["record_id"] for r in back.select("record_id").collect()
+    )
+    assert got[0] == "<urn:mas:0>"
+
+
+def test_write_wet_scheme_uri_via_pyarrow_fs(spark, tmp_path):
+    from mongo_arrow_spark.sources import register_warc, write_wet
+
+    d = tmp_path / "wet_scheme_out"
+    uri = "file://" + str(d)
+    df = spark.createDataFrame(
+        [(1, "extracted text one"), (2, "extracted text two")],
+        "doc_id long, text string",
+    ).repartition(2)
+    write_wet(df, uri)
+    register_warc(spark)
+    back = (
+        spark.read.format("warc")
+        .option("warcTypes", "conversion")
+        .load(str(d))
+    )
+    rows = {
+        r["record_id"]: bytes(r["payload"]).decode()
+        for r in back.collect()
+    }
+    assert rows == {
+        "<urn:mas:wet:1>": "extracted text one",
+        "<urn:mas:wet:2>": "extracted text two",
+    }
