@@ -697,6 +697,12 @@ def ingest_gate(
     # quality bounds (None disables the gopher gate)
     min_tokens: int | None = 20,
     max_tokens: int = 100_000,
+    # trigram language-ID tag on ACCEPTED rows (r12 tier; None
+    # disables): identify_language is per-doc (a doc's prediction uses
+    # only its own trigrams), so tagging batch-by-batch here equals
+    # tagging the accumulated corpus once — the foreachBatch lambda
+    # shape is exactly this call (parity pinned in tests/test_curate.py)
+    lang_id_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
     """The incremental-ingest door for a standing corpus, as ONE product
     operator (the batch twin of ``curate_stream``; previously composed
@@ -705,7 +711,11 @@ def ingest_gate(
     standing LSH near-dup gate → prefit-model selection. All four
     standing structures (paragraph index, Bloom bit table, LSH
     signature index, model artifacts) now sit behind the one call (r8
-    verdict item #5 — the full CCNet ingest door). Returns
+    verdict item #5 — the full CCNet ingest door), and the r12 crawl
+    tier composes at the two ends: ``encoding.decode_payload`` is a
+    row-local projection, so it applies to the raw batch (or raw
+    stream) BEFORE the gate, and ``lang_id_col=`` tags accepted rows
+    with the trigram prediction AFTER it. Returns
     ``(accepted, updated_lsh_index, updated_paragraph_index)`` — the
     accepted rows and, for each standing index that was given, the
     index extended with the accepted batch (``dedup.update_lsh_index``
@@ -773,6 +783,18 @@ def ingest_gate(
         id_col=id_col,
         text_col=text_col,
     )
+    if lang_id_col is not None:
+        from mongo_arrow_spark.operators.langid import identify_language
+
+        # tag LAST: the broadcast-join scorer only touches admitted
+        # rows (same never-score-dropped-rows discipline as curate()'s
+        # stage 0.5)
+        kept = kept.join(
+            identify_language(
+                kept, text_col=text_col, id_col=id_col, out_col=lang_id_col
+            ),
+            id_col,
+        )
     updated = None
     if lsh_index is not None:
         updated = dedup_ops.update_lsh_index(
@@ -833,6 +855,16 @@ def curate_stream(
     ``dedup.paragraph_ingest_gate`` inside ``foreachBatch`` against a
     standing ``build_paragraph_index`` snapshot and persist the updated
     index per batch (parity pinned in tests/test_paragraph_dedup.py).
+
+    The r12 crawl tier splits the same way (lambda shape, parity
+    pinned in tests/test_curate.py): ``encoding.decode_payload`` is a
+    row-local Arrow-batched projection — append-legal, apply it to the
+    RAW stream before this function, no foreachBatch needed — while
+    ``langid.identify_language`` is a per-doc aggregation (explode →
+    join → agg), which streams only inside ``foreachBatch`` (e.g. via
+    ``ingest_gate(lang_id_col=...)``); because a doc's prediction uses
+    only its own trigrams, micro-batch tagging equals batch tagging
+    EXACTLY, batch boundaries don't matter.
 
     Same determinism contract as batch: a row that flows through both
     paths lands in the same split with the same redacted text.

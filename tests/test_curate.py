@@ -1032,3 +1032,111 @@ def test_lang_id_col_and_per_language_lm_tiers(spark):
             _pytest.skip("fixture produced identical global/per-lang cuts")
     finally:
         lm.unpersist()
+
+
+def test_decode_and_langid_streaming_parity(spark, tmp_path):
+    """r12 verdict #4 — streaming parity for the r12 crawl tier.
+    Lambda shape (stated in the curate_stream/ingest_gate docstrings):
+    ``decode_payload`` is row-local, so it applies to the RAW stream
+    before the gate; ``identify_language`` is a per-doc aggregation,
+    so it runs inside foreachBatch via ``ingest_gate(lang_id_col=)``.
+    A THREE-micro-batch finite replay (maxFilesPerTrigger=1) must
+    equal the batch path over the union exactly — per-doc locality
+    means batch boundaries cannot change any prediction."""
+    import uuid as _uuid
+
+    from mongo_arrow_spark.operators import encoding
+    from mongo_arrow_spark.operators.curate import ingest_gate
+
+    sents = {
+        "fr": "le chat dort près du feu pendant que la pluie tombe dehors et que nous lisons des livres ensemble dans la maison chaude",
+        "de": "im winter sitzen wir am feuer und lesen gemeinsam bücher während draußen der regen fällt und der wind weht",
+        "es": "en invierno nos sentamos junto al fuego y leemos libros juntos mientras la lluvia cae afuera de la casa",
+        "ru": "зимой мы сидим у огня и вместе читаем книги пока на улице идёт дождь и дует холодный ветер над рекой",
+        "el": "τον χειμώνα καθόμαστε δίπλα στη φωτιά και διαβάζουμε βιβλία μαζί ενώ έξω πέφτει η βροχή και φυσάει",
+        "cs": "v zimě sedíme u ohně a společně čteme knihy zatímco venku prší a fouká studený vítr nad řekou",
+    }
+    codecs_by_lang = {
+        "fr": "cp1252", "de": "iso-8859-15", "es": "cp850",
+        "ru": "koi8-r", "el": "iso-8859-7", "cs": "cp1250",
+    }
+    rows = []
+    for i, (lang, sent) in enumerate(sorted(sents.items())):
+        codec = codecs_by_lang[lang]
+        rows.append(
+            (
+                i,
+                sent.encode(codec),
+                f"text/plain; charset={codec}",
+                lang,
+            )
+        )
+    base = spark.createDataFrame(
+        rows, "doc_id long, payload binary, ctype string, want_lang string"
+    )
+
+    def pipeline(df):
+        decoded = df.withColumn(
+            "text", encoding.decode_payload("payload", "ctype")
+        ).select("doc_id", "text", "want_lang")
+        accepted, _, _ = ingest_gate(
+            decoded, min_tokens=5, lang_id_col="lang_pred"
+        )
+        return accepted
+
+    # batch path over the union
+    want = sorted(tuple(r) for r in pipeline(base).collect())
+
+    # streaming path: one parquet file per micro-batch
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    for b in range(3):
+        part = base.filter(F.col("doc_id") % 3 == b)
+        stage = str(tmp_path / f"stage{b}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        import os as _os
+
+        pf = next(
+            f for f in _os.listdir(stage) if f.endswith(".parquet")
+        )
+        dest = str(in_dir / f"b{b}.parquet")
+        _os.replace(_os.path.join(stage, pf), dest)
+        _os.utime(dest, (1_600_000_000 + b, 1_600_000_000 + b))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, payload binary, ctype string, want_lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    # decode_payload on the RAW stream — append-legal projection
+    decoded_stream = stream.withColumn(
+        "text", encoding.decode_payload("payload", "ctype")
+    ).select("doc_id", "text", "want_lang")
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {name} (doc_id bigint, text string, "
+        "want_lang string, lang_pred string) USING parquet"
+    )
+
+    def sink(batch_df, _bid):
+        accepted, _, _ = ingest_gate(
+            batch_df, min_tokens=5, lang_id_col="lang_pred"
+        )
+        accepted.write.insertInto(name)
+
+    q = (
+        decoded_stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    spark.sql(f"DROP TABLE {name}")
+    assert got == want
+    # and the tier did real work: mojibake-free decode + right langs
+    by_id = {t[0]: t for t in got}
+    assert len(by_id) == 6
+    for t in got:
+        assert t[3] == t[2], t  # lang_pred == want_lang
+        assert "�" not in t[1]
