@@ -509,6 +509,16 @@ _DEMOTED = [
     #                     decontaminate_semantic sibling —
     #                     semantic_dedup parks
     "semantic_dedup",
+    # r13 wave: the transcode-in-composition entry parks below the
+    # window by construction (the established new-wave discipline —
+    # promotion next round with a three-scale-green history): the full
+    # crawl front door over a mixed-charset archive — warc scan with
+    # decodeContentEncoding=true → decode_payload → content-type-routed
+    # extract_text — under ONE closed-form oracle. Exact oracle runs in
+    # tests/test_battery.py; the per-stage pins live in
+    # tests/test_warc.py (routing), tests/test_encoding.py (transcode)
+    # and the twin-archive Content-Encoding tests.
+    "q_crawl_transcode",
     #   unwind/wordcount → the explode → hash-agg → TakeOrdered shape
     #                     is graded by text_search_tfidf (same explode
     #                     + agg machinery through tf-idf ranking) and

@@ -2944,6 +2944,180 @@ def q_lang_id_trigram(spark, sf_dir):
     return identify_language(fx, "text", id_col="doc_id").orderBy("doc_id")
 
 
+# Transcode-in-composition fixtures (r13, r12 verdict #2): (python
+# codec to ENCODE with, the HTTP charset label DECLARED, a phrase that
+# codec can represent). The declared labels exercise the WHATWG alias
+# folding (iso-8859-1 -> cp1252 superset, shift_jis -> cp932).
+_TRANSCODE_PHRASES = [
+    ("windows-1252", "iso-8859-1", "Füße Öl Größe"),
+    ("koi8-r", "koi8-r", "Русский текст"),
+    ("cp932", "shift_jis", "日本語のページ"),
+    ("gb18030", "gb2312", "简体中文网页"),
+    ("iso-8859-7", "iso-8859-7", "ελληνικό κείμενο"),
+    ("cp1250", "windows-1250", "čeština žluťoučký kůň"),
+]
+#: class doc_id%4==3: bytes are strict UTF-8 but the header LIES
+#: (iso-8859-1) — the mislabeled-UTF-8 correction must win
+_TRANSCODE_MISLABELED = "naïve café déjà"
+
+
+def _transcode_record(did: int, text) -> bytes:
+    """One WARC response record for the composition fixture — shared
+    verbatim by the distributed archive builder below and any test
+    that wants a single record. Four routing classes by doc_id%4:
+    0 = legacy-charset HTML; 1 = the same, gzip Content-Encoding'd on
+    the wire; 2 = legacy-charset text/plain (the router must pass it
+    through verbatim); 3 = UTF-8 bytes mislabeled iso-8859-1."""
+    import gzip as _g
+    import re as _rx
+
+    raw = text if isinstance(text, str) else ""
+    clean = " ".join(_rx.sub(r"[^\x20-\x7e]", "", raw).split())
+    cls = did % 4
+    if cls == 3:
+        codec, label, phrase = "utf-8", "iso-8859-1", _TRANSCODE_MISLABELED
+    else:
+        codec, label, phrase = _TRANSCODE_PHRASES[did % 6]
+    prose = " ".join(f"{phrase} doc {did} :: {clean}".split())
+    enc_hdr = b""
+    if cls == 2:
+        body = prose.encode(codec)
+        ct = f"text/plain; charset={label}"
+    else:
+        esc = (
+            prose.replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+        html = (
+            "<html><head><title>d</title><script>var x = 1 < 2;"
+            "</script></head><body><!-- chrome --><p>"
+            f"{esc}</p></body></html>"
+        )
+        body = html.encode(codec)
+        ct = f"text/html; charset={label}"
+        if cls == 1:
+            body = _g.compress(body, 6, mtime=0)
+            enc_hdr = b"Content-Encoding: gzip\r\n"
+    env = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: "
+        + ct.encode()
+        + b"\r\n"
+        + enc_hdr
+        + b"Content-Length: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n"
+        + body
+    )
+    head = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:mas:{did}>\r\n"
+        f"WARC-Target-URI: https://example.org/doc/{did}\r\n"
+        f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(env)}\r\n\r\n"
+    ).encode()
+    return head + env + b"\r\n\r\n"
+
+
+def _warc_transcode_corpus_dir(spark, sf_dir: str) -> str:
+    """The documents table as a MIXED-CHARSET crawl archive (one
+    member-per-record .warc.gz per partition): every record built by
+    :func:`_transcode_record` — the fixture the transcode-in-
+    composition entry reads back. Distributed build (mapInPandas, one
+    streaming archive per partition), idempotent per sf_dir."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/mas_warctrans_{tag}"
+    marker = os.path.join(d, "_READY")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def one_partition(batches):
+        import gzip as _g
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(d, f"part-{pid:05d}.warc.gz")
+        n = 0
+        with open(fname, "wb") as out:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    rec = _transcode_record(int(row.doc_id), row.text)
+                    out.write(_g.compress(rec, 6, mtime=0))
+                    n += 1
+        if n == 0:
+            os.remove(fname)
+        yield pd.DataFrame({"n": [n]})
+
+    docs.repartition(4).mapInPandas(one_partition, "n long").collect()
+    open(marker, "w").close()
+    return d
+
+
+def _transcode_oracle() -> str:
+    whens = "\n".join(
+        f"             WHEN {i} THEN '{phrase}'"
+        for i, (_, _, phrase) in enumerate(_TRANSCODE_PHRASES)
+    )
+    return (
+        "SELECT doc_id,\n"
+        "       TRIM(REGEXP_REPLACE(\n"
+        "         CASE WHEN doc_id % 4 = 3 THEN '"
+        + _TRANSCODE_MISLABELED
+        + "'\n"
+        "           ELSE CASE doc_id % 6\n" + whens + "\n"
+        "           END\n"
+        "         END || ' doc ' || CAST(doc_id AS VARCHAR) || ' :: ' ||\n"
+        "         REGEXP_REPLACE(COALESCE(text, ''),"
+        " '[^\\x20-\\x7e]', '', 'g'),\n"
+        "         '\\s+', ' ', 'g')) AS text\n"
+        "    FROM documents ORDER BY doc_id"
+    )
+
+
+@query("q_crawl_transcode", _transcode_oracle())
+def q_crawl_transcode(spark, sf_dir):
+    """The crawl front door IN COMPOSITION (r13, r12 verdict #2): a
+    mixed-charset Common-Crawl-shaped archive — six legacy charsets,
+    every 4th record gzip Content-Encoding'd on the wire, every 4th a
+    text/plain record, every 4th mislabeled UTF-8 — read back through
+    the full chain: warc source with ``decodeContentEncoding=true``
+    (wire-encoding undo) → ``encoding.decode_payload`` (charset sniff
+    + transcode) → ``text.extract_text`` (content-type ROUTED: HTML
+    extracts, text/plain passes through verbatim). The oracle is
+    CLOSED-FORM — it reconstructs the expected prose from the parquet
+    base — so a drift anywhere in the four-stage chain (framing, gzip
+    undo, codec lookup, routing, tag strip) hash-mismatches. Scale
+    shape: everything runs INSIDE the scan task (the one Arrow-batched
+    pandas_udf carve-out plus codegen'd extraction), no shuffle before
+    the presentation sort."""
+    from mongo_arrow_spark.operators import encoding
+    from mongo_arrow_spark.operators import text as text_ops
+    from mongo_arrow_spark.sources.warc import register_warc
+
+    register_warc(spark)
+    d = _warc_transcode_corpus_dir(spark, sf_dir)
+    df = (
+        spark.read.format("warc")
+        .option("decodeContentEncoding", "true")
+        .load(d + "/*.warc.gz")
+    )
+    decoded = encoding.decode_payload("payload", "http_content_type")
+    return df.select(
+        F.regexp_extract("record_id", r"urn:mas:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        text_ops.extract_text(decoded, "http_content_type").alias("text"),
+    ).orderBy("doc_id")
+
+
 @query(
     "url_filter",
     """

@@ -110,6 +110,10 @@ REPRESENTATIVES = [
     "curate_corpus_url",
     "url_filter",
     "q_scan_wet",
+    # r13 wave (parked, promotion candidate): the crawl front door in
+    # composition — Content-Encoding undo + charset transcode +
+    # content-type-routed extraction under one oracle
+    "q_crawl_transcode",
 ]
 
 
