@@ -519,6 +519,16 @@ _DEMOTED = [
     # tests/test_warc.py (routing), tests/test_encoding.py (transcode)
     # and the twin-archive Content-Encoding tests.
     "q_crawl_transcode",
+    # r13 wave: outlink extraction + resolution (closed-form oracle of
+    # all five resolution classes), host-level link-graph aggregation
+    # (one partial-agg shuffle on the host pair; the edge table the
+    # graph tier consumes) and magic-byte content sniffing (codegen'd
+    # hex-prefix chain) park below the window by construction; exact
+    # oracles run in tests/test_battery.py, operator cases + plan
+    # gates in tests/test_url.py / tests/test_encoding.py.
+    "q_extract_links",
+    "q_link_graph",
+    "q_sniff_mime",
     #   unwind/wordcount → the explode → hash-agg → TakeOrdered shape
     #                     is graded by text_search_tfidf (same explode
     #                     + agg machinery through tf-idf ranking) and

@@ -56,6 +56,8 @@ __all__ = [
     "decode_payload",
     "detect_charset",
     "SINGLE_BYTE_FAMILIES",
+    "sniff_mime",
+    "MAGIC_MIME",
 ]
 
 # label → python codec for the families every crawl pipeline must
@@ -295,3 +297,91 @@ def detect_charset(
     before committing to a transcode)."""
     p = payload if isinstance(payload, Column) else F.col(payload)
     return _udf("detect")(p.cast("binary"), _ct_col(http_content_type))
+
+
+#: (hex prefix, mime) magic-number table — longest prefixes first so
+#: e.g. the zip-based OOXML family cannot shadow plain zip. Hex pairs
+#: compare against ``hex(payload)``, so the whole probe is one
+#: codegen'd string chain per row.
+MAGIC_MIME = (
+    ("89504E470D0A1A0A", "image/png"),
+    ("255044462D", "application/pdf"),
+    ("474946383761", "image/gif"),
+    ("474946383961", "image/gif"),
+    ("FFD8FF", "image/jpeg"),
+    ("504B0304", "application/zip"),
+    ("504B0506", "application/zip"),  # empty archive
+    ("1F8B", "application/gzip"),
+    ("28B52FFD", "application/zstd"),
+    ("425A68", "application/x-bzip2"),
+    ("4F676753", "application/ogg"),
+    ("664C6143", "audio/flac"),
+    ("00000020667479704D3441", "audio/mp4"),
+)
+
+
+def sniff_mime(payload: Column | str) -> Column:
+    """Content sniffing from payload MAGIC BYTES (r13) — the router
+    that keeps binary junk (images, PDFs, archives) out of the text
+    pipeline before any transcode/extraction work is spent on it, and
+    the typed-metadata feed for the multimodal columns.
+
+    Entirely JVM expressions (``hex`` of a bounded prefix + literal
+    ``startswith``/``rlike`` chain — no UDF, map-only, no shuffle):
+
+    - a :data:`MAGIC_MIME` prefix match wins (PNG/PDF/GIF/JPEG/zip/
+      gzip/zstd/bzip2/ogg/flac, RIFF-typed WEBP/WAV/AVI);
+    - else markup-looking bytes (optional UTF-8 BOM + whitespace, then
+      ``<!doctype``/``<html``/``<?xml``/``<svg``, case-insensitive)
+      → ``text/html`` (``image/svg+xml`` for svg);
+    - else a NUL byte anywhere in the first 64 bytes →
+      ``application/octet-stream`` (the classic binary probe);
+    - else ``text/plain``. NULL stays NULL, empty bytes →
+      ``application/x-empty``.
+
+    The DECLARED HTTP content type is deliberately not consulted —
+    crawl headers lie (that is this function's reason to exist); route
+    on bytes, then let ``decode_payload``/``extract_text`` use the
+    header only for charset hints."""
+    p = (
+        payload if isinstance(payload, Column) else F.col(payload)
+    ).cast("binary")
+    h = F.hex(F.substring(p, 1, 64))
+    out = None
+    for prefix, mime in MAGIC_MIME:
+        cond = h.startswith(prefix)
+        out = F.when(cond, mime) if out is None else out.when(cond, mime)
+    # RIFF container: bytes 9-12 name the concrete format
+    riff = F.hex(F.substring(p, 9, 4))
+    out = out.when(
+        h.startswith("52494646") & (riff == "57454250"), "image/webp"
+    )
+    out = out.when(
+        h.startswith("52494646") & (riff == "57415645"), "audio/wav"
+    )
+    out = out.when(
+        h.startswith("52494646") & (riff == "41564920"), "video/avi"
+    )
+    # markup probe on the text head (latin-1 cast never throws)
+    head = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.decode(F.substring(p, 1, 256), "ISO-8859-1"),
+                "^﻿|^ï»¿",
+                "",
+            )
+        )
+    )
+    out = out.when(
+        head.startswith("<!doctype") | head.startswith("<html"),
+        "text/html",
+    )
+    out = out.when(head.startswith("<svg"), "image/svg+xml")
+    out = out.when(head.startswith("<?xml"), "application/xml")
+    out = out.when(F.length(p) == 0, "application/x-empty")
+    out = out.when(
+        h.rlike("^([0-9A-F]{2})*00"), "application/octet-stream"
+    )
+    return F.when(p.isNull(), F.lit(None).cast("string")).otherwise(
+        out.otherwise(F.lit("text/plain"))
+    )

@@ -34,6 +34,8 @@ __all__ = [
     "url_word_score",
     "filter_urls",
     "DEFAULT_URL_WORD_WEIGHTS",
+    "extract_links",
+    "link_host_edges",
 ]
 
 # Tracking / click-id query parameters every major pipeline strips.
@@ -402,3 +404,123 @@ def filter_urls(
             last_k = F.array_join(F.slice(labels, n - (k - 1), k), ".")
             keep = keep & ((n < k) | ~last_k.isin(*sorted(vals)))
     return df.filter(keep)
+
+
+def _origin(base: Column) -> Column:
+    """``scheme://host[:port]`` of an absolute URL (empty string when
+    the base has no scheme)."""
+    return F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+
+
+def _base_dir(base: Column) -> Column:
+    """The base URL's directory path (through the last ``/``), ``/``
+    when the base path is empty — the resolution root for
+    document-relative references."""
+    path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    d = F.regexp_extract(path, r"^(.*/)", 1)
+    return F.when(d == F.lit(""), F.lit("/")).otherwise(d)
+
+
+def extract_links(
+    html_col: Column | str,
+    base_url_col: Column | str | None = None,
+    max_dotdot: int = 4,
+) -> Column:
+    """``array<string>`` of outlink URLs from an HTML payload — the
+    crawl-frontier / link-graph primitive (r13). Extraction and
+    resolution are entirely JVM expressions (``regexp_extract_all`` +
+    higher-order ``transform``/``filter`` lambdas — no UDF, no
+    shuffle), same discipline as the rest of the tier.
+
+    Extraction: every quoted ``href`` attribute value of an ``<a>``
+    element (double- or single-quoted; unquoted hrefs — invalid per
+    the HTML spec for URLs with spaces, vanishingly rare otherwise —
+    are skipped, the documented regex limit). Fragments are cut,
+    surrounding whitespace trimmed; empty, ``javascript:``,
+    ``mailto:``, ``tel:`` and ``data:`` pseudo-links drop.
+
+    Resolution against ``base_url_col`` (skipped when None — relative
+    links then drop, absolute ones pass through):
+
+    - ``scheme://...`` absolute — kept as-is;
+    - ``//host/...`` protocol-relative — base scheme prepended;
+    - ``/path`` root-relative — base origin prepended;
+    - anything else document-relative — resolved against the base
+      URL's directory, with ``/./`` folded and up to ``max_dotdot``
+      ``seg/../`` reductions applied (a bounded, deterministic
+      approximation of RFC 3986 §5.2.4 — deeper ``../`` chains keep
+      their residue, documented).
+
+    Composes downstream with :func:`canonicalize_url` /
+    :func:`url_host` inside a ``transform`` lambda. NULL html yields
+    NULL; a page with no links yields an empty array."""
+    x = (
+        html_col if isinstance(html_col, Column) else F.col(html_col)
+    ).cast("string")
+    raw = F.regexp_extract_all(
+        x, F.lit(r"(?is)<a\s[^>]*?href\s*=\s*['\"]([^'\"]*)['\"]"), 1
+    )
+    links = F.transform(
+        raw, lambda l: F.regexp_replace(F.trim(l), r"#.*$", "")
+    )
+    links = F.filter(
+        links,
+        lambda l: (l != F.lit(""))
+        & ~F.lower(l).rlike(r"^(javascript|mailto|tel|data):"),
+    )
+    if base_url_col is None:
+        return F.filter(
+            links, lambda l: l.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+        )
+    base = F.trim(
+        (
+            base_url_col
+            if isinstance(base_url_col, Column)
+            else F.col(base_url_col)
+        ).cast("string")
+    )
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    origin = _origin(base)
+    bdir = _base_dir(base)
+
+    def resolve(l: Column) -> Column:
+        rel = F.concat(bdir, l)
+        rel = F.regexp_replace(rel, r"/\./", "/")
+        for _ in range(int(max_dotdot)):
+            rel = F.regexp_replace(rel, r"/[^/]+/\.\./", "/")
+        return (
+            F.when(l.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), l)
+            .when(l.startswith("//"), F.concat(scheme, F.lit(":"), l))
+            .when(l.startswith("/"), F.concat(origin, l))
+            .otherwise(F.concat(origin, rel))
+        )
+
+    return F.transform(links, resolve)
+
+
+def link_host_edges(
+    df: DataFrame,
+    html_col: str = "payload",
+    base_url_col: str = "url",
+    weight: bool = True,
+) -> DataFrame:
+    """Host-level out-link graph from a crawled frame: one row per
+    (src_host, dst_host) pair with the link count — the edge table the
+    graph tier (PageRank/HITS host authority) and crawl-frontier
+    prioritization consume. Self-loops (in-site navigation) are kept;
+    filter ``src_host != dst_host`` for the cross-site graph.
+
+    Scale shape: link extraction + host projection are map-side; the
+    only shuffle is the partial-aggregated groupBy on (src, dst) —
+    edge-count rows, never raw links, cross the wire."""
+    edges = df.select(
+        url_host(base_url_col).alias("src_host"),
+        F.explode(extract_links(html_col, base_url_col)).alias("link"),
+    ).select("src_host", url_host("link").alias("dst_host"))
+    edges = edges.filter(
+        (F.col("src_host") != F.lit("")) & (F.col("dst_host") != F.lit(""))
+    )
+    out = edges.groupBy("src_host", "dst_host")
+    return out.agg(F.count("*").alias("n_links")) if weight else (
+        edges.distinct()
+    )

@@ -3118,6 +3118,185 @@ def q_crawl_transcode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_LINK_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             'https://host' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.com' AS origin,
+             '/sec' || CAST(doc_id % 3 AS VARCHAR) AS secdir
+      FROM documents)
+    SELECT doc_id, link FROM (
+      SELECT doc_id, 'https://ext' || CAST(doc_id % 7 AS VARCHAR)
+               || '.org/a/' || CAST(doc_id AS VARCHAR) AS link FROM d
+      UNION ALL
+      SELECT doc_id, 'https://cdn.example.net/lib'
+               || CAST(doc_id % 2 AS VARCHAR) || '.js' FROM d
+      UNION ALL
+      SELECT doc_id, origin || '/r/' || CAST(doc_id AS VARCHAR) FROM d
+      UNION ALL
+      SELECT doc_id, origin || secdir || '/sub/p'
+               || CAST(doc_id AS VARCHAR) || '.html' FROM d
+      UNION ALL
+      SELECT doc_id, origin || '/up/' || CAST(doc_id AS VARCHAR) FROM d
+    ) ORDER BY doc_id, link
+"""
+
+
+def _link_fixture(docs):
+    """(doc_id, payload, url): a deterministic page with one link of
+    every resolution class — absolute, protocol-relative,
+    root-relative, document-relative, ../-relative — plus two
+    pseudo-links the extractor must drop. Plan literals only."""
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/sec"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("/page"),
+        did,
+        F.lit(".html"),
+    )
+    payload = F.concat(
+        F.lit('<html><body><a href="https://ext'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org/a/"), did,
+        F.lit('">x</a><a href=\'//cdn.example.net/lib'),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit(".js'>y</a><a href=\"/r/"), did,
+        F.lit('">z</a><a href="sub/p'), did,
+        F.lit('.html">w</a><a href="../up/'), did,
+        F.lit('#frag">v</a><a href="mailto:a@b">m</a>'),
+        F.lit('<a href="#top">t</a></body></html>'),
+    )
+    return docs.select("doc_id", payload.alias("payload"), url.alias("url"))
+
+
+@query("q_extract_links", _LINK_ORACLE)
+def q_extract_links(spark, sf_dir):
+    """Outlink extraction + relative-URL resolution (r13): every page
+    carries one link of each resolution class (absolute,
+    protocol-relative, root-relative, document-relative, ``../``) plus
+    mailto/fragment pseudo-links; ``url.extract_links`` — one
+    regexp_extract_all + higher-order transform/filter chain, no UDF,
+    map-only — must produce exactly the five resolved absolute URLs
+    per page. The oracle states the resolutions CLOSED-FORM, so any
+    drift in extraction, filtering, or the RFC-3986-style merge
+    (origin/dir handling, dot-segment folding) hash-mismatches. This
+    is the crawl-frontier primitive: the output feeds canonicalize_url
+    -> url_dedup for frontier dedup and link_host_edges for the graph
+    tier."""
+    from mongo_arrow_spark.operators.url import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    fx = _link_fixture(docs)
+    return (
+        fx.select(
+            "doc_id",
+            F.explode(extract_links("payload", "url")).alias("link"),
+        )
+        .orderBy("doc_id", "link")
+    )
+
+
+@query(
+    "q_link_graph",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'host' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.com' AS src,
+             'ext' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS ext
+      FROM documents),
+    e AS (
+      SELECT src, ext AS dst, 1 AS n FROM d
+      UNION ALL SELECT src, 'cdn.example.net', 1 FROM d
+      UNION ALL SELECT src, src, 3 FROM d)
+    SELECT src AS src_host, dst AS dst_host,
+           CAST(SUM(n) AS BIGINT) AS n_links
+    FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+    """,
+)
+def q_link_graph(spark, sf_dir):
+    """Host-level link-graph construction (r13): the same link fixture
+    aggregated into (src_host, dst_host, n_links) edges by
+    ``url.link_host_edges`` — extraction and host projection map-side,
+    ONE partial-aggregated shuffle on the (src, dst) pair, edge-count
+    rows (never raw links) on the wire. The oracle recomputes the edge
+    weights from the residue classes. This is the edge table the
+    graded graph tier (PageRank/HITS host authority) consumes —
+    examples/crawl_tour.py runs the composition live."""
+    from mongo_arrow_spark.operators.url import link_host_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    fx = _link_fixture(docs)
+    return link_host_edges(fx, "payload", "url").orderBy(
+        "src_host", "dst_host"
+    )
+
+
+#: (hex payload prefix, expected mime) per doc_id%8 class — the sniff
+#: fixture; classes 5-7 exercise the non-magic fallbacks.
+_MIME_CLASSES = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("255044462D312E37", "application/pdf"),
+    ("FFD8FFE0", "image/jpeg"),
+    ("1F8B0800", "application/gzip"),
+    ("3C21444F43545950452068746D6C3E", "text/html"),  # <!DOCTYPE html>
+    ("703A20", "text/plain"),  # 'p: ' + prose tail
+    ("00", "application/octet-stream"),
+    ("", "application/x-empty"),
+]
+
+
+def _mime_oracle() -> str:
+    whens = "\n".join(
+        f"             WHEN {i} THEN '{mime}'"
+        for i, (_, mime) in enumerate(_MIME_CLASSES)
+    )
+    return (
+        "SELECT doc_id,\n"
+        "           CASE doc_id % 8\n" + whens + "\n"
+        "           END AS mime\n"
+        "    FROM documents ORDER BY doc_id"
+    )
+
+
+@query("q_sniff_mime", _mime_oracle())
+def q_sniff_mime(spark, sf_dir):
+    """Magic-byte content sniffing (r13): each document's payload is a
+    class-specific byte prefix (PNG/PDF/JPEG/gzip magic, HTML markup,
+    plain prose, a NUL-carrying binary, empty) followed by the doc's
+    own bytes; ``encoding.sniff_mime`` — one codegen'd hex-prefix
+    chain per row, no UDF, map-only — must type every payload from
+    BYTES alone (crawl Content-Type headers lie; this is the router
+    that keeps binary junk out of the transcode/extraction path and
+    feeds the multimodal tier its type column). Closed-form oracle:
+    the class table itself."""
+    from mongo_arrow_spark.operators.encoding import sniff_mime
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 8
+    tail = F.encode(
+        F.coalesce(F.col("text"), F.lit("")).substr(1, 64), "UTF-8"
+    )
+    payload = None
+    for i, (prefix, _) in enumerate(_MIME_CLASSES):
+        body = (
+            F.unhex(F.lit(prefix))
+            if prefix in ("",)
+            else F.concat(F.unhex(F.lit(prefix)), tail)
+        )
+        payload = (
+            F.when(m == i, body)
+            if payload is None
+            else payload.when(m == i, body)
+        )
+    return docs.select(
+        "doc_id", sniff_mime(payload).alias("mime")
+    ).orderBy("doc_id")
+
+
 @query(
     "url_filter",
     """

@@ -188,3 +188,60 @@ def test_mislabel_correction_covers_lookup_fallback_codecs(spark):
         _is_single_byte(c)
         for c in ("cp932", "gb18030", "big5", "cp949", "euc-jp", "utf-8")
     )
+
+
+# ------------------------------------------------------------ r13: mime
+
+
+def test_sniff_mime_magic_table(spark):
+    """Magic bytes win; markup probes handle BOM + leading whitespace;
+    NUL-probe binaries and the text fallback; NULL stays NULL; empty
+    is typed distinctly; RIFF containers dispatch on bytes 9-12."""
+    import gzip as _g
+
+    from mongo_arrow_spark.operators.encoding import sniff_mime
+
+    rows = [
+        ("png", b"\x89PNG\r\n\x1a\n" + b"x" * 16, "image/png"),
+        ("pdf", b"%PDF-1.7 xyz", "application/pdf"),
+        ("jpg", b"\xff\xd8\xff\xe0JFIF", "image/jpeg"),
+        ("gif", b"GIF89a" + b"\x01" * 8, "image/gif"),
+        ("zip", b"PK\x03\x04xxxx", "application/zip"),
+        ("gz", _g.compress(b"hello", mtime=0), "application/gzip"),
+        ("zstd", b"\x28\xb5\x2f\xfd" + b"x" * 8, "application/zstd"),
+        ("webp", b"RIFF\x10\x00\x00\x00WEBPVP8 ", "image/webp"),
+        ("wav", b"RIFF\x10\x00\x00\x00WAVEfmt ", "audio/wav"),
+        ("html", b"  <!DOCTYPE html><html>", "text/html"),
+        ("html_bom", b"\xef\xbb\xbf<html lang=en>", "text/html"),
+        ("svg", b"<svg xmlns='x'>", "image/svg+xml"),
+        ("xml", b"<?xml version='1.0'?>", "application/xml"),
+        ("bin", b"ab\x00cd" + b"q" * 10, "application/octet-stream"),
+        ("txt", "plain prose, café ok".encode(), "text/plain"),
+        ("empty", b"", "application/x-empty"),
+        ("null", None, None),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "rid string, payload binary"
+    )
+    got = {
+        r["rid"]: r["m"]
+        for r in df.select("rid", sniff_mime("payload").alias("m")).collect()
+    }
+    for rid, _, want in rows:
+        assert got[rid] == want, (rid, got[rid], want)
+
+
+def test_sniff_mime_udf_free_and_header_blind(spark):
+    """The probe is a pure JVM projection, and it ignores the declared
+    header by design — a PNG served as text/html still types as PNG
+    (crawl headers lie; that is the operator's purpose)."""
+    from mongo_arrow_spark.operators.encoding import sniff_mime
+
+    df = spark.createDataFrame(
+        [(b"\x89PNG\r\n\x1a\nxx", "text/html; charset=utf-8")],
+        "payload binary, ct string",
+    )
+    out = df.select(sniff_mime("payload").alias("m"))
+    assert out.first()["m"] == "image/png"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -418,3 +418,106 @@ def test_filter_urls_is_map_only(spark):
     out = filter_urls(df, block_domains=["b.org"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------------ r13: links
+
+
+def test_extract_links_resolution_classes(spark):
+    """Every resolution class against a ported base: absolute,
+    protocol-relative, root-relative, document-relative, ../, plus the
+    pseudo-link drops (mailto/javascript/tel/data/fragment-only) and
+    the single-quote attribute form."""
+    from mongo_arrow_spark.operators.url import extract_links
+
+    html = (
+        '<a href="https://ext.org/a/1">a</a>'
+        "<a href='//cdn.example.net/lib.js'>b</a>"
+        '<a href="/r/9">c</a><a href="sub/p.html">d</a>'
+        '<a href="../up/3">e</a><a href="deep/a/../b.html#x">f</a>'
+        '<a href="mailto:x@y">g</a><a href="javascript:void(0)">h</a>'
+        '<a href="tel:+1">i</a><a href="data:text/plain,x">j</a>'
+        '<a href="#frag">k</a><a href="">l</a>'
+    )
+    df = spark.createDataFrame(
+        [(1, html, "https://host1.example.com:8080/sec2/page1.html")],
+        "id long, payload string, url string",
+    )
+    got = df.select(extract_links("payload", "url").alias("l")).first()["l"]
+    assert got == [
+        "https://ext.org/a/1",
+        "https://cdn.example.net/lib.js",
+        "https://host1.example.com:8080/r/9",
+        "https://host1.example.com:8080/sec2/sub/p.html",
+        "https://host1.example.com:8080/up/3",
+        "https://host1.example.com:8080/sec2/deep/b.html",
+    ]
+
+
+def test_extract_links_no_base_null_and_empty(spark):
+    """Without a base column only absolute links survive; NULL html
+    stays NULL; a page with no links yields an empty array; deep ../
+    chains past max_dotdot keep their residue (documented bound)."""
+    from mongo_arrow_spark.operators.url import extract_links
+
+    html = '<a href="https://a.org/x">a</a><a href="rel/y">b</a>'
+    df = spark.createDataFrame(
+        [(1, html), (2, None), (3, "<p>none</p>")],
+        "id long, payload string",
+    )
+    got = {
+        r["id"]: r["l"]
+        for r in df.select(
+            "id", extract_links("payload").alias("l")
+        ).collect()
+    }
+    assert got[1] == ["https://a.org/x"]
+    assert got[2] is None
+    assert got[3] == []
+    deep = spark.createDataFrame(
+        [(1, '<a href="../../../../../x">d</a>', "https://h/a/b/c/p.html")],
+        "id long, payload string, url string",
+    )
+    (link,) = deep.select(
+        extract_links("payload", "url", max_dotdot=4).alias("l")
+    ).first()["l"]
+    assert link.startswith("https://h/") and link.endswith("/x")
+
+
+def test_extract_links_and_edges_udf_free(spark):
+    from mongo_arrow_spark.operators.url import (
+        extract_links,
+        link_host_edges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '<a href="/x">a</a>', "https://h.org/p")],
+        "id long, payload string, url string",
+    )
+    for out in (
+        df.select(extract_links("payload", "url")),
+        link_host_edges(df, "payload", "url"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_link_host_edges_counts_and_empty_hosts(spark):
+    """Edge weights aggregate per (src, dst); rows whose base has no
+    host (relative-only corpus slice) and links that resolve hostless
+    drop out instead of producing '' nodes."""
+    from mongo_arrow_spark.operators.url import link_host_edges
+
+    rows = [
+        (1, '<a href="https://b.org/1">x</a><a href="https://b.org/2">y</a>',
+         "https://a.org/p"),
+        (2, '<a href="/local">x</a>', "https://a.org/q"),
+        (3, '<a href="https://b.org/3">x</a>', "relative-base-no-host"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload string, url string")
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in link_host_edges(df, "payload", "url").collect()
+    }
+    assert got == {("a.org", "b.org"): 2, ("a.org", "a.org"): 1}

@@ -114,6 +114,9 @@ REPRESENTATIVES = [
     # composition — Content-Encoding undo + charset transcode +
     # content-type-routed extraction under one oracle
     "q_crawl_transcode",
+    "q_extract_links",
+    "q_link_graph",
+    "q_sniff_mime",
 ]
 
 
