@@ -169,6 +169,17 @@ HEADLINE = [
     "q_decode_charset",
     "lang_id_trigram",
     "curate_corpus_url",
+    # round-13 (keys added r13 — first-reading numbers): the composed
+    # crawl transcode chain (archive scan + Content-Encoding undo +
+    # charset transcode + routed extraction — expect it above
+    # q_scan_warc_html: same scan plus the pandas_udf transcode),
+    # outlink extraction + host-graph aggregation (map-side extraction,
+    # one partial-agg shuffle), and magic-byte MIME sniffing (pure
+    # codegen projection — expect it near the q01 floor)
+    "q_crawl_transcode",
+    "q_extract_links",
+    "q_link_graph",
+    "q_sniff_mime",
 ]
 
 

@@ -10,6 +10,11 @@ trainer-ready text out.
    the charset (HTTP header → <meta> probe → heuristic) and
    transcodes legacy-encoded pages to UTF-8, then ``text.html_to_text``
    — a JVM-side regexp chain (no UDF) — strips the markup.
+3.5. **Link graph** (r13): ``sniff_mime`` types payloads from magic
+   bytes (headers lie), ``extract_links`` resolves outlinks,
+   ``link_host_edges`` aggregates the host graph, and the
+   integer-exact PageRank ranks host authority — the crawl-frontier
+   prioritization signal.
 4. **URL tier** (r11): canonicalize + URL-dedup + per-domain cap —
    the refetched shard is dropped on its URL alone, before any
    payload comparison (the CCNet/C4/RefinedWeb order).
@@ -37,6 +42,7 @@ from mongo_arrow_spark.operators import (
     dedup,
     encoding,
     expectations as E,
+    graph,
     langid,
     text,
     url,
@@ -58,7 +64,14 @@ def main() -> None:
         F.concat(
             F.lit("<html><head><title>t</title></head><body><p>"),
             F.col("text"),
-            F.lit("</p><!-- chrome --></body></html>"),
+            # outlinks (r13): one in-site relative link and one
+            # cross-site link per page — the raw material for the
+            # link-graph stage below
+            F.lit('</p><a href="/doc/'),
+            ((F.col("doc_id") + 1) % 500).cast("string"),
+            F.lit('">next</a><a href="https://partner'),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('.example.net/x">ref</a><!-- chrome --></body></html>'),
         ).alias("text"),
     )
     # a duplicated shard, as crawls always have — refetched under a
@@ -95,9 +108,9 @@ def main() -> None:
     # extraction — a UTF-8-assumed cast would mojibake them through
     # lang-ID, quality and dedup
     register_warc(spark)
+    raw = spark.read.format("warc").load(archive + "/*.warc.gz")
     crawled = (
-        spark.read.format("warc")
-        .load(archive + "/*.warc.gz")
+        raw
         .select(
             F.regexp_extract("record_id", r"urn:mas:(\d+)", 1)
             .cast("bigint")
@@ -114,6 +127,29 @@ def main() -> None:
         )
     )
     print(f"ingested {crawled.count()} pages from {n_archives} archives")
+
+    # 3.5 link graph (r13): type payloads from MAGIC BYTES (headers
+    # lie — sniff_mime routes binary junk out before any text work),
+    # extract + resolve outlinks, aggregate the host-level edge table
+    # (one partial-agg shuffle), and rank host authority with the
+    # integer-exact PageRank — the crawl-frontier prioritization
+    # signal
+    html_only = raw.withColumn(
+        "mime", encoding.sniff_mime("payload")
+    ).filter(F.col("mime") == "text/html")
+    edges = url.link_host_edges(html_only, "payload", "target_uri")
+    ranked_hosts = graph.pagerank(
+        edges.filter(F.col("src_host") != F.col("dst_host")),
+        iters=3,
+        src_col="src_host",
+        dst_col="dst_host",
+        weight_col="n_links",
+    )
+    top = ranked_hosts.orderBy(F.desc("rank")).limit(3).collect()
+    print(
+        "host graph:", edges.count(), "edges; top hosts:",
+        [(r[0], r["rank"]) for r in top],
+    )
 
     # provenance: any curated row points straight back at its archive
     # bytes — the training-data audit path
