@@ -180,6 +180,9 @@ HEADLINE = [
     "q_extract_links",
     "q_link_graph",
     "q_sniff_mime",
+    # robots politeness gate: two tiny windows + one host equi-join —
+    # expect it near the URL-tier floor
+    "q_robots_gate",
 ]
 
 

@@ -529,6 +529,12 @@ _DEMOTED = [
     "q_extract_links",
     "q_link_graph",
     "q_sniff_mime",
+    # r13 wave: the robots.txt politeness gate (distributed parse +
+    # agent-precedence + longest-prefix verdicts under a closed-form
+    # host-class × path-class oracle) parks below the window by
+    # construction; exact oracle in tests/test_battery.py, semantics
+    # matrix in tests/test_url.py.
+    "q_robots_gate",
     #   unwind/wordcount → the explode → hash-agg → TakeOrdered shape
     #                     is graded by text_search_tfidf (same explode
     #                     + agg machinery through tf-idf ranking) and

@@ -36,6 +36,8 @@ __all__ = [
     "DEFAULT_URL_WORD_WEIGHTS",
     "extract_links",
     "link_host_edges",
+    "parse_robots",
+    "robots_allowed",
 ]
 
 # Tracking / click-id query parameters every major pipeline strips.
@@ -523,4 +525,137 @@ def link_host_edges(
     out = edges.groupBy("src_host", "dst_host")
     return out.agg(F.count("*").alias("n_links")) if weight else (
         edges.distinct()
+    )
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse raw ``robots.txt`` bodies into a typed rule table —
+    ``(host, agent, rule_allow, prefix)`` — distributed (r13, the
+    crawl-politeness tier). Implements the original Robots Exclusion
+    Protocol: ``User-agent`` lines open a group (CONSECUTIVE
+    user-agent lines share one group), ``Allow``/``Disallow`` lines
+    attach a path prefix to every agent of their group; comments
+    (``#…``) and blank lines are ignored; agent names are
+    case-folded, prefixes are kept case-sensitive. ``*``/``$``
+    wildcards are NOT interpreted (prefix-only matching, the original
+    REP — documented limit). Empty-prefix ``Disallow:`` (allow-all)
+    rows are dropped — no-match already means allowed.
+
+    Plan shape: ``split`` + ``posexplode`` per robots body, ONE window
+    over (host ordered by line position) to assign group ids — robots
+    bodies are small (the spec caps at 500 KiB) so per-host line
+    counts are bounded — then a group-local self-join of agents ×
+    rules. No UDF."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(robots_col), F.lit("")), r"\r?\n")
+        ).alias("pos", "line"),
+    )
+    norm = lines.withColumn(
+        "line", F.trim(F.regexp_replace("line", r"#.*$", ""))
+    ).filter(F.col("line") != "")
+    norm = norm.withColumn(
+        "key", F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+    ).withColumn(
+        "val", F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1))
+    )
+    norm = norm.filter(
+        F.col("key").isin("user-agent", "allow", "disallow")
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("key") == "user-agent"
+    opens = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    grouped = norm.withColumn(
+        "grp", F.sum(opens.cast("int")).over(w)
+    ).filter(F.col("grp") > 0)  # directives before any user-agent drop
+    agents = grouped.filter(is_ua).select(
+        "host", "grp", F.lower(F.col("val")).alias("agent")
+    )
+    rules = grouped.filter(~is_ua & (F.col("val") != "")).select(
+        "host",
+        "grp",
+        (F.col("key") == "allow").alias("rule_allow"),
+        F.col("val").alias("prefix"),
+    )
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "agent", "rule_allow", "prefix"
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """The input frame plus a boolean ``allowed`` column — may
+    ``agent`` fetch each URL under the :func:`parse_robots` rule
+    table? Google-documented REP semantics, prefix-only: the group
+    for the EXACT matching agent wins entirely over the ``*`` group
+    when one exists for the host; within the chosen group the
+    LONGEST matching prefix decides, Allow winning length ties; no
+    matching rule (or no rules for the host at all) means allowed.
+
+    Plan shape: one window over the (small, per-host) rule table to
+    resolve the agent group, one equi-join on host (rule tables are
+    hosts × rules — broadcastable for any real crawl's politeness
+    set; AQE decides), then a struct-max argmax per URL. No UDF, no
+    cartesian."""
+    from pyspark.sql import Window
+
+    a = agent.lower()
+    cand = rules.filter(
+        (F.lower(F.col("agent")) == a) | (F.col("agent") == "*")
+    )
+    hw = Window.partitionBy("host")
+    cand = cand.withColumn(
+        "has_specific",
+        F.max((F.lower(F.col("agent")) == a).cast("int")).over(hw),
+    ).filter(
+        (F.lower(F.col("agent")) == a)
+        == (F.col("has_specific") == 1)
+    ).drop("has_specific")
+
+    u = urls.withColumn("__host", url_host(url_col)).withColumn(
+        "__path",
+        F.when(
+            F.regexp_extract(
+                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+            )
+            == "",
+            F.lit("/"),
+        ).otherwise(
+            F.regexp_extract(
+                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+            )
+        ),
+    )
+    joined = u.join(
+        cand.withColumnRenamed("host", "__host"), "__host", "left"
+    ).withColumn(
+        "__hit",
+        F.col("prefix").isNotNull()
+        & F.col("__path").startswith(F.col("prefix")),
+    )
+    verdict = joined.groupBy(*[F.col(c) for c in u.columns]).agg(
+        F.max(
+            F.when(
+                F.col("__hit"),
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    F.col("rule_allow").alias("a"),
+                ),
+            )
+        ).alias("best")
+    )
+    return verdict.select(
+        *[c for c in urls.columns],
+        F.coalesce(F.col("best.a"), F.lit(True)).alias("allowed"),
     )

@@ -3297,6 +3297,88 @@ def q_sniff_mime(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: robots.txt fixture bodies per host class (doc_id%4) — plan
+#: literals shared by the Spark query and restated by the oracle.
+_ROBOTS_BODIES = [
+    "User-agent: *\nDisallow: /private/\nAllow: /private/ok",
+    "# block us\nUser-agent: mybot\nDisallow: /\n\n"
+    "User-agent: *\nDisallow:",
+    "User-agent: other\nDisallow: /\n\nUser-agent: *\nDisallow: /tmp/",
+    "",
+]
+
+
+@query(
+    "q_robots_gate",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://crawlhost' || CAST(doc_id % 4 AS VARCHAR)
+               || '.example.com'
+               || CASE doc_id % 5
+                    WHEN 0 THEN '/private/ok/x'
+                    WHEN 1 THEN '/private/y'
+                    WHEN 2 THEN '/public/z'
+                    WHEN 3 THEN '/tmp/w'
+                    ELSE '/'
+                  END AS url
+      FROM documents)
+    SELECT doc_id, url,
+           CASE doc_id % 4
+             WHEN 0 THEN doc_id % 5 <> 1
+             WHEN 1 THEN FALSE
+             WHEN 2 THEN doc_id % 5 <> 3
+             ELSE TRUE
+           END AS allowed
+    FROM u ORDER BY doc_id
+    """,
+)
+def q_robots_gate(spark, sf_dir):
+    """Crawl politeness (r13): raw robots.txt bodies — a longest-
+    prefix Allow-under-Disallow host, a host whose SPECIFIC agent
+    group overrides ``*`` entirely, a host where the agent falls to
+    the ``*`` group, and an empty file — parsed DISTRIBUTED by
+    ``url.parse_robots`` (posexplode + one per-host window for group
+    ids, no UDF) and evaluated by ``url.robots_allowed`` (agent-group
+    resolution window + host equi-join + struct-max longest-prefix
+    argmax, Allow winning ties). The oracle states every
+    (host-class × path-class) verdict CLOSED-FORM, so a drift in
+    group parsing, agent precedence, or prefix-length tie-breaking
+    hash-mismatches. The gate every frontier runs between
+    extract_links and fetch."""
+    from mongo_arrow_spark.operators.url import parse_robots, robots_allowed
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("crawlhost"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".example.com"),
+    )
+    m5 = F.col("doc_id") % 5
+    path = (
+        F.when(m5 == 0, "/private/ok/x")
+        .when(m5 == 1, "/private/y")
+        .when(m5 == 2, "/public/z")
+        .when(m5 == 3, "/tmp/w")
+        .otherwise("/")
+    )
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    mb = F.col("doc_id") % 4
+    body = None
+    for i, b in enumerate(_ROBOTS_BODIES):
+        body = (
+            F.when(mb == i, b) if body is None else body.when(mb == i, b)
+        )
+    robots = (
+        docs.select(host.alias("host"), body.alias("robots_txt"))
+        .dropDuplicates(["host"])
+    )
+    rules = parse_robots(robots)
+    return robots_allowed(urls, rules, "MyBot").orderBy("doc_id")
+
+
 @query(
     "url_filter",
     """

@@ -521,3 +521,105 @@ def test_link_host_edges_counts_and_empty_hosts(spark):
         for r in link_host_edges(df, "payload", "url").collect()
     }
     assert got == {("a.org", "b.org"): 2, ("a.org", "a.org"): 1}
+
+
+# ------------------------------------------------------------ r13: robots
+
+
+def test_parse_robots_groups_and_noise(spark):
+    """Group parsing: consecutive User-agent lines share a group;
+    comments/blank lines/unknown keys skip; directives before any
+    user-agent line drop; empty Disallow (allow-all) rows drop; agent
+    names fold case, prefixes stay case-sensitive."""
+    from mongo_arrow_spark.operators.url import parse_robots
+
+    body = (
+        "# politeness\n"
+        "Disallow: /orphan/\n"          # before any UA group: dropped
+        "User-agent: A\n"
+        "User-agent: B\n"
+        "Disallow: /Shared/\n"
+        "Crawl-delay: 10\n"             # unknown key: skipped
+        "\n"
+        "User-agent: *\n"
+        "Allow: /ok\n"
+        "Disallow:\n"                    # empty prefix: dropped
+    )
+    df = spark.createDataFrame([("h", body)], "host string, robots_txt string")
+    got = sorted(
+        (r["agent"], r["rule_allow"], r["prefix"])
+        for r in parse_robots(df).collect()
+    )
+    assert got == [
+        ("*", True, "/ok"),
+        ("a", False, "/Shared/"),
+        ("b", False, "/Shared/"),
+    ]
+
+
+def test_robots_allowed_semantics_matrix(spark):
+    """Verdict semantics: specific agent group overrides * entirely;
+    longest prefix wins; Allow wins length ties; hostless or
+    rule-less hosts default to allowed; NULL robots == empty."""
+    from mongo_arrow_spark.operators.url import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [
+            ("h0", "User-agent: *\nDisallow: /p/\nAllow: /p/ok"),
+            ("h1", "User-agent: mybot\nDisallow: /\n\n"
+                   "User-agent: *\nDisallow:"),
+            ("h2", "User-agent: other\nDisallow: /\n\n"
+                   "User-agent: *\nDisallow: /tmp/"),
+            ("h3", None),
+            # length tie between Allow and Disallow: Allow wins
+            ("h4", "User-agent: *\nDisallow: /x/\nAllow: /x/"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            ("https://h0/p/ok/1",), ("https://h0/p/no",), ("https://h0/q",),
+            ("https://h1/anything",),
+            ("https://h2/tmp/x",), ("https://h2/q",),
+            ("https://h3/q",),
+            ("https://h4/x/y",),
+            ("https://unlisted.example/q",),
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_allowed(urls, rules, "MyBot").collect()
+    }
+    assert got == {
+        "https://h0/p/ok/1": True,
+        "https://h0/p/no": False,
+        "https://h0/q": True,
+        "https://h1/anything": False,
+        "https://h2/tmp/x": False,
+        "https://h2/q": True,
+        "https://h3/q": True,
+        "https://h4/x/y": True,
+        "https://unlisted.example/q": True,
+    }
+
+
+def test_robots_allowed_udf_free_and_query_path(spark):
+    """The whole gate is JVM-side (no Python eval), and the matched
+    prefix applies to the full path+query (Disallow: /s?q blocks the
+    query form)."""
+    from mongo_arrow_spark.operators.url import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /s?q=")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("https://h/s?q=1",), ("https://h/s",)], "url string"
+    )
+    out = robots_allowed(urls, parse_robots(robots), "bot")
+    got = {r["url"]: r["allowed"] for r in out.collect()}
+    assert got == {"https://h/s?q=1": False, "https://h/s": True}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

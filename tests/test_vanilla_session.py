@@ -117,6 +117,7 @@ REPRESENTATIVES = [
     "q_extract_links",
     "q_link_graph",
     "q_sniff_mime",
+    "q_robots_gate",
 ]
 
 
