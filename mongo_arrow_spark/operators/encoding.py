@@ -362,14 +362,15 @@ def sniff_mime(payload: Column | str) -> Column:
     out = out.when(
         h.startswith("52494646") & (riff == "41564920"), "video/avi"
     )
-    # markup probe on the text head (latin-1 cast never throws)
+    # markup probe on the text head (latin-1 cast never throws).
+    # regexp-strip the BOM (its latin-1 mojibake form) and ALL leading
+    # whitespace — F.trim strips only ASCII spaces, and real templated
+    # pages routinely start with a newline/tab (r13 review fix)
     head = F.lower(
-        F.trim(
-            F.regexp_replace(
-                F.decode(F.substring(p, 1, 256), "ISO-8859-1"),
-                "^﻿|^ï»¿",
-                "",
-            )
+        F.regexp_replace(
+            F.decode(F.substring(p, 1, 256), "ISO-8859-1"),
+            r"^(ï»¿)?\s*",
+            "",
         )
     )
     out = out.when(

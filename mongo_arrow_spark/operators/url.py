@@ -459,8 +459,19 @@ def extract_links(
     x = (
         html_col if isinstance(html_col, Column) else F.col(html_col)
     ).cast("string")
+    # boundary before href (data-href/ng-href must not match) and
+    # PAIRED quotes via a backreference (an apostrophe inside a
+    # double-quoted value must not truncate it). The backreference is
+    # a documented deviation from the module's RE2-portable pattern
+    # discipline: no oracle replays THIS regex (the battery oracle
+    # states resolved links closed-form), so Java-only syntax is safe
+    # here.
     raw = F.regexp_extract_all(
-        x, F.lit(r"(?is)<a\s[^>]*?href\s*=\s*['\"]([^'\"]*)['\"]"), 1
+        x,
+        F.lit(
+            r"(?is)<a\s(?:[^>]*?[\s'\"])?href\s*=\s*(['\"])(.*?)\1"
+        ),
+        2,
     )
     links = F.transform(
         raw, lambda l: F.regexp_replace(F.trim(l), r"#.*$", "")
@@ -543,7 +554,10 @@ def parse_robots(
     case-folded, prefixes are kept case-sensitive. ``*``/``$``
     wildcards are NOT interpreted (prefix-only matching, the original
     REP — documented limit). Empty-prefix ``Disallow:`` (allow-all)
-    rows are dropped — no-match already means allowed.
+    directives carry no matchable prefix, but their GROUP still emits
+    a NULL-prefix row — group existence drives agent precedence in
+    :func:`robots_allowed`. Hosts are lowercased (case-insensitive
+    per RFC).
 
     Plan shape: ``split`` + ``posexplode`` per robots body, ONE window
     over (host ordered by line position) to assign group ids — robots
@@ -584,8 +598,18 @@ def parse_robots(
         (F.col("key") == "allow").alias("rule_allow"),
         F.col("val").alias("prefix"),
     )
-    return agents.join(rules, ["host", "grp"]).select(
-        "host", "agent", "rule_allow", "prefix"
+    # LEFT join: an agent group with no usable rules (only empty
+    # Disallow / unknown keys) must still EXIST in the output — agent
+    # precedence in robots_allowed depends on group existence (a
+    # specific allow-all group overrides a blocking * group); its
+    # NULL-prefix row can never match a path. Hosts fold case (they
+    # are case-insensitive per RFC; url_host lowercases the join key
+    # on the URL side).
+    return agents.join(rules, ["host", "grp"], "left").select(
+        F.lower(F.col("host")).alias("host"),
+        "agent",
+        "rule_allow",
+        "prefix",
     )
 
 
@@ -611,19 +635,29 @@ def robots_allowed(
     from pyspark.sql import Window
 
     a = agent.lower()
-    cand = rules.filter(
-        (F.lower(F.col("agent")) == a) | (F.col("agent") == "*")
-    )
-    hw = Window.partitionBy("host")
+    # reserved __names on the rule side so an input frame carrying
+    # columns like `prefix`/`agent` cannot make the join ambiguous
+    cand = rules.select(
+        F.lower(F.col("host")).alias("__host"),
+        F.lower(F.col("agent")).alias("__agent"),
+        F.col("rule_allow").alias("__allow"),
+        F.col("prefix").alias("__prefix"),
+    ).filter((F.col("__agent") == a) | (F.col("__agent") == "*"))
+    hw = Window.partitionBy("__host")
     cand = cand.withColumn(
-        "has_specific",
-        F.max((F.lower(F.col("agent")) == a).cast("int")).over(hw),
+        "__has_specific",
+        F.max((F.col("__agent") == a).cast("int")).over(hw),
     ).filter(
-        (F.lower(F.col("agent")) == a)
-        == (F.col("has_specific") == 1)
-    ).drop("has_specific")
+        (F.col("__agent") == a) == (F.col("__has_specific") == 1)
+    ).drop("__has_specific")
 
-    u = urls.withColumn("__host", url_host(url_col)).withColumn(
+    u = (
+        urls
+        # unique row key: the verdict groupBy must preserve the input's
+        # cardinality even when rows are full duplicates
+        .withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn("__host", url_host(url_col))
+    ).withColumn(
         "__path",
         F.when(
             F.regexp_extract(
@@ -637,25 +671,24 @@ def robots_allowed(
             )
         ),
     )
-    joined = u.join(
-        cand.withColumnRenamed("host", "__host"), "__host", "left"
-    ).withColumn(
+    joined = u.join(cand, "__host", "left").withColumn(
         "__hit",
-        F.col("prefix").isNotNull()
-        & F.col("__path").startswith(F.col("prefix")),
+        F.col("__prefix").isNotNull()
+        & F.col("__path").startswith(F.col("__prefix")),
     )
-    verdict = joined.groupBy(*[F.col(c) for c in u.columns]).agg(
+    verdict = joined.groupBy("__rid").agg(
+        *[F.first(c).alias(c) for c in urls.columns],
         F.max(
             F.when(
                 F.col("__hit"),
                 F.struct(
-                    F.length("prefix").alias("l"),
-                    F.col("rule_allow").alias("a"),
+                    F.length("__prefix").alias("l"),
+                    F.col("__allow").alias("a"),
                 ),
             )
-        ).alias("best")
+        ).alias("__best"),
     )
     return verdict.select(
         *[c for c in urls.columns],
-        F.coalesce(F.col("best.a"), F.lit(True)).alias("allowed"),
+        F.coalesce(F.col("__best.a"), F.lit(True)).alias("allowed"),
     )

@@ -1285,6 +1285,13 @@ def _header_value(v: str) -> str:
     return str(v).replace("\r", "").replace("\n", "").lstrip(" \t")
 
 
+def _header_token(k: str) -> str:
+    """A data-derived header NAME reduced to the HTTP token charset —
+    the strict parser rejects non-token name bytes, and CR/LF/colon in
+    a name would inject or split header lines (r13 review fix)."""
+    return _re.sub(r"[^!#$%&'*+.^_`|~0-9A-Za-z-]", "", str(k))
+
+
 def build_warc_record(
     record_id: str,
     uri: str | None,
@@ -1318,9 +1325,14 @@ def build_warc_record(
         else ""
     )
     extra = "".join(
-        f"{k}: {_header_value(v)}\r\n"
+        # keys sanitize harder than values — a data-derived header
+        # NAME with CR/LF injects lines, a colon splits the line
+        # early, and the strict read-side parser (_read_one) rejects
+        # any non-token name byte — so keys reduce to the HTTP token
+        # charset outright (r13 review fix)
+        f"{_header_token(k)}: {_header_value(v)}\r\n"
         for k, v in (extra_headers or {}).items()
-        if v is not None
+        if v is not None and _header_token(k)
     )
     head = (
         f"WARC/1.0\r\n"

@@ -830,3 +830,24 @@ def test_warc_header_value_crlf_sanitized(tmp_path):
     assert hdrs["warc-target-uri"] == "https://x/1WARC-Evil: via-uri"
     assert hdrs["warc-refers-to"] == "<urn:uuid:1>WARC-Evil: via-extra"
     assert hdrs["warc-source-file"] == "lead.warc.gz"
+
+
+def test_warc_header_key_crlf_sanitized(tmp_path):
+    """r13 review fix: header NAMES sanitize like values — a
+    data-derived key with CR/LF (or a colon) must not inject or split
+    header lines."""
+    import io
+
+    from mongo_arrow_spark.sources.warc import _read_one, build_warc_record
+
+    blob = build_warc_record(
+        "<urn:mas:injk>",
+        "https://x/1",
+        b"BODY",
+        extra_headers={"X-Meta\r\nWARC-Evil: v": "x", "X-A:B": "y"},
+    )
+    _, hdrs, body = _read_one(io.BytesIO(blob), "t", 0)
+    assert body.endswith(b"BODY")
+    assert "warc-evil" not in hdrs
+    assert hdrs["x-metawarc-evilv"] == "x"
+    assert hdrs["x-ab"] == "y"

@@ -245,3 +245,27 @@ def test_sniff_mime_udf_free_and_header_blind(spark):
     assert out.first()["m"] == "image/png"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sniff_mime_markup_after_newline_and_tab(spark):
+    """r13 review fix: templated pages starting with a newline/tab
+    (very common) must still type as markup — F.trim only strips
+    spaces, so the probe regexp-strips ALL leading whitespace (and
+    the BOM+newline combination)."""
+    from mongo_arrow_spark.operators.encoding import sniff_mime
+
+    rows = [
+        ("nl", b"\n<!DOCTYPE html><html>", "text/html"),
+        ("tab", b"\t<html>", "text/html"),
+        ("crlf", b"\r\n\r\n<svg >", "image/svg+xml"),
+        ("bom_nl", b"\xef\xbb\xbf\n<html>", "text/html"),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "rid string, payload binary"
+    )
+    got = {
+        r["rid"]: r["m"]
+        for r in df.select("rid", sniff_mime("payload").alias("m")).collect()
+    }
+    for rid, _, want in rows:
+        assert got[rid] == want, (rid, got[rid], want)

@@ -623,3 +623,100 @@ def test_robots_allowed_udf_free_and_query_path(spark):
     assert got == {"https://h/s?q=1": False, "https://h/s": True}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------- r13 self-review fixes
+
+
+def test_extract_links_attribute_boundary_and_quote_pairing(spark):
+    """r13 review fixes: data-href/ng-href must NOT match (boundary
+    before href), and a double-quoted value containing an apostrophe
+    extracts whole (paired quotes via backreference)."""
+    from mongo_arrow_spark.operators.url import extract_links
+
+    html = (
+        '<a class="c" data-href="/track">x</a>'
+        '<a ng-href="/ng">y</a>'
+        '<a href="/it\'s-a-page">z</a>'
+        "<a href='/say-\"hi\"'>w</a>"
+        '<a href="/plain">p</a>'
+    )
+    df = spark.createDataFrame(
+        [(1, html, "https://h.org/p")], "id long, payload string, url string"
+    )
+    got = df.select(extract_links("payload", "url").alias("l")).first()["l"]
+    assert got == [
+        "https://h.org/it's-a-page",
+        'https://h.org/say-"hi"',
+        "https://h.org/plain",
+    ]
+
+
+def test_parse_robots_ruleless_group_preserves_precedence(spark):
+    """r13 review fix: a specific-agent group whose only directive is
+    an empty Disallow (allow-all) must still override a blocking *
+    group — group existence survives as a NULL-prefix row."""
+    from mongo_arrow_spark.operators.url import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [("h", "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("https://h/anything",), ("https://h/",)], "url string"
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_allowed(urls, rules, "MyBot").collect()
+    }
+    assert got == {"https://h/anything": True, "https://h/": True}
+    # and the * group still blocks everyone else
+    other = {
+        r["url"]: r["allowed"]
+        for r in robots_allowed(urls, rules, "elsebot").collect()
+    }
+    assert other == {"https://h/anything": False, "https://h/": False}
+
+
+def test_robots_allowed_preserves_duplicates_and_host_case(spark):
+    """r13 review fixes: duplicate input rows survive the verdict
+    aggregation (cardinality preserved), and a mixed-case host in the
+    rule table still matches the lowercased URL host."""
+    from mongo_arrow_spark.operators.url import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [("Example.COM", "User-agent: *\nDisallow: /no/")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("https://example.com/no/x",)] * 2 + [("https://EXAMPLE.com/ok",)],
+        "url string",
+    )
+    out = robots_allowed(urls, rules, "bot").collect()
+    assert len(out) == 3  # duplicates preserved
+    verdicts = sorted((r["url"], r["allowed"]) for r in out)
+    assert verdicts == [
+        ("https://EXAMPLE.com/ok", True),
+        ("https://example.com/no/x", False),
+        ("https://example.com/no/x", False),
+    ]
+
+
+def test_robots_allowed_reserved_columns(spark):
+    """r13 review fix: an input frame carrying columns named prefix/
+    agent/rule_allow must not make the rule join ambiguous."""
+    from mongo_arrow_spark.operators.url import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /no/")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("https://h/no/x", "P", "A", True)],
+        "url string, prefix string, agent string, rule_allow boolean",
+    )
+    row = robots_allowed(urls, parse_robots(robots), "bot").first()
+    assert row["allowed"] is False
+    assert (row["prefix"], row["agent"], row["rule_allow"]) == ("P", "A", True)
