@@ -183,6 +183,9 @@ HEADLINE = [
     # robots politeness gate: two tiny windows + one host equi-join —
     # expect it near the URL-tier floor
     "q_robots_gate",
+    # frontier composition: extraction map-side + one distinct + one
+    # url anti-join + the robots host join
+    "q_crawl_frontier",
 ]
 
 

@@ -535,6 +535,12 @@ _DEMOTED = [
     # construction; exact oracle in tests/test_battery.py, semantics
     # matrix in tests/test_url.py.
     "q_robots_gate",
+    # r13 wave capstone: the frontier composition (extract ->
+    # canonicalize -> dedup -> anti-join crawled -> robots gate) parks
+    # below the window by construction; the oracle replays candidate
+    # generation, the NOT-IN anti-join and the robots drop closed-form
+    # in tests/test_battery.py.
+    "q_crawl_frontier",
     #   unwind/wordcount → the explode → hash-agg → TakeOrdered shape
     #                     is graded by text_search_tfidf (same explode
     #                     + agg machinery through tf-idf ranking) and

@@ -38,6 +38,7 @@ __all__ = [
     "link_host_edges",
     "parse_robots",
     "robots_allowed",
+    "crawl_frontier",
 ]
 
 # Tracking / click-id query parameters every major pipeline strips.
@@ -692,3 +693,42 @@ def robots_allowed(
         *[c for c in urls.columns],
         F.coalesce(F.col("__best.a"), F.lit(True)).alias("allowed"),
     )
+
+
+def crawl_frontier(
+    df: DataFrame,
+    html_col: str = "payload",
+    url_col: str = "url",
+    rules: DataFrame | None = None,
+    agent: str = "*",
+) -> DataFrame:
+    """The next crawl round's fetch list (r13 capstone): outlinks of
+    the crawled batch — :func:`extract_links` resolved against each
+    page's own URL — canonicalized, URL-deduped, with pages the crawl
+    ALREADY HAS anti-joined away and (when a :func:`parse_robots` rule
+    table is given) robots-disallowed candidates dropped. Returns one
+    ``url`` column, distinct.
+
+    Scale shape: extraction/resolution/canonicalization are map-side;
+    the dedup is a distinct on the canonical string and the
+    already-crawled check one url-keyed anti-join (both AQE-planned —
+    at crawl scale the frontier and the crawled set hash-partition the
+    same way, text never moves); the robots verdict adds one host
+    equi-join against the bounded rule table. No UDF anywhere."""
+    links = df.select(
+        F.explode(extract_links(html_col, url_col)).alias("url")
+    )
+    links = links.select(
+        canonicalize_url("url").alias("url")
+    ).distinct()
+    crawled = df.select(
+        canonicalize_url(url_col).alias("url")
+    ).distinct()
+    out = links.join(crawled, "url", "left_anti")
+    if rules is not None:
+        out = (
+            robots_allowed(out, rules, agent)
+            .filter(F.col("allowed"))
+            .drop("allowed")
+        )
+    return out

@@ -3142,11 +3142,15 @@ _LINK_ORACLE = """
 """
 
 
-def _link_fixture(docs):
+def _link_fixture(docs, with_next: bool = False):
     """(doc_id, payload, url): a deterministic page with one link of
     every resolution class — absolute, protocol-relative,
     root-relative, document-relative, ../-relative — plus two
-    pseudo-links the extractor must drop. Plan literals only."""
+    pseudo-links the extractor must drop. Plan literals only.
+    ``with_next=True`` (frontier entry only — the base fixture's
+    oracles enumerate exactly five classes) adds an ABSOLUTE link to
+    doc_id+1's own page URL: an already-crawled target for every doc
+    but the last, so the frontier's anti-join has real work."""
     did = F.col("doc_id").cast("string")
     url = F.concat(
         F.lit("https://host"),
@@ -3169,6 +3173,18 @@ def _link_fixture(docs):
         F.lit('#frag">v</a><a href="mailto:a@b">m</a>'),
         F.lit('<a href="#top">t</a></body></html>'),
     )
+    if with_next:
+        nid = (F.col("doc_id") + 1).cast("string")
+        next_url = F.concat(
+            F.lit('<a href="https://host'),
+            ((F.col("doc_id") + 1) % 5).cast("string"),
+            F.lit(".example.com/sec"),
+            ((F.col("doc_id") + 1) % 3).cast("string"),
+            F.lit("/page"), nid, F.lit('.html">n</a></body></html>'),
+        )
+        payload = F.concat(
+            F.regexp_replace(payload, "</body></html>$", ""), next_url
+        )
     return docs.select("doc_id", payload.alias("payload"), url.alias("url"))
 
 
@@ -3377,6 +3393,68 @@ def q_robots_gate(spark, sf_dir):
     )
     rules = parse_robots(robots)
     return robots_allowed(urls, rules, "MyBot").orderBy("doc_id")
+
+
+@query(
+    "q_crawl_frontier",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'https://host' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.com' AS origin,
+             '/sec' || CAST(doc_id % 3 AS VARCHAR) AS secdir
+      FROM documents),
+    crawled AS (
+      SELECT origin || secdir || '/page' || CAST(doc_id AS VARCHAR)
+               || '.html' AS url FROM d),
+    cand AS (
+      SELECT 'https://ext' || CAST(doc_id % 7 AS VARCHAR)
+               || '.org/a/' || CAST(doc_id AS VARCHAR) AS url FROM d
+      UNION ALL
+      SELECT 'https://cdn.example.net/lib'
+               || CAST(doc_id % 2 AS VARCHAR) || '.js' FROM d
+      UNION ALL
+      SELECT origin || '/r/' || CAST(doc_id AS VARCHAR) FROM d
+      UNION ALL
+      SELECT origin || secdir || '/sub/p'
+               || CAST(doc_id AS VARCHAR) || '.html' FROM d
+      UNION ALL
+      SELECT origin || '/up/' || CAST(doc_id AS VARCHAR) FROM d
+      UNION ALL
+      SELECT 'https://host' || CAST((doc_id + 1) % 5 AS VARCHAR)
+               || '.example.com/sec' || CAST((doc_id + 1) % 3 AS VARCHAR)
+               || '/page' || CAST(doc_id + 1 AS VARCHAR) || '.html'
+      FROM d)
+    SELECT DISTINCT url FROM cand
+    WHERE url NOT IN (SELECT url FROM crawled)
+      AND url NOT LIKE 'https://ext%'
+    ORDER BY url
+    """,
+)
+def q_crawl_frontier(spark, sf_dir):
+    """The crawl loop's capstone composition (r13): the next round's
+    fetch list via ``url.crawl_frontier`` — outlinks of every crawled
+    page (five resolution classes plus an ABSOLUTE link to doc_id+1's
+    own page), canonicalized and URL-deduped, the already-crawled
+    pages anti-joined away (every next-page link but the corpus
+    maximum's disappears here — the anti-join does real, data-
+    dependent work), and the ext*.org hosts dropped by a robots rule
+    table (``Disallow: /a/`` for ``*``). The oracle replays candidate
+    generation, the NOT IN anti-join, and the robots drop closed-form.
+    Map-side extraction; one distinct + one url-keyed anti-join + one
+    host equi-join — the frontier shape that holds at crawl scale."""
+    from mongo_arrow_spark.operators.url import crawl_frontier, parse_robots
+
+    docs = _t(spark, sf_dir, "documents")
+    fx = _link_fixture(docs, with_next=True)
+    ext_hosts = spark.createDataFrame(
+        [(f"ext{i}.org", "User-agent: *\nDisallow: /a/") for i in range(7)],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(ext_hosts)
+    return crawl_frontier(
+        fx, "payload", "url", rules=rules, agent="maspider"
+    ).orderBy("url")
 
 
 @query(

@@ -720,3 +720,39 @@ def test_robots_allowed_reserved_columns(spark):
     row = robots_allowed(urls, parse_robots(robots), "bot").first()
     assert row["allowed"] is False
     assert (row["prefix"], row["agent"], row["rule_allow"]) == ("P", "A", True)
+
+
+def test_crawl_frontier_composition(spark):
+    """Frontier semantics end-to-end: canonical dedup collapses messy
+    refetch variants, already-crawled targets anti-join away, robots
+    rules drop disallowed hosts, and the result is one distinct url
+    column with no Python eval in the plan."""
+    from mongo_arrow_spark.operators.url import crawl_frontier, parse_robots
+
+    pages = spark.createDataFrame(
+        [
+            (
+                '<a href="https://b.org/x?utm_source=t&k=1">1</a>'
+                '<a href="HTTPS://B.org/x/?k=1">dup</a>'
+                '<a href="/self2">s</a>'
+                '<a href="https://blocked.net/a/1">r</a>',
+                "https://a.org/self1",
+            ),
+            ('<a href="https://a.org/self1">back</a>', "https://a.org/self2"),
+        ],
+        "payload string, url string",
+    )
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("blocked.net", "User-agent: *\nDisallow: /")],
+            "host string, robots_txt string",
+        )
+    )
+    out = crawl_frontier(pages, "payload", "url", rules=rules, agent="bot")
+    got = sorted(r["url"] for r in out.collect())
+    # the two messy b.org variants collapse to ONE canonical url;
+    # /self1 and /self2 are already crawled; blocked.net drops
+    assert got == ["https://b.org/x?k=1"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

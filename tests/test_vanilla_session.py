@@ -118,6 +118,7 @@ REPRESENTATIVES = [
     "q_link_graph",
     "q_sniff_mime",
     "q_robots_gate",
+    "q_crawl_frontier",
 ]
 
 
