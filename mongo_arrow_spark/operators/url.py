@@ -496,16 +496,26 @@ def extract_links(
     scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     origin = _origin(base)
     bdir = _base_dir(base)
+    bpath = F.regexp_extract(
+        base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    bpath = F.when(bpath == F.lit(""), F.lit("/")).otherwise(bpath)
 
     def resolve(l: Column) -> Column:
         rel = F.concat(bdir, l)
         rel = F.regexp_replace(rel, r"/\./", "/")
         for _ in range(int(max_dotdot)):
             rel = F.regexp_replace(rel, r"/[^/]+/\.\./", "/")
+        # RFC 3986 §5.2.4: excess ../ segments past the root are
+        # REMOVED, not kept as residue (urljoin-differential fix)
+        rel = F.regexp_replace(rel, r"^(/\.\.)+/", "/")
         return (
             F.when(l.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), l)
             .when(l.startswith("//"), F.concat(scheme, F.lit(":"), l))
             .when(l.startswith("/"), F.concat(origin, l))
+            # query-only reference: same FULL base path, new query
+            # (§5.3 — appending to the base DIR would be wrong)
+            .when(l.startswith("?"), F.concat(origin, bpath, l))
             .otherwise(F.concat(origin, rel))
         )
 

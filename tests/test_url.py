@@ -756,3 +756,41 @@ def test_crawl_frontier_composition(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_extract_links_resolution_differential_vs_urljoin(spark):
+    """Differential oracle: within the documented envelope (plain path
+    references, ≤ max_dotdot parent hops, root-/protocol-relative,
+    absolute, query-only), extract_links' resolution must agree with
+    the stdlib reference resolver (urllib.parse.urljoin, RFC 3986)
+    on every (base, ref) combination."""
+    from urllib.parse import urljoin
+
+    from mongo_arrow_spark.operators.url import extract_links
+
+    bases = [
+        "https://h.example.com/a/b/page.html",
+        "https://h.example.com/",
+        "https://h.example.com/a/",
+        "http://h2.example.com:8080/x/y/z.html",
+    ]
+    refs = [
+        "x", "x/y.html", "./x", "../x", "../../x", "../../../x",
+        "/r", "/r/s?q=1", "//cdn.net/l", "https://abs.org/q",
+        "x/./y", "a/../b", "?q=1", "x?q=1&b=2", "sub/",
+        "../up/./d/../e",
+    ]
+    rows = [
+        (b, r, f'<a href="{r}">x</a>') for b in bases for r in refs
+    ]
+    df = spark.createDataFrame(rows, "url string, ref string, payload string")
+    out = df.select(
+        "url", "ref", extract_links("payload", "url").alias("l")
+    ).collect()
+    diffs = [
+        (row["url"], row["ref"], row["l"], urljoin(row["url"], row["ref"]))
+        for row in out
+        if (row["l"][0] if row["l"] else None)
+        != urljoin(row["url"], row["ref"])
+    ]
+    assert not diffs, diffs
