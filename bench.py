@@ -186,6 +186,12 @@ HEADLINE = [
     # frontier composition: extraction map-side + one distinct + one
     # url anti-join + the robots host join
     "q_crawl_frontier",
+    # second wave: sitemap parse (split+transform), canonical-link
+    # dedup (one groupBy argmax), fetch-wave scheduling (per-host
+    # window) — all expected near the URL-tier floor
+    "q_sitemap_frontier",
+    "q_canonical_dedup",
+    "q_fetch_schedule",
 ]
 
 

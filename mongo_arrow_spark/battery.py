@@ -541,6 +541,14 @@ _DEMOTED = [
     # generation, the NOT-IN anti-join and the robots drop closed-form
     # in tests/test_battery.py.
     "q_crawl_frontier",
+    # r13 second wave: sitemap ingest (split+transform parse), canonical-
+    # link dedup (groupBy argmax on the declared canonical key), and
+    # per-host fetch-wave scheduling (window replay oracle) park below
+    # the window by construction; exact oracles in tests/test_battery.py,
+    # operator cases in tests/test_url.py.
+    "q_sitemap_frontier",
+    "q_canonical_dedup",
+    "q_fetch_schedule",
     #   unwind/wordcount → the explode → hash-agg → TakeOrdered shape
     #                     is graded by text_search_tfidf (same explode
     #                     + agg machinery through tf-idf ranking) and

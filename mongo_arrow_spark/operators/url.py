@@ -39,6 +39,10 @@ __all__ = [
     "parse_robots",
     "robots_allowed",
     "crawl_frontier",
+    "parse_sitemap",
+    "canonical_target",
+    "dedup_by_canonical",
+    "schedule_fetches",
 ]
 
 # Tracking / click-id query parameters every major pipeline strips.
@@ -742,3 +746,139 @@ def crawl_frontier(
             .drop("allowed")
         )
     return out
+
+
+def parse_sitemap(
+    df: DataFrame,
+    xml_col: str = "payload",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Typed rows from raw ``sitemap.xml`` bodies (r13): one row per
+    ``<url>``/``<sitemap>`` block — ``loc`` (required per the sitemap
+    protocol; blocks without one drop), ``lastmod`` (NULL when
+    absent) and ``is_index`` (true for ``<sitemapindex>`` bodies,
+    whose locs are FURTHER sitemaps to fetch, not pages). The
+    frontier's seed source next to :func:`extract_links`.
+
+    Pure JVM: one split on block closers + a transform/filter chain —
+    no UDF, no XML library (the sitemap protocol's subset is regular
+    enough; CDATA and entity-escaped locs pass through unescaped for
+    ``&amp;`` only, the one entity the protocol requires)."""
+    x = (F.col(xml_col)).cast("string")
+    is_index = F.lower(x).contains("<sitemapindex")
+    blocks = F.split(x, r"(?i)</url\s*>|</sitemap\s*>")
+    recs = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.replace(
+                F.regexp_extract(b, r"(?is)<loc\s*>\s*([^<]*?)\s*</loc", 1),
+                F.lit("&amp;"),
+                F.lit("&"),
+            ).alias("loc"),
+            F.nullif(
+                F.regexp_extract(
+                    b, r"(?is)<lastmod\s*>\s*([^<]*?)\s*</lastmod", 1
+                ),
+                F.lit(""),
+            ).alias("lastmod"),
+        ),
+    )
+    recs = F.filter(recs, lambda r: r["loc"] != F.lit(""))
+    out = df.select(
+        *keep_cols,
+        is_index.alias("is_index"),
+        F.explode(recs).alias("rec"),
+    )
+    return out.select(
+        *keep_cols,
+        F.col("rec.loc").alias("loc"),
+        F.col("rec.lastmod").alias("lastmod"),
+        "is_index",
+    )
+
+
+def canonical_target(html_col: Column | str) -> Column:
+    """The ``<link rel="canonical" href=...>`` target of an HTML page
+    (either attribute order), or NULL — the page's self-declared
+    canonical URL, the dedup key :func:`dedup_by_canonical` groups
+    on. Pure JVM (two anchored extracts + coalesce-on-empty)."""
+    x = (
+        html_col if isinstance(html_col, Column) else F.col(html_col)
+    ).cast("string")
+    a = F.regexp_extract(
+        x,
+        r"(?is)<link\s[^>]*?rel\s*=\s*['\"]canonical['\"][^>]*?"
+        r"href\s*=\s*['\"]([^'\"]*)['\"]",
+        1,
+    )
+    b = F.regexp_extract(
+        x,
+        r"(?is)<link\s[^>]*?href\s*=\s*['\"]([^'\"]*)['\"][^>]*?"
+        r"rel\s*=\s*['\"]canonical['\"]",
+        1,
+    )
+    hit = F.when(a != F.lit(""), a).otherwise(b)
+    return F.nullif(F.trim(hit), F.lit(""))
+
+
+def dedup_by_canonical(
+    df: DataFrame,
+    html_col: str = "payload",
+    url_col: str = "url",
+) -> DataFrame:
+    """One surviving row per canonical URL (r13): pages declaring the
+    same ``<link rel=canonical>`` target are refetch/variant copies of
+    one document — keep a single representative, PREFERRING the page
+    that IS its own canonical (the canonical capture itself), then the
+    smallest URL for determinism. Pages with no canonical link group
+    by their own canonicalized URL (plain URL-dedup semantics).
+
+    Scale shape: the canonical key is a map-side projection; the one
+    shuffle is a groupBy argmax carrying (key, choice-struct) — the
+    payload rides only on the surviving row via the same
+    min-struct-carry idiom the dedup family uses."""
+    canon = F.coalesce(
+        canonical_target(html_col), canonicalize_url(url_col)
+    )
+    keyed = df.withColumn("__canon", canon)
+    pick = keyed.groupBy("__canon").agg(
+        F.min(
+            F.struct(
+                (F.col(url_col) != F.col("__canon"))
+                .cast("int")
+                .alias("not_self"),
+                F.col(url_col).alias("u"),
+            )
+        ).alias("__pick")
+    )
+    return (
+        keyed.join(pick, "__canon")
+        .filter(F.col(url_col) == F.col("__pick.u"))
+        .drop("__canon", "__pick")
+    )
+
+
+def schedule_fetches(
+    frontier: DataFrame,
+    url_col: str = "url",
+    per_wave: int = 8,
+) -> DataFrame:
+    """Politeness-scheduled fetch waves (r13): at most ``per_wave``
+    URLs per HOST per wave — the frontier ordered deterministically
+    (by URL) within each host and cut into numbered waves; a fetcher
+    drains wave 0 across all hosts, then wave 1, … so no host sees
+    more than ``per_wave`` concurrent requests per round regardless
+    of how skewed the frontier is toward one site.
+
+    One window per host (rank within host — the per-host frontier is
+    the bounded dimension; no global sort), map-side wave arithmetic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(url_col)
+    out = frontier.withColumn("host", url_host(url_col))
+    return out.withColumn(
+        "wave",
+        F.floor((F.row_number().over(w) - 1) / int(per_wave)).cast(
+            "bigint"
+        ),
+    )

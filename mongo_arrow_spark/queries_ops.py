@@ -3458,6 +3458,186 @@ def q_crawl_frontier(spark, sf_dir):
 
 
 @query(
+    "q_sitemap_frontier",
+    """
+    WITH d AS (SELECT doc_id FROM documents)
+    SELECT doc_id, loc, lastmod, is_index FROM (
+      SELECT doc_id,
+             'https://site' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS loc,
+             '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod,
+             FALSE AS is_index
+      FROM d WHERE doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id,
+             'https://site' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.com/q/' || CAST(doc_id AS VARCHAR)
+               || '?a=1&b=2',
+             NULL, FALSE
+      FROM d WHERE doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id,
+             'https://site0.example.com/maps/' || CAST(doc_id AS VARCHAR)
+               || '.xml',
+             NULL, TRUE
+      FROM d WHERE doc_id % 5 = 0
+    ) ORDER BY doc_id, loc
+    """,
+)
+def q_sitemap_frontier(spark, sf_dir):
+    """Sitemap ingest (r13): each document carries a sitemap body —
+    a ``<urlset>`` with two ``<url>`` blocks (one with ``lastmod``,
+    one with an ``&amp;``-escaped query loc, plus a loc-less noise
+    block that must drop) or, for every 5th doc, a ``<sitemapindex>``
+    whose loc is a FURTHER sitemap (``is_index=true``).
+    ``url.parse_sitemap`` — one split + transform/filter chain, no
+    UDF, no XML library — must recover every (loc, lastmod, is_index)
+    row closed-form. The frontier's seed source next to
+    extract_links."""
+    from mongo_arrow_spark.operators.url import parse_sitemap
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    site = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com"),
+    )
+    urlset = F.concat(
+        F.lit("<?xml version='1.0'?><urlset><url><loc> "),
+        site, F.lit("/p/"), did,
+        F.lit(" </loc><lastmod>2026-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-01</lastmod></url><url><loc>"),
+        site, F.lit("/q/"), did,
+        F.lit("?a=1&amp;b=2</loc></url>"),
+        F.lit("<url><priority>0.5</priority></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"
+              "https://site0.example.com/maps/"),
+        did,
+        F.lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    fx = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, index)
+        .otherwise(urlset)
+        .alias("payload"),
+    )
+    return parse_sitemap(fx, keep_cols=("doc_id",)).orderBy(
+        "doc_id", "loc"
+    )
+
+
+@query(
+    "q_canonical_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'https://c' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.com/art/' || CAST(doc_id AS VARCHAR) AS canon
+      FROM documents)
+    SELECT doc_id, canon AS url FROM d
+    UNION ALL
+    SELECT doc_id, 'https://c' || CAST(doc_id % 5 AS VARCHAR)
+             || '.example.com/plain/' || CAST(doc_id AS VARCHAR) FROM d
+    ORDER BY doc_id, url
+    """,
+)
+def q_canonical_dedup(spark, sf_dir):
+    """Canonical-link dedup (r13): every document expands to THREE
+    crawled pages — the canonical capture itself (page url == its
+    declared ``<link rel=canonical>``), a tracking-param refetch
+    VARIANT declaring the same canonical (href-before-rel attribute
+    order, so both extract patterns grade), and a canonical-less
+    plain page. ``url.dedup_by_canonical`` must keep exactly the
+    self-canonical page (preferred over the variant) and the plain
+    page (grouped by its own canonicalized URL) — one groupBy argmax
+    on the canonical key, payload riding only on survivors. The
+    oracle states the surviving (doc_id, url) set closed-form."""
+    from mongo_arrow_spark.operators.url import dedup_by_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    canon = F.concat(
+        F.lit("https://c"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/art/"), did,
+    )
+    plain_url = F.concat(
+        F.lit("https://c"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/plain/"), did,
+    )
+    self_page = F.struct(
+        canon.alias("url"),
+        F.concat(
+            F.lit('<html><head><link rel="canonical" href="'),
+            canon,
+            F.lit('"></head><body>a</body></html>'),
+        ).alias("payload"),
+    )
+    variant = F.struct(
+        F.concat(canon, F.lit("?utm_source=feed")).alias("url"),
+        F.concat(
+            F.lit('<html><head><link href="'),
+            canon,
+            F.lit('" rel="canonical"></head><body>a</body></html>'),
+        ).alias("payload"),
+    )
+    plain = F.struct(
+        plain_url.alias("url"),
+        F.lit("<html><body>unique</body></html>").alias("payload"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.explode(F.array(self_page, variant, plain)).alias("p"),
+    ).select("doc_id", "p.url", "p.payload")
+    return (
+        dedup_by_canonical(pages, "payload", "url")
+        .select("doc_id", "url")
+        .orderBy("doc_id", "url")
+    )
+
+
+@query(
+    "q_fetch_schedule",
+    """
+    WITH f AS (
+      SELECT 'https://crawl' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/f/' || CAST(doc_id AS VARCHAR) AS url,
+             'crawl' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com' AS host
+      FROM documents)
+    SELECT url, host,
+           CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY host
+                              ORDER BY url) - 1) / 3.0) AS BIGINT) AS wave
+    FROM f ORDER BY url
+    """,
+)
+def q_fetch_schedule(spark, sf_dir):
+    """Politeness-scheduled fetch waves (r13): a 7-host frontier cut
+    into waves of ≤ 3 URLs per host by ``url.schedule_fetches`` (one
+    row_number window per host — the per-host frontier is the bounded
+    dimension, no global sort; wave arithmetic map-side). The oracle
+    replays the window EXACTLY, so rank determinism, the wave cut,
+    and host extraction all hash-grade."""
+    from mongo_arrow_spark.operators.url import schedule_fetches
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://crawl"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/f/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return schedule_fetches(frontier, per_wave=3).orderBy("url")
+
+
+@query(
     "url_filter",
     """
     WITH u AS (

@@ -794,3 +794,85 @@ def test_extract_links_resolution_differential_vs_urljoin(spark):
         != urljoin(row["url"], row["ref"])
     ]
     assert not diffs, diffs
+
+
+# -------------------------------------------- r13 second wave: crawl ops
+
+
+def test_parse_sitemap_blocks_and_noise(spark):
+    """urlset vs sitemapindex, lastmod optional, loc-less blocks drop,
+    whitespace trimmed, &amp; unescaped, NULL body yields nothing."""
+    from mongo_arrow_spark.operators.url import parse_sitemap
+
+    rows = [
+        (1, "<?xml version='1.0'?><urlset>"
+            "<url><loc> https://a/1 </loc><lastmod>2026-01-02</lastmod></url>"
+            "<url><loc>https://a/2?x=1&amp;y=2</loc></url>"
+            "<url><priority>0.5</priority></url></urlset>"),
+        (2, "<sitemapindex><sitemap><loc>https://a/s1.xml</loc></sitemap>"
+            "</sitemapindex>"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload string")
+    got = sorted(
+        tuple(r)
+        for r in parse_sitemap(df, keep_cols=("doc_id",)).collect()
+    )
+    assert got == [
+        (1, "https://a/1", "2026-01-02", False),
+        (1, "https://a/2?x=1&y=2", None, False),
+        (2, "https://a/s1.xml", None, True),
+    ]
+
+
+def test_canonical_target_and_dedup(spark):
+    """Both attribute orders extract; self-canonical wins over a
+    variant; canonical-less pages group by their own canonical URL
+    (so messy refetch variants of a linkless page also collapse);
+    smallest URL breaks ties when no self-canonical row exists."""
+    from mongo_arrow_spark.operators.url import (
+        canonical_target,
+        dedup_by_canonical,
+    )
+
+    rows = [
+        ("https://a/page?utm_source=x",
+         '<link rel="canonical" href="https://a/page">'),
+        ("https://a/page", '<link href="https://a/page" rel="canonical">'),
+        # no self-canonical row in this group: min url wins
+        ("https://a/v2?b=1", '<link rel="canonical" href="https://a/v">'),
+        ("https://a/v1?b=1", '<link rel="canonical" href="https://a/v">'),
+        # linkless variants collapse via canonicalize_url
+        ("https://a/plain?utm_source=t", "<p>x</p>"),
+        ("https://a/plain", "<p>x</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload string")
+    got = sorted(r["url"] for r in dedup_by_canonical(df).collect())
+    assert got == ["https://a/page", "https://a/plain", "https://a/v1?b=1"]
+    one = df.limit(1).select(canonical_target("payload").alias("c")).first()
+    assert one["c"] == "https://a/page"
+
+
+def test_schedule_fetches_waves_and_skew(spark):
+    """Wave cut: a 5-url host at per_wave=2 spans waves 0,0,1,1,2 —
+    and a skewed frontier (one giant host) never puts more than
+    per_wave urls of that host in one wave."""
+    from mongo_arrow_spark.operators.url import schedule_fetches
+
+    f = spark.createDataFrame(
+        [(f"https://big.example/u{i:02d}",) for i in range(5)]
+        + [("https://small.example/only",)],
+        "url string",
+    )
+    out = schedule_fetches(f, per_wave=2).collect()
+    waves = sorted(
+        (r["host"], r["wave"], r["url"]) for r in out
+    )
+    assert [w for h, w, _ in waves if h == "big.example"] == [0, 0, 1, 1, 2]
+    assert [w for h, w, _ in waves if h == "small.example"] == [0]
+    import collections
+
+    per = collections.Counter(
+        (r["host"], r["wave"]) for r in out
+    )
+    assert max(per.values()) <= 2

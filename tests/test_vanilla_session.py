@@ -119,6 +119,9 @@ REPRESENTATIVES = [
     "q_sniff_mime",
     "q_robots_gate",
     "q_crawl_frontier",
+    "q_sitemap_frontier",
+    "q_canonical_dedup",
+    "q_fetch_schedule",
 ]
 
 
