@@ -428,6 +428,36 @@ def _base_dir(base: Column) -> Column:
     return F.when(d == F.lit(""), F.lit("/")).otherwise(d)
 
 
+def _resolve_ref(
+    l: Column, base: Column, max_dotdot: int = 4
+) -> Column:
+    """RFC-3986-style reference resolution as JVM expressions (shared
+    by :func:`extract_links` and :func:`dedup_by_canonical`): absolute
+    / protocol-relative / root-relative / query-only / document-
+    relative with ``/./`` folding, up to ``max_dotdot`` ``seg/../``
+    reductions, and excess ``../`` clamped at the root (§5.2.4). NULL
+    in → NULL out."""
+    scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
+    origin = _origin(base)
+    bdir = _base_dir(base)
+    bpath = F.regexp_extract(base, _PATH_RE, 1)
+    bpath = F.when(bpath == F.lit(""), F.lit("/")).otherwise(bpath)
+    rel = F.concat(bdir, l)
+    rel = F.regexp_replace(rel, r"/\./", "/")
+    for _ in range(int(max_dotdot)):
+        rel = F.regexp_replace(rel, r"/[^/]+/\.\./", "/")
+    rel = F.regexp_replace(rel, r"^(/\.\.)+/", "/")
+    return (
+        F.when(l.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), l)
+        .when(l.startswith("//"), F.concat(scheme, F.lit(":"), l))
+        .when(l.startswith("/"), F.concat(origin, l))
+        # query-only reference: same FULL base path, new query (§5.3
+        # — appending to the base DIR would be wrong)
+        .when(l.startswith("?"), F.concat(origin, bpath, l))
+        .otherwise(F.concat(origin, rel))
+    )
+
+
 def extract_links(
     html_col: Column | str,
     base_url_col: Column | str | None = None,
@@ -497,33 +527,9 @@ def extract_links(
             else F.col(base_url_col)
         ).cast("string")
     )
-    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    origin = _origin(base)
-    bdir = _base_dir(base)
-    bpath = F.regexp_extract(
-        base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    return F.transform(
+        links, lambda l: _resolve_ref(l, base, max_dotdot=max_dotdot)
     )
-    bpath = F.when(bpath == F.lit(""), F.lit("/")).otherwise(bpath)
-
-    def resolve(l: Column) -> Column:
-        rel = F.concat(bdir, l)
-        rel = F.regexp_replace(rel, r"/\./", "/")
-        for _ in range(int(max_dotdot)):
-            rel = F.regexp_replace(rel, r"/[^/]+/\.\./", "/")
-        # RFC 3986 §5.2.4: excess ../ segments past the root are
-        # REMOVED, not kept as residue (urljoin-differential fix)
-        rel = F.regexp_replace(rel, r"^(/\.\.)+/", "/")
-        return (
-            F.when(l.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), l)
-            .when(l.startswith("//"), F.concat(scheme, F.lit(":"), l))
-            .when(l.startswith("/"), F.concat(origin, l))
-            # query-only reference: same FULL base path, new query
-            # (§5.3 — appending to the base DIR would be wrong)
-            .when(l.startswith("?"), F.concat(origin, bpath, l))
-            .otherwise(F.concat(origin, rel))
-        )
-
-    return F.transform(links, resolve)
 
 
 def link_host_edges(
@@ -765,16 +771,31 @@ def parse_sitemap(
     enough; CDATA and entity-escaped locs pass through unescaped for
     ``&amp;`` only, the one entity the protocol requires)."""
     x = (F.col(xml_col)).cast("string")
-    is_index = F.lower(x).contains("<sitemapindex")
+    # anchored on the ROOT element (after optional XML declaration /
+    # comments) — a urlset merely CONTAINING the text '<sitemapindex'
+    # must not flag as an index (r13 review fix)
+    is_index = x.rlike(
+        r"(?is)^\s*(?:<\?xml[^>]*>\s*)?(?:<!--.*?-->\s*)*<sitemapindex"
+    )
     blocks = F.split(x, r"(?i)</url\s*>|</sitemap\s*>")
+
+    def _loc(b):
+        # CDATA form is literal (no entity unescape); plain form
+        # unescapes the one entity the protocol requires
+        cdata = F.regexp_extract(
+            b, r"(?is)<loc\s*>\s*<!\[CDATA\[(.*?)\]\]>", 1
+        )
+        plain = F.replace(
+            F.regexp_extract(b, r"(?is)<loc\s*>\s*([^<]*?)\s*</loc", 1),
+            F.lit("&amp;"),
+            F.lit("&"),
+        )
+        return F.when(cdata != F.lit(""), F.trim(cdata)).otherwise(plain)
+
     recs = F.transform(
         blocks,
         lambda b: F.struct(
-            F.replace(
-                F.regexp_extract(b, r"(?is)<loc\s*>\s*([^<]*?)\s*</loc", 1),
-                F.lit("&amp;"),
-                F.lit("&"),
-            ).alias("loc"),
+            _loc(b).alias("loc"),
             F.nullif(
                 F.regexp_extract(
                     b, r"(?is)<lastmod\s*>\s*([^<]*?)\s*</lastmod", 1
@@ -805,17 +826,21 @@ def canonical_target(html_col: Column | str) -> Column:
     x = (
         html_col if isinstance(html_col, Column) else F.col(html_col)
     ).cast("string")
+    # same boundary + paired-quote discipline as extract_links:
+    # data-rel=/data-href= must not match, and an apostrophe inside a
+    # double-quoted value must not truncate it (backreference — the
+    # documented Java-only deviation; no oracle replays this regex)
     a = F.regexp_extract(
         x,
-        r"(?is)<link\s[^>]*?rel\s*=\s*['\"]canonical['\"][^>]*?"
-        r"href\s*=\s*['\"]([^'\"]*)['\"]",
-        1,
+        r"(?is)<link\s(?:[^>]*?[\s'\"])?rel\s*=\s*(['\"])canonical\1"
+        r"[^>]*?[\s'\"]href\s*=\s*(['\"])(.*?)\2",
+        3,
     )
     b = F.regexp_extract(
         x,
-        r"(?is)<link\s[^>]*?href\s*=\s*['\"]([^'\"]*)['\"][^>]*?"
-        r"rel\s*=\s*['\"]canonical['\"]",
-        1,
+        r"(?is)<link\s(?:[^>]*?[\s'\"])?href\s*=\s*(['\"])(.*?)\1"
+        r"[^>]*?[\s'\"]rel\s*=\s*(['\"])canonical\3",
+        2,
     )
     hit = F.when(a != F.lit(""), a).otherwise(b)
     return F.nullif(F.trim(hit), F.lit(""))
@@ -837,24 +862,43 @@ def dedup_by_canonical(
     shuffle is a groupBy argmax carrying (key, choice-struct) — the
     payload rides only on the surviving row via the same
     min-struct-carry idiom the dedup family uses."""
-    canon = F.coalesce(
-        canonical_target(html_col), canonicalize_url(url_col)
+    # the dedup key is the declared target RESOLVED against the page
+    # URL (relative canonicals are the common real-world form — raw
+    # grouping would collapse distinct documents across hosts) and
+    # then CANONICALIZED (case/port/tracking noise must not split a
+    # group); pages with no declaration key on their own canonical URL
+    target = _resolve_ref(canonical_target(html_col), F.col(url_col))
+    canon = canonicalize_url(F.coalesce(target, F.col(url_col)))
+    keyed = df.withColumn("__canon", canon).withColumn(
+        # unique per-row id: exact-duplicate rows must still collapse
+        # to ONE survivor, and NULL-key rows must SURVIVE (as their own
+        # group) instead of vanishing through the join (r13 review fix)
+        "__rid", F.monotonically_increasing_id()
     )
-    keyed = df.withColumn("__canon", canon)
-    pick = keyed.groupBy("__canon").agg(
+    keyed = keyed.withColumn(
+        "__key",
+        F.coalesce(
+            F.col("__canon"),
+            F.concat(F.lit("__null__:"), F.col("__rid").cast("string")),
+        ),
+    )
+    pick = keyed.groupBy("__key").agg(
         F.min(
             F.struct(
-                (F.col(url_col) != F.col("__canon"))
-                .cast("int")
-                .alias("not_self"),
-                F.col(url_col).alias("u"),
+                F.coalesce(
+                    (canonicalize_url(F.col(url_col)) != F.col("__canon"))
+                    .cast("int"),
+                    F.lit(1),
+                ).alias("not_self"),
+                F.coalesce(F.col(url_col), F.lit("")).alias("u"),
+                F.col("__rid").alias("rid"),
             )
         ).alias("__pick")
     )
     return (
-        keyed.join(pick, "__canon")
-        .filter(F.col(url_col) == F.col("__pick.u"))
-        .drop("__canon", "__pick")
+        keyed.join(pick, "__key")
+        .filter(F.col("__rid") == F.col("__pick.rid"))
+        .drop("__canon", "__key", "__rid", "__pick")
     )
 
 

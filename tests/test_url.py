@@ -876,3 +876,82 @@ def test_schedule_fetches_waves_and_skew(spark):
         (r["host"], r["wave"]) for r in out
     )
     assert max(per.values()) <= 2
+
+
+def test_canonical_dedup_resolved_and_hardened(spark):
+    """r13 second self-review fixes: (a) a RELATIVE canonical resolves
+    against its own page URL — two hosts declaring href=\"/article/1\"
+    stay distinct documents; (b) trivially-different absolute targets
+    (case, tracking params) land in one group via canonicalization;
+    (c) data-rel= does not read as a canonical; (d) an apostrophe
+    inside a double-quoted target does not truncate it; (e) exact
+    duplicate rows collapse to one; (f) NULL-url linkless rows survive
+    as their own group."""
+    from mongo_arrow_spark.operators.url import (
+        canonical_target,
+        dedup_by_canonical,
+    )
+
+    rows = [
+        # relative canonical: one group PER HOST
+        ("https://a.com/article/1?ref=x",
+         '<link rel="canonical" href="/article/1">'),
+        ("https://b.com/article/1?ref=x",
+         '<link rel="canonical" href="/article/1">'),
+        # case/tracking-variant absolute target joins the same group
+        ("https://a.com/article/1",
+         '<link rel="canonical" href="HTTPS://a.com/article/1?utm_source=f">'),
+        # exact duplicate rows -> one survivor
+        ("https://c.com/dup", "<p>x</p>"),
+        ("https://c.com/dup", "<p>x</p>"),
+        # NULL url, no canonical -> must survive
+        (None, "<p>orphan</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload string")
+    out = dedup_by_canonical(df).collect()
+    urls = sorted((r["url"] or "NULL") for r in out)
+    assert urls == [
+        "NULL",
+        "https://a.com/article/1",
+        "https://b.com/article/1?ref=x",
+        "https://c.com/dup",
+    ]
+    probe = spark.createDataFrame(
+        [
+            ("dr", '<link href="https://evil.example/x" data-rel="canonical">'),
+            ("apos", '<link rel="canonical" href="https://a/it\'s-here">'),
+        ],
+        "rid string, payload string",
+    )
+    got = {
+        r["rid"]: r["c"]
+        for r in probe.select(
+            "rid", canonical_target("payload").alias("c")
+        ).collect()
+    }
+    assert got["dr"] is None
+    assert got["apos"] == "https://a/it's-here"
+
+
+def test_parse_sitemap_cdata_and_index_anchor(spark):
+    """r13 second self-review fixes: CDATA-wrapped locs parse (and do
+    NOT entity-unescape — CDATA is literal); a urlset merely
+    CONTAINING '<sitemapindex' text (comment/echoed markup) is not an
+    index."""
+    from mongo_arrow_spark.operators.url import parse_sitemap
+
+    rows = [
+        (1, "<urlset><!-- docs mention <sitemapindex> here -->"
+            "<url><loc><![CDATA[https://a/1?x=1&amp;y=2]]></loc></url>"
+            "</urlset>"),
+        (2, "<?xml version='1.0'?>\n<!-- gen -->\n<sitemapindex>"
+            "<sitemap><loc>https://a/s.xml</loc></sitemap></sitemapindex>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload string")
+    got = sorted(
+        tuple(r) for r in parse_sitemap(df, keep_cols=("doc_id",)).collect()
+    )
+    assert got == [
+        (1, "https://a/1?x=1&amp;y=2", None, False),
+        (2, "https://a/s.xml", None, True),
+    ]
