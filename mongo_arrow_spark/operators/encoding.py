@@ -331,9 +331,12 @@ def sniff_mime(payload: Column | str) -> Column:
 
     - a :data:`MAGIC_MIME` prefix match wins (PNG/PDF/GIF/JPEG/zip/
       gzip/zstd/bzip2/ogg/flac, RIFF-typed WEBP/WAV/AVI);
-    - else markup-looking bytes (optional UTF-8 BOM + whitespace, then
-      ``<!doctype``/``<html``/``<?xml``/``<svg``, case-insensitive)
-      → ``text/html`` (``image/svg+xml`` for svg);
+    - else markup-looking bytes (optional UTF-8 BOM + whitespace,
+      case-insensitive): ``<!doctype``/``<html`` → ``text/html``,
+      ``<svg`` → ``image/svg+xml``, ``<?xml`` → ``application/xml``
+      (an XML declaration is NOT evidence of HTML; ``extract_text``'s
+      xml-ish branch still extracts it downstream — its routing test
+      matches on ``contains("xml")``);
     - else a NUL byte anywhere in the first 64 bytes →
       ``application/octet-stream`` (the classic binary probe);
     - else ``text/plain``. NULL stays NULL, empty bytes →

@@ -476,8 +476,12 @@ def extract_links(
     surrounding whitespace trimmed; empty, ``javascript:``,
     ``mailto:``, ``tel:`` and ``data:`` pseudo-links drop.
 
-    Resolution against ``base_url_col`` (skipped when None — relative
-    links then drop, absolute ones pass through):
+    Resolution against the page's EFFECTIVE base: the first
+    ``<base href>`` element when the page declares one (itself
+    resolved against ``base_url_col`` — RFC 3986 §5.1.1 makes the
+    base element the first base candidate), else ``base_url_col``
+    directly. Skipped when ``base_url_col`` is None — relative links
+    then drop, absolute ones pass through. The classes:
 
     - ``scheme://...`` absolute — kept as-is;
     - ``//host/...`` protocol-relative — base scheme prepended;
@@ -527,8 +531,27 @@ def extract_links(
             else F.col(base_url_col)
         ).cast("string")
     )
+    # RFC 3986 §5.1.1: a <base href> element is the FIRST base
+    # candidate — pages that declare one (templated/CDN'd sites)
+    # resolve every relative link against IT, not the page URL (r14
+    # fix; resolving against the page URL poisoned the frontier and
+    # host graph for exactly those sites). Only the first <base>
+    # counts (the HTML spec); the href may itself be relative, so it
+    # first resolves against the page URL. Same boundary/paired-quote
+    # discipline as the href extraction above.
+    btag = F.regexp_extract(
+        x,
+        r"(?is)<base\s(?:[^>]*?[\s'\"])?href\s*=\s*(['\"])(.*?)\1",
+        2,
+    )
+    btag = F.nullif(
+        F.regexp_replace(F.trim(btag), r"#.*$", ""), F.lit("")
+    )
+    eff_base = F.when(
+        btag.isNotNull(), _resolve_ref(btag, base, max_dotdot=max_dotdot)
+    ).otherwise(base)
     return F.transform(
-        links, lambda l: _resolve_ref(l, base, max_dotdot=max_dotdot)
+        links, lambda l: _resolve_ref(l, eff_base, max_dotdot=max_dotdot)
     )
 
 
@@ -566,11 +589,13 @@ def parse_robots(
     robots_col: str = "robots_txt",
 ) -> DataFrame:
     """Parse raw ``robots.txt`` bodies into a typed rule table —
-    ``(host, agent, rule_allow, prefix)`` — distributed (r13, the
-    crawl-politeness tier). Implements the original Robots Exclusion
+    ``(host, agent, rule_allow, prefix, crawl_delay)`` — distributed
+    (r13, the crawl-politeness tier). Implements the original Robots Exclusion
     Protocol: ``User-agent`` lines open a group (CONSECUTIVE
     user-agent lines share one group), ``Allow``/``Disallow`` lines
-    attach a path prefix to every agent of their group; comments
+    attach a path prefix to every agent of their group; any directive
+    line (including ``Crawl-delay``) ends a user-agent run, so a
+    later ``User-agent`` opens a NEW group; comments
     (``#…``) and blank lines are ignored; agent names are
     case-folded, prefixes are kept case-sensitive. ``*``/``$``
     wildcards are NOT interpreted (prefix-only matching, the original
@@ -580,17 +605,39 @@ def parse_robots(
     :func:`robots_allowed`. Hosts are lowercased (case-insensitive
     per RFC).
 
-    Plan shape: ``split`` + ``posexplode`` per robots body, ONE window
-    over (host ordered by line position) to assign group ids — robots
-    bodies are small (the spec caps at 500 KiB) so per-host line
-    counts are bounded — then a group-local self-join of agents ×
-    rules. No UDF."""
+    ``Crawl-delay`` directives attach to their group like rules: every
+    output row carries the group's ``crawl_delay`` (seconds, double;
+    NULL when the group declares none or the value is non-numeric) —
+    :func:`schedule_fetches` consumes it to size per-host fetch waves.
+
+    Duplicate-host contract (r14 fix): the per-host line windows are
+    keyed by (host, body digest), so two DIFFERENT robots bodies for
+    one host (refetched snapshots) parse independently and their rule
+    groups UNION in the output — they can no longer interleave by
+    line position and attach directives to the wrong groups; exact
+    duplicate (host, body) rows are deduplicated up front.
+
+    Plan shape: distinct over (host, body), ``split`` + ``posexplode``
+    per body, ONE window over (host, body digest ordered by line
+    position) to assign group ids — robots bodies are small (the spec
+    caps at 500 KiB) so per-body line counts are bounded — then a
+    group-local self-join of agents × rules. No UDF, and no positional
+    ids: the window key is a content digest (the membership.py
+    discipline)."""
     from pyspark.sql import Window
 
-    lines = df.select(
-        F.col(host_col).alias("host"),
+    # hosts fold case up front (case-insensitive per RFC — url_host
+    # lowercases the join key on the URL side) so case-variant rows of
+    # one host dedup together; exact duplicate bodies collapse here
+    base = df.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.col(robots_col).alias("__body"),
+    ).distinct()
+    lines = base.select(
+        "host",
+        F.md5(F.coalesce(F.col("__body"), F.lit(""))).alias("__b"),
         F.posexplode(
-            F.split(F.coalesce(F.col(robots_col), F.lit("")), r"\r?\n")
+            F.split(F.coalesce(F.col("__body"), F.lit("")), r"\r?\n")
         ).alias("pos", "line"),
     )
     norm = lines.withColumn(
@@ -602,35 +649,42 @@ def parse_robots(
         "val", F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1))
     )
     norm = norm.filter(
-        F.col("key").isin("user-agent", "allow", "disallow")
+        F.col("key").isin("user-agent", "allow", "disallow", "crawl-delay")
     )
-    w = Window.partitionBy("host").orderBy("pos")
+    w = Window.partitionBy("host", "__b").orderBy("pos")
     is_ua = F.col("key") == "user-agent"
     opens = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
     grouped = norm.withColumn(
         "grp", F.sum(opens.cast("int")).over(w)
     ).filter(F.col("grp") > 0)  # directives before any user-agent drop
     agents = grouped.filter(is_ua).select(
-        "host", "grp", F.lower(F.col("val")).alias("agent")
+        "host", "__b", "grp", F.lower(F.col("val")).alias("agent")
     )
-    rules = grouped.filter(~is_ua & (F.col("val") != "")).select(
+    rules = grouped.filter(
+        F.col("key").isin("allow", "disallow") & (F.col("val") != "")
+    ).select(
         "host",
+        "__b",
         "grp",
         (F.col("key") == "allow").alias("rule_allow"),
         F.col("val").alias("prefix"),
     )
-    # LEFT join: an agent group with no usable rules (only empty
+    delays = (
+        grouped.filter(F.col("key") == "crawl-delay")
+        .groupBy("host", "__b", "grp")
+        # try_cast: a non-numeric delay value is NULL, not an ANSI
+        # cast error killing the whole parse
+        .agg(F.max(F.col("val").try_cast("double")).alias("crawl_delay"))
+    )
+    # LEFT joins: an agent group with no usable rules (only empty
     # Disallow / unknown keys) must still EXIST in the output — agent
     # precedence in robots_allowed depends on group existence (a
     # specific allow-all group overrides a blocking * group); its
-    # NULL-prefix row can never match a path. Hosts fold case (they
-    # are case-insensitive per RFC; url_host lowercases the join key
-    # on the URL side).
-    return agents.join(rules, ["host", "grp"], "left").select(
-        F.lower(F.col("host")).alias("host"),
-        "agent",
-        "rule_allow",
-        "prefix",
+    # NULL-prefix row can never match a path.
+    return (
+        agents.join(rules, ["host", "__b", "grp"], "left")
+        .join(delays, ["host", "__b", "grp"], "left")
+        .select("host", "agent", "rule_allow", "prefix", "crawl_delay")
     )
 
 
@@ -639,22 +693,37 @@ def robots_allowed(
     rules: DataFrame,
     agent: str,
     url_col: str = "url",
+    out_col: str = "allowed",
 ) -> DataFrame:
-    """The input frame plus a boolean ``allowed`` column — may
+    """The input frame plus a boolean ``out_col`` column — may
     ``agent`` fetch each URL under the :func:`parse_robots` rule
     table? Google-documented REP semantics, prefix-only: the group
     for the EXACT matching agent wins entirely over the ``*`` group
     when one exists for the host; within the chosen group the
     LONGEST matching prefix decides, Allow winning length ties; no
     matching rule (or no rules for the host at all) means allowed.
+    Raises when ``out_col`` already exists in the input (silent
+    overwrite would corrupt caller data — pick another name).
 
     Plan shape: one window over the (small, per-host) rule table to
-    resolve the agent group, one equi-join on host (rule tables are
-    hosts × rules — broadcastable for any real crawl's politeness
-    set; AQE decides), then a struct-max argmax per URL. No UDF, no
-    cartesian."""
+    resolve the agent group, then the chosen group's rules COLLAPSE
+    to one array row per host (robots bodies are spec-capped at
+    500 KiB, so the per-host rule array is bounded) and equi-join the
+    URL frame on host (broadcastable for any real crawl's politeness
+    set; AQE decides); the verdict is a higher-order filter +
+    array_max argmax over that array. The URL side is never expanded
+    or re-aggregated — input rows pass through the left join exactly
+    once, so cardinality is preserved WITHOUT any row id (the r13
+    ``monotonically_increasing_id`` verdict key was the
+    nondeterministic-id hazard membership.py documents; r14 fix). No
+    UDF, no cartesian."""
     from pyspark.sql import Window
 
+    if out_col in urls.columns:
+        raise ValueError(
+            f"robots_allowed: output column {out_col!r} already exists in "
+            "the input frame — pass out_col= to pick a free name"
+        )
     a = agent.lower()
     # reserved __names on the rule side so an input frame carrying
     # columns like `prefix`/`agent` cannot make the join ambiguous
@@ -671,47 +740,48 @@ def robots_allowed(
     ).filter(
         (F.col("__agent") == a) == (F.col("__has_specific") == 1)
     ).drop("__has_specific")
-
-    u = (
-        urls
-        # unique row key: the verdict groupBy must preserve the input's
-        # cardinality even when rows are full duplicates
-        .withColumn("__rid", F.monotonically_increasing_id())
-        .withColumn("__host", url_host(url_col))
-    ).withColumn(
-        "__path",
-        F.when(
-            F.regexp_extract(
-                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
-            )
-            == "",
-            F.lit("/"),
-        ).otherwise(
-            F.regexp_extract(
-                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
-            )
-        ),
-    )
-    joined = u.join(cand, "__host", "left").withColumn(
-        "__hit",
-        F.col("__prefix").isNotNull()
-        & F.col("__path").startswith(F.col("__prefix")),
-    )
-    verdict = joined.groupBy("__rid").agg(
-        *[F.first(c).alias(c) for c in urls.columns],
-        F.max(
+    # one row per host: the chosen group's matchable rules as an array
+    # of (prefix, length, allow) structs. NULL-prefix rows (ruleless
+    # groups, kept for the precedence window above) contribute nothing
+    # matchable — collect_list drops the NULL entries, leaving an
+    # empty array, which verdicts to allowed.
+    per_host = cand.groupBy("__host").agg(
+        F.collect_list(
             F.when(
-                F.col("__hit"),
+                F.col("__prefix").isNotNull(),
                 F.struct(
+                    F.col("__prefix").alias("p"),
                     F.length("__prefix").alias("l"),
                     F.col("__allow").alias("a"),
                 ),
             )
-        ).alias("__best"),
+        ).alias("__rules")
     )
-    return verdict.select(
-        *[c for c in urls.columns],
-        F.coalesce(F.col("__best.a"), F.lit(True)).alias("allowed"),
+    path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    u = urls.withColumn("__ra_host", url_host(url_col)).withColumn(
+        "__ra_path",
+        F.when(path == "", F.lit("/")).otherwise(path),
+    )
+    joined = u.join(
+        per_host, u["__ra_host"] == per_host["__host"], "left"
+    )
+    # longest matching prefix wins, Allow winning length ties: max of
+    # (l, a) structs — true > false makes Allow the tie winner. Empty
+    # or NULL rule array -> NULL -> allowed.
+    best = F.array_max(
+        F.transform(
+            F.filter(
+                F.col("__rules"),
+                lambda r: F.col("__ra_path").startswith(r["p"]),
+            ),
+            lambda r: F.struct(r["l"].alias("l"), r["a"].alias("a")),
+        )
+    )
+    return joined.select(
+        *[urls[c] for c in urls.columns],
+        F.coalesce(best["a"], F.lit(True)).alias(out_col),
     )
 
 
@@ -855,13 +925,24 @@ def dedup_by_canonical(
     same ``<link rel=canonical>`` target are refetch/variant copies of
     one document — keep a single representative, PREFERRING the page
     that IS its own canonical (the canonical capture itself), then the
-    smallest URL for determinism. Pages with no canonical link group
-    by their own canonicalized URL (plain URL-dedup semantics).
+    smallest URL, then a content digest of the full row for
+    determinism (remaining ties are bit-identical rows, so the pick
+    is deterministic either way). Pages with no canonical link group
+    by their own canonicalized URL (plain URL-dedup semantics); rows
+    whose key is NULL (NULL url, no declaration) each survive as
+    their own content-keyed group — identical such rows collapse to
+    one, consistent with the exact-duplicate contract.
 
     Scale shape: the canonical key is a map-side projection; the one
-    shuffle is a groupBy argmax carrying (key, choice-struct) — the
-    payload rides only on the surviving row via the same
-    min-struct-carry idiom the dedup family uses."""
+    shuffle is a ``min_by`` groupBy carrying (key, order-struct, row)
+    — partial aggregation keeps one candidate row per key per input
+    partition, so payloads cross the wire once per (partition, key),
+    and there is NO join-back. The survivor key is pure row CONTENT
+    (canonical target + full-row digest) — never
+    ``monotonically_increasing_id``, whose positional ids can diverge
+    between join branches / task retries after an upstream shuffle
+    (the engine-wide discipline documented in membership.py; the r13
+    two-branch ``__rid`` self-join was exactly that hazard, r14 fix)."""
     # the dedup key is the declared target RESOLVED against the page
     # URL (relative canonicals are the common real-world form — raw
     # grouping would collapse distinct documents across hosts) and
@@ -869,60 +950,134 @@ def dedup_by_canonical(
     # group); pages with no declaration key on their own canonical URL
     target = _resolve_ref(canonical_target(html_col), F.col(url_col))
     canon = canonicalize_url(F.coalesce(target, F.col(url_col)))
-    keyed = df.withColumn("__canon", canon).withColumn(
-        # unique per-row id: exact-duplicate rows must still collapse
-        # to ONE survivor, and NULL-key rows must SURVIVE (as their own
-        # group) instead of vanishing through the join (r13 review fix)
-        "__rid", F.monotonically_increasing_id()
-    )
-    keyed = keyed.withColumn(
-        "__key",
+    row = F.struct(*[F.col(c) for c in df.columns])
+    # deterministic content digest: the NULL-key group key and the
+    # final ordering tiebreaker (to_json serializes every SQL type,
+    # binary as base64 — rows that still tie are bit-identical)
+    digest = F.md5(F.to_json(row))
+    order = F.struct(
         F.coalesce(
-            F.col("__canon"),
-            F.concat(F.lit("__null__:"), F.col("__rid").cast("string")),
-        ),
+            (canonicalize_url(F.col(url_col)) != canon).cast("int"),
+            F.lit(1),
+        ).alias("not_self"),
+        F.coalesce(F.col(url_col).cast("string"), F.lit("")).alias("u"),
+        digest.alias("d"),
     )
-    pick = keyed.groupBy("__key").agg(
-        F.min(
-            F.struct(
-                F.coalesce(
-                    (canonicalize_url(F.col(url_col)) != F.col("__canon"))
-                    .cast("int"),
-                    F.lit(1),
-                ).alias("not_self"),
-                F.coalesce(F.col(url_col), F.lit("")).alias("u"),
-                F.col("__rid").alias("rid"),
-            )
-        ).alias("__pick")
+    keyed = df.select(
+        canon.alias("__k1"),
+        # NULL-key rows get their own content-keyed group; a separate
+        # key COLUMN (not a sentinel prefix on __k1) so no real URL
+        # can ever collide with the synthetic key space
+        F.when(canon.isNull(), digest).otherwise(F.lit("")).alias("__k2"),
+        order.alias("__ord"),
+        row.alias("__row"),
     )
-    return (
-        keyed.join(pick, "__key")
-        .filter(F.col("__rid") == F.col("__pick.rid"))
-        .drop("__canon", "__key", "__rid", "__pick")
+    pick = keyed.groupBy("__k1", "__k2").agg(
+        F.min_by("__row", "__ord").alias("__pick")
     )
+    return pick.select("__pick.*")
 
 
 def schedule_fetches(
     frontier: DataFrame,
     url_col: str = "url",
     per_wave: int = 8,
+    rules: DataFrame | None = None,
+    agent: str = "*",
+    lastmod_col: str | None = None,
+    host_col: str = "host",
+    wave_col: str = "wave",
 ) -> DataFrame:
-    """Politeness-scheduled fetch waves (r13): at most ``per_wave``
-    URLs per HOST per wave — the frontier ordered deterministically
-    (by URL) within each host and cut into numbered waves; a fetcher
-    drains wave 0 across all hosts, then wave 1, … so no host sees
-    more than ``per_wave`` concurrent requests per round regardless
-    of how skewed the frontier is toward one site.
+    """Politeness-scheduled fetch waves (r13; r14: Crawl-delay and
+    freshness aware): at most ``per_wave`` URLs per HOST per wave —
+    the frontier ordered deterministically within each host and cut
+    into numbered waves; a fetcher drains wave 0 across all hosts,
+    then wave 1, … so no host sees more than its budget of concurrent
+    requests per round regardless of how skewed the frontier is
+    toward one site.
+
+    - ``rules``: a :func:`parse_robots` table. Each host's
+      ``crawl_delay`` (the chosen group's, EXACT ``agent`` overriding
+      ``*`` — the same precedence :func:`robots_allowed` applies)
+      shrinks its wave budget to ``max(1, floor(per_wave / delay))``
+      URLs: one wave is one politeness interval, so a host asking for
+      a d-second gap gets proportionally fewer fetches per wave.
+      Hosts declaring no delay keep ``per_wave``.
+    - ``lastmod_col``: when given (sitemap ``lastmod`` recency, via
+      :func:`parse_sitemap`), fresher URLs schedule into EARLIER
+      waves — within-host order is (lastmod DESC NULLS LAST, url)
+      instead of plain url.
+    - ``host_col`` / ``wave_col``: output column names; raises when
+      either already exists in the input (silent overwrite would
+      corrupt caller data — the r13 hardcoded names did exactly
+      that).
 
     One window per host (rank within host — the per-host frontier is
-    the bounded dimension; no global sort), map-side wave arithmetic."""
+    the bounded dimension; no global sort) plus, with ``rules``, one
+    equi-join against the bounded per-host delay table (AQE
+    broadcasts it); wave arithmetic stays map-side."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("host").orderBy(url_col)
-    out = frontier.withColumn("host", url_host(url_col))
-    return out.withColumn(
-        "wave",
-        F.floor((F.row_number().over(w) - 1) / int(per_wave)).cast(
-            "bigint"
-        ),
+    for c in (host_col, wave_col):
+        if c in frontier.columns:
+            raise ValueError(
+                f"schedule_fetches: output column {c!r} already exists in "
+                "the frontier — pass host_col=/wave_col= to pick free names"
+            )
+    out = frontier.withColumn(host_col, url_host(url_col))
+    order = (
+        [F.col(lastmod_col).desc_nulls_last(), F.col(url_col)]
+        if lastmod_col is not None
+        else [F.col(url_col)]
     )
+    w = Window.partitionBy(host_col).orderBy(*order)
+    rank0 = F.row_number().over(w) - 1
+    if rules is None:
+        wave = F.floor(rank0 / int(per_wave))
+    else:
+        if "crawl_delay" not in rules.columns:
+            raise ValueError(
+                "schedule_fetches: rules= frame has no crawl_delay column "
+                "— pass a parse_robots() table"
+            )
+        a = agent.lower()
+        ag = F.lower(F.col("agent"))
+        # group-exclusion precedence, same as robots_allowed: when a
+        # specific-agent group EXISTS for a host, the * group is
+        # ignored entirely — including its delay (a specific group
+        # with no Crawl-delay means "no delay", not "inherit *'s")
+        delays = (
+            rules.filter(ag.isin(a, "*"))
+            .groupBy(F.lower(F.col("host")).alias("__sf_host"))
+            .agg(
+                F.max(
+                    F.when(ag == a, F.col("crawl_delay"))
+                ).alias("__d_specific"),
+                F.max(
+                    F.when(ag == "*", F.col("crawl_delay"))
+                ).alias("__d_wild"),
+                F.max((ag == a).cast("int")).alias("__has_specific"),
+            )
+            .select(
+                "__sf_host",
+                F.when(
+                    F.col("__has_specific") == 1, F.col("__d_specific")
+                )
+                .otherwise(F.col("__d_wild"))
+                .alias("__sf_delay"),
+            )
+        )
+        out = out.join(
+            delays, out[host_col] == delays["__sf_host"], "left"
+        ).drop("__sf_host")
+        budget = F.when(
+            F.col("__sf_delay").isNotNull(),
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    int(per_wave) / F.greatest(F.col("__sf_delay"), F.lit(1.0))
+                ),
+            ),
+        ).otherwise(F.lit(int(per_wave)))
+        wave = F.floor(rank0 / budget)
+    return out.withColumn(wave_col, wave.cast("bigint")).drop("__sf_delay")

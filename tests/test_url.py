@@ -530,7 +530,8 @@ def test_parse_robots_groups_and_noise(spark):
     """Group parsing: consecutive User-agent lines share a group;
     comments/blank lines/unknown keys skip; directives before any
     user-agent line drop; empty Disallow (allow-all) rows drop; agent
-    names fold case, prefixes stay case-sensitive."""
+    names fold case, prefixes stay case-sensitive; Crawl-delay (r14)
+    attaches to every row of its group, NULL elsewhere."""
     from mongo_arrow_spark.operators.url import parse_robots
 
     body = (
@@ -539,7 +540,7 @@ def test_parse_robots_groups_and_noise(spark):
         "User-agent: A\n"
         "User-agent: B\n"
         "Disallow: /Shared/\n"
-        "Crawl-delay: 10\n"             # unknown key: skipped
+        "Crawl-delay: 10\n"             # r14: consumed, per-group
         "\n"
         "User-agent: *\n"
         "Allow: /ok\n"
@@ -547,13 +548,13 @@ def test_parse_robots_groups_and_noise(spark):
     )
     df = spark.createDataFrame([("h", body)], "host string, robots_txt string")
     got = sorted(
-        (r["agent"], r["rule_allow"], r["prefix"])
+        (r["agent"], r["rule_allow"], r["prefix"], r["crawl_delay"])
         for r in parse_robots(df).collect()
     )
     assert got == [
-        ("*", True, "/ok"),
-        ("a", False, "/Shared/"),
-        ("b", False, "/Shared/"),
+        ("*", True, "/ok", None),
+        ("a", False, "/Shared/", 10.0),
+        ("b", False, "/Shared/", 10.0),
     ]
 
 
@@ -955,3 +956,291 @@ def test_parse_sitemap_cdata_and_index_anchor(spark):
         (1, "https://a/1?x=1&amp;y=2", None, False),
         (2, "https://a/s.xml", None, True),
     ]
+
+
+# ------------------------------------------------ r14: verdict/ADVICE fixes
+
+
+def test_canonical_dedup_post_shuffle_stability(spark):
+    """r14 fix (r13 verdict What's-wrong #1): the survivor key is pure
+    row content — no monotonically_increasing_id anywhere in the plan,
+    so a post-shuffle input (the hazard case: partition-internal row
+    order diverging between evaluations) picks a STABLE survivor set,
+    and no canonical group can silently vanish."""
+    from mongo_arrow_spark.operators.url import dedup_by_canonical
+
+    rows = []
+    for i in range(40):
+        canon = f"https://h{i % 7}.example.com/art/{i}"
+        rows.append(
+            (i, canon,
+             f'<link rel="canonical" href="{canon}"><p>self</p>')
+        )
+        rows.append(
+            (i, canon + "?utm_source=x",
+             f'<link rel="canonical" href="{canon}"><p>variant</p>')
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, payload string"
+    ).repartition(13)  # force the input off a shuffle
+    out = dedup_by_canonical(df, "payload", "url")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    got1 = sorted((r["doc_id"], r["url"]) for r in out.collect())
+    got2 = sorted(
+        (r["doc_id"], r["url"])
+        for r in dedup_by_canonical(df, "payload", "url").collect()
+    )
+    # every group survives exactly once, as its self-canonical page
+    assert got1 == [(i, f"https://h{i % 7}.example.com/art/{i}")
+                    for i in range(40)]
+    assert got1 == got2
+    # and the plan is join-free: one hash aggregate carries the row
+    assert "Join" not in plan
+
+
+def test_robots_allowed_no_positional_id_and_no_url_side_agg(spark):
+    """r14 fix (ADVICE low): the verdict join is keyed on host against
+    a one-row-per-host rule-array table — no monotonically_increasing_id,
+    and no aggregation on the URL side that could mis-key rows on a
+    task retry."""
+    from mongo_arrow_spark.operators.url import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /no/\nAllow: /no/ok")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(f"https://h/no/{i}",) for i in range(10)]
+        + [("https://h/no/ok/1",), ("https://h/yes",)],
+        "url string",
+    ).repartition(5)
+    out = robots_allowed(urls, parse_robots(robots), "bot")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    got = {r["url"]: r["allowed"] for r in out.collect()}
+    assert got["https://h/no/ok/1"] is True
+    assert got["https://h/yes"] is True
+    assert all(got[f"https://h/no/{i}"] is False for i in range(10))
+
+
+def test_robots_allowed_out_col_guard(spark):
+    """r14 fix (r13 verdict What's-wrong #4): an input frame already
+    carrying the output column name raises instead of silently
+    overwriting; out_col= picks a free name."""
+    from mongo_arrow_spark.operators.url import parse_robots, robots_allowed
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h", "User-agent: *\nDisallow: /no/")],
+            "host string, robots_txt string",
+        )
+    )
+    urls = spark.createDataFrame(
+        [("https://h/no/x", False)], "url string, allowed boolean"
+    )
+    with pytest.raises(ValueError, match="allowed"):
+        robots_allowed(urls, rules, "bot")
+    row = robots_allowed(urls, rules, "bot", out_col="robots_ok").first()
+    assert row["allowed"] is False  # caller's column untouched
+    assert row["robots_ok"] is False
+
+
+def test_parse_robots_two_snapshots_parse_independently(spark):
+    """r14 fix (r13 verdict What's-wrong #2): two DIFFERENT robots
+    bodies for one host parse independently (their rule groups union —
+    lines can no longer interleave by position); exact duplicate
+    (host, body) rows dedup to one parse."""
+    from mongo_arrow_spark.operators.url import parse_robots
+
+    snap_a = "User-agent: *\nDisallow: /old/"
+    snap_b = "User-agent: *\nDisallow: /new/\n\nUser-agent: bot\nAllow: /"
+    df = spark.createDataFrame(
+        [("h", snap_a), ("h", snap_b), ("h", snap_a)],  # a duplicated
+        "host string, robots_txt string",
+    )
+    got = sorted(
+        (r["agent"], r["rule_allow"], r["prefix"])
+        for r in parse_robots(df).collect()
+    )
+    # snapshot A parsed once (duplicate collapsed), snapshot B's two
+    # groups intact — no cross-snapshot group merging
+    assert got == [
+        ("*", False, "/new/"),
+        ("*", False, "/old/"),
+        ("bot", True, "/"),
+    ]
+
+
+def test_parse_robots_crawl_delay_groups_and_noise(spark):
+    """r14 (verdict Missing #3): Crawl-delay attaches per GROUP; a
+    non-numeric value is NULL; a delay-only group still emits its
+    NULL-prefix existence row; a Crawl-delay line between User-agent
+    lines ends the user-agent run (original REP group semantics)."""
+    from mongo_arrow_spark.operators.url import parse_robots
+
+    body = (
+        "User-agent: a\nCrawl-delay: 2.5\nUser-agent: b\nDisallow: /x/\n\n"
+        "User-agent: c\nCrawl-delay: fast\nDisallow: /y/\n\n"
+        "User-agent: d\nCrawl-delay: 7\n"
+    )
+    df = spark.createDataFrame([("h", body)], "host string, robots_txt string")
+    got = sorted(
+        (r["agent"], r["prefix"], r["crawl_delay"])
+        for r in parse_robots(df).collect()
+    )
+    assert got == [
+        ("a", None, 2.5),        # delay-only group: existence row
+        ("b", "/x/", None),      # NEW group (delay broke the UA run)
+        ("c", "/y/", None),      # non-numeric delay -> NULL
+        ("d", None, 7.0),
+    ]
+
+
+def test_schedule_fetches_crawl_delay_budgets(spark):
+    """r14 (verdict Missing #3): a host declaring Crawl-delay gets a
+    proportionally SMALLER wave budget — max(1, floor(per_wave/delay))
+    — with exact-agent precedence over *; hosts without a delay keep
+    per_wave; a specific group with no delay suppresses *'s delay."""
+    from mongo_arrow_spark.operators.url import parse_robots, schedule_fetches
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.example", "User-agent: *\nCrawl-delay: 4\nDisallow: /no"),
+            ("fast.example", "User-agent: *\nDisallow: /no"),
+            # * says delay 8, but the specific group (no delay) wins
+            ("mine.example",
+             "User-agent: *\nCrawl-delay: 8\n\nUser-agent: bot\nDisallow: /no"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    f = spark.createDataFrame(
+        [(f"https://{h}/u{i}",) for h in
+         ("slow.example", "fast.example", "mine.example") for i in range(8)],
+        "url string",
+    )
+    out = schedule_fetches(f, per_wave=8, rules=rules, agent="Bot").collect()
+    import collections
+
+    per = collections.Counter((r["host"], r["wave"]) for r in out)
+    # slow: budget = floor(8/4) = 2 -> waves 0..3, 2 urls each
+    assert [per[("slow.example", w)] for w in range(4)] == [2, 2, 2, 2]
+    # fast + specific-override: full budget, one wave
+    assert per[("fast.example", 0)] == 8
+    assert per[("mine.example", 0)] == 8
+
+
+def test_schedule_fetches_column_guards_and_custom_names(spark):
+    """r14 fix (r13 verdict What's-wrong #4): a frontier already
+    carrying host/wave raises instead of being silently overwritten;
+    host_col=/wave_col= emit under free names."""
+    from mongo_arrow_spark.operators.url import schedule_fetches
+
+    f = spark.createDataFrame(
+        [("https://h/x", "keep-me")], "url string, host string"
+    )
+    with pytest.raises(ValueError, match="host"):
+        schedule_fetches(f)
+    row = schedule_fetches(f, host_col="fetch_host", wave_col="fetch_wave").first()
+    assert row["host"] == "keep-me"
+    assert row["fetch_host"] == "h" and row["fetch_wave"] == 0
+
+
+def test_schedule_fetches_lastmod_orders_fresh_first(spark):
+    """r14 (verdict Missing #3): with lastmod_col=, fresher URLs land
+    in EARLIER waves (lastmod DESC NULLS LAST, url tiebreak)."""
+    from mongo_arrow_spark.operators.url import schedule_fetches
+
+    f = spark.createDataFrame(
+        [
+            ("https://h.example/old", "2026-01-01"),
+            ("https://h.example/new", "2026-08-01"),
+            ("https://h.example/mid", "2026-05-01"),
+            ("https://h.example/unknown", None),
+        ],
+        "url string, lastmod string",
+    )
+    out = schedule_fetches(f, per_wave=1, lastmod_col="lastmod").collect()
+    wave = {r["url"].rsplit("/", 1)[1]: r["wave"] for r in out}
+    assert wave == {"new": 0, "mid": 1, "old": 2, "unknown": 3}
+
+
+def test_extract_links_base_href(spark):
+    """r14 (r13 verdict Missing #2): a <base href> element is the
+    resolution base for relative links (RFC 3986 §5.1.1) — absolute,
+    root-relative (against the BASE's origin), and document-relative
+    forms; a RELATIVE base first resolves against the page URL; only
+    the FIRST base element counts; absolute links ignore the base;
+    fragments/quotes follow the href discipline."""
+    from mongo_arrow_spark.operators.url import extract_links
+
+    rows = [
+        # absolute base on another host
+        (1, '<base href="https://cdn.example.net/assets/">'
+            '<a href="img/x.html">a</a><a href="/root">b</a>'
+            '<a href="https://abs.org/q">c</a>',
+         "https://page.example.com/dir/p.html"),
+        # relative base resolves against the page URL first
+        (2, '<base href="sub/"><a href="y.html">a</a>',
+         "https://h.example.com/a/b/p.html"),
+        # only the FIRST base counts
+        (3, '<base href="https://one.example/d/">'
+            '<base href="https://two.example/e/">'
+            '<a href="z">a</a>',
+         "https://h.example.com/p"),
+        # no base: unchanged behavior
+        (4, '<a href="rel/q.html">a</a>', "https://h.example.com/a/p.html"),
+        # data-href-style boundary: basefont/base-like names must not match
+        (5, '<basefont href="https://evil.example/">'
+            '<a href="rel">a</a>', "https://h.example.com/a/p.html"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload string, url string")
+    got = {
+        r["id"]: r["l"]
+        for r in df.select(
+            "id", extract_links("payload", "url").alias("l")
+        ).collect()
+    }
+    assert got[1] == [
+        "https://cdn.example.net/assets/img/x.html",
+        "https://cdn.example.net/root",
+        "https://abs.org/q",
+    ]
+    assert got[2] == ["https://h.example.com/a/b/sub/y.html"]
+    assert got[3] == ["https://one.example/d/z"]
+    assert got[4] == ["https://h.example.com/a/rel/q.html"]
+    assert got[5] == ["https://h.example.com/a/rel"]
+
+
+def test_extract_links_base_href_differential_vs_urljoin(spark):
+    """The urljoin-differential extended with base-tag cases (r14):
+    for every (page, base-tag, ref) combination in the envelope, the
+    resolution must equal urljoin(urljoin(page, base), ref)."""
+    from urllib.parse import urljoin
+
+    from mongo_arrow_spark.operators.url import extract_links
+
+    pages = ["https://h.example.com/a/b/page.html",
+             "http://h2.example.com:8080/x/"]
+    base_tags = ["https://cdn.net/lib/", "/assets/", "sub/dir/", "../up/"]
+    refs = ["x", "x/y.html", "../x", "/r", "?q=1", "//other.net/l",
+            "https://abs.org/q", "a/../b"]
+    rows = [
+        (p, b, r, f'<base href="{b}"><a href="{r}">x</a>')
+        for p in pages for b in base_tags for r in refs
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, b string, ref string, payload string"
+    )
+    out = df.select(
+        "url", "b", "ref", extract_links("payload", "url").alias("l")
+    ).collect()
+    diffs = [
+        (row["url"], row["b"], row["ref"], row["l"],
+         urljoin(urljoin(row["url"], row["b"]), row["ref"]))
+        for row in out
+        if (row["l"][0] if row["l"] else None)
+        != urljoin(urljoin(row["url"], row["b"]), row["ref"])
+    ]
+    assert not diffs, diffs
