@@ -192,6 +192,22 @@ HEADLINE = [
     "q_sitemap_frontier",
     "q_canonical_dedup",
     "q_fetch_schedule",
+    # round-14 (keys added r14 — first-reading numbers): base-href
+    # resolution (same map-only HOF chain as q_extract_links plus one
+    # regexp_extract for the base tag), politeness-aware scheduling
+    # (q_fetch_schedule plus the bounded per-host delay join), host
+    # authority (link_host_edges feeding 3 weighted pagerank
+    # iterations — expect it near graph_pagerank plus the extraction
+    # map), and page-metadata extraction (five regexp_extract
+    # projections — expect it near the URL-tier floor). NOTE for
+    # cross-round diffs: q_canonical_dedup swapped its join-back for a
+    # min_by struct-carry and q_robots_gate its expand+agg for a
+    # rule-array HOF this round — expect their r13→r14 deltas to
+    # reflect the plan change, not drift.
+    "q_extract_links_base",
+    "q_fetch_schedule_polite",
+    "q_host_authority",
+    "q_extract_meta",
 ]
 
 

@@ -509,46 +509,111 @@ _DEMOTED = [
     #                     decontaminate_semantic sibling —
     #                     semantic_dedup parks
     "semantic_dedup",
-    # r13 wave: the transcode-in-composition entry parks below the
-    # window by construction (the established new-wave discipline —
-    # promotion next round with a three-scale-green history): the full
-    # crawl front door over a mixed-charset archive — warc scan with
-    # decodeContentEncoding=true → decode_payload → content-type-routed
-    # extract_text — under ONE closed-form oracle. Exact oracle runs in
-    # tests/test_battery.py; the per-stage pins live in
-    # tests/test_warc.py (routing), tests/test_encoding.py (transcode)
-    # and the twin-archive Content-Encoding tests.
-    "q_crawl_transcode",
-    # r13 wave: outlink extraction + resolution (closed-form oracle of
-    # all five resolution classes), host-level link-graph aggregation
-    # (one partial-agg shuffle on the host pair; the edge table the
-    # graph tier consumes) and magic-byte content sniffing (codegen'd
-    # hex-prefix chain) park below the window by construction; exact
-    # oracles run in tests/test_battery.py, operator cases + plan
-    # gates in tests/test_url.py / tests/test_encoding.py.
-    "q_extract_links",
-    "q_link_graph",
-    "q_sniff_mime",
-    # r13 wave: the robots.txt politeness gate (distributed parse +
-    # agent-precedence + longest-prefix verdicts under a closed-form
-    # host-class × path-class oracle) parks below the window by
-    # construction; exact oracle in tests/test_battery.py, semantics
-    # matrix in tests/test_url.py.
-    "q_robots_gate",
-    # r13 wave capstone: the frontier composition (extract ->
-    # canonicalize -> dedup -> anti-join crawled -> robots gate) parks
-    # below the window by construction; the oracle replays candidate
-    # generation, the NOT-IN anti-join and the robots drop closed-form
-    # in tests/test_battery.py.
-    "q_crawl_frontier",
-    # r13 second wave: sitemap ingest (split+transform parse), canonical-
-    # link dedup (groupBy argmax on the declared canonical key), and
-    # per-host fetch-wave scheduling (window replay oracle) park below
-    # the window by construction; exact oracles in tests/test_battery.py,
-    # operator cases in tests/test_url.py.
-    "q_sitemap_frontier",
-    "q_canonical_dedup",
-    "q_fetch_schedule",
+    # Round-14 rotation (r13 verdict #1): the nine r13 wave entries —
+    # q_crawl_transcode (crawl front door: Content-Encoding undo +
+    # charset transcode + routed extraction), q_extract_links,
+    # q_link_graph, q_sniff_mime, q_robots_gate, q_crawl_frontier,
+    # q_sitemap_frontier, q_canonical_dedup (promoted AFTER the r14
+    # positional-id fix the verdict gated it on: the survivor join is
+    # now a content-keyed min_by struct-carry, no
+    # monotonically_increasing_id anywhere in the plan), and
+    # q_fetch_schedule — enter the graded 50 from their
+    # three-scale-green parked-oracle history (COVERAGE.md §r13; each
+    # passes the conf-bare vanilla-session gate in
+    # tests/test_vanilla_session.py). The nine slots come from
+    # multiply-pinned graded rows whose SURVEY §2 capability stays
+    # pinned by a green graded sibling (every demoted oracle still
+    # runs in tests/test_battery.py):
+    #   WARC scan       → the scan/split/framing machinery stays graded
+    #                     by q_scan_warc_main (same archives, richer
+    #                     extraction), q_crawl_stream (streaming route),
+    #                     q_scan_wet (conversion layout) and the newly
+    #                     graded q_crawl_transcode (same scan + decode +
+    #                     routed extraction, strictly richer) —
+    #                     q_scan_warc_html parks beside its r13-parked
+    #                     q_scan_warc sibling
+    "q_scan_warc_html",
+    #   URL canonicalization → hash-graded INSIDE curate_corpus_url
+    #                     (the stage-0 canonical-URL dedup feeds the
+    #                     graded fp digest) and composed in the newly
+    #                     graded q_crawl_frontier (canonicalize →
+    #                     distinct → anti-join); the case-grid oracle
+    #                     plus the urljoin-differential fuzz stay in
+    #                     pytest — url_canonicalize parks
+    "url_canonicalize",
+    #   per-domain cap  → hash-graded INSIDE curate_corpus_url
+    #                     (url_domain_cap_n= is stage 0 of the graded
+    #                     composition) and the partial-WindowGroupLimit
+    #                     row_number cut is the graded mql_window_rank
+    #                     shape (parked cap_per_group oracle pins the
+    #                     generic form) — url_domain_cap parks
+    "url_domain_cap",
+    #   survivor selection → the argmax survivor machinery is graded by
+    #                     the newly promoted q_canonical_dedup (same
+    #                     min-struct-carry selection, r14's hardened
+    #                     form), banded candidate generation by graded
+    #                     dedup_banded_jaccard, and the CC + survivor
+    #                     composition inside graded curate_corpus —
+    #                     dedup_canonical parks
+    "dedup_canonical",
+    #   quantized clustering → kmeans_fit is composed INSIDE the graded
+    #                     sim_hard_negatives_ivf (fit_ivf_centroids IS
+    #                     kmeans_fit feeding the cell equi-join); the
+    #                     unrolled Lloyd-iteration oracle stays in
+    #                     pytest beside the embed_project composition
+    #                     test — cluster_kmeans parks
+    "cluster_kmeans",
+    #   source mixing   → the deterministic md5-order primitive under
+    #                     the stride interleave is the same order-hash
+    #                     machinery graded by pack_shards and
+    #                     dsir_resample (md5→uniform under Gumbel
+    #                     top-k); the mixing family keeps its parked
+    #                     mix_sources/mix_upsample oracles in pytest —
+    #                     mix_interleave parks
+    "mix_interleave",
+    #   n-gram scoring  → the explode → hash-agg → join ranking shape
+    #                     stays graded by text_search_tfidf and the
+    #                     projection+agg scoring shape by
+    #                     text_token_stats/quality_nb_classifier; the
+    #                     novelty oracle joins its parked
+    #                     text_top_ngrams/corpus_drift siblings in
+    #                     pytest — text_ngram_novelty parks
+    "text_ngram_novelty",
+    #   versioned store → the store family stays graded by
+    #                     layout_content_addressed (content-addressed
+    #                     layout) with the streaming machinery pinned
+    #                     by graded cdc_watch_stream + q_crawl_stream;
+    #                     the delta-store round trip keeps its exact
+    #                     oracle in pytest beside parked
+    #                     corpus_time_travel — corpus_version_stream
+    #                     parks
+    "corpus_version_stream",
+    #   $facet          → the sub-pipeline aggregate shapes are graded
+    #                     by mql_group_accumulators/mql_window_rank and
+    #                     five other graded mql_* rows; the $facet/
+    #                     $bucket translation keeps its exact oracles
+    #                     in pytest (mql_bucket parked since r3) and
+    #                     the differential fuzz suites — mql_facet
+    #                     parks
+    "mql_facet",
+    # r14 wave (parks below the window by construction — the established
+    # new-wave discipline; promotion candidates for r15 with a
+    # three-scale-green history): <base href> resolution
+    # (q_extract_links_base — the r13-verdict Missing #2 fix under its
+    # own closed-form oracle, the promoted q_extract_links stays
+    # byte-stable), Crawl-delay + lastmod-aware scheduling
+    # (q_fetch_schedule_polite — verdict Missing #3, budget arithmetic
+    # and group-exclusion precedence window-replayed), host authority
+    # (q_host_authority — link_host_edges feeding weighted integer-exact
+    # pagerank, the crawl→graph composition, oracle = closed-form edge
+    # weights + the unrolled recurrence), and page-metadata extraction
+    # (q_extract_meta — title/description/OpenGraph/lang closed-form).
+    # Exact oracles run in tests/test_battery.py; operator cases in
+    # tests/test_url.py / tests/test_text_meta cases.
+    "q_extract_links_base",
+    "q_fetch_schedule_polite",
+    "q_host_authority",
+    "q_extract_meta",
     #   unwind/wordcount → the explode → hash-agg → TakeOrdered shape
     #                     is graded by text_search_tfidf (same explode
     #                     + agg machinery through tf-idf ranking) and

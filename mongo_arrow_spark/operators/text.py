@@ -1076,3 +1076,80 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def html_meta(col: Column | str) -> Column:
+    """Page-metadata struct from raw HTML (r14) — ``title``,
+    ``description`` (``<meta name=description>``), ``og_title`` /
+    ``og_description`` (OpenGraph), ``lang`` (``<html lang=…>``,
+    case-folded): the columns crawl curation keys quality scoring and
+    language routing on before any full-text extraction is paid for.
+
+    Entirely JVM expressions — one anchored ``regexp_extract`` per
+    field, map-only, no UDF, no shuffle. The attribute patterns follow
+    the url.py ``canonical_target`` discipline: a boundary before the
+    attribute name (``data-name=``/``og:title-ish`` lookalikes must
+    not match), PAIRED quotes via a backreference (the documented
+    Java-only deviation from the module's RE2-portable rule — no
+    oracle replays these regexes; fixtures state expected values
+    closed-form), and both attribute orders for the name/content
+    pairs. First match wins throughout (the HTML-spec reading for
+    title/base-like singletons). Titles collapse internal whitespace;
+    empty values are NULL; NULL html yields a NULL struct.
+
+    Reference parity note: the reference connector has no HTML
+    surface (pymongoarrow/api.py delegates string work to mongod);
+    this exists for the training-data-pipeline goal, next to
+    extract_text/langid."""
+    x = (col if isinstance(col, Column) else F.col(col)).cast("string")
+
+    def _nz(c: Column) -> Column:
+        return F.nullif(F.trim(c), F.lit(""))
+
+    title = _nz(
+        F.regexp_replace(
+            F.regexp_extract(x, r"(?is)<title[^>]*>(.*?)</title", 1),
+            r"\s+",
+            " ",
+        )
+    )
+
+    def _pair(key_attr: str, key_val: str) -> Column:
+        # <meta KEY=VAL ... content=C> in either attribute order. In
+        # the content-FIRST form the value is bounded to [^<>] — with
+        # a trailing key constraint, an unbounded (.*?) value can
+        # backtrack ACROSS the closing '>' and glue two meta tags
+        # together (a description meta swallowing the og tag after
+        # it); angle brackets inside attribute values are the rare
+        # loss, cross-tag gluing the common corruption.
+        a = F.regexp_extract(
+            x,
+            rf"(?is)<meta\s(?:[^>]*?[\s'\"])?{key_attr}\s*=\s*(['\"]){key_val}\1"
+            rf"[^>]*?[\s'\"]content\s*=\s*(['\"])(.*?)\2",
+            3,
+        )
+        b = F.regexp_extract(
+            x,
+            rf"(?is)<meta\s(?:[^>]*?[\s'\"])?content\s*=\s*(['\"])([^<>]*?)\1"
+            rf"[^>]*?[\s'\"]{key_attr}\s*=\s*(['\"]){key_val}\3",
+            2,
+        )
+        return _nz(F.when(a != F.lit(""), a).otherwise(b))
+
+    lang = _nz(
+        F.lower(
+            F.regexp_extract(
+                x,
+                r"(?is)<html\s(?:[^>]*?[\s'\"])?lang\s*=\s*(['\"])(.*?)\1",
+                2,
+            )
+        )
+    )
+    meta = F.struct(
+        title.alias("title"),
+        _pair("name", "description").alias("description"),
+        _pair("property", "og:title").alias("og_title"),
+        _pair("property", "og:description").alias("og_description"),
+        lang.alias("lang"),
+    )
+    return F.when(x.isNotNull(), meta)

