@@ -44,13 +44,17 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mongo_arrow_spark.operators.clustering import _sq_dist, quantize_vec
+from mongo_arrow_spark.operators.clustering import (
+    _sq_dist,
+    const_array,
+    quantize_vec,
+)
 
 
 def _int_dot(q: Column, vec: list) -> Column:
     """Integer dot product between a quantized vector column and a
     literal quantized vector — map-only codegen, no join."""
-    lit = F.array(*[F.lit(int(v)).cast("long") for v in vec])
+    lit = const_array([int(v) for v in vec], "array<bigint>")
     return F.aggregate(
         F.zip_with(q, lit, lambda a, b: a * b),
         F.lit(0).cast("long"),

@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mongo_arrow_spark.operators.clustering import const_array
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -168,7 +170,21 @@ def fit_ivf_centroids(
     """Deterministic Lloyd's on a driver-side sample: seeded choice of
     initial centroids, fixed iteration count, ties to the lowest cell,
     left-to-right float accumulation — every step replayable in pure
-    Python (test_no_oracle_hardening pins the full output)."""
+    Python (test_no_oracle_hardening pins the full output).
+
+    The hot loop runs through numpy when available (r14: the pure-Python
+    fit was 2.2 s of the benched IVF key at a 2000×32×64 sample and
+    grows with the auto cell count) — but ONLY through operations whose
+    float semantics are POSITIONALLY IDENTICAL to the scalar loop:
+    elementwise subtract/multiply/divide are single IEEE ops either way,
+    and ``np.cumsum``/``np.add.accumulate`` is sequential left-to-right
+    by definition (each partial sum depends on the previous), unlike
+    ``np.sum``'s pairwise reduction which is NOT used here. ``np.argmin``
+    returns the first minimum — the same strict-< tie rule as
+    ``_nearest_cell`` (early abandonment never changes the winner, only
+    the op count). ``tests/test_similarity_fit.py`` pins numpy == scalar
+    on adversarial near-tie fixtures; ragged samples keep the scalar
+    path (zip-truncation semantics have no rectangular equivalent)."""
     import random
 
     vecs = [[float(x) for x in v] for v in vectors]
@@ -176,6 +192,14 @@ def fit_ivf_centroids(
         return vecs
     rng = random.Random(seed)
     centroids = [list(v) for v in rng.sample(vecs, n_clusters)]
+    np = None
+    if vecs and all(len(v) == len(vecs[0]) for v in vecs):
+        try:
+            import numpy as np
+        except ImportError:  # pragma: no cover
+            np = None
+    if np is not None:
+        return _fit_lloyd_numpy(np, vecs, centroids, iters)
     for _ in range(iters):
         sums = [[0.0] * len(c) for c in centroids]
         counts = [0] * n_clusters
@@ -190,6 +214,38 @@ def fit_ivf_centroids(
             for j in range(n_clusters)
         ]
     return centroids
+
+
+def _fit_lloyd_numpy(np, vecs, init, iters):
+    """Vectorized Lloyd iterations, bit-identical to the scalar loop —
+    see :func:`fit_ivf_centroids` for the op-by-op equivalence argument.
+    Distance accumulation and centroid sums both go through ``cumsum``
+    (strictly sequential), never ``sum`` (pairwise). Assignment is
+    blocked so the (rows × cells × dim) temporary stays ~128 MB even at
+    the 1024-cell auto cap."""
+    V = np.asarray(vecs, dtype=np.float64)
+    C = np.asarray(init, dtype=np.float64)
+    n, d = V.shape
+    k = C.shape[0]
+    block = max(1, (1 << 24) // max(1, k * d))
+    assign = np.empty(n, dtype=np.int64)
+    for _ in range(iters):
+        for s in range(0, n, block):
+            e = min(n, s + block)
+            diff = V[s:e, None, :] - C[None, :, :]
+            np.multiply(diff, diff, out=diff)
+            assign[s:e] = np.argmin(
+                np.cumsum(diff, axis=2)[:, :, -1], axis=1
+            )
+        new = np.empty_like(C)
+        for j in range(k):
+            members = V[assign == j]
+            if members.shape[0]:
+                new[j] = np.cumsum(members, axis=0)[-1] / members.shape[0]
+            else:
+                new[j] = C[j]
+        C = new
+    return [[float(x) for x in row] for row in C]
 
 
 def _nearest_cell(v: list[float], centroids: list[list[float]]) -> int:
@@ -228,9 +284,12 @@ def _dist_structs(vec_col: str, centroids: list[list[float]]):
     which at the 32-cell auto sizing was multiple SECONDS of per-query
     analysis/codegen constants — the distances themselves are computed
     by the identical zip_with+fold sequence, so every downstream
-    comparison is bit-for-bit unchanged."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    comparison is bit-for-bit unchanged. r14: the nested literal itself
+    is now ONE folded-constant node (``clustering.const_array`` — the
+    k×d CreateArray tree cost ~2 s of py4j build + analyzer walks per
+    query at 32×64; values bit-identical through the JSON round-trip)."""
+    cents = const_array(
+        [[float(x) for x in c] for c in centroids], "array<array<double>>"
     )
     return F.transform(
         cents,
@@ -1322,14 +1381,20 @@ def hard_negatives_ivf(
     # like the presence table): a label absent from the corpus must see
     # EVERY non-empty cell — all its rows are cross-label — where the
     # old corpus-only table silently dropped those anchors whole (r9
-    # review fix)
-    anchor_labels = sorted(
-        r[0]
-        for r in anchors.filter(F.col(label_col).isNotNull())
-        .select(label_col)
-        .distinct()
-        .collect()
-    )
+    # review fix). Self-mining (anchors IS the corpus frame — the
+    # contrastive-pretraining shape and the benched configuration) reuses
+    # the presence table's label set instead of paying a second
+    # scan+distinct job for the identical answer (r14).
+    if anchors is corpus:
+        anchor_labels = corpus_labels
+    else:
+        anchor_labels = sorted(
+            r[0]
+            for r in anchors.filter(F.col(label_col).isNotNull())
+            .select(label_col)
+            .distinct()
+            .collect()
+        )
     spark = corpus.sparkSession
     lbl_type = corpus.schema[label_col].dataType.simpleString()
     if probe_per_label:
