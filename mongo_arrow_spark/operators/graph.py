@@ -120,12 +120,20 @@ def pagerank(
             .groupBy("src", "dst")
             .agg(F.sum("w").alias("w"))
         )
-    # one-time prep, materialized once: out-weight-annotated edges + nodes
-    deg = e.groupBy("src").agg(F.sum("w").alias("wout"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    # one-time prep, materialized once: out-weight-annotated edges + nodes.
+    # wout via a window over the one hash exchange on src (r14) instead of
+    # a groupBy+join pair — same integer sum, one shuffle of e instead of
+    # relying on exchange reuse across the agg and join branches.
+    from pyspark.sql import Window
+
+    ed = e.withColumn(
+        "wout", F.sum("w").over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=True)
+    # nodes derive from the checkpointed ed (every e row survives the
+    # wout annotation), not from a second evaluation of e's lineage
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
     )
     if reset_nodes is not None:
@@ -152,7 +160,7 @@ def pagerank(
             F.when(in_seed, F.lit(base)).otherwise(F.lit(0)).cast("long")
         )
     p = nodes.withColumn("rank", start)
-    for _ in range(iters):
+    for it in range(iters):
         inbound = (
             ed.join(p, ed["src"] == p["node"])
             # `div` is Spark's INTEGER division (truncating) — never `/`,
@@ -176,9 +184,17 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
-    return p
+        # bounded checkpoint cadence (r14): a per-round eager checkpoint
+        # made every iteration its own job barrier — at the default 3
+        # iterations the whole recurrence now unrolls into ONE lazy plan
+        # (linear in iters; ed/nodes are checkpointed scans the reused
+        # exchanges serve), and only long runs cut lineage mid-loop.
+        # The final eager checkpoint preserves the old external contract
+        # (callers always received a materialized frame).
+        if (it + 1) % 8 == 0 and (it + 1) < iters:
+            p = p.localCheckpoint(eager=True)
+    return p.localCheckpoint(eager=True)
 
 
 def hits(
