@@ -269,26 +269,41 @@ def banded_jaccard_pairs(
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    def _band_min(hash_idx):
-        return F.array_min(
+    # all 2×bands per-shingle minima in ONE row-level projection, then
+    # an explode of the slim (band, sig) structs (r14): the previous
+    # explode-then-hash form duplicated the full shingle array into
+    # ``bands`` rows per doc before hashing — same md5 count (the oracle
+    # pins the hash scheme), but ``bands``× the array traffic through
+    # the generator. The minima land in a separate projection so
+    # CollapseProject cannot inline (and so 2×-evaluate) them into the
+    # per-band concat.
+    h_mins = F.transform(
+        F.sequence(F.lit(0), F.lit(2 * bands - 1)),
+        lambda h: F.array_min(
             F.transform(
                 F.col("sharr"),
-                lambda s: F.md5(
-                    F.concat(hash_idx.cast("string"), F.lit(":"), s)
-                ),
+                lambda s: F.md5(F.concat(h.cast("string"), F.lit(":"), s)),
             )
+        ),
+    )
+    sigs = (
+        base.select("id", h_mins.alias("__mins"))
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.concat(
+                            F.element_at(F.col("__mins"), b * 2 + 1),
+                            F.element_at(F.col("__mins"), b * 2 + 2),
+                        ).alias("sig"),
+                    ),
+                )
+            ).alias("__bs"),
         )
-
-    sigs = base.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        "sharr",
-    ).select(
-        "id",
-        "band",
-        F.concat(
-            _band_min(F.col("band") * 2), _band_min(F.col("band") * 2 + 1)
-        ).alias("sig"),
+        .select("id", F.col("__bs.band"), F.col("__bs.sig"))
     )
     # bucket-and-expand instead of a self-join: one shuffle of the
     # (band, sig) rows, signatures computed ONCE (a self-join would
