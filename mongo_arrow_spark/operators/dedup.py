@@ -264,9 +264,18 @@ def banded_jaccard_pairs(
     # cores. One narrow repartition of (id, sharr) fans it out; at
     # cluster scale the source's own splits already do this and the
     # repartition is one small extra shuffle of the compact arrays.
+    # repartition the RAW text and shingle AFTER the exchange (r14): the
+    # shingle array is ~n× the text bytes (overlapping n-grams), so
+    # exchanging (id, text) instead of (id, sharr) moves a fraction of
+    # the bytes for the same post-shuffle parallelism; the persisted
+    # partitions hold the same (id, sharr) either way. (Measured: the
+    # persist is load-bearing — ReuseExchange does NOT unify the three
+    # consumers' subtrees, so dropping it recomputes base per consumer,
+    # 1.1 s → 4.5 s on the standalone pairs key.)
     base = (
-        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sharr"))
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select("id", shingles("__t", n).alias("sharr"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # all 2×bands per-shingle minima in ONE row-level projection, then
