@@ -755,16 +755,21 @@ def connected_components(
     is identical on both paths — self-loop pairs are dropped up front on
     both; set ``local_threshold=0`` to force the distributed loop.
     """
-    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    # self-loops carry no connectivity information and previously made
-    # the two paths disagree (the fast path's src<dst halves dropped a
-    # vertex whose only edge was (a,a); the loop labeled it) — drop them
-    # up front so both paths see the identical graph
-    edges = edges.filter(F.col("src") != F.col("dst"))
+    # normalize to CANONICAL (min, max) edges before the distinct (r14):
+    # the previous both-directions union evaluated the pairs subtree —
+    # whose verification join is the expensive part — once per union
+    # branch and shuffled 2E rows through the distinct; canonicalizing
+    # first evaluates pairs ONCE, distincts/checkpoints E rows, and the
+    # slow path re-derives the reverse direction from the CHECKPOINTED
+    # halves (a cached scan, not a recompute). Self-loops carry no
+    # connectivity information and previously made the two paths
+    # disagree (the fast path's src<dst halves dropped a vertex whose
+    # only edge was (a,a); the loop labeled it) — drop them up front so
+    # both paths see the identical graph.
+    a, b = F.col(a_col), F.col(b_col)
     edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        pairs.filter(a != b)
+        .select(F.least(a, b).alias("src"), F.greatest(a, b).alias("dst"))
         .distinct()
         .localCheckpoint()
     )
@@ -775,14 +780,13 @@ def connected_components(
     # match the thresholded edge mass — measured: loop wall is identical
     # at 1 and 32 shuffle partitions once codegen is warm, so no manual
     # parallelism fiddling is warranted.
-    if local_threshold and edges.count() <= 2 * local_threshold:
-        # count() is a cached-scan over the checkpointed edges (each
-        # undirected edge appears twice). Pull the canonical halves
-        # through Arrow (toPandas → two flat columns, ~16 bytes/edge for
-        # long ids — NOT a list of pyspark Rows, which cost hundreds of
-        # bytes each at this scale) and union-find with path compression
-        # on the driver.
-        pdf = edges.filter(F.col("src") < F.col("dst")).toPandas()
+    if local_threshold and edges.count() <= local_threshold:
+        # count() is a cached-scan over the checkpointed canonical
+        # edges. Pull them through Arrow (toPandas → two flat columns,
+        # ~16 bytes/edge for long ids — NOT a list of pyspark Rows,
+        # which cost hundreds of bytes each at this scale) and
+        # union-find with path compression on the driver.
+        pdf = edges.toPandas()
         srcs = pdf["src"].tolist()
         dsts = pdf["dst"].tolist()
         parent: dict = {}
@@ -808,6 +812,12 @@ def connected_components(
         ).schema
         return edges.sparkSession.createDataFrame(rows, schema)
 
+    # the propagation loop pulls labels across DIRECTED edges, so both
+    # directions are re-derived from the checkpointed canonical halves —
+    # two cached scans, the pairs subtree is not recomputed
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     labels = (
         edges.select(F.col("src").alias("v"))
         .distinct()
