@@ -953,29 +953,62 @@ def dedup_by_canonical(
     # grouping would collapse distinct documents across hosts) and
     # then CANONICALIZED (case/port/tracking noise must not split a
     # group); pages with no declaration key on their own canonical URL
+    # spread the keyed projection (r14): the canonical-target extracts,
+    # reference resolution, canonicalization and row digest are the
+    # dominant per-row cost and run BEFORE the one shuffle, so a
+    # few-split input (one, for a single local file) would serialize
+    # them on a few cores. similarity._spread is a no-op whenever the
+    # input already has >= defaultParallelism partitions — no shuffle
+    # is ever added on the 100 TB path.
+    from mongo_arrow_spark.operators.similarity import _spread
+    from mongo_arrow_spark.operators.text import bind
+
+    df = _spread(df)
+    # expression-tree discipline (r14): canonicalize_url references its
+    # argument ~8 times, and feeding it the composed
+    # resolve(canonical_target(payload)) tree inlined that regex-heavy
+    # subtree at every reference — the single keyed projection grew to
+    # a ~140 KB plan, past the whole-stage-codegen limit, and the whole
+    # stage fell back to interpreted evaluation WITH the duplicated
+    # subtrees actually re-executed. Two fixes: ``bind`` the composed
+    # input so the heavy value is evaluated once inside the tree, and
+    # stage the three heavy values (__k1c, __cu, __d) in their OWN
+    # projection — each is referenced more than once downstream, which
+    # is exactly the condition under which CollapseProject refuses to
+    # re-inline them.
     target = _resolve_ref(canonical_target(html_col), F.col(url_col))
-    canon = canonicalize_url(F.coalesce(target, F.col(url_col)))
+    canon = bind(
+        F.coalesce(target, F.col(url_col)), lambda x: canonicalize_url(x)
+    )
     row = F.struct(*[F.col(c) for c in df.columns])
     # deterministic content digest: the NULL-key group key and the
     # final ordering tiebreaker (to_json serializes every SQL type,
     # binary as base64 — rows that still tie are bit-identical)
     digest = F.md5(F.to_json(row))
+    staged = df.select(
+        row.alias("__row"),
+        canon.alias("__k1c"),
+        canonicalize_url(F.col(url_col)).alias("__cu"),
+        digest.alias("__d"),
+        F.col(url_col).alias("__u"),
+    )
     order = F.struct(
         F.coalesce(
-            (canonicalize_url(F.col(url_col)) != canon).cast("int"),
-            F.lit(1),
+            (F.col("__cu") != F.col("__k1c")).cast("int"), F.lit(1)
         ).alias("not_self"),
-        F.coalesce(F.col(url_col).cast("string"), F.lit("")).alias("u"),
-        digest.alias("d"),
+        F.coalesce(F.col("__u").cast("string"), F.lit("")).alias("u"),
+        F.col("__d").alias("d"),
     )
-    keyed = df.select(
-        canon.alias("__k1"),
+    keyed = staged.select(
+        F.col("__k1c").alias("__k1"),
         # NULL-key rows get their own content-keyed group; a separate
         # key COLUMN (not a sentinel prefix on __k1) so no real URL
         # can ever collide with the synthetic key space
-        F.when(canon.isNull(), digest).otherwise(F.lit("")).alias("__k2"),
+        F.when(F.col("__k1c").isNull(), F.col("__d"))
+        .otherwise(F.lit(""))
+        .alias("__k2"),
         order.alias("__ord"),
-        row.alias("__row"),
+        F.col("__row"),
     )
     pick = keyed.groupBy("__k1", "__k2").agg(
         F.min_by("__row", "__ord").alias("__pick")
