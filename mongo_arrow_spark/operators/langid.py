@@ -543,6 +543,16 @@ def identify_language(
     spark = df.sparkSession
     profiles = _profiles() if profiles is None else profiles
     prof = F.broadcast(_profile_df(spark, profiles))
+    # spread the trigram explode (r14): the per-row trigram build, the
+    # ~600-way explode, the broadcast probe and the partial aggregation
+    # all run on the INPUT partitioning, so a few-split local input
+    # serializes the dominant stage on a few cores. similarity._spread
+    # is a no-op whenever the input already has >= defaultParallelism
+    # partitions — nothing is added on the 100 TB path, and the final
+    # per-doc aggregation is partitioning-independent.
+    from mongo_arrow_spark.operators.similarity import _spread
+
+    df = _spread(df)
     # explode_outer + LEFT join: a document whose trigrams match no
     # profile row (or whose text is NULL/too short) keeps NULL-lang
     # rows that aggregate into a (0.0, 'und') candidate — no docs drop
