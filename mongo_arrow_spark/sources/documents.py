@@ -918,6 +918,30 @@ class _FilesSplit(InputPartition):
     paths: tuple
 
 
+def _adaptive_pack_target(total_est: int, partition_bytes: int) -> int:
+    """Bytes-per-core pack/split target — Spark's own maxSplitBytes
+    shape (min(maxPartitionBytes, max(floor, total/parallelism))): a
+    flat ``partitionBytes`` target packed a whole small corpus into ONE
+    group, serializing the decode on one core (r14). Capped by
+    ``partitionBytes``, so on a cluster — where totals dwarf the cap —
+    this is exactly the old behavior; the 1 MB floor is the open-cost
+    analog that keeps a tiny corpus from shattering into per-file
+    confetti."""
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        par = sc.defaultParallelism if sc is not None else None
+    except Exception:  # pragma: no cover - planning outside a JVM driver
+        par = None
+    if not par:
+        # Python DataSource planning can run in a worker with no
+        # gateway; the driver host's core count is the honest fallback
+        par = os.cpu_count() or 8
+    floor = 1 << 20
+    return max(1, min(partition_bytes, max(floor, -(-total_est // par))))
+
+
 def _pack_files(sized: list, target: int) -> list:
     """First-fit-decreasing bin packing of (path, est_bytes) into groups
     whose estimated total ≤ target (oversized files go alone)."""
@@ -974,7 +998,10 @@ class DocumentsReader(DataSourceReader):
             step = math.ceil(size / n) if size else 1
             for i in range(n):
                 splits.append(_Split(path, i * step, min(size, (i + 1) * step)))
-        for group in _pack_files(compressed, self.partition_bytes):
+        pack_target = _adaptive_pack_target(
+            sum(est for _, est in compressed), self.partition_bytes
+        )
+        for group in _pack_files(compressed, pack_target):
             splits.append(_FilesSplit(tuple(group)))
         return splits or [_Split("", 0, 0)]
 

@@ -90,6 +90,7 @@ from mongo_arrow_spark.errors import SchemaError
 from mongo_arrow_spark.sources.documents import (
     DEFAULT_BATCH_SIZE,
     DEFAULT_PARTITION_BYTES,
+    _adaptive_pack_target,
     _EXPANSION_ESTIMATE,
     _FilesSplit,
     _pack_files,
@@ -896,7 +897,10 @@ class WarcReader(DataSourceReader):
             step = -(-size // n) if size else 1
             for i in range(n):
                 splits.append(_Split(path, i * step, min(size, (i + 1) * step)))
-        for group in _pack_files(gz, self.partition_bytes):
+        pack_target = _adaptive_pack_target(
+            sum(est for _, est in gz), self.partition_bytes
+        )
+        for group in _pack_files(gz, pack_target):
             splits.append(_FilesSplit(tuple(group)))
         return splits or [_Split("", 0, 0)]
 
