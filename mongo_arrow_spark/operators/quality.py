@@ -1010,55 +1010,58 @@ def fit_bucket_ratios(
     ``ln(p_target[b] / p_raw[b])`` with add-``alpha`` smoothing over
     ``buckets`` buckets (Xie et al. 2023).
 
-    Scale shape: two explode → bucket-count aggregations whose shuffle
-    caps at ``buckets`` rows after map-side partials — corpus-size
-    independent — plus two 1-row totals actions. Fit ONCE per
-    (raw-distribution, target) pair; ``apply_bucket_ratios`` weights any
-    number of later batches against the frozen ratios."""
+    Scale shape: ONE tagged union of the two gram explodes feeding a
+    single conditional-sum bucket aggregation — both corpora scan
+    concurrently inside one job and the shuffle caps at ``buckets``
+    rows after map-side partials, corpus-size independent — plus one
+    1-row totals action. Fit ONCE per (raw-distribution, target) pair;
+    ``apply_bucket_ratios`` weights any number of later batches against
+    the frozen ratios."""
     bucket_of = lambda g: _md5_bucket(g, buckets)  # noqa: E731
 
-    def bucket_counts(frame):
-        return (
-            frame.select(F.explode(_grams(text_col)).alias("g"))
-            .select(bucket_of(F.col("g")).alias("b"))
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    def bucket_grams(frame, is_target):
+        return frame.select(F.explode(_grams(text_col)).alias("g")).select(
+            bucket_of(F.col("g")).alias("b"),
+            F.lit(is_target).alias("__t"),
         )
 
     from pyspark import StorageLevel
 
-    # ≤ buckets rows each; persisted so each corpus is scanned ONCE —
-    # the totals action materializes the cached counts the ratios join
-    # then reuses (unpersisted: 2 extra full gram-explode scans per fit)
-    tc = bucket_counts(target).persist(StorageLevel.MEMORY_AND_DISK)
-    rc = bucket_counts(raw).persist(StorageLevel.MEMORY_AND_DISK)
-    t_tot = float(tc.agg(F.sum("c")).first()[0] or 0.0)
-    r_tot = float(rc.agg(F.sum("c")).first()[0] or 0.0)
+    # both per-bucket counts come out of ONE aggregation over the tagged
+    # union (sums of exact small doubles — bit-identical to the per-side
+    # count casts); ≤ buckets rows, persisted so the single totals
+    # action materializes the counts the ratio projection then reuses
+    counts = (
+        bucket_grams(target, True)
+        .unionByName(bucket_grams(raw, False))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("__t"), F.lit(1.0)).otherwise(F.lit(0.0)))
+            .cast("double")
+            .alias("tc"),
+            F.sum(F.when(F.col("__t"), F.lit(0.0)).otherwise(F.lit(1.0)))
+            .cast("double")
+            .alias("rc"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    row = counts.agg(F.sum("tc"), F.sum("rc")).first()
+    t_tot = float(row[0] or 0.0)
+    r_tot = float(row[1] or 0.0)
     t_denom = t_tot + alpha * buckets
     r_denom = r_tot + alpha * buckets
-    ratios = (
-        tc.withColumnRenamed("c", "tc")
-        .join(rc.withColumnRenamed("c", "rc"), "b", "full")
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0.0)) + F.lit(alpha))
-                    / F.lit(t_denom)
-                )
-                - F.log(
-                    (F.coalesce(F.col("rc"), F.lit(0.0)) + F.lit(alpha))
-                    / F.lit(r_denom)
-                )
-            ).cast("double").alias("lr"),
-        )
+    ratios = counts.select(
+        "b",
+        (
+            F.log((F.col("tc") + F.lit(alpha)) / F.lit(t_denom))
+            - F.log((F.col("rc") + F.lit(alpha)) / F.lit(r_denom))
+        ).cast("double").alias("lr"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # materialize the model cache, release the per-side intermediates —
-    # a fit leaves one ≤buckets-row cached table, freed by
+    # materialize the model cache, release the union intermediate — a
+    # fit leaves one ≤buckets-row cached table, freed by
     # model.unpersist()
     ratios.count()
-    tc.unpersist()
-    rc.unpersist()
+    counts.unpersist()
     default = math.log(alpha / t_denom) - math.log(alpha / r_denom)
     return BucketRatioModel(ratios, default, buckets, alpha)
 
