@@ -655,17 +655,38 @@ def ensemble_rank(
         raise ValueError(
             f"input already carries output column(s) {sorted(taken)}"
         )
-    # rank each signal over a two-column projection — column pruning
-    # pushes the (id, score) read into the scan, so the payload never
-    # enters any ranking pass
-    fused = None
-    for c, rn in zip(score_cols, rank_names):
-        ranked = assign_global_rank(
-            df.select(id_col, c),
+    # materialize the score projection ONCE (r14): each rank pass used
+    # to re-evaluate its signal expression from the caller's lineage
+    # (for computed signals — stopword counts, distinct-word sizes —
+    # that re-ran the text scan per pass), and the passes ran
+    # sequentially even though the len(score_cols) signal orders are
+    # independent. One slim (id, scores) localCheckpoint feeds every
+    # pass, and the independent passes are submitted from a small
+    # thread pool so their jobs overlap (each pass is internally eager
+    # — range-partition checkpoint + offsets collect — so sequential
+    # calls serialize those barriers; concurrent jobs back-fill each
+    # other's stragglers instead).
+    slim = df.select(id_col, *score_cols).localCheckpoint(eager=True)
+
+    def _rank_one(c: str, rn: str):
+        return assign_global_rank(
+            slim.select(id_col, c),
             [F.col(c).desc(), F.col(id_col).asc()],
             rank_col=rn,
             num_partitions=num_partitions,
         ).select(id_col, rn)
+
+    if len(score_cols) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(score_cols)) as pool:
+            ranked_all = list(
+                pool.map(lambda a: _rank_one(*a), zip(score_cols, rank_names))
+            )
+    else:
+        ranked_all = [_rank_one(score_cols[0], rank_names[0])]
+    fused = None
+    for ranked in ranked_all:
         fused = ranked if fused is None else fused.join(ranked, id_col)
     wsum = None
     for rn, wt in zip(rank_names, w):
@@ -683,7 +704,15 @@ def ensemble_rank(
     # single id-keyed join re-attaches the payload, evaluated once; the
     # trailing select restores the INPUT column order (a USING join
     # moves the key first — positional consumers like insertInto would
-    # silently misalign; r10 review fix) with the rank columns appended
-    joined = df.join(fused, id_col)
+    # silently misalign; r10 review fix) with the rank columns appended.
+    # When the input carries ONLY (id, scores) — the common gate shape —
+    # the join-back reads the checkpoint instead, so computed signal
+    # expressions are evaluated exactly once end to end; with extra
+    # payload columns the original frame joins (ONE full-width shuffle —
+    # attaching payload via the checkpoint would shuffle it twice).
+    score_only = not [
+        c for c in df.columns if c != id_col and c not in score_cols
+    ]
+    joined = (slim if score_only else df).join(fused, id_col)
     added = [c for c in joined.columns if c not in df.columns]
     return joined.select(*df.columns, *added)
