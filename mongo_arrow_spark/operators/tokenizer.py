@@ -108,8 +108,17 @@ def fit_bpe(
 
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
+    # spread the word-count explode (r14): the split → explode →
+    # partial-agg stage inherits the input partitioning, so a
+    # single-split local input serialized the dominant scan on one
+    # core. similarity._spread is a no-op whenever the input already
+    # has >= defaultParallelism partitions — nothing is added on the
+    # 100 TB path (the langid/dedup precedent).
+    from mongo_arrow_spark.operators.similarity import _spread
+
     counts = (
-        df.select(F.explode(tokens(text_col)).alias("w"))
+        _spread(df.select(F.col(text_col)))
+        .select(F.explode(tokens(text_col)).alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))

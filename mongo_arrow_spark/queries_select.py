@@ -209,7 +209,12 @@ def _bpe_counts_artifact(spark, sf_dir: str) -> str:
     overwritten per call so the artifact always reflects ``sf_dir``."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     model = tokenizer.fit_bpe(docs, num_merges=80, max_fit_words=4096)
-    counted = tokenizer.bpe_token_count(docs.repartition(8), model)
+    # encode at session parallelism (r14): the Arrow-batched encoder is
+    # the per-row-heavy stage and a fixed 8-way repartition capped it at
+    # a quarter of the local cores; the artifact CONTENT is partition-
+    # independent (per-doc rows, both engines consume the row set)
+    par = spark.sparkContext.defaultParallelism
+    counted = tokenizer.bpe_token_count(docs.repartition(par), model)
     (
         counted.select(
             "doc_id",
@@ -289,7 +294,11 @@ def q_tok_pack_pipeline(spark, sf_dir):
         )
         .join(counts, "doc_id")
     )
-    total = int(scored.agg(F.sum("n_bpe_tokens")).first()[0])
+    # the budget total reads the counts ARTIFACT alone (r14): the join
+    # with documents is 1:1 (one count row per doc_id), so the sum is
+    # identical — and the totals action no longer pays the stopword
+    # scan + join it doesn't need
+    total = int(counts.agg(F.sum("n_bpe_tokens")).first()[0])
     kept = selection.select_token_budget(
         scored, total * 2 // 5, score_col="sw", token_col="n_bpe_tokens"
     )
