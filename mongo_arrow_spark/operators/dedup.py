@@ -968,6 +968,20 @@ def cross_jaccard_pairs(
     lbase, rbase = prep(left, "l"), prep(right, "r")
     lposts = lbase.select(F.col("id_l").alias("id"), F.explode("sharr").alias("sh"))
     rposts = rbase.select(F.col("id_r").alias("id"), F.explode("sharr").alias("sh"))
+    # broadcast semi-join pre-filter on the big side (r14, the Bloom
+    # pre-filter shape): a left posting whose shingle never occurs in
+    # the right corpus can produce no intersection, AND dropping it
+    # cannot change the df cap's verdict for any shingle that does
+    # occur there — df for a right-present shingle counts every left
+    # posting of that shingle, all of which survive this filter — so
+    # the result is bit-identical while the df aggregation and the
+    # candidate join shrink from Σ left postings to the matching
+    # subset. The right corpus is the bounded side by contract (eval
+    # holdouts), so its distinct shingle keys broadcast; at 100 TB the
+    # left posting stream this spares from both shuffles is the corpus
+    # itself.
+    rkeys = rbase.select(F.explode("sharr").alias("sh")).distinct()
+    lposts = lposts.join(F.broadcast(rkeys), "sh", "left_semi")
     if max_df is not None:
         hot = (
             lposts.unionAll(rposts)

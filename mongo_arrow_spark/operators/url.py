@@ -570,6 +570,14 @@ def link_host_edges(
     Scale shape: link extraction + host projection are map-side; the
     only shuffle is the partial-aggregated groupBy on (src, dst) —
     edge-count rows, never raw links, cross the wire."""
+    # spread the extraction (r14): the regex-heavy link extraction runs
+    # BEFORE the one aggregation shuffle and inherits the input
+    # partitioning, so a few-split local input serialized it on a few
+    # cores. similarity._spread is a no-op whenever the input already
+    # has >= defaultParallelism partitions — nothing added at scale.
+    from mongo_arrow_spark.operators.similarity import _spread
+
+    df = _spread(df)
     edges = df.select(
         url_host(base_url_col).alias("src_host"),
         F.explode(extract_links(html_col, base_url_col)).alias("link"),
@@ -805,6 +813,12 @@ def crawl_frontier(
     at crawl scale the frontier and the crawled set hash-partition the
     same way, text never moves); the robots verdict adds one host
     equi-join against the bounded rule table. No UDF anywhere."""
+    # spread the extraction (r14): same guard as link_host_edges — the
+    # per-page extraction + canonicalization dominate and run before
+    # the distinct's exchange; no-op at scale.
+    from mongo_arrow_spark.operators.similarity import _spread
+
+    df = _spread(df)
     links = df.select(
         F.explode(extract_links(html_col, url_col)).alias("url")
     )

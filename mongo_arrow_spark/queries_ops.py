@@ -3159,6 +3159,12 @@ def _link_fixture(docs, with_next: bool = False):
     oracles enumerate exactly five classes) adds an ABSOLUTE link to
     doc_id+1's own page URL: an already-crawled target for every doc
     but the last, so the frontier's anti-join has real work."""
+    from mongo_arrow_spark.operators.similarity import _spread
+
+    # spread BEFORE constructing the page (r14): only the 8-byte ids
+    # cross the exchange and every consumer's regex-heavy extraction
+    # runs at session parallelism instead of on the local single split
+    docs = _spread(docs.select("doc_id"))
     did = F.col("doc_id").cast("string")
     url = F.concat(
         F.lit("https://host"),
@@ -3213,7 +3219,7 @@ def q_extract_links(spark, sf_dir):
     from mongo_arrow_spark.operators.url import extract_links
 
     docs = _t(spark, sf_dir, "documents")
-    fx = _link_fixture(docs)
+    fx = _link_fixture(docs)  # spreads internally (r14)
     return (
         fx.select(
             "doc_id",
@@ -3718,7 +3724,13 @@ def q_extract_links_base(spark, sf_dir):
         F.lit(".example.com/sec"), (F.col("doc_id") % 3).cast("string"),
         F.lit("/page"), did, F.lit(".html"),
     )
-    fx = docs.select("doc_id", payload.alias("payload"), url.alias("url"))
+    from mongo_arrow_spark.operators.similarity import _spread
+
+    # spread BEFORE constructing the fixture (r14): only the ids cross
+    # the exchange; the extraction regexes run at session parallelism
+    fx = _spread(docs.select("doc_id")).select(
+        "doc_id", payload.alias("payload"), url.alias("url")
+    )
     return fx.select(
         "doc_id",
         F.explode(extract_links("payload", "url")).alias("link"),
@@ -3907,15 +3919,24 @@ def q_extract_meta(spark, sf_dir):
         ).otherwise(""),
         F.lit("</head><body>b</body></html>"),
     )
+    from mongo_arrow_spark.operators.similarity import _spread
+
+    # spread BEFORE constructing the payload (r14): only the 8-byte ids
+    # cross the exchange and the regex extraction runs at session
+    # parallelism instead of on the local single split; no-op at scale
     m = html_meta(payload)
-    return docs.select(
-        "doc_id",
-        m["title"].alias("title"),
-        m["description"].alias("description"),
-        m["og_title"].alias("og_title"),
-        m["og_description"].alias("og_description"),
-        m["lang"].alias("lang"),
-    ).orderBy("doc_id")
+    return (
+        _spread(docs.select("doc_id"))
+        .select(
+            "doc_id",
+            m["title"].alias("title"),
+            m["description"].alias("description"),
+            m["og_title"].alias("og_title"),
+            m["og_description"].alias("og_description"),
+            m["lang"].alias("lang"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
