@@ -1146,20 +1146,55 @@ def _hn_side(
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism —
-    ONLY when the input has fewer partitions (r10). The corpus-sized
-    map stages downstream (cell assignment, probe ranking, candidate
-    scoring) otherwise inherit the input's partitioning, and a
-    single-file local read runs them on one task. At cluster scale the
-    input partition count already exceeds defaultParallelism, so this
-    is a no-op — no shuffle is ever ADDED on the 100 TB path; the rows
-    shuffled here are the slim quantized projection, never payloads."""
+def _spread(df: DataFrame, rows_per_task: int = 1024) -> DataFrame:
+    """Round-robin repartition toward the session's default parallelism —
+    ONLY when the input has fewer partitions (r10), and only to as many
+    partitions as the estimated row count justifies (r15). The
+    corpus-sized map stages downstream (cell assignment, probe ranking,
+    candidate scoring, regex extraction) otherwise inherit the input's
+    partitioning, and a single-file local read runs them on one task.
+    At cluster scale the input partition count already exceeds
+    defaultParallelism, so this is a no-op — no shuffle is ever ADDED
+    on the 100 TB path.
+
+    Work-aware target (r15, the r14 verdict's top item): fanning a tiny
+    input all the way to defaultParallelism pessimizes the measured
+    configuration — each added partition pays per-task constants
+    (scheduling, codegen/regex setup, one more shuffle block to fetch),
+    and under host load wide waves of tiny tasks straggle (the driver
+    measured q_extract_links 0.37x / q_link_graph 0.42x from the r14
+    always-to-32 form; the quiet-window response curve is flat from ~4
+    partitions up and rises again past ~16 — plans/r15/exp_spread.py).
+    The target is ceil(est_rows / rows_per_task) clamped to
+    [1, defaultParallelism], with est_rows derived from the optimizer's
+    own size estimate (sizeInBytes / schema default row width — the
+    same proxy Spark's stats visitor uses). The estimate only needs to
+    be right on a log scale: a few thousand rows get a few partitions,
+    anything corpus-sized saturates to defaultParallelism, and when
+    stats are unavailable the fallback is the r14 posture (full
+    parallelism). Never spreads a frame whose estimate does not clear
+    rows_per_task — tiny frames stay where they are."""
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    par = sc.defaultParallelism
+    nparts = df.rdd.getNumPartitions()
+    if nparts >= par:
+        return df
+    target = par
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        size = int(plan.stats().sizeInBytes())
+        width = sum(
+            int(f.dataType().defaultSize()) for f in plan.schema().fields()
+        )
+        est_rows = size // max(width, 1)
+        target = min(par, max(1, -(-est_rows // max(int(rows_per_task), 1))))
+    except Exception:
+        # stats unreadable (exotic plan/py4j surface) — keep the r14
+        # posture rather than silently serializing a corpus-sized stage
+        target = par
+    if target <= nparts:
+        return df
+    return df.repartition(target)
 
 
 def _hn_topk(pairs, k, max_qdot):

@@ -568,13 +568,19 @@ def link_host_edges(
     filter ``src_host != dst_host`` for the cross-site graph.
 
     Scale shape: link extraction + host projection are map-side; the
-    only shuffle is the partial-aggregated groupBy on (src, dst) —
-    edge-count rows, never raw links, cross the wire."""
-    # spread the extraction (r14): the regex-heavy link extraction runs
-    # BEFORE the one aggregation shuffle and inherits the input
-    # partitioning, so a few-split local input serialized it on a few
-    # cores. similarity._spread is a no-op whenever the input already
-    # has >= defaultParallelism partitions — nothing added at scale.
+    one aggregation shuffle is the partial-aggregated groupBy on
+    (src, dst) — edge-count rows, never raw links, cross the wire.
+    When the input arrives with fewer partitions than the session's
+    parallelism (a few-split local read), a work-aware round-robin
+    pre-shuffle of the input rows — page payloads included — fans the
+    regex-heavy extraction out first; at crawl scale the input already
+    has more splits than cores and no pre-shuffle happens."""
+    # spread the extraction (r14; work-aware r15): the regex-heavy link
+    # extraction runs BEFORE the one aggregation shuffle and inherits
+    # the input partitioning, so a few-split local input serialized it
+    # on a few cores. similarity._spread is a no-op whenever the input
+    # already has >= defaultParallelism partitions — nothing added at
+    # scale — and sizes the fan-out to the estimated row count.
     from mongo_arrow_spark.operators.similarity import _spread
 
     df = _spread(df)
@@ -811,11 +817,16 @@ def crawl_frontier(
     the dedup is a distinct on the canonical string and the
     already-crawled check one url-keyed anti-join (both AQE-planned —
     at crawl scale the frontier and the crawled set hash-partition the
-    same way, text never moves); the robots verdict adds one host
-    equi-join against the bounded rule table. No UDF anywhere."""
-    # spread the extraction (r14): same guard as link_host_edges — the
-    # per-page extraction + canonicalization dominate and run before
-    # the distinct's exchange; no-op at scale.
+    same way, and text never crosses THOSE exchanges); the robots
+    verdict adds one host equi-join against the bounded rule table. No
+    UDF anywhere. As in :func:`link_host_edges`, a few-partition input
+    is first fanned out by a work-aware round-robin pre-shuffle (full
+    rows, payloads included) so the extraction parallelizes; at crawl
+    scale the input already has more splits than cores and no
+    pre-shuffle happens."""
+    # spread the extraction (r14; work-aware r15): same guard as
+    # link_host_edges — the per-page extraction + canonicalization
+    # dominate and run before the distinct's exchange; no-op at scale.
     from mongo_arrow_spark.operators.similarity import _spread
 
     df = _spread(df)
