@@ -230,17 +230,53 @@ def _anchor_probe(spark) -> float:
     return round(best, 3)
 
 
+_DISK_PROBE_BUF = None
+
+
+def _disk_probe() -> float:
+    """Disk-sensitive drift anchor (r15, the r14 verdict's bench item):
+    min-of-3 timed 64 MiB write+fsync to the same filesystem the bench's
+    artifact-writing keys use. The CPU anchor is blind to disk
+    contention — r14's first end-of-round capture had artifact keys
+    inflated 2-4x (corpus_time_travel x2.0, multimodal_decode x4.3)
+    while the codegen-sum anchor read flat — so disk-poisoned captures
+    now self-describe the way CPU-poisoned ones already do. fsync makes
+    the write hit the device instead of the page cache; the buffer is
+    random bytes so a compressing filesystem can't short-circuit it."""
+    import tempfile
+    import time as _t
+
+    global _DISK_PROBE_BUF
+    if _DISK_PROBE_BUF is None:
+        _DISK_PROBE_BUF = os.urandom(1 << 22)  # 4 MiB
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        fd, path = tempfile.mkstemp(prefix="bench_disk_probe_")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                for _ in range(16):  # 64 MiB total
+                    fh.write(_DISK_PROBE_BUF)
+                fh.flush()
+                os.fsync(fh.fileno())
+        finally:
+            os.unlink(path)
+        best = min(best, _t.perf_counter() - t0)
+    return round(best, 3)
+
+
 def _run_headline(spark, sf_dir: str, repeat: int):
     """One full pass over the headline queries with bracketing drift
     anchors. Returns (timings, drift) — the caller applies the
     spread-bound policy."""
     from mongo_arrow_spark.battery import QUERIES
 
-    drift = {"start": _anchor_probe(spark)}
+    drift = {"start": _anchor_probe(spark), "disk_start": _disk_probe()}
     timings: dict[str, float] = {}
     for i, name in enumerate(HEADLINE):
         if i == len(HEADLINE) // 2:
             drift["mid"] = _anchor_probe(spark)
+            drift["disk_mid"] = _disk_probe()
         fn = QUERIES[name]
         fn(spark, sf_dir).collect()  # warm-up
         best = float("inf")
@@ -251,8 +287,15 @@ def _run_headline(spark, sf_dir: str, repeat: int):
             del rows
         timings[name] = round(best, 3)
     drift["end"] = _anchor_probe(spark)
-    lo, hi = min(drift.values()), max(drift.values())
+    drift["disk_end"] = _disk_probe()
+    cpu = [drift["start"], drift["mid"], drift["end"]]
+    lo, hi = min(cpu), max(cpu)
     drift["spread_pct"] = round(100.0 * (hi - lo) / lo, 1) if lo else 0.0
+    dsk = [drift["disk_start"], drift["disk_mid"], drift["disk_end"]]
+    lo, hi = min(dsk), max(dsk)
+    drift["disk_spread_pct"] = (
+        round(100.0 * (hi - lo) / lo, 1) if lo else 0.0
+    )
     return timings, drift
 
 
@@ -282,17 +325,33 @@ def main() -> None:
     # the bound, the emitted line carries "drift_exceeded": true so the
     # record is self-describing instead of silently trusted.
     bound = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SPREAD_PCT", "75"))
+    # the disk probe gets its own (looser) bound: fsync latency on a
+    # shared host is intrinsically twitchier than the codegen sum, and
+    # the point is to catch the 2-4x artifact-key poisonings, not 1.5x
+    # jitter (r15; quiet-window probe spread measured ~10-60%)
+    disk_bound = float(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_DISK_SPREAD_PCT", "150")
+    )
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+
+    def _score(d):
+        # normalized worst offender across both anchors: <= 1.0 means
+        # every spread is inside its bound
+        return max(
+            d["spread_pct"] / bound, d["disk_spread_pct"] / disk_bound
+        )
+
     attempts = []
     for _ in range(max_attempts):
         timings, drift = _run_headline(spark, sf_dir, repeat)
-        attempts.append((drift["spread_pct"], timings, drift))
-        if drift["spread_pct"] <= bound:
+        attempts.append((_score(drift), timings, drift))
+        if _score(drift) <= 1.0:
             break
-    spread, timings, drift = min(attempts, key=lambda a: a[0])
+    score, timings, drift = min(attempts, key=lambda a: a[0])
     drift["attempts"] = len(attempts)
     drift["max_spread_pct"] = bound
-    drift_exceeded = spread > bound
+    drift["max_disk_spread_pct"] = disk_bound
+    drift_exceeded = score > 1.0
 
     # Slow-tail re-timing (r11 verdict #6): the min-of-REPEAT inside one
     # pass draws its samples seconds apart, so a multi-second key whose
@@ -330,6 +389,7 @@ def main() -> None:
             # consistent with the shipped timings (r12 ADVICE fix).
             drift["pre_retime"] = pre_retime
             drift["retime_anchor"] = _anchor_probe(spark)
+            drift["disk_retime_anchor"] = _disk_probe()
             probes = [
                 v
                 for k, v in drift.items()
@@ -340,7 +400,21 @@ def main() -> None:
             drift["spread_pct"] = (
                 round(100.0 * (hi - lo) / lo, 1) if lo else 0.0
             )
-            drift_exceeded = drift["spread_pct"] > bound
+            dprobes = [
+                v
+                for k, v in drift.items()
+                if k
+                in ("disk_start", "disk_mid", "disk_end", "disk_retime_anchor")
+            ]
+            lo, hi = min(dprobes), max(dprobes)
+            drift["attempt_disk_spread_pct"] = drift["disk_spread_pct"]
+            drift["disk_spread_pct"] = (
+                round(100.0 * (hi - lo) / lo, 1) if lo else 0.0
+            )
+            drift_exceeded = (
+                drift["spread_pct"] > bound
+                or drift["disk_spread_pct"] > disk_bound
+            )
 
     # reference-shape microbenches (BASELINE.md:26 — ReadSmall/Large/Array/
     # Document/Extension at N_DOCS=20k) in the same JSON line so the next

@@ -287,6 +287,31 @@ def curate(
             ),
         )
 
+    # 2d. materialize the survivor frame ONCE before the whole-corpus
+    # stages (r15, the r14 verdict's curate item): the (quality gate +
+    # exact dedup) lineage above is consumed by up to three independent
+    # subtrees — the fuzzy stage's candidate pairs (via the
+    # connected-components checkpoint), decontamination's persisted
+    # posting base, and the output rows themselves — and without a cut
+    # each one re-evaluated the full upstream scan + regex gate + digest
+    # agg + join. One lazy localCheckpoint makes the first consumer
+    # materialize it and every later consumer read the cached partitions
+    # (a scan, not a recompute). The trade is survivor payloads on
+    # executor storage (MEMORY_AND_DISK); at 100 TB that is one extra
+    # corpus-sized write in exchange for dropping up to two full
+    # pipeline re-evaluations — strictly fewer bytes whenever at least
+    # two of the stages below run, which is the only case it triggers.
+    # Lazy (eager=False) keeps curate() itself action-free; the fuzzy
+    # stage's bounded convergence actions were already the first
+    # materialization point.
+    _heavy_stages = (jaccard_threshold is not None) + (
+        strip_spans_k is not None
+    ) + (holdout is not None)
+    if _heavy_stages >= 2 or (jaccard_threshold is not None):
+        # the fuzzy stage alone already reads `kept` twice (pairs +
+        # survivor join-back), so it qualifies by itself
+        kept = kept.localCheckpoint(eager=False)
+
     # 3. fuzzy dedup — candidate pairs → components → min-id survivors
     if jaccard_threshold is not None:
         if fuzzy_candidates == "banded":

@@ -896,14 +896,20 @@ def canonical_survivors(
     quality duplicate, not the arbitrary min-id one (e.g. the canonical
     page among mirror copies).
 
-    Plan: per-component winners come from one partial-aggregated
-    ``min(struct(-score, id))`` — the shuffle carries (component, score,
-    id) triples pre-reduced map-side, never payloads — and the winner
-    table (one row per component) joins back on the component key. The
-    winner table is UNBOUNDED (∝ number of near-dup clusters), so the
-    join-back is left to AQE: small winner sets broadcast at runtime,
-    web-scale ones degrade to a shuffled join instead of OOMing the
-    driver on a forced broadcast. Output: ``df``'s columns.
+    Plan (r15 — the ``dedup_by_canonical`` min_by shape, one shuffle, no
+    join-back): per-component winners come from ONE ``min_by(row,
+    struct(-score, id))`` aggregation that carries the winning row
+    itself. Partial aggregation keeps one candidate row per component
+    per input partition, so clustered payloads cross the wire once per
+    (partition, component) — and only CLUSTERED rows enter the shuffle
+    at all; rows that never appeared in a candidate pair pass through
+    map-side. The former join-back re-evaluated the clustered lineage a
+    second time and shuffled it again by the component key. Ordering is
+    unchanged (min over ``(-score, id)``), so the winner per component
+    is identical; ids are assumed unique per row (the engine-wide id
+    contract) — the old join-back form would have kept every duplicate
+    of a winning id where this keeps the single best row.
+    Output: ``df``'s columns.
     """
     marked = df.join(
         components.withColumnsRenamed({"id": id_col}), id_col, "left"
@@ -912,25 +918,44 @@ def canonical_survivors(
     winners = (
         clustered.groupBy("component")
         .agg(
-            F.min(
+            F.min_by(
+                F.struct(*[F.col(c) for c in df.columns]),
                 F.struct(
                     (-F.col(score_col)).alias("ns"),
                     F.col(id_col).alias("i"),
-                )
-            ).alias("w")
+                ),
+            ).alias("__w")
         )
-        .select("component", F.col("w.i").alias("__winner"))
-    )
-    kept = (
-        clustered.join(winners, "component")
-        .where(F.col(id_col) == F.col("__winner"))
-        .drop("__winner")
+        .select("__w.*")
     )
     return (
         marked.where(F.col("component").isNull())
-        .unionByName(kept)
         .drop("component")
+        .unionByName(winners)
     )
+
+
+_SIZE_SUFFIXES = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _size_conf_bytes(spark, key: str, default: int) -> int:
+    """A byte-size session conf as an int (plain bytes or a b/k/m/g/t
+    suffix, Spark's own accepted forms); non-positive or unparsable
+    values fall back to ``default``."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+        for suf in sorted(_SIZE_SUFFIXES, key=len, reverse=True):
+            if raw.endswith(suf):
+                val = int(float(raw[: -len(suf)]) * _SIZE_SUFFIXES[suf])
+                break
+        else:
+            val = int(raw)
+    except Exception:
+        return default
+    return val if val > 0 else default
 
 
 def cross_jaccard_pairs(
@@ -948,6 +973,21 @@ def cross_jaccard_pairs(
     ``max_df`` (document frequency counted across both corpora) is the
     stop-shingle kill-switch, same as ngram_jaccard_pairs. Set sizes stay
     exact (uncapped).
+
+    Sidedness contract: ``right`` is expected to be the BOUNDED corpus
+    (the decontamination holdout / eval-set shape). When its distinct
+    shingle-key set fits a broadcast (checked against a cheap exact
+    upper bound — Σ per-doc shingle counts over the already-persisted
+    prep frame, one cached-scan aggregate), the left posting stream is
+    pre-filtered with a broadcast semi-join before the df cap and the
+    candidate join (r14; result bit-identical — a left posting whose
+    shingle never occurs on the right can produce no intersection and
+    cannot change the cap verdict of any right-present shingle). A
+    right side too large for that broadcast does NOT force it (r15,
+    the r14 ADVICE item — a forced broadcast of an unbounded key set
+    bypasses AQE's size checks and can OOM the driver): the pre-filter
+    is skipped and the plan falls back to the plain posting join, which
+    handles any right size. Results are identical on both paths.
     """
     from pyspark import StorageLevel
 
@@ -976,12 +1016,33 @@ def cross_jaccard_pairs(
     # posting of that shingle, all of which survive this filter — so
     # the result is bit-identical while the df aggregation and the
     # candidate join shrink from Σ left postings to the matching
-    # subset. The right corpus is the bounded side by contract (eval
-    # holdouts), so its distinct shingle keys broadcast; at 100 TB the
-    # left posting stream this spares from both shuffles is the corpus
-    # itself.
-    rkeys = rbase.select(F.explode("sharr").alias("sh")).distinct()
-    lposts = lposts.join(F.broadcast(rkeys), "sh", "left_semi")
+    # subset. At 100 TB the left posting stream this spares from both
+    # shuffles is the corpus itself. r15 (ADVICE): the broadcast is no
+    # longer FORCED unconditionally — Σ size(sharr) over the persisted
+    # right prep frame (an exact upper bound on the distinct key count;
+    # one cached-scan aggregate whose materialization the join below
+    # needs anyway) must clear a key budget derived from the session's
+    # broadcast threshold. Oversized right corpora skip the pre-filter
+    # and take the plain posting join — same result, no OOM-able
+    # driver-side build.
+    n_rkeys_bound = rbase.agg(
+        F.sum(F.size("sharr")).cast("long")
+    ).first()[0]
+    # ~48 bytes/key in the built LongHashedRelation is the conservative
+    # figure; the default 10 MB autoBroadcastJoinThreshold then admits
+    # ~2×10⁵ keys — scale with the session's configured threshold so a
+    # cluster that raised it admits proportionally larger holdouts
+    # (a disabled threshold, -1, keeps the 10 MB floor: the pre-filter
+    # is our own plan choice, not an auto-join decision)
+    thresh = _size_conf_bytes(
+        left.sparkSession, "spark.sql.autoBroadcastJoinThreshold",
+        10 * 1024 * 1024,
+    )
+    if n_rkeys_bound is not None and n_rkeys_bound * 48 <= max(
+        thresh, 10 * 1024 * 1024
+    ):
+        rkeys = rbase.select(F.explode("sharr").alias("sh")).distinct()
+        lposts = lposts.join(F.broadcast(rkeys), "sh", "left_semi")
     if max_df is not None:
         hot = (
             lposts.unionAll(rposts)

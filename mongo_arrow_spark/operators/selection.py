@@ -679,7 +679,13 @@ def ensemble_rank(
     if len(score_cols) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=len(score_cols)) as pool:
+        # bounded pool (r15 ADVICE): 2-3 concurrent jobs are enough to
+        # back-fill each other's barrier tails (guide §2.6); a
+        # many-signal ensemble must not launch one eager
+        # checkpoint-per-signal job storm against the scheduler
+        with ThreadPoolExecutor(
+            max_workers=min(len(score_cols), 4)
+        ) as pool:
             ranked_all = list(
                 pool.map(lambda a: _rank_one(*a), zip(score_cols, rank_names))
             )
