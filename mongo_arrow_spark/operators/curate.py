@@ -27,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# module knob for the stage-2d survivor checkpoint (True in production;
+# a knob so the A/B harness and tests can isolate its effect)
+_CHECKPOINT_SURVIVORS = True
+
 from mongo_arrow_spark.operators import dedup as dedup_ops
 from mongo_arrow_spark.operators import membership as membership_ops
 from mongo_arrow_spark.operators import quality as quality_ops
@@ -307,9 +311,7 @@ def curate(
     _heavy_stages = (jaccard_threshold is not None) + (
         strip_spans_k is not None
     ) + (holdout is not None)
-    if _heavy_stages >= 2 or (jaccard_threshold is not None):
-        # the fuzzy stage alone already reads `kept` twice (pairs +
-        # survivor join-back), so it qualifies by itself
+    if _CHECKPOINT_SURVIVORS and _heavy_stages >= 2:
         kept = kept.localCheckpoint(eager=False)
 
     # 3. fuzzy dedup — candidate pairs → components → min-id survivors
