@@ -60,11 +60,33 @@ def rows_to_multiset(columns, rows):
 
 
 def compare(spark_df, con, sql: str) -> dict:
+    # run the DuckDB side in a worker thread while the Spark side
+    # collects (r15, suite-wall item): both engines release the GIL
+    # during execution, so the oracle's cost — seconds for the
+    # recursive-CTE reachability oracles — overlaps the Spark jobs
+    # instead of serializing after them. One thread at a time touches
+    # the connection (the worker), same as the serial form.
+    import threading
+
+    duck: dict = {}
+
+    def _duck():
+        try:
+            cur = con.execute(sql)
+            duck["cols"] = [c[0] for c in cur.description]
+            duck["rows"] = cur.fetchall()
+        except BaseException as exc:  # re-raised on the test thread
+            duck["err"] = exc
+
+    worker = threading.Thread(target=_duck)
+    worker.start()
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    cur = con.execute(sql)
-    d_cols = [c[0] for c in cur.description]
-    d_rows = cur.fetchall()
+    worker.join()
+    if "err" in duck:
+        raise duck["err"]
+    d_cols = duck["cols"]
+    d_rows = duck["rows"]
     sc, sm = rows_to_multiset(s_cols, s_rows)
     dc, dm = rows_to_multiset(d_cols, d_rows)
     result = {

@@ -935,6 +935,13 @@ def canonical_survivors(
     )
 
 
+# pre-filter broadcast budget: ~bytes per key in the built
+# LongHashedRelation (conservative) and the floor the gate applies even
+# when the session's autoBroadcastJoinThreshold is lowered/disabled —
+# module constants so tests can pin the fallback path with small data
+_PREFILTER_KEY_BYTES = 48
+_PREFILTER_FLOOR_BYTES = 10 * 1024 * 1024
+
 _SIZE_SUFFIXES = {
     "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
     "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
@@ -1036,10 +1043,11 @@ def cross_jaccard_pairs(
     # is our own plan choice, not an auto-join decision)
     thresh = _size_conf_bytes(
         left.sparkSession, "spark.sql.autoBroadcastJoinThreshold",
-        10 * 1024 * 1024,
+        _PREFILTER_FLOOR_BYTES,
     )
-    if n_rkeys_bound is not None and n_rkeys_bound * 48 <= max(
-        thresh, 10 * 1024 * 1024
+    if n_rkeys_bound is not None and (
+        n_rkeys_bound * _PREFILTER_KEY_BYTES
+        <= max(thresh, _PREFILTER_FLOOR_BYTES)
     ):
         rkeys = rbase.select(F.explode("sharr").alias("sh")).distinct()
         lposts = lposts.join(F.broadcast(rkeys), "sh", "left_semi")

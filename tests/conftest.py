@@ -12,7 +12,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("mongo_arrow_spark_tests", shuffle_partitions=8)
+    # correctness suite, not the bench: cap the test session at 8 cores.
+    # sf0.001 actions are per-task-constant-bound, and local[32] only
+    # widens each job's task wave (measured: test_graph 63.4 s at 32
+    # cores vs 55.6 s at 8 — the same 8-vs-32 overhead floor the bench's
+    # scaling block shows at sf0.1). The bench and the driver keep
+    # local[$SPARK_GRAFT_CPUS]; this touches only pytest.
+    cpus = min(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 8)
+    s = get_spark(
+        "mongo_arrow_spark_tests",
+        master=f"local[{cpus}]",
+        shuffle_partitions=8,
+    )
     yield s
 
 

@@ -133,16 +133,42 @@ REPRESENTATIVES = [
 ]
 
 
-def test_graded_queries_under_vanilla_session():
+# r15 (suite-wall item): launch the subprocess at module import — i.e.
+# during collection, minutes before this test executes — and only JOIN
+# in the test. The gate runs the identical script either way; its
+# ~2 minutes of local[2] wall time now overlap the rest of the suite.
+def _launch():
+    import tempfile
+
+    out = tempfile.NamedTemporaryFile(
+        mode="w+", suffix="_vanilla.out", delete=False
+    )
     script = _SCRIPT.format(repo=REPO, names=REPRESENTATIVES)
-    proc = subprocess.run(
+    proc = subprocess.Popen(
         [sys.executable, "-c", script],
-        capture_output=True,
+        stdout=out,
+        stderr=subprocess.STDOUT,
         text=True,
-        timeout=600,
         cwd=REPO,
     )
-    assert proc.returncode == 0 and "VANILLA_GATE_PASS" in proc.stdout, (
-        f"vanilla-session gate failed\nstdout:\n{proc.stdout[-3000:]}\n"
-        f"stderr:\n{proc.stderr[-3000:]}"
+    return proc, out
+
+
+_PROC = _launch()
+
+
+def test_graded_queries_under_vanilla_session():
+    proc, out = _PROC
+    try:
+        rc = proc.wait(timeout=600)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        rc = -9
+    out.flush()
+    with open(out.name) as fh:
+        text = fh.read()
+    os.unlink(out.name)
+    assert rc == 0 and "VANILLA_GATE_PASS" in text, (
+        f"vanilla-session gate failed\noutput:\n{text[-6000:]}"
     )
