@@ -242,7 +242,11 @@ def _disk_probe() -> float:
     while the codegen-sum anchor read flat — so disk-poisoned captures
     now self-describe the way CPU-poisoned ones already do. fsync makes
     the write hit the device instead of the page cache; the buffer is
-    random bytes so a compressing filesystem can't short-circuit it."""
+    random bytes so a compressing filesystem can't short-circuit it.
+    The probe writes to tempfile's default TMPDIR deliberately — that
+    is the same place the bench's artifact keys write (the shape sinks
+    and version stores all go through tempfile.mkdtemp), so the probe
+    shares their filesystem by construction."""
     import tempfile
     import time as _t
 
@@ -336,9 +340,13 @@ def main() -> None:
 
     def _score(d):
         # normalized worst offender across both anchors: <= 1.0 means
-        # every spread is inside its bound
+        # every spread is inside its bound. A zero/negative bound means
+        # "always exceeded" (the pre-r15 semantics), not a crash.
         return max(
-            d["spread_pct"] / bound, d["disk_spread_pct"] / disk_bound
+            d["spread_pct"] / bound if bound > 0 else float("inf"),
+            d["disk_spread_pct"] / disk_bound
+            if disk_bound > 0
+            else float("inf"),
         )
 
     attempts = []

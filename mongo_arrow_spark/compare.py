@@ -80,9 +80,14 @@ def compare(spark_df, con, sql: str) -> dict:
 
     worker = threading.Thread(target=_duck)
     worker.start()
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    worker.join()
+    try:
+        s_cols = spark_df.columns
+        s_rows = [tuple(r) for r in spark_df.collect()]
+    finally:
+        # join even when the Spark side throws: a leaked worker would
+        # still be driving the SHARED connection when the next
+        # compare() call executes on it
+        worker.join()
     if "err" in duck:
         raise duck["err"]
     d_cols = duck["cols"]

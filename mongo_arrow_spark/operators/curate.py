@@ -180,10 +180,15 @@ def curate(
     is reproducible row-for-row across engines and re-runs (graded
     against a single DuckDB SQL oracle in the battery).
 
-    Stages other than connected components stay lazy; fuzzy dedup's
-    component propagation is iterative (O(log n) rounds of driver-side
-    convergence checks — see dedup.connected_components), so calling this
-    with ``jaccard_threshold`` set triggers those bounded actions.
+    Stages other than connected components and decontamination stay
+    lazy; fuzzy dedup's component propagation is iterative (O(log n)
+    rounds of driver-side convergence checks — see
+    dedup.connected_components), so calling this with
+    ``jaccard_threshold`` set triggers those bounded actions, and
+    ``holdout`` triggers decontamination's one bounded size-probe
+    action on the HOLDOUT side (the broadcast gate in
+    dedup.cross_jaccard_pairs — it scans only the holdout, never the
+    corpus).
     """
     def _tap(name, frame):
         if audit is not None:
@@ -298,21 +303,27 @@ def curate(
     # connected-components checkpoint), decontamination's persisted
     # posting base, and the output rows themselves — and without a cut
     # each one re-evaluated the full upstream scan + regex gate + digest
-    # agg + join. One lazy localCheckpoint makes the first consumer
-    # materialize it and every later consumer read the cached partitions
-    # (a scan, not a recompute). The trade is survivor payloads on
-    # executor storage (MEMORY_AND_DISK); at 100 TB that is one extra
-    # corpus-sized write in exchange for dropping up to two full
-    # pipeline re-evaluations — strictly fewer bytes whenever at least
-    # two of the stages below run, which is the only case it triggers.
-    # Lazy (eager=False) keeps curate() itself action-free; the fuzzy
-    # stage's bounded convergence actions were already the first
-    # materialization point.
+    # agg + join. A lazy persist makes the first consumer materialize
+    # it and every later consumer read the cached partitions (a scan,
+    # not a recompute). persist rather than localCheckpoint: the same
+    # single-materialization reuse, but lineage survives — at cluster
+    # scale an executor loss recomputes the lost partitions instead of
+    # killing the job (localCheckpoint truncates lineage; the
+    # connected-components edge checkpoint is bounded-size and keeps
+    # that trade, a corpus-sized survivor frame must not). The cost is
+    # survivor payloads on executor storage (MEMORY_AND_DISK) — at
+    # 100 TB one extra corpus-sized write in exchange for dropping up
+    # to two full pipeline re-evaluations. Gated on ≥2 of the heavy
+    # stages being enabled: the fuzzy stage alone re-reads `kept` only
+    # once (its pairs base is persisted internally), where the
+    # measured benefit is inside the noise (OPTIMIZATION_r15.md).
     _heavy_stages = (jaccard_threshold is not None) + (
         strip_spans_k is not None
     ) + (holdout is not None)
     if _CHECKPOINT_SURVIVORS and _heavy_stages >= 2:
-        kept = kept.localCheckpoint(eager=False)
+        from pyspark import StorageLevel
+
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
 
     # 3. fuzzy dedup — candidate pairs → components → min-id survivors
     if jaccard_threshold is not None:

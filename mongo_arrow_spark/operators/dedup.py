@@ -909,7 +909,11 @@ def canonical_survivors(
     is identical; ids are assumed unique per row (the engine-wide id
     contract) — the old join-back form would have kept every duplicate
     of a winning id where this keeps the single best row.
-    Output: ``df``'s columns.
+    NULL-score note (unchanged semantics, r14 and r15 agree,
+    parity-pinned in tests/test_r15_optimizations.py): struct ordering
+    sorts a NULL field first, so a NULL-score row outranks every scored
+    row in its component — coalesce the score upstream if NULLs should
+    lose instead. Output: ``df``'s columns.
     """
     marked = df.join(
         components.withColumnsRenamed({"id": id_col}), id_col, "left"

@@ -49,6 +49,26 @@ def _launch(script: str):
 _PROCS = {s: _launch(s) for s in _EXAMPLES}
 
 
+def _reap():
+    # collection-only / deselected runs never call _join: kill whatever
+    # is still running and drop the temp files so nothing leaks past
+    # the pytest process
+    for proc, out in _PROCS.values():
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait()
+        out.close()
+        try:
+            os.unlink(out.name)
+        except OSError:
+            pass
+
+
+import atexit
+
+atexit.register(_reap)
+
+
 def _join(script: str) -> str:
     proc, out = _PROCS[script]
     try:

@@ -20,11 +20,16 @@ def test_canonical_survivors_min_by_winner_semantics(spark):
             (4, 5, "d"),                                # never in a pair
             (5, None, "e"), (6, None, "f"),             # NULL scores
             (7, 50, "g"), (8, 7, "h"),
+            (9, 9, "i"), (10, None, "j"),               # mixed NULL/scored:
+            # struct ordering sorts the NULL field first, so the NULL
+            # row wins — the r14 join-back form behaved identically
+            # (verified old-vs-new), pinned so nobody "fixes" one form
         ],
         "doc_id long, score long, text string",
     )
     comps = spark.createDataFrame(
-        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 7), (8, 7)],
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 7), (8, 7),
+         (9, 9), (10, 9)],
         "id long, component long",
     )
     out = dedup.canonical_survivors(df, comps, score_col="score")
@@ -32,6 +37,7 @@ def test_canonical_survivors_min_by_winner_semantics(spark):
     rows = sorted(map(tuple, out.collect()))
     assert rows == [
         (2, 30, "b"), (4, 5, "d"), (5, None, "e"), (7, 50, "g"),
+        (10, None, "j"),
     ]
     # one aggregation, no component join-back in the optimized plan
     plan = out._jdf.queryExecution().optimizedPlan().toString()

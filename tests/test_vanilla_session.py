@@ -157,6 +157,25 @@ def _launch():
 _PROC = _launch()
 
 
+def _reap():
+    # collection-only / deselected runs never join: kill + reap + drop
+    # the temp file so nothing leaks past the pytest process
+    proc, out = _PROC
+    if proc.poll() is None:
+        proc.kill()
+    proc.wait()
+    out.close()
+    try:
+        os.unlink(out.name)
+    except OSError:
+        pass
+
+
+import atexit
+
+atexit.register(_reap)
+
+
 def test_graded_queries_under_vanilla_session():
     proc, out = _PROC
     try:
